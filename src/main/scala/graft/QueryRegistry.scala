@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** A named engine query plus (optionally) its DuckDB oracle SQL.
+  *
+  * Conventions enforced across all groups (see FIXTURES.md
+  * "canonicalization"):
+  *   - every query output is made deterministic with an ORDER BY over a
+  *     unique key prefix, in both the Spark plan and the oracle SQL;
+  *   - doubles are rounded with [[QueryGroup.pround]] /
+  *     [[QueryGroup.sqlRound]] — `floor(x*10^d + 0.5)/10^d`, which is
+  *     bit-identical IEEE arithmetic in Spark and DuckDB (their native
+  *     `round()` half-way behaviors differ: BigDecimal HALF_UP vs C
+  *     library rounding);
+  *   - `events.ts` outputs go through `unix_millis` / DuckDB `epoch_ms`
+  *     (ns-precision parquet, see [[Tables.events]]);
+  *   - aggregate/computed columns are aliased identically in the
+  *     DataFrame code and the SQL (the driver compares by column name).
+  */
+final case class QDef(
+    name: String,
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+abstract class QueryGroup {
+  private val defs = scala.collection.mutable.ArrayBuffer.empty[QDef]
+
+  protected def q(name: String, oracle: String)(
+      fn: (SparkSession, String) => DataFrame): Unit =
+    defs += QDef(name, fn, Some(oracle))
+
+  protected def qNoOracle(name: String)(
+      fn: (SparkSession, String) => DataFrame): Unit =
+    defs += QDef(name, fn, None)
+
+  def all: Seq[QDef] = defs.toSeq
+
+  /** Portable rounding, identical in Spark and DuckDB (see class doc). */
+  protected def pround(c: Column, digits: Int): Column = {
+    val s = math.pow(10, digits)
+    floor(c * lit(s) + lit(0.5)) / lit(s)
+  }
+
+  /** SQL-text twin of [[pround]] for oracle queries. */
+  protected def sqlRound(e: String, digits: Int): String = {
+    val s = "1" + ("0" * digits) + ".0"
+    s"floor(($e)*$s + 0.5)/$s"
+  }
+}
+
+object Queries {
+  private def groups: Seq[QueryGroup] = Seq(RelationalQueries)
+
+  lazy val defs: Seq[QDef] = groups.flatMap(_.all)
+
+  lazy val all: Map[String, (SparkSession, String) => DataFrame] =
+    defs.map(q => q.name -> q.fn).toMap
+
+  lazy val oracle: Map[String, String] =
+    defs.flatMap(q => q.oracle.map(q.name -> _)).toMap
+
+  /** Register every TESTDATA table as a temp view (used by tests). */
+  def registerViews(spark: SparkSession, dir: String): Unit =
+    Tables.all.foreach(n =>
+      Tables.load(spark, dir, n).createOrReplaceTempView(n))
+}
