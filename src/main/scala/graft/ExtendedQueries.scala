@@ -1,0 +1,266 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.operators.AsOfJoin
+
+/** Extended operator surface (SURVEY §2B R-16…R-30 + U-3 fan-out). */
+object ExtendedQueries extends QueryGroup {
+
+  // --------------------------------------------------------------- R-16
+  // As-of (floor) join via graft.operators.AsOfJoin — the reference's
+  // SparseMap floor lookup with no-match ⇒ null instead of an NPE.
+  // Probe: error events; build: click events; floor per user_id.
+  q("q17_asof_join",
+    """WITH b AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'),
+      |     p AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'error')
+      |SELECT p.event_id AS event_id, l.bid, l.bts
+      |FROM p LEFT JOIN LATERAL (
+      |  SELECT event_id AS bid, epoch_ms(ts) AS bts FROM b
+      |  WHERE b.user_id = p.user_id AND b.ts <= p.ts
+      |  ORDER BY ts DESC, event_id DESC LIMIT 1) l ON true
+      |ORDER BY event_id""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d)
+    val probe = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val build = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"),
+        col("event_id").as("bid"), unix_millis(col("ts")).as("bts"))
+    AsOfJoin.floorJoin(probe, build,
+        keys = Seq("user_id"), probeTs = "ts", buildTs = "ts",
+        payload = Seq("bid", "bts"))
+      .select(col("event_id"), col("bid"), col("bts"))
+      .orderBy(col("event_id"))
+  }
+
+  // --------------------------------------------------------------- R-17
+  q("q18_setops",
+    """WITH a AS (SELECT p_partkey FROM part WHERE p_size < 25),
+      |     b AS (SELECT p_partkey FROM part WHERE p_retailprice < 1500)
+      |SELECT 'both' AS op, p_partkey FROM (SELECT * FROM a INTERSECT SELECT * FROM b)
+      |UNION ALL
+      |SELECT 'only_a' AS op, p_partkey FROM (SELECT * FROM a EXCEPT SELECT * FROM b)
+      |UNION ALL
+      |SELECT 'all' AS op, p_partkey FROM (SELECT * FROM a UNION SELECT * FROM b)
+      |ORDER BY op, p_partkey""".stripMargin) { (s, d) =>
+    val part = Tables.part(s, d)
+    val a = part.filter(col("p_size") < 25).select(col("p_partkey"))
+    val b = part.filter(col("p_retailprice") < 1500).select(col("p_partkey"))
+    val both = a.intersect(b).select(lit("both").as("op"), col("p_partkey"))
+    val onlyA = a.except(b).select(lit("only_a").as("op"), col("p_partkey"))
+    val union = a.union(b).distinct().select(lit("all").as("op"), col("p_partkey"))
+    both.unionAll(onlyA).unionAll(union).orderBy(col("op"), col("p_partkey"))
+  }
+
+  // --------------------------------------------------------------- R-18
+  // Deterministic exact dedup: keep the min-event_id row per
+  // (user_id, event_type) — dropDuplicates keeps an arbitrary row, so
+  // the oracle-checked form pins the survivor explicitly (same rule as
+  // the reference's cursorPositionSet dedup, SURVEY §2A A19).
+  q("q19_dedup_exact",
+    s"""SELECT user_id, event_type, event_id, ${sqlRound("value", 2)} AS value
+       |FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type ORDER BY event_id) AS rn
+       |      FROM events) t
+       |WHERE rn = 1
+       |ORDER BY user_id, event_type""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("event_id"))
+    Tables.events(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        pround(col("value"), 2).as("value"))
+      .orderBy(col("user_id"), col("event_type"))
+  }
+
+  // --------------------------------------------------------------- R-22
+  q("q20_string_fns",
+    """SELECT p_partkey,
+      |  CAST(regexp_extract(p_brand, '([0-9]+)', 1) AS INT) AS brand_num,
+      |  upper(substring(p_name, 1, 8)) AS name8,
+      |  lpad(CAST(p_size AS VARCHAR), 4, '0') AS size4,
+      |  length(p_type) AS type_len,
+      |  levenshtein(p_brand, 'Brand#11') AS lev,
+      |  concat(p_brand, ':', CAST(p_size AS VARCHAR)) AS tag
+      |FROM part ORDER BY p_partkey""".stripMargin) { (s, d) =>
+    Tables.part(s, d)
+      .select(col("p_partkey"),
+        regexp_extract(col("p_brand"), "([0-9]+)", 1).cast("int").as("brand_num"),
+        upper(substring(col("p_name"), 1, 8)).as("name8"),
+        lpad(col("p_size").cast("string"), 4, "0").as("size4"),
+        length(col("p_type")).as("type_len"),
+        levenshtein(col("p_brand"), lit("Brand#11")).as("lev"),
+        concat(col("p_brand"), lit(":"), col("p_size").cast("string")).as("tag"))
+      .orderBy(col("p_partkey"))
+  }
+
+  // --------------------------------------------------------------- R-23
+  q("q21_datetime_month",
+    s"""SELECT year(o_orderdate) AS y, month(o_orderdate) AS m,
+       |  count(*) AS n, ${sqlRound("sum(o_totalprice)", 2)} AS rev
+       |FROM orders
+       |GROUP BY year(o_orderdate), month(o_orderdate)
+       |ORDER BY y, m""".stripMargin) { (s, d) =>
+    Tables.orders(s, d)
+      .groupBy(year(col("o_orderdate")).as("y"), month(col("o_orderdate")).as("m"))
+      .agg(count(lit(1)).as("n"), pround(sum(col("o_totalprice")), 2).as("rev"))
+      .orderBy(col("y"), col("m"))
+  }
+
+  // R-23 row-level: trunc to hour/minute (the reference's 60 s
+  // sampling bucket, PulsarPartitionSyncWorker.java:236), day diff.
+  q("q22_datetime_row",
+    """SELECT event_id,
+      |  epoch_ms(date_trunc('hour', ts)) AS hour_ms,
+      |  epoch_ms(date_trunc('minute', ts)) AS minute_ms,
+      |  year(ts) AS y, month(ts) AS m,
+      |  date_diff('day', DATE '2024-01-01', ts::DATE) AS d_since
+      |FROM events ORDER BY event_id""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .select(col("event_id"),
+        unix_millis(date_trunc("hour", col("ts"))).as("hour_ms"),
+        unix_millis(date_trunc("minute", col("ts"))).as("minute_ms"),
+        year(col("ts")).as("y"), month(col("ts")).as("m"),
+        datediff(to_date(col("ts")), lit("2024-01-01")).as("d_since"))
+      .orderBy(col("event_id"))
+  }
+
+  // --------------------------------------------------------------- R-24
+  q("q23_math_fns",
+    s"""SELECT p_partkey,
+       |  CAST(floor(p_retailprice) AS BIGINT) AS price_floor,
+       |  CAST(ceil(p_retailprice) AS BIGINT) AS price_ceil,
+       |  abs(p_size - 25) AS size_dev,
+       |  ${sqlRound("sqrt(p_retailprice)", 4)} AS price_sqrt,
+       |  p_size * p_size AS size_sq,
+       |  ${sqlRound("ln(p_retailprice)", 6)} AS price_ln
+       |FROM part ORDER BY p_partkey""".stripMargin) { (s, d) =>
+    Tables.part(s, d)
+      .select(col("p_partkey"),
+        floor(col("p_retailprice")).as("price_floor"),
+        ceil(col("p_retailprice")).as("price_ceil"),
+        abs(col("p_size") - 25).as("size_dev"),
+        pround(sqrt(col("p_retailprice")), 4).as("price_sqrt"),
+        (col("p_size") * col("p_size")).as("size_sq"),
+        pround(log(col("p_retailprice")), 6).as("price_ln"))
+      .orderBy(col("p_partkey"))
+  }
+
+  // --------------------------------------------------------------- R-25
+  // Higher-order array functions over the embedding column; the dot
+  // product stays in codegen (no UDF).
+  q("q24_array_fns",
+    s"""SELECT vec_id,
+       |  len(embedding) AS dim,
+       |  ${sqlRound("sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x)))", 4)} AS l2,
+       |  ${sqlRound("embedding[1]::DOUBLE", 6)} AS e1,
+       |  ${sqlRound("list_max(embedding)::DOUBLE", 6)} AS emax,
+       |  ${sqlRound("list_min(embedding)::DOUBLE", 6)} AS emin
+       |FROM embeddings ORDER BY vec_id""".stripMargin) { (s, d) =>
+    Tables.embeddings(s, d)
+      .select(col("vec_id"),
+        size(col("embedding")).as("dim"),
+        pround(sqrt(aggregate(col("embedding"), lit(0.0),
+          (acc, x) => acc + x.cast("double") * x.cast("double"))), 4).as("l2"),
+        pround(element_at(col("embedding"), 1).cast("double"), 6).as("e1"),
+        pround(array_max(col("embedding")).cast("double"), 6).as("emax"),
+        pround(array_min(col("embedding")).cast("double"), 6).as("emin"))
+      .orderBy(col("vec_id"))
+  }
+
+  // -------------------------------------------------------- R-26 / R-27
+  // Map + JSON over events.props (the reference's message `properties`
+  // map, PulsarPartitionSyncWorker.java:230).
+  q("q25_map_json",
+    """SELECT event_id,
+      |  json_keys(props)[1] AS k0,
+      |  json_extract(props, '$.' || json_keys(props)[1])::INT AS v,
+      |  length(props) AS plen
+      |FROM events ORDER BY event_id""".stripMargin) { (s, d) =>
+    val m = from_json(col("props"),
+      org.apache.spark.sql.types.DataType.fromDDL("map<string,int>"))
+    Tables.events(s, d)
+      .select(col("event_id"),
+        element_at(map_keys(m), 1).as("k0"),
+        element_at(m, element_at(map_keys(m), 1)).as("v"),
+        length(col("props")).as("plen"))
+      .orderBy(col("event_id"))
+  }
+
+  // --------------------------------------------------------------- R-28
+  // when/otherwise + nullif + coalesce + null-safe equality — the
+  // reference's `key != null` / `eventTime != 0` copy rules (A14).
+  q("q26_conditional",
+    """SELECT event_id,
+      |  CASE WHEN event_type = 'error' THEN 'E'
+      |       WHEN event_type = 'click' THEN 'C'
+      |       ELSE 'other' END AS cls,
+      |  coalesce(nullif(user_id, 13), -1) AS uid_masked,
+      |  (user_id IS NOT DISTINCT FROM 13) AS is13
+      |FROM events ORDER BY event_id""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .select(col("event_id"),
+        when(col("event_type") === "error", "E")
+          .when(col("event_type") === "click", "C")
+          .otherwise("other").as("cls"),
+        coalesce(nullif(col("user_id"), lit(13)), lit(-1)).as("uid_masked"),
+        (col("user_id") <=> lit(13)).as("is13"))
+      .orderBy(col("event_id"))
+  }
+
+  // --------------------------------------------------------------- R-29
+  // Deterministic sampling: key-mod filter (portable across engines;
+  // df.sample(fraction, seed) uses an engine-specific PRNG so it can't
+  // be oracle-checked).
+  q("q27_sample_mod",
+    """SELECT l_orderkey, l_linenumber FROM lineitem
+      |WHERE l_orderkey % 97 = 0
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .filter(col("l_orderkey") % 97 === 0)
+      .select(col("l_orderkey"), col("l_linenumber"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
+  // --------------------------------------------------------------- R-30
+  q("q28_pivot",
+    s"""SELECT n_name,
+       |  ${sqlRound("sum(CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice END)", 2)} AS p1_urgent,
+       |  ${sqlRound("sum(CASE WHEN o_orderpriority = '2-HIGH' THEN o_totalprice END)", 2)} AS p2_high,
+       |  ${sqlRound("sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN o_totalprice END)", 2)} AS p3_medium,
+       |  ${sqlRound("sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN o_totalprice END)", 2)} AS p4_notspec,
+       |  ${sqlRound("sum(CASE WHEN o_orderpriority = '5-LOW' THEN o_totalprice END)", 2)} AS p5_low
+       |FROM orders
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN nation ON c_nationkey = n_nationkey
+       |GROUP BY n_name
+       |ORDER BY n_name""".stripMargin) { (s, d) =>
+    val priorities = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+    val names = Seq("p1_urgent", "p2_high", "p3_medium", "p4_notspec", "p5_low")
+    val piv = Tables.orders(s, d)
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .pivot("o_orderpriority", priorities)
+      .agg(sum(col("o_totalprice")))
+    piv.select(col("n_name") +:
+        priorities.zip(names).map { case (p, n) => pround(col(p), 2).as(n) }: _*)
+      .orderBy(col("n_name"))
+  }
+
+  // ---------------------------------------------------------------- U-3
+  // Partition fan-out generator — the reference's topic × [0, n)
+  // expansion (A13, Const.java:24) as explode(sequence(...)).
+  q("q29_fanout",
+    """SELECT p_partkey, i, 'p' || p_partkey || '-partition-' || i AS pname
+      |FROM (SELECT p_partkey, unnest(generate_series(0, p_size - 1)) AS i FROM part)
+      |ORDER BY p_partkey, i""".stripMargin) { (s, d) =>
+    Tables.part(s, d)
+      .select(col("p_partkey"),
+        explode(sequence(lit(0), col("p_size") - 1)).as("i"))
+      .withColumn("pname", concat(lit("p"), col("p_partkey").cast("string"),
+        lit("-partition-"), col("i").cast("string")))
+      .orderBy(col("p_partkey"), col("i"))
+  }
+}

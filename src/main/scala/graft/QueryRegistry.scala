@@ -51,7 +51,7 @@ abstract class QueryGroup {
 }
 
 object Queries {
-  private def groups: Seq[QueryGroup] = Seq(RelationalQueries)
+  private def groups: Seq[QueryGroup] = Seq(RelationalQueries, ExtendedQueries)
 
   lazy val defs: Seq[QDef] = groups.flatMap(_.all)
 
