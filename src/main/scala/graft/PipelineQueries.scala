@@ -1,0 +1,203 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFns
+import graft.operators.{Dedup, Similarity, TextAnalysis}
+
+/** LLM-data-pipeline operator surface (SURVEY §2B R-19/R-20/R-21 +
+  * BASELINE north star): text analysis, language-ID, near-dup
+  * detection (exact Jaccard, MinHash-LSH, SimHash), embedding
+  * similarity (brute-force + LSH-bucketed ANN).
+  */
+object PipelineQueries extends QueryGroup {
+
+  // --------------------------------------------------------------- R-21
+  q("q30_token_freq",
+    """WITH t AS (SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents),
+      |c AS (SELECT lang, word, count(*) AS cnt FROM t GROUP BY lang, word),
+      |r AS (SELECT lang, word, cnt,
+      |        row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, word) AS rn
+      |      FROM c)
+      |SELECT lang, rn, word, cnt FROM r WHERE rn <= 10
+      |ORDER BY lang, rn""".stripMargin) { (s, d) =>
+    TextAnalysis.topTerms(Tables.documents(s, d), "text", "lang", 10)
+      .select(col("blk").as("lang"), col("rn"), col("word"), col("cnt"))
+      .orderBy(col("lang"), col("rn"))
+  }
+
+  // R-21 quality features + md5 fingerprint (portable rolling-hash
+  // stand-in) — the document-quality scoring pass of a training-data
+  // pipeline.
+  q("q31_text_quality",
+    s"""SELECT doc_id,
+       |  len(string_split(text, ' ')) AS n_tokens,
+       |  ${sqlRound("(length(text) - (len(string_split(text, ' ')) - 1)) * 1.0 / len(string_split(text, ' '))", 4)} AS avg_word_len,
+       |  ${sqlRound("len(list_filter(string_split(text, ' '), x -> x = 'the' OR x = 'a')) * 1.0 / greatest(len(string_split(text, ' ')), 1)", 4)} AS stopword_ratio,
+       |  ${sqlRound("length(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0 / length(text)", 4)} AS digit_ratio,
+       |  md5(lower(text)) AS fingerprint
+       |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+    TextAnalysis.qualityFeatures(Tables.documents(s, d), "doc_id", "text",
+        Seq("the", "a"))
+      .select(col("doc_id"), col("n_tokens"),
+        pround(col("avg_word_len"), 4).as("avg_word_len"),
+        pround(col("stopword_ratio"), 4).as("stopword_ratio"),
+        pround(col("digit_ratio"), 4).as("digit_ratio"),
+        col("fingerprint"))
+      .orderBy(col("doc_id"))
+  }
+
+  // R-21 corpus-trained language ID (n-gram-profile heuristic).
+  q("q32_lang_id",
+    """WITH t AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word FROM documents),
+      |c AS (SELECT lang, word, count(*) AS cnt FROM t GROUP BY lang, word),
+      |prof AS (SELECT lang AS plang, word FROM (
+      |  SELECT lang, word, row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, word) AS rn
+      |  FROM c) WHERE rn <= 20),
+      |dt AS (SELECT DISTINCT doc_id, word FROM t),
+      |sc AS (SELECT doc_id, plang, count(*) AS score FROM dt JOIN prof USING (word)
+      |       GROUP BY doc_id, plang),
+      |best AS (SELECT doc_id, plang, score FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, plang) AS rn
+      |  FROM sc) WHERE rn = 1)
+      |SELECT b.doc_id AS doc_id, b.plang AS guessed_lang, b.score AS score,
+      |  (b.plang = d.lang) AS correct
+      |FROM best b JOIN documents d ON b.doc_id = d.doc_id
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    TextAnalysis.languageId(docs, "doc_id", "text", "lang", 20)
+      .join(docs.select(col("doc_id").as("doc"), col("lang")), "doc")
+      .select(col("doc").as("doc_id"), col("guessed_lang"), col("score"),
+        (col("guessed_lang") === col("lang")).as("correct"))
+      .orderBy(col("doc_id"))
+  }
+
+  // --------------------------------------------------------------- R-19
+  // Exact n-gram Jaccard near-dup pairs (blocked by lang). The data
+  // has 6 planted pairs >= 0.95 with a clean gap to ~0.05 — threshold
+  // 0.8 separates them exactly.
+  q("q33_ngram_jaccard",
+    s"""WITH toks AS (SELECT doc_id, lang, string_split(text, ' ') AS l FROM documents),
+       |sh AS (SELECT DISTINCT doc_id, lang,
+       |         unnest(list_transform(generate_series(1, len(l) - 2),
+       |                i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])) AS shingle
+       |       FROM toks),
+       |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+       |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+       |      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.lang = b.lang
+       |                         AND a.doc_id < b.doc_id
+       |      GROUP BY 1, 2)
+       |SELECT id_a, id_b, ${sqlRound("inter * 1.0 / (x.sz + y.sz - inter)", 4)} AS jaccard
+       |FROM p JOIN sz x ON x.doc_id = id_a JOIN sz y ON y.doc_id = id_b
+       |WHERE inter * 1.0 / (x.sz + y.sz - inter) >= 0.8
+       |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+    Dedup.ngramJaccardPairs(Tables.documents(s, d),
+        "doc_id", "text", "lang", n = 3, threshold = 0.8)
+      .select(col("id_a"), col("id_b"), pround(col("jaccard"), 4).as("jaccard"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  // R-19 MinHash-LSH: xxhash64 isn't portable to DuckDB → rows-only
+  // driver check; the ScalaTest suite asserts LSH recall against the
+  // exact q33 pairs.
+  qNoOracle("q34_minhash_lsh") { (s, d) =>
+    Dedup.minhashLshPairs(Tables.documents(s, d), "doc_id", "text",
+        shingleN = 3, numHashes = 32, bands = 8, estThreshold = 0.5)
+      .select(col("id_a"), col("id_b"), pround(col("est_jaccard"), 4).as("est_jaccard"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  // R-19 SimHash near-dup pairs (rows-only for the same reason).
+  qNoOracle("q35_simhash") { (s, d) =>
+    Dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text", maxHamming = 8)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  // --------------------------------------------------------------- R-20
+  // Embedding cosine near-dup pairs, brute force (the correctness
+  // baseline; q38 is the bucketed scale path).
+  q("q36_embed_neardup",
+    """WITH u AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+      |             unnest(embedding)::DOUBLE AS x FROM embeddings),
+      |nrm AS (SELECT vec_id, sqrt(sum(x*x)) AS nr FROM u GROUP BY vec_id),
+      |d AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, sum(a.x*b.x) AS dp
+      |      FROM u a JOIN u b ON a.i = b.i AND a.vec_id < b.vec_id GROUP BY 1, 2),
+      |c AS (SELECT id_a, id_b,
+      |        floor((dp / (x.nr * y.nr)) * 1000000.0 + 0.5) / 1000000.0 AS cos
+      |      FROM d JOIN nrm x ON x.vec_id = id_a JOIN nrm y ON y.vec_id = id_b)
+      |SELECT id_a, id_b, cos FROM c WHERE cos >= 0.4
+      |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+    val e = Tables.embeddings(s, d)
+    val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+    val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+    a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        pround(VectorFns.cosine(
+          VectorFns.toDoubleArray(col("va")),
+          VectorFns.toDoubleArray(col("vb"))), 6).as("cos"))
+      .filter(col("cos") >= 0.4)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  // R-20 exact top-k similarity search: 10 probes, top-5 neighbors.
+  q("q37_ann_topk",
+    """WITH u AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+      |             unnest(embedding)::DOUBLE AS x FROM embeddings),
+      |nrm AS (SELECT vec_id, sqrt(sum(x*x)) AS nr FROM u GROUP BY vec_id),
+      |d AS (SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id, sum(p.x*c.x) AS dp
+      |      FROM u p JOIN u c ON p.i = c.i
+      |      WHERE p.vec_id < 10 AND c.vec_id >= 10 GROUP BY 1, 2),
+      |cs AS (SELECT probe_id, neighbor_id,
+      |         floor((dp / (x.nr * y.nr)) * 1000000.0 + 0.5) / 1000000.0 AS cos
+      |       FROM d JOIN nrm x ON x.vec_id = probe_id JOIN nrm y ON y.vec_id = neighbor_id),
+      |r AS (SELECT probe_id, neighbor_id, cos,
+      |        row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id) AS rnk
+      |      FROM cs)
+      |SELECT probe_id, rnk, neighbor_id, cos FROM r WHERE rnk <= 5
+      |ORDER BY probe_id, rnk""".stripMargin) { (s, d) =>
+    val e = Tables.embeddings(s, d)
+    Similarity.bruteForceTopK(
+        e.filter(col("vec_id") < 10), e.filter(col("vec_id") >= 10),
+        "vec_id", "embedding", k = 5)
+      .orderBy(col("probe_id"), col("rnk"))
+  }
+
+  // R-20 LSH-bucketed ANN (sign bits of the first 8 dims): the scale
+  // path — per-probe work is corpus/2^8, and the bucket join is an
+  // equi-join. Axis-aligned hyperplanes keep it oracle-reproducible.
+  q("q38_lsh_ann",
+    """WITH e AS (SELECT vec_id, embedding,
+      |  (CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END) ||
+      |  (CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END) ||
+      |  (CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END) ||
+      |  (CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END) ||
+      |  (CASE WHEN embedding[5] >= 0 THEN '1' ELSE '0' END) ||
+      |  (CASE WHEN embedding[6] >= 0 THEN '1' ELSE '0' END) ||
+      |  (CASE WHEN embedding[7] >= 0 THEN '1' ELSE '0' END) ||
+      |  (CASE WHEN embedding[8] >= 0 THEN '1' ELSE '0' END) AS bucket
+      |  FROM embeddings),
+      |cand AS (SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id
+      |         FROM e p JOIN e c ON p.bucket = c.bucket
+      |         WHERE p.vec_id < 10 AND c.vec_id >= 10),
+      |u AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+      |        unnest(embedding)::DOUBLE AS x FROM embeddings),
+      |nrm AS (SELECT vec_id, sqrt(sum(x*x)) AS nr FROM u GROUP BY vec_id),
+      |d AS (SELECT probe_id, neighbor_id, sum(pu.x * cu.x) AS dp
+      |      FROM cand JOIN u pu ON pu.vec_id = probe_id
+      |                JOIN u cu ON cu.vec_id = neighbor_id AND pu.i = cu.i
+      |      GROUP BY 1, 2),
+      |cs AS (SELECT probe_id, neighbor_id,
+      |         floor((dp / (x.nr * y.nr)) * 1000000.0 + 0.5) / 1000000.0 AS cos
+      |       FROM d JOIN nrm x ON x.vec_id = probe_id JOIN nrm y ON y.vec_id = neighbor_id),
+      |r AS (SELECT probe_id, neighbor_id, cos,
+      |        row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id) AS rnk
+      |      FROM cs)
+      |SELECT probe_id, rnk, neighbor_id, cos FROM r WHERE rnk <= 3
+      |ORDER BY probe_id, rnk""".stripMargin) { (s, d) =>
+    val e = Tables.embeddings(s, d)
+    Similarity.signBucketTopK(
+        e.filter(col("vec_id") < 10), e.filter(col("vec_id") >= 10),
+        "vec_id", "embedding", bits = 8, k = 3)
+      .orderBy(col("probe_id"), col("rnk"))
+  }
+}

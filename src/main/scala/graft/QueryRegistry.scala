@@ -51,7 +51,8 @@ abstract class QueryGroup {
 }
 
 object Queries {
-  private def groups: Seq[QueryGroup] = Seq(RelationalQueries, ExtendedQueries)
+  private def groups: Seq[QueryGroup] =
+    Seq(RelationalQueries, ExtendedQueries, PipelineQueries)
 
   lazy val defs: Seq[QDef] = groups.flatMap(_.all)
 

@@ -1,0 +1,43 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector math over `array<float>` embedding columns using Spark's
+  * higher-order functions — everything stays inside whole-stage
+  * codegen (no UDFs, SURVEY §2B R-20/R-25 decision).
+  *
+  * All ops widen to double first: float arithmetic would accumulate
+  * error differently than the DuckDB oracle.
+  */
+object VectorFns {
+
+  /** `array<float>` → `array<double>`. */
+  def toDoubleArray(v: Column): Column = transform(v, _.cast("double"))
+
+  /** Left-to-right dot product of two double arrays. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** L2 norm. */
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity (computes norms inline; pre-normalize + plain
+    * dot when calling in a loop at scale).
+    */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Unit-normalize a double array. */
+  def normalize(a: Column): Column = {
+    val n = norm(a)
+    transform(a, x => x / n)
+  }
+
+  /** Sign-bit bucket key over the first `bits` dimensions — the
+    * deterministic LSH partitioning used by the bucketed ANN path
+    * (hyperplanes = coordinate axes, so the oracle can reproduce it).
+    */
+  def signBucket(v: Column, bits: Int): Column =
+    concat_ws("", transform(slice(v, 1, bits),
+      x => when(x >= 0, lit("1")).otherwise(lit("0"))))
+}

@@ -1,0 +1,140 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFns
+
+/** Deduplication operators for the LLM-data-pipeline surface
+  * (SURVEY §2B R-18/R-19 + north star): exact, n-gram Jaccard,
+  * MinHash-LSH, SimHash. All deterministic — survivors and pair sets
+  * are pinned by explicit tie-break rules, never "whichever row came
+  * first in the shuffle".
+  */
+object Dedup {
+
+  /** Exact dedup on a key subset: keeps the row with the smallest
+    * `tieBreak` per key (the deterministic version of dropDuplicates;
+    * same rule as the reference's cursor/position set, SURVEY §2A A19).
+    * One shuffle on `keys`; at 100 TB prefer this over
+    * `dropDuplicates` precisely because re-runs produce identical
+    * survivors.
+    */
+  def exact(df: DataFrame, keys: Seq[String], tieBreak: String): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(tieBreak))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** All-pairs n-gram (word shingle) Jaccard over a document table,
+    * blocked by `blockCol` (pairs are only formed inside a block —
+    * e.g. language — which is what bounds the shuffle at scale).
+    * Returns (id_a, id_b, jaccard) with id_a < id_b and
+    * jaccard >= threshold.
+    *
+    * Plan shape: explode shingles → distinct → self-equi-join on
+    * (block, shingle) → count = |∩| → join per-doc set sizes →
+    * |∪| = |a|+|b|-|∩|. The join key is the shingle, so co-occurrence
+    * is an equi-shuffle, not a cartesian product.
+    */
+  def ngramJaccardPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      blockCol: String,
+      n: Int,
+      threshold: Double): DataFrame = {
+    val sh = docs
+      .select(col(idCol).as("doc"), col(blockCol).as("blk"),
+        explode(TextFns.wordShingles(TextFns.tokens(col(textCol)), n)).as("shingle"))
+      .distinct()
+    val sizes = sh.groupBy(col("doc")).agg(count(lit(1)).as("sz"))
+    val a = sh.alias("a")
+    val b = sh.alias("b")
+    val inter = a.join(b,
+        col("a.shingle") === col("b.shingle")
+          && col("a.blk") === col("b.blk")
+          && col("a.doc") < col("b.doc"))
+      .groupBy(col("a.doc").as("id_a"), col("b.doc").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+      .join(sizes.withColumnRenamed("doc", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+      .withColumn("jaccard",
+        col("inter").cast("double")
+          / (col("sz_a") + col("sz_b") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** MinHash + LSH near-duplicate candidates. Signature of `numHashes`
+    * min-hashes, split into `bands`; docs sharing any band hash become
+    * candidates; candidates are scored with the signature-overlap
+    * Jaccard estimate and filtered at `estThreshold`.
+    *
+    * Scale path vs [[ngramJaccardPairs]]: the self-join key is the
+    * (band, bandHash) bucket, so cost is driven by bucket collisions
+    * (tunable via bands/rows), not by shared-shingle co-occurrence.
+    * Returns (id_a, id_b, est_jaccard).
+    */
+  def minhashLshPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int,
+      numHashes: Int,
+      bands: Int,
+      estThreshold: Double): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val sigs = docs.select(col(idCol).as("doc"),
+        TextFns.minhashSignature(
+          TextFns.wordShingles(TextFns.tokens(col(textCol)), shingleN),
+          numHashes).as("sig"))
+      .filter(!array_contains(transform(col("sig"), isnull(_)), lit(true)))
+    val banded = sigs.select(col("doc"), col("sig"),
+      explode(transform(sequence(lit(0), lit(bands - 1)),
+        b => struct(b.as("band"),
+          xxhash64(slice(col("sig"), b * rows + 1, lit(rows))).as("bh")))).as("bb"))
+      .select(col("doc"), col("sig"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    val a = banded.alias("a")
+    val b = banded.alias("b")
+    a.join(b,
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh")
+          && col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("id_a"), col("b.doc").as("id_b"),
+        TextFns.minhashSimilarity(col("a.sig"), col("b.sig")).as("est_jaccard"))
+      .distinct()
+      .filter(col("est_jaccard") >= estThreshold)
+  }
+
+  /** SimHash near-duplicate pairs: 64-bit simhash per doc, candidates
+    * = docs sharing any of 4 16-bit chunks (hamming <= 3 guarantees a
+    * shared chunk), verified with exact hamming distance.
+    */
+  def simhashPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int): DataFrame = {
+    val hashed = docs.select(col(idCol).as("doc"),
+      TextFns.simhash64(TextFns.tokens(col(textCol))).as("sh"))
+    val chunked = hashed.select(col("doc"), col("sh"),
+      explode(transform(sequence(lit(0), lit(3)),
+        i => struct(i.as("chunk"),
+          (call_function("shiftright", col("sh"), (i * 16).cast("int"))
+            bitwiseAND lit(0xFFFFL)).as("ch")))).as("cc"))
+      .select(col("doc"), col("sh"), col("cc.chunk").as("chunk"), col("cc.ch").as("ch"))
+    val a = chunked.alias("a")
+    val b = chunked.alias("b")
+    a.join(b,
+        col("a.chunk") === col("b.chunk") && col("a.ch") === col("b.ch")
+          && col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("id_a"), col("b.doc").as("id_b"),
+        TextFns.hamming64(col("a.sh"), col("b.sh")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}
