@@ -109,7 +109,7 @@ object PipelineQueries extends QueryGroup {
 
   // R-19 SimHash near-dup pairs (rows-only for the same reason).
   qNoOracle("q35_simhash") { (s, d) =>
-    Dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text", maxHamming = 8)
+    Dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text", maxHamming = 16)
       .orderBy(col("id_a"), col("id_b"))
   }
 

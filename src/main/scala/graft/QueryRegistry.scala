@@ -52,7 +52,7 @@ abstract class QueryGroup {
 
 object Queries {
   private def groups: Seq[QueryGroup] =
-    Seq(RelationalQueries, ExtendedQueries, PipelineQueries)
+    Seq(RelationalQueries, ExtendedQueries, PipelineQueries, StreamingQueries)
 
   lazy val defs: Seq[QDef] = groups.flatMap(_.all)
 

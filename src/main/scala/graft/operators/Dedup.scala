@@ -111,21 +111,29 @@ object Dedup {
   }
 
   /** SimHash near-duplicate pairs: 64-bit simhash per doc, candidates
-    * = docs sharing any of 4 16-bit chunks (hamming <= 3 guarantees a
-    * shared chunk), verified with exact hamming distance.
+    * = docs sharing any of `numChunks` (64/numChunks)-bit chunks —
+    * pigeonhole guarantees a shared chunk for pairs with
+    * hamming <= numChunks-1; beyond that detection is probabilistic —
+    * then verified with exact hamming distance. Default 8 chunks of
+    * 8 bits: recall guaranteed to hamming 7 with ~2^8-way buckets
+    * (selective enough that the candidate join stays small at scale).
     */
   def simhashPairs(
       docs: DataFrame,
       idCol: String,
       textCol: String,
-      maxHamming: Int): DataFrame = {
+      maxHamming: Int,
+      numChunks: Int = 8): DataFrame = {
+    require(64 % numChunks == 0, "numChunks must divide 64")
+    val width = 64 / numChunks
+    val mask = (1L << width) - 1
     val hashed = docs.select(col(idCol).as("doc"),
       TextFns.simhash64(TextFns.tokens(col(textCol))).as("sh"))
     val chunked = hashed.select(col("doc"), col("sh"),
-      explode(transform(sequence(lit(0), lit(3)),
+      explode(transform(sequence(lit(0), lit(numChunks - 1)),
         i => struct(i.as("chunk"),
-          (call_function("shiftright", col("sh"), (i * 16).cast("int"))
-            bitwiseAND lit(0xFFFFL)).as("ch")))).as("cc"))
+          (call_function("shiftright", col("sh"), (i * width).cast("int"))
+            bitwiseAND lit(mask)).as("ch")))).as("cc"))
       .select(col("doc"), col("sh"), col("cc.chunk").as("chunk"), col("cc.ch").as("ch"))
     val a = chunked.alias("a")
     val b = chunked.alias("b")

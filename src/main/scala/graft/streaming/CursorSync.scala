@@ -1,0 +1,136 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.operators.AsOfJoin
+
+/** Cursor (subscription) translation — SURVEY §2A A15–A19, §3.3.
+  *
+  * The reference keeps a two-tier src→dst MessageId index (dense
+  * 1-minute cache + sparse ≥1-sample/minute skip-list with 1 h
+  * retention, `PulsarPartitionSyncWorker.java:71-85,236-240`,
+  * `SparseMap.java`) and translates observed cursor positions with a
+  * floor lookup, then creates/resets destination subscriptions.
+  *
+  * Spark mapping: the index is a DataFrame maintained by
+  * [[OffsetIndex.sparseSample]]; translation is the as-of join
+  * ([[OffsetIndex.translate]], no-floor ⇒ null — fixing the
+  * reference's NPE, `SparseMap.java:57`); the create/reset/skip
+  * decision is a per-key state machine in `flatMapGroupsWithState`
+  * ([[CursorSync.decide]]).
+  */
+object OffsetIndex {
+
+  /** A16: keep the FIRST mapping per (topic, partition, minute), and
+    * expire entries older than `retentionMinutes` relative to the
+    * newest sample of their partition (the reference evicts on put
+    * against wall-clock; event-time-relative keeps tests
+    * deterministic). Tie-break inside a minute: smallest
+    * (srcLedger, srcEntry).
+    */
+  def sparseSample(offsetMap: DataFrame, retentionMinutes: Int = 60): DataFrame = {
+    val minuteCol = date_trunc("minute", col("recordedTs"))
+    val w = Window
+      .partitionBy(col("topic"), col("partition"), minuteCol)
+      .orderBy(col("recordedTs"), col("srcLedger"), col("srcEntry"))
+    val wMax = Window.partitionBy(col("topic"), col("partition"))
+    offsetMap
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__maxTs", max(col("recordedTs")).over(wMax))
+      .filter(col("__rn") === 1 &&
+        col("recordedTs") >= col("__maxTs") - expr(s"INTERVAL $retentionMinutes MINUTE"))
+      .drop("__rn", "__maxTs")
+  }
+
+  /** A17: translate each cursor observation to the greatest indexed
+    * mapping with (srcLedger, srcEntry) <= read position, per
+    * (topic, partition). Adds nullable dstLedger/dstEntry.
+    */
+  def translate(cursorStats: DataFrame, index: DataFrame): DataFrame = {
+    val probe = cursorStats.withColumn("__pos",
+      struct(col("readLedger").as("l"), col("readEntry").as("e")))
+    val build = index.select(col("topic"), col("partition"),
+      struct(col("srcLedger").as("l"), col("srcEntry").as("e")).as("__pos"),
+      col("dstLedger"), col("dstEntry"))
+    AsOfJoin.floorJoin(probe, build,
+        keys = Seq("topic", "partition"),
+        probeTs = "__pos", buildTs = "__pos",
+        payload = Seq("dstLedger", "dstEntry"))
+      .drop("__pos")
+  }
+}
+
+/** Translated cursor observation: src read position + (nullable)
+  * translated dst position + whether dst already has an active
+  * consumer on this cursor (the reference leaves those alone,
+  * `PulsarPartitionSyncWorker.java:190-193`).
+  */
+case class TranslatedCursorStat(
+    topic: String,
+    partition: Int,
+    cursor: String,
+    readLedger: Long,
+    readEntry: Long,
+    dstLedger: Option[Long],
+    dstEntry: Option[Long],
+    dstHasActive: Boolean,
+    observedTs: java.sql.Timestamp)
+
+/** Emitted action; `action` ∈ create | reset. Unchanged positions emit
+  * nothing (the reference's skip, `:177-179`).
+  */
+case class CursorAction(
+    topic: String,
+    partition: Int,
+    cursor: String,
+    action: String,
+    dstLedger: Option[Long],
+    dstEntry: Option[Long])
+
+/** Last mirrored src position per (topic, partition, cursor). */
+case class CursorState(srcLedger: Long, srcEntry: Long)
+
+object CursorSync {
+
+  /** A19 state machine, one key = (topic, partition, cursor):
+    *   - first sighting → `create` at the translated position;
+    *   - same src position as last mirrored → no output;
+    *   - moved → `reset`, unless the destination already has an active
+    *     consumer on the cursor (it owns it now — skip).
+    * Observations inside a batch are applied in observedTs order.
+    */
+  def decide(
+      key: (String, Int, String),
+      stats: Iterator[TranslatedCursorStat],
+      state: GroupState[CursorState]): Iterator[CursorAction] = {
+    val (topic, partition, cursor) = key
+    val out = Seq.newBuilder[CursorAction]
+    stats.toSeq.sortBy(s => (s.observedTs.getTime, s.readLedger, s.readEntry))
+      .foreach { s =>
+        val pos = CursorState(s.readLedger, s.readEntry)
+        val last = state.getOption
+        if (last.isEmpty) {
+          out += CursorAction(topic, partition, cursor, "create", s.dstLedger, s.dstEntry)
+          state.update(pos)
+        } else if (last.get != pos) {
+          if (!s.dstHasActive) {
+            out += CursorAction(topic, partition, cursor, "reset", s.dstLedger, s.dstEntry)
+          }
+          state.update(pos)
+        } // unchanged → skip
+      }
+    out.result().iterator
+  }
+
+  /** Wire the state machine over a (possibly streaming) Dataset. */
+  def actions(stats: Dataset[TranslatedCursorStat])(
+      implicit spark: SparkSession): Dataset[CursorAction] = {
+    import spark.implicits._
+    stats
+      .groupByKey(s => (s.topic, s.partition, s.cursor))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(decide)
+  }
+}

@@ -1,0 +1,133 @@
+package graft.streaming
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
+
+/** Data-plane message mirror (SURVEY §2A A14, §3.2): consume the
+  * source stream, apply the envelope projection, and write to the
+  * destination through an idempotent `foreachBatch` sink. The
+  * reference's "ack only after dst write succeeds"
+  * (`PulsarPartitionSyncWorker.java:232-242`) maps to Structured
+  * Streaming's checkpoint commit: a micro-batch's offsets are only
+  * committed after `foreachBatch` returns, so a crash before the sink
+  * finishes replays the batch — at-least-once, exactly like the
+  * reference. The sink dedupes on MessageId, upgrading the pipeline to
+  * effectively-once.
+  */
+object MessageMirror {
+
+  /** Envelope projection (the copy rules at
+    * `PulsarPartitionSyncWorker.java:222-230`): value verbatim, key
+    * only if non-null, eventTime only if non-zero, properties
+    * verbatim.
+    */
+  def project(raw: DataFrame): DataFrame =
+    raw.select(
+      col("tenant"), col("namespace"), col("topic"), col("partition"),
+      col("ledgerId"), col("entryId"), col("value"),
+      col("key"), // nullable by schema; null = absent, copied as-is
+      when(col("eventTimeMillis") === 0L, lit(null))
+        .otherwise(timestamp_millis(col("eventTimeMillis"))).as("eventTime"),
+      timestamp_millis(col("publishTimeMillis")).as("publishTime"),
+      col("properties"))
+
+  /** Start the mirror: projection → foreachBatch into `sink`.
+    * Per-partition ordering (the reference's single
+    * consumer+producer per partition) is preserved by sorting each
+    * micro-batch on (topic, partition, ledgerId, entryId) before the
+    * partition-serial write.
+    */
+  def start(
+      raw: DataFrame,
+      sink: DestinationSink,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow()): DataStreamWriter[org.apache.spark.sql.Row] = {
+    project(raw).writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        writeBatch(batch, sink)
+      }
+  }
+
+  /** The sink body, usable directly in tests: repartition by
+    * (topic, partition) so each physical partition is written by one
+    * task, in (ledgerId, entryId) order within it.
+    */
+  def writeBatch(batch: Dataset[org.apache.spark.sql.Row], sink: DestinationSink): Unit = {
+    batch
+      .repartition(col("topic"), col("partition"))
+      .sortWithinPartitions(col("topic"), col("partition"),
+        col("ledgerId"), col("entryId"))
+      .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+        rows.foreach { r =>
+          sink.publish(MirroredMessage(
+            tenant = r.getAs[String]("tenant"),
+            namespace = r.getAs[String]("namespace"),
+            topic = r.getAs[String]("topic"),
+            partition = r.getAs[Int]("partition"),
+            ledgerId = r.getAs[Long]("ledgerId"),
+            entryId = r.getAs[Long]("entryId"),
+            value = r.getAs[Array[Byte]]("value"),
+            key = Option(r.getAs[String]("key")),
+            eventTime = Option(r.getAs[java.sql.Timestamp]("eventTime")),
+            publishTime = r.getAs[java.sql.Timestamp]("publishTime"),
+            properties = Option(r.getAs[Map[String, String]]("properties"))
+              .getOrElse(Map.empty)))
+        }
+      }
+  }
+}
+
+/** A mirrored message as delivered to the destination. */
+case class MirroredMessage(
+    tenant: String,
+    namespace: String,
+    topic: String,
+    partition: Int,
+    ledgerId: Long,
+    entryId: Long,
+    value: Array[Byte],
+    key: Option[String],
+    eventTime: Option[java.sql.Timestamp],
+    publishTime: java.sql.Timestamp,
+    properties: Map[String, String])
+
+/** Destination abstraction — a real deployment holds a Pulsar producer
+  * per executor; tests use [[InMemoryCluster]]. `publish` MUST be
+  * idempotent on (topic, partition, ledgerId, entryId): foreachBatch
+  * replays whole micro-batches on failure (at-least-once), and the
+  * MessageId dedup is what the reference gets from Pulsar broker
+  * dedup.
+  */
+trait DestinationSink extends Serializable {
+  def publish(msg: MirroredMessage): Unit
+}
+
+/** In-memory destination "cluster" for tests: a JVM-wide store (valid
+  * under local[*], where executors share the driver JVM). Keyed by
+  * MessageId → duplicate publishes are conflict-as-success no-ops.
+  */
+class InMemoryCluster(val name: String) extends DestinationSink {
+  override def publish(msg: MirroredMessage): Unit =
+    InMemoryCluster.store(name).putIfAbsent(
+      (msg.topic, msg.partition, msg.ledgerId, msg.entryId), msg)
+
+  def messages: Seq[MirroredMessage] = {
+    import scala.jdk.CollectionConverters._
+    InMemoryCluster.store(name).values.asScala.toSeq
+      .sortBy(m => (m.topic, m.partition, m.ledgerId, m.entryId))
+  }
+
+  def clear(): Unit = InMemoryCluster.store(name).clear()
+}
+
+object InMemoryCluster {
+  private val clusters =
+    new ConcurrentHashMap[String, ConcurrentHashMap[(String, Int, Long, Long), MirroredMessage]]()
+  private def store(name: String) =
+    clusters.computeIfAbsent(name, _ => new ConcurrentHashMap())
+}

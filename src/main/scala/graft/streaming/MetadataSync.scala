@@ -1,0 +1,92 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Control-plane metadata sync (SURVEY §2A A1–A13, §3.1): each tick
+  * computes `discovered(src) ∖ mirrored(dst)` per level of the
+  * tenant → namespace → topic → partition tree and emits idempotent
+  * create actions. The reference's conflict-as-success
+  * (`ConflictException` swallowed, e.g. `PulsarTenantSyncManager
+  * .java:79`) becomes an anti-join pre-filter: rows that already exist
+  * on dst never become actions, so re-ticks are cheap no-ops and
+  * replays are safe (§2A A21/A22).
+  *
+  * Everything here is a pure DataFrame → DataFrame function; the
+  * side-effecting "apply actions to the destination admin API" step is
+  * the caller's `foreachPartition`, which keeps this testable and lets
+  * Catalyst plan the diffs (broadcast for small metadata sets).
+  */
+object MetadataSync {
+
+  /** Rows present on src but missing on dst — the create set.
+    * (A3/A6/A9/A12's merge, minus the rows that would conflict.)
+    */
+  def missing(src: DataFrame, dst: DataFrame, keys: Seq[String]): DataFrame =
+    src.join(dst.select(keys.map(col): _*), keys, "left_anti")
+
+  /** A2: tenant create payload rewrites allowedClusters to the
+    * destination's cluster set
+    * (`PulsarTenantSyncManager.java:71-78`).
+    */
+  def tenantCreates(
+      srcTenants: DataFrame,
+      dstTenants: DataFrame,
+      dstClusters: Seq[String]): DataFrame =
+    missing(srcTenants, dstTenants, Seq("tenant"))
+      .withColumn("allowedClusters",
+        lit(dstClusters.toArray).cast("array<string>"))
+
+  /** A5/A6: namespaces carry their full policies verbatim
+    * (`PulsarNamespaceSyncManager.java:74-79`).
+    */
+  def namespaceCreates(srcNs: DataFrame, dstNs: DataFrame): DataFrame =
+    missing(srcNs, dstNs, Seq("tenant", "namespace"))
+
+  /** A8: the logical topic list excludes physical partition topics
+    * (`topic.contains("-partition")`,
+    * `PulsarTopicSyncManager.java:72-74`).
+    */
+  def logicalTopics(topics: DataFrame): DataFrame =
+    topics.filter(!col("topic").contains("-partition"))
+
+  /** A9/A12: topic create set (both partitioned and non-partitioned;
+    * partitioned rows keep partition count + properties).
+    */
+  def topicCreates(srcTopics: DataFrame, dstTopics: DataFrame): DataFrame =
+    missing(logicalTopics(srcTopics), logicalTopics(dstTopics),
+      Seq("tenant", "namespace", "topic"))
+
+  /** A13: expand each partitioned topic into its physical partition
+    * topics `topic + "-partition-" + i`
+    * (`PulsarPartitionedTopicSyncWorker.java:71-73`, `Const.java:24`).
+    */
+  def partitionFanout(topics: DataFrame): DataFrame =
+    topics.filter(col("partitioned") && col("partitions") > 0)
+      .select(col("tenant"), col("namespace"), col("topic"), col("partitions"),
+        explode(sequence(lit(0), col("partitions") - 1)).as("partitionIndex"))
+      .withColumn("physicalTopic",
+        concat(col("topic"), lit("-partition-"), col("partitionIndex").cast("string")))
+
+  /** One control-plane tick: the full create plan for a level-ordered
+    * apply (tenants before namespaces before topics). Returned frames
+    * are the exact argument order the applier needs.
+    */
+  case class TickPlan(
+      tenants: DataFrame,
+      namespaces: DataFrame,
+      topics: DataFrame,
+      partitions: DataFrame)
+
+  def tick(
+      srcTenants: DataFrame, dstTenants: DataFrame,
+      srcNs: DataFrame, dstNs: DataFrame,
+      srcTopics: DataFrame, dstTopics: DataFrame,
+      dstClusters: Seq[String]): TickPlan = {
+    val t = tenantCreates(srcTenants, dstTenants, dstClusters)
+    val ns = namespaceCreates(srcNs, dstNs)
+    val tp = topicCreates(srcTopics, dstTopics)
+    val parts = partitionFanout(tp)
+    TickPlan(t, ns, tp, parts)
+  }
+}

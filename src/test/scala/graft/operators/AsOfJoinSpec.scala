@@ -1,0 +1,56 @@
+package graft.operators
+
+import scala.util.Random
+
+import graft.SparkSuiteBase
+
+/** R-16 property tests (the reference's untested gap, SURVEY §5.1):
+  * floorJoin equals a naive per-row floor scan, and no-floor yields
+  * null (the reference NPEs there, SparseMap.java:57). Randomized with
+  * a fixed seed (scalatestplus isn't on the offline classpath, so no
+  * ScalaCheckPropertyChecks; same coverage).
+  */
+case class Build(k: Int, ts: Long, payload: Long)
+case class Probe(k: Int, ts: Long, id: Long)
+
+class AsOfJoinSpec extends SparkSuiteBase {
+
+  test("floorJoin matches naive floor semantics; no floor => null") {
+    import spark.implicits._
+    val rnd = new Random(42)
+    (1 to 25).foreach { _ =>
+      val builds = List.fill(rnd.nextInt(30))(
+        Build(rnd.nextInt(4), rnd.nextInt(50).toLong, rnd.nextInt(1000).toLong))
+      val probes = List.fill(1 + rnd.nextInt(29))(
+        Probe(rnd.nextInt(4), rnd.nextInt(50).toLong, 0))
+        .zipWithIndex.map { case (p, i) => p.copy(id = i.toLong) }
+
+      val bDf = builds.toDF()
+      val pDf = probes.toDF()
+      val got = AsOfJoin.floorJoin(pDf, bDf,
+          keys = Seq("k"), probeTs = "ts", buildTs = "ts",
+          payload = Seq("payload"))
+        .select("id", "payload")
+        .collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+        .toMap
+      val expected = probes.map { p =>
+        val cands = builds.filter(b => b.k == p.k && b.ts <= p.ts)
+        // tie rule: the greatest (ts, payload) — floorJoin resolves
+        // equal-ts build rows to the greatest payload struct
+        p.id -> cands.sortBy(b => (b.ts, b.payload)).lastOption.map(_.payload)
+      }.toMap
+      assert(got == expected, s"builds=$builds probes=$probes")
+    }
+  }
+
+  test("empty build side yields all-null payloads") {
+    import spark.implicits._
+    val pDf = List(Probe(1, 5, 0), Probe(2, 6, 1)).toDF()
+    val bDf = spark.emptyDataset[Build].toDF()
+    val got = AsOfJoin.floorJoin(pDf, bDf,
+        keys = Seq("k"), probeTs = "ts", buildTs = "ts", payload = Seq("payload"))
+      .collect()
+    assert(got.length == 2 && got.forall(_.isNullAt(got.head.fieldIndex("payload"))))
+  }
+}

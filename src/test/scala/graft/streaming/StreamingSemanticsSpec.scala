@@ -1,0 +1,105 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuiteBase
+
+/** S-1/S-2/S-4/S-5/S-7: streaming semantics that the batch oracle
+  * can't reach — MemoryStream-driven micro-batches with watermarks,
+  * state TTL, and stream-static joins.
+  */
+case class Ev(event_id: Long, ts: Timestamp, user_id: Long, value: Double)
+
+class StreamingSemanticsSpec extends SparkSuiteBase {
+
+  import spark.implicits._
+
+  private def ev(id: Long, t: String, u: Long = 1, v: Double = 1.0) =
+    Ev(id, Timestamp.valueOf(t), u, v)
+
+  test("streaming tumbling window agg matches batch semantics") {
+    val ms = MemoryStream[Ev](spark, 1)
+    val data = Seq(
+      ev(1, "2024-01-01 00:00:10"), ev(2, "2024-01-01 00:00:50"),
+      ev(3, "2024-01-01 00:01:10"), ev(4, "2024-01-01 00:02:59"))
+    ms.addData(data: _*)
+    val q = ms.toDF()
+      .withWatermark("ts", "1 minute")
+      .groupBy(window(col("ts"), "1 minute"))
+      .agg(count(lit(1)).as("n"))
+      .writeStream.format("memory").queryName("tumbling")
+      .outputMode("complete").start()
+    q.processAllAvailable()
+    val got = spark.table("tumbling")
+      .select(col("window.start").cast("string"), col("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val batch = data.toDF()
+      .groupBy(window(col("ts"), "1 minute"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").cast("string"), col("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == batch)
+    assert(got == Set(("2024-01-01 00:00:00", 2L),
+      ("2024-01-01 00:01:00", 1L), ("2024-01-01 00:02:00", 1L)))
+    q.stop()
+  }
+
+  test("streaming dedup with watermark drops in-window duplicates (S-5)") {
+    val ms = MemoryStream[Ev](spark, 1)
+    val q = ms.toDF()
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicates("event_id")
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode("append").start()
+    ms.addData(ev(1, "2024-01-01 00:00:00"), ev(2, "2024-01-01 00:00:30"))
+    q.processAllAvailable()
+    ms.addData(ev(1, "2024-01-01 00:01:00"), ev(3, "2024-01-01 00:01:30"))
+    q.processAllAvailable()
+    val ids = spark.table("dedup").select("event_id")
+      .collect().map(_.getLong(0)).toSeq.sorted
+    assert(ids == Seq(1L, 2L, 3L))
+    q.stop()
+  }
+
+  test("watermark drops data later than the watermark delay (S-4)") {
+    val ms = MemoryStream[Ev](spark, 1)
+    val q = ms.toDF()
+      .withWatermark("ts", "1 minute")
+      .groupBy(window(col("ts"), "1 minute"))
+      .agg(count(lit(1)).as("n"))
+      .writeStream.format("memory").queryName("late")
+      .outputMode("append").start()
+    // batch 1 advances the watermark to 00:09:00
+    ms.addData(ev(1, "2024-01-01 00:00:10"), ev(2, "2024-01-01 00:10:00"))
+    q.processAllAvailable()
+    // batch 2: an event at 00:00:20 is far behind the watermark -> dropped
+    ms.addData(ev(3, "2024-01-01 00:00:20"), ev(4, "2024-01-01 00:10:30"))
+    q.processAllAvailable()
+    // close all windows
+    ms.addData(ev(5, "2024-01-01 00:30:00"))
+    q.processAllAvailable()
+    val counts = spark.table("late")
+      .select(col("window.start").cast("string"), col("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(counts("2024-01-01 00:00:00") == 1L) // late ev(3) NOT counted
+    assert(counts("2024-01-01 00:10:00") == 2L)
+    q.stop()
+  }
+
+  test("stream-static join enriches the stream (S-7)") {
+    val ms = MemoryStream[Ev](spark, 1)
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
+    val q = ms.toDF().join(dim, "user_id")
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode("append").start()
+    ms.addData(ev(1, "2024-01-01 00:00:00", u = 1), ev(2, "2024-01-01 00:00:01", u = 3))
+    q.processAllAvailable()
+    val rows = spark.table("enriched").select("event_id", "tier")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(rows.toSeq == Seq((1L, "gold"))) // u=3 has no dim row
+    q.stop()
+  }
+}
