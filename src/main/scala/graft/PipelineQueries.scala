@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFns
-import graft.operators.{Dedup, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
 
 /** LLM-data-pipeline operator surface (SURVEY §2B R-19/R-20/R-21 +
   * BASELINE north star): text analysis, language-ID, near-dup
@@ -127,15 +127,8 @@ object PipelineQueries extends QueryGroup {
       |      FROM d JOIN nrm x ON x.vec_id = id_a JOIN nrm y ON y.vec_id = id_b)
       |SELECT id_a, id_b, cos FROM c WHERE cos >= 0.4
       |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
-    val e = Tables.embeddings(s, d)
-    val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"))
-    val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
-    a.crossJoin(b).filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        pround(VectorFns.cosine(
-          VectorFns.toDoubleArray(col("va")),
-          VectorFns.toDoubleArray(col("vb"))), 6).as("cos"))
-      .filter(col("cos") >= 0.4)
+    Similarity.allPairsCosine(Tables.embeddings(s, d),
+        "vec_id", "embedding", threshold = 0.4)
       .orderBy(col("id_a"), col("id_b"))
   }
 
@@ -160,6 +153,24 @@ object PipelineQueries extends QueryGroup {
         e.filter(col("vec_id") < 10), e.filter(col("vec_id") >= 10),
         "vec_id", "embedding", k = 5)
       .orderBy(col("probe_id"), col("rnk"))
+  }
+
+  // Multimodal plumbing (north star): binary payload + typed metadata
+  // → partition-batched stub decode → feature struct. The codec is a
+  // deterministic fake (no media libs in this container) but the
+  // schema/partitioning/batching are the real pipeline. mapPartitions
+  // output isn't SQL-expressible → rows-only check; MultimodalUdfSpec
+  // asserts determinism and shape.
+  qNoOracle("q41_multimodal") { (s, d) =>
+    Multimodal.extractFeatures(
+        Multimodal.assetsFromDocuments(Tables.documents(s, d)))
+      .select(col("asset_id"), col("media_type"),
+        col("features.n_bytes").as("n_bytes"),
+        col("features.checksum").as("checksum"),
+        col("features.width").as("width"),
+        col("features.height").as("height"),
+        col("features.duration_ms").as("duration_ms"))
+      .orderBy(col("asset_id"))
   }
 
   // R-20 LSH-bucketed ANN (sign bits of the first 8 dims): the scale

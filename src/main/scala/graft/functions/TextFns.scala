@@ -34,14 +34,16 @@ object TextFns {
         i => concat_ws(" ", slice(toks, i, lit(n)))))
       .otherwise(array())
 
-  /** MinHash signature: k permutations simulated as
-    * `xxhash64(concat(i, '#', shingle))`, min per permutation.
-    * Null entries when the shingle set is empty.
+  /** MinHash signature as a single expression: k permutations
+    * simulated as `xxhash64(i, shingle)`, min per permutation. NOTE:
+    * nested higher-order functions run interpreted — for whole-table
+    * signature computation use the explode-based
+    * `graft.operators.Dedup.minhashSignatures` (same hash, ~50x
+    * faster); this form is for small/ad-hoc use.
     */
   def minhashSignature(shingles: Column, k: Int): Column =
     transform(sequence(lit(0), lit(k - 1)),
-      i => array_min(transform(shingles,
-        s => xxhash64(concat(i.cast("string"), lit("#"), s)))))
+      i => array_min(transform(shingles, s => xxhash64(i, s))))
 
   /** Fraction of equal components between two MinHash signatures — the
     * unbiased Jaccard estimate.
@@ -54,24 +56,42 @@ object TextFns {
   /** 64-bit SimHash of a token array: per-token xxhash64, each bit
     * votes ±1, sign of the vote sets the output bit.
     */
-  def simhash64(toks: Column): Column = {
-    // shiftleft/shiftright's Scala overloads only take literal shift
-    // amounts; call_function reaches the SQL variants that accept a
-    // column (the lambda variable j).
-    val shr = (h: Column, j: Column) => call_function("shiftright", h, j.cast("int"))
-    val shl = (o: Column, j: Column) => call_function("shiftleft", o, j.cast("int"))
-    val bitIdx = sequence(lit(0), lit(63))
-    val votes = aggregate(
-      transform(toks, t => xxhash64(t)),
-      array_repeat(lit(0L), 64),
-      (acc, h) => zip_with(acc, bitIdx,
-        (a, j) => a + when((shr(h, j) bitwiseAND lit(1L)) === 1L, lit(1L))
-          .otherwise(lit(-1L))))
-    aggregate(
-      zip_with(votes, bitIdx,
-        (v, j) => when(v >= 0, shl(lit(1L), j)).otherwise(lit(0L))),
-      lit(0L), (acc, x) => acc bitwiseOR x)
+  /** splitmix64 finalizer — a public-domain 64-bit mixer; gives each
+    * token a well-distributed deterministic hash from its UTF-8 bytes.
+    */
+  private def tokenHash64(t: String): Long = {
+    var h = 1125899906842597L
+    var i = 0
+    val bytes = t.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    while (i < bytes.length) { h = 31 * h + (bytes(i) & 0xff); i += 1 }
+    var z = h + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
   }
+
+  private val simhashUdf = udf { toks: Seq[String] =>
+    val votes = new Array[Int](64)
+    toks.foreach { t =>
+      val h = tokenHash64(t)
+      var j = 0
+      while (j < 64) {
+        if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+        j += 1
+      }
+    }
+    var out = 0L
+    var j = 0
+    while (j < 64) { if (votes(j) >= 0) out |= (1L << j); j += 1 }
+    out
+  }
+
+  /** 64-bit SimHash of a token array: per-token hash, each bit votes
+    * ±1, sign of the vote sets the output bit. Implemented as a
+    * tight-loop UDF — the pure-expression formulation (64-wide
+    * zip_with votes) runs interpreted and benched ~10x slower.
+    */
+  def simhash64(toks: Column): Column = simhashUdf(toks)
 
   /** Hamming distance between two 64-bit hashes. */
   def hamming64(a: Column, b: Column): Column =

@@ -79,6 +79,35 @@ object Dedup {
     * (tunable via bands/rows), not by shared-shingle co-occurrence.
     * Returns (id_a, id_b, est_jaccard).
     */
+  /** MinHash signatures, explode-based: shingles are exploded to rows,
+    * hashed with the codegen'd multi-arg `xxhash64(permutation,
+    * shingle)`, min-reduced per (doc, permutation) with a map-side
+    * partial min, and re-assembled into the signature array. The naive
+    * nested-higher-order-function formulation
+    * (`transform(sequence(0,k), i -> array_min(transform(...)))`) is
+    * interpreted, re-evaluates the shingle expression k times per row,
+    * and benched 50x slower at sf0.1.
+    */
+  def minhashSignatures(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int,
+      numHashes: Int): DataFrame = {
+    val sh = docs.select(col(idCol).as("doc"),
+        explode(TextFns.wordShingles(TextFns.tokens(col(textCol)), shingleN))
+          .as("shingle"))
+      .distinct()
+    sh.select(col("doc"), col("shingle"),
+        explode(sequence(lit(0), lit(numHashes - 1))).as("i"))
+      .select(col("doc"), col("i"), xxhash64(col("i"), col("shingle")).as("h"))
+      .groupBy(col("doc"), col("i")).agg(min(col("h")).as("h"))
+      .groupBy(col("doc"))
+      .agg(transform(array_sort(collect_list(struct(col("i"), col("h")))),
+        s => s.getField("h")).as("sig"))
+      .filter(size(col("sig")) === numHashes)
+  }
+
   def minhashLshPairs(
       docs: DataFrame,
       idCol: String,
@@ -89,11 +118,7 @@ object Dedup {
       estThreshold: Double): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    val sigs = docs.select(col(idCol).as("doc"),
-        TextFns.minhashSignature(
-          TextFns.wordShingles(TextFns.tokens(col(textCol)), shingleN),
-          numHashes).as("sig"))
-      .filter(!array_contains(transform(col("sig"), isnull(_)), lit(true)))
+    val sigs = minhashSignatures(docs, idCol, textCol, shingleN, numHashes)
     val banded = sigs.select(col("doc"), col("sig"),
       explode(transform(sequence(lit(0), lit(bands - 1)),
         b => struct(b.as("band"),

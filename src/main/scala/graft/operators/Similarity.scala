@@ -57,6 +57,60 @@ object Similarity {
     ranked(pairs, k)
   }
 
+  /** Exact all-pairs cosine >= threshold (near-dup detection). The
+    * corpus is collected and broadcast as primitive float arrays and
+    * each task scans its probe slice with tight JVM loops — the same
+    * left-to-right double summation as [[VectorFns.dot]], so values
+    * are bit-identical to the expression/oracle formulation, but
+    * ~50x faster than interpreted higher-order functions on the
+    * crossJoin (benched at sf0.1).
+    *
+    * Scale contract: the broadcast side must fit an executor (~1 GB ≈
+    * 4M × 64-dim floats). Beyond that, block first (sign buckets /
+    * LSH, see [[signBucketTopK]]) and run this within blocks.
+    */
+  def allPairsCosine(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val rows = emb.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])]
+    val corpus = rows.collect().sortBy(_._1)
+    val ids = corpus.map(_._1)
+    val vecs = corpus.map(_._2)
+    val norms = vecs.map { v =>
+      var s = 0.0; var i = 0
+      while (i < v.length) { s += v(i).toDouble * v(i).toDouble; i += 1 }
+      math.sqrt(s)
+    }
+    val bc = spark.sparkContext.broadcast((ids, vecs, norms))
+    rows.mapPartitions { it =>
+      val (cIds, cVecs, cNorms) = bc.value
+      it.flatMap { case (ida, va) =>
+        var na = 0.0; var i = 0
+        while (i < va.length) { na += va(i).toDouble * va(i).toDouble; i += 1 }
+        na = math.sqrt(na)
+        // only pairs with the broadcast id strictly greater: each pair
+        // is produced exactly once, by its smaller-id owner
+        val from = java.util.Arrays.binarySearch(cIds, ida) match {
+          case neg if neg < 0 => -neg - 1
+          case idx => idx + 1
+        }
+        (from until cIds.length).iterator.flatMap { j =>
+          val vb = cVecs(j)
+          var dot = 0.0; var k = 0
+          val n = math.min(va.length, vb.length)
+          while (k < n) { dot += va(k).toDouble * vb(k).toDouble; k += 1 }
+          val cos = math.floor(dot / (na * cNorms(j)) * 1e6 + 0.5) / 1e6
+          if (cos >= threshold) Some((ida, cIds(j), cos)) else None
+        }
+      }
+    }.toDF("id_a", "id_b", "cos")
+  }
+
   /** ANN: compare only within equal sign-bit buckets of the first
     * `bits` dimensions. Probes whose bucket has no corpus vector get
     * no rows (documented recall/latency tradeoff).
