@@ -188,6 +188,18 @@ object ExtendedQueries extends QueryGroup {
       .orderBy(col("event_id"))
   }
 
+  // R-27 serialization direction: struct -> JSON text (from_json is
+  // covered by q25).
+  q("q43_json_roundtrip",
+    """SELECT event_id,
+      |  to_json(struct_pack(t := event_type, u := user_id))::VARCHAR AS j
+      |FROM events ORDER BY event_id""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .select(col("event_id"),
+        to_json(struct(col("event_type").as("t"), col("user_id").as("u"))).as("j"))
+      .orderBy(col("event_id"))
+  }
+
   // --------------------------------------------------------------- R-28
   // when/otherwise + nullif + coalesce + null-safe equality — the
   // reference's `key != null` / `eventTime != 0` copy rules (A14).

@@ -72,6 +72,23 @@ object PipelineQueries extends QueryGroup {
       .orderBy(col("doc_id"))
   }
 
+  // R-21 token counting: BPE-ish estimate (whitespace words, a word of
+  // length L costs ceil(L/6) tokens) — deterministic stand-in for a
+  // real tokenizer's count.
+  q("q42_token_estimate",
+    """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+      |SELECT doc_id,
+      |  sum(CAST(ceil(length(w) / 6.0) AS BIGINT)) AS est_tokens,
+      |  count(*) AS n_words
+      |FROM t GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+    import graft.functions.TextFns
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        TextFns.tokenCountEstimate(col("text")).as("est_tokens"),
+        size(TextFns.tokens(col("text"))).cast("long").as("n_words"))
+      .orderBy(col("doc_id"))
+  }
+
   // --------------------------------------------------------------- R-19
   // Exact n-gram Jaccard near-dup pairs (blocked by lang). The data
   // has 6 planted pairs >= 0.95 with a clean gap to ~0.05 — threshold

@@ -102,27 +102,41 @@ object CursorSync {
     *     consumer on the cursor (it owns it now — skip).
     * Observations inside a batch are applied in observedTs order.
     */
-  def decide(
+  /** Pure state-machine core, shared by the streaming
+    * (`flatMapGroupsWithState`) and tick ([[SyncPipeline.syncCursors]])
+    * drivers: fold the batch of observations (in observedTs order)
+    * over the last mirrored position.
+    */
+  def decidePure(
       key: (String, Int, String),
-      stats: Iterator[TranslatedCursorStat],
-      state: GroupState[CursorState]): Iterator[CursorAction] = {
+      last0: Option[CursorState],
+      stats: Seq[TranslatedCursorStat]): (Seq[CursorAction], Option[CursorState]) = {
     val (topic, partition, cursor) = key
     val out = Seq.newBuilder[CursorAction]
-    stats.toSeq.sortBy(s => (s.observedTs.getTime, s.readLedger, s.readEntry))
+    var last = last0
+    stats.sortBy(s => (s.observedTs.getTime, s.readLedger, s.readEntry))
       .foreach { s =>
         val pos = CursorState(s.readLedger, s.readEntry)
-        val last = state.getOption
         if (last.isEmpty) {
           out += CursorAction(topic, partition, cursor, "create", s.dstLedger, s.dstEntry)
-          state.update(pos)
+          last = Some(pos)
         } else if (last.get != pos) {
           if (!s.dstHasActive) {
             out += CursorAction(topic, partition, cursor, "reset", s.dstLedger, s.dstEntry)
           }
-          state.update(pos)
+          last = Some(pos)
         } // unchanged → skip
       }
-    out.result().iterator
+    (out.result(), last)
+  }
+
+  def decide(
+      key: (String, Int, String),
+      stats: Iterator[TranslatedCursorStat],
+      state: GroupState[CursorState]): Iterator[CursorAction] = {
+    val (actions, newState) = decidePure(key, state.getOption, stats.toSeq)
+    newState.foreach(state.update)
+    actions.iterator
   }
 
   /** Wire the state machine over a (possibly streaming) Dataset. */

@@ -1,0 +1,146 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Engine sync configuration — the Spark-native equivalent of the
+  * reference's `SyncConfig` (`SyncConfig.java:29-41`): a subscription
+  * name for the mirror consumer and one auto-update flag per tree
+  * level (`false` = one-shot sync, `true` = periodic re-scan, SURVEY
+  * §2A A21). `autoUpdatePartition` exists in the reference but is
+  * never read there (SURVEY §2A quirks); here it genuinely gates the
+  * partition fan-out refresh.
+  */
+case class SyncConfig(
+    subscriptionName: String = "graft-sync",
+    autoUpdateTenant: Boolean = false,
+    autoUpdateNamespace: Boolean = false,
+    autoUpdateTopic: Boolean = false,
+    autoUpdatePartition: Boolean = false)
+
+/** Read side of a cluster's metadata + message stream (what the
+  * reference reaches through `PulsarAdmin`/`PulsarClient` on the
+  * source). DataFrame-shaped so a live DataSource-V2 connector, a
+  * file-backed fixture, or an in-memory fake all plug in identically.
+  */
+trait SourceCluster {
+  def tenants: DataFrame // tenant, allowedClusters
+  def namespaces: DataFrame // tenant, namespace, policiesJson
+  def topics: DataFrame // tenant, namespace, topic, partitioned, partitions, properties
+  /** Raw message stream (RawMessage schema), Earliest position. */
+  def messages: DataFrame
+  def cursorStats: DataFrame // CursorStat schema
+}
+
+/** Write/admin side of the destination cluster. Creates MUST be
+  * conflict-as-success idempotent (the reference swallows
+  * `ConflictException`, e.g. `PulsarTenantSyncManager.java:79`).
+  */
+trait DestinationCluster {
+  def clusters: Seq[String]
+  def tenants: DataFrame
+  def namespaces: DataFrame
+  def topics: DataFrame
+  def createTenants(rows: Seq[TenantRow]): Unit
+  def createNamespaces(rows: Seq[NamespaceRow]): Unit
+  def createTopics(rows: Seq[TopicRow]): Unit
+  def sink: DestinationSink
+  def hasActiveCursor(topic: String, partition: Int, cursor: String): Boolean
+  def applyCursorAction(action: CursorAction): Unit
+}
+
+/** The reference's `PulsarSync` re-expressed Spark-first: the control
+  * plane is a batch anti-join tick ([[MetadataSync]]), the data plane
+  * a Structured Streaming mirror ([[MessageMirror]]), cursor
+  * translation an as-of join + keyed state machine
+  * ([[OffsetIndex]]/[[CursorSync]]). The reference's scheduled
+  * executor cadences (3 min / 1 min / 10 s) become the caller's
+  * trigger policy: run [[tickMetadata]]/[[syncCursors]] from any
+  * scheduler, run [[startMirror]] once per topology with the trigger
+  * of your choice (`AvailableNow` = the reference's one-shot mode).
+  */
+class SyncPipeline(
+    spark: SparkSession,
+    source: SourceCluster,
+    dest: DestinationCluster,
+    conf: SyncConfig = SyncConfig()) {
+
+  /** One control-plane tick (A1–A13): compute the per-level create
+    * plan and apply it level-ordered. Returns created counts per level
+    * (tenants, namespaces, topics). Safe to re-run at any cadence.
+    */
+  def tickMetadata(): (Long, Long, Long) = {
+    val plan = MetadataSync.tick(
+      source.tenants, dest.tenants,
+      source.namespaces, dest.namespaces,
+      source.topics, dest.topics,
+      dest.clusters)
+    // metadata sets are tiny relative to the data plane; the apply
+    // step is a driver-side admin call series, exactly like the
+    // reference's async create chain
+    val tenants = plan.tenants.collect().map { r =>
+      TenantRow(r.getAs[String]("tenant"),
+        r.getSeq[String](r.fieldIndex("allowedClusters")))
+    }.toSeq
+    dest.createTenants(tenants)
+    val namespaces = plan.namespaces.collect().map { r =>
+      NamespaceRow(r.getAs[String]("tenant"), r.getAs[String]("namespace"),
+        r.getAs[String]("policiesJson"))
+    }.toSeq
+    dest.createNamespaces(namespaces)
+    val topics = plan.topics.collect().map { r =>
+      TopicRow(r.getAs[String]("tenant"), r.getAs[String]("namespace"),
+        r.getAs[String]("topic"), r.getAs[Boolean]("partitioned"),
+        r.getAs[Int]("partitions"),
+        Option(r.getAs[Map[String, String]]("properties")).getOrElse(Map.empty))
+    }.toSeq
+    dest.createTopics(topics)
+    (tenants.size.toLong, namespaces.size.toLong, topics.size.toLong)
+  }
+
+  /** Start the data-plane mirror (A14). One streaming query for the
+    * whole topology — partitioning by (topic, partition) inside the
+    * batch write preserves the reference's per-partition ordering
+    * without one query per topic.
+    */
+  def startMirror(checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow()) =
+    MessageMirror.start(source.messages, dest.sink, checkpointDir, trigger).start()
+
+  // last mirrored position per cursor, persisted across ticks — the
+  // reference's cursorSet/cursorPositionSet (PulsarPartitionSyncWorker
+  // .java:158,174); the continuous-mode equivalent is the
+  // flatMapGroupsWithState state store (CursorSync.actions).
+  private val cursorState =
+    scala.collection.mutable.Map.empty[(String, Int, String), CursorState]
+
+  /** One cursor-plane tick (A15–A19): sparse-sample the offset map,
+    * as-of translate the observed cursor positions, decide
+    * create/reset per cursor, apply to the destination.
+    */
+  def syncCursors(offsetMap: DataFrame): Seq[CursorAction] = {
+    val index = OffsetIndex.sparseSample(offsetMap)
+    val translated = OffsetIndex.translate(source.cursorStats, index)
+    val stats = translated.collect().map { r =>
+      val topic = r.getAs[String]("topic")
+      val partition = r.getAs[Int]("partition")
+      val cursor = r.getAs[String]("cursor")
+      TranslatedCursorStat(topic, partition, cursor,
+        r.getAs[Long]("readLedger"), r.getAs[Long]("readEntry"),
+        Option(r.get(r.fieldIndex("dstLedger"))).map(_.asInstanceOf[Long]),
+        Option(r.get(r.fieldIndex("dstEntry"))).map(_.asInstanceOf[Long]),
+        dest.hasActiveCursor(topic, partition, cursor),
+        r.getAs[java.sql.Timestamp]("observedTs"))
+    }.toSeq
+    val actions = stats.groupBy(s => (s.topic, s.partition, s.cursor)).toSeq
+      .sortBy(_._1)
+      .flatMap { case (key, ss) =>
+        val (acts, newState) = CursorSync.decidePure(key, cursorState.get(key), ss)
+        newState.foreach(cursorState.update(key, _))
+        acts
+      }
+    actions.foreach(dest.applyCursorAction)
+    actions
+  }
+}

@@ -1,0 +1,135 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.SparkSuiteBase
+
+/** In-memory source/destination cluster fakes (the offline stand-in
+  * for two live clusters, SURVEY §5.2.2).
+  */
+class FakeSource(spark: SparkSession) extends SourceCluster {
+  import spark.implicits._
+  val tenantRows = mutable.ArrayBuffer.empty[TenantRow]
+  val namespaceRows = mutable.ArrayBuffer.empty[NamespaceRow]
+  val topicRows = mutable.ArrayBuffer.empty[TopicRow]
+  val cursorRows = mutable.ArrayBuffer.empty[CursorStat]
+  // messages must be a *streaming* frame (the mirror is a writeStream)
+  val messageStream =
+    org.apache.spark.sql.execution.streaming.runtime.MemoryStream[RawMessage](spark, 1)
+  def tenants: DataFrame = tenantRows.toSeq.toDF()
+  def namespaces: DataFrame = namespaceRows.toSeq.toDF()
+  def topics: DataFrame = topicRows.toSeq.toDF()
+  def messages: DataFrame = messageStream.toDF()
+  def cursorStats: DataFrame = cursorRows.toSeq.toDF()
+}
+
+class FakeDest(spark: SparkSession, name: String) extends DestinationCluster {
+  import spark.implicits._
+  val tenantRows = mutable.ArrayBuffer.empty[TenantRow]
+  val namespaceRows = mutable.ArrayBuffer.empty[NamespaceRow]
+  val topicRows = mutable.ArrayBuffer.empty[TopicRow]
+  val activeCursors = mutable.Set.empty[(String, Int, String)]
+  val cursorActions = mutable.ArrayBuffer.empty[CursorAction]
+  val cluster = new InMemoryCluster(name)
+  cluster.clear()
+  override def clusters: Seq[String] = Seq("dst-cluster")
+  override def tenants: DataFrame = tenantRows.toSeq.toDF()
+  override def namespaces: DataFrame = namespaceRows.toSeq.toDF()
+  override def topics: DataFrame = topicRows.toSeq.toDF()
+  // conflict-as-success: re-creates are no-ops, like the swallowed
+  // ConflictException in the reference
+  override def createTenants(rows: Seq[TenantRow]): Unit =
+    rows.foreach(r => if (!tenantRows.exists(_.tenant == r.tenant)) tenantRows += r)
+  override def createNamespaces(rows: Seq[NamespaceRow]): Unit =
+    rows.foreach(r => if (!namespaceRows.exists(x =>
+      x.tenant == r.tenant && x.namespace == r.namespace)) namespaceRows += r)
+  override def createTopics(rows: Seq[TopicRow]): Unit =
+    rows.foreach(r => if (!topicRows.exists(x => x.tenant == r.tenant
+      && x.namespace == r.namespace && x.topic == r.topic)) topicRows += r)
+  override def sink: DestinationSink = cluster
+  override def hasActiveCursor(topic: String, partition: Int, cursor: String): Boolean =
+    activeCursors.contains((topic, partition, cursor))
+  override def applyCursorAction(action: CursorAction): Unit = cursorActions += action
+}
+
+/** The reference's four E2E scenarios (SURVEY §5.1), end-to-end
+  * through the SyncPipeline API against in-memory cluster fakes.
+  */
+class SyncPipelineSpec extends SparkSuiteBase {
+
+  import spark.implicits._
+
+  private def freshPipeline(destName: String) = {
+    val src = new FakeSource(spark)
+    val dst = new FakeDest(spark, destName)
+    (src, dst, new SyncPipeline(spark, src, dst))
+  }
+
+  test("tenant sync (PulsarTenantSyncTest analogue)") {
+    val (src, dst, pipe) = freshPipeline("sp-tenant")
+    src.tenantRows += TenantRow("test-tenant", Seq("src-cluster"))
+    val (t, _, _) = pipe.tickMetadata()
+    assert(t == 1)
+    assert(dst.tenantRows.exists(r =>
+      r.tenant == "test-tenant" && r.allowedClusters == Seq("dst-cluster")))
+    // re-tick converges to a no-op
+    assert(pipe.tickMetadata() == ((0L, 0L, 0L)))
+  }
+
+  test("namespace sync with policies (PulsarNamespaceSyncTest analogue)") {
+    val (src, dst, pipe) = freshPipeline("sp-ns")
+    src.tenantRows += TenantRow("public", Seq("src-cluster"))
+    src.namespaceRows += NamespaceRow("public", "test-ns", "{\"retention\":7}")
+    pipe.tickMetadata()
+    assert(dst.namespaceRows.toSeq ==
+      Seq(NamespaceRow("public", "test-ns", "{\"retention\":7}")))
+  }
+
+  test("topic sync incl. partitioned fan-out (PulsarTopicSyncTest analogue)") {
+    val (src, dst, pipe) = freshPipeline("sp-topic")
+    src.topicRows += TopicRow("public", "default", "topic-np", partitioned = false, 0, Map.empty)
+    src.topicRows += TopicRow("public", "default", "topic-p", partitioned = true, 2, Map("k" -> "v"))
+    src.topicRows += TopicRow("public", "default", "topic-p-partition-0", partitioned = false, 0, Map.empty)
+    pipe.tickMetadata()
+    assert(dst.topicRows.map(_.topic).toSet == Set("topic-np", "topic-p"))
+    // physical partitions derivable on dst exactly like the reference's
+    // per-partition workers
+    val phys = MetadataSync.partitionFanout(dst.topics)
+      .select("physicalTopic").as[String].collect().toSet
+    assert(phys == Set("topic-p-partition-0", "topic-p-partition-1"))
+  }
+
+  test("message sync backfills pre-existing messages (PulsarMessageSyncTest analogue)") {
+    val (src, dst, pipe) = freshPipeline("sp-msg")
+    // message exists BEFORE the mirror starts (Earliest backfill)
+    src.messageStream.addData(RawMessage("public", "default", "tp", 0, 1, 0,
+      "hello".getBytes("UTF-8"), null, 0L, 1700000000000L, Map.empty))
+    val q = pipe.startMirror(tmpDir("sp-msg-ckpt"))
+    q.awaitTermination()
+    val got = dst.cluster.messages
+    assert(got.size == 1 && new String(got.head.value, "UTF-8") == "hello"
+      && got.head.key.isEmpty && got.head.eventTime.isEmpty)
+  }
+
+  test("cursor sync across ticks: create once, reset on movement") {
+    val (src, dst, pipe) = freshPipeline("sp-cursor")
+    val offsetMap = Seq(
+      OffsetMapping("tp", 0, 10, 0, 110, 0, Timestamp.valueOf("2024-01-01 10:00:00")),
+      OffsetMapping("tp", 0, 20, 0, 120, 0, Timestamp.valueOf("2024-01-01 10:01:00"))).toDF()
+    src.cursorRows += CursorStat("tp", 0, "sub", 15, 0, Timestamp.valueOf("2024-01-01 10:02:00"))
+    val a1 = pipe.syncCursors(offsetMap)
+    assert(a1.map(a => (a.action, a.dstLedger)) == Seq(("create", Some(110L))))
+    // unchanged -> tick is a no-op (state survives between ticks)
+    assert(pipe.syncCursors(offsetMap).isEmpty)
+    // moved -> reset at the new floor
+    src.cursorRows.clear()
+    src.cursorRows += CursorStat("tp", 0, "sub", 25, 0, Timestamp.valueOf("2024-01-01 10:03:00"))
+    val a3 = pipe.syncCursors(offsetMap)
+    assert(a3.map(a => (a.action, a.dstLedger)) == Seq(("reset", Some(120L))))
+    assert(dst.cursorActions.size == 2)
+  }
+}
