@@ -98,9 +98,13 @@ object Dedup {
         explode(TextFns.wordShingles(TextFns.tokens(col(textCol)), shingleN))
           .as("shingle"))
       .distinct()
-    sh.select(col("doc"), col("shingle"),
+    // hash the shingle string ONCE, then derive the k permutation
+    // hashes with pure integer mixing (xxhash64 over (i, h0)) — string
+    // hashing k times per shingle was the dominant cost
+    sh.select(col("doc"), xxhash64(col("shingle")).as("h0"))
+      .select(col("doc"), col("h0"),
         explode(sequence(lit(0), lit(numHashes - 1))).as("i"))
-      .select(col("doc"), col("i"), xxhash64(col("i"), col("shingle")).as("h"))
+      .select(col("doc"), col("i"), xxhash64(col("i"), col("h0")).as("h"))
       .groupBy(col("doc"), col("i")).agg(min(col("h")).as("h"))
       .groupBy(col("doc"))
       .agg(transform(array_sort(collect_list(struct(col("i"), col("h")))),
