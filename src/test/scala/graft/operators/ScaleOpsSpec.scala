@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuiteBase
+import graft.Tables
+
+/** The scale utilities must change the PLAN the way they claim
+  * (no-shuffle bucketed join) without changing RESULTS (salting).
+  */
+class ScaleOpsSpec extends SparkSuiteBase {
+
+  test("bucketed join has no shuffle exchange") {
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      ScaleOps.writeBucketed(
+        Tables.orders(spark, sfDir).select("o_orderkey", "o_custkey", "o_totalprice"),
+        "orders_b", "o_orderkey", buckets = 8)
+      ScaleOps.writeBucketed(
+        Tables.lineitem(spark, sfDir).select("l_orderkey", "l_quantity")
+          .withColumnRenamed("l_orderkey", "o_orderkey"),
+        "lineitem_b", "o_orderkey", buckets = 8)
+      val joined = ScaleOps.bucketedJoin(spark, "orders_b", "lineitem_b", "o_orderkey")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join must not shuffle:\n$plan")
+      // and it's still correct
+      val expected = Tables.orders(spark, sfDir).join(
+        Tables.lineitem(spark, sfDir),
+        col("o_orderkey") === col("l_orderkey")).count()
+      assert(joined.count() == expected)
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS orders_b")
+      spark.sql("DROP TABLE IF EXISTS lineitem_b")
+    }
+  }
+
+  test("salted join equals unsalted join") {
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_partkey").as("p_partkey"), col("l_quantity"))
+    val part = Tables.part(spark, sfDir).select("p_partkey", "p_brand")
+    val plain = li.join(part, "p_partkey")
+      .groupBy("p_brand").agg(sum("l_quantity").as("q"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val salted = ScaleOps.saltedJoin(li, part, "p_partkey", salts = 4)
+      .groupBy("p_brand").agg(sum("l_quantity").as("q"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(salted.keySet == plain.keySet)
+    salted.foreach { case (k, v) => assert(math.abs(v - plain(k)) < 1e-6) }
+  }
+
+  test("salted aggregation equals direct aggregation") {
+    val ev = Tables.events(spark, sfDir)
+    val direct = ev.groupBy("user_id").agg(sum("value").as("s"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val salted = ScaleOps.saltedSumAgg(ev, "user_id", "value", salts = 8)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(salted.keySet == direct.keySet)
+    salted.foreach { case (k, v) => assert(math.abs(v - direct(k)) < 1e-6) }
+  }
+}
