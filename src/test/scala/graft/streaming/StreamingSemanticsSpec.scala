@@ -102,4 +102,51 @@ class StreamingSemanticsSpec extends SparkSuiteBase {
     assert(rows.toSeq == Seq((1L, "gold"))) // u=3 has no dim row
     q.stop()
   }
+
+  test("rate source streams rows (S-1)") {
+    val q = spark.readStream.format("rate")
+      .option("rowsPerSecond", "50").load()
+      .writeStream.format("memory").queryName("rate_rows")
+      .outputMode("append").start()
+    try {
+      var tries = 0
+      while (spark.table("rate_rows").isEmpty && tries < 50) {
+        Thread.sleep(200); tries += 1
+      }
+      assert(!spark.table("rate_rows").isEmpty)
+    } finally q.stop()
+  }
+
+  test("checkpoint-as-ack: failed batch replays after restart (S-8)") {
+    import graft.streaming._
+    val sink = new InMemoryCluster("ck-replay")
+    sink.clear()
+    val ckpt = tmpDir("ck-replay-ckpt")
+    val ms = MemoryStream[RawMessage](spark, 1)
+    ms.addData(RawMessage("t", "n", "tp", 0, 1, 1, "a".getBytes, null, 0L,
+      1700000000000L, Map.empty))
+    // first run: sink poisoned -> batch fails -> offsets NOT committed
+    val poisoned: DestinationSink = new DestinationSink {
+      override def publish(msg: MirroredMessage): Unit =
+        throw new RuntimeException("dst down")
+    }
+    val q1 = MessageMirror.start(ms.toDF(), poisoned, ckpt).start()
+    intercept[Exception] { q1.awaitTermination() }
+    assert(sink.messages.isEmpty)
+    // restart with a healthy sink and the SAME checkpoint: the batch
+    // replays (the ack never happened), message arrives exactly once
+    val q2 = MessageMirror.start(ms.toDF(), sink, ckpt).start()
+    q2.awaitTermination()
+    assert(sink.messages.map(m => (m.ledgerId, m.entryId)) == Seq((1L, 1L)))
+  }
+
+  test("df.sample with a seed is deterministic across runs (R-29)") {
+    val li = graft.Tables.lineitem(spark, graft.Tables.all.headOption
+      .map(_ => "/root/testdata/sf0.001").get)
+    val a = li.sample(withReplacement = false, 0.05, seed = 42)
+      .select("l_orderkey", "l_linenumber").collect().toSeq
+    val b = li.sample(withReplacement = false, 0.05, seed = 42)
+      .select("l_orderkey", "l_linenumber").collect().toSeq
+    assert(a == b && a.nonEmpty)
+  }
 }
