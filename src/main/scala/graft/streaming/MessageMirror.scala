@@ -45,12 +45,13 @@ object MessageMirror {
       sink: DestinationSink,
       checkpointDir: String,
       trigger: Trigger = Trigger.AvailableNow(),
-      deadLetter: Option[DeadLetterSink] = None): DataStreamWriter[org.apache.spark.sql.Row] = {
+      deadLetter: Option[DeadLetterSink] = None,
+      offsets: Option[OffsetRecorder] = None): DataStreamWriter[org.apache.spark.sql.Row] = {
     project(raw).writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        writeBatch(batch, sink, deadLetter)
+        writeBatch(batch, sink, deadLetter, offsets)
       }
   }
 
@@ -67,15 +68,25 @@ object MessageMirror {
   def writeBatch(
       batch: Dataset[org.apache.spark.sql.Row],
       sink: DestinationSink,
-      deadLetter: Option[DeadLetterSink] = None): Unit = {
+      deadLetter: Option[DeadLetterSink] = None,
+      offsets: Option[OffsetRecorder] = None): Unit = {
     batch
       .repartition(col("topic"), col("partition"))
       .sortWithinPartitions(col("topic"), col("partition"),
         col("ledgerId"), col("entryId"))
       .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
         rows.foreach { r =>
-          try publishRow(r, sink)
-          catch {
+          try {
+            val (dstLedger, dstEntry) = publishRow(r, sink)
+            // A15: record src->dst translation on publish success;
+            // recordedTs = publishTime keeps replays deterministic
+            // (the reference stamps wall-clock nanoTime)
+            offsets.foreach(_.record(OffsetMapping(
+              r.getAs[String]("topic"), r.getAs[Int]("partition"),
+              r.getAs[Long]("ledgerId"), r.getAs[Long]("entryId"),
+              dstLedger, dstEntry,
+              r.getAs[java.sql.Timestamp]("publishTime"))))
+          } catch {
             case e: Exception => deadLetter match {
               case Some(dl) => dl.record(
                 r.getAs[String]("topic"), r.getAs[Int]("partition"),
@@ -88,7 +99,8 @@ object MessageMirror {
       }
   }
 
-  private def publishRow(r: org.apache.spark.sql.Row, sink: DestinationSink): Unit =
+  private def publishRow(
+      r: org.apache.spark.sql.Row, sink: DestinationSink): (Long, Long) =
     sink.publish(MirroredMessage(
             tenant = r.getAs[String]("tenant"),
             namespace = r.getAs[String]("namespace"),
@@ -123,10 +135,49 @@ case class MirroredMessage(
   * idempotent on (topic, partition, ledgerId, entryId): foreachBatch
   * replays whole micro-batches on failure (at-least-once), and the
   * MessageId dedup is what the reference gets from Pulsar broker
-  * dedup.
+  * dedup. Returns the DESTINATION-assigned MessageId (a replayed
+  * duplicate returns the original assignment), which the mirror
+  * records into the offset map — the reference's
+  * `messageIdMap.put(src, dst)` on publish success
+  * (PulsarPartitionSyncWorker.java:240).
   */
 trait DestinationSink extends Serializable {
-  def publish(msg: MirroredMessage): Unit
+  def publish(msg: MirroredMessage): (Long, Long)
+}
+
+/** Receives src→dst MessageId mappings from the mirror (A15/A16). */
+trait OffsetRecorder extends Serializable {
+  def record(mapping: OffsetMapping): Unit
+}
+
+/** JVM-wide in-memory offset-map store; `toDF` feeds
+  * [[OffsetIndex.sparseSample]]/[[OffsetIndex.translate]].
+  */
+class InMemoryOffsetRecorder(val name: String) extends OffsetRecorder {
+  override def record(mapping: OffsetMapping): Unit =
+    InMemoryOffsetRecorder.store(name).putIfAbsent(
+      (mapping.topic, mapping.partition, mapping.srcLedger, mapping.srcEntry),
+      mapping)
+
+  def mappings: Seq[OffsetMapping] = {
+    import scala.jdk.CollectionConverters._
+    InMemoryOffsetRecorder.store(name).values.asScala.toSeq
+      .sortBy(m => (m.topic, m.partition, m.srcLedger, m.srcEntry))
+  }
+
+  def toDF(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    import spark.implicits._
+    mappings.toDF()
+  }
+
+  def clear(): Unit = InMemoryOffsetRecorder.store(name).clear()
+}
+
+object InMemoryOffsetRecorder {
+  private val stores = new ConcurrentHashMap[String,
+    ConcurrentHashMap[(String, Int, Long, Long), OffsetMapping]]()
+  private def store(name: String) =
+    stores.computeIfAbsent(name, _ => new ConcurrentHashMap())
 }
 
 /** Dead-letter record target for per-message publish failures (A23
@@ -161,12 +212,23 @@ object InMemoryDeadLetter {
 
 /** In-memory destination "cluster" for tests: a JVM-wide store (valid
   * under local[*], where executors share the driver JVM). Keyed by
-  * MessageId → duplicate publishes are conflict-as-success no-ops.
+  * MessageId → duplicate publishes are conflict-as-success no-ops
+  * returning the original dst assignment. Destination ids are
+  * deterministic (dstLedger = 1000 + partition, dstEntry = a
+  * per-partition sequence in arrival order).
   */
 class InMemoryCluster(val name: String) extends DestinationSink {
-  override def publish(msg: MirroredMessage): Unit =
-    InMemoryCluster.store(name).putIfAbsent(
-      (msg.topic, msg.partition, msg.ledgerId, msg.entryId), msg)
+  override def publish(msg: MirroredMessage): (Long, Long) = {
+    val key = (msg.topic, msg.partition, msg.ledgerId, msg.entryId)
+    val assigned = InMemoryCluster.assignments(name).computeIfAbsent(key, { _ =>
+      val seq = InMemoryCluster.sequences(name)
+        .computeIfAbsent((msg.topic, msg.partition),
+          _ => new java.util.concurrent.atomic.AtomicLong(0L))
+      (1000L + msg.partition, seq.getAndIncrement())
+    })
+    InMemoryCluster.store(name).putIfAbsent(key, msg)
+    assigned
+  }
 
   def messages: Seq[MirroredMessage] = {
     import scala.jdk.CollectionConverters._
@@ -174,12 +236,24 @@ class InMemoryCluster(val name: String) extends DestinationSink {
       .sortBy(m => (m.topic, m.partition, m.ledgerId, m.entryId))
   }
 
-  def clear(): Unit = InMemoryCluster.store(name).clear()
+  def clear(): Unit = {
+    InMemoryCluster.store(name).clear()
+    InMemoryCluster.assignments(name).clear()
+    InMemoryCluster.sequences(name).clear()
+  }
 }
 
 object InMemoryCluster {
   private val clusters =
     new ConcurrentHashMap[String, ConcurrentHashMap[(String, Int, Long, Long), MirroredMessage]]()
+  private val assignmentMaps =
+    new ConcurrentHashMap[String, ConcurrentHashMap[(String, Int, Long, Long), (Long, Long)]]()
+  private val sequenceMaps = new ConcurrentHashMap[String,
+    ConcurrentHashMap[(String, Int), java.util.concurrent.atomic.AtomicLong]]()
   private def store(name: String) =
     clusters.computeIfAbsent(name, _ => new ConcurrentHashMap())
+  private[streaming] def assignments(name: String) =
+    assignmentMaps.computeIfAbsent(name, _ => new ConcurrentHashMap())
+  private[streaming] def sequences(name: String) =
+    sequenceMaps.computeIfAbsent(name, _ => new ConcurrentHashMap())
 }

@@ -102,11 +102,17 @@ class SyncPipeline(
   /** Start the data-plane mirror (A14). One streaming query for the
     * whole topology — partitioning by (topic, partition) inside the
     * batch write preserves the reference's per-partition ordering
-    * without one query per topic.
+    * without one query per topic. When `offsets` is given, every
+    * successful publish records its src→dst MessageId mapping (A15),
+    * which [[syncCursors]] then consumes — the closed loop the
+    * reference runs between its data plane and cursor plane.
     */
   def startMirror(checkpointDir: String,
-      trigger: Trigger = Trigger.AvailableNow()) =
-    MessageMirror.start(source.messages, dest.sink, checkpointDir, trigger).start()
+      trigger: Trigger = Trigger.AvailableNow(),
+      deadLetter: Option[DeadLetterSink] = None,
+      offsets: Option[OffsetRecorder] = None) =
+    MessageMirror.start(source.messages, dest.sink, checkpointDir, trigger,
+      deadLetter, offsets).start()
 
   // last mirrored position per cursor, persisted across ticks — the
   // reference's cursorSet/cursorPositionSet (PulsarPartitionSyncWorker

@@ -132,4 +132,27 @@ class SyncPipelineSpec extends SparkSuiteBase {
     assert(a3.map(a => (a.action, a.dstLedger)) == Seq(("reset", Some(120L))))
     assert(dst.cursorActions.size == 2)
   }
+
+  test("closed loop: mirror records offsets, cursor sync consumes them") {
+    val (src, dst, pipe) = freshPipeline("sp-loop")
+    val rec = new InMemoryOffsetRecorder("sp-loop-offsets")
+    rec.clear()
+    // mirror three messages on one partition
+    (1L to 3L).foreach { e =>
+      src.messageStream.addData(RawMessage("t", "n", "tp", 0, 5, e,
+        s"m$e".getBytes("UTF-8"), null, 0L, 1700000000000L + e * 60000L, Map.empty))
+    }
+    val q = pipe.startMirror(tmpDir("sp-loop-ckpt"), offsets = Some(rec))
+    q.awaitTermination()
+    // the mirror produced one mapping per message, dst entries in order
+    assert(rec.mappings.map(m => (m.srcEntry, m.dstLedger, m.dstEntry))
+      == Seq((1L, 1000L, 0L), (2L, 1000L, 1L), (3L, 1000L, 2L)))
+    // a cursor at src position (5, 2) translates through the RECORDED
+    // map to the dst id that the mirror assigned for that message
+    src.cursorRows += CursorStat("tp", 0, "sub", 5, 2,
+      java.sql.Timestamp.valueOf("2024-01-01 10:00:00"))
+    val actions = pipe.syncCursors(rec.toDF(spark))
+    assert(actions.map(a => (a.action, a.dstLedger, a.dstEntry))
+      == Seq(("create", Some(1000L), Some(1L))))
+  }
 }
