@@ -114,6 +114,35 @@ class SyncPipeline(
     MessageMirror.start(source.messages, dest.sink, checkpointDir, trigger,
       deadLetter, offsets).start()
 
+  /** Continuous mode (A21): schedule metadata re-scan ticks at the
+    * reference's cadence semantics — `autoUpdate*` false ⇒ one
+    * immediate tick only, true ⇒ fixed-delay re-ticks. The reference
+    * uses one 10-thread ScheduledExecutorService for all levels
+    * (`PulsarSync.java:44`); the control plane here is a single
+    * anti-join tick, so one scheduler thread suffices — the heavy
+    * lifting happens on the Spark cluster, not the scheduler.
+    * Returns a handle whose `close()` stops rescheduling.
+    */
+  def runContinuous(
+      metadataPeriodMillis: Long = 3 * 60 * 1000L): AutoCloseable = {
+    val exec = java.util.concurrent.Executors.newSingleThreadScheduledExecutor(
+      r => { val t = new Thread(r, "graft-sync-ticker"); t.setDaemon(true); t })
+    val anyAuto = conf.autoUpdateTenant || conf.autoUpdateNamespace ||
+      conf.autoUpdateTopic || conf.autoUpdatePartition
+    val task: Runnable = () =>
+      try tickMetadata()
+      catch { case e: Exception =>
+        // A23: a failed tick logs and waits for the next cadence —
+        // it never kills the scheduler
+        System.err.println(s"[graft-sync] tick failed: ${e.getMessage}")
+      }
+    if (anyAuto)
+      exec.scheduleWithFixedDelay(task, 0L, metadataPeriodMillis,
+        java.util.concurrent.TimeUnit.MILLISECONDS)
+    else exec.submit(task)
+    () => exec.shutdownNow()
+  }
+
   // last mirrored position per cursor, persisted across ticks — the
   // reference's cursorSet/cursorPositionSet (PulsarPartitionSyncWorker
   // .java:158,174); the continuous-mode equivalent is the

@@ -155,4 +155,44 @@ class SyncPipelineSpec extends SparkSuiteBase {
     assert(actions.map(a => (a.action, a.dstLedger, a.dstEntry))
       == Seq(("create", Some(1000L), Some(1L))))
   }
+
+  test("continuous mode: periodic re-ticks pick up new entities (A21)") {
+    val src0 = new FakeSource(spark)
+    val dst0 = new FakeDest(spark, "sp-cont")
+    val pipe = new SyncPipeline(spark, src0, dst0,
+      SyncConfig(autoUpdateTenant = true))
+    src0.tenantRows += TenantRow("t-initial", Seq("src"))
+    val handle = pipe.runContinuous(metadataPeriodMillis = 200L)
+    try {
+      var tries = 0
+      while (!dst0.tenantRows.exists(_.tenant == "t-initial") && tries < 50) {
+        Thread.sleep(100); tries += 1
+      }
+      assert(dst0.tenantRows.exists(_.tenant == "t-initial"))
+      // a tenant that appears LATER is discovered by a subsequent tick
+      src0.tenantRows += TenantRow("t-late", Seq("src"))
+      tries = 0
+      while (!dst0.tenantRows.exists(_.tenant == "t-late") && tries < 50) {
+        Thread.sleep(100); tries += 1
+      }
+      assert(dst0.tenantRows.exists(_.tenant == "t-late"))
+    } finally handle.close()
+  }
+
+  test("one-shot mode: autoUpdate=false ticks exactly once") {
+    val src0 = new FakeSource(spark)
+    val dst0 = new FakeDest(spark, "sp-oneshot")
+    val pipe = new SyncPipeline(spark, src0, dst0, SyncConfig())
+    src0.tenantRows += TenantRow("t-one", Seq("src"))
+    val handle = pipe.runContinuous(metadataPeriodMillis = 100L)
+    try {
+      var tries = 0
+      while (dst0.tenantRows.isEmpty && tries < 50) { Thread.sleep(100); tries += 1 }
+      assert(dst0.tenantRows.map(_.tenant) == Seq("t-one"))
+      // a late tenant is NOT picked up (no re-scan in one-shot mode)
+      src0.tenantRows += TenantRow("t-late", Seq("src"))
+      Thread.sleep(600)
+      assert(!dst0.tenantRows.exists(_.tenant == "t-late"))
+    } finally handle.close()
+  }
 }
