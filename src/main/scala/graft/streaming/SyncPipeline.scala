@@ -7,10 +7,13 @@ import org.apache.spark.sql.streaming.Trigger
 /** Engine sync configuration — the Spark-native equivalent of the
   * reference's `SyncConfig` (`SyncConfig.java:29-41`): a subscription
   * name for the mirror consumer and one auto-update flag per tree
-  * level (`false` = one-shot sync, `true` = periodic re-scan, SURVEY
-  * §2A A21). `autoUpdatePartition` exists in the reference but is
-  * never read there (SURVEY §2A quirks); here it genuinely gates the
-  * partition fan-out refresh.
+  * level (`false` = sync that level once on the initial tick, `true` =
+  * re-scan it on every periodic tick, SURVEY §2A A21 — enforced by
+  * `tickMetadata(refreshOnly)`). `autoUpdatePartition` exists in the
+  * reference but is never read there (SURVEY §2A quirks); here it
+  * participates in [[SyncPipeline.runContinuous]]'s decision to
+  * schedule periodic ticks at all (partition fan-out derives from the
+  * topic level, so it has no separate apply step to gate).
   */
 case class SyncConfig(
     subscriptionName: String = "graft-sync",
@@ -69,12 +72,19 @@ class SyncPipeline(
   /** One control-plane tick (A1–A13): compute the per-level create
     * plan and apply it level-ordered. Returns created counts per level
     * (tenants, namespaces, topics). Safe to re-run at any cadence.
+    *
+    * `refreshOnly = true` marks a periodic re-tick: only levels whose
+    * `autoUpdate*` flag is set are re-scanned (the reference schedules
+    * each level's manager independently; levels with the flag off sync
+    * exactly once, on the initial tick).
     */
-  def tickMetadata(): (Long, Long, Long) = {
+  def tickMetadata(refreshOnly: Boolean = false): (Long, Long, Long) = {
+    def gate(df: => DataFrame, enabled: Boolean): DataFrame =
+      if (!refreshOnly || enabled) df else df.limit(0)
     val plan = MetadataSync.tick(
-      source.tenants, dest.tenants,
-      source.namespaces, dest.namespaces,
-      source.topics, dest.topics,
+      gate(source.tenants, conf.autoUpdateTenant), dest.tenants,
+      gate(source.namespaces, conf.autoUpdateNamespace), dest.namespaces,
+      gate(source.topics, conf.autoUpdateTopic), dest.topics,
       dest.clusters)
     // metadata sets are tiny relative to the data plane; the apply
     // step is a driver-side admin call series, exactly like the
@@ -129,18 +139,32 @@ class SyncPipeline(
       r => { val t = new Thread(r, "graft-sync-ticker"); t.setDaemon(true); t })
     val anyAuto = conf.autoUpdateTenant || conf.autoUpdateNamespace ||
       conf.autoUpdateTopic || conf.autoUpdatePartition
+    val first = new java.util.concurrent.atomic.AtomicBoolean(true)
     val task: Runnable = () =>
-      try tickMetadata()
-      catch { case e: Exception =>
-        // A23: a failed tick logs and waits for the next cadence —
-        // it never kills the scheduler
-        System.err.println(s"[graft-sync] tick failed: ${e.getMessage}")
+      // A23: a failed tick logs (with stack trace — getMessage alone
+      // hides NPEs) and waits for the next cadence; only fatal VM
+      // errors propagate (and then scheduleWithFixedDelay stops, so
+      // log them first rather than dying silently)
+      try tickMetadata(refreshOnly = !first.getAndSet(false))
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[graft-sync] tick failed: $e")
+          e.printStackTrace()
+        case e: Throwable =>
+          System.err.println(s"[graft-sync] tick died fatally: $e")
+          e.printStackTrace()
+          throw e
       }
     if (anyAuto)
       exec.scheduleWithFixedDelay(task, 0L, metadataPeriodMillis,
         java.util.concurrent.TimeUnit.MILLISECONDS)
-    else exec.submit(task)
-    () => exec.shutdownNow()
+    else {
+      exec.submit(task)
+      exec.shutdown() // one-shot: thread exits once the tick finishes
+    }
+    // graceful: stop rescheduling, let an in-flight tick finish (an
+    // interrupt mid-apply could leave a level half-created)
+    () => exec.shutdown()
   }
 
   // last mirrored position per cursor, persisted across ticks — the

@@ -3,6 +3,7 @@ package graft.streaming
 import java.sql.Timestamp
 
 import scala.collection.mutable
+import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -13,10 +14,16 @@ import graft.SparkSuiteBase
   */
 class FakeSource(spark: SparkSession) extends SourceCluster {
   import spark.implicits._
-  val tenantRows = mutable.ArrayBuffer.empty[TenantRow]
-  val namespaceRows = mutable.ArrayBuffer.empty[NamespaceRow]
-  val topicRows = mutable.ArrayBuffer.empty[TopicRow]
-  val cursorRows = mutable.ArrayBuffer.empty[CursorStat]
+  // COW lists: the continuous-mode ticker thread reads these while the
+  // test thread appends
+  val tenantRows: mutable.Buffer[TenantRow] =
+    new java.util.concurrent.CopyOnWriteArrayList[TenantRow]().asScala
+  val namespaceRows: mutable.Buffer[NamespaceRow] =
+    new java.util.concurrent.CopyOnWriteArrayList[NamespaceRow]().asScala
+  val topicRows: mutable.Buffer[TopicRow] =
+    new java.util.concurrent.CopyOnWriteArrayList[TopicRow]().asScala
+  val cursorRows: mutable.Buffer[CursorStat] =
+    new java.util.concurrent.CopyOnWriteArrayList[CursorStat]().asScala
   // messages must be a *streaming* frame (the mirror is a writeStream)
   val messageStream =
     org.apache.spark.sql.execution.streaming.runtime.MemoryStream[RawMessage](spark, 1)
@@ -29,9 +36,12 @@ class FakeSource(spark: SparkSession) extends SourceCluster {
 
 class FakeDest(spark: SparkSession, name: String) extends DestinationCluster {
   import spark.implicits._
-  val tenantRows = mutable.ArrayBuffer.empty[TenantRow]
-  val namespaceRows = mutable.ArrayBuffer.empty[NamespaceRow]
-  val topicRows = mutable.ArrayBuffer.empty[TopicRow]
+  val tenantRows: mutable.Buffer[TenantRow] =
+    new java.util.concurrent.CopyOnWriteArrayList[TenantRow]().asScala
+  val namespaceRows: mutable.Buffer[NamespaceRow] =
+    new java.util.concurrent.CopyOnWriteArrayList[NamespaceRow]().asScala
+  val topicRows: mutable.Buffer[TopicRow] =
+    new java.util.concurrent.CopyOnWriteArrayList[TopicRow]().asScala
   val activeCursors = mutable.Set.empty[(String, Int, String)]
   val cursorActions = mutable.ArrayBuffer.empty[CursorAction]
   val cluster = new InMemoryCluster(name)
@@ -194,5 +204,22 @@ class SyncPipelineSpec extends SparkSuiteBase {
       Thread.sleep(600)
       assert(!dst0.tenantRows.exists(_.tenant == "t-late"))
     } finally handle.close()
+  }
+
+  test("per-level gating: only autoUpdate levels re-scan on periodic ticks") {
+    val src0 = new FakeSource(spark)
+    val dst0 = new FakeDest(spark, "sp-gate")
+    val pipe = new SyncPipeline(spark, src0, dst0,
+      SyncConfig(autoUpdateTenant = true)) // topics: one-shot
+    src0.tenantRows += TenantRow("t0", Seq("src"))
+    src0.topicRows += TopicRow("t0", "ns", "top0", partitioned = false, 0, Map.empty)
+    pipe.tickMetadata() // initial tick: all levels
+    assert(dst0.topicRows.map(_.topic) == Seq("top0"))
+    // late arrivals: tenant IS picked up by a refresh tick, topic is NOT
+    src0.tenantRows += TenantRow("t-late", Seq("src"))
+    src0.topicRows += TopicRow("t0", "ns", "top-late", partitioned = false, 0, Map.empty)
+    pipe.tickMetadata(refreshOnly = true)
+    assert(dst0.tenantRows.exists(_.tenant == "t-late"))
+    assert(!dst0.topicRows.exists(_.topic == "top-late"))
   }
 }
