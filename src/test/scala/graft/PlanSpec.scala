@@ -37,4 +37,12 @@ class PlanSpec extends SparkSuiteBase {
     val p = plan("q03_agg_q1")
     assert(p.contains("partial_sum") || p.contains("Partial"))
   }
+
+  test("q17 as-of join is one key shuffle + window, no join operator") {
+    val p = plan("q17_asof_join")
+    assert(p.contains("Window "))
+    assert(!p.contains("Join"), "as-of must not plan a join")
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashExchanges == 1, s"expected exactly 1 key shuffle, got $hashExchanges")
+  }
 }
