@@ -12,9 +12,19 @@ import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
   */
 object PipelineQueries extends QueryGroup {
 
+  /** DuckDB twin of [[graft.functions.TextFns.tokens]]: lowercase,
+    * split on whitespace runs, drop empties. Every text oracle MUST
+    * tokenize through this so engine and oracle agree on any fixture
+    * (single-space lowercase text happens to make the naive
+    * `string_split(text, ' ')` agree today — that's a coincidence, not
+    * a contract).
+    */
+  private val sqlTokens: String =
+    """list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')"""
+
   // --------------------------------------------------------------- R-21
   q("q30_token_freq",
-    """WITH t AS (SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents),
+    s"""WITH t AS (SELECT lang, unnest($sqlTokens) AS word FROM documents),
       |c AS (SELECT lang, word, count(*) AS cnt FROM t GROUP BY lang, word),
       |r AS (SELECT lang, word, cnt,
       |        row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, word) AS rn
@@ -30,13 +40,14 @@ object PipelineQueries extends QueryGroup {
   // stand-in) — the document-quality scoring pass of a training-data
   // pipeline.
   q("q31_text_quality",
-    s"""SELECT doc_id,
-       |  len(string_split(text, ' ')) AS n_tokens,
-       |  ${sqlRound("(length(text) - (len(string_split(text, ' ')) - 1)) * 1.0 / len(string_split(text, ' '))", 4)} AS avg_word_len,
-       |  ${sqlRound("len(list_filter(string_split(text, ' '), x -> x = 'the' OR x = 'a')) * 1.0 / greatest(len(string_split(text, ' ')), 1)", 4)} AS stopword_ratio,
+    s"""WITH tk AS (SELECT doc_id, text, $sqlTokens AS l FROM documents)
+       |SELECT doc_id,
+       |  len(l) AS n_tokens,
+       |  ${sqlRound("list_sum(list_transform(l, t -> length(t))) * 1.0 / greatest(len(l), 1)", 4)} AS avg_word_len,
+       |  ${sqlRound("len(list_filter(l, x -> x = 'the' OR x = 'a')) * 1.0 / greatest(len(l), 1)", 4)} AS stopword_ratio,
        |  ${sqlRound("length(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0 / length(text)", 4)} AS digit_ratio,
        |  md5(lower(text)) AS fingerprint
-       |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+       |FROM tk ORDER BY doc_id""".stripMargin) { (s, d) =>
     TextAnalysis.qualityFeatures(Tables.documents(s, d), "doc_id", "text",
         Seq("the", "a"))
       .select(col("doc_id"), col("n_tokens"),
@@ -49,7 +60,7 @@ object PipelineQueries extends QueryGroup {
 
   // R-21 corpus-trained language ID (n-gram-profile heuristic).
   q("q32_lang_id",
-    """WITH t AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word FROM documents),
+    s"""WITH t AS (SELECT doc_id, lang, unnest($sqlTokens) AS word FROM documents),
       |c AS (SELECT lang, word, count(*) AS cnt FROM t GROUP BY lang, word),
       |prof AS (SELECT lang AS plang, word FROM (
       |  SELECT lang, word, row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, word) AS rn
@@ -76,7 +87,7 @@ object PipelineQueries extends QueryGroup {
   // length L costs ceil(L/6) tokens) — deterministic stand-in for a
   // real tokenizer's count.
   q("q42_token_estimate",
-    """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+    s"""WITH t AS (SELECT doc_id, unnest($sqlTokens) AS w FROM documents)
       |SELECT doc_id,
       |  sum(CAST(ceil(length(w) / 6.0) AS BIGINT)) AS est_tokens,
       |  count(*) AS n_words
@@ -94,7 +105,7 @@ object PipelineQueries extends QueryGroup {
   // has 6 planted pairs >= 0.95 with a clean gap to ~0.05 — threshold
   // 0.8 separates them exactly.
   q("q33_ngram_jaccard",
-    s"""WITH toks AS (SELECT doc_id, lang, string_split(text, ' ') AS l FROM documents),
+    s"""WITH toks AS (SELECT doc_id, lang, $sqlTokens AS l FROM documents),
        |sh AS (SELECT DISTINCT doc_id, lang,
        |         unnest(list_transform(generate_series(1, len(l) - 2),
        |                i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])) AS shingle

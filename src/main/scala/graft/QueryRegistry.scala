@@ -62,7 +62,10 @@ object Queries {
   lazy val oracle: Map[String, String] =
     defs.flatMap(q => q.oracle.map(q.name -> _)).toMap
 
-  /** Register every TESTDATA table as a temp view (used by tests). */
+  /** Register every TESTDATA table as a temp view (used by tests).
+    * Goes through [[Tables.load]]'s canonical loaders so `events.ts`
+    * is the converted TIMESTAMP, not raw long nanos.
+    */
   def registerViews(spark: SparkSession, dir: String): Unit =
     Tables.all.foreach(n =>
       Tables.load(spark, dir, n).createOrReplaceTempView(n))

@@ -17,7 +17,17 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Canonical loader: dispatches to the per-table loaders so schema
+    * fixes (the events ns-timestamp conversion) apply no matter how a
+    * table is reached.
+    */
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    name match {
+      case "events" => events(spark, dir)
+      case _ => rawLoad(spark, dir, name)
+    }
+
+  private def rawLoad(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
   def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
@@ -35,7 +45,7 @@ object Tables {
     * `epoch_ms`) since DuckDB keeps the nanos.
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    val raw = load(s, d, "events")
+    val raw = rawLoad(s, d, "events")
     if (raw.schema("ts").dataType == LongType)
       raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else raw

@@ -15,10 +15,10 @@ object TextFns {
   def tokens(text: Column): Column =
     filter(split(lower(text), "\\s+"), t => length(t) > 0)
 
-  /** BPE-ish token-count estimate: whitespace words + extra splits on
-    * digit/letter boundaries and long words (a word of length L costs
-    * ceil(L/6) tokens) — a deterministic, cheap stand-in for a real
-    * tokenizer's count.
+  /** BPE-ish token-count estimate: a word of length L costs ceil(L/6)
+    * tokens — a deterministic, cheap stand-in for a real tokenizer's
+    * count (long words cost proportionally more, mirroring subword
+    * splitting).
     */
   def tokenCountEstimate(text: Column): Column =
     aggregate(tokens(text), lit(0L),

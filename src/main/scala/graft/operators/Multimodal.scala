@@ -103,8 +103,12 @@ object Multimodal {
   def sampleChunks(assets: DataFrame, chunkSize: Int): DataFrame =
     assets
       .withColumn("n_bytes", length(col("payload")))
+      // guard the empty payload: sequence(0, -1) counts DOWN in Spark
+      // (same trap as TextFns.wordShingles) — emit zero chunks instead
       .withColumn("chunk_idx",
-        explode(sequence(lit(0), ceil(col("n_bytes").cast("double") / chunkSize).cast("int") - 1)))
+        explode(when(col("n_bytes") > 0,
+          sequence(lit(0), ceil(col("n_bytes").cast("double") / chunkSize).cast("int") - 1))
+          .otherwise(array())))
       .select(col("asset_id"), col("media_type"), col("chunk_idx"),
         col("payload").substr(col("chunk_idx") * chunkSize + 1, lit(chunkSize)).as("chunk"))
 }

@@ -35,8 +35,10 @@ object TextAnalysis {
     val toks = TextFns.tokens(col(textCol))
     docs.select(col(idCol),
       size(toks).as("n_tokens"),
-      ((length(col(textCol)) - (size(toks) - 1)).cast("double")
-        / size(toks).cast("double")).as("avg_word_len"),
+      // mean token length (not a whitespace-arithmetic shortcut, which
+      // breaks on multi-space/mixed-case text)
+      (aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double")
+        / greatest(size(toks), lit(1)).cast("double")).as("avg_word_len"),
       TextFns.stopwordRatio(toks, stopwords).as("stopword_ratio"),
       (length(regexp_replace(col(textCol), "[^0-9]", "")).cast("double")
         / length(col(textCol)).cast("double")).as("digit_ratio"),

@@ -37,11 +37,15 @@ object OffsetIndex {
       .partitionBy(col("topic"), col("partition"), minuteCol)
       .orderBy(col("recordedTs"), col("srcLedger"), col("srcEntry"))
     val wMax = Window.partitionBy(col("topic"), col("partition"))
+    // retention FIRST, then pick each minute's representative among
+    // the surviving rows — the other order silently drops a whole
+    // minute whose first sample is just outside retention even though
+    // later samples in that minute are inside it
     offsetMap
-      .withColumn("__rn", row_number().over(w))
       .withColumn("__maxTs", max(col("recordedTs")).over(wMax))
-      .filter(col("__rn") === 1 &&
-        col("recordedTs") >= col("__maxTs") - expr(s"INTERVAL $retentionMinutes MINUTE"))
+      .filter(col("recordedTs") >= col("__maxTs") - expr(s"INTERVAL $retentionMinutes MINUTE"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
       .drop("__rn", "__maxTs")
   }
 

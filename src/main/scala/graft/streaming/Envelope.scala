@@ -51,6 +51,16 @@ case class TopicRow(
     partitions: Int, // 0 if not partitioned
     properties: Map[String, String])
 
+/** One physical partition to create on the destination (A13 fan-out
+  * output; also emitted for partition-count growth on synced topics).
+  */
+case class PartitionRow(
+    tenant: String,
+    namespace: String,
+    topic: String,
+    partitionIndex: Int,
+    physicalTopic: String)
+
 /** Cursor statistics observation (FIXTURES.md §A.3). */
 case class CursorStat(
     topic: String,

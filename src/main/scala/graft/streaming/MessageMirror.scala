@@ -101,7 +101,7 @@ object MessageMirror {
 
   private def publishRow(
       r: org.apache.spark.sql.Row, sink: DestinationSink): (Long, Long) =
-    sink.publish(MirroredMessage(
+    sink.publish(PulsarMessage(
             tenant = r.getAs[String]("tenant"),
             namespace = r.getAs[String]("namespace"),
             topic = r.getAs[String]("topic"),
@@ -116,20 +116,6 @@ object MessageMirror {
               .getOrElse(Map.empty)))
 }
 
-/** A mirrored message as delivered to the destination. */
-case class MirroredMessage(
-    tenant: String,
-    namespace: String,
-    topic: String,
-    partition: Int,
-    ledgerId: Long,
-    entryId: Long,
-    value: Array[Byte],
-    key: Option[String],
-    eventTime: Option[java.sql.Timestamp],
-    publishTime: java.sql.Timestamp,
-    properties: Map[String, String])
-
 /** Destination abstraction — a real deployment holds a Pulsar producer
   * per executor; tests use [[InMemoryCluster]]. `publish` MUST be
   * idempotent on (topic, partition, ledgerId, entryId): foreachBatch
@@ -142,7 +128,7 @@ case class MirroredMessage(
   * (PulsarPartitionSyncWorker.java:240).
   */
 trait DestinationSink extends Serializable {
-  def publish(msg: MirroredMessage): (Long, Long)
+  def publish(msg: PulsarMessage): (Long, Long)
 }
 
 /** Receives src→dst MessageId mappings from the mirror (A15/A16). */
@@ -218,7 +204,7 @@ object InMemoryDeadLetter {
   * per-partition sequence in arrival order).
   */
 class InMemoryCluster(val name: String) extends DestinationSink {
-  override def publish(msg: MirroredMessage): (Long, Long) = {
+  override def publish(msg: PulsarMessage): (Long, Long) = {
     val key = (msg.topic, msg.partition, msg.ledgerId, msg.entryId)
     val assigned = InMemoryCluster.assignments(name).computeIfAbsent(key, { _ =>
       val seq = InMemoryCluster.sequences(name)
@@ -230,7 +216,7 @@ class InMemoryCluster(val name: String) extends DestinationSink {
     assigned
   }
 
-  def messages: Seq[MirroredMessage] = {
+  def messages: Seq[PulsarMessage] = {
     import scala.jdk.CollectionConverters._
     InMemoryCluster.store(name).values.asScala.toSeq
       .sortBy(m => (m.topic, m.partition, m.ledgerId, m.entryId))
@@ -245,7 +231,7 @@ class InMemoryCluster(val name: String) extends DestinationSink {
 
 object InMemoryCluster {
   private val clusters =
-    new ConcurrentHashMap[String, ConcurrentHashMap[(String, Int, Long, Long), MirroredMessage]]()
+    new ConcurrentHashMap[String, ConcurrentHashMap[(String, Int, Long, Long), PulsarMessage]]()
   private val assignmentMaps =
     new ConcurrentHashMap[String, ConcurrentHashMap[(String, Int, Long, Long), (Long, Long)]]()
   private val sequenceMaps = new ConcurrentHashMap[String,

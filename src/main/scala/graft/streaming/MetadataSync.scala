@@ -68,9 +68,26 @@ object MetadataSync {
       .withColumn("physicalTopic",
         concat(col("topic"), lit("-partition-"), col("partitionIndex").cast("string")))
 
+  /** Physical partitions present on src but missing on dst — covers
+    * both brand-new partitioned topics AND partition-count growth on
+    * topics that already exist on dst (the reference re-fetches
+    * partition metadata every minute and spawns workers for new
+    * indexes, `PulsarPartitionedTopicSyncWorker.java:64-80`; a plain
+    * topic-name anti-join would miss growth).
+    */
+  def partitionCreates(srcTopics: DataFrame, dstTopics: DataFrame): DataFrame =
+    missing(
+      partitionFanout(logicalTopics(srcTopics)),
+      partitionFanout(logicalTopics(dstTopics)),
+      Seq("tenant", "namespace", "topic", "partitionIndex"))
+
   /** One control-plane tick: the full create plan for a level-ordered
     * apply (tenants before namespaces before topics). Returned frames
     * are the exact argument order the applier needs.
+    * `srcTopicsForPartitions` lets the caller gate the partition-diff
+    * refresh independently of the topic level (SyncConfig
+    * .autoUpdatePartition vs .autoUpdateTopic); it defaults to
+    * `srcTopics`.
     */
   case class TickPlan(
       tenants: DataFrame,
@@ -82,11 +99,13 @@ object MetadataSync {
       srcTenants: DataFrame, dstTenants: DataFrame,
       srcNs: DataFrame, dstNs: DataFrame,
       srcTopics: DataFrame, dstTopics: DataFrame,
-      dstClusters: Seq[String]): TickPlan = {
+      dstClusters: Seq[String],
+      srcTopicsForPartitions: DataFrame = null): TickPlan = {
     val t = tenantCreates(srcTenants, dstTenants, dstClusters)
     val ns = namespaceCreates(srcNs, dstNs)
     val tp = topicCreates(srcTopics, dstTopics)
-    val parts = partitionFanout(tp)
+    val srcForParts = Option(srcTopicsForPartitions).getOrElse(srcTopics)
+    val parts = partitionCreates(srcForParts, dstTopics)
     TickPlan(t, ns, tp, parts)
   }
 }

@@ -48,6 +48,12 @@ trait DestinationCluster {
   def createTenants(rows: Seq[TenantRow]): Unit
   def createNamespaces(rows: Seq[NamespaceRow]): Unit
   def createTopics(rows: Seq[TopicRow]): Unit
+  /** Create missing physical partitions (incl. partition-count growth
+    * on an already-synced topic). Default no-op: destinations that
+    * create all partitions as part of the partitioned-topic create can
+    * ignore it.
+    */
+  def createPartitions(rows: Seq[PartitionRow]): Unit = ()
   def sink: DestinationSink
   def hasActiveCursor(topic: String, partition: Int, cursor: String): Boolean
   def applyCursorAction(action: CursorAction): Unit
@@ -85,7 +91,11 @@ class SyncPipeline(
       gate(source.tenants, conf.autoUpdateTenant), dest.tenants,
       gate(source.namespaces, conf.autoUpdateNamespace), dest.namespaces,
       gate(source.topics, conf.autoUpdateTopic), dest.topics,
-      dest.clusters)
+      dest.clusters,
+      // partition growth refreshes on its own flag (the reference
+      // re-checks partition metadata on a faster cadence than topics)
+      srcTopicsForPartitions =
+        gate(source.topics, conf.autoUpdateTopic || conf.autoUpdatePartition))
     // metadata sets are tiny relative to the data plane; the apply
     // step is a driver-side admin call series, exactly like the
     // reference's async create chain
@@ -106,6 +116,12 @@ class SyncPipeline(
         Option(r.getAs[Map[String, String]]("properties")).getOrElse(Map.empty))
     }.toSeq
     dest.createTopics(topics)
+    val partitions = plan.partitions.collect().map { r =>
+      PartitionRow(r.getAs[String]("tenant"), r.getAs[String]("namespace"),
+        r.getAs[String]("topic"), r.getAs[Int]("partitionIndex"),
+        r.getAs[String]("physicalTopic"))
+    }.toSeq
+    dest.createPartitions(partitions)
     (tenants.size.toLong, namespaces.size.toLong, topics.size.toLong)
   }
 

@@ -180,7 +180,7 @@ class ReplicationSpec extends SparkSuiteBase {
     val sink = new InMemoryCluster("dl-dest")
     sink.clear()
     val poisoned: DestinationSink = new DestinationSink {
-      override def publish(msg: MirroredMessage): (Long, Long) = {
+      override def publish(msg: PulsarMessage): (Long, Long) = {
         if (msg.entryId == 2L) throw new RuntimeException("poison")
         sink.publish(msg)
       }

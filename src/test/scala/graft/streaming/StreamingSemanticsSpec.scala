@@ -127,7 +127,7 @@ class StreamingSemanticsSpec extends SparkSuiteBase {
       1700000000000L, Map.empty))
     // first run: sink poisoned -> batch fails -> offsets NOT committed
     val poisoned: DestinationSink = new DestinationSink {
-      override def publish(msg: MirroredMessage): (Long, Long) =
+      override def publish(msg: PulsarMessage): (Long, Long) =
         throw new RuntimeException("dst down")
     }
     val q1 = MessageMirror.start(ms.toDF(), poisoned, ckpt).start()

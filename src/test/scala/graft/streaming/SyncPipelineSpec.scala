@@ -44,6 +44,8 @@ class FakeDest(spark: SparkSession, name: String) extends DestinationCluster {
     new java.util.concurrent.CopyOnWriteArrayList[TopicRow]().asScala
   val activeCursors = mutable.Set.empty[(String, Int, String)]
   val cursorActions = mutable.ArrayBuffer.empty[CursorAction]
+  val partitionCreates: mutable.Buffer[PartitionRow] =
+    new java.util.concurrent.CopyOnWriteArrayList[PartitionRow]().asScala
   val cluster = new InMemoryCluster(name)
   cluster.clear()
   override def clusters: Seq[String] = Seq("dst-cluster")
@@ -64,6 +66,8 @@ class FakeDest(spark: SparkSession, name: String) extends DestinationCluster {
   override def hasActiveCursor(topic: String, partition: Int, cursor: String): Boolean =
     activeCursors.contains((topic, partition, cursor))
   override def applyCursorAction(action: CursorAction): Unit = cursorActions += action
+  override def createPartitions(rows: Seq[PartitionRow]): Unit =
+    rows.foreach(r => if (!partitionCreates.contains(r)) partitionCreates += r)
 }
 
 /** The reference's four E2E scenarios (SURVEY §5.1), end-to-end
@@ -221,5 +225,17 @@ class SyncPipelineSpec extends SparkSuiteBase {
     pipe.tickMetadata(refreshOnly = true)
     assert(dst0.tenantRows.exists(_.tenant == "t-late"))
     assert(!dst0.topicRows.exists(_.topic == "top-late"))
+  }
+
+  test("partition-count growth on an already-synced topic is propagated") {
+    val (src0, dst0, pipe) = freshPipeline("sp-grow")
+    // topic already mirrored with 3 partitions on both sides
+    dst0.topicRows += TopicRow("t", "ns", "top", partitioned = true, 3, Map.empty)
+    src0.topicRows += TopicRow("t", "ns", "top", partitioned = true, 5, Map.empty)
+    val (_, _, newTopics) = pipe.tickMetadata()
+    assert(newTopics == 0) // the topic itself is not re-created
+    // ...but the two NEW partition indexes are
+    assert(dst0.partitionCreates.map(_.physicalTopic).sorted
+      == Seq("top-partition-3", "top-partition-4"))
   }
 }

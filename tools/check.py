@@ -27,7 +27,8 @@ def canon(v):
 def table_rows(tbl):
     cols = sorted(tbl.column_names)
     data = [tbl.column(c).to_pylist() for c in cols]
-    return cols, [tuple(canon(v) for v in row) for row in zip(*data)] if data else (cols, [])
+    # zip(*[]) is already [], no guard needed
+    return cols, [tuple(canon(v) for v in row) for row in zip(*data)]
 
 def main():
     outdir, sfdir = sys.argv[1], sys.argv[2]
