@@ -12,6 +12,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // warmup: absorb JIT/codegen/session init so the first timed query
+    // isn't charged for it
+    spark.range(1000000).selectExpr("sum(id)").write
+      .format("noop").mode("overwrite").save()
+    spark.read.parquet(s"$sfDir/region.parquet").write
+      .format("noop").mode("overwrite").save()
     // noop sink: forces full evaluation of every column (count() can
     // collapse a projection-only plan into a metadata-only scan).
     // Failures are reported as -1 in the JSON (not a plausible-looking
