@@ -200,6 +200,28 @@ object ExtendedQueries extends QueryGroup {
       .orderBy(col("event_id"))
   }
 
+  // R-4 statistical aggregates: exact interpolated percentiles
+  // (Spark percentile = DuckDB quantile_cont), sample stddev,
+  // correlation.
+  q("q44_stats_agg",
+    s"""SELECT o_orderpriority,
+       |  ${sqlRound("quantile_cont(o_totalprice, 0.5)", 2)} AS med,
+       |  ${sqlRound("quantile_cont(o_totalprice, 0.9)", 2)} AS p90,
+       |  ${sqlRound("stddev_samp(o_totalprice)", 2)} AS sd,
+       |  ${sqlRound("corr(o_totalprice, o_custkey)", 6)} AS price_cust_corr
+       |FROM orders
+       |GROUP BY o_orderpriority
+       |ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+    Tables.orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        pround(expr("percentile(o_totalprice, 0.5)"), 2).as("med"),
+        pround(expr("percentile(o_totalprice, 0.9)"), 2).as("p90"),
+        pround(stddev_samp(col("o_totalprice")), 2).as("sd"),
+        pround(corr(col("o_totalprice"), col("o_custkey")), 6).as("price_cust_corr"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   // --------------------------------------------------------------- R-28
   // when/otherwise + nullif + coalesce + null-safe equality — the
   // reference's `key != null` / `eventTime != 0` copy rules (A14).

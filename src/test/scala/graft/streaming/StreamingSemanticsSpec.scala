@@ -149,4 +149,57 @@ class StreamingSemanticsSpec extends SparkSuiteBase {
       .select("l_orderkey", "l_linenumber").collect().toSeq
     assert(a == b && a.nonEmpty)
   }
+
+  test("stateful dedup works on the RocksDB state store provider (scale path)") {
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ms = MemoryStream[Ev](spark, 1)
+      val q = ms.toDF()
+        .withWatermark("ts", "10 minutes")
+        .dropDuplicates("event_id")
+        .writeStream.format("memory").queryName("rocks_dedup")
+        .outputMode("append").start()
+      ms.addData(ev(1, "2024-01-01 00:00:00"), ev(2, "2024-01-01 00:00:30"))
+      q.processAllAvailable()
+      ms.addData(ev(1, "2024-01-01 00:01:00"), ev(3, "2024-01-01 00:01:30"))
+      q.processAllAvailable()
+      val ids = spark.table("rocks_dedup").select("event_id")
+        .collect().map(_.getLong(0)).toSeq.sorted
+      assert(ids == Seq(1L, 2L, 3L))
+      q.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
+  test("streaming session window matches the batch formulation (S-3)") {
+    val ms = MemoryStream[Ev](spark, 1)
+    val data = Seq(
+      ev(1, "2024-01-01 00:00:00"), ev(2, "2024-01-01 00:04:00"), // one session
+      ev(3, "2024-01-01 00:30:00"), // new session (gap >= 10 min)
+      ev(4, "2024-01-01 01:00:00", u = 2))
+    ms.addData(data: _*)
+    val q = ms.toDF()
+      .withWatermark("ts", "1 minute")
+      .groupBy(session_window(col("ts"), "10 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("complete").start()
+    q.processAllAvailable()
+    val got = spark.table("sessions")
+      .select(col("user_id"), col("session_window.start").cast("string"), col("n"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val batch = data.toDF()
+      .groupBy(session_window(col("ts"), "10 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), col("session_window.start").cast("string"), col("n"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == batch)
+    assert(got == Set((1L, "2024-01-01 00:00:00", 2L),
+      (1L, "2024-01-01 00:30:00", 1L), (2L, "2024-01-01 01:00:00", 1L)))
+    q.stop()
+  }
 }
