@@ -222,6 +222,25 @@ object ExtendedQueries extends QueryGroup {
       .orderBy(col("o_orderpriority"))
   }
 
+  // SQL surface + Catalyst subquery decorrelation (SURVEY §4.2): the
+  // SAME SQL text runs on Spark (over registered temp views) and on
+  // DuckDB as the oracle. The correlated scalar subquery and NOT
+  // EXISTS are decorrelated by Catalyst into joins — no per-row
+  // subquery execution.
+  private val subqSql =
+    s"""SELECT c_custkey,
+       |  ${sqlRound("(SELECT max(o_totalprice) FROM orders WHERE o_custkey = c_custkey)", 2)} AS max_order,
+       |  (SELECT count(*) FROM orders WHERE o_custkey = c_custkey) AS n_orders
+       |FROM customer
+       |WHERE NOT EXISTS (SELECT 1 FROM orders
+       |                  WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+       |ORDER BY c_custkey""".stripMargin
+
+  q("q45_subqueries", subqSql) { (s, d) =>
+    Queries.registerViews(s, d)
+    s.sql(subqSql)
+  }
+
   // --------------------------------------------------------------- R-28
   // when/otherwise + nullif + coalesce + null-safe equality — the
   // reference's `key != null` / `eventTime != 0` copy rules (A14).

@@ -43,11 +43,13 @@ abstract class QueryGroup {
     floor(c * lit(s) + lit(0.5)) / lit(s)
   }
 
-  /** SQL-text twin of [[pround]] for oracle queries. */
-  protected def sqlRound(e: String, digits: Int): String = {
-    val s = "1" + ("0" * digits) + ".0"
-    s"floor(($e)*$s + 0.5)/$s"
-  }
+  /** SQL-text twin of [[pround]] for oracle queries. Exponent literals
+    * (`1e2`) parse as DOUBLE in both Spark SQL and DuckDB; `100.0`
+    * would be DECIMAL in Spark's parser and poison the result type
+    * when the same text runs on both engines (q45).
+    */
+  protected def sqlRound(e: String, digits: Int): String =
+    s"floor(($e)*1e$digits + 0.5)/1e$digits"
 }
 
 object Queries {
