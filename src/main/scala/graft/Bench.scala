@@ -13,11 +13,16 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warmup: absorb JIT/codegen/session init so the first timed query
-    // isn't charged for it
-    spark.range(1000000).selectExpr("sum(id)").write
-      .format("noop").mode("overwrite").save()
-    spark.read.parquet(s"$sfDir/region.parquet").write
-      .format("noop").mode("overwrite").save()
+    // isn't charged for it; best-effort — a broken sfDir must still
+    // reach the per-query loop so the JSON line is emitted with -1s
+    try {
+      spark.range(1000000).selectExpr("sum(id)").write
+        .format("noop").mode("overwrite").save()
+      spark.read.parquet(s"$sfDir/region.parquet").write
+        .format("noop").mode("overwrite").save()
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] warmup failed: $e")
+    }
     // noop sink: forces full evaluation of every column (count() can
     // collapse a projection-only plan into a metadata-only scan).
     // Failures are reported as -1 in the JSON (not a plausible-looking

@@ -43,7 +43,7 @@ object PipelineQueries extends QueryGroup {
     s"""WITH tk AS (SELECT doc_id, text, $sqlTokens AS l FROM documents)
        |SELECT doc_id,
        |  len(l) AS n_tokens,
-       |  ${sqlRound("list_sum(list_transform(l, t -> length(t))) * 1.0 / greatest(len(l), 1)", 4)} AS avg_word_len,
+       |  ${sqlRound("coalesce(list_sum(list_transform(l, t -> length(t))), 0) * 1.0 / greatest(len(l), 1)", 4)} AS avg_word_len,
        |  ${sqlRound("len(list_filter(l, x -> x = 'the' OR x = 'a')) * 1.0 / greatest(len(l), 1)", 4)} AS stopword_ratio,
        |  ${sqlRound("length(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0 / length(text)", 4)} AS digit_ratio,
        |  md5(lower(text)) AS fingerprint
@@ -86,12 +86,14 @@ object PipelineQueries extends QueryGroup {
   // R-21 token counting: BPE-ish estimate (whitespace words, a word of
   // length L costs ceil(L/6) tokens) — deterministic stand-in for a
   // real tokenizer's count.
+  // list-based (no unnest) so a zero-token document keeps its row with
+  // est_tokens = 0, matching the Spark side.
   q("q42_token_estimate",
-    s"""WITH t AS (SELECT doc_id, unnest($sqlTokens) AS w FROM documents)
+    s"""WITH tk AS (SELECT doc_id, $sqlTokens AS l FROM documents)
       |SELECT doc_id,
-      |  sum(CAST(ceil(length(w) / 6.0) AS BIGINT)) AS est_tokens,
-      |  count(*) AS n_words
-      |FROM t GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      |  CAST(coalesce(list_sum(list_transform(l, w -> CAST(ceil(length(w) / 6.0) AS BIGINT))), 0) AS BIGINT) AS est_tokens,
+      |  CAST(len(l) AS BIGINT) AS n_words
+      |FROM tk ORDER BY doc_id""".stripMargin) { (s, d) =>
     import graft.functions.TextFns
     Tables.documents(s, d)
       .select(col("doc_id"),

@@ -105,7 +105,16 @@ object MetadataSync {
     val ns = namespaceCreates(srcNs, dstNs)
     val tp = topicCreates(srcTopics, dstTopics)
     val srcForParts = Option(srcTopicsForPartitions).getOrElse(srcTopics)
-    val parts = partitionCreates(srcForParts, dstTopics)
+    // partitions are only created for topics that will exist on dst
+    // after this tick (already there, or in tp's create set) — a
+    // partition-only refresh (autoUpdatePartition without
+    // autoUpdateTopic) must not materialize orphan physical partitions
+    // for topics whose metadata was never created on dst
+    val keys = Seq("tenant", "namespace", "topic")
+    val willExist = logicalTopics(dstTopics).select(keys.map(col): _*)
+      .unionByName(tp.select(keys.map(col): _*))
+    val partsSrc = logicalTopics(srcForParts).join(willExist, keys, "left_semi")
+    val parts = partitionCreates(partsSrc, dstTopics)
     TickPlan(t, ns, tp, parts)
   }
 }

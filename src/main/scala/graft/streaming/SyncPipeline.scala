@@ -11,9 +11,11 @@ import org.apache.spark.sql.streaming.Trigger
   * re-scan it on every periodic tick, SURVEY §2A A21 — enforced by
   * `tickMetadata(refreshOnly)`). `autoUpdatePartition` exists in the
   * reference but is never read there (SURVEY §2A quirks); here it
-  * participates in [[SyncPipeline.runContinuous]]'s decision to
-  * schedule periodic ticks at all (partition fan-out derives from the
-  * topic level, so it has no separate apply step to gate).
+  * gates the partition-growth refresh: on refresh ticks the
+  * partition diff (`MetadataSync.partitionCreates` →
+  * `DestinationCluster.createPartitions`) runs when this flag or
+  * `autoUpdateTopic` is set, restricted to topics already mirrored on
+  * the destination.
   */
 case class SyncConfig(
     subscriptionName: String = "graft-sync",
@@ -87,15 +89,20 @@ class SyncPipeline(
   def tickMetadata(refreshOnly: Boolean = false): (Long, Long, Long) = {
     def gate(df: => DataFrame, enabled: Boolean): DataFrame =
       if (!refreshOnly || enabled) df else df.limit(0)
+    // fetch the topic listing once per tick: a live source issues an
+    // admin call per access, and two snapshots could disagree between
+    // the topic-create and partition-create plans
+    val srcTopics = source.topics
     val plan = MetadataSync.tick(
       gate(source.tenants, conf.autoUpdateTenant), dest.tenants,
       gate(source.namespaces, conf.autoUpdateNamespace), dest.namespaces,
-      gate(source.topics, conf.autoUpdateTopic), dest.topics,
+      gate(srcTopics, conf.autoUpdateTopic), dest.topics,
       dest.clusters,
       // partition growth refreshes on its own flag (the reference
-      // re-checks partition metadata on a faster cadence than topics)
+      // re-checks partition metadata on a faster cadence than topics);
+      // MetadataSync.tick restricts it to topics existing on dst
       srcTopicsForPartitions =
-        gate(source.topics, conf.autoUpdateTopic || conf.autoUpdatePartition))
+        gate(srcTopics, conf.autoUpdateTopic || conf.autoUpdatePartition))
     // metadata sets are tiny relative to the data plane; the apply
     // step is a driver-side admin call series, exactly like the
     // reference's async create chain

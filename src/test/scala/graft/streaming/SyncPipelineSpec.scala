@@ -238,4 +238,23 @@ class SyncPipelineSpec extends SparkSuiteBase {
     assert(dst0.partitionCreates.map(_.physicalTopic).sorted
       == Seq("top-partition-3", "top-partition-4"))
   }
+
+  test("partition-only refresh never creates orphan partitions for unsynced topics") {
+    val src0 = new FakeSource(spark)
+    val dst0 = new FakeDest(spark, "sp-orphan")
+    val pipe = new SyncPipeline(spark, src0, dst0,
+      SyncConfig(autoUpdatePartition = true)) // topics: one-shot
+    // synced topic with growth + a topic that appeared after the
+    // initial tick (and, topics being one-shot, will never be created)
+    dst0.topicRows += TopicRow("t", "ns", "old", partitioned = true, 2, Map.empty)
+    src0.topicRows += TopicRow("t", "ns", "old", partitioned = true, 4, Map.empty)
+    src0.topicRows += TopicRow("t", "ns", "brand-new", partitioned = true, 3, Map.empty)
+    pipe.tickMetadata(refreshOnly = true)
+    // growth on the mirrored topic propagates...
+    assert(dst0.partitionCreates.map(_.physicalTopic).sorted
+      == Seq("old-partition-2", "old-partition-3"))
+    // ...but no orphan physical partitions for the never-created topic
+    assert(!dst0.partitionCreates.exists(_.topic == "brand-new"))
+    assert(dst0.topicRows.map(_.topic) == Seq("old"))
+  }
 }
