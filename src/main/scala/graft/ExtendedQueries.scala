@@ -222,12 +222,14 @@ object ExtendedQueries extends QueryGroup {
       .orderBy(col("o_orderpriority"))
   }
 
-  // SQL surface + Catalyst subquery decorrelation (SURVEY §4.2): the
-  // SAME SQL text runs on Spark (over registered temp views) and on
-  // DuckDB as the oracle. The correlated scalar subquery and NOT
-  // EXISTS are decorrelated by Catalyst into joins — no per-row
-  // subquery execution.
-  private val subqSql =
+  // Correlated-subquery semantics (SURVEY §4.2), fused: the oracle
+  // keeps the three-subquery SQL text (scalar max, scalar count,
+  // NOT EXISTS), but the engine side computes all three in ONE
+  // aggregate over orders + ONE left join — a single shuffle of
+  // orders instead of three decorrelated aggregate-join passes.
+  // SqlSurfaceSpec asserts the same SQL text run through spark.sql
+  // (Catalyst decorrelation) produces identical rows.
+  private[graft] val subqSql =
     s"""SELECT c_custkey,
        |  ${sqlRound("(SELECT max(o_totalprice) FROM orders WHERE o_custkey = c_custkey)", 2)} AS max_order,
        |  (SELECT count(*) FROM orders WHERE o_custkey = c_custkey) AS n_orders
@@ -237,8 +239,19 @@ object ExtendedQueries extends QueryGroup {
        |ORDER BY c_custkey""".stripMargin
 
   q("q45_subqueries", subqSql) { (s, d) =>
-    Queries.registerViews(s, d)
-    s.sql(subqSql)
+    val agg = Tables.orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(max(col("o_totalprice")).as("__max_raw"),
+        count(lit(1)).as("__cnt"),
+        max(when(col("o_orderstatus") === "F", 1).otherwise(0)).as("__has_f"))
+    Tables.customer(s, d)
+      .join(agg, col("c_custkey") === col("o_custkey"), "left")
+      // NOT EXISTS(status='F'): no orders at all (null) also passes
+      .filter(coalesce(col("__has_f"), lit(0)) === 0)
+      .select(col("c_custkey"),
+        pround(col("__max_raw"), 2).as("max_order"), // null when no orders
+        coalesce(col("__cnt"), lit(0L)).as("n_orders")) // count() of none = 0
+      .orderBy(col("c_custkey"))
   }
 
   // --------------------------------------------------------------- R-28
@@ -310,8 +323,13 @@ object ExtendedQueries extends QueryGroup {
       |FROM (SELECT p_partkey, unnest(generate_series(0, p_size - 1)) AS i FROM part)
       |ORDER BY p_partkey, i""".stripMargin) { (s, d) =>
     Tables.part(s, d)
+      // guard p_size <= 0: Spark's sequence(0, -1) counts DOWN while
+      // DuckDB's generate_series is empty (same trap as
+      // TextFns.wordShingles / Multimodal.sampleChunks); TPC-H has
+      // p_size >= 1 but the operator must not depend on that
       .select(col("p_partkey"),
-        explode(sequence(lit(0), col("p_size") - 1)).as("i"))
+        explode(when(col("p_size") > 0, sequence(lit(0), col("p_size") - 1))
+          .otherwise(array())).as("i"))
       .withColumn("pname", concat(lit("p"), col("p_partkey").cast("string"),
         lit("-partition-"), col("i").cast("string")))
       .orderBy(col("p_partkey"), col("i"))

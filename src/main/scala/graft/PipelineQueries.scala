@@ -106,12 +106,19 @@ object PipelineQueries extends QueryGroup {
   // Exact n-gram Jaccard near-dup pairs (blocked by lang). The data
   // has 6 planted pairs >= 0.95 with a clean gap to ~0.05 — threshold
   // 0.8 separates them exactly.
+  // The hot-shingle document-frequency cap (df <= 1000, mirrored in
+  // Dedup.ngramJaccardPairs maxShingleDocFreq) drops stop-phrase
+  // shingles from BOTH the intersection and the set sizes — the skew
+  // guard that bounds the self-join's hottest key at scale.
   q("q33_ngram_jaccard",
     s"""WITH toks AS (SELECT doc_id, lang, $sqlTokens AS l FROM documents),
-       |sh AS (SELECT DISTINCT doc_id, lang,
+       |sh0 AS (SELECT DISTINCT doc_id, lang,
        |         unnest(list_transform(generate_series(1, len(l) - 2),
        |                i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])) AS shingle
        |       FROM toks),
+       |sh AS (SELECT doc_id, lang, shingle FROM (
+       |         SELECT *, count(*) OVER (PARTITION BY lang, shingle) AS df
+       |         FROM sh0) WHERE df <= 1000),
        |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
        |      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.lang = b.lang

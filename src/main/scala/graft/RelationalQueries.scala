@@ -98,12 +98,26 @@ object RelationalQueries extends QueryGroup {
       .orderBy(col("o_orderstatus"))
   }
 
-  // R-5 approx: HLL sketches differ between engines → rows-only check.
-  qNoOracle("q05_approx_distinct") { (s, d) =>
+  // R-5 approx: the raw HLL estimates differ between engines, so the
+  // oracle-checked columns are the group keys, the exact counts, and a
+  // BOUND on the sketch — `approx_ok` = the engine's own approximate
+  // distinct count lands within 10% of its exact count (HLL++ at
+  // default precision is well inside 2%, so both engines agree the
+  // bound holds). The raw estimate itself stays ScalaTest-covered.
+  q("q05_approx_distinct",
+    """SELECT event_type, count(*) AS n_events,
+      |  count(DISTINCT user_id) AS n_users,
+      |  (abs(approx_count_distinct(user_id) - count(DISTINCT user_id))
+      |     <= 0.1 * count(DISTINCT user_id)) AS approx_ok
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin) { (s, d) =>
     Tables.events(s, d)
       .groupBy(col("event_type"))
-      .agg(approx_count_distinct(col("user_id")).as("approx_users"),
-        count(lit(1)).as("n_events"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        (abs(approx_count_distinct(col("user_id")) - countDistinct(col("user_id")))
+          <= countDistinct(col("user_id")) * lit(0.1)).as("approx_ok"))
       .orderBy(col("event_type"))
   }
 

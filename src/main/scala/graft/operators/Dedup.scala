@@ -20,9 +20,20 @@ object Dedup {
     * One shuffle on `keys`; at 100 TB prefer this over
     * `dropDuplicates` precisely because re-runs produce identical
     * survivors.
+    *
+    * Determinism holds even when `tieBreak` is not unique within a key
+    * group: the sort order is suffixed with every remaining orderable
+    * column, so tied rows either differ on some orderable column
+    * (suffix decides) or are identical on all of them (any survivor is
+    * indistinguishable).
     */
   def exact(df: DataFrame, keys: Seq[String], tieBreak: String): DataFrame = {
-    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(tieBreak))
+    val suffix = df.schema.fields
+      .filter(f => f.name != tieBreak && !keys.contains(f.name) &&
+        org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(f.dataType))
+      .map(f => col(f.name))
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(tieBreak) +: suffix.toSeq: _*)
     df.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .drop("__rn")
@@ -38,6 +49,16 @@ object Dedup {
     * (block, shingle) → count = |∩| → join per-doc set sizes →
     * |∪| = |a|+|b|-|∩|. The join key is the shingle, so co-occurrence
     * is an equi-shuffle, not a cartesian product.
+    *
+    * Skew guard: a shingle shared by k documents emits ~k²/2 candidate
+    * rows out of the self-join, so one stop-phrase shingle with
+    * document frequency 10⁶ would emit 5·10¹¹ rows from a single hot
+    * key. `maxShingleDocFreq` drops shingles above that document
+    * frequency (within a block) from the WHOLE computation — both the
+    * intersection and the per-doc set sizes, so the result is exactly
+    * the Jaccard over the surviving shingle sets (standard hot-shard
+    * pruning for near-dup mining; high-DF shingles carry no dedup
+    * signal anyway).
     */
   def ngramJaccardPairs(
       docs: DataFrame,
@@ -45,11 +66,19 @@ object Dedup {
       textCol: String,
       blockCol: String,
       n: Int,
-      threshold: Double): DataFrame = {
-    val sh = docs
+      threshold: Double,
+      maxShingleDocFreq: Int = 1000): DataFrame = {
+    val shAll = docs
       .select(col(idCol).as("doc"), col(blockCol).as("blk"),
         explode(TextFns.wordShingles(TextFns.tokens(col(textCol)), n)).as("shingle"))
       .distinct()
+    // document frequency per (block, shingle) over the distinct rows;
+    // one extra pass over the shingle table, bounded output
+    val dfW = Window.partitionBy(col("blk"), col("shingle"))
+    val sh = shAll
+      .withColumn("__df", count(lit(1)).over(dfW))
+      .filter(col("__df") <= maxShingleDocFreq)
+      .drop("__df")
     val sizes = sh.groupBy(col("doc")).agg(count(lit(1)).as("sz"))
     val a = sh.alias("a")
     val b = sh.alias("b")
@@ -130,13 +159,21 @@ object Dedup {
       .select(col("doc"), col("sig"), col("bb.band").as("band"), col("bb.bh").as("bh"))
     val a = banded.alias("a")
     val b = banded.alias("b")
+    // score INSIDE the join stage with the codegen'd sig_overlap (32
+    // long compares — round 1 used the interpreted aggregate(zip_with)
+    // HOF here, the bench's dominant tail) and filter BEFORE any
+    // shuffle: candidate rows that miss the threshold die pipelined in
+    // the join's output stage, and only the tiny survivor set (with
+    // its deterministic score, identical across the up-to-`bands`
+    // duplicate copies) reaches the distinct's exchange.
     a.join(b,
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh")
           && col("a.doc") < col("b.doc"))
       .select(col("a.doc").as("id_a"), col("b.doc").as("id_b"),
-        TextFns.minhashSimilarity(col("a.sig"), col("b.sig")).as("est_jaccard"))
-      .distinct()
+        graft.plans.SigOverlap.sigOverlap(docs.sparkSession,
+          col("a.sig"), col("b.sig")).as("est_jaccard"))
       .filter(col("est_jaccard") >= estThreshold)
+      .distinct()
   }
 
   /** SimHash near-duplicate pairs: 64-bit simhash per doc, candidates
@@ -166,12 +203,19 @@ object Dedup {
       .select(col("doc"), col("sh"), col("cc.chunk").as("chunk"), col("cc.ch").as("ch"))
     val a = chunked.alias("a")
     val b = chunked.alias("b")
+    // the hamming predicate is PART OF THE JOIN CONDITION: with 8-bit
+    // chunks the buckets collide heavily (n/256 docs per bucket →
+    // ~n²/512 candidate rows per chunk), so the cheap codegen'd
+    // xor+bit_count must kill non-dups inside the join stage — the
+    // round-1 plan shuffled every candidate row into a distinct first,
+    // which at sf0.1 meant tens of millions of rows through the
+    // exchange for a handful of survivors.
     a.join(b,
         col("a.chunk") === col("b.chunk") && col("a.ch") === col("b.ch")
-          && col("a.doc") < col("b.doc"))
+          && col("a.doc") < col("b.doc")
+          && TextFns.hamming64(col("a.sh"), col("b.sh")) <= maxHamming)
       .select(col("a.doc").as("id_a"), col("b.doc").as("id_b"),
         TextFns.hamming64(col("a.sh"), col("b.sh")).as("hamming"))
       .distinct()
-      .filter(col("hamming") <= maxHamming)
   }
 }

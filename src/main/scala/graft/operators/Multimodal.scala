@@ -33,29 +33,103 @@ object Multimodal {
     StructField("height", IntegerType, nullable = true),
     StructField("duration_ms", LongType, nullable = true)))
 
-  /** STUB codec: deterministic pseudo-decode. A real deployment
-    * replaces `decode` with an actual image/audio library call; the
-    * signature (bytes in, feature struct out, batched per partition)
-    * is the part that matters.
+  case class Features(
+      nBytes: Int, checksum: Long,
+      width: Option[Int], height: Option[Int], durationMs: Option[Long])
+
+  /** REAL header parsing for the container formats whose metadata is
+    * plain bytes — no media library needed: PNG and BMP dimensions,
+    * WAV duration. This is the minimal-real tier of the codec; full
+    * pixel/sample decode still needs an external library (absent in
+    * this environment) and falls through to [[FakeCodec]].
+    */
+  object HeaderCodec {
+
+    private def beInt(b: Array[Byte], off: Int): Int =
+      ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
+        ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
+
+    private def leInt(b: Array[Byte], off: Int): Int =
+      (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+        ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+
+    private val pngMagic =
+      Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+    /** PNG: 8-byte signature, then the IHDR chunk — width/height are
+      * big-endian int32 at offsets 16/20.
+      */
+    def png(b: Array[Byte]): Option[(Int, Int)] =
+      if (b.length >= 24 && b.take(8).sameElements(pngMagic) &&
+        new String(b.slice(12, 16), "US-ASCII") == "IHDR")
+        Some((beInt(b, 16), beInt(b, 20)))
+      else None
+
+    /** BMP: "BM" magic, BITMAPINFOHEADER width/height little-endian
+      * int32 at offsets 18/22 (height may be negative = top-down).
+      */
+    def bmp(b: Array[Byte]): Option[(Int, Int)] =
+      if (b.length >= 26 && b(0) == 'B'.toByte && b(1) == 'M'.toByte)
+        Some((leInt(b, 18), math.abs(leInt(b, 22))))
+      else None
+
+    /** WAV: RIFF/WAVE container; walk the chunk list for `fmt ` (byte
+      * rate at +8 inside it, little-endian) and `data` (payload size);
+      * duration_ms = dataSize * 1000 / byteRate.
+      */
+    def wav(b: Array[Byte]): Option[Long] = {
+      if (b.length < 44 ||
+        new String(b.slice(0, 4), "US-ASCII") != "RIFF" ||
+        new String(b.slice(8, 12), "US-ASCII") != "WAVE") return None
+      var byteRate = 0L
+      var dataSize = -1L
+      var off = 12
+      while (off + 8 <= b.length) {
+        val id = new String(b.slice(off, off + 4), "US-ASCII")
+        val sz = leInt(b, off + 4).toLong & 0xffffffffL
+        if (id == "fmt " && off + 16 <= b.length)
+          byteRate = leInt(b, off + 16).toLong & 0xffffffffL
+        if (id == "data") dataSize = sz
+        off += 8 + sz.toInt + (sz.toInt & 1) // chunks are word-aligned
+      }
+      if (byteRate > 0 && dataSize >= 0) Some(dataSize * 1000L / byteRate)
+      else None
+    }
+
+    /** Sniff the payload's magic bytes and extract what the header
+      * carries; None when the format isn't one of the pure-JVM ones.
+      */
+    def sniff(b: Array[Byte]): Option[(Option[Int], Option[Int], Option[Long])] =
+      png(b).orElse(bmp(b)).map { case (w, h) => (Some(w), Some(h), None) }
+        .orElse(wav(b).map(d => (None: Option[Int], None: Option[Int], Some(d))))
+  }
+
+  /** Fallback codec for payloads that are NOT a parseable container
+    * (e.g. the documents-as-bytes fixture): deterministic pseudo-decode
+    * so the pipeline shape stays testable. A real deployment replaces
+    * this tier with an actual image/audio library call; the signature
+    * (bytes in, feature struct out, batched per partition) is the part
+    * that matters.
     */
   object FakeCodec {
-    case class Features(
-        nBytes: Int, checksum: Long,
-        width: Option[Int], height: Option[Int], durationMs: Option[Long])
 
     def decode(mediaType: String, payload: Array[Byte]): Features = {
-      // ??? <- real codec goes here; deterministic fake below.
       val checksum = payload.foldLeft(1469598103934665603L) { (h, b) =>
         (h ^ (b & 0xff)) * 1099511628211L // FNV-1a, pure JVM arithmetic
       }
       val n = payload.length
-      mediaType match {
-        case "image" => Features(n, checksum,
-          Some(1 + math.abs((checksum % 1024).toInt)),
-          Some(1 + math.abs(((checksum >> 10) % 1024).toInt)), None)
-        case "audio" | "video" => Features(n, checksum, None, None,
-          Some(math.abs(checksum % 3600000L)))
-        case _ => Features(n, checksum, None, None, None)
+      // real tier first: a payload with a parseable header yields its
+      // ACTUAL dimensions/duration
+      HeaderCodec.sniff(payload) match {
+        case Some((w, h, d)) => Features(n, checksum, w, h, d)
+        case None => mediaType match {
+          case "image" => Features(n, checksum,
+            Some(1 + math.abs((checksum % 1024).toInt)),
+            Some(1 + math.abs(((checksum >> 10) % 1024).toInt)), None)
+          case "audio" | "video" => Features(n, checksum, None, None,
+            Some(math.abs(checksum % 3600000L)))
+          case _ => Features(n, checksum, None, None, None)
+        }
       }
     }
   }

@@ -63,7 +63,37 @@ object Similarity {
     ranked(pairs, k)
   }
 
-  /** Exact all-pairs cosine >= threshold (near-dup detection). The
+  /** All-pairs cosine >= threshold (near-dup detection), auto-routed
+    * by corpus size:
+    *
+    *   - corpus <= `maxBroadcastRows` → [[broadcastAllPairsCosine]]:
+    *     EXACT, collect + broadcast + tight JVM loops. ~1 GB broadcast
+    *     at 4M × 64-dim floats — fine for a dimension/probe table,
+    *     the scale-killer for a 100 TB corpus.
+    *   - larger → [[bucketedPairsCosine]]: sign-bucket blocked — the
+    *     candidate join is an equi-join on the bucket, fully
+    *     distributed, no driver materialization. APPROXIMATE: pairs
+    *     whose first-`bits` sign patterns differ are missed (high-
+    *     cosine near-dups rarely do; recall is asserted against the
+    *     exact path in SimilaritySpec).
+    *
+    * The size probe is a `limit(max+1).count()` — it reads at most
+    * one row past the threshold, not the whole corpus.
+    */
+  def allPairsCosine(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      maxBroadcastRows: Long = 4000000L,
+      bucketBits: Int = 8): DataFrame = {
+    val probeLimit = math.min(maxBroadcastRows + 1, Int.MaxValue.toLong).toInt
+    val small = emb.limit(probeLimit).count() <= maxBroadcastRows
+    if (small) broadcastAllPairsCosine(emb, idCol, vecCol, threshold)
+    else bucketedPairsCosine(emb, idCol, vecCol, threshold, bucketBits)
+  }
+
+  /** Exact all-pairs cosine >= threshold over a SMALL corpus. The
     * corpus is collected and broadcast as primitive float arrays and
     * each task scans its probe slice with tight JVM loops — the same
     * left-to-right double summation as [[VectorFns.dot]], so values
@@ -72,10 +102,10 @@ object Similarity {
     * crossJoin (benched at sf0.1).
     *
     * Scale contract: the broadcast side must fit an executor (~1 GB ≈
-    * 4M × 64-dim floats). Beyond that, block first (sign buckets /
-    * LSH, see [[signBucketTopK]]) and run this within blocks.
+    * 4M × 64-dim floats) — enforced by [[allPairsCosine]]'s router;
+    * call this directly only when the corpus is known small.
     */
-  def allPairsCosine(
+  def broadcastAllPairsCosine(
       emb: DataFrame,
       idCol: String,
       vecCol: String,
@@ -115,6 +145,30 @@ object Similarity {
         }
       }
     }.toDF("id_a", "id_b", "cos")
+  }
+
+  /** Blocked all-pairs cosine: pairs are only formed inside equal
+    * sign-bit buckets of the first `bits` dimensions, so the candidate
+    * join is a bucket equi-join — per-bucket work is ~(n/2^bits)²
+    * instead of n², with no driver-side materialization. Same output
+    * schema and same 6-decimal rounding as
+    * [[broadcastAllPairsCosine]]; misses cross-bucket pairs by design
+    * (the recall/scale tradeoff of every LSH near-dup pipeline).
+    */
+  def bucketedPairsCosine(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      bits: Int = 8): DataFrame = {
+    val e = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
+      VectorFns.signBucket(col(vecCol), bits).as("bucket"))
+    val a = e.alias("a")
+    val b = e.alias("b")
+    a.join(b, col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        cos6(emb.sparkSession, col("a.v"), col("b.v")).as("cos"))
+      .filter(col("cos") >= threshold)
   }
 
   /** ANN: compare only within equal sign-bit buckets of the first

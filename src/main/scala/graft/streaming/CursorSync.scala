@@ -65,6 +65,41 @@ object OffsetIndex {
         payload = Seq("dstLedger", "dstEntry"))
       .drop("__pos")
   }
+
+  /** Two-tier translation, matching the reference's lookup order
+    * (`PulsarPartitionSyncWorker.java:211-218`): an EXACT hit against
+    * the full offset map first (the reference's dense 1-minute
+    * `messageIdMap` cache — here the whole recorded map, a strict
+    * superset of the reference's TTL'd tier), falling back to the
+    * sparse floor sample only when the cursor sits on a message the
+    * map never recorded. Without the dense tier, a cursor at a
+    * just-copied message resolves to its minute's FIRST sample — up to
+    * a minute early, extra redelivery after subscription create/reset.
+    *
+    * Both tiers are equi/as-of joins over the tiny cursor-stat probe
+    * side; the offset map is the build side in both.
+    */
+  def translateTwoTier(
+      cursorStats: DataFrame,
+      offsetMap: DataFrame,
+      retentionMinutes: Int = 60): DataFrame = {
+    val sparse = translate(cursorStats, sparseSample(offsetMap, retentionMinutes))
+      .alias("s")
+    val dense = offsetMap.select(col("topic"), col("partition"),
+        col("srcLedger"), col("srcEntry"),
+        col("dstLedger").as("__denseL"), col("dstEntry").as("__denseE"))
+      .alias("d")
+    sparse.join(dense,
+        col("s.topic") === col("d.topic")
+          && col("s.partition") === col("d.partition")
+          && col("s.readLedger") === col("d.srcLedger")
+          && col("s.readEntry") === col("d.srcEntry"), "left")
+      .select(col("s.topic"), col("s.partition"), col("s.cursor"),
+        col("s.readLedger"), col("s.readEntry"),
+        coalesce(col("d.__denseL"), col("s.dstLedger")).as("dstLedger"),
+        coalesce(col("d.__denseE"), col("s.dstEntry")).as("dstEntry"),
+        col("s.observedTs"))
+  }
 }
 
 /** Translated cursor observation: src read position + (nullable)

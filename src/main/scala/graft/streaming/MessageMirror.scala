@@ -59,44 +59,83 @@ object MessageMirror {
     * (topic, partition) so each physical partition is written by one
     * task, in (ledgerId, entryId) order within it.
     *
-    * Error isolation (SURVEY §2A A23): a publish failure is recorded
-    * per message and never aborts the siblings — the reference logs
-    * and skips (`PulsarPartitionSyncWorker.java:233-234`, where
-    * no-ack also means the broker redelivers; here the dead-letter
-    * record plays that role for the next tick/batch).
+    * Error isolation (SURVEY §2A A23): a publish is retried
+    * `publishAttempts` times (transient-failure absorption — the
+    * reference gets this from broker redelivery on no-ack); if all
+    * attempts fail and a DeadLetterSink is configured, the failure is
+    * recorded per message and never aborts the siblings. NOTE the
+    * semantics: a dead-lettered message is TERMINAL for this pipeline —
+    * the batch's offsets commit and nothing replays DLQ entries; the
+    * at-least-once guarantee then covers it only if an external
+    * process re-feeds the DLQ. Without a DeadLetterSink the batch
+    * fails and replays — full at-least-once, the reference's behavior.
+    *
+    * A recorder failure AFTER a successful publish is deliberately NOT
+    * dead-lettered (the message was delivered; recording it as failed
+    * would lose the src→dst mapping): it fails the batch distinctly,
+    * and the replay re-publishes idempotently and re-records.
     */
   def writeBatch(
       batch: Dataset[org.apache.spark.sql.Row],
       sink: DestinationSink,
       deadLetter: Option[DeadLetterSink] = None,
-      offsets: Option[OffsetRecorder] = None): Unit = {
+      offsets: Option[OffsetRecorder] = None,
+      publishAttempts: Int = 3): Unit = {
     batch
       .repartition(col("topic"), col("partition"))
       .sortWithinPartitions(col("topic"), col("partition"),
         col("ledgerId"), col("entryId"))
       .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
         rows.foreach { r =>
-          try {
-            val (dstLedger, dstEntry) = publishRow(r, sink)
+          val published: Option[(Long, Long)] =
+            try Some(publishWithRetry(r, sink, publishAttempts))
+            catch {
+              case e: Exception => deadLetter match {
+                case Some(dl) =>
+                  dl.record(
+                    r.getAs[String]("topic"), r.getAs[Int]("partition"),
+                    r.getAs[Long]("ledgerId"), r.getAs[Long]("entryId"),
+                    e.getMessage)
+                  None
+                case None => throw e // no DLQ → fail the batch, replay
+              }
+            }
+          published.foreach { case (dstLedger, dstEntry) =>
             // A15: record src->dst translation on publish success;
             // recordedTs = publishTime keeps replays deterministic
-            // (the reference stamps wall-clock nanoTime)
-            offsets.foreach(_.record(OffsetMapping(
+            // (the reference stamps wall-clock nanoTime). Own
+            // try-scope: see class doc.
+            try offsets.foreach(_.record(OffsetMapping(
               r.getAs[String]("topic"), r.getAs[Int]("partition"),
               r.getAs[Long]("ledgerId"), r.getAs[Long]("entryId"),
               dstLedger, dstEntry,
               r.getAs[java.sql.Timestamp]("publishTime"))))
-          } catch {
-            case e: Exception => deadLetter match {
-              case Some(dl) => dl.record(
-                r.getAs[String]("topic"), r.getAs[Int]("partition"),
-                r.getAs[Long]("ledgerId"), r.getAs[Long]("entryId"),
-                e.getMessage)
-              case None => throw e // no DLQ → fail the batch, replay
+            catch {
+              case e: Exception => throw new IllegalStateException(
+                "offset recorder failed after successful publish of " +
+                  s"${r.getAs[String]("topic")}/${r.getAs[Int]("partition")}" +
+                  s"@(${r.getAs[Long]("ledgerId")},${r.getAs[Long]("entryId")})" +
+                  " — failing the batch for replay", e)
             }
           }
         }
       }
+  }
+
+  private def publishWithRetry(
+      r: org.apache.spark.sql.Row,
+      sink: DestinationSink,
+      attempts: Int): (Long, Long) = {
+    var n = 0
+    while (true) {
+      n += 1
+      try return publishRow(r, sink)
+      catch {
+        case e: Exception if n < attempts =>
+          Thread.sleep(10L * n) // brief linear backoff between attempts
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   private def publishRow(

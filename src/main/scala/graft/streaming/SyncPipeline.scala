@@ -89,10 +89,13 @@ class SyncPipeline(
   def tickMetadata(refreshOnly: Boolean = false): (Long, Long, Long) = {
     def gate(df: => DataFrame, enabled: Boolean): DataFrame =
       if (!refreshOnly || enabled) df else df.limit(0)
-    // fetch the topic listing once per tick: a live source issues an
-    // admin call per access, and two snapshots could disagree between
-    // the topic-create and partition-create plans
-    val srcTopics = source.topics
+    // MATERIALIZE the topic listing once per tick: a live source issues
+    // an admin call per DataFrame action, and plan.topics/plan
+    // .partitions are separate collect()s — an uncached frame would
+    // re-list and the two plans could disagree (the orphan-partition
+    // case the willExist guard targets). Metadata sets are tiny, so a
+    // driver-side snapshot is the honest materialization.
+    val srcTopics = materialize(source.topics)
     val plan = MetadataSync.tick(
       gate(source.tenants, conf.autoUpdateTenant), dest.tenants,
       gate(source.namespaces, conf.autoUpdateNamespace), dest.namespaces,
@@ -132,6 +135,39 @@ class SyncPipeline(
     (tenants.size.toLong, namespaces.size.toLong, topics.size.toLong)
   }
 
+  /** Snapshot a (tiny) metadata frame so repeated actions inside one
+    * tick see one consistent listing.
+    */
+  private def materialize(df: DataFrame): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(df.collect().toSeq.asJava, df.schema)
+  }
+
+  /** Partition-growth-only tick (the reference re-fetches partition
+    * metadata on a FASTER cadence than the topic level —
+    * `PulsarPartitionedTopicSyncWorker.java:56-58` re-checks every
+    * minute while topics re-scan every 3 — so growth must be
+    * computable without re-running the whole metadata tick). Restricted
+    * to topics already mirrored on the destination; new topics are the
+    * topic level's job. Returns the number of partitions created.
+    */
+  def tickPartitionGrowth(): Long = {
+    val keys = Seq("tenant", "namespace", "topic")
+    val srcTopics = materialize(source.topics)
+    val dstTopics = materialize(dest.topics)
+    val mirrored = MetadataSync.logicalTopics(srcTopics)
+      .join(MetadataSync.logicalTopics(dstTopics).select(keys.map(col): _*),
+        keys, "left_semi")
+    val parts = MetadataSync.partitionCreates(mirrored, dstTopics)
+      .collect().map { r =>
+        PartitionRow(r.getAs[String]("tenant"), r.getAs[String]("namespace"),
+          r.getAs[String]("topic"), r.getAs[Int]("partitionIndex"),
+          r.getAs[String]("physicalTopic"))
+      }.toSeq
+    dest.createPartitions(parts)
+    parts.size.toLong
+  }
+
   /** Start the data-plane mirror (A14). One streaming query for the
     * whole topology — partitioning by (topic, partition) inside the
     * batch write preserves the reference's per-partition ordering
@@ -139,51 +175,98 @@ class SyncPipeline(
     * successful publish records its src→dst MessageId mapping (A15),
     * which [[syncCursors]] then consumes — the closed loop the
     * reference runs between its data plane and cursor plane.
+    *
+    * `SyncConfig.subscriptionName` namespaces the checkpoint: the
+    * reference's consumer subscription is what persists the mirror's
+    * read position across restarts
+    * (`PulsarPartitionSyncWorker.java:99-112`); Structured Streaming's
+    * equivalent durable position is the checkpoint, so two pipelines
+    * with different subscription names track independent positions
+    * under the same checkpoint root.
     */
   def startMirror(checkpointDir: String,
       trigger: Trigger = Trigger.AvailableNow(),
       deadLetter: Option[DeadLetterSink] = None,
       offsets: Option[OffsetRecorder] = None) =
-    MessageMirror.start(source.messages, dest.sink, checkpointDir, trigger,
+    MessageMirror.start(source.messages, dest.sink,
+      s"$checkpointDir/${conf.subscriptionName}", trigger,
       deadLetter, offsets).start()
 
-  /** Continuous mode (A21): schedule metadata re-scan ticks at the
-    * reference's cadence semantics — `autoUpdate*` false ⇒ one
-    * immediate tick only, true ⇒ fixed-delay re-ticks. The reference
-    * uses one 10-thread ScheduledExecutorService for all levels
-    * (`PulsarSync.java:44`); the control plane here is a single
-    * anti-join tick, so one scheduler thread suffices — the heavy
-    * lifting happens on the Spark cluster, not the scheduler.
-    * Returns a handle whose `close()` stops rescheduling.
+  /** A20: supervised mirror — the reference's worker init retries
+    * until success (`PulsarPartitionSyncWorker.java:88-93,118`) and a
+    * dead consumer is re-created; here a mirror query that dies with an
+    * error is restarted from its checkpoint (replaying the failed
+    * micro-batch — publish idempotence makes that safe) until it
+    * terminates cleanly or `maxRestarts` is exhausted.
+    */
+  def superviseMirror(checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow(),
+      deadLetter: Option[DeadLetterSink] = None,
+      offsets: Option[OffsetRecorder] = None,
+      restartBackoffMillis: Long = 1000L,
+      maxRestarts: Int = Int.MaxValue): MirrorSupervisor =
+    new MirrorSupervisor(
+      () => startMirror(checkpointDir, trigger, deadLetter, offsets),
+      restartBackoffMillis, maxRestarts)
+
+  /** Continuous mode (A21), with the reference's PER-LEVEL cadences:
+    * tenants/namespaces/topics re-scan on the metadata period (3 min
+    * there — `PulsarTenantSyncManager.java:58`), partition growth on
+    * its own faster period (1 min —
+    * `PulsarPartitionedTopicSyncWorker.java:58`), and the cursor plane
+    * on the fastest (10 s — `PulsarPartitionSyncWorker.java:92`).
+    * `autoUpdate*` false ⇒ that level ticks once, immediately;
+    * true ⇒ fixed-delay re-ticks. Cursors are scheduled whenever
+    * `offsetMap` is provided (a () ⇒ DataFrame so each tick reads the
+    * CURRENT recorded map, closing the loop with a running mirror).
+    *
+    * The reference uses one 10-thread ScheduledExecutorService for all
+    * levels (`PulsarSync.java:44`); here two scheduler threads suffice
+    * — the heavy lifting happens on the Spark cluster, not the
+    * scheduler. Returns a handle whose `close()` stops rescheduling.
     */
   def runContinuous(
-      metadataPeriodMillis: Long = 3 * 60 * 1000L): AutoCloseable = {
-    val exec = java.util.concurrent.Executors.newSingleThreadScheduledExecutor(
+      metadataPeriodMillis: Long = 3 * 60 * 1000L,
+      partitionPeriodMillis: Long = 60 * 1000L,
+      cursorPeriodMillis: Long = 10 * 1000L,
+      offsetMap: Option[() => DataFrame] = None): AutoCloseable = {
+    val exec = java.util.concurrent.Executors.newScheduledThreadPool(2,
       r => { val t = new Thread(r, "graft-sync-ticker"); t.setDaemon(true); t })
-    val anyAuto = conf.autoUpdateTenant || conf.autoUpdateNamespace ||
-      conf.autoUpdateTopic || conf.autoUpdatePartition
-    val first = new java.util.concurrent.atomic.AtomicBoolean(true)
-    val task: Runnable = () =>
-      // A23: a failed tick logs (with stack trace — getMessage alone
-      // hides NPEs) and waits for the next cadence; only fatal VM
-      // errors propagate (and then scheduleWithFixedDelay stops, so
-      // log them first rather than dying silently)
-      try tickMetadata(refreshOnly = !first.getAndSet(false))
+    // A23: a failed tick logs (with stack trace — getMessage alone
+    // hides NPEs) and waits for the next cadence; only fatal VM errors
+    // propagate (and then scheduleWithFixedDelay stops, so log them
+    // first rather than dying silently)
+    def guarded(label: String)(body: => Unit): Runnable = () =>
+      try body
       catch {
         case scala.util.control.NonFatal(e) =>
-          System.err.println(s"[graft-sync] tick failed: $e")
+          System.err.println(s"[graft-sync] $label tick failed: $e")
           e.printStackTrace()
         case e: Throwable =>
-          System.err.println(s"[graft-sync] tick died fatally: $e")
+          System.err.println(s"[graft-sync] $label tick died fatally: $e")
           e.printStackTrace()
           throw e
       }
-    if (anyAuto)
-      exec.scheduleWithFixedDelay(task, 0L, metadataPeriodMillis,
+    val anyMetaAuto = conf.autoUpdateTenant || conf.autoUpdateNamespace ||
+      conf.autoUpdateTopic
+    val first = new java.util.concurrent.atomic.AtomicBoolean(true)
+    val metaTask = guarded("metadata") {
+      tickMetadata(refreshOnly = !first.getAndSet(false))
+    }
+    if (anyMetaAuto)
+      exec.scheduleWithFixedDelay(metaTask, 0L, metadataPeriodMillis,
         java.util.concurrent.TimeUnit.MILLISECONDS)
-    else {
-      exec.submit(task)
-      exec.shutdown() // one-shot: thread exits once the tick finishes
+    else exec.submit(metaTask) // one-shot initial tick (all levels)
+    // partition growth on its own (faster) cadence; the initial
+    // metadata tick already created the partitions of brand-new topics
+    if (conf.autoUpdatePartition)
+      exec.scheduleWithFixedDelay(guarded("partition") { tickPartitionGrowth() },
+        partitionPeriodMillis, partitionPeriodMillis,
+        java.util.concurrent.TimeUnit.MILLISECONDS)
+    offsetMap.foreach { om =>
+      exec.scheduleWithFixedDelay(guarded("cursor") { syncCursors(om()) },
+        cursorPeriodMillis, cursorPeriodMillis,
+        java.util.concurrent.TimeUnit.MILLISECONDS)
     }
     // graceful: stop rescheduling, let an in-flight tick finish (an
     // interrupt mid-apply could leave a level half-created)
@@ -197,13 +280,16 @@ class SyncPipeline(
   private val cursorState =
     scala.collection.mutable.Map.empty[(String, Int, String), CursorState]
 
-  /** One cursor-plane tick (A15–A19): sparse-sample the offset map,
-    * as-of translate the observed cursor positions, decide
-    * create/reset per cursor, apply to the destination.
+  /** One cursor-plane tick (A15–A19): translate the observed cursor
+    * positions through the two-tier index (exact hit on the full
+    * offset map first, sparse floor fallback —
+    * [[OffsetIndex.translateTwoTier]]), decide create/reset per
+    * cursor, apply to the destination. Synchronized: a scheduled
+    * cursor tick and a manual call must not interleave on the cursor
+    * state.
     */
-  def syncCursors(offsetMap: DataFrame): Seq[CursorAction] = {
-    val index = OffsetIndex.sparseSample(offsetMap)
-    val translated = OffsetIndex.translate(source.cursorStats, index)
+  def syncCursors(offsetMap: DataFrame): Seq[CursorAction] = this.synchronized {
+    val translated = OffsetIndex.translateTwoTier(source.cursorStats, offsetMap)
     val stats = translated.collect().map { r =>
       val topic = r.getAs[String]("topic")
       val partition = r.getAs[Int]("partition")
@@ -224,5 +310,70 @@ class SyncPipeline(
       }
     actions.foreach(dest.applyCursorAction)
     actions
+  }
+}
+
+/** A20 mirror supervision: starts the query, and on an errored
+  * termination restarts it from its checkpoint after a backoff —
+  * retry-until-success, like the reference's worker init loop. A clean
+  * termination (e.g. `AvailableNow` drained the source) ends
+  * supervision. The failed micro-batch replays on restart; the sink's
+  * MessageId idempotence makes the replay a no-op for already-delivered
+  * rows.
+  */
+class MirrorSupervisor(
+    startQuery: () => org.apache.spark.sql.streaming.StreamingQuery,
+    backoffMillis: Long,
+    maxRestarts: Int) extends AutoCloseable {
+
+  @volatile private var closed = false
+  @volatile private var restartCounter = 0
+  @volatile private var lastErrorOpt: Option[Throwable] = None
+  @volatile private var active: Option[org.apache.spark.sql.streaming.StreamingQuery] = None
+  private val done = new java.util.concurrent.CountDownLatch(1)
+
+  private val thread = new Thread({ () =>
+    var keepGoing = true
+    while (keepGoing && !closed) {
+      try {
+        val q = startQuery()
+        active = Some(q)
+        q.awaitTermination() // throws on errored termination
+        keepGoing = false // clean end (AvailableNow drained, or stop())
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          lastErrorOpt = Some(e)
+          if (closed || restartCounter >= maxRestarts) keepGoing = false
+          else {
+            restartCounter += 1
+            System.err.println(
+              s"[graft-mirror] query died (restart $restartCounter): $e")
+            try Thread.sleep(backoffMillis)
+            catch { case _: InterruptedException => keepGoing = false }
+          }
+      }
+    }
+    active = None
+    done.countDown()
+  }: Runnable, "graft-mirror-supervisor")
+  thread.setDaemon(true)
+  thread.start()
+
+  /** Number of restarts performed so far. */
+  def restarts: Int = restartCounter
+
+  /** Last error that caused a restart (or gave up), if any. */
+  def lastError: Option[Throwable] = lastErrorOpt
+
+  /** Wait for supervision to end (clean termination, restart budget
+    * exhausted, or close()); true if it ended within the timeout.
+    */
+  def awaitTerminated(timeoutMillis: Long): Boolean =
+    done.await(timeoutMillis, java.util.concurrent.TimeUnit.MILLISECONDS)
+
+  override def close(): Unit = {
+    closed = true
+    active.foreach { q => try q.stop() catch { case _: Exception => () } }
+    thread.interrupt()
   }
 }

@@ -27,6 +27,16 @@ class QueriesSpec extends SparkSuiteBase {
     }
   }
 
+  test("q45: Catalyst-decorrelated SQL text matches the fused engine plan") {
+    // the oracle SQL (three correlated subqueries) run through
+    // spark.sql — Catalyst decorrelates it — must produce exactly the
+    // rows of the fused single-aggregate plan served by the engine
+    Queries.registerViews(spark, sfDir)
+    val viaSql = spark.sql(ExtendedQueries.subqSql).collect().toSeq
+    val fused = Queries.all("q45_subqueries")(spark, sfDir).collect().toSeq
+    assert(viaSql == fused)
+  }
+
   test("deterministic re-run: q07_join_star identical across executions") {
     val a = Queries.all("q07_join_star")(spark, sfDir).collect().toSeq
     val b = Queries.all("q07_join_star")(spark, sfDir).collect().toSeq

@@ -61,6 +61,73 @@ class DedupSimilaritySpec extends SparkSuiteBase {
       .exceptAll(expectMin).count() == 0)
   }
 
+  test("hot-shingle document-frequency cap bounds the candidate set") {
+    import spark.implicits._
+    // 10 docs sharing ONE stop-phrase shingle ("alpha beta gamma") plus
+    // a unique tail: every pair intersects only on the hot shingle
+    val hotDocs = (0 until 10)
+      .map(i => (i.toLong, s"alpha beta gamma unique$i", "en"))
+      .toDF("doc_id", "text", "lang")
+    // uncapped: the hot shingle makes all C(10,2)=45 pairs candidates
+    val uncapped = Dedup.ngramJaccardPairs(hotDocs, "doc_id", "text", "lang",
+      n = 3, threshold = 0.2, maxShingleDocFreq = 1000)
+    assert(uncapped.count() == 45)
+    // capped below the hot shingle's DF: it is dropped from the whole
+    // computation, the unique-tail shingles share nothing -> no pairs
+    val capped = Dedup.ngramJaccardPairs(hotDocs, "doc_id", "text", "lang",
+      n = 3, threshold = 0.2, maxShingleDocFreq = 5)
+    assert(capped.count() == 0)
+    // the default cap (1000) does not change the fixture's exact pairs
+    // (no shingle in the synthetic corpus is that hot) — exactPairs
+    // above already runs with the default
+  }
+
+  test("bucketed all-pairs cosine agrees with the exact path on planted near-dups") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    // base vectors with components bounded away from 0 so a tiny
+    // perturbation cannot flip a sign bit
+    def vec(): Array[Float] = Array.fill(16) {
+      val x = rnd.nextDouble() * 0.9 + 0.1
+      (if (rnd.nextBoolean()) x else -x).toFloat
+    }
+    def perturb(v: Array[Float]): Array[Float] =
+      v.map(x => x + (if (x > 0) 1e-3f else -1e-3f))
+    val bases = (0 until 30).map(_ => vec())
+    val rows = bases.zipWithIndex.map { case (v, i) => (i.toLong, v) } ++
+      bases.take(5).zipWithIndex.map { case (v, i) => (100L + i, perturb(v)) }
+    val emb = rows.toDF("vec_id", "embedding")
+    val planted = (0 until 5).map(i => (i.toLong, 100L + i)).toSet
+    val exact = Similarity.broadcastAllPairsCosine(emb, "vec_id", "embedding", 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(planted.subsetOf(exact.keySet))
+    // router with maxBroadcastRows = 0 forces the bucketed path
+    val bucketed = Similarity.allPairsCosine(emb, "vec_id", "embedding", 0.99,
+        maxBroadcastRows = 0L, bucketBits = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // every planted near-dup survives bucketing (signs preserved) with
+    // the identical 6-decimal cosine, and nothing outside the exact
+    // result appears
+    planted.foreach { p =>
+      assert(bucketed.contains(p), s"bucketed path missed planted pair $p")
+      assert(math.abs(bucketed(p) - exact(p)) < 1e-12)
+    }
+    assert(bucketed.keySet.subsetOf(exact.keySet))
+  }
+
+  test("exact dedup survivor is deterministic under tie-break ties") {
+    import spark.implicits._
+    // two rows tie on tieBreak but differ on the payload column: the
+    // orderable-suffix rule must pick the same survivor every run
+    val df = Seq((1L, 10L, "b"), (1L, 10L, "a"), (2L, 5L, "z"))
+      .toDF("k", "tb", "payload")
+    (1 to 3).foreach { _ =>
+      val out = Dedup.exact(df, Seq("k"), "tb")
+        .collect().map(r => (r.getLong(0), r.getString(2))).toSet
+      assert(out == Set((1L, "a"), (2L, "z")))
+    }
+  }
+
   test("sign-bucket ANN neighbors are a subset of brute-force candidates with equal cosines") {
     val e = Tables.embeddings(spark, sfDir)
     val probes = e.filter(col("vec_id") < 5)

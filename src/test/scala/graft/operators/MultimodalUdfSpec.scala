@@ -47,6 +47,66 @@ class MultimodalUdfSpec extends SparkSuiteBase {
       .filter(col("total") =!= col("n")).count() == 0)
   }
 
+  // ---- synthesized real container headers (pure bytes, no media libs)
+
+  private def pngBytes(w: Int, h: Int): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(33)
+    bb.put(Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+    bb.putInt(13) // IHDR length
+    bb.put("IHDR".getBytes("US-ASCII"))
+    bb.putInt(w).putInt(h)
+    bb.put(8.toByte).put(6.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+    bb.array()
+  }
+
+  private def bmpBytes(w: Int, h: Int): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(54).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put('B'.toByte).put('M'.toByte)
+    bb.putInt(54).putInt(0).putInt(54) // file size, reserved, data offset
+    bb.putInt(40).putInt(w).putInt(h) // BITMAPINFOHEADER
+    bb.array()
+  }
+
+  private def wavBytes(byteRate: Int, dataSize: Int): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(44 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+    bb.put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+    bb.putShort(1).putShort(1) // PCM, mono
+    bb.putInt(byteRate / 2).putInt(byteRate) // sample rate, byte rate
+    bb.putShort(2).putShort(16) // block align, bits
+    bb.put("data".getBytes("US-ASCII")).putInt(dataSize)
+    bb.array()
+  }
+
+  test("multimodal: real PNG/BMP/WAV headers round-trip through extractFeatures") {
+    val rows = Seq(
+      (1L, "image", pngBytes(640, 480), Map.empty[String, String]),
+      (2L, "image", bmpBytes(320, 200), Map.empty[String, String]),
+      // 16000 B/s, 48000 bytes of audio = exactly 3000 ms
+      (3L, "audio", wavBytes(16000, 48000), Map.empty[String, String]))
+    val assets = rows.toDF("asset_id", "media_type", "payload", "meta")
+    val out = Multimodal.extractFeatures(assets)
+      .select(col("asset_id"), col("features.width"), col("features.height"),
+        col("features.duration_ms"))
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(1)), Option(r.get(2)), Option(r.get(3)))).toMap
+    assert(out(1L) == ((Some(640), Some(480), None)))
+    assert(out(2L) == ((Some(320), Some(200), None)))
+    assert(out(3L) == ((None, None, Some(3000L))))
+  }
+
+  test("multimodal: header sniffing is magic-byte-driven, unknown bytes fall back") {
+    // a WAV payload declared as "image" still parses as WAV (bytes win
+    // over the declared media type)
+    val f = Multimodal.FakeCodec.decode("image", wavBytes(8000, 8000))
+    assert(f.durationMs.contains(1000L) && f.width.isEmpty)
+    // opaque bytes fall back to the deterministic fake path
+    val g = Multimodal.FakeCodec.decode("image", "not a container".getBytes("UTF-8"))
+    assert(g.width.nonEmpty && g.height.nonEmpty)
+  }
+
   test("U-1: cosine UDF agrees with the codegen formulation") {
     Udfs.register(spark)
     val e = Tables.embeddings(spark, sfDir).limit(50)

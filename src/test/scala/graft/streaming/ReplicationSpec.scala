@@ -134,6 +134,28 @@ class ReplicationSpec extends SparkSuiteBase {
     assert(out(("sub-a", 1)) == Some(215L))
   }
 
+  test("two-tier translation: exact dense hit beats the minute-first sparse floor") {
+    // two mappings in the SAME minute: the sparse tier keeps only the
+    // first (10,0); a cursor sitting exactly on the second (10,5) must
+    // translate EXACTLY through the dense tier (the reference's
+    // messageIdMap hit, PulsarPartitionSyncWorker.java:211-214), not
+    // floor back a minute to (110,0)
+    val om = Seq(
+      OffsetMapping("top", 0, 10, 0, 110, 0, Timestamp.valueOf("2024-01-01 10:00:00")),
+      OffsetMapping("top", 0, 10, 5, 115, 5, Timestamp.valueOf("2024-01-01 10:00:30"))).toDF()
+    val stats = Seq(
+      CursorStat("top", 0, "on-mapping", 10, 5, Timestamp.valueOf("2024-01-01 10:01:00")),
+      CursorStat("top", 0, "between", 10, 7, Timestamp.valueOf("2024-01-01 10:01:00")),
+      CursorStat("top", 0, "below-all", 1, 0, Timestamp.valueOf("2024-01-01 10:01:00"))).toDF()
+    val out = OffsetIndex.translateTwoTier(stats, om)
+      .collect().map(r => r.getAs[String]("cursor") ->
+        (Option(r.get(r.fieldIndex("dstLedger"))), Option(r.get(r.fieldIndex("dstEntry")))))
+      .toMap
+    assert(out("on-mapping") == ((Some(115L), Some(5L)))) // dense exact hit
+    assert(out("between") == ((Some(110L), Some(0L)))) // sparse floor fallback
+    assert(out("below-all") == ((None, None)))
+  }
+
   test("cursor state machine: create / skip / reset / dst-owned") {
     implicit val s = spark
     val ms = MemoryStream[TranslatedCursorStat](spark, 1)

@@ -70,6 +70,27 @@ class FakeDest(spark: SparkSession, name: String) extends DestinationCluster {
     rows.foreach(r => if (!partitionCreates.contains(r)) partitionCreates += r)
 }
 
+/** JVM-wide attempt counter for the flaky sink (valid under local[*]). */
+object FlakySinkState {
+  val counters = new java.util.concurrent.ConcurrentHashMap[String,
+    java.util.concurrent.atomic.AtomicInteger]()
+  def counter(name: String): java.util.concurrent.atomic.AtomicInteger =
+    counters.computeIfAbsent(name, _ => new java.util.concurrent.atomic.AtomicInteger(0))
+  def reset(name: String): Unit = counter(name).set(0)
+}
+
+/** Fails every publish attempt of the first query run (3 in-task
+  * retries + the batch failure), succeeds from attempt 4 on — so only
+  * a supervisor restart can drain the stream.
+  */
+class FlakyThenOkSink(name: String, inner: DestinationSink) extends DestinationSink {
+  override def publish(msg: PulsarMessage): (Long, Long) = {
+    if (FlakySinkState.counter(name).incrementAndGet() <= 3)
+      throw new RuntimeException("transient sink outage")
+    inner.publish(msg)
+  }
+}
+
 /** The reference's four E2E scenarios (SURVEY §5.1), end-to-end
   * through the SyncPipeline API against in-memory cluster fakes.
   */
@@ -237,6 +258,75 @@ class SyncPipelineSpec extends SparkSuiteBase {
     // ...but the two NEW partition indexes are
     assert(dst0.partitionCreates.map(_.physicalTopic).sorted
       == Seq("top-partition-3", "top-partition-4"))
+  }
+
+  test("continuous mode: cursors sync on their own cadence (A21 10s loop)") {
+    val src0 = new FakeSource(spark)
+    val dst0 = new FakeDest(spark, "sp-cursor-cadence")
+    val pipe = new SyncPipeline(spark, src0, dst0, SyncConfig())
+    val offsetMap = Seq(
+      OffsetMapping("tp", 0, 10, 0, 110, 0, Timestamp.valueOf("2024-01-01 10:00:00"))).toDF()
+    src0.cursorRows += CursorStat("tp", 0, "sub", 15, 0,
+      Timestamp.valueOf("2024-01-01 10:02:00"))
+    val handle = pipe.runContinuous(
+      metadataPeriodMillis = 60000L, cursorPeriodMillis = 150L,
+      offsetMap = Some(() => offsetMap))
+    try {
+      var tries = 0
+      while (dst0.cursorActions.isEmpty && tries < 100) { Thread.sleep(100); tries += 1 }
+      // the cursor plane ticked on its own schedule, no manual call
+      assert(dst0.cursorActions.map(a => (a.action, a.dstLedger))
+        == Seq(("create", Some(110L))))
+      // a later observation is picked up by a subsequent cursor tick
+      src0.cursorRows.clear()
+      src0.cursorRows += CursorStat("tp", 0, "sub", 25, 0,
+        Timestamp.valueOf("2024-01-01 10:03:00"))
+      tries = 0
+      while (dst0.cursorActions.size < 2 && tries < 100) { Thread.sleep(100); tries += 1 }
+      assert(dst0.cursorActions.map(_.action) == Seq("create", "reset"))
+    } finally handle.close()
+  }
+
+  test("continuous mode: partition growth propagates on its own faster cadence") {
+    val src0 = new FakeSource(spark)
+    val dst0 = new FakeDest(spark, "sp-part-cadence")
+    val pipe = new SyncPipeline(spark, src0, dst0,
+      SyncConfig(autoUpdatePartition = true))
+    dst0.topicRows += TopicRow("t", "ns", "top", partitioned = true, 2, Map.empty)
+    src0.topicRows += TopicRow("t", "ns", "top", partitioned = true, 2, Map.empty)
+    val handle = pipe.runContinuous(
+      metadataPeriodMillis = 60000L, partitionPeriodMillis = 150L)
+    try {
+      // growth appears on src AFTER startup; only the partition ticker
+      // (metadata period is 60s, far beyond this test) can see it
+      src0.topicRows.clear()
+      src0.topicRows += TopicRow("t", "ns", "top", partitioned = true, 4, Map.empty)
+      var tries = 0
+      while (dst0.partitionCreates.size < 2 && tries < 100) { Thread.sleep(100); tries += 1 }
+      assert(dst0.partitionCreates.map(_.physicalTopic).sorted
+        == Seq("top-partition-2", "top-partition-3"))
+    } finally handle.close()
+  }
+
+  test("supervised mirror restarts after a crash and drains (A20)") {
+    FlakySinkState.reset("sp-supervise")
+    val src = new FakeSource(spark)
+    src.messageStream.addData(RawMessage("t", "n", "tp", 0, 5, 1,
+      "m1".getBytes("UTF-8"), null, 0L, 1700000000000L, Map.empty))
+    val flakyDest = new FakeDest(spark, "sp-supervise-real") {
+      override def sink: DestinationSink = new FlakyThenOkSink("sp-supervise", cluster)
+    }
+    val pipe2 = new SyncPipeline(spark, src, flakyDest)
+    val sup = pipe2.superviseMirror(tmpDir("sp-supervise-ckpt"),
+      restartBackoffMillis = 100L)
+    try {
+      // first run: every publish attempt fails -> batch fails -> query
+      // dies -> supervisor restarts from checkpoint -> replay succeeds
+      assert(sup.awaitTerminated(60000L), "supervisor did not finish")
+      assert(sup.restarts >= 1, "mirror was never restarted")
+      assert(flakyDest.cluster.messages.size == 1)
+      assert(new String(flakyDest.cluster.messages.head.value, "UTF-8") == "m1")
+    } finally sup.close()
   }
 
   test("partition-only refresh never creates orphan partitions for unsynced topics") {
