@@ -145,8 +145,14 @@ object PipelineQueries extends QueryGroup {
   }
 
   // R-19 SimHash near-dup pairs (rows-only for the same reason).
+  // 4 chunks of 16 bits + hamming <= 3 is the published 64-bit
+  // near-dup configuration (Manku/Jain/Sarma, WWW'07): buckets are
+  // n/2^16 instead of n/2^8, so the candidate join stays sub-quadratic
+  // at corpus scale while pigeonhole still guarantees recall to the
+  // hamming bound.
   qNoOracle("q35_simhash") { (s, d) =>
-    Dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text", maxHamming = 16)
+    Dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text",
+        maxHamming = 3, numChunks = 4)
       .orderBy(col("id_a"), col("id_b"))
   }
 

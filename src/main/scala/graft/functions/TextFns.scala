@@ -53,45 +53,16 @@ object TextFns {
       lit(0), (acc, x) => acc + x).cast("double") /
       size(sigA).cast("double")
 
-  /** 64-bit SimHash of a token array: per-token xxhash64, each bit
-    * votes ±1, sign of the vote sets the output bit.
+  /** 64-bit SimHash of a token array: per-token hash (splitmix64
+    * finalizer over the UTF-8 bytes), each bit votes ±1, sign of the
+    * vote sets the output bit. Backed by the codegen'd
+    * [[graft.plans.SimHash64Expr]] — the round-1 UDF paid a boxing
+    * round-trip per row, and the pure-HOF formulation (64-wide
+    * zip_with votes) ran interpreted ~10x slower still.
     */
-  /** splitmix64 finalizer — a public-domain 64-bit mixer; gives each
-    * token a well-distributed deterministic hash from its UTF-8 bytes.
-    */
-  private def tokenHash64(t: String): Long = {
-    var h = 1125899906842597L
-    var i = 0
-    val bytes = t.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    while (i < bytes.length) { h = 31 * h + (bytes(i) & 0xff); i += 1 }
-    var z = h + 0x9E3779B97F4A7C15L
-    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-    z ^ (z >>> 31)
-  }
-
-  private val simhashUdf = udf { toks: Seq[String] =>
-    val votes = new Array[Int](64)
-    toks.foreach { t =>
-      val h = tokenHash64(t)
-      var j = 0
-      while (j < 64) {
-        if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
-        j += 1
-      }
-    }
-    var out = 0L
-    var j = 0
-    while (j < 64) { if (votes(j) >= 0) out |= (1L << j); j += 1 }
-    out
-  }
-
-  /** 64-bit SimHash of a token array: per-token hash, each bit votes
-    * ±1, sign of the vote sets the output bit. Implemented as a
-    * tight-loop UDF — the pure-expression formulation (64-wide
-    * zip_with votes) runs interpreted and benched ~10x slower.
-    */
-  def simhash64(toks: Column): Column = simhashUdf(toks)
+  def simhash64(toks: Column): Column =
+    graft.plans.SimHash64Expr.simhash64(
+      org.apache.spark.sql.SparkSession.active, toks)
 
   /** Hamming distance between two 64-bit hashes. */
   def hamming64(a: Column, b: Column): Column =

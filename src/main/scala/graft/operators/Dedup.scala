@@ -108,14 +108,19 @@ object Dedup {
     * (tunable via bands/rows), not by shared-shingle co-occurrence.
     * Returns (id_a, id_b, est_jaccard).
     */
-  /** MinHash signatures, explode-based: shingles are exploded to rows,
-    * hashed with the codegen'd multi-arg `xxhash64(permutation,
-    * shingle)`, min-reduced per (doc, permutation) with a map-side
-    * partial min, and re-assembled into the signature array. The naive
+  /** MinHash signatures in ONE aggregation pass: shingles are exploded
+    * to rows, string-hashed ONCE (`h0 = xxhash64(shingle)` — string
+    * hashing k times per shingle was round 1's dominant cost), then
+    * folded into all k per-permutation minima by
+    * [[graft.functions.MinHashAgg]]. The round-1 intermediate form
+    * exploded every (doc, shingle) row k=32 times before its first
+    * groupBy — 32x the shuffle-input rows and two shuffles; the
+    * aggregator shuffles the (doc, h0) rows once with a k-long
+    * map-side partial buffer, and signatures stay bit-identical (same
+    * seed-42 XXH64 mixing as the SQL `xxhash64(i, h0)`). The naive
     * nested-higher-order-function formulation
     * (`transform(sequence(0,k), i -> array_min(transform(...)))`) is
-    * interpreted, re-evaluates the shingle expression k times per row,
-    * and benched 50x slower at sf0.1.
+    * interpreted and benched 50x slower still.
     */
   def minhashSignatures(
       docs: DataFrame,
@@ -127,18 +132,11 @@ object Dedup {
         explode(TextFns.wordShingles(TextFns.tokens(col(textCol)), shingleN))
           .as("shingle"))
       .distinct()
-    // hash the shingle string ONCE, then derive the k permutation
-    // hashes with pure integer mixing (xxhash64 over (i, h0)) — string
-    // hashing k times per shingle was the dominant cost
+    val sigFn = udaf(new graft.functions.MinHashAgg(numHashes))
     sh.select(col("doc"), xxhash64(col("shingle")).as("h0"))
-      .select(col("doc"), col("h0"),
-        explode(sequence(lit(0), lit(numHashes - 1))).as("i"))
-      .select(col("doc"), col("i"), xxhash64(col("i"), col("h0")).as("h"))
-      .groupBy(col("doc"), col("i")).agg(min(col("h")).as("h"))
       .groupBy(col("doc"))
-      .agg(transform(array_sort(collect_list(struct(col("i"), col("h")))),
-        s => s.getField("h")).as("sig"))
-      .filter(size(col("sig")) === numHashes)
+      .agg(sigFn(col("h0")).as("s"))
+      .select(col("doc"), col("s.sig").as("sig"))
   }
 
   def minhashLshPairs(

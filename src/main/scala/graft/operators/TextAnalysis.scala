@@ -49,10 +49,16 @@ object TextAnalysis {
     * `profileSize` terms by frequency), score each document by how
     * many of its distinct tokens hit each profile, pick the
     * highest-scoring language (ties → lexicographically smallest).
-    * Returns (doc id, guessed_lang, score).
+    * Returns (doc id, guessed_lang, score); documents hitting no
+    * profile at all emit no row.
     *
-    * The profile build is a small aggregate (langs × profileSize rows)
-    * → broadcast join against the exploded corpus at scale.
+    * Scale shape: the profile is tiny (langs × profileSize rows), so
+    * it is collected and shipped back as array LITERALS — scoring is
+    * then ONE codegen'd scan of `docs` (`array_intersect` per
+    * language + a greatest/argmax), with no second explode, no
+    * (doc, word) distinct shuffle, and no join. Round 1 exploded the
+    * corpus twice and shuffled the distinct doc-token pairs; at 100 TB
+    * that second explode+shuffle dwarfed the profile build this reuses.
     */
   def languageId(
       docs: DataFrame,
@@ -60,16 +66,29 @@ object TextAnalysis {
       textCol: String,
       langCol: String,
       profileSize: Int): DataFrame = {
-    val prof = topTerms(docs, textCol, langCol, profileSize)
-      .select(col("blk").as("plang"), col("word"))
-    val docTokens = docs
-      .select(col(idCol).as("doc"), explode(TextFns.tokens(col(textCol))).as("word"))
-      .distinct()
-    val scores = docTokens.join(broadcast(prof), "word")
-      .groupBy(col("doc"), col("plang"))
-      .agg(count(lit(1)).as("score"))
-    val w = Window.partitionBy(col("doc")).orderBy(col("score").desc, col("plang"))
-    scores.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .select(col("doc"), col("plang").as("guessed_lang"), col("score"))
+    val profiles: Seq[(String, Seq[String])] =
+      topTerms(docs, textCol, langCol, profileSize)
+        .select(col("blk"), col("word")).collect()
+        .groupBy(_.getString(0))
+        .map { case (l, rows) => (l, rows.map(_.getString(1)).toSeq.sorted) }
+        .toSeq.sortBy(_._1)
+    require(profiles.nonEmpty, "languageId needs at least one language profile")
+    val toksDistinct = array_distinct(TextFns.tokens(col(textCol)))
+    val scoreCols = profiles.map { case (l, words) =>
+      size(array_intersect(toksDistinct, typedlit(words))).as(s"__s_$l")
+    }
+    val scoreRefs = profiles.map { case (l, _) => col(s"__s_$l") }
+    val maxScore =
+      if (scoreRefs.size == 1) scoreRefs.head else greatest(scoreRefs: _*)
+    // ties resolve to the lexicographically smallest language because
+    // `profiles` is sorted and coalesce picks the first hit
+    val best = coalesce(profiles.map { case (l, _) =>
+      when(col(s"__s_$l") === col("__max"), lit(l))
+    }: _*)
+    docs.select(col(idCol).as("doc") +: scoreCols: _*)
+      .withColumn("__max", maxScore)
+      .filter(col("__max") > 0)
+      .select(col("doc"), best.as("guessed_lang"),
+        col("__max").cast("long").as("score"))
   }
 }

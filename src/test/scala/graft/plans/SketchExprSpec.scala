@@ -1,0 +1,98 @@
+package graft.plans
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuiteBase
+import graft.Tables
+import graft.functions.TextFns
+
+/** The codegen'd sketch expressions (sig_overlap, simhash64) and the
+  * single-pass MinHash aggregator must be bit-identical to their
+  * interpreted / explode-based reference formulations.
+  */
+class SketchExprSpec extends SparkSuiteBase {
+
+  test("sig_overlap equals the aggregate(zip_with(...)) estimate exactly") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val sigs = (1 to 50).map { i =>
+      (i.toLong, Seq.fill(32)(rnd.nextLong()))
+    }.toDF("id", "sig")
+    val pairs = sigs.select(col("id").as("ida"), col("sig").as("sa"))
+      .crossJoin(sigs.select(col("id").as("idb"), col("sig").as("sb")))
+      .filter(col("ida") < col("idb"))
+      // plant partial overlaps so the equal-fraction isn't always 0
+      .withColumn("sb", concat(slice(col("sa"), 1, 16), slice(col("sb"), 17, 16)))
+    val maxDiff = pairs.select(
+        abs(SigOverlap.sigOverlap(spark, col("sa"), col("sb")) -
+          TextFns.minhashSimilarity(col("sa"), col("sb"))).as("d"))
+      .agg(max(col("d"))).head().getDouble(0)
+    assert(maxDiff == 0.0)
+  }
+
+  test("simhash64 expression equals an independent JVM reimplementation") {
+    // independent recomputation of the documented algorithm (31-mult
+    // byte hash -> splitmix64 finalizer -> per-bit +-1 votes)
+    def refHash(toks: Seq[String]): Long = {
+      def th(t: String): Long = {
+        var h = 1125899906842597L
+        t.getBytes("UTF-8").foreach(b => h = 31 * h + (b & 0xff))
+        var z = h + 0x9E3779B97F4A7C15L
+        z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+        z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+        z ^ (z >>> 31)
+      }
+      val votes = new Array[Int](64)
+      toks.foreach { t =>
+        val h = th(t)
+        (0 until 64).foreach(j =>
+          if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1)
+      }
+      (0 until 64).foldLeft(0L)((acc, j) =>
+        if (votes(j) >= 0) acc | (1L << j) else acc)
+    }
+    val docs = Tables.documents(spark, sfDir).limit(50)
+    val got = docs.select(col("doc_id"),
+        TextFns.simhash64(TextFns.tokens(col("text"))).as("sh"),
+        TextFns.tokens(col("text")).as("toks"))
+      .collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      assert(r.getLong(1) == refHash(r.getSeq[String](2)),
+        s"simhash mismatch for doc ${r.getLong(0)}")
+    }
+  }
+
+  test("single-pass MinHash signatures equal the explode-based xxhash64 formulation") {
+    val docs = Tables.documents(spark, sfDir).limit(100)
+    val viaAgg = graft.operators.Dedup
+      .minhashSignatures(docs, "doc_id", "text", shingleN = 3, numHashes = 16)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    // the round-1 reference formulation: explode k permutations and
+    // min-reduce with the SQL xxhash64(i, h0)
+    val sh = docs.select(col("doc_id").as("doc"),
+        explode(TextFns.wordShingles(TextFns.tokens(col("text")), 3)).as("shingle"))
+      .distinct()
+    val viaExplode = sh
+      .select(col("doc"), xxhash64(col("shingle")).as("h0"))
+      .select(col("doc"), col("h0"),
+        explode(sequence(lit(0), lit(15))).as("i"))
+      .select(col("doc"), col("i"), xxhash64(col("i"), col("h0")).as("h"))
+      .groupBy(col("doc"), col("i")).agg(min(col("h")).as("h"))
+      .groupBy(col("doc"))
+      .agg(transform(array_sort(collect_list(struct(col("i"), col("h")))),
+        s => s.getField("h")).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(viaAgg.keySet == viaExplode.keySet && viaAgg.nonEmpty)
+    viaAgg.foreach { case (doc, sig) =>
+      assert(sig == viaExplode(doc), s"signature mismatch for doc $doc")
+    }
+  }
+
+  test("simhash64 is SQL-callable and null-safe") {
+    SimHash64Expr.register(spark)
+    val r = spark.sql(
+      "SELECT simhash64(array('a', 'b')) AS h, simhash64(NULL) AS n").head()
+    assert(!r.isNullAt(0) && r.isNullAt(1))
+  }
+}
