@@ -72,25 +72,29 @@ object Dedup {
       .select(col(idCol).as("doc"), col(blockCol).as("blk"),
         explode(TextFns.wordShingles(TextFns.tokens(col(textCol)), n)).as("shingle"))
       .distinct()
-    // document frequency per (block, shingle) over the distinct rows;
-    // one extra pass over the shingle table, bounded output
+    // document frequency per (block, shingle) over the distinct rows
+    // (one window pass), then the per-doc set size over the SURVIVING
+    // shingles (a second window pass on doc). Carrying `sz` through
+    // the self-join lets the Jaccard be finished right at the pair
+    // aggregate — round 1 computed sizes in a separate branch, which
+    // re-ran the whole explode+distinct chain when exchange reuse
+    // missed, plus two extra joins to stitch the sizes back on.
     val dfW = Window.partitionBy(col("blk"), col("shingle"))
+    val szW = Window.partitionBy(col("doc"))
     val sh = shAll
       .withColumn("__df", count(lit(1)).over(dfW))
       .filter(col("__df") <= maxShingleDocFreq)
       .drop("__df")
-    val sizes = sh.groupBy(col("doc")).agg(count(lit(1)).as("sz"))
+      .withColumn("sz", count(lit(1)).over(szW))
     val a = sh.alias("a")
     val b = sh.alias("b")
-    val inter = a.join(b,
+    a.join(b,
         col("a.shingle") === col("b.shingle")
           && col("a.blk") === col("b.blk")
           && col("a.doc") < col("b.doc"))
       .groupBy(col("a.doc").as("id_a"), col("b.doc").as("id_b"))
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.withColumnRenamed("doc", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
-      .join(sizes.withColumnRenamed("doc", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+      .agg(count(lit(1)).as("inter"),
+        first(col("a.sz")).as("sz_a"), first(col("b.sz")).as("sz_b"))
       .withColumn("jaccard",
         col("inter").cast("double")
           / (col("sz_a") + col("sz_b") - col("inter")).cast("double"))
@@ -128,13 +132,18 @@ object Dedup {
       textCol: String,
       shingleN: Int,
       numHashes: Int): DataFrame = {
+    // hash BEFORE the distinct: the dedup shuffle then carries (doc,
+    // 8-byte long) instead of (doc, ~20-byte shingle string) — the
+    // signature only ever consumes h0, so the string need not survive
+    // the exchange (a 2^-64 hash collision merges two shingles, which
+    // perturbs a min-hash no more than the hashing already does)
     val sh = docs.select(col(idCol).as("doc"),
         explode(TextFns.wordShingles(TextFns.tokens(col(textCol)), shingleN))
           .as("shingle"))
+      .select(col("doc"), xxhash64(col("shingle")).as("h0"))
       .distinct()
     val sigFn = udaf(new graft.functions.MinHashAgg(numHashes))
-    sh.select(col("doc"), xxhash64(col("shingle")).as("h0"))
-      .groupBy(col("doc"))
+    sh.groupBy(col("doc"))
       .agg(sigFn(col("h0")).as("s"))
       .select(col("doc"), col("s.sig").as("sig"))
   }
