@@ -216,6 +216,53 @@ object PipelineQueries extends QueryGroup {
       .orderBy(col("asset_id"))
   }
 
+  // R-20 IVF ANN: corpus partitioned into 8 Voronoi cells by nearest
+  // centroid (centroids = the 8 smallest-id corpus vectors — the
+  // deterministic stand-in for k-means training), probes search their
+  // 2 nearest cells. Cell ranking is (1 - cos) asc with cell-id
+  // tie-break on 6-dp-rounded cosines in BOTH engines.
+  q("q46_ivf_ann",
+    """WITH u AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+      |             unnest(embedding)::DOUBLE AS x FROM embeddings),
+      |nrm AS (SELECT vec_id, sqrt(sum(x*x)) AS nr FROM u GROUP BY vec_id),
+      |cent AS (SELECT vec_id AS cvid, CAST(vec_id - 10 AS INT) AS cell
+      |         FROM embeddings WHERE vec_id >= 10 AND vec_id < 18),
+      |vc0 AS (SELECT a.vec_id AS vid, c.cell AS cell, c.cvid AS cvid,
+      |          sum(a.x * b.x) AS dp
+      |        FROM u a JOIN cent c ON true
+      |        JOIN u b ON b.vec_id = c.cvid AND a.i = b.i
+      |        GROUP BY 1, 2, 3),
+      |vc AS (SELECT vid, cell,
+      |         floor((dp / (x.nr * y.nr)) * 1000000.0 + 0.5) / 1000000.0 AS ccos
+      |       FROM vc0 JOIN nrm x ON x.vec_id = vid JOIN nrm y ON y.vec_id = cvid),
+      |assign AS (SELECT vid, cell FROM (
+      |  SELECT vid, cell, row_number() OVER (PARTITION BY vid
+      |           ORDER BY (1.0 - ccos) ASC, cell) AS rn FROM vc) WHERE rn = 1),
+      |pc AS (SELECT vid, cell FROM (
+      |  SELECT vid, cell, row_number() OVER (PARTITION BY vid
+      |           ORDER BY (1.0 - ccos) ASC, cell) AS rn FROM vc) WHERE rn <= 2),
+      |cand AS (SELECT p.vid AS probe_id, n.vid AS neighbor_id
+      |         FROM pc p JOIN assign n USING (cell)
+      |         WHERE p.vid < 10 AND n.vid >= 10),
+      |d AS (SELECT probe_id, neighbor_id, sum(pu.x * cu.x) AS dp
+      |      FROM cand JOIN u pu ON pu.vec_id = probe_id
+      |                JOIN u cu ON cu.vec_id = neighbor_id AND pu.i = cu.i
+      |      GROUP BY 1, 2),
+      |cs AS (SELECT probe_id, neighbor_id,
+      |         floor((dp / (x.nr * y.nr)) * 1000000.0 + 0.5) / 1000000.0 AS cos
+      |       FROM d JOIN nrm x ON x.vec_id = probe_id JOIN nrm y ON y.vec_id = neighbor_id),
+      |r AS (SELECT probe_id, neighbor_id, cos,
+      |        row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id) AS rnk
+      |      FROM cs)
+      |SELECT probe_id, rnk, neighbor_id, cos FROM r WHERE rnk <= 3
+      |ORDER BY probe_id, rnk""".stripMargin) { (s, d) =>
+    val e = Tables.embeddings(s, d)
+    Similarity.ivfTopK(
+        e.filter(col("vec_id") < 10), e.filter(col("vec_id") >= 10),
+        "vec_id", "embedding", numCells = 8, nprobe = 2, k = 3)
+      .orderBy(col("probe_id"), col("rnk"))
+  }
+
   // R-20 LSH-bucketed ANN (sign bits of the first 8 dims): the scale
   // path — per-probe work is corpus/2^8, and the bucket join is an
   // equi-join. Axis-aligned hyperplanes keep it oracle-reproducible.

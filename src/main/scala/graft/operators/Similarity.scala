@@ -171,6 +171,64 @@ object Similarity {
       .filter(col("cos") >= threshold)
   }
 
+  /** IVF (inverted-file) ANN: the corpus is partitioned into
+    * `numCells` Voronoi cells by nearest centroid; each probe searches
+    * only its `nprobe` nearest cells. The cell join is an equi-join on
+    * the cell id, so per-probe work is ~nprobe/numCells of the corpus
+    * — the standard IVF scale shape.
+    *
+    * Centroids are the `numCells` smallest-id corpus vectors — a
+    * deterministic, oracle-reproducible stand-in for a k-means
+    * training pass (swap in trained centroids by id-ordering them
+    * first). They are collected to the driver (numCells vectors, tiny
+    * by construction) and shipped as array literals, so both the
+    * corpus assignment and the probe cell-ranking are ONE codegen'd
+    * scan each — no join against a centroid table, no shuffle beyond
+    * the final cell equi-join.
+    *
+    * Cell ranking orders by (1 - cosine) ascending with the cell id as
+    * tie-break, on 6-decimal-rounded cosines — deterministic and
+    * engine-portable (same rule the DuckDB oracle applies).
+    */
+  def ivfTopK(
+      probes: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      numCells: Int,
+      nprobe: Int,
+      k: Int): DataFrame = {
+    require(nprobe >= 1 && nprobe <= numCells, "need 1 <= nprobe <= numCells")
+    val spark = probes.sparkSession
+    val cents: Seq[(Int, Array[Float])] = corpus
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+      .orderBy(col("id"))
+      .limit(numCells)
+      .collect()
+      .zipWithIndex
+      .map { case (r, i) => (i, r.getSeq[Float](1).toArray) }
+      .toSeq
+    // distance structs (1-cos asc, cell asc) sorted by array_sort's
+    // natural struct ordering — no negation, so -0.0 never enters the
+    // comparison
+    def cellRank(v: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      array_sort(array(cents.map { case (i, cv) =>
+        struct((lit(1.0) - cos6(spark, v, typedlit(cv))).as("d"),
+          lit(i).as("cell"))
+      }: _*))
+    val assigned = corpus.select(
+      col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      element_at(cellRank(col(vecCol)), 1).getField("cell").as("cell"))
+    val probeCells = probes.select(
+      col(idCol).as("probe_id"), col(vecCol).as("pv"),
+      explode(transform(slice(cellRank(col(vecCol)), 1, nprobe),
+        s => s.getField("cell"))).as("cell"))
+    val pairs = assigned.join(broadcast(probeCells), "cell")
+      .select(col("probe_id"), col("neighbor_id"),
+        cos6(spark, col("pv"), col("cv")).as("cos"))
+    ranked(pairs, k)
+  }
+
   /** ANN: compare only within equal sign-bit buckets of the first
     * `bits` dimensions. Probes whose bucket has no corpus vector get
     * no rows (documented recall/latency tradeoff).

@@ -128,6 +128,31 @@ class DedupSimilaritySpec extends SparkSuiteBase {
     }
   }
 
+  test("IVF ANN neighbors are a subset of brute force with equal cosines; nprobe=numCells is exhaustive") {
+    val e = Tables.embeddings(spark, sfDir)
+    val probes = e.filter(col("vec_id") < 5)
+    val corpus = e.filter(col("vec_id") >= 5)
+    val brute = Similarity.bruteForceTopK(probes, corpus, "vec_id", "embedding", k = 1000)
+      .select("probe_id", "neighbor_id", "cos").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val ivf = Similarity.ivfTopK(probes, corpus, "vec_id", "embedding",
+        numCells = 4, nprobe = 2, k = 5).collect()
+    assert(ivf.nonEmpty)
+    ivf.foreach { r =>
+      val key = (r.getAs[Long]("probe_id"), r.getAs[Long]("neighbor_id"))
+      assert(brute.contains(key) &&
+        math.abs(brute(key) - r.getAs[Double]("cos")) < 1e-12)
+    }
+    // searching every cell degenerates to exact search: top-k equals
+    // brute force exactly
+    val exhaustive = Similarity.ivfTopK(probes, corpus, "vec_id", "embedding",
+        numCells = 4, nprobe = 4, k = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    val bruteTop = Similarity.bruteForceTopK(probes, corpus, "vec_id", "embedding", k = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(exhaustive == bruteTop)
+  }
+
   test("sign-bucket ANN neighbors are a subset of brute-force candidates with equal cosines") {
     val e = Tables.embeddings(spark, sfDir)
     val probes = e.filter(col("vec_id") < 5)
