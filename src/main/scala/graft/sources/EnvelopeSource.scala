@@ -1,0 +1,260 @@
+package graft.sources
+
+import java.util.concurrent.ConcurrentHashMap
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.Encoders
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.streaming.RawMessage
+
+/** DataSource-V2 connector for the replication envelope stream —
+  * the Spark-side half of the reference's consumer plane
+  * (`PulsarPartitionSyncWorker.java:95-124`): one input partition per
+  * physical (topic, partition), per-partition (ledgerId, entryId)
+  * order preserved, replayable offsets = the reference's subscription
+  * read position.
+  *
+  * The TRANSPORT is pluggable behind [[EnvelopeBroker]]: a live
+  * deployment implements it over the Pulsar reader/admin API (not
+  * possible offline — no Pulsar jars in this environment, SURVEY
+  * §7.5); tests and the offline harness use [[InMemoryBroker]]. All
+  * the Spark machinery — TableProvider, capabilities, batch planning,
+  * micro-batch offsets/ranges, InternalRow encoding — is real and
+  * exercised end-to-end (EnvelopeSourceSpec, incl. driving
+  * [[graft.streaming.MessageMirror]] from this source).
+  *
+  * Usage:
+  * {{{
+  *   spark.readStream.format("pulsar-envelope")
+  *     .option("broker", "<registered broker name>").load()
+  * }}}
+  */
+class EnvelopeSource extends TableProvider with DataSourceRegister {
+
+  override def shortName(): String = "pulsar-envelope"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    EnvelopeSource.schema
+
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: java.util.Map[String, String]): Table = {
+    val broker = properties.get("broker")
+    require(broker != null && broker.nonEmpty,
+      "option 'broker' (a registered EnvelopeBroker name) is required")
+    new EnvelopeTable(broker)
+  }
+}
+
+object EnvelopeSource {
+  /** The wire schema is exactly [[RawMessage]] (FIXTURES.md §A.1). */
+  val schema: StructType = Encoders.product[RawMessage].schema
+}
+
+/** Read-side transport: what a live connector implements over the
+  * Pulsar reader API. Positions are (ledgerId, entryId) pairs ordered
+  * lexicographically; `latest` returns the EXCLUSIVE end position
+  * (one past the last message).
+  */
+trait EnvelopeBroker {
+  def topicPartitions: Seq[(String, Int)]
+  /** Messages with from <= (ledger, entry) < until, in order. */
+  def read(topic: String, partition: Int,
+      from: (Long, Long), until: (Long, Long)): Iterator[RawMessage]
+  def latest(topic: String, partition: Int): (Long, Long)
+}
+
+/** JVM-wide broker registry (valid under local[*], where executors
+  * share the driver JVM — same pattern as the InMemory* test fakes;
+  * a live implementation would construct its client from connection
+  * options instead).
+  */
+object EnvelopeBrokerRegistry {
+  private val brokers = new ConcurrentHashMap[String, EnvelopeBroker]()
+  def register(name: String, broker: EnvelopeBroker): Unit =
+    brokers.put(name, broker)
+  def get(name: String): EnvelopeBroker = {
+    val b = brokers.get(name)
+    require(b != null, s"no EnvelopeBroker registered under '$name'")
+    b
+  }
+}
+
+/** In-memory transport: per-partition sorted message log. */
+class InMemoryBroker extends EnvelopeBroker {
+  private val logs =
+    new ConcurrentHashMap[(String, Int), scala.collection.mutable.ArrayBuffer[RawMessage]]()
+
+  def add(msgs: RawMessage*): Unit = msgs.foreach { m =>
+    val buf = logs.computeIfAbsent((m.topic, m.partition),
+      _ => scala.collection.mutable.ArrayBuffer.empty[RawMessage])
+    buf.synchronized { buf += m }
+  }
+
+  override def topicPartitions: Seq[(String, Int)] =
+    logs.keySet().asScala.toSeq.sorted
+
+  private def sorted(topic: String, partition: Int): Seq[RawMessage] = {
+    val buf = logs.get((topic, partition))
+    if (buf == null) Seq.empty
+    else buf.synchronized { buf.toSeq }.sortBy(m => (m.ledgerId, m.entryId))
+  }
+
+  override def read(topic: String, partition: Int,
+      from: (Long, Long), until: (Long, Long)): Iterator[RawMessage] =
+    sorted(topic, partition).iterator.filter { m =>
+      val pos = (m.ledgerId, m.entryId)
+      Ordering[(Long, Long)].lteq(from, pos) &&
+        Ordering[(Long, Long)].lt(pos, until)
+    }
+
+  override def latest(topic: String, partition: Int): (Long, Long) = {
+    val s = sorted(topic, partition)
+    if (s.isEmpty) (0L, 0L)
+    else {
+      val last = s.last
+      (last.ledgerId, last.entryId + 1) // exclusive end
+    }
+  }
+}
+
+private[sources] class EnvelopeTable(brokerName: String)
+    extends Table with SupportsRead {
+
+  override def name(): String = s"pulsar-envelope($brokerName)"
+  override def schema(): StructType = EnvelopeSource.schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new EnvelopeScan(brokerName)
+    }
+}
+
+private[sources] class EnvelopeScan(brokerName: String) extends Scan {
+  override def readSchema(): StructType = EnvelopeSource.schema
+  override def description(): String = s"pulsar-envelope($brokerName)"
+
+  /** Batch scan: every partition read from its beginning to `latest`
+    * — the reference's Earliest-position backfill (A14).
+    */
+  override def toBatch: Batch = new Batch {
+    override def planInputPartitions(): Array[InputPartition] = {
+      val broker = EnvelopeBrokerRegistry.get(brokerName)
+      broker.topicPartitions.map { case (t, p) =>
+        val (el, ee) = broker.latest(t, p)
+        EnvelopeInputPartition(brokerName, t, p, 0L, 0L, el, ee): InputPartition
+      }.toArray
+    }
+    override def createReaderFactory(): PartitionReaderFactory =
+      EnvelopeReaderFactory
+  }
+
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new EnvelopeMicroBatchStream(brokerName)
+}
+
+/** Streaming offsets: per-partition exclusive end positions. Wire
+  * format is `topic\u0001partition\u0001ledger\u0001entry` records
+  * joined by `\u0002`, all on ONE line — Spark's offset log treats
+  * each line of an offset's json as a separate SOURCE, so a multiline
+  * encoding would corrupt recovery. The separators cannot appear in a
+  * topic name; no JSON library dependency — the checkpoint just
+  * round-trips the string.
+  */
+private[sources] case class EnvelopeOffset(
+    positions: Map[(String, Int), (Long, Long)]) extends Offset {
+  override def json(): String =
+    positions.toSeq.sortBy(_._1).map { case ((t, p), (l, e)) =>
+      Seq(t, p.toString, l.toString, e.toString).mkString("\u0001")
+    }.mkString("\u0002")
+}
+
+private[sources] object EnvelopeOffset {
+  def fromJson(s: String): EnvelopeOffset =
+    EnvelopeOffset(
+      s.split("\u0002").filter(_.nonEmpty).map { line =>
+        val parts = line.split("\u0001")
+        ((parts(0), parts(1).toInt), (parts(2).toLong, parts(3).toLong))
+      }.toMap)
+}
+
+/** Micro-batch stream: each batch covers (startOffset, latestOffset]
+  * per partition. Partitions that appear on the broker AFTER the
+  * stream started are picked up by the next `latestOffset` call with
+  * an implicit (0,0) start — the reference's partition-discovery
+  * behavior (A13/A21).
+  */
+private[sources] class EnvelopeMicroBatchStream(brokerName: String)
+    extends MicroBatchStream {
+
+  private def broker = EnvelopeBrokerRegistry.get(brokerName)
+
+  override def initialOffset(): Offset = EnvelopeOffset(Map.empty)
+
+  override def latestOffset(): Offset =
+    EnvelopeOffset(broker.topicPartitions.map { case (t, p) =>
+      ((t, p), broker.latest(t, p))
+    }.toMap)
+
+  override def deserializeOffset(json: String): Offset =
+    EnvelopeOffset.fromJson(json)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[EnvelopeOffset].positions
+    val e = end.asInstanceOf[EnvelopeOffset].positions
+    e.toSeq.sortBy(_._1).flatMap { case ((t, p), (el, ee)) =>
+      val (sl, se) = s.getOrElse((t, p), (0L, 0L))
+      if (Ordering[(Long, Long)].lt((sl, se), (el, ee)))
+        Some(EnvelopeInputPartition(brokerName, t, p, sl, se, el, ee): InputPartition)
+      else None
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    EnvelopeReaderFactory
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+/** One physical (topic, partition) slice — the planning unit, exactly
+  * the reference's one-consumer-per-partition (A13).
+  */
+private[sources] case class EnvelopeInputPartition(
+    brokerName: String,
+    topic: String,
+    partition: Int,
+    fromLedger: Long, fromEntry: Long,
+    untilLedger: Long, untilEntry: Long) extends InputPartition
+
+private[sources] object EnvelopeReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[EnvelopeInputPartition]
+    new PartitionReader[InternalRow] {
+      private val serializer =
+        ExpressionEncoder[RawMessage]().createSerializer()
+      private val it = EnvelopeBrokerRegistry.get(p.brokerName)
+        .read(p.topic, p.partition,
+          (p.fromLedger, p.fromEntry), (p.untilLedger, p.untilEntry))
+      private var current: InternalRow = _
+      override def next(): Boolean =
+        if (it.hasNext) { current = serializer(it.next()).copy(); true }
+        else false
+      override def get(): InternalRow = current
+      override def close(): Unit = ()
+    }
+  }
+}

@@ -1,0 +1,122 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkSuiteBase
+import graft.streaming.{InMemoryCluster, MessageMirror, RawMessage}
+
+object EnvelopeSourceSpec {
+  /** JVM-wide drain buffer for the checkpoint-resume test (foreachBatch
+    * runs on executors; valid under local[*]).
+    */
+  val drained = new java.util.concurrent.ConcurrentLinkedQueue[(String, Int, Long, Long)]()
+}
+
+/** The DataSource-V2 envelope connector: partition planning mirrors
+  * the reference's one-consumer-per-partition, offsets are replayable
+  * checkpoint positions, and the whole mirror topology runs off it.
+  */
+class EnvelopeSourceSpec extends SparkSuiteBase {
+
+  private val fmt = classOf[EnvelopeSource].getName
+
+  private def raw(topic: String, part: Int, ledger: Long, entry: Long): RawMessage =
+    RawMessage("t1", "ns1", topic, part, ledger, entry,
+      s"$topic-$part-$ledger-$entry".getBytes("UTF-8"), null, 0L,
+      1700000000000L + entry, Map.empty)
+
+  test("batch read: full backfill, one Spark partition per (topic, partition)") {
+    val broker = new InMemoryBroker
+    EnvelopeBrokerRegistry.register("es-batch", broker)
+    broker.add(raw("a", 0, 1, 0), raw("a", 0, 1, 1), raw("a", 1, 1, 0),
+      raw("b", 0, 2, 5))
+    val df = spark.read.format(fmt).option("broker", "es-batch").load()
+    assert(df.schema == EnvelopeSource.schema)
+    assert(df.count() == 4)
+    assert(df.rdd.getNumPartitions == 3) // (a,0), (a,1), (b,0)
+    val got = df.select("topic", "partition", "ledgerId", "entryId")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == Set(("a", 0, 1L, 0L), ("a", 0, 1L, 1L), ("a", 1, 1L, 0L),
+      ("b", 0, 2L, 5L)))
+  }
+
+  test("short name resolves via DataSourceRegister") {
+    val broker = new InMemoryBroker
+    EnvelopeBrokerRegistry.register("es-short", broker)
+    broker.add(raw("s", 0, 1, 0))
+    val n = spark.read.format("pulsar-envelope")
+      .option("broker", "es-short").load().count()
+    assert(n == 1)
+  }
+
+  test("streaming: checkpointed offsets resume exactly where the last run stopped") {
+    val broker = new InMemoryBroker
+    EnvelopeBrokerRegistry.register("es-stream", broker)
+    broker.add(raw("s", 0, 1, 0), raw("s", 0, 1, 1))
+    val ckpt = tmpDir("es-stream-ckpt")
+
+    // one drain = a fresh AvailableNow query against the SAME
+    // checkpoint (the memory sink refuses checkpoint recovery, so the
+    // collector is a foreachBatch into a JVM-wide buffer)
+    def drainCount(): Long = {
+      EnvelopeSourceSpec.drained.clear()
+      val q = spark.readStream.format(fmt).option("broker", "es-stream").load()
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          batch.select("topic", "partition", "ledgerId", "entryId").collect()
+            .foreach(r => EnvelopeSourceSpec.drained.add(
+              (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3))))
+        }
+        .start()
+      q.awaitTermination()
+      EnvelopeSourceSpec.drained.size().toLong
+    }
+    assert(drainCount() == 2)
+    // new messages + a NEW partition appear after the first run: the
+    // next run reads ONLY the delta (offsets came from the checkpoint)
+    broker.add(raw("s", 0, 1, 2), raw("s", 1, 1, 0))
+    assert(drainCount() == 2)
+    assert(EnvelopeSourceSpec.drained.contains(("s", 1, 1L, 0L)))
+    // nothing new: third run reads nothing
+    assert(drainCount() == 0)
+  }
+
+  test("per-partition order is preserved within Spark partitions") {
+    val broker = new InMemoryBroker
+    EnvelopeBrokerRegistry.register("es-order", broker)
+    // insert out of order; the broker log sorts by (ledger, entry)
+    broker.add(raw("o", 0, 2, 0), raw("o", 0, 1, 1), raw("o", 0, 1, 0))
+    val df = spark.read.format(fmt).option("broker", "es-order").load()
+    val perPart = df.select("ledgerId", "entryId").rdd
+      .mapPartitions(it => Iterator(it.map(r => (r.getLong(0), r.getLong(1))).toSeq))
+      .collect().filter(_.nonEmpty)
+    assert(perPart.length == 1)
+    assert(perPart.head == perPart.head.sorted)
+  }
+
+  test("end-to-end: MessageMirror drains the DSv2 source into a destination cluster") {
+    val broker = new InMemoryBroker
+    EnvelopeBrokerRegistry.register("es-e2e", broker)
+    broker.add(raw("tp", 0, 5, 1), raw("tp", 0, 5, 2), raw("tp", 1, 5, 1))
+    val sink = new InMemoryCluster("es-e2e-dst")
+    sink.clear()
+    val src = spark.readStream.format(fmt).option("broker", "es-e2e").load()
+    val q = MessageMirror.start(src, sink, tmpDir("es-e2e-ckpt"),
+      Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(sink.messages.map(m => (m.topic, m.partition, m.ledgerId, m.entryId)).toSet
+      == Set(("tp", 0, 5L, 1L), ("tp", 0, 5L, 2L), ("tp", 1, 5L, 1L)))
+    // late messages: a second mirror run from the SAME checkpoint...
+    // (fresh query, new checkpoint semantics differ; reuse checkpoint)
+    broker.add(raw("tp", 0, 5, 3))
+    val q2 = MessageMirror.start(src, sink, tmpDir("es-e2e-ckpt2"),
+      Trigger.AvailableNow()).start()
+    q2.awaitTermination()
+    // replay through a fresh checkpoint re-reads everything; the
+    // MessageId-idempotent sink absorbs the duplicates (at-least-once)
+    assert(sink.messages.size == 4)
+  }
+}
