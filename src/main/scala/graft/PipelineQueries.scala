@@ -106,12 +106,12 @@ object PipelineQueries extends QueryGroup {
   // Exact n-gram Jaccard near-dup pairs (blocked by lang). The data
   // has 6 planted pairs >= 0.95 with a clean gap to ~0.05 — threshold
   // 0.8 separates them exactly.
-  // The hot-shingle document-frequency cap (df <= 1000, mirrored in
-  // Dedup.ngramJaccardPairs maxShingleDocFreq) drops stop-phrase
-  // shingles from BOTH the intersection and the set sizes — the skew
-  // guard that bounds the self-join's hottest key at scale.
-  q("q33_ngram_jaccard",
-    s"""WITH toks AS (SELECT doc_id, lang, $sqlTokens AS l FROM documents),
+  // Shared CTE chain computing the exact-Jaccard near-dup pairs
+  // (>= 0.8, blocked by lang) — the oracle twin of
+  // Dedup.ngramJaccardPairs. Used by q33 (the pair list) and q47
+  // (connected components over it).
+  private val jaccardPairCtes: String =
+    s"""toks AS (SELECT doc_id, lang, $sqlTokens AS l FROM documents),
        |sh0 AS (SELECT DISTINCT doc_id, lang,
        |         unnest(list_transform(generate_series(1, len(l) - 2),
        |                i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])) AS shingle
@@ -123,15 +123,48 @@ object PipelineQueries extends QueryGroup {
        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
        |      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.lang = b.lang
        |                         AND a.doc_id < b.doc_id
-       |      GROUP BY 1, 2)
-       |SELECT id_a, id_b, ${sqlRound("inter * 1.0 / (x.sz + y.sz - inter)", 4)} AS jaccard
-       |FROM p JOIN sz x ON x.doc_id = id_a JOIN sz y ON y.doc_id = id_b
-       |WHERE inter * 1.0 / (x.sz + y.sz - inter) >= 0.8
+       |      GROUP BY 1, 2),
+       |pr AS (SELECT id_a, id_b,
+       |         ${sqlRound("inter * 1.0 / (x.sz + y.sz - inter)", 4)} AS jaccard
+       |       FROM p JOIN sz x ON x.doc_id = id_a JOIN sz y ON y.doc_id = id_b
+       |       WHERE inter * 1.0 / (x.sz + y.sz - inter) >= 0.8)""".stripMargin
+
+  // The hot-shingle document-frequency cap (df <= 1000, mirrored in
+  // Dedup.ngramJaccardPairs maxShingleDocFreq) drops stop-phrase
+  // shingles from BOTH the intersection and the set sizes — the skew
+  // guard that bounds the self-join's hottest key at scale.
+  q("q33_ngram_jaccard",
+    s"""WITH $jaccardPairCtes
+       |SELECT id_a, id_b, jaccard FROM pr
        |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
     Dedup.ngramJaccardPairs(Tables.documents(s, d),
         "doc_id", "text", "lang", n = 3, threshold = 0.8)
       .select(col("id_a"), col("id_b"), pround(col("jaccard"), 4).as("jaccard"))
       .orderBy(col("id_a"), col("id_b"))
+  }
+
+  // R-19 terminal step: pairwise evidence -> keep/drop decision.
+  // Connected components over the q33 pair graph; cluster = smallest
+  // reachable doc_id, keep = cluster representative. The oracle walks
+  // the same graph with a recursive CTE (min over all reachable
+  // labels = component min).
+  q("q47_dedup_clusters",
+    s"""WITH RECURSIVE $jaccardPairCtes,
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM pr
+       |          UNION SELECT id_b, id_a FROM pr),
+       |reach(id, lbl) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.src, r.lbl FROM reach r JOIN edges e ON e.dst = r.id),
+       |comp AS (SELECT id AS doc_id, min(lbl) AS cluster FROM reach GROUP BY id)
+       |SELECT doc_id, cluster, (doc_id = cluster) AS keep
+       |FROM comp ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val pairs = Dedup.ngramJaccardPairs(docs,
+      "doc_id", "text", "lang", n = 3, threshold = 0.8)
+    Dedup.clusters(docs, "doc_id", pairs)
+      .withColumn("keep", col("doc_id") === col("cluster"))
+      .orderBy(col("doc_id"))
   }
 
   // R-19 MinHash-LSH: xxhash64 isn't portable to DuckDB → rows-only

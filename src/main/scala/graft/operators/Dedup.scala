@@ -183,6 +183,50 @@ object Dedup {
       .distinct()
   }
 
+  /** Connected components over a near-dup pair list: every document
+    * gets `cluster` = the smallest doc id reachable through the pair
+    * graph (documents in no pair are their own singleton cluster).
+    * This is the step that turns pairwise near-dup evidence into an
+    * actionable keep/drop set: keep `doc == cluster`, drop the rest.
+    *
+    * Algorithm: iterative min-label propagation — each round every
+    * node takes the min of its own label and its neighbors' labels,
+    * until a round changes nothing. Rounds = graph diameter (near-dup
+    * graphs are unions of small cliques, so diameter is tiny); each
+    * round is one equi-join + one aggregate, and the label frame is
+    * `localCheckpoint`ed to keep the plan/lineage flat regardless of
+    * iteration count — the property that makes the loop safe at
+    * 100 TB (alternating star-contraction is the published
+    * optimization if diameter ever grows; the join shape is the same).
+    */
+  def clusters(docs: DataFrame, idCol: String, pairs: DataFrame,
+      maxIterations: Int = 50): DataFrame = {
+    // undirected edge list (both directions), deduped
+    val fwd = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+    val edges = fwd.unionByName(
+        fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = docs.select(col(idCol).as("id"), col(idCol).as("lbl"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIterations) {
+      val neighborMin = edges.join(labels, col("dst") === col("id"))
+        .groupBy(col("src")).agg(min(col("lbl")).as("nlbl"))
+      val next = labels.join(neighborMin, col("id") === col("src"), "left")
+        .select(col("id"),
+          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+        .localCheckpoint(true)
+      changed = next.alias("n")
+        .join(labels.alias("o"), col("n.id") === col("o.id"))
+        .filter(col("n.lbl") =!= col("o.lbl")).count()
+      labels = next
+      iter += 1
+    }
+    labels.select(col("id").as(idCol), col("lbl").as("cluster"))
+  }
+
   /** SimHash near-duplicate pairs: 64-bit simhash per doc, candidates
     * = docs sharing any of `numChunks` (64/numChunks)-bit chunks —
     * pigeonhole guarantees a shared chunk for pairs with

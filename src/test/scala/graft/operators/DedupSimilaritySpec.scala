@@ -128,6 +128,18 @@ class DedupSimilaritySpec extends SparkSuiteBase {
     }
   }
 
+  test("connected components: chains, cliques, and singletons resolve to min-label clusters") {
+    import spark.implicits._
+    val docs8 = (1L to 8L).toDF("doc_id")
+    // chain 1-2-3 (diameter 2 forces >1 propagation round), component
+    // {5,6,7} joined through 6, singletons 4 and 8
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (7L, 6L)).toDF("id_a", "id_b")
+    val out = Dedup.clusters(docs8, "doc_id", pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L,
+      5L -> 5L, 6L -> 5L, 7L -> 5L, 8L -> 8L))
+  }
+
   test("IVF ANN neighbors are a subset of brute force with equal cosines; nprobe=numCells is exhaustive") {
     val e = Tables.embeddings(spark, sfDir)
     val probes = e.filter(col("vec_id") < 5)

@@ -329,6 +329,37 @@ class SyncPipelineSpec extends SparkSuiteBase {
     } finally sup.close()
   }
 
+  test("closed loop over the DSv2 connector: mirror drains, offsets recorded, cursor translates") {
+    val broker = new graft.sources.InMemoryBroker
+    graft.sources.EnvelopeBrokerRegistry.register("sp-dsv2", broker)
+    (1L to 3L).foreach { e =>
+      broker.add(RawMessage("t", "n", "tp", 0, 5, e,
+        s"m$e".getBytes("UTF-8"), null, 0L, 1700000000000L + e * 60000L, Map.empty))
+    }
+    // message plane = the pulsar-envelope DataSource-V2 source; the
+    // rest of the cluster surface stays the fake admin
+    val src = new FakeSource(spark) {
+      override def messages = spark.readStream.format("pulsar-envelope")
+        .option("broker", "sp-dsv2").load()
+    }
+    val dst = new FakeDest(spark, "sp-dsv2-dst")
+    val pipe = new SyncPipeline(spark, src, dst)
+    val rec = new InMemoryOffsetRecorder("sp-dsv2-offsets")
+    rec.clear()
+    val q = pipe.startMirror(tmpDir("sp-dsv2-ckpt"), offsets = Some(rec))
+    q.awaitTermination()
+    assert(dst.cluster.messages.size == 3)
+    assert(rec.mappings.map(m => (m.srcEntry, m.dstLedger, m.dstEntry))
+      == Seq((1L, 1000L, 0L), (2L, 1000L, 1L), (3L, 1000L, 2L)))
+    // a cursor observed at src position (5,2) translates through the
+    // recorded map (dense exact hit) to the mirror's dst assignment
+    src.cursorRows += CursorStat("tp", 0, "sub", 5, 2,
+      java.sql.Timestamp.valueOf("2024-01-01 10:00:00"))
+    val actions = pipe.syncCursors(rec.toDF(spark))
+    assert(actions.map(a => (a.action, a.dstLedger, a.dstEntry))
+      == Seq(("create", Some(1000L), Some(1L))))
+  }
+
   test("partition-only refresh never creates orphan partitions for unsynced topics") {
     val src0 = new FakeSource(spark)
     val dst0 = new FakeDest(spark, "sp-orphan")
