@@ -91,24 +91,38 @@ object EnvelopeBrokerRegistry {
   }
 }
 
-/** In-memory transport: per-partition sorted message log. */
-class InMemoryBroker extends EnvelopeBroker {
-  private val logs =
-    new ConcurrentHashMap[(String, Int), scala.collection.mutable.ArrayBuffer[RawMessage]]()
+/** Write-side transport: what a live connector implements over a
+  * Pulsar producer. `append` MUST be idempotent on the MessageId
+  * (topic, partition, ledgerId, entryId) — streaming epochs replay on
+  * failure (at-least-once), and MessageId dedup is what upgrades the
+  * pipeline to effectively-once (same contract as
+  * [[graft.streaming.DestinationSink]]).
+  */
+trait WritableEnvelopeBroker {
+  def append(m: RawMessage): Unit
+}
 
-  def add(msgs: RawMessage*): Unit = msgs.foreach { m =>
-    val buf = logs.computeIfAbsent((m.topic, m.partition),
-      _ => scala.collection.mutable.ArrayBuffer.empty[RawMessage])
-    buf.synchronized { buf += m }
-  }
+/** In-memory transport: per-partition message log keyed by MessageId
+  * (duplicate appends are no-ops), sorted on read.
+  */
+class InMemoryBroker extends EnvelopeBroker with WritableEnvelopeBroker {
+  private val logs =
+    new ConcurrentHashMap[(String, Int), ConcurrentHashMap[(Long, Long), RawMessage]]()
+
+  override def append(m: RawMessage): Unit =
+    logs.computeIfAbsent((m.topic, m.partition),
+      _ => new ConcurrentHashMap[(Long, Long), RawMessage]())
+      .putIfAbsent((m.ledgerId, m.entryId), m)
+
+  def add(msgs: RawMessage*): Unit = msgs.foreach(append)
 
   override def topicPartitions: Seq[(String, Int)] =
     logs.keySet().asScala.toSeq.sorted
 
   private def sorted(topic: String, partition: Int): Seq[RawMessage] = {
-    val buf = logs.get((topic, partition))
-    if (buf == null) Seq.empty
-    else buf.synchronized { buf.toSeq }.sortBy(m => (m.ledgerId, m.entryId))
+    val log = logs.get((topic, partition))
+    if (log == null) Seq.empty
+    else log.values.asScala.toSeq.sortBy(m => (m.ledgerId, m.entryId))
   }
 
   override def read(topic: String, partition: Int,
@@ -130,16 +144,26 @@ class InMemoryBroker extends EnvelopeBroker {
 }
 
 private[sources] class EnvelopeTable(brokerName: String)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
 
   override def name(): String = s"pulsar-envelope($brokerName)"
   override def schema(): StructType = EnvelopeSource.schema
   override def capabilities(): java.util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
       override def build(): Scan = new EnvelopeScan(brokerName)
+    }
+
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new org.apache.spark.sql.connector.write.WriteBuilder {
+      override def build(): org.apache.spark.sql.connector.write.Write =
+        new EnvelopeWrite(brokerName)
     }
 }
 
@@ -228,6 +252,65 @@ private[sources] class EnvelopeMicroBatchStream(brokerName: String)
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
+}
+
+/** Write path: every task appends rows to the broker through the
+  * MessageId-idempotent [[WritableEnvelopeBroker.append]]; commit is a
+  * no-op because idempotence (not coordinator-side atomicity) is the
+  * delivery contract — a replayed task/epoch re-appends the same
+  * MessageIds harmlessly, exactly the mirror sink's at-least-once →
+  * effectively-once upgrade (A14).
+  */
+private[sources] class EnvelopeWrite(brokerName: String)
+    extends org.apache.spark.sql.connector.write.Write {
+  import org.apache.spark.sql.connector.write._
+
+  override def toBatch: BatchWrite = new BatchWrite {
+    override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+      EnvelopeWriterFactory(brokerName)
+    override def commit(messages: Array[WriterCommitMessage]): Unit = ()
+    override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+  }
+
+  override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+    new org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+      override def createStreamingWriterFactory(info: PhysicalWriteInfo)
+          : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
+        EnvelopeWriterFactory(brokerName)
+      override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
+      override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
+    }
+}
+
+/** Serializable factory shipped to executors (carries only the broker
+  * name; the broker itself is resolved from the registry task-side).
+  */
+private[sources] case class EnvelopeWriterFactory(brokerName: String)
+    extends org.apache.spark.sql.connector.write.DataWriterFactory
+    with org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long)
+      : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
+    new EnvelopeDataWriter(brokerName)
+  override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
+      : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
+    new EnvelopeDataWriter(brokerName)
+}
+
+private[sources] class EnvelopeDataWriter(brokerName: String)
+    extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
+  private val deserializer =
+    ExpressionEncoder[RawMessage]().resolveAndBind().createDeserializer()
+  private val broker = EnvelopeBrokerRegistry.get(brokerName) match {
+    case w: WritableEnvelopeBroker => w
+    case other => throw new IllegalArgumentException(
+      s"broker '$brokerName' (${other.getClass.getName}) is not writable")
+  }
+  override def write(record: InternalRow): Unit =
+    broker.append(deserializer(record))
+  override def commit(): org.apache.spark.sql.connector.write.WriterCommitMessage =
+    new org.apache.spark.sql.connector.write.WriterCommitMessage {}
+  override def abort(): Unit = ()
+  override def close(): Unit = ()
 }
 
 /** One physical (topic, partition) slice — the planning unit, exactly
