@@ -289,6 +289,27 @@ object ExtendedQueries extends QueryGroup {
       .orderBy(col("l_orderkey"), col("l_linenumber"))
   }
 
+  // R-29 stratified deterministic sampling: the k docs per stratum
+  // (lang) with the smallest md5-of-id — a reproducible per-stratum
+  // reservoir whose membership is stable across engines, re-runs, and
+  // repartitioning (the property PRNG-based sampling lacks). One
+  // shuffle on the stratum key.
+  q("q48_stratified_sample",
+    """SELECT lang, rn, doc_id FROM (
+      |  SELECT lang, doc_id,
+      |    row_number() OVER (PARTITION BY lang
+      |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      |  FROM documents)
+      |WHERE rn <= 20 ORDER BY lang, rn""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    Tables.documents(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 20)
+      .select(col("lang"), col("rn"), col("doc_id"))
+      .orderBy(col("lang"), col("rn"))
+  }
+
   // --------------------------------------------------------------- R-30
   q("q28_pivot",
     s"""SELECT n_name,

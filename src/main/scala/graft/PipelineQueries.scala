@@ -102,6 +102,22 @@ object PipelineQueries extends QueryGroup {
       .orderBy(col("doc_id"))
   }
 
+  // R-21 normalization pass: the cleanup a training-data pipeline runs
+  // before tokenizing — lowercase, collapse whitespace runs, trim.
+  // Row-parallel, no shuffle (beyond the oracle ORDER BY).
+  q("q49_text_normalize",
+    """SELECT doc_id,
+      |  trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm_text,
+      |  length(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS n_chars
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+    import graft.functions.TextFns
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        TextFns.normalizeWhitespace(col("text")).as("norm_text"),
+        length(TextFns.normalizeWhitespace(col("text"))).as("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
   // --------------------------------------------------------------- R-19
   // Exact n-gram Jaccard near-dup pairs (blocked by lang). The data
   // has 6 planted pairs >= 0.95 with a clean gap to ~0.05 — threshold

@@ -28,6 +28,27 @@ object StreamingQueries extends QueryGroup {
       .orderBy(col("wstart_ms"))
   }
 
+  // S-2 sliding window: 10-minute windows sliding every 5 — each event
+  // lands in exactly 2 windows. Oracle enumerates the two candidate
+  // 5-minute-aligned starts per event and keeps those whose window
+  // covers the event.
+  q("q50_sliding_window",
+    s"""WITH c AS (
+       |  SELECT e.*, unnest([date_trunc('minute', ts) - INTERVAL (EXTRACT(minute FROM ts)::INT % 5) MINUTE,
+       |                      date_trunc('minute', ts) - INTERVAL (EXTRACT(minute FROM ts)::INT % 5) MINUTE - INTERVAL 5 MINUTE]) AS wstart
+       |  FROM events e),
+       |w AS (SELECT * FROM c WHERE ts >= wstart AND ts < wstart + INTERVAL 10 MINUTE)
+       |SELECT epoch_ms(wstart) AS wstart_ms, count(*) AS n,
+       |  ${sqlRound("sum(value)", 2)} AS val_sum
+       |FROM w GROUP BY wstart ORDER BY wstart_ms""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes"))
+      .agg(count(lit(1)).as("n"), pround(sum(col("value")), 2).as("val_sum"))
+      .select(unix_millis(col("window.start")).as("wstart_ms"),
+        col("n"), col("val_sum"))
+      .orderBy(col("wstart_ms"))
+  }
+
   // ---------------------------------------------------------------- S-3
   // Session windows per user (10 min gap). Oracle = gaps-and-islands:
   // a session breaks when the gap to the previous event is >= the gap

@@ -15,6 +15,12 @@ object TextFns {
   def tokens(text: Column): Column =
     filter(split(lower(text), "\\s+"), t => length(t) > 0)
 
+  /** Normalization pass: lowercase, collapse whitespace runs to one
+    * space, trim. The canonical form fed to fingerprinting/dedup.
+    */
+  def normalizeWhitespace(text: Column): Column =
+    trim(regexp_replace(lower(text), "\\s+", " "))
+
   /** BPE-ish token-count estimate: a word of length L costs ceil(L/6)
     * tokens — a deterministic, cheap stand-in for a real tokenizer's
     * count (long words cost proportionally more, mirroring subword
