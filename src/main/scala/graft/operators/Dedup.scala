@@ -132,18 +132,19 @@ object Dedup {
       textCol: String,
       shingleN: Int,
       numHashes: Int): DataFrame = {
-    // hash BEFORE the distinct: the dedup shuffle then carries (doc,
-    // 8-byte long) instead of (doc, ~20-byte shingle string) — the
-    // signature only ever consumes h0, so the string need not survive
-    // the exchange (a 2^-64 hash collision merges two shingles, which
-    // perturbs a min-hash no more than the hashing already does)
-    val sh = docs.select(col(idCol).as("doc"),
+    // no shingle-dedup pass: `min` is insensitive to duplicates, so
+    // the min-hash of the shingle MULTISET equals the min-hash of the
+    // set — the explode feeds the aggregation directly and the ONLY
+    // shuffle is the (doc)-keyed partial-aggregated one (round 1 paid
+    // an extra full exchange for a distinct whose output the min never
+    // distinguishes). Strings die before the exchange too: only
+    // (doc, h0) leaves the scan stage.
+    val sigFn = udaf(new graft.functions.MinHashAgg(numHashes))
+    docs.select(col(idCol).as("doc"),
         explode(TextFns.wordShingles(TextFns.tokens(col(textCol)), shingleN))
           .as("shingle"))
       .select(col("doc"), xxhash64(col("shingle")).as("h0"))
-      .distinct()
-    val sigFn = udaf(new graft.functions.MinHashAgg(numHashes))
-    sh.groupBy(col("doc"))
+      .groupBy(col("doc"))
       .agg(sigFn(col("h0")).as("s"))
       .select(col("doc"), col("s.sig").as("sig"))
   }
