@@ -50,10 +50,14 @@ class EnvelopeSource extends TableProvider with DataSourceRegister {
       schema: StructType,
       partitioning: Array[Transform],
       properties: java.util.Map[String, String]): Table = {
-    val broker = properties.get("broker")
+    // option keys reach getTable lowercased — go through the
+    // case-insensitive wrapper
+    val opts = new CaseInsensitiveStringMap(properties)
+    val broker = opts.get("broker")
     require(broker != null && broker.nonEmpty,
       "option 'broker' (a registered EnvelopeBroker name) is required")
-    new EnvelopeTable(broker)
+    val maxRecords = Option(opts.get("maxRecordsPerMicroBatch")).map(_.toLong)
+    new EnvelopeTable(broker, maxRecords)
   }
 }
 
@@ -143,7 +147,9 @@ class InMemoryBroker extends EnvelopeBroker with WritableEnvelopeBroker {
   }
 }
 
-private[sources] class EnvelopeTable(brokerName: String)
+private[sources] class EnvelopeTable(
+    brokerName: String,
+    maxRecordsPerMicroBatch: Option[Long] = None)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite {
 
@@ -155,7 +161,7 @@ private[sources] class EnvelopeTable(brokerName: String)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
-      override def build(): Scan = new EnvelopeScan(brokerName)
+      override def build(): Scan = new EnvelopeScan(brokerName, maxRecordsPerMicroBatch)
     }
 
   override def newWriteBuilder(
@@ -167,7 +173,9 @@ private[sources] class EnvelopeTable(brokerName: String)
     }
 }
 
-private[sources] class EnvelopeScan(brokerName: String) extends Scan {
+private[sources] class EnvelopeScan(
+    brokerName: String,
+    maxRecordsPerMicroBatch: Option[Long] = None) extends Scan {
   override def readSchema(): StructType = EnvelopeSource.schema
   override def description(): String = s"pulsar-envelope($brokerName)"
 
@@ -187,7 +195,7 @@ private[sources] class EnvelopeScan(brokerName: String) extends Scan {
   }
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new EnvelopeMicroBatchStream(brokerName)
+    new EnvelopeMicroBatchStream(brokerName, maxRecordsPerMicroBatch)
 }
 
 /** Streaming offsets: per-partition exclusive end positions. Wire
@@ -220,11 +228,34 @@ private[sources] object EnvelopeOffset {
   * stream started are picked up by the next `latestOffset` call with
   * an implicit (0,0) start — the reference's partition-discovery
   * behavior (A13/A21).
+  *
+  * Admission control: with `maxRecordsPerMicroBatch` set, each batch
+  * admits at most that many records (greedy in partition order) — the
+  * knob that chunks a huge Earliest backfill into bounded batches
+  * instead of one giant catch-up batch (at 100 TB the difference
+  * between steady progress + checkpoints and a week-long batch that
+  * can only fail whole).
   */
-private[sources] class EnvelopeMicroBatchStream(brokerName: String)
-    extends MicroBatchStream {
+private[sources] class EnvelopeMicroBatchStream(
+    brokerName: String,
+    maxRecordsPerMicroBatch: Option[Long] = None)
+    extends MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.{ReadLimit, ReadMaxRows}
 
   private def broker = EnvelopeBrokerRegistry.get(brokerName)
+
+  // AvailableNow: the end captured at stream start; batches never read
+  // past it even if the broker keeps growing. Implemented here (not
+  // via Spark's wrapper) because the wrapper does not forward the
+  // source's default read limit — admission control would silently
+  // turn off under AvailableNow.
+  @volatile private var availableNowEnd: Option[Map[(String, Int), (Long, Long)]] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowEnd =
+      Some(latestOffset().asInstanceOf[EnvelopeOffset].positions)
 
   override def initialOffset(): Offset = EnvelopeOffset(Map.empty)
 
@@ -232,6 +263,54 @@ private[sources] class EnvelopeMicroBatchStream(brokerName: String)
     EnvelopeOffset(broker.topicPartitions.map { case (t, p) =>
       ((t, p), broker.latest(t, p))
     }.toMap)
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxRecordsPerMicroBatch.map(ReadLimit.maxRows).getOrElse(ReadLimit.allAvailable())
+
+  override def reportLatestOffset(): Offset = latestOffset()
+
+  override def latestOffset(startOffset: Offset, limit: ReadLimit): Offset = {
+    val start = startOffset.asInstanceOf[EnvelopeOffset].positions
+    val ord = Ordering[(Long, Long)]
+    // per-partition end: broker latest, clamped to the AvailableNow
+    // capture (partitions discovered after the capture wait for the
+    // next run)
+    def endFor(t: String, p: Int, s: (Long, Long)): (Long, Long) = {
+      val live = broker.latest(t, p)
+      availableNowEnd match {
+        case Some(cap) => ord.min(live, cap.getOrElse((t, p), s))
+        case None => live
+      }
+    }
+    limit match {
+      case mr: ReadMaxRows =>
+        var budget = mr.maxRows()
+        val positions = broker.topicPartitions.map { case (t, p) =>
+          val s = start.getOrElse((t, p), (0L, 0L))
+          val end = endFor(t, p, s)
+          if (budget <= 0) ((t, p), ord.max(s, start.getOrElse((t, p), s)))
+          else {
+            // advance at most `budget` messages past the start
+            val it = broker.read(t, p, s, end)
+            var last = s
+            var n = 0L
+            while (it.hasNext && n < budget) {
+              val m = it.next()
+              last = (m.ledgerId, m.entryId + 1)
+              n += 1
+            }
+            budget -= n
+            ((t, p), last)
+          }
+        }.toMap
+        EnvelopeOffset(positions)
+      case _ =>
+        EnvelopeOffset(broker.topicPartitions.map { case (t, p) =>
+          val s = start.getOrElse((t, p), (0L, 0L))
+          ((t, p), endFor(t, p, s))
+        }.toMap)
+    }
+  }
 
   override def deserializeOffset(json: String): Offset =
     EnvelopeOffset.fromJson(json)

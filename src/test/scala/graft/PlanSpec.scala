@@ -45,4 +45,36 @@ class PlanSpec extends SparkSuiteBase {
     val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).size
     assert(hashExchanges == 1, s"expected exactly 1 key shuffle, got $hashExchanges")
   }
+
+  test("minhash signatures shuffle exactly once (doc key), no distinct exchange") {
+    val sig = graft.operators.Dedup.minhashSignatures(
+      Tables.documents(spark, sfDir), "doc_id", "text", 3, 16)
+    val p = sig.queryExecution.executedPlan.toString
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashExchanges == 1, s"expected exactly 1 exchange, got $hashExchanges\n$p")
+    assert(p.contains("partial_minhashagg"), "map-side partial aggregation must run")
+  }
+
+  test("q35 simhash scores inside the join: hamming predicate in the join condition") {
+    val p = plan("q35_simhash")
+    // the cheap codegen'd bit_count(xor) must gate rows in the join
+    // itself, not in a post-shuffle filter
+    val joinLine = p.linesIterator.find(l => l.contains("Join") && l.contains("chunk"))
+    assert(joinLine.exists(_.contains("bit_count")), s"hamming not in join condition:\n$p")
+  }
+
+  test("q46 IVF candidate generation is a cell equi-join, no cartesian") {
+    val p = plan("q46_ivf_ann")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"IVF must not plan an all-pairs join:\n$p")
+    assert(p.contains("Join [cell"), s"expected a cell equi-join:\n$p")
+  }
+
+  test("q34 LSH self-join reuses the signature exchange (computed once)") {
+    val df = Queries.all("q34_minhash_lsh")(spark, sfDir)
+    df.collect() // AQE finalizes reuse at execution
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ReusedExchange"),
+      s"signature pipeline must be computed once across the self-join:\n$p")
+  }
 }

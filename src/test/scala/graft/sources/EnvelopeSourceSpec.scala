@@ -97,6 +97,30 @@ class EnvelopeSourceSpec extends SparkSuiteBase {
     assert(perPart.head == perPart.head.sorted)
   }
 
+  test("admission control: maxRecordsPerMicroBatch chunks the backfill into bounded batches") {
+    val broker = new InMemoryBroker
+    EnvelopeBrokerRegistry.register("es-limit", broker)
+    (0L until 5L).foreach(e => broker.add(raw("l", 0, 1, e)))
+    val sizes = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val q = spark.readStream.format(fmt)
+      .option("broker", "es-limit")
+      .option("maxRecordsPerMicroBatch", "2").load()
+      .writeStream
+      .option("checkpointLocation", tmpDir("es-limit-ckpt"))
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val n = batch.count()
+        if (n > 0) sizes.add(n): Unit
+      }
+      .start()
+    q.awaitTermination()
+    import scala.jdk.CollectionConverters._
+    val got = sizes.asScala.toSeq
+    assert(got.sum == 5, s"all messages must arrive, got $got")
+    assert(got.forall(_ <= 2), s"every batch must respect the limit, got $got")
+    assert(got.length >= 3, s"the backfill must be chunked, got $got")
+  }
+
   test("batch write: rows land on the broker, replays are MessageId-idempotent") {
     import spark.implicits._
     val broker = new InMemoryBroker
