@@ -208,7 +208,12 @@ object Dedup {
         fwd.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .localCheckpoint(true)
-    var labels = docs.select(col(idCol).as("id"), col(idCol).as("lbl"))
+    // propagate ONLY over the pair subgraph — near-dup graphs are a
+    // vanishing fraction of the corpus, so the iteration loop never
+    // touches the full document table; singletons get their own id in
+    // one left join at the end
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("lbl"))
       .localCheckpoint(true)
     var changed = 1L
     var iter = 0
@@ -225,7 +230,9 @@ object Dedup {
       labels = next
       iter += 1
     }
-    labels.select(col("id").as(idCol), col("lbl").as("cluster"))
+    docs.select(col(idCol))
+      .join(labels, docs(idCol) === labels("id"), "left")
+      .select(col(idCol), coalesce(col("lbl"), col(idCol)).as("cluster"))
   }
 
   /** SimHash near-duplicate pairs: 64-bit simhash per doc, candidates
