@@ -21,11 +21,14 @@ object Dedup {
     * `dropDuplicates` precisely because re-runs produce identical
     * survivors.
     *
-    * Determinism holds even when `tieBreak` is not unique within a key
-    * group: the sort order is suffixed with every remaining orderable
-    * column, so tied rows either differ on some orderable column
-    * (suffix decides) or are identical on all of them (any survivor is
-    * indistinguishable).
+    * Determinism when `tieBreak` is not unique within a key group: the
+    * sort order is suffixed with every remaining ORDERABLE column, so
+    * ties are broken deterministically whenever the tied rows differ
+    * on any orderable column. Residual caveat: rows identical on every
+    * orderable column but differing in a non-orderable one (e.g. a
+    * map) still have an arbitrary survivor — Spark cannot sort on
+    * those types; pass a unique tieBreak if such payloads must be
+    * pinned.
     */
   def exact(df: DataFrame, keys: Seq[String], tieBreak: String): DataFrame = {
     val suffix = df.schema.fields
@@ -230,6 +233,13 @@ object Dedup {
       labels = next
       iter += 1
     }
+    // never return silently-truncated components: a partially
+    // propagated labeling would under-merge clusters and the keep/drop
+    // step would keep duplicates with no signal anything went wrong
+    if (changed > 0) throw new IllegalStateException(
+      s"clusters() did not converge within $maxIterations iterations " +
+        s"($changed labels still changing) — raise maxIterations " +
+        "(rounds needed = pair-graph diameter)")
     docs.select(col(idCol))
       .join(labels, docs(idCol) === labels("id"), "left")
       .select(col(idCol), coalesce(col("lbl"), col(idCol)).as("cluster"))

@@ -83,14 +83,15 @@ object Multimodal {
         new String(b.slice(8, 12), "US-ASCII") != "WAVE") return None
       var byteRate = 0L
       var dataSize = -1L
-      var off = 12
+      var off = 12L // long arithmetic: a 32-bit chunk size must not wrap
       while (off + 8 <= b.length) {
-        val id = new String(b.slice(off, off + 4), "US-ASCII")
-        val sz = leInt(b, off + 4).toLong & 0xffffffffL
-        if (id == "fmt " && off + 16 <= b.length)
-          byteRate = leInt(b, off + 16).toLong & 0xffffffffL
+        val o = off.toInt
+        val id = new String(b.slice(o, o + 4), "US-ASCII")
+        val sz = leInt(b, o + 4).toLong & 0xffffffffL
+        if (id == "fmt " && o + 20 <= b.length) // reads bytes o+16..o+19
+          byteRate = leInt(b, o + 16).toLong & 0xffffffffL
         if (id == "data") dataSize = sz
-        off += 8 + sz.toInt + (sz.toInt & 1) // chunks are word-aligned
+        off += 8L + sz + (sz & 1L) // word-aligned; sz >= 0 ⇒ off advances
       }
       if (byteRate > 0 && dataSize >= 0) Some(dataSize * 1000L / byteRate)
       else None

@@ -87,7 +87,9 @@ object Similarity {
       threshold: Double,
       maxBroadcastRows: Long = 4000000L,
       bucketBits: Int = 8): DataFrame = {
-    val probeLimit = math.min(maxBroadcastRows + 1, Int.MaxValue.toLong).toInt
+    val probeLimit = // +1 may overflow for huge thresholds — clamp first
+      if (maxBroadcastRows >= Int.MaxValue.toLong) Int.MaxValue
+      else (maxBroadcastRows + 1).toInt
     val small = emb.limit(probeLimit).count() <= maxBroadcastRows
     if (small) broadcastAllPairsCosine(emb, idCol, vecCol, threshold)
     else bucketedPairsCosine(emb, idCol, vecCol, threshold, bucketBits)

@@ -74,16 +74,19 @@ object TextAnalysis {
         .toSeq.sortBy(_._1)
     require(profiles.nonEmpty, "languageId needs at least one language profile")
     val toksDistinct = array_distinct(TextFns.tokens(col(textCol)))
-    val scoreCols = profiles.map { case (l, words) =>
-      size(array_intersect(toksDistinct, typedlit(words))).as(s"__s_$l")
+    // score columns are named by INDEX, never by the language value —
+    // a lang like "pt.br" or a case-colliding "en"/"EN" pair must stay
+    // data, not column syntax
+    val scoreCols = profiles.zipWithIndex.map { case ((_, words), i) =>
+      size(array_intersect(toksDistinct, typedlit(words))).as(s"__s_$i")
     }
-    val scoreRefs = profiles.map { case (l, _) => col(s"__s_$l") }
+    val scoreRefs = profiles.indices.map(i => col(s"__s_$i"))
     val maxScore =
       if (scoreRefs.size == 1) scoreRefs.head else greatest(scoreRefs: _*)
     // ties resolve to the lexicographically smallest language because
     // `profiles` is sorted and coalesce picks the first hit
-    val best = coalesce(profiles.map { case (l, _) =>
-      when(col(s"__s_$l") === col("__max"), lit(l))
+    val best = coalesce(profiles.zipWithIndex.map { case ((l, _), i) =>
+      when(col(s"__s_$i") === col("__max"), lit(l))
     }: _*)
     docs.select(col(idCol).as("doc") +: scoreCols: _*)
       .withColumn("__max", maxScore)

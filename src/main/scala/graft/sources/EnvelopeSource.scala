@@ -77,6 +77,26 @@ trait EnvelopeBroker {
   def read(topic: String, partition: Int,
       from: (Long, Long), until: (Long, Long)): Iterator[RawMessage]
   def latest(topic: String, partition: Int): (Long, Long)
+
+  /** Position after skipping at most `n` messages forward from `from`
+    * (never past `until`), plus how many were skipped. Used by
+    * admission control on the DRIVER — the default walks `read`, which
+    * is fine in-memory but pulls payloads through the driver on a live
+    * transport; a real implementation should override with a
+    * metadata-only seek (e.g. ledger entry counts).
+    */
+  def advance(topic: String, partition: Int,
+      from: (Long, Long), until: (Long, Long), n: Long): ((Long, Long), Long) = {
+    val it = read(topic, partition, from, until)
+    var last = from
+    var skipped = 0L
+    while (it.hasNext && skipped < n) {
+      val m = it.next()
+      last = (m.ledgerId, m.entryId + 1)
+      skipped += 1
+    }
+    (last, skipped)
+  }
 }
 
 /** JVM-wide broker registry (valid under local[*], where executors
@@ -287,18 +307,12 @@ private[sources] class EnvelopeMicroBatchStream(
         var budget = mr.maxRows()
         val positions = broker.topicPartitions.map { case (t, p) =>
           val s = start.getOrElse((t, p), (0L, 0L))
-          val end = endFor(t, p, s)
-          if (budget <= 0) ((t, p), ord.max(s, start.getOrElse((t, p), s)))
+          if (budget <= 0) ((t, p), s)
           else {
-            // advance at most `budget` messages past the start
-            val it = broker.read(t, p, s, end)
-            var last = s
-            var n = 0L
-            while (it.hasNext && n < budget) {
-              val m = it.next()
-              last = (m.ledgerId, m.entryId + 1)
-              n += 1
-            }
+            // advance at most `budget` messages past the start; live
+            // brokers override advance with a metadata-only seek so no
+            // payload crosses the driver here
+            val (last, n) = broker.advance(t, p, s, endFor(t, p, s), budget)
             budget -= n
             ((t, p), last)
           }

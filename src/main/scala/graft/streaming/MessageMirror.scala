@@ -90,6 +90,10 @@ object MessageMirror {
           val published: Option[(Long, Long)] =
             try Some(publishWithRetry(r, sink, publishAttempts))
             catch {
+              // a task kill (speculation, stage retry, query stop) is
+              // NOT a sink failure: fail the task so the batch replays,
+              // never dead-letter on it
+              case e: InterruptedException => throw e
               case e: Exception => deadLetter match {
                 case Some(dl) =>
                   dl.record(
@@ -131,6 +135,7 @@ object MessageMirror {
       n += 1
       try return publishRow(r, sink)
       catch {
+        case e: InterruptedException => throw e // task kill, not an outage
         case e: Exception if n < attempts =>
           Thread.sleep(10L * n) // brief linear backoff between attempts
       }

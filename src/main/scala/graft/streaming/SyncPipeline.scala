@@ -333,28 +333,37 @@ class MirrorSupervisor(
   private val done = new java.util.concurrent.CountDownLatch(1)
 
   private val thread = new Thread({ () =>
-    var keepGoing = true
-    while (keepGoing && !closed) {
-      try {
-        val q = startQuery()
-        active = Some(q)
-        q.awaitTermination() // throws on errored termination
-        keepGoing = false // clean end (AvailableNow drained, or stop())
-      } catch {
-        case scala.util.control.NonFatal(e) =>
-          lastErrorOpt = Some(e)
-          if (closed || restartCounter >= maxRestarts) keepGoing = false
-          else {
-            restartCounter += 1
-            System.err.println(
-              s"[graft-mirror] query died (restart $restartCounter): $e")
-            try Thread.sleep(backoffMillis)
-            catch { case _: InterruptedException => keepGoing = false }
-          }
+    // the latch MUST count down on every exit path — an interrupt
+    // escaping the loop (close() interrupts while awaitTermination
+    // blocks) would otherwise leave awaitTerminated() hanging forever
+    try {
+      var keepGoing = true
+      while (keepGoing && !closed) {
+        try {
+          val q = startQuery()
+          active = Some(q)
+          if (closed) q.stop() // close() raced the start — shut it down
+          q.awaitTermination() // throws on errored termination
+          keepGoing = false // clean end (AvailableNow drained, or stop())
+        } catch {
+          case _: InterruptedException => keepGoing = false
+          case scala.util.control.NonFatal(e) =>
+            lastErrorOpt = Some(e)
+            if (closed || restartCounter >= maxRestarts) keepGoing = false
+            else {
+              restartCounter += 1
+              System.err.println(
+                s"[graft-mirror] query died (restart $restartCounter): $e")
+              try Thread.sleep(backoffMillis)
+              catch { case _: InterruptedException => keepGoing = false }
+            }
+        }
       }
+    } finally {
+      active.foreach { q => try q.stop() catch { case _: Exception => () } }
+      active = None
+      done.countDown()
     }
-    active = None
-    done.countDown()
   }: Runnable, "graft-mirror-supervisor")
   thread.setDaemon(true)
   thread.start()
