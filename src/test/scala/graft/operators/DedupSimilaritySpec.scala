@@ -140,6 +140,16 @@ class DedupSimilaritySpec extends SparkSuiteBase {
       5L -> 5L, 6L -> 5L, 7L -> 5L, 8L -> 8L))
   }
 
+  test("connected components refuses to return truncated clusters at the iteration cap") {
+    import spark.implicits._
+    val docs4 = (1L to 4L).toDF("doc_id")
+    // chain 1-2-3-4 needs more than one propagation round
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("id_a", "id_b")
+    intercept[IllegalStateException] {
+      Dedup.clusters(docs4, "doc_id", chain, maxIterations = 1).collect()
+    }
+  }
+
   test("IVF ANN neighbors are a subset of brute force with equal cosines; nprobe=numCells is exhaustive") {
     val e = Tables.embeddings(spark, sfDir)
     val probes = e.filter(col("vec_id") < 5)

@@ -97,6 +97,18 @@ class MultimodalUdfSpec extends SparkSuiteBase {
     assert(out(3L) == ((None, None, Some(3000L))))
   }
 
+  test("multimodal: malformed WAV chunk sizes terminate (no hang) and fall back") {
+    // a chunk whose 32-bit size is 0xFFFFFFF8 (-8 as Int) must not
+    // stall the chunk walker
+    val bb = java.nio.ByteBuffer.allocate(64).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(56)
+    bb.put("WAVE".getBytes("US-ASCII"))
+    bb.put("junk".getBytes("US-ASCII")).putInt(0xFFFFFFF8)
+    val f = Multimodal.FakeCodec.decode("audio", bb.array())
+    // falls through to the deterministic fake (no parseable duration)
+    assert(f.nBytes == 64 && f.durationMs.nonEmpty)
+  }
+
   test("multimodal: header sniffing is magic-byte-driven, unknown bytes fall back") {
     // a WAV payload declared as "image" still parses as WAV (bytes win
     // over the declared media type)
