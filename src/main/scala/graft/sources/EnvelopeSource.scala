@@ -180,9 +180,7 @@ private[sources] class EnvelopeTable(
       TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder {
-      override def build(): Scan = new EnvelopeScan(brokerName, maxRecordsPerMicroBatch)
-    }
+    new EnvelopeScanBuilder(brokerName, maxRecordsPerMicroBatch)
 
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
@@ -193,11 +191,31 @@ private[sources] class EnvelopeTable(
     }
 }
 
+/** Column pruning (SupportsPushDownRequiredColumns): a projection-only
+  * consumer (e.g. an offset audit reading `(topic, entryId)`) gets a
+  * scan whose readers emit just those fields — the payload bytes never
+  * leave the reader.
+  */
+private[sources] class EnvelopeScanBuilder(
+    brokerName: String,
+    maxRecordsPerMicroBatch: Option[Long])
+    extends ScanBuilder
+    with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
+  private var required: StructType = EnvelopeSource.schema
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+  override def build(): Scan =
+    new EnvelopeScan(brokerName, maxRecordsPerMicroBatch, required)
+}
+
 private[sources] class EnvelopeScan(
     brokerName: String,
-    maxRecordsPerMicroBatch: Option[Long] = None) extends Scan {
-  override def readSchema(): StructType = EnvelopeSource.schema
+    maxRecordsPerMicroBatch: Option[Long] = None,
+    required: StructType = EnvelopeSource.schema) extends Scan {
+  override def readSchema(): StructType = required
   override def description(): String = s"pulsar-envelope($brokerName)"
+
+  private def readerFactory = EnvelopeReaderFactory(required)
 
   /** Batch scan: every partition read from its beginning to `latest`
     * — the reference's Earliest-position backfill (A14).
@@ -210,12 +228,11 @@ private[sources] class EnvelopeScan(
         EnvelopeInputPartition(brokerName, t, p, 0L, 0L, el, ee): InputPartition
       }.toArray
     }
-    override def createReaderFactory(): PartitionReaderFactory =
-      EnvelopeReaderFactory
+    override def createReaderFactory(): PartitionReaderFactory = readerFactory
   }
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new EnvelopeMicroBatchStream(brokerName, maxRecordsPerMicroBatch)
+    new EnvelopeMicroBatchStream(brokerName, maxRecordsPerMicroBatch, required)
 }
 
 /** Streaming offsets: per-partition exclusive end positions. Wire
@@ -258,7 +275,8 @@ private[sources] object EnvelopeOffset {
   */
 private[sources] class EnvelopeMicroBatchStream(
     brokerName: String,
-    maxRecordsPerMicroBatch: Option[Long] = None)
+    maxRecordsPerMicroBatch: Option[Long] = None,
+    required: StructType = EnvelopeSource.schema)
     extends MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
@@ -341,7 +359,7 @@ private[sources] class EnvelopeMicroBatchStream(
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    EnvelopeReaderFactory
+    EnvelopeReaderFactory(required)
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
@@ -416,18 +434,29 @@ private[sources] case class EnvelopeInputPartition(
     fromLedger: Long, fromEntry: Long,
     untilLedger: Long, untilEntry: Long) extends InputPartition
 
-private[sources] object EnvelopeReaderFactory extends PartitionReaderFactory {
+private[sources] case class EnvelopeReaderFactory(required: StructType)
+    extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[EnvelopeInputPartition]
     new PartitionReader[InternalRow] {
       private val serializer =
         ExpressionEncoder[RawMessage]().createSerializer()
+      // project the full envelope row down to the pruned schema with a
+      // codegen'd UnsafeProjection over bound field references
+      private val full = EnvelopeSource.schema
+      private val project =
+        org.apache.spark.sql.catalyst.expressions.UnsafeProjection.create(
+          required.fields.toSeq.map { f =>
+            val i = full.fieldIndex(f.name)
+            org.apache.spark.sql.catalyst.expressions.BoundReference(
+              i, f.dataType, f.nullable): org.apache.spark.sql.catalyst.expressions.Expression
+          })
       private val it = EnvelopeBrokerRegistry.get(p.brokerName)
         .read(p.topic, p.partition,
           (p.fromLedger, p.fromEntry), (p.untilLedger, p.untilEntry))
       private var current: InternalRow = _
       override def next(): Boolean =
-        if (it.hasNext) { current = serializer(it.next()).copy(); true }
+        if (it.hasNext) { current = project(serializer(it.next())).copy(); true }
         else false
       override def get(): InternalRow = current
       override def close(): Unit = ()

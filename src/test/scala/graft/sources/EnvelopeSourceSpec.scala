@@ -41,6 +41,23 @@ class EnvelopeSourceSpec extends SparkSuiteBase {
       ("b", 0, 2L, 5L)))
   }
 
+  test("column pruning reaches the scan: projection-only read emits pruned rows") {
+    val broker = new InMemoryBroker
+    EnvelopeBrokerRegistry.register("es-prune", broker)
+    broker.add(raw("p", 0, 1, 0), raw("p", 0, 1, 1))
+    val df = spark.read.format(fmt).option("broker", "es-prune").load()
+      .select("topic", "entryId")
+    val got = df.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == Set(("p", 0L), ("p", 1L)))
+    // the scan's output schema itself is pruned (not a post-scan
+    // projection): BatchScan output carries exactly the two columns
+    val scanLine = df.queryExecution.executedPlan.toString.linesIterator
+      .find(_.contains("BatchScan")).getOrElse("")
+    assert(scanLine.contains("topic") && scanLine.contains("entryId")
+      && !scanLine.contains("value") && !scanLine.contains("properties"),
+      s"scan not pruned: $scanLine")
+  }
+
   test("short name resolves via DataSourceRegister") {
     val broker = new InMemoryBroker
     EnvelopeBrokerRegistry.register("es-short", broker)
