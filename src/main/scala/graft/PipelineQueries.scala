@@ -102,6 +102,27 @@ object PipelineQueries extends QueryGroup {
       .orderBy(col("doc_id"))
   }
 
+  // R-21 TF-IDF keyword extraction: top-3 terms per document by
+  // tf * ln(N/df), 6-dp-rounded before ranking (ties -> smallest
+  // word) so both engines rank identically.
+  q("q51_tfidf",
+    s"""WITH t AS (SELECT doc_id, unnest($sqlTokens) AS word FROM documents),
+       |tf AS (SELECT doc_id, word, count(*) AS tf FROM t GROUP BY 1, 2),
+       |df AS (SELECT word, count(DISTINCT doc_id) AS df FROM t GROUP BY 1),
+       |n AS (SELECT count(*) AS n FROM documents),
+       |s AS (SELECT doc_id, word,
+       |        ${sqlRound("tf.tf * ln(n.n * 1.0 / df.df)", 6)} AS score
+       |      FROM tf JOIN df USING (word) CROSS JOIN n),
+       |r AS (SELECT doc_id, word, score,
+       |        row_number() OVER (PARTITION BY doc_id
+       |          ORDER BY score DESC, word) AS rn FROM s)
+       |SELECT doc_id, rn, word, score FROM r WHERE rn <= 3
+       |ORDER BY doc_id, rn""".stripMargin) { (s, d) =>
+    TextAnalysis.tfidfTopTerms(Tables.documents(s, d), "doc_id", "text", k = 3)
+      .select(col("doc").as("doc_id"), col("rn"), col("word"), col("score"))
+      .orderBy(col("doc_id"), col("rn"))
+  }
+
   // R-21 normalization pass: the cleanup a training-data pipeline runs
   // before tokenizing — lowercase, collapse whitespace runs, trim.
   // Row-parallel, no shuffle (beyond the oracle ORDER BY).

@@ -45,6 +45,38 @@ object TextAnalysis {
       TextFns.fingerprint(col(textCol)).as("fingerprint"))
   }
 
+  /** Per-document TF-IDF keyword extraction: score = tf × ln(N/df),
+    * top `k` terms per document (ties → lexicographically smallest
+    * word), scores rounded to 6 decimals BEFORE ranking so the order
+    * is engine-portable. Shapes: one explode feeding both the
+    * (doc, word) tf aggregate and the per-word df aggregate; the df
+    * table is vocabulary-sized — the word equi-join is the only
+    * corpus-scale shuffle beyond the aggregates.
+    */
+  def tfidfTopTerms(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int): DataFrame = {
+    val n = docs.count() // corpus size: one scalar, computed once
+    val t = docs.select(col(idCol).as("doc"),
+      explode(TextFns.tokens(col(textCol))).as("word"))
+    val tf = t.groupBy(col("doc"), col("word")).agg(count(lit(1)).as("tf"))
+    val df = t.groupBy(col("word"))
+      .agg(countDistinct(col("doc")).as("df"))
+    val score6 = {
+      val raw = col("tf") * log(lit(n) * lit(1.0) / col("df"))
+      floor(raw * lit(1e6) + lit(0.5)) / lit(1e6)
+    }
+    val w = Window.partitionBy(col("doc"))
+      .orderBy(col("score").desc, col("word"))
+    tf.join(df, "word")
+      .select(col("doc"), col("word"), score6.as("score"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("doc"), col("rn"), col("word"), col("score"))
+  }
+
   /** Corpus-trained language ID: build per-language profiles (top
     * `profileSize` terms by frequency), score each document by how
     * many of its distinct tokens hit each profile, pick the
