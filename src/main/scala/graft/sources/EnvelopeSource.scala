@@ -57,6 +57,8 @@ class EnvelopeSource extends TableProvider with DataSourceRegister {
     require(broker != null && broker.nonEmpty,
       "option 'broker' (a registered EnvelopeBroker name) is required")
     val maxRecords = Option(opts.get("maxRecordsPerMicroBatch")).map(_.toLong)
+    maxRecords.foreach(m => require(m > 0,
+      s"maxRecordsPerMicroBatch must be positive, got $m"))
     new EnvelopeTable(broker, maxRecords)
   }
 }
