@@ -1,0 +1,36 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Session-extensions entry point registering the engine's codegen
+  * expressions cluster-wide:
+  *
+  * {{{
+  *   spark-submit --conf spark.sql.extensions=graft.plans.GraftExtensions ...
+  * }}}
+  *
+  * makes `vec_dot`, `sig_overlap`, and `simhash64` resolvable from SQL
+  * text in every session of the application — the deployment-grade
+  * alternative to the per-session `register(spark)` helpers (which
+  * remain for ad-hoc/test use; SURVEY §4.3).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((FunctionIdentifier("vec_dot"),
+      info("vec_dot", "vec_dot(a, b) - dot product of two array<float> vectors"),
+      (exprs: Seq[Expression]) => FloatVecDot(exprs(0), exprs(1))))
+    ext.injectFunction((FunctionIdentifier("sig_overlap"),
+      info("sig_overlap",
+        "sig_overlap(a, b) - fraction of equal positions of two array<bigint> MinHash signatures"),
+      (exprs: Seq[Expression]) => SigOverlap(exprs(0), exprs(1))))
+    ext.injectFunction((FunctionIdentifier("simhash64"),
+      info("simhash64", "simhash64(tokens) - 64-bit SimHash of an array<string>"),
+      (exprs: Seq[Expression]) => SimHash64Expr(exprs.head)))
+  }
+}

@@ -89,6 +89,30 @@ class SketchExprSpec extends SparkSuiteBase {
     }
   }
 
+  test("GraftExtensions makes all codegen functions SQL-resolvable in a fresh session") {
+    val base = spark // keep the shared context alive
+    org.apache.spark.sql.SparkSession.clearActiveSession()
+    org.apache.spark.sql.SparkSession.clearDefaultSession()
+    try {
+      // reuses the existing SparkContext; extensions apply at session
+      // construction — the spark.sql.extensions deployment path
+      val s2 = org.apache.spark.sql.SparkSession.builder()
+        .master("local[2]")
+        .withExtensions(new GraftExtensions().apply(_))
+        .getOrCreate()
+      val r = s2.sql(
+        "SELECT vec_dot(array(1.0f, 2.0f), array(3.0f, 4.0f)) AS d, " +
+          "sig_overlap(array(1L, 2L), array(1L, 3L)) AS o, " +
+          "simhash64(array('a')) AS h").head()
+      assert(r.getDouble(0) == 11.0)
+      assert(r.getDouble(1) == 0.5)
+      assert(!r.isNullAt(2))
+    } finally {
+      org.apache.spark.sql.SparkSession.setDefaultSession(base)
+      org.apache.spark.sql.SparkSession.setActiveSession(base)
+    }
+  }
+
   test("simhash64 is SQL-callable and null-safe") {
     SimHash64Expr.register(spark)
     val r = spark.sql(
