@@ -47,6 +47,33 @@ class StreamingSemanticsSpec extends SparkSuiteBase {
     q.stop()
   }
 
+  test("streaming sliding window agg matches batch semantics (S-2)") {
+    val ms = MemoryStream[Ev](spark, 1)
+    val data = Seq(
+      ev(1, "2024-01-01 00:01:10"), ev(2, "2024-01-01 00:06:30"),
+      ev(3, "2024-01-01 00:07:10"), ev(4, "2024-01-01 00:12:59"))
+    ms.addData(data: _*)
+    val q = ms.toDF()
+      .withWatermark("ts", "1 minute")
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .writeStream.format("memory").queryName("sliding")
+      .outputMode("complete").start()
+    q.processAllAvailable()
+    val got = spark.table("sliding")
+      .select(col("window.start").cast("string"), col("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val batch = data.toDF()
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").cast("string"), col("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == batch)
+    // every event lands in exactly two windows
+    assert(got.toSeq.map(_._2).sum == data.size * 2)
+    q.stop()
+  }
+
   test("streaming dedup with watermark drops in-window duplicates (S-5)") {
     val ms = MemoryStream[Ev](spark, 1)
     val q = ms.toDF()
