@@ -324,20 +324,32 @@ private[sources] class EnvelopeMicroBatchStream(
     }
     limit match {
       case mr: ReadMaxRows =>
-        var budget = mr.maxRows()
-        val positions = broker.topicPartitions.map { case (t, p) =>
-          val s = start.getOrElse((t, p), (0L, 0L))
-          if (budget <= 0) ((t, p), s)
-          else {
-            // advance at most `budget` messages past the start; live
-            // brokers override advance with a metadata-only seek so no
-            // payload crosses the driver here
-            val (last, n) = broker.advance(t, p, s, endFor(t, p, s), budget)
-            budget -= n
-            ((t, p), last)
+        // FAIR allocation: an even per-partition quota first, then a
+        // greedy sweep for the leftover — a purely greedy partition-
+        // order allocation would let one deep partition starve the
+        // rest for the whole backfill (skewed progress, lagging cursor
+        // translation for the starved partitions). Live brokers
+        // override advance with a metadata-only seek so no payload
+        // crosses the driver here.
+        val tps = broker.topicPartitions
+        val ends = scala.collection.mutable.LinkedHashMap(
+          tps.map(tp => tp -> start.getOrElse(tp, (0L, 0L))): _*)
+        var remaining = mr.maxRows()
+        val quota = math.max(1L, remaining / math.max(1, tps.size))
+        var pass = 0
+        while (pass < 2 && remaining > 0) {
+          tps.foreach { case (t, p) =>
+            if (remaining > 0) {
+              val here = if (pass == 0) math.min(quota, remaining) else remaining
+              val s = ends((t, p))
+              val (last, n) = broker.advance(t, p, s, endFor(t, p, s), here)
+              ends((t, p)) = last
+              remaining -= n
+            }
           }
-        }.toMap
-        EnvelopeOffset(positions)
+          pass += 1
+        }
+        EnvelopeOffset(ends.toMap)
       case _ =>
         EnvelopeOffset(broker.topicPartitions.map { case (t, p) =>
           val s = start.getOrElse((t, p), (0L, 0L))

@@ -138,6 +138,34 @@ class EnvelopeSourceSpec extends SparkSuiteBase {
     assert(got.length >= 3, s"the backfill must be chunked, got $got")
   }
 
+  test("admission control allocates the batch budget fairly across partitions") {
+    val broker = new InMemoryBroker
+    EnvelopeBrokerRegistry.register("es-fair", broker)
+    // two equally deep partitions; a greedy allocator would spend the
+    // whole first batch on partition 0
+    (0L until 4L).foreach { e =>
+      broker.add(raw("f", 0, 1, e)); broker.add(raw("f", 1, 1, e))
+    }
+    val firstBatch = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Long)]()
+    val q = spark.readStream.format(fmt)
+      .option("broker", "es-fair")
+      .option("maxRecordsPerMicroBatch", "4").load()
+      .writeStream
+      .option("checkpointLocation", tmpDir("es-fair-ckpt"))
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        if (id == 0)
+          batch.select("partition", "entryId").collect()
+            .foreach(r => firstBatch.add((r.getInt(0), r.getLong(1)))): Unit
+      }
+      .start()
+    q.awaitTermination()
+    import scala.jdk.CollectionConverters._
+    val byPartition = firstBatch.asScala.toSeq.groupBy(_._1).view.mapValues(_.size).toMap
+    // batch 0 carries 2 messages from EACH partition, not 4 from one
+    assert(byPartition == Map(0 -> 2, 1 -> 2), s"unfair first batch: $byPartition")
+  }
+
   test("batch write: rows land on the broker, replays are MessageId-idempotent") {
     import spark.implicits._
     val broker = new InMemoryBroker
