@@ -82,10 +82,23 @@ object OffsetIndex {
   def translateTwoTier(
       cursorStats: DataFrame,
       offsetMap: DataFrame,
-      retentionMinutes: Int = 60): DataFrame = {
+      retentionMinutes: Int = 60,
+      denseRetentionMinutes: Int = 60): DataFrame = {
     val sparse = translate(cursorStats, sparseSample(offsetMap, retentionMinutes))
       .alias("s")
-    val dense = offsetMap.select(col("topic"), col("partition"),
+    // bound the dense build side with the same event-time-relative
+    // retention rule as the sparse tier — the reference TTLs its dense
+    // cache at 1 minute purely for heap reasons
+    // (PulsarPartitionSyncWorker.java:71-72); here the bound exists so
+    // the exact-match join's build side cannot grow with total stream
+    // history at scale (wider default: an equi-join is indifferent to
+    // window width, fidelity isn't)
+    val wMax = Window.partitionBy(col("topic"), col("partition"))
+    val dense = offsetMap
+      .withColumn("__maxTs", max(col("recordedTs")).over(wMax))
+      .filter(col("recordedTs") >=
+        col("__maxTs") - expr(s"INTERVAL $denseRetentionMinutes MINUTE"))
+      .select(col("topic"), col("partition"),
         col("srcLedger"), col("srcEntry"),
         col("dstLedger").as("__denseL"), col("dstEntry").as("__denseE"))
       .alias("d")

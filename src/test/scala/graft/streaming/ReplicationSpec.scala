@@ -156,6 +156,26 @@ class ReplicationSpec extends SparkSuiteBase {
     assert(out("below-all") == ((None, None)))
   }
 
+  test("dense tier expires entries beyond its retention window") {
+    val om = Seq(
+      OffsetMapping("top", 0, 10, 0, 110, 0, Timestamp.valueOf("2024-01-01 10:00:00")),
+      OffsetMapping("top", 0, 99, 0, 199, 0, Timestamp.valueOf("2024-01-01 12:30:00"))).toDF()
+    val stats = Seq(
+      CursorStat("top", 0, "c", 10, 0, Timestamp.valueOf("2024-01-01 12:31:00"))).toDF()
+    def dst(df: org.apache.spark.sql.DataFrame): Option[Any] = {
+      val r = df.collect().head
+      Option(r.get(r.fieldIndex("dstLedger")))
+    }
+    // 2.5 h old: outside both tiers' 60-min default retention -> no
+    // translation (the mapping is gone, like the reference's TTL'd
+    // cache + evicted sparse map)
+    assert(dst(OffsetIndex.translateTwoTier(stats, om)).isEmpty)
+    // wide retention: the dense tier hits exactly
+    assert(dst(OffsetIndex.translateTwoTier(stats, om,
+      retentionMinutes = 1000000, denseRetentionMinutes = 1000000))
+      .contains(110L))
+  }
+
   test("cursor state machine: create / skip / reset / dst-owned") {
     implicit val s = spark
     val ms = MemoryStream[TranslatedCursorStat](spark, 1)
