@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSuiteBase
+
+/** Property check: [[Dedup.clusters]] must agree with a brute-force
+  * union-find on arbitrary random pair graphs (seeded — deterministic
+  * across runs).
+  */
+class ClustersPropertySpec extends SparkSuiteBase {
+
+  import spark.implicits._
+
+  private def unionFind(n: Int, edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = Array.tabulate(n + 1)(identity)
+    def find(x: Int): Int = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != c) { val nx = parent(c); parent(c) = r; c = nx }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a.toInt), find(b.toInt))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    // component representative = min member = root under min-union
+    (1 to n).map(i => i.toLong -> find(i).toLong).toMap
+  }
+
+  test("clusters equals union-find on random graphs (5 seeds)") {
+    (1 to 5).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val n = 40
+      val nEdges = rnd.nextInt(50)
+      val edges = Seq.fill(nEdges) {
+        val a = 1L + rnd.nextInt(n)
+        val b = 1L + rnd.nextInt(n)
+        if (a <= b) (a, b) else (b, a)
+      }.filter(e => e._1 != e._2).distinct
+      val expected = unionFind(n, edges)
+      val docs = (1L to n.toLong).toDF("doc_id")
+      val pairs =
+        if (edges.isEmpty) Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+        else edges.toDF("id_a", "id_b")
+      val got = Dedup.clusters(docs, "doc_id", pairs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"seed $seed, edges $edges")
+    }
+  }
+
+  test("simhash 4-chunk config guarantees recall to hamming 3 (q35 configuration)") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.TextFns
+    val docs = graft.Tables.documents(spark, sfDir)
+    val hashes = docs.select(col("doc_id"),
+        TextFns.simhash64(TextFns.tokens(col("text"))).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    // all pairs within hamming 3, computed exactly
+    val guaranteed = (for {
+      (a, ha) <- hashes; (b, hb) <- hashes if a < b
+      if java.lang.Long.bitCount(ha ^ hb) <= 3
+    } yield (a, b)).toSet
+    val got = Dedup.simhashPairs(docs, "doc_id", "text",
+        maxHamming = 3, numChunks = 4)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == guaranteed,
+      s"missed: ${guaranteed.diff(got)}; extra: ${got.diff(guaranteed)}")
+  }
+}
