@@ -61,6 +61,18 @@ case class PartitionRow(
     partitionIndex: Int,
     physicalTopic: String)
 
+/** One schema version of a topic (schema-sync extension — the
+  * reference README's unimplemented goal; see
+  * MetadataSync.schemaCreates).
+  */
+case class SchemaRow(
+    tenant: String,
+    namespace: String,
+    topic: String,
+    version: Int,
+    schemaType: String, // e.g. AVRO | JSON | PROTOBUF | BYTES
+    schemaJson: String)
+
 /** Cursor statistics observation (FIXTURES.md §A.3). */
 case class CursorStat(
     topic: String,

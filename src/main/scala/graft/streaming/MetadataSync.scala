@@ -81,6 +81,18 @@ object MetadataSync {
       partitionFanout(logicalTopics(dstTopics)),
       Seq("tenant", "namespace", "topic", "partitionIndex"))
 
+  /** Schema sync — the reference's README claims schema replication as
+    * a goal (`README.md:4`) but ships NO code for it (SURVEY §1.2
+    * documents the gap); this is the natural extension using the same
+    * anti-join plane: a schema version present on src but missing on
+    * dst becomes an idempotent create. Keyed by (tenant, namespace,
+    * topic, version) so re-registering an old version is a no-op and
+    * version history replicates in full.
+    */
+  def schemaCreates(srcSchemas: DataFrame, dstSchemas: DataFrame): DataFrame =
+    missing(srcSchemas, dstSchemas,
+      Seq("tenant", "namespace", "topic", "version"))
+
   /** One control-plane tick: the full create plan for a level-ordered
     * apply (tenants before namespaces before topics). Returned frames
     * are the exact argument order the applier needs.

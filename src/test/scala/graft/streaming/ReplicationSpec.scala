@@ -57,6 +57,21 @@ class ReplicationSpec extends SparkSuiteBase {
       && plan2.topics.count() == 0 && plan2.partitions.count() == 0)
   }
 
+  test("schema sync: missing versions replicate, history preserved, idempotent") {
+    val src = Seq(
+      SchemaRow("t", "ns", "top", 1, "AVRO", "{\"v\":1}"),
+      SchemaRow("t", "ns", "top", 2, "AVRO", "{\"v\":2}"),
+      SchemaRow("t", "ns", "other", 1, "JSON", "{}")).toDF()
+    val dst = Seq(SchemaRow("t", "ns", "top", 1, "AVRO", "{\"v\":1}")).toDF()
+    val plan = MetadataSync.schemaCreates(src, dst)
+    val got = plan.collect()
+      .map(r => (r.getAs[String]("topic"), r.getAs[Int]("version"))).toSet
+    assert(got == Set(("top", 2), ("other", 1)))
+    // after applying, a re-tick is a no-op
+    val dst2 = dst.unionByName(plan)
+    assert(MetadataSync.schemaCreates(src, dst2).count() == 0)
+  }
+
   // --------------------------------------------------------- data plane
 
   private def raw(
