@@ -36,6 +36,10 @@ trait SourceCluster {
   /** Raw message stream (RawMessage schema), Earliest position. */
   def messages: DataFrame
   def cursorStats: DataFrame // CursorStat schema
+  /** Schema versions per topic (SchemaRow schema) — the schema-sync
+    * extension; None = the cluster exposes no schema registry.
+    */
+  def schemas: Option[DataFrame] = None
 }
 
 /** Write/admin side of the destination cluster. Creates MUST be
@@ -56,6 +60,11 @@ trait DestinationCluster {
     * ignore it.
     */
   def createPartitions(rows: Seq[PartitionRow]): Unit = ()
+  /** Schema-sync extension: registered versions on this side (None =
+    * no registry) and the idempotent register call.
+    */
+  def schemas: Option[DataFrame] = None
+  def createSchemas(rows: Seq[SchemaRow]): Unit = ()
   def sink: DestinationSink
   def hasActiveCursor(topic: String, partition: Int, cursor: String): Boolean
   def applyCursorAction(action: CursorAction): Unit
@@ -132,6 +141,22 @@ class SyncPipeline(
         r.getAs[String]("physicalTopic"))
     }.toSeq
     dest.createPartitions(partitions)
+    // schema-sync extension: runs whenever both sides expose a
+    // registry; refresh gating follows the topic level (schemas are
+    // topic metadata)
+    (source.schemas, dest.schemas) match {
+      case (Some(srcSchemas), Some(dstSchemas))
+          if !refreshOnly || conf.autoUpdateTopic =>
+        val schemaRows = MetadataSync
+          .schemaCreates(materialize(srcSchemas), dstSchemas)
+          .collect().map { r =>
+            SchemaRow(r.getAs[String]("tenant"), r.getAs[String]("namespace"),
+              r.getAs[String]("topic"), r.getAs[Int]("version"),
+              r.getAs[String]("schemaType"), r.getAs[String]("schemaJson"))
+          }.toSeq
+        dest.createSchemas(schemaRows)
+      case _ => ()
+    }
     (tenants.size.toLong, namespaces.size.toLong, topics.size.toLong)
   }
 

@@ -360,6 +360,31 @@ class SyncPipelineSpec extends SparkSuiteBase {
       == Seq(("create", Some(1000L), Some(1L))))
   }
 
+  test("schema-sync extension: tick replicates missing versions when both sides expose a registry") {
+    val srcSchemas: mutable.Buffer[SchemaRow] =
+      new java.util.concurrent.CopyOnWriteArrayList[SchemaRow]().asScala
+    val dstSchemas: mutable.Buffer[SchemaRow] =
+      new java.util.concurrent.CopyOnWriteArrayList[SchemaRow]().asScala
+    val src = new FakeSource(spark) {
+      override def schemas = Some(srcSchemas.toSeq.toDF())
+    }
+    val dst = new FakeDest(spark, "sp-schema") {
+      override def schemas = Some(dstSchemas.toSeq.toDF())
+      override def createSchemas(rows: Seq[SchemaRow]): Unit =
+        rows.foreach(r => if (!dstSchemas.contains(r)) dstSchemas += r)
+    }
+    val pipe = new SyncPipeline(spark, src, dst)
+    srcSchemas += SchemaRow("t", "ns", "top", 1, "AVRO", "{\"v\":1}")
+    srcSchemas += SchemaRow("t", "ns", "top", 2, "AVRO", "{\"v\":2}")
+    dstSchemas += SchemaRow("t", "ns", "top", 1, "AVRO", "{\"v\":1}")
+    pipe.tickMetadata()
+    assert(dstSchemas.map(_.version).sorted == Seq(1, 2))
+    // converged: re-tick adds nothing
+    val before = dstSchemas.size
+    pipe.tickMetadata()
+    assert(dstSchemas.size == before)
+  }
+
   test("partition-only refresh never creates orphan partitions for unsynced topics") {
     val src0 = new FakeSource(spark)
     val dst0 = new FakeDest(spark, "sp-orphan")
