@@ -73,6 +73,40 @@ object Multimodal {
         Some((leInt(b, 18), math.abs(leInt(b, 22))))
       else None
 
+    /** JPEG: walk the marker segments for a start-of-frame (SOF0–SOF15
+      * except DHT/JPG/DAC); height/width are big-endian uint16 at
+      * offsets 5/7 inside the segment payload.
+      */
+    def jpeg(b: Array[Byte]): Option[(Int, Int)] = {
+      if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8)
+        return None
+      var off = 2
+      while (off + 9 <= b.length) {
+        if ((b(off) & 0xff) != 0xff) return None // lost marker sync
+        val marker = b(off + 1) & 0xff
+        val isSof = marker >= 0xc0 && marker <= 0xcf &&
+          marker != 0xc4 && marker != 0xc8 && marker != 0xcc
+        val segLen = ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
+        if (isSof)
+          return Some((((b(off + 7) & 0xff) << 8) | (b(off + 8) & 0xff),
+            ((b(off + 5) & 0xff) << 8) | (b(off + 6) & 0xff)))
+        if (segLen < 2) return None // malformed length: never loop
+        off += 2 + segLen
+      }
+      None
+    }
+
+    /** GIF: "GIF87a"/"GIF89a" magic; width/height little-endian uint16
+      * at offsets 6/8.
+      */
+    def gif(b: Array[Byte]): Option[(Int, Int)] =
+      if (b.length >= 10 &&
+        (new String(b.slice(0, 6), "US-ASCII") == "GIF87a" ||
+          new String(b.slice(0, 6), "US-ASCII") == "GIF89a"))
+        Some(((b(6) & 0xff) | ((b(7) & 0xff) << 8),
+          (b(8) & 0xff) | ((b(9) & 0xff) << 8)))
+      else None
+
     /** WAV: RIFF/WAVE container; walk the chunk list for `fmt ` (byte
       * rate at +8 inside it, little-endian) and `data` (payload size);
       * duration_ms = dataSize * 1000 / byteRate.
@@ -101,7 +135,8 @@ object Multimodal {
       * carries; None when the format isn't one of the pure-JVM ones.
       */
     def sniff(b: Array[Byte]): Option[(Option[Int], Option[Int], Option[Long])] =
-      png(b).orElse(bmp(b)).map { case (w, h) => (Some(w), Some(h), None) }
+      png(b).orElse(bmp(b)).orElse(jpeg(b)).orElse(gif(b))
+        .map { case (w, h) => (Some(w), Some(h), None) }
         .orElse(wav(b).map(d => (None: Option[Int], None: Option[Int], Some(d))))
   }
 

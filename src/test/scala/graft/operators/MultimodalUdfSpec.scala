@@ -80,6 +80,36 @@ class MultimodalUdfSpec extends SparkSuiteBase {
     bb.array()
   }
 
+  private def jpegBytes(w: Int, h: Int): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(30)
+    bb.put(0xff.toByte).put(0xd8.toByte) // SOI
+    // APP0 segment (len 6: 2 length bytes + 4 payload)
+    bb.put(0xff.toByte).put(0xe0.toByte).putShort(6).putInt(0)
+    // SOF0: len 11, precision, height BE, width BE, components
+    bb.put(0xff.toByte).put(0xc0.toByte).putShort(11)
+    bb.put(8.toByte).putShort(h.toShort).putShort(w.toShort).put(3.toByte)
+    bb.array()
+  }
+
+  private def gifBytes(w: Int, h: Int): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(13).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("GIF89a".getBytes("US-ASCII"))
+    bb.putShort(w.toShort).putShort(h.toShort)
+    bb.array()
+  }
+
+  test("multimodal: JPEG and GIF dimensions parse from raw headers") {
+    val j = Multimodal.FakeCodec.decode("image", jpegBytes(800, 600))
+    assert(j.width.contains(800) && j.height.contains(600))
+    val g = Multimodal.FakeCodec.decode("image", gifBytes(320, 240))
+    assert(g.width.contains(320) && g.height.contains(240))
+    // malformed JPEG (zero segment length) terminates and falls back
+    val bad = jpegBytes(1, 1)
+    bad(4) = 0; bad(5) = 0 // APP0 length = 0
+    val f = Multimodal.FakeCodec.decode("image", bad)
+    assert(f.nBytes == bad.length) // no hang, deterministic fallback
+  }
+
   test("multimodal: real PNG/BMP/WAV headers round-trip through extractFeatures") {
     val rows = Seq(
       (1L, "image", pngBytes(640, 480), Map.empty[String, String]),
