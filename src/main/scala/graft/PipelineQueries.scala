@@ -204,25 +204,86 @@ object PipelineQueries extends QueryGroup {
       .orderBy(col("doc_id"))
   }
 
-  // R-19 MinHash-LSH: xxhash64 isn't portable to DuckDB → rows-only
-  // driver check; the ScalaTest suite asserts LSH recall against the
-  // exact q33 pairs.
-  qNoOracle("q34_minhash_lsh") { (s, d) =>
+  // Shared shingle CTE (3-gram, multiset is fine: min-hash is
+  // duplicate-insensitive; DISTINCT kept for symmetry with the engine
+  // explode feeding an idempotent min).
+  private val minhashShingleCtes: String =
+    s"""toks AS (SELECT doc_id, $sqlTokens AS l FROM documents),
+       |sh AS (SELECT DISTINCT doc_id,
+       |         unnest(list_transform(generate_series(1, len(l) - 2),
+       |                i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])) AS shingle
+       |       FROM toks)""".stripMargin
+
+  // R-19 MinHash-LSH, oracle-portable mode: the 32 per-permutation
+  // hashes are the universal family (a_i*h + b_i) mod 2^31-1 over the
+  // md5-derived 60-bit base hash (PortableHash) — DuckDB reproduces
+  // every bit, so the driver hash-matches what round 2 could only
+  // rows-check. The band key is the comma-joined lane slice (string
+  // equality == slice equality) in both engines. The xxhash64 fast
+  // path stays the library default; DedupSimilaritySpec asserts both
+  // paths' recall against the exact q33 pairs.
+  private val laneCoeffs = graft.functions.PortableHash.laneCoeffs(32)
+  q("q34_minhash_lsh", {
+    val aList = laneCoeffs._1.mkString("[", ",", "]")
+    val bList = laneCoeffs._2.mkString("[", ",", "]")
+    s"""WITH $minhashShingleCtes,
+       |h AS (SELECT doc_id,
+       |        CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) % 2147483647 AS h0
+       |      FROM sh),
+       |lane AS (SELECT doc_id, i,
+       |           min(($aList[i+1] * h0 + $bList[i+1]) % 2147483647) AS v
+       |         FROM h CROSS JOIN (SELECT unnest(range(0, 32)) AS i)
+       |         GROUP BY 1, 2),
+       |sig AS (SELECT doc_id, list(v ORDER BY i) AS sig FROM lane GROUP BY 1),
+       |bd AS (SELECT doc_id, band,
+       |         array_to_string(sig[band*4+1 : band*4+4], ',') AS bh
+       |       FROM sig CROSS JOIN (SELECT unnest(range(0, 8)) AS band)),
+       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |         FROM bd a JOIN bd b
+       |           ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+       |sc AS (SELECT id_a, id_b,
+       |         ${sqlRound("len(list_filter(range(0, 32), i -> x.sig[i+1] = y.sig[i+1])) / 32.0", 4)} AS est_jaccard
+       |       FROM cand JOIN sig x ON x.doc_id = id_a
+       |                 JOIN sig y ON y.doc_id = id_b)
+       |SELECT id_a, id_b, est_jaccard FROM sc WHERE est_jaccard >= 0.5
+       |ORDER BY id_a, id_b""".stripMargin
+  }) { (s, d) =>
     Dedup.minhashLshPairs(Tables.documents(s, d), "doc_id", "text",
-        shingleN = 3, numHashes = 32, bands = 8, estThreshold = 0.5)
+        shingleN = 3, numHashes = 32, bands = 8, estThreshold = 0.5,
+        portable = true)
       .select(col("id_a"), col("id_b"), pround(col("est_jaccard"), 4).as("est_jaccard"))
       .orderBy(col("id_a"), col("id_b"))
   }
 
-  // R-19 SimHash near-dup pairs (rows-only for the same reason).
-  // 4 chunks of 16 bits + hamming <= 3 is the published 64-bit
-  // near-dup configuration (Manku/Jain/Sarma, WWW'07): buckets are
-  // n/2^16 instead of n/2^8, so the candidate join stays sub-quadratic
-  // at corpus scale while pigeonhole still guarantees recall to the
-  // hamming bound.
-  qNoOracle("q35_simhash") { (s, d) =>
+  // R-19 SimHash near-dup pairs, oracle-portable mode: 60-bit
+  // md5-derived simhash (SimHashMd5Expr), 4 chunks of 15 bits +
+  // hamming <= 3 — the Manku/Jain/Sarma WWW'07 configuration scaled
+  // to the portable bit width; pigeonhole still guarantees recall to
+  // hamming numChunks-1, and every vote/bit is integer arithmetic
+  // DuckDB replays exactly. Token MULTISET matters here (each
+  // occurrence votes), so the oracle unnests without DISTINCT.
+  q("q35_simhash",
+    s"""WITH t AS (SELECT doc_id, unnest($sqlTokens) AS w FROM documents),
+       |h AS (SELECT doc_id,
+       |        CAST('0x' || substr(md5(w), 1, 15) AS BIGINT) AS h
+       |      FROM t),
+       |v AS (SELECT doc_id, j,
+       |        sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+       |      FROM h CROSS JOIN (SELECT unnest(range(0, 60)) AS j)
+       |      GROUP BY 1, 2),
+       |s AS (SELECT doc_id,
+       |        CAST(sum(CASE WHEN vote >= 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS sh
+       |      FROM v GROUP BY 1),
+       |c AS (SELECT doc_id, sh, chunk, (sh >> (chunk * 15)) & 32767 AS ch
+       |      FROM s CROSS JOIN (SELECT unnest(range(0, 4)) AS chunk)),
+       |p AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       |        bit_count(xor(a.sh, b.sh)) AS hamming
+       |      FROM c a JOIN c b
+       |        ON a.chunk = b.chunk AND a.ch = b.ch AND a.doc_id < b.doc_id
+       |      WHERE bit_count(xor(a.sh, b.sh)) <= 3)
+       |SELECT id_a, id_b, hamming FROM p ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
     Dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text",
-        maxHamming = 3, numChunks = 4)
+        maxHamming = 3, numChunks = 4, portable = true)
       .orderBy(col("id_a"), col("id_b"))
   }
 

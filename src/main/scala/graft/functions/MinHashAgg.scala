@@ -55,3 +55,44 @@ class MinHashAgg(k: Int) extends Aggregator[Long, MinHashBuf, MinHashOut] {
   override def bufferEncoder: Encoder[MinHashBuf] = Encoders.product[MinHashBuf]
   override def outputEncoder: Encoder[MinHashOut] = Encoders.product[MinHashOut]
 }
+
+/** Oracle-portable variant of [[MinHashAgg]]: same single-pass /
+  * map-side-partial shape, but the per-permutation hash is the
+  * universal family `(a_i * h + b_i) mod p` over a base hash
+  * `h = h0 mod p` ([[PortableHash]]) — arithmetic DuckDB reproduces
+  * exactly, unlike XXH64's 64-bit overflow mixing. Used only by the
+  * oracle-gated q34; the xxhash64 default stays the fast path.
+  */
+class PortableMinHashAgg(k: Int) extends Aggregator[Long, MinHashBuf, MinHashOut] {
+
+  @transient private lazy val coeffs: (Array[Long], Array[Long]) =
+    PortableHash.laneCoeffs(k)
+
+  override def zero: MinHashBuf = MinHashBuf(Array.fill(k)(Long.MaxValue))
+
+  override def reduce(b: MinHashBuf, h0: Long): MinHashBuf = {
+    val (as, bs) = coeffs
+    val hp = h0 % PortableHash.P // h0 is a 60-bit non-negative value
+    val m = b.mins
+    var i = 0
+    while (i < k) {
+      val h = (as(i) * hp + bs(i)) % PortableHash.P
+      if (h < m(i)) m(i) = h
+      i += 1
+    }
+    b
+  }
+
+  override def merge(x: MinHashBuf, y: MinHashBuf): MinHashBuf = {
+    val a = x.mins
+    val b = y.mins
+    var i = 0
+    while (i < k) { if (b(i) < a(i)) a(i) = b(i); i += 1 }
+    x
+  }
+
+  override def finish(b: MinHashBuf): MinHashOut = MinHashOut(b.mins.toSeq)
+
+  override def bufferEncoder: Encoder[MinHashBuf] = Encoders.product[MinHashBuf]
+  override def outputEncoder: Encoder[MinHashOut] = Encoders.product[MinHashOut]
+}

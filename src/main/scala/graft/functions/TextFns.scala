@@ -70,6 +70,15 @@ object TextFns {
     graft.plans.SimHash64Expr.simhash64(
       org.apache.spark.sql.SparkSession.active, toks)
 
+  /** 60-bit oracle-portable SimHash (md5-derived token hash —
+    * [[graft.plans.SimHashMd5Expr]]); the DuckDB twin recomputes it
+    * bit-identically. Use [[simhash64]] unless the result must
+    * cross-check against the oracle.
+    */
+  def simhashMd5_60(toks: Column): Column =
+    graft.plans.SimHashMd5Expr.simhashMd5(
+      org.apache.spark.sql.SparkSession.active, toks)
+
   /** Hamming distance between two 64-bit hashes. */
   def hamming64(a: Column, b: Column): Column =
     call_function("bit_count", a bitwiseXOR b)

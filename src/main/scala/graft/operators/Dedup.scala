@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -75,20 +75,23 @@ object Dedup {
       .select(col(idCol).as("doc"), col(blockCol).as("blk"),
         explode(TextFns.wordShingles(TextFns.tokens(col(textCol)), n)).as("shingle"))
       .distinct()
-    // document frequency per (block, shingle) over the distinct rows
-    // (one window pass), then the per-doc set size over the SURVIVING
-    // shingles (a second window pass on doc). Carrying `sz` through
-    // the self-join lets the Jaccard be finished right at the pair
-    // aggregate — round 1 computed sizes in a separate branch, which
-    // re-ran the whole explode+distinct chain when exchange reuse
-    // missed, plus two extra joins to stitch the sizes back on.
-    val dfW = Window.partitionBy(col("blk"), col("shingle"))
-    val szW = Window.partitionBy(col("doc"))
-    val sh = shAll
-      .withColumn("__df", count(lit(1)).over(dfW))
-      .filter(col("__df") <= maxShingleDocFreq)
-      .drop("__df")
-      .withColumn("sz", count(lit(1)).over(szW))
+    // The DF cap and the per-doc set size are HASH aggregates joined
+    // back (the oracle's own shape), not window passes: a window here
+    // is a full sort of the exploded frame per pass, and those two
+    // sorts were the round-2 bench's variance source (one gate run
+    // recorded a 9x q33 outlier from a sort spill). Both aggregate
+    // outputs are tiny — the hot-shingle list is near-empty by
+    // construction and `sz` is one row per doc — so both joins
+    // broadcast and the only big shuffles left are hash aggregates
+    // (no sort, no spill cliff). Carrying `sz` through the self-join
+    // lets the Jaccard be finished right at the pair aggregate.
+    val hot = shAll.groupBy(col("blk"), col("shingle"))
+      .agg(count(lit(1)).as("__df"))
+      .filter(col("__df") > maxShingleDocFreq)
+      .select(col("blk"), col("shingle"))
+    val surviving = shAll.join(broadcast(hot), Seq("blk", "shingle"), "left_anti")
+    val sizes = surviving.groupBy(col("doc")).agg(count(lit(1)).as("sz"))
+    val sh = surviving.join(broadcast(sizes), "doc")
     val a = sh.alias("a")
     val b = sh.alias("b")
     a.join(b,
@@ -134,7 +137,8 @@ object Dedup {
       idCol: String,
       textCol: String,
       shingleN: Int,
-      numHashes: Int): DataFrame = {
+      numHashes: Int,
+      portable: Boolean = false): DataFrame = {
     // no shingle-dedup pass: `min` is insensitive to duplicates, so
     // the min-hash of the shingle MULTISET equals the min-hash of the
     // set — the explode feeds the aggregation directly and the ONLY
@@ -142,11 +146,21 @@ object Dedup {
     // an extra full exchange for a distinct whose output the min never
     // distinguishes). Strings die before the exchange too: only
     // (doc, h0) leaves the scan stage.
-    val sigFn = udaf(new graft.functions.MinHashAgg(numHashes))
+    //
+    // `portable = true` swaps the hash family for the md5-derived
+    // universal hashes the DuckDB oracle reproduces bit-identically
+    // ([[graft.functions.PortableHash]]) — same plan shape, slightly
+    // slower base hash; keep the xxhash64 default off the gate.
+    val sigFn = udaf(
+      if (portable) new graft.functions.PortableMinHashAgg(numHashes)
+      else new graft.functions.MinHashAgg(numHashes))
+    val baseHash =
+      if (portable) graft.functions.PortableHash.md5Long60(col("shingle"))
+      else xxhash64(col("shingle"))
     docs.select(col(idCol).as("doc"),
         explode(TextFns.wordShingles(TextFns.tokens(col(textCol)), shingleN))
           .as("shingle"))
-      .select(col("doc"), xxhash64(col("shingle")).as("h0"))
+      .select(col("doc"), baseHash.as("h0"))
       .groupBy(col("doc"))
       .agg(sigFn(col("h0")).as("s"))
       .select(col("doc"), col("s.sig").as("sig"))
@@ -159,14 +173,25 @@ object Dedup {
       shingleN: Int,
       numHashes: Int,
       bands: Int,
-      estThreshold: Double): DataFrame = {
+      estThreshold: Double,
+      portable: Boolean = false): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    val sigs = minhashSignatures(docs, idCol, textCol, shingleN, numHashes)
+    val sigs = minhashSignatures(docs, idCol, textCol, shingleN, numHashes,
+      portable)
+    // band key: any deterministic function of the band's lane slice
+    // works for the bucket equi-join. Portable mode uses the joined
+    // string itself (equality of the comma-joined slice IS equality of
+    // the slice — zero collision risk, and the oracle mirrors it with
+    // array_to_string); the default keeps the cheaper fixed-width
+    // xxhash64 bucket key.
+    val bandKey: Column => Column =
+      if (portable) sliced => concat_ws(",", transform(sliced, _.cast("string")))
+      else sliced => xxhash64(sliced)
     val banded = sigs.select(col("doc"), col("sig"),
       explode(transform(sequence(lit(0), lit(bands - 1)),
         b => struct(b.as("band"),
-          xxhash64(slice(col("sig"), b * rows + 1, lit(rows))).as("bh")))).as("bb"))
+          bandKey(slice(col("sig"), b * rows + 1, lit(rows))).as("bh")))).as("bb"))
       .select(col("doc"), col("sig"), col("bb.band").as("band"), col("bb.bh").as("bh"))
     val a = banded.alias("a")
     val b = banded.alias("b")
@@ -258,12 +283,21 @@ object Dedup {
       idCol: String,
       textCol: String,
       maxHamming: Int,
-      numChunks: Int = 8): DataFrame = {
-    require(64 % numChunks == 0, "numChunks must divide 64")
-    val width = 64 / numChunks
+      numChunks: Int = 8,
+      portable: Boolean = false): DataFrame = {
+    // portable mode: 60-bit md5-derived simhash the DuckDB oracle
+    // reproduces bit-identically (SimHashMd5Expr); default: the
+    // faster 64-bit splitmix hash. Chunk width scales with the bit
+    // count; the pigeonhole recall bound (hamming <= numChunks-1) is
+    // unchanged.
+    val bits = if (portable) graft.plans.SimHashMd5Expr.Bits else 64
+    require(bits % numChunks == 0, s"numChunks must divide $bits")
+    val width = bits / numChunks
     val mask = (1L << width) - 1
+    val simhash: Column => Column =
+      if (portable) TextFns.simhashMd5_60 else TextFns.simhash64
     val hashed = docs.select(col(idCol).as("doc"),
-      TextFns.simhash64(TextFns.tokens(col(textCol))).as("sh"))
+      simhash(TextFns.tokens(col(textCol))).as("sh"))
     val chunked = hashed.select(col("doc"), col("sh"),
       explode(transform(sequence(lit(0), lit(numChunks - 1)),
         i => struct(i.as("chunk"),

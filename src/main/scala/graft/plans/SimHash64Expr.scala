@@ -66,11 +66,16 @@ object SimHash64Expr {
     val n = arr.numElements()
     var i = 0
     while (i < n) {
-      val h = hashToken(arr.getUTF8String(i))
-      var j = 0
-      while (j < 64) {
-        if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
-        j += 1
+      // skip null tokens: containsNull arrays are accepted by the type
+      // check, and getUTF8String on a null slot would NPE from
+      // generated code with no useful message
+      if (!arr.isNullAt(i)) {
+        val h = hashToken(arr.getUTF8String(i))
+        var j = 0
+        while (j < 64) {
+          if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+          j += 1
+        }
       }
       i += 1
     }

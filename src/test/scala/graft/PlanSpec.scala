@@ -70,6 +70,18 @@ class PlanSpec extends SparkSuiteBase {
     assert(p.contains("Join [cell"), s"expected a cell equi-join:\n$p")
   }
 
+  test("q33 caps by hash aggregate (no window sort) and computes the shingle frame once") {
+    val df = Queries.all("q33_ngram_jaccard")(spark, sfDir)
+    df.collect() // AQE finalizes reuse at execution
+    val p = df.queryExecution.executedPlan.toString
+    // the DF cap / set-size must be hash aggregates joined back, not
+    // window passes: a window is a full sort of the exploded shingle
+    // frame per pass — the round-2 gate's 9x variance source
+    assert(!p.contains("Window "), s"q33 must not plan a window pass:\n$p")
+    assert(p.contains("ReusedExchange"),
+      s"capped shingle frame must be computed once across the self-join:\n$p")
+  }
+
   test("q34 LSH self-join reuses the signature exchange (computed once)") {
     val df = Queries.all("q34_minhash_lsh")(spark, sfDir)
     df.collect() // AQE finalizes reuse at execution

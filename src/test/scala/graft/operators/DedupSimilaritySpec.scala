@@ -49,6 +49,48 @@ class DedupSimilaritySpec extends SparkSuiteBase {
     assert(guaranteed.subsetOf(sim), s"missed: ${guaranteed.diff(sim)}")
   }
 
+  test("portable (md5-lane) MinHash-LSH recalls every exact near-dup pair") {
+    // the oracle-portable hash family must not cost recall: the gated
+    // q34 runs this path, and its pairs still have to cover the exact
+    // q33 pairs
+    val lsh = Dedup.minhashLshPairs(docs, "doc_id", "text",
+        shingleN = 3, numHashes = 32, bands = 8, estThreshold = 0.5,
+        portable = true)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exactPairs.subsetOf(lsh), s"missed: ${exactPairs.diff(lsh)}")
+  }
+
+  test("portable (60-bit md5) SimHash recalls pairs within its chunk guarantee") {
+    import graft.functions.TextFns
+    val hashes = docs.select(col("doc_id"),
+        TextFns.simhashMd5_60(TextFns.tokens(col("text"))).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // 4 chunks of 15 bits guarantee candidates to hamming <= 3;
+    // verify against a wider net where pigeonhole covers more pairs
+    val guaranteed = exactPairs.filter { case (a, b) =>
+      java.lang.Long.bitCount(hashes(a) ^ hashes(b)) <= 7
+    }
+    assert(guaranteed.nonEmpty)
+    val sim = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 16,
+        numChunks = 10, portable = true) // 10 chunks of 6 bits: recall to 9
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(guaranteed.subsetOf(sim), s"missed: ${guaranteed.diff(sim)}")
+  }
+
+  test("portable md5Long60 column form and JVM form are bit-identical") {
+    import graft.functions.PortableHash
+    val vals = docs.limit(50)
+      .select(col("text"), PortableHash.md5Long60(col("text")).as("h"))
+      .collect()
+    vals.foreach { r =>
+      val expect = PortableHash.md5Long60Jvm(
+        r.getString(0).getBytes("UTF-8"))
+      assert(r.getLong(1) == expect, s"mismatch for ${r.getString(0).take(30)}")
+    }
+  }
+
   test("exact dedup keeps exactly one row per key, the min tie-break") {
     val ev = Tables.events(spark, sfDir)
     val out = Dedup.exact(ev, Seq("user_id", "event_type"), "event_id")
