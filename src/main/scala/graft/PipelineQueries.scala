@@ -330,20 +330,35 @@ object PipelineQueries extends QueryGroup {
   }
 
   // Multimodal plumbing (north star): binary payload + typed metadata
-  // → partition-batched stub decode → feature struct. The codec is a
-  // deterministic fake (no media libs in this container) but the
-  // schema/partitioning/batching are the real pipeline. mapPartitions
-  // output isn't SQL-expressible → rows-only check; MultimodalUdfSpec
-  // asserts determinism and shape.
-  qNoOracle("q41_multimodal") { (s, d) =>
+  // → partition-batched decode → feature struct. The payloads are
+  // REAL container headers synthesized from doc_id
+  // (Multimodal.syntheticPayload), so the genuine PNG/WAV/BMP parsers
+  // fire inside the gated query and the oracle predicts every feature
+  // arithmetically — round 2 fed text bytes and could only
+  // rows-check. The checksum column (FNV over raw bytes, not
+  // SQL-expressible) is covered by MultimodalUdfSpec instead.
+  q("q41_multimodal",
+    """SELECT doc_id AS asset_id,
+      |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+      |       ELSE 'video' END AS media_type,
+      |  CASE doc_id % 3 WHEN 0 THEN 33 + doc_id % 17 WHEN 1 THEN 44
+      |       ELSE 26 + doc_id % 11 END AS n_bytes,
+      |  CASE doc_id % 3 WHEN 0 THEN 1 + doc_id % 1024
+      |       WHEN 2 THEN 1 + doc_id % 2048 ELSE NULL END AS width,
+      |  CASE doc_id % 3 WHEN 0 THEN 1 + (doc_id * 7) % 768
+      |       WHEN 2 THEN 1 + (doc_id * 3) % 1536 ELSE NULL END AS height,
+      |  CASE WHEN doc_id % 3 = 1 THEN (doc_id % 977) * 20
+      |       ELSE NULL END AS duration_ms,
+      |  true AS header_parsed
+      |FROM documents ORDER BY asset_id""".stripMargin) { (s, d) =>
     Multimodal.extractFeatures(
-        Multimodal.assetsFromDocuments(Tables.documents(s, d)))
+        Multimodal.syntheticAssets(Tables.documents(s, d)))
       .select(col("asset_id"), col("media_type"),
         col("features.n_bytes").as("n_bytes"),
-        col("features.checksum").as("checksum"),
         col("features.width").as("width"),
         col("features.height").as("height"),
-        col("features.duration_ms").as("duration_ms"))
+        col("features.duration_ms").as("duration_ms"),
+        col("features.header_parsed").as("header_parsed"))
       .orderBy(col("asset_id"))
   }
 

@@ -31,11 +31,17 @@ object Multimodal {
     StructField("checksum", LongType, nullable = false),
     StructField("width", IntegerType, nullable = true),
     StructField("height", IntegerType, nullable = true),
-    StructField("duration_ms", LongType, nullable = true)))
+    StructField("duration_ms", LongType, nullable = true),
+    // true = the real header codecs extracted the metadata; false =
+    // the deterministic fake tier fabricated it. Without the flag a
+    // fabricated width is indistinguishable from a parsed one
+    // downstream.
+    StructField("header_parsed", BooleanType, nullable = false)))
 
   case class Features(
       nBytes: Int, checksum: Long,
-      width: Option[Int], height: Option[Int], durationMs: Option[Long])
+      width: Option[Int], height: Option[Int], durationMs: Option[Long],
+      headerParsed: Boolean)
 
   /** REAL header parsing for the container formats whose metadata is
     * plain bytes — no media library needed: PNG and BMP dimensions,
@@ -81,17 +87,30 @@ object Multimodal {
       if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8)
         return None
       var off = 2
-      while (off + 9 <= b.length) {
+      while (off + 1 < b.length) {
         if ((b(off) & 0xff) != 0xff) return None // lost marker sync
-        val marker = b(off + 1) & 0xff
-        val isSof = marker >= 0xc0 && marker <= 0xcf &&
-          marker != 0xc4 && marker != 0xc8 && marker != 0xcc
-        val segLen = ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
-        if (isSof)
-          return Some((((b(off + 7) & 0xff) << 8) | (b(off + 8) & 0xff),
-            ((b(off + 5) & 0xff) << 8) | (b(off + 6) & 0xff)))
-        if (segLen < 2) return None // malformed length: never loop
-        off += 2 + segLen
+        // legal 0xFF fill bytes may pad before the marker byte — skip
+        // the run, then read the actual marker
+        var m = off + 1
+        while (m < b.length && (b(m) & 0xff) == 0xff) m += 1
+        if (m >= b.length) return None
+        val marker = b(m) & 0xff
+        if (marker == 0x01 || (marker >= 0xd0 && marker <= 0xd9)) {
+          // standalone markers (TEM, RST0-7, SOI, EOI): no length word
+          off = m + 1
+        } else {
+          if (m + 3 > b.length) return None // truncated length word
+          val segLen = ((b(m + 1) & 0xff) << 8) | (b(m + 2) & 0xff)
+          val isSof = marker >= 0xc0 && marker <= 0xcf &&
+            marker != 0xc4 && marker != 0xc8 && marker != 0xcc
+          if (isSof) {
+            if (m + 8 > b.length) return None // truncated SOF
+            return Some((((b(m + 6) & 0xff) << 8) | (b(m + 7) & 0xff),
+              ((b(m + 4) & 0xff) << 8) | (b(m + 5) & 0xff)))
+          }
+          if (segLen < 2) return None // malformed length: never loop
+          off = m + 1 + segLen
+        }
       }
       None
     }
@@ -157,14 +176,15 @@ object Multimodal {
       // real tier first: a payload with a parseable header yields its
       // ACTUAL dimensions/duration
       HeaderCodec.sniff(payload) match {
-        case Some((w, h, d)) => Features(n, checksum, w, h, d)
+        case Some((w, h, d)) => Features(n, checksum, w, h, d, headerParsed = true)
         case None => mediaType match {
           case "image" => Features(n, checksum,
             Some(1 + math.abs((checksum % 1024).toInt)),
-            Some(1 + math.abs(((checksum >> 10) % 1024).toInt)), None)
+            Some(1 + math.abs(((checksum >> 10) % 1024).toInt)), None,
+            headerParsed = false)
           case "audio" | "video" => Features(n, checksum, None, None,
-            Some(math.abs(checksum % 3600000L)))
-          case _ => Features(n, checksum, None, None, None)
+            Some(math.abs(checksum % 3600000L)), headerParsed = false)
+          case _ => Features(n, checksum, None, None, None, headerParsed = false)
         }
       }
     }
@@ -183,6 +203,85 @@ object Multimodal {
       encode(col("text"), "UTF-8").as("payload"),
       map(lit("lang"), col("lang"), lit("source"), col("source")).as("meta"))
 
+  /** Deterministic VALID container payload for a doc id — a real PNG /
+    * WAV / BMP header whose dimensions/duration are pure arithmetic in
+    * `doc_id`, so the DuckDB oracle can predict exactly what the real
+    * [[HeaderCodec]] parsers extract (q41's hash-matched gate; round 2
+    * fed text bytes, so the real codecs only ever fired in unit
+    * tests). Formulas (mirrored in the oracle SQL):
+    *
+    *   - image (id%3==0): PNG, w = 1+id%1024, h = 1+(id*7)%768,
+    *     n_bytes = 33 + id%17 (sig + IHDR + zero CRC + filler)
+    *   - audio (id%3==1): WAV, byteRate 50, dataSize = id%977 declared
+    *     in the header (no payload bytes needed for the chunk walk) ⇒
+    *     duration_ms = (id%977)*20, n_bytes = 44
+    *   - video (id%3==2): BMP stand-in thumbnail, w = 1+id%2048,
+    *     h = 1+(id*3)%1536, n_bytes = 26 + id%11
+    */
+  def syntheticPayload(docId: Long): Array[Byte] = (docId % 3) match {
+    case 0 =>
+      val w = 1 + (docId % 1024).toInt
+      val h = 1 + ((docId * 7) % 768).toInt
+      val bb = java.nio.ByteBuffer.allocate(33 + (docId % 17).toInt)
+      bb.put(Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+      bb.putInt(13)
+      bb.put("IHDR".getBytes("US-ASCII"))
+      bb.putInt(w)
+      bb.putInt(h)
+      bb.put(8.toByte) // bit depth
+      bb.put(2.toByte) // color type: truecolor
+      bb.put(0.toByte) // compression
+      bb.put(0.toByte) // filter
+      bb.put(0.toByte) // interlace
+      // CRC + filler stay zero: HeaderCodec reads dimensions, not CRC
+      bb.array()
+    case 1 =>
+      val dataSize = (docId % 977).toInt
+      val bb = java.nio.ByteBuffer.allocate(44)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII"))
+      bb.putInt(36 + dataSize)
+      bb.put("WAVE".getBytes("US-ASCII"))
+      bb.put("fmt ".getBytes("US-ASCII"))
+      bb.putInt(16)
+      bb.putShort(1.toShort) // PCM
+      bb.putShort(1.toShort) // mono
+      bb.putInt(8000) // sample rate (cosmetic)
+      bb.putInt(50) // byte rate: duration_ms = dataSize * 1000 / 50
+      bb.putShort(1.toShort) // block align
+      bb.putShort(8.toShort) // bits per sample
+      bb.put("data".getBytes("US-ASCII"))
+      bb.putInt(dataSize) // declared size; walk needs no payload bytes
+      bb.array()
+    case _ =>
+      val w = 1 + (docId % 2048).toInt
+      val h = 1 + ((docId * 3) % 1536).toInt
+      val bb = java.nio.ByteBuffer.allocate(26 + (docId % 11).toInt)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put('B'.toByte)
+      bb.put('M'.toByte)
+      bb.position(18)
+      bb.putInt(w)
+      bb.putInt(h)
+      bb.array()
+  }
+
+  /** Asset table whose payloads are REAL parseable containers derived
+    * from `doc_id` ([[syntheticPayload]]) — the oracle-checkable twin
+    * of [[assetsFromDocuments]]: the real header codecs fire in the
+    * gated query, and every extracted feature is DuckDB-predictable
+    * arithmetic.
+    */
+  def syntheticAssets(docs: DataFrame): DataFrame = {
+    val payloadUdf = udf((id: Long) => syntheticPayload(id))
+    docs.select(
+      col("doc_id").as("asset_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("media_type"),
+      payloadUdf(col("doc_id")).as("payload"),
+      map(lit("lang"), col("lang"), lit("source"), col("source")).as("meta"))
+  }
+
   /** Partition-batched decode → appends a `features` struct. The codec
     * initializes once per partition (the `FakeCodec` object stands in
     * for an expensive model/library handle).
@@ -200,7 +299,7 @@ object Multimodal {
         val f = FakeCodec.decode(r.getString(mtIdx), r.getAs[Array[Byte]](plIdx))
         Row.fromSeq(r.toSeq :+ Row(f.nBytes, f.checksum,
           f.width.map(Int.box).orNull, f.height.map(Int.box).orNull,
-          f.durationMs.map(Long.box).orNull))
+          f.durationMs.map(Long.box).orNull, f.headerParsed))
       }
     }(enc)
     ds.toDF()

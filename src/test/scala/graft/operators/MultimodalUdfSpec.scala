@@ -110,6 +110,42 @@ class MultimodalUdfSpec extends SparkSuiteBase {
     assert(f.nBytes == bad.length) // no hang, deterministic fallback
   }
 
+  test("multimodal: JPEG fill bytes and standalone markers don't lose sync") {
+    // SOI, TEM (standalone, no length), RST0 (standalone), a 0xFF fill
+    // byte run before SOF0 — all legal, all previously parsed as
+    // garbage segment lengths
+    val bb = java.nio.ByteBuffer.allocate(16)
+    bb.put(0xff.toByte).put(0xd8.toByte) // SOI
+    bb.put(0xff.toByte).put(0x01.toByte) // TEM
+    bb.put(0xff.toByte).put(0xd0.toByte) // RST0
+    bb.put(0xff.toByte).put(0xff.toByte).put(0xc0.toByte) // fill + SOF0
+    bb.putShort(11.toShort)
+    bb.put(8.toByte).putShort(600.toShort).putShort(800.toShort)
+    assert(Multimodal.HeaderCodec.jpeg(bb.array()).contains((800, 600)))
+  }
+
+  test("multimodal: synthetic doc_id payloads parse to the oracle formulas") {
+    // the q41 contract: real codecs fire and extract pure doc_id
+    // arithmetic, flagged header_parsed
+    Seq(3L, 600L, 1023L).foreach { id => // image ids (id%3==0)
+      val f = Multimodal.FakeCodec.decode("image", Multimodal.syntheticPayload(id))
+      assert(f.headerParsed && f.width.contains(1 + (id % 1024).toInt)
+        && f.height.contains(1 + ((id * 7) % 768).toInt))
+    }
+    Seq(1L, 4L, 2050L).foreach { id => // audio ids (id%3==1)
+      val f = Multimodal.FakeCodec.decode("audio", Multimodal.syntheticPayload(id))
+      assert(f.headerParsed && f.durationMs.contains((id % 977) * 20))
+    }
+    Seq(2L, 1535L).foreach { id => // video ids (id%3==2)
+      val f = Multimodal.FakeCodec.decode("video", Multimodal.syntheticPayload(id))
+      assert(f.headerParsed && f.width.contains(1 + (id % 2048).toInt)
+        && f.height.contains(1 + ((id * 3) % 1536).toInt))
+    }
+    // the fake tier is flagged as fabricated
+    val fake = Multimodal.FakeCodec.decode("image", "opaque".getBytes("UTF-8"))
+    assert(!fake.headerParsed)
+  }
+
   test("multimodal: real PNG/BMP/WAV headers round-trip through extractFeatures") {
     val rows = Seq(
       (1L, "image", pngBytes(640, 480), Map.empty[String, String]),
