@@ -223,39 +223,53 @@ object Dedup {
     * until a round changes nothing. Rounds = graph diameter (near-dup
     * graphs are unions of small cliques, so diameter is tiny); each
     * round is one equi-join + one aggregate, and the label frame is
-    * `localCheckpoint`ed to keep the plan/lineage flat regardless of
+    * checkpointed to keep the plan/lineage flat regardless of
     * iteration count — the property that makes the loop safe at
     * 100 TB (alternating star-contraction is the published
     * optimization if diameter ever grows; the join shape is the same).
+    *
+    * `checkpointDir`: when set, rounds use RELIABLE `checkpoint()`
+    * into that directory — the 100 TB choice: `localCheckpoint` pins
+    * blocks in executor memory and is unrecoverable on executor loss,
+    * so a single lost executor mid-loop kills the whole job. The
+    * default stays `localCheckpoint` (no filesystem dependency for
+    * small/local runs). The per-round convergence check scans the
+    * just-checkpointed frame (old label carried through the
+    * propagation join) — no extra join per round.
     */
   def clusters(docs: DataFrame, idCol: String, pairs: DataFrame,
-      maxIterations: Int = 50): DataFrame = {
+      maxIterations: Int = 50, checkpointDir: Option[String] = None): DataFrame = {
+    val persist: DataFrame => DataFrame = checkpointDir match {
+      case Some(dir) =>
+        docs.sparkSession.sparkContext.setCheckpointDir(dir)
+        df => df.checkpoint(eager = true)
+      case None => df => df.localCheckpoint(true)
+    }
     // undirected edge list (both directions), deduped
     val fwd = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-    val edges = fwd.unionByName(
+    val edges = persist(fwd.unionByName(
         fwd.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
-      .localCheckpoint(true)
+      .distinct())
     // propagate ONLY over the pair subgraph — near-dup graphs are a
     // vanishing fraction of the corpus, so the iteration loop never
     // touches the full document table; singletons get their own id in
     // one left join at the end
-    var labels = edges.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("lbl"))
-      .localCheckpoint(true)
+    var labels = persist(edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("lbl")))
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIterations) {
       val neighborMin = edges.join(labels, col("dst") === col("id"))
         .groupBy(col("src")).agg(min(col("lbl")).as("nlbl"))
-      val next = labels.join(neighborMin, col("id") === col("src"), "left")
-        .select(col("id"),
-          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
-        .localCheckpoint(true)
-      changed = next.alias("n")
-        .join(labels.alias("o"), col("n.id") === col("o.id"))
-        .filter(col("n.lbl") =!= col("o.lbl")).count()
-      labels = next
+      // carry the previous label through the join so convergence is a
+      // metadata-cheap scan of the materialized round, not a second
+      // join against the old labels
+      val next = persist(
+        labels.join(neighborMin, col("id") === col("src"), "left")
+          .select(col("id"), col("lbl").as("prev"),
+            least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl")))
+      changed = next.filter(col("lbl") =!= col("prev")).count()
+      labels = next.select(col("id"), col("lbl"))
       iter += 1
     }
     // never return silently-truncated components: a partially

@@ -64,12 +64,12 @@ object Similarity {
   }
 
   /** All-pairs cosine >= threshold (near-dup detection), auto-routed
-    * by corpus size:
+    * by estimated corpus BYTES (rows × dims × 4):
     *
-    *   - corpus <= `maxBroadcastRows` → [[broadcastAllPairsCosine]]:
-    *     EXACT, collect + broadcast + tight JVM loops. ~1 GB broadcast
-    *     at 4M × 64-dim floats — fine for a dimension/probe table,
-    *     the scale-killer for a 100 TB corpus.
+    *   - under `maxBroadcastBytes` (default 1 GiB) →
+    *     [[broadcastAllPairsCosine]]: EXACT, collect + broadcast +
+    *     tight JVM loops — fine for a dimension/probe table, the
+    *     scale-killer for a 100 TB corpus.
     *   - larger → [[bucketedPairsCosine]]: sign-bucket blocked — the
     *     candidate join is an equi-join on the bucket, fully
     *     distributed, no driver materialization. APPROXIMATE: pairs
@@ -77,20 +77,28 @@ object Similarity {
     *     cosine near-dups rarely do; recall is asserted against the
     *     exact path in SimilaritySpec).
     *
-    * The size probe is a `limit(max+1).count()` — it reads at most
-    * one row past the threshold, not the whole corpus.
+    * The gate is bytes, not rows: a row cap alone would let a 4M-row
+    * corpus of 768-dim embeddings (~12 GB) through a gate sized for
+    * 64-dim vectors. The probe reads ONE row for the dimension, then
+    * counts at most one row past the derived row cap — never the
+    * whole corpus.
     */
   def allPairsCosine(
       emb: DataFrame,
       idCol: String,
       vecCol: String,
       threshold: Double,
-      maxBroadcastRows: Long = 4000000L,
+      maxBroadcastBytes: Long = 1L << 30,
       bucketBits: Int = 8): DataFrame = {
-    val probeLimit = // +1 may overflow for huge thresholds — clamp first
-      if (maxBroadcastRows >= Int.MaxValue.toLong) Int.MaxValue
-      else (maxBroadcastRows + 1).toInt
-    val small = emb.limit(probeLimit).count() <= maxBroadcastRows
+    val sample = emb.select(col(vecCol)).head(1)
+    if (sample.isEmpty)
+      return broadcastAllPairsCosine(emb, idCol, vecCol, threshold) // empty corpus
+    val dims = math.max(1, sample(0).getSeq[Float](0).size)
+    val maxRows = maxBroadcastBytes / (4L * dims)
+    val probeLimit = // +1 may overflow for huge budgets — clamp first
+      if (maxRows >= Int.MaxValue.toLong) Int.MaxValue
+      else (maxRows + 1).toInt
+    val small = emb.limit(probeLimit).count() <= maxRows
     if (small) broadcastAllPairsCosine(emb, idCol, vecCol, threshold)
     else bucketedPairsCosine(emb, idCol, vecCol, threshold, bucketBits)
   }

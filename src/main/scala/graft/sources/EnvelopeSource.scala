@@ -314,13 +314,26 @@ private[sources] class EnvelopeMicroBatchStream(
     val ord = Ordering[(Long, Long)]
     // per-partition end: broker latest, clamped to the AvailableNow
     // capture (partitions discovered after the capture wait for the
-    // next run)
+    // next run), and NEVER below the checkpointed start — a partition
+    // transiently absent from the broker listing (admin hiccup, topic
+    // recreation on a live transport) reports latest (0,0); without
+    // the floor its checkpointed position would be overwritten and a
+    // reappearing partition would silently replay its full history.
     def endFor(t: String, p: Int, s: (Long, Long)): (Long, Long) = {
       val live = broker.latest(t, p)
-      availableNowEnd match {
+      val capped = availableNowEnd match {
         case Some(cap) => ord.min(live, cap.getOrElse((t, p), s))
         case None => live
       }
+      ord.max(capped, s)
+    }
+    // the partition universe is the live listing UNION the
+    // checkpointed start's keys: checkpointed positions must never
+    // drop out of the offset map just because the broker listing
+    // momentarily misses the partition
+    val allTps = {
+      val live = broker.topicPartitions
+      live ++ start.keys.filterNot(live.toSet).toSeq.sorted
     }
     limit match {
       case mr: ReadMaxRows =>
@@ -331,7 +344,7 @@ private[sources] class EnvelopeMicroBatchStream(
         // translation for the starved partitions). Live brokers
         // override advance with a metadata-only seek so no payload
         // crosses the driver here.
-        val tps = broker.topicPartitions
+        val tps = allTps
         val ends = scala.collection.mutable.LinkedHashMap(
           tps.map(tp => tp -> start.getOrElse(tp, (0L, 0L))): _*)
         var remaining = mr.maxRows()
@@ -351,7 +364,7 @@ private[sources] class EnvelopeMicroBatchStream(
         }
         EnvelopeOffset(ends.toMap)
       case _ =>
-        EnvelopeOffset(broker.topicPartitions.map { case (t, p) =>
+        EnvelopeOffset(allTps.map { case (t, p) =>
           val s = start.getOrElse((t, p), (0L, 0L))
           ((t, p), endFor(t, p, s))
         }.toMap)

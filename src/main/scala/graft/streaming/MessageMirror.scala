@@ -92,8 +92,12 @@ object MessageMirror {
             catch {
               // a task kill (speculation, stage retry, query stop) is
               // NOT a sink failure: fail the task so the batch replays,
-              // never dead-letter on it
+              // never dead-letter on it. Spark kills via interrupt OR
+              // TaskKilledException (a RuntimeException — without its
+              // own case a killed task would record spurious DLQ
+              // entries for messages the retried task then delivers).
               case e: InterruptedException => throw e
+              case e: org.apache.spark.TaskKilledException => throw e
               case e: Exception => deadLetter match {
                 case Some(dl) =>
                   dl.record(
@@ -136,6 +140,7 @@ object MessageMirror {
       try return publishRow(r, sink)
       catch {
         case e: InterruptedException => throw e // task kill, not an outage
+        case e: org.apache.spark.TaskKilledException => throw e // ditto
         case e: Exception if n < attempts =>
           Thread.sleep(10L * n) // brief linear backoff between attempts
       }

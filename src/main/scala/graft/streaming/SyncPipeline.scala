@@ -22,7 +22,19 @@ case class SyncConfig(
     autoUpdateTenant: Boolean = false,
     autoUpdateNamespace: Boolean = false,
     autoUpdateTopic: Boolean = false,
-    autoUpdatePartition: Boolean = false)
+    autoUpdatePartition: Boolean = false,
+    // `autoUpdateSubscription` is DOCUMENTED by the reference
+    // (README.md:14-15) but absent from its SyncConfig.java — here it
+    // exists and gates the cursor plane like every other level:
+    // false = one cursor-translation tick, true = periodic re-ticks
+    // in runContinuous.
+    autoUpdateSubscription: Boolean = false,
+    // guard for [[SyncPipeline.materialize]]: metadata listings are
+    // snapshotted to the driver, which is only sane while they are
+    // actually metadata-sized — a pathological source (e.g. a live
+    // listing wired to the data plane) fails loudly instead of OOMing
+    // the driver.
+    maxMetadataRows: Int = 1000000)
 
 /** Read side of a cluster's metadata + message stream (what the
   * reference reaches through `PulsarAdmin`/`PulsarClient` on the
@@ -161,11 +173,19 @@ class SyncPipeline(
   }
 
   /** Snapshot a (tiny) metadata frame so repeated actions inside one
-    * tick see one consistent listing.
+    * tick see one consistent listing. Guarded by
+    * `SyncConfig.maxMetadataRows`: the driver-side snapshot is only
+    * correct for metadata-sized listings, so a pathological source
+    * fails with a clear message instead of OOMing the driver.
     */
   private def materialize(df: DataFrame): DataFrame = {
     import scala.jdk.CollectionConverters._
-    spark.createDataFrame(df.collect().toSeq.asJava, df.schema)
+    val rows = df.limit(conf.maxMetadataRows + 1).collect().toSeq
+    require(rows.size <= conf.maxMetadataRows,
+      s"metadata listing exceeded maxMetadataRows=${conf.maxMetadataRows} — " +
+        "refusing the driver-side snapshot (is this listing actually " +
+        "metadata, or did a data-plane frame get wired in?)")
+    spark.createDataFrame(rows.asJava, df.schema)
   }
 
   /** Partition-growth-only tick (the reference re-fetches partition
@@ -241,9 +261,11 @@ class SyncPipeline(
     * `PulsarPartitionedTopicSyncWorker.java:58`), and the cursor plane
     * on the fastest (10 s — `PulsarPartitionSyncWorker.java:92`).
     * `autoUpdate*` false ⇒ that level ticks once, immediately;
-    * true ⇒ fixed-delay re-ticks. Cursors are scheduled whenever
-    * `offsetMap` is provided (a () ⇒ DataFrame so each tick reads the
-    * CURRENT recorded map, closing the loop with a running mirror).
+    * true ⇒ fixed-delay re-ticks. The cursor plane requires
+    * `offsetMap` (a () ⇒ DataFrame so each tick reads the CURRENT
+    * recorded map, closing the loop with a running mirror) and follows
+    * `autoUpdateSubscription`: one translation tick when false,
+    * periodic when true.
     *
     * The reference uses one 10-thread ScheduledExecutorService for all
     * levels (`PulsarSync.java:44`); here two scheduler threads suffice
@@ -288,9 +310,17 @@ class SyncPipeline(
       exec.scheduleWithFixedDelay(guarded("partition") { tickPartitionGrowth() },
         partitionPeriodMillis, partitionPeriodMillis,
         java.util.concurrent.TimeUnit.MILLISECONDS)
+    // cursor plane: periodic when autoUpdateSubscription (the
+    // reference-documented flag), else a single translation tick —
+    // one-shot vs periodic exactly like the metadata levels. Either
+    // way the first tick waits one period so a just-started mirror
+    // has recorded offsets to translate against.
     offsetMap.foreach { om =>
-      exec.scheduleWithFixedDelay(guarded("cursor") { syncCursors(om()) },
-        cursorPeriodMillis, cursorPeriodMillis,
+      val task = guarded("cursor") { syncCursors(om()) }
+      if (conf.autoUpdateSubscription)
+        exec.scheduleWithFixedDelay(task, cursorPeriodMillis, cursorPeriodMillis,
+          java.util.concurrent.TimeUnit.MILLISECONDS)
+      else exec.schedule(task, cursorPeriodMillis,
         java.util.concurrent.TimeUnit.MILLISECONDS)
     }
     // graceful: stop rescheduling, let an in-flight tick finish (an

@@ -50,6 +50,23 @@ class ClustersPropertySpec extends SparkSuiteBase {
     }
   }
 
+  test("clusters with a reliable checkpoint dir matches the localCheckpoint path") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cc-ckpt").toString
+    val edges = Seq((1L, 2L), (2L, 3L), (5L, 6L), (8L, 9L), (9L, 10L), (10L, 11L))
+    val docs = (1L to 12L).toDF("doc_id")
+    val pairs = edges.toDF("id_a", "id_b")
+    val local = Dedup.clusters(docs, "doc_id", pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val reliable = Dedup.clusters(docs, "doc_id", pairs,
+        checkpointDir = Some(dir))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(reliable == local)
+    // the reliable path actually wrote RDD checkpoint data
+    val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      .filter(p => java.nio.file.Files.isRegularFile(p)).count()
+    assert(wrote > 0, "expected checkpoint files under the reliable dir")
+  }
+
   test("simhash 4-chunk config guarantees recall to hamming 3 (q35 configuration)") {
     import org.apache.spark.sql.functions._
     import graft.functions.TextFns

@@ -143,9 +143,9 @@ class DedupSimilaritySpec extends SparkSuiteBase {
     val exact = Similarity.broadcastAllPairsCosine(emb, "vec_id", "embedding", 0.99)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
     assert(planted.subsetOf(exact.keySet))
-    // router with maxBroadcastRows = 0 forces the bucketed path
+    // router with a zero byte budget forces the bucketed path
     val bucketed = Similarity.allPairsCosine(emb, "vec_id", "embedding", 0.99,
-        maxBroadcastRows = 0L, bucketBits = 8)
+        maxBroadcastBytes = 0L, bucketBits = 8)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
     // every planted near-dup survives bucketing (signs preserved) with
     // the identical 6-decimal cosine, and nothing outside the exact

@@ -166,6 +166,45 @@ class EnvelopeSourceSpec extends SparkSuiteBase {
     assert(byPartition == Map(0 -> 2, 1 -> 2), s"unfair first batch: $byPartition")
   }
 
+  test("a partition transiently absent from the broker listing keeps its checkpointed position") {
+    val inner = new InMemoryBroker
+    inner.add(raw("tp", 0, 1, 0), raw("tp", 0, 1, 1), raw("tp", 1, 1, 0))
+    // a broker whose listing can transiently hide partition 1 (admin
+    // hiccup / topic recreation on a live transport)
+    var hide = false
+    val flaky = new EnvelopeBroker {
+      override def topicPartitions: Seq[(String, Int)] =
+        inner.topicPartitions.filterNot(tp => hide && tp == (("tp", 1)))
+      override def read(topic: String, partition: Int,
+          from: (Long, Long), until: (Long, Long)): Iterator[RawMessage] =
+        inner.read(topic, partition, from, until)
+      override def latest(topic: String, partition: Int): (Long, Long) =
+        if (hide && topic == "tp" && partition == 1) (0L, 0L)
+        else inner.latest(topic, partition)
+    }
+    EnvelopeBrokerRegistry.register("flaky-listing", flaky)
+    val stream = new EnvelopeMicroBatchStream("flaky-listing", None)
+    val start = stream.latestOffset().asInstanceOf[EnvelopeOffset]
+    assert(start.positions(("tp", 1)) == ((1L, 1L)))
+    hide = true
+    // with the partition hidden, its checkpointed position must be
+    // carried forward unchanged — not rebuilt from (0,0)
+    val next = stream.latestOffset(start,
+        org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable())
+      .asInstanceOf[EnvelopeOffset]
+    assert(next.positions(("tp", 1)) == ((1L, 1L)),
+      s"hidden partition lost its position: ${next.positions}")
+    // and nothing replays when it reappears
+    hide = false
+    val after = stream.latestOffset(next,
+        org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable())
+      .asInstanceOf[EnvelopeOffset]
+    assert(after.positions(("tp", 1)) == ((1L, 1L)))
+    val parts = stream.planInputPartitions(next, after)
+    assert(!parts.exists(_.asInstanceOf[EnvelopeInputPartition].partition == 1),
+      "reappearing partition must not replay history")
+  }
+
   test("batch write: rows land on the broker, replays are MessageId-idempotent") {
     import spark.implicits._
     val broker = new InMemoryBroker

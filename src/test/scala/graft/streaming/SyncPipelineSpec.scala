@@ -263,7 +263,8 @@ class SyncPipelineSpec extends SparkSuiteBase {
   test("continuous mode: cursors sync on their own cadence (A21 10s loop)") {
     val src0 = new FakeSource(spark)
     val dst0 = new FakeDest(spark, "sp-cursor-cadence")
-    val pipe = new SyncPipeline(spark, src0, dst0, SyncConfig())
+    val pipe = new SyncPipeline(spark, src0, dst0,
+      SyncConfig(autoUpdateSubscription = true))
     val offsetMap = Seq(
       OffsetMapping("tp", 0, 10, 0, 110, 0, Timestamp.valueOf("2024-01-01 10:00:00"))).toDF()
     src0.cursorRows += CursorStat("tp", 0, "sub", 15, 0,
@@ -285,6 +286,44 @@ class SyncPipelineSpec extends SparkSuiteBase {
       while (dst0.cursorActions.size < 2 && tries < 100) { Thread.sleep(100); tries += 1 }
       assert(dst0.cursorActions.map(_.action) == Seq("create", "reset"))
     } finally handle.close()
+  }
+
+  test("autoUpdateSubscription=false: the cursor plane ticks exactly once") {
+    val src0 = new FakeSource(spark)
+    val dst0 = new FakeDest(spark, "sp-cursor-oneshot")
+    val pipe = new SyncPipeline(spark, src0, dst0, SyncConfig()) // default false
+    val offsetMap = Seq(
+      OffsetMapping("tp", 0, 10, 0, 110, 0, Timestamp.valueOf("2024-01-01 10:00:00")),
+      OffsetMapping("tp", 0, 20, 0, 120, 0, Timestamp.valueOf("2024-01-01 10:01:00"))).toDF()
+    src0.cursorRows += CursorStat("tp", 0, "sub", 15, 0,
+      Timestamp.valueOf("2024-01-01 10:02:00"))
+    val handle = pipe.runContinuous(
+      metadataPeriodMillis = 60000L, cursorPeriodMillis = 100L,
+      offsetMap = Some(() => offsetMap))
+    try {
+      var tries = 0
+      while (dst0.cursorActions.isEmpty && tries < 100) { Thread.sleep(50); tries += 1 }
+      assert(dst0.cursorActions.map(_.action) == Seq("create"))
+      // a moved cursor observed AFTER the one-shot tick is never acted
+      // on — the flag turned periodic re-scans off
+      src0.cursorRows.clear()
+      src0.cursorRows += CursorStat("tp", 0, "sub", 25, 0,
+        Timestamp.valueOf("2024-01-01 10:03:00"))
+      Thread.sleep(500)
+      assert(dst0.cursorActions.map(_.action) == Seq("create"))
+    } finally handle.close()
+  }
+
+  test("materialize refuses a listing larger than maxMetadataRows") {
+    val src0 = new FakeSource(spark)
+    val dst0 = new FakeDest(spark, "sp-mat-guard")
+    (1 to 5).foreach { i =>
+      src0.topicRows += TopicRow("t", "ns", s"top$i", partitioned = false, 0, Map.empty)
+    }
+    val pipe = new SyncPipeline(spark, src0, dst0,
+      SyncConfig(maxMetadataRows = 3))
+    val e = intercept[IllegalArgumentException] { pipe.tickMetadata() }
+    assert(e.getMessage.contains("maxMetadataRows"))
   }
 
   test("continuous mode: partition growth propagates on its own faster cadence") {
