@@ -10,6 +10,41 @@ import org.apache.spark.sql.functions._
   */
 object StreamingQueries extends QueryGroup {
 
+  /** Simulated-arrival frame shared by q52 and the stream-vs-batch
+    * spec: (event_id, tms, batch) where batch chunks the jittered
+    * arrival order into micro-batches of 1000.
+    */
+  def arrivalBatches(events: org.apache.spark.sql.DataFrame,
+      batchSize: Int = 1000): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rnW = Window.orderBy(col("ak"), col("event_id"))
+    events.select(col("event_id"), unix_millis(col("ts")).as("tms"))
+      .withColumn("ak",
+        col("tms") + (col("event_id") * lit(2654435761L)) % lit(3600000L)
+          - lit(1800000L))
+      .withColumn("batch",
+        ((row_number().over(rnW) - lit(1)) / lit(batchSize)).cast("long"))
+      .select(col("event_id"), col("tms"), col("batch"))
+  }
+
+  /** The batch twin of the streaming late filter: per-batch watermark
+    * = max event time of PRIOR batches minus 10 min; keep
+    * `tms >= wm_ms` (null watermark = first batch keeps all).
+    */
+  def watermarkLateDrop(events: org.apache.spark.sql.DataFrame,
+      batchSize: Int = 1000): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = arrivalBatches(events, batchSize)
+    val w = Window.orderBy(col("batch"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wm = ev.groupBy(col("batch")).agg(max(col("tms")).as("mx"))
+      .withColumn("wm_ms", max(col("mx")).over(w))
+      .select(col("batch"), col("wm_ms"))
+    ev.join(broadcast(wm), "batch")
+      .filter(col("wm_ms").isNull || col("tms") >= col("wm_ms") - lit(600000L))
+      .select(col("event_id"), col("tms").as("ts_ms"))
+  }
+
   // ---------------------------------------------------------------- S-2
   // Tumbling 1-minute window (epoch-aligned = date_trunc minute) — the
   // reference's 60 s sampling cadence (PulsarPartitionSyncWorker
@@ -47,6 +82,42 @@ object StreamingQueries extends QueryGroup {
       .select(unix_millis(col("window.start")).as("wstart_ms"),
         col("n"), col("val_sum"))
       .orderBy(col("wstart_ms"))
+  }
+
+  // ---------------------------------------------------------------- S-4
+  // Watermark late-drop as a batch twin. The fixture is time-sorted,
+  // so the out-of-order arrival every watermark exists for is
+  // SIMULATED deterministically: arrival position = event time plus a
+  // bounded per-event jitter (±30 min, a multiplicative-hash of
+  // event_id) — the canonical bounded-disorder stream model. Arrival
+  // is chunked into micro-batches of 1000; the watermark before batch
+  // k = max event time of batches < k minus the 10-minute delay; a
+  // row is kept iff ts >= watermark — bit-for-bit Spark's
+  // stateful-operator late filter (ts_us >= wm_ms*1000 ⟺
+  // floor-ms(ts) >= wm_ms), verified stream-vs-batch in
+  // StreamingSemanticsSpec. All comparisons are epoch-millis longs —
+  // the precision both engines floor to identically from the ns
+  // fixture (unix_millis / epoch_ms). The watermark frame is tiny
+  // (one row per 1000 events), so its window sort is negligible and
+  // the join back to events broadcasts; the arrival rank is the one
+  // global sort, over (tms, id) longs only.
+  q("q52_watermark_late_drop",
+    """WITH e AS (SELECT event_id, epoch_ms(ts) AS tms,
+      |             epoch_ms(ts) + (event_id * 2654435761) % 3600000 - 1800000 AS ak
+      |           FROM events),
+      |r AS (SELECT event_id, tms,
+      |        (row_number() OVER (ORDER BY ak, event_id) - 1) // 1000 AS batch
+      |      FROM e),
+      |bm AS (SELECT batch, max(tms) AS mx FROM r GROUP BY batch),
+      |wm AS (SELECT batch, max(mx) OVER (ORDER BY batch
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm_ms
+      |       FROM bm)
+      |SELECT event_id, tms AS ts_ms
+      |FROM r JOIN wm USING (batch)
+      |WHERE wm_ms IS NULL OR tms >= wm_ms - 600000
+      |ORDER BY event_id""".stripMargin) { (s, d) =>
+    StreamingQueries.watermarkLateDrop(Tables.events(s, d))
+      .orderBy(col("event_id"))
   }
 
   // ---------------------------------------------------------------- S-3
