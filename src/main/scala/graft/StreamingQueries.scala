@@ -27,11 +27,12 @@ object StreamingQueries extends QueryGroup {
       .select(col("event_id"), col("tms"), col("batch"))
   }
 
-  /** The batch twin of the streaming late filter: per-batch watermark
-    * = max event time of PRIOR batches minus 10 min; keep
-    * `tms >= wm_ms` (null watermark = first batch keeps all).
+  /** The late-filter core shared by q52/q53: arrival rows that pass
+    * the watermark (per-batch watermark = max event time of PRIOR
+    * batches minus 10 min; keep `tms >= wm_ms`, null watermark =
+    * first batch keeps all). Returns (batch, event_id, tms).
     */
-  def watermarkLateDrop(events: org.apache.spark.sql.DataFrame,
+  def lateFiltered(events: org.apache.spark.sql.DataFrame,
       batchSize: Int = 1000): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val ev = arrivalBatches(events, batchSize)
@@ -42,8 +43,31 @@ object StreamingQueries extends QueryGroup {
       .select(col("batch"), col("wm_ms"))
     ev.join(broadcast(wm), "batch")
       .filter(col("wm_ms").isNull || col("tms") >= col("wm_ms") - lit(600000L))
-      .select(col("event_id"), col("tms").as("ts_ms"))
+      .select(col("batch"), col("event_id"), col("tms"))
   }
+
+  /** The batch twin of the streaming late filter (S-4). */
+  def watermarkLateDrop(events: org.apache.spark.sql.DataFrame,
+      batchSize: Int = 1000): org.apache.spark.sql.DataFrame =
+    lateFiltered(events, batchSize)
+      .select(col("event_id"), col("tms").as("ts_ms"))
+
+  /** The batch twin of streaming `dropDuplicates` under a watermark
+    * (S-5): among the non-late arrivals, each dedup key
+    * (user_id, event_type) is emitted once, in its first passing
+    * batch. WHICH duplicate row of a key the streaming operator emits
+    * when several share that micro-batch is an implementation detail,
+    * but the KEY and the emitting batch are deterministic — exactly
+    * what this twin outputs; n_arrivals counts the passing rows the
+    * dedup state suppressed.
+    */
+  def streamingDedupTwin(events: org.apache.spark.sql.DataFrame,
+      batchSize: Int = 1000): org.apache.spark.sql.DataFrame =
+    lateFiltered(events, batchSize)
+      .join(events.select(col("event_id"), col("user_id"), col("event_type")),
+        "event_id")
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(min(col("batch")).as("first_batch"), count(lit(1)).as("n_arrivals"))
 
   // ---------------------------------------------------------------- S-2
   // Tumbling 1-minute window (epoch-aligned = date_trunc minute) — the
@@ -118,6 +142,35 @@ object StreamingQueries extends QueryGroup {
       |ORDER BY event_id""".stripMargin) { (s, d) =>
     StreamingQueries.watermarkLateDrop(Tables.events(s, d))
       .orderBy(col("event_id"))
+  }
+
+  // ---------------------------------------------------------------- S-5
+  // Streaming dropDuplicates under a watermark as a batch twin: same
+  // simulated arrival as q52; each dedup key (user_id, event_type)
+  // emits once, in its first non-late batch. Key + emitting batch are
+  // deterministic even when a key's duplicates share a micro-batch;
+  // the StreamingSemanticsSpec twin test replays the same batches
+  // through a real dropDuplicates and matches keys AND emitting
+  // batches.
+  q("q53_streaming_dedup_twin",
+    """WITH e AS (SELECT event_id, user_id, event_type, epoch_ms(ts) AS tms,
+      |             epoch_ms(ts) + (event_id * 2654435761) % 3600000 - 1800000 AS ak
+      |           FROM events),
+      |r AS (SELECT event_id, user_id, event_type, tms,
+      |        (row_number() OVER (ORDER BY ak, event_id) - 1) // 1000 AS batch
+      |      FROM e),
+      |bm AS (SELECT batch, max(tms) AS mx FROM r GROUP BY batch),
+      |wm AS (SELECT batch, max(mx) OVER (ORDER BY batch
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm_ms
+      |       FROM bm),
+      |k AS (SELECT r.* FROM r JOIN wm USING (batch)
+      |      WHERE wm_ms IS NULL OR tms >= wm_ms - 600000)
+      |SELECT user_id, event_type,
+      |  min(batch) AS first_batch, count(*) AS n_arrivals
+      |FROM k GROUP BY 1, 2
+      |ORDER BY user_id, event_type""".stripMargin) { (s, d) =>
+    StreamingQueries.streamingDedupTwin(Tables.events(s, d))
+      .orderBy(col("user_id"), col("event_type"))
   }
 
   // ---------------------------------------------------------------- S-3

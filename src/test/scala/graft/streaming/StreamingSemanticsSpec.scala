@@ -13,6 +13,8 @@ import graft.SparkSuiteBase
   */
 case class Ev(event_id: Long, ts: Timestamp, user_id: Long, value: Double)
 
+case class EvK(event_id: Long, ts: Timestamp, user_id: Long, event_type: String)
+
 class StreamingSemanticsSpec extends SparkSuiteBase {
 
   import spark.implicits._
@@ -148,6 +150,50 @@ class StreamingSemanticsSpec extends SparkSuiteBase {
       s"stream-only: ${streamed.diff(twin).take(5)}; twin-only: ${twin.diff(streamed).take(5)}")
     // and the filter actually dropped something — the test is vacuous
     // on a fixture with no late arrivals
+    assert(twin.size < arrival.length)
+  }
+
+  test("q53 batch twin equals streaming dropDuplicates survivors over the fixture (S-5)") {
+    val events = graft.Tables.events(spark, sfDir)
+    val arrival = graft.StreamingQueries.arrivalBatches(events, batchSize = 100)
+      .join(events.select(col("event_id").as("eid"), col("ts"),
+        col("user_id"), col("event_type")), col("event_id") === col("eid"))
+      .select(col("batch"), col("event_id"), col("ts"),
+        col("user_id"), col("event_type"))
+      .collect().map(r => (r.getLong(0),
+        EvK(r.getLong(1), r.getTimestamp(2), r.getLong(3), r.getString(4))))
+    val batchOf = arrival.map { case (b, e) => e.event_id -> b }.toMap
+    val ms = MemoryStream[EvK](spark, 1)
+    val q = ms.toDF()
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicates("user_id", "event_type")
+      .writeStream.format("memory").queryName("q53twin")
+      .outputMode("append").start()
+    arrival.groupBy(_._1).toSeq.sortBy(_._1).foreach { case (_, rows) =>
+      ms.addData(rows.map(_._2).toSeq: _*)
+      q.processAllAvailable()
+    }
+    // survivors: key -> batch of the emitted row (which duplicate of a
+    // within-batch tie gets emitted is unspecified; its BATCH is not)
+    val streamed = spark.table("q53twin")
+      .select(col("user_id"), col("event_type"), col("event_id"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> batchOf(r.getLong(2))).toMap
+    q.stop()
+    val twin = graft.StreamingQueries.streamingDedupTwin(events, batchSize = 100)
+      .select(col("user_id"), col("event_type"), col("first_batch"),
+        col("n_arrivals"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(streamed.keySet == twin.keySet,
+      s"stream-only: ${streamed.keySet.diff(twin.keySet).take(5)}; " +
+        s"twin-only: ${twin.keySet.diff(streamed.keySet).take(5)}")
+    streamed.foreach { case (k, b) =>
+      assert(twin(k)._1 == b, s"key $k emitted in batch $b, twin says ${twin(k)._1}")
+    }
+    // non-vacuous: the stream really suppressed duplicate keys
+    assert(twin.values.exists(_._2 > 1L))
     assert(twin.size < arrival.length)
   }
 
