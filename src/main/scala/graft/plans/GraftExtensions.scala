@@ -32,5 +32,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("simhash64"),
       info("simhash64", "simhash64(tokens) - 64-bit SimHash of an array<string>"),
       (exprs: Seq[Expression]) => SimHash64Expr(exprs.head)))
+    ext.injectFunction((FunctionIdentifier("simhash_md5_60"),
+      info("simhash_md5_60",
+        "simhash_md5_60(tokens) - oracle-portable 60-bit SimHash of an array<string>"),
+      (exprs: Seq[Expression]) => SimHashMd5Expr(exprs.head)))
+    ext.injectFunction((FunctionIdentifier("word_shingles"),
+      info("word_shingles",
+        "word_shingles(arr, n) - space-joined n-gram windows over a raw token array (drops empties)"),
+      (exprs: Seq[Expression]) => {
+        val n = exprs(1).eval(null) match {
+          case i: Int => i
+          case other => throw new IllegalArgumentException(
+            s"word_shingles width must be an int literal, got $other")
+        }
+        WordShinglesExpr(exprs.head, n)
+      }))
   }
 }

@@ -30,6 +30,26 @@ class SketchExprSpec extends SparkSuiteBase {
     assert(maxDiff == 0.0)
   }
 
+  test("textShingles (codegen) is bit-identical to wordShingles(tokens(text))") {
+    // hot-path equivalence: the whole dedup family keys on these
+    // strings, so the codegen rewrite must not change a single shingle
+    val docs = Tables.documents(spark, sfDir)
+    Seq(1, 2, 3, 5).foreach { n =>
+      val diff = docs.select(
+          TextFns.textShingles(col("text"), n).as("fast"),
+          TextFns.wordShingles(TextFns.tokens(col("text")), n).as("ref"))
+        .filter(not(col("fast") === col("ref"))).count()
+      assert(diff == 0, s"n=$n: $diff docs differ")
+    }
+    // edge cases: empties, whitespace runs, fewer tokens than n
+    import spark.implicits._
+    val edge = Seq("", "   ", "one", "one two", "a  b\tc\nd", " x ").toDF("text")
+    val got = edge.select(TextFns.textShingles(col("text"), 3).as("s"),
+        TextFns.wordShingles(TextFns.tokens(col("text")), 3).as("r"))
+      .collect()
+    got.foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1)))
+  }
+
   test("simhash64 expression equals an independent JVM reimplementation") {
     // independent recomputation of the documented algorithm (31-mult
     // byte hash -> splitmix64 finalizer -> per-bit +-1 votes)
@@ -103,10 +123,14 @@ class SketchExprSpec extends SparkSuiteBase {
       val r = s2.sql(
         "SELECT vec_dot(array(1.0f, 2.0f), array(3.0f, 4.0f)) AS d, " +
           "sig_overlap(array(1L, 2L), array(1L, 3L)) AS o, " +
-          "simhash64(array('a')) AS h").head()
+          "simhash64(array('a')) AS h, " +
+          "simhash_md5_60(array('a')) AS hp, " +
+          "word_shingles(array('a', '', 'b', 'c'), 2) AS sh").head()
       assert(r.getDouble(0) == 11.0)
       assert(r.getDouble(1) == 0.5)
       assert(!r.isNullAt(2))
+      assert(!r.isNullAt(3))
+      assert(r.getSeq[String](4) == Seq("a b", "b c"))
     } finally {
       org.apache.spark.sql.SparkSession.setDefaultSession(base)
       org.apache.spark.sql.SparkSession.setActiveSession(base)
