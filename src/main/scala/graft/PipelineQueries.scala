@@ -409,6 +409,68 @@ object PipelineQueries extends QueryGroup {
       .orderBy(col("probe_id"), col("rnk"))
   }
 
+  // R-21 family, training-data hygiene: PII redaction. The fixture
+  // text carries no natural PII, so deterministic email/phone strings
+  // are appended arithmetically from doc_id (identically in both
+  // engines) before the scrub — the operator under test is
+  // TextAnalysis.redactPii (one codegen'd regexp chain, row-parallel,
+  // patterns restricted to Java-regex/RE2-common syntax).
+  q("q54_redact_pii",
+    s"""WITH aug AS (SELECT doc_id,
+       |    text || CASE doc_id % 5
+       |      WHEN 0 THEN ' reach me at user' || CAST(doc_id AS VARCHAR) || '@mail.example.org'
+       |      WHEN 1 THEN ' call +12 345 678 9' || CAST(doc_id % 10 AS VARCHAR)
+       |      WHEN 2 THEN ' fax 123-456-7890 today'
+       |      ELSE '' END AS text FROM documents),
+       |ne AS (SELECT doc_id, text,
+       |         regexp_replace(text, '${TextAnalysis.emailPattern}', '[EMAIL]', 'g') AS no_email
+       |       FROM aug)
+       |SELECT doc_id,
+       |  regexp_replace(no_email, '${TextAnalysis.phonePattern}', '[PHONE]', 'g') AS redacted,
+       |  CAST(len(regexp_extract_all(text, '${TextAnalysis.emailPattern}')) AS BIGINT) AS n_emails,
+       |  CAST(len(regexp_extract_all(no_email, '${TextAnalysis.phonePattern}')) AS BIGINT) AS n_phones
+       |FROM ne ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val aug = Tables.documents(s, d).select(col("doc_id"),
+      concat(col("text"),
+        when(pmod(col("doc_id"), lit(5)) === 0,
+          concat(lit(" reach me at user"), col("doc_id").cast("string"),
+            lit("@mail.example.org")))
+          .when(pmod(col("doc_id"), lit(5)) === 1,
+            concat(lit(" call +12 345 678 9"),
+              pmod(col("doc_id"), lit(10)).cast("string")))
+          .when(pmod(col("doc_id"), lit(5)) === 2, lit(" fax 123-456-7890 today"))
+          .otherwise(lit(""))).as("text"))
+    TextAnalysis.redactPii(aug, "doc_id", "text")
+      .select(col("doc_id"), col("redacted"),
+        col("n_emails").cast("long").as("n_emails"),
+        col("n_phones").cast("long").as("n_phones"))
+      .orderBy(col("doc_id"))
+  }
+
+  // R-20/R-25 family: symmetric int8 embedding quantization — the
+  // 4x storage-compression step of an embedding store. Scale =
+  // max|x|/127 and codes = floor(x/scale + 0.5), all in double: every
+  // step is IEEE arithmetic both engines execute bit-identically, so
+  // even the float-derived codes hash-match.
+  q("q55_embed_quantize",
+    s"""WITH s AS (SELECT vec_id, embedding,
+       |    list_max(list_transform(embedding, x -> abs(x::DOUBLE))) / 127.0 AS sc
+       |  FROM embeddings)
+       |SELECT vec_id,
+       |  ${sqlRound("sc", 9)} AS scale,
+       |  list_transform(embedding, x -> CASE WHEN sc = 0 THEN 0
+       |    ELSE CAST(floor(x::DOUBLE / sc + 0.5) AS INT) END) AS qvec,
+       |  CAST(len(embedding) AS INT) AS n_dims
+       |FROM s ORDER BY vec_id""".stripMargin) { (s, d) =>
+    val sc = VectorFns.int8Scale(col("embedding"))
+    Tables.embeddings(s, d)
+      .select(col("vec_id"),
+        pround(sc, 9).as("scale"),
+        VectorFns.quantizeInt8(col("embedding"), sc).as("qvec"),
+        size(col("embedding")).as("n_dims"))
+      .orderBy(col("vec_id"))
+  }
+
   // R-20 LSH-bucketed ANN (sign bits of the first 8 dims): the scale
   // path — per-probe work is corpus/2^8, and the bucket join is an
   // equi-join. Axis-aligned hyperplanes keep it oracle-reproducible.

@@ -40,4 +40,25 @@ object VectorFns {
   def signBucket(v: Column, bits: Int): Column =
     concat_ws("", transform(slice(v, 1, bits),
       x => when(x >= 0, lit("1")).otherwise(lit("0"))))
+
+  /** Symmetric int8 quantization scale: max|x| / 127, in double
+    * (float→double widening and the division are IEEE-exact, so the
+    * DuckDB oracle reproduces the scale bit-for-bit).
+    */
+  def int8Scale(v: Column): Column =
+    aggregate(v, lit(0.0), (acc, x) => greatest(acc, abs(x.cast("double")))) /
+      lit(127.0)
+
+  /** Quantize to int8 codes with `floor(x/scale + 0.5)` (half-up —
+    * identical IEEE arithmetic in Spark and DuckDB, unlike each
+    * engine's native round); an all-zero vector (scale 0) quantizes
+    * to zeros. Storage drops 4x (float32 → int8) — the standard
+    * embedding-store compression step of a training-data pipeline;
+    * dequantized error is bounded by scale/2 per component
+    * (asserted in MultimodalUdfSpec).
+    */
+  def quantizeInt8(v: Column, scale: Column): Column =
+    transform(v, x =>
+      when(scale === 0.0, lit(0))
+        .otherwise(floor(x.cast("double") / scale + lit(0.5)).cast("int")))
 }

@@ -24,6 +24,27 @@ object TextAnalysis {
     counts.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
   }
 
+  /** PII scrub pass (training-data hygiene): replace email addresses
+    * and phone-like number runs with redaction tags, and report how
+    * many of each were removed. Patterns are deliberately restricted
+    * to syntax Java regex and RE2 (DuckDB) interpret identically, so
+    * the pass is oracle-checkable; a production deployment extends
+    * the pattern list, not the plan shape (one codegen'd
+    * regexp_replace chain, row-parallel, no shuffle).
+    */
+  val emailPattern = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  val phonePattern = "\\+?[0-9][0-9 -]{7,}[0-9]"
+
+  def redactPii(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val noEmail = regexp_replace(col(textCol), emailPattern, "[EMAIL]")
+    docs.select(col(idCol),
+      regexp_replace(noEmail, phonePattern, "[PHONE]").as("redacted"),
+      regexp_count(col(textCol), lit(emailPattern)).as("n_emails"),
+      // phones counted AFTER email removal so an address's digits are
+      // never double-counted (mirrored in the oracle)
+      regexp_count(noEmail, lit(phonePattern)).as("n_phones"))
+  }
+
   /** Quality features per document: token count, average word length,
     * stopword ratio, digit ratio, md5 fingerprint.
     */

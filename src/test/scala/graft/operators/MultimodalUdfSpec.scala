@@ -185,6 +185,46 @@ class MultimodalUdfSpec extends SparkSuiteBase {
     assert(g.width.nonEmpty && g.height.nonEmpty)
   }
 
+  test("int8 quantization: dequantized error bounded by scale/2 per component") {
+    val e = Tables.embeddings(spark, sfDir)
+    val sc = VectorFns.int8Scale(col("embedding"))
+    val bad = e.select(col("vec_id"), sc.as("scale"),
+        col("embedding"),
+        VectorFns.quantizeInt8(col("embedding"), sc).as("q"))
+      .select(col("vec_id"), col("scale"),
+        // max |x - q*scale| over components
+        aggregate(zip_with(col("embedding"), col("q"),
+            (x, q) => abs(x.cast("double") - q.cast("double") * col("scale"))),
+          lit(0.0), (acc, d) => greatest(acc, d)).as("maxerr"),
+        // codes stay inside int8 range
+        aggregate(col("q"), lit(0), (acc, q) => greatest(acc, abs(q))).as("maxcode"))
+      .filter(col("maxerr") > col("scale") * 0.5 + lit(1e-12)
+        || col("maxcode") > 127)
+      .count()
+    assert(bad == 0)
+  }
+
+  test("PII redaction removes every email/phone match and counts them") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "mail a.b-c_d@ex.co and x@y.org now"),
+      (2L, "call +12 345-678 901 soon"),
+      (3L, "nothing here"),
+      (4L, "mixed bob@corp.example then 123-456-7890")).toDF("doc_id", "text")
+    val out = TextAnalysis.redactPii(rows, "doc_id", "text")
+      .select(col("doc_id"), col("redacted"),
+        col("n_emails").cast("long"), col("n_phones").cast("long"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(1L) == (("mail [EMAIL] and [EMAIL] now", 2L, 0L)))
+    assert(out(2L) == (("call [PHONE] soon", 0L, 1L)))
+    assert(out(3L) == (("nothing here", 0L, 0L)))
+    assert(out(4L) == (("mixed [EMAIL] then [PHONE]", 1L, 1L)))
+    // redacted text never retains a match
+    assert(!out.values.exists(v =>
+      v._1.matches(s".*${TextAnalysis.emailPattern}.*")))
+  }
+
   test("U-1: cosine UDF agrees with the codegen formulation") {
     Udfs.register(spark)
     val e = Tables.embeddings(spark, sfDir).limit(50)
