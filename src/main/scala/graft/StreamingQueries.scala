@@ -173,6 +173,43 @@ object StreamingQueries extends QueryGroup {
       .orderBy(col("user_id"), col("event_type"))
   }
 
+  // ---------------------------------------------------------------- S-7
+  // Stream-static enrichment as a batch twin: the non-late arrival
+  // stream (q52's filter) joined per micro-batch against the static
+  // customer dimension, aggregated per (batch, market segment) — the
+  // canonical "enrich micro-batches against a broadcast dim" shape.
+  // Stream-static joins have identical per-row semantics in batch
+  // (StreamingSemanticsSpec covers the streaming operator); this row
+  // puts the composed late-filter → enrich → aggregate pipeline on
+  // the driver's oracle surface. The dim join broadcasts.
+  q("q56_stream_static_enrich",
+    """WITH e AS (SELECT event_id, user_id, epoch_ms(ts) AS tms,
+      |             epoch_ms(ts) + (event_id * 2654435761) % 3600000 - 1800000 AS ak
+      |           FROM events),
+      |r AS (SELECT event_id, user_id, tms,
+      |        (row_number() OVER (ORDER BY ak, event_id) - 1) // 1000 AS batch
+      |      FROM e),
+      |bm AS (SELECT batch, max(tms) AS mx FROM r GROUP BY batch),
+      |wm AS (SELECT batch, max(mx) OVER (ORDER BY batch
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm_ms
+      |       FROM bm),
+      |k AS (SELECT r.* FROM r JOIN wm USING (batch)
+      |      WHERE wm_ms IS NULL OR tms >= wm_ms - 600000)
+      |SELECT k.batch AS batch, c.c_mktsegment AS segment,
+      |  count(*) AS n, count(DISTINCT k.user_id) AS n_users
+      |FROM k JOIN customer c ON k.user_id = c.c_custkey
+      |GROUP BY 1, 2 ORDER BY batch, segment""".stripMargin) { (s, d) =>
+    val events = Tables.events(s, d)
+    val dim = Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_mktsegment").as("segment"))
+    lateFiltered(events)
+      .join(events.select(col("event_id"), col("user_id")), "event_id")
+      .join(broadcast(dim), col("user_id") === col("c_custkey"))
+      .groupBy(col("batch"), col("segment"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("batch"), col("segment"))
+  }
+
   // ---------------------------------------------------------------- S-3
   // Session windows per user (10 min gap). Oracle = gaps-and-islands:
   // a session breaks when the gap to the previous event is >= the gap
