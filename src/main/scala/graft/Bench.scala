@@ -53,7 +53,10 @@ object Bench {
           None
         }
       }
-      name -> (if (times.nonEmpty) times.min else -1.0)
+      // ANY failed rep reports -1: min-of-reps absorbs timing noise,
+      // but a query that crashes intermittently is a failure signal
+      // the gate must see, not average away
+      name -> (if (times.size == reps) times.min else -1.0)
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

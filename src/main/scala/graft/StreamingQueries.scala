@@ -108,6 +108,28 @@ object StreamingQueries extends QueryGroup {
       .orderBy(col("wstart_ms"))
   }
 
+  /** Shared oracle CTE block for the q52/q53/q56 family — the SQL
+    * twin of [[arrivalBatches]]+[[lateFiltered]] (jitter constant,
+    * window, batch size and delay live HERE and in those two
+    * functions only). `k` = the non-late arrival rows, carrying
+    * `extraCols` through from `events`.
+    */
+  private def arrivalCtes(extraCols: String*): String = {
+    val extra = extraCols.map(_ + ", ").mkString
+    s"""e AS (SELECT event_id, ${extra}epoch_ms(ts) AS tms,
+       |       epoch_ms(ts) + (event_id * 2654435761) % 3600000 - 1800000 AS ak
+       |     FROM events),
+       |r AS (SELECT event_id, ${extra}tms,
+       |        (row_number() OVER (ORDER BY ak, event_id) - 1) // 1000 AS batch
+       |      FROM e),
+       |bm AS (SELECT batch, max(tms) AS mx FROM r GROUP BY batch),
+       |wm AS (SELECT batch, max(mx) OVER (ORDER BY batch
+       |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm_ms
+       |       FROM bm),
+       |k AS (SELECT r.* FROM r JOIN wm USING (batch)
+       |      WHERE wm_ms IS NULL OR tms >= wm_ms - 600000)""".stripMargin
+  }
+
   // ---------------------------------------------------------------- S-4
   // Watermark late-drop as a batch twin. The fixture is time-sorted,
   // so the out-of-order arrival every watermark exists for is
@@ -126,19 +148,8 @@ object StreamingQueries extends QueryGroup {
   // the join back to events broadcasts; the arrival rank is the one
   // global sort, over (tms, id) longs only.
   q("q52_watermark_late_drop",
-    """WITH e AS (SELECT event_id, epoch_ms(ts) AS tms,
-      |             epoch_ms(ts) + (event_id * 2654435761) % 3600000 - 1800000 AS ak
-      |           FROM events),
-      |r AS (SELECT event_id, tms,
-      |        (row_number() OVER (ORDER BY ak, event_id) - 1) // 1000 AS batch
-      |      FROM e),
-      |bm AS (SELECT batch, max(tms) AS mx FROM r GROUP BY batch),
-      |wm AS (SELECT batch, max(mx) OVER (ORDER BY batch
-      |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm_ms
-      |       FROM bm)
-      |SELECT event_id, tms AS ts_ms
-      |FROM r JOIN wm USING (batch)
-      |WHERE wm_ms IS NULL OR tms >= wm_ms - 600000
+    s"""WITH ${arrivalCtes()}
+      |SELECT event_id, tms AS ts_ms FROM k
       |ORDER BY event_id""".stripMargin) { (s, d) =>
     StreamingQueries.watermarkLateDrop(Tables.events(s, d))
       .orderBy(col("event_id"))
@@ -153,18 +164,7 @@ object StreamingQueries extends QueryGroup {
   // through a real dropDuplicates and matches keys AND emitting
   // batches.
   q("q53_streaming_dedup_twin",
-    """WITH e AS (SELECT event_id, user_id, event_type, epoch_ms(ts) AS tms,
-      |             epoch_ms(ts) + (event_id * 2654435761) % 3600000 - 1800000 AS ak
-      |           FROM events),
-      |r AS (SELECT event_id, user_id, event_type, tms,
-      |        (row_number() OVER (ORDER BY ak, event_id) - 1) // 1000 AS batch
-      |      FROM e),
-      |bm AS (SELECT batch, max(tms) AS mx FROM r GROUP BY batch),
-      |wm AS (SELECT batch, max(mx) OVER (ORDER BY batch
-      |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm_ms
-      |       FROM bm),
-      |k AS (SELECT r.* FROM r JOIN wm USING (batch)
-      |      WHERE wm_ms IS NULL OR tms >= wm_ms - 600000)
+    s"""WITH ${arrivalCtes("user_id", "event_type")}
       |SELECT user_id, event_type,
       |  min(batch) AS first_batch, count(*) AS n_arrivals
       |FROM k GROUP BY 1, 2
@@ -183,18 +183,7 @@ object StreamingQueries extends QueryGroup {
   // puts the composed late-filter → enrich → aggregate pipeline on
   // the driver's oracle surface. The dim join broadcasts.
   q("q56_stream_static_enrich",
-    """WITH e AS (SELECT event_id, user_id, epoch_ms(ts) AS tms,
-      |             epoch_ms(ts) + (event_id * 2654435761) % 3600000 - 1800000 AS ak
-      |           FROM events),
-      |r AS (SELECT event_id, user_id, tms,
-      |        (row_number() OVER (ORDER BY ak, event_id) - 1) // 1000 AS batch
-      |      FROM e),
-      |bm AS (SELECT batch, max(tms) AS mx FROM r GROUP BY batch),
-      |wm AS (SELECT batch, max(mx) OVER (ORDER BY batch
-      |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm_ms
-      |       FROM bm),
-      |k AS (SELECT r.* FROM r JOIN wm USING (batch)
-      |      WHERE wm_ms IS NULL OR tms >= wm_ms - 600000)
+    s"""WITH ${arrivalCtes("user_id")}
       |SELECT k.batch AS batch, c.c_mktsegment AS segment,
       |  count(*) AS n, count(DISTINCT k.user_id) AS n_users
       |FROM k JOIN customer c ON k.user_id = c.c_custkey

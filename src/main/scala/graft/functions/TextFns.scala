@@ -51,9 +51,14 @@ object TextFns {
     * form for the dedup operators.
     */
   def textShingles(text: Column, n: Int): Column =
-    graft.plans.WordShinglesExpr.wordShingles(
-      org.apache.spark.sql.SparkSession.active,
-      split(lower(text), "\\s+"), n)
+    // coalesce: null text must yield [] exactly like the HOF form
+    // (whose when(...).otherwise(array()) treats the null condition
+    // as false) — the expression itself is null-propagating
+    coalesce(
+      graft.plans.WordShinglesExpr.wordShingles(
+        org.apache.spark.sql.SparkSession.active,
+        split(lower(text), "\\s+"), n),
+      typedlit(Seq.empty[String]))
 
   /** MinHash signature as a single expression: k permutations
     * simulated as `xxhash64(i, shingle)`, min per permutation. NOTE:

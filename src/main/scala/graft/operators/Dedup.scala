@@ -88,19 +88,21 @@ object Dedup {
     // back (the oracle's own shape), not window passes: a window here
     // is a full sort of the exploded frame per pass, and those two
     // sorts were the round-2 bench's variance source (one gate run
-    // recorded a 9x q33 outlier from a sort spill). Both aggregate
-    // outputs are tiny — the hot-shingle list is near-empty by
-    // construction and `sz` is one row per doc — so both joins
-    // broadcast and the only big shuffles left are hash aggregates
-    // (no sort, no spill cliff). Carrying `sz` through the self-join
-    // lets the Jaccard be finished right at the pair aggregate.
+    // recorded a 9x q33 outlier from a sort spill). No broadcast
+    // HINTS on the joins: the hot-shingle list is near-empty by
+    // construction and `sz` is one row per doc, so AQE broadcasts
+    // them at every realistic size — but `sizes` grows with the
+    // corpus (one row per document), and a forced broadcast would hit
+    // the 8 GB broadcast ceiling at ~10^8 docs where a shuffle join
+    // is the right plan. Carrying `sz` through the self-join lets the
+    // Jaccard be finished right at the pair aggregate.
     val hot = shAll.groupBy(col("blk"), col("shingle"))
       .agg(count(lit(1)).as("__df"))
       .filter(col("__df") > maxShingleDocFreq)
       .select(col("blk"), col("shingle"))
-    val surviving = shAll.join(broadcast(hot), Seq("blk", "shingle"), "left_anti")
+    val surviving = shAll.join(hot, Seq("blk", "shingle"), "left_anti")
     val sizes = surviving.groupBy(col("doc")).agg(count(lit(1)).as("sz"))
-    val sh = surviving.join(broadcast(sizes), "doc")
+    val sh = surviving.join(sizes, "doc")
     val a = sh.alias("a")
     val b = sh.alias("b")
     a.join(b,
@@ -237,59 +239,83 @@ object Dedup {
     * optimization if diameter ever grows; the join shape is the same).
     *
     * `checkpointDir`: when set, rounds use RELIABLE `checkpoint()`
-    * into that directory — the 100 TB choice: `localCheckpoint` pins
+    * under that directory — the 100 TB choice: `localCheckpoint` pins
     * blocks in executor memory and is unrecoverable on executor loss,
     * so a single lost executor mid-loop kills the whole job. The
     * default stays `localCheckpoint` (no filesystem dependency for
-    * small/local runs). The per-round convergence check scans the
-    * just-checkpointed frame (old label carried through the
-    * propagation join) — no extra join per round.
+    * small/local runs). Each round checkpoints into its own
+    * subdirectory and the PREVIOUS round's files are deleted as soon
+    * as the next round is materialized (Spark only auto-cleans
+    * reliable checkpoints behind a non-default cleaner flag, so an
+    * unbounded loop would otherwise grow storage by O(rounds x
+    * labels)); what remains afterwards is the edge list + final round
+    * only — delete `checkpointDir` once done with the result. The
+    * SparkContext checkpoint-dir setting is restored on exit. The
+    * per-round convergence check scans the just-checkpointed frame
+    * (old label carried through the propagation join) — no extra
+    * join per round.
     */
   def clusters(docs: DataFrame, idCol: String, pairs: DataFrame,
       maxIterations: Int = 50, checkpointDir: Option[String] = None): DataFrame = {
-    val persist: DataFrame => DataFrame = checkpointDir match {
+    val sc = docs.sparkSession.sparkContext
+    val priorCheckpointDir = sc.getCheckpointDir
+    def persistAt(df: DataFrame, label: String): DataFrame = checkpointDir match {
       case Some(dir) =>
-        docs.sparkSession.sparkContext.setCheckpointDir(dir)
-        df => df.checkpoint(eager = true)
-      case None => df => df.localCheckpoint(true)
+        sc.setCheckpointDir(s"$dir/$label")
+        df.checkpoint(eager = true)
+      case None => df.localCheckpoint(true)
     }
-    // undirected edge list (both directions), deduped
-    val fwd = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-    val edges = persist(fwd.unionByName(
-        fwd.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct())
-    // propagate ONLY over the pair subgraph — near-dup graphs are a
-    // vanishing fraction of the corpus, so the iteration loop never
-    // touches the full document table; singletons get their own id in
-    // one left join at the end
-    var labels = persist(edges.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("lbl")))
-    var changed = 1L
-    var iter = 0
-    while (changed > 0 && iter < maxIterations) {
-      val neighborMin = edges.join(labels, col("dst") === col("id"))
-        .groupBy(col("src")).agg(min(col("lbl")).as("nlbl"))
-      // carry the previous label through the join so convergence is a
-      // metadata-cheap scan of the materialized round, not a second
-      // join against the old labels
-      val next = persist(
-        labels.join(neighborMin, col("id") === col("src"), "left")
-          .select(col("id"), col("lbl").as("prev"),
-            least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl")))
-      changed = next.filter(col("lbl") =!= col("prev")).count()
-      labels = next.select(col("id"), col("lbl"))
-      iter += 1
+    def dropRound(round: Int): Unit = checkpointDir.foreach { dir =>
+      val p = new org.apache.hadoop.fs.Path(s"$dir/labels-$round")
+      p.getFileSystem(sc.hadoopConfiguration).delete(p, true)
+      ()
     }
-    // never return silently-truncated components: a partially
-    // propagated labeling would under-merge clusters and the keep/drop
-    // step would keep duplicates with no signal anything went wrong
-    if (changed > 0) throw new IllegalStateException(
-      s"clusters() did not converge within $maxIterations iterations " +
-        s"($changed labels still changing) — raise maxIterations " +
-        "(rounds needed = pair-graph diameter)")
-    docs.select(col(idCol))
-      .join(labels, docs(idCol) === labels("id"), "left")
-      .select(col(idCol), coalesce(col("lbl"), col(idCol)).as("cluster"))
+    try {
+      // undirected edge list (both directions), deduped
+      val fwd = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      val edges = persistAt(fwd.unionByName(
+          fwd.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct(), "edges")
+      // propagate ONLY over the pair subgraph — near-dup graphs are a
+      // vanishing fraction of the corpus, so the iteration loop never
+      // touches the full document table; singletons get their own id
+      // in one left join at the end
+      var labels = persistAt(edges.select(col("src").as("id")).distinct()
+        .select(col("id"), col("id").as("lbl")), "labels-0")
+      var changed = 1L
+      var iter = 0
+      while (changed > 0 && iter < maxIterations) {
+        val neighborMin = edges.join(labels, col("dst") === col("id"))
+          .groupBy(col("src")).agg(min(col("lbl")).as("nlbl"))
+        // carry the previous label through the join so convergence is
+        // a metadata-cheap scan of the materialized round, not a
+        // second join against the old labels
+        val next = persistAt(
+          labels.join(neighborMin, col("id") === col("src"), "left")
+            .select(col("id"), col("lbl").as("prev"),
+              least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl")),
+          s"labels-${iter + 1}")
+        changed = next.filter(col("lbl") =!= col("prev")).count()
+        labels = next.select(col("id"), col("lbl"))
+        dropRound(iter) // round iter+1 is materialized; iter is dead
+        iter += 1
+      }
+      // never return silently-truncated components: a partially
+      // propagated labeling would under-merge clusters and the
+      // keep/drop step would keep duplicates with no signal anything
+      // went wrong
+      if (changed > 0) throw new IllegalStateException(
+        s"clusters() did not converge within $maxIterations iterations " +
+          s"($changed labels still changing) — raise maxIterations " +
+          "(rounds needed = pair-graph diameter)")
+      docs.select(col(idCol))
+        .join(labels, docs(idCol) === labels("id"), "left")
+        .select(col(idCol), coalesce(col("lbl"), col(idCol)).as("cluster"))
+    } finally {
+      // don't leave the session's checkpoint location pointing at our
+      // per-round subdirectory
+      priorCheckpointDir.foreach(sc.setCheckpointDir)
+    }
   }
 
   /** SimHash near-duplicate pairs: 64-bit simhash per doc, candidates
@@ -318,8 +344,15 @@ object Dedup {
     val mask = (1L << width) - 1
     val simhash: Column => Column =
       if (portable) TextFns.simhashMd5_60 else TextFns.simhash64
-    val hashed = docs.select(col(idCol).as("doc"),
-      simhash(TextFns.tokens(col(textCol))).as("sh"))
+    // zero-token documents are excluded: they all hash to the
+    // degenerate all-bits-set value (every vote ties at 0) and would
+    // pair with each other at hamming 0 despite sharing no content —
+    // and the SQL oracle's unnest naturally drops them, so this also
+    // keeps the engine and oracle row sets identical
+    val hashed = docs
+      .select(col(idCol).as("doc"), TextFns.tokens(col(textCol)).as("__toks"))
+      .filter(size(col("__toks")) > 0)
+      .select(col("doc"), simhash(col("__toks")).as("sh"))
     val chunked = hashed.select(col("doc"), col("sh"),
       explode(transform(sequence(lit(0), lit(numChunks - 1)),
         i => struct(i.as("chunk"),

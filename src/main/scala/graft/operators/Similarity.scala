@@ -90,9 +90,11 @@ object Similarity {
       threshold: Double,
       maxBroadcastBytes: Long = 1L << 30,
       bucketBits: Int = 8): DataFrame = {
-    val sample = emb.select(col(vecCol)).head(1)
+    // dimension probe skips null vectors (a null head row must not
+    // NPE the router before either path runs)
+    val sample = emb.select(col(vecCol)).filter(col(vecCol).isNotNull).head(1)
     if (sample.isEmpty)
-      return broadcastAllPairsCosine(emb, idCol, vecCol, threshold) // empty corpus
+      return broadcastAllPairsCosine(emb, idCol, vecCol, threshold) // no vectors
     val dims = math.max(1, sample(0).getSeq[Float](0).size)
     val maxRows = maxBroadcastBytes / (4L * dims)
     val probeLimit = // +1 may overflow for huge budgets — clamp first

@@ -180,7 +180,13 @@ class SyncPipeline(
     */
   private def materialize(df: DataFrame): DataFrame = {
     import scala.jdk.CollectionConverters._
-    val rows = df.limit(conf.maxMetadataRows + 1).collect().toSeq
+    // +1 peeks past the limit to detect overflow; clamp so
+    // maxMetadataRows = Int.MaxValue (guard disabled) can't wrap into
+    // a negative limit
+    val peek =
+      if (conf.maxMetadataRows >= Int.MaxValue) Int.MaxValue
+      else conf.maxMetadataRows + 1
+    val rows = df.limit(peek).collect().toSeq
     require(rows.size <= conf.maxMetadataRows,
       s"metadata listing exceeded maxMetadataRows=${conf.maxMetadataRows} — " +
         "refusing the driver-side snapshot (is this listing actually " +

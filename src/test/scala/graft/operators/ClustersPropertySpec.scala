@@ -65,6 +65,16 @@ class ClustersPropertySpec extends SparkSuiteBase {
     val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
       .filter(p => java.nio.file.Files.isRegularFile(p)).count()
     assert(wrote > 0, "expected checkpoint files under the reliable dir")
+    // intermediate rounds are deleted as the loop advances: only the
+    // edge list and the FINAL round may remain (unbounded loops must
+    // not grow storage by O(rounds x labels))
+    import scala.jdk.CollectionConverters._
+    val tops = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+      .iterator().asScala.map(_.getFileName.toString).toSet
+    val labelDirs = tops.filter(_.startsWith("labels-"))
+    assert(labelDirs.size == 1,
+      s"expected exactly the final labels round on disk, got $labelDirs")
+    assert(tops.contains("edges"))
   }
 
   test("simhash 4-chunk config guarantees recall to hamming 3 (q35 configuration)") {

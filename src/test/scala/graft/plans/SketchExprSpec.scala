@@ -35,19 +35,26 @@ class SketchExprSpec extends SparkSuiteBase {
     // strings, so the codegen rewrite must not change a single shingle
     val docs = Tables.documents(spark, sfDir)
     Seq(1, 2, 3, 5).foreach { n =>
+      // null-safe inequality: a null on either side must COUNT as a
+      // difference, not silently drop out of the filter
       val diff = docs.select(
           TextFns.textShingles(col("text"), n).as("fast"),
           TextFns.wordShingles(TextFns.tokens(col("text")), n).as("ref"))
-        .filter(not(col("fast") === col("ref"))).count()
+        .filter(not(col("fast") <=> col("ref"))).count()
       assert(diff == 0, s"n=$n: $diff docs differ")
     }
-    // edge cases: empties, whitespace runs, fewer tokens than n
+    // edge cases: null, empties, whitespace runs, fewer tokens than n
     import spark.implicits._
-    val edge = Seq("", "   ", "one", "one two", "a  b\tc\nd", " x ").toDF("text")
+    val edge = Seq(null, "", "   ", "one", "one two", "a  b\tc\nd", " x ")
+      .toDF("text")
     val got = edge.select(TextFns.textShingles(col("text"), 3).as("s"),
         TextFns.wordShingles(TextFns.tokens(col("text")), 3).as("r"))
       .collect()
-    got.foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1)))
+    got.foreach { r =>
+      assert(!r.isNullAt(0) && !r.isNullAt(1),
+        "both forms must yield [] (never null) for null/empty text")
+      assert(r.getSeq[String](0) == r.getSeq[String](1))
+    }
   }
 
   test("simhash64 expression equals an independent JVM reimplementation") {
