@@ -102,16 +102,22 @@ object Dedup {
       .select(col("blk"), col("shingle"))
     val surviving = shAll.join(hot, Seq("blk", "shingle"), "left_anti")
     val sizes = surviving.groupBy(col("doc")).agg(count(lit(1)).as("sz"))
-    val sh = surviving.join(sizes, "doc")
-    val a = sh.alias("a")
-    val b = sh.alias("b")
-    a.join(b,
+    // set sizes attach to the AGGREGATED pair list, not to the frame
+    // entering the self-join: the pair aggregate's output is orders of
+    // magnitude smaller than the candidate rows, so two joins there
+    // beat widening every self-join row with a carried `sz` (and the
+    // self-join inputs stay identical subtrees → one ReusedExchange)
+    val a = surviving.alias("a")
+    val b = surviving.alias("b")
+    val pairCounts = a.join(b,
         col("a.shingle") === col("b.shingle")
           && col("a.blk") === col("b.blk")
           && col("a.doc") < col("b.doc"))
       .groupBy(col("a.doc").as("id_a"), col("b.doc").as("id_b"))
-      .agg(count(lit(1)).as("inter"),
-        first(col("a.sz")).as("sz_a"), first(col("b.sz")).as("sz_b"))
+      .agg(count(lit(1)).as("inter"))
+    pairCounts
+      .join(sizes.select(col("doc").as("id_a"), col("sz").as("sz_a")), "id_a")
+      .join(sizes.select(col("doc").as("id_b"), col("sz").as("sz_b")), "id_b")
       .withColumn("jaccard",
         col("inter").cast("double")
           / (col("sz_a") + col("sz_b") - col("inter")).cast("double"))
