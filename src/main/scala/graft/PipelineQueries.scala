@@ -462,12 +462,15 @@ object PipelineQueries extends QueryGroup {
        |    ELSE CAST(floor(x::DOUBLE / sc + 0.5) AS INT) END) AS qvec,
        |  CAST(len(embedding) AS INT) AS n_dims
        |FROM s ORDER BY vec_id""".stripMargin) { (s, d) =>
-    val sc = VectorFns.int8Scale(col("embedding"))
+    // codegen'd expression (one JVM loop); bit-identical to the
+    // VectorFns column forms, which stay as the composable API
+    val q8 = graft.plans.Int8QuantizeExpr.int8Quantize(s, col("embedding"))
     Tables.embeddings(s, d)
+      .select(col("vec_id"), q8.as("q8"), size(col("embedding")).as("n_dims"))
       .select(col("vec_id"),
-        pround(sc, 9).as("scale"),
-        VectorFns.quantizeInt8(col("embedding"), sc).as("qvec"),
-        size(col("embedding")).as("n_dims"))
+        pround(col("q8.scale"), 9).as("scale"),
+        col("q8.qvec").as("qvec"),
+        col("n_dims"))
       .orderBy(col("vec_id"))
   }
 

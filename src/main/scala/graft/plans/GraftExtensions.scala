@@ -36,6 +36,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("simhash_md5_60",
         "simhash_md5_60(tokens) - oracle-portable 60-bit SimHash of an array<string>"),
       (exprs: Seq[Expression]) => SimHashMd5Expr(exprs.head)))
+    ext.injectFunction((FunctionIdentifier("int8_quantize"),
+      info("int8_quantize",
+        "int8_quantize(vec) - struct(scale, qvec): symmetric int8 quantization of an array<float>"),
+      (exprs: Seq[Expression]) => Int8QuantizeExpr(exprs.head)))
     ext.injectFunction((FunctionIdentifier("word_shingles"),
       info("word_shingles",
         "word_shingles(arr, n) - space-joined n-gram windows over a raw token array (drops empties)"),

@@ -57,6 +57,20 @@ class SketchExprSpec extends SparkSuiteBase {
     }
   }
 
+  test("int8_quantize expression is bit-identical to the VectorFns column forms") {
+    import graft.functions.VectorFns
+    val e = Tables.embeddings(spark, sfDir)
+    val sc = VectorFns.int8Scale(col("embedding"))
+    val q8 = graft.plans.Int8QuantizeExpr.int8Quantize(spark, col("embedding"))
+    val bad = e.select(
+        q8.getField("scale").as("s1"), sc.as("s2"),
+        q8.getField("qvec").as("q1"),
+        VectorFns.quantizeInt8(col("embedding"), sc).as("q2"))
+      .filter(not(col("s1") === col("s2")) || not(col("q1") <=> col("q2")))
+      .count()
+    assert(bad == 0)
+  }
+
   test("simhash64 expression equals an independent JVM reimplementation") {
     // independent recomputation of the documented algorithm (31-mult
     // byte hash -> splitmix64 finalizer -> per-bit +-1 votes)
