@@ -139,6 +139,65 @@ object PipelineQueries extends QueryGroup {
       .orderBy(col("doc_id"))
   }
 
+  // R-21 repetition signal (Gopher-style): within-document duplicate
+  // 3-gram fraction — boilerplate/looped text repeats n-grams. The
+  // shingle list here is the MULTISET (no row-level distinct).
+  q("q57_doc_repetition",
+    s"""WITH tk AS (SELECT doc_id, $sqlTokens AS l FROM documents),
+       |sh AS (SELECT doc_id,
+       |         list_transform(generate_series(1, len(l) - 2),
+       |           i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2]) AS s
+       |       FROM tk)
+       |SELECT doc_id,
+       |  CAST(len(s) AS INT) AS total,
+       |  CAST(len(list_distinct(s)) AS INT) AS n_distinct,
+       |  ${sqlRound("CASE WHEN len(s) > 0 THEN 1.0 - len(list_distinct(s)) * 1.0 / len(s) ELSE 0.0 END", 4)} AS rep_ratio
+       |FROM sh ORDER BY doc_id""".stripMargin) { (s, d) =>
+    import graft.functions.TextFns
+    val sh = TextFns.textShingles(col("text"), 3)
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(sh).as("total"),
+        size(array_distinct(sh)).as("n_distinct"),
+        pround(TextAnalysis.repetitionRatio(col("text"), 3), 4).as("rep_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
+  // R-21 composite quality verdict: the published-rule-style keep/drop
+  // decision a training pipeline applies before tokenization —
+  // per-signal booleans so a failing document is diagnosable. All
+  // signals are exact rational arithmetic; bounds live in the
+  // operator's signature.
+  q("q58_quality_filter",
+    s"""WITH tk AS (SELECT doc_id, text, $sqlTokens AS l FROM documents),
+       |f AS (SELECT doc_id,
+       |  len(l) AS n_tokens,
+       |  coalesce(list_sum(list_transform(l, t -> length(t))), 0) * 1.0
+       |    / greatest(len(l), 1) AS awl,
+       |  len(list_filter(l, x -> x = 'the' OR x = 'a')) * 1.0
+       |    / greatest(len(l), 1) AS swr,
+       |  length(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0
+       |    / length(text) AS dr,
+       |  list_transform(generate_series(1, len(l) - 2),
+       |    i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2]) AS s
+       |FROM tk),
+       |g AS (SELECT doc_id, n_tokens, awl, swr, dr,
+       |  CASE WHEN len(s) > 0 THEN 1.0 - len(list_distinct(s)) * 1.0 / len(s)
+       |       ELSE 0.0 END AS rr FROM f)
+       |SELECT doc_id,
+       |  (n_tokens BETWEEN 5 AND 10000) AS ok_len,
+       |  (awl >= 2.0 AND awl <= 12.0) AS ok_word_len,
+       |  (swr > 0.0) AS ok_stopwords,
+       |  (dr < 0.2) AS ok_digits,
+       |  (rr < 0.3) AS ok_repetition,
+       |  ((n_tokens BETWEEN 5 AND 10000) AND (awl >= 2.0 AND awl <= 12.0)
+       |    AND swr > 0.0 AND dr < 0.2 AND rr < 0.3) AS keep
+       |FROM g ORDER BY doc_id""".stripMargin) { (s, d) =>
+    TextAnalysis.qualityFilter(Tables.documents(s, d), "doc_id", "text",
+        Seq("the", "a"))
+      .orderBy(col("doc_id"))
+  }
+
   // --------------------------------------------------------------- R-19
   // Exact n-gram Jaccard near-dup pairs (blocked by lang). The data
   // has 6 planted pairs >= 0.95 with a clean gap to ~0.05 — threshold

@@ -45,6 +45,53 @@ object TextAnalysis {
       regexp_count(noEmail, lit(phonePattern)).as("n_phones"))
   }
 
+  /** Within-document duplicate-shingle fraction
+    * (1 − |distinct n-grams| / |n-grams|) — the repetition signal of
+    * published training-data quality rules (Rae et al.'s Gopher
+    * filters): boilerplate and looping generations repeat n-grams.
+    * 0 for documents with fewer than n tokens. Row-parallel; the
+    * per-row array_distinct is a once-per-row HOF (fine off the
+    * codegen path).
+    */
+  def repetitionRatio(text: org.apache.spark.sql.Column, n: Int): org.apache.spark.sql.Column = {
+    val sh = TextFns.textShingles(text, n)
+    val total = size(sh)
+    when(total > 0,
+      lit(1.0) - size(array_distinct(sh)).cast("double") / total.cast("double"))
+      .otherwise(lit(0.0))
+  }
+
+  /** Composite quality verdict (Gopher-style): per-signal booleans +
+    * the AND. Bounds are constructor-level policy, not magic inside
+    * the plan; every signal is exact rational arithmetic both engines
+    * reproduce, so the verdict is oracle-checkable.
+    */
+  def qualityFilter(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      stopwords: Seq[String],
+      minTokens: Int = 5,
+      maxTokens: Int = 10000,
+      minAvgWordLen: Double = 2.0,
+      maxAvgWordLen: Double = 12.0,
+      maxDigitRatio: Double = 0.2,
+      maxRepetition: Double = 0.3): DataFrame = {
+    val feats = qualityFeatures(docs, idCol, textCol, stopwords)
+      .join(docs.select(col(idCol),
+        repetitionRatio(col(textCol), 3).as("rep_ratio")), idCol)
+    feats.select(col(idCol),
+        (col("n_tokens") >= minTokens && col("n_tokens") <= maxTokens).as("ok_len"),
+        (col("avg_word_len") >= minAvgWordLen
+          && col("avg_word_len") <= maxAvgWordLen).as("ok_word_len"),
+        (col("stopword_ratio") > 0.0).as("ok_stopwords"),
+        (col("digit_ratio") < maxDigitRatio).as("ok_digits"),
+        (col("rep_ratio") < maxRepetition).as("ok_repetition"))
+      .withColumn("keep",
+        col("ok_len") && col("ok_word_len") && col("ok_stopwords")
+          && col("ok_digits") && col("ok_repetition"))
+  }
+
   /** Quality features per document: token count, average word length,
     * stopword ratio, digit ratio, md5 fingerprint.
     */
