@@ -94,8 +94,7 @@ object Dedup {
     // them at every realistic size — but `sizes` grows with the
     // corpus (one row per document), and a forced broadcast would hit
     // the 8 GB broadcast ceiling at ~10^8 docs where a shuffle join
-    // is the right plan. Carrying `sz` through the self-join lets the
-    // Jaccard be finished right at the pair aggregate.
+    // is the right plan.
     val hot = shAll.groupBy(col("blk"), col("shingle"))
       .agg(count(lit(1)).as("__df"))
       .filter(col("__df") > maxShingleDocFreq)

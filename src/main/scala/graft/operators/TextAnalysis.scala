@@ -77,9 +77,13 @@ object TextAnalysis {
       maxAvgWordLen: Double = 12.0,
       maxDigitRatio: Double = 0.2,
       maxRepetition: Double = 0.3): DataFrame = {
-    val feats = qualityFeatures(docs, idCol, textCol, stopwords)
-      .join(docs.select(col(idCol),
-        repetitionRatio(col(textCol), 3).as("rep_ratio")), idCol)
+    // ALL signals in one projection over one scan — every signal is a
+    // row-local expression, so there is nothing to join (a self-join
+    // on idCol here would shuffle two corpus-sized frames for no
+    // semantic gain)
+    val feats = docs.select(
+      (featureCols(idCol, textCol, stopwords) :+
+        repetitionRatio(col(textCol), 3).as("rep_ratio")): _*)
     feats.select(col(idCol),
         (col("n_tokens") >= minTokens && col("n_tokens") <= maxTokens).as("ok_len"),
         (col("avg_word_len") >= minAvgWordLen
@@ -92,16 +96,13 @@ object TextAnalysis {
           && col("ok_digits") && col("ok_repetition"))
   }
 
-  /** Quality features per document: token count, average word length,
-    * stopword ratio, digit ratio, md5 fingerprint.
+  /** The shared signal projection of [[qualityFeatures]] and
+    * [[qualityFilter]] — row-local expressions only.
     */
-  def qualityFeatures(
-      docs: DataFrame,
-      idCol: String,
-      textCol: String,
-      stopwords: Seq[String]): DataFrame = {
+  private def featureCols(idCol: String, textCol: String,
+      stopwords: Seq[String]): Seq[org.apache.spark.sql.Column] = {
     val toks = TextFns.tokens(col(textCol))
-    docs.select(col(idCol),
+    Seq(col(idCol),
       size(toks).as("n_tokens"),
       // mean token length (not a whitespace-arithmetic shortcut, which
       // breaks on multi-space/mixed-case text)
@@ -109,9 +110,19 @@ object TextAnalysis {
         / greatest(size(toks), lit(1)).cast("double")).as("avg_word_len"),
       TextFns.stopwordRatio(toks, stopwords).as("stopword_ratio"),
       (length(regexp_replace(col(textCol), "[^0-9]", "")).cast("double")
-        / length(col(textCol)).cast("double")).as("digit_ratio"),
-      TextFns.fingerprint(col(textCol)).as("fingerprint"))
+        / length(col(textCol)).cast("double")).as("digit_ratio"))
   }
+
+  /** Quality features per document: token count, average word length,
+    * stopword ratio, digit ratio, md5 fingerprint.
+    */
+  def qualityFeatures(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      stopwords: Seq[String]): DataFrame =
+    docs.select((featureCols(idCol, textCol, stopwords) :+
+      TextFns.fingerprint(col(textCol)).as("fingerprint")): _*)
 
   /** Per-document TF-IDF keyword extraction: score = tf × ln(N/df),
     * top `k` terms per document (ties → lexicographically smallest

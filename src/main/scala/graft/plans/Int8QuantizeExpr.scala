@@ -45,13 +45,14 @@ object Int8QuantizeExpr {
 
   val outType: StructType = StructType(Seq(
     StructField("scale", DoubleType, nullable = false),
-    StructField("qvec", ArrayType(IntegerType, containsNull = false),
+    StructField("qvec", ArrayType(IntegerType, containsNull = true),
       nullable = false)))
 
   /** Called from both interpreted eval and generated code. Null
-    * elements contribute 0 to the scale and quantize to 0 (the column
-    * forms' HOF arithmetic propagates null per element; fixture
-    * vectors carry no nulls — asserted equivalent where defined).
+    * elements are skipped by the scale (like `greatest` in the column
+    * form) and produce a null code (like the column form's
+    * null-propagating arithmetic) — the two forms stay bit-identical
+    * on any input, not just null-free fixtures.
     */
   def compute(arr: ArrayData): InternalRow = {
     val n = arr.numElements()
@@ -68,8 +69,10 @@ object Int8QuantizeExpr {
     val out = new Array[Any](n)
     i = 0
     while (i < n) {
-      val x = if (arr.isNullAt(i)) 0.0 else arr.getFloat(i).toDouble
-      out(i) = if (scale == 0.0) 0 else math.floor(x / scale + 0.5).toInt
+      out(i) =
+        if (arr.isNullAt(i)) null
+        else if (scale == 0.0) 0
+        else math.floor(arr.getFloat(i).toDouble / scale + 0.5).toInt
       i += 1
     }
     InternalRow(scale, new GenericArrayData(out))
