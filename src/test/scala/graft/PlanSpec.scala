@@ -82,6 +82,14 @@ class PlanSpec extends SparkSuiteBase {
       s"capped shingle frame must be computed once across the self-join:\n$p")
   }
 
+  test("q58 quality filter is a single-scan projection: no join, no window") {
+    val p = plan("q58_quality_filter")
+    // every signal is row-local; a corpus-sized self-join here was a
+    // reviewed-out regression — keep it out
+    assert(!p.contains("Join"), s"q58 must not plan a join:\n$p")
+    assert(!p.contains("Window "), s"q58 must not plan a window:\n$p")
+  }
+
   test("q34 LSH self-join reuses the signature exchange (computed once)") {
     val df = Queries.all("q34_minhash_lsh")(spark, sfDir)
     df.collect() // AQE finalizes reuse at execution
