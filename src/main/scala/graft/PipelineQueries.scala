@@ -510,15 +510,20 @@ object PipelineQueries extends QueryGroup {
   // 4x storage-compression step of an embedding store. Scale =
   // max|x|/127 and codes = floor(x/scale + 0.5), all in double: every
   // step is IEEE arithmetic both engines execute bit-identically, so
-  // even the float-derived codes hash-match.
+  // even the float-derived codes hash-match. The code vector is
+  // emitted as a comma-joined STRING (the q34 band-key trick): the
+  // driver's checker canonicalizes by a pandas all-column sort, which
+  // cannot sort raw array cells (round-3 q55 was unverifiable for
+  // exactly that). Spark `concat_ws` and DuckDB `array_to_string`
+  // both skip null elements; the fixture has none.
   q("q55_embed_quantize",
     s"""WITH s AS (SELECT vec_id, embedding,
        |    list_max(list_transform(embedding, x -> abs(x::DOUBLE))) / 127.0 AS sc
        |  FROM embeddings)
        |SELECT vec_id,
        |  ${sqlRound("sc", 9)} AS scale,
-       |  list_transform(embedding, x -> CASE WHEN sc = 0 THEN 0
-       |    ELSE CAST(floor(x::DOUBLE / sc + 0.5) AS INT) END) AS qvec,
+       |  array_to_string(list_transform(embedding, x -> CASE WHEN sc = 0 THEN 0
+       |    ELSE CAST(floor(x::DOUBLE / sc + 0.5) AS INT) END), ',') AS qvec_csv,
        |  CAST(len(embedding) AS INT) AS n_dims
        |FROM s ORDER BY vec_id""".stripMargin) { (s, d) =>
     // codegen'd expression (one JVM loop); bit-identical to the
@@ -528,7 +533,7 @@ object PipelineQueries extends QueryGroup {
       .select(col("vec_id"), q8.as("q8"), size(col("embedding")).as("n_dims"))
       .select(col("vec_id"),
         pround(col("q8.scale"), 9).as("scale"),
-        col("q8.qvec").as("qvec"),
+        concat_ws(",", col("q8.qvec").cast("array<string>")).as("qvec_csv"),
         col("n_dims"))
       .orderBy(col("vec_id"))
   }

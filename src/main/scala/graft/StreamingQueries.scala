@@ -18,9 +18,14 @@ object StreamingQueries extends QueryGroup {
       batchSize: Int = 1000): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val rnW = Window.orderBy(col("ak"), col("event_id"))
+    // event_id is reduced mod the jitter window BEFORE the Knuth
+    // multiply: ((id % m) * c) % m == (id * c) % m, and the bounded
+    // intermediate (< 3.6e6 * 2.7e9 < 2^63) can never overflow int64
+    // — Spark would wrap silently where DuckDB raises, so the twins
+    // would diverge past id ~3.4e9 (same discipline as PortableHash)
     events.select(col("event_id"), unix_millis(col("ts")).as("tms"))
       .withColumn("ak",
-        col("tms") + (col("event_id") * lit(2654435761L)) % lit(3600000L)
+        col("tms") + ((col("event_id") % lit(3600000L)) * lit(2654435761L)) % lit(3600000L)
           - lit(1800000L))
       .withColumn("batch",
         ((row_number().over(rnW) - lit(1)) / lit(batchSize)).cast("long"))
@@ -117,7 +122,7 @@ object StreamingQueries extends QueryGroup {
   private def arrivalCtes(extraCols: String*): String = {
     val extra = extraCols.map(_ + ", ").mkString
     s"""e AS (SELECT event_id, ${extra}epoch_ms(ts) AS tms,
-       |       epoch_ms(ts) + (event_id * 2654435761) % 3600000 - 1800000 AS ak
+       |       epoch_ms(ts) + ((event_id % 3600000) * 2654435761) % 3600000 - 1800000 AS ak
        |     FROM events),
        |r AS (SELECT event_id, ${extra}tms,
        |        (row_number() OVER (ORDER BY ak, event_id) - 1) // 1000 AS batch

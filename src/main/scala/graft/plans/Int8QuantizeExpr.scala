@@ -50,9 +50,17 @@ object Int8QuantizeExpr {
 
   /** Called from both interpreted eval and generated code. Null
     * elements are skipped by the scale (like `greatest` in the column
-    * form) and produce a null code (like the column form's
-    * null-propagating arithmetic) — the two forms stay bit-identical
-    * on any input, not just null-free fixtures.
+    * form); the per-element branch tests `scale == 0` BEFORE the
+    * null-element check — exactly the column form's
+    * `when(scale === 0, 0)` which short-circuits without touching the
+    * element — so a null element quantizes to 0 in a zero-scale
+    * vector and to null otherwise. The two JVM forms are
+    * bit-identical on ANY input (SketchExprSpec edge cases: null
+    * elements, empty, all-null, all-zero). The DuckDB oracle matches
+    * on every vector with >= 1 non-null element; on empty/all-null
+    * vectors SQL's `list_max` yields a NULL scale where both JVM
+    * forms define scale 0 — a documented divergence the gated fixture
+    * never produces.
     */
   def compute(arr: ArrayData): InternalRow = {
     val n = arr.numElements()
@@ -70,8 +78,8 @@ object Int8QuantizeExpr {
     i = 0
     while (i < n) {
       out(i) =
-        if (arr.isNullAt(i)) null
-        else if (scale == 0.0) 0
+        if (scale == 0.0) 0
+        else if (arr.isNullAt(i)) null
         else math.floor(arr.getFloat(i).toDouble / scale + 0.5).toInt
       i += 1
     }

@@ -71,6 +71,35 @@ class SketchExprSpec extends SparkSuiteBase {
     assert(bad == 0)
   }
 
+  test("int8_quantize edge cases: null elements, empty, all-null, all-zero vectors") {
+    import graft.functions.VectorFns
+    import spark.implicits._
+    val edge = Seq(
+      Seq[Option[Float]](Some(1.0f), None, Some(-2.0f)), // null elem, scale>0
+      Seq[Option[Float]](Some(0.0f), None, Some(0.0f)),  // null elem, ZERO scale
+      Seq.empty[Option[Float]],                          // empty vector
+      Seq[Option[Float]](None, None),                    // all-null
+      Seq[Option[Float]](Some(0.0f), Some(0.0f))         // all-zero
+    ).toDF("embedding").select(col("embedding").cast("array<float>").as("embedding"))
+    val sc = VectorFns.int8Scale(col("embedding"))
+    val q8 = graft.plans.Int8QuantizeExpr.int8Quantize(spark, col("embedding"))
+    val rows = edge.select(
+        q8.getField("scale").as("s1"), sc.as("s2"),
+        q8.getField("qvec").as("q1"),
+        VectorFns.quantizeInt8(col("embedding"), sc).as("q2"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getDouble(0) == r.getDouble(1), s"scale diverges: $r")
+      assert(r.getSeq[Any](2) == r.getSeq[Any](3), s"codes diverge: $r")
+    }
+    // the ADVICE case pinned explicitly: a null element in a
+    // zero-scale vector is 0 (scale check first), null otherwise
+    assert(rows(1).getSeq[Any](2) == Seq(0, 0, 0))
+    assert(rows(0).getSeq[Any](2) == Seq(64, null, -127))
+    // empty/all-null define scale 0 in both JVM forms
+    assert(rows(2).getDouble(0) == 0.0 && rows(3).getDouble(0) == 0.0)
+  }
+
   test("simhash64 expression equals an independent JVM reimplementation") {
     // independent recomputation of the documented algorithm (31-mult
     // byte hash -> splitmix64 finalizer -> per-bit +-1 votes)
