@@ -243,31 +243,34 @@ object Dedup {
     * 100 TB (alternating star-contraction is the published
     * optimization if diameter ever grows; the join shape is the same).
     *
-    * `checkpointDir`: when set, rounds use RELIABLE `checkpoint()`
-    * under that directory — the 100 TB choice: `localCheckpoint` pins
-    * blocks in executor memory and is unrecoverable on executor loss,
-    * so a single lost executor mid-loop kills the whole job. The
+    * `checkpointDir`: when set, each round is materialized as PARQUET
+    * under that directory and read back — the 100 TB choice:
+    * `localCheckpoint` pins blocks in executor memory and is
+    * unrecoverable on executor loss, so a single lost executor
+    * mid-loop kills the whole job. A file roundtrip truncates lineage
+    * exactly like a reliable RDD `checkpoint()` but touches NO
+    * SparkContext-global state: the session's `setCheckpointDir`
+    * plane is never mutated (an earlier revision round-tripped it and
+    * could redirect — then delete — a concurrent job's checkpoints),
+    * and every file deleted is one this loop wrote itself. The
     * default stays `localCheckpoint` (no filesystem dependency for
-    * small/local runs). Each round checkpoints into its own
-    * subdirectory and the PREVIOUS round's files are deleted as soon
-    * as the next round is materialized (Spark only auto-cleans
-    * reliable checkpoints behind a non-default cleaner flag, so an
-    * unbounded loop would otherwise grow storage by O(rounds x
-    * labels)); what remains afterwards is the edge list + final round
-    * only — delete `checkpointDir` once done with the result. The
-    * SparkContext checkpoint-dir setting is restored on exit. The
-    * per-round convergence check scans the just-checkpointed frame
-    * (old label carried through the propagation join) — no extra
-    * join per round.
+    * small/local runs). The PREVIOUS round's files are deleted as
+    * soon as the next round is materialized (an unbounded loop must
+    * not grow storage by O(rounds x labels)); what remains afterwards
+    * is the edge list + final round only — delete `checkpointDir`
+    * once done with the result. The per-round convergence check scans
+    * the just-materialized frame (old label carried through the
+    * propagation join) — no extra join per round.
     */
   def clusters(docs: DataFrame, idCol: String, pairs: DataFrame,
       maxIterations: Int = 50, checkpointDir: Option[String] = None): DataFrame = {
-    val sc = docs.sparkSession.sparkContext
-    val priorCheckpointDir = sc.getCheckpointDir
+    val spark = docs.sparkSession
+    val sc = spark.sparkContext
     def persistAt(df: DataFrame, label: String): DataFrame = checkpointDir match {
       case Some(dir) =>
-        sc.setCheckpointDir(s"$dir/$label")
-        df.checkpoint(eager = true)
+        val path = s"$dir/$label"
+        df.write.mode("overwrite").parquet(path)
+        spark.read.parquet(path)
       case None => df.localCheckpoint(true)
     }
     def dropRound(round: Int): Unit = checkpointDir.foreach { dir =>
@@ -275,7 +278,7 @@ object Dedup {
       p.getFileSystem(sc.hadoopConfiguration).delete(p, true)
       ()
     }
-    try {
+    locally {
       // undirected edge list (both directions), deduped
       val fwd = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       val edges = persistAt(fwd.unionByName(
@@ -316,10 +319,6 @@ object Dedup {
       docs.select(col(idCol))
         .join(labels, docs(idCol) === labels("id"), "left")
         .select(col(idCol), coalesce(col("lbl"), col(idCol)).as("cluster"))
-    } finally {
-      // don't leave the session's checkpoint location pointing at our
-      // per-round subdirectory
-      priorCheckpointDir.foreach(sc.setCheckpointDir)
     }
   }
 
