@@ -43,7 +43,7 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
-      val times = (1 to reps).flatMap { _ =>
+      def rep(): Option[Double] = {
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -53,16 +53,36 @@ object Bench {
           None
         }
       }
+      val base = (1 to reps).flatMap(_ => rep())
+      // contention guard: when the base reps disagree by >2x, the box
+      // was loaded during at least one of them — run up to 2 extra
+      // reps until the two FASTEST agree within 2x, so a contended
+      // driver box can't record a 19s artifact for a 2s plan (the
+      // round-3 q33/q47 distortion). Per-rep times are all emitted
+      // ("reps") so a reader can see the spread either way.
+      def unstable(ts: Seq[Double]): Boolean = {
+        val s = ts.sorted
+        s.size >= 2 && s(1) > 2.0 * s(0)
+      }
+      var times = base
+      var extra = 0
+      while (base.size == reps && extra < 2 && unstable(times)) {
+        times = times ++ rep().toSeq
+        extra += 1
+      }
       // ANY failed rep reports -1: min-of-reps absorbs timing noise,
       // but a query that crashes intermittently is a failure signal
       // the gate must see, not average away
-      name -> (if (times.size == reps) times.min else -1.0)
+      name -> (if (times.size == reps + extra) times.min else -1.0, times)
     }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, (v, _)) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.values.filter(_ >= 0).sum
+    val repJson = results.map { case (k, (_, ts)) =>
+      s"\"" + k + "\":" + ts.map(t => f"$t%.3f").mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val total = results.values.map(_._1).filter(_ >= 0).sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$repJson,"sf":"$sfDir"}"""
     println(json)
     // also write the JSON to a file: the stdout line gets wrapped in
     // sbt [info]/log prefixes, which defeated the driver's parser in
