@@ -538,6 +538,42 @@ object PipelineQueries extends QueryGroup {
       .orderBy(col("vec_id"))
   }
 
+  // R-20/R-25: byte-packed int8 codes — the step that actually
+  // delivers the 4x storage claim (array<int> stores 4 bytes/code;
+  // the packed binary stores 1, offset-128). The oracle rebuilds the
+  // byte stream as a hex string from the same quantization codes, so
+  // packed_hex checks the exact bytes; roundtrip_ok is TRUE by
+  // construction in the oracle while Spark computes it through a REAL
+  // unpack(pack(codes)) == codes comparison — the roundtrip identity
+  // sits on the driver-verified surface, not only in ScalaTest. Both
+  // pack and unpack are codegen'd row-local loops: embarrassingly
+  // parallel, no shuffle, survives any scale.
+  q("q61_embed_pack",
+    s"""WITH s AS (SELECT vec_id, embedding,
+       |    list_max(list_transform(embedding, x -> abs(x::DOUBLE))) / 127.0 AS sc
+       |  FROM embeddings),
+       |q AS (SELECT vec_id,
+       |    list_transform(embedding, x -> CASE WHEN sc = 0 THEN 0
+       |      ELSE CAST(floor(x::DOUBLE / sc + 0.5) AS INT) END) AS qvec
+       |  FROM s)
+       |SELECT vec_id,
+       |  lower(list_aggregate(list_transform(qvec, x -> lpad(hex(x + 128), 2, '0')),
+       |    'string_agg', '')) AS packed_hex,
+       |  CAST(len(qvec) AS INT) AS n_bytes,
+       |  TRUE AS roundtrip_ok
+       |FROM q ORDER BY vec_id""".stripMargin) { (s, d) =>
+    val q8 = graft.plans.Int8QuantizeExpr.int8Quantize(s, col("embedding"))
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), q8.getField("qvec").as("qvec"))
+      .withColumn("packed", graft.plans.Int8PackExpr.int8Pack(s, col("qvec")))
+      .select(col("vec_id"),
+        lower(hex(col("packed"))).as("packed_hex"),
+        length(col("packed")).cast("int").as("n_bytes"),
+        (graft.plans.Int8UnpackExpr.int8Unpack(s, col("packed")) === col("qvec"))
+          .as("roundtrip_ok"))
+      .orderBy(col("vec_id"))
+  }
+
   // R-20 LSH-bucketed ANN (sign bits of the first 8 dims): the scale
   // path — per-probe work is corpus/2^8, and the bucket join is an
   // equi-join. Axis-aligned hyperplanes keep it oracle-reproducible.

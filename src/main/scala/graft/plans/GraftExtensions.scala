@@ -40,6 +40,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("int8_quantize",
         "int8_quantize(vec) - struct(scale, qvec): symmetric int8 quantization of an array<float>"),
       (exprs: Seq[Expression]) => Int8QuantizeExpr(exprs.head)))
+    ext.injectFunction((FunctionIdentifier("int8_pack"),
+      info("int8_pack",
+        "int8_pack(codes) - binary: one offset-128 byte per array<int> code"),
+      (exprs: Seq[Expression]) => Int8PackExpr(exprs.head)))
+    ext.injectFunction((FunctionIdentifier("int8_unpack"),
+      info("int8_unpack",
+        "int8_unpack(bin) - array<int>: inverse of int8_pack"),
+      (exprs: Seq[Expression]) => Int8UnpackExpr(exprs.head)))
     ext.injectFunction((FunctionIdentifier("word_shingles"),
       info("word_shingles",
         "word_shingles(arr, n) - space-joined n-gram windows over a raw token array (drops empties)"),

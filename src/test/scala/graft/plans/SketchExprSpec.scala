@@ -100,6 +100,39 @@ class SketchExprSpec extends SparkSuiteBase {
     assert(rows(2).getDouble(0) == 0.0 && rows(3).getDouble(0) == 0.0)
   }
 
+  test("int8_pack/unpack roundtrip is the identity and bytes are offset-128") {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, sfDir)
+    val q8 = graft.plans.Int8QuantizeExpr.int8Quantize(spark, col("embedding"))
+    val df = e.select(col("vec_id"), q8.getField("qvec").as("qvec"))
+      .withColumn("packed", Int8PackExpr.int8Pack(spark, col("qvec")))
+    // roundtrip identity over the whole fixture
+    val bad = df
+      .filter(not(Int8UnpackExpr.int8Unpack(spark, col("packed")) <=> col("qvec")))
+      .count()
+    assert(bad == 0)
+    // 1 byte per code — the 4x storage claim vs array<int>
+    val sizeBad = df.filter(length(col("packed")) =!= size(col("qvec"))).count()
+    assert(sizeBad == 0)
+    // pinned byte layout: offset-128, element order preserved
+    val hexRow = Seq(Seq(127, -127, 0, 1)).toDF("codes")
+      .select(lower(hex(Int8PackExpr.int8Pack(spark, col("codes")))).as("h"))
+      .head().getString(0)
+    assert(hexRow == "ff018081")
+    // null array propagates; null ELEMENT and out-of-range throw loudly
+    val nullOut = Seq(Tuple1(Option.empty[Seq[Int]])).toDF("codes")
+      .select(Int8PackExpr.int8Pack(spark, col("codes")).as("p")).head()
+    assert(nullOut.isNullAt(0))
+    intercept[Exception] {
+      Seq(Seq[Option[Int]](Some(1), None)).toDF("codes")
+        .select(Int8PackExpr.int8Pack(spark, col("codes"))).collect()
+    }
+    intercept[Exception] {
+      Seq(Seq(300)).toDF("codes")
+        .select(Int8PackExpr.int8Pack(spark, col("codes"))).collect()
+    }
+  }
+
   test("simhash64 expression equals an independent JVM reimplementation") {
     // independent recomputation of the documented algorithm (31-mult
     // byte hash -> splitmix64 finalizer -> per-bit +-1 votes)
@@ -175,12 +208,14 @@ class SketchExprSpec extends SparkSuiteBase {
           "sig_overlap(array(1L, 2L), array(1L, 3L)) AS o, " +
           "simhash64(array('a')) AS h, " +
           "simhash_md5_60(array('a')) AS hp, " +
-          "word_shingles(array('a', '', 'b', 'c'), 2) AS sh").head()
+          "word_shingles(array('a', '', 'b', 'c'), 2) AS sh, " +
+          "int8_unpack(int8_pack(array(5, -5))) AS rt").head()
       assert(r.getDouble(0) == 11.0)
       assert(r.getDouble(1) == 0.5)
       assert(!r.isNullAt(2))
       assert(!r.isNullAt(3))
       assert(r.getSeq[String](4) == Seq("a b", "b c"))
+      assert(r.getSeq[Int](5) == Seq(5, -5))
     } finally {
       org.apache.spark.sql.SparkSession.setDefaultSession(base)
       org.apache.spark.sql.SparkSession.setActiveSession(base)
