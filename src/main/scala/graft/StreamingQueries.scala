@@ -204,6 +204,64 @@ object StreamingQueries extends QueryGroup {
       .orderBy(col("batch"), col("segment"))
   }
 
+  // ---------------------------------------------------------------- S-6
+  // Cursor create/reset state machine as a batch twin: observations
+  // are synthesized deterministically from `events` (key =
+  // (event_type, user_id%4, 'sub-'||user_id%3); read position =
+  // coarse buckets of event time, so consecutive observations of a
+  // key genuinely repeat positions and exercise the skip branch;
+  // dstHasActive and the translated dst position are functions of the
+  // position, so tied arrivals stay order-insensitive). The Spark
+  // side runs the REAL CursorSync.decidePure fold per key
+  // (flatMapGroups — the same core the streaming
+  // flatMapGroupsWithState driver calls); the oracle replays it as
+  // window/lag SQL, exact because the fold's remembered position
+  // always equals the previous observation's position: first
+  // sighting → create, moved → reset unless the destination owns the
+  // cursor (state still advances), unchanged → nothing.
+  q("q59_cursor_actions",
+    """WITH o AS (SELECT event_type AS topic,
+      |    CAST(user_id % 4 AS INT) AS part,
+      |    'sub-' || CAST(user_id % 3 AS VARCHAR) AS cursor, ts,
+      |    epoch_ms(ts) // 600000 AS rl,
+      |    (epoch_ms(ts) // 60000) % 10 AS re
+      |  FROM events),
+      |l AS (SELECT *, lag(rl) OVER w AS pl, lag(re) OVER w AS pe
+      |  FROM o WINDOW w AS (PARTITION BY topic, part, cursor ORDER BY ts, rl, re)),
+      |a AS (SELECT topic, part, cursor, ts, rl, re,
+      |    CASE WHEN pl IS NULL THEN 'create'
+      |         WHEN (rl != pl OR re != pe) AND NOT (re % 3 = 0) THEN 'reset'
+      |         END AS action
+      |  FROM l),
+      |e AS (SELECT topic, part, cursor, rl, re, action,
+      |    row_number() OVER (PARTITION BY topic, part, cursor ORDER BY ts, rl, re) AS ord
+      |  FROM a WHERE action IS NOT NULL)
+      |SELECT topic, part, cursor, CAST(ord AS BIGINT) AS ord, action,
+      |  CASE WHEN rl % 5 = 0 THEN NULL ELSE rl + 1000 END AS dst_ledger,
+      |  CASE WHEN rl % 5 = 0 THEN NULL ELSE re * 10 END AS dst_entry
+      |FROM e ORDER BY topic, part, cursor, ord""".stripMargin) { (s, d) =>
+    import s.implicits._
+    import graft.streaming.{CursorSync, TranslatedCursorStat}
+    val stats = Tables.events(s, d)
+      .select(
+        col("event_type").as("topic"),
+        (col("user_id") % 4).cast("int").as("partition"),
+        concat(lit("sub-"), (col("user_id") % 3).cast("string")).as("cursor"),
+        expr("unix_millis(ts) div 600000").as("readLedger"),
+        expr("(unix_millis(ts) div 60000) % 10").as("readEntry"),
+        col("ts").as("observedTs"))
+      .withColumn("dstLedger",
+        when(col("readLedger") % 5 === 0, lit(null).cast("long"))
+          .otherwise(col("readLedger") + 1000))
+      .withColumn("dstEntry",
+        when(col("readLedger") % 5 === 0, lit(null).cast("long"))
+          .otherwise(col("readEntry") * 10))
+      .withColumn("dstHasActive", col("readEntry") % 3 === 0)
+      .as[TranslatedCursorStat]
+    CursorSync.batchActions(stats)
+      .orderBy(col("topic"), col("part"), col("cursor"), col("ord"))
+  }
+
   // ---------------------------------------------------------------- S-3
   // Session windows per user (10 min gap). Oracle = gaps-and-islands:
   // a session breaks when the gap to the previous event is >= the gap

@@ -199,4 +199,26 @@ object CursorSync {
       .groupByKey(s => (s.topic, s.partition, s.cursor))
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(decide)
   }
+
+  /** Batch twin of [[actions]]: every key's full observation set folds
+    * through [[decidePure]] from empty state (one logical micro-batch),
+    * with a per-key 1-based `ord` stamping each emitted action's fold
+    * position — the deterministic relation q59's DuckDB oracle replays
+    * as window/lag SQL (the fold's `last` always equals the PREVIOUS
+    * observation's position, so lag() is an exact reformulation). One
+    * shuffle on the state key; per-key state is a single position —
+    * the same bounded-state shape the streaming operator carries.
+    */
+  def batchActions(stats: Dataset[TranslatedCursorStat]): DataFrame = {
+    val spark = stats.sparkSession
+    import spark.implicits._
+    stats.groupByKey(s => (s.topic, s.partition, s.cursor))
+      .flatMapGroups { (key: (String, Int, String), it: Iterator[TranslatedCursorStat]) =>
+        val (actions, _) = decidePure(key, None, it.toSeq)
+        actions.iterator.zipWithIndex.map { case (a, i) =>
+          (a.topic, a.partition, a.cursor, (i + 1).toLong,
+            a.action, a.dstLedger, a.dstEntry)
+        }
+      }.toDF("topic", "part", "cursor", "ord", "action", "dst_ledger", "dst_entry")
+  }
 }
