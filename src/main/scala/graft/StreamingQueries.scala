@@ -262,6 +262,71 @@ object StreamingQueries extends QueryGroup {
       .orderBy(col("topic"), col("part"), col("cursor"), col("ord"))
   }
 
+  // ---------------------------------------------------------------- S-1
+  // The DSv2 connector on the oracle surface: a deterministic
+  // formula-seeded broker (2 topics x 2 partitions x 1200 messages)
+  // is read through `spark.read.format("pulsar-envelope")` — the
+  // connector's REAL batch planning (one input partition per
+  // (topic, partition), begin→latest) and row encoding are in the
+  // gated plan (PlanSpec asserts the BatchScan) — and aggregated per
+  // (topic, partition, ledger). The oracle rebuilds the same message
+  // universe with generate_series. Payload length, nullable keys, and
+  // the eventTime=0-means-absent rule all cross the wire.
+  /** The q60 broker seed — also used by PlanSpec. Registration is
+    * idempotent (same name, same deterministic content); the JVM-wide
+    * registry stands in for a live transport's connection options
+    * (valid under local[*]; SURVEY §7.5).
+    */
+  def registerQ60Broker(): String = {
+    val broker = new graft.sources.InMemoryBroker
+    for {
+      topic <- Seq("alpha", "beta")
+      part <- 0 to 1
+      i <- 0 until 1200
+    } broker.append(graft.streaming.RawMessage(
+      tenant = "t0", namespace = "ns0", topic = topic, partition = part,
+      ledgerId = i / 100L, entryId = i % 100L,
+      value = Array.fill[Byte](i % 7)(1),
+      key = if (i % 13 == 0) null else s"k${i % 17}",
+      eventTimeMillis = if (i % 5 == 0) 0L else 1700000000000L + i * 1000L,
+      publishTimeMillis = 1700000000000L + i * 1000L,
+      properties = Map.empty))
+    graft.sources.EnvelopeBrokerRegistry.register("graft-q60", broker)
+    "graft-q60"
+  }
+
+  q("q60_envelope_scan",
+    """WITH i AS (SELECT unnest(generate_series(0, 1199)) AS i),
+      |t AS (SELECT unnest(['alpha', 'beta']) AS topic),
+      |p AS (SELECT unnest([0, 1]) AS part),
+      |m AS (SELECT topic, part, i // 100 AS ledger, i % 100 AS entry,
+      |        CASE WHEN i % 13 = 0 THEN NULL ELSE 'k' || CAST(i % 17 AS VARCHAR) END AS key,
+      |        i % 7 AS plen,
+      |        CASE WHEN i % 5 = 0 THEN 0 ELSE 1700000000000 + i * 1000 END AS et
+      |      FROM t CROSS JOIN p CROSS JOIN i)
+      |SELECT topic, CAST(part AS INT) AS part, CAST(ledger AS BIGINT) AS ledger,
+      |  count(*) AS n,
+      |  CAST(min(entry) AS BIGINT) AS entry_min,
+      |  CAST(max(entry) AS BIGINT) AS entry_max,
+      |  count(key) AS n_keyed,
+      |  CAST(sum(plen) AS BIGINT) AS payload_bytes,
+      |  CAST(sum(CASE WHEN et != 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_event_ts
+      |FROM m GROUP BY 1, 2, 3
+      |ORDER BY topic, part, ledger""".stripMargin) { (s, _) =>
+    val name = registerQ60Broker()
+    s.read.format("pulsar-envelope").option("broker", name).load()
+      .groupBy(col("topic"), col("partition").as("part"),
+        col("ledgerId").as("ledger"))
+      .agg(count(lit(1)).as("n"),
+        min(col("entryId")).as("entry_min"),
+        max(col("entryId")).as("entry_max"),
+        count(col("key")).as("n_keyed"),
+        sum(length(col("value"))).cast("long").as("payload_bytes"),
+        sum(when(col("eventTimeMillis") =!= 0, 1).otherwise(0)).cast("long")
+          .as("n_event_ts"))
+      .orderBy(col("topic"), col("part"), col("ledger"))
+  }
+
   // ---------------------------------------------------------------- S-3
   // Session windows per user (10 min gap). Oracle = gaps-and-islands:
   // a session breaks when the gap to the previous event is >= the gap

@@ -90,6 +90,14 @@ class PlanSpec extends SparkSuiteBase {
     assert(!p.contains("Window "), s"q58 must not plan a window:\n$p")
   }
 
+  test("q60 reads through the DSv2 envelope connector (BatchScan in the plan)") {
+    val p = plan("q60_envelope_scan")
+    assert(p.contains("BatchScan") && p.contains("pulsar-envelope"),
+      s"q60 must scan through the connector:\n$p")
+    // aggregation over the connector still map-side combines
+    assert(p.contains("HashAggregate"))
+  }
+
   test("q34 LSH self-join reuses the signature exchange (computed once)") {
     val df = Queries.all("q34_minhash_lsh")(spark, sfDir)
     df.collect() // AQE finalizes reuse at execution
