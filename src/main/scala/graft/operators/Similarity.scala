@@ -183,24 +183,108 @@ object Similarity {
       .filter(col("cos") >= threshold)
   }
 
+  /** Nearest-centroid ranking column: distance structs (1-cos asc,
+    * cell asc) sorted by array_sort's natural struct ordering — no
+    * negation, so -0.0 never enters the comparison. Centroids ship as
+    * array literals, so ranking is ONE codegen'd scan — no join
+    * against a centroid table. 6-decimal-rounded cosines keep the
+    * ranking deterministic and engine-portable (same rule the DuckDB
+    * oracle applies).
+    */
+  private def cellRank(
+      spark: org.apache.spark.sql.SparkSession,
+      cents: Seq[(Int, Array[Float])],
+      v: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    array_sort(array(cents.map { case (i, cv) =>
+      struct((lit(1.0) - cos6(spark, v, typedlit(cv))).as("d"),
+        lit(i).as("cell"))
+    }: _*))
+
+  /** The `numCells` smallest-id corpus vectors — the deterministic,
+    * oracle-reproducible stand-in for a k-means pass (q46's mode).
+    */
+  private def smallestIdCentroids(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      numCells: Int): Seq[(Int, Array[Float])] =
+    corpus
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+      .orderBy(col("id"))
+      .limit(numCells)
+      .collect()
+      .zipWithIndex
+      .map { case (r, i) => (i, r.getSeq[Float](1).toArray) }
+      .toSeq
+
+  /** Deterministic Lloyd k-means over the embedding column, expressed
+    * as DataFrame aggregates — the trained upgrade over the
+    * smallest-id stand-in when recall on real distributions matters.
+    *
+    *   - init: the `numCells` smallest-id vectors (seed-free, stable);
+    *   - assign: nearest centroid under the SAME 6-decimal-rounded
+    *     cosine ranking the IVF probe uses;
+    *   - update: per-(cell, dimension) mean via posexplode + one hash
+    *     aggregate (map-side combined, one shuffle of numCells x dims
+    *     groups), rounded to 6 decimals so float summation ORDER
+    *     cannot leak into the result — the property that makes the
+    *     whole pass deterministic on a cluster. Empty cells keep
+    *     their previous centroid;
+    *   - canonicalize: centroids sorted lexicographically by value
+    *     and renumbered, so the output is insensitive to init order.
+    *
+    * Per round: one codegen'd assignment scan + one aggregate; the
+    * only driver materialization is numCells x dims means (tiny by
+    * construction). Centroid count, not corpus size, bounds every
+    * collected row — the 100 TB shape.
+    */
+  def trainIvfCentroids(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      numCells: Int,
+      lloydRounds: Int = 5): Seq[Array[Float]] = {
+    val spark = corpus.sparkSession
+    var cents = smallestIdCentroids(corpus, idCol, vecCol, numCells)
+    var round = 0
+    while (round < lloydRounds) {
+      val means = corpus.select(col(vecCol).as("v"))
+        .select(element_at(cellRank(spark, cents, col("v")), 1)
+          .getField("cell").as("cell"), col("v"))
+        .select(col("cell"), posexplode(col("v")))
+        .groupBy(col("cell"), col("pos"))
+        .agg((floor(avg(col("col").cast("double")) * lit(1e6) + lit(0.5)) / lit(1e6))
+          .as("m"))
+        .collect()
+      val byCell = means.groupBy(_.getInt(0))
+      cents = cents.map { case (i, old) =>
+        byCell.get(i) match {
+          case Some(rows) =>
+            val m = old.clone()
+            rows.foreach(r => m(r.getInt(1)) = r.getDouble(2).toFloat)
+            (i, m)
+          case None => (i, old) // empty cell keeps its centroid
+        }
+      }
+      round += 1
+    }
+    import scala.math.Ordering.Implicits._
+    cents.map(_._2).sortBy(_.toSeq)
+  }
+
   /** IVF (inverted-file) ANN: the corpus is partitioned into
     * `numCells` Voronoi cells by nearest centroid; each probe searches
     * only its `nprobe` nearest cells. The cell join is an equi-join on
     * the cell id, so per-probe work is ~nprobe/numCells of the corpus
     * — the standard IVF scale shape.
     *
-    * Centroids are the `numCells` smallest-id corpus vectors — a
-    * deterministic, oracle-reproducible stand-in for a k-means
-    * training pass (swap in trained centroids by id-ordering them
-    * first). They are collected to the driver (numCells vectors, tiny
-    * by construction) and shipped as array literals, so both the
-    * corpus assignment and the probe cell-ranking are ONE codegen'd
-    * scan each — no join against a centroid table, no shuffle beyond
-    * the final cell equi-join.
-    *
-    * Cell ranking orders by (1 - cosine) ascending with the cell id as
-    * tie-break, on 6-decimal-rounded cosines — deterministic and
-    * engine-portable (same rule the DuckDB oracle applies).
+    * Default centroids are the smallest-id stand-in
+    * ([[smallestIdCentroids]] — deterministic and oracle-reproducible,
+    * q46's mode); pass `centroids = Some(trainIvfCentroids(...))` for
+    * data-distribution-aware cells. Either way centroids are driver
+    * literals (numCells vectors, tiny by construction), so corpus
+    * assignment and probe cell-ranking are ONE codegen'd scan each —
+    * no join against a centroid table, no shuffle beyond the final
+    * cell equi-join (the plan shape is identical in both modes,
+    * asserted in PlanSpec/DedupSimilaritySpec).
     */
   def ivfTopK(
       probes: DataFrame,
@@ -209,31 +293,24 @@ object Similarity {
       vecCol: String,
       numCells: Int,
       nprobe: Int,
-      k: Int): DataFrame = {
+      k: Int,
+      centroids: Option[Seq[Array[Float]]] = None): DataFrame = {
     require(nprobe >= 1 && nprobe <= numCells, "need 1 <= nprobe <= numCells")
     val spark = probes.sparkSession
-    val cents: Seq[(Int, Array[Float])] = corpus
-      .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
-      .orderBy(col("id"))
-      .limit(numCells)
-      .collect()
-      .zipWithIndex
-      .map { case (r, i) => (i, r.getSeq[Float](1).toArray) }
-      .toSeq
-    // distance structs (1-cos asc, cell asc) sorted by array_sort's
-    // natural struct ordering — no negation, so -0.0 never enters the
-    // comparison
-    def cellRank(v: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-      array_sort(array(cents.map { case (i, cv) =>
-        struct((lit(1.0) - cos6(spark, v, typedlit(cv))).as("d"),
-          lit(i).as("cell"))
-      }: _*))
+    val cents: Seq[(Int, Array[Float])] = centroids match {
+      case Some(cs) =>
+        require(cs.size == numCells,
+          s"got ${cs.size} centroids for numCells=$numCells")
+        cs.zipWithIndex.map { case (v, i) => (i, v) }
+      case None => smallestIdCentroids(corpus, idCol, vecCol, numCells)
+    }
     val assigned = corpus.select(
       col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
-      element_at(cellRank(col(vecCol)), 1).getField("cell").as("cell"))
+      element_at(cellRank(spark, cents, col(vecCol)), 1)
+        .getField("cell").as("cell"))
     val probeCells = probes.select(
       col(idCol).as("probe_id"), col(vecCol).as("pv"),
-      explode(transform(slice(cellRank(col(vecCol)), 1, nprobe),
+      explode(transform(slice(cellRank(spark, cents, col(vecCol)), 1, nprobe),
         s => s.getField("cell"))).as("cell"))
     val pairs = assigned.join(broadcast(probeCells), "cell")
       .select(col("probe_id"), col("neighbor_id"),
