@@ -14,21 +14,61 @@ object StreamingQueries extends QueryGroup {
     * spec: (event_id, tms, batch) where batch chunks the jittered
     * arrival order into micro-batches of 1000.
     */
-  def arrivalBatches(events: org.apache.spark.sql.DataFrame,
-      batchSize: Int = 1000): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val rnW = Window.orderBy(col("ak"), col("event_id"))
-    // event_id is reduced mod the jitter window BEFORE the Knuth
-    // multiply: ((id % m) * c) % m == (id * c) % m, and the bounded
-    // intermediate (< 3.6e6 * 2.7e9 < 2^63) can never overflow int64
-    // — Spark would wrap silently where DuckDB raises, so the twins
-    // would diverge past id ~3.4e9 (same discipline as PortableHash)
+  /** (event_id, tms, ak): jittered arrival key per event. event_id is
+    * reduced mod the jitter window BEFORE the Knuth multiply:
+    * ((id % m) * c) % m == (id * c) % m, and the bounded intermediate
+    * (< 3.6e6 * 2.7e9 < 2^63) can never overflow int64 — Spark would
+    * wrap silently where DuckDB raises, so the twins would diverge
+    * past id ~3.4e9 (same discipline as PortableHash).
+    */
+  private def jittered(events: org.apache.spark.sql.DataFrame) =
     events.select(col("event_id"), unix_millis(col("ts")).as("tms"))
       .withColumn("ak",
         col("tms") + ((col("event_id") % lit(3600000L)) * lit(2654435761L)) % lit(3600000L)
           - lit(1800000L))
+
+  def arrivalBatches(events: org.apache.spark.sql.DataFrame,
+      batchSize: Int = 1000): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // arrival order is a global total order, so this window is a
+    // single-task sort BY CONSTRUCTION — acceptable ONLY because the
+    // batch-twin fixtures bound the row count (~1e5 (long,long) pairs);
+    // the scale-safe formulation of the same rank is
+    // [[arrivalBatchesScalable]], asserted identical in
+    // StreamingSemanticsSpec
+    val rnW = Window.orderBy(col("ak"), col("event_id"))
+    jittered(events)
       .withColumn("batch",
         ((row_number().over(rnW) - lit(1)) / lit(batchSize)).cast("long"))
+      .select(col("event_id"), col("tms"), col("batch"))
+  }
+
+  /** Scale-safe twin of [[arrivalBatches]]: the global arrival rank as
+    * range-partition + per-partition rank + partition offsets — the
+    * decomposition Spark's own global `orderBy` uses, written out so
+    * no single partition ever holds the whole stream. The only driver
+    * materialization is one count per range partition (bounded by the
+    * partition count, not the data). Identical output to the
+    * single-window form on any input: (ak, event_id) is a total order,
+    * so global rank = rows in earlier ranges + local rank.
+    */
+  def arrivalBatchesScalable(events: org.apache.spark.sql.DataFrame,
+      batchSize: Int = 1000, numParts: Int = 32): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val parted = jittered(events)
+      .repartitionByRange(numParts, col("ak"), col("event_id"))
+      .withColumn("pid", spark_partition_id())
+    val counts = parted.groupBy(col("pid")).count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets = (0 until numParts).map { p =>
+      p -> (0 until p).map(q => counts.getOrElse(q, 0L)).sum
+    }.toMap
+    val w = Window.partitionBy(col("pid")).orderBy(col("ak"), col("event_id"))
+    parted
+      .withColumn("rn",
+        row_number().over(w).cast("long") - lit(1L) +
+          element_at(typedlit(offsets), col("pid")))
+      .withColumn("batch", (col("rn") / lit(batchSize)).cast("long"))
       .select(col("event_id"), col("tms"), col("batch"))
   }
 

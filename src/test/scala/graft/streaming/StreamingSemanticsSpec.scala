@@ -118,6 +118,23 @@ class StreamingSemanticsSpec extends SparkSuiteBase {
     q.stop()
   }
 
+  test("scale-safe arrival rank (range-partitioned) equals the single-window form") {
+    // the global-window formulation is confined to bounded fixtures;
+    // this asserts the decomposed rank (range partition + local rank
+    // + offsets) is the SAME function, so the scale path carries the
+    // identical arrival semantics — including across uneven partition
+    // sizes (numParts larger than needed leaves some ranges empty)
+    val events = graft.Tables.events(spark, sfDir)
+    val global = graft.StreamingQueries.arrivalBatches(events, batchSize = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    Seq(4, 32).foreach { parts =>
+      val scalable = graft.StreamingQueries
+        .arrivalBatchesScalable(events, batchSize = 100, numParts = parts)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(scalable == global, s"numParts=$parts diverges")
+    }
+  }
+
   test("q52 batch twin equals streaming dropDuplicates late-drop over the fixture (S-4)") {
     // replay the EXACT simulated-arrival batches q52 models through a
     // real watermark: the streaming survivors must equal the batch
