@@ -263,6 +263,70 @@ object PipelineQueries extends QueryGroup {
       .orderBy(col("doc_id"))
   }
 
+  // R-18/R-19/R-21 composed: the END-TO-END dedup stage — near-dup
+  // pairs → connected components → keep each cluster's best-QUALITY
+  // member (q58's signal count as the score, ties to the smallest id)
+  // instead of q47's positional min-id convention. This is the row a
+  // real training pipeline emits: every document labeled with its
+  // cluster, its quality score, and whether it survives. The argmax
+  // is one hash aggregate (struct-ordering min), not a per-cluster
+  // window sort.
+  q("q62_cluster_survivors",
+    s"""WITH RECURSIVE $jaccardPairCtes,
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM pr
+       |          UNION SELECT id_b, id_a FROM pr),
+       |reach(id, lbl) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.src, r.lbl FROM reach r JOIN edges e ON e.dst = r.id),
+       |comp AS (SELECT id AS doc_id, min(lbl) AS cluster FROM reach GROUP BY id),
+       |tk AS (SELECT doc_id, text, $sqlTokens AS l FROM documents),
+       |f AS (SELECT doc_id,
+       |  len(l) AS n_tokens,
+       |  coalesce(list_sum(list_transform(l, t -> length(t))), 0) * 1.0
+       |    / greatest(len(l), 1) AS awl,
+       |  len(list_filter(l, x -> x = 'the' OR x = 'a')) * 1.0
+       |    / greatest(len(l), 1) AS swr,
+       |  length(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0
+       |    / length(text) AS dr,
+       |  list_transform(generate_series(1, len(l) - 2),
+       |    i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2]) AS s
+       |FROM tk),
+       |g AS (SELECT doc_id, n_tokens, awl, swr, dr,
+       |  CASE WHEN len(s) > 0 THEN 1.0 - len(list_distinct(s)) * 1.0 / len(s)
+       |       ELSE 0.0 END AS rr FROM f),
+       |q AS (SELECT doc_id,
+       |  CAST(n_tokens BETWEEN 5 AND 10000 AS INT)
+       |  + CAST(awl >= 2.0 AND awl <= 12.0 AS INT)
+       |  + CAST(swr > 0.0 AS INT)
+       |  + CAST(dr < 0.2 AS INT)
+       |  + CAST(rr < 0.3 AS INT) AS passes FROM g),
+       |j AS (SELECT comp.doc_id, comp.cluster, q.passes
+       |      FROM comp JOIN q USING (doc_id)),
+       |surv AS (SELECT cluster, doc_id AS sid FROM (
+       |    SELECT cluster, doc_id,
+       |      row_number() OVER (PARTITION BY cluster
+       |        ORDER BY passes DESC, doc_id) AS rn FROM j)
+       |  WHERE rn = 1)
+       |SELECT j.doc_id, j.cluster, CAST(j.passes AS INT) AS passes,
+       |  (j.doc_id = surv.sid) AS keep
+       |FROM j JOIN surv ON j.cluster = surv.cluster
+       |ORDER BY j.doc_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val pairs = Dedup.ngramJaccardPairs(docs,
+      "doc_id", "text", "lang", n = 3, threshold = 0.8)
+    val passes = TextAnalysis.qualityFilter(docs, "doc_id", "text",
+        Seq("the", "a"))
+      .select(col("doc_id"),
+        (col("ok_len").cast("int") + col("ok_word_len").cast("int")
+          + col("ok_stopwords").cast("int") + col("ok_digits").cast("int")
+          + col("ok_repetition").cast("int")).as("passes"))
+    val labeled = Dedup.clusters(docs, "doc_id", pairs).join(passes, "doc_id")
+    Dedup.clusterSurvivors(labeled, "doc_id", "passes")
+      .select(col("doc_id"), col("cluster"), col("passes"), col("keep"))
+      .orderBy(col("doc_id"))
+  }
+
   // Shared shingle CTE (3-gram, multiset is fine: min-hash is
   // duplicate-insensitive; DISTINCT kept for symmetry with the engine
   // explode feeding an idempotent min).

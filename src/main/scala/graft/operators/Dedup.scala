@@ -42,6 +42,31 @@ object Dedup {
       .drop("__rn")
   }
 
+  /** Quality-aware survivor selection over near-dup clusters: among
+    * each cluster's members keep the row maximizing `scoreCol`, ties
+    * broken by smallest `idCol` — the final step of a training-data
+    * dedup stage (drop every near-duplicate EXCEPT the best copy,
+    * rather than [[clusters]]' min-id convention).
+    *
+    * `labeled` is a frame carrying (idCol, cluster, scoreCol) — e.g.
+    * [[clusters]] output joined with a quality score. The argmax is
+    * ONE partial-aggregated hash aggregate (`min(struct(-score, id))`
+    * — struct ordering encodes the tie-break), NOT a per-cluster
+    * window: no per-partition sort of the corpus, and the join back
+    * reuses the cluster hash partitioning. Adds a `keep` boolean;
+    * every input row is preserved so drops stay diagnosable.
+    */
+  def clusterSurvivors(labeled: DataFrame, idCol: String,
+      scoreCol: String): DataFrame = {
+    val best = labeled.groupBy(col("cluster"))
+      .agg(min(struct((-col(scoreCol)).as("ns"), col(idCol).as("id")))
+        .as("__b"))
+      .select(col("cluster"), col("__b.id").as("__survivor"))
+    labeled.join(best, "cluster")
+      .withColumn("keep", col(idCol) === col("__survivor"))
+      .drop("__survivor")
+  }
+
   /** All-pairs n-gram (word shingle) Jaccard over a document table,
     * blocked by `blockCol` (pairs are only formed inside a block —
     * e.g. language — which is what bounds the shuffle at scale).
