@@ -206,6 +206,26 @@ class DedupSimilaritySpec extends SparkSuiteBase {
     assert(p.contains("Join [cell"), s"expected a cell equi-join:\n$p")
   }
 
+  test("clusterSurvivors keeps the max-score member, min-id on ties, via aggregate (no window)") {
+    import spark.implicits._
+    val labeled = Seq(
+      // cluster 1: clear max at id 12
+      (10L, 1L, 2), (11L, 1L, 1), (12L, 1L, 5),
+      // cluster 2: score tie -> smallest id (20) survives
+      (20L, 2L, 3), (21L, 2L, 3),
+      // singleton cluster
+      (30L, 3L, 0)
+    ).toDF("doc_id", "cluster", "passes")
+    val out = Dedup.clusterSurvivors(labeled, "doc_id", "passes")
+    val kept = out.filter(col("keep")).select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(kept == Set(12L, 20L, 30L))
+    assert(out.count() == 6, "every input row must be preserved")
+    // the argmax is a hash aggregate, not a per-cluster window sort
+    val p = out.queryExecution.executedPlan.toString
+    assert(!p.contains("Window "), s"survivor selection must not plan a window:\n$p")
+  }
+
   test("exact dedup survivor is deterministic under tie-break ties") {
     import spark.implicits._
     // two rows tie on tieBreak but differ on the payload column: the
