@@ -1,6 +1,22 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+
+  /** Quiet-box min-of-reps from the round-4 session (local[32],
+    * sf0.1) — the reference points for load detection: a rep whose
+    * min exceeds 2x this table's entry triggers extra reps, so a
+    * transiently contended gate box gets more chances to record the
+    * plan's real cost (the round-3/4 artifacts recorded 13-19 s for
+    * q33 whose quiet-box cost is ~2.4 s). Queries absent here (new
+    * this round) simply never escalate.
+    */
+  private val priorMins: Map[String, Double] = Map(
+    "q33_ngram_jaccard" -> 2.38, "q34_minhash_lsh" -> 1.53,
+    "q47_dedup_clusters" -> 3.23, "q62_cluster_survivors" -> 5.18,
+    "q41_multimodal" -> 0.34, "q35_simhash" -> 1.10,
+    "q36_embed_neardup" -> 0.84, "q01_scan_project" -> 1.09,
+    "q58_quality_filter" -> 1.27, "q32_lang_id" -> 1.24)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -40,6 +56,24 @@ object Bench {
     // sets nothing and benches everything
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // fixed comparator: a data-independent CPU-bound job timed before
+    // and after the query sweep. Its quiet-box cost is ~0.3 s at
+    // local[32]; a reading several times that is DIRECT evidence the
+    // box was contended during the sweep, which is how a reader
+    // distinguishes "the plan regressed" from "the gate box was loaded"
+    // (rounds 3/4 recorded 13-19 s artifacts for a 2.4 s q33 with no
+    // way to tell the difference).
+    def comparator(): Double = {
+      val t0 = System.nanoTime()
+      try {
+        spark.range(200000000L).selectExpr("sum(xxhash64(id))").write
+          .format("noop").mode("overwrite").save()
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] comparator failed: $e")
+      }
+      (System.nanoTime() - t0) / 1e9
+    }
+    val compBefore = comparator()
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
@@ -54,19 +88,25 @@ object Bench {
         }
       }
       val base = (1 to reps).flatMap(_ => rep())
-      // contention guard: when the base reps disagree by >2x, the box
-      // was loaded during at least one of them — run up to 2 extra
-      // reps until the two FASTEST agree within 2x, so a contended
-      // driver box can't record a 19s artifact for a 2s plan (the
-      // round-3 q33/q47 distortion). Per-rep times are all emitted
-      // ("reps") so a reader can see the spread either way.
+      // contention guards, two triggers (both load signals, different
+      // blind spots):
+      //   - intra-run spread: the base reps disagree by >2x — the box
+      //     was loaded during at least one of them;
+      //   - prior-min drift: the current MIN exceeds 2x the embedded
+      //     quiet-box min — the load was steady across ALL reps, which
+      //     the spread check can't see (round 4's q33 reps were
+      //     13.3/18.0 s, spread only 1.35x, for a 2.4 s plan).
+      // Either trigger runs up to 3 extra reps, stopping as soon as
+      // neither fires. Per-rep times are all emitted ("reps") so a
+      // reader can see the spread either way.
       def unstable(ts: Seq[Double]): Boolean = {
         val s = ts.sorted
-        s.size >= 2 && s(1) > 2.0 * s(0)
+        (s.size >= 2 && s(1) > 2.0 * s(0)) ||
+          priorMins.get(name).exists(p => s.head > 2.0 * p)
       }
       var times = base
       var extra = 0
-      while (base.size == reps && extra < 2 && unstable(times)) {
+      while (base.size == reps && extra < 3 && unstable(times)) {
         times = times ++ rep().toSeq
         extra += 1
       }
@@ -75,16 +115,21 @@ object Bench {
       // the gate must see, not average away
       name -> (if (times.size == reps + extra) times.min else -1.0, times)
     }.toMap
-    val qs = results.map { case (k, (v, _)) => s"\"" + k + "\":" + v }
+    val compAfter = comparator()
+    // Locale.ROOT everywhere a double becomes JSON: a comma-decimal
+    // default locale (de_DE etc.) would render 1,234 inside the arrays
+    // and the artifact would be unparseable.
+    def num(t: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(t))
+    val qs = results.map { case (k, (v, _)) => s"\"" + k + "\":" + num(v) }
       .mkString("{", ",", "}")
     val repJson = results.map { case (k, (_, ts)) =>
-      s"\"" + k + "\":" + ts.map(t => f"$t%.3f").mkString("[", ",", "]")
+      s"\"" + k + "\":" + ts.map(num).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val total = results.values.map(_._1).filter(_ >= 0).sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$repJson,"sf":"$sfDir"}"""
-    println(json)
-    // also write the JSON to a file: the stdout line gets wrapped in
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"reps":$repJson,"comparator":[${num(compBefore)},${num(compAfter)}],"sf":"$sfDir"}"""
+    // write the JSON to a file first: the stdout line gets wrapped in
     // sbt [info]/log prefixes, which defeated the driver's parser in
     // round 1 (BENCH_r01.json "parsed": null)
     try {
@@ -96,5 +141,12 @@ object Bench {
       System.err.println(s"[bench] writing bench_out.json failed: $e")
     }
     spark.stop()
+    // the result line is the VERY LAST stdout output, after a sentinel
+    // and after spark.stop() has flushed its logging, so a parser that
+    // reads the tail of the captured output always sees the whole
+    // object (round 4's artifact captured a truncated tail and parsed
+    // null)
+    println("GRAFT_BENCH_RESULT_JSON")
+    println(json)
   }
 }

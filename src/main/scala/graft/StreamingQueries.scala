@@ -55,9 +55,20 @@ object StreamingQueries extends QueryGroup {
   def arrivalBatchesScalable(events: org.apache.spark.sql.DataFrame,
       batchSize: Int = 1000, numParts: Int = 32): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // persist() is LOAD-BEARING for correctness, not a cache hint:
+    // `parted` is executed twice (the counts collect below, then the
+    // final ranked job), and spark_partition_id() is nondeterministic
+    // — on a recompute (task retry, speculative execution, AQE
+    // re-plan) repartitionByRange's sampling may assign DIFFERENT pids
+    // in the two executions, silently corrupting the offsets. Pinning
+    // the materialization makes both reads share one pid layout; the
+    // returned frame keeps the cache alive for its own lifetime
+    // (caller may unpersist via .unpersist() on a parent once done —
+    // at most numParts x batch rows of (long,long,int), LRU-evictable).
     val parted = jittered(events)
       .repartitionByRange(numParts, col("ak"), col("event_id"))
       .withColumn("pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val counts = parted.groupBy(col("pid")).count()
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val offsets = (0 until numParts).map { p =>

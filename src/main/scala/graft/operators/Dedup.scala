@@ -55,16 +55,25 @@ object Dedup {
     * window: no per-partition sort of the corpus, and the join back
     * reuses the cluster hash partitioning. Adds a `keep` boolean;
     * every input row is preserved so drops stay diagnosable.
+    *
+    * Null handling (the operator is public, so `labeled` need not come
+    * from [[clusters]], which emits neither): a NULL score loses to
+    * every non-null score (the struct leads with an isNull flag —
+    * without it a null `-score` would sort FIRST under min's ascending
+    * struct order and the worst row would win); a NULL cluster is its
+    * own group and survives the join null-safely, so those rows are
+    * preserved too, not silently dropped by inner-join semantics.
     */
   def clusterSurvivors(labeled: DataFrame, idCol: String,
       scoreCol: String): DataFrame = {
     val best = labeled.groupBy(col("cluster"))
-      .agg(min(struct((-col(scoreCol)).as("ns"), col(idCol).as("id")))
+      .agg(min(struct(col(scoreCol).isNull.as("nul"),
+        (-col(scoreCol)).as("ns"), col(idCol).as("id")))
         .as("__b"))
-      .select(col("cluster"), col("__b.id").as("__survivor"))
-    labeled.join(best, "cluster")
-      .withColumn("keep", col(idCol) === col("__survivor"))
-      .drop("__survivor")
+      .select(col("cluster").as("__c"), col("__b.id").as("__survivor"))
+    labeled.join(best, col("cluster") <=> col("__c"))
+      .withColumn("keep", coalesce(col(idCol) === col("__survivor"), lit(false)))
+      .drop("__c", "__survivor")
   }
 
   /** All-pairs n-gram (word shingle) Jaccard over a document table,

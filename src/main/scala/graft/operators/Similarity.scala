@@ -224,9 +224,14 @@ object Similarity {
     *     cosine ranking the IVF probe uses;
     *   - update: per-(cell, dimension) mean via posexplode + one hash
     *     aggregate (map-side combined, one shuffle of numCells x dims
-    *     groups), rounded to 6 decimals so float summation ORDER
-    *     cannot leak into the result — the property that makes the
-    *     whole pass deterministic on a cluster. Empty cells keep
+    *     groups), rounded to 6 decimals. The rounding CONFINES
+    *     summation-order sensitivity rather than eliminating it:
+    *     avg() is a partial-aggregated double sum whose addition order
+    *     varies with partitioning, so a mean landing within ~1e-6 of
+    *     a rounding boundary can still flip its last digit across
+    *     layouts (exact determinism would need a fixed-point integer
+    *     sum). In practice a 1-ulp centroid wobble moves no
+    *     assignment that isn't already a coin flip. Empty cells keep
     *     their previous centroid;
     *   - canonicalize: centroids sorted lexicographically by value
     *     and renumbered, so the output is insensitive to init order.

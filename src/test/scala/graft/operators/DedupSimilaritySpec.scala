@@ -226,6 +226,22 @@ class DedupSimilaritySpec extends SparkSuiteBase {
     assert(!p.contains("Window "), s"survivor selection must not plan a window:\n$p")
   }
 
+  test("clusterSurvivors: null score loses, null cluster is preserved") {
+    import spark.implicits._
+    val labeled = Seq(
+      // cluster 1: the null-score row must NOT win the argmax (a bare
+      // min(struct(-score, id)) would rank null first and keep id 11)
+      (10L, Option(1L), Option(2)), (11L, Option(1L), Option.empty[Int]),
+      // null-cluster rows form their own group and survive the join
+      (20L, Option.empty[Long], Option(3)), (21L, Option.empty[Long], Option(1))
+    ).toDF("doc_id", "cluster", "passes")
+    val out = Dedup.clusterSurvivors(labeled, "doc_id", "passes")
+    assert(out.count() == 4, "null-cluster rows must be preserved")
+    val kept = out.filter(col("keep")).select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(kept == Set(10L, 20L))
+  }
+
   test("exact dedup survivor is deterministic under tie-break ties") {
     import spark.implicits._
     // two rows tie on tieBreak but differ on the payload column: the
