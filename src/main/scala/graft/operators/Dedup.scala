@@ -113,10 +113,21 @@ object Dedup {
     // subtrees differ and defeating ReusedExchange, so the expensive
     // shingling ran up to 4x. With the filters applied once here,
     // every branch shares ONE exchange (asserted in PlanSpec).
+    // Shingles are hashed to int64 (xxhash64) IMMEDIATELY after the
+    // explode, so the n-gram STRINGS never leave the scan stage: the
+    // distinct, the DF cap, the per-doc sizes and the self-join all
+    // shuffle fixed-width 8-byte keys instead of ~20-40 byte strings
+    // (3-5x less exchange traffic, and fixed-width keys take the
+    // UnsafeRow fast path in the hash aggregate). Set semantics are
+    // preserved up to xxhash64 collisions: for a corpus with S
+    // distinct shingles per block the expected collision count is
+    // ~S²/2^65 — at S = 10^9 that is ~5x10^-8 expected collisions, and
+    // a collision only perturbs one intersection count by 1.
     val shAll = docs
       .filter(col(idCol).isNotNull && col(blockCol).isNotNull)
       .select(col(idCol).as("doc"), col(blockCol).as("blk"),
-        explode(TextFns.textShingles(col(textCol), n)).as("shingle"))
+        explode(TextFns.textShingles(col(textCol), n)).as("__s"))
+      .select(col("doc"), col("blk"), xxhash64(col("__s")).as("shingle"))
       .distinct()
     // The DF cap and the per-doc set size are HASH aggregates joined
     // back (the oracle's own shape), not window passes: a window here
@@ -169,15 +180,21 @@ object Dedup {
     * Returns (id_a, id_b, est_jaccard).
     */
   /** MinHash signatures in ONE aggregation pass: shingles are exploded
-    * to rows, string-hashed ONCE (`h0 = xxhash64(shingle)` — string
-    * hashing k times per shingle was round 1's dominant cost), then
-    * folded into all k per-permutation minima by
-    * [[graft.functions.MinHashAgg]]. The round-1 intermediate form
-    * exploded every (doc, shingle) row k=32 times before its first
-    * groupBy — 32x the shuffle-input rows and two shuffles; the
-    * aggregator shuffles the (doc, h0) rows once with a k-long
-    * map-side partial buffer, and signatures stay bit-identical (same
-    * seed-42 XXH64 mixing as the SQL `xxhash64(i, h0)`). The naive
+    * to rows, string-hashed ONCE (`h0` — string hashing k times per
+    * shingle was round 1's dominant cost), then folded into all k
+    * per-permutation minima as k SEPARATE codegen'd `min` aggregates
+    * over built-in arithmetic, assembled into the signature array
+    * after the aggregate.
+    *
+    * Why k plain mins and not a UDAF: the k-lane `Aggregator`
+    * ([[graft.functions.MinHashAgg]], kept as the U-2 API surface)
+    * pays an encoder round-trip of its array buffer per input row and
+    * keeps the aggregate out of whole-stage codegen — profiled at ~6x
+    * the aggregate's cost at sf0.1 in portable mode. k long `min`s
+    * compile into ONE whole-stage-codegen hash aggregate with a
+    * fixed-width UnsafeRow buffer (k longs), map-side partials
+    * included; signatures are bit-identical to the aggregator's (same
+    * per-lane arithmetic, and `min` is order-insensitive). The naive
     * nested-higher-order-function formulation
     * (`transform(sequence(0,k), i -> array_min(transform(...)))`) is
     * interpreted and benched 50x slower still.
@@ -189,6 +206,7 @@ object Dedup {
       shingleN: Int,
       numHashes: Int,
       portable: Boolean = false): DataFrame = {
+    import graft.functions.PortableHash
     // no shingle-dedup pass: `min` is insensitive to duplicates, so
     // the min-hash of the shingle MULTISET equals the min-hash of the
     // set — the explode feeds the aggregation directly and the ONLY
@@ -199,20 +217,28 @@ object Dedup {
     //
     // `portable = true` swaps the hash family for the md5-derived
     // universal hashes the DuckDB oracle reproduces bit-identically
-    // ([[graft.functions.PortableHash]]) — same plan shape, slightly
-    // slower base hash; keep the xxhash64 default off the gate.
-    val sigFn = udaf(
-      if (portable) new graft.functions.PortableMinHashAgg(numHashes)
-      else new graft.functions.MinHashAgg(numHashes))
+    // ([[PortableHash]]): h0 = md5Long60 % p, lane_i = (a_i*h0+b_i) % p
+    // — every intermediate < 2^62, so ANSI mode never overflows. The
+    // default keeps xxhash64: lane_i = xxhash64(i, h0), the same
+    // seed-42 mixing MinHashAgg reproduces in JVM form.
     val baseHash =
-      if (portable) graft.functions.PortableHash.md5Long60(col("shingle"))
+      if (portable) PortableHash.md5Long60(col("shingle")) % lit(PortableHash.P)
       else xxhash64(col("shingle"))
+    val laneMin: Int => Column =
+      if (portable) {
+        val (as, bs) = PortableHash.laneCoeffs(numHashes)
+        i => min((lit(as(i)) * col("h0") + lit(bs(i))) % lit(PortableHash.P))
+      } else {
+        i => min(xxhash64(lit(i), col("h0")))
+      }
+    val lanes = (0 until numHashes).map(i => laneMin(i).as(s"__m$i"))
     docs.select(col(idCol).as("doc"),
         explode(TextFns.textShingles(col(textCol), shingleN)).as("shingle"))
       .select(col("doc"), baseHash.as("h0"))
       .groupBy(col("doc"))
-      .agg(sigFn(col("h0")).as("s"))
-      .select(col("doc"), col("s.sig").as("sig"))
+      .agg(lanes.head, lanes.tail: _*)
+      .select(col("doc"),
+        array((0 until numHashes).map(i => col(s"__m$i")): _*).as("sig"))
   }
 
   def minhashLshPairs(

@@ -52,7 +52,12 @@ class PlanSpec extends SparkSuiteBase {
     val p = sig.queryExecution.executedPlan.toString
     val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).size
     assert(hashExchanges == 1, s"expected exactly 1 exchange, got $hashExchanges\n$p")
-    assert(p.contains("partial_minhashagg"), "map-side partial aggregation must run")
+    assert(p.contains("partial_min"), "map-side partial aggregation must run")
+    // the lane fold is k plain `min`s (whole-stage codegen, fixed-width
+    // buffer), not a UDAF — an ObjectHashAggregate here means the
+    // encoder-round-trip aggregator crept back into the hot path
+    assert(!p.contains("ObjectHashAggregate"),
+      s"signature fold must be a codegen HashAggregate:\n$p")
   }
 
   test("q35 simhash scores inside the join: hamming predicate in the join condition") {

@@ -192,6 +192,35 @@ class SketchExprSpec extends SparkSuiteBase {
     }
   }
 
+  test("U-2 UDAF surface: MinHashAgg/PortableMinHashAgg match the codegen lane fold bit-for-bit") {
+    // the Aggregators are the library's typed-UDAF API (and the JVM
+    // reference semantics for the signature); the hot path folds lanes
+    // as k codegen min-aggregates — this pins the two implementations
+    // to each other for BOTH hash families
+    import graft.functions.{MinHashAgg, PortableMinHashAgg, PortableHash}
+    val docs = Tables.documents(spark, sfDir).limit(100)
+    for (portable <- Seq(false, true)) {
+      val viaCodegen = graft.operators.Dedup
+        .minhashSignatures(docs, "doc_id", "text", 3, 16, portable)
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      val sigFn = udaf(
+        if (portable) new PortableMinHashAgg(16) else new MinHashAgg(16))
+      val baseHash =
+        if (portable) PortableHash.md5Long60(col("shingle"))
+        else xxhash64(col("shingle"))
+      val viaUdaf = docs.select(col("doc_id").as("doc"),
+          explode(TextFns.textShingles(col("text"), 3)).as("shingle"))
+        .select(col("doc"), baseHash.as("h0"))
+        .groupBy(col("doc")).agg(sigFn(col("h0")).as("s"))
+        .select(col("doc"), col("s.sig").as("sig"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      assert(viaCodegen.nonEmpty && viaCodegen.keySet == viaUdaf.keySet)
+      viaCodegen.foreach { case (doc, sig) =>
+        assert(sig == viaUdaf(doc), s"portable=$portable mismatch for doc $doc")
+      }
+    }
+  }
+
   test("GraftExtensions makes all codegen functions SQL-resolvable in a fresh session") {
     val base = spark // keep the shared context alive
     org.apache.spark.sql.SparkSession.clearActiveSession()
