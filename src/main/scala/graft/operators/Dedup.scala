@@ -382,6 +382,98 @@ object Dedup {
     }
   }
 
+  /** Staged dedup pipeline: near-dup PAIRS → connected-component
+    * CLUSTERS → quality-argmax SURVIVORS, sharing ONE materialized
+    * pair frame across the three results instead of re-mining the
+    * shingle self-join for each (pair mining dominates the whole
+    * family's cost — benched ~3x the propagation + argmax combined at
+    * sf0.1, and the ratio only grows with corpus size).
+    *
+    * Laziness contract: nothing runs at construction. `pairs` is
+    * mined and materialized on first access; `clusters` builds on the
+    * materialized `pairs`; [[Stage.survivors]] builds on the
+    * materialized `clusters`. A caller that only needs pairs never
+    * pays for propagation; a caller that walks the whole stage pays
+    * for the mining exactly once.
+    *
+    * Materialization: parquet under `checkpointDir` when given (the
+    * 100 TB choice — survives executor loss, shareable across jobs),
+    * else an eager `localCheckpoint` (pinned in executor memory; fine
+    * for single-box runs). Both truncate lineage, so the three
+    * downstream plans each start from a flat scan of the shared frame
+    * rather than re-deriving the mining subtree.
+    */
+  final class Stage private[Dedup] (
+      docs: DataFrame, idCol: String, mine: () => DataFrame,
+      checkpointDir: Option[String]) {
+
+    private def materialize(df: DataFrame, label: String): DataFrame =
+      checkpointDir match {
+        case Some(dir) =>
+          val path = s"$dir/$label"
+          df.write.mode("overwrite").parquet(path)
+          docs.sparkSession.read.parquet(path)
+        case None => df.localCheckpoint(true)
+      }
+
+    /** Near-dup pairs (id_a, id_b, jaccard), mined once. */
+    lazy val pairs: DataFrame = materialize(mine(), "pairs")
+
+    // clusters memo is resettable (unlike a lazy val) so a benchmark
+    // can re-time the propagation layer alone while keeping the mined
+    // pair frame — see PipelineQueries.resetDedupClusters
+    private var clustersMemo: Option[DataFrame] = None
+
+    /** Connected components over [[pairs]] (doc, cluster) — reuses the
+      * materialized pair frame; the propagation loop does its own
+      * per-round checkpointing under `checkpointDir/clusters-rounds`.
+      */
+    def clusters: DataFrame = synchronized {
+      clustersMemo.getOrElse {
+        val m = materialize(
+          Dedup.clusters(docs, idCol, pairs,
+            checkpointDir = checkpointDir.map(d => s"$d/clusters-rounds")),
+          "clusters")
+        clustersMemo = Some(m)
+        m
+      }
+    }
+
+    /** Forget the materialized clusters (the pair frame stays). */
+    def invalidateClusters(): Unit = synchronized { clustersMemo = None }
+
+    /** Quality-argmax survivors: joins `scores` (idCol, scoreCol) onto
+      * the materialized [[clusters]] and keeps each cluster's best.
+      */
+    def survivors(scores: DataFrame, scoreCol: String): DataFrame =
+      clusterSurvivors(clusters.join(scores, idCol), idCol, scoreCol)
+  }
+
+  /** Build a [[Stage]] over `docs` with [[ngramJaccardPairs]] as the
+    * pair miner (the exact-Jaccard default; any miner with the same
+    * (id_a, id_b, …) output shape composes — see [[stageWith]]).
+    */
+  def stage(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      blockCol: String,
+      n: Int,
+      threshold: Double,
+      maxShingleDocFreq: Int = 1000,
+      checkpointDir: Option[String] = None): Stage =
+    stageWith(docs, idCol,
+      () => ngramJaccardPairs(docs, idCol, textCol, blockCol, n, threshold,
+        maxShingleDocFreq),
+      checkpointDir)
+
+  /** [[Stage]] over an arbitrary pair miner (MinHash-LSH, SimHash,
+    * embedding-cosine — anything emitting (id_a, id_b, …)).
+    */
+  def stageWith(docs: DataFrame, idCol: String, mine: () => DataFrame,
+      checkpointDir: Option[String] = None): Stage =
+    new Stage(docs, idCol, mine, checkpointDir)
+
   /** SimHash near-duplicate pairs: 64-bit simhash per doc, candidates
     * = docs sharing any of `numChunks` (64/numChunks)-bit chunks —
     * pigeonhole guarantees a shared chunk for pairs with

@@ -302,6 +302,52 @@ class DedupSimilaritySpec extends SparkSuiteBase {
     assert(exhaustive == bruteTop)
   }
 
+  test("staged dedup pipeline: same results as the unstaged operators, no re-mining") {
+    val stage = Dedup.stage(docs, "doc_id", "text", "lang",
+      n = 3, threshold = 0.8)
+    // pairs match the direct miner exactly
+    val staged = stage.pairs.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(staged == exactPairs)
+    // clusters match the unstaged composition exactly
+    val direct = Dedup.clusters(docs, "doc_id",
+        Dedup.ngramJaccardPairs(docs, "doc_id", "text", "lang", 3, 0.8))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaStage = stage.clusters
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaStage == direct)
+    // the staged clusters plan starts from the MATERIALIZED pair frame:
+    // no shingle explode (Generate) anywhere — proof the mining subtree
+    // is not re-derived per layer
+    val cplan = stage.clusters.queryExecution.optimizedPlan.toString
+    assert(!cplan.contains("Generate"),
+      s"clusters must build on materialized pairs, not re-mine:\n$cplan")
+    // survivors over a score frame: best score per cluster survives
+    val scores = docs.select(col("doc_id"),
+      (col("doc_id") % 7).cast("int").as("sc"))
+    val surv = stage.survivors(scores, "sc")
+    assert(surv.count() == docs.count(), "every doc labeled")
+    assert(surv.filter(col("keep")).count() ==
+      viaStage.values.toSet.size, "exactly one survivor per cluster")
+  }
+
+  test("staged dedup pipeline: parquet checkpoint mode equals localCheckpoint mode") {
+    val dir = tmpDir("dedup-stage")
+    val ck = Dedup.stage(docs, "doc_id", "text", "lang",
+      n = 3, threshold = 0.8, checkpointDir = Some(dir))
+    val ckPairs = ck.pairs.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ckPairs == exactPairs)
+    // the shared pair frame is on disk where a 1000-executor job (or a
+    // later job in the same pipeline) can re-read it
+    assert(new java.io.File(s"$dir/pairs").exists())
+    val ckClusters = ck.clusters
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val local = Dedup.stage(docs, "doc_id", "text", "lang", 3, 0.8)
+    assert(ckClusters == local.clusters.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap)
+  }
+
   test("sign-bucket ANN neighbors are a subset of brute-force candidates with equal cosines") {
     val e = Tables.embeddings(spark, sfDir)
     val probes = e.filter(col("vec_id") < 5)
