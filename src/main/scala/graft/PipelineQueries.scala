@@ -712,4 +712,51 @@ object PipelineQueries extends QueryGroup {
         "vec_id", "embedding", bits = 8, k = 3)
       .orderBy(col("probe_id"), col("rnk"))
   }
+
+  /** DuckDB sign-bucket string over dims [tbl*bits+1 .. (tbl+1)*bits]
+    * — the oracle twin of [[VectorFns.signBucketAt]].
+    */
+  private def sqlSignBucket(tbl: Int, bits: Int): String =
+    (1 to bits).map(i =>
+      s"(CASE WHEN embedding[${tbl * bits + i}] >= 0 THEN '1' ELSE '0' END)")
+      .mkString(" || ")
+
+  // R-20 multi-table LSH ANN: 3 independent sign-bucket tables over
+  // DISJOINT dimension slices (1-8, 9-16, 17-24); a candidate matches
+  // in ANY table (OR in the oracle = union + dedup in the engine), so
+  // a near-neighbor that flips a sign bit inside one table's slice is
+  // still recalled by the others — P(miss) is p^3 instead of p
+  // (recall amplification asserted in DedupSimilaritySpec against a
+  // planted single-table miss).
+  q("q63_multitable_ann",
+    s"""WITH e AS (SELECT vec_id, embedding,
+      |  ${sqlSignBucket(0, 8)} AS b0,
+      |  ${sqlSignBucket(1, 8)} AS b1,
+      |  ${sqlSignBucket(2, 8)} AS b2
+      |  FROM embeddings),
+      |cand AS (SELECT DISTINCT p.vec_id AS probe_id, c.vec_id AS neighbor_id
+      |         FROM e p JOIN e c
+      |           ON (p.b0 = c.b0 OR p.b1 = c.b1 OR p.b2 = c.b2)
+      |         WHERE p.vec_id < 10 AND c.vec_id >= 10),
+      |u AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+      |        unnest(embedding)::DOUBLE AS x FROM embeddings),
+      |nrm AS (SELECT vec_id, sqrt(sum(x*x)) AS nr FROM u GROUP BY vec_id),
+      |d AS (SELECT probe_id, neighbor_id, sum(pu.x * cu.x) AS dp
+      |      FROM cand JOIN u pu ON pu.vec_id = probe_id
+      |                JOIN u cu ON cu.vec_id = neighbor_id AND pu.i = cu.i
+      |      GROUP BY 1, 2),
+      |cs AS (SELECT probe_id, neighbor_id,
+      |         floor((dp / (x.nr * y.nr)) * 1000000.0 + 0.5) / 1000000.0 AS cos
+      |       FROM d JOIN nrm x ON x.vec_id = probe_id JOIN nrm y ON y.vec_id = neighbor_id),
+      |r AS (SELECT probe_id, neighbor_id, cos,
+      |        row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id) AS rnk
+      |      FROM cs)
+      |SELECT probe_id, rnk, neighbor_id, cos FROM r WHERE rnk <= 3
+      |ORDER BY probe_id, rnk""".stripMargin) { (s, d) =>
+    val e = Tables.embeddings(s, d)
+    Similarity.multiTableSignBucketTopK(
+        e.filter(col("vec_id") < 10), e.filter(col("vec_id") >= 10),
+        "vec_id", "embedding", bits = 8, tables = 3, k = 3)
+      .orderBy(col("probe_id"), col("rnk"))
+  }
 }

@@ -41,6 +41,16 @@ object VectorFns {
     concat_ws("", transform(slice(v, 1, bits),
       x => when(x >= 0, lit("1")).otherwise(lit("0"))))
 
+  /** Sign-bit bucket over dimensions [offset+1 .. offset+bits]
+    * (1-based) — one hash table of the multi-table LSH family; table t
+    * uses offset = t*bits, so the L tables read DISJOINT dimension
+    * slices and a near-neighbor missed by one table (a flipped sign in
+    * its slice) is still caught by any table whose slice survived.
+    */
+  def signBucketAt(v: Column, offset: Column, bits: Int): Column =
+    concat_ws("", transform(slice(v, offset + lit(1), lit(bits)),
+      x => when(x >= 0, lit("1")).otherwise(lit("0"))))
+
   /** Symmetric int8 quantization scale: max|x| / 127, in double
     * (float→double widening and the division are IEEE-exact, so the
     * DuckDB oracle reproduces the scale bit-for-bit).

@@ -343,4 +343,50 @@ object Similarity {
         cos6(probes.sparkSession, col("pv"), col("cv")).as("cos"))
     ranked(pairs, k)
   }
+
+  /** Multi-table sign-bucket ANN: `tables` independent hash tables,
+    * table t bucketing on the DISJOINT dimension slice
+    * [t*bits+1 .. (t+1)*bits]. A probe/neighbor pair is a candidate
+    * when they share a bucket in ANY table, so a near-neighbor whose
+    * vector flips one sign bit inside one table's slice — invisible to
+    * [[signBucketTopK]]'s single table — is still caught by every
+    * table whose slice the perturbation missed: P(miss) drops from
+    * p to p^L for independent slices (the standard L-table LSH recall
+    * amplification).
+    *
+    * Plan shape: both sides explode to `tables` rows (one bucket key
+    * per table), the candidate join is an equi-join on
+    * (table, bucket) with the probe side broadcast, and the up-to-L
+    * duplicate candidate copies are deduped AFTER scoring (the
+    * 6-decimal cosine is deterministic, so the copies are identical
+    * rows and one `distinct` collapses them) — the same
+    * score-then-dedup trick as the MinHash band join. Corpus-side
+    * cost is `tables` rows per vector through one exchange; no
+    * cartesian anywhere.
+    */
+  def multiTableSignBucketTopK(
+      probes: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      bits: Int,
+      tables: Int,
+      k: Int): DataFrame = {
+    require(tables >= 1, "need at least one table")
+    def keyed(df: DataFrame, idAs: String, vecAs: String): DataFrame =
+      df.select(col(idCol).as(idAs), col(vecCol).as(vecAs),
+        explode(transform(sequence(lit(0), lit(tables - 1)),
+          t => struct(t.as("tbl"),
+            VectorFns.signBucketAt(col(vecCol), t * lit(bits), bits)
+              .as("bkt")))).as("tb"))
+        .select(col(idAs), col(vecAs),
+          col("tb.tbl").as("tbl"), col("tb.bkt").as("bkt"))
+    val p = keyed(probes, "probe_id", "pv")
+    val c = keyed(corpus, "neighbor_id", "cv")
+    val pairs = c.join(broadcast(p), Seq("tbl", "bkt"))
+      .select(col("probe_id"), col("neighbor_id"),
+        cos6(probes.sparkSession, col("pv"), col("cv")).as("cos"))
+      .distinct()
+    ranked(pairs, k)
+  }
 }

@@ -302,6 +302,68 @@ class DedupSimilaritySpec extends SparkSuiteBase {
     assert(exhaustive == bruteTop)
   }
 
+  test("multi-table sign-bucket ANN: recalls planted neighbors the single table misses") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    // 24-dim corpus, components bounded away from 0 so ONLY the
+    // deliberate perturbation can flip a sign bit
+    def vec(): Array[Float] = Array.fill(24) {
+      val x = rnd.nextDouble() * 0.9 + 0.1
+      (if (rnd.nextBoolean()) x else -x).toFloat
+    }
+    val bases = (0 until 40).map(_ => vec())
+    // probes 0..39; planted nearest neighbor of probe i = corpus id
+    // 100+i: the base vector with dim 1's sign FLIPPED — inside table
+    // 0's slice (dims 1-8), so the single-table bucket differs and the
+    // pair is invisible to signBucketTopK; tables 1 (dims 9-16) and 2
+    // (dims 17-24) see identical slices and must recall it
+    val probes = bases.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("vec_id", "embedding")
+    val corpus = bases.zipWithIndex.map { case (v, i) =>
+      val w = v.clone(); w(0) = -w(0)
+      (100L + i, w)
+    }.toDF("vec_id", "embedding")
+    // flipping one of 24 dims keeps cosine ~ 1 - 2*x0^2/|v|^2 >> 0:
+    // the planted neighbor IS each probe's top-1 under brute force
+    val truth = Similarity.bruteForceTopK(probes, corpus, "vec_id", "embedding", k = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val planted = (0 until 40).map(i => i.toLong -> (100L + i)).toMap
+    assert(truth == planted, "planted neighbor must be the true top-1")
+    def recall(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.filter(col("rnk") === 1).collect()
+        .map(r => r.getLong(0) -> r.getLong(2)).toMap
+      planted.count { case (p, n) => got.get(p).contains(n) } / 40.0
+    }
+    val single = recall(Similarity.signBucketTopK(
+      probes, corpus, "vec_id", "embedding", bits = 8, k = 1))
+    val multi = recall(Similarity.multiTableSignBucketTopK(
+      probes, corpus, "vec_id", "embedding", bits = 8, tables = 3, k = 1))
+    // single table: every planted pair differs in table 0's bucket —
+    // recall only via accidental bucket collisions; multi-table: every
+    // planted pair shares tables 1 and 2 exactly
+    assert(single < 0.5, s"single-table recall $single should miss the planted flips")
+    assert(multi >= 0.9, s"multi-table recall $multi must recover them")
+    assert(multi == 1.0, s"disjoint-slice construction recalls ALL planted pairs, got $multi")
+  }
+
+  test("multi-table ANN with tables=1 equals the single-table operator; no cartesian in the plan") {
+    val e = Tables.embeddings(spark, sfDir)
+    val probes = e.filter(col("vec_id") < 5)
+    val corpus = e.filter(col("vec_id") >= 5)
+    val single = Similarity.signBucketTopK(probes, corpus, "vec_id", "embedding",
+        bits = 8, k = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    val multi1 = Similarity.multiTableSignBucketTopK(probes, corpus, "vec_id",
+        "embedding", bits = 8, tables = 1, k = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(multi1 == single)
+    val p = Similarity.multiTableSignBucketTopK(probes, corpus, "vec_id",
+        "embedding", bits = 8, tables = 3, k = 3)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"candidate generation must stay an equi-join:\n$p")
+  }
+
   test("staged dedup pipeline: same results as the unstaged operators, no re-mining") {
     val stage = Dedup.stage(docs, "doc_id", "text", "lang",
       n = 3, threshold = 0.8)
