@@ -72,6 +72,16 @@ object EnvelopeSource {
   * Pulsar reader API. Positions are (ledgerId, entryId) pairs ordered
   * lexicographically; `latest` returns the EXCLUSIVE end position
   * (one past the last message).
+  *
+  * BINDING CONTRACT: any implementation must pass the conformance kit
+  * (`graft.sources.EnvelopeBrokerTCK` in the test sources — extend it
+  * with a `newBroker()` provisioning the real backend). The TCK pins
+  * the six clauses the replication pipeline leans on: per-partition
+  * (ledger, entry) order, inclusive/exclusive range semantics,
+  * side-effect-free replayable reads, MessageId-idempotent append,
+  * read-consistent `advance`, and partition discovery with monotonic
+  * `latest`. Passing it is the drop-in criterion for replacing
+  * [[InMemoryBroker]] with a live transport.
   */
 trait EnvelopeBroker {
   def topicPartitions: Seq[(String, Int)]
