@@ -112,10 +112,14 @@ object Bench {
       // Either trigger runs up to 3 extra reps, stopping as soon as
       // neither fires. Per-rep times are all emitted ("reps") so a
       // reader can see the spread either way.
+      // scaled-fixture sweeps (SPARK_GRAFT_BENCH_NO_PRIORS=1) run on a
+      // deliberately larger dataset where the sf0.1 quiet-box priors
+      // don't apply — only the intra-run spread check stays active
+      val noPriors = sys.env.get("SPARK_GRAFT_BENCH_NO_PRIORS").contains("1")
       def unstable(ts: Seq[Double]): Boolean = {
         val s = ts.sorted
         (s.size >= 2 && s(1) > 2.0 * s(0)) ||
-          priorMins.get(name).exists(p => s.head > 2.0 * p)
+          (!noPriors && priorMins.get(name).exists(p => s.head > 2.0 * p))
       }
       var times = base
       var extra = 0

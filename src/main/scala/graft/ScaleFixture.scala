@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scaling-evidence fixture generator: writes `factor`× copies of the
+  * sf0.1 `documents`/`embeddings` tables (other tables copied as-is)
+  * so the dedup/ANN family can be timed one decade up and the
+  * observed scaling exponent recorded in BASELINE.md.
+  *
+  * The copies are constructed so the EXPECTED growth is linear — any
+  * super-linear bench time is then the engine's fault, not the
+  * fixture's:
+  *
+  *   - documents: copy k suffixes every token with `x<k>`
+  *     (`regexp_replace(text, '(\S+)', '$1xk')`), so shingles NEVER
+  *     match across copies and the pair graph is `factor` disjoint
+  *     images of the sf0.1 graph — pair count scales exactly ×factor.
+  *     A naive text copy would instead make every planted near-dup
+  *     cluster `factor`× larger (quadratic pair growth inside each
+  *     cluster) and the measurement would conflate fixture-induced
+  *     candidate blowup with engine scaling.
+  *   - embeddings: copy k multiplies dimension i by
+  *     sign(xxhash64(k, i)) — an ISOMETRY per copy (both vectors of a
+  *     within-copy pair flip identically, so every within-copy dot
+  *     product, norm, cosine, sign bucket and cell assignment is
+  *     bit-preserved), while cross-copy dots become random-sign sums
+  *     that decorrelate — no fixture-induced cross-copy near-dups
+  *     above any realistic threshold. Copy 0 is the identity, so the
+  *     probe set (vec_id < 10) is unchanged.
+  *
+  * Usage: runMain graft.ScaleFixture <srcDir> <destDir> [factor=10]
+  */
+object ScaleFixture {
+
+  def main(args: Array[String]): Unit = {
+    val Array(src, dst) = args.take(2)
+    val factor = if (args.length > 2) args(2).toInt else 10
+    val spark = SparkSession.builder()
+      .master("local[16]")
+      .config("spark.sql.shuffle.partitions", "16")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val idStep = 10000000L // copy id spaces can never collide
+
+    val docs = spark.read.parquet(s"$src/documents.parquet")
+    (0 until factor).map { k =>
+      docs.select(
+        (col("doc_id") + lit(k * idStep)).as("doc_id"),
+        (if (k == 0) col("text")
+         else regexp_replace(col("text"), "(\\S+)", s"$$1x$k")).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$dst/documents.parquet")
+
+    val emb = spark.read.parquet(s"$src/embeddings.parquet")
+    (0 until factor).map { k =>
+      val flipped =
+        if (k == 0) col("embedding")
+        else transform(col("embedding"), (x, i) =>
+          (x * when(pmod(xxhash64(lit(k), i), lit(2)) === 0, lit(1.0))
+            .otherwise(lit(-1.0))).cast("float"))
+      emb.select(
+        (col("vec_id") + lit(k * idStep)).as("vec_id"),
+        flipped.as("embedding"), col("label"))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
+
+    // remaining tables pass through unchanged (the relational queries
+    // are not part of the scaling sweep; they just need to load)
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "events").foreach { t =>
+      spark.read.parquet(s"$src/$t.parquet")
+        .write.mode("overwrite").parquet(s"$dst/$t.parquet")
+    }
+    spark.stop()
+  }
+}
