@@ -75,8 +75,14 @@ class PlanSpec extends SparkSuiteBase {
     assert(p.contains("Join [cell"), s"expected a cell equi-join:\n$p")
   }
 
-  test("q33 caps by hash aggregate (no window sort) and computes the shingle frame once") {
-    val df = Queries.all("q33_ngram_jaccard")(spark, sfDir)
+  test("jaccard pair mining caps by hash aggregate (no window sort) and computes the shingle frame once") {
+    // the registered q33 now reads the MATERIALIZED Dedup.Stage pair
+    // frame (its plan is a flat ExistingRDD scan — exactly the point
+    // of staging), so the mining plan shape is asserted on the miner
+    // itself, which is what the stage executes on first access
+    val df = graft.operators.Dedup.ngramJaccardPairs(
+      Tables.documents(spark, sfDir), "doc_id", "text", "lang",
+      n = 3, threshold = 0.8)
     df.collect() // AQE finalizes reuse at execution
     val p = df.queryExecution.executedPlan.toString
     // the DF cap / set-size must be hash aggregates joined back, not
@@ -85,6 +91,19 @@ class PlanSpec extends SparkSuiteBase {
     assert(!p.contains("Window "), s"q33 must not plan a window pass:\n$p")
     assert(p.contains("ReusedExchange"),
       s"capped shingle frame must be computed once across the self-join:\n$p")
+  }
+
+  test("staged q33/q47/q62 read the materialized pair frame, not a re-derived mining subtree") {
+    PipelineQueries.resetDedupStage(spark, sfDir)
+    Queries.all("q33_ngram_jaccard")(spark, sfDir).collect()
+    // with the stage warm, neither clusters nor survivors re-explode
+    // the corpus: no Generate (explode) node anywhere in their plans
+    Seq("q47_dedup_clusters", "q62_cluster_survivors").foreach { q =>
+      val p = Queries.all(q)(spark, sfDir)
+        .queryExecution.optimizedPlan.toString
+      assert(!p.contains("Generate"),
+        s"$q must reuse the staged pairs, found a shingle explode:\n$p")
+    }
   }
 
   test("q58 quality filter is a single-scan projection: no join, no window") {
