@@ -713,6 +713,60 @@ object PipelineQueries extends QueryGroup {
       .orderBy(col("probe_id"), col("rnk"))
   }
 
+  // R-19/R-21: training-data decontamination — flag training docs
+  // sharing any 5-gram with the eval split (doc_id % 20 == 0 stands in
+  // for a benchmark corpus). The eval shingle set broadcasts; the
+  // corpus never self-joins — cost linear in training tokens.
+  q("q64_decontaminate",
+    s"""WITH tk AS (SELECT doc_id, $sqlTokens AS l FROM documents),
+       |sh AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(l) - 4),
+       |         i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2] || ' ' || l[i+3] || ' ' || l[i+4])) AS shingle
+       |       FROM tk),
+       |ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 20 = 0),
+       |tr AS (SELECT DISTINCT doc_id, shingle FROM sh WHERE doc_id % 20 <> 0),
+       |ov AS (SELECT tr.doc_id, count(*) AS n_overlap
+       |       FROM tr JOIN ev USING (shingle) GROUP BY 1)
+       |SELECT d.doc_id, coalesce(ov.n_overlap, 0) AS n_overlap,
+       |  coalesce(ov.n_overlap, 0) >= 1 AS contaminated
+       |FROM documents d LEFT JOIN ov USING (doc_id)
+       |WHERE d.doc_id % 20 <> 0
+       |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    Dedup.decontaminate(
+        docs.filter(pmod(col("doc_id"), lit(20)) =!= 0),
+        docs.filter(pmod(col("doc_id"), lit(20)) === 0),
+        "doc_id", "text", n = 5)
+      .select(col("doc_id"), col("n_overlap"), col("contaminated"))
+      .orderBy(col("doc_id"))
+  }
+
+  // R-21: winnowing fingerprints (MOSS rolling-hash selection) — the
+  // fingerprint column emitted as CSV (the q55 trick: the driver's
+  // canonicalizer cannot sort raw array cells). k=3-gram shingles,
+  // window 4: any shared 6-token run guarantees a shared fingerprint.
+  q("q65_winnow_fingerprints",
+    s"""WITH tk AS (SELECT doc_id, $sqlTokens AS l FROM documents),
+       |sh AS (SELECT doc_id, list_transform(generate_series(1, len(l) - 2),
+       |         i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2]) AS s FROM tk),
+       |h AS (SELECT doc_id, list_transform(s,
+       |         x -> CAST('0x' || substr(md5(x), 1, 15) AS BIGINT)) AS hs FROM sh),
+       |f AS (SELECT doc_id, CASE
+       |    WHEN len(hs) = 0 THEN []::BIGINT[]
+       |    WHEN len(hs) <= 4 THEN [list_min(hs)]
+       |    ELSE list_sort(list_distinct(list_transform(
+       |      generate_series(1, len(hs) - 3), i -> list_min(hs[i:i+3]))))
+       |    END AS fps FROM h)
+       |SELECT doc_id, array_to_string(fps, ',') AS fp_csv,
+       |  CAST(len(fps) AS INT) AS n_fp
+       |FROM f ORDER BY doc_id""".stripMargin) { (s, d) =>
+    TextAnalysis.winnowFingerprints(Tables.documents(s, d),
+        "doc_id", "text", k = 3, windowSize = 4)
+      .select(col("doc_id"),
+        concat_ws(",", col("fingerprints").cast("array<string>")).as("fp_csv"),
+        size(col("fingerprints")).as("n_fp"))
+      .orderBy(col("doc_id"))
+  }
+
   /** DuckDB sign-bucket string over dims [tbl*bits+1 .. (tbl+1)*bits]
     * — the oracle twin of [[VectorFns.signBucketAt]].
     */

@@ -382,6 +382,46 @@ object Dedup {
     }
   }
 
+  /** Training-data DECONTAMINATION: flag every training document that
+    * shares at least `minOverlap` distinct n-gram shingles with the
+    * evaluation/benchmark corpus — the step that keeps test sets out
+    * of the training mix (an LLM pipeline staple; shingle containment
+    * is the standard published detector).
+    *
+    * Output: `train` with `n_overlap` (distinct shared shingles) and
+    * `contaminated` appended; every input row preserved.
+    *
+    * Scale shape: the EVAL side is tiny by definition (benchmarks),
+    * so its distinct shingle set is BROADCAST — the training corpus
+    * streams through one codegen'd explode + broadcast semi-join and
+    * the only shuffle is the per-doc overlap count's partial-
+    * aggregated (doc)-keyed exchange, carrying 8-byte counts, never
+    * shingle strings. No corpus self-join anywhere: cost is linear in
+    * training tokens regardless of corpus size.
+    */
+  def decontaminate(
+      train: DataFrame,
+      eval: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      minOverlap: Int = 1): DataFrame = {
+    val evalShingles = eval
+      .select(explode(TextFns.textShingles(col(textCol), n)).as("shingle"))
+      .distinct()
+    val overlap = train
+      .select(col(idCol).as("__doc"),
+        explode(TextFns.textShingles(col(textCol), n)).as("shingle"))
+      .distinct() // per-doc distinct: overlap counts SHARED shingles once
+      .join(broadcast(evalShingles), "shingle")
+      .groupBy(col("__doc"))
+      .agg(count(lit(1)).as("n_overlap"))
+    train.join(overlap, train(idCol) === overlap("__doc"), "left")
+      .drop("__doc")
+      .withColumn("n_overlap", coalesce(col("n_overlap"), lit(0L)))
+      .withColumn("contaminated", col("n_overlap") >= minOverlap)
+  }
+
   /** Staged dedup pipeline: near-dup PAIRS → connected-component
     * CLUSTERS → quality-argmax SURVIVORS, sharing ONE materialized
     * pair frame across the three results instead of re-mining the

@@ -132,6 +132,24 @@ object TextAnalysis {
     * table is vocabulary-sized — the word equi-join is the only
     * corpus-scale shuffle beyond the aggregates.
     */
+  /** Winnowing document fingerprints (MOSS, SIGMOD'03): the rolling-
+    * hash fingerprinting step of a training-data pipeline — each doc
+    * gets the sorted distinct window-minima of its k-gram shingle
+    * hashes ([[graft.plans.WinnowExpr]]; md5-derived hashes so the
+    * DuckDB oracle reproduces them bit-identically). Two docs sharing
+    * a run of >= windowSize+k-1 tokens share a fingerprint, at a
+    * stored density of ~2/(windowSize+1) per shingle — the property
+    * that makes a corpus-scale containment index tractable where
+    * storing every shingle hash is not. One codegen'd row-local scan;
+    * no shuffle.
+    */
+  def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, windowSize: Int): DataFrame =
+    docs.select(col(idCol),
+      graft.plans.WinnowExpr.winnow(docs.sparkSession,
+        graft.functions.TextFns.textShingles(col(textCol), k), windowSize)
+        .as("fingerprints"))
+
   def tfidfTopTerms(
       docs: DataFrame,
       idCol: String,

@@ -364,6 +364,32 @@ class DedupSimilaritySpec extends SparkSuiteBase {
       s"candidate generation must stay an equi-join:\n$p")
   }
 
+  test("decontamination flags exactly the planted eval passage; eval side broadcasts") {
+    import spark.implicits._
+    val train = Seq(
+      // shares exactly ONE 5-gram with the eval doc
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "one two three four five six seven"),
+      // too short for any 5-gram
+      (3L, "tiny doc")
+    ).toDF("doc_id", "text")
+    val evalSet = Seq((100L, "alpha beta gamma delta epsilon unrelated tail"))
+      .toDF("doc_id", "text")
+    val out = Dedup.decontaminate(train, evalSet, "doc_id", "text", n = 5)
+    assert(out.count() == 3, "every training row must be preserved")
+    val byId = out.collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_overlap"), r.getAs[Boolean]("contaminated"))).toMap
+    assert(byId(1L) == (1L, true), s"planted overlap missed: $byId")
+    assert(byId(2L) == (0L, false))
+    assert(byId(3L) == (0L, false))
+    // scale contract: the eval shingle set broadcasts — no shuffled
+    // corpus self-join anywhere in the plan
+    val p = out.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"eval shingles must broadcast:\n$p")
+  }
+
   test("staged dedup pipeline: same results as the unstaged operators, no re-mining") {
     val stage = Dedup.stage(docs, "doc_id", "text", "lang",
       n = 3, threshold = 0.8)
