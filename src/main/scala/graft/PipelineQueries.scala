@@ -767,6 +767,35 @@ object PipelineQueries extends QueryGroup {
       .orderBy(col("doc_id"))
   }
 
+  // R-19/R-21 composed: containment candidates from winnowed
+  // fingerprints — the index-side use of q65 (same pair evidence as
+  // shingle joins at ~2/(w+1) the exchange traffic). DF cap mirrored
+  // in both engines.
+  q("q66_winnow_pairs",
+    s"""WITH tk AS (SELECT doc_id, $sqlTokens AS l FROM documents),
+       |sh AS (SELECT doc_id, list_transform(generate_series(1, len(l) - 2),
+       |         i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2]) AS s FROM tk),
+       |h AS (SELECT doc_id, list_transform(s,
+       |         x -> CAST('0x' || substr(md5(x), 1, 15) AS BIGINT)) AS hs FROM sh),
+       |f AS (SELECT doc_id, CASE
+       |    WHEN len(hs) = 0 THEN []::BIGINT[]
+       |    WHEN len(hs) <= 4 THEN [list_min(hs)]
+       |    ELSE list_sort(list_distinct(list_transform(
+       |      generate_series(1, len(hs) - 3), i -> list_min(hs[i:i+3]))))
+       |    END AS fps FROM h),
+       |e AS (SELECT doc_id, unnest(fps) AS fp FROM f),
+       |surv AS (SELECT doc_id, fp FROM (
+       |    SELECT *, count(*) OVER (PARTITION BY fp) AS df FROM e)
+       |  WHERE df <= 1000)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+       |FROM surv a JOIN surv b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       |GROUP BY 1, 2 HAVING count(*) >= 5
+       |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+    TextAnalysis.winnowOverlapPairs(Tables.documents(s, d),
+        "doc_id", "text", k = 3, windowSize = 4, minShared = 5)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** DuckDB sign-bucket string over dims [tbl*bits+1 .. (tbl+1)*bits]
     * — the oracle twin of [[VectorFns.signBucketAt]].
     */

@@ -150,6 +150,38 @@ object TextAnalysis {
         graft.functions.TextFns.textShingles(col(textCol), k), windowSize)
         .as("fingerprints"))
 
+  /** Containment/plagiarism candidate pairs from winnowing
+    * fingerprints: docs sharing at least `minShared` fingerprints.
+    * The join key is the fingerprint hash — an equi-shuffle exactly
+    * like the shingle-Jaccard miner, but over the winnowed ~2/(w+1)
+    * density instead of every shingle, which is the point: the same
+    * pair evidence at a fraction of the exchange traffic. Composes
+    * with [[graft.operators.Dedup.stageWith]] as a pair miner.
+    *
+    * `maxFingerprintDocFreq` drops fingerprints shared by more than
+    * that many docs (a boilerplate run every doc contains emits
+    * ~df²/2 candidate rows from one hot key — same skew guard as the
+    * Jaccard miner's shingle-DF cap; ubiquitous fingerprints carry no
+    * containment signal).
+    */
+  def winnowOverlapPairs(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, windowSize: Int, minShared: Int,
+      maxFingerprintDocFreq: Int = 1000): DataFrame = {
+    val fp = winnowFingerprints(
+        docs.filter(col(idCol).isNotNull), idCol, textCol, k, windowSize)
+      .select(col(idCol).as("doc"), explode(col("fingerprints")).as("fp"))
+    val hot = fp.groupBy(col("fp")).agg(count(lit(1)).as("__df"))
+      .filter(col("__df") > maxFingerprintDocFreq)
+      .select(col("fp"))
+    val surviving = fp.join(hot, Seq("fp"), "left_anti")
+    val a = surviving.alias("a")
+    val b = surviving.alias("b")
+    a.join(b, col("a.fp") === col("b.fp") && col("a.doc") < col("b.doc"))
+      .groupBy(col("a.doc").as("id_a"), col("b.doc").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   def tfidfTopTerms(
       docs: DataFrame,
       idCol: String,

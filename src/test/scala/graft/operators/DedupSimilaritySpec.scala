@@ -390,6 +390,29 @@ class DedupSimilaritySpec extends SparkSuiteBase {
       s"eval shingles must broadcast:\n$p")
   }
 
+  test("winnow-overlap pairs recall the planted near-dups and compose as a Stage miner") {
+    // near-identical planted docs share long token runs, so the
+    // winnowed index must surface every exact-Jaccard pair
+    val wp = TextAnalysis.winnowOverlapPairs(docs, "doc_id", "text",
+        k = 3, windowSize = 4, minShared = 3)
+    val got = wp.select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exactPairs.subsetOf(got), s"missed: ${exactPairs.diff(got)}")
+    // the pair generation is an equi-join on the fingerprint
+    val p = wp.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"fingerprint join must stay an equi-join:\n$p")
+    // and the miner drops into the staged pipeline unchanged
+    val stage = Dedup.stageWith(docs, "doc_id",
+      () => TextAnalysis.winnowOverlapPairs(docs, "doc_id", "text", 3, 4, 3))
+    val clusters = stage.clusters.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    exactPairs.foreach { case (a, b) =>
+      assert(clusters(a) == clusters(b),
+        s"planted pair ($a,$b) must land in one cluster")
+    }
+  }
+
   test("staged dedup pipeline: same results as the unstaged operators, no re-mining") {
     val stage = Dedup.stage(docs, "doc_id", "text", "lang",
       n = 3, threshold = 0.8)
