@@ -501,13 +501,13 @@ object PipelineQueries extends QueryGroup {
       |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
       |       ELSE 'video' END AS media_type,
       |  CASE doc_id % 3 WHEN 0 THEN 33 + doc_id % 17 WHEN 1 THEN 44
-      |       ELSE 26 + doc_id % 11 END AS n_bytes,
+      |       ELSE 132 + doc_id % 13 END AS n_bytes,
       |  CASE doc_id % 3 WHEN 0 THEN 1 + doc_id % 1024
-      |       WHEN 2 THEN 1 + doc_id % 2048 ELSE NULL END AS width,
+      |       ELSE NULL END AS width,
       |  CASE doc_id % 3 WHEN 0 THEN 1 + (doc_id * 7) % 768
-      |       WHEN 2 THEN 1 + (doc_id * 3) % 1536 ELSE NULL END AS height,
-      |  CASE WHEN doc_id % 3 = 1 THEN (doc_id % 977) * 20
-      |       ELSE NULL END AS duration_ms,
+      |       ELSE NULL END AS height,
+      |  CASE doc_id % 3 WHEN 1 THEN (doc_id % 977) * 20
+      |       WHEN 2 THEN (doc_id % 997) * 40 ELSE NULL END AS duration_ms,
       |  true AS header_parsed
       |FROM documents ORDER BY asset_id""".stripMargin) { (s, d) =>
     Multimodal.extractFeatures(

@@ -150,13 +150,80 @@ object Multimodal {
       else None
     }
 
+    /** MP4/ISO-BMFF: walk the top-level box list for `moov`, then its
+      * children for `mvhd`; duration_ms = duration * 1000 / timescale
+      * (version-0 layout: timescale/duration are 32-bit BE at +20/+24
+      * inside the box; version-1 widens the times to 64-bit). Box
+      * size 1 means a 64-bit `largesize` follows the type; size 0
+      * (box-runs-to-EOF) and sizes < 8 stop the walk — a hostile size
+      * must never loop or overflow.
+      */
+    def mp4(b: Array[Byte]): Option[Long] = {
+      def boxType(o: Long): String =
+        new String(b.slice(o.toInt + 4, o.toInt + 8), "US-ASCII")
+      // (payload start, next box start) with largesize handling
+      def bounds(o: Long): Option[(Long, Long)] = {
+        if (o + 8 > b.length) return None
+        val sz = beInt(b, o.toInt).toLong & 0xffffffffL
+        if (sz == 1L) {
+          if (o + 16 > b.length) return None
+          val hi = beInt(b, o.toInt + 8).toLong & 0xffffffffL
+          val lo = beInt(b, o.toInt + 12).toLong & 0xffffffffL
+          val large = (hi << 32) | lo
+          if (large < 16L) None else Some((o + 16, o + large))
+        } else if (sz < 8L) None // 0 = to-EOF, others malformed: stop
+        else Some((o + 8, o + sz))
+      }
+      def mvhdDuration(o: Long, end: Long): Option[Long] = {
+        val i = o.toInt
+        if (o + 4 > end || i + 4 > b.length) return None
+        val v = b(i) & 0xff
+        val (tsOff, durOff, durWide) =
+          if (v == 1) (i + 20, i + 24, true) else (i + 12, i + 16, false)
+        if (durOff + (if (durWide) 8 else 4) > math.min(end, b.length.toLong))
+          return None
+        val timescale = beInt(b, tsOff).toLong & 0xffffffffL
+        val duration =
+          if (durWide)
+            ((beInt(b, durOff).toLong & 0xffffffffL) << 32) |
+              (beInt(b, durOff + 4).toLong & 0xffffffffL)
+          else beInt(b, durOff).toLong & 0xffffffffL
+        if (timescale > 0) Some(duration * 1000L / timescale) else None
+      }
+      if (b.length < 12 || boxType(0) != "ftyp") return None
+      var off = 0L
+      while (off + 8 <= b.length) {
+        val t = boxType(off)
+        bounds(off) match {
+          case None => return None
+          case Some((payload, next)) =>
+            if (t == "moov") {
+              var c = payload
+              val end = math.min(next, b.length.toLong)
+              while (c + 8 <= end) {
+                bounds(c) match {
+                  case None => return None
+                  case Some((cp, cn)) =>
+                    if (boxType(c) == "mvhd") return mvhdDuration(cp, end)
+                    c = cn
+                }
+              }
+              return None // moov without mvhd
+            }
+            off = next
+        }
+      }
+      None
+    }
+
     /** Sniff the payload's magic bytes and extract what the header
       * carries; None when the format isn't one of the pure-JVM ones.
       */
     def sniff(b: Array[Byte]): Option[(Option[Int], Option[Int], Option[Long])] =
       png(b).orElse(bmp(b)).orElse(jpeg(b)).orElse(gif(b))
         .map { case (w, h) => (Some(w), Some(h), None) }
-        .orElse(wav(b).map(d => (None: Option[Int], None: Option[Int], Some(d))))
+        .orElse(wav(b).orElse(mp4(b))
+          .map(d => (None: Option[Int], None: Option[Int], Some(d))))
   }
 
   /** Fallback codec for payloads that are NOT a parseable container
@@ -215,8 +282,9 @@ object Multimodal {
     *   - audio (id%3==1): WAV, byteRate 50, dataSize = id%977 declared
     *     in the header (no payload bytes needed for the chunk walk) ⇒
     *     duration_ms = (id%977)*20, n_bytes = 44
-    *   - video (id%3==2): BMP stand-in thumbnail, w = 1+id%2048,
-    *     h = 1+(id*3)%1536, n_bytes = 26 + id%11
+    *   - video (id%3==2): MP4 (ftyp + moov/mvhd, timescale 1000,
+    *     duration = (id%997)*40 — 25 fps frames) ⇒
+    *     duration_ms = (id%997)*40, n_bytes = 132 + id%13
     */
   def syntheticPayload(docId: Long): Array[Byte] = (docId % 3) match {
     case 0 =>
@@ -254,15 +322,24 @@ object Multimodal {
       bb.putInt(dataSize) // declared size; walk needs no payload bytes
       bb.array()
     case _ =>
-      val w = 1 + (docId % 2048).toInt
-      val h = 1 + ((docId * 3) % 1536).toInt
-      val bb = java.nio.ByteBuffer.allocate(26 + (docId % 11).toInt)
-        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-      bb.put('B'.toByte)
-      bb.put('M'.toByte)
-      bb.position(18)
-      bb.putInt(w)
-      bb.putInt(h)
+      // MP4: 16-byte ftyp + moov(mvhd v0) + zero filler; all BE
+      val durMs = ((docId % 997) * 40).toInt
+      val bb = java.nio.ByteBuffer.allocate(132 + (docId % 13).toInt)
+      bb.putInt(16)
+      bb.put("ftyp".getBytes("US-ASCII"))
+      bb.put("isom".getBytes("US-ASCII"))
+      bb.putInt(0) // minor version
+      bb.putInt(116) // moov = 8 + full 108-byte mvhd
+      bb.put("moov".getBytes("US-ASCII"))
+      bb.putInt(108)
+      bb.put("mvhd".getBytes("US-ASCII"))
+      bb.putInt(0) // version 0 + flags
+      bb.putInt(0) // creation time
+      bb.putInt(0) // modification time
+      bb.putInt(1000) // timescale: 1 unit = 1 ms
+      bb.putInt(durMs) // duration
+      // rate/volume/matrix/next_track_id stay zero: the walk reads
+      // timescale+duration, not playback hints
       bb.array()
   }
 

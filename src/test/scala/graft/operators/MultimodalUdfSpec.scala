@@ -136,10 +136,10 @@ class MultimodalUdfSpec extends SparkSuiteBase {
       val f = Multimodal.FakeCodec.decode("audio", Multimodal.syntheticPayload(id))
       assert(f.headerParsed && f.durationMs.contains((id % 977) * 20))
     }
-    Seq(2L, 1535L).foreach { id => // video ids (id%3==2)
+    Seq(2L, 1535L).foreach { id => // video ids (id%3==2): real MP4
       val f = Multimodal.FakeCodec.decode("video", Multimodal.syntheticPayload(id))
-      assert(f.headerParsed && f.width.contains(1 + (id % 2048).toInt)
-        && f.height.contains(1 + ((id * 3) % 1536).toInt))
+      assert(f.headerParsed && f.durationMs.contains((id % 997) * 40)
+        && f.width.isEmpty && f.height.isEmpty)
     }
     // the fake tier is flagged as fabricated
     val fake = Multimodal.FakeCodec.decode("image", "opaque".getBytes("UTF-8"))
@@ -161,6 +161,68 @@ class MultimodalUdfSpec extends SparkSuiteBase {
     assert(out(1L) == ((Some(640), Some(480), None)))
     assert(out(2L) == ((Some(320), Some(200), None)))
     assert(out(3L) == ((None, None, Some(3000L))))
+  }
+
+  test("multimodal: MP4 mvhd duration parses for v0, v1, and largesize boxes; hostile sizes terminate") {
+    import Multimodal.HeaderCodec
+    def ftyp = {
+      val bb = java.nio.ByteBuffer.allocate(16)
+      bb.putInt(16).put("ftyp".getBytes("US-ASCII"))
+        .put("isom".getBytes("US-ASCII")).putInt(0)
+      bb.array()
+    }
+    def box(tpe: String, payload: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(8 + payload.length)
+      bb.putInt(8 + payload.length).put(tpe.getBytes("US-ASCII")).put(payload)
+      bb.array()
+    }
+    // v0 mvhd: timescale 600 units/s, duration 1200 units = 2000 ms
+    val mvhdV0 = {
+      val bb = java.nio.ByteBuffer.allocate(100)
+      bb.putInt(0).putInt(0).putInt(0).putInt(600).putInt(1200)
+      bb.array()
+    }
+    assert(HeaderCodec.mp4(ftyp ++ box("moov", box("mvhd", mvhdV0)))
+      .contains(2000L))
+    // v1 mvhd: 64-bit times; timescale 1000, duration 777
+    val mvhdV1 = {
+      val bb = java.nio.ByteBuffer.allocate(112)
+      bb.putInt(0x01000000) // version 1
+      bb.putLong(0L).putLong(0L).putInt(1000).putLong(777L)
+      bb.array()
+    }
+    assert(HeaderCodec.mp4(ftyp ++ box("moov", box("mvhd", mvhdV1)))
+      .contains(777L))
+    // a preceding largesize (size=1 + 64-bit) box is skipped correctly
+    val free = {
+      val bb = java.nio.ByteBuffer.allocate(24)
+      bb.putInt(1).put("free".getBytes("US-ASCII")).putLong(24L).putLong(0L)
+      bb.array()
+    }
+    assert(HeaderCodec.mp4(ftyp ++ free ++ box("moov", box("mvhd", mvhdV0)))
+      .contains(2000L))
+    // hostile: zero/short box sizes stop the walk, no hang, no parse
+    val hostile = {
+      val bb = java.nio.ByteBuffer.allocate(24)
+      bb.put(ftyp).putInt(3).put("junk".getBytes("US-ASCII"))
+      bb.array()
+    }
+    assert(HeaderCodec.mp4(hostile).isEmpty)
+    // zero timescale never divides
+    val mvhdZeroTs = {
+      val bb = java.nio.ByteBuffer.allocate(100)
+      bb.putInt(0).putInt(0).putInt(0).putInt(0).putInt(1200)
+      bb.array()
+    }
+    assert(HeaderCodec.mp4(ftyp ++ box("moov", box("mvhd", mvhdZeroTs))).isEmpty)
+    // extractFeatures end to end: a real MP4 asset carries its duration
+    val rows = Seq((9L, "video", ftyp ++ box("moov", box("mvhd", mvhdV0)),
+      Map.empty[String, String]))
+    val out = Multimodal.extractFeatures(
+        rows.toDF("asset_id", "media_type", "payload", "meta"))
+      .select(col("features.duration_ms"), col("features.header_parsed"))
+      .collect().head
+    assert(out.getLong(0) == 2000L && out.getBoolean(1))
   }
 
   test("multimodal: malformed WAV chunk sizes terminate (no hang) and fall back") {
