@@ -34,6 +34,66 @@ object ExtendedQueries extends QueryGroup {
       .orderBy(col("event_id"))
   }
 
+  // R-16 forward direction: earliest click AT-OR-AFTER each error
+  // (pandas merge_asof direction='forward'); same single-shuffle
+  // union-window machinery as the floor, sort reversed.
+  q("q67_asof_forward",
+    """WITH b AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'),
+      |     p AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'error')
+      |SELECT p.event_id AS event_id, l.bid, l.bts
+      |FROM p LEFT JOIN LATERAL (
+      |  SELECT event_id AS bid, epoch_ms(ts) AS bts FROM b
+      |  WHERE b.user_id = p.user_id AND b.ts >= p.ts
+      |  ORDER BY ts ASC, event_id DESC LIMIT 1) l ON true
+      |ORDER BY event_id""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d)
+    val probe = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val build = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"),
+        col("event_id").as("bid"), unix_millis(col("ts")).as("bts"))
+    AsOfJoin.ceilJoin(probe, build,
+        keys = Seq("user_id"), probeTs = "ts", buildTs = "ts",
+        payload = Seq("bid", "bts"))
+      .select(col("event_id"), col("bid"), col("bts"))
+      .orderBy(col("event_id"))
+  }
+
+  // R-16 nearest direction with a tolerance: the click closest in
+  // time to each error (either side), distance ties to the floor
+  // side, and hits farther than 10 minutes nulled out (pandas
+  // merge_asof direction='nearest', tolerance=). The lateral ranks
+  // ALL candidate clicks by (distance, side, payload-convention) —
+  // provably the same row the two-frame window pass selects.
+  q("q68_asof_nearest",
+    """WITH b AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'),
+      |     p AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'error')
+      |SELECT p.event_id AS event_id, l.bid, l.bts
+      |FROM p LEFT JOIN LATERAL (
+      |  SELECT event_id AS bid, epoch_ms(ts) AS bts FROM b
+      |  WHERE b.user_id = p.user_id
+      |    AND abs(epoch_ms(b.ts) - epoch_ms(p.ts)) <= 600000
+      |  ORDER BY abs(epoch_ms(b.ts) - epoch_ms(p.ts)) ASC,
+      |    CASE WHEN b.ts <= p.ts THEN 0 ELSE 1 END ASC,
+      |    CASE WHEN b.ts <= p.ts THEN -event_id ELSE event_id END ASC
+      |  LIMIT 1) l ON true
+      |ORDER BY event_id""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d)
+    val probe = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val build = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"),
+        col("event_id").as("bid"), unix_millis(col("ts")).as("bts"))
+    AsOfJoin.nearestJoin(probe, build,
+        keys = Seq("user_id"), probeTs = "ts", buildTs = "ts",
+        payload = Seq("bid", "bts"),
+        distance = (a, b) => abs(unix_millis(a) - unix_millis(b)),
+        tolerance = Some((a, b) =>
+          abs(unix_millis(a) - unix_millis(b)) <= 600000L))
+      .select(col("event_id"), col("bid"), col("bts"))
+      .orderBy(col("event_id"))
+  }
+
   // --------------------------------------------------------------- R-17
   q("q18_setops",
     """WITH a AS (SELECT p_partkey FROM part WHERE p_size < 25),

@@ -53,4 +53,78 @@ class AsOfJoinSpec extends SparkSuiteBase {
       .collect()
     assert(got.length == 2 && got.forall(_.isNullAt(got.head.fieldIndex("payload"))))
   }
+
+  test("ceilJoin matches naive forward semantics; no ceiling => null") {
+    import spark.implicits._
+    val rnd = new Random(7)
+    (1 to 25).foreach { _ =>
+      val builds = List.fill(rnd.nextInt(30))(
+        Build(rnd.nextInt(4), rnd.nextInt(50).toLong, rnd.nextInt(1000).toLong))
+      val probes = List.fill(1 + rnd.nextInt(29))(
+        Probe(rnd.nextInt(4), rnd.nextInt(50).toLong, 0))
+        .zipWithIndex.map { case (p, i) => p.copy(id = i.toLong) }
+      val got = AsOfJoin.ceilJoin(probes.toDF(), builds.toDF(),
+          keys = Seq("k"), probeTs = "ts", buildTs = "ts",
+          payload = Seq("payload"))
+        .select("id", "payload").collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+        .toMap
+      val expected = probes.map { p =>
+        val cands = builds.filter(b => b.k == p.k && b.ts >= p.ts)
+        // nearest ceiling ts; equal-ts ties to the greatest payload
+        // (same convention as the floor)
+        p.id -> cands.sortBy(b => (b.ts, -b.payload)).headOption.map(_.payload)
+      }.toMap
+      assert(got == expected, s"builds=$builds probes=$probes")
+    }
+  }
+
+  test("nearestJoin matches naive nearest semantics with floor-wins ties and tolerance") {
+    import spark.implicits._
+    val rnd = new Random(11)
+    val tol = 7L
+    (1 to 25).foreach { _ =>
+      val builds = List.fill(rnd.nextInt(30))(
+        Build(rnd.nextInt(4), rnd.nextInt(50).toLong, rnd.nextInt(1000).toLong))
+      val probes = List.fill(1 + rnd.nextInt(29))(
+        Probe(rnd.nextInt(4), rnd.nextInt(50).toLong, 0))
+        .zipWithIndex.map { case (p, i) => p.copy(id = i.toLong) }
+      val got = AsOfJoin.nearestJoin(probes.toDF(), builds.toDF(),
+          keys = Seq("k"), probeTs = "ts", buildTs = "ts",
+          payload = Seq("payload"),
+          distance = (a, b) => org.apache.spark.sql.functions.abs(a - b),
+          tolerance = Some((a, b) =>
+            org.apache.spark.sql.functions.abs(a - b) <= tol))
+        .select("id", "payload").collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+        .toMap
+      val expected = probes.map { p =>
+        val cands = builds.filter(b => b.k == p.k && math.abs(b.ts - p.ts) <= tol)
+        // rank all candidates by (distance, floor-side-first, then the
+        // per-side payload convention: floor greatest, ceiling least)
+        p.id -> cands.sortBy { b =>
+          val floorSide = b.ts <= p.ts
+          (math.abs(b.ts - p.ts), if (floorSide) 0 else 1,
+            if (floorSide) -b.payload else b.payload)
+        }.headOption.map(_.payload)
+      }.toMap
+      assert(got == expected, s"builds=$builds probes=$probes")
+    }
+  }
+
+  test("all three directions plan one key shuffle, no join operator") {
+    import spark.implicits._
+    val pDf = List(Probe(1, 5, 0), Probe(2, 6, 1)).toDF()
+    val bDf = List(Build(1, 4, 10), Build(2, 9, 20)).toDF()
+    def shuffles(df: org.apache.spark.sql.DataFrame): Unit = {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Join"), s"as-of must not plan a join:\n$plan")
+      val n = "Exchange hashpartitioning".r.findAllIn(plan).size
+      assert(n == 1, s"expected exactly one key shuffle, got $n:\n$plan")
+    }
+    shuffles(AsOfJoin.floorJoin(pDf, bDf, Seq("k"), "ts", "ts", Seq("payload")))
+    shuffles(AsOfJoin.ceilJoin(pDf, bDf, Seq("k"), "ts", "ts", Seq("payload")))
+    shuffles(AsOfJoin.nearestJoin(pDf, bDf, Seq("k"), "ts", "ts", Seq("payload"),
+      distance = (a, b) => org.apache.spark.sql.functions.abs(a - b)))
+  }
 }
