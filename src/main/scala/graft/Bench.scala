@@ -21,7 +21,8 @@ object Bench {
     "q58_quality_filter" -> 1.27, "q32_lang_id" -> 1.24,
     // round-5 additions, quiet-box mins at sf0.1
     "q63_multitable_ann" -> 0.66, "q64_decontaminate" -> 0.72,
-    "q65_winnow_fingerprints" -> 0.49, "q66_winnow_pairs" -> 1.63)
+    "q65_winnow_fingerprints" -> 0.49, "q66_winnow_pairs" -> 1.63,
+    "q67_asof_forward" -> 0.65, "q68_asof_nearest" -> 0.88)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -59,5 +59,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         WordShinglesExpr(exprs.head, n)
       }))
+    ext.injectFunction((FunctionIdentifier("winnow"),
+      info("winnow",
+        "winnow(shingles, w) - array<bigint>: sorted distinct window-minima of md5-derived shingle hashes (MOSS fingerprints)"),
+      (exprs: Seq[Expression]) => {
+        val w = exprs(1).eval(null) match {
+          case i: Int => i
+          case other => throw new IllegalArgumentException(
+            s"winnow window must be an int literal, got $other")
+        }
+        WinnowExpr(exprs.head, w)
+      }))
   }
 }

@@ -238,13 +238,16 @@ class SketchExprSpec extends SparkSuiteBase {
           "simhash64(array('a')) AS h, " +
           "simhash_md5_60(array('a')) AS hp, " +
           "word_shingles(array('a', '', 'b', 'c'), 2) AS sh, " +
-          "int8_unpack(int8_pack(array(5, -5))) AS rt").head()
+          "int8_unpack(int8_pack(array(5, -5))) AS rt, " +
+          "winnow(array('a b', 'b c'), 4) AS wf").head()
       assert(r.getDouble(0) == 11.0)
       assert(r.getDouble(1) == 0.5)
       assert(!r.isNullAt(2))
       assert(!r.isNullAt(3))
       assert(r.getSeq[String](4) == Seq("a b", "b c"))
       assert(r.getSeq[Int](5) == Seq(5, -5))
+      // 2 shingles <= w=4: one fingerprint, the min hash
+      assert(r.getSeq[Long](6).size == 1)
     } finally {
       org.apache.spark.sql.SparkSession.setDefaultSession(base)
       org.apache.spark.sql.SparkSession.setActiveSession(base)
