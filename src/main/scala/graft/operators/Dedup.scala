@@ -303,6 +303,19 @@ object Dedup {
     * 100 TB (alternating star-contraction is the published
     * optimization if diameter ever grows; the join shape is the same).
     *
+    * `pointerJumping` (default true): each round also compresses
+    * label chains by one path-doubling step — `lbl'(v) =
+    * min(lbl(v), lbl(lbl(v)))` as one extra self-join of the label
+    * frame. Labels only ever decrease and stay inside the component
+    * (every label IS a component node id, and `lbl(u) <= u`), so the
+    * fixed point is unchanged — but a path of length d collapses in
+    * O(log d) rounds instead of d (Shiloach–Vishkin-style
+    * compression; the published fix for the chain-shaped worst case
+    * that pure min-propagation cannot survive at scale). Near-dup
+    * clique unions barely notice; adversarial chains go from
+    * "diameter rounds = job-killing" to a handful. Disable only to
+    * reproduce the textbook propagation loop.
+    *
     * `checkpointDir`: when set, each round is materialized as PARQUET
     * under that directory and read back — the 100 TB choice:
     * `localCheckpoint` pins blocks in executor memory and is
@@ -323,7 +336,8 @@ object Dedup {
     * propagation join) — no extra join per round.
     */
   def clusters(docs: DataFrame, idCol: String, pairs: DataFrame,
-      maxIterations: Int = 50, checkpointDir: Option[String] = None): DataFrame = {
+      maxIterations: Int = 50, checkpointDir: Option[String] = None,
+      pointerJumping: Boolean = true): DataFrame = {
     val spark = docs.sparkSession
     val sc = spark.sparkContext
     def persistAt(df: DataFrame, label: String): DataFrame = checkpointDir match {
@@ -358,11 +372,19 @@ object Dedup {
         // carry the previous label through the join so convergence is
         // a metadata-cheap scan of the materialized round, not a
         // second join against the old labels
-        val next = persistAt(
-          labels.join(neighborMin, col("id") === col("src"), "left")
-            .select(col("id"), col("lbl").as("prev"),
-              least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl")),
-          s"labels-${iter + 1}")
+        val stepped = labels.join(neighborMin, col("id") === col("src"), "left")
+          .select(col("id"), col("lbl").as("prev"),
+            least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+        // path doubling: follow each label one hop (lbl is itself a
+        // node id in the label frame) and take the min — one extra
+        // equi-join per round, halves the remaining chain length
+        val compressed = if (!pointerJumping) stepped else {
+          val parents = stepped.select(col("id").as("__pid"), col("lbl").as("__plbl"))
+          stepped.join(parents, col("lbl") === col("__pid"), "left")
+            .select(col("id"), col("prev"),
+              least(col("lbl"), coalesce(col("__plbl"), col("lbl"))).as("lbl"))
+        }
+        val next = persistAt(compressed, s"labels-${iter + 1}")
         changed = next.filter(col("lbl") =!= col("prev")).count()
         labels = next.select(col("id"), col("lbl"))
         dropRound(iter) // round iter+1 is materialized; iter is dead
@@ -375,7 +397,8 @@ object Dedup {
       if (changed > 0) throw new IllegalStateException(
         s"clusters() did not converge within $maxIterations iterations " +
           s"($changed labels still changing) — raise maxIterations " +
-          "(rounds needed = pair-graph diameter)")
+          "(rounds needed ~ log2(pair-graph diameter) with pointer " +
+          "jumping, = diameter without)")
       docs.select(col(idCol))
         .join(labels, docs(idCol) === labels("id"), "left")
         .select(col(idCol), coalesce(col("lbl"), col(idCol)).as("cluster"))

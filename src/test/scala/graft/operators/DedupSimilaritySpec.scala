@@ -277,6 +277,41 @@ class DedupSimilaritySpec extends SparkSuiteBase {
     }
   }
 
+  test("pointer jumping collapses a long chain in O(log d) rounds where propagation cannot") {
+    import spark.implicits._
+    val n = 120L
+    val docsN = (1L to n).toDF("doc_id")
+    val chain = (1L until n).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    // pure min-propagation moves the min one hop per round: a
+    // 120-node chain cannot converge in 12 rounds
+    intercept[IllegalStateException] {
+      Dedup.clusters(docsN, "doc_id", chain, maxIterations = 12,
+        pointerJumping = false).collect()
+    }
+    // path doubling halves the remaining chain every round
+    val out = Dedup.clusters(docsN, "doc_id", chain, maxIterations = 12)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.values.forall(_ == 1L), "whole chain is one component")
+  }
+
+  test("pointer jumping and pure propagation agree on random graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    (1 to 3).foreach { _ =>
+      val nodes = 40L
+      val docsN = (1L to nodes).toDF("doc_id")
+      val edges = Seq.fill(25)(
+        (1L + rnd.nextInt(40), 1L + rnd.nextInt(40)))
+        .filter { case (a, b) => a != b }
+        .toDF("id_a", "id_b")
+      val jumped = Dedup.clusters(docsN, "doc_id", edges)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val plain = Dedup.clusters(docsN, "doc_id", edges, pointerJumping = false)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(jumped == plain)
+    }
+  }
+
   test("IVF ANN neighbors are a subset of brute force with equal cosines; nprobe=numCells is exhaustive") {
     val e = Tables.embeddings(spark, sfDir)
     val probes = e.filter(col("vec_id") < 5)
