@@ -26,10 +26,14 @@ object PipelineQueries extends QueryGroup {
   private val dedupStages = new java.util.concurrent.ConcurrentHashMap[
     (org.apache.spark.sql.SparkSession, String), Dedup.Stage]
   private def dedupStage(s: org.apache.spark.sql.SparkSession,
-      d: String): Dedup.Stage =
+      d: String): Dedup.Stage = {
+    // bound the memo: entries for dead sessions are useless but would
+    // pin their frames (and the sessions) forever in a long-lived app
+    if (dedupStages.size > 8) dedupStages.clear()
     dedupStages.computeIfAbsent((s, d), _ =>
       Dedup.stage(Tables.documents(s, d), "doc_id", "text", "lang",
         n = 3, threshold = 0.8))
+  }
 
   /** Drop the staged frames for (session, dir). Bench calls this
     * before each q33 rep so the reported q33 time is the true mining

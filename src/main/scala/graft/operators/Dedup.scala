@@ -417,10 +417,13 @@ object Dedup {
     * Scale shape: the EVAL side is tiny by definition (benchmarks),
     * so its distinct shingle set is BROADCAST — the training corpus
     * streams through one codegen'd explode + broadcast semi-join and
-    * the only shuffle is the per-doc overlap count's partial-
-    * aggregated (doc)-keyed exchange, carrying 8-byte counts, never
-    * shingle strings. No corpus self-join anywhere: cost is linear in
-    * training tokens regardless of corpus size.
+    * the only corpus-keyed shuffle is the per-doc overlap count's
+    * partial-aggregated (doc) exchange, carrying 8-byte counts, never
+    * shingle strings (the overlap-counts-each-shingle-once dedup is
+    * `array_distinct` ROW-LOCALLY before the explode — a corpus-wide
+    * `distinct` here would shuffle every training shingle string).
+    * No corpus self-join anywhere: cost is linear in training tokens
+    * regardless of corpus size.
     */
   def decontaminate(
       train: DataFrame,
@@ -434,8 +437,8 @@ object Dedup {
       .distinct()
     val overlap = train
       .select(col(idCol).as("__doc"),
-        explode(TextFns.textShingles(col(textCol), n)).as("shingle"))
-      .distinct() // per-doc distinct: overlap counts SHARED shingles once
+        explode(array_distinct(TextFns.textShingles(col(textCol), n)))
+          .as("shingle"))
       .join(broadcast(evalShingles), "shingle")
       .groupBy(col("__doc"))
       .agg(count(lit(1)).as("n_overlap"))

@@ -97,29 +97,33 @@ class FileBroker(rootDir: String) extends EnvelopeBroker with WritableEnvelopeBr
     }
   }
 
+  // Files.list streams hold a directory fd until closed — a broker
+  // polled every micro-batch would leak fds without the try/finally
+  private def listNames(dir: Path): Seq[String] =
+    if (!Files.isDirectory(dir)) Seq.empty
+    else {
+      val s = Files.list(dir)
+      try s.iterator().asScala.map(_.getFileName.toString).toList
+      finally s.close()
+    }
+
   override def topicPartitions: Seq[(String, Int)] =
-    if (!Files.isDirectory(root)) Seq.empty
-    else Files.list(root).iterator().asScala
-      .filter(Files.isDirectory(_))
-      .map(_.getFileName.toString)
+    listNames(root)
+      .filter(n => Files.isDirectory(root.resolve(n)))
       .collect { case n if n.contains("__") =>
         val i = n.lastIndexOf("__")
         (dec(n.substring(0, i)), n.substring(i + 2).toInt)
-      }.toSeq.sorted
+      }.sorted
 
-  private def listPositions(topic: String, partition: Int): Seq[(Long, Long)] = {
-    val dir = partDir(topic, partition)
-    if (!Files.isDirectory(dir)) Seq.empty
-    else Files.list(dir).iterator().asScala
-      .map(_.getFileName.toString)
+  private def listPositions(topic: String, partition: Int): Seq[(Long, Long)] =
+    listNames(partDir(topic, partition))
       .filterNot(_.startsWith(".")) // in-flight temp files
       .flatMap { n =>
         n.split("-", 2) match {
           case Array(l, e) => Some((l.toLong, e.toLong))
           case _ => None
         }
-      }.toSeq.sorted
-  }
+      }.sorted
 
   override def read(topic: String, partition: Int,
       from: (Long, Long), until: (Long, Long)): Iterator[RawMessage] = {
