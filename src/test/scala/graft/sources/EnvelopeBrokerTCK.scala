@@ -139,6 +139,30 @@ trait EnvelopeBrokerTCK extends AnyFunSuite {
     assert(b.advance("a", 0, (1L, 1L), end, 0L)._2 == 0L)
   }
 
+  test(s"[$brokerName] CONCURRENCY: racing duplicate appends yield exactly one row per MessageId") {
+    // replayed epochs race their re-appends against live writers on a
+    // real transport; whatever interleaving occurs, the log must hold
+    // exactly one immutable row per MessageId afterwards
+    val b = newBroker()
+    val positions = (0L until 50L).map(e => (e / 10, e % 10))
+    val threads = (0 until 8).map { t =>
+      new Thread(() =>
+        positions.foreach { case (l, e) =>
+          b.append(msg("a", 0, l, e, payload = s"writer-$t"))
+        })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    val rows = b.read("a", 0, (0L, 0L), b.latest("a", 0)).toSeq
+    assert(rows.map(m => (m.ledgerId, m.entryId)) == positions,
+      "exactly one row per MessageId, in order")
+    // every surviving payload is one of the attempts, not a mix
+    rows.foreach { m =>
+      val p = new String(m.value, "UTF-8")
+      assert(p.startsWith("writer-"), s"corrupt payload: $p")
+    }
+  }
+
   test(s"[$brokerName] DISCOVERY: every appended partition is listed; latest is monotonic; partitions are isolated") {
     val b = newBroker()
     b.append(msg("a", 0, 1, 0))
