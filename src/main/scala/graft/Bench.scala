@@ -18,7 +18,7 @@ object Bench {
     "q47_dedup_clusters" -> 2.37, "q62_cluster_survivors" -> 1.17,
     "q41_multimodal" -> 0.34, "q35_simhash" -> 1.10,
     "q36_embed_neardup" -> 0.84, "q01_scan_project" -> 1.09,
-    "q58_quality_filter" -> 1.27, "q32_lang_id" -> 1.24,
+    "q58_quality_filter" -> 0.66, "q32_lang_id" -> 1.24,
     // round-5 additions, quiet-box mins at sf0.1
     "q63_multitable_ann" -> 0.66, "q64_decontaminate" -> 0.72,
     "q65_winnow_fingerprints" -> 0.49, "q66_winnow_pairs" -> 1.63,

@@ -61,6 +61,15 @@ object TextAnalysis {
       .otherwise(lit(0.0))
   }
 
+  /** [[repetitionRatio]] over a precomputed [[graft.plans
+    * .TextStatsExpr]] struct — same arithmetic, zero extra passes.
+    */
+  private def repetitionFromStats(stats: org.apache.spark.sql.Column) =
+    when(stats.getField("total_shingles") > 0,
+      lit(1.0) - stats.getField("distinct_shingles").cast("double")
+        / stats.getField("total_shingles").cast("double"))
+      .otherwise(lit(0.0))
+
   /** Composite quality verdict (Gopher-style): per-signal booleans +
     * the AND. Bounds are constructor-level policy, not magic inside
     * the plan; every signal is exact rational arithmetic both engines
@@ -80,10 +89,14 @@ object TextAnalysis {
     // ALL signals in one projection over one scan — every signal is a
     // row-local expression, so there is nothing to join (a self-join
     // on idCol here would shuffle two corpus-sized frames for no
-    // semantic gain)
+    // semantic gain). The integer inputs come from ONE codegen'd
+    // TextStatsExpr pass (the interpreted HOF chains for the same
+    // numbers were ~40% of this query's bench cost).
     val feats = docs.select(
-      (featureCols(idCol, textCol, stopwords) :+
-        repetitionRatio(col(textCol), 3).as("rep_ratio")): _*)
+      (featureCols(docs, idCol, textCol, stopwords) :+
+        repetitionFromStats(
+          graft.plans.TextStatsExpr.textStats(docs.sparkSession,
+            col(textCol), 3, stopwords)).as("rep_ratio")): _*)
     feats.select(col(idCol),
         (col("n_tokens") >= minTokens && col("n_tokens") <= maxTokens).as("ok_len"),
         (col("avg_word_len") >= minAvgWordLen
@@ -97,18 +110,26 @@ object TextAnalysis {
   }
 
   /** The shared signal projection of [[qualityFeatures]] and
-    * [[qualityFilter]] — row-local expressions only.
+    * [[qualityFilter]] — row-local expressions only. The token-level
+    * integers (count, summed lengths, stopword hits) come from one
+    * codegen'd [[graft.plans.TextStatsExpr]] pass; the ratios are the
+    * SAME arithmetic the interpreted HOF forms computed
+    * (bit-identity asserted in SketchExprSpec), so q31/q58's oracle
+    * hashes are unchanged.
     */
-  private def featureCols(idCol: String, textCol: String,
+  private def featureCols(docs: DataFrame, idCol: String, textCol: String,
       stopwords: Seq[String]): Seq[org.apache.spark.sql.Column] = {
-    val toks = TextFns.tokens(col(textCol))
+    val stats = graft.plans.TextStatsExpr.textStats(docs.sparkSession,
+      col(textCol), 3, stopwords)
+    val nTok = stats.getField("n_tokens")
     Seq(col(idCol),
-      size(toks).as("n_tokens"),
+      nTok.as("n_tokens"),
       // mean token length (not a whitespace-arithmetic shortcut, which
       // breaks on multi-space/mixed-case text)
-      (aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double")
-        / greatest(size(toks), lit(1)).cast("double")).as("avg_word_len"),
-      TextFns.stopwordRatio(toks, stopwords).as("stopword_ratio"),
+      (stats.getField("sum_word_len").cast("double")
+        / greatest(nTok, lit(1)).cast("double")).as("avg_word_len"),
+      (stats.getField("stopword_cnt").cast("double")
+        / greatest(nTok, lit(1)).cast("double")).as("stopword_ratio"),
       (length(regexp_replace(col(textCol), "[^0-9]", "")).cast("double")
         / length(col(textCol)).cast("double")).as("digit_ratio"))
   }
@@ -121,7 +142,7 @@ object TextAnalysis {
       idCol: String,
       textCol: String,
       stopwords: Seq[String]): DataFrame =
-    docs.select((featureCols(idCol, textCol, stopwords) :+
+    docs.select((featureCols(docs, idCol, textCol, stopwords) :+
       TextFns.fingerprint(col(textCol)).as("fingerprint")): _*)
 
   /** Per-document TF-IDF keyword extraction: score = tf × ln(N/df),

@@ -221,6 +221,38 @@ class SketchExprSpec extends SparkSuiteBase {
     }
   }
 
+  test("text_stats (codegen) is bit-identical to the interpreted HOF quality signals") {
+    import spark.implicits._
+    val adversarial = Seq(
+      "", " ", "\t\n  mixed\tWS   runs ", "the a the A THE",
+      "one", "repeat repeat repeat repeat repeat",
+      "ünïcödé tökens ünïcödé tökens ünïcödé",
+      "digits 123 45.6 end", "a b c d e f g h i j")
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val fixture = Tables.documents(spark, sfDir).limit(80)
+      .select(col("doc_id"), col("text"))
+      .unionByName(adversarial.toDF("doc_id", "text"))
+    val stops = Seq("the", "a")
+    val stats = TextStatsExpr.textStats(spark, col("text"), 3, stops)
+    val toks = TextFns.tokens(col("text"))
+    val sh = TextFns.textShingles(col("text"), 3)
+    val diff = fixture.select(
+        (stats.getField("n_tokens") =!= size(toks)).as("d1"),
+        (stats.getField("sum_word_len") =!=
+          aggregate(toks, lit(0L), (acc, t) => acc + length(t))).as("d2"),
+        (stats.getField("stopword_cnt").cast("double") /
+          greatest(stats.getField("n_tokens"), lit(1)).cast("double")
+          =!= TextFns.stopwordRatio(toks, stops)).as("d3"),
+        (stats.getField("total_shingles") =!= size(sh)).as("d4"),
+        (stats.getField("distinct_shingles") =!= size(array_distinct(sh))).as("d5"))
+      .filter(col("d1") || col("d2") || col("d3") || col("d4") || col("d5"))
+    assert(diff.count() == 0, "codegen stats diverged from the HOF forms")
+    // null text propagates
+    val n = Seq((1L, null: String)).toDF("doc_id", "text")
+      .select(TextStatsExpr.textStats(spark, col("text"), 3, stops)).head()
+    assert(n.isNullAt(0))
+  }
+
   test("GraftExtensions makes all codegen functions SQL-resolvable in a fresh session") {
     val base = spark // keep the shared context alive
     org.apache.spark.sql.SparkSession.clearActiveSession()
