@@ -142,11 +142,15 @@ object PipelineQueries extends QueryGroup {
       |  CAST(coalesce(list_sum(list_transform(l, w -> CAST(ceil(length(w) / 6.0) AS BIGINT))), 0) AS BIGINT) AS est_tokens,
       |  CAST(len(l) AS BIGINT) AS n_words
       |FROM tk ORDER BY doc_id""".stripMargin) { (s, d) =>
-    import graft.functions.TextFns
+    // one codegen'd text_stats pass; integer (L+5)/6 == ceil(L/6.0)
+    // exactly, so the oracle arithmetic is unchanged (TextFns
+    // .tokenCountEstimate stays as the composable HOF reference form,
+    // bit-identity asserted in SketchExprSpec)
+    val stats = graft.plans.TextStatsExpr.textStats(s, col("text"), 3, Seq.empty)
     Tables.documents(s, d)
       .select(col("doc_id"),
-        TextFns.tokenCountEstimate(col("text")).as("est_tokens"),
-        size(TextFns.tokens(col("text"))).cast("long").as("n_words"))
+        stats.getField("bpe_est").as("est_tokens"),
+        stats.getField("n_tokens").cast("long").as("n_words"))
       .orderBy(col("doc_id"))
   }
 

@@ -26,6 +26,9 @@ import org.apache.spark.unsafe.types.UTF8String
   *   - stopword_cnt: Int      (= count of tokens ∈ stopwords)
   *   - total_shingles: Int    (= size of the n-gram shingle list)
   *   - distinct_shingles: Int (= size of its distinct set)
+  *   - bpe_est: Long          (= Σ ceil(length(token)/6) — the BPE-ish
+  *                             token-count estimate; integer (L+5)/6
+  *                             is exactly ceil(L/6.0) for L < 2^52)
   */
 case class TextStatsExpr(child: Expression, n: Int, stopwords: Seq[String])
     extends UnaryExpression {
@@ -70,7 +73,8 @@ object TextStatsExpr {
     StructField("sum_word_len", LongType, nullable = false),
     StructField("stopword_cnt", IntegerType, nullable = false),
     StructField("total_shingles", IntegerType, nullable = false),
-    StructField("distinct_shingles", IntegerType, nullable = false)))
+    StructField("distinct_shingles", IntegerType, nullable = false),
+    StructField("bpe_est", LongType, nullable = false)))
 
   private val ws = java.util.regex.Pattern.compile("\\s+")
 
@@ -85,6 +89,7 @@ object TextStatsExpr {
     var nTok = 0
     var sumLen = 0L
     var stopCnt = 0
+    var bpe = 0L
     var i = 0
     while (i < toks.length) {
       val t = toks(i)
@@ -92,7 +97,9 @@ object TextStatsExpr {
         nTok += 1
         // length in CODE POINTS — Spark's length() counts characters,
         // not UTF-16 units, and the HOF forms must stay bit-identical
-        sumLen += t.codePointCount(0, t.length)
+        val len = t.codePointCount(0, t.length)
+        sumLen += len
+        bpe += (len + 5) / 6
         if (stop.contains(t)) stopCnt += 1
       }
       i += 1
@@ -124,7 +131,7 @@ object TextStatsExpr {
         i += 1
       }
     }
-    new GenericInternalRow(Array[Any](nTok, sumLen, stopCnt, total, distinct))
+    new GenericInternalRow(Array[Any](nTok, sumLen, stopCnt, total, distinct, bpe))
   }
 
   /** Register `text_stats` in the session's function registry (the

@@ -244,8 +244,9 @@ class SketchExprSpec extends SparkSuiteBase {
           greatest(stats.getField("n_tokens"), lit(1)).cast("double")
           =!= TextFns.stopwordRatio(toks, stops)).as("d3"),
         (stats.getField("total_shingles") =!= size(sh)).as("d4"),
-        (stats.getField("distinct_shingles") =!= size(array_distinct(sh))).as("d5"))
-      .filter(col("d1") || col("d2") || col("d3") || col("d4") || col("d5"))
+        (stats.getField("distinct_shingles") =!= size(array_distinct(sh))).as("d5"),
+        (stats.getField("bpe_est") =!= TextFns.tokenCountEstimate(col("text"))).as("d6"))
+      .filter(col("d1") || col("d2") || col("d3") || col("d4") || col("d5") || col("d6"))
     assert(diff.count() == 0, "codegen stats diverged from the HOF forms")
     // null text propagates
     val n = Seq((1L, null: String)).toDF("doc_id", "text")
