@@ -372,19 +372,34 @@ object Dedup {
         // carry the previous label through the join so convergence is
         // a metadata-cheap scan of the materialized round, not a
         // second join against the old labels
-        val stepped = labels.join(neighborMin, col("id") === col("src"), "left")
+        val steppedPlan = labels.join(neighborMin, col("id") === col("src"), "left")
           .select(col("id"), col("lbl").as("prev"),
             least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
-        // path doubling: follow each label one hop (lbl is itself a
-        // node id in the label frame) and take the min — one extra
-        // equi-join per round, halves the remaining chain length
-        val compressed = if (!pointerJumping) stepped else {
+        val next = if (!pointerJumping) {
+          persistAt(steppedPlan, s"labels-${iter + 1}")
+        } else {
+          // path doubling: follow each label one hop (lbl is itself a
+          // node id in the label frame) and take the min — one extra
+          // SELF-join of the label frame per round, halving the
+          // remaining chain length. The stepped frame is materialized
+          // FIRST: the self-join reads it twice, and without that each
+          // read would re-execute the expensive edge join above
+          // (doubling the round's cost for nothing)
+          val stepped = persistAt(steppedPlan, s"labels-${iter + 1}-pre")
           val parents = stepped.select(col("id").as("__pid"), col("lbl").as("__plbl"))
-          stepped.join(parents, col("lbl") === col("__pid"), "left")
-            .select(col("id"), col("prev"),
-              least(col("lbl"), coalesce(col("__plbl"), col("lbl"))).as("lbl"))
+          val out = persistAt(
+            stepped.join(parents, col("lbl") === col("__pid"), "left")
+              .select(col("id"), col("prev"),
+                least(col("lbl"), coalesce(col("__plbl"), col("lbl"))).as("lbl")),
+            s"labels-${iter + 1}")
+          // the pre frame is dead as soon as the round materializes
+          checkpointDir.foreach { dir =>
+            val p = new org.apache.hadoop.fs.Path(s"$dir/labels-${iter + 1}-pre")
+            p.getFileSystem(sc.hadoopConfiguration).delete(p, true)
+            ()
+          }
+          out
         }
-        val next = persistAt(compressed, s"labels-${iter + 1}")
         changed = next.filter(col("lbl") =!= col("prev")).count()
         labels = next.select(col("id"), col("lbl"))
         dropRound(iter) // round iter+1 is materialized; iter is dead
