@@ -12,17 +12,18 @@ object Bench {
     */
   private val priorMins: Map[String, Double] = Map(
     "q33_ngram_jaccard" -> 2.15, "q34_minhash_lsh" -> 1.82,
-    // q47/q62 priors are the STAGED incremental costs (propagation
-    // over staged pairs; survivor argmax over staged clusters) —
-    // round-5 quiet-box mins after the Dedup.Stage rewire
-    "q47_dedup_clusters" -> 2.37, "q62_cluster_survivors" -> 1.17,
+    // q47/q62 priors are the STAGED incremental costs (pointer-jumped
+    // propagation over staged pairs; survivor argmax over staged
+    // clusters) — round-5 quiet-box mins after the Dedup.Stage rewire
+    "q47_dedup_clusters" -> 1.37, "q62_cluster_survivors" -> 1.17,
     "q41_multimodal" -> 0.34, "q35_simhash" -> 1.10,
     "q36_embed_neardup" -> 0.84, "q01_scan_project" -> 1.09,
     "q58_quality_filter" -> 0.66, "q32_lang_id" -> 1.24,
     // round-5 additions, quiet-box mins at sf0.1
     "q63_multitable_ann" -> 0.66, "q64_decontaminate" -> 0.72,
     "q65_winnow_fingerprints" -> 0.49, "q66_winnow_pairs" -> 1.63,
-    "q67_asof_forward" -> 0.65, "q68_asof_nearest" -> 0.88)
+    "q67_asof_forward" -> 0.65, "q68_asof_nearest" -> 0.88,
+    "q69_curation" -> 5.35)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

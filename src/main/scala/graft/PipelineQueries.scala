@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFns
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Curation, Dedup, Multimodal, Similarity, TextAnalysis}
 
 /** LLM-data-pipeline operator surface (SURVEY §2B R-19/R-20/R-21 +
   * BASELINE north star): text analysis, language-ID, near-dup
@@ -802,6 +802,78 @@ object PipelineQueries extends QueryGroup {
     TextAnalysis.winnowOverlapPairs(Tables.documents(s, d),
         "doc_id", "text", k = 3, windowSize = 4, minShared = 5)
       .orderBy(col("id_a"), col("id_b"))
+  }
+
+  // R-18/R-19/R-21 capstone: the END-TO-END curation pass — quality
+  // filter ∧ eval-set decontamination ∧ dedup-survivor, one decision
+  // row per training doc (doc_id%20==0 stands in for the benchmark
+  // split). Every signal reuses a CTE block already gated on its own
+  // (q58 quality, q64 overlap, q33/q47/q62 pair→cluster→survivor),
+  // composed here exactly like Curation.curate composes the
+  // operators.
+  q("q69_curation",
+    s"""WITH RECURSIVE trn AS (SELECT * FROM documents WHERE doc_id % 20 <> 0),
+       |${jaccardPairCtes.replace("FROM documents", "FROM trn")},
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM pr
+       |          UNION SELECT id_b, id_a FROM pr),
+       |reach(id, lbl) AS (
+       |  SELECT doc_id, doc_id FROM trn
+       |  UNION
+       |  SELECT e.src, r.lbl FROM reach r JOIN edges e ON e.dst = r.id),
+       |comp AS (SELECT id AS doc_id, min(lbl) AS cluster FROM reach GROUP BY id),
+       |tk AS (SELECT doc_id, text, $sqlTokens AS l FROM trn),
+       |f AS (SELECT doc_id,
+       |  len(l) AS n_tokens,
+       |  coalesce(list_sum(list_transform(l, t -> length(t))), 0) * 1.0
+       |    / greatest(len(l), 1) AS awl,
+       |  len(list_filter(l, x -> x = 'the' OR x = 'a')) * 1.0
+       |    / greatest(len(l), 1) AS swr,
+       |  length(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0
+       |    / length(text) AS dr,
+       |  list_transform(generate_series(1, len(l) - 2),
+       |    i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2]) AS s
+       |FROM tk),
+       |g AS (SELECT doc_id, n_tokens, awl, swr, dr,
+       |  CASE WHEN len(s) > 0 THEN 1.0 - len(list_distinct(s)) * 1.0 / len(s)
+       |       ELSE 0.0 END AS rr FROM f),
+       |qq AS (SELECT doc_id,
+       |  CAST(n_tokens BETWEEN 5 AND 10000 AS INT)
+       |  + CAST(awl >= 2.0 AND awl <= 12.0 AS INT)
+       |  + CAST(swr > 0.0 AS INT)
+       |  + CAST(dr < 0.2 AS INT)
+       |  + CAST(rr < 0.3 AS INT) AS passes,
+       |  ((n_tokens BETWEEN 5 AND 10000) AND (awl >= 2.0 AND awl <= 12.0)
+       |    AND swr > 0.0 AND dr < 0.2 AND rr < 0.3) AS ok_quality FROM g),
+       |tk5 AS (SELECT doc_id, $sqlTokens AS l FROM documents),
+       |sh5 AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(l) - 4),
+       |          i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2] || ' ' || l[i+3] || ' ' || l[i+4])) AS shingle
+       |        FROM tk5),
+       |ev AS (SELECT DISTINCT shingle FROM sh5 WHERE doc_id % 20 = 0),
+       |tr5 AS (SELECT DISTINCT doc_id, shingle FROM sh5 WHERE doc_id % 20 <> 0),
+       |ov AS (SELECT tr5.doc_id, count(*) AS n_overlap
+       |       FROM tr5 JOIN ev USING (shingle) GROUP BY 1),
+       |j AS (SELECT comp.doc_id, comp.cluster, qq.passes, qq.ok_quality
+       |      FROM comp JOIN qq USING (doc_id)),
+       |surv AS (SELECT cluster, doc_id AS sid FROM (
+       |    SELECT cluster, doc_id,
+       |      row_number() OVER (PARTITION BY cluster
+       |        ORDER BY passes DESC, doc_id) AS rn FROM j)
+       |  WHERE rn = 1)
+       |SELECT j.doc_id, j.cluster, CAST(j.passes AS INT) AS passes,
+       |  j.ok_quality,
+       |  coalesce(ov.n_overlap, 0) >= 1 AS contaminated,
+       |  (j.doc_id = surv.sid) AS keep_dedup,
+       |  (j.ok_quality AND coalesce(ov.n_overlap, 0) < 1
+       |    AND j.doc_id = surv.sid) AS keep
+       |FROM j JOIN surv ON j.cluster = surv.cluster
+       |LEFT JOIN ov ON ov.doc_id = j.doc_id
+       |ORDER BY j.doc_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    Curation.curate(
+        docs.filter(pmod(col("doc_id"), lit(20)) =!= 0),
+        docs.filter(pmod(col("doc_id"), lit(20)) === 0),
+        "doc_id", "text", "lang", Seq("the", "a"))
+      .orderBy(col("doc_id"))
   }
 
   /** DuckDB sign-bucket string over dims [tbl*bits+1 .. (tbl+1)*bits]

@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** End-to-end training-data curation: the single call a pipeline
+  * user makes per corpus snapshot, composing the individually-gated
+  * stages into one keep/drop decision per document —
+  *
+  *   1. QUALITY   — Gopher-style composite filter
+  *                  ([[TextAnalysis.qualityFilter]], one codegen scan);
+  *   2. DECONTAMINATION — eval-set n-gram overlap
+  *                  ([[Dedup.decontaminate]], broadcast semi-join);
+  *   3. DEDUP     — staged pairs → clusters → best-quality survivor
+  *                  ([[Dedup.Stage]] + [[Dedup.clusterSurvivors]],
+  *                  one mined pair frame, pointer-jumped components).
+  *
+  * Signals are computed INDEPENDENTLY and AND-ed (`keep` =
+  * quality ∧ ¬contaminated ∧ dedup-survivor): the survivor argmax runs
+  * over the full training corpus, not the post-filter subset, so a
+  * cluster whose best copy fails quality still keeps exactly one
+  * representative row flagged — every drop is diagnosable from its
+  * three booleans. Every input row is preserved.
+  *
+  * Scale shape: stage 1 and the contamination flag are row-local or
+  * broadcast work; the dedup stage owns the only corpus self-join;
+  * the final assembly is three id-keyed equi-joins of narrow signal
+  * frames. `checkpointDir` flows to the stage for cluster-scale runs.
+  */
+object Curation {
+
+  def curate(
+      train: DataFrame,
+      eval: DataFrame,
+      idCol: String,
+      textCol: String,
+      blockCol: String,
+      stopwords: Seq[String],
+      shingleN: Int = 3,
+      jaccardThreshold: Double = 0.8,
+      decontamN: Int = 5,
+      minOverlap: Int = 1,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val quality = TextAnalysis.qualityFilter(train, idCol, textCol, stopwords)
+      .select(col(idCol),
+        (col("ok_len").cast("int") + col("ok_word_len").cast("int")
+          + col("ok_stopwords").cast("int") + col("ok_digits").cast("int")
+          + col("ok_repetition").cast("int")).as("passes"),
+        col("keep").as("ok_quality"))
+    val contam = Dedup.decontaminate(train, eval, idCol, textCol,
+        decontamN, minOverlap)
+      .select(col(idCol), col("contaminated"))
+    val stage = Dedup.stageWith(train, idCol,
+      () => Dedup.ngramJaccardPairs(train, idCol, textCol, blockCol,
+        shingleN, jaccardThreshold),
+      checkpointDir)
+    val surv = stage.survivors(quality.select(col(idCol), col("passes")),
+        "passes")
+      .select(col(idCol), col("cluster"), col("keep").as("keep_dedup"))
+    quality
+      .join(contam, idCol)
+      .join(surv, idCol)
+      .withColumn("keep",
+        col("ok_quality") && !col("contaminated") && col("keep_dedup"))
+      .select(col(idCol), col("cluster"), col("passes"), col("ok_quality"),
+        col("contaminated"), col("keep_dedup"), col("keep"))
+  }
+}

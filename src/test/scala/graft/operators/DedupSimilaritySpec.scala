@@ -448,6 +448,35 @@ class DedupSimilaritySpec extends SparkSuiteBase {
     }
   }
 
+  test("curation pipeline: each drop reason fires independently and keep is their AND") {
+    import spark.implicits._
+    val good = "the quick brown fox jumps over a lazy dog while the sun sets slowly tonight"
+    val train = Seq(
+      (1L, good, "en"),                                   // kept
+      (2L, "111 222 333 444 555 666 777 888", "en"),      // fails quality (digits)
+      (3L, s"$good and nothing else matters here", "en"), // near-dup of 4, fewer tokens
+      (4L, s"$good and nothing else matters here today friends", "en"), // survivor (more tokens, passes same; min id? both pass all -> tie to smaller id 3!)
+      (5L, "benchmark secret passage alpha beta gamma delta epsilon zeta indeed", "en") // contaminated
+    ).toDF("doc_id", "text", "lang")
+    val evalSet = Seq(
+      (100L, "unrelated framing benchmark secret passage alpha beta gamma delta epsilon zeta closing", "en"))
+      .toDF("doc_id", "text", "lang")
+    val out = Curation.curate(train, evalSet, "doc_id", "text", "lang",
+        Seq("the", "a"))
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Boolean]("ok_quality"), r.getAs[Boolean]("contaminated"),
+          r.getAs[Boolean]("keep_dedup"), r.getAs[Boolean]("keep"))).toMap
+    assert(out.size == 5, "every training row preserved")
+    assert(out(1L) == ((true, false, true, true)), s"clean doc kept: ${out(1L)}")
+    assert(!out(2L)._1 && !out(2L)._4, s"quality drop: ${out(2L)}")
+    assert(out(5L)._2 && !out(5L)._4, s"contamination drop: ${out(5L)}")
+    // 3 and 4 are near-dups with equal quality passes: the tie breaks
+    // to the smaller id, so 3 survives the dedup and 4 does not
+    assert(out(3L)._3 && out(3L)._4, s"dup survivor kept: ${out(3L)}")
+    assert(!out(4L)._3 && !out(4L)._4, s"dup loser dropped: ${out(4L)}")
+  }
+
   test("staged dedup pipeline: same results as the unstaged operators, no re-mining") {
     val stage = Dedup.stage(docs, "doc_id", "text", "lang",
       n = 3, threshold = 0.8)
