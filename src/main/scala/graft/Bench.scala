@@ -23,7 +23,7 @@ object Bench {
     "q63_multitable_ann" -> 0.66, "q64_decontaminate" -> 0.72,
     "q65_winnow_fingerprints" -> 0.49, "q66_winnow_pairs" -> 1.63,
     "q67_asof_forward" -> 0.65, "q68_asof_nearest" -> 0.88,
-    "q69_curation" -> 5.35)
+    "q69_curation" -> 5.35, "q70_stream_neardup_twin" -> 0.83)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

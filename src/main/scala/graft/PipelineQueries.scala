@@ -748,12 +748,12 @@ object PipelineQueries extends QueryGroup {
       .orderBy(col("doc_id"))
   }
 
-  // R-21: winnowing fingerprints (MOSS rolling-hash selection) — the
-  // fingerprint column emitted as CSV (the q55 trick: the driver's
-  // canonicalizer cannot sort raw array cells). k=3-gram shingles,
-  // window 4: any shared 6-token run guarantees a shared fingerprint.
-  q("q65_winnow_fingerprints",
-    s"""WITH tk AS (SELECT doc_id, $sqlTokens AS l FROM documents),
+  /** Shared winnowing CTE chain (q65/q66/q70): 3-gram shingles →
+    * md5-derived hashes → window-4 minima per [[graft.plans
+    * .WinnowExpr]]'s contract (empty → [], short doc → single min).
+    */
+  private val winnowCtes: String =
+    s"""tk AS (SELECT doc_id, $sqlTokens AS l FROM documents),
        |sh AS (SELECT doc_id, list_transform(generate_series(1, len(l) - 2),
        |         i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2]) AS s FROM tk),
        |h AS (SELECT doc_id, list_transform(s,
@@ -763,7 +763,14 @@ object PipelineQueries extends QueryGroup {
        |    WHEN len(hs) <= 4 THEN [list_min(hs)]
        |    ELSE list_sort(list_distinct(list_transform(
        |      generate_series(1, len(hs) - 3), i -> list_min(hs[i:i+3]))))
-       |    END AS fps FROM h)
+       |    END AS fps FROM h)""".stripMargin
+
+  // R-21: winnowing fingerprints (MOSS rolling-hash selection) — the
+  // fingerprint column emitted as CSV (the q55 trick: the driver's
+  // canonicalizer cannot sort raw array cells). k=3-gram shingles,
+  // window 4: any shared 6-token run guarantees a shared fingerprint.
+  q("q65_winnow_fingerprints",
+    s"""WITH $winnowCtes
        |SELECT doc_id, array_to_string(fps, ',') AS fp_csv,
        |  CAST(len(fps) AS INT) AS n_fp
        |FROM f ORDER BY doc_id""".stripMargin) { (s, d) =>
@@ -780,17 +787,7 @@ object PipelineQueries extends QueryGroup {
   // shingle joins at ~2/(w+1) the exchange traffic). DF cap mirrored
   // in both engines.
   q("q66_winnow_pairs",
-    s"""WITH tk AS (SELECT doc_id, $sqlTokens AS l FROM documents),
-       |sh AS (SELECT doc_id, list_transform(generate_series(1, len(l) - 2),
-       |         i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2]) AS s FROM tk),
-       |h AS (SELECT doc_id, list_transform(s,
-       |         x -> CAST('0x' || substr(md5(x), 1, 15) AS BIGINT)) AS hs FROM sh),
-       |f AS (SELECT doc_id, CASE
-       |    WHEN len(hs) = 0 THEN []::BIGINT[]
-       |    WHEN len(hs) <= 4 THEN [list_min(hs)]
-       |    ELSE list_sort(list_distinct(list_transform(
-       |      generate_series(1, len(hs) - 3), i -> list_min(hs[i:i+3]))))
-       |    END AS fps FROM h),
+    s"""WITH $winnowCtes,
        |e AS (SELECT doc_id, unnest(fps) AS fp FROM f),
        |surv AS (SELECT doc_id, fp FROM (
        |    SELECT *, count(*) OVER (PARTITION BY fp) AS df FROM e)
@@ -874,6 +871,22 @@ object PipelineQueries extends QueryGroup {
         docs.filter(pmod(col("doc_id"), lit(20)) === 0),
         "doc_id", "text", "lang", Seq("the", "a"))
       .orderBy(col("doc_id"))
+  }
+
+  // S-5 × R-19: streaming near-dup dedup batch twin — keyed on the
+  // min winnowing fingerprint (sorted ascending, so fps[1] IS the
+  // min); survivor = min doc id per key, the deterministic first
+  // arrival under id-ordered feed (stream equality proven in
+  // StreamingSemanticsSpec).
+  q("q70_stream_neardup_twin",
+    s"""WITH $winnowCtes,
+       |fp AS (SELECT doc_id, CASE WHEN len(fps) = 0 THEN NULL
+       |         ELSE fps[1] END AS fp_min FROM f)
+       |SELECT fp_min, min(doc_id) AS survivor_doc, count(*) AS n_docs
+       |FROM fp WHERE fp_min IS NOT NULL
+       |GROUP BY fp_min ORDER BY survivor_doc""".stripMargin) { (s, d) =>
+    StreamingQueries.nearDupDedupTwin(Tables.documents(s, d))
+      .orderBy(col("survivor_doc"))
   }
 
   /** DuckDB sign-bucket string over dims [tbl*bits+1 .. (tbl+1)*bits]

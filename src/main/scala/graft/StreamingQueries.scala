@@ -125,6 +125,32 @@ object StreamingQueries extends QueryGroup {
       .groupBy(col("user_id"), col("event_type"))
       .agg(min(col("batch")).as("first_batch"), count(lit(1)).as("n_arrivals"))
 
+  /** S-5 × R-19: batch twin of STREAMING near-duplicate dedup,
+    * blocked by the MIN winnowing fingerprint — the key that lets
+    * `dropDuplicates` state carry near-dup evidence: two docs sharing
+    * their minimal fingerprint share content, so keying the streaming
+    * dedup on it suppresses near-dup arrivals with bounded per-key
+    * state (one fingerprint per doc, not the full set — the standard
+    * min-hash blocking trade: recall only for pairs agreeing on the
+    * MINIMUM, which near-identical docs overwhelmingly do).
+    *
+    * Twin semantics (q53's pattern): per non-null key, the
+    * deterministic SURVIVOR (min doc id = first arrival under id-
+    * ordered feed) and the suppressed count. Docs with no fingerprint
+    * (no 3-gram) carry no dedup evidence and pass through outside
+    * this frame. Stream-vs-batch equality is proven in
+    * StreamingSemanticsSpec over a MemoryStream feed.
+    */
+  def nearDupDedupTwin(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    graft.operators.TextAnalysis
+      .winnowFingerprints(docs, "doc_id", "text", k = 3, windowSize = 4)
+      .select(col("doc_id"),
+        when(size(col("fingerprints")) > 0,
+          element_at(col("fingerprints"), 1)).as("fp_min"))
+      .filter(col("fp_min").isNotNull)
+      .groupBy(col("fp_min"))
+      .agg(min(col("doc_id")).as("survivor_doc"), count(lit(1)).as("n_docs"))
+
   // ---------------------------------------------------------------- S-2
   // Tumbling 1-minute window (epoch-aligned = date_trunc minute) — the
   // reference's 60 s sampling cadence (PulsarPartitionSyncWorker

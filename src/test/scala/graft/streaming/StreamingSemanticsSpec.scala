@@ -15,6 +15,8 @@ case class Ev(event_id: Long, ts: Timestamp, user_id: Long, value: Double)
 
 case class EvK(event_id: Long, ts: Timestamp, user_id: Long, event_type: String)
 
+case class Doc(doc_id: Long, text: String)
+
 class StreamingSemanticsSpec extends SparkSuiteBase {
 
   import spark.implicits._
@@ -212,6 +214,43 @@ class StreamingSemanticsSpec extends SparkSuiteBase {
     // non-vacuous: the stream really suppressed duplicate keys
     assert(twin.values.exists(_._2 > 1L))
     assert(twin.size < arrival.length)
+  }
+
+  test("q70 batch twin equals streaming near-dup dedup keyed on the min fingerprint (S-5 × R-19)") {
+    // the documents fixture streamed in doc_id order, ONE doc per
+    // micro-batch (within a batch dropDuplicates keeps an ARBITRARY
+    // row of a tied key — per-batch feed makes first-arrival = min
+    // doc id exact): the streaming survivors must equal the batch
+    // twin's
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+      .orderBy(col("doc_id"))
+      .collect().map(r => Doc(r.getLong(0), r.getString(1)))
+    val ms = MemoryStream[Doc](spark, 1)
+    val fps = graft.operators.TextAnalysis.winnowFingerprints(
+      ms.toDF(), "doc_id", "text", k = 3, windowSize = 4)
+    val q = fps
+      .select(col("doc_id"),
+        when(size(col("fingerprints")) > 0,
+          element_at(col("fingerprints"), 1)).as("fp_min"))
+      .filter(col("fp_min").isNotNull)
+      .dropDuplicates("fp_min")
+      .writeStream.format("memory").queryName("q70twin")
+      .outputMode("append").start()
+    docs.foreach { d =>
+      ms.addData(d)
+      q.processAllAvailable()
+    }
+    val streamed = spark.table("q70twin").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    q.stop()
+    val twin = graft.StreamingQueries.nearDupDedupTwin(
+        graft.Tables.documents(spark, sfDir))
+      .select("survivor_doc").collect().map(_.getLong(0)).toSet
+    assert(streamed == twin,
+      s"stream-only: ${streamed.diff(twin).take(5)}; twin-only: ${twin.diff(streamed).take(5)}")
+    // non-vacuous: state actually suppressed near-dups
+    assert(twin.size < docs.length)
   }
 
   test("stream-static join enriches the stream (S-7)") {
