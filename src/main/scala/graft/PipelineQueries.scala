@@ -142,11 +142,12 @@ object PipelineQueries extends QueryGroup {
       |  CAST(coalesce(list_sum(list_transform(l, w -> CAST(ceil(length(w) / 6.0) AS BIGINT))), 0) AS BIGINT) AS est_tokens,
       |  CAST(len(l) AS BIGINT) AS n_words
       |FROM tk ORDER BY doc_id""".stripMargin) { (s, d) =>
-    // one codegen'd text_stats pass; integer (L+5)/6 == ceil(L/6.0)
-    // exactly, so the oracle arithmetic is unchanged (TextFns
-    // .tokenCountEstimate stays as the composable HOF reference form,
-    // bit-identity asserted in SketchExprSpec)
-    val stats = graft.plans.TextStatsExpr.textStats(s, col("text"), 3, Seq.empty)
+    // one codegen'd text_stats pass (n=0: the shingle fields are
+    // never read here, so their work is skipped); integer (L+5)/6 ==
+    // ceil(L/6.0) exactly, so the oracle arithmetic is unchanged
+    // (TextFns.tokenCountEstimate stays as the composable HOF
+    // reference form, bit-identity asserted in SketchExprSpec)
+    val stats = graft.plans.TextStatsExpr.textStats(s, col("text"), 0, Seq.empty)
     Tables.documents(s, d)
       .select(col("doc_id"),
         stats.getField("bpe_est").as("est_tokens"),

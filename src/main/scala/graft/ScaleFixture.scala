@@ -12,10 +12,15 @@ import org.apache.spark.sql.functions._
   * super-linear bench time is then the engine's fault, not the
   * fixture's:
   *
-  *   - documents: copy k suffixes every token with `x<k>`
-  *     (`regexp_replace(text, '(\S+)', '$1xk')`), so shingles NEVER
-  *     match across copies and the pair graph is `factor` disjoint
-  *     images of the sf0.1 graph — pair count scales exactly ×factor.
+  *   - documents: EVERY copy k (including 0) suffixes every token
+  *     with the FIXED-WIDTH `x<kk>` (`$1x07` for copy 7), so shingles
+  *     never match across copies and the pair graph is `factor`
+  *     disjoint isomorphic images of the sf0.1 graph — pair count
+  *     scales exactly ×factor. Fixed width + all-copies is what makes
+  *     the claim unconditional: with copy 0 left verbatim, a source
+  *     token that already ENDS in `x<k>` (id-ish strings) could
+  *     collide with copy k's image of its prefix; equal-length
+  *     suffixes can only be equal when the copy indices are equal.
   *     A naive text copy would instead make every planted near-dup
   *     cluster `factor`× larger (quadratic pair growth inside each
   *     cluster) and the measurement would conflate fixture-induced
@@ -45,14 +50,15 @@ object ScaleFixture {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    require(factor >= 1 && factor <= 100,
+      "fixed-width 2-digit copy suffixes cover factor <= 100")
     val idStep = 10000000L // copy id spaces can never collide
 
     val docs = spark.read.parquet(s"$src/documents.parquet")
     (0 until factor).map { k =>
       docs.select(
         (col("doc_id") + lit(k * idStep)).as("doc_id"),
-        (if (k == 0) col("text")
-         else regexp_replace(col("text"), "(\\S+)", s"$$1x$k")).as("text"),
+        regexp_replace(col("text"), "(\\S+)", f"$$1x$k%02d").as("text"),
         col("lang"), col("source"), col("n_chars"))
     }.reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$dst/documents.parquet")

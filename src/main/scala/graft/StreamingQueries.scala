@@ -61,10 +61,12 @@ object StreamingQueries extends QueryGroup {
     // — on a recompute (task retry, speculative execution, AQE
     // re-plan) repartitionByRange's sampling may assign DIFFERENT pids
     // in the two executions, silently corrupting the offsets. Pinning
-    // the materialization makes both reads share one pid layout; the
-    // returned frame keeps the cache alive for its own lifetime
-    // (caller may unpersist via .unpersist() on a parent once done —
-    // at most numParts x batch rows of (long,long,int), LRU-evictable).
+    // the materialization makes both reads share one pid layout. The
+    // cached frame is the FULL event stream (one (long,long,int) row
+    // per event — corpus-sized, not numParts x batch), pinned
+    // MEMORY_AND_DISK until the session ends or the ContextCleaner
+    // collects it; a caller looping over many corpora should
+    // .unpersist() the returned frame's parent once consumed.
     val parted = jittered(events)
       .repartitionByRange(numParts, col("ak"), col("event_id"))
       .withColumn("pid", spark_partition_id())

@@ -41,7 +41,10 @@ object AsOfJoin {
       buildTs: String,
       payload: Seq[String]): DataFrame = {
     val payloadStruct = struct(payload.map(build(_)): _*)
-    val b = build.select(
+    // a null build ts satisfies NO comparison (`b.ts <= p.ts` is never
+    // true in SQL) — without the filter it would sort nulls-first and
+    // become a phantom floor for probes with no real one
+    val b = build.filter(build(buildTs).isNotNull).select(
       keys.map(build(_)) ++ Seq(
         build(buildTs).as("__asof_ts"),
         lit(0).as("__asof_side"),
@@ -59,7 +62,13 @@ object AsOfJoin {
       .orderBy(col("__asof_ts"), col("__asof_side"), col("__asof_payload"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = unioned
-      .withColumn("__asof_hit", last(col("__asof_payload"), ignoreNulls = true).over(w))
+      // a null PROBE ts matches nothing either (`b.ts <= NULL` is
+      // never true) — nulls-first ordering happens to give it an
+      // empty frame here, but the guard states the contract instead
+      // of leaning on sort-order coincidence
+      .withColumn("__asof_hit",
+        when(col("__asof_ts").isNotNull,
+          last(col("__asof_payload"), ignoreNulls = true).over(w)))
       .filter(col("__asof_side") === 1)
     carried.select(
       (keys ++ probeOnly).map(col) ++
@@ -83,7 +92,8 @@ object AsOfJoin {
       buildTs: String,
       payload: Seq[String]): DataFrame = {
     val payloadStruct = struct(payload.map(build(_)): _*)
-    val b = build.select(
+    // null build ts matches nothing (`b.ts >= p.ts` never true)
+    val b = build.filter(build(buildTs).isNotNull).select(
       keys.map(build(_)) ++ Seq(
         build(buildTs).as("__asof_ts"),
         lit(0).as("__asof_side"),
@@ -103,7 +113,12 @@ object AsOfJoin {
       .orderBy(col("__asof_ts").desc, col("__asof_side"), col("__asof_payload"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = unioned
-      .withColumn("__asof_hit", last(col("__asof_payload"), ignoreNulls = true).over(w))
+      // a null PROBE ts sorts nulls-LAST under desc, so its preceding
+      // frame would contain EVERY build row and fabricate a match —
+      // the guard enforces `b.ts >= NULL is never true`
+      .withColumn("__asof_hit",
+        when(col("__asof_ts").isNotNull,
+          last(col("__asof_payload"), ignoreNulls = true).over(w)))
       .filter(col("__asof_side") === 1)
     carried.select(
       (keys ++ probeOnly).map(col) ++
@@ -140,7 +155,8 @@ object AsOfJoin {
     // read it after the window pass
     val payloadStruct = struct(
       (build(buildTs).as("__ts") +: payload.map(build(_))): _*)
-    val b = build.select(
+    // null build ts is on neither side of any probe
+    val b = build.filter(build(buildTs).isNotNull).select(
       keys.map(build(_)) ++ Seq(
         build(buildTs).as("__asof_ts"),
         lit(0).as("__asof_side"),
@@ -168,10 +184,15 @@ object AsOfJoin {
       case None => hit
     }
     val carried = unioned
+      // null probe ts: neither direction can match (`<= NULL` /
+      // `> NULL` are never true) — without the guard the ceiling
+      // frame of a nulls-first-sorted probe row spans every build row
       .withColumn("__floor",
-        guarded(last(col("__asof_payload"), ignoreNulls = true).over(wFloor)))
+        when(probeTsCol.isNotNull,
+          guarded(last(col("__asof_payload"), ignoreNulls = true).over(wFloor))))
       .withColumn("__ceil",
-        guarded(first(col("__asof_payload"), ignoreNulls = true).over(wCeil)))
+        when(probeTsCol.isNotNull,
+          guarded(first(col("__asof_payload"), ignoreNulls = true).over(wCeil))))
       .filter(col("__asof_side") === 1)
       // nearest with floor-wins ties: take the ceiling only when it is
       // strictly closer (or the floor is missing)

@@ -119,8 +119,11 @@ object TextAnalysis {
     */
   private def featureCols(docs: DataFrame, idCol: String, textCol: String,
       stopwords: Seq[String]): Seq[org.apache.spark.sql.Column] = {
+    // n = 0: these columns never read the shingle fields, so the
+    // stats pass skips building them (qualityFilter's repetition
+    // signal evaluates its OWN n=3 stats expression)
     val stats = graft.plans.TextStatsExpr.textStats(docs.sparkSession,
-      col(textCol), 3, stopwords)
+      col(textCol), 0, stopwords)
     val nTok = stats.getField("n_tokens")
     Seq(col(idCol),
       nTok.as("n_tokens"),

@@ -106,7 +106,11 @@ object TextStatsExpr {
     }
     var total = 0
     var distinct = 0
-    if (nTok >= n) {
+    // n <= 0 disables the shingle fields entirely — callers that only
+    // read the token-level stats (q42's BPE estimate, the q31 feature
+    // columns) skip the per-row StringBuilder/HashSet work instead of
+    // paying for fields they never select
+    if (n > 0 && nTok >= n) {
       // compact the non-empty tokens once for windowed joins
       val clean = new Array[String](nTok)
       var j = 0

@@ -89,10 +89,22 @@ class FileBroker(rootDir: String) extends EnvelopeBroker with WritableEnvelopeBr
       val tmp = Files.createTempFile(dir, ".w", ".tmp")
       try {
         Files.write(tmp, serialize(m))
-        // atomic, NON-replacing move: first append wins, a replayed
-        // epoch's duplicate is a no-op, readers never see partials
-        try Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
-        catch { case _: java.nio.file.FileAlreadyExistsException => () }
+        // atomic AND non-replacing: link(2) fails with EEXIST when the
+        // target exists, so the FIRST append wins even under a race —
+        // Files.move(ATOMIC_MOVE) maps to rename(2) on POSIX, which
+        // silently REPLACES an existing target and would let a
+        // replayed epoch overwrite a committed (possibly already-read)
+        // row. Readers never see partials either way: the name appears
+        // only fully written.
+        try Files.createLink(target, tmp)
+        catch {
+          case _: java.nio.file.FileAlreadyExistsException => ()
+          case _: UnsupportedOperationException =>
+            // no hard links (exotic FS): fall back to the weaker
+            // rename, non-replacing only without concurrent writers
+            try Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+            catch { case _: java.nio.file.FileAlreadyExistsException => () }
+        }
       } finally Files.deleteIfExists(tmp)
     }
   }

@@ -112,6 +112,29 @@ class AsOfJoinSpec extends SparkSuiteBase {
     }
   }
 
+  test("null timestamps match nothing, on either side, in all three directions") {
+    import spark.implicits._
+    // null probe ts: `b.ts <= NULL` / `>= NULL` are never true; null
+    // build ts is on neither side of any probe. Without the guards a
+    // null probe under the ceiling's desc-nulls-last sort would see
+    // EVERY build row and fabricate a match.
+    val probes = Seq((1, Option(5L), 0L), (1, Option.empty[Long], 1L))
+      .toDF("k", "ts", "id")
+    val builds = Seq((1, Option(3L), 30L), (1, Option(9L), 90L),
+      (1, Option.empty[Long], 666L)).toDF("k", "ts", "payload")
+    def hits(df: org.apache.spark.sql.DataFrame): Map[Long, Option[Long]] =
+      df.select("id", "payload").collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+        .toMap
+    val f = hits(AsOfJoin.floorJoin(probes, builds, Seq("k"), "ts", "ts", Seq("payload")))
+    assert(f == Map(0L -> Some(30L), 1L -> None), s"floor: $f")
+    val c = hits(AsOfJoin.ceilJoin(probes, builds, Seq("k"), "ts", "ts", Seq("payload")))
+    assert(c == Map(0L -> Some(90L), 1L -> None), s"ceil: $c")
+    val n = hits(AsOfJoin.nearestJoin(probes, builds, Seq("k"), "ts", "ts",
+      Seq("payload"), distance = (a, b) => org.apache.spark.sql.functions.abs(a - b)))
+    assert(n == Map(0L -> Some(30L), 1L -> None), s"nearest: $n")
+  }
+
   test("all three directions plan one key shuffle, no join operator") {
     import spark.implicits._
     val pDf = List(Probe(1, 5, 0), Probe(2, 6, 1)).toDF()
