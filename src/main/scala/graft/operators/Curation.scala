@@ -65,4 +65,19 @@ object Curation {
       .select(col(idCol), col("cluster"), col("passes"), col("ok_quality"),
         col("contaminated"), col("keep_dedup"), col("keep"))
   }
+
+  /** One-row corpus summary over [[curate]]'s output — the data-card
+    * numbers a pipeline logs per snapshot. Drop-reason counts are
+    * NON-exclusive (a doc can fail quality AND be a dup; each count
+    * answers "how many docs trip this signal", and `n_kept` is the
+    * conjunction). One partial-aggregated scan of the decision frame.
+    */
+  def report(curated: DataFrame): DataFrame =
+    curated.agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("keep").cast("long")).as("n_kept"),
+      sum((!col("ok_quality")).cast("long")).as("n_quality_fail"),
+      sum(col("contaminated").cast("long")).as("n_contaminated"),
+      sum((!col("keep_dedup")).cast("long")).as("n_dup_dropped"),
+      countDistinct(col("cluster")).as("n_clusters"))
 }
