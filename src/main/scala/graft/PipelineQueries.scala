@@ -935,6 +935,45 @@ object PipelineQueries extends QueryGroup {
       .orderBy(col("survivor_doc"))
   }
 
+  // R-21: context-window chunking — 64-token chunks, 16-token
+  // overlap (stride 48). chunk_idx = (start-1)/stride is a pure
+  // function of the start offset, so both engines number chunks
+  // identically without ordinality tricks.
+  q("q72_chunk_documents",
+    s"""WITH tk AS (SELECT doc_id, $sqlTokens AS l FROM documents),
+       |st AS (SELECT doc_id, l, unnest(generate_series(1, len(l), 48)) AS s
+       |       FROM tk WHERE len(l) > 0)
+       |SELECT doc_id, CAST((s - 1) // 48 AS INT) AS chunk_idx,
+       |  array_to_string(l[s:s+63], ' ') AS chunk_text,
+       |  CAST(least(64, len(l) - s + 1) AS INT) AS n_chunk_tokens
+       |FROM st ORDER BY doc_id, chunk_idx""".stripMargin) { (s, d) =>
+    TextAnalysis.chunkDocuments(Tables.documents(s, d), "doc_id", "text",
+        maxTokens = 64, overlap = 16)
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
+  // R-21: scan-based sequence packing into 2048-token budgets —
+  // pack_id = floor(prefix_before / budget) over doc_id order
+  // (integral division in BOTH engines; a double quotient could
+  // misround at a boundary). The engine computes the prefix sum
+  // range-partitioned + offsets, never through one global window.
+  q("q73_sequence_packing",
+    s"""WITH tk AS (SELECT doc_id, len($sqlTokens) AS n_tokens FROM documents),
+       |c AS (SELECT doc_id, n_tokens,
+       |        coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef
+       |      FROM tk)
+       |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       |  CAST(bef // 2048 AS BIGINT) AS pack_id
+       |FROM c ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val withTokens = Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(graft.functions.TextFns.tokens(col("text"))).cast("long")
+          .as("n_tokens"))
+    TextAnalysis.packScan(withTokens, "doc_id", "n_tokens", budget = 2048L)
+      .orderBy(col("doc_id"))
+  }
+
   /** DuckDB sign-bucket string over dims [tbl*bits+1 .. (tbl+1)*bits]
     * — the oracle twin of [[VectorFns.signBucketAt]].
     */

@@ -206,6 +206,79 @@ object TextAnalysis {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Context-window chunking: split each document into token chunks
+    * of at most `maxTokens` with `overlap` tokens carried between
+    * consecutive chunks — the step that fits documents into a model's
+    * context window while preserving boundary context. Chunk k starts
+    * at token k*(maxTokens-overlap); the final chunk may be shorter
+    * (and, for tails shorter than the overlap, fully contained in the
+    * previous chunk — emitted anyway so the mapping doc→chunks is a
+    * pure function of (n_tokens, maxTokens, overlap)). Zero-token
+    * docs yield no chunks. Row-local explode — embarrassingly
+    * parallel, no shuffle.
+    */
+  def chunkDocuments(docs: DataFrame, idCol: String, textCol: String,
+      maxTokens: Int, overlap: Int): DataFrame = {
+    require(overlap >= 0 && overlap < maxTokens,
+      "need 0 <= overlap < maxTokens")
+    val stride = maxTokens - overlap
+    docs
+      .select(col(idCol), graft.functions.TextFns.tokens(col(textCol)).as("__toks"))
+      .filter(size(col("__toks")) > 0)
+      .select(col(idCol), posexplode(transform(
+        sequence(lit(1), size(col("__toks")), lit(stride)),
+        s => struct(
+          concat_ws(" ", slice(col("__toks"), s, lit(maxTokens))).as("chunk_text"),
+          least(lit(maxTokens), size(col("__toks")) - s + 1).as("n_chunk_tokens")))))
+      .select(col(idCol), col("pos").as("chunk_idx"),
+        col("col.chunk_text").as("chunk_text"),
+        col("col.n_chunk_tokens").as("n_chunk_tokens"))
+  }
+
+  /** Scan-based sequence packing: documents (in `idCol` order) are
+    * assigned to fixed-token-budget packs by their running prefix sum
+    * — `pack_id = floor(prefix_before / budget)`, the streaming
+    * packing rule (a pack may exceed the budget by at most one
+    * document's tail; the trade every scan packer makes to avoid a
+    * sequential dependency). Deterministic: prefix sums are exact
+    * integer arithmetic independent of partitioning.
+    *
+    * Scale shape: the prefix sum is computed the
+    * `arrivalBatchesScalable` way — range-partition on the id, ONE
+    * per-partition aggregate collected to the driver (numParts longs),
+    * then a partition-local cumulative sum plus the partition's
+    * offset — not a single-partition global window, which would
+    * funnel the corpus through one task at 100 TB.
+    */
+  def packScan(docs: DataFrame, idCol: String, tokenCol: String,
+      budget: Long, numParts: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(budget > 0, "budget must be positive")
+    val parted = docs.select(col(idCol), col(tokenCol))
+      .repartitionByRange(numParts, col(idCol))
+      .withColumn("__pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sums = parted.groupBy(col("__pid"))
+      .agg(sum(col(tokenCol)).as("__s"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets = (0 until numParts).map { p =>
+      p -> (0 until p).map(q => sums.getOrElse(q, 0L)).sum
+    }.toMap
+    val offCol = offsets.foldLeft(lit(0L)) { case (acc, (p, o)) =>
+      when(col("__pid") === p, lit(o)).otherwise(acc)
+    }
+    val w = Window.partitionBy(col("__pid")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    parted
+      .withColumn("__before",
+        coalesce(sum(col(tokenCol)).over(w), lit(0L)) + offCol)
+      .select(col(idCol), col(tokenCol),
+        // integral `div`, not double division: a double quotient can
+        // misround exactly at a pack boundary once prefix sums exceed
+        // 2^53
+        expr(s"__before div $budget").as("pack_id"))
+  }
+
   def tfidfTopTerms(
       docs: DataFrame,
       idCol: String,

@@ -448,6 +448,65 @@ class DedupSimilaritySpec extends SparkSuiteBase {
     }
   }
 
+  test("chunking: reconstruction, bounds, and overlap invariants hold on random docs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    val maxT = 16
+    val ov = 4
+    val stride = maxT - ov
+    val fixture = (1 to 30).map { i =>
+      (i.toLong, Seq.fill(rnd.nextInt(60))(s"w${rnd.nextInt(9)}").mkString(" "))
+    } :+ (99L, "") // zero-token doc: no chunks
+    val chunks = TextAnalysis.chunkDocuments(fixture.toDF("doc_id", "text"),
+        "doc_id", "text", maxT, ov)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getInt(3)))
+      .groupBy(_._1)
+    assert(!chunks.contains(99L), "zero-token doc yields no chunks")
+    fixture.filter(_._2.nonEmpty).foreach { case (id, text) =>
+      val toks = text.split(" ").toSeq
+      val cs = chunks(id).sortBy(_._2)
+      // indices contiguous from 0; every chunk within the budget
+      assert(cs.map(_._2).toSeq == cs.indices.toSeq)
+      cs.foreach { c => assert(c._4 <= maxT && c._4 == c._3.split(" ").length) }
+      // chunk k starts at k*stride; dropping each chunk's first
+      // `overlap` tokens (except chunk 0) reconstructs the doc exactly
+      val rebuilt = cs.flatMap { case (_, k, t, _) =>
+        val ts = t.split(" ").toSeq
+        if (k == 0) ts else ts.drop(ov)
+      }.toSeq
+      // trailing chunks shorter than the overlap are fully contained
+      // duplicates — reconstruction is prefix-exact
+      assert(rebuilt.take(toks.length) == toks || rebuilt == toks,
+        s"doc $id reconstruction failed")
+    }
+  }
+
+  test("sequence packing: exact prefix-sum rule, distributed, matches a naive scan") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    val rows = (1L to 200L).map(i => (i, 1L + rnd.nextInt(700)))
+    val budget = 2048L
+    val got = TextAnalysis.packScan(rows.toDF("doc_id", "n_tokens"),
+        "doc_id", "n_tokens", budget, numParts = 7)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    var before = 0L
+    rows.foreach { case (id, n) =>
+      assert(got(id) == before / budget, s"doc $id: ${got(id)} vs ${before / budget}")
+      before += n
+    }
+    // pack ids are monotone non-decreasing in doc order and start at 0
+    assert(got(1L) == 0L)
+    val ordered = rows.map { case (id, _) => got(id) }
+    assert(ordered.zip(ordered.tail).forall { case (a, b) => a <= b })
+    // scale shape: the prefix sum is per-__pid windows, never one
+    // global empty-partitionBy window
+    val plan = TextAnalysis.packScan(rows.toDF("doc_id", "n_tokens"),
+        "doc_id", "n_tokens", budget, numParts = 7)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("__pid"), s"expected pid-partitioned window:\n$plan")
+  }
+
   test("curation pipeline: each drop reason fires independently and keep is their AND") {
     import spark.implicits._
     val good = "the quick brown fox jumps over a lazy dog while the sun sets slowly tonight"
