@@ -880,7 +880,10 @@ object PipelineQueries extends QueryGroup {
   private val curationCache = new java.util.concurrent.ConcurrentHashMap[
     (org.apache.spark.sql.SparkSession, String), org.apache.spark.sql.DataFrame]
 
-  private def curated(s: org.apache.spark.sql.SparkSession, d: String) =
+  private def curated(s: org.apache.spark.sql.SparkSession, d: String) = {
+    // same bound as dedupStages: dead-session entries must not pin
+    // frames (and sessions) forever in a long-lived app
+    if (curationCache.size > 8) curationCache.clear()
     curationCache.computeIfAbsent((s, d), _ => {
       val docs = Tables.documents(s, d)
       Curation.curate(
@@ -889,6 +892,7 @@ object PipelineQueries extends QueryGroup {
         "doc_id", "text", "lang", Seq("the", "a"))
         .localCheckpoint(true)
     })
+  }
 
   /** Drop the memoized curation frame — Bench calls this before each
     * q69 rep (q71, after it alphabetically, reuses the frame: its

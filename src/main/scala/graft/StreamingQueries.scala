@@ -53,37 +53,14 @@ object StreamingQueries extends QueryGroup {
     * so global rank = rows in earlier ranges + local rank.
     */
   def arrivalBatchesScalable(events: org.apache.spark.sql.DataFrame,
-      batchSize: Int = 1000, numParts: Int = 32): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    // persist() is LOAD-BEARING for correctness, not a cache hint:
-    // `parted` is executed twice (the counts collect below, then the
-    // final ranked job), and spark_partition_id() is nondeterministic
-    // — on a recompute (task retry, speculative execution, AQE
-    // re-plan) repartitionByRange's sampling may assign DIFFERENT pids
-    // in the two executions, silently corrupting the offsets. Pinning
-    // the materialization makes both reads share one pid layout. The
-    // cached frame is the FULL event stream (one (long,long,int) row
-    // per event — corpus-sized, not numParts x batch), pinned
-    // MEMORY_AND_DISK until the session ends or the ContextCleaner
-    // collects it; a caller looping over many corpora should
-    // .unpersist() the returned frame's parent once consumed.
-    val parted = jittered(events)
-      .repartitionByRange(numParts, col("ak"), col("event_id"))
-      .withColumn("pid", spark_partition_id())
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val counts = parted.groupBy(col("pid")).count()
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val offsets = (0 until numParts).map { p =>
-      p -> (0 until p).map(q => counts.getOrElse(q, 0L)).sum
-    }.toMap
-    val w = Window.partitionBy(col("pid")).orderBy(col("ak"), col("event_id"))
-    parted
-      .withColumn("rn",
-        row_number().over(w).cast("long") - lit(1L) +
-          element_at(typedlit(offsets), col("pid")))
+      batchSize: Int = 1000, numParts: Int = 32): org.apache.spark.sql.DataFrame =
+    // the range-partition + pid-stability + offsets machinery lives
+    // ONCE in ScaleOps.prefixSumByRange (packScan shares it); with
+    // value = 1 the strictly-before sum IS the 0-based global rank
+    graft.operators.ScaleOps.prefixSumByRange(
+        jittered(events), Seq("ak", "event_id"), lit(1L), "rn", numParts)
       .withColumn("batch", (col("rn") / lit(batchSize)).cast("long"))
       .select(col("event_id"), col("tms"), col("batch"))
-  }
 
   /** The late-filter core shared by q52/q53: arrival rows that pass
     * the watermark (per-batch watermark = max event time of PRIOR

@@ -11,6 +11,63 @@ import org.apache.spark.sql.functions._
   */
 object ScaleOps {
 
+  /** Distributed strictly-before prefix sum over a global total order
+    * — appends `prefixName` = Σ `value` over every row strictly
+    * before the current one in `orderCols` order, WITHOUT a global
+    * single-task window: range-partition on the order columns, one
+    * per-partition aggregate collected to the driver (numParts longs
+    * — bounded by the partition count, not the data), then a
+    * partition-local window plus the partition's offset. With
+    * `value = lit(1L)` this is the 0-based global rank
+    * (`arrivalBatchesScalable`); with a token count it is the
+    * sequence-packing prefix (`TextAnalysis.packScan`) — ONE copy of
+    * the subtle machinery both lean on.
+    *
+    * Lifecycle: the range-partitioned frame is persisted because
+    * `spark_partition_id()` is NONDETERMINISTIC across executions —
+    * the offsets job and the final job must observe one pid layout or
+    * a task retry silently corrupts every prefix. The result is
+    * materialized (eager localCheckpoint) and the intermediate cache
+    * is released before returning, so repeated calls never stack
+    * pinned frames; the returned frame is self-contained and
+    * lineage-truncated.
+    *
+    * `orderCols` must be a total order (no ties) — with ties the
+    * strictly-before frame is tie-order-dependent.
+    */
+  def prefixSumByRange(
+      df: DataFrame,
+      orderCols: Seq[String],
+      value: org.apache.spark.sql.Column,
+      prefixName: String,
+      numParts: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val parted = df
+      .repartitionByRange(numParts, orderCols.map(col): _*)
+      .withColumn("__pfx_pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val sums = parted.groupBy(col("__pfx_pid"))
+        .agg(coalesce(sum(value), lit(0L)).as("__s"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val offsets = (0 until numParts).map { p =>
+        p -> (0 until p).map(q => sums.getOrElse(q, 0L)).sum
+      }.toMap
+      val w = Window.partitionBy(col("__pfx_pid"))
+        .orderBy(orderCols.map(col): _*)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      parted
+        .withColumn(prefixName,
+          coalesce(sum(value).over(w), lit(0L)) +
+            element_at(typedlit(offsets), col("__pfx_pid")))
+        .drop("__pfx_pid")
+        .localCheckpoint(true)
+    } finally {
+      parted.unpersist()
+      ()
+    }
+  }
+
   /** Persist a table bucketed+sorted on its join key. Two tables
     * bucketed the same way join with ZERO shuffle (the scan satisfies
     * the hash-partitioning requirement) — at 100 TB this is the

@@ -243,35 +243,20 @@ object TextAnalysis {
     * sequential dependency). Deterministic: prefix sums are exact
     * integer arithmetic independent of partitioning.
     *
-    * Scale shape: the prefix sum is computed the
-    * `arrivalBatchesScalable` way — range-partition on the id, ONE
+    * Scale shape: the prefix sum runs through
+    * [[ScaleOps.prefixSumByRange]] — range-partition on the id, ONE
     * per-partition aggregate collected to the driver (numParts longs),
     * then a partition-local cumulative sum plus the partition's
     * offset — not a single-partition global window, which would
-    * funnel the corpus through one task at 100 TB.
+    * funnel the corpus through one task at 100 TB. The helper owns
+    * the pid-stability persist and releases it before returning.
     */
   def packScan(docs: DataFrame, idCol: String, tokenCol: String,
       budget: Long, numParts: Int = 32): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(budget > 0, "budget must be positive")
-    val parted = docs.select(col(idCol), col(tokenCol))
-      .repartitionByRange(numParts, col(idCol))
-      .withColumn("__pid", spark_partition_id())
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sums = parted.groupBy(col("__pid"))
-      .agg(sum(col(tokenCol)).as("__s"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val offsets = (0 until numParts).map { p =>
-      p -> (0 until p).map(q => sums.getOrElse(q, 0L)).sum
-    }.toMap
-    val offCol = offsets.foldLeft(lit(0L)) { case (acc, (p, o)) =>
-      when(col("__pid") === p, lit(o)).otherwise(acc)
-    }
-    val w = Window.partitionBy(col("__pid")).orderBy(col(idCol))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    parted
-      .withColumn("__before",
-        coalesce(sum(col(tokenCol)).over(w), lit(0L)) + offCol)
+    ScaleOps.prefixSumByRange(
+        docs.select(col(idCol), col(tokenCol)),
+        Seq(idCol), col(tokenCol).cast("long"), "__before", numParts)
       .select(col(idCol), col(tokenCol),
         // integral `div`, not double division: a double quotient can
         // misround exactly at a pack boundary once prefix sums exceed
