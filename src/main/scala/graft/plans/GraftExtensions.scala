@@ -70,5 +70,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         WinnowExpr(exprs.head, w)
       }))
+    ext.injectFunction((FunctionIdentifier("text_stats"),
+      info("text_stats",
+        "text_stats(text, n, stopwords_csv) - struct(n_tokens, sum_word_len, stopword_cnt, total_shingles, distinct_shingles, bpe_est); n<=0 skips shingle fields"),
+      (exprs: Seq[Expression]) => {
+        val n = exprs(1).eval(null) match {
+          case i: Int => i
+          case other => throw new IllegalArgumentException(
+            s"text_stats shingle width must be an int literal, got $other")
+        }
+        val stops = exprs(2).eval(null) match {
+          case s: org.apache.spark.unsafe.types.UTF8String =>
+            s.toString.split(",").filter(_.nonEmpty).toSeq
+          case other => throw new IllegalArgumentException(
+            s"text_stats stopwords must be a string literal, got $other")
+        }
+        TextStatsExpr(exprs.head, n, stops)
+      }))
   }
 }

@@ -448,6 +448,40 @@ class DedupSimilaritySpec extends SparkSuiteBase {
     }
   }
 
+  test("embedding-cosine pairs drive the staged dedup pipeline (stageWith composition)") {
+    import spark.implicits._
+    // the planted near-dup embedding fixture from the bucketed-cosine
+    // test: 30 bases, 5 perturbed copies — an EMBEDDING miner dropped
+    // into the same Stage machinery the text miners use
+    val rnd = new scala.util.Random(42)
+    def vec(): Array[Float] = Array.fill(16) {
+      val x = rnd.nextDouble() * 0.9 + 0.1
+      (if (rnd.nextBoolean()) x else -x).toFloat
+    }
+    def perturb(v: Array[Float]): Array[Float] =
+      v.map(x => x + (if (x > 0) 1e-3f else -1e-3f))
+    val bases = (0 until 30).map(_ => vec())
+    val rows = bases.zipWithIndex.map { case (v, i) => (i.toLong, v) } ++
+      bases.take(5).zipWithIndex.map { case (v, i) => (100L + i, perturb(v)) }
+    val emb = rows.toDF("vec_id", "embedding")
+    val ids = rows.map(_._1).toDF("vec_id")
+    val stage = Dedup.stageWith(ids, "vec_id",
+      () => Similarity.broadcastAllPairsCosine(emb, "vec_id", "embedding", 0.99)
+        .select(col("id_a"), col("id_b")))
+    val clusters = stage.clusters.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0 until 5).foreach { i =>
+      assert(clusters(i.toLong) == clusters(100L + i),
+        s"planted embedding near-dup $i must share a cluster")
+    }
+    // survivors pick one representative per planted pair
+    val surv = stage.survivors(
+        ids.select(col("vec_id"), (-col("vec_id")).cast("int").as("sc")),
+        "sc")
+      .filter(col("keep")).count()
+    assert(surv == clusters.values.toSet.size)
+  }
+
   test("chunking: reconstruction, bounds, and overlap invariants hold on random docs") {
     import spark.implicits._
     val rnd = new scala.util.Random(5)

@@ -272,7 +272,8 @@ class SketchExprSpec extends SparkSuiteBase {
           "simhash_md5_60(array('a')) AS hp, " +
           "word_shingles(array('a', '', 'b', 'c'), 2) AS sh, " +
           "int8_unpack(int8_pack(array(5, -5))) AS rt, " +
-          "winnow(array('a b', 'b c'), 4) AS wf").head()
+          "winnow(array('a b', 'b c'), 4) AS wf, " +
+          "text_stats('the quick fox', 3, 'the,a').n_tokens AS nt").head()
       assert(r.getDouble(0) == 11.0)
       assert(r.getDouble(1) == 0.5)
       assert(!r.isNullAt(2))
@@ -281,6 +282,7 @@ class SketchExprSpec extends SparkSuiteBase {
       assert(r.getSeq[Int](5) == Seq(5, -5))
       // 2 shingles <= w=4: one fingerprint, the min hash
       assert(r.getSeq[Long](6).size == 1)
+      assert(r.getInt(7) == 3)
     } finally {
       org.apache.spark.sql.SparkSession.setDefaultSession(base)
       org.apache.spark.sql.SparkSession.setActiveSession(base)
