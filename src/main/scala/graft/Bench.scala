@@ -25,7 +25,8 @@ object Bench {
     "q67_asof_forward" -> 0.65, "q68_asof_nearest" -> 0.88,
     "q69_curation" -> 4.68, "q70_stream_neardup_twin" -> 0.83,
     "q71_curation_report" -> 0.12,
-    "q72_chunk_documents" -> 0.83, "q73_sequence_packing" -> 0.58)
+    "q72_chunk_documents" -> 0.83, "q73_sequence_packing" -> 0.58,
+    "q74_mix_sample" -> 0.34)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -978,6 +978,25 @@ object PipelineQueries extends QueryGroup {
       .orderBy(col("doc_id"))
   }
 
+  // R-29/R-21: deterministic source mixing — en halved, de quartered,
+  // other langs untouched. The md5-derived uniform is the q48 trick
+  // applied as per-group RATES instead of per-group top-k; rates nest
+  // (0.25 ⊂ 0.5 survivors) because the same u(id) is compared.
+  q("q74_mix_sample",
+    s"""WITH u AS (SELECT doc_id, lang,
+       |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+       |      % 1000000 AS uv
+       |  FROM documents)
+       |SELECT doc_id, lang FROM u
+       |WHERE uv < CASE lang WHEN 'en' THEN 500000
+       |                     WHEN 'de' THEN 250000 ELSE 1000000 END
+       |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Curation.mixSample(Tables.documents(s, d), "doc_id", "lang",
+        Map("en" -> 0.5, "de" -> 0.25))
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id"))
+  }
+
   /** DuckDB sign-bucket string over dims [tbl*bits+1 .. (tbl+1)*bits]
     * — the oracle twin of [[VectorFns.signBucketAt]].
     */

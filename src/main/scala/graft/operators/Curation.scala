@@ -66,6 +66,30 @@ object Curation {
         col("contaminated"), col("keep_dedup"), col("keep"))
   }
 
+  /** Deterministic source-mixing: downsample each group to its target
+    * rate — the data-mixing step between curation and packing (hit a
+    * 50/25/… source distribution without a PRNG). A row survives when
+    * its md5-derived uniform `u(id) = md5Long60(id) mod 10^6 / 10^6`
+    * falls under the group's rate: reproducible across engines,
+    * re-runs and repartitioning (the property `df.sample`'s
+    * partition-seeded PRNG lacks), and NESTED rates compose — the
+    * rows kept at rate 0.25 are a subset of those kept at 0.5,
+    * because the same u(id) is compared in both. Groups absent from
+    * `rates` keep `defaultRate`. Row-local filter, no shuffle.
+    */
+  def mixSample(docs: DataFrame, idCol: String, groupCol: String,
+      rates: Map[String, Double], defaultRate: Double = 1.0): DataFrame = {
+    require((rates.values ++ Seq(defaultRate)).forall(r => r >= 0 && r <= 1),
+      "rates must be in [0, 1]")
+    val u = graft.functions.PortableHash.md5Long60(col(idCol).cast("string")) %
+      lit(1000000L)
+    val thresh = rates.foldLeft(lit((defaultRate * 1e6).toLong)) {
+      case (acc, (g, r)) =>
+        when(col(groupCol) === g, lit((r * 1e6).toLong)).otherwise(acc)
+    }
+    docs.filter(u < thresh)
+  }
+
   /** One-row corpus summary over [[curate]]'s output — the data-card
     * numbers a pipeline logs per snapshot. Drop-reason counts are
     * NON-exclusive (a doc can fail quality AND be a dup; each count

@@ -544,6 +544,30 @@ class DedupSimilaritySpec extends SparkSuiteBase {
     assert(onePart == got)
   }
 
+  test("mix sampling: rates nest, survive repartitioning, and land near target") {
+    import spark.implicits._
+    val docs = (1L to 2000L).map(i => (i, if (i % 2 == 0) "en" else "de"))
+      .toDF("doc_id", "lang")
+    def kept(rate: Double, parts: Int): Set[Long] =
+      Curation.mixSample(docs.repartition(parts), "doc_id", "lang",
+          Map("en" -> rate), defaultRate = 1.0)
+        .filter(col("lang") === "en")
+        .collect().map(_.getLong(0)).toSet
+    val half = kept(0.5, 4)
+    val quarter = kept(0.25, 4)
+    // nested rates: the 25% survivors are a subset of the 50% ones
+    // (same uniform compared against a lower threshold)
+    assert(quarter.subsetOf(half), s"non-nested: ${quarter.diff(half).take(5)}")
+    // partitioning-independent (PRNG sampling fails this)
+    assert(kept(0.5, 13) == half)
+    // realized rate near target on 1000 docs (md5 uniformity)
+    assert(math.abs(half.size / 1000.0 - 0.5) < 0.08, s"rate off: ${half.size}")
+    // untouched group passes through whole
+    val de = Curation.mixSample(docs, "doc_id", "lang", Map("en" -> 0.1))
+      .filter(col("lang") === "de").count()
+    assert(de == 1000L)
+  }
+
   test("curation pipeline: each drop reason fires independently and keep is their AND") {
     import spark.implicits._
     val good = "the quick brown fox jumps over a lazy dog while the sun sets slowly tonight"
