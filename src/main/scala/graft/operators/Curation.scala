@@ -75,19 +75,30 @@ object Curation {
     * partition-seeded PRNG lacks), and NESTED rates compose — the
     * rows kept at rate 0.25 are a subset of those kept at 0.5,
     * because the same u(id) is compared in both. Groups absent from
-    * `rates` keep `defaultRate`. Row-local filter, no shuffle.
+    * `rates` keep `defaultRate`. Rows with a NULL id pass through
+    * unconditionally — no deterministic uniform exists for them, and
+    * silently dropping data would be worse; pre-filter if exclusion
+    * is wanted. Row-local filter, no shuffle; rate-1.0 rows
+    * short-circuit before the md5 is evaluated.
     */
   def mixSample(docs: DataFrame, idCol: String, groupCol: String,
       rates: Map[String, Double], defaultRate: Double = 1.0): DataFrame = {
     require((rates.values ++ Seq(defaultRate)).forall(r => r >= 0 && r <= 1),
       "rates must be in [0, 1]")
+    // math.round, NOT toLong truncation: (0.0157 * 1e6).toLong is
+    // 15699 — ~1.2% of ppm-expressible rates truncate down by one,
+    // and an oracle written with the natural threshold literal would
+    // hash-mismatch by exactly the boundary row
+    def ppm(r: Double): Long = math.round(r * 1e6)
     val u = graft.functions.PortableHash.md5Long60(col(idCol).cast("string")) %
       lit(1000000L)
-    val thresh = rates.foldLeft(lit((defaultRate * 1e6).toLong)) {
+    val thresh = rates.foldLeft(lit(ppm(defaultRate))) {
       case (acc, (g, r)) =>
-        when(col(groupCol) === g, lit((r * 1e6).toLong)).otherwise(acc)
+        when(col(groupCol) === g, lit(ppm(r))).otherwise(acc)
     }
-    docs.filter(u < thresh)
+    // order matters: the full-rate and null-id arms are checked first
+    // so those rows never evaluate the md5
+    docs.filter(thresh === lit(1000000L) || col(idCol).isNull || u < thresh)
   }
 
   /** One-row corpus summary over [[curate]]'s output — the data-card

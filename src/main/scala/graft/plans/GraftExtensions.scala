@@ -52,6 +52,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("word_shingles",
         "word_shingles(arr, n) - space-joined n-gram windows over a raw token array (drops empties)"),
       (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, "word_shingles(arr, n) takes 2 arguments")
         val n = exprs(1).eval(null) match {
           case i: Int => i
           case other => throw new IllegalArgumentException(
@@ -62,30 +63,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("winnow"),
       info("winnow",
         "winnow(shingles, w) - array<bigint>: sorted distinct window-minima of md5-derived shingle hashes (MOSS fingerprints)"),
-      (exprs: Seq[Expression]) => {
-        val w = exprs(1).eval(null) match {
-          case i: Int => i
-          case other => throw new IllegalArgumentException(
-            s"winnow window must be an int literal, got $other")
-        }
-        WinnowExpr(exprs.head, w)
-      }))
+      (exprs: Seq[Expression]) => WinnowExpr.buildFromExprs(exprs)))
     ext.injectFunction((FunctionIdentifier("text_stats"),
       info("text_stats",
         "text_stats(text, n, stopwords_csv) - struct(n_tokens, sum_word_len, stopword_cnt, total_shingles, distinct_shingles, bpe_est); n<=0 skips shingle fields"),
-      (exprs: Seq[Expression]) => {
-        val n = exprs(1).eval(null) match {
-          case i: Int => i
-          case other => throw new IllegalArgumentException(
-            s"text_stats shingle width must be an int literal, got $other")
-        }
-        val stops = exprs(2).eval(null) match {
-          case s: org.apache.spark.unsafe.types.UTF8String =>
-            s.toString.split(",").filter(_.nonEmpty).toSeq
-          case other => throw new IllegalArgumentException(
-            s"text_stats stopwords must be a string literal, got $other")
-        }
-        TextStatsExpr(exprs.head, n, stops)
-      }))
+      (exprs: Seq[Expression]) => TextStatsExpr.buildFromExprs(exprs)))
   }
 }

@@ -139,24 +139,31 @@ object TextStatsExpr {
   }
 
   /** Register `text_stats` in the session's function registry (the
-    * stopword list as a comma-joined string literal).
+    * stopword list as a comma-joined string literal). Shares
+    * [[buildFromExprs]] with the app-wide GraftExtensions path so the
+    * same SQL text resolves identically regardless of which
+    * registration won (eval-based: any foldable argument works).
     */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "text_stats", exprs => {
-        val n = exprs(1) match {
-          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
-          case other => throw new IllegalArgumentException(
-            s"text_stats shingle width must be an int literal, got $other")
-        }
-        val stops = exprs(2) match {
-          case org.apache.spark.sql.catalyst.expressions.Literal(v: UTF8String, _) =>
-            v.toString.split(",").filter(_.nonEmpty).toSeq
-          case other => throw new IllegalArgumentException(
-            s"text_stats stopwords must be a string literal, got $other")
-        }
-        TextStatsExpr(exprs.head, n, stops)
-      }, "built-in")
+      "text_stats", buildFromExprs, "built-in")
+
+  /** Single builder for BOTH registration paths. */
+  def buildFromExprs(exprs: Seq[Expression]): TextStatsExpr = {
+    require(exprs.length == 3,
+      "text_stats(text, n, stopwords_csv) takes 3 arguments")
+    val n = exprs(1).eval(null) match {
+      case i: Int => i
+      case other => throw new IllegalArgumentException(
+        s"text_stats shingle width must be an int literal, got $other")
+    }
+    val stops = exprs(2).eval(null) match {
+      case s: UTF8String => s.toString.split(",").filter(_.nonEmpty).toSeq
+      case other => throw new IllegalArgumentException(
+        s"text_stats stopwords must be a string literal, got $other")
+    }
+    TextStatsExpr(exprs.head, n, stops)
+  }
 
   def textStats(spark: SparkSession, text: Column, n: Int,
       stopwords: Seq[String]): Column = {

@@ -97,17 +97,23 @@ object WinnowExpr {
     new GenericArrayData(out)
   }
 
-  /** Register `winnow` in the session's function registry. */
+  /** Register `winnow` in the session's function registry (same
+    * builder as the GraftExtensions path).
+    */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "winnow", exprs => {
-        val w = exprs(1) match {
-          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
-          case other => throw new IllegalArgumentException(
-            s"winnow window must be an int literal, got $other")
-        }
-        WinnowExpr(exprs.head, w)
-      }, "built-in")
+      "winnow", buildFromExprs, "built-in")
+
+  /** Single builder for BOTH registration paths. */
+  def buildFromExprs(exprs: Seq[Expression]): WinnowExpr = {
+    require(exprs.length == 2, "winnow(shingles, w) takes 2 arguments")
+    val w = exprs(1).eval(null) match {
+      case i: Int => i
+      case other => throw new IllegalArgumentException(
+        s"winnow window must be an int literal, got $other")
+    }
+    WinnowExpr(exprs.head, w)
+  }
 
   def winnow(spark: SparkSession, shingles: Column, w: Int): Column = {
     register(spark)

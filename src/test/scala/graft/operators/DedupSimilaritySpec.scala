@@ -566,6 +566,21 @@ class DedupSimilaritySpec extends SparkSuiteBase {
     val de = Curation.mixSample(docs, "doc_id", "lang", Map("en" -> 0.1))
       .filter(col("lang") === "de").count()
     assert(de == 1000L)
+    // rate thresholds ROUND (0.0157 -> 15700 ppm): a truncating
+    // (r*1e6).toLong would compare against 15699 and an oracle
+    // written with the natural literal would mismatch at the boundary
+    val boundary = Seq((1L, "en")).toDF("doc_id", "lang")
+    val uv = graft.functions.PortableHash.md5Long60(col("doc_id").cast("string")) %
+      lit(1000000L)
+    val u1 = boundary.select(uv.as("u")).head().getLong(0)
+    val exact = (u1 + 1) / 1e6 // rate whose ppm threshold is u1+1
+    assert(Curation.mixSample(boundary, "doc_id", "lang",
+      Map("en" -> exact)).count() == 1, s"u=$u1 must survive rate=$exact")
+    // null ids pass through (no deterministic uniform exists for them)
+    val withNull = Seq((Option(1L), "en"), (Option.empty[Long], "en"))
+      .toDF("doc_id", "lang")
+    assert(Curation.mixSample(withNull, "doc_id", "lang",
+      Map("en" -> 0.0)).count() == 1, "null-id row must pass through")
   }
 
   test("curation pipeline: each drop reason fires independently and keep is their AND") {
