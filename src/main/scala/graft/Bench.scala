@@ -176,12 +176,18 @@ object Bench {
       System.err.println(s"[bench] writing bench_out.json failed: $e")
     }
     spark.stop()
-    // the result line is the VERY LAST stdout output, after a sentinel
-    // and after spark.stop() has flushed its logging, so a parser that
-    // reads the tail of the captured output always sees the whole
-    // object (round 4's artifact captured a truncated tail and parsed
-    // null)
+    // the result lines are the VERY LAST stdout output, after a
+    // sentinel and after spark.stop() has flushed its logging. The
+    // full object (with per-rep arrays) goes first; a COMPACT
+    // totals-only line (no "reps" map — it alone is ~1.4 KB) goes
+    // absolutely last, so a parser that captures only a short tail
+    // window of the output still sees one complete JSON object
+    // (rounds 4/5 artifacts started their tail mid-object and parsed
+    // null; bench_out.json carries the full object either way)
     println("GRAFT_BENCH_RESULT_JSON")
     println(json)
+    println("GRAFT_BENCH_RESULT_COMPACT_JSON")
+    println(
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"comparator":[${num(compBefore)},${num(compAfter)}],"sf":"$sfDir"}""")
   }
 }

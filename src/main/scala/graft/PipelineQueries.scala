@@ -25,14 +25,42 @@ object PipelineQueries extends QueryGroup {
     */
   private val dedupStages = new java.util.concurrent.ConcurrentHashMap[
     (org.apache.spark.sql.SparkSession, String), Dedup.Stage]
+
+  /** Drop memo entries whose session's SparkContext is stopped — dead
+    * sessions would otherwise pin their frames (and the sessions)
+    * forever in a long-lived app. ONLY dead entries go: the round-5
+    * over-cap path cleared ALL sessions, which was correctness-safe
+    * (re-mine) but silently doubled cost for concurrent live jobs.
+    * Occupancy is therefore bounded by the live sessions' working
+    * sets — each entry is a lineage-truncated handle, not a data copy.
+    */
+  private[graft] def sweepDeadEntries[V](
+      m: java.util.concurrent.ConcurrentHashMap[
+        (org.apache.spark.sql.SparkSession, String), V]): Unit = {
+    val it = m.keySet().iterator()
+    while (it.hasNext) if (it.next()._1.sparkContext.isStopped) it.remove()
+  }
+
   private def dedupStage(s: org.apache.spark.sql.SparkSession,
       d: String): Dedup.Stage = {
-    // bound the memo: entries for dead sessions are useless but would
-    // pin their frames (and the sessions) forever in a long-lived app
-    if (dedupStages.size > 8) dedupStages.clear()
+    sweepDeadEntries(dedupStages)
     dedupStages.computeIfAbsent((s, d), _ =>
       Dedup.stage(Tables.documents(s, d), "doc_id", "text", "lang",
         n = 3, threshold = 0.8))
+  }
+
+  /** Test probe: the memoized stage for (session, dir), if present. */
+  private[graft] def dedupStageIfPresent(s: org.apache.spark.sql.SparkSession,
+      d: String): Option[Dedup.Stage] = Option(dedupStages.get((s, d)))
+
+  /** Test probe: register a foreign stage entry directly (used by the
+    * eviction spec to simulate concurrent sessions without mining).
+    */
+  private[graft] def putDedupStage(s: org.apache.spark.sql.SparkSession,
+      d: String, st: Dedup.Stage): Unit = {
+    sweepDeadEntries(dedupStages)
+    dedupStages.put((s, d), st)
+    ()
   }
 
   /** Drop the staged frames for (session, dir). Bench calls this
@@ -881,9 +909,9 @@ object PipelineQueries extends QueryGroup {
     (org.apache.spark.sql.SparkSession, String), org.apache.spark.sql.DataFrame]
 
   private def curated(s: org.apache.spark.sql.SparkSession, d: String) = {
-    // same bound as dedupStages: dead-session entries must not pin
-    // frames (and sessions) forever in a long-lived app
-    if (curationCache.size > 8) curationCache.clear()
+    // same discipline as dedupStages: sweep dead-session entries only,
+    // never a live session's frame (see sweepDeadEntries)
+    sweepDeadEntries(curationCache)
     curationCache.computeIfAbsent((s, d), _ => {
       val docs = Tables.documents(s, d)
       Curation.curate(

@@ -53,7 +53,7 @@ object StreamingQueries extends QueryGroup {
     * so global rank = rows in earlier ranges + local rank.
     */
   def arrivalBatchesScalable(events: org.apache.spark.sql.DataFrame,
-      batchSize: Int = 1000, numParts: Int = 32): org.apache.spark.sql.DataFrame =
+      batchSize: Int = 1000, numParts: Int = 0): org.apache.spark.sql.DataFrame =
     // the range-partition + pid-stability + offsets machinery lives
     // ONCE in ScaleOps.prefixSumByRange (packScan shares it); with
     // value = 1 the strictly-before sum IS the 0-based global rank

@@ -20,7 +20,13 @@ import org.apache.spark.sql.functions._
   * over the full training corpus, not the post-filter subset, so a
   * cluster whose best copy fails quality still keeps exactly one
   * representative row flagged — every drop is diagnosable from its
-  * three booleans. Every input row is preserved.
+  * three booleans. Every row with a NON-NULL id is preserved: the
+  * final assembly equi-joins the three signal frames on the id, and
+  * null keys never equi-match (a null-safe `<=>` join would be worse —
+  * two null-id rows would cross-match). Callers with null ids must
+  * assign surrogate keys first; the component operators
+  * ([[Dedup.decontaminate]], [[Dedup.clusterSurvivors]]) individually
+  * pass null-id rows through.
   *
   * Scale shape: stage 1 and the contamination flag are row-local or
   * broadcast work; the dedup stage owns the only corpus self-join;

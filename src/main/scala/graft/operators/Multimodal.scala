@@ -170,7 +170,10 @@ object Multimodal {
           val hi = beInt(b, o.toInt + 8).toLong & 0xffffffffL
           val lo = beInt(b, o.toInt + 12).toLong & 0xffffffffL
           val large = (hi << 32) | lo
-          if (large < 16L) None else Some((o + 16, o + large))
+          // overflow-safe: a largesize past the buffer (or so big that
+          // o + large wraps negative) must stop the walk, not loop
+          if (large < 16L || large > b.length.toLong - o) None
+          else Some((o + 16, o + large))
         } else if (sz < 8L) None // 0 = to-EOF, others malformed: stop
         else Some((o + 8, o + sz))
       }

@@ -34,29 +34,62 @@ object ScaleOps {
     *
     * `orderCols` must be a total order (no ties) — with ties the
     * strictly-before frame is tie-order-dependent.
+    *
+    * Partition sizing: each range partition is cumulative-summed by a
+    * SINGLE-TASK window sort, so the partition count — not the data —
+    * bounds the per-task work. `numParts <= 0` (the default) derives
+    * the count from Catalyst's size estimate of the input,
+    * `ceil(sizeInBytes / targetPartBytes)` clamped to
+    * [shuffle.partitions, maxAutoParts]: a growing input picks more
+    * partitions by itself instead of sharding a 100 TB corpus into
+    * ~3 TB single-task sorts (the round-5 fixed-32 defect). The
+    * 128 KiB default target is in ESTIMATED bytes — Catalyst widths
+    * are schema defaults (8 B per long, 20 B per string), which
+    * undercount the real in-task footprint (UnsafeRow + sort array +
+    * the pid-stability persist) by roughly an order of magnitude, so
+    * 128 KiB of estimate is a few MiB of real partition. The
+    * `maxAutoParts` cap bounds the driver's offset map and the task
+    * count at extreme scale; at the cap, partitions grow linearly but
+    * stay far under the single-task sort bound for any plausible
+    * narrow-projection input (callers pass (key, value) projections,
+    * never corpus text).
     */
   def prefixSumByRange(
       df: DataFrame,
       orderCols: Seq[String],
       value: org.apache.spark.sql.Column,
       prefixName: String,
-      numParts: Int = 32): DataFrame = {
+      numParts: Int = 0,
+      targetPartBytes: Long = 128L << 10,
+      maxAutoParts: Int = 131072): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val parts = if (numParts > 0) numParts
+                else autoRangeParts(df, targetPartBytes, maxAutoParts)
     val parted = df
-      .repartitionByRange(numParts, orderCols.map(col): _*)
+      .repartitionByRange(parts, orderCols.map(col): _*)
       .withColumn("__pfx_pid", spark_partition_id())
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val sums = parted.groupBy(col("__pfx_pid"))
         .agg(coalesce(sum(value), lit(0L)).as("__s"))
         .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-      val offsets = (0 until numParts).map { p =>
+      val offsets = (0 until parts).map { p =>
         p -> (0 until p).map(q => sums.getOrElse(q, 0L)).sum
       }.toMap
       val w = Window.partitionBy(col("__pfx_pid"))
         .orderBy(orderCols.map(col): _*)
         .rowsBetween(Window.unboundedPreceding, -1)
       parted
+        // the window clusters on __pfx_pid; without this explicit
+        // repartition its exchange would default to the SESSION
+        // shuffle-partition count (AQE-coalescible), silently capping
+        // the cumulative-sum stage's parallelism regardless of
+        // `parts` (observed: 55 range partitions funneled into 2
+        // window tasks). Hashing the pid into exactly `parts` buckets
+        // satisfies the window's clustering requirement up front — no
+        // re-exchange, one ~range-partition-sized sort per task
+        // (pid hash collisions can double up a bucket; bounded skew).
+        .repartition(parts, col("__pfx_pid"))
         .withColumn(prefixName,
           coalesce(sum(value).over(w), lit(0L)) +
             element_at(typedlit(offsets), col("__pfx_pid")))
@@ -66,6 +99,21 @@ object ScaleOps {
       parted.unpersist()
       ()
     }
+  }
+
+  /** The partition count [[prefixSumByRange]] derives when `numParts`
+    * is not given: `ceil(Catalyst size estimate / targetPartBytes)`,
+    * clamped to [session shuffle partitions, maxAutoParts]. Exposed so
+    * callers (and the sizing spec) can observe the choice.
+    */
+  def autoRangeParts(
+      df: DataFrame,
+      targetPartBytes: Long = 128L << 10,
+      maxAutoParts: Int = 131072): Int = {
+    val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val bySize = (est + targetPartBytes - 1) / targetPartBytes
+    val floor = df.sparkSession.sessionState.conf.numShufflePartitions
+    bySize.min(maxAutoParts).max(floor).toInt
   }
 
   /** Persist a table bucketed+sorted on its join key. Two tables

@@ -373,6 +373,10 @@ object Similarity {
       tables: Int,
       k: Int): DataFrame = {
     require(tables >= 1, "need at least one table")
+    // Tables whose bit-slice falls past the vector's end would hash every
+    // row to the same (empty) bucket — silently turning that table's
+    // candidate join into probe×corpus. Skip them (symmetrically on both
+    // sides), so only tables with a full `bits`-wide slice contribute.
     def keyed(df: DataFrame, idAs: String, vecAs: String): DataFrame =
       df.select(col(idCol).as(idAs), col(vecCol).as(vecAs),
         explode(transform(sequence(lit(0), lit(tables - 1)),
@@ -381,6 +385,7 @@ object Similarity {
               .as("bkt")))).as("tb"))
         .select(col(idAs), col(vecAs),
           col("tb.tbl").as("tbl"), col("tb.bkt").as("bkt"))
+        .where(size(col(vecAs)) >= (col("tbl") + lit(1)) * lit(bits))
     val p = keyed(probes, "probe_id", "pv")
     val c = keyed(corpus, "neighbor_id", "cv")
     val pairs = c.join(broadcast(p), Seq("tbl", "bkt"))

@@ -252,7 +252,7 @@ object TextAnalysis {
     * the pid-stability persist and releases it before returning.
     */
   def packScan(docs: DataFrame, idCol: String, tokenCol: String,
-      budget: Long, numParts: Int = 32): DataFrame = {
+      budget: Long, numParts: Int = 0): DataFrame = {
     require(budget > 0, "budget must be positive")
     ScaleOps.prefixSumByRange(
         docs.select(col(idCol), col(tokenCol)),

@@ -119,12 +119,19 @@ class FileBroker(rootDir: String) extends EnvelopeBroker with WritableEnvelopeBr
       finally s.close()
     }
 
+  // Foreign directories under the root (tooling leftovers, editors) must
+  // not break discovery: skip any name whose suffix isn't numeric or whose
+  // prefix isn't valid base64 instead of throwing for the whole broker.
   override def topicPartitions: Seq[(String, Int)] =
     listNames(root)
       .filter(n => Files.isDirectory(root.resolve(n)))
-      .collect { case n if n.contains("__") =>
+      .flatMap { n =>
         val i = n.lastIndexOf("__")
-        (dec(n.substring(0, i)), n.substring(i + 2).toInt)
+        if (i < 0) None
+        else for {
+          part <- n.substring(i + 2).toIntOption
+          topic <- scala.util.Try(dec(n.substring(0, i))).toOption
+        } yield (topic, part)
       }.sorted
 
   private def listPositions(topic: String, partition: Int): Seq[(Long, Long)] =
@@ -132,7 +139,8 @@ class FileBroker(rootDir: String) extends EnvelopeBroker with WritableEnvelopeBr
       .filterNot(_.startsWith(".")) // in-flight temp files
       .flatMap { n =>
         n.split("-", 2) match {
-          case Array(l, e) => Some((l.toLong, e.toLong))
+          case Array(l, e) =>
+            for (ll <- l.toLongOption; ee <- e.toLongOption) yield (ll, ee)
           case _ => None
         }
       }.sorted

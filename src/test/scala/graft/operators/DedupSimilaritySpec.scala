@@ -542,6 +542,12 @@ class DedupSimilaritySpec extends SparkSuiteBase {
         "doc_id", "n_tokens", budget, numParts = 1)
       .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
     assert(onePart == got)
+    // the auto-sized default (numParts = 0 → derived from input stats)
+    // is the same function too
+    val autoPart = TextAnalysis.packScan(rows.toDF("doc_id", "n_tokens"),
+        "doc_id", "n_tokens", budget)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(autoPart == got)
   }
 
   test("mix sampling: rates nest, survive repartitioning, and land near target") {

@@ -36,6 +36,33 @@ class ScaleOpsSpec extends SparkSuiteBase {
     }
   }
 
+  test("prefixSumByRange auto-sizes partitions from input stats") {
+    // ~600k (long, long) rows estimate to several MiB — past
+    // 32 x 128 KiB — so the auto path (numParts <= 0) must pick more
+    // than 32 range partitions BY ITSELF (the floor here is this
+    // suite's shuffle.partitions = 4, so the size term decides), the
+    // round-5 fix for sharding a growing corpus into fixed-32
+    // single-task sorts
+    val df = spark.range(600000).toDF("id").withColumn("v", lit(1L))
+    val auto = ScaleOps.prefixSumByRange(df, Seq("id"), col("v"), "pfx")
+    assert(auto.rdd.getNumPartitions > 32,
+      s"auto picked ${auto.rdd.getNumPartitions} partitions")
+    // sizing must never leak into the values: auto and a fixed count
+    // produce the identical prefix function
+    val fixed = ScaleOps.prefixSumByRange(df, Seq("id"), col("v"), "pfx",
+      numParts = 5)
+    def probe(d: org.apache.spark.sql.DataFrame) =
+      d.where(col("id") % 1000 === 0)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(probe(auto) == probe(fixed), "prefix diverges across sizing")
+    // a small input stays at the session floor — no pointless fan-out
+    val small = spark.range(100).toDF("id").withColumn("v", lit(1L))
+    val smallParts = ScaleOps.prefixSumByRange(small, Seq("id"), col("v"), "pfx")
+      .rdd.getNumPartitions
+    assert(smallParts == spark.sessionState.conf.numShufflePartitions,
+      s"small input picked $smallParts")
+  }
+
   test("salted join equals unsalted join") {
     val li = Tables.lineitem(spark, sfDir)
       .select(col("l_partkey").as("p_partkey"), col("l_quantity"))
