@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFns
-import graft.operators.{Curation, Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Curation, Dedup, IncrementalDedup, Multimodal, Similarity, TextAnalysis}
 
 /** LLM-data-pipeline operator surface (SURVEY §2B R-19/R-20/R-21 +
   * BASELINE north star): text analysis, language-ID, near-dup
@@ -336,6 +336,57 @@ object PipelineQueries extends QueryGroup {
        |SELECT doc_id, cluster, (doc_id = cluster) AS keep
        |FROM comp ORDER BY doc_id""".stripMargin) { (s, d) =>
     dedupStage(s, d).clusters
+      .withColumn("keep", col("doc_id") === col("cluster"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** One persisted [[IncrementalDedup]] index per (session, dir),
+    * built over the doc_id % 5 != 0 split (80% of the corpus) — q75
+    * then APPENDS the remaining 20% as the delta tick. The memo means
+    * bench reps after the first time only the append: the number q75
+    * reports is the incremental tick cost, the operational claim the
+    * index exists to make (a full corpus re-mine per snapshot is
+    * exactly what this kills at 100 TB).
+    */
+  private val incIndexDirs = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.SparkSession, String), String]
+
+  private def incrementalAppend(s: org.apache.spark.sql.SparkSession,
+      d: String): graft.operators.IncrementalDedup.Appended = {
+    sweepDeadEntries(incIndexDirs)
+    val base = incIndexDirs.computeIfAbsent((s, d), _ => {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-incdedup").toString
+      IncrementalDedup.buildIndex(
+        Tables.documents(s, d).filter(pmod(col("doc_id"), lit(5)) =!= 0),
+        "doc_id", "text", "lang", n = 3, threshold = 0.8,
+        maxShingleDocFreq = 1000, dir = s"$dir/base")
+      dir
+    })
+    IncrementalDedup.append(
+      Tables.documents(s, d).filter(pmod(col("doc_id"), lit(5)) === 0),
+      "doc_id", "text", "lang", s"$base/base", s"$base/appended")
+  }
+
+  // R-19 operationalized: DELTA dedup against the persisted
+  // fingerprint/cluster index — the Spark side builds an index over
+  // 80% of the corpus, appends the other 20% WITHOUT re-reading old
+  // text, and must land on the SAME clusters as q47's full-corpus
+  // mine. The oracle is q47's full-re-mine SQL verbatim: the
+  // hash-match IS the "full-re-mine ≡ index+delta" assertion.
+  q("q75_incremental_dedup",
+    s"""WITH RECURSIVE $jaccardPairCtes,
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM pr
+       |          UNION SELECT id_b, id_a FROM pr),
+       |reach(id, lbl) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.src, r.lbl FROM reach r JOIN edges e ON e.dst = r.id),
+       |comp AS (SELECT id AS doc_id, min(lbl) AS cluster FROM reach GROUP BY id)
+       |SELECT doc_id, cluster, (doc_id = cluster) AS keep
+       |FROM comp ORDER BY doc_id""".stripMargin) { (s, d) =>
+    incrementalAppend(s, d).labels
+      .select(col("doc").as("doc_id"), col("cluster"))
       .withColumn("keep", col("doc_id") === col("cluster"))
       .orderBy(col("doc_id"))
   }

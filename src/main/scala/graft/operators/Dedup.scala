@@ -104,31 +104,53 @@ object Dedup {
       blockCol: String,
       n: Int,
       threshold: Double,
-      maxShingleDocFreq: Int = 1000): DataFrame = {
-    // The explicit not-null pre-filter is LOAD-BEARING for plan reuse:
-    // downstream branches (hot-shingle anti-join on (blk, shingle),
-    // size join on doc) each infer different IsNotNull constraints
-    // from their join keys, and Catalyst pushes them into each
-    // branch's scan — making the otherwise-identical explode+distinct
-    // subtrees differ and defeating ReusedExchange, so the expensive
-    // shingling ran up to 4x. With the filters applied once here,
-    // every branch shares ONE exchange (asserted in PlanSpec).
-    // Shingles are hashed to int64 (xxhash64) IMMEDIATELY after the
-    // explode, so the n-gram STRINGS never leave the scan stage: the
-    // distinct, the DF cap, the per-doc sizes and the self-join all
-    // shuffle fixed-width 8-byte keys instead of ~20-40 byte strings
-    // (3-5x less exchange traffic, and fixed-width keys take the
-    // UnsafeRow fast path in the hash aggregate). Set semantics are
-    // preserved up to xxhash64 collisions: for a corpus with S
-    // distinct shingles per block the expected collision count is
-    // ~S²/2^65 — at S = 10^9 that is ~5x10^-8 expected collisions, and
-    // a collision only perturbs one intersection count by 1.
-    val shAll = docs
+      maxShingleDocFreq: Int = 1000): DataFrame =
+    pairsFromShingles(shingleFrame(docs, idCol, textCol, blockCol, n),
+      threshold, maxShingleDocFreq)
+
+  /** The (doc, blk, shingle) frame [[ngramJaccardPairs]] mines over —
+    * exposed separately so [[IncrementalDedup]] can persist it as the
+    * fingerprint index (appending a delta then shingles ONLY the delta
+    * text; the old corpus is re-read as this narrow int64 frame).
+    *
+    * The explicit not-null pre-filter is LOAD-BEARING for plan reuse:
+    * downstream branches (hot-shingle anti-join on (blk, shingle),
+    * size join on doc) each infer different IsNotNull constraints
+    * from their join keys, and Catalyst pushes them into each
+    * branch's scan — making the otherwise-identical explode+distinct
+    * subtrees differ and defeating ReusedExchange, so the expensive
+    * shingling ran up to 4x. With the filters applied once here,
+    * every branch shares ONE exchange (asserted in PlanSpec).
+    * Shingles are hashed to int64 (xxhash64) IMMEDIATELY after the
+    * explode, so the n-gram STRINGS never leave the scan stage: the
+    * distinct, the DF cap, the per-doc sizes and the self-join all
+    * shuffle fixed-width 8-byte keys instead of ~20-40 byte strings
+    * (3-5x less exchange traffic, and fixed-width keys take the
+    * UnsafeRow fast path in the hash aggregate). Set semantics are
+    * preserved up to xxhash64 collisions: for a corpus with S
+    * distinct shingles per block the expected collision count is
+    * ~S²/2^65 — at S = 10^9 that is ~5x10^-8 expected collisions, and
+    * a collision only perturbs one intersection count by 1.
+    */
+  private[operators] def shingleFrame(
+      docs: DataFrame, idCol: String, textCol: String, blockCol: String,
+      n: Int): DataFrame =
+    docs
       .filter(col(idCol).isNotNull && col(blockCol).isNotNull)
       .select(col(idCol).as("doc"), col(blockCol).as("blk"),
         explode(TextFns.textShingles(col(textCol), n)).as("__s"))
       .select(col("doc"), col("blk"), xxhash64(col("__s")).as("shingle"))
       .distinct()
+
+  /** Jaccard pair mining over a prepared (doc, blk, shingle) frame —
+    * the body of [[ngramJaccardPairs]], reusable against a PERSISTED
+    * shingle frame (incremental dedup re-mines from the index without
+    * touching corpus text).
+    */
+  private[operators] def pairsFromShingles(
+      shAll: DataFrame,
+      threshold: Double,
+      maxShingleDocFreq: Int): DataFrame = {
     // The DF cap and the per-doc set size are HASH aggregates joined
     // back (the oracle's own shape), not window passes: a window here
     // is a full sort of the exploded frame per pass, and those two
@@ -158,6 +180,55 @@ object Dedup {
           && col("a.blk") === col("b.blk")
           && col("a.doc") < col("b.doc"))
       .groupBy(col("a.doc").as("id_a"), col("b.doc").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    pairCounts
+      .join(sizes.select(col("doc").as("id_a"), col("sz").as("sz_a")), "id_a")
+      .join(sizes.select(col("doc").as("id_b"), col("sz").as("sz_b")), "id_b")
+      .withColumn("jaccard",
+        col("inter").cast("double")
+          / (col("sz_a") + col("sz_b") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** [[pairsFromShingles]] restricted to pairs with AT LEAST ONE
+    * endpoint in `restrict` (a one-column `doc` frame) — the
+    * incremental-append miner: candidates come from
+    * restrict-side × full-side on (blk, shingle) instead of the full
+    * self-join, so old×old pairs are never re-derived. The DF cap,
+    * set sizes and Jaccard are computed over the FULL `shAll` frame,
+    * so every emitted pair scores exactly as the unrestricted miner
+    * would score it.
+    *
+    * Double-emission when both endpoints are restricted is collapsed
+    * by normalizing to (least, greatest) and de-duplicating the
+    * (pair, shingle) rows before the intersection count — `restrict`
+    * is small by construction (a delta plus cap-crossing fallout), so
+    * that distinct shuffles candidate-sized data, not corpus-sized.
+    */
+  private[operators] def pairsFromShinglesRestricted(
+      shAll: DataFrame,
+      restrict: DataFrame,
+      threshold: Double,
+      maxShingleDocFreq: Int): DataFrame = {
+    val hot = shAll.groupBy(col("blk"), col("shingle"))
+      .agg(count(lit(1)).as("__df"))
+      .filter(col("__df") > maxShingleDocFreq)
+      .select(col("blk"), col("shingle"))
+    val surviving = shAll.join(hot, Seq("blk", "shingle"), "left_anti")
+    val sizes = surviving.groupBy(col("doc")).agg(count(lit(1)).as("sz"))
+    val r = surviving.join(
+      restrict.select(col(restrict.columns.head).as("doc")).distinct(), "doc")
+    val pairCounts = r.alias("a")
+      .join(surviving.alias("b"),
+        col("a.shingle") === col("b.shingle")
+          && col("a.blk") === col("b.blk")
+          && col("a.doc") =!= col("b.doc"))
+      .select(least(col("a.doc"), col("b.doc")).as("id_a"),
+        greatest(col("a.doc"), col("b.doc")).as("id_b"),
+        col("a.shingle").as("shingle"))
+      .distinct()
+      .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("inter"))
     pairCounts
       .join(sizes.select(col("doc").as("id_a"), col("sz").as("sz_a")), "id_a")

@@ -1,0 +1,136 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSuiteBase, Tables}
+
+/** The incremental index's whole value is an EXACTNESS claim:
+  * append(delta) over a persisted index must reproduce a full re-mine
+  * of old ∪ delta bit-for-bit — pairs and labels — while never
+  * touching old corpus text. Each test attacks one leg of that claim.
+  */
+class IncrementalDedupSpec extends SparkSuiteBase {
+
+  private def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] =
+    df.select(col("id_a"), col("id_b"), round(col("jaccard"), 9).as("j"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+  private def labelMap(df: org.apache.spark.sql.DataFrame,
+      idName: String = "doc"): Map[Long, Long] =
+    df.collect().map(r => r.getAs[Long](idName) -> r.getAs[Long]("cluster")).toMap
+
+  test("append(delta) equals a full re-mine on the sf0.001 corpus") {
+    val docs = Tables.documents(spark, sfDir)
+    val old = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+    val delta = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+    val dir = tmpDir("incdedup-eq")
+
+    IncrementalDedup.buildIndex(old, "doc_id", "text", "lang",
+      n = 3, threshold = 0.8, maxShingleDocFreq = 1000, dir = s"$dir/base")
+    val appended = IncrementalDedup.append(delta, "doc_id", "text", "lang",
+      s"$dir/base", s"$dir/out")
+
+    val fullPairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", "lang",
+      n = 3, threshold = 0.8)
+    assert(pairSet(appended.pairs) == pairSet(fullPairs),
+      "incremental pair list diverges from the full re-mine")
+
+    val fullLabels = Dedup.clusters(docs, "doc_id", fullPairs)
+    assert(labelMap(appended.labels) == labelMap(fullLabels, "doc_id"),
+      "incremental labels diverge from the full re-mine")
+  }
+
+  test("append never needs the old corpus text (source deleted)") {
+    import spark.implicits._
+    val olds = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta", "en"),
+      (2L, "alpha beta gamma delta epsilon eta", "en"),
+      (3L, "one two three four five six", "en"))
+      .toDF("doc_id", "text", "lang")
+    val dir = tmpDir("incdedup-del")
+    // the old corpus lives ONLY in this parquet dir
+    val oldPath = s"$dir/old-corpus"
+    olds.write.parquet(oldPath)
+    IncrementalDedup.buildIndex(spark.read.parquet(oldPath),
+      "doc_id", "text", "lang", n = 3, threshold = 0.5,
+      maxShingleDocFreq = 1000, dir = s"$dir/base")
+
+    // destroy the old text: if append rescans it, it CANNOT succeed
+    val p = new org.apache.hadoop.fs.Path(oldPath)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+
+    val delta = Seq(
+      (10L, "alpha beta gamma delta epsilon theta", "en"),
+      (11L, "seven eight nine ten eleven twelve", "en"))
+      .toDF("doc_id", "text", "lang")
+    val appended = IncrementalDedup.append(delta, "doc_id", "text", "lang",
+      s"$dir/base", s"$dir/out")
+    val labels = labelMap(appended.labels)
+    // docs 1, 2 and 10 share 4-of-6 shingle overlap → one cluster
+    // labeled by the min id; 3 and 11 are singletons
+    assert(labels(1L) == 1L && labels(2L) == 1L && labels(10L) == 1L)
+    assert(labels(3L) == 3L && labels(11L) == 11L)
+  }
+
+  test("delta pushing a shingle over the DF cap re-scores old pairs exactly") {
+    import spark.implicits._
+    // 'x y z' appears in old docs 1 and 2 (df=2, at the cap): it
+    // counts toward their intersection before the append. The delta
+    // doc 10 also holds it, pushing df to 3 > cap=2 — a full re-mine
+    // drops that shingle from EVERYONE's surviving set, changing the
+    // old×old pair (1,2)'s score. append must reproduce that.
+    def doc(extra: String) = s"x y z $extra"
+    val olds = Seq(
+      (1L, doc("a b c d e"), "en"),
+      (2L, doc("a b c d f"), "en"))
+      .toDF("doc_id", "text", "lang")
+    val delta = Seq((10L, doc("q r s t u"), "en")).toDF("doc_id", "text", "lang")
+    val full = olds.unionByName(delta)
+    val dir = tmpDir("incdedup-cap")
+    val (n, th, cap) = (3, 0.1, 2)
+
+    IncrementalDedup.buildIndex(olds, "doc_id", "text", "lang",
+      n, th, cap, s"$dir/base")
+    val appended = IncrementalDedup.append(delta, "doc_id", "text", "lang",
+      s"$dir/base", s"$dir/out")
+    val fullPairs = Dedup.ngramJaccardPairs(full, "doc_id", "text", "lang",
+      n, th, cap)
+    assert(pairSet(appended.pairs) == pairSet(fullPairs),
+      "cap-crossing fallout not re-scored")
+    // and the index really saw the change: before the append, (1,2)
+    // scored WITH the 'x y z' shingles; after, without them
+    val basePairs = pairSet(spark.read.parquet(s"$dir/base/pairs"))
+    val outPairs = pairSet(appended.pairs)
+    val before = basePairs.find(p => p._1 == 1L && p._2 == 2L).map(_._3)
+    val after = outPairs.find(p => p._1 == 1L && p._2 == 2L).map(_._3)
+    assert(before.isDefined && after.isDefined && before != after,
+      s"expected (1,2) to re-score: before=$before after=$after")
+
+    val fullLabels = Dedup.clusters(full, "doc_id", fullPairs)
+    assert(labelMap(appended.labels) == labelMap(fullLabels, "doc_id"))
+  }
+
+  test("append refuses overlapping delta ids and wrong meta version") {
+    import spark.implicits._
+    val olds = Seq((1L, "a b c d e", "en")).toDF("doc_id", "text", "lang")
+    val dir = tmpDir("incdedup-guard")
+    IncrementalDedup.buildIndex(olds, "doc_id", "text", "lang",
+      3, 0.8, 1000, s"$dir/base")
+    val dup = Seq((1L, "a b c d e", "en")).toDF("doc_id", "text", "lang")
+    val e = intercept[IllegalArgumentException] {
+      IncrementalDedup.append(dup, "doc_id", "text", "lang",
+        s"$dir/base", s"$dir/out")
+    }
+    assert(e.getMessage.contains("disjoint"))
+
+    // corrupt the version: a future-schema index must fail loudly
+    Seq((99, 3, 0.8, 1000)).toDF("version", "n", "threshold", "max_df")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/base/meta")
+    val e2 = intercept[IllegalArgumentException] {
+      IncrementalDedup.append(
+        Seq((2L, "f g h i j", "en")).toDF("doc_id", "text", "lang"),
+        "doc_id", "text", "lang", s"$dir/base", s"$dir/out")
+    }
+    assert(e2.getMessage.contains("schema version"))
+  }
+}
