@@ -656,6 +656,80 @@ object PipelineQueries extends QueryGroup {
       .orderBy(col("probe_id"), col("rnk"))
   }
 
+  /** One persisted [[SimilarityIndex]] IVF index per (session, dir) —
+    * q76 probes it as a separate job would: the memoized first call
+    * builds cells+centroids to parquet; every later call (and every
+    * bench rep after the first) pays ONLY the probe — centroid
+    * ranking, a scan of the probed cell partitions, top-k. That
+    * indexing/probing split is the real-world ANN deployment shape
+    * (q46 rebuilds its cells inside every run by design, as the
+    * self-contained-query mode).
+    */
+  private val ivfIndexDirs = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.SparkSession, String), String]
+
+  private def ivfIndexDir(s: org.apache.spark.sql.SparkSession,
+      d: String): String = {
+    sweepDeadEntries(ivfIndexDirs)
+    ivfIndexDirs.computeIfAbsent((s, d), _ => {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-ivfindex").toString
+      graft.operators.SimilarityIndex.buildIvf(
+        Tables.embeddings(s, d).filter(col("vec_id") >= 10),
+        "vec_id", "embedding", numCells = 8, dir = dir)
+      dir
+    })
+  }
+
+  // R-20 operationalized: probe a PERSISTED IVF index built by a
+  // prior job. Semantics (and oracle) identical to q46 — same
+  // smallest-id centroids, numCells=8, nprobe=2, k=3 — but the Spark
+  // side never sees the corpus frame: centroids and cell assignments
+  // come from the index parquet, and only the probed cell partitions
+  // are scanned (static partition pruning, asserted in
+  // SimilarityIndexSpec).
+  q("q76_ivf_index_probe",
+    """WITH u AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+      |             unnest(embedding)::DOUBLE AS x FROM embeddings),
+      |nrm AS (SELECT vec_id, sqrt(sum(x*x)) AS nr FROM u GROUP BY vec_id),
+      |cent AS (SELECT vec_id AS cvid, CAST(vec_id - 10 AS INT) AS cell
+      |         FROM embeddings WHERE vec_id >= 10 AND vec_id < 18),
+      |vc0 AS (SELECT a.vec_id AS vid, c.cell AS cell, c.cvid AS cvid,
+      |          sum(a.x * b.x) AS dp
+      |        FROM u a JOIN cent c ON true
+      |        JOIN u b ON b.vec_id = c.cvid AND a.i = b.i
+      |        GROUP BY 1, 2, 3),
+      |vc AS (SELECT vid, cell,
+      |         floor((dp / (x.nr * y.nr)) * 1000000.0 + 0.5) / 1000000.0 AS ccos
+      |       FROM vc0 JOIN nrm x ON x.vec_id = vid JOIN nrm y ON y.vec_id = cvid),
+      |assign AS (SELECT vid, cell FROM (
+      |  SELECT vid, cell, row_number() OVER (PARTITION BY vid
+      |           ORDER BY (1.0 - ccos) ASC, cell) AS rn FROM vc) WHERE rn = 1),
+      |pc AS (SELECT vid, cell FROM (
+      |  SELECT vid, cell, row_number() OVER (PARTITION BY vid
+      |           ORDER BY (1.0 - ccos) ASC, cell) AS rn FROM vc) WHERE rn <= 2),
+      |cand AS (SELECT p.vid AS probe_id, n.vid AS neighbor_id
+      |         FROM pc p JOIN assign n USING (cell)
+      |         WHERE p.vid < 10 AND n.vid >= 10),
+      |d AS (SELECT probe_id, neighbor_id, sum(pu.x * cu.x) AS dp
+      |      FROM cand JOIN u pu ON pu.vec_id = probe_id
+      |                JOIN u cu ON cu.vec_id = neighbor_id AND pu.i = cu.i
+      |      GROUP BY 1, 2),
+      |cs AS (SELECT probe_id, neighbor_id,
+      |         floor((dp / (x.nr * y.nr)) * 1000000.0 + 0.5) / 1000000.0 AS cos
+      |       FROM d JOIN nrm x ON x.vec_id = probe_id JOIN nrm y ON y.vec_id = neighbor_id),
+      |r AS (SELECT probe_id, neighbor_id, cos,
+      |        row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id) AS rnk
+      |      FROM cs)
+      |SELECT probe_id, rnk, neighbor_id, cos FROM r WHERE rnk <= 3
+      |ORDER BY probe_id, rnk""".stripMargin) { (s, d) =>
+    val dir = ivfIndexDir(s, d)
+    graft.operators.SimilarityIndex.ivfProbe(
+        Tables.embeddings(s, d).filter(col("vec_id") < 10),
+        "vec_id", "embedding", dir, numCells = 8, nprobe = 2, k = 3)
+      .orderBy(col("probe_id"), col("rnk"))
+  }
+
   // R-21 family, training-data hygiene: PII redaction. The fixture
   // text carries no natural PII, so deterministic email/phone strings
   // are appended arithmetically from doc_id (identically in both

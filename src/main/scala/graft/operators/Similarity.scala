@@ -23,7 +23,7 @@ import graft.functions.VectorFns
   */
 object Similarity {
 
-  private def ranked(
+  private[operators] def ranked(
       pairs: DataFrame,
       k: Int): DataFrame = {
     val w = Window.partitionBy(col("probe_id"))
@@ -38,7 +38,7 @@ object Similarity {
     * [[graft.plans.FloatVecDot]] expression (bit-identical to the
     * higher-order-function formulation, ~10x faster per pair).
     */
-  private def cos6(spark: org.apache.spark.sql.SparkSession,
+  private[operators] def cos6(spark: org.apache.spark.sql.SparkSession,
       a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) = {
     val dot = (x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =>
       graft.plans.FloatVecDot.vecDot(spark, x, y)
@@ -191,7 +191,7 @@ object Similarity {
     * ranking deterministic and engine-portable (same rule the DuckDB
     * oracle applies).
     */
-  private def cellRank(
+  private[operators] def cellRank(
       spark: org.apache.spark.sql.SparkSession,
       cents: Seq[(Int, Array[Float])],
       v: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
@@ -203,7 +203,7 @@ object Similarity {
   /** The `numCells` smallest-id corpus vectors — the deterministic,
     * oracle-reproducible stand-in for a k-means pass (q46's mode).
     */
-  private def smallestIdCentroids(
+  private[operators] def smallestIdCentroids(
       corpus: DataFrame, idCol: String, vecCol: String,
       numCells: Int): Seq[(Int, Array[Float])] =
     corpus

@@ -1,0 +1,191 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted ANN indexes: build the expensive part of a similarity
+  * search (centroid training + corpus assignment / bucket hashing)
+  * ONCE, write it as parquet with a config fingerprint, and let any
+  * later job probe it — the universal real-world ANN deployment
+  * shape (indexing and probing are separate jobs with separate
+  * cadences; rebuilding cells per query run is what [[Similarity]]'s
+  * in-memory path does and what this module kills at 100 TB).
+  *
+  * Index layouts (parquet under one directory):
+  *
+  * IVF ([[buildIvf]] / [[ivfProbe]]):
+  *   - `centroids` (cell, centroid: array<float>) — numCells rows
+  *   - `cells`     (neighbor_id, cv, cell) PARTITIONED BY cell — the
+  *     inverted file. Partitioning is the on-disk probe win: a probe
+  *     touching `nprobe` cells reads those directories and NOTHING
+  *     else (static partition pruning, asserted in the spec), so
+  *     probe IO is ~nprobe/numCells of the corpus.
+  *   - `meta`      (version, kind, num_cells, dims)
+  *
+  * Sign-bucket LSH ([[buildSignBucket]] / [[signBucketProbe]]):
+  *   - `buckets` (neighbor_id, cv, bucket) PARTITIONED BY bucket
+  *     (2^bits directories at most — the `bits <= 12` require keeps
+  *     the partition count filesystem-sane)
+  *   - `meta`    (version, kind, bits, dims)
+  *
+  * STALE-CONFIG SAFETY: the probe functions take the caller's
+  * expected configuration and refuse an index whose persisted meta
+  * disagrees (wrong numCells/bits/dims/kind or an unknown schema
+  * version fails loudly with the mismatch in the message). A silent
+  * config drift would return plausible-but-wrong neighbors — the
+  * worst failure mode an ANN store can have.
+  */
+object SimilarityIndex {
+
+  private val SchemaVersion = 1
+
+  /** Build and persist an IVF index. Centroids default to the
+    * smallest-id stand-in (deterministic, oracle-reproducible — q46's
+    * mode); pass `Some(Similarity.trainIvfCentroids(...))` for
+    * trained cells. Probe-side ranking must use the same centroids —
+    * they are persisted, so [[ivfProbe]] always does.
+    */
+  def buildIvf(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      numCells: Int,
+      dir: String,
+      centroids: Option[Seq[Array[Float]]] = None): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cents: Seq[(Int, Array[Float])] = centroids match {
+      case Some(cs) =>
+        require(cs.size == numCells,
+          s"got ${cs.size} centroids for numCells=$numCells")
+        cs.zipWithIndex.map { case (v, i) => (i, v) }
+      case None =>
+        Similarity.smallestIdCentroids(corpus, idCol, vecCol, numCells)
+    }
+    require(cents.nonEmpty, "cannot index an empty corpus")
+    val dims = cents.head._2.length
+    cents.map { case (i, v) => (i, v.toSeq) }.toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+    corpus.select(
+        col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+        element_at(Similarity.cellRank(spark, cents, col(vecCol)), 1)
+          .getField("cell").as("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/cells")
+    writeMeta(spark, dir, "ivf", numCells, dims)
+  }
+
+  /** Probe a persisted IVF index: rank the persisted centroids per
+    * probe (one codegen scan — centroids are numCells driver
+    * literals), then join against ONLY the probed cell partitions.
+    * `numCells` is the caller's expected config — checked against the
+    * index meta.
+    */
+  def ivfProbe(
+      probes: DataFrame,
+      idCol: String,
+      vecCol: String,
+      indexDir: String,
+      numCells: Int,
+      nprobe: Int,
+      k: Int): DataFrame = {
+    require(nprobe >= 1 && nprobe <= numCells, "need 1 <= nprobe <= numCells")
+    val spark = probes.sparkSession
+    checkMeta(spark, indexDir, "ivf", numCells)
+    val cents = spark.read.parquet(s"$indexDir/centroids")
+      .orderBy(col("cell")).collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).toArray)).toSeq
+    require(cents.size == numCells,
+      s"index at $indexDir holds ${cents.size} centroids, expected $numCells")
+    val probeCells = probes.select(
+      col(idCol).as("probe_id"), col(vecCol).as("pv"),
+      explode(transform(
+        slice(Similarity.cellRank(spark, cents, col(vecCol)), 1, nprobe),
+        s => s.getField("cell"))).as("cell"))
+    // static partition prune: the distinct probed-cell set is bounded
+    // by numCells (small by construction), so collecting it is
+    // driver-safe and turns the cell join into a scan of exactly the
+    // probed directories
+    val probedCells = probeCells.select(col("cell")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val assigned = spark.read.parquet(s"$indexDir/cells")
+      .filter(col("cell").isin(probedCells: _*))
+    val pairs = assigned.join(broadcast(probeCells), "cell")
+      .select(col("probe_id"), col("neighbor_id"),
+        Similarity.cos6(spark, col("pv"), col("cv")).as("cos"))
+    Similarity.ranked(pairs, k)
+  }
+
+  /** Build and persist a sign-bucket LSH index over the first `bits`
+    * dimensions.
+    */
+  def buildSignBucket(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      bits: Int,
+      dir: String): Unit = {
+    require(bits >= 1 && bits <= 12,
+      "bits > 12 would create >4096 bucket partitions — use multi-table " +
+        "slices or IVF for finer granularity")
+    val spark = corpus.sparkSession
+    val dims = corpus.select(col(vecCol)).filter(col(vecCol).isNotNull)
+      .head(1).headOption.map(_.getSeq[Float](0).size).getOrElse(0)
+    corpus.select(
+        col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+        graft.functions.VectorFns.signBucket(col(vecCol), bits).as("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/buckets")
+    writeMeta(spark, dir, "signbucket", bits, dims)
+  }
+
+  /** Probe a persisted sign-bucket index. `bits` is the caller's
+    * expected config — checked against the index meta (a probe hashed
+    * with different bits would land in systematically wrong buckets).
+    */
+  def signBucketProbe(
+      probes: DataFrame,
+      idCol: String,
+      vecCol: String,
+      indexDir: String,
+      bits: Int,
+      k: Int): DataFrame = {
+    val spark = probes.sparkSession
+    checkMeta(spark, indexDir, "signbucket", bits)
+    val p = probes.select(col(idCol).as("probe_id"), col(vecCol).as("pv"),
+      graft.functions.VectorFns.signBucket(col(vecCol), bits).as("bucket"))
+    // distinct probe buckets are bounded by min(|probes|, 2^bits) and
+    // bits <= 12, so the static prune list stays small
+    val probed = p.select(col("bucket")).distinct()
+      .collect().map(_.getString(0)).toSeq
+    val c = spark.read.parquet(s"$indexDir/buckets")
+      .filter(col("bucket").isin(probed: _*))
+    val pairs = c.join(broadcast(p), "bucket")
+      .select(col("probe_id"), col("neighbor_id"),
+        Similarity.cos6(spark, col("pv"), col("cv")).as("cos"))
+    Similarity.ranked(pairs, k)
+  }
+
+  private def writeMeta(spark: SparkSession, dir: String, kind: String,
+      param: Int, dims: Int): Unit = {
+    import spark.implicits._
+    Seq((SchemaVersion, kind, param, dims))
+      .toDF("version", "kind", "param", "dims")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  private def checkMeta(spark: SparkSession, dir: String, kind: String,
+      param: Int): Unit = {
+    val rows = spark.read.parquet(s"$dir/meta").collect()
+    require(rows.length == 1, s"corrupt index meta at $dir/meta")
+    val r = rows(0)
+    val (ver, k0, p0) =
+      (r.getAs[Int]("version"), r.getAs[String]("kind"), r.getAs[Int]("param"))
+    require(ver == SchemaVersion,
+      s"index at $dir has schema version $ver; this build understands " +
+        s"$SchemaVersion — rebuild the index")
+    require(k0 == kind,
+      s"index at $dir is a '$k0' index; this probe expects '$kind'")
+    require(p0 == param,
+      s"index at $dir was built with $k0=$p0; probe expects $param — " +
+        "stale config, rebuild or fix the caller")
+  }
+}

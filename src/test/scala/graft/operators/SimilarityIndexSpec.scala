@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSuiteBase, Tables}
+
+/** Persisted ANN indexes must (1) return exactly what the in-memory
+  * operators return, (2) physically scan only the probed partitions,
+  * and (3) refuse a config that disagrees with what was persisted.
+  */
+class SimilarityIndexSpec extends SparkSuiteBase {
+
+  private def rows(df: org.apache.spark.sql.DataFrame) =
+    df.select("probe_id", "rnk", "neighbor_id", "cos")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3))).toSet
+
+  test("ivfProbe over a persisted index equals ivfTopK") {
+    val e = Tables.embeddings(spark, sfDir)
+    val probes = e.filter(col("vec_id") < 10)
+    val corpus = e.filter(col("vec_id") >= 10)
+    val dir = tmpDir("ivf-idx")
+    SimilarityIndex.buildIvf(corpus, "vec_id", "embedding",
+      numCells = 8, dir = dir)
+    val probed = SimilarityIndex.ivfProbe(probes, "vec_id", "embedding",
+      dir, numCells = 8, nprobe = 2, k = 3)
+    val direct = Similarity.ivfTopK(probes, corpus, "vec_id", "embedding",
+      numCells = 8, nprobe = 2, k = 3)
+    assert(rows(probed) == rows(direct))
+  }
+
+  test("ivfProbe scans only the probed cell partitions") {
+    val e = Tables.embeddings(spark, sfDir)
+    val corpus = e.filter(col("vec_id") >= 10)
+    val dir = tmpDir("ivf-prune")
+    SimilarityIndex.buildIvf(corpus, "vec_id", "embedding",
+      numCells = 8, dir = dir)
+    // one probe, nprobe=1 → exactly one cell directory may be read
+    val oneProbe = e.filter(col("vec_id") === 0)
+    val res = SimilarityIndex.ivfProbe(oneProbe, "vec_id", "embedding",
+      dir, numCells = 8, nprobe = 1, k = 3)
+    res.collect() // materialize so scan metrics are populated
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    // AQE buries executed stages inside QueryStageExec leaves — a flat
+    // collect never reaches the scans; recurse through stage plans
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p.collect {
+      case f: FileSourceScanExec => Seq(f)
+      case q: QueryStageExec => scans(q.plan)
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case r: ReusedExchangeExec => scans(r.child)
+    }.flatten
+    val cellScan = scans(res.queryExecution.executedPlan)
+      .filter(_.metadata.get("Location").exists(_.contains("cells")))
+    assert(cellScan.nonEmpty,
+      s"no cells scan in:\n${res.queryExecution.executedPlan}")
+    val partsRead = cellScan.head.metrics("numPartitions").value
+    assert(partsRead == 1,
+      s"nprobe=1 single probe must read one cell partition, read $partsRead")
+  }
+
+  test("signBucketProbe over a persisted index equals signBucketTopK") {
+    val e = Tables.embeddings(spark, sfDir)
+    val probes = e.filter(col("vec_id") < 10)
+    val corpus = e.filter(col("vec_id") >= 10)
+    val dir = tmpDir("sb-idx")
+    SimilarityIndex.buildSignBucket(corpus, "vec_id", "embedding",
+      bits = 8, dir = dir)
+    val probed = SimilarityIndex.signBucketProbe(probes, "vec_id",
+      "embedding", dir, bits = 8, k = 3)
+    val direct = Similarity.signBucketTopK(probes, corpus, "vec_id",
+      "embedding", bits = 8, k = 3)
+    assert(rows(probed) == rows(direct))
+  }
+
+  test("stale or mismatched config fails loudly") {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, sfDir)
+    val probes = e.filter(col("vec_id") < 10)
+    val corpus = e.filter(col("vec_id") >= 10)
+    val dir = tmpDir("idx-stale")
+    SimilarityIndex.buildIvf(corpus, "vec_id", "embedding",
+      numCells = 8, dir = dir)
+
+    // wrong numCells: the probe's expected config is stale
+    val e1 = intercept[IllegalArgumentException] {
+      SimilarityIndex.ivfProbe(probes, "vec_id", "embedding",
+        dir, numCells = 16, nprobe = 2, k = 3)
+    }
+    assert(e1.getMessage.contains("stale config"))
+
+    // wrong kind: an IVF index probed as a sign-bucket table
+    val e2 = intercept[IllegalArgumentException] {
+      SimilarityIndex.signBucketProbe(probes, "vec_id", "embedding",
+        dir, bits = 8, k = 3)
+    }
+    assert(e2.getMessage.contains("expects 'signbucket'"))
+
+    // unknown schema version: a future index must not half-work
+    Seq((99, "ivf", 8, 8)).toDF("version", "kind", "param", "dims")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+    val e3 = intercept[IllegalArgumentException] {
+      SimilarityIndex.ivfProbe(probes, "vec_id", "embedding",
+        dir, numCells = 8, nprobe = 2, k = 3)
+    }
+    assert(e3.getMessage.contains("schema version"))
+  }
+}
