@@ -103,6 +103,11 @@ object Bench {
         // after) aggregates it — its number is the report's increment
         if (name == "q69_curation")
           PipelineQueries.resetCuration(spark, sfDir)
+        // q77 owns the trained-BPE memo; q78/q79 (alphabetically
+        // after) reuse it — their numbers are the encode/pack
+        // increments over a trained tokenizer
+        if (name == "q77_bpe_train")
+          PipelineQueries.resetBpe(spark, sfDir)
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()

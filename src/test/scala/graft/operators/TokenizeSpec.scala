@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuiteBase
+
+/** BPE determinism on hand-checkable corpora: known merge sequences,
+  * greedy-pass semantics, id stability, and the reconstruction
+  * property (concatenating a word's symbols gives the word back —
+  * merges only ever concatenate adjacent symbols).
+  */
+class TokenizeSpec extends SparkSuiteBase {
+
+  test("learns the classic merge sequence on a skewed corpus") {
+    import spark.implicits._
+    // "ab" dominates: 'a'+'b' adjacency count = 5 (3x "abab" has 2
+    // each? no: "abab" = a,b,a,b → (a,b) twice, (b,a) once) — work it
+    // out: 3 docs "abab" + 1 doc "ab": (a,b): 3*2 + 1 = 7; (b,a): 3.
+    // Round 1 must merge (a,b). Round 2 state: "abab"→[ab,ab],
+    // "ab"→[ab]; pairs: (ab,ab): 3 → merges (ab,ab).
+    val docs = (Seq.fill(3)("abab") :+ "ab").toDF("text")
+    val trained = Tokenize.train(docs, "text", numMerges = 2)
+    assert(trained.merges.map(m => (m._1, m._2)) ==
+      Seq(("a", "b"), ("ab", "ab")))
+    assert(trained.merges.map(_._3) == Seq(7L, 3L))
+  }
+
+  test("tie-break is lexicographic on (left, right)") {
+    import spark.implicits._
+    // "xy" and "ab" both appear twice — counts tie at 2; (a,b) < (x,y)
+    val docs = Seq("xy ab", "ab xy").toDF("text")
+    val trained = Tokenize.train(docs, "text", numMerges = 1)
+    assert(trained.merges.head._1 == "a" && trained.merges.head._2 == "b")
+  }
+
+  test("greedy pass merges runs left to right (aaaa -> [aa, aa])") {
+    import spark.implicits._
+    val docs = Seq("aaaa aaa").toDF("text")
+    val trained = Tokenize.train(docs, "text", numMerges = 1)
+    assert(trained.merges.head._1 == "a" && trained.merges.head._2 == "a")
+    val syms = trained.wordSyms.collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1).toList).toMap
+    assert(syms("aaaa") == List("aa", "aa"))
+    assert(syms("aaa") == List("aa", "a"))
+  }
+
+  test("encode reconstructs words and ids are the lexicographic ranks") {
+    import spark.implicits._
+    val docs = Seq((1L, "the cat sat"), (2L, "the bat"), (3L, "   "))
+      .toDF("doc_id", "text")
+    val trained = Tokenize.train(docs, "text", numMerges = 3)
+    // reconstruction: concatenating each word's symbols gives the word
+    trained.wordSyms.collect().foreach { r =>
+      assert(r.getSeq[String](1).mkString == r.getString(0))
+    }
+    // vocab ids are dense 0-based lexicographic ranks
+    val vocab = trained.vocab.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sorted = vocab.keys.toSeq.sorted
+    sorted.zipWithIndex.foreach { case (sym, i) =>
+      assert(vocab(sym) == i.toLong, s"id of '$sym'")
+    }
+    val enc = Tokenize.encode(docs, "doc_id", "text", trained)
+    // doc 3 has no tokens → no row
+    assert(enc.count() == 2)
+    // decoding through the vocab gives back the document's words
+    val inv = vocab.map(_.swap)
+    val row1 = enc.filter(col("doc_id") === 1L)
+      .select("ids").collect()(0).getSeq[Long](0)
+    assert(row1.map(inv).mkString == "thecatsat")
+    // n_ids is the id count
+    val n = enc.filter(col("doc_id") === 1L)
+      .select("n_ids").collect()(0).getInt(0)
+    assert(n == row1.size)
+  }
+
+  test("training stops early when no pairs remain") {
+    import spark.implicits._
+    val docs = Seq("ab ab ab").toDF("text")
+    // round 1 merges (a,b); afterwards every word is one symbol — no
+    // pairs left, so rounds 2+ must stop instead of failing
+    val trained = Tokenize.train(docs, "text", numMerges = 5)
+    assert(trained.merges.size == 1)
+    assert(trained.merges.head._1 == "a")
+  }
+}
