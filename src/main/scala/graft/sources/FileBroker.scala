@@ -35,6 +35,47 @@ import graft.streaming.RawMessage
   * no JSON library dependency, arbitrary topic names and binary
   * payloads safe.
   */
+/** Message codec shared by the durable [[FileBroker]] (one file per
+  * message) and the [[SocketBroker]] wire protocol (one frame per
+  * message): base64 fields, one per line, fixed order — no JSON
+  * library dependency, arbitrary topic names and binary payloads
+  * safe.
+  */
+private[sources] object RawMessageCodec {
+  private def enc(s: String): String =
+    Base64.getUrlEncoder.withoutPadding.encodeToString(s.getBytes(UTF_8))
+  private def dec(s: String): String =
+    new String(Base64.getUrlDecoder.decode(s), UTF_8)
+
+  def serialize(m: RawMessage): Array[Byte] = {
+    val b64 = Base64.getEncoder
+    val props = m.properties.toSeq.sortBy(_._1)
+      .map { case (k, v) => enc(k) + ":" + enc(v) }.mkString(",")
+    Seq(
+      enc(m.tenant), enc(m.namespace), enc(m.topic), m.partition.toString,
+      m.ledgerId.toString, m.entryId.toString,
+      b64.encodeToString(m.value),
+      if (m.key == null) "-" else "k" + enc(m.key),
+      m.eventTimeMillis.toString, m.publishTimeMillis.toString,
+      props
+    ).mkString("\n").getBytes(UTF_8)
+  }
+
+  def deserialize(bytes: Array[Byte]): RawMessage = {
+    val f = new String(bytes, UTF_8).split("\n", -1)
+    RawMessage(dec(f(0)), dec(f(1)), dec(f(2)), f(3).toInt,
+      f(4).toLong, f(5).toLong,
+      Base64.getDecoder.decode(f(6)),
+      if (f(7) == "-") null else dec(f(7).substring(1)),
+      f(8).toLong, f(9).toLong,
+      if (f(10).isEmpty) Map.empty
+      else f(10).split(",").map { kv =>
+        val Array(k, v) = kv.split(":", 2)
+        dec(k) -> dec(v)
+      }.toMap)
+  }
+}
+
 class FileBroker(rootDir: String) extends EnvelopeBroker with WritableEnvelopeBroker {
 
   private val root: Path = {
@@ -51,35 +92,10 @@ class FileBroker(rootDir: String) extends EnvelopeBroker with WritableEnvelopeBr
   private def partDir(topic: String, partition: Int): Path =
     root.resolve(s"${enc(topic)}__$partition")
 
-  // ----- message codec: one base64 field per line, fixed order -----
-
-  private def serialize(m: RawMessage): Array[Byte] = {
-    val b64 = Base64.getEncoder
-    val props = m.properties.toSeq.sortBy(_._1)
-      .map { case (k, v) => enc(k) + ":" + enc(v) }.mkString(",")
-    Seq(
-      enc(m.tenant), enc(m.namespace), enc(m.topic), m.partition.toString,
-      m.ledgerId.toString, m.entryId.toString,
-      b64.encodeToString(m.value),
-      if (m.key == null) "-" else "k" + enc(m.key),
-      m.eventTimeMillis.toString, m.publishTimeMillis.toString,
-      props
-    ).mkString("\n").getBytes(UTF_8)
-  }
-
-  private def deserialize(bytes: Array[Byte]): RawMessage = {
-    val f = new String(bytes, UTF_8).split("\n", -1)
-    RawMessage(dec(f(0)), dec(f(1)), dec(f(2)), f(3).toInt,
-      f(4).toLong, f(5).toLong,
-      Base64.getDecoder.decode(f(6)),
-      if (f(7) == "-") null else dec(f(7).substring(1)),
-      f(8).toLong, f(9).toLong,
-      if (f(10).isEmpty) Map.empty
-      else f(10).split(",").map { kv =>
-        val Array(k, v) = kv.split(":", 2)
-        dec(k) -> dec(v)
-      }.toMap)
-  }
+  private def serialize(m: RawMessage): Array[Byte] =
+    RawMessageCodec.serialize(m)
+  private def deserialize(bytes: Array[Byte]): RawMessage =
+    RawMessageCodec.deserialize(bytes)
 
   override def append(m: RawMessage): Unit = {
     val dir = partDir(m.topic, m.partition)

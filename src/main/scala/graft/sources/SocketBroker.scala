@@ -1,0 +1,222 @@
+package graft.sources
+
+import java.io.{DataInputStream, DataOutputStream, EOFException, IOException}
+import java.net.{InetAddress, ServerSocket, Socket}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.Base64
+
+import graft.streaming.RawMessage
+
+/** Process-boundary broker transport: a TCP server fronting any
+  * [[EnvelopeBroker]] backend, and a client implementing the same
+  * trait over the wire. This is the last offline-feasible step toward
+  * a live Pulsar binding: every TCK guarantee now survives REAL
+  * serialization ([[RawMessageCodec]] frames), connection lifecycle
+  * and failure (an operation against a dead server raises
+  * `IOException`, never a silent wrong answer), and backpressure
+  * (streamed reads ride TCP flow control — the server writes no
+  * faster than the client consumes, so a slow reader never forces the
+  * server to buffer a partition in memory).
+  *
+  * Wire protocol — one request per connection (no pipelining state to
+  * corrupt; a connection is cheap on localhost and maps 1:1 to how a
+  * real binding would pool):
+  *
+  *   request  = UTF command line, fields space-separated, topic
+  *              base64url-encoded; APPEND is followed by one frame
+  *   frame    = int32 byte length + [[RawMessageCodec]] bytes
+  *   response = TOPICS: int32 n, then n x (UTF topic-b64, int32 part)
+  *              READ:   frames until an int32 -1 sentinel
+  *              LATEST: int64 ledger, int64 entry
+  *              ADVANCE: int64 ledger, int64 entry, int64 skipped
+  *              APPEND: UTF "OK"
+  *
+  * Server errors close the connection (the client surfaces
+  * IOException); the protocol never sends a partial frame — length
+  * prefixes are written before payloads from a single handler thread
+  * per connection.
+  */
+object SocketBroker {
+
+  private def encTopic(s: String): String =
+    Base64.getUrlEncoder.withoutPadding.encodeToString(s.getBytes(UTF_8))
+  private def decTopic(s: String): String =
+    new String(Base64.getUrlDecoder.decode(s), UTF_8)
+
+  /** Serve `backend` on `port` (0 = ephemeral). Thread-per-connection:
+    * the TCK's racing appenders each hold their own connection, and a
+    * blocked (backpressured) read stream never stalls other clients.
+    */
+  final class Server(
+      backend: EnvelopeBroker with WritableEnvelopeBroker,
+      port: Int = 0) extends AutoCloseable {
+
+    private val server =
+      new ServerSocket(port, 64, InetAddress.getLoopbackAddress)
+    @volatile private var closed = false
+
+    def boundPort: Int = server.getLocalPort
+
+    private val acceptor = new Thread(() => {
+      while (!closed) {
+        try {
+          val sock = server.accept()
+          val t = new Thread(() => handle(sock))
+          t.setDaemon(true)
+          t.start()
+        } catch {
+          case _: IOException if closed => () // server socket closed
+          case _: IOException => ()
+        }
+      }
+    }, s"socket-broker-acceptor-${server.getLocalPort}")
+    acceptor.setDaemon(true)
+    acceptor.start()
+
+    private def handle(sock: Socket): Unit = {
+      try {
+        val in = new DataInputStream(sock.getInputStream)
+        val out = new DataOutputStream(sock.getOutputStream)
+        val parts = in.readUTF().split(" ")
+        parts(0) match {
+          case "TOPICS" =>
+            val tps = backend.topicPartitions
+            out.writeInt(tps.size)
+            tps.foreach { case (t, p) =>
+              out.writeUTF(encTopic(t)); out.writeInt(p)
+            }
+          case "READ" =>
+            val it = backend.read(decTopic(parts(1)), parts(2).toInt,
+              (parts(3).toLong, parts(4).toLong),
+              (parts(5).toLong, parts(6).toLong))
+            // frame-at-a-time: each write blocks on the socket buffer,
+            // so TCP flow control paces the backend iterator (the
+            // backpressure clause — nothing is pre-buffered)
+            it.foreach { m =>
+              val bytes = RawMessageCodec.serialize(m)
+              out.writeInt(bytes.length)
+              out.write(bytes)
+            }
+            out.writeInt(-1)
+          case "LATEST" =>
+            val (l, e) = backend.latest(decTopic(parts(1)), parts(2).toInt)
+            out.writeLong(l); out.writeLong(e)
+          case "ADVANCE" =>
+            val ((l, e), n) = backend.advance(decTopic(parts(1)),
+              parts(2).toInt, (parts(3).toLong, parts(4).toLong),
+              (parts(5).toLong, parts(6).toLong), parts(7).toLong)
+            out.writeLong(l); out.writeLong(e); out.writeLong(n)
+          case "APPEND" =>
+            val len = in.readInt()
+            val bytes = new Array[Byte](len)
+            in.readFully(bytes)
+            backend.append(RawMessageCodec.deserialize(bytes))
+            out.writeUTF("OK")
+          case other =>
+            throw new IOException(s"unknown command: $other")
+        }
+        out.flush()
+      } catch {
+        case _: Throwable => () // drop the connection; client sees EOF
+      } finally {
+        try sock.close() catch { case _: IOException => () }
+      }
+    }
+
+    override def close(): Unit = {
+      closed = true
+      try server.close() catch { case _: IOException => () }
+    }
+  }
+
+  /** Client side: an [[EnvelopeBroker]] whose every call crosses the
+    * wire. Serializable (holds only host + port), so Spark tasks and
+    * foreachBatch closures can carry it to executors — each call opens
+    * its own connection, so concurrent tasks never share socket state.
+    */
+  final class Client(host: String, port: Int)
+      extends EnvelopeBroker with WritableEnvelopeBroker with Serializable {
+
+    private def connect(): (Socket, DataInputStream, DataOutputStream) = {
+      val sock = new Socket(host, port)
+      sock.setTcpNoDelay(true)
+      (sock, new DataInputStream(sock.getInputStream),
+        new DataOutputStream(sock.getOutputStream))
+    }
+
+    override def topicPartitions: Seq[(String, Int)] = {
+      val (sock, in, out) = connect()
+      try {
+        out.writeUTF("TOPICS"); out.flush()
+        val n = in.readInt()
+        (0 until n).map(_ => (decTopic(in.readUTF()), in.readInt()))
+      } finally sock.close()
+    }
+
+    override def read(topic: String, partition: Int,
+        from: (Long, Long), until: (Long, Long)): Iterator[RawMessage] = {
+      val (sock, in, out) = connect()
+      out.writeUTF(s"READ ${encTopic(topic)} $partition " +
+        s"${from._1} ${from._2} ${until._1} ${until._2}")
+      out.flush()
+      // lazy frame iterator: the socket stays open while the caller
+      // consumes — the flow-control window IS the buffer. A dropped
+      // connection mid-stream raises EOFException (transport failure
+      // must never read as a short-but-valid range).
+      new Iterator[RawMessage] {
+        private var nextLen = in.readInt()
+        private var open = true
+        override def hasNext: Boolean = {
+          if (open && nextLen < 0) { sock.close(); open = false }
+          nextLen >= 0
+        }
+        override def next(): RawMessage = {
+          if (!hasNext) throw new NoSuchElementException
+          val bytes = new Array[Byte](nextLen)
+          try {
+            in.readFully(bytes)
+            nextLen = in.readInt()
+          } catch {
+            case e: EOFException =>
+              sock.close(); open = false
+              throw new IOException("connection lost mid-read", e)
+          }
+          RawMessageCodec.deserialize(bytes)
+        }
+      }
+    }
+
+    override def latest(topic: String, partition: Int): (Long, Long) = {
+      val (sock, in, out) = connect()
+      try {
+        out.writeUTF(s"LATEST ${encTopic(topic)} $partition"); out.flush()
+        (in.readLong(), in.readLong())
+      } finally sock.close()
+    }
+
+    override def advance(topic: String, partition: Int,
+        from: (Long, Long), until: (Long, Long),
+        n: Long): ((Long, Long), Long) = {
+      val (sock, in, out) = connect()
+      try {
+        out.writeUTF(s"ADVANCE ${encTopic(topic)} $partition " +
+          s"${from._1} ${from._2} ${until._1} ${until._2} $n")
+        out.flush()
+        ((in.readLong(), in.readLong()), in.readLong())
+      } finally sock.close()
+    }
+
+    override def append(m: RawMessage): Unit = {
+      val (sock, in, out) = connect()
+      try {
+        out.writeUTF("APPEND")
+        val bytes = RawMessageCodec.serialize(m)
+        out.writeInt(bytes.length)
+        out.write(bytes)
+        out.flush()
+        val ack = in.readUTF()
+        if (ack != "OK") throw new IOException(s"append rejected: $ack")
+      } finally sock.close()
+    }
+  }
+}

@@ -1,0 +1,114 @@
+package graft.sources
+
+import java.io.IOException
+
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.streaming.{DestinationSink, MessageMirror, PulsarMessage, RawMessage}
+
+/** The socket transport must pass the identical 7-clause contract the
+  * in-memory and file brokers pass — every guarantee now crossing a
+  * real TCP boundary with real frame serialization. Plus the two
+  * things only a transport can get wrong: failure surfacing (dead
+  * server → IOException, never a silent empty answer) and an
+  * end-to-end mirror driven through sockets on BOTH sides.
+  */
+class SocketBrokerTCKSpec extends EnvelopeBrokerTCK
+    with graft.SparkSuiteBase {
+
+  private val servers =
+    scala.collection.mutable.ArrayBuffer.empty[SocketBroker.Server]
+
+  override def newBroker(): EnvelopeBroker with WritableEnvelopeBroker = {
+    val server = new SocketBroker.Server(new InMemoryBroker)
+    servers += server
+    new SocketBroker.Client("127.0.0.1", server.boundPort)
+  }
+
+  override def brokerName: String = "SocketBroker"
+
+  override def afterAll(): Unit = {
+    servers.foreach(_.close())
+    super.afterAll()
+  }
+
+  test("[SocketBroker] a dead server surfaces as IOException, not an empty answer") {
+    val backend = new InMemoryBroker
+    backend.append(RawMessage("t", "ns", "a", 0, 1L, 0L,
+      "x".getBytes("UTF-8"), null, 0L, 100L, Map.empty))
+    val server = new SocketBroker.Server(backend)
+    val client = new SocketBroker.Client("127.0.0.1", server.boundPort)
+    assert(client.topicPartitions == Seq(("a", 0)))
+    server.close()
+    intercept[IOException] { client.topicPartitions }
+    intercept[IOException] { client.latest("a", 0) }
+    intercept[IOException] {
+      client.append(RawMessage("t", "ns", "a", 0, 1L, 1L,
+        "y".getBytes("UTF-8"), null, 0L, 101L, Map.empty))
+    }
+  }
+
+  test("[SocketBroker] mirror runs end to end with sockets on both sides") {
+    // source cluster behind one server, destination behind another —
+    // the replication path (DSv2 scan → micro-batch → idempotent
+    // publish) crosses a process-style boundary in BOTH directions
+    val srcBackend = new InMemoryBroker
+    (0L until 12L).foreach { e =>
+      srcBackend.append(RawMessage("t", "ns", "topic-α", (e % 2).toInt,
+        e / 3, e % 3, s"payload-$e".getBytes("UTF-8"),
+        if (e % 4 == 0) s"key-$e" else null,
+        0L, 1000L + e, Map("src" -> "socket")))
+    }
+    val srcServer = new SocketBroker.Server(srcBackend)
+    val dstBackend = new InMemoryBroker
+    val dstServer = new SocketBroker.Server(dstBackend)
+    try {
+      EnvelopeBrokerRegistry.register("socket-e2e-src",
+        new SocketBroker.Client("127.0.0.1", srcServer.boundPort))
+      val raw = spark.readStream.format("pulsar-envelope")
+        .option("broker", "socket-e2e-src").load()
+      val sink = new SocketDestinationSink("127.0.0.1", dstServer.boundPort)
+      val q = MessageMirror.start(raw, sink, tmpDir("socket-mirror-ckpt"),
+        trigger = Trigger.AvailableNow()).start()
+      q.awaitTermination(60000L)
+
+      val got = dstBackend.topicPartitions.flatMap { case (t, p) =>
+        dstBackend.read(t, p, (0L, 0L), dstBackend.latest(t, p))
+      }
+      assert(got.size == 12, s"mirrored ${got.size} of 12")
+      val byId = got.map(m => (m.partition, m.ledgerId, m.entryId) ->
+        new String(m.value, "UTF-8")).toMap
+      (0L until 12L).foreach { e =>
+        assert(byId(((e % 2).toInt, e / 3, e % 3)) == s"payload-$e")
+      }
+      // a replayed epoch (second run over the same source) re-appends
+      // harmlessly: MessageId dedup holds across the wire
+      val q2 = MessageMirror.start(raw, sink, tmpDir("socket-mirror-ckpt2"),
+        trigger = Trigger.AvailableNow()).start()
+      q2.awaitTermination(60000L)
+      val again = dstBackend.topicPartitions.flatMap { case (t, p) =>
+        dstBackend.read(t, p, (0L, 0L), dstBackend.latest(t, p))
+      }
+      assert(again.size == 12, "replay must not duplicate")
+    } finally {
+      srcServer.close()
+      dstServer.close()
+    }
+  }
+}
+
+/** Mirror sink publishing through the socket client; destination
+  * MessageId = source MessageId (the broker append is idempotent on
+  * it, which is exactly the effectively-once contract the mirror
+  * needs from a destination).
+  */
+class SocketDestinationSink(host: String, port: Int) extends DestinationSink {
+  private val client = new SocketBroker.Client(host, port)
+  override def publish(msg: PulsarMessage): (Long, Long) = {
+    client.append(RawMessage(msg.tenant, msg.namespace, msg.topic,
+      msg.partition, msg.ledgerId, msg.entryId, msg.value,
+      msg.key.orNull, msg.eventTime.map(_.getTime).getOrElse(0L),
+      msg.publishTime.getTime, msg.properties))
+    (msg.ledgerId, msg.entryId)
+  }
+}
