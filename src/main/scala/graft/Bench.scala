@@ -77,8 +77,13 @@ object Bench {
     def comparator(): Double = {
       val t0 = System.nanoTime()
       try {
-        spark.range(200000000L).selectExpr("sum(xxhash64(id))").write
-          .format("noop").mode("overwrite").save()
+        // % 1e6 keeps the 200M-row sum inside a long under ANSI mode —
+        // sum(xxhash64(id)) raw overflowed deterministically, so every
+        // earlier comparator number was the DURATION OF A FAILED JOB
+        // (close enough to the real cost that the load signal still
+        // worked, but the job must actually succeed to be evidence)
+        spark.range(200000000L).selectExpr("sum(xxhash64(id) % 1000000)")
+          .write.format("noop").mode("overwrite").save()
       } catch { case e: Throwable =>
         System.err.println(s"[bench] comparator failed: $e")
       }

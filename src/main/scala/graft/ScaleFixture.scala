@@ -4,9 +4,12 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** Scaling-evidence fixture generator: writes `factor`× copies of the
-  * sf0.1 `documents`/`embeddings` tables (other tables copied as-is)
-  * so the dedup/ANN family can be timed one decade up and the
-  * observed scaling exponent recorded in BASELINE.md.
+  * sf0.1 tables so the WHOLE query surface can be timed one decade up
+  * and the observed scaling exponent recorded in BASELINE.md —
+  * documents/embeddings for the dedup/ANN family, events/orders/
+  * lineitem/customer (key-disjoint copies, constant per-key density)
+  * for the window/as-of/join/packing family; region/nation/supplier/
+  * part stay as-is (pure dimensions).
   *
   * The copies are constructed so the EXPECTED growth is linear — any
   * super-linear bench time is then the engine's fault, not the
@@ -76,10 +79,31 @@ object ScaleFixture {
     }.reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
 
-    // remaining tables pass through unchanged (the relational queries
-    // are not part of the scaling sweep; they just need to load)
-    Seq("region", "nation", "customer", "supplier", "part", "orders",
-      "lineitem", "events").foreach { t =>
+    // relational/streaming tables scale with KEY-DISJOINT copies: ids
+    // that key windows, as-of joins and fact-dim joins are offset per
+    // copy, so per-key densities (events per user, orders per
+    // customer, lineitems per order) are UNCHANGED — expected time
+    // growth is linear in rows for the window/as-of/packing family,
+    // and any super-linear reading is the engine's fault, not
+    // fixture-induced key skew. Keys left unscaled (nation, part,
+    // supplier, event_type, lang) keep a fixed group count with x
+    // factor rows per group — aggregate work still linear.
+    def copies(table: String, idCols: Seq[String]): Unit = {
+      val t = spark.read.parquet(s"$src/$table.parquet")
+      (0 until factor).map { k =>
+        idCols.foldLeft(t) { (df, c) =>
+          df.withColumn(c, col(c) + lit(k.toLong * idStep))
+        }
+      }.reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$dst/$table.parquet")
+    }
+    copies("events", Seq("event_id", "user_id"))
+    copies("orders", Seq("o_orderkey", "o_custkey"))
+    copies("lineitem", Seq("l_orderkey"))
+    copies("customer", Seq("c_custkey"))
+
+    // pure dimension tables pass through unchanged
+    Seq("region", "nation", "supplier", "part").foreach { t =>
       spark.read.parquet(s"$src/$t.parquet")
         .write.mode("overwrite").parquet(s"$dst/$t.parquet")
     }

@@ -210,11 +210,16 @@ object Dedup {
       shAll: DataFrame,
       restrict: DataFrame,
       threshold: Double,
-      maxShingleDocFreq: Int): DataFrame = {
-    val hot = shAll.groupBy(col("blk"), col("shingle"))
-      .agg(count(lit(1)).as("__df"))
-      .filter(col("__df") > maxShingleDocFreq)
-      .select(col("blk"), col("shingle"))
+      maxShingleDocFreq: Int,
+      precomputedHot: Option[DataFrame] = None): DataFrame = {
+    // the caller may already hold the hot-shingle list (IncrementalDedup
+    // computes it to find cap-crossing fallout) — recomputing it here
+    // would re-aggregate the full shingle frame for nothing
+    val hot = precomputedHot.getOrElse(
+      shAll.groupBy(col("blk"), col("shingle"))
+        .agg(count(lit(1)).as("__df"))
+        .filter(col("__df") > maxShingleDocFreq)
+        .select(col("blk"), col("shingle")))
     val surviving = shAll.join(hot, Seq("blk", "shingle"), "left_anti")
     val sizes = surviving.groupBy(col("doc")).agg(count(lit(1)).as("sz"))
     val r = surviving.join(

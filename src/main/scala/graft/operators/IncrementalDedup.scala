@@ -142,9 +142,13 @@ object IncrementalDedup {
     val hotOld = shOld.groupBy(col("blk"), col("shingle"))
       .agg(count(lit(1)).as("__c")).filter(col("__c") > maxDf)
       .select(col("blk"), col("shingle"))
+    // materialized once: the mining pass below reuses this exact list
+    // (hot lists are near-empty by construction — the DF cap exists to
+    // kill stop-phrase shingles, so checkpointing it is cheap)
     val hotAll = shAll.groupBy(col("blk"), col("shingle"))
       .agg(count(lit(1)).as("__c")).filter(col("__c") > maxDf)
       .select(col("blk"), col("shingle"))
+      .localCheckpoint(true)
     val newlyHot = hotAll.join(hotOld, Seq("blk", "shingle"), "left_anti")
     val affectedOld = shOld.join(newlyHot, Seq("blk", "shingle"), "left_semi")
       .select(col("doc")).distinct()
@@ -154,20 +158,23 @@ object IncrementalDedup {
     val restrict = affectedOld.unionByName(deltaDocs).distinct()
       .localCheckpoint(true)
 
-    val mined = Dedup.pairsFromShinglesRestricted(
-      shAll, restrict, threshold, maxDf)
+    // the restricted mine is materialized ONCE — it feeds both the
+    // pairs write and the touched-component seed below (an earlier
+    // revision derived them independently and mined twice)
+    val minedM = Dedup.pairsFromShinglesRestricted(
+        shAll, restrict, threshold, maxDf, precomputedHot = Some(hotAll))
+      .localCheckpoint(true)
     val keptOld = pairsOld
       .join(restrict.select(col("doc").as("id_a")), Seq("id_a"), "left_anti")
       .join(restrict.select(col("doc").as("id_b")), Seq("id_b"), "left_anti")
       .select(col("id_a"), col("id_b"), col("jaccard"))
-    keptOld.unionByName(mined)
+    keptOld.unionByName(minedM)
       .write.mode("overwrite").parquet(s"$outDir/pairs")
     val pairsNew = spark.read.parquet(s"$outDir/pairs")
 
     // touched components: restricted docs, endpoints of every re-mined
     // pair (a delta doc can pair with ANY old doc), and endpoints of
     // every dropped old pair (a drop can split a component)
-    val minedM = mined.localCheckpoint(true)
     // dropped = old pairs with EITHER endpoint restricted (exactly the
     // complement of keptOld) — derived directly from restrict rather
     // than an anti-join of keptOld against its own parent lineage

@@ -38,21 +38,19 @@ object ScaleOps {
     * Partition sizing: each range partition is cumulative-summed by a
     * SINGLE-TASK window sort, so the partition count — not the data —
     * bounds the per-task work. `numParts <= 0` (the default) derives
-    * the count from Catalyst's size estimate of the input,
-    * `ceil(sizeInBytes / targetPartBytes)` clamped to
-    * [shuffle.partitions, maxAutoParts]: a growing input picks more
-    * partitions by itself instead of sharding a 100 TB corpus into
-    * ~3 TB single-task sorts (the round-5 fixed-32 defect). The
-    * 128 KiB default target is in ESTIMATED bytes — Catalyst widths
-    * are schema defaults (8 B per long, 20 B per string), which
-    * undercount the real in-task footprint (UnsafeRow + sort array +
-    * the pid-stability persist) by roughly an order of magnitude, so
-    * 128 KiB of estimate is a few MiB of real partition. The
-    * `maxAutoParts` cap bounds the driver's offset map and the task
-    * count at extreme scale; at the cap, partitions grow linearly but
-    * stay far under the single-task sort bound for any plausible
-    * narrow-projection input (callers pass (key, value) projections,
-    * never corpus text).
+    * the count from an EXACT row count times the schema width
+    * ([[autoRangeParts]]), clamped to [shuffle.partitions,
+    * maxAutoParts]: a growing input picks more partitions by itself
+    * instead of sharding a 100 TB corpus into ~3 TB single-task sorts
+    * (the round-5 fixed-32 defect). The 64 KiB default target is in
+    * schema-width bytes (8 B per long), which undercount the real
+    * in-task footprint (UnsafeRow + sort array + the pid-stability
+    * persist) by roughly an order of magnitude — 64 KiB of estimate
+    * is ~1 MiB of real partition. The `maxAutoParts` cap bounds the
+    * driver's offset map and the task count at extreme scale; at the
+    * cap, partitions grow linearly but stay far under the single-task
+    * sort bound for any plausible narrow-projection input (callers
+    * pass (key, value) projections, never corpus text).
     */
   def prefixSumByRange(
       df: DataFrame,
@@ -60,7 +58,7 @@ object ScaleOps {
       value: org.apache.spark.sql.Column,
       prefixName: String,
       numParts: Int = 0,
-      targetPartBytes: Long = 128L << 10,
+      targetPartBytes: Long = 64L << 10,
       maxAutoParts: Int = 131072): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val parts = if (numParts > 0) numParts
@@ -102,17 +100,30 @@ object ScaleOps {
   }
 
   /** The partition count [[prefixSumByRange]] derives when `numParts`
-    * is not given: `ceil(Catalyst size estimate / targetPartBytes)`,
-    * clamped to [session shuffle partitions, maxAutoParts]. Exposed so
-    * callers (and the sizing spec) can observe the choice.
+    * is not given: `ceil(exact row count x schema width /
+    * targetPartBytes)`, clamped to [session shuffle partitions,
+    * maxAutoParts]. Exposed so callers (and the sizing spec) can
+    * observe the choice.
+    *
+    * Why a COUNT and not Catalyst's size estimate: the estimate is
+    * unusable on exactly the inputs this helper sees in practice —
+    * a stat-less LogicalRDD (localCheckpoint) reports the
+    * `spark.sql.defaultSizeInBytes` sentinel scaled by projection
+    * width ratios, and non-CBO join estimation MULTIPLIES child
+    * sizes, so a 5000-row checkpointed join output "estimated" tens
+    * of TB and scheduled 131k range-sort tasks in the round-6 bench.
+    * The count is one extra job over the caller's narrow (key, value)
+    * projection — metadata-cheap on parquet, partition-count-cheap on
+    * a checkpoint — and it cannot be poisoned.
     */
   def autoRangeParts(
       df: DataFrame,
-      targetPartBytes: Long = 128L << 10,
+      targetPartBytes: Long = 64L << 10,
       maxAutoParts: Int = 131072): Int = {
-    val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    val bySize = (est + targetPartBytes - 1) / targetPartBytes
     val floor = df.sparkSession.sessionState.conf.numShufflePartitions
+    val rowWidth = 8L + df.schema.fields.map(_.dataType.defaultSize.toLong).sum
+    val bySize =
+      (BigInt(df.count()) * rowWidth + targetPartBytes - 1) / targetPartBytes
     bySize.min(maxAutoParts).max(floor).toInt
   }
 

@@ -37,8 +37,8 @@ class ScaleOpsSpec extends SparkSuiteBase {
   }
 
   test("prefixSumByRange auto-sizes partitions from input stats") {
-    // ~600k (long, long) rows estimate to several MiB — past
-    // 32 x 128 KiB — so the auto path (numParts <= 0) must pick more
+    // 600k (long, long) rows x 24 B schema width ≈ 14 MiB — far past
+    // 32 x 64 KiB — so the auto path (numParts <= 0) must pick more
     // than 32 range partitions BY ITSELF (the floor here is this
     // suite's shuffle.partitions = 4, so the size term decides), the
     // round-5 fix for sharding a growing corpus into fixed-32
