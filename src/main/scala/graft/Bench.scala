@@ -26,7 +26,13 @@ object Bench {
     "q69_curation" -> 4.68, "q70_stream_neardup_twin" -> 0.83,
     "q71_curation_report" -> 0.12,
     "q72_chunk_documents" -> 0.83, "q73_sequence_packing" -> 0.58,
-    "q74_mix_sample" -> 0.34)
+    "q74_mix_sample" -> 0.34,
+    // round-6 additions, quiet-box mins at sf0.1 (q75 = the APPEND
+    // increment over the memoized index; q76/q78/q79 likewise probe/
+    // encode/pack increments)
+    "q75_incremental_dedup" -> 5.20, "q76_ivf_index_probe" -> 0.73,
+    "q77_bpe_train" -> 1.39, "q78_bpe_encode" -> 0.15,
+    "q79_pack_bpe" -> 0.47)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
