@@ -522,10 +522,24 @@ object Dedup {
       idCol: String,
       textCol: String,
       n: Int,
+      minOverlap: Int = 1): DataFrame =
+    decontaminateWith(train,
+      eval.select(explode(TextFns.textShingles(col(textCol), n)).as("shingle"))
+        .distinct(),
+      idCol, textCol, n, minOverlap)
+
+  /** [[decontaminate]] against a PRE-BUILT distinct eval shingle frame
+    * (one `shingle` string column) — the incremental-curation path
+    * persists the eval set's shingles once and appends deltas without
+    * ever re-reading the eval corpus.
+    */
+  def decontaminateWith(
+      train: DataFrame,
+      evalShingles: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
       minOverlap: Int = 1): DataFrame = {
-    val evalShingles = eval
-      .select(explode(TextFns.textShingles(col(textCol), n)).as("shingle"))
-      .distinct()
     val overlap = train
       .select(col(idCol).as("__doc"),
         explode(array_distinct(TextFns.textShingles(col(textCol), n)))
