@@ -399,6 +399,28 @@ class DedupSimilaritySpec extends SparkSuiteBase {
       s"candidate generation must stay an equi-join:\n$p")
   }
 
+  test("multi-table ANN skips tables whose slice overruns the vector") {
+    import spark.implicits._
+    // 8-dim vectors with tables*bits = 16 > 8: table 1's slice is
+    // empty, which used to hash EVERY row to one constant bucket and
+    // silently turn that table's join into probe x corpus (round-5
+    // advisor finding). Only table 0 (a full 8-bit slice) may
+    // contribute — so the result must equal the single-table operator.
+    val rnd = new scala.util.Random(5)
+    def vec() = Array.fill(8)(rnd.nextFloat() * 2 - 1)
+    val emb = (0L until 40L).map(i => (i, vec().toSeq)).toDF("vec_id", "embedding")
+    val probes = emb.filter(col("vec_id") < 5)
+    val corpus = emb.filter(col("vec_id") >= 5)
+    val multi = Similarity.multiTableSignBucketTopK(probes, corpus,
+        "vec_id", "embedding", bits = 8, tables = 2, k = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    val single = Similarity.signBucketTopK(probes, corpus,
+        "vec_id", "embedding", bits = 8, k = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(multi == single,
+      "an overrunning slice must be skipped, not collapsed to one bucket")
+  }
+
   test("decontamination flags exactly the planted eval passage; eval side broadcasts") {
     import spark.implicits._
     val train = Seq(

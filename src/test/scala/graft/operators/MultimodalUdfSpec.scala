@@ -208,6 +208,27 @@ class MultimodalUdfSpec extends SparkSuiteBase {
       bb.array()
     }
     assert(HeaderCodec.mp4(hostile).isEmpty)
+    // hostile: a 64-bit largesize near Long.MaxValue used to overflow
+    // `o + large` negative, pass the loop bound and throw
+    // ArrayIndexOutOfBoundsException out of the sniffer (round-5
+    // advisor finding) — it must terminate as a clean non-parse, at
+    // the TOP level and inside the moov child walk alike
+    val overflowTop = {
+      val bb = java.nio.ByteBuffer.allocate(24)
+      bb.put(ftyp).putInt(1).put("mdat".getBytes("US-ASCII"))
+      bb.array() ++ {
+        val b2 = java.nio.ByteBuffer.allocate(8)
+        b2.putLong(Long.MaxValue - 7L); b2.array()
+      }
+    }
+    assert(HeaderCodec.mp4(overflowTop).isEmpty)
+    val overflowChild = {
+      val inner = java.nio.ByteBuffer.allocate(16)
+      inner.putInt(1).put("trak".getBytes("US-ASCII"))
+        .putLong(Long.MaxValue - 7L)
+      ftyp ++ box("moov", inner.array())
+    }
+    assert(HeaderCodec.mp4(overflowChild).isEmpty)
     // zero timescale never divides
     val mvhdZeroTs = {
       val bb = java.nio.ByteBuffer.allocate(100)

@@ -12,6 +12,27 @@ class FileBrokerTCKSpec extends EnvelopeBrokerTCK with graft.SparkSuiteBase {
       java.nio.file.Files.createTempDirectory("file-broker-tck").toString)
   override def brokerName: String = "FileBroker"
 
+  test("[FileBroker] foreign directories and files don't break discovery") {
+    val dir = java.nio.file.Files.createTempDirectory("file-broker-foreign").toString
+    val b = new FileBroker(dir)
+    b.append(graft.streaming.RawMessage("t", "ns", "real", 0, 1L, 0L,
+      "x".getBytes("UTF-8"), null, 0L, 100L, Map.empty))
+    // tooling leftovers: a dir with __ but no numeric suffix, a dir
+    // with a non-base64 prefix, a stray file in a partition dir —
+    // all used to throw NumberFormatException/IllegalArgumentException
+    // out of discovery (round-5 advisor finding); they must be skipped
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(dir, "editor__backup"))
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(dir, "!!not-base64!!__3"))
+    val partDir = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+      .filter(p => p.getFileName.toString.endsWith("__0")).findFirst().get()
+    java.nio.file.Files.write(partDir.resolve("README.txt"),
+      "junk".getBytes("UTF-8"))
+    assert(b.topicPartitions == Seq(("real", 0)))
+    assert(b.read("real", 0, (0L, 0L), b.latest("real", 0)).size == 1)
+  }
+
   test("[FileBroker] durability: a new broker over the same directory sees the log") {
     val dir = java.nio.file.Files.createTempDirectory("file-broker-dur").toString
     val a = new FileBroker(dir)
