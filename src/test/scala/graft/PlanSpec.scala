@@ -129,4 +129,33 @@ class PlanSpec extends SparkSuiteBase {
     assert(p.contains("ReusedExchange"),
       s"signature pipeline must be computed once across the self-join:\n$p")
   }
+
+  test("incremental append's candidate generation stays an equi-join") {
+    // the restricted miner joins restrict x index on (blk, shingle) —
+    // the plan must never degrade to a cartesian or nested-loop
+    // product no matter how AQE sizes the sides (the 10^8-doc safety
+    // property the delta path inherits from the full miner)
+    PipelineQueries.resetDedupStage(spark, sfDir)
+    val df = Queries.all("q75_incremental_dedup")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct")
+      && !p.contains("BroadcastNestedLoopJoin"),
+      s"delta mining must stay equi-keyed:\n$p")
+  }
+
+  test("BPE training is pure aggregation; encoding joins are equi-joins") {
+    val train = Queries.all("q77_bpe_train")(spark, sfDir)
+    train.collect()
+    // the merge table itself is driver-assembled from per-round
+    // aggregates — its plan must be a LocalTableScan, no join at all
+    val tp = train.queryExecution.executedPlan.toString
+    assert(tp.contains("LocalTableScan"), s"merge table plan:\n$tp")
+    val enc = Queries.all("q78_bpe_encode")(spark, sfDir)
+    enc.collect()
+    val ep = enc.queryExecution.executedPlan.toString
+    assert(!ep.contains("CartesianProduct")
+      && !ep.contains("BroadcastNestedLoopJoin"),
+      s"vocabulary joins must stay equi-keyed:\n$ep")
+  }
 }
