@@ -97,6 +97,33 @@ class SocketBrokerTCKSpec extends EnvelopeBrokerTCK
   }
 }
 
+/** The full deployment stack — TCP transport over DURABLE storage —
+  * must pass the same contract: wire serialization on top of
+  * FileBroker's atomic-move idempotence, composed. This is the
+  * closest offline shape to a live binding (a network hop in front of
+  * a persistent log).
+  */
+class SocketOverFileBrokerTCKSpec extends EnvelopeBrokerTCK
+    with org.scalatest.BeforeAndAfterAll {
+  private val servers =
+    scala.collection.mutable.ArrayBuffer.empty[SocketBroker.Server]
+
+  override def newBroker(): EnvelopeBroker with WritableEnvelopeBroker = {
+    val dir = java.nio.file.Files
+      .createTempDirectory("socket-file-broker").toString
+    val server = new SocketBroker.Server(new FileBroker(dir))
+    servers += server
+    new SocketBroker.Client("127.0.0.1", server.boundPort)
+  }
+
+  override def brokerName: String = "SocketBroker(FileBroker)"
+
+  override protected def afterAll(): Unit = {
+    servers.foreach(_.close())
+    super.afterAll()
+  }
+}
+
 /** Mirror sink publishing through the socket client; destination
   * MessageId = source MessageId (the broker append is idempotent on
   * it, which is exactly the effectively-once contract the mirror
