@@ -128,8 +128,10 @@ object IncrementalDedup {
         "(append is insert-only; re-ingesting a doc would double-count " +
         "its shingles)")
 
-    // ONE text-shingling pass — over the delta only
+    // ONE text-shingling pass — over the delta only; materialized
+    // because both the index write and the DF aggregate below read it
     val shDelta = Dedup.shingleFrame(delta, idCol, textCol, blockCol, n)
+      .localCheckpoint(true)
     shOld.unionByName(shDelta)
       .write.mode("overwrite").parquet(s"$outDir/shingles")
     docsOld.unionByName(deltaDocs)
@@ -138,18 +140,21 @@ object IncrementalDedup {
 
     // shingles whose DF crossed the cap BECAUSE of the delta: their
     // old holders' surviving sets (and set sizes) changed, so every
-    // pair touching those docs must be re-derived from the index
-    val hotOld = shOld.groupBy(col("blk"), col("shingle"))
-      .agg(count(lit(1)).as("__c")).filter(col("__c") > maxDf)
-      .select(col("blk"), col("shingle"))
-    // materialized once: the mining pass below reuses this exact list
-    // (hot lists are near-empty by construction — the DF cap exists to
-    // kill stop-phrase shingles, so checkpointing it is cheap)
-    val hotAll = shAll.groupBy(col("blk"), col("shingle"))
-      .agg(count(lit(1)).as("__c")).filter(col("__c") > maxDf)
-      .select(col("blk"), col("shingle"))
+    // pair touching those docs must be re-derived from the index.
+    // Old and combined DFs come from ONE origin-tagged aggregate over
+    // the union (two separate full-index aggregates, round-6 v1, paid
+    // a second linear pass for the same numbers); the near-empty hot
+    // lists are checkpointed so the mining pass reuses them.
+    val dfBoth = shOld.withColumn("__new", lit(0L))
+      .unionByName(shDelta.withColumn("__new", lit(1L)))
+      .groupBy(col("blk"), col("shingle"))
+      .agg(count(lit(1)).as("__c"), sum(col("__new")).as("__cnew"))
+      .filter(col("__c") > maxDf)
       .localCheckpoint(true)
-    val newlyHot = hotAll.join(hotOld, Seq("blk", "shingle"), "left_anti")
+    val hotAll = dfBoth.select(col("blk"), col("shingle"))
+    val newlyHot = dfBoth
+      .filter(col("__c") - col("__cnew") <= maxDf)
+      .select(col("blk"), col("shingle"))
     val affectedOld = shOld.join(newlyHot, Seq("blk", "shingle"), "left_semi")
       .select(col("doc")).distinct()
 
