@@ -60,6 +60,23 @@ class SimilarityIndexSpec extends SparkSuiteBase {
       s"nprobe=1 single probe must read one cell partition, read $partsRead")
   }
 
+  test("trained centroids round-trip through the persisted index") {
+    val e = Tables.embeddings(spark, sfDir)
+    val probes = e.filter(col("vec_id") < 10)
+    val corpus = e.filter(col("vec_id") >= 10)
+    val cents = Similarity.trainIvfCentroids(corpus, "vec_id", "embedding",
+      numCells = 4, lloydRounds = 2)
+    val dir = tmpDir("ivf-trained")
+    SimilarityIndex.buildIvf(corpus, "vec_id", "embedding",
+      numCells = 4, dir = dir, centroids = Some(cents))
+    val probed = SimilarityIndex.ivfProbe(probes, "vec_id", "embedding",
+      dir, numCells = 4, nprobe = 2, k = 3)
+    val direct = Similarity.ivfTopK(probes, corpus, "vec_id", "embedding",
+      numCells = 4, nprobe = 2, k = 3, centroids = Some(cents))
+    assert(rows(probed) == rows(direct),
+      "persist/load must not perturb trained centroids (float-exact)")
+  }
+
   test("signBucketProbe over a persisted index equals signBucketTopK") {
     val e = Tables.embeddings(spark, sfDir)
     val probes = e.filter(col("vec_id") < 10)
