@@ -74,6 +74,28 @@ class TokenizeSpec extends SparkSuiteBase {
     assert(n == row1.size)
   }
 
+  test("training and encoding are partitioning-invariant") {
+    import spark.implicits._
+    // random-ish corpus with plenty of count ties — the adversarial
+    // case for determinism: if any round's argmax depended on
+    // aggregation or partition order instead of the lexicographic
+    // tie-break, the merge tables would diverge and every later round
+    // would compound the difference
+    val rnd = new scala.util.Random(11)
+    val words = Seq("banana", "bandana", "cabana", "abba", "baobab", "ananas")
+    val docs = (1L to 60L).map(i =>
+        (i, Seq.fill(5)(words(rnd.nextInt(words.size))).mkString(" ")))
+      .toDF("doc_id", "text")
+    val a = Tokenize.train(docs.repartition(1), "text", numMerges = 6)
+    val b = Tokenize.train(docs.repartition(13), "text", numMerges = 6)
+    assert(a.merges == b.merges, "merge table depends on partitioning")
+    val ea = Tokenize.encode(docs.repartition(3), "doc_id", "text", a)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](2)).toMap
+    val eb = Tokenize.encode(docs.repartition(7), "doc_id", "text", b)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](2)).toMap
+    assert(ea == eb, "id arrays depend on partitioning")
+  }
+
   test("training stops early when no pairs remain") {
     import spark.implicits._
     val docs = Seq("ab ab ab").toDF("text")
