@@ -164,16 +164,92 @@ object SimilarityIndex {
     Similarity.ranked(pairs, k)
   }
 
+  /** Build and persist a multi-table sign-bucket index: `tables`
+    * independent hash tables over disjoint dimension slices (the
+    * recall-amplified variant — a pair is a candidate when ANY table
+    * buckets it together). Tables whose slice overruns the vector are
+    * skipped, mirroring [[Similarity.multiTableSignBucketTopK]].
+    */
+  def buildMultiTable(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      bits: Int,
+      tables: Int,
+      dir: String): Unit = {
+    require(bits >= 1 && bits <= 12, "bits must be in [1, 12]")
+    require(tables >= 1 && tables * (1 << bits) <= 8192,
+      "tables * 2^bits partition directories must stay filesystem-sane")
+    val spark = corpus.sparkSession
+    val dims = corpus.select(col(vecCol)).filter(col(vecCol).isNotNull)
+      .head(1).headOption.map(_.getSeq[Float](0).size).getOrElse(0)
+    multiTableKeyed(corpus, idCol, vecCol, bits, tables,
+        "neighbor_id", "cv")
+      .write.mode("overwrite").partitionBy("tbl", "bkt")
+      .parquet(s"$dir/tables")
+    writeMeta(spark, dir, "multitable", bits, dims, param2 = tables)
+  }
+
+  /** Probe a persisted multi-table index; `bits` and `tables` are the
+    * caller's expected config, checked against the meta. Candidate
+    * copies from multiple tables collapse through the deterministic
+    * 6-decimal cosine + distinct, exactly like the in-memory operator.
+    */
+  def multiTableProbe(
+      probes: DataFrame,
+      idCol: String,
+      vecCol: String,
+      indexDir: String,
+      bits: Int,
+      tables: Int,
+      k: Int): DataFrame = {
+    val spark = probes.sparkSession
+    checkMeta(spark, indexDir, "multitable", bits, param2 = Some(tables))
+    val p = multiTableKeyed(probes, idCol, vecCol, bits, tables,
+      "probe_id", "pv")
+    // static prune: distinct probed (table, bucket) pairs are bounded
+    // by tables x 2^bits <= 8192 — collected and expressed as an
+    // OR-of-ANDs over the two partition columns
+    val probed = p.select(col("tbl"), col("bkt")).distinct().collect()
+      .map(r => (r.getInt(0), r.getString(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    require(probed.nonEmpty, "no probe buckets — empty probe set?")
+    val prune = probed.map { case (t, bs) =>
+      col("tbl") === t && col("bkt").isin(bs: _*)
+    }.reduce(_ || _)
+    val c = spark.read.parquet(s"$indexDir/tables").filter(prune)
+    val pairs = c.join(broadcast(p), Seq("tbl", "bkt"))
+      .select(col("probe_id"), col("neighbor_id"),
+        Similarity.cos6(spark, col("pv"), col("cv")).as("cos"))
+      .distinct()
+    Similarity.ranked(pairs, k)
+  }
+
+  /** The exploded (id, vec, tbl, bkt) frame both multi-table sides
+    * use — one row per table whose `bits`-wide slice fits the vector.
+    */
+  private def multiTableKeyed(df: DataFrame, idCol: String, vecCol: String,
+      bits: Int, tables: Int, idAs: String, vecAs: String): DataFrame =
+    df.select(col(idCol).as(idAs), col(vecCol).as(vecAs),
+        explode(transform(sequence(lit(0), lit(tables - 1)),
+          t => struct(t.as("tbl"),
+            graft.functions.VectorFns
+              .signBucketAt(col(vecCol), t * lit(bits), bits).as("bkt"))))
+          .as("tb"))
+      .select(col(idAs), col(vecAs),
+        col("tb.tbl").as("tbl"), col("tb.bkt").as("bkt"))
+      .where(size(col(vecAs)) >= (col("tbl") + lit(1)) * lit(bits))
+
   private def writeMeta(spark: SparkSession, dir: String, kind: String,
-      param: Int, dims: Int): Unit = {
+      param: Int, dims: Int, param2: Int = 0): Unit = {
     import spark.implicits._
-    Seq((SchemaVersion, kind, param, dims))
-      .toDF("version", "kind", "param", "dims")
+    Seq((SchemaVersion, kind, param, dims, param2))
+      .toDF("version", "kind", "param", "dims", "param2")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
   }
 
   private def checkMeta(spark: SparkSession, dir: String, kind: String,
-      param: Int): Unit = {
+      param: Int, param2: Option[Int] = None): Unit = {
     val rows = spark.read.parquet(s"$dir/meta").collect()
     require(rows.length == 1, s"corrupt index meta at $dir/meta")
     val r = rows(0)
@@ -187,5 +263,13 @@ object SimilarityIndex {
     require(p0 == param,
       s"index at $dir was built with $k0=$p0; probe expects $param — " +
         "stale config, rebuild or fix the caller")
+    param2.foreach { p2 =>
+      val stored = r.getAs[Int]("param2")
+      require(stored == p2,
+        s"index at $dir was built with $p2Name=$stored; probe expects " +
+          s"$p2 — stale config, rebuild or fix the caller")
+    }
   }
+
+  private val p2Name = "tables"
 }

@@ -91,6 +91,26 @@ class SimilarityIndexSpec extends SparkSuiteBase {
     assert(rows(probed) == rows(direct))
   }
 
+  test("multiTableProbe over a persisted index equals the in-memory operator") {
+    val e = Tables.embeddings(spark, sfDir)
+    val probes = e.filter(col("vec_id") < 10)
+    val corpus = e.filter(col("vec_id") >= 10)
+    val dir = tmpDir("mt-idx")
+    SimilarityIndex.buildMultiTable(corpus, "vec_id", "embedding",
+      bits = 8, tables = 3, dir = dir)
+    val probed = SimilarityIndex.multiTableProbe(probes, "vec_id",
+      "embedding", dir, bits = 8, tables = 3, k = 3)
+    val direct = Similarity.multiTableSignBucketTopK(probes, corpus,
+      "vec_id", "embedding", bits = 8, tables = 3, k = 3)
+    assert(rows(probed) == rows(direct))
+    // stale tables count fails loudly
+    val e1 = intercept[IllegalArgumentException] {
+      SimilarityIndex.multiTableProbe(probes, "vec_id", "embedding",
+        dir, bits = 8, tables = 2, k = 3)
+    }
+    assert(e1.getMessage.contains("stale config"))
+  }
+
   test("stale or mismatched config fails loudly") {
     import spark.implicits._
     val e = Tables.embeddings(spark, sfDir)
