@@ -110,6 +110,24 @@ class IncrementalDedupSpec extends SparkSuiteBase {
     assert(labelMap(appended.labels) == labelMap(fullLabels, "doc_id"))
   }
 
+  test("an empty delta append is a no-op tick") {
+    import spark.implicits._
+    val olds = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta", "en"),
+      (2L, "alpha beta gamma delta epsilon eta", "en"))
+      .toDF("doc_id", "text", "lang")
+    val dir = tmpDir("incdedup-empty")
+    IncrementalDedup.buildIndex(olds, "doc_id", "text", "lang",
+      3, 0.5, 1000, s"$dir/base")
+    val empty = Seq.empty[(Long, String, String)].toDF("doc_id", "text", "lang")
+    val out = IncrementalDedup.append(empty, "doc_id", "text", "lang",
+      s"$dir/base", s"$dir/out")
+    assert(labelMap(out.labels) ==
+      labelMap(spark.read.parquet(s"$dir/base/labels")))
+    assert(pairSet(out.pairs) ==
+      pairSet(spark.read.parquet(s"$dir/base/pairs")))
+  }
+
   test("append refuses overlapping delta ids and wrong meta version") {
     import spark.implicits._
     val olds = Seq((1L, "a b c d e", "en")).toDF("doc_id", "text", "lang")
