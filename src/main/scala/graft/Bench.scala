@@ -30,9 +30,9 @@ object Bench {
     // round-6 additions, quiet-box mins at sf0.1 (q75 = the APPEND
     // increment over the memoized index; q76/q78/q79 likewise probe/
     // encode/pack increments)
-    "q75_incremental_dedup" -> 5.20, "q76_ivf_index_probe" -> 0.73,
+    "q75_incremental_dedup" -> 5.04, "q76_ivf_index_probe" -> 0.73,
     "q77_bpe_train" -> 1.39, "q78_bpe_encode" -> 0.15,
-    "q79_pack_bpe" -> 0.47, "q80_incremental_curation" -> 7.41)
+    "q79_pack_bpe" -> 0.47, "q80_incremental_curation" -> 6.31)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

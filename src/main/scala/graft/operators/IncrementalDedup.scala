@@ -206,7 +206,7 @@ object IncrementalDedup {
     val subPairs = keptOld
       .join(touchedOldDocs.select(col("doc").as("id_a")), Seq("id_a"), "left_semi")
       .unionByName(minedM)
-    val subLabels = Dedup.clusters(subDocs, "doc", subPairs)
+    val subLabels = foldLabels(spark, subDocs, subPairs)
     labelsOld.join(touchedClusters, Seq("cluster"), "left_anti")
       .select(col("doc"), col("cluster"))
       .unionByName(subLabels.select(col("doc"), col("cluster")))
@@ -217,6 +217,61 @@ object IncrementalDedup {
       labels = spark.read.parquet(s"$outDir/labels"),
       pairs = pairsNew,
       touchedClusters = touchedClusters)
+  }
+
+  /** Connected components over the touched subgraph, size-routed
+    * (same discipline as the cosine byte gate and the arrival-rank
+    * router): a routine delta tick touches a near-dup subgraph of at
+    * most delta-sized edge count, and the distributed pointer-jumping
+    * loop pays ~8-10 fixed Spark jobs (per-round joins, checkpoints,
+    * convergence counts) that dwarf the actual work — so below
+    * `maxDriverEdges` LONG-keyed edges the components are solved with
+    * one collect + union-find on the driver (bounded by the edge
+    * count, NOT the corpus) and joined back. Larger subgraphs — or
+    * non-long doc ids — take [[Dedup.clusters]]' distributed loop.
+    * Both produce cluster = min reachable id; equality is spec-pinned
+    * on random graphs.
+    */
+  private[operators] def foldLabels(
+      spark: SparkSession,
+      subDocs: DataFrame,
+      subPairs: DataFrame,
+      maxDriverEdges: Long = 200000L): DataFrame = {
+    val longKeyed = subDocs.schema.fields.head.dataType ==
+      org.apache.spark.sql.types.LongType
+    val nEdges = if (longKeyed) subPairs.count() else Long.MaxValue
+    if (nEdges > maxDriverEdges) Dedup.clusters(subDocs, "doc", subPairs)
+    else {
+      val edges = subPairs.select(col("id_a"), col("id_b"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x // path compression
+        while (parent.getOrElse(c, c) != r) {
+          val next = parent.getOrElse(c, c); parent(c) = r; c = next
+        }
+        r
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      // root ids are chosen min-first by the union rule, but path
+      // lengths can hide a smaller member behind a root — resolve the
+      // true min per component explicitly
+      val byRoot = nodes.groupBy(find)
+      val label = byRoot.toSeq.flatMap { case (_, members) =>
+        val m = members.min
+        members.toSeq.map(_ -> m)
+      }
+      import spark.implicits._
+      val lblDf = label.toSeq.toDF("doc", "__lbl")
+      subDocs.join(lblDf, Seq("doc"), "left")
+        .select(col("doc"), coalesce(col("__lbl"), col("doc")).as("cluster"))
+    }
   }
 
   private def writeMeta(spark: SparkSession, dir: String, n: Int,

@@ -110,6 +110,25 @@ class IncrementalDedupSpec extends SparkSuiteBase {
     assert(labelMap(appended.labels) == labelMap(fullLabels, "doc_id"))
   }
 
+  test("driver union-find route equals the distributed CC loop") {
+    import spark.implicits._
+    // random sparse graph with chains, cliques and singletons — the
+    // driver route (edges <= threshold) and the distributed
+    // pointer-jumping loop must assign identical min-labels
+    val rnd = new scala.util.Random(23)
+    val docs = (1L to 300L).toDF("doc")
+    val edges = (1 to 250).map { _ =>
+      val a = 1L + rnd.nextInt(300); val b = 1L + rnd.nextInt(300)
+      (math.min(a, b), math.max(a, b), 0.9)
+    }.filter(e => e._1 != e._2).distinct.toDF("id_a", "id_b", "jaccard")
+    val driver = IncrementalDedup.foldLabels(spark, docs, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dist = IncrementalDedup.foldLabels(spark, docs, edges,
+        maxDriverEdges = 0L) // force the distributed loop
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(driver == dist, "the two CC routes disagree")
+  }
+
   test("an empty delta append is a no-op tick") {
     import spark.implicits._
     val olds = Seq(
