@@ -1316,6 +1316,33 @@ object PipelineQueries extends QueryGroup {
       .orderBy(col("doc_id"))
   }
 
+  // R-21: perplexity-style LM quality scoring — a bigram model with
+  // add-k smoothing trained on the corpus, scoring every document's
+  // token sequence (the CCNet-style LM filter stage). Pure integer
+  // counts + log2 with the 6-dp floor-rounding discipline, so the
+  // oracle replays it exactly.
+  q("q81_lm_score",
+    s"""WITH t81 AS (SELECT doc_id, $sqlTokens AS l FROM documents),
+       |px81 AS (SELECT doc_id, l[i] AS w1, l[i + 1] AS w2
+       |  FROM (SELECT doc_id, l, unnest(generate_series(1, len(l) - 1)) AS i
+       |        FROM t81 WHERE len(l) >= 2)),
+       |uni81 AS (SELECT w1, count(*) AS cu
+       |  FROM (SELECT unnest(l) AS w1 FROM t81) GROUP BY w1),
+       |v81 AS (SELECT count(*) AS v FROM uni81),
+       |big81 AS (SELECT w1, w2, count(*) AS cb FROM px81 GROUP BY 1, 2),
+       |sc81 AS (SELECT px81.doc_id, count(*) AS n_bigrams,
+       |    sum(log2((cb + 0.5) / (cu + 0.5 * v81.v))) AS raw
+       |  FROM px81 JOIN big81 USING (w1, w2) JOIN uni81 USING (w1), v81
+       |  GROUP BY 1)
+       |SELECT doc_id, n_bigrams,
+       |  floor(raw * 1000000.0 + 0.5) / 1000000.0 AS logprob,
+       |  floor(raw / n_bigrams * 1000000.0 + 0.5) / 1000000.0 AS avg_logprob
+       |FROM sc81 ORDER BY doc_id""".stripMargin) { (s, d) =>
+    TextAnalysis.bigramLmScore(Tables.documents(s, d), "doc_id", "text")
+      .withColumnRenamed("doc", "doc_id")
+      .orderBy(col("doc_id"))
+  }
+
   // R-29/R-21: deterministic source mixing — en halved, de quartered,
   // other langs untouched. The md5-derived uniform is the q48 trick
   // applied as per-group RATES instead of per-group top-k; rates nest

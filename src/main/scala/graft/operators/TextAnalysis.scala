@@ -264,6 +264,61 @@ object TextAnalysis {
         expr(s"__before div $budget").as("pack_id"))
   }
 
+  /** Perplexity-style quality scoring: a bigram language model with
+    * add-k smoothing, trained on the corpus itself and used to score
+    * every document — the CCNet-style "LM filter" stage of a training
+    * pipeline (documents whose token sequences the corpus LM finds
+    * improbable are boilerplate/garble candidates; the downstream
+    * filter thresholds on the per-bigram average).
+    *
+    *   score(doc) = Σ log2((c(w_{i-1}, w_i) + k) / (c(w_{i-1}) + k·V))
+    *
+    * over the doc's bigrams, emitted with the per-bigram average;
+    * counts are corpus-wide integers, V = unigram vocabulary size, and
+    * the result is 6-dp floor-rounded (the q51 tfidf discipline, so
+    * the DuckDB oracle reproduces it despite libm differences).
+    * Documents with fewer than two tokens have no bigrams and produce
+    * no row.
+    *
+    * Scale shape: one explode for the corpus counts (two hash
+    * aggregates), one explode for the doc bigrams, then two
+    * equi-joins against the count tables (corpus-sized, shuffled on
+    * the bigram/unigram key — broadcast is wrong here: the bigram
+    * table grows with the corpus) and a per-doc partial-aggregated
+    * sum. The only driver scalar is V.
+    */
+  def bigramLmScore(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Double = 0.5): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc"),
+      TextFns.tokens(col(textCol)).as("l"))
+    val pairs = toks
+      .filter(size(col("l")) >= 2)
+      .select(col("doc"),
+        explode(transform(sequence(lit(1), size(col("l")) - 1),
+          i => struct(element_at(col("l"), i).as("w1"),
+            element_at(col("l"), i + 1).as("w2")))).as("p"))
+      .select(col("doc"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val uni = toks.select(explode(col("l")).as("w1"))
+      .groupBy(col("w1")).agg(count(lit(1)).as("cu"))
+    val v = uni.count() // vocabulary size: one scalar
+    val big = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+    val scored = pairs
+      .join(big, Seq("w1", "w2"))
+      .join(uni, Seq("w1"))
+      .groupBy(col("doc"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(log2((col("cb") + lit(k)) / (col("cu") + lit(k * v))))
+          .as("__raw"))
+    scored.select(col("doc"),
+      col("n_bigrams"),
+      (floor(col("__raw") * lit(1e6) + lit(0.5)) / lit(1e6)).as("logprob"),
+      (floor(col("__raw") / col("n_bigrams") * lit(1e6) + lit(0.5)) / lit(1e6))
+        .as("avg_logprob"))
+  }
+
   def tfidfTopTerms(
       docs: DataFrame,
       idCol: String,

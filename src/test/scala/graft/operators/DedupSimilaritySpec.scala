@@ -421,6 +421,25 @@ class DedupSimilaritySpec extends SparkSuiteBase {
       "an overrunning slice must be skipped, not collapsed to one bucket")
   }
 
+  test("LM score ranks corpus-typical text above garble; <2-token docs drop") {
+    import spark.implicits._
+    // 20 copies of a stock phrase dominate the corpus counts; one doc
+    // of never-repeated tokens must score a lower per-bigram average
+    val stock = (1L to 20L).map(i => (i, "the quick brown fox jumps"))
+    val garble = Seq((100L, "zxq wvu tsr qpo nml"), (101L, "solo"))
+    val docs = (stock ++ garble).toDF("doc_id", "text")
+    val scored = TextAnalysis.bigramLmScore(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(3))).toMap
+    // the 1-token doc has no bigrams → no row
+    assert(!scored.contains(101L))
+    assert(scored(1L)._1 == 4L && scored(100L)._1 == 4L)
+    assert(scored(1L)._2 > scored(100L)._2,
+      s"typical ${scored(1L)._2} must beat garble ${scored(100L)._2}")
+    // identical docs score identically (count-determinism)
+    assert(scored(1L) == scored(20L))
+  }
+
   test("decontamination flags exactly the planted eval passage; eval side broadcasts") {
     import spark.implicits._
     val train = Seq(
