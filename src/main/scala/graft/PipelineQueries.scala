@@ -1343,6 +1343,36 @@ object PipelineQueries extends QueryGroup {
       .orderBy(col("doc_id"))
   }
 
+  // R-29 x R-21: token-BUDGET sampling — the mixture step when
+  // targets are absolute token counts per source, not rates: each
+  // lang admits docs in md5-uniform order until its budget fills
+  // (crossing doc admitted, packScan's boundary convention). The
+  // engine computes the within-group prefix from ONE global
+  // range-partitioned prefix sum (groups are contiguous in the
+  // (lang, u, id) order), never a per-group single-task window.
+  q("q82_budget_sample",
+    s"""WITH b82 AS (SELECT doc_id, lang, len($sqlTokens) AS nt,
+       |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+       |      % 1000000 AS uv
+       |  FROM documents),
+       |p82 AS (SELECT doc_id, lang, nt,
+       |    coalesce(sum(nt) OVER (PARTITION BY lang ORDER BY uv, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef
+       |  FROM b82)
+       |SELECT doc_id, lang, CAST(nt AS BIGINT) AS n_tokens,
+       |  (bef < CASE lang WHEN 'en' THEN 3000 WHEN 'de' THEN 1500
+       |          ELSE 9223372036854775807 END) AS keep
+       |FROM p82 ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        size(graft.functions.TextFns.tokens(col("text"))).cast("long")
+          .as("n_tokens"))
+    Curation.budgetSample(docs, "doc_id", "lang", "n_tokens",
+        Map("en" -> 3000L, "de" -> 1500L))
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("keep"))
+      .orderBy(col("doc_id"))
+  }
+
   // R-29/R-21: deterministic source mixing — en halved, de quartered,
   // other langs untouched. The md5-derived uniform is the q48 trick
   // applied as per-group RATES instead of per-group top-k; rates nest

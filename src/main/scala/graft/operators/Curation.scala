@@ -107,6 +107,52 @@ object Curation {
     docs.filter(thresh === lit(1000000L) || col(idCol).isNull || u < thresh)
   }
 
+  /** Token-BUDGET sampling: per group, admit documents in the
+    * md5-uniform deterministic order until the group's token budget is
+    * reached — the mixture step when targets are absolute token counts
+    * ("50 B tokens of web, 5 B of code") rather than [[mixSample]]'s
+    * rates. The crossing document is admitted (strictly-before sum
+    * < budget — the same one-document boundary tolerance as
+    * [[TextAnalysis.packScan]]), so a group always reaches its budget
+    * when it has the tokens. Groups absent from `budgets` keep
+    * everything. Returns every NON-NULL-id input row with `keep`
+    * (the same id contract as [[curate]]).
+    *
+    * Scale shape: NOT a per-group window (that sorts an entire group
+    * — corpus/\#groups rows — in one task). The within-group prefix
+    * decomposes over the GLOBAL (group, u, id) order, where a group's
+    * rows are contiguous: global strictly-before sum minus the
+    * group's first-row sum IS the within-group prefix. So it runs as
+    * ONE [[ScaleOps.prefixSumByRange]] (auto-sized range partitions)
+    * plus a per-group min + an id-keyed join back — no single task
+    * ever holds a group.
+    *
+    * Determinism: the admission order is u(id) = md5-uniform with id
+    * tie-break — reproducible across engines, re-runs, partitionings,
+    * and stable under corpus growth (a new doc displaces only docs
+    * ordered after it within its group).
+    */
+  def budgetSample(docs: DataFrame, idCol: String, groupCol: String,
+      tokenCol: String, budgets: Map[String, Long]): DataFrame = {
+    require(budgets.values.forall(_ >= 0), "budgets must be non-negative")
+    val u = graft.functions.PortableHash.md5Long60(col(idCol).cast("string")) %
+      lit(1000000L)
+    val keyed = docs.select(col(idCol), col(groupCol), col(tokenCol),
+      u.as("__u"))
+    val prefixed = ScaleOps.prefixSumByRange(
+      keyed, Seq(groupCol, "__u", idCol), col(tokenCol).cast("long"), "__g")
+    val starts = prefixed.groupBy(col(groupCol))
+      .agg(min(col("__g")).as("__g0"))
+    val budget = budgets.foldLeft(lit(Long.MaxValue)) {
+      case (acc, (g, b)) => when(col(groupCol) === g, lit(b)).otherwise(acc)
+    }
+    docs.join(
+      prefixed.join(starts, Seq(groupCol))
+        .select(col(idCol),
+          ((col("__g") - col("__g0")) < budget).as("keep")),
+      Seq(idCol))
+  }
+
   /** One-row corpus summary over [[curate]]'s output — the data-card
     * numbers a pipeline logs per snapshot. Drop-reason counts are
     * NON-exclusive (a doc can fail quality AND be a dup; each count

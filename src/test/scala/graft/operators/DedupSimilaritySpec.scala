@@ -591,6 +591,39 @@ class DedupSimilaritySpec extends SparkSuiteBase {
     assert(autoPart == got)
   }
 
+  test("budget sampling: budgets nest, crossing doc admitted, partition-stable") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    val docs = (1L to 400L).map(i =>
+        (i, if (i % 2 == 0) "en" else "de", 10L + rnd.nextInt(90)))
+      .toDF("doc_id", "lang", "n_tokens")
+    def kept(budget: Long, parts: Int): Set[Long] =
+      Curation.budgetSample(docs.repartition(parts), "doc_id", "lang",
+          "n_tokens", Map("en" -> budget))
+        .filter(col("lang") === "en" && col("keep"))
+        .collect().map(_.getLong(0)).toSet
+    val small = kept(2000L, 3)
+    val large = kept(6000L, 7)
+    // fixed admission order → a bigger budget keeps a superset
+    assert(small.subsetOf(large), "budgets must nest")
+    assert(small.size < large.size)
+    // partitioning must not change the admitted set
+    assert(kept(2000L, 11) == small)
+    // strictly-before < budget admits the crossing doc: admitted total
+    // may exceed the budget by at most one doc's tokens
+    val tok = docs.filter(col("lang") === "en")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val total = small.toSeq.map(tok).sum
+    assert(total >= 2000L, s"budget must be reached, got $total")
+    assert(total - tok.values.max <= 2000L,
+      s"overshoot beyond one doc: $total")
+    // un-budgeted group keeps everything
+    val de = Curation.budgetSample(docs, "doc_id", "lang", "n_tokens",
+        Map("en" -> 2000L))
+      .filter(col("lang") === "de")
+    assert(de.filter(!col("keep")).count() == 0)
+  }
+
   test("mix sampling: rates nest, survive repartitioning, and land near target") {
     import spark.implicits._
     val docs = (1L to 2000L).map(i => (i, if (i % 2 == 0) "en" else "de"))
