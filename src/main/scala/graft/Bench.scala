@@ -32,7 +32,8 @@ object Bench {
     // encode/pack increments)
     "q75_incremental_dedup" -> 5.04, "q76_ivf_index_probe" -> 0.73,
     "q77_bpe_train" -> 1.39, "q78_bpe_encode" -> 0.15,
-    "q79_pack_bpe" -> 0.47, "q80_incremental_curation" -> 6.31)
+    "q79_pack_bpe" -> 0.47, "q80_incremental_curation" -> 6.31,
+    "q81_lm_score" -> 1.48, "q82_budget_sample" -> 0.98)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
