@@ -108,7 +108,8 @@ object SimilarityIndex {
     val probedCells = probeCells.select(col("cell")).distinct()
       .collect().map(_.getInt(0)).toSeq
     val assigned = spark.read.parquet(s"$indexDir/cells")
-      .filter(col("cell").isin(probedCells: _*))
+      .filter(if (probedCells.isEmpty) lit(false) // empty probes → empty result
+        else col("cell").isin(probedCells: _*))
     val pairs = assigned.join(broadcast(probeCells), "cell")
       .select(col("probe_id"), col("neighbor_id"),
         Similarity.cos6(spark, col("pv"), col("cv")).as("cos"))
@@ -157,7 +158,8 @@ object SimilarityIndex {
     val probed = p.select(col("bucket")).distinct()
       .collect().map(_.getString(0)).toSeq
     val c = spark.read.parquet(s"$indexDir/buckets")
-      .filter(col("bucket").isin(probed: _*))
+      .filter(if (probed.isEmpty) lit(false) // empty probes → empty result
+        else col("bucket").isin(probed: _*))
     val pairs = c.join(broadcast(p), "bucket")
       .select(col("probe_id"), col("neighbor_id"),
         Similarity.cos6(spark, col("pv"), col("cv")).as("cos"))
@@ -213,10 +215,13 @@ object SimilarityIndex {
     val probed = p.select(col("tbl"), col("bkt")).distinct().collect()
       .map(r => (r.getInt(0), r.getString(1)))
       .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
-    require(probed.nonEmpty, "no probe buckets — empty probe set?")
-    val prune = probed.map { case (t, bs) =>
-      col("tbl") === t && col("bkt").isin(bs: _*)
-    }.reduce(_ || _)
+    // empty probe set → empty result (the in-memory operator's
+    // behavior), not a crash
+    val prune =
+      if (probed.isEmpty) lit(false)
+      else probed.map { case (t, bs) =>
+        col("tbl") === t && col("bkt").isin(bs: _*)
+      }.reduce(_ || _)
     val c = spark.read.parquet(s"$indexDir/tables").filter(prune)
     val pairs = c.join(broadcast(p), Seq("tbl", "bkt"))
       .select(col("probe_id"), col("neighbor_id"),
