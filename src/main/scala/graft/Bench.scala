@@ -31,7 +31,10 @@ object Bench {
     // increment over the memoized index; q76/q78/q79 likewise probe/
     // encode/pack increments)
     "q75_incremental_dedup" -> 5.04, "q76_ivf_index_probe" -> 0.73,
-    "q77_bpe_train" -> 1.39, "q78_bpe_encode" -> 0.15,
+    // q78's round-6 prior (0.15) timed a memoized checkpoint read;
+    // since round 7 each q78 rep resets the encoded-frame memo and
+    // times the real two-join encode — re-measured quiet-box
+    "q77_bpe_train" -> 1.39,
     "q79_pack_bpe" -> 0.47, "q80_incremental_curation" -> 6.31,
     "q81_lm_score" -> 1.48, "q82_budget_sample" -> 0.98)
 
@@ -117,9 +120,15 @@ object Bench {
           PipelineQueries.resetCuration(spark, sfDir)
         // q77 owns the trained-BPE memo; q78/q79 (alphabetically
         // after) reuse it — their numbers are the encode/pack
-        // increments over a trained tokenizer
+        // increments over a trained tokenizer. q78 additionally
+        // resets the ENCODED-frame memo each rep so it times the
+        // actual two-join encode, not a checkpoint read (q79 still
+        // reads the memo q78's last rep left behind — the pack
+        // increment, by design).
         if (name == "q77_bpe_train")
           PipelineQueries.resetBpe(spark, sfDir)
+        if (name == "q78_bpe_encode")
+          PipelineQueries.resetBpeEncoded(spark, sfDir)
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -206,5 +215,14 @@ object Bench {
     println("GRAFT_BENCH_RESULT_COMPACT_JSON")
     println(
       s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"comparator":[${num(compBefore)},${num(compAfter)}],"sf":"$sfDir"}""")
+    // absolute last line: a MINIMAL object with no per-query map at
+    // all (<120 bytes) — the compact line above is still ~2.6 KB at
+    // 82 queries, and six rounds of driver artifacts started their
+    // tail window mid-object and parsed null. Any tail window that
+    // captures one full line captures this one.
+    println("GRAFT_BENCH_RESULT_MIN_JSON")
+    val nQueries = results.count { case (_, (v, _)) => v >= 0 }
+    println(
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","n_queries":$nQueries,"comparator":[${num(compBefore)},${num(compAfter)}]}""")
   }
 }

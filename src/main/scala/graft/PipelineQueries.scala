@@ -1215,6 +1215,15 @@ object PipelineQueries extends QueryGroup {
   private val bpeEncodedCache = new java.util.concurrent.ConcurrentHashMap[
     (org.apache.spark.sql.SparkSession, String), org.apache.spark.sql.DataFrame]
 
+  /** Drop the encoded-frame memo (keeps the trained-BPE memo) — Bench
+    * calls this before each q78 rep so q78 times the actual encode
+    * joins over a trained tokenizer, not a checkpoint read.
+    */
+  def resetBpeEncoded(s: org.apache.spark.sql.SparkSession, d: String): Unit = {
+    bpeEncodedCache.remove((s, d))
+    ()
+  }
+
   private def bpeEncoded(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame = {
     sweepDeadEntries(bpeEncodedCache)
@@ -1275,7 +1284,7 @@ object PipelineQueries extends QueryGroup {
   q("q77_bpe_train",
     s"""WITH ${bpeTrainCtes(bpeMerges)}
        |${(0 until bpeMerges).map(k =>
-            s"SELECT ${k + 1} AS rank, l AS lhs, r AS rhs, c FROM m$k")
+            s"SELECT ${k + 1} AS rank, l AS lhs, r AS rhs, CAST(c AS BIGINT) AS c FROM m$k")
             .mkString("", "\nUNION ALL\n", "")}
        |ORDER BY rank""".stripMargin) { (s, d) =>
     import s.implicits._
@@ -1290,9 +1299,17 @@ object PipelineQueries extends QueryGroup {
   q("q78_bpe_encode",
     s"""WITH ${bpeTrainCtes(bpeMerges)},
        |${bpeEncodeCtes(bpeMerges)}
-       |SELECT doc_id, CAST(len(ids) AS INTEGER) AS n_ids, ids
+       |SELECT doc_id, CAST(len(ids) AS INTEGER) AS n_ids,
+       |  array_to_string(ids, ',') AS ids_csv
        |FROM enc ORDER BY doc_id""".stripMargin) { (s, d) =>
-    bpeEncoded(s, d).orderBy(col("doc_id"))
+    // Array-valued outputs are canonicalized to strings at the gate
+    // (SURVEY §2C, the q55 rule): the driver's pandas sort cannot
+    // order raw arrays. The library API (Tokenize.encode) keeps
+    // returning the real array column.
+    bpeEncoded(s, d)
+      .select(col("doc_id"), col("n_ids"),
+        array_join(col("ids"), ",").as("ids_csv"))
+      .orderBy(col("doc_id"))
   }
 
   // R-21: q73's packing discipline over REAL token counts — the
