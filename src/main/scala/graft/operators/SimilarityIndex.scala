@@ -63,6 +63,12 @@ object SimilarityIndex {
         Similarity.smallestIdCentroids(corpus, idCol, vecCol, numCells)
     }
     require(cents.nonEmpty, "cannot index an empty corpus")
+    // fail at BUILD time, not at first probe: a corpus smaller than
+    // numCells yields fewer centroids, and persisting the requested
+    // numCells would create an index every ivfProbe rejects
+    require(cents.size == numCells,
+      s"corpus yields only ${cents.size} distinct centroid rows for " +
+        s"numCells=$numCells — shrink numCells or grow the corpus")
     val dims = cents.head._2.length
     cents.map { case (i, v) => (i, v.toSeq) }.toDF("cell", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
@@ -90,7 +96,8 @@ object SimilarityIndex {
       k: Int): DataFrame = {
     require(nprobe >= 1 && nprobe <= numCells, "need 1 <= nprobe <= numCells")
     val spark = probes.sparkSession
-    checkMeta(spark, indexDir, "ivf", numCells)
+    checkMeta(spark, indexDir, "ivf", numCells,
+      probeDims = firstDims(probes, vecCol))
     val cents = spark.read.parquet(s"$indexDir/centroids")
       .orderBy(col("cell")).collect()
       .map(r => (r.getInt(0), r.getSeq[Float](1).toArray)).toSeq
@@ -150,7 +157,8 @@ object SimilarityIndex {
       bits: Int,
       k: Int): DataFrame = {
     val spark = probes.sparkSession
-    checkMeta(spark, indexDir, "signbucket", bits)
+    checkMeta(spark, indexDir, "signbucket", bits,
+      probeDims = firstDims(probes, vecCol))
     val p = probes.select(col(idCol).as("probe_id"), col(vecCol).as("pv"),
       graft.functions.VectorFns.signBucket(col(vecCol), bits).as("bucket"))
     // distinct probe buckets are bounded by min(|probes|, 2^bits) and
@@ -206,7 +214,8 @@ object SimilarityIndex {
       tables: Int,
       k: Int): DataFrame = {
     val spark = probes.sparkSession
-    checkMeta(spark, indexDir, "multitable", bits, param2 = Some(tables))
+    checkMeta(spark, indexDir, "multitable", bits, param2 = Some(tables),
+      probeDims = firstDims(probes, vecCol))
     val p = multiTableKeyed(probes, idCol, vecCol, bits, tables,
       "probe_id", "pv")
     // static prune: distinct probed (table, bucket) pairs are bounded
@@ -254,7 +263,8 @@ object SimilarityIndex {
   }
 
   private def checkMeta(spark: SparkSession, dir: String, kind: String,
-      param: Int, param2: Option[Int] = None): Unit = {
+      param: Int, param2: Option[Int] = None,
+      probeDims: Option[Int] = None): Unit = {
     val rows = spark.read.parquet(s"$dir/meta").collect()
     require(rows.length == 1, s"corrupt index meta at $dir/meta")
     val r = rows(0)
@@ -274,7 +284,27 @@ object SimilarityIndex {
         s"index at $dir was built with $p2Name=$stored; probe expects " +
           s"$p2 — stale config, rebuild or fix the caller")
     }
+    // the doc's STALE-CONFIG SAFETY claim includes dimensionality: a
+    // probe whose vectors differ in length from the indexed corpus
+    // would silently compute cosines over mismatched prefixes and
+    // return plausible-but-wrong neighbors
+    probeDims.foreach { d =>
+      val stored = r.getAs[Int]("dims")
+      // dims=0 marks an empty-corpus bucket index (nothing was
+      // indexed, probes legitimately return empty) — skip
+      require(stored == 0 || stored == d,
+        s"index at $dir holds $stored-dim vectors; probe vectors have " +
+          s"$d dims — wrong embedding space, rebuild or fix the caller")
+    }
   }
+
+  /** Dimensionality of the first non-null probe vector (None when the
+    * probe set is empty — empty probes short-circuit to empty results
+    * before any cosine, so there is nothing to validate).
+    */
+  private def firstDims(df: DataFrame, vecCol: String): Option[Int] =
+    df.select(col(vecCol)).filter(col(vecCol).isNotNull)
+      .head(1).headOption.map(_.getSeq[Float](0).size)
 
   private val p2Name = "tables"
 }

@@ -117,7 +117,14 @@ object SocketBroker {
         }
         out.flush()
       } catch {
-        case _: Throwable => () // drop the connection; client sees EOF
+        // NonFatal ONLY: swallowing InterruptedException/OOM here would
+        // hide genuine failures, and an unlogged backend error (e.g. a
+        // failed append) would leave the client with an undiagnosable
+        // EOF — log before dropping the connection. Fatal errors
+        // propagate and kill the daemon handler thread loudly.
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(
+            s"[socket-broker] dropping connection after ${e.getClass.getName}: ${e.getMessage}")
       } finally {
         try sock.close() catch { case _: IOException => () }
       }
@@ -161,14 +168,24 @@ object SocketBroker {
       out.flush()
       // lazy frame iterator: the socket stays open while the caller
       // consumes — the flow-control window IS the buffer. A dropped
-      // connection mid-stream raises EOFException (transport failure
-      // must never read as a short-but-valid range).
-      new Iterator[RawMessage] {
-        private var nextLen = in.readInt()
+      // connection ANYWHERE (including before the first frame) closes
+      // the socket and raises IOException (transport failure must
+      // never read as a short-but-valid range). The iterator is also
+      // AutoCloseable so a caller that abandons the stream early can
+      // release the connection instead of leaving the server handler
+      // blocked on write.
+      new Iterator[RawMessage] with AutoCloseable {
         private var open = true
+        private var nextLen =
+          try in.readInt()
+          catch {
+            case e: EOFException =>
+              close()
+              throw new IOException("connection lost before first frame", e)
+          }
         override def hasNext: Boolean = {
-          if (open && nextLen < 0) { sock.close(); open = false }
-          nextLen >= 0
+          if (nextLen < 0) close()
+          open && nextLen >= 0
         }
         override def next(): RawMessage = {
           if (!hasNext) throw new NoSuchElementException
@@ -178,10 +195,16 @@ object SocketBroker {
             nextLen = in.readInt()
           } catch {
             case e: EOFException =>
-              sock.close(); open = false
+              close()
               throw new IOException("connection lost mid-read", e)
           }
           RawMessageCodec.deserialize(bytes)
+        }
+        override def close(): Unit = {
+          if (open) {
+            open = false
+            try sock.close() catch { case _: IOException => () }
+          }
         }
       }
     }

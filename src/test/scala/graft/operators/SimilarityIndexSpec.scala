@@ -143,4 +143,47 @@ class SimilarityIndexSpec extends SparkSuiteBase {
     }
     assert(e3.getMessage.contains("schema version"))
   }
+
+  test("probe vectors of the wrong dimensionality fail loudly") {
+    val e = Tables.embeddings(spark, sfDir)
+    val probes = e.filter(col("vec_id") < 10)
+      .withColumn("embedding",
+        slice(col("embedding"), lit(1), size(col("embedding")) - 2))
+    val corpus = e.filter(col("vec_id") >= 10)
+    // all three index kinds claim STALE-CONFIG SAFETY over dims — a
+    // shorter probe vector must be rejected, not cosined over a prefix
+    val ivfDir = tmpDir("idx-dims-ivf")
+    SimilarityIndex.buildIvf(corpus, "vec_id", "embedding", 8, ivfDir)
+    val e1 = intercept[IllegalArgumentException] {
+      SimilarityIndex.ivfProbe(probes, "vec_id", "embedding",
+        ivfDir, numCells = 8, nprobe = 2, k = 3)
+    }
+    assert(e1.getMessage.contains("wrong embedding space"))
+    val sbDir = tmpDir("idx-dims-sb")
+    SimilarityIndex.buildSignBucket(corpus, "vec_id", "embedding", 6, sbDir)
+    val e2 = intercept[IllegalArgumentException] {
+      SimilarityIndex.signBucketProbe(probes, "vec_id", "embedding",
+        sbDir, bits = 6, k = 3)
+    }
+    assert(e2.getMessage.contains("wrong embedding space"))
+    val mtDir = tmpDir("idx-dims-mt")
+    SimilarityIndex.buildMultiTable(corpus, "vec_id", "embedding", 4, 2, mtDir)
+    val e3 = intercept[IllegalArgumentException] {
+      SimilarityIndex.multiTableProbe(probes, "vec_id", "embedding",
+        mtDir, bits = 4, tables = 2, k = 3)
+    }
+    assert(e3.getMessage.contains("wrong embedding space"))
+  }
+
+  test("buildIvf on a corpus smaller than numCells fails at build time") {
+    val e = Tables.embeddings(spark, sfDir)
+    val corpus = e.filter(col("vec_id") < 5) // 5 rows, 8 cells requested
+    val err = intercept[IllegalArgumentException] {
+      SimilarityIndex.buildIvf(corpus, "vec_id", "embedding",
+        numCells = 8, dir = tmpDir("idx-small"))
+    }
+    // the failure names the fix instead of creating an index every
+    // subsequent probe rejects
+    assert(err.getMessage.contains("shrink numCells"))
+  }
 }

@@ -95,6 +95,55 @@ class SocketBrokerTCKSpec extends EnvelopeBrokerTCK
       dstServer.close()
     }
   }
+
+  test("[SocketBroker] connection lost before the first frame is a loud IOException") {
+    // a server that accepts, reads the request, then closes without
+    // writing: the client's FIRST readInt hits EOF — it must close its
+    // socket and surface the same wrapped IOException as a mid-stream
+    // drop, not a raw EOFException with the socket leaked
+    val fake = new java.net.ServerSocket(0, 1,
+      java.net.InetAddress.getLoopbackAddress)
+    val t = new Thread(() => {
+      try {
+        val s = fake.accept()
+        new java.io.DataInputStream(s.getInputStream).readUTF()
+        s.close()
+      } catch { case _: IOException => () }
+    })
+    t.setDaemon(true)
+    t.start()
+    try {
+      val client = new SocketBroker.Client("127.0.0.1", fake.getLocalPort)
+      val e = intercept[IOException] {
+        client.read("a", 0, (0L, 0L), (1L, 0L))
+      }
+      assert(e.getMessage.contains("before first frame"))
+    } finally fake.close()
+  }
+
+  test("[SocketBroker] an abandoned read stream closes cleanly and the server keeps serving") {
+    val backend = new InMemoryBroker
+    (0L until 5L).foreach { e =>
+      backend.append(RawMessage("t", "ns", "a", 0, 1L, e,
+        s"v$e".getBytes("UTF-8"), null, 0L, 100L + e, Map.empty))
+    }
+    val server = new SocketBroker.Server(backend)
+    try {
+      val client = new SocketBroker.Client("127.0.0.1", server.boundPort)
+      val it = client.read("a", 0, (0L, 0L), client.latest("a", 0))
+      assert(it.hasNext)
+      it.next()
+      // abandon after one frame: close() releases the connection...
+      it.asInstanceOf[AutoCloseable].close()
+      // ...and the closed iterator reads as exhausted, not as a
+      // read-from-closed-socket error
+      assert(!it.hasNext)
+      // the server still serves fresh requests on new connections
+      val all = client.read("a", 0, (0L, 0L), client.latest("a", 0)).toSeq
+      assert(all.size == 5)
+      assert(client.latest("a", 0) == ((1L, 5L)))
+    } finally server.close()
+  }
 }
 
 /** The full deployment stack — TCP transport over DURABLE storage —
