@@ -1240,9 +1240,9 @@ object PipelineQueries extends QueryGroup {
     * greedy left-to-right fold the engine applies
     * ([[graft.operators.Tokenize]]).
     */
-  private def bpeTrainCtes(rounds: Int): String = {
+  private def bpeTrainCtes(rounds: Int, where: String = ""): String = {
     val sb = new StringBuilder
-    sb ++= s"""t77 AS (SELECT unnest($sqlTokens) AS word FROM documents),
+    sb ++= s"""t77 AS (SELECT unnest($sqlTokens) AS word FROM documents$where),
       |wc AS (SELECT word, count(*) AS cnt FROM t77 GROUP BY word),
       |w0 AS (SELECT word, cnt, regexp_extract_all(word, '.') AS s FROM wc)""".stripMargin
     for (k <- 0 until rounds) {
@@ -1307,6 +1307,81 @@ object PipelineQueries extends QueryGroup {
     // order raw arrays. The library API (Tokenize.encode) keeps
     // returning the real array column.
     bpeEncoded(s, d)
+      .select(col("doc_id"), col("n_ids"),
+        array_join(col("ids"), ",").as("ids_csv"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** OOV replay CTEs for q83: distinct words of the encode split that
+    * are absent from the trained word table start as char sequences
+    * (ov0) and replay every learned merge in rank order (ov1..ovN) —
+    * the same greedy left-to-right fold training applies, so an OOV
+    * word encodes exactly as it would have had it been in the corpus.
+    */
+  private def bpeOovCtes(rounds: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"""ov0 AS (SELECT word, regexp_extract_all(word, '.') AS s
+      |  FROM (SELECT DISTINCT word FROM dt83
+      |        WHERE word NOT IN (SELECT word FROM w$rounds)))""".stripMargin
+    for (k <- 0 until rounds) {
+      sb ++= s""",
+        |ov${k + 1} AS (SELECT word,
+        |    list_reduce(list_transform(s, x -> [x]),
+        |      (acc, x) -> CASE WHEN acc[-1] = m.l AND x[1] = m.r
+        |        THEN list_append(list_slice(acc, 1, len(acc) - 1), m.l || m.r)
+        |        ELSE list_concat(acc, x) END) AS s
+        |  FROM ov$k, m$k m)""".stripMargin
+    }
+    sb.toString
+  }
+
+  /** Frozen tokenizer for q83: trained ONCE on the even-doc_id split,
+    * memoized per (session, dir) — each q83 run then measures what
+    * deployment measures, encoding foreign text with a frozen vocab.
+    */
+  private val bpeSplitCache = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.SparkSession, String),
+    graft.operators.Tokenize.TrainedBpe]
+
+  private def bpeSplitTrained(s: org.apache.spark.sql.SparkSession,
+      d: String): graft.operators.Tokenize.TrainedBpe = {
+    sweepDeadEntries(bpeSplitCache)
+    bpeSplitCache.computeIfAbsent((s, d), _ =>
+      graft.operators.Tokenize.train(
+        Tables.documents(s, d).filter(col("doc_id") % 2 === 0),
+        "text", bpeMerges))
+  }
+
+  // R-21: the frozen-tokenizer deployment path — train on the even
+  // doc_id split, encode the ODD split (foreign text: its OOV words
+  // never met training). OOV words replay the trained merges over
+  // their chars (once per distinct word); symbols outside the trained
+  // alphabet take UNK id -1. Token conservation (every input token's
+  // full symbol sequence appears) is the spec's invariant; this query
+  // pins the exact ids end to end against the oracle's unrolled replay.
+  q("q83_bpe_encode_oov",
+    s"""WITH ${bpeTrainCtes(bpeMerges, " WHERE doc_id % 2 = 0")},
+       |vocab83 AS (SELECT sym,
+       |    CAST(row_number() OVER (ORDER BY sym) - 1 AS BIGINT) AS id
+       |  FROM (SELECT DISTINCT unnest(s) AS sym FROM w$bpeMerges)),
+       |dt83 AS (SELECT doc_id, unnest(l) AS word,
+       |    generate_subscripts(l, 1) AS wpos
+       |  FROM (SELECT doc_id, $sqlTokens AS l FROM documents
+       |        WHERE doc_id % 2 = 1)),
+       |kn83 AS (SELECT doc_id, wpos, s FROM dt83 JOIN w$bpeMerges USING (word)),
+       |${bpeOovCtes(bpeMerges)},
+       |os83 AS (SELECT doc_id, wpos, s FROM dt83 JOIN ov$bpeMerges USING (word)),
+       |aw83 AS (SELECT * FROM kn83 UNION ALL SELECT * FROM os83),
+       |ds83 AS (SELECT doc_id, wpos, unnest(s) AS sym,
+       |    generate_subscripts(s, 1) AS spos FROM aw83),
+       |enc83 AS (SELECT doc_id, list(coalesce(id, -1) ORDER BY wpos, spos) AS ids
+       |          FROM ds83 LEFT JOIN vocab83 USING (sym) GROUP BY doc_id)
+       |SELECT doc_id, CAST(len(ids) AS INTEGER) AS n_ids,
+       |  array_to_string(ids, ',') AS ids_csv
+       |FROM enc83 ORDER BY doc_id""".stripMargin) { (s, d) =>
+    graft.operators.Tokenize.encode(
+        Tables.documents(s, d).filter(col("doc_id") % 2 === 1),
+        "doc_id", "text", bpeSplitTrained(s, d))
       .select(col("doc_id"), col("n_ids"),
         array_join(col("ids"), ",").as("ids_csv"))
       .orderBy(col("doc_id"))

@@ -122,26 +122,50 @@ object Tokenize {
   /** Encode every document to its id array: tokens → trained symbol
     * sequences → vocabulary ids, reassembled in (word, symbol)
     * position order. Output: (idCol, n_ids, ids). Documents with zero
-    * tokens produce no row; words absent from the training vocabulary
-    * are dropped by the inner join (q78 encodes its own training
-    * corpus, so none exist there — callers encoding FOREIGN text
-    * should train on the union or pre-filter).
+    * tokens produce no row.
+    *
+    * FOREIGN text (a frozen tokenizer encoding a corpus it was not
+    * trained on) loses nothing: words absent from the training word
+    * table fall back to their character sequence with the trained
+    * merge list replayed in rank order — exactly what training would
+    * have produced had the word been present (on training words the
+    * word-table join IS that replay, memoized). Symbols outside the
+    * trained alphabet map to the UNK id -1 (the classic no-byte-
+    * fallback BPE convention), so every input token contributes its
+    * full symbol sequence and token counts are conserved.
+    *
+    * Scale shape: the merge replay (numMerges nested row-local folds)
+    * runs once per DISTINCT OOV word, never per occurrence; both
+    * vocabulary joins stay vocabulary-sized broadcasts.
     */
   def encode(
       docs: DataFrame,
       idCol: String,
       textCol: String,
-      trained: TrainedBpe): DataFrame =
-    docs
+      trained: TrainedBpe): DataFrame = {
+    val words = docs
       .select(col(idCol),
         posexplode(TextFns.tokens(col(textCol))).as(Seq("wpos", "word")))
-      .join(trained.wordSyms, "word")
+    val known = words.join(trained.wordSyms, "word")
+    // distinct OOV words get the trained merges replayed over their
+    // chars (rank order — the same greedy pass training applied)
+    val oovSyms = trained.merges.foldLeft(chars(col("word"))) {
+      case (s, (l, r, _)) => applyMerge(s, l, r)
+    }
+    val oovWords = words.join(trained.wordSyms, Seq("word"), "left_anti")
+      .select(col("word")).distinct()
+      .select(col("word"), oovSyms.as("s"))
+    val oov = words.join(oovWords, "word")
+    known.unionByName(oov)
       .select(col(idCol), col("wpos"),
         posexplode(col("s")).as(Seq("spos", "sym")))
-      .join(trained.vocab, "sym")
+      .join(trained.vocab, Seq("sym"), "left")
+      .select(col(idCol), col("wpos"), col("spos"),
+        coalesce(col("id"), lit(-1L)).as("id"))
       .groupBy(col(idCol))
       .agg(transform(
         array_sort(collect_list(struct(col("wpos"), col("spos"), col("id")))),
         x => x.getField("id")).as("ids"))
       .select(col(idCol), size(col("ids")).as("n_ids"), col("ids"))
+  }
 }

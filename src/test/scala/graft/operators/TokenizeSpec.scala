@@ -96,6 +96,31 @@ class TokenizeSpec extends SparkSuiteBase {
     assert(ea == eb, "id arrays depend on partitioning")
   }
 
+  test("a frozen tokenizer encodes foreign text losing zero tokens") {
+    import spark.implicits._
+    // train on a corpus where (a,b) then (ab,ab) merge; encode a
+    // DISJOINT corpus — every input symbol must survive to the output
+    val trainDocs = (Seq.fill(3)("abab") :+ "ab").toDF("text")
+    val trained = Tokenize.train(trainDocs, "text", numMerges = 2)
+    assert(trained.merges.map(m => (m._1, m._2)) ==
+      Seq(("a", "b"), ("ab", "ab")))
+    val vocab = trained.vocab.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // "abab" is in-vocab; "ababab" and "ba" are OOV but all-known
+    // chars; "qq" is OOV with chars outside the trained alphabet
+    val foreign = Seq((1L, "ababab ba"), (2L, "qq abab")).toDF("doc_id", "text")
+    val enc = Tokenize.encode(foreign, "doc_id", "text", trained)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](2).toList).toMap
+    // merge replay on "ababab": (a,b) pass → [ab,ab,ab]; (ab,ab) pass
+    // (greedy left-to-right) → [abab, ab]. "ba" replays to [b, a],
+    // and the bare chars are NOT in the trained vocabulary (only "ab"
+    // and "abab" survived training) → UNK, but still two symbols
+    assert(enc(1L) == List(vocab("abab"), vocab("ab"), -1L, -1L),
+      "OOV words must replay the trained merges in rank order")
+    // unknown chars map to UNK -1, one per char — nothing is dropped
+    assert(enc(2L) == List(-1L, -1L, vocab("abab")))
+  }
+
   test("training stops early when no pairs remain") {
     import spark.implicits._
     val docs = Seq("ab ab ab").toDF("text")
