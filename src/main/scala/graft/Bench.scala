@@ -30,12 +30,16 @@ object Bench {
     // round-6 additions, quiet-box mins at sf0.1 (q75 = the APPEND
     // increment over the memoized index; q76/q78/q79 likewise probe/
     // encode/pack increments)
-    "q75_incremental_dedup" -> 5.04, "q76_ivf_index_probe" -> 0.73,
+    // q75/q80 re-measured round 7 after copy-free index rotation: the
+    // appends carry ~2.5s of added fixed job overhead (touched-bucket
+    // collect, checkpoints, partitioned writes) in exchange for
+    // delta-sized index write IO
+    "q75_incremental_dedup" -> 7.63, "q76_ivf_index_probe" -> 0.73,
     // q78's round-6 prior (0.15) timed a memoized checkpoint read;
     // since round 7 each q78 rep resets the encoded-frame memo and
     // times the real two-join encode — re-measured quiet-box
     "q77_bpe_train" -> 1.39,
-    "q79_pack_bpe" -> 0.47, "q80_incremental_curation" -> 6.31,
+    "q79_pack_bpe" -> 0.47, "q80_incremental_curation" -> 8.96,
     "q81_lm_score" -> 1.48, "q82_budget_sample" -> 0.98)
 
   def main(args: Array[String]): Unit = {

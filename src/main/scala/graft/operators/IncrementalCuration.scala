@@ -15,10 +15,16 @@ import graft.functions.TextFns
   *                        pairs, labels)
   *   - `eval-shingles`  — the eval corpus's distinct decontamination
   *                        shingles (the eval TEXT is never needed
-  *                        again)
+  *                        again); frozen — rotation hardlinks it
   *   - `signals`        — per-doc row-local signals
-  *                        (doc, passes, ok_quality, contaminated)
-  *   - `decisions`      — the full q69-shaped decision frame
+  *                        (doc, passes, ok_quality, contaminated);
+  *                        append-only — rotation hardlinks old files
+  *                        and appends only the delta's
+  *   - `decisions`      — the full q69-shaped decision frame,
+  *                        PARTITIONED BY bkt = hash-bucket(cluster);
+  *                        an append rewrites only buckets holding a
+  *                        touched or newborn cluster
+  *                        ([[IndexRotation.rotateBucketed]])
   *   - `meta`           — config fingerprint incl. the stopword list
   *
   * EXACTNESS: append(delta) reproduces [[Curation.curate]] over
@@ -38,11 +44,20 @@ import graft.functions.TextFns
   *
   * Per-tick cost: delta text scans (quality/contam/shingling), the
   * dedup index IO, and a survivor aggregate over the touched
-  * clusters only.
+  * clusters only. Since round 7 the rotation itself is copy-free:
+  * untouched files and decision buckets are hardlinked into the
+  * rotated directory, so per-tick WRITE IO is delta-sized too (the
+  * round-6 design rewrote every frame in full per tick — a
+  * corpus-linear narrow-column copy at 10⁹ docs).
   */
 object IncrementalCuration {
 
-  private val SchemaVersion = 1
+  private val SchemaVersion = 2
+
+  /** Bucket count for the partitioned decisions frame (fixed at build
+    * time, persisted in meta).
+    */
+  private val DefaultNumBuckets = 64
 
   /** Build the curation index over `train` and `eval` under `dir`.
     * Parameters mirror [[Curation.curate]]; they are persisted in the
@@ -71,9 +86,13 @@ object IncrementalCuration {
         spark.read.parquet(s"$dir/eval-shingles"), decontamN, minOverlap)
       .write.mode("overwrite").parquet(s"$dir/signals")
     val labels = spark.read.parquet(s"$dir/dedup/labels")
+      .select(col("doc"), col("cluster"))
     decisionsOf(labels, spark.read.parquet(s"$dir/signals"))
-      .write.mode("overwrite").parquet(s"$dir/decisions")
-    writeMeta(spark, dir, stopwords, decontamN, minOverlap)
+      .withColumn("bkt",
+        IndexRotation.bucketOf(col("cluster"), DefaultNumBuckets))
+      .repartition(col("bkt")) // one file per bucket
+      .write.partitionBy("bkt").mode("overwrite").parquet(s"$dir/decisions")
+    writeMeta(spark, dir, stopwords, decontamN, minOverlap, DefaultNumBuckets)
   }
 
   /** Fold `delta` into the index at `indexDir`, writing the updated
@@ -90,38 +109,57 @@ object IncrementalCuration {
       indexDir: String,
       outDir: String): DataFrame = {
     val spark = delta.sparkSession
-    val (stopwords, decontamN, minOverlap) = readMeta(spark, indexDir)
+    val (stopwords, decontamN, minOverlap, numBuckets) =
+      readMeta(spark, indexDir)
 
     val appended = IncrementalDedup.append(delta, idCol, textCol, blockCol,
       s"$indexDir/dedup", s"$outDir/dedup")
 
-    // eval set is frozen: carry it into the rotated index
-    spark.read.parquet(s"$indexDir/eval-shingles")
-      .write.mode("overwrite").parquet(s"$outDir/eval-shingles")
-    val evalShingles = spark.read.parquet(s"$outDir/eval-shingles")
+    // eval set is frozen: hardlinked into the rotated index, no copy
+    val evalShingles = IndexRotation.rotateFrozen(spark,
+      s"$indexDir/eval-shingles", s"$outDir/eval-shingles")
 
-    // row-local signals: delta only (old docs' signals cannot change)
-    spark.read.parquet(s"$indexDir/signals")
-      .unionByName(signalsOf(delta, idCol, textCol, stopwords,
+    // row-local signals: old docs' signals cannot change, so the frame
+    // is append-only — old files hardlink over, only the delta's
+    // signals are new bytes
+    val signals = IndexRotation.rotateAppendOnly(spark,
+      s"$indexDir/signals", s"$outDir/signals",
+      signalsOf(delta, idCol, textCol, stopwords,
         evalShingles, decontamN, minOverlap))
-      .write.mode("overwrite").parquet(s"$outDir/signals")
-    val signals = spark.read.parquet(s"$outDir/signals")
 
-    // decisions: untouched clusters carry over byte-stable; everything
-    // else (touched old clusters + clusters born from the delta) gets
-    // its survivor argmax recomputed over the new labels + signals
-    val oldDecisions = spark.read.parquet(s"$indexDir/decisions")
-    val untouched = oldDecisions
-      .join(appended.touchedClusters, Seq("cluster"), "left_anti")
+    // decisions: untouched clusters carry over byte-stable (their
+    // buckets hardlink); the recomputed rows are exactly the dedup
+    // append's non-carried labels — touched old clusters + clusters
+    // born from the delta — with the survivor argmax re-run over the
+    // new labels + signals
+    val decCols = Seq("doc", "cluster", "passes", "ok_quality",
+      "contaminated", "keep_dedup", "keep").map(col)
+    val recomputed = decisionsOf(appended.recomputedLabels, signals)
       .localCheckpoint(true)
-    val recomputeLabels = appended.labels
-      .join(untouched.select(col("cluster")).distinct(),
-        Seq("cluster"), "left_anti")
-    val recomputed = decisionsOf(recomputeLabels, signals)
-    untouched.unionByName(recomputed)
-      .write.mode("overwrite").parquet(s"$outDir/decisions")
-    writeMeta(spark, outDir, stopwords, decontamN, minOverlap)
-    spark.read.parquet(s"$outDir/decisions")
+    // explicit schema (decision columns + the bkt partition column):
+    // an index built over a corpus with no decisions would have an
+    // empty partitioned dir that schema inference cannot read
+    val decSchema = org.apache.spark.sql.types.StructType(
+      recomputed.schema.fields :+ org.apache.spark.sql.types.StructField(
+        "bkt", org.apache.spark.sql.types.IntegerType))
+    // keeps the bkt PARTITION column: the touched-bucket filter below
+    // statically prunes to the touched directories
+    val oldDecisionsP = spark.read.schema(decSchema)
+      .parquet(s"$indexDir/decisions")
+    val bktOfC = IndexRotation.bucketOf(col("cluster"), numBuckets)
+    val touchedBkts = appended.touchedClusters.select(bktOfC.as("bkt"))
+      .unionByName(recomputed.select(bktOfC.as("bkt")))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val replacement = oldDecisionsP
+      .filter(col("bkt").isin(touchedBkts: _*))
+      .join(appended.touchedClusters, Seq("cluster"), "left_anti")
+      .unionByName(recomputed.withColumn("bkt", bktOfC))
+    val decisionsNew = IndexRotation.rotateBucketed(spark,
+        s"$indexDir/decisions", s"$outDir/decisions", touchedBkts,
+        replacement)
+      .select(decCols: _*)
+    writeMeta(spark, outDir, stopwords, decontamN, minOverlap, numBuckets)
+    decisionsNew
   }
 
   /** Row-local per-doc signals: quality passes/flag + contamination
@@ -155,15 +193,17 @@ object IncrementalCuration {
         col("ok_quality") && !col("contaminated") && col("keep_dedup"))
 
   private def writeMeta(spark: SparkSession, dir: String,
-      stopwords: Seq[String], decontamN: Int, minOverlap: Int): Unit = {
+      stopwords: Seq[String], decontamN: Int, minOverlap: Int,
+      numBuckets: Int): Unit = {
     import spark.implicits._
-    Seq((SchemaVersion, stopwords, decontamN, minOverlap))
-      .toDF("version", "stopwords", "decontam_n", "min_overlap")
+    Seq((SchemaVersion, stopwords, decontamN, minOverlap, numBuckets))
+      .toDF("version", "stopwords", "decontam_n", "min_overlap",
+        "num_buckets")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
   }
 
   private def readMeta(spark: SparkSession,
-      dir: String): (Seq[String], Int, Int) = {
+      dir: String): (Seq[String], Int, Int, Int) = {
     val rows = spark.read.parquet(s"$dir/meta").collect()
     require(rows.length == 1, s"corrupt curation index meta at $dir/meta")
     val r = rows(0)
@@ -173,6 +213,7 @@ object IncrementalCuration {
         s"understands $SchemaVersion — rebuild the index")
     // getAs returns a mutable ArraySeq; .toSeq pins the immutable type
     (r.getAs[scala.collection.Seq[String]]("stopwords").toSeq,
-      r.getAs[Int]("decontam_n"), r.getAs[Int]("min_overlap"))
+      r.getAs[Int]("decontam_n"), r.getAs[Int]("min_overlap"),
+      r.getAs[Int]("num_buckets"))
   }
 }

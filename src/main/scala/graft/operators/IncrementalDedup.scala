@@ -15,16 +15,23 @@ import org.apache.spark.sql.functions._
   * index IO).
   *
   * Index layout (parquet under one directory):
-  *   - `docs`      (doc)                 — every indexed id
+  *   - `docs`      (doc)                 — every indexed id;
+  *                  append-only (rotation hardlinks old files)
   *   - `shingles`  (doc, blk, shingle)   — the int64-hashed distinct
   *                  shingle frame ([[Dedup.shingleFrame]]); ~8-byte
   *                  keys, columnar — re-reading this is the "no text
-  *                  rescan" guarantee
-  *   - `pairs`     (id_a, id_b, jaccard) — mined pairs so far
-  *   - `labels`    (doc, cluster)        — connected components so far
-  *   - `meta`      (version, n, threshold, max_df) — config
-  *                  fingerprint; `append` refuses an index whose
-  *                  schema version it does not understand
+  *                  rescan" guarantee; append-only like `docs`
+  *   - `pairs`     (id_a, id_b, jaccard) PARTITIONED BY
+  *                  bkt = hash-bucket(id_a) — mined pairs so far; an
+  *                  append rewrites ONLY buckets holding a dropped or
+  *                  newly mined pair ([[IndexRotation.rotateBucketed]])
+  *   - `labels`    (doc, cluster) PARTITIONED BY bkt =
+  *                  hash-bucket(cluster) — components so far; an
+  *                  append rewrites only buckets holding a touched or
+  *                  newborn cluster
+  *   - `meta`      (version, n, threshold, max_df, num_buckets) —
+  *                  config fingerprint; `append` refuses an index
+  *                  whose schema version it does not understand
   *
   * EXACTNESS: `append` produces byte-identical pairs/labels to a full
   * re-mine of old ∪ delta (q75's oracle asserts it end-to-end):
@@ -46,26 +53,61 @@ import org.apache.spark.sql.functions._
   *     share a component, and every new pair's endpoints are touched
   *     by construction.
   *
-  * Scale shape: per append, ONE delta-text shingling pass, linear
-  * narrow-column index IO (shingle re-write + two DF aggregates), a
-  * restrict × index equi-join for candidates (delta-sized output), and
-  * a CC loop over the touched subgraph only. For multi-append
-  * deployments at 100 TB, bucket the shingle table by `shingle`
-  * (ScaleOps.writeBucketed) so the candidate join stops shuffling the
-  * index side, and compact the index periodically.
+  * Scale shape: per append, ONE delta-text shingling pass, ONE linear
+  * narrow-column index READ (the DF aggregate over old ∪ delta
+  * shingles), a restrict × index equi-join for candidates
+  * (delta-sized output), and a CC loop over the touched subgraph
+  * only. Index WRITE IO is delta-sized since round 7: rotation
+  * hardlinks untouched files/buckets instead of copying frames
+  * ([[IndexRotation]]). For multi-append deployments at 100 TB,
+  * bucket the shingle table by `shingle` (ScaleOps.writeBucketed) so
+  * the candidate join stops shuffling the index side, and compact the
+  * index periodically.
   */
 object IncrementalDedup {
 
-  private val SchemaVersion = 1
+  private val SchemaVersion = 2
+
+  /** Bucket count for the partitioned pairs/labels frames. Fixed at
+    * build time and persisted in meta (appends must reproduce the
+    * same bucket assignment). 64 keeps directories filesystem-sane
+    * while a routine delta touches only a handful.
+    */
+  private val DefaultNumBuckets = 64
+
+  // explicit schemas for the bucketed frames: a partitionBy write of
+  // an empty frame (tiny corpus with zero near-dup pairs) emits zero
+  // files, so reads must not depend on inference
+  private def pairsSchema(idT: org.apache.spark.sql.types.DataType) =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id_a", idT),
+      org.apache.spark.sql.types.StructField("id_b", idT),
+      org.apache.spark.sql.types.StructField("jaccard",
+        org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("bkt",
+        org.apache.spark.sql.types.IntegerType)))
+
+  private def labelsSchema(idT: org.apache.spark.sql.types.DataType) =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc", idT),
+      org.apache.spark.sql.types.StructField("cluster", idT),
+      org.apache.spark.sql.types.StructField("bkt",
+        org.apache.spark.sql.types.IntegerType)))
 
   /** Everything an append produces: the updated label/pair frames
-    * (backed by `outDir` parquet) and the touched-cluster ids — the
-    * subset a survivor recompute actually needs to revisit.
+    * (backed by `outDir` parquet), the touched-cluster ids — the
+    * subset a survivor recompute actually needs to revisit — and the
+    * recomputed label rows themselves (exactly the rows NOT carried
+    * over: members of touched old clusters plus delta-born clusters;
+    * an untouched cluster's id can never collide with these, so
+    * downstream consumers can recompute per-cluster aggregates from
+    * this frame alone).
     */
   final case class Appended(
       labels: DataFrame,
       pairs: DataFrame,
-      touchedClusters: DataFrame)
+      touchedClusters: DataFrame,
+      recomputedLabels: DataFrame)
 
   /** Mine `docs` from scratch and persist the fingerprint index under
     * `dir`. The initial pairs/labels are exactly
@@ -91,12 +133,19 @@ object IncrementalDedup {
     // shingling pass total, and the persisted frame is proven to be
     // what mining consumes (no drift between index and result)
     val sh = spark.read.parquet(s"$dir/shingles")
+    // repartition by bkt: one file per bucket, not tasks × buckets
     Dedup.pairsFromShingles(sh, threshold, maxShingleDocFreq)
-      .write.mode("overwrite").parquet(s"$dir/pairs")
-    val pairs = spark.read.parquet(s"$dir/pairs")
+      .withColumn("bkt", IndexRotation.bucketOf(col("id_a"), DefaultNumBuckets))
+      .repartition(col("bkt"))
+      .write.partitionBy("bkt").mode("overwrite").parquet(s"$dir/pairs")
+    val idT = docs.schema(idCol).dataType
+    val pairs = spark.read.schema(pairsSchema(idT)).parquet(s"$dir/pairs")
+      .select(col("id_a"), col("id_b"), col("jaccard"))
     Dedup.clusters(spark.read.parquet(s"$dir/docs"), "doc", pairs)
-      .write.mode("overwrite").parquet(s"$dir/labels")
-    writeMeta(spark, dir, n, threshold, maxShingleDocFreq)
+      .withColumn("bkt", IndexRotation.bucketOf(col("cluster"), DefaultNumBuckets))
+      .repartition(col("bkt"))
+      .write.partitionBy("bkt").mode("overwrite").parquet(s"$dir/labels")
+    writeMeta(spark, dir, n, threshold, maxShingleDocFreq, DefaultNumBuckets)
   }
 
   /** Fold `delta` into the index at `indexDir`, writing the updated
@@ -113,12 +162,19 @@ object IncrementalDedup {
       indexDir: String,
       outDir: String): Appended = {
     val spark = delta.sparkSession
-    val (n, threshold, maxDf) = readMeta(spark, indexDir)
+    val (n, threshold, maxDf, numBuckets) = readMeta(spark, indexDir)
 
+    val idT = delta.schema(idCol).dataType
     val docsOld = spark.read.parquet(s"$indexDir/docs")
     val shOld = spark.read.parquet(s"$indexDir/shingles")
-    val pairsOld = spark.read.parquet(s"$indexDir/pairs")
-    val labelsOld = spark.read.parquet(s"$indexDir/labels")
+    // the P-variants keep the bkt PARTITION column: filters on it
+    // statically prune to the touched bucket directories
+    val pairsOldP = spark.read.schema(pairsSchema(idT))
+      .parquet(s"$indexDir/pairs")
+    val pairsOld = pairsOldP.select(col("id_a"), col("id_b"), col("jaccard"))
+    val labelsOldP = spark.read.schema(labelsSchema(idT))
+      .parquet(s"$indexDir/labels")
+    val labelsOld = labelsOldP.select(col("doc"), col("cluster"))
 
     val deltaDocs = delta.filter(col(idCol).isNotNull)
       .select(col(idCol).as("doc"))
@@ -132,11 +188,12 @@ object IncrementalDedup {
     // because both the index write and the DF aggregate below read it
     val shDelta = Dedup.shingleFrame(delta, idCol, textCol, blockCol, n)
       .localCheckpoint(true)
-    shOld.unionByName(shDelta)
-      .write.mode("overwrite").parquet(s"$outDir/shingles")
-    docsOld.unionByName(deltaDocs)
-      .write.mode("overwrite").parquet(s"$outDir/docs")
-    val shAll = spark.read.parquet(s"$outDir/shingles")
+    // append-only frames rotate copy-free: old part-files are
+    // hardlinked into outDir, only the delta's rows are new bytes
+    val shAll = IndexRotation.rotateAppendOnly(spark,
+      s"$indexDir/shingles", s"$outDir/shingles", shDelta)
+    IndexRotation.rotateAppendOnly(spark,
+      s"$indexDir/docs", s"$outDir/docs", deltaDocs)
 
     // shingles whose DF crossed the cap BECAUSE of the delta: their
     // old holders' surviving sets (and set sizes) changed, so every
@@ -173,13 +230,7 @@ object IncrementalDedup {
       .join(restrict.select(col("doc").as("id_a")), Seq("id_a"), "left_anti")
       .join(restrict.select(col("doc").as("id_b")), Seq("id_b"), "left_anti")
       .select(col("id_a"), col("id_b"), col("jaccard"))
-    keptOld.unionByName(minedM)
-      .write.mode("overwrite").parquet(s"$outDir/pairs")
-    val pairsNew = spark.read.parquet(s"$outDir/pairs")
 
-    // touched components: restricted docs, endpoints of every re-mined
-    // pair (a delta doc can pair with ANY old doc), and endpoints of
-    // every dropped old pair (a drop can split a component)
     // dropped = old pairs with EITHER endpoint restricted (exactly the
     // complement of keptOld) — derived directly from restrict rather
     // than an anti-join of keptOld against its own parent lineage
@@ -187,6 +238,10 @@ object IncrementalDedup {
       .join(restrict.select(col("doc").as("id_a")), Seq("id_a"), "left_semi")
       .unionByName(pairsOld
         .join(restrict.select(col("doc").as("id_b")), Seq("id_b"), "left_semi"))
+
+    // touched components: restricted docs, endpoints of every re-mined
+    // pair (a delta doc can pair with ANY old doc), and endpoints of
+    // every dropped old pair (a drop can split a component)
     val touchedSeed = restrict
       .unionByName(minedM.select(col("id_a").as("doc")))
       .unionByName(minedM.select(col("id_b").as("doc")))
@@ -206,17 +261,59 @@ object IncrementalDedup {
     val subPairs = keptOld
       .join(touchedOldDocs.select(col("doc").as("id_a")), Seq("id_a"), "left_semi")
       .unionByName(minedM)
+    // materialized once: the CC result feeds both the touched-bucket
+    // listing and the labels write
     val subLabels = foldLabels(spark, subDocs, subPairs)
-    labelsOld.join(touchedClusters, Seq("cluster"), "left_anti")
+      .select(col("doc"), col("cluster")).localCheckpoint(true)
+
+    // both frames rotate copy-free: every dropped pair lives in a
+    // bucket of its stored id_a (both droppedTouched arms key on it)
+    // and every mined pair's bucket is listed; a label row changes
+    // only if its cluster is touched (recomputed) or newborn (a
+    // subLabels cluster id). Buckets outside the touched lists are
+    // hardlinked, not rewritten. ONE collect lists both frames'
+    // touched buckets (each extra job at delta scale is scheduler
+    // overhead, not work).
+    val bktOfA = IndexRotation.bucketOf(col("id_a"), numBuckets)
+    val bktOfC = IndexRotation.bucketOf(col("cluster"), numBuckets)
+    val touchedBkts = droppedTouched.select(lit("p").as("f"), bktOfA.as("bkt"))
+      .unionByName(minedM.select(lit("p").as("f"), bktOfA.as("bkt")))
+      .unionByName(touchedClusters.select(lit("l").as("f"), bktOfC.as("bkt")))
+      .unionByName(subLabels.select(lit("l").as("f"), bktOfC.as("bkt")))
+      .distinct().collect()
+    val touchedPairBkts =
+      touchedBkts.filter(_.getString(0) == "p").map(_.getInt(1)).toSeq
+    val touchedLabelBkts =
+      touchedBkts.filter(_.getString(0) == "l").map(_.getInt(1)).toSeq
+
+    // replacement content scans ONLY the touched bucket directories:
+    // the filter is on the native partition column (recomputing bkt
+    // from id_a/cluster would shadow it and force a full scan)
+    val pairsReplacement = pairsOldP
+      .filter(col("bkt").isin(touchedPairBkts: _*))
+      .join(restrict.select(col("doc").as("id_a")), Seq("id_a"), "left_anti")
+      .join(restrict.select(col("doc").as("id_b")), Seq("id_b"), "left_anti")
+      .unionByName(minedM.withColumn("bkt", bktOfA))
+    val pairsNew = IndexRotation.rotateBucketed(spark,
+        s"$indexDir/pairs", s"$outDir/pairs", touchedPairBkts,
+        pairsReplacement)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+
+    val labelsReplacement = labelsOldP
+      .filter(col("bkt").isin(touchedLabelBkts: _*))
+      .join(touchedClusters, Seq("cluster"), "left_anti")
+      .unionByName(subLabels.withColumn("bkt", bktOfC))
+    val labelsNew = IndexRotation.rotateBucketed(spark,
+        s"$indexDir/labels", s"$outDir/labels", touchedLabelBkts,
+        labelsReplacement)
       .select(col("doc"), col("cluster"))
-      .unionByName(subLabels.select(col("doc"), col("cluster")))
-      .write.mode("overwrite").parquet(s"$outDir/labels")
-    writeMeta(spark, outDir, n, threshold, maxDf)
+    writeMeta(spark, outDir, n, threshold, maxDf, numBuckets)
 
     Appended(
-      labels = spark.read.parquet(s"$outDir/labels"),
+      labels = labelsNew,
       pairs = pairsNew,
-      touchedClusters = touchedClusters)
+      touchedClusters = touchedClusters,
+      recomputedLabels = subLabels)
   }
 
   /** Connected components over the touched subgraph, size-routed
@@ -275,15 +372,15 @@ object IncrementalDedup {
   }
 
   private def writeMeta(spark: SparkSession, dir: String, n: Int,
-      threshold: Double, maxDf: Int): Unit = {
+      threshold: Double, maxDf: Int, numBuckets: Int): Unit = {
     import spark.implicits._
-    Seq((SchemaVersion, n, threshold, maxDf))
-      .toDF("version", "n", "threshold", "max_df")
+    Seq((SchemaVersion, n, threshold, maxDf, numBuckets))
+      .toDF("version", "n", "threshold", "max_df", "num_buckets")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
   }
 
   private def readMeta(spark: SparkSession,
-      dir: String): (Int, Double, Int) = {
+      dir: String): (Int, Double, Int, Int) = {
     val m = spark.read.parquet(s"$dir/meta").collect()
     require(m.length == 1, s"corrupt index meta at $dir/meta")
     val r = m(0)
@@ -291,6 +388,7 @@ object IncrementalDedup {
     require(ver == SchemaVersion,
       s"index at $dir has schema version $ver; this build understands " +
         s"$SchemaVersion — rebuild the index")
-    (r.getAs[Int]("n"), r.getAs[Double]("threshold"), r.getAs[Int]("max_df"))
+    (r.getAs[Int]("n"), r.getAs[Double]("threshold"), r.getAs[Int]("max_df"),
+      r.getAs[Int]("num_buckets"))
   }
 }

@@ -51,8 +51,16 @@ object SocketBroker {
       backend: EnvelopeBroker with WritableEnvelopeBroker,
       port: Int = 0) extends AutoCloseable {
 
-    private val server =
-      new ServerSocket(port, 64, InetAddress.getLoopbackAddress)
+    // bound manually so SO_REUSEADDR is set BEFORE bind: a bounced
+    // server (restart on the same port — the reconnect TCK clause)
+    // must not fail on a lingering TIME_WAIT socket
+    private val server = {
+      val s = new ServerSocket()
+      s.setReuseAddress(true)
+      s.bind(new java.net.InetSocketAddress(
+        InetAddress.getLoopbackAddress, port), 64)
+      s
+    }
     @volatile private var closed = false
 
     def boundPort: Int = server.getLocalPort

@@ -41,6 +41,44 @@ class IncrementalCurationSpec extends SparkSuiteBase {
       "chained appends diverge from the from-scratch decision frame")
   }
 
+  test("curation rotation carries untouched frames by hardlink") {
+    val docs = Tables.documents(spark, sfDir)
+    val train = docs.filter(pmod(col("doc_id"), lit(20)) =!= 0)
+    val eval = docs.filter(pmod(col("doc_id"), lit(20)) === 0)
+    def slice(k: Int) = train.filter(pmod(col("doc_id"), lit(3)) === k)
+    val dir = tmpDir("inccur-link")
+    IncrementalCuration.buildIndex(
+      train.filter(pmod(col("doc_id"), lit(3)) =!= 2), eval,
+      "doc_id", "text", "lang", Seq("the", "a"), dir = s"$dir/base")
+    IncrementalCuration.append(slice(2), "doc_id", "text", "lang",
+      s"$dir/base", s"$dir/out")
+
+    // frozen + append-only frames: every old file carried as the same
+    // inode (eval-shingles gains nothing; signals gains delta files)
+    for (frame <- Seq("eval-shingles", "signals")) {
+      val base = HardlinkProbe.dataFiles(s"$dir/base/$frame")
+      val out = HardlinkProbe.dataFiles(s"$dir/out/$frame")
+      assert(base.nonEmpty)
+      base.foreach { case (rel, ino) =>
+        assert(out.get(rel).contains(ino),
+          s"$frame/$rel was rewritten instead of hardlinked")
+      }
+    }
+    assert(HardlinkProbe.dataFiles(s"$dir/out/signals").size >
+      HardlinkProbe.dataFiles(s"$dir/base/signals").size,
+      "signals gained no delta files")
+    // decisions: untouched cluster buckets carry over as hardlinks
+    val baseDec = HardlinkProbe.dataFiles(s"$dir/base/decisions")
+    val outDec = HardlinkProbe.dataFiles(s"$dir/out/decisions")
+    baseDec.foreach { case (rel, ino) =>
+      outDec.get(rel).foreach(o =>
+        assert(o == ino, s"decisions/$rel was copied, not hardlinked"))
+    }
+    assert(baseDec.exists { case (rel, ino) =>
+      outDec.get(rel).contains(ino)
+    }, "every decisions bucket was rewritten — no pruning")
+  }
+
   test("append never needs old corpus or eval text (sources deleted)") {
     import spark.implicits._
     val olds = Seq(

@@ -147,6 +147,50 @@ class IncrementalDedupSpec extends SparkSuiteBase {
       pairSet(spark.read.parquet(s"$dir/base/pairs")))
   }
 
+  test("rotation carries untouched index files by hardlink, not copy") {
+    val docs = Tables.documents(spark, sfDir)
+    val old = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+    val delta = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+    val dir = tmpDir("incdedup-link")
+    IncrementalDedup.buildIndex(old, "doc_id", "text", "lang",
+      n = 3, threshold = 0.8, maxShingleDocFreq = 1000, dir = s"$dir/base")
+    IncrementalDedup.append(delta, "doc_id", "text", "lang",
+      s"$dir/base", s"$dir/out")
+
+    // every pre-existing shingle/doc part-file appears in the rotated
+    // dir as the SAME inode — the bytes were never read or rewritten
+    for (frame <- Seq("shingles", "docs")) {
+      val base = HardlinkProbe.dataFiles(s"$dir/base/$frame")
+      val out = HardlinkProbe.dataFiles(s"$dir/out/$frame")
+      assert(base.nonEmpty)
+      base.foreach { case (rel, ino) =>
+        assert(out.get(rel).contains(ino),
+          s"$frame/$rel was rewritten instead of hardlinked")
+      }
+      // and the delta contributed new part-files on top
+      assert(out.size > base.size, s"$frame gained no delta files")
+    }
+    // bucketed frames: any carried file is a hardlink (same inode) —
+    // a same-named file with a different inode would mean a copy
+    for (frame <- Seq("pairs", "labels")) {
+      val base = HardlinkProbe.dataFiles(s"$dir/base/$frame")
+      val out = HardlinkProbe.dataFiles(s"$dir/out/$frame")
+      base.foreach { case (rel, ino) =>
+        out.get(rel).foreach(o =>
+          assert(o == ino, s"$frame/$rel was copied, not hardlinked"))
+      }
+    }
+    // labels: the sf0.001 corpus has far more untouched clusters than
+    // touched ones, so most bucket dirs must carry over untouched
+    val baseLabels = HardlinkProbe.dataFiles(s"$dir/base/labels")
+    val outLabels = HardlinkProbe.dataFiles(s"$dir/out/labels")
+    val carried = baseLabels.count { case (rel, ino) =>
+      outLabels.get(rel).contains(ino)
+    }
+    assert(carried > 0, "every labels bucket was rewritten — the " +
+      "touched-bucket restriction is not pruning")
+  }
+
   test("append refuses overlapping delta ids and wrong meta version") {
     import spark.implicits._
     val olds = Seq((1L, "a b c d e", "en")).toDF("doc_id", "text", "lang")

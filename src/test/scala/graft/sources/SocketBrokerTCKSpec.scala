@@ -96,6 +96,93 @@ class SocketBrokerTCKSpec extends EnvelopeBrokerTCK
     }
   }
 
+  test("[SocketBroker] a bounced server resumes reads from the caller's offset over the durable log") {
+    // the reconnect clause: kill the server mid-consumption, restart
+    // it on the SAME port over the SAME durable log — a reader that
+    // tracked its own offset resumes exactly where it stopped, with
+    // no duplicates and no silent gap
+    val dir = java.nio.file.Files
+      .createTempDirectory("socket-bounce-log").toString
+    val backend = new FileBroker(dir)
+    (0L until 5L).foreach { e =>
+      backend.append(RawMessage("t", "ns", "a", 0, 1L, e,
+        s"v$e".getBytes("UTF-8"), null, 0L, 100L + e, Map.empty))
+    }
+    val server1 = new SocketBroker.Server(backend)
+    val port = server1.boundPort
+    val client = new SocketBroker.Client("127.0.0.1", port)
+    val it = client.read("a", 0, (0L, 0L), client.latest("a", 0))
+    val first2 = Seq(it.next(), it.next())
+    assert(first2.map(_.entryId) == Seq(0L, 1L))
+    it.asInstanceOf[AutoCloseable].close() // abandon mid-stream
+    server1.close()
+    // while the server is down: loud IOException, never empty answers
+    intercept[IOException] { client.latest("a", 0) }
+    val server2 = new SocketBroker.Server(new FileBroker(dir), port)
+    try {
+      // resume from the offset after the last consumed message
+      val rest = client.read("a", 0,
+        (1L, first2.last.entryId + 1), client.latest("a", 0)).toSeq
+      assert(rest.map(_.entryId) == Seq(2L, 3L, 4L),
+        "resumed read must yield exactly the unconsumed tail")
+      // the bounced server keeps accepting appends + reads
+      client.append(RawMessage("t", "ns", "a", 0, 1L, 5L,
+        "v5".getBytes("UTF-8"), null, 0L, 105L, Map.empty))
+      assert(client.latest("a", 0) == ((1L, 6L)))
+    } finally server2.close()
+  }
+
+  test("[SocketBroker] mirror survives a source-server bounce between micro-batches") {
+    // DSv2 micro-batch path over the socket transport with a mid-run
+    // restart: run 1 mirrors the backlog, the server dies, new rows
+    // land in the durable log, a NEW server binds the same port, and
+    // run 2 (same checkpoint) mirrors exactly the new rows — offsets
+    // come from the checkpoint, not server session state, and the
+    // MessageId-idempotent sink admits no duplicates past the ack.
+    val srcDir = java.nio.file.Files
+      .createTempDirectory("socket-bounce-src").toString
+    val srcBackend = new FileBroker(srcDir)
+    (0L until 6L).foreach { e =>
+      srcBackend.append(RawMessage("t", "ns", "topic-b", 0, 1L, e,
+        s"payload-$e".getBytes("UTF-8"), null, 0L, 1000L + e, Map.empty))
+    }
+    val server1 = new SocketBroker.Server(srcBackend)
+    val port = server1.boundPort
+    EnvelopeBrokerRegistry.register("socket-bounce-src",
+      new SocketBroker.Client("127.0.0.1", port))
+    val raw = spark.readStream.format("pulsar-envelope")
+      .option("broker", "socket-bounce-src").load()
+    val dstBackend = new InMemoryBroker
+    val dstServer = new SocketBroker.Server(dstBackend)
+    val sink = new SocketDestinationSink("127.0.0.1", dstServer.boundPort)
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("socket-bounce-ckpt").toString
+    try {
+      val q1 = MessageMirror.start(raw, sink, ckpt,
+        trigger = Trigger.AvailableNow()).start()
+      q1.awaitTermination(60000L)
+      def mirrored(): Seq[Long] = dstBackend.topicPartitions
+        .flatMap { case (t, p) =>
+          dstBackend.read(t, p, (0L, 0L), dstBackend.latest(t, p))
+        }.map(_.entryId).sorted
+      assert(mirrored() == (0L until 6L))
+      server1.close()
+      // rows arriving while the transport is down persist in the log
+      (6L until 10L).foreach { e =>
+        srcBackend.append(RawMessage("t", "ns", "topic-b", 0, 1L, e,
+          s"payload-$e".getBytes("UTF-8"), null, 0L, 1000L + e, Map.empty))
+      }
+      val server2 = new SocketBroker.Server(new FileBroker(srcDir), port)
+      try {
+        val q2 = MessageMirror.start(raw, sink, ckpt,
+          trigger = Trigger.AvailableNow()).start()
+        q2.awaitTermination(60000L)
+        assert(mirrored() == (0L until 10L),
+          "post-bounce run must deliver exactly the new rows once")
+      } finally server2.close()
+    } finally dstServer.close()
+  }
+
   test("[SocketBroker] connection lost before the first frame is a loud IOException") {
     // a server that accepts, reads the request, then closes without
     // writing: the client's FIRST readInt hits EOF — it must close its
