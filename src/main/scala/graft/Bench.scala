@@ -38,9 +38,12 @@ object Bench {
     // q78's round-6 prior (0.15) timed a memoized checkpoint read;
     // since round 7 each q78 rep resets the encoded-frame memo and
     // times the real two-join encode — re-measured quiet-box
-    "q77_bpe_train" -> 1.39,
+    "q77_bpe_train" -> 1.39, "q78_bpe_encode" -> 1.52,
     "q79_pack_bpe" -> 0.47, "q80_incremental_curation" -> 8.96,
-    "q81_lm_score" -> 1.48, "q82_budget_sample" -> 0.98)
+    "q81_lm_score" -> 1.48, "q82_budget_sample" -> 0.98,
+    // round-7 additions, quiet-box mins at sf0.1 (q83 = the encode
+    // increment over the memoized even-split tokenizer)
+    "q83_bpe_encode_oov" -> 1.09, "q84_semantic_dedup" -> 0.76)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

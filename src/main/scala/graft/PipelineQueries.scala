@@ -656,6 +656,48 @@ object PipelineQueries extends QueryGroup {
       .orderBy(col("probe_id"), col("rnk"))
   }
 
+  // R-19 x R-20, SemDeDup (Abbas et al. 2023): SEMANTIC dedup — IVF
+  // cells bound the pair search (equi-join on cell, never global
+  // all-pairs), within-cell 6-dp cosines, drop everything with a
+  // smaller-id in-cell neighbor >= threshold. The embedding-space
+  // twin of the shingle near-dup stage, at the shingle stage's
+  // smallest-id survivor convention.
+  q("q84_semantic_dedup",
+    """WITH u AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+      |             unnest(embedding)::DOUBLE AS x FROM embeddings),
+      |nrm AS (SELECT vec_id, sqrt(sum(x*x)) AS nr FROM u GROUP BY vec_id),
+      |cent AS (SELECT vec_id AS cvid,
+      |           CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell
+      |         FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 8)),
+      |vc0 AS (SELECT a.vec_id AS vid, c.cell AS cell, c.cvid AS cvid,
+      |          sum(a.x * b.x) AS dp
+      |        FROM u a JOIN cent c ON true
+      |        JOIN u b ON b.vec_id = c.cvid AND a.i = b.i
+      |        GROUP BY 1, 2, 3),
+      |vc AS (SELECT vid, cell,
+      |         floor((dp / (x.nr * y.nr)) * 1000000.0 + 0.5) / 1000000.0 AS ccos
+      |       FROM vc0 JOIN nrm x ON x.vec_id = vid JOIN nrm y ON y.vec_id = cvid),
+      |assign AS (SELECT vid, cell FROM (
+      |  SELECT vid, cell, row_number() OVER (PARTITION BY vid
+      |           ORDER BY (1.0 - ccos) ASC, cell) AS rn FROM vc) WHERE rn = 1),
+      |p AS (SELECT a.vid AS xid, b.vid AS yid
+      |      FROM assign a JOIN assign b USING (cell) WHERE b.vid < a.vid),
+      |pd AS (SELECT xid, yid, sum(xu.x * yu.x) AS dp
+      |       FROM p JOIN u xu ON xu.vec_id = xid
+      |              JOIN u yu ON yu.vec_id = yid AND xu.i = yu.i
+      |       GROUP BY 1, 2),
+      |pc AS (SELECT xid,
+      |         floor((dp / (x.nr * y.nr)) * 1000000.0 + 0.5) / 1000000.0 AS cos
+      |       FROM pd JOIN nrm x ON x.vec_id = xid JOIN nrm y ON y.vec_id = yid),
+      |dup AS (SELECT DISTINCT xid FROM pc WHERE cos >= 0.4)
+      |SELECT a.vid AS vec_id, a.cell, (d.xid IS NULL) AS keep
+      |FROM assign a LEFT JOIN dup d ON d.xid = a.vid
+      |ORDER BY vec_id""".stripMargin) { (s, d) =>
+    Similarity.semanticDedup(Tables.embeddings(s, d),
+        "vec_id", "embedding", numCells = 8, threshold = 0.4)
+      .orderBy(col("vec_id"))
+  }
+
   /** One persisted [[SimilarityIndex]] IVF index per (session, dir) —
     * q76 probes it as a separate job would: the memoized first call
     * builds cells+centroids to parquet; every later call (and every

@@ -105,6 +105,62 @@ object Similarity {
     else bucketedPairsCosine(emb, idCol, vecCol, threshold, bucketBits)
   }
 
+  /** SemDeDup-style semantic dedup over an embedding column: the
+    * corpus partitions into IVF cells (deterministic smallest-id
+    * centroids by default, or caller-trained k-means), pairwise
+    * 6-dp cosines are computed WITHIN each cell only, and every
+    * vector with a smaller-id neighbor at or above `threshold` in
+    * its cell is marked a duplicate — one survivor per semantic
+    * duplicate group per cell. Public basis: SemDeDup (Abbas et al.
+    * 2023, arXiv:2303.09540), which prunes semantic duplicates
+    * inside k-means clusters of embeddings.
+    *
+    * Output: (idCol, cell, keep) — every input row preserved, keep =
+    * no smaller-id in-cell neighbor at >= threshold (the same
+    * smallest-id survivor convention as [[Dedup.clusters]]).
+    *
+    * Scale shape: the pair join is an equi-join on `cell`, so
+    * candidate pairs are bounded per cell (~(N/numCells)² per cell,
+    * never a global all-pairs) and the shuffle key is the cell id.
+    * At corpus scale: size numCells so cells fit comfortably in a
+    * task (SemDeDup used 50k clusters for 10⁹ docs), train centroids
+    * with [[trainIvfCentroids]], and persist the assignment with
+    * [[SimilarityIndex.buildIvf]] so re-dedup ticks skip
+    * re-assignment. Cross-cell duplicate pairs are missed by design —
+    * the SemDeDup recall trade that makes the operation sub-quadratic.
+    */
+  def semanticDedup(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      numCells: Int,
+      threshold: Double,
+      centroids: Option[Seq[(Int, Array[Float])]] = None): DataFrame = {
+    val spark = corpus.sparkSession
+    val cents = centroids.getOrElse(
+      smallestIdCentroids(corpus, idCol, vecCol, numCells))
+    require(cents.nonEmpty, "cannot dedup against zero cells")
+    val assigned = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("v"),
+      element_at(cellRank(spark, cents, col(vecCol)), 1)
+        .getField("cell").as("cell"))
+    val x = assigned
+      .select(col("vec_id").as("xid"), col("v").as("xv"), col("cell"))
+    val y = assigned
+      .select(col("vec_id").as("yid"), col("v").as("yv"), col("cell"))
+    val dups = x.join(y, "cell")
+      .filter(col("yid") < col("xid"))
+      .select(col("xid"),
+        cos6(spark, col("xv"), col("yv")).as("cos"))
+      .filter(col("cos") >= lit(threshold))
+      .select(col("xid").as("vec_id")).distinct()
+      .withColumn("__dup", lit(true))
+    assigned.select(col("vec_id"), col("cell"))
+      .join(dups, Seq("vec_id"), "left")
+      .select(col("vec_id").as(idCol), col("cell"),
+        coalesce(col("__dup"), lit(false)).as("__d"))
+      .withColumn("keep", !col("__d")).drop("__d")
+  }
+
   /** Exact all-pairs cosine >= threshold over a SMALL corpus. The
     * corpus is collected and broadcast as primitive float arrays and
     * each task scans its probe slice with tight JVM loops — the same

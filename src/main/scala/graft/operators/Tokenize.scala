@@ -112,10 +112,14 @@ object Tokenize {
       }
     }
     val wordSyms = state.select(col("word"), col("s"))
+    // checkpointed: the id ranking is a single-task window (vocab-
+    // sized by definition) — materialize it once at train time
+    // instead of re-running it inside every encode consumer
     val vocab = wordSyms
       .select(explode(col("s")).as("sym")).distinct()
       .withColumn("id",
         (row_number().over(Window.orderBy(col("sym"))) - 1).cast("long"))
+      .localCheckpoint(true)
     TrainedBpe(merges.toSeq, wordSyms, vocab)
   }
 
@@ -143,23 +147,41 @@ object Tokenize {
       idCol: String,
       textCol: String,
       trained: TrainedBpe): DataFrame = {
-    val words = docs
-      .select(col(idCol),
-        posexplode(TextFns.tokens(col(textCol))).as(Seq("wpos", "word")))
-    val known = words.join(trained.wordSyms, "word")
     // distinct OOV words get the trained merges replayed over their
-    // chars (rank order — the same greedy pass training applied)
+    // chars (rank order — the same greedy pass training applied).
+    // Derived at the DISTINCT-WORD level so the corpus occurrence
+    // stream is exploded and joined exactly ONCE below (an earlier
+    // revision split occurrences into known/OOV branches, recomputing
+    // the explode per branch).
     val oovSyms = trained.merges.foldLeft(chars(col("word"))) {
       case (s, (l, r, _)) => applyMerge(s, l, r)
     }
-    val oovWords = words.join(trained.wordSyms, Seq("word"), "left_anti")
-      .select(col("word")).distinct()
+    // materialized: the replay is a `numMerges`-deep nested HOF
+    // expression, and left in the lineage Catalyst's projection
+    // collapse substitutes it into every downstream reference of `s`
+    // (measured: +10s of optimizer/codegen per encode at sf0.1, with
+    // sub-second actual execution). The checkpoint evaluates it once
+    // over the vocab-sized OOV set and hands downstream a plain array
+    // column.
+    val oovWords = docs
+      .select(explode(TextFns.tokens(col(textCol))).as("word")).distinct()
+      .join(trained.wordSyms.select(col("word")), Seq("word"), "left_anti")
       .select(col("word"), oovSyms.as("s"))
-    val oov = words.join(oovWords, "word")
-    known.unionByName(oov)
+      .localCheckpoint(true)
+    val wordTable = trained.wordSyms.select(col("word"), col("s"))
+      .unionByName(oovWords)
+    // both join right sides are vocabulary-sized — broadcast them
+    // EXPLICITLY: their array-of-symbols columns inflate Catalyst's
+    // size estimate past the auto-broadcast threshold, and a
+    // sort-merge fallback would shuffle the per-occurrence stream
+    // (measured: the q78 encode spent its time in exactly that)
+    docs
+      .select(col(idCol),
+        posexplode(TextFns.tokens(col(textCol))).as(Seq("wpos", "word")))
+      .join(broadcast(wordTable), "word")
       .select(col(idCol), col("wpos"),
         posexplode(col("s")).as(Seq("spos", "sym")))
-      .join(trained.vocab, Seq("sym"), "left")
+      .join(broadcast(trained.vocab), Seq("sym"), "left")
       .select(col(idCol), col("wpos"), col("spos"),
         coalesce(col("id"), lit(-1L)).as("id"))
       .groupBy(col(idCol))

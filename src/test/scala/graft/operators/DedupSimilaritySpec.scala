@@ -753,4 +753,30 @@ class DedupSimilaritySpec extends SparkSuiteBase {
       assert(brute.contains(key) && math.abs(brute(key) - r.getAs[Double]("cos")) < 1e-9)
     }
   }
+
+  test("semanticDedup keeps one survivor per in-cell duplicate group; cross-cell dups survive by design") {
+    import spark.implicits._
+    // centroids = 2 smallest ids: cell 0 ~ [1,0,..], cell 1 ~ [0,1,..]
+    val rows = Seq(
+      (1L, Array(1f, 0f, 0f, 0f)),      // centroid/cell 0, survivor
+      (2L, Array(0f, 1f, 0f, 0f)),      // centroid/cell 1, survivor
+      (3L, Array(0.99f, 0.01f, 0f, 0f)), // cell 0, near-dup of 1 → drop
+      (4L, Array(0f, 0.9f, 0.1f, 0f)),  // cell 1, near-dup of 2 → drop
+      (5L, Array(0f, 0.6f, 0.8f, 0f)),  // cell 1, below threshold → keep
+      // a near-identical pair SPLIT across cells: both kept — the
+      // documented SemDeDup recall trade (sub-quadratic because
+      // cross-cell pairs are never examined)
+      (6L, Array(0.71f, 0.70f, 0f, 0f)), // cell 0
+      (7L, Array(0.70f, 0.71f, 0f, 0f))) // cell 1
+      .toDF("vec_id", "embedding")
+    val out = Similarity.semanticDedup(rows, "vec_id", "embedding",
+        numCells = 2, threshold = 0.95)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getBoolean(2))))
+      .toMap
+    assert(out.size == 7, "every input row must be preserved")
+    assert(out(1L) == ((0, true)) && out(3L) == ((0, false)))
+    assert(out(2L) == ((1, true)) && out(4L) == ((1, false)))
+    assert(out(5L) == ((1, true)))
+    assert(out(6L) == ((0, true)) && out(7L) == ((1, true)))
+  }
 }
