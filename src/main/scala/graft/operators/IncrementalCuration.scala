@@ -192,6 +192,24 @@ object IncrementalCuration {
       .withColumn("keep",
         col("ok_quality") && !col("contaminated") && col("keep_dedup"))
 
+  /** Compact the curation index at `indexDir` into `outDir`: the
+    * nested dedup index compacts via [[IncrementalDedup.compact]],
+    * eval-shingles/signals rewrite at session parallelism, decisions
+    * to one file per bucket. Content and meta unchanged.
+    */
+  def compact(spark: SparkSession, indexDir: String, outDir: String): Unit = {
+    val (stopwords, decontamN, minOverlap, numBuckets) =
+      readMeta(spark, indexDir)
+    IncrementalDedup.compact(spark, s"$indexDir/dedup", s"$outDir/dedup")
+    IndexRotation.compactFrame(spark, s"$indexDir/eval-shingles",
+      s"$outDir/eval-shingles", None, None)
+    IndexRotation.compactFrame(spark, s"$indexDir/signals",
+      s"$outDir/signals", None, None)
+    IndexRotation.compactFrame(spark, s"$indexDir/decisions",
+      s"$outDir/decisions", None, Some("bkt"))
+    writeMeta(spark, outDir, stopwords, decontamN, minOverlap, numBuckets)
+  }
+
   private def writeMeta(spark: SparkSession, dir: String,
       stopwords: Seq[String], decontamN: Int, minOverlap: Int,
       numBuckets: Int): Unit = {

@@ -371,6 +371,28 @@ object IncrementalDedup {
     }
   }
 
+  /** Compact the index at `indexDir` into `outDir`: every frame
+    * rewritten to its canonical file count (one file per bucket for
+    * pairs/labels; session parallelism for docs/shingles). Row
+    * content, layout contract and meta are unchanged — run this
+    * periodically between append ticks once the per-tick delta files
+    * accumulate (each append adds one file per touched bucket plus
+    * one delta file to each append-only frame).
+    */
+  def compact(spark: SparkSession, indexDir: String, outDir: String): Unit = {
+    val (n, threshold, maxDf, numBuckets) = readMeta(spark, indexDir)
+    val idT = spark.read.parquet(s"$indexDir/docs").schema("doc").dataType
+    IndexRotation.compactFrame(spark, s"$indexDir/docs", s"$outDir/docs",
+      None, None)
+    IndexRotation.compactFrame(spark, s"$indexDir/shingles",
+      s"$outDir/shingles", None, None)
+    IndexRotation.compactFrame(spark, s"$indexDir/pairs", s"$outDir/pairs",
+      Some(pairsSchema(idT)), Some("bkt"))
+    IndexRotation.compactFrame(spark, s"$indexDir/labels", s"$outDir/labels",
+      Some(labelsSchema(idT)), Some("bkt"))
+    writeMeta(spark, outDir, n, threshold, maxDf, numBuckets)
+  }
+
   private def writeMeta(spark: SparkSession, dir: String, n: Int,
       threshold: Double, maxDf: Int, numBuckets: Int): Unit = {
     import spark.implicits._

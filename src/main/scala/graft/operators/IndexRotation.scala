@@ -108,6 +108,38 @@ object IndexRotation {
     spark.read.parquet(dstDir)
   }
 
+  /** Compact a frame into `dstDir`: plain frames rewrite at session
+    * parallelism; bucketed frames (non-empty `partitionCol`) rewrite
+    * to one file per bucket. Multi-append deployments accumulate one
+    * file per touched bucket per tick plus one delta file per tick in
+    * the append-only frames — a periodic compaction pass restores
+    * one-file-per-bucket reads without touching semantics (same rows,
+    * same layout contract).
+    */
+  def compactFrame(spark: SparkSession, srcDir: String, dstDir: String,
+      schema: Option[org.apache.spark.sql.types.StructType],
+      partitionCol: Option[String]): Unit = {
+    require(srcDir != dstDir, "compaction requires distinct directories")
+    val reader = schema.fold(spark.read)(s => spark.read.schema(s))
+    val df = reader.parquet(srcDir)
+    partitionCol match {
+      case Some(c) =>
+        df.repartition(col(c))
+          .write.partitionBy(c).mode("overwrite").parquet(dstDir)
+      case None =>
+        // size the output at ~128 MB files from an exact count
+        // (Catalyst estimates are unusable here — see
+        // ScaleOps.autoRangeParts); a plain rewrite would keep the
+        // accumulated input file count, defeating the compaction
+        val rowWidth =
+          8L + df.schema.fields.map(_.dataType.defaultSize.toLong).sum
+        val target = 128L << 20
+        val n = ((BigInt(df.count()) * rowWidth + target - 1) / target)
+          .max(1).min(131072).toInt
+        df.repartition(n).write.mode("overwrite").parquet(dstDir)
+    }
+  }
+
   /** Rotate a FROZEN frame (pure carry, no new rows). */
   def rotateFrozen(spark: SparkSession, srcDir: String, dstDir: String): DataFrame = {
     require(srcDir != dstDir, "rotation requires distinct directories")

@@ -41,6 +41,43 @@ class IncrementalCurationSpec extends SparkSuiteBase {
       "chained appends diverge from the from-scratch decision frame")
   }
 
+  test("compaction preserves content and appends keep working after it") {
+    val docs = Tables.documents(spark, sfDir)
+    val train = docs.filter(pmod(col("doc_id"), lit(20)) =!= 0)
+    val eval = docs.filter(pmod(col("doc_id"), lit(20)) === 0)
+    def slice(k: Int) = train.filter(pmod(col("doc_id"), lit(3)) === k)
+    val dir = tmpDir("inccur-compact")
+    IncrementalCuration.buildIndex(slice(0), eval, "doc_id", "text",
+      "lang", Seq("the", "a"), dir = s"$dir/v0")
+    IncrementalCuration.append(slice(1), "doc_id", "text",
+      "lang", s"$dir/v0", s"$dir/v1")
+    val after2 = IncrementalCuration.append(slice(2), "doc_id", "text",
+      "lang", s"$dir/v1", s"$dir/v2")
+    val before = decisionMap(after2, "doc")
+
+    IncrementalCuration.compact(spark, s"$dir/v2", s"$dir/c2")
+    // identical decision content through the compaction
+    val compacted = spark.read.parquet(s"$dir/c2/decisions")
+      .select("doc", "cluster", "passes", "ok_quality", "contaminated",
+        "keep_dedup", "keep")
+    assert(decisionMap(compacted, "doc") == before)
+    // two ticks accumulated two delta file-sets in the append-only
+    // frames; compaction collapses them back to one write's worth
+    val v2Sh = HardlinkProbe.dataFiles(s"$dir/v2/dedup/shingles").size
+    val c2Sh = HardlinkProbe.dataFiles(s"$dir/c2/dedup/shingles").size
+    assert(c2Sh < v2Sh, s"compaction did not reduce files ($v2Sh -> $c2Sh)")
+    // the compacted index accepts the next tick (empty delta = no-op)
+    // and still matches the from-scratch frame
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String, String)].toDF("doc_id", "text", "lang")
+    val afterNoop = IncrementalCuration.append(empty, "doc_id", "text",
+      "lang", s"$dir/c2", s"$dir/v3")
+    val full = Curation.curate(train, eval, "doc_id", "text", "lang",
+      Seq("the", "a"))
+    assert(decisionMap(afterNoop, "doc") == decisionMap(full, "doc_id"),
+      "append after compaction diverges from the from-scratch frame")
+  }
+
   test("curation rotation carries untouched frames by hardlink") {
     val docs = Tables.documents(spark, sfDir)
     val train = docs.filter(pmod(col("doc_id"), lit(20)) =!= 0)
