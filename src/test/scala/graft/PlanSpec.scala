@@ -144,6 +144,19 @@ class PlanSpec extends SparkSuiteBase {
       s"delta mining must stay equi-keyed:\n$p")
   }
 
+  test("semantic dedup pairs through a cell equi-join, never all-pairs") {
+    // the SemDeDup pass is sub-quadratic BECAUSE candidates come from
+    // an equi-join on the cell id — a cartesian/nested-loop fallback
+    // would silently reintroduce the global all-pairs it exists to
+    // avoid
+    val df = Queries.all("q84_semantic_dedup")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct")
+      && !p.contains("BroadcastNestedLoopJoin"),
+      s"semantic dedup must stay cell-equi-keyed:\n$p")
+  }
+
   test("BPE training is pure aggregation; encoding joins are equi-joins") {
     val train = Queries.all("q77_bpe_train")(spark, sfDir)
     train.collect()
