@@ -150,7 +150,9 @@ object Dedup {
   private[operators] def pairsFromShingles(
       shAll: DataFrame,
       threshold: Double,
-      maxShingleDocFreq: Int): DataFrame = {
+      maxShingleDocFreq: Int,
+      precomputedHot: Option[DataFrame] = None,
+      precomputedSizes: Option[DataFrame] = None): DataFrame = {
     // The DF cap and the per-doc set size are HASH aggregates joined
     // back (the oracle's own shape), not window passes: a window here
     // is a full sort of the exploded frame per pass, and those two
@@ -162,12 +164,14 @@ object Dedup {
     // corpus (one row per document), and a forced broadcast would hit
     // the 8 GB broadcast ceiling at ~10^8 docs where a shuffle join
     // is the right plan.
-    val hot = shAll.groupBy(col("blk"), col("shingle"))
-      .agg(count(lit(1)).as("__df"))
-      .filter(col("__df") > maxShingleDocFreq)
-      .select(col("blk"), col("shingle"))
+    val hot = precomputedHot.getOrElse(
+      shAll.groupBy(col("blk"), col("shingle"))
+        .agg(count(lit(1)).as("__df"))
+        .filter(col("__df") > maxShingleDocFreq)
+        .select(col("blk"), col("shingle")))
     val surviving = shAll.join(hot, Seq("blk", "shingle"), "left_anti")
-    val sizes = surviving.groupBy(col("doc")).agg(count(lit(1)).as("sz"))
+    val sizes = precomputedSizes.getOrElse(
+      surviving.groupBy(col("doc")).agg(count(lit(1)).as("sz")))
     // set sizes attach to the AGGREGATED pair list, not to the frame
     // entering the self-join: the pair aggregate's output is orders of
     // magnitude smaller than the candidate rows, so two joins there
@@ -205,13 +209,32 @@ object Dedup {
     * (pair, shingle) rows before the intersection count — `restrict`
     * is small by construction (a delta plus cap-crossing fallout), so
     * that distinct shuffles candidate-sized data, not corpus-sized.
+    *
+    * The `precomputed*` hooks let [[IncrementalDedup]] feed the miner
+    * from its PERSISTED stats frames so a routine append does zero
+    * corpus-keyed shuffles here:
+    *   - `precomputedHot`: the combined hot-shingle list (near-empty);
+    *   - `precomputedSizes`: (doc, sz) surviving set sizes over the
+    *     full combined frame — replaces the full-frame groupBy(doc),
+    *     the miner's one remaining corpus-wide exchange;
+    *   - `precomputedRestrictShingles`: the restrict docs' SURVIVING
+    *     (doc, blk, shingle) rows — replaces the surviving ⋈ restrict
+    *     derivation, which otherwise scans `shAll` a second time;
+    *   - `broadcastRestrict`: hash-join the candidate join with the
+    *     restrict side broadcast, so the corpus side STREAMS through
+    *     a scan instead of shuffling for a sort-merge join. Callers
+    *     size-route it (a restrict side above the broadcast ceiling
+    *     must keep the shuffle plan).
     */
   private[operators] def pairsFromShinglesRestricted(
       shAll: DataFrame,
       restrict: DataFrame,
       threshold: Double,
       maxShingleDocFreq: Int,
-      precomputedHot: Option[DataFrame] = None): DataFrame = {
+      precomputedHot: Option[DataFrame] = None,
+      precomputedSizes: Option[DataFrame] = None,
+      precomputedRestrictShingles: Option[DataFrame] = None,
+      broadcastRestrict: Boolean = false): DataFrame = {
     // the caller may already hold the hot-shingle list (IncrementalDedup
     // computes it to find cap-crossing fallout) — recomputing it here
     // would re-aggregate the full shingle frame for nothing
@@ -221,9 +244,11 @@ object Dedup {
         .filter(col("__df") > maxShingleDocFreq)
         .select(col("blk"), col("shingle")))
     val surviving = shAll.join(hot, Seq("blk", "shingle"), "left_anti")
-    val sizes = surviving.groupBy(col("doc")).agg(count(lit(1)).as("sz"))
-    val r = surviving.join(
-      restrict.select(col(restrict.columns.head).as("doc")).distinct(), "doc")
+    val sizes = precomputedSizes.getOrElse(
+      surviving.groupBy(col("doc")).agg(count(lit(1)).as("sz")))
+    val r0 = precomputedRestrictShingles.getOrElse(surviving.join(
+      restrict.select(col(restrict.columns.head).as("doc")).distinct(), "doc"))
+    val r = if (broadcastRestrict) broadcast(r0) else r0
     val pairCounts = r.alias("a")
       .join(surviving.alias("b"),
         col("a.shingle") === col("b.shingle")

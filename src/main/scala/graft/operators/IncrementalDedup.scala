@@ -21,17 +21,39 @@ import org.apache.spark.sql.functions._
   *                  shingle frame ([[Dedup.shingleFrame]]); ~8-byte
   *                  keys, columnar — re-reading this is the "no text
   *                  rescan" guarantee; append-only like `docs`
+  *   - `hot`       (blk, shingle)        — shingles whose document
+  *                  frequency exceeds the cap (near-empty by
+  *                  construction); fresh tiny write per tick
+  *   - `sizes`     (doc, sz) PARTITIONED BY bkt = hash-bucket(doc) —
+  *                  each doc's SURVIVING (non-hot) shingle count, the
+  *                  Jaccard denominator; delta docs append as new
+  *                  files, only buckets holding a cap-crossing-
+  *                  affected doc rewrite
   *   - `pairs`     (id_a, id_b, jaccard) PARTITIONED BY
   *                  bkt = hash-bucket(id_a) — mined pairs so far; an
-  *                  append rewrites ONLY buckets holding a dropped or
-  *                  newly mined pair ([[IndexRotation.rotateBucketed]])
+  *                  append rewrites ONLY buckets holding a dropped
+  *                  pair — newly mined pairs append as new files into
+  *                  their buckets ([[IndexRotation.rotateBucketed]])
   *   - `labels`    (doc, cluster) PARTITIONED BY bkt =
   *                  hash-bucket(cluster) — components so far; an
-  *                  append rewrites only buckets holding a touched or
-  *                  newborn cluster
+  *                  append rewrites only buckets holding a touched
+  *                  cluster — newborn-cluster rows append
   *   - `meta`      (version, n, threshold, max_df, num_buckets) —
   *                  config fingerprint; `append` refuses an index
   *                  whose schema version it does not understand
+  *
+  * The `hot`/`sizes` stats frames (index v3) are what make a ROUTINE
+  * tick corpus-shuffle-free: without them every append re-aggregated
+  * the full (doc, blk, shingle) frame twice — groupBy(blk, shingle)
+  * for the DF cap and groupBy(doc) for set sizes — shuffling the
+  * whole index through two exchanges per tick. With them, a routine
+  * delta (keys under the broadcast ceiling, no cap crossings) pays
+  * delta-sized aggregates plus pure columnar SCANS of the index:
+  * old-side DFs for the delta's keys come from one scan with the
+  * delta keys broadcast, and the candidate join streams the index
+  * against the broadcast restrict side. Oversized deltas size-route
+  * back to the full-aggregate plan (same exchanges round 6 paid every
+  * tick) — correct at any scale, never broadcast-bound.
   *
   * EXACTNESS: `append` produces byte-identical pairs/labels to a full
   * re-mine of old ∪ delta (q75's oracle asserts it end-to-end):
@@ -53,20 +75,20 @@ import org.apache.spark.sql.functions._
   *     share a component, and every new pair's endpoints are touched
   *     by construction.
   *
-  * Scale shape: per append, ONE delta-text shingling pass, ONE linear
-  * narrow-column index READ (the DF aggregate over old ∪ delta
-  * shingles), a restrict × index equi-join for candidates
-  * (delta-sized output), and a CC loop over the touched subgraph
-  * only. Index WRITE IO is delta-sized since round 7: rotation
-  * hardlinks untouched files/buckets instead of copying frames
-  * ([[IndexRotation]]). For multi-append deployments at 100 TB,
-  * bucket the shingle table by `shingle` (ScaleOps.writeBucketed) so
-  * the candidate join stops shuffling the index side, and compact the
-  * index periodically.
+  * Scale shape: a routine append is ONE delta-text shingling pass,
+  * TWO pure columnar index scans (the old-DF lookup for the delta's
+  * keys; the candidate join streaming the index against the
+  * broadcast restrict side) with ZERO corpus-keyed shuffles, a CC
+  * loop over the touched subgraph only, and delta-sized write IO
+  * (rotation hardlinks untouched files/buckets; inserts append
+  * without rewriting — [[IndexRotation]]). The scans are the
+  * remaining corpus-linear term — the floor for exact mining short
+  * of an inverted shingle→doc layout. Compact the index periodically
+  * in multi-append deployments ([[compact]]).
   */
 object IncrementalDedup {
 
-  private val SchemaVersion = 2
+  private val SchemaVersion = 3
 
   /** Bucket count for the partitioned pairs/labels frames. Fixed at
     * build time and persisted in meta (appends must reproduce the
@@ -74,6 +96,14 @@ object IncrementalDedup {
     * while a routine delta touches only a handful.
     */
   private val DefaultNumBuckets = 64
+
+  /** Size router for the per-tick broadcast joins: a side at or under
+    * this many rows (16-24-byte keys → tens of MB serialized) is
+    * broadcast so the corpus side streams through a scan; above it
+    * the append falls back to the shuffle plans, which are correct at
+    * any scale.
+    */
+  private val MaxBroadcastRows = 1000000L
 
   // explicit schemas for the bucketed frames: a partitionBy write of
   // an empty frame (tiny corpus with zero near-dup pairs) emits zero
@@ -91,6 +121,20 @@ object IncrementalDedup {
     org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("doc", idT),
       org.apache.spark.sql.types.StructField("cluster", idT),
+      org.apache.spark.sql.types.StructField("bkt",
+        org.apache.spark.sql.types.IntegerType)))
+
+  private def hotSchema(blkT: org.apache.spark.sql.types.DataType) =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("blk", blkT),
+      org.apache.spark.sql.types.StructField("shingle",
+        org.apache.spark.sql.types.LongType)))
+
+  private def sizesSchema(idT: org.apache.spark.sql.types.DataType) =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc", idT),
+      org.apache.spark.sql.types.StructField("sz",
+        org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("bkt",
         org.apache.spark.sql.types.IntegerType)))
 
@@ -133,12 +177,30 @@ object IncrementalDedup {
     // shingling pass total, and the persisted frame is proven to be
     // what mining consumes (no drift between index and result)
     val sh = spark.read.parquet(s"$dir/shingles")
+    // the stats frames pay their two full-frame aggregates ONCE, here
+    // at build time — every later append maintains them with
+    // delta-sized work and feeds the miner from them
+    sh.groupBy(col("blk"), col("shingle"))
+      .agg(count(lit(1)).as("__df"))
+      .filter(col("__df") > maxShingleDocFreq)
+      .select(col("blk"), col("shingle"))
+      .write.mode("overwrite").parquet(s"$dir/hot")
+    val blkT = sh.schema("blk").dataType
+    val hot = spark.read.schema(hotSchema(blkT)).parquet(s"$dir/hot")
+    sh.join(hot, Seq("blk", "shingle"), "left_anti")
+      .groupBy(col("doc")).agg(count(lit(1)).as("sz"))
+      .withColumn("bkt", IndexRotation.bucketOf(col("doc"), DefaultNumBuckets))
+      .repartition(col("bkt"))
+      .write.partitionBy("bkt").mode("overwrite").parquet(s"$dir/sizes")
+    val idT = docs.schema(idCol).dataType
+    val sizes = spark.read.schema(sizesSchema(idT)).parquet(s"$dir/sizes")
+      .select(col("doc"), col("sz"))
     // repartition by bkt: one file per bucket, not tasks × buckets
-    Dedup.pairsFromShingles(sh, threshold, maxShingleDocFreq)
+    Dedup.pairsFromShingles(sh, threshold, maxShingleDocFreq,
+        precomputedHot = Some(hot), precomputedSizes = Some(sizes))
       .withColumn("bkt", IndexRotation.bucketOf(col("id_a"), DefaultNumBuckets))
       .repartition(col("bkt"))
       .write.partitionBy("bkt").mode("overwrite").parquet(s"$dir/pairs")
-    val idT = docs.schema(idCol).dataType
     val pairs = spark.read.schema(pairsSchema(idT)).parquet(s"$dir/pairs")
       .select(col("id_a"), col("id_b"), col("jaccard"))
     Dedup.clusters(spark.read.parquet(s"$dir/docs"), "doc", pairs)
@@ -175,6 +237,10 @@ object IncrementalDedup {
     val labelsOldP = spark.read.schema(labelsSchema(idT))
       .parquet(s"$indexDir/labels")
     val labelsOld = labelsOldP.select(col("doc"), col("cluster"))
+    val blkT = shOld.schema("blk").dataType
+    val hotOld = spark.read.schema(hotSchema(blkT)).parquet(s"$indexDir/hot")
+    val sizesOldP = spark.read.schema(sizesSchema(idT))
+      .parquet(s"$indexDir/sizes")
 
     val deltaDocs = delta.filter(col(idCol).isNotNull)
       .select(col(idCol).as("doc"))
@@ -198,33 +264,107 @@ object IncrementalDedup {
     // shingles whose DF crossed the cap BECAUSE of the delta: their
     // old holders' surviving sets (and set sizes) changed, so every
     // pair touching those docs must be re-derived from the index.
-    // Old and combined DFs come from ONE origin-tagged aggregate over
-    // the union (two separate full-index aggregates, round-6 v1, paid
-    // a second linear pass for the same numbers); the near-empty hot
-    // lists are checkpointed so the mining pass reuses them.
-    val dfBoth = shOld.withColumn("__new", lit(0L))
-      .unionByName(shDelta.withColumn("__new", lit(1L)))
-      .groupBy(col("blk"), col("shingle"))
-      .agg(count(lit(1)).as("__c"), sum(col("__new")).as("__cnew"))
-      .filter(col("__c") > maxDf)
-      .localCheckpoint(true)
-    val hotAll = dfBoth.select(col("blk"), col("shingle"))
-    val newlyHot = dfBoth
-      .filter(col("__c") - col("__cnew") <= maxDf)
-      .select(col("blk"), col("shingle"))
-    val affectedOld = shOld.join(newlyHot, Seq("blk", "shingle"), "left_semi")
-      .select(col("doc")).distinct()
+    // Routine path (delta keys under the broadcast ceiling): old DFs
+    // for exactly the delta's keys come from ONE columnar index scan
+    // with the keys broadcast — no corpus-keyed exchange. Oversized
+    // deltas fall back to the round-6 origin-tagged full aggregate
+    // (one full shuffle; correct at any scale).
+    val deltaCounts = shDelta.groupBy(col("blk"), col("shingle"))
+      .agg(count(lit(1)).as("__cd")).localCheckpoint(true)
+    val nDeltaKeys = deltaCounts.count()
+    val newlyHot = (if (nDeltaKeys <= MaxBroadcastRows) {
+      val dfOldForDelta = shOld
+        .join(broadcast(deltaCounts.select(col("blk"), col("shingle"))),
+          Seq("blk", "shingle"))
+        .groupBy(col("blk"), col("shingle"))
+        .agg(count(lit(1)).as("__cold"))
+      deltaCounts.join(dfOldForDelta, Seq("blk", "shingle"), "left")
+        .filter(coalesce(col("__cold"), lit(0L)) <= maxDf &&
+          coalesce(col("__cold"), lit(0L)) + col("__cd") > maxDf)
+        .select(col("blk"), col("shingle"))
+    } else {
+      shOld.withColumn("__new", lit(0L))
+        .unionByName(shDelta.withColumn("__new", lit(1L)))
+        .groupBy(col("blk"), col("shingle"))
+        .agg(count(lit(1)).as("__c"), sum(col("__new")).as("__cnew"))
+        .filter(col("__c") > maxDf && col("__c") - col("__cnew") <= maxDf)
+        .select(col("blk"), col("shingle"))
+    }).localCheckpoint(true)
+    val nNewlyHot = newlyHot.count()
+    // hot over old ∪ delta = persisted hot ∪ newly-hot: DF only grows
+    // on append, so no old hot shingle ever cools
+    val hotAll = hotOld.unionByName(newlyHot).localCheckpoint(true)
+    val nHotAll = hotAll.count()
+    hotAll.write.mode("overwrite").parquet(s"$outDir/hot")
+    val hotB = if (nHotAll <= MaxBroadcastRows) broadcast(hotAll) else hotAll
+
+    // cap-crossing fallout: old holders of a newly-hot shingle, with
+    // each doc's newly-hot holding count (= its sizes adjustment).
+    // The routine tick has none and skips the index scan outright.
+    val affectedCnts = (if (nNewlyHot == 0L)
+        shOld.limit(0).groupBy(col("doc")).agg(count(lit(1)).as("__nhot"))
+      else {
+        val nh = if (nNewlyHot <= MaxBroadcastRows) broadcast(newlyHot)
+          else newlyHot
+        shOld.join(nh, Seq("blk", "shingle"))
+          .groupBy(col("doc")).agg(count(lit(1)).as("__nhot"))
+      }).localCheckpoint(true)
+    val affectedOld = affectedCnts.select(col("doc"))
 
     // restrict is materialized once: it seeds the candidate join, two
     // anti-joins and the touched-component expansion below
     val restrict = affectedOld.unionByName(deltaDocs).distinct()
       .localCheckpoint(true)
 
+    // sizes maintenance: delta docs' surviving sizes are inserts; only
+    // cap-crossing-affected docs' rows change (size drops by the
+    // newly-hot holding count; a row hitting zero is dropped — the
+    // frame holds docs with at least one surviving shingle). Routine
+    // ticks rewrite ZERO buckets: the delta's rows append as new
+    // files into hardlinked bucket dirs.
+    val bktOfDoc = IndexRotation.bucketOf(col("doc"), numBuckets)
+    val deltaSizes = shDelta.join(hotB, Seq("blk", "shingle"), "left_anti")
+      .groupBy(col("doc")).agg(count(lit(1)).as("sz"))
+    val touchedSizeBkts =
+      if (nNewlyHot == 0L) Seq.empty[Int]
+      else affectedCnts.select(bktOfDoc.as("bkt")).distinct()
+        .collect().map(_.getInt(0)).toSeq
+    val sizesAdjusted = sizesOldP
+      .filter(col("bkt").isin(touchedSizeBkts: _*))
+      .join(affectedCnts, Seq("doc"), "left")
+      .select(col("doc"),
+        (col("sz") - coalesce(col("__nhot"), lit(0L))).as("sz"), col("bkt"))
+      .filter(col("sz") > 0)
+    val sizesNew = IndexRotation.rotateBucketed(spark,
+        s"$indexDir/sizes", s"$outDir/sizes", touchedSizeBkts,
+        sizesAdjusted.unionByName(deltaSizes.withColumn("bkt", bktOfDoc)))
+      .select(col("doc"), col("sz"))
+
+    // the restrict side's surviving shingles: the delta's come from
+    // the checkpointed delta frame (no index scan); only the rare
+    // cap-crossing path pays a scan for the affected docs' rows
+    val restrictShRaw =
+      if (nNewlyHot == 0L) shDelta
+      else {
+        val af = if (affectedCnts.count() <= MaxBroadcastRows)
+          broadcast(affectedOld) else affectedOld
+        shDelta.unionByName(shOld.join(af, Seq("doc"), "left_semi"))
+      }
+    val restrictSh = restrictShRaw.join(hotB, Seq("blk", "shingle"), "left_anti")
+    val nDeltaSh = shDelta.count()
+
     // the restricted mine is materialized ONCE — it feeds both the
     // pairs write and the touched-component seed below (an earlier
-    // revision derived them independently and mined twice)
+    // revision derived them independently and mined twice). Fed from
+    // the PERSISTED stats (hot list, rotated sizes), with the index
+    // side streaming against the broadcast restrict side on a routine
+    // tick, the mine has no corpus-keyed exchange left.
     val minedM = Dedup.pairsFromShinglesRestricted(
-        shAll, restrict, threshold, maxDf, precomputedHot = Some(hotAll))
+        shAll, restrict, threshold, maxDf,
+        precomputedHot = Some(hotAll),
+        precomputedSizes = Some(sizesNew),
+        precomputedRestrictShingles = Some(restrictSh),
+        broadcastRestrict = nNewlyHot == 0L && nDeltaSh <= MaxBroadcastRows)
       .localCheckpoint(true)
     val keptOld = pairsOld
       .join(restrict.select(col("doc").as("id_a")), Seq("id_a"), "left_anti")
@@ -266,20 +406,21 @@ object IncrementalDedup {
     val subLabels = foldLabels(spark, subDocs, subPairs)
       .select(col("doc"), col("cluster")).localCheckpoint(true)
 
-    // both frames rotate copy-free: every dropped pair lives in a
-    // bucket of its stored id_a (both droppedTouched arms key on it)
-    // and every mined pair's bucket is listed; a label row changes
-    // only if its cluster is touched (recomputed) or newborn (a
-    // subLabels cluster id). Buckets outside the touched lists are
-    // hardlinked, not rewritten. ONE collect lists both frames'
-    // touched buckets (each extra job at delta scale is scheduler
+    // both frames rotate copy-free, and only DELETIONS force a bucket
+    // rewrite: a pair bucket rewrites iff it holds a dropped pair
+    // (keyed by its stored id_a — both droppedTouched arms key on
+    // it); a label bucket rewrites iff it holds a touched cluster.
+    // Newly mined pairs and recomputed/newborn label rows are pure
+    // INSERTS — they append as new files into whatever bucket they
+    // hash to, hardlinked or rewritten ([[IndexRotation
+    // .rotateBucketed]]'s insert path) — so a routine merge-free tick
+    // rewrites zero pair buckets. ONE collect lists both frames'
+    // rewrite buckets (each extra job at delta scale is scheduler
     // overhead, not work).
     val bktOfA = IndexRotation.bucketOf(col("id_a"), numBuckets)
     val bktOfC = IndexRotation.bucketOf(col("cluster"), numBuckets)
     val touchedBkts = droppedTouched.select(lit("p").as("f"), bktOfA.as("bkt"))
-      .unionByName(minedM.select(lit("p").as("f"), bktOfA.as("bkt")))
       .unionByName(touchedClusters.select(lit("l").as("f"), bktOfC.as("bkt")))
-      .unionByName(subLabels.select(lit("l").as("f"), bktOfC.as("bkt")))
       .distinct().collect()
     val touchedPairBkts =
       touchedBkts.filter(_.getString(0) == "p").map(_.getInt(1)).toSeq
@@ -382,10 +523,16 @@ object IncrementalDedup {
   def compact(spark: SparkSession, indexDir: String, outDir: String): Unit = {
     val (n, threshold, maxDf, numBuckets) = readMeta(spark, indexDir)
     val idT = spark.read.parquet(s"$indexDir/docs").schema("doc").dataType
+    val blkT = spark.read.parquet(s"$indexDir/shingles")
+      .schema("blk").dataType
     IndexRotation.compactFrame(spark, s"$indexDir/docs", s"$outDir/docs",
       None, None)
     IndexRotation.compactFrame(spark, s"$indexDir/shingles",
       s"$outDir/shingles", None, None)
+    IndexRotation.compactFrame(spark, s"$indexDir/hot", s"$outDir/hot",
+      Some(hotSchema(blkT)), None)
+    IndexRotation.compactFrame(spark, s"$indexDir/sizes", s"$outDir/sizes",
+      Some(sizesSchema(idT)), Some("bkt"))
     IndexRotation.compactFrame(spark, s"$indexDir/pairs", s"$outDir/pairs",
       Some(pairsSchema(idT)), Some("bkt"))
     IndexRotation.compactFrame(spark, s"$indexDir/labels", s"$outDir/labels",

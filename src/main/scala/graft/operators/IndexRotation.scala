@@ -154,10 +154,15 @@ object IndexRotation {
   }
 
   /** Rotate a BUCKET-PARTITIONED frame: carry every `bkt=…` directory
-    * except the touched ones, then write `replacement` (which must
-    * carry a `bkt` column and cover exactly the touched buckets'
-    * full new content). Returns the rotated frame (with `bkt`).
-    * Non-local paths rewrite in full.
+    * except the touched ones, then write `replacement`, which must
+    * carry a `bkt` column and consist of (a) the touched buckets'
+    * FULL new content plus (b) optionally, INSERT-ONLY rows landing
+    * in untouched buckets — those append as new part-files alongside
+    * the hardlinked old files (the dynamic-partition `append` write
+    * never deletes). The insert path is what lets callers rewrite
+    * only buckets with DELETIONS: a bucket that merely gains rows
+    * keeps its old files inode-identical. Returns the rotated frame
+    * (with `bkt`). Non-local paths rewrite in full.
     */
   def rotateBucketed(spark: SparkSession, srcDir: String, dstDir: String,
       touched: Seq[Int], replacement: DataFrame): DataFrame = {

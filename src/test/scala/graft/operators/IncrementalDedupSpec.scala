@@ -110,6 +110,63 @@ class IncrementalDedupSpec extends SparkSuiteBase {
     assert(labelMap(appended.labels) == labelMap(fullLabels, "doc_id"))
   }
 
+  test("chained appends maintain the stats frames exactly (v3)") {
+    import spark.implicits._
+    // Three ticks over a persisted index, the LAST one crossing the DF
+    // cap. The hot/sizes stats frames are maintained incrementally —
+    // an error there is invisible on the tick that makes it and only
+    // corrupts the NEXT append, which is exactly what a single-append
+    // test cannot see. After the chain, pairs/labels must equal a full
+    // re-mine AND the persisted stats must equal a from-scratch build.
+    def doc(id: Long, words: String) = (id, words, "en")
+    val olds = Seq(
+      doc(1L, "x y z a b c d e"),
+      doc(2L, "x y z a b c d f"),
+      doc(3L, "one two three four five six")).toDF("doc_id", "text", "lang")
+    val d1 = Seq(
+      doc(10L, "a b c d e g h i"),
+      doc(11L, "seven eight nine ten eleven twelve")).toDF("doc_id", "text", "lang")
+    val d2 = Seq(
+      doc(20L, "one two three four five seven"),
+      doc(21L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text", "lang")
+    // 'x y z' df: old=2 (docs 1,2) == cap; d3's doc 30 pushes it to 3
+    val d3 = Seq(
+      doc(30L, "x y z q r s t u"),
+      doc(31L, "alpha beta gamma delta epsilon eta")).toDF("doc_id", "text", "lang")
+    val full = olds.unionByName(d1).unionByName(d2).unionByName(d3)
+    val dir = tmpDir("incdedup-chain")
+    val (n, th, cap) = (3, 0.1, 2)
+
+    IncrementalDedup.buildIndex(olds, "doc_id", "text", "lang",
+      n, th, cap, s"$dir/base")
+    IncrementalDedup.append(d1, "doc_id", "text", "lang",
+      s"$dir/base", s"$dir/t1")
+    IncrementalDedup.append(d2, "doc_id", "text", "lang",
+      s"$dir/t1", s"$dir/t2")
+    val out = IncrementalDedup.append(d3, "doc_id", "text", "lang",
+      s"$dir/t2", s"$dir/t3")
+
+    val fullPairs = Dedup.ngramJaccardPairs(full, "doc_id", "text", "lang",
+      n, th, cap)
+    assert(pairSet(out.pairs) == pairSet(fullPairs),
+      "chained appends diverge from the full re-mine")
+    assert(labelMap(out.labels) ==
+      labelMap(Dedup.clusters(full, "doc_id", fullPairs), "doc_id"))
+
+    // persisted stats must equal a from-scratch index of the full
+    // corpus — these feed every FUTURE append
+    IncrementalDedup.buildIndex(full, "doc_id", "text", "lang",
+      n, th, cap, s"$dir/scratch")
+    def hotSet(d: String) = spark.read.parquet(s"$d/hot")
+      .collect().map(r => (r.get(0), r.getLong(1))).toSet
+    def sizeMap(d: String) = spark.read.parquet(s"$d/sizes")
+      .collect().map(r => r.getAs[Long]("doc") -> r.getAs[Long]("sz")).toMap
+    assert(hotSet(s"$dir/t3") == hotSet(s"$dir/scratch"),
+      "maintained hot list diverges from a from-scratch build")
+    assert(sizeMap(s"$dir/t3") == sizeMap(s"$dir/scratch"),
+      "maintained sizes diverge from a from-scratch build")
+  }
+
   test("driver union-find route equals the distributed CC loop") {
     import spark.implicits._
     // random sparse graph with chains, cliques and singletons — the
@@ -172,12 +229,25 @@ class IncrementalDedupSpec extends SparkSuiteBase {
     }
     // bucketed frames: any carried file is a hardlink (same inode) —
     // a same-named file with a different inode would mean a copy
-    for (frame <- Seq("pairs", "labels")) {
+    for (frame <- Seq("pairs", "labels", "sizes")) {
       val base = HardlinkProbe.dataFiles(s"$dir/base/$frame")
       val out = HardlinkProbe.dataFiles(s"$dir/out/$frame")
       base.foreach { case (rel, ino) =>
         out.get(rel).foreach(o =>
           assert(o == ino, s"$frame/$rel was copied, not hardlinked"))
+      }
+    }
+    // a routine tick (disjoint ids, no cap crossing) DROPS no old pair
+    // and changes no old doc's size, so newly mined pairs and delta
+    // sizes are pure inserts: EVERY pre-existing part-file must carry
+    // — zero bucket rewrites, not merely "some hardlinks"
+    for (frame <- Seq("pairs", "sizes")) {
+      val base = HardlinkProbe.dataFiles(s"$dir/base/$frame")
+      val out = HardlinkProbe.dataFiles(s"$dir/out/$frame")
+      assert(base.nonEmpty)
+      base.foreach { case (rel, ino) =>
+        assert(out.get(rel).contains(ino),
+          s"$frame/$rel was rewritten on a routine insert-only tick")
       }
     }
     // labels: the sf0.001 corpus has far more untouched clusters than
