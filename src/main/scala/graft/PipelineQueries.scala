@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFns
-import graft.operators.{Curation, Dedup, IncrementalDedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Curation, Dedup, IncrementalDedup, Multimodal, QualityModel, Similarity, TextAnalysis}
 
 /** LLM-data-pipeline operator surface (SURVEY §2B R-19/R-20/R-21 +
   * BASELINE north star): text analysis, language-ID, near-dup
@@ -1571,5 +1571,60 @@ object PipelineQueries extends QueryGroup {
         e.filter(col("vec_id") < 10), e.filter(col("vec_id") >= 10),
         "vec_id", "embedding", bits = 8, tables = 3, k = 3)
       .orderBy(col("probe_id"), col("rnk"))
+  }
+
+  // R-21 x R-29: MODEL-based quality scoring — multinomial Naive Bayes
+  // trained on a heuristic-labeled seed split (doc_id % 10 < 3,
+  // labeled by q58's composite keep rule), then scoring the WHOLE
+  // corpus by token log-odds. The fastText-filter analog real
+  // pretraining pipelines run after the rule pass: the model
+  // generalizes the rules' judgment to documents they never saw.
+  // Train AND inference are oracle-checked end-to-end; `pred`
+  // thresholds the 6-dp ROUNDED log-odds so both engines compare the
+  // same number (q51/q81 float discipline).
+  q("q85_nb_quality",
+    s"""WITH tk85 AS (SELECT doc_id, text, $sqlTokens AS l FROM documents),
+       |sd85 AS (SELECT doc_id, text, l FROM tk85 WHERE doc_id % 10 < 3),
+       |f85 AS (SELECT doc_id, l,
+       |  len(l) AS n_tokens,
+       |  coalesce(list_sum(list_transform(l, t -> length(t))), 0) * 1.0
+       |    / greatest(len(l), 1) AS awl,
+       |  len(list_filter(l, x -> x = 'the' OR x = 'a')) * 1.0
+       |    / greatest(len(l), 1) AS swr,
+       |  length(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0
+       |    / length(text) AS dr,
+       |  list_transform(generate_series(1, len(l) - 2),
+       |    i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2]) AS s
+       |FROM sd85),
+       |lab85 AS (SELECT doc_id, l,
+       |  ((n_tokens BETWEEN 5 AND 10000) AND (awl >= 2.0 AND awl <= 12.0)
+       |    AND swr > 0.0 AND dr < 0.2
+       |    AND (CASE WHEN len(s) > 0
+       |         THEN 1.0 - len(list_distinct(s)) * 1.0 / len(s)
+       |         ELSE 0.0 END) < 0.3) AS y
+       |FROM f85),
+       |cnt85 AS (SELECT token,
+       |    sum(CASE WHEN y THEN 0 ELSE 1 END) AS c0,
+       |    sum(CASE WHEN y THEN 1 ELSE 0 END) AS c1
+       |  FROM (SELECT y, unnest(l) AS token FROM lab85) GROUP BY token),
+       |tot85 AS (SELECT sum(c0) AS t0, sum(c1) AS t1, count(*) AS v
+       |  FROM cnt85),
+       |pri85 AS (SELECT sum(CASE WHEN y THEN 0 ELSE 1 END) AS n0,
+       |    sum(CASE WHEN y THEN 1 ELSE 0 END) AS n1 FROM lab85),
+       |tf85 AS (SELECT doc_id, token, count(*) AS tf
+       |  FROM (SELECT doc_id, unnest(l) AS token FROM tk85) GROUP BY 1, 2),
+       |sc85 AS (SELECT doc_id, sum(tf) AS n_tokens,
+       |    sum(tf * (ln((coalesce(c1, 0) + 1.0) / (t1 + v))
+       |            - ln((coalesce(c0, 0) + 1.0) / (t0 + v)))) AS raw
+       |  FROM tf85 LEFT JOIN cnt85 USING (token), tot85
+       |  GROUP BY doc_id)
+       |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       |  floor((raw + ln(n1 * 1.0 / n0)) * 1e6 + 0.5) / 1e6 AS log_odds,
+       |  (floor((raw + ln(n1 * 1.0 / n0)) * 1e6 + 0.5) / 1e6 > 0) AS pred
+       |FROM sc85, pri85 ORDER BY doc_id""".stripMargin) { (s, d) =>
+    QualityModel.heuristicSeededScores(Tables.documents(s, d), "doc_id",
+        "text", Seq("the", "a"))
+      .withColumnRenamed("doc", "doc_id")
+      .orderBy(col("doc_id"))
   }
 }
