@@ -1627,4 +1627,47 @@ object PipelineQueries extends QueryGroup {
       .withColumnRenamed("doc", "doc_id")
       .orderBy(col("doc_id"))
   }
+
+  // R-29: deterministic global shuffle + shard assignment — the
+  // training EXPORT step (reproducible shuffled order, round-robin
+  // shards). The engine's global rank is ONE range-partitioned
+  // prefix sum (ScaleOps.prefixSumByRange), never a single-task
+  // window; the oracle's row_number is the semantic twin at sf scale.
+  q("q86_shuffle_shard",
+    s"""WITH u86 AS (SELECT doc_id,
+       |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+       |      % 1000000 AS uv
+       |  FROM documents)
+       |SELECT doc_id,
+       |  CAST(row_number() OVER (ORDER BY uv, doc_id) - 1 AS BIGINT) AS pos,
+       |  CAST((row_number() OVER (ORDER BY uv, doc_id) - 1) % 8 AS BIGINT)
+       |    AS shard
+       |FROM u86 ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Curation.shuffleShard(Tables.documents(s, d), "doc_id", numShards = 8)
+      .orderBy(col("doc_id"))
+  }
+
+  // R-29: temperature-weighted source mixing — per-source rates
+  // derived from the size distribution (q_s ∝ c_s^0.5, the published
+  // flattened-mixture recipe) under a 200-doc budget, realized with
+  // the same md5-uniform determinism as q74/q82.
+  q("q87_temperature_mix",
+    s"""WITH c87 AS (SELECT source, count(*) AS c FROM documents
+       |  GROUP BY source),
+       |w87 AS (SELECT source, c, pow(c, 0.5) AS w FROM c87),
+       |t87 AS (SELECT sum(w) AS sw FROM w87),
+       |r87 AS (SELECT source,
+       |    CAST(least(1000000.0, floor(200 * (w / sw) / c * 1e6 + 0.5))
+       |      AS BIGINT) AS ppm
+       |  FROM w87, t87),
+       |u87 AS (SELECT doc_id, source,
+       |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+       |      % 1000000 AS uv
+       |  FROM documents)
+       |SELECT doc_id, source, ppm / 1e6 AS rate, (uv < ppm) AS keep
+       |FROM u87 JOIN r87 USING (source) ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Curation.temperatureMix(Tables.documents(s, d), "doc_id", "source",
+        alpha = 0.5, budgetDocs = 200L)
+      .orderBy(col("doc_id"))
+  }
 }

@@ -153,6 +153,78 @@ object Curation {
       Seq(idCol))
   }
 
+  /** Deterministic global shuffle + shard assignment — the training
+    * EXPORT step: a reproducible random order over the corpus (so
+    * training batches are shuffled, yet every re-run sees the same
+    * sequence) plus a shard id for writing `numShards` equal-size
+    * (±1) output files. The order is u(id) = md5-uniform with id
+    * tie-break; the global position comes from ONE
+    * [[ScaleOps.prefixSumByRange]] rank over auto-sized range
+    * partitions — never a single-task global window. `shard` = pos
+    * mod numShards ROUND-ROBINS the shuffled order, so every shard is
+    * an unbiased corpus sample — the property contiguous block
+    * splitting loses whenever anything upstream correlates with the
+    * order. Null-id rows are excluded (no deterministic uniform
+    * exists for them; pre-assign ids if they must ship).
+    */
+  def shuffleShard(docs: DataFrame, idCol: String, numShards: Int): DataFrame = {
+    require(numShards > 0, "numShards must be positive")
+    val u = graft.functions.PortableHash.md5Long60(col(idCol).cast("string")) %
+      lit(1000000L)
+    val keyed = docs.filter(col(idCol).isNotNull)
+      .select(col(idCol), u.as("__u"))
+    ScaleOps.prefixSumByRange(keyed, Seq("__u", idCol), lit(1L), "pos")
+      .select(col(idCol), col("pos"),
+        pmod(col("pos"), lit(numShards.toLong)).as("shard"))
+  }
+
+  /** Temperature-weighted source mixing: per-source sampling rates
+    * derived from the source SIZE distribution — rate_s scales the
+    * source toward q_s ∝ c_s^alpha (alpha < 1 flattens: small sources
+    * are upweighted relative to their share, the published mixture
+    * recipe for multi-source pretraining corpora) under a total
+    * document budget. rate_s = min(1, budget·q_s/c_s), quantized to
+    * ppm, and a document survives when its md5-uniform u(id) falls
+    * under its source's ppm threshold — [[mixSample]]'s determinism
+    * with LEARNED rates instead of hand-set ones. Returns every
+    * non-null-id row with its source `rate` and `keep`.
+    *
+    * The per-source counts are a group-count aggregate collected to
+    * the driver — source cardinality is catalog-sized by definition
+    * (tens, not millions); the weight normalization happens over that
+    * tiny list. Thresholds ship back as a literal CASE column: the
+    * corpus pass is one row-local scan, no join. The ppm quantization
+    * confines libm pow/summation-order differences vs the oracle to a
+    * <1e-9 rounding boundary (the q51/q81 float discipline).
+    */
+  def temperatureMix(docs: DataFrame, idCol: String, groupCol: String,
+      alpha: Double, budgetDocs: Long): DataFrame = {
+    require(alpha > 0 && alpha <= 1, "alpha must be in (0, 1]")
+    require(budgetDocs >= 0, "budgetDocs must be non-negative")
+    val counts = docs.filter(col(idCol).isNotNull)
+      .groupBy(col(groupCol)).agg(count(lit(1)).as("c"))
+      .collect().map(r => r.get(0) -> r.getLong(1))
+      .sortBy(_._1.toString) // fixed summation order for the normalizer
+    val sumW = counts.map { case (_, c) => math.pow(c.toDouble, alpha) }.sum
+    val ppm: Seq[(Any, Long)] = counts.map { case (g, c) =>
+      val q = math.pow(c.toDouble, alpha) / sumW
+      g -> math.min(1e6,
+        math.floor(budgetDocs * q / c * 1e6 + 0.5)).toLong
+    }.toSeq
+    // unseen groups (impossible when thresholds come from this corpus,
+    // possible if callers reuse the frame after an upstream filter)
+    // keep everything rather than silently dropping
+    val thresh = ppm.foldLeft(lit(1000000L)) { case (acc, (g, t)) =>
+      when(col(groupCol) <=> lit(g), lit(t)).otherwise(acc)
+    }
+    val u = graft.functions.PortableHash.md5Long60(col(idCol).cast("string")) %
+      lit(1000000L)
+    docs.filter(col(idCol).isNotNull)
+      .select(col(idCol), col(groupCol),
+        (thresh / lit(1e6)).as("rate"),
+        (u < thresh).as("keep"))
+  }
+
   /** One-row corpus summary over [[curate]]'s output — the data-card
     * numbers a pipeline logs per snapshot. Drop-reason counts are
     * NON-exclusive (a doc can fail quality AND be a dup; each count

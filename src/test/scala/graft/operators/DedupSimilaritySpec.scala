@@ -779,4 +779,68 @@ class DedupSimilaritySpec extends SparkSuiteBase {
     assert(out(5L) == ((1, true)))
     assert(out(6L) == ((0, true)) && out(7L) == ((1, true)))
   }
+
+  test("shuffle-shard: pos is a permutation, shards balance, partition-stable") {
+    import spark.implicits._
+    val docs = (1L to 333L).map(i => (i, s"t$i")).toDF("doc_id", "text")
+    def run(parts: Int) =
+      Curation.shuffleShard(docs.repartition(parts), "doc_id", numShards = 8)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val out = run(3)
+    // pos is exactly 0..n-1, assigned in (u, id) order
+    assert(out.map(_._2).sorted.toSeq == (0L until 333L))
+    val uOf = docs.select(col("doc_id"),
+        (graft.functions.PortableHash.md5Long60(col("doc_id").cast("string"))
+          % lit(1000000L)).as("u"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = uOf.toSeq.sortBy { case (id, u) => (u, id) }
+      .zipWithIndex.map { case ((id, _), i) => id -> i.toLong }.toMap
+    out.foreach { case (id, pos, shard) =>
+      assert(pos == expected(id), s"doc $id pos $pos != ${expected(id)}")
+      assert(shard == pos % 8)
+    }
+    // round-robin: shard sizes within 1 of each other
+    val sizes = out.groupBy(_._3).values.map(_.size)
+    assert(sizes.max - sizes.min <= 1, s"unbalanced shards: $sizes")
+    // repartitioning must not move anyone
+    assert(run(11).toSet == out.toSet)
+    // null ids are excluded
+    val withNull = Seq(Option(1L), Option.empty[Long]).toDF("doc_id")
+    assert(Curation.shuffleShard(withNull, "doc_id", 2).count() == 1)
+  }
+
+  test("temperature mixing: alpha=1 is proportional, alpha<1 upweights small sources") {
+    import spark.implicits._
+    // big source: 300 docs, small source: 30
+    val docs = ((1L to 300L).map(i => (i, "big")) ++
+      (1001L to 1030L).map(i => (i, "small"))).toDF("doc_id", "source")
+    val flat = Curation.temperatureMix(docs, "doc_id", "source",
+        alpha = 1.0, budgetDocs = 100L)
+      .select(col("source"), col("rate")).distinct()
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // alpha=1: q_s ∝ c_s, so every source gets the SAME rate
+    // budget/N = 100/330
+    assert(flat("big") == flat("small"))
+    assert(math.abs(flat("big") - 100.0 / 330.0) < 1e-5)
+    val cool = Curation.temperatureMix(docs, "doc_id", "source",
+        alpha = 0.5, budgetDocs = 100L)
+      .select(col("source"), col("rate")).distinct()
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // alpha<1 flattens the mixture: the small source's rate rises
+    // above the big one's
+    assert(cool("small") > cool("big"),
+      s"small=${cool("small")} big=${cool("big")}")
+    // expected admitted docs ≈ budget (no source capped at rate 1)
+    val expTotal = cool("big") * 300 + cool("small") * 30
+    assert(math.abs(expTotal - 100.0) < 1.0, s"budget drift: $expTotal")
+    // keep equals mixSample with the same learned rates — one
+    // determinism mechanism, not two
+    val kept = Curation.temperatureMix(docs, "doc_id", "source",
+        alpha = 0.5, budgetDocs = 100L)
+      .filter(col("keep")).collect().map(_.getLong(0)).toSet
+    val viaMix = Curation.mixSample(docs, "doc_id", "source",
+        Map("big" -> cool("big"), "small" -> cool("small")))
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == viaMix)
+  }
 }
