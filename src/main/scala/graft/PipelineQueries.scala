@@ -1670,4 +1670,62 @@ object PipelineQueries extends QueryGroup {
         alpha = 0.5, budgetDocs = 200L)
       .orderBy(col("doc_id"))
   }
+
+  // R-20: IVF centroid TRAINING, oracle-gated end-to-end — two
+  // deterministic Lloyd rounds (init = smallest-id vectors, assignment
+  // under the 6-dp-rounded cosine with smallest-cell tie-break,
+  // 6-dp-rounded per-dim means, empty cells keep their centroid,
+  // final lexicographic canonicalization + renumber), unrolled as two
+  // CTE blocks on the DuckDB side. trainIvfCentroidsD carries DOUBLE
+  // precision throughout (Similarity.cos6D): float-squeezed centroids
+  // would perturb the rounded cosine at exactly the 1e-6 quantum the
+  // oracle compares at.
+  q("q88_ivf_train",
+    s"""WITH u88 AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+       |    unnest(embedding)::DOUBLE AS x FROM embeddings),
+       |n88 AS (SELECT vec_id, sqrt(sum(x*x)) AS nr FROM u88 GROUP BY vec_id),
+       |i88 AS (SELECT vec_id AS cvid,
+       |    CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell
+       |  FROM embeddings ORDER BY vec_id LIMIT 4),
+       |c088 AS (SELECT c.cell, u.i, u.x AS m FROM i88 c
+       |  JOIN u88 u ON u.vec_id = c.cvid),
+       |k088 AS (SELECT cell, sqrt(sum(m*m)) AS cn FROM c088 GROUP BY cell),
+       |d088 AS (SELECT u.vec_id AS vid, c.cell, sum(u.x * c.m) AS dp
+       |  FROM u88 u JOIN c088 c ON c.i = u.i GROUP BY 1, 2),
+       |a088 AS (SELECT vid, cell FROM (
+       |    SELECT d.vid, d.cell, row_number() OVER (PARTITION BY d.vid
+       |      ORDER BY (1.0 - floor((d.dp / (n.nr * k.cn)) * 1e6 + 0.5) / 1e6)
+       |        ASC, d.cell ASC) AS rn
+       |    FROM d088 d JOIN n88 n ON n.vec_id = d.vid JOIN k088 k USING (cell))
+       |  WHERE rn = 1),
+       |m188 AS (SELECT a.cell, u.i, floor(avg(u.x) * 1e6 + 0.5) / 1e6 AS m
+       |  FROM a088 a JOIN u88 u ON u.vec_id = a.vid GROUP BY 1, 2),
+       |c188 AS (SELECT c0.cell, c0.i, coalesce(m1.m, c0.m) AS m FROM c088 c0
+       |  LEFT JOIN m188 m1 ON m1.cell = c0.cell AND m1.i = c0.i),
+       |k188 AS (SELECT cell, sqrt(sum(m*m)) AS cn FROM c188 GROUP BY cell),
+       |d188 AS (SELECT u.vec_id AS vid, c.cell, sum(u.x * c.m) AS dp
+       |  FROM u88 u JOIN c188 c ON c.i = u.i GROUP BY 1, 2),
+       |a188 AS (SELECT vid, cell FROM (
+       |    SELECT d.vid, d.cell, row_number() OVER (PARTITION BY d.vid
+       |      ORDER BY (1.0 - floor((d.dp / (n.nr * k.cn)) * 1e6 + 0.5) / 1e6)
+       |        ASC, d.cell ASC) AS rn
+       |    FROM d188 d JOIN n88 n ON n.vec_id = d.vid JOIN k188 k USING (cell))
+       |  WHERE rn = 1),
+       |m288 AS (SELECT a.cell, u.i, floor(avg(u.x) * 1e6 + 0.5) / 1e6 AS m
+       |  FROM a188 a JOIN u88 u ON u.vec_id = a.vid GROUP BY 1, 2),
+       |c288 AS (SELECT c1.cell, c1.i, coalesce(m2.m, c1.m) AS m FROM c188 c1
+       |  LEFT JOIN m288 m2 ON m2.cell = c1.cell AND m2.i = c1.i),
+       |f88 AS (SELECT cell, list(m ORDER BY i) AS vec FROM c288 GROUP BY cell),
+       |r88 AS (SELECT vec, row_number() OVER (ORDER BY vec) - 1 AS nc FROM f88)
+       |SELECT CAST(nc AS BIGINT) AS cell,
+       |  CAST(generate_subscripts(vec, 1) AS BIGINT) AS dim,
+       |  unnest(vec) AS val
+       |FROM r88 ORDER BY cell, dim""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val cents = Similarity.trainIvfCentroidsD(Tables.embeddings(s, d),
+      "vec_id", "embedding", numCells = 4, lloydRounds = 2)
+    cents.zipWithIndex.flatMap { case (vec, c) =>
+      vec.zipWithIndex.map { case (v, j) => (c.toLong, (j + 1).toLong, v) }
+    }.toDF("cell", "dim", "val").orderBy(col("cell"), col("dim"))
+  }
 }

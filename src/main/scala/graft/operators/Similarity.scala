@@ -271,13 +271,44 @@ object Similarity {
       .map { case (r, i) => (i, r.getSeq[Float](1).toArray) }
       .toSeq
 
+  /** Double-precision 6-dp cosine for DERIVED vectors (trained
+    * centroids): the mean values are exact 6-dp doubles, and squeezing
+    * them through float literals would perturb the rounded cosine at
+    * the 1e-6 quantum — precisely the boundary the DuckDB oracle
+    * compares at. Corpus floats cast to double exactly, so this is
+    * bit-compatible with the oracle's `x::DOUBLE` arithmetic; the
+    * aggregate HOF folds in index order like the oracle's unnest sum.
+    */
+  private[operators] def cos6D(
+      a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) = {
+    val ad = a.cast("array<double>")
+    val bd = b.cast("array<double>")
+    val dot = (x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =>
+      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+    val c = dot(ad, bd) / (sqrt(dot(ad, ad)) * sqrt(dot(bd, bd)))
+    floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+  }
+
+  /** [[cellRank]] over double-precision centroid literals — the
+    * training-loop twin (see [[cos6D]] for why floats won't do).
+    */
+  private[operators] def cellRankD(
+      cents: Seq[(Int, Array[Double])],
+      v: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    array_sort(array(cents.map { case (i, cv) =>
+      struct((lit(1.0) - cos6D(v, typedlit(cv))).as("d"),
+        lit(i).as("cell"))
+    }: _*))
+
   /** Deterministic Lloyd k-means over the embedding column, expressed
     * as DataFrame aggregates — the trained upgrade over the
     * smallest-id stand-in when recall on real distributions matters.
     *
     *   - init: the `numCells` smallest-id vectors (seed-free, stable);
     *   - assign: nearest centroid under the SAME 6-decimal-rounded
-    *     cosine ranking the IVF probe uses;
+    *     cosine ranking the IVF probe uses, in DOUBLE precision
+    *     throughout ([[cos6D]]) so the q88 oracle reproduces every
+    *     round bit-for-bit;
     *   - update: per-(cell, dimension) mean via posexplode + one hash
     *     aggregate (map-side combined, one shuffle of numCells x dims
     *     groups), rounded to 6 decimals. The rounding CONFINES
@@ -302,13 +333,27 @@ object Similarity {
       idCol: String,
       vecCol: String,
       numCells: Int,
-      lloydRounds: Int = 5): Seq[Array[Float]] = {
-    val spark = corpus.sparkSession
-    var cents = smallestIdCentroids(corpus, idCol, vecCol, numCells)
+      lloydRounds: Int = 5): Seq[Array[Float]] =
+    trainIvfCentroidsD(corpus, idCol, vecCol, numCells, lloydRounds)
+      .map(_.map(_.toFloat))
+
+  /** The exact (double) centroids [[trainIvfCentroids]] floats for
+    * [[ivfTopK]] — kept separate because the training values ARE 6-dp
+    * doubles and the oracle compares them at full precision (q88).
+    */
+  def trainIvfCentroidsD(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      numCells: Int,
+      lloydRounds: Int = 5): Seq[Array[Double]] = {
+    var cents: Seq[(Int, Array[Double])] =
+      smallestIdCentroids(corpus, idCol, vecCol, numCells)
+        .map { case (i, a) => (i, a.map(_.toDouble)) }
     var round = 0
     while (round < lloydRounds) {
       val means = corpus.select(col(vecCol).as("v"))
-        .select(element_at(cellRank(spark, cents, col("v")), 1)
+        .select(element_at(cellRankD(cents, col("v")), 1)
           .getField("cell").as("cell"), col("v"))
         .select(col("cell"), posexplode(col("v")))
         .groupBy(col("cell"), col("pos"))
@@ -320,7 +365,7 @@ object Similarity {
         byCell.get(i) match {
           case Some(rows) =>
             val m = old.clone()
-            rows.foreach(r => m(r.getInt(1)) = r.getDouble(2).toFloat)
+            rows.foreach(r => m(r.getInt(1)) = r.getDouble(2))
             (i, m)
           case None => (i, old) // empty cell keeps its centroid
         }
