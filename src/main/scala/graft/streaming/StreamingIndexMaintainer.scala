@@ -1,0 +1,128 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
+
+import graft.operators.IncrementalDedup
+
+/** The streaming face of the incremental dedup index: each micro-batch
+  * of new documents is one [[IncrementalDedup.append]] tick, wired
+  * through `foreachBatch` exactly like [[MessageMirror]]'s sink. The
+  * batch's offsets commit only after the tick returns, so a crash
+  * mid-tick replays the batch — and the tick body is IDEMPOTENT
+  * (replayed ids are filtered against the index's doc frame before
+  * appending; an all-replayed batch skips the tick outright), which
+  * upgrades at-least-once replay to an effectively-once index, the
+  * same discipline as the mirror's MessageId dedupe.
+  *
+  * On-disk layout under `indexRoot`: one `tick-N` dir per applied
+  * tick, each a complete rotated index ([[graft.operators.IndexRotation]]
+  * hardlinks untouched files, so N ticks cost delta-sized IO, not N
+  * copies). A `_TICK_DONE` marker commits a dir; a dir without the
+  * marker is a crashed half-tick and is deleted and re-derived on the
+  * next attempt. The first batch bootstraps `tick-0` via
+  * [[IncrementalDedup.buildIndex]].
+  */
+object StreamingIndexMaintainer {
+
+  private val Marker = "_TICK_DONE"
+
+  private def fs(spark: SparkSession, path: String) =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** The newest COMMITTED tick dir, if any. */
+  def currentDir(spark: SparkSession, indexRoot: String): Option[String] =
+    committedTicks(spark, indexRoot).lastOption
+      .map { case (n, _) => s"$indexRoot/tick-$n" }
+
+  private def committedTicks(
+      spark: SparkSession, indexRoot: String): Seq[(Long, Boolean)] = {
+    val f = fs(spark, indexRoot)
+    val root = new org.apache.hadoop.fs.Path(indexRoot)
+    if (!f.exists(root)) Seq.empty
+    else f.listStatus(root).toSeq
+      .filter(_.isDirectory)
+      .flatMap { st =>
+        val name = st.getPath.getName
+        if (name.startsWith("tick-"))
+          name.stripPrefix("tick-").toLongOption.map { n =>
+            (n, f.exists(new org.apache.hadoop.fs.Path(st.getPath, Marker)))
+          }
+        else None
+      }
+      .filter(_._2)
+      .sortBy(_._1)
+  }
+
+  /** One tick, usable directly in tests (the `foreachBatch` body).
+    * Returns the committed dir the index now lives in.
+    */
+  def tick(
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      blockCol: String,
+      indexRoot: String,
+      n: Int = 3,
+      threshold: Double = 0.8,
+      maxShingleDocFreq: Int = 1000): String = {
+    val spark = batch.sparkSession
+    val f = fs(spark, indexRoot)
+    val current = committedTicks(spark, indexRoot).lastOption.map(_._1)
+    val nextN = current.map(_ + 1).getOrElse(0L)
+    val nextDir = s"$indexRoot/tick-$nextN"
+    // a dir without the marker is a crashed half-tick: remove it so
+    // the rotation's hardlink carry starts from a clean slate
+    val nextPath = new org.apache.hadoop.fs.Path(nextDir)
+    if (f.exists(nextPath)) f.delete(nextPath, true)
+
+    current match {
+      case None =>
+        IncrementalDedup.buildIndex(batch, idCol, textCol, blockCol,
+          n, threshold, maxShingleDocFreq, nextDir)
+        f.create(new org.apache.hadoop.fs.Path(nextPath, Marker)).close()
+        nextDir
+      case Some(cur) =>
+        val curDir = s"$indexRoot/tick-$cur"
+        // effectively-once: drop ids the index already holds (a crash
+        // between tick commit and checkpoint commit replays the batch)
+        val seen = spark.read.parquet(s"$curDir/docs")
+        val fresh = batch.filter(col(idCol).isNotNull)
+          .join(seen.select(col("doc").as(idCol)), Seq(idCol), "left_anti")
+          .localCheckpoint(true)
+        if (fresh.isEmpty) curDir
+        else {
+          IncrementalDedup.append(fresh, idCol, textCol, blockCol,
+            curDir, nextDir)
+          f.create(new org.apache.hadoop.fs.Path(nextPath, Marker)).close()
+          nextDir
+        }
+    }
+  }
+
+  /** Start the maintainer: docs stream → one index tick per
+    * micro-batch. Read results any time via
+    * `spark.read.parquet(currentDir(...)/labels)`.
+    */
+  def start(
+      docsStream: DataFrame,
+      idCol: String,
+      textCol: String,
+      blockCol: String,
+      indexRoot: String,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow(),
+      n: Int = 3,
+      threshold: Double = 0.8,
+      maxShingleDocFreq: Int = 1000): DataStreamWriter[Row] =
+    docsStream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        tick(batch.toDF(), idCol, textCol, blockCol, indexRoot,
+          n, threshold, maxShingleDocFreq)
+        ()
+      }
+}
