@@ -43,7 +43,10 @@ object Bench {
     "q81_lm_score" -> 1.48, "q82_budget_sample" -> 0.98,
     // round-7 additions, quiet-box mins at sf0.1 (q83 = the encode
     // increment over the memoized even-split tokenizer)
-    "q83_bpe_encode_oov" -> 1.09, "q84_semantic_dedup" -> 0.76)
+    "q83_bpe_encode_oov" -> 1.09, "q84_semantic_dedup" -> 0.76,
+    // round-7 session-2 additions, mins at sf0.1 (comparator 0.48/0.32)
+    "q85_nb_quality" -> 2.18, "q86_shuffle_shard" -> 1.02,
+    "q87_temperature_mix" -> 0.54, "q88_ivf_train" -> 1.02)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
