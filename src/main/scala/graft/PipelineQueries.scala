@@ -1728,4 +1728,26 @@ object PipelineQueries extends QueryGroup {
       vec.zipWithIndex.map { case (v, j) => (c.toLong, (j + 1).toLong, v) }
     }.toDF("cell", "dim", "val").orderBy(col("cell"), col("dim"))
   }
+
+  // R-21 x R-29: quantile-threshold filtering — the cut derived from
+  // the corpus's OWN distribution (drop the shortest 10%), defined as
+  // the order statistic at rank floor(0.1*N) of the (score, id)
+  // order: integer-exact in both engines, no interpolated-percentile
+  // float seams. keep compares VALUES (score >= thr), so a plateau
+  // crossing the rank keeps all its members.
+  q("q89_quantile_filter",
+    s"""WITH s89 AS (SELECT doc_id,
+       |    CAST(len($sqlTokens) AS BIGINT) AS n_tokens FROM documents),
+       |r89 AS (SELECT n_tokens,
+       |    row_number() OVER (ORDER BY n_tokens, doc_id) - 1 AS rk FROM s89),
+       |t89 AS (SELECT n_tokens AS thr FROM r89
+       |  WHERE rk = (SELECT CAST(floor(0.1 * count(*)) AS BIGINT) FROM s89))
+       |SELECT doc_id, n_tokens, (n_tokens >= thr) AS keep
+       |FROM s89, t89 ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val scored = Tables.documents(s, d).select(col("doc_id"),
+      size(graft.functions.TextFns.tokens(col("text"))).cast("long")
+        .as("n_tokens"))
+    Curation.quantileCutoff(scored, "doc_id", "n_tokens", q = 0.1)
+      .orderBy(col("doc_id"))
+  }
 }

@@ -225,6 +225,42 @@ object Curation {
         (u < thresh).as("keep"))
   }
 
+  /** Quantile-threshold filtering: keep documents whose score clears
+    * the corpus's own empirical q-quantile — the distribution-derived
+    * cut real pipelines apply where no absolute threshold exists
+    * (drop the shortest 10%, the worst-perplexity 20%, …). The
+    * threshold is the ORDER STATISTIC at rank ⌊q·N⌋ of the global
+    * (score, id) order — an integer-defined selection both engines
+    * reproduce exactly, with none of interpolated-percentile's float
+    * seams — and `keep` is the value comparison `score >= thr`, so
+    * score plateaus crossing the rank keep ALL their members (the
+    * threshold is a value, not a row count).
+    *
+    * Scale shape: one exact count, one range-partitioned prefix-sum
+    * rank ([[ScaleOps.prefixSumByRange]] — never a global single-task
+    * window), a one-row rank lookup collected to the driver, and a
+    * row-local comparison shipped back as a literal. Contrast
+    * `percentile()` (exact but holds each group's values in one
+    * task's memory) and `approx_percentile` (distributed but
+    * sketch-approximate, unusable under an exactness oracle).
+    * Null-id rows are excluded (the prefix sum needs a total order).
+    */
+  def quantileCutoff(docs: DataFrame, idCol: String, scoreCol: String,
+      q: Double): DataFrame = {
+    require(q >= 0 && q < 1, "q must be in [0, 1)")
+    val keyed = docs.filter(col(idCol).isNotNull)
+      .select(col(idCol), col(scoreCol).cast("long").as(scoreCol))
+    val n = keyed.count()
+    require(n > 0, "quantileCutoff needs a non-empty corpus")
+    val k = math.floor(q * n).toLong
+    val ranked = ScaleOps.prefixSumByRange(
+      keyed, Seq(scoreCol, idCol), lit(1L), "__rank")
+    val thr = ranked.filter(col("__rank") === k)
+      .select(col(scoreCol)).head().getLong(0)
+    keyed.select(col(idCol), col(scoreCol),
+      (col(scoreCol) >= thr).as("keep"))
+  }
+
   /** One-row corpus summary over [[curate]]'s output — the data-card
     * numbers a pipeline logs per snapshot. Drop-reason counts are
     * NON-exclusive (a doc can fail quality AND be a dup; each count

@@ -663,6 +663,31 @@ class DedupSimilaritySpec extends SparkSuiteBase {
       Map("en" -> 0.0)).count() == 1, "null-id row must pass through")
   }
 
+  test("quantile cutoff: order-statistic threshold, plateaus kept whole, partition-stable") {
+    import spark.implicits._
+    // scores 1..100 ascending by id: rank floor(0.1*100)=10 -> thr=11
+    val docs = (1L to 100L).map(i => (i, i)).toDF("doc_id", "score")
+    val out = Curation.quantileCutoff(docs, "doc_id", "score", q = 0.1)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(out.count(!_._2) == 10, "exactly the bottom decile drops")
+    assert(!out(10L) && out(11L))
+    // plateau: ties at the threshold value all keep, even those whose
+    // RANK is below the cut — the threshold is a value, not a count
+    val flat = ((1L to 5L).map(i => (i, 1L)) ++
+      (6L to 20L).map(i => (i, 2L))).toDF("doc_id", "score")
+    // n=20, k=2 -> thr = score at rank 2 = 1 -> everyone >= 1 keeps
+    val f = Curation.quantileCutoff(flat, "doc_id", "score", q = 0.1)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(f.values.forall(identity), "plateau at the threshold must keep whole")
+    // partition-stable
+    val a = Curation.quantileCutoff(docs.repartition(7), "doc_id", "score", 0.1)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(a == out)
+    // q=0 keeps everything (thr = min)
+    val z = Curation.quantileCutoff(docs, "doc_id", "score", 0.0)
+    assert(z.filter(!col("keep")).count() == 0)
+  }
+
   test("curation pipeline: each drop reason fires independently and keep is their AND") {
     import spark.implicits._
     val good = "the quick brown fox jumps over a lazy dog while the sun sets slowly tonight"
