@@ -171,4 +171,33 @@ class PlanSpec extends SparkSuiteBase {
       && !ep.contains("BroadcastNestedLoopJoin"),
       s"vocabulary joins must stay equi-keyed:\n$ep")
   }
+
+  test("NB scoring is one token equi-join with map-side combined aggregates") {
+    val p = plan("q85_nb_quality")
+    assert(!p.contains("CartesianProduct")
+      && !p.contains("BroadcastNestedLoopJoin"),
+      s"token join must stay equi-keyed:\n$p")
+    assert(p.contains("partial_count") || p.contains("Partial"),
+      s"(doc, token) counts must map-side combine:\n$p")
+    // one model, one corpus pass: the per-token log-odds are computed
+    // in a projection, not a second aggregate over the corpus
+    assert(!p.contains("Window "), s"q85 must not plan a window:\n$p")
+  }
+
+  test("shuffle-shard and temperature mix never plan a global window or join") {
+    // q86's global rank is the range-partitioned prefix sum: its only
+    // window is partitioned by the pid column, never a global
+    // (empty-partition-spec) sort
+    val p86 = Queries.all("q86_shuffle_shard")(spark, sfDir)
+    p86.collect()
+    val s86 = p86.queryExecution.executedPlan.toString
+    s86.linesIterator.filter(_.contains("Window ")).foreach { l =>
+      assert(l.contains("__pfx_pid"),
+        s"window must partition by the prefix pid, got: $l")
+    }
+    // q87 ships learned thresholds as literals: the corpus pass is one
+    // row-local scan — no join operator anywhere
+    val s87 = plan("q87_temperature_mix")
+    assert(!s87.contains("Join"), s"q87 must not plan a join:\n$s87")
+  }
 }
