@@ -47,7 +47,7 @@ object Bench {
     // round-7 session-2 additions, mins at sf0.1 (comparator 0.48/0.32)
     "q85_nb_quality" -> 2.18, "q86_shuffle_shard" -> 1.02,
     "q87_temperature_mix" -> 0.54, "q88_ivf_train" -> 1.02,
-    "q89_quantile_filter" -> 1.23)
+    "q89_quantile_filter" -> 1.23, "q90_char_entropy" -> 0.42)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

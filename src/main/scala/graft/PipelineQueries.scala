@@ -1750,4 +1750,27 @@ object PipelineQueries extends QueryGroup {
     Curation.quantileCutoff(scored, "doc_id", "n_tokens", q = 0.1)
       .orderBy(col("doc_id"))
   }
+
+  // R-21: character-level Shannon entropy per document — the
+  // gibberish/noise quality signal, computed row-locally with
+  // collection HOFs (no explode, no shuffle — PlanSpec asserts).
+  // H = log2(n) - sum(c*log2(c))/n over the per-char counts.
+  q("q90_char_entropy",
+    s"""WITH e90 AS (SELECT doc_id,
+       |    list_filter(string_split(text, ''), c -> c <> '') AS chs
+       |  FROM documents),
+       |c90 AS (SELECT doc_id, chs, len(chs) AS n,
+       |    list_transform(list_distinct(chs),
+       |      c -> CAST(len(list_filter(chs, x -> x = c)) AS DOUBLE)) AS cnts
+       |  FROM e90)
+       |SELECT doc_id, CAST(n AS BIGINT) AS n_chars,
+       |  CAST(len(cnts) AS BIGINT) AS n_distinct_chars,
+       |  floor((CASE WHEN n > 0 THEN log2(CAST(n AS DOUBLE))
+       |      - list_sum(list_transform(cnts, c -> c * log2(c))) / n
+       |    ELSE 0.0 END) * 1e6 + 0.5) / 1e6 AS entropy
+       |FROM c90 ORDER BY doc_id""".stripMargin) { (s, d) =>
+    TextAnalysis.charEntropy(Tables.documents(s, d), "doc_id", "text")
+      .withColumnRenamed("doc", "doc_id")
+      .orderBy(col("doc_id"))
+  }
 }

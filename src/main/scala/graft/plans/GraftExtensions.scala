@@ -68,5 +68,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("text_stats",
         "text_stats(text, n, stopwords_csv) - struct(n_tokens, sum_word_len, stopword_cnt, total_shingles, distinct_shingles, bpe_est); n<=0 skips shingle fields"),
       (exprs: Seq[Expression]) => TextStatsExpr.buildFromExprs(exprs)))
+    ext.injectFunction((FunctionIdentifier("char_entropy_stats"),
+      info("char_entropy_stats",
+        "char_entropy_stats(text) - struct(n_chars, n_distinct, s): code-point count, distinct code points, sum c*log2(c) over per-code-point counts"),
+      (exprs: Seq[Expression]) => CharEntropyExpr.buildFromExprs(exprs)))
   }
 }

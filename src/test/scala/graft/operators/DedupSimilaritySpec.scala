@@ -688,6 +688,60 @@ class DedupSimilaritySpec extends SparkSuiteBase {
     assert(z.filter(!col("keep")).count() == 0)
   }
 
+  test("char entropy: exact values on known distributions, row-local plan") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "aaaa"),              // one symbol: H = 0
+      (2L, "abab"),              // two equiprobable: H = 1
+      (3L, "abcdefgh"),          // eight equiprobable: H = 3
+      (4L, ""),                  // empty: defined 0
+      (5L, "aab"))               // H = log2(3) - (2*1 + 1*0)/3
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.charEntropy(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(1L) == ((4L, 1L, 0.0)))
+    assert(out(2L) == ((4L, 2L, 1.0)))
+    assert(out(3L) == ((8L, 8L, 3.0)))
+    assert(out(4L) == ((0L, 0L, 0.0)))
+    val h5 = math.floor((math.log(3.0) / math.log(2.0) - 2.0 / 3.0) * 1e6 + 0.5) / 1e6
+    assert(out(5L) == ((3L, 2L, h5)))
+    // row-local: one scan, no exchange, no join, no explode
+    val p = TextAnalysis.charEntropy(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange") && !p.contains("Join")
+      && !p.contains("Generate"), s"entropy must stay row-local:\n$p")
+
+    // the codegen expression is BIT-identical to the interpreted HOF
+    // formulation (= the oracle's shape): code-point chars,
+    // first-appearance sum order, Math.log arithmetic — on random
+    // strings including multibyte and astral code points
+    val rnd = new scala.util.Random(41)
+    // code-point alphabet (the emoji is an astral PAIR — appending it
+    // as a string keeps every fuzz doc valid UTF-16)
+    val alphabet = Seq("a", "b", "c", "X", " ", "0", "é", "日", "本", "😀")
+    val fuzz = (1L to 60L).map { i =>
+      (i, (0 until rnd.nextInt(200)).map(_ =>
+        alphabet(rnd.nextInt(alphabet.length))).mkString)
+    }.toDF("doc_id", "text")
+    val viaExpr = TextAnalysis.charEntropy(fuzz, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    val chs = filter(split(col("text"), ""), c => c =!= "")
+    val dchs = array_distinct(chs)
+    val cnts = transform(dchs, c =>
+      size(filter(chs, x => x === c)).cast("double"))
+    val nH = size(chs).cast("double")
+    val sH = aggregate(cnts, lit(0.0), (acc, c) => acc + c * log2(c))
+    val hH = when(nH > 0, log2(nH) - sH / nH).otherwise(lit(0.0))
+    val viaHof = fuzz.select(col("doc_id"),
+        nH.cast("long").as("n"), size(dchs).cast("long").as("d"),
+        (floor(hH * lit(1e6) + lit(0.5)) / lit(1e6)).as("h"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(viaExpr == viaHof, "expression and HOF entropy diverge")
+  }
+
   test("curation pipeline: each drop reason fires independently and keep is their AND") {
     import spark.implicits._
     val good = "the quick brown fox jumps over a lazy dog while the sun sets slowly tonight"
