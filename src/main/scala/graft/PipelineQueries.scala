@@ -1773,4 +1773,27 @@ object PipelineQueries extends QueryGroup {
       .withColumnRenamed("doc", "doc_id")
       .orderBy(col("doc_id"))
   }
+
+  // R-21 x R-29: per-source token-distribution drift — KL(source ||
+  // corpus) in bits over unigrams, the data-card number that flags a
+  // drifted or mislabeled source. No smoothing: every source token is
+  // in the global marginal by construction.
+  q("q91_source_divergence",
+    s"""WITH t91 AS (SELECT source AS grp, unnest($sqlTokens) AS token
+       |  FROM documents),
+       |c91 AS (SELECT grp, token, count(*) AS c FROM t91 GROUP BY 1, 2),
+       |s91 AS (SELECT grp, sum(c) AS t FROM c91 GROUP BY grp),
+       |g91 AS (SELECT token, sum(c) AS cg FROM c91 GROUP BY token),
+       |n91 AS (SELECT sum(c) AS gt FROM c91),
+       |k91 AS (SELECT grp, sum((c * 1.0 / t) *
+       |      log2((c * 1.0 / t) / (cg * 1.0 / gt))) AS kl0,
+       |    CAST(min(t) AS BIGINT) AS n_tokens
+       |  FROM c91 JOIN g91 USING (token) JOIN s91 USING (grp), n91
+       |  GROUP BY grp)
+       |SELECT grp, n_tokens,
+       |  floor(kl0 * 1e6 + 0.5) / 1e6 AS kl
+       |FROM k91 ORDER BY grp""".stripMargin) { (s, d) =>
+    TextAnalysis.sourceDivergence(Tables.documents(s, d), "source", "text")
+      .orderBy(col("grp"))
+  }
 }

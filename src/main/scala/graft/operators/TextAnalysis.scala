@@ -349,6 +349,42 @@ object TextAnalysis {
         (floor(h * lit(1e6) + lit(0.5)) / lit(1e6)).as("entropy"))
   }
 
+  /** Per-source token-distribution drift: KL(source ‖ corpus) in bits
+    * over unigram distributions — the data-card monitoring number
+    * that flags a source whose language diverges from the corpus mix
+    * (a drifted crawler, a mislabeled dump). No smoothing is needed:
+    * every source token occurs in the global distribution by
+    * construction, so q > 0 wherever p > 0.
+    *
+    * Scale shape: one explode, a (group, token) hash aggregate
+    * (map-side combined), the global-token marginal derived FROM that
+    * aggregate (vocabulary-sized, not a second corpus pass), one
+    * token equi-join, and a per-group sum. Group totals join back on
+    * the group key (catalog-sized). 6-dp floor-rounded (q51/q81
+    * discipline).
+    */
+  def sourceDivergence(
+      docs: DataFrame,
+      groupCol: String,
+      textCol: String): DataFrame = {
+    val pairs = docs.select(col(groupCol).as("grp"),
+      explode(TextFns.tokens(col(textCol))).as("token"))
+    val cst = pairs.groupBy(col("grp"), col("token"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(true) // feeds three aggregates below
+    val totals = cst.groupBy(col("grp")).agg(sum(col("c")).as("t"))
+    val global = cst.groupBy(col("token")).agg(sum(col("c")).as("cg"))
+    val grand = cst.agg(sum(col("c"))).collect()(0).getLong(0)
+    val p = col("c").cast("double") / col("t")
+    val q = col("cg").cast("double") / lit(grand.toDouble)
+    cst.join(global, Seq("token"))
+      .join(totals, Seq("grp"))
+      .groupBy(col("grp"))
+      .agg(sum(p * log2(p / q)).as("__kl"), first(col("t")).as("__t"))
+      .select(col("grp"), col("__t").as("n_tokens"),
+        (floor(col("__kl") * lit(1e6) + lit(0.5)) / lit(1e6)).as("kl"))
+  }
+
   def tfidfTopTerms(
       docs: DataFrame,
       idCol: String,
