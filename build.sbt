@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// forked run output passes through to stdout BARE — without this, sbt
+// re-logs every program line with an "[info] " prefix, which is what
+// kept seven rounds of driver bench parses null: the final JSON line
+// was in the tail window but never bare
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

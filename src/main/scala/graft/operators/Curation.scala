@@ -204,7 +204,10 @@ object Curation {
     val counts = docs.filter(col(idCol).isNotNull)
       .groupBy(col(groupCol)).agg(count(lit(1)).as("c"))
       .collect().map(r => r.get(0) -> r.getLong(1))
-      .sortBy(_._1.toString) // fixed summation order for the normalizer
+      // fixed summation order for the normalizer; String.valueOf so a
+      // null source flows through to the null-safe <=> threshold arm
+      // below instead of NPE-ing the sort
+      .sortBy { case (g, _) => String.valueOf(g) }
     val sumW = counts.map { case (_, c) => math.pow(c.toDouble, alpha) }.sum
     val ppm: Seq[(Any, Long)] = counts.map { case (g, c) =>
       val q = math.pow(c.toDouble, alpha) / sumW
@@ -244,21 +247,27 @@ object Curation {
     * task's memory) and `approx_percentile` (distributed but
     * sketch-approximate, unusable under an exactness oracle).
     * Null-id rows are excluded (the prefix sum needs a total order).
+    * The score keeps its NATIVE numeric type end-to-end — order
+    * statistics need ordering, not integers, so fractional scores
+    * (perplexities, probabilities) cut at their true quantile.
     */
   def quantileCutoff(docs: DataFrame, idCol: String, scoreCol: String,
       q: Double): DataFrame = {
     require(q >= 0 && q < 1, "q must be in [0, 1)")
+    require(docs.schema(scoreCol).dataType
+        .isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"score column $scoreCol must be numeric")
     val keyed = docs.filter(col(idCol).isNotNull)
-      .select(col(idCol), col(scoreCol).cast("long").as(scoreCol))
+      .select(col(idCol), col(scoreCol))
     val n = keyed.count()
     require(n > 0, "quantileCutoff needs a non-empty corpus")
     val k = math.floor(q * n).toLong
     val ranked = ScaleOps.prefixSumByRange(
       keyed, Seq(scoreCol, idCol), lit(1L), "__rank")
     val thr = ranked.filter(col("__rank") === k)
-      .select(col(scoreCol)).head().getLong(0)
+      .select(col(scoreCol)).head().get(0)
     keyed.select(col(idCol), col(scoreCol),
-      (col(scoreCol) >= thr).as("keep"))
+      (col(scoreCol) >= lit(thr)).as("keep"))
   }
 
   /** One-row corpus summary over [[curate]]'s output — the data-card

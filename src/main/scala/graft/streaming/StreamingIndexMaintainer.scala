@@ -70,6 +70,10 @@ object StreamingIndexMaintainer {
       maxShingleDocFreq: Int = 1000): String = {
     val spark = batch.sparkSession
     val f = fs(spark, indexRoot)
+    // intra-batch dedupe: a source can redeliver a doc WITHIN one
+    // micro-batch too, and append's contract needs unique ids — the
+    // cross-batch anti-join below only covers ids already indexed
+    val uniq = batch.filter(col(idCol).isNotNull).dropDuplicates(idCol)
     val current = committedTicks(spark, indexRoot).lastOption.map(_._1)
     val nextN = current.map(_ + 1).getOrElse(0L)
     val nextDir = s"$indexRoot/tick-$nextN"
@@ -80,7 +84,7 @@ object StreamingIndexMaintainer {
 
     current match {
       case None =>
-        IncrementalDedup.buildIndex(batch, idCol, textCol, blockCol,
+        IncrementalDedup.buildIndex(uniq, idCol, textCol, blockCol,
           n, threshold, maxShingleDocFreq, nextDir)
         f.create(new org.apache.hadoop.fs.Path(nextPath, Marker)).close()
         nextDir
@@ -89,7 +93,7 @@ object StreamingIndexMaintainer {
         // effectively-once: drop ids the index already holds (a crash
         // between tick commit and checkpoint commit replays the batch)
         val seen = spark.read.parquet(s"$curDir/docs")
-        val fresh = batch.filter(col(idCol).isNotNull)
+        val fresh = uniq
           .join(seen.select(col("doc").as(idCol)), Seq(idCol), "left_anti")
           .localCheckpoint(true)
         if (fresh.isEmpty) curDir

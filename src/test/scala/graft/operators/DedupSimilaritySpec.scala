@@ -686,6 +686,18 @@ class DedupSimilaritySpec extends SparkSuiteBase {
     // q=0 keeps everything (thr = min)
     val z = Curation.quantileCutoff(docs, "doc_id", "score", 0.0)
     assert(z.filter(!col("keep")).count() == 0)
+    // fractional scores keep their native type: perplexities in
+    // (0, 1) must cut at the true quantile, not truncate to 0
+    val frac = (1L to 100L).map(i => (i, i / 100.0)).toDF("doc_id", "score")
+    val fr = Curation.quantileCutoff(frac, "doc_id", "score", q = 0.2)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(fr.count(!_._2) == 20, "fractional scores must not truncate")
+    assert(!fr(20L) && fr(21L))
+    // non-numeric score fails loudly rather than mis-ordering
+    val bad = Seq((1L, "x")).toDF("doc_id", "score")
+    intercept[IllegalArgumentException] {
+      Curation.quantileCutoff(bad, "doc_id", "score", 0.1)
+    }
   }
 
   test("char entropy: exact values on known distributions, row-local plan") {
@@ -921,5 +933,15 @@ class DedupSimilaritySpec extends SparkSuiteBase {
         Map("big" -> cool("big"), "small" -> cool("small")))
       .collect().map(_.getLong(0)).toSet
     assert(kept == viaMix)
+    // a null source is a real group (the <=> arm), not an NPE: its
+    // docs get their own learned rate like any other source
+    val withNull = ((1L to 20L).map(i => (i, "web")) ++
+      (100L to 119L).map(i => (i, null: String))).toDF("doc_id", "source")
+    val nn = Curation.temperatureMix(withNull, "doc_id", "source",
+        alpha = 1.0, budgetDocs = 20L)
+      .select(col("source"), col("rate")).distinct().collect()
+      .map(r => Option(r.getString(0)) -> r.getDouble(1)).toMap
+    assert(nn.keySet == Set(Some("web"), None))
+    assert(math.abs(nn(None) - 0.5) < 1e-5, s"null-source rate: ${nn(None)}")
   }
 }

@@ -99,4 +99,33 @@ class StreamingIndexMaintainerSpec extends SparkSuiteBase {
       .toMap
     assert(labelsAt(d2) == fullLabels)
   }
+
+  test("intra-batch duplicate ids collapse to one row per doc") {
+    import spark.implicits._
+    val root = tmpDir("sim-intra")
+    // bootstrap batch delivers doc 1 twice (at-least-once inside ONE
+    // micro-batch); the index must hold each id exactly once
+    val dup0 = (corpus.take(3) ++ corpus.take(1)).toDF("doc_id", "text", "lang")
+    val d0 = StreamingIndexMaintainer.tick(dup0, "doc_id", "text", "lang",
+      root, threshold = 0.5)
+    val docs0 = spark.read.parquet(s"$d0/docs")
+    assert(docs0.count() == docs0.select("doc").distinct().count(),
+      "bootstrap tick must not index a doc twice")
+    // append batch with an internal duplicate AND a replayed id
+    val dup1 = (corpus.slice(3, 5) ++ corpus.slice(3, 4) ++ corpus.take(1))
+      .toDF("doc_id", "text", "lang")
+    val d1 = StreamingIndexMaintainer.tick(dup1, "doc_id", "text", "lang",
+      root, threshold = 0.5)
+    val docs1 = spark.read.parquet(s"$d1/docs")
+    assert(docs1.count() == 5 &&
+      docs1.select("doc").distinct().count() == 5,
+      "append tick must dedupe within the batch before the anti-join")
+    // and the labels still equal the full re-mine over the 5 docs
+    val all = corpus.take(5).toDF("doc_id", "text", "lang")
+    val fullLabels = Dedup.clusters(all, "doc_id",
+        Dedup.ngramJaccardPairs(all, "doc_id", "text", "lang", 3, 0.5))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster"))
+      .toMap
+    assert(labelsAt(d1) == fullLabels)
+  }
 }
