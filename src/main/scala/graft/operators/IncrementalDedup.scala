@@ -17,10 +17,18 @@ import org.apache.spark.sql.functions._
   * Index layout (parquet under one directory):
   *   - `docs`      (doc)                 — every indexed id;
   *                  append-only (rotation hardlinks old files)
-  *   - `shingles`  (doc, blk, shingle)   — the int64-hashed distinct
-  *                  shingle frame ([[Dedup.shingleFrame]]); ~8-byte
-  *                  keys, columnar — re-reading this is the "no text
-  *                  rescan" guarantee; append-only like `docs`
+  *   - `shingles`  (doc, blk, shingle) PARTITIONED BY sbkt =
+  *                  hash-bucket(shingle) — the int64-hashed distinct
+  *                  shingle frame ([[Dedup.shingleFrame]]) laid out as
+  *                  an INVERTED index: every holder of a shingle lives
+  *                  in that shingle's bucket directory, so a lookup or
+  *                  candidate join keyed on a delta's shingles
+  *                  statically prunes to the delta's buckets instead
+  *                  of scanning the corpus frame. ~8-byte keys,
+  *                  columnar — re-reading this is the "no text rescan"
+  *                  guarantee; append-only like `docs` (delta rows
+  *                  land as new files in their buckets; no bucket ever
+  *                  rewrites)
   *   - `hot`       (blk, shingle)        — shingles whose document
   *                  frequency exceeds the cap (near-empty by
   *                  construction); fresh tiny write per tick
@@ -38,9 +46,10 @@ import org.apache.spark.sql.functions._
   *                  hash-bucket(cluster) — components so far; an
   *                  append rewrites only buckets holding a touched
   *                  cluster — newborn-cluster rows append
-  *   - `meta`      (version, n, threshold, max_df, num_buckets) —
-  *                  config fingerprint; `append` refuses an index
-  *                  whose schema version it does not understand
+  *   - `meta`      (version, n, threshold, max_df, num_buckets,
+  *                  num_shingle_buckets) — config fingerprint;
+  *                  `append` refuses an index whose schema version it
+  *                  does not understand
   *
   * The `hot`/`sizes` stats frames (index v3) are what make a ROUTINE
   * tick corpus-shuffle-free: without them every append re-aggregated
@@ -76,19 +85,28 @@ import org.apache.spark.sql.functions._
   *     by construction.
   *
   * Scale shape: a routine append is ONE delta-text shingling pass,
-  * TWO pure columnar index scans (the old-DF lookup for the delta's
-  * keys; the candidate join streaming the index against the
-  * broadcast restrict side) with ZERO corpus-keyed shuffles, a CC
-  * loop over the touched subgraph only, and delta-sized write IO
-  * (rotation hardlinks untouched files/buckets; inserts append
-  * without rewriting — [[IndexRotation]]). The scans are the
-  * remaining corpus-linear term — the floor for exact mining short
-  * of an inverted shingle→doc layout. Compact the index periodically
-  * in multi-append deployments ([[compact]]).
+  * TWO columnar index scans (the old-DF lookup for the delta's keys;
+  * the candidate join streaming the index against the broadcast
+  * restrict side) with ZERO corpus-keyed shuffles, a CC loop over the
+  * touched subgraph only, and delta-sized write IO (rotation
+  * hardlinks untouched files/buckets; inserts append without
+  * rewriting — [[IndexRotation]]). Both scans PRUNE to the delta's
+  * shingle buckets: the `shingles` frame is partitioned by
+  * hash-bucket(shingle), every join in the tick is keyed on the
+  * delta's own shingles, and a shingle's holders all live in its
+  * bucket — so the per-tick read is ~(delta's distinct shingles /
+  * num_shingle_buckets) of the index, not all of it. Size
+  * `numShingleBuckets` at build time so a routine delta touches a
+  * small fraction (≈ corpus distinct shingles / target bucket bytes;
+  * the 256 default suits test-scale corpora — a 10⁹-doc deployment
+  * wants 2^16-2^20). The only full-frame scan left is the RARE
+  * cap-crossing path, which must fetch affected OLD docs' rows by
+  * doc id (the layout is inverted by shingle, not doc). Compact the
+  * index periodically in multi-append deployments ([[compact]]).
   */
 object IncrementalDedup {
 
-  private val SchemaVersion = 3
+  private val SchemaVersion = 4
 
   /** Bucket count for the partitioned pairs/labels frames. Fixed at
     * build time and persisted in meta (appends must reproduce the
@@ -96,6 +114,13 @@ object IncrementalDedup {
     * while a routine delta touches only a handful.
     */
   private val DefaultNumBuckets = 64
+
+  /** Bucket count for the shingle-partitioned inverted index. Sized
+    * for test-scale corpora; persisted in meta like the id buckets.
+    * Deployments size it so one bucket is ~a scan unit (corpus
+    * distinct shingles / target bucket bytes).
+    */
+  private val DefaultNumShingleBuckets = 256
 
   /** Size router for the per-tick broadcast joins: a side at or under
     * this many rows (16-24-byte keys → tens of MB serialized) is
@@ -138,6 +163,36 @@ object IncrementalDedup {
       org.apache.spark.sql.types.StructField("bkt",
         org.apache.spark.sql.types.IntegerType)))
 
+  private def shinglesSchema(idT: org.apache.spark.sql.types.DataType,
+      blkT: org.apache.spark.sql.types.DataType) =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc", idT),
+      org.apache.spark.sql.types.StructField("blk", blkT),
+      org.apache.spark.sql.types.StructField("shingle",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("sbkt",
+        org.apache.spark.sql.types.IntegerType)))
+
+  /** The inverted layout's bucket of a shingle value. */
+  private def sbktOf(numShingleBuckets: Int) =
+    IndexRotation.bucketOf(col("shingle"), numShingleBuckets)
+
+  /** The tick's index read: the persisted shingle frame restricted to
+    * `sbkts` — a filter on the native PARTITION column, so the scan
+    * statically prunes to those bucket directories (asserted with scan
+    * metrics in IncrementalDedupSpec; recomputing the bucket from the
+    * shingle value would shadow the partition column and force a full
+    * read). Both per-tick index joins go through here.
+    */
+  private[graft] def prunedShingleScan(
+      spark: SparkSession, dir: String,
+      idT: org.apache.spark.sql.types.DataType,
+      blkT: org.apache.spark.sql.types.DataType,
+      sbkts: Seq[Int]): DataFrame =
+    spark.read.schema(shinglesSchema(idT, blkT)).parquet(dir)
+      .filter(col("sbkt").isin(sbkts: _*))
+      .select(col("doc"), col("blk"), col("shingle"))
+
   /** Everything an append produces: the updated label/pair frames
     * (backed by `outDir` parquet), the touched-cluster ids — the
     * subset a survivor recompute actually needs to revisit — and the
@@ -167,16 +222,25 @@ object IncrementalDedup {
       n: Int,
       threshold: Double,
       maxShingleDocFreq: Int,
-      dir: String): Unit = {
+      dir: String,
+      numShingleBuckets: Int = DefaultNumShingleBuckets): Unit = {
     val spark = docs.sparkSession
+    val idT = docs.schema(idCol).dataType
+    val blkT = docs.schema(blockCol).dataType
     docs.filter(col(idCol).isNotNull).select(col(idCol).as("doc"))
       .write.mode("overwrite").parquet(s"$dir/docs")
+    // inverted layout: one exchange on the shingle bucket buys one
+    // file per bucket and static pruning for every later delta tick
     Dedup.shingleFrame(docs, idCol, textCol, blockCol, n)
-      .write.mode("overwrite").parquet(s"$dir/shingles")
+      .withColumn("sbkt", sbktOf(numShingleBuckets))
+      .repartition(col("sbkt"))
+      .write.partitionBy("sbkt").mode("overwrite").parquet(s"$dir/shingles")
     // mine from the WRITTEN index, not the in-memory plan: one
     // shingling pass total, and the persisted frame is proven to be
     // what mining consumes (no drift between index and result)
-    val sh = spark.read.parquet(s"$dir/shingles")
+    val sh = spark.read.schema(shinglesSchema(idT, blkT))
+      .parquet(s"$dir/shingles")
+      .select(col("doc"), col("blk"), col("shingle"))
     // the stats frames pay their two full-frame aggregates ONCE, here
     // at build time — every later append maintains them with
     // delta-sized work and feeds the miner from them
@@ -185,14 +249,12 @@ object IncrementalDedup {
       .filter(col("__df") > maxShingleDocFreq)
       .select(col("blk"), col("shingle"))
       .write.mode("overwrite").parquet(s"$dir/hot")
-    val blkT = sh.schema("blk").dataType
     val hot = spark.read.schema(hotSchema(blkT)).parquet(s"$dir/hot")
     sh.join(hot, Seq("blk", "shingle"), "left_anti")
       .groupBy(col("doc")).agg(count(lit(1)).as("sz"))
       .withColumn("bkt", IndexRotation.bucketOf(col("doc"), DefaultNumBuckets))
       .repartition(col("bkt"))
       .write.partitionBy("bkt").mode("overwrite").parquet(s"$dir/sizes")
-    val idT = docs.schema(idCol).dataType
     val sizes = spark.read.schema(sizesSchema(idT)).parquet(s"$dir/sizes")
       .select(col("doc"), col("sz"))
     // repartition by bkt: one file per bucket, not tasks × buckets
@@ -207,7 +269,8 @@ object IncrementalDedup {
       .withColumn("bkt", IndexRotation.bucketOf(col("cluster"), DefaultNumBuckets))
       .repartition(col("bkt"))
       .write.partitionBy("bkt").mode("overwrite").parquet(s"$dir/labels")
-    writeMeta(spark, dir, n, threshold, maxShingleDocFreq, DefaultNumBuckets)
+    writeMeta(spark, dir, n, threshold, maxShingleDocFreq, DefaultNumBuckets,
+      numShingleBuckets)
   }
 
   /** Fold `delta` into the index at `indexDir`, writing the updated
@@ -224,20 +287,24 @@ object IncrementalDedup {
       indexDir: String,
       outDir: String): Appended = {
     val spark = delta.sparkSession
-    val (n, threshold, maxDf, numBuckets) = readMeta(spark, indexDir)
+    val (n, threshold, maxDf, numBuckets, numShingleBuckets) =
+      readMeta(spark, indexDir)
 
     val idT = delta.schema(idCol).dataType
+    val blkT = delta.schema(blockCol).dataType
     val docsOld = spark.read.parquet(s"$indexDir/docs")
-    val shOld = spark.read.parquet(s"$indexDir/shingles")
-    // the P-variants keep the bkt PARTITION column: filters on it
+    // the P-variants keep the PARTITION column (sbkt for the inverted
+    // shingle frame, bkt for the id-bucketed frames): filters on it
     // statically prune to the touched bucket directories
+    val shOldP = spark.read.schema(shinglesSchema(idT, blkT))
+      .parquet(s"$indexDir/shingles")
+    val shOld = shOldP.select(col("doc"), col("blk"), col("shingle"))
     val pairsOldP = spark.read.schema(pairsSchema(idT))
       .parquet(s"$indexDir/pairs")
     val pairsOld = pairsOldP.select(col("id_a"), col("id_b"), col("jaccard"))
     val labelsOldP = spark.read.schema(labelsSchema(idT))
       .parquet(s"$indexDir/labels")
     val labelsOld = labelsOldP.select(col("doc"), col("cluster"))
-    val blkT = shOld.schema("blk").dataType
     val hotOld = spark.read.schema(hotSchema(blkT)).parquet(s"$indexDir/hot")
     val sizesOldP = spark.read.schema(sizesSchema(idT))
       .parquet(s"$indexDir/sizes")
@@ -251,13 +318,22 @@ object IncrementalDedup {
         "its shingles)")
 
     // ONE text-shingling pass — over the delta only; materialized
-    // because both the index write and the DF aggregate below read it
+    // (with its bucket column) because the index write, the DF
+    // aggregate and the bucket-pruning filters below all read it
     val shDelta = Dedup.shingleFrame(delta, idCol, textCol, blockCol, n)
+      .withColumn("sbkt", sbktOf(numShingleBuckets))
       .localCheckpoint(true)
-    // append-only frames rotate copy-free: old part-files are
-    // hardlinked into outDir, only the delta's rows are new bytes
-    val shAll = IndexRotation.rotateAppendOnly(spark,
-      s"$indexDir/shingles", s"$outDir/shingles", shDelta)
+    val shDeltaCore = shDelta.select(col("doc"), col("blk"), col("shingle"))
+    // the delta's shingle buckets — every per-tick index read below is
+    // keyed on the delta's own shingles, so these buckets are all it
+    // can touch (≤ numShingleBuckets ints on the driver)
+    val deltaSbkts = shDelta.select(col("sbkt")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    // the shingle frame is append-only AND bucketed: untouched bucket
+    // dirs hardlink over, delta rows land as new files in theirs
+    IndexRotation.rotateBucketed(spark,
+      s"$indexDir/shingles", s"$outDir/shingles", Seq.empty, shDelta,
+      partCol = "sbkt")
     IndexRotation.rotateAppendOnly(spark,
       s"$indexDir/docs", s"$outDir/docs", deltaDocs)
 
@@ -265,15 +341,18 @@ object IncrementalDedup {
     // old holders' surviving sets (and set sizes) changed, so every
     // pair touching those docs must be re-derived from the index.
     // Routine path (delta keys under the broadcast ceiling): old DFs
-    // for exactly the delta's keys come from ONE columnar index scan
-    // with the keys broadcast — no corpus-keyed exchange. Oversized
+    // for exactly the delta's keys come from ONE index scan PRUNED to
+    // the delta's shingle buckets (the keys are delta shingles, and a
+    // shingle's rows live only in its bucket) with the keys broadcast
+    // — no corpus-keyed exchange, no full-frame read. Oversized
     // deltas fall back to the round-6 origin-tagged full aggregate
     // (one full shuffle; correct at any scale).
     val deltaCounts = shDelta.groupBy(col("blk"), col("shingle"))
       .agg(count(lit(1)).as("__cd")).localCheckpoint(true)
     val nDeltaKeys = deltaCounts.count()
     val newlyHot = (if (nDeltaKeys <= MaxBroadcastRows) {
-      val dfOldForDelta = shOld
+      val dfOldForDelta =
+        prunedShingleScan(spark, s"$indexDir/shingles", idT, blkT, deltaSbkts)
         .join(broadcast(deltaCounts.select(col("blk"), col("shingle"))),
           Seq("blk", "shingle"))
         .groupBy(col("blk"), col("shingle"))
@@ -284,7 +363,7 @@ object IncrementalDedup {
         .select(col("blk"), col("shingle"))
     } else {
       shOld.withColumn("__new", lit(0L))
-        .unionByName(shDelta.withColumn("__new", lit(1L)))
+        .unionByName(shDeltaCore.withColumn("__new", lit(1L)))
         .groupBy(col("blk"), col("shingle"))
         .agg(count(lit(1)).as("__c"), sum(col("__new")).as("__cnew"))
         .filter(col("__c") > maxDf && col("__c") - col("__cnew") <= maxDf)
@@ -300,13 +379,16 @@ object IncrementalDedup {
 
     // cap-crossing fallout: old holders of a newly-hot shingle, with
     // each doc's newly-hot holding count (= its sizes adjustment).
-    // The routine tick has none and skips the index scan outright.
+    // The routine tick has none and skips the index scan outright;
+    // when it fires, newly-hot shingles are delta shingles, so the
+    // scan still prunes to the delta's buckets.
     val affectedCnts = (if (nNewlyHot == 0L)
         shOld.limit(0).groupBy(col("doc")).agg(count(lit(1)).as("__nhot"))
       else {
         val nh = if (nNewlyHot <= MaxBroadcastRows) broadcast(newlyHot)
           else newlyHot
-        shOld.join(nh, Seq("blk", "shingle"))
+        prunedShingleScan(spark, s"$indexDir/shingles", idT, blkT, deltaSbkts)
+          .join(nh, Seq("blk", "shingle"))
           .groupBy(col("doc")).agg(count(lit(1)).as("__nhot"))
       }).localCheckpoint(true)
     val affectedOld = affectedCnts.select(col("doc"))
@@ -342,25 +424,41 @@ object IncrementalDedup {
 
     // the restrict side's surviving shingles: the delta's come from
     // the checkpointed delta frame (no index scan); only the rare
-    // cap-crossing path pays a scan for the affected docs' rows
+    // cap-crossing path pays a scan for the affected docs' rows —
+    // and that one IS a full-frame scan (the fetch is by doc id,
+    // which the shingle-inverted layout cannot prune)
     val restrictShRaw =
-      if (nNewlyHot == 0L) shDelta
+      if (nNewlyHot == 0L) shDeltaCore
       else {
         val af = if (affectedCnts.count() <= MaxBroadcastRows)
           broadcast(affectedOld) else affectedOld
-        shDelta.unionByName(shOld.join(af, Seq("doc"), "left_semi"))
+        shDeltaCore.unionByName(shOld.join(af, Seq("doc"), "left_semi"))
       }
     val restrictSh = restrictShRaw.join(hotB, Seq("blk", "shingle"), "left_anti")
     val nDeltaSh = shDelta.count()
 
+    // the candidate join's index side prunes to the buckets holding
+    // the restrict side's shingles — every candidate pair shares one
+    // of those shingles, and ALL of a shingle's holders live in its
+    // bucket, so the pruned scan sees every candidate. On a routine
+    // tick that set is the delta's own buckets (no extra job); the
+    // cap-crossing path derives it from the restrict frame
+    val candSbkts =
+      if (nNewlyHot == 0L) deltaSbkts
+      else restrictSh.select(sbktOf(numShingleBuckets).as("sbkt"))
+        .distinct().collect().map(_.getInt(0)).toSeq
+    val shCand = prunedShingleScan(spark, s"$outDir/shingles", idT, blkT,
+      candSbkts)
+
     // the restricted mine is materialized ONCE — it feeds both the
     // pairs write and the touched-component seed below (an earlier
     // revision derived them independently and mined twice). Fed from
-    // the PERSISTED stats (hot list, rotated sizes), with the index
-    // side streaming against the broadcast restrict side on a routine
-    // tick, the mine has no corpus-keyed exchange left.
+    // the PERSISTED stats (hot list, rotated sizes), with the
+    // bucket-pruned index side streaming against the broadcast
+    // restrict side on a routine tick, the mine has no corpus-keyed
+    // exchange AND no full-index read left.
     val minedM = Dedup.pairsFromShinglesRestricted(
-        shAll, restrict, threshold, maxDf,
+        shCand, restrict, threshold, maxDf,
         precomputedHot = Some(hotAll),
         precomputedSizes = Some(sizesNew),
         precomputedRestrictShingles = Some(restrictSh),
@@ -448,7 +546,8 @@ object IncrementalDedup {
         s"$indexDir/labels", s"$outDir/labels", touchedLabelBkts,
         labelsReplacement)
       .select(col("doc"), col("cluster"))
-    writeMeta(spark, outDir, n, threshold, maxDf, numBuckets)
+    writeMeta(spark, outDir, n, threshold, maxDf, numBuckets,
+      numShingleBuckets)
 
     Appended(
       labels = labelsNew,
@@ -521,14 +620,15 @@ object IncrementalDedup {
     * one delta file to each append-only frame).
     */
   def compact(spark: SparkSession, indexDir: String, outDir: String): Unit = {
-    val (n, threshold, maxDf, numBuckets) = readMeta(spark, indexDir)
+    val (n, threshold, maxDf, numBuckets, numShingleBuckets) =
+      readMeta(spark, indexDir)
     val idT = spark.read.parquet(s"$indexDir/docs").schema("doc").dataType
     val blkT = spark.read.parquet(s"$indexDir/shingles")
       .schema("blk").dataType
     IndexRotation.compactFrame(spark, s"$indexDir/docs", s"$outDir/docs",
       None, None)
     IndexRotation.compactFrame(spark, s"$indexDir/shingles",
-      s"$outDir/shingles", None, None)
+      s"$outDir/shingles", Some(shinglesSchema(idT, blkT)), Some("sbkt"))
     IndexRotation.compactFrame(spark, s"$indexDir/hot", s"$outDir/hot",
       Some(hotSchema(blkT)), None)
     IndexRotation.compactFrame(spark, s"$indexDir/sizes", s"$outDir/sizes",
@@ -537,19 +637,22 @@ object IncrementalDedup {
       Some(pairsSchema(idT)), Some("bkt"))
     IndexRotation.compactFrame(spark, s"$indexDir/labels", s"$outDir/labels",
       Some(labelsSchema(idT)), Some("bkt"))
-    writeMeta(spark, outDir, n, threshold, maxDf, numBuckets)
+    writeMeta(spark, outDir, n, threshold, maxDf, numBuckets,
+      numShingleBuckets)
   }
 
   private def writeMeta(spark: SparkSession, dir: String, n: Int,
-      threshold: Double, maxDf: Int, numBuckets: Int): Unit = {
+      threshold: Double, maxDf: Int, numBuckets: Int,
+      numShingleBuckets: Int): Unit = {
     import spark.implicits._
-    Seq((SchemaVersion, n, threshold, maxDf, numBuckets))
-      .toDF("version", "n", "threshold", "max_df", "num_buckets")
+    Seq((SchemaVersion, n, threshold, maxDf, numBuckets, numShingleBuckets))
+      .toDF("version", "n", "threshold", "max_df", "num_buckets",
+        "num_shingle_buckets")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
   }
 
   private def readMeta(spark: SparkSession,
-      dir: String): (Int, Double, Int, Int) = {
+      dir: String): (Int, Double, Int, Int, Int) = {
     val m = spark.read.parquet(s"$dir/meta").collect()
     require(m.length == 1, s"corrupt index meta at $dir/meta")
     val r = m(0)
@@ -558,6 +661,6 @@ object IncrementalDedup {
       s"index at $dir has schema version $ver; this build understands " +
         s"$SchemaVersion — rebuild the index")
     (r.getAs[Int]("n"), r.getAs[Double]("threshold"), r.getAs[Int]("max_df"),
-      r.getAs[Int]("num_buckets"))
+      r.getAs[Int]("num_buckets"), r.getAs[Int]("num_shingle_buckets"))
   }
 }

@@ -165,7 +165,8 @@ object IndexRotation {
     * (with `bkt`). Non-local paths rewrite in full.
     */
   def rotateBucketed(spark: SparkSession, srcDir: String, dstDir: String,
-      touched: Seq[Int], replacement: DataFrame): DataFrame = {
+      touched: Seq[Int], replacement: DataFrame,
+      partCol: String = "bkt"): DataFrame = {
     require(srcDir != dstDir, "rotation requires distinct directories")
     // a partitionBy write of an EMPTY frame emits zero files, so every
     // read of a bucketed index dir carries the explicit schema (the
@@ -181,16 +182,16 @@ object IndexRotation {
       val dst = Paths.get(dstDir)
       deleteRecursively(dst)
       carry(Paths.get(srcDir), dst,
-        touched.map(k => s"bkt=$k").toSet)
-      replacement.repartition(col("bkt"))
-        .write.partitionBy("bkt").mode("append").parquet(dstDir)
+        touched.map(k => s"$partCol=$k").toSet)
+      replacement.repartition(col(partCol))
+        .write.partitionBy(partCol).mode("append").parquet(dstDir)
     } else {
       val kept = spark.read.schema(sch).parquet(srcDir)
         .filter(if (touched.isEmpty) lit(true)
-          else !col("bkt").isin(touched: _*))
+          else !col(partCol).isin(touched: _*))
       kept.unionByName(replacement.select(kept.columns.map(col).toSeq: _*))
-        .repartition(col("bkt"))
-        .write.partitionBy("bkt").mode("overwrite").parquet(dstDir)
+        .repartition(col(partCol))
+        .write.partitionBy(partCol).mode("overwrite").parquet(dstDir)
     }
     spark.read.schema(sch).parquet(dstDir)
   }

@@ -261,6 +261,61 @@ class IncrementalDedupSpec extends SparkSuiteBase {
       "touched-bucket restriction is not pruning")
   }
 
+  test("inverted shingle layout: per-tick scans prune to the delta's buckets") {
+    import spark.implicits._
+    // enough distinct shingles to populate most of the 256 bucket dirs
+    val rnd = new scala.util.Random(7)
+    val words = (0 until 4000).map(i => s"w$i")
+    val olds = (1L to 300L).map { i =>
+      (i, Seq.fill(30)(words(rnd.nextInt(words.size))).mkString(" "), "en")
+    }.toDF("doc_id", "text", "lang")
+    val dir = tmpDir("incdedup-prune")
+    IncrementalDedup.buildIndex(olds, "doc_id", "text", "lang",
+      3, 0.8, 1000, s"$dir/base")
+    val bucketDirs = new java.io.File(s"$dir/base/shingles").listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("sbkt="))
+    assert(bucketDirs > 100,
+      s"corpus should populate most bucket dirs, got $bucketDirs")
+
+    // the tick's index-read shape (the SAME function append calls)
+    // must read ONLY the requested bucket partitions — this is the
+    // static pruning that turns the old full-frame scan into a
+    // delta-bucket-sized one
+    val scan = IncrementalDedup.prunedShingleScan(spark,
+      s"$dir/base/shingles", org.apache.spark.sql.types.LongType,
+      org.apache.spark.sql.types.StringType, Seq(3, 7, 11))
+    scan.collect() // materialize so scan metrics are populated
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p.collect {
+      case f: FileSourceScanExec => Seq(f)
+      case q: QueryStageExec => scans(q.plan)
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case r: ReusedExchangeExec => scans(r.child)
+    }.flatten
+    val s = scans(scan.queryExecution.executedPlan)
+    assert(s.nonEmpty, s"no file scan in:\n${scan.queryExecution.executedPlan}")
+    val partsRead = s.head.metrics("numPartitions").value
+    assert(partsRead <= 3,
+      s"3-bucket filter must read at most 3 partitions, read $partsRead")
+
+    // and a routine 1-doc append through that shape still equals the
+    // full re-mine (the pruned scan sees every candidate, because all
+    // holders of a delta shingle live in the delta's buckets)
+    val delta = Seq((1000L,
+      (1 to 30).map(i => words(rnd.nextInt(words.size))).mkString(" "),
+      "en")).toDF("doc_id", "text", "lang")
+    val out = IncrementalDedup.append(delta, "doc_id", "text", "lang",
+      s"$dir/base", s"$dir/out")
+    val full = olds.unionByName(delta)
+    val fullPairs = Dedup.ngramJaccardPairs(full, "doc_id", "text", "lang",
+      3, 0.8, 1000)
+    assert(pairSet(out.pairs) == pairSet(fullPairs))
+    assert(labelMap(out.labels) ==
+      labelMap(Dedup.clusters(full, "doc_id", fullPairs), "doc_id"))
+  }
+
   test("append refuses overlapping delta ids and wrong meta version") {
     import spark.implicits._
     val olds = Seq((1L, "a b c d e", "en")).toDF("doc_id", "text", "lang")
