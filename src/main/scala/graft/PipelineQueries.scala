@@ -661,14 +661,21 @@ object PipelineQueries extends QueryGroup {
   // all-pairs), within-cell 6-dp cosines, drop everything with a
   // smaller-id in-cell neighbor >= threshold. The embedding-space
   // twin of the shingle near-dup stage, at the shingle stage's
-  // smallest-id survivor convention.
+  // smallest-id survivor convention. The cell count is NOT pinned:
+  // both sides size it from the corpus with SemDeDup's own recipe
+  // (greatest(8, ceil(N / 100)) — [[Similarity.autoCells]]), so the
+  // within-cell pair pass stays ~N x 100 / 2 = LINEAR as the corpus
+  // grows instead of the (N/8)^2 a fixed 8-cell config degrades to.
   q("q84_semantic_dedup",
     """WITH u AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
       |             unnest(embedding)::DOUBLE AS x FROM embeddings),
       |nrm AS (SELECT vec_id, sqrt(sum(x*x)) AS nr FROM u GROUP BY vec_id),
-      |cent AS (SELECT vec_id AS cvid,
-      |           CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell
-      |         FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 8)),
+      |nc AS (SELECT greatest(8, CAST(ceil(count(*) / 100.0) AS BIGINT)) AS cells
+      |       FROM embeddings),
+      |cent AS (SELECT cvid, CAST(rn - 1 AS INT) AS cell FROM (
+      |           SELECT vec_id AS cvid,
+      |             row_number() OVER (ORDER BY vec_id) AS rn FROM embeddings)
+      |         WHERE rn <= (SELECT cells FROM nc)),
       |vc0 AS (SELECT a.vec_id AS vid, c.cell AS cell, c.cvid AS cvid,
       |          sum(a.x * b.x) AS dp
       |        FROM u a JOIN cent c ON true
@@ -693,8 +700,9 @@ object PipelineQueries extends QueryGroup {
       |SELECT a.vid AS vec_id, a.cell, (d.xid IS NULL) AS keep
       |FROM assign a LEFT JOIN dup d ON d.xid = a.vid
       |ORDER BY vec_id""".stripMargin) { (s, d) =>
-    Similarity.semanticDedup(Tables.embeddings(s, d),
-        "vec_id", "embedding", numCells = 8, threshold = 0.4)
+    val e = Tables.embeddings(s, d)
+    Similarity.semanticDedup(e, "vec_id", "embedding",
+        numCells = Similarity.autoCells(e.count()), threshold = 0.4)
       .orderBy(col("vec_id"))
   }
 
@@ -1795,5 +1803,67 @@ object PipelineQueries extends QueryGroup {
        |FROM k91 ORDER BY grp""".stripMargin) { (s, d) =>
     TextAnalysis.sourceDivergence(Tables.documents(s, d), "source", "text")
       .orderBy(col("grp"))
+  }
+
+  // R-19: EXACT SUBSTRING dedup (Lee et al. 2021 ExactSubstr) — the
+  // maximal token spans repeated across >= 2 documents, via
+  // fixed-length (20-token) gram fingerprints + per-doc island merge
+  // (Dedup.repeatedSpans). The oracle mines the same windows as gram
+  // STRINGS (xxhash64 not in DuckDB) and merges with the same
+  // gaps-and-islands rule, so the hash-match asserts positions AND
+  // merge semantics.
+  q("q92_substring_dedup",
+    s"""WITH t92 AS (SELECT doc_id, $sqlTokens AS l FROM documents),
+       |g92 AS (SELECT doc_id,
+       |    unnest(generate_series(1, greatest(len(l) - 19, 0))) AS pos,
+       |    unnest(list_transform(generate_series(1, greatest(len(l) - 19, 0)),
+       |           i -> array_to_string(l[i:i+19], ' '))) AS gram
+       |  FROM t92),
+       |d92 AS (SELECT gram FROM g92
+       |  GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+       |h92 AS (SELECT doc_id, pos FROM g92 JOIN d92 USING (gram)),
+       |i92 AS (SELECT doc_id, pos,
+       |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+       |           <= 20 THEN 0 ELSE 1 END AS brk FROM h92),
+       |s92 AS (SELECT doc_id, pos,
+       |    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+       |  FROM i92)
+       |SELECT doc_id, min(pos) AS span_start, max(pos) + 19 AS span_end,
+       |  count(*) AS n_windows
+       |FROM s92 GROUP BY doc_id, island
+       |ORDER BY doc_id, span_start""".stripMargin) { (s, d) =>
+    Dedup.repeatedSpans(Tables.documents(s, d), "doc_id", "text",
+        gramLen = 20, minDocs = 2)
+      .orderBy(col("doc_id"), col("span_start"))
+  }
+
+  // R-19 x north star: CONTENT-level image dedup — perceptual aHash
+  // over real decoded BMP bitmaps (ImageHashExpr: header walk,
+  // bottom-up rows, 2x2 average pooling, mean threshold), pairs at
+  // hamming <= 3 via the Manku chunk-bucket equi-join text SimHash
+  // uses. The fixture bitmaps are deterministic block designs
+  // (Multimodal.syntheticBitmap), so the oracle replays the aHash
+  // BITS as arithmetic on doc_id and computes true pairwise hamming —
+  // the hash-match asserts decode, pooling, thresholding AND pair
+  // mining at once (chunk recall is exact: hamming <= 3 < 8 chunks).
+  q("q93_image_phash",
+    """WITH i93 AS (SELECT unnest(generate_series(0, 63)) AS i),
+      |b93 AS (SELECT doc_id, i,
+      |    CASE WHEN i = 0 AND doc_id % 5 = 0 THEN 1 - b0 ELSE b0 END AS bit
+      |  FROM (SELECT d.doc_id, i93.i,
+      |      CASE WHEN i93.i = 1 THEN 0 WHEN i93.i = 2 THEN 1
+      |        ELSE ((d.doc_id % 16) * 2654435761 + i93.i * 40503) % 97 % 2
+      |      END AS b0
+      |    FROM documents d, i93)),
+      |p93 AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |    sum(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) AS hamming
+      |  FROM b93 a JOIN b93 b ON a.i = b.i AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT id_a, id_b, CAST(hamming AS INT) AS hamming FROM p93
+      |WHERE hamming <= 3 ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+    Multimodal.imagePairs(
+        Multimodal.syntheticBitmapAssets(Tables.documents(s, d)),
+        maxHamming = 3)
+      .orderBy(col("id_a"), col("id_b"))
   }
 }

@@ -192,13 +192,20 @@ object Curation {
     * The per-source counts are a group-count aggregate collected to
     * the driver — source cardinality is catalog-sized by definition
     * (tens, not millions); the weight normalization happens over that
-    * tiny list. Thresholds ship back as a literal CASE column: the
-    * corpus pass is one row-local scan, no join. The ppm quantization
-    * confines libm pow/summation-order differences vs the oracle to a
-    * <1e-9 rounding boundary (the q51/q81 float discipline).
+    * tiny list. Thresholds ship back as a literal CASE column while
+    * the source count stays at catalog size (the corpus pass is one
+    * row-local scan, no join); above `maxLiteralGroups` the CASE
+    * chain would become a thousands-deep expression tree (quadratic
+    * to analyze, hostile to codegen), so thresholds ship as a
+    * BROADCAST-joined table instead — same size-routing discipline as
+    * the dedup family, same results (spec-asserted equal). The ppm
+    * quantization confines libm pow/summation-order differences vs
+    * the oracle to a <1e-9 rounding boundary (the q51/q81 float
+    * discipline).
     */
   def temperatureMix(docs: DataFrame, idCol: String, groupCol: String,
-      alpha: Double, budgetDocs: Long): DataFrame = {
+      alpha: Double, budgetDocs: Long,
+      maxLiteralGroups: Int = 64): DataFrame = {
     require(alpha > 0 && alpha <= 1, "alpha must be in (0, 1]")
     require(budgetDocs >= 0, "budgetDocs must be non-negative")
     val counts = docs.filter(col(idCol).isNotNull)
@@ -214,18 +221,40 @@ object Curation {
       g -> math.min(1e6,
         math.floor(budgetDocs * q / c * 1e6 + 0.5)).toLong
     }.toSeq
-    // unseen groups (impossible when thresholds come from this corpus,
-    // possible if callers reuse the frame after an upstream filter)
-    // keep everything rather than silently dropping
-    val thresh = ppm.foldLeft(lit(1000000L)) { case (acc, (g, t)) =>
-      when(col(groupCol) <=> lit(g), lit(t)).otherwise(acc)
-    }
     val u = graft.functions.PortableHash.md5Long60(col(idCol).cast("string")) %
       lit(1000000L)
-    docs.filter(col(idCol).isNotNull)
-      .select(col(idCol), col(groupCol),
+    val base = docs.filter(col(idCol).isNotNull)
+    if (ppm.size <= maxLiteralGroups) {
+      // unseen groups (impossible when thresholds come from this
+      // corpus, possible if callers reuse the frame after an upstream
+      // filter) keep everything rather than silently dropping
+      val thresh = ppm.foldLeft(lit(1000000L)) { case (acc, (g, t)) =>
+        when(col(groupCol) <=> lit(g), lit(t)).otherwise(acc)
+      }
+      base.select(col(idCol), col(groupCol),
         (thresh / lit(1e6)).as("rate"),
         (u < thresh).as("keep"))
+    } else {
+      // broadcast path: one null-safe-keyed hash join against the
+      // catalog-sized threshold table; coalesce is the same
+      // keep-unseen-groups default as the CASE chain's initial value
+      val spark = docs.sparkSession
+      val gType = docs.schema(groupCol).dataType
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("__tm_g", gType, nullable = true),
+        org.apache.spark.sql.types.StructField("__tm_thr",
+          org.apache.spark.sql.types.LongType, nullable = false)))
+      val rows = new java.util.ArrayList[org.apache.spark.sql.Row](ppm.size)
+      ppm.foreach { case (g, t) =>
+        rows.add(org.apache.spark.sql.Row(g, t))
+      }
+      val tdf = spark.createDataFrame(rows, schema)
+      val thr = coalesce(col("__tm_thr"), lit(1000000L))
+      base.join(broadcast(tdf), col(groupCol) <=> col("__tm_g"), "left")
+        .select(col(idCol), col(groupCol),
+          (thr / lit(1e6)).as("rate"),
+          (u < thr).as("keep"))
+    }
   }
 
   /** Quantile-threshold filtering: keep documents whose score clears

@@ -578,6 +578,79 @@ object Dedup {
       .withColumn("contaminated", col("n_overlap") >= minOverlap)
   }
 
+  /** EXACT SUBSTRING dedup (Lee et al. 2021, arXiv:2107.06499
+    * `ExactSubstr`): find the token spans REPEATED ACROSS documents —
+    * the published complement to document-level MinHash, targeting
+    * boilerplate/quotation spans that document-level dedup keeps.
+    * Published basis uses a corpus-wide suffix array; the Spark-first
+    * shape is fixed-length gram fingerprints (a suffix array is a
+    * single sequential structure — the antithesis of a partitioned
+    * plan), which detects every repeated span of >= `gramLen` tokens
+    * exactly: a cross-doc repeat of length m >= gramLen contains all
+    * m - gramLen + 1 of its gram windows, each of which repeats, and
+    * the island merge below reassembles them into one maximal span.
+    *
+    *   1. every doc explodes into overlapping `gramLen`-token windows
+    *      WITH their start position (the existing shingle expression;
+    *      grams hash to int64 immediately — strings never shuffle);
+    *   2. gram hashes held by >= `minDocs` DISTINCT docs survive (a
+    *      map-side-combined aggregate over the 8-byte key — a gram
+    *      shared by k docs costs k rows, never k² pairs, so hot
+    *      boilerplate — the very target of the operator — cannot blow
+    *      up a join);
+    *   3. each doc's surviving window positions merge into maximal
+    *      spans (gaps-and-islands window per doc: a window starting
+    *      within `gramLen` of its predecessor overlaps or abuts it).
+    *
+    * Output: (idCol, span_start, span_end, n_windows) — 1-based
+    * inclusive token positions of each maximal cross-document
+    * repeated span, `n_windows` = merged window count (= span token
+    * length - gramLen + 1 for a solid span).
+    *
+    * Scale shape: no self-join anywhere — cost is linear in corpus
+    * tokens plus the duplicated-window row count. Shuffles carry
+    * 8-byte gram hashes; the only per-doc structure is the island
+    * window, partitioned by doc id (bounded by the longest single
+    * document, never the corpus). Collision note: as with
+    * [[shingleFrame]], an xxhash64 collision (~S²/2⁶⁵) could mark one
+    * spurious window duplicated.
+    */
+  def repeatedSpans(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      gramLen: Int,
+      minDocs: Int = 2): DataFrame = {
+    require(gramLen >= 1, "gramLen must be positive")
+    require(minDocs >= 2, "a span repeats across >= 2 docs")
+    val grams = docs
+      .filter(col(idCol).isNotNull)
+      .select(col(idCol).as("__doc"),
+        posexplode(TextFns.textShingles(col(textCol), gramLen))
+          .as(Seq("__p0", "__g")))
+      // pos as long: the oracle's generate_series positions are
+      // BIGINT, and the driver's compare includes the schema
+      .select(col("__doc"), (col("__p0") + 1).cast("long").as("pos"),
+        xxhash64(col("__g")).as("gh"))
+    val dup = grams.groupBy(col("gh"))
+      .agg(count_distinct(col("__doc")).as("__nd"))
+      .filter(col("__nd") >= minDocs)
+      .select(col("gh"))
+    val hits = grams.join(dup, "gh").select(col("__doc"), col("pos"))
+    val byPos = Window.partitionBy(col("__doc")).orderBy(col("pos"))
+    hits
+      .withColumn("__brk",
+        when(col("pos") - lag(col("pos"), 1).over(byPos) <= gramLen, 0)
+          .otherwise(1))
+      .withColumn("__island", sum(col("__brk")).over(byPos))
+      .groupBy(col("__doc"), col("__island"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + gramLen - 1).as("span_end"),
+        count(lit(1)).as("n_windows"))
+      .select(col("__doc").as(idCol), col("span_start"), col("span_end"),
+        col("n_windows"))
+  }
+
   /** Staged dedup pipeline: near-dup PAIRS → connected-component
     * CLUSTERS → quality-argmax SURVIVORS, sharing ONE materialized
     * pair frame across the three results instead of re-mining the
@@ -691,9 +764,6 @@ object Dedup {
     // count; the pigeonhole recall bound (hamming <= numChunks-1) is
     // unchanged.
     val bits = if (portable) graft.plans.SimHashMd5Expr.Bits else 64
-    require(bits % numChunks == 0, s"numChunks must divide $bits")
-    val width = bits / numChunks
-    val mask = (1L << width) - 1
     val simhash: Column => Column =
       if (portable) TextFns.simhashMd5_60 else TextFns.simhash64
     // zero-token documents are excluded: they all hash to the
@@ -705,6 +775,28 @@ object Dedup {
       .select(col(idCol).as("doc"), TextFns.tokens(col(textCol)).as("__toks"))
       .filter(size(col("__toks")) > 0)
       .select(col("doc"), simhash(col("__toks")).as("sh"))
+    hammingPairs64(hashed, maxHamming, numChunks, bits)
+  }
+
+  /** Hamming-bucketed pair mining over ANY prehashed (doc, sh) frame:
+    * the Manku et al. chunk trick — split the hash into `numChunks`
+    * chunks, bucket-join on (chunk index, chunk value). Pigeonhole
+    * guarantee: a pair at hamming <= numChunks - 1 shares at least
+    * one untouched chunk, so recall is EXACT when `maxHamming` is
+    * below that bound (callers may exceed it for best-effort recall —
+    * q35 does). Shared by text SimHash ([[simhashPairs]]) and
+    * perceptual image hashes
+    * ([[Multimodal.imagePairs]]) — the hamming join doesn't care what
+    * produced the 64 bits.
+    */
+  private[operators] def hammingPairs64(
+      hashed: DataFrame,
+      maxHamming: Int,
+      numChunks: Int,
+      bits: Int = 64): DataFrame = {
+    require(bits % numChunks == 0, s"numChunks must divide $bits")
+    val width = bits / numChunks
+    val mask = (1L << width) - 1
     val chunked = hashed.select(col("doc"), col("sh"),
       explode(transform(sequence(lit(0), lit(numChunks - 1)),
         i => struct(i.as("chunk"),

@@ -385,6 +385,110 @@ object Multimodal {
     ds.toDF()
   }
 
+  /** Deterministic 16x16 24bpp BMP payload with REAL pixel data — the
+    * content-level image fixture ([[syntheticPayload]] carries headers
+    * only). The image is built from an 8x8 block design (each design
+    * cell paints a constant 2x2 pixel block, so 2x2 average pooling is
+    * integer-exact and the aHash is oracle-predictable arithmetic):
+    *
+    *   - design cell i of class s = docId % 16 is dark (64) or bright
+    *     (192) by bit(s, i) = ((s * 2654435761 + i * 40503) % 97) % 2,
+    *     with cells 1 and 2 pinned to 0 and 1 so both shades always
+    *     occur (the cell mean then sits strictly between 64 and 192
+    *     and aHash bit i == bit(s, i) exactly);
+    *   - docs with docId % 5 == 0 FLIP cell 0 — the planted
+    *     near-duplicate at hamming exactly 1 from their class;
+    *   - rows are stored bottom-up (the common BMP layout), so a
+    *     decoder that ignores row order scrambles every vertically
+    *     asymmetric hash (spec-asserted).
+    */
+  def syntheticBitmap(docId: Long): Array[Byte] = {
+    val w = 16; val h = 16
+    val rowBytes = ((w * 3 + 3) / 4) * 4
+    val bb = java.nio.ByteBuffer.allocate(54 + rowBytes * h)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put('B'.toByte); bb.put('M'.toByte)
+    bb.putInt(54 + rowBytes * h) // file size
+    bb.putInt(0) // reserved
+    bb.putInt(54) // pixel data offset
+    bb.putInt(40) // BITMAPINFOHEADER size
+    bb.putInt(w)
+    bb.putInt(h) // positive: bottom-up rows
+    bb.putShort(1.toShort) // planes
+    bb.putShort(24.toShort) // bpp
+    bb.putInt(0) // BI_RGB
+    bb.putInt(rowBytes * h)
+    bb.putInt(2835); bb.putInt(2835) // 72 dpi
+    bb.putInt(0); bb.putInt(0) // palette
+    var fileRow = 0
+    while (fileRow < h) {
+      val y = h - 1 - fileRow // bottom-up
+      var x = 0
+      while (x < w) {
+        val v = bitmapBlockValue(docId, x / 2, y / 2).toByte
+        bb.put(v); bb.put(v); bb.put(v)
+        x += 1
+      }
+      fileRow += 1
+    }
+    bb.array()
+  }
+
+  /** Luminance of design cell (bx, by) for `docId` — the arithmetic
+    * the q93 oracle replays in SQL.
+    */
+  def bitmapBlockValue(docId: Long, bx: Int, by: Int): Int = {
+    val i = by * 8 + bx
+    val s = docId % 16
+    val base = i match {
+      case 1 => 0
+      case 2 => 1
+      case _ => (((s * 2654435761L + i * 40503L) % 97) % 2).toInt
+    }
+    val bit = if (i == 0 && docId % 5 == 0) base ^ 1 else base
+    64 + bit * 128
+  }
+
+  /** Image asset table with real decodable BMP payloads derived from
+    * `doc_id` ([[syntheticBitmap]]).
+    */
+  def syntheticBitmapAssets(docs: DataFrame): DataFrame = {
+    val payloadUdf = udf((id: Long) => syntheticBitmap(id))
+    docs.select(col("doc_id").as("asset_id"),
+      payloadUdf(col("doc_id")).as("payload"))
+  }
+
+  /** Per-asset perceptual hashes: decode + pool + aHash/dHash in ONE
+    * codegen'd scan ([[graft.plans.ImageHash]]); undecodable payloads
+    * yield null hashes and drop out of pair mining.
+    */
+  def imageHashes(assets: DataFrame, idCol: String = "asset_id",
+      payloadCol: String = "payload"): DataFrame = {
+    val spark = assets.sparkSession
+    assets.select(col(idCol),
+      graft.plans.ImageHash.aHash(spark, col(payloadCol)).as("ahash"),
+      graft.plans.ImageHash.dHash(spark, col(payloadCol)).as("dhash"))
+  }
+
+  /** Content-level image near-dup pairs: aHash within `maxHamming`,
+    * mined through the same Manku chunk-bucket equi-join as text
+    * SimHash ([[Dedup.hammingPairs64]]) — images become first-class
+    * citizens of the dedup pair pipeline, never an image-vs-image
+    * cross join. Output: (id_a, id_b, hamming).
+    */
+  def imagePairs(
+      assets: DataFrame,
+      maxHamming: Int,
+      idCol: String = "asset_id",
+      payloadCol: String = "payload",
+      numChunks: Int = 8): DataFrame = {
+    val spark = assets.sparkSession
+    val hashed = assets.select(col(idCol).as("doc"),
+        graft.plans.ImageHash.aHash(spark, col(payloadCol)).as("sh"))
+      .filter(col("sh").isNotNull)
+    Dedup.hammingPairs64(hashed, maxHamming, numChunks)
+  }
+
   /** Deterministic frame/chunk sampler: every asset yields
     * ceil(n_bytes / chunkSize) chunk descriptors — the Spark-side
     * shape of frame-sampling a video without decoding it here.

@@ -105,6 +105,26 @@ object Similarity {
     else bucketedPairsCosine(emb, idCol, vecCol, threshold, bucketBits)
   }
 
+  /** SemDeDup's own cell-count recipe: enough cells that the EXPECTED
+    * cell holds ~`targetCellSize` vectors, floored at `minCells` so a
+    * tiny corpus still partitions. Abbas et al. 2023 size k so
+    * clusters stay small enough that the within-cluster pair pass is
+    * cheap (they used 50k clusters for ~10⁹ docs ⇒ ~20k per cluster
+    * at web scale; we default far smaller because the within-cell
+    * pass here is exact all-pairs, O(cellSize²) per cell). With this
+    * sizing the total pair count is ~N × targetCellSize / 2 — LINEAR
+    * in the corpus, the property a fixed cell count loses.
+    */
+  def autoCells(
+      corpusRows: Long,
+      targetCellSize: Int = 100,
+      minCells: Int = 8): Int = {
+    require(targetCellSize > 0 && minCells > 0,
+      "targetCellSize and minCells must be positive")
+    val needed = (corpusRows + targetCellSize - 1) / targetCellSize
+    math.max(minCells.toLong, needed).min(Int.MaxValue.toLong).toInt
+  }
+
   /** SemDeDup-style semantic dedup over an embedding column: the
     * corpus partitions into IVF cells (deterministic smallest-id
     * centroids by default, or caller-trained k-means), pairwise

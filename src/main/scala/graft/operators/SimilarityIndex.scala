@@ -80,6 +80,48 @@ object SimilarityIndex {
     writeMeta(spark, dir, "ivf", numCells, dims)
   }
 
+  /** APPEND a delta of new vectors into a persisted IVF index:
+    * `srcDir → dstDir` copy-free rotation — untouched cell partitions
+    * carry as hardlinks, the delta's rows land as new part-files in
+    * exactly the cells they rank into, and centroids/meta carry
+    * frozen (assignment must keep using the PERSISTED centroids or
+    * old and new vectors would live in different geometries). The
+    * per-tick cost is delta-sized: one codegen cellRank scan of the
+    * delta plus delta-cell file appends; the existing corpus is never
+    * read or rewritten. Delta ids must be new to the index (the
+    * streaming maintainer anti-joins replayed ids before calling).
+    * Same stale-config discipline as the probes: meta version/kind
+    * and vector dims are validated before any write.
+    */
+  def appendIvf(
+      delta: DataFrame,
+      idCol: String,
+      vecCol: String,
+      srcDir: String,
+      dstDir: String): DataFrame = {
+    require(srcDir != dstDir, "append rotates to a fresh directory")
+    val spark = delta.sparkSession
+    val numCells = spark.read.parquet(s"$srcDir/meta")
+      .collect()(0).getAs[Int]("param")
+    checkMeta(spark, srcDir, "ivf", numCells,
+      probeDims = firstDims(delta, vecCol))
+    val cents = spark.read.parquet(s"$srcDir/centroids")
+      .collect().map(r => (r.getAs[Int]("cell"),
+        r.getSeq[Float](r.fieldIndex("centroid")).toArray))
+      .sortBy(_._1).toSeq
+    val assigned = delta.select(
+      col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      element_at(Similarity.cellRank(spark, cents, col(vecCol)), 1)
+        .getField("cell").as("cell"))
+    // insert-only rotation: no touched buckets — every existing cell
+    // file hardlinks across, delta rows append into their cell dirs
+    val rotated = IndexRotation.rotateBucketed(spark, s"$srcDir/cells",
+      s"$dstDir/cells", Seq.empty, assigned, partCol = "cell")
+    IndexRotation.rotateFrozen(spark, s"$srcDir/centroids", s"$dstDir/centroids")
+    IndexRotation.rotateFrozen(spark, s"$srcDir/meta", s"$dstDir/meta")
+    rotated
+  }
+
   /** Probe a persisted IVF index: rank the persisted centroids per
     * probe (one codegen scan — centroids are numCells driver
     * literals), then join against ONLY the probed cell partitions.

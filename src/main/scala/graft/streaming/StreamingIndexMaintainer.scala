@@ -26,35 +26,9 @@ import graft.operators.IncrementalDedup
   */
 object StreamingIndexMaintainer {
 
-  private val Marker = "_TICK_DONE"
-
-  private def fs(spark: SparkSession, path: String) =
-    new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-
   /** The newest COMMITTED tick dir, if any. */
   def currentDir(spark: SparkSession, indexRoot: String): Option[String] =
-    committedTicks(spark, indexRoot).lastOption
-      .map { case (n, _) => s"$indexRoot/tick-$n" }
-
-  private def committedTicks(
-      spark: SparkSession, indexRoot: String): Seq[(Long, Boolean)] = {
-    val f = fs(spark, indexRoot)
-    val root = new org.apache.hadoop.fs.Path(indexRoot)
-    if (!f.exists(root)) Seq.empty
-    else f.listStatus(root).toSeq
-      .filter(_.isDirectory)
-      .flatMap { st =>
-        val name = st.getPath.getName
-        if (name.startsWith("tick-"))
-          name.stripPrefix("tick-").toLongOption.map { n =>
-            (n, f.exists(new org.apache.hadoop.fs.Path(st.getPath, Marker)))
-          }
-        else None
-      }
-      .filter(_._2)
-      .sortBy(_._1)
-  }
+    TickDirs.currentDir(spark, indexRoot)
 
   /** One tick, usable directly in tests (the `foreachBatch` body).
     * Returns the committed dir the index now lives in.
@@ -69,24 +43,22 @@ object StreamingIndexMaintainer {
       threshold: Double = 0.8,
       maxShingleDocFreq: Int = 1000): String = {
     val spark = batch.sparkSession
-    val f = fs(spark, indexRoot)
     // intra-batch dedupe: a source can redeliver a doc WITHIN one
     // micro-batch too, and append's contract needs unique ids — the
     // cross-batch anti-join below only covers ids already indexed
     val uniq = batch.filter(col(idCol).isNotNull).dropDuplicates(idCol)
-    val current = committedTicks(spark, indexRoot).lastOption.map(_._1)
+    val current = TickDirs.committed(spark, indexRoot).lastOption
     val nextN = current.map(_ + 1).getOrElse(0L)
     val nextDir = s"$indexRoot/tick-$nextN"
     // a dir without the marker is a crashed half-tick: remove it so
     // the rotation's hardlink carry starts from a clean slate
-    val nextPath = new org.apache.hadoop.fs.Path(nextDir)
-    if (f.exists(nextPath)) f.delete(nextPath, true)
+    TickDirs.clearHalfTick(spark, nextDir)
 
     current match {
       case None =>
         IncrementalDedup.buildIndex(uniq, idCol, textCol, blockCol,
           n, threshold, maxShingleDocFreq, nextDir)
-        f.create(new org.apache.hadoop.fs.Path(nextPath, Marker)).close()
+        TickDirs.commit(spark, nextDir)
         nextDir
       case Some(cur) =>
         val curDir = s"$indexRoot/tick-$cur"
@@ -100,7 +72,7 @@ object StreamingIndexMaintainer {
         else {
           IncrementalDedup.append(fresh, idCol, textCol, blockCol,
             curDir, nextDir)
-          f.create(new org.apache.hadoop.fs.Path(nextPath, Marker)).close()
+          TickDirs.commit(spark, nextDir)
           nextDir
         }
     }

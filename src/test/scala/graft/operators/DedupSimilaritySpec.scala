@@ -944,4 +944,27 @@ class DedupSimilaritySpec extends SparkSuiteBase {
     assert(nn.keySet == Set(Some("web"), None))
     assert(math.abs(nn(None) - 0.5) < 1e-5, s"null-source rate: ${nn(None)}")
   }
+
+  test("temperatureMix above the literal ceiling broadcast-joins, same result") {
+    import spark.implicits._
+    // 200 sources (one of them null) — far past the 64-literal ceiling
+    // where a CASE chain becomes a thousands-deep expression tree
+    val docs = (1L to 2000L)
+      .map(i => (i, if (i % 200 == 0) null else s"src${i % 200}"))
+      .toDF("doc_id", "source")
+    def collectRows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), Option(r.getString(1)),
+        r.getDouble(2), r.getBoolean(3))).toSet
+    val viaLiteral = Curation.temperatureMix(docs, "doc_id", "source",
+      alpha = 0.7, budgetDocs = 500L, maxLiteralGroups = Int.MaxValue)
+    val viaBroadcast = Curation.temperatureMix(docs, "doc_id", "source",
+      alpha = 0.7, budgetDocs = 500L)
+    assert(collectRows(viaBroadcast) === collectRows(viaLiteral))
+    // the size routing actually routed: a broadcast hash join above
+    // the ceiling (null-safe key included), no join at all below it
+    val bp = viaBroadcast.queryExecution.executedPlan.toString
+    assert(bp.contains("BroadcastHashJoin"), s"expected broadcast join:\n$bp")
+    val lp = viaLiteral.queryExecution.executedPlan.toString
+    assert(!lp.contains("Join"), s"literal path must stay join-free:\n$lp")
+  }
 }

@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuiteBase
+import graft.Tables
+
+/** R-19 exact-substring dedup (Lee et al. 2021 ExactSubstr):
+  * [[Dedup.repeatedSpans]] must flag EXACTLY the planted cross-document
+  * token spans — correct 1-based positions, correct island merge — and
+  * nothing else (no within-doc-only repeats, no spans under the gram
+  * length).
+  */
+class SubstringDedupSpec extends SparkSuiteBase {
+
+  private val L = 20
+
+  /** Docs assembled from per-doc-unique filler (`u<doc>x<i>`, which can
+    * never form a cross-doc repeated gram) around shared runs.
+    */
+  private def doc(id: Long, parts: Seq[Seq[String]]): (Long, String) =
+    (id, parts.flatten.mkString(" "))
+
+  private def filler(id: Long, n: Int, tag: String): Seq[String] =
+    (0 until n).map(i => s"u${id}${tag}x$i")
+
+  private def spansOf(rows: Seq[(Long, String)]): Map[(Long, Long, Long), Long] = {
+    import spark.implicits._
+    Dedup.repeatedSpans(rows.toDF("doc_id", "text"), "doc_id", "text",
+        gramLen = L, minDocs = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> r.getLong(3))
+      .toMap
+  }
+
+  test("a planted 200-token shared span is recovered at exact positions") {
+    val shared = (0 until 200).map(i => s"shared$i")
+    val rows = Seq(
+      doc(1L, Seq(filler(1L, 50, "a"), shared, filler(1L, 30, "b"))),
+      doc(2L, Seq(filler(2L, 10, "a"), shared, filler(2L, 5, "b"))))
+    // fully-inside windows only: 200 - L + 1 = 181 per doc, merged to
+    // one maximal span covering exactly the shared run
+    assert(spansOf(rows) === Map(
+      (1L, 51L, 250L) -> 181L,
+      (2L, 11L, 210L) -> 181L))
+  }
+
+  test("a span repeated only WITHIN one doc is not flagged") {
+    val rep = (0 until 40).map(i => s"rep$i")
+    val rows = Seq(
+      doc(1L, Seq(filler(1L, 5, "a"), rep, filler(1L, 5, "b"), rep)),
+      doc(2L, Seq(filler(2L, 60, "a"))))
+    assert(spansOf(rows).isEmpty)
+  }
+
+  test("a shared run shorter than the gram length is invisible") {
+    val short = (0 until L - 1).map(i => s"short$i")
+    val rows = Seq(
+      doc(1L, Seq(filler(1L, 8, "a"), short, filler(1L, 8, "b"))),
+      doc(2L, Seq(filler(2L, 3, "a"), short, filler(2L, 3, "b"))))
+    assert(spansOf(rows).isEmpty)
+  }
+
+  test("two disjoint shared runs in one doc merge into two islands") {
+    val s1 = (0 until 30).map(i => s"one$i")
+    val s2 = (0 until 25).map(i => s"two$i")
+    val rows = Seq(
+      doc(1L, Seq(s1, filler(1L, 40, "gap"), s2)),
+      doc(2L, Seq(filler(2L, 7, "a"), s1, filler(2L, 9, "b"))),
+      doc(3L, Seq(filler(3L, 4, "a"), s2)))
+    val got = spansOf(rows)
+    // doc 1: [1,30] (11 windows) and [71,95] (6 windows); the 40-token
+    // unique gap is > L so the islands stay separate
+    assert(got === Map(
+      (1L, 1L, 30L) -> 11L,
+      (1L, 71L, 95L) -> 6L,
+      (2L, 8L, 37L) -> 11L,
+      (3L, 5L, 29L) -> 6L))
+  }
+
+  test("the sf fixture's planted near-dups carry repeated spans") {
+    val spans = Dedup.repeatedSpans(Tables.documents(spark, sfDir),
+      "doc_id", "text", gramLen = L, minDocs = 2)
+    assert(spans.count() > 0)
+    // spans are well-formed: start >= 1, end >= start + L - 1, and the
+    // window count is positive and at most the solid-span bound
+    // (span_len - L + 1; merged-but-gappy spans sit below it)
+    val bad = spans.filter(col("span_start") < 1 ||
+      col("span_end") < col("span_start") + (L - 1) ||
+      col("n_windows") < 1 ||
+      col("n_windows") > col("span_end") - col("span_start") - (L - 2))
+    assert(bad.count() === 0)
+  }
+}

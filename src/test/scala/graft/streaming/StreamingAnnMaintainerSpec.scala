@@ -1,0 +1,128 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuiteBase
+import graft.operators.{HardlinkProbe, SimilarityIndex}
+
+/** The streaming ANN maintainer's claim mirrors the dedup
+  * maintainer's: N micro-batched vector appends must leave the same
+  * IVF index a single build over everything would, a replayed batch
+  * must be a no-op tick, and the rotation must hardlink-carry the
+  * untouched cell files rather than rewrite them.
+  */
+class StreamingAnnMaintainerSpec extends SparkSuiteBase {
+
+  private val dims = 8
+  private val cells = 4
+
+  /** Deterministic unit-ish vectors: id i leans along axis i % dims,
+    * so cell assignment is stable and every cell is populated.
+    */
+  private def vec(i: Long): Array[Float] = {
+    val v = Array.fill(dims)(0.1f)
+    v((i % dims).toInt) = 1.0f
+    v
+  }
+
+  private def corpus(ids: Seq[Long]) = {
+    import spark.implicits._
+    ids.map(i => (i, vec(i).toSeq)).toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>"))
+  }
+
+  private def cellsAt(dir: String): Map[Long, Int] =
+    spark.read.parquet(s"$dir/cells")
+      .select(col("neighbor_id"), col("cell"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+
+  test("micro-batched vector appends equal a single full build") {
+    import spark.implicits._
+    val root = tmpDir("ann-root")
+    val ckpt = tmpDir("ann-ckpt")
+    val allIds = (0L until 40L)
+    val ms = MemoryStream[(Long, Seq[Float])](spark, 1)
+    val stream = ms.toDF().toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>"))
+    val q = StreamingAnnMaintainer.start(stream, "vec_id", "embedding",
+        root, ckpt, numCells = cells,
+        trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+      .start()
+    try {
+      // batch 1 holds the smallest ids, so the bootstrap's smallest-id
+      // centroids equal the full build's
+      Seq(allIds.take(16), allIds.slice(16, 28), allIds.drop(28)).foreach { b =>
+        ms.addData(b.map(i => (i, vec(i).toSeq)): _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    val cur = StreamingAnnMaintainer.currentDir(spark, root)
+    assert(cur.contains(s"$root/tick-2"), s"expected 3 committed ticks: $cur")
+
+    val fullDir = tmpDir("ann-full")
+    SimilarityIndex.buildIvf(corpus(allIds), "vec_id", "embedding",
+      cells, fullDir)
+    assert(cellsAt(cur.get) === cellsAt(fullDir),
+      "streamed index diverges from the one-shot build")
+
+    // probes through both indexes agree
+    val probes = corpus(Seq(100L, 101L, 102L))
+    def topk(dir: String) = SimilarityIndex.ivfProbe(probes, "vec_id",
+        "embedding", dir, numCells = cells, nprobe = 2, k = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(topk(cur.get) === topk(fullDir))
+  }
+
+  test("replayed batches are no-op ticks; fresh ids still append") {
+    val root = tmpDir("ann-replay")
+    val first = corpus(0L until 16L)
+    val d0 = StreamingAnnMaintainer.tick(first, "vec_id", "embedding",
+      root, numCells = cells)
+    assert(d0 == s"$root/tick-0")
+
+    // full replay (crash between tick commit and checkpoint commit)
+    val replayed = StreamingAnnMaintainer.tick(first, "vec_id", "embedding",
+      root, numCells = cells)
+    assert(replayed == d0, "replayed batch must not advance the index")
+
+    // crashed half-tick is cleaned and re-derived
+    val half = new java.io.File(s"$root/tick-1")
+    assert(half.mkdirs())
+    assert(new java.io.File(half, "garbage").createNewFile())
+    // mixed batch: 8 replayed ids + 8 fresh — only the fresh append,
+    // and intra-batch duplicates collapse first
+    val mixed = corpus((8L until 24L) ++ (16L until 24L))
+    val d1 = StreamingAnnMaintainer.tick(mixed, "vec_id", "embedding",
+      root, numCells = cells)
+    assert(d1 == s"$root/tick-1")
+    assert(!new java.io.File(half, "garbage").exists(),
+      "half-tick garbage must be cleaned before the rebuild")
+    assert(cellsAt(d1).keySet === (0L until 24L).toSet)
+    // and no id holds duplicate rows (replays and intra-batch dupes
+    // were really dropped, not just masked by the map)
+    assert(spark.read.parquet(s"$d1/cells").count() === 24L)
+    // appended rows rank against the PERSISTED centroids: assignment
+    // of old ids is untouched
+    val before = cellsAt(d0)
+    assert(cellsAt(d1).view.filterKeys(_ < 16L).toMap === before)
+  }
+
+  test("untouched cell files carry as hardlinks, not copies") {
+    val root = tmpDir("ann-hardlink")
+    val d0 = StreamingAnnMaintainer.tick(corpus(0L until 16L),
+      "vec_id", "embedding", root, numCells = cells)
+    // a delta landing in ONE cell: vectors all leaning along axis 0
+    val d1 = StreamingAnnMaintainer.tick(corpus(Seq(64L, 72L)),
+      "vec_id", "embedding", root, numCells = cells)
+    val before = HardlinkProbe.dataFiles(s"$d0/cells")
+    val after = HardlinkProbe.dataFiles(s"$d1/cells")
+    // every pre-existing data file is inode-identical in the new tick
+    before.foreach { case (rel, ino) =>
+      assert(after.get(rel).contains(ino), s"rewritten: $rel")
+    }
+    // and the delta added at least one genuinely new file
+    assert(after.size > before.size)
+  }
+}
