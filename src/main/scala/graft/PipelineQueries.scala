@@ -1846,13 +1846,22 @@ object PipelineQueries extends QueryGroup {
   // BITS as arithmetic on doc_id and computes true pairwise hamming —
   // the hash-match asserts decode, pooling, thresholding AND pair
   // mining at once (chunk recall is exact: hamming <= 3 < 8 chunks).
+  // The planted CLASS COUNT sizes from the corpus on both sides
+  // (greatest(16, ceil(N/32)) — Multimodal.autoImageClasses): a fixed
+  // count would grow every duplicate class with the corpus and the
+  // pair output quadratically — a fixture artifact, not an operator
+  // property.
   q("q93_image_phash",
     """WITH i93 AS (SELECT unnest(generate_series(0, 63)) AS i),
+      |n93 AS (SELECT greatest(16, CAST(ceil(count(*) / 32.0) AS BIGINT)) AS cls
+      |  FROM documents),
       |b93 AS (SELECT doc_id, i,
       |    CASE WHEN i = 0 AND doc_id % 5 = 0 THEN 1 - b0 ELSE b0 END AS bit
       |  FROM (SELECT d.doc_id, i93.i,
       |      CASE WHEN i93.i = 1 THEN 0 WHEN i93.i = 2 THEN 1
-      |        ELSE ((d.doc_id % 16) * 2654435761 + i93.i * 40503) % 97 % 2
+      |        ELSE CAST('0x' || substr(md5(
+      |               (d.doc_id % (SELECT cls FROM n93)) || ':' || i93.i),
+      |             1, 15) AS BIGINT) % 2
       |      END AS b0
       |    FROM documents d, i93)),
       |p93 AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -1861,8 +1870,10 @@ object PipelineQueries extends QueryGroup {
       |  GROUP BY 1, 2)
       |SELECT id_a, id_b, CAST(hamming AS INT) AS hamming FROM p93
       |WHERE hamming <= 3 ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
     Multimodal.imagePairs(
-        Multimodal.syntheticBitmapAssets(Tables.documents(s, d)),
+        Multimodal.syntheticBitmapAssets(docs,
+          Multimodal.autoImageClasses(docs.count())),
         maxHamming = 3)
       .orderBy(col("id_a"), col("id_b"))
   }

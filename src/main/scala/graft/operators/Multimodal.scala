@@ -391,18 +391,21 @@ object Multimodal {
     * cell paints a constant 2x2 pixel block, so 2x2 average pooling is
     * integer-exact and the aHash is oracle-predictable arithmetic):
     *
-    *   - design cell i of class s = docId % 16 is dark (64) or bright
-    *     (192) by bit(s, i) = ((s * 2654435761 + i * 40503) % 97) % 2,
-    *     with cells 1 and 2 pinned to 0 and 1 so both shades always
-    *     occur (the cell mean then sits strictly between 64 and 192
-    *     and aHash bit i == bit(s, i) exactly);
+    *   - design cell i of class s = docId % numClasses is dark (64)
+    *     or bright (192) by bit(s, i) = md5("s:i") & 1 (the portable
+    *     md5 discipline — a modular-arithmetic mix here would repeat
+    *     designs with the modulus's period and quietly re-inflate
+    *     duplicate classes at scale), with cells 1 and 2 pinned to 0
+    *     and 1 so both shades always occur (the cell mean then sits
+    *     strictly between 64 and 192 and aHash bit i == bit(s, i)
+    *     exactly);
     *   - docs with docId % 5 == 0 FLIP cell 0 — the planted
     *     near-duplicate at hamming exactly 1 from their class;
     *   - rows are stored bottom-up (the common BMP layout), so a
     *     decoder that ignores row order scrambles every vertically
     *     asymmetric hash (spec-asserted).
     */
-  def syntheticBitmap(docId: Long): Array[Byte] = {
+  def syntheticBitmap(docId: Long, numClasses: Long = 16L): Array[Byte] = {
     val w = 16; val h = 16
     val rowBytes = ((w * 3 + 3) / 4) * 4
     val bb = java.nio.ByteBuffer.allocate(54 + rowBytes * h)
@@ -425,7 +428,7 @@ object Multimodal {
       val y = h - 1 - fileRow // bottom-up
       var x = 0
       while (x < w) {
-        val v = bitmapBlockValue(docId, x / 2, y / 2).toByte
+        val v = bitmapBlockValue(docId, x / 2, y / 2, numClasses).toByte
         bb.put(v); bb.put(v); bb.put(v)
         x += 1
       }
@@ -437,23 +440,42 @@ object Multimodal {
   /** Luminance of design cell (bx, by) for `docId` — the arithmetic
     * the q93 oracle replays in SQL.
     */
-  def bitmapBlockValue(docId: Long, bx: Int, by: Int): Int = {
+  def bitmapBlockValue(docId: Long, bx: Int, by: Int,
+      numClasses: Long = 16L): Int = {
     val i = by * 8 + bx
-    val s = docId % 16
+    val s = docId % numClasses
     val base = i match {
       case 1 => 0
       case 2 => 1
-      case _ => (((s * 2654435761L + i * 40503L) % 97) % 2).toInt
+      case _ => (graft.functions.PortableHash.md5Long60Jvm(
+        s"$s:$i".getBytes(java.nio.charset.StandardCharsets.UTF_8)) & 1L).toInt
     }
     val bit = if (i == 0 && docId % 5 == 0) base ^ 1 else base
     64 + bit * 128
   }
 
+  /** Fixture class count ∝ corpus size (the q84 autoCells discipline
+    * applied to the IMAGE fixture): ~`targetClassSize` members per
+    * planted duplicate class regardless of corpus scale. A FIXED
+    * class count would grow every duplicate class linearly with the
+    * corpus and the pair output quadratically — a fixture artifact,
+    * not an operator property (real corpora don't duplicate every
+    * image N/16 times; the same reasoning as ScaleFixture's per-copy
+    * token suffixes).
+    */
+  def autoImageClasses(
+      corpusRows: Long,
+      targetClassSize: Int = 32,
+      minClasses: Int = 16): Long =
+    math.max(minClasses.toLong,
+      (corpusRows + targetClassSize - 1) / targetClassSize)
+
   /** Image asset table with real decodable BMP payloads derived from
     * `doc_id` ([[syntheticBitmap]]).
     */
-  def syntheticBitmapAssets(docs: DataFrame): DataFrame = {
-    val payloadUdf = udf((id: Long) => syntheticBitmap(id))
+  def syntheticBitmapAssets(docs: DataFrame,
+      numClasses: Long = 16L): DataFrame = {
+    val payloadUdf = udf((id: Long) => syntheticBitmap(id, numClasses))
     docs.select(col("doc_id").as("asset_id"),
       payloadUdf(col("doc_id")).as("payload"))
   }

@@ -200,4 +200,38 @@ class PlanSpec extends SparkSuiteBase {
     val s87 = plan("q87_temperature_mix")
     assert(!s87.contains("Join"), s"q87 must not plan a join:\n$s87")
   }
+
+  test("source divergence reads ONE checkpointed (grp, token) frame") {
+    // the exploded token counts are checkpointed once and feed the
+    // per-source totals, the global marginal and the KL aggregate —
+    // the final plan must hold NO Generate (explode) node at all: a
+    // re-derived explode would re-tokenize the corpus up to three
+    // times
+    val p = plan("q91_source_divergence")
+    assert(!p.contains("Generate"),
+      s"tokenization must not be re-derived past the checkpoint:\n$p")
+    assert(!p.contains("CartesianProduct")
+      && !p.contains("BroadcastNestedLoopJoin"),
+      s"marginal joins must stay equi-keyed:\n$p")
+  }
+
+  test("substring dedup joins on the gram hash; islands window per doc") {
+    val p = plan("q92_substring_dedup")
+    assert(!p.contains("CartesianProduct")
+      && !p.contains("BroadcastNestedLoopJoin"),
+      s"duplicated-gram join must stay equi-keyed:\n$p")
+    // the island merge partitions by document — a global (empty
+    // partition spec) window would single-task the whole corpus
+    p.linesIterator.filter(_.contains("Window ")).foreach { l =>
+      assert(l.contains("__doc"),
+        s"island windows must partition by doc, got: $l")
+    }
+  }
+
+  test("image-hash pairs mine through the chunk-bucket equi-join") {
+    val p = plan("q93_image_phash")
+    assert(!p.contains("CartesianProduct")
+      && !p.contains("BroadcastNestedLoopJoin"),
+      s"hamming candidates must stay bucket-equi-keyed:\n$p")
+  }
 }
