@@ -74,8 +74,7 @@ object SimilarityIndex {
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
     corpus.select(
         col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
-        element_at(Similarity.cellRank(spark, cents, col(vecCol)), 1)
-          .getField("cell").as("cell"))
+        Similarity.cellAssign(spark, cents, col(vecCol)).as("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/cells")
     writeMeta(spark, dir, "ivf", numCells, dims)
   }
@@ -111,8 +110,7 @@ object SimilarityIndex {
       .sortBy(_._1).toSeq
     val assigned = delta.select(
       col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
-      element_at(Similarity.cellRank(spark, cents, col(vecCol)), 1)
-        .getField("cell").as("cell"))
+      Similarity.cellAssign(spark, cents, col(vecCol)).as("cell"))
     // insert-only rotation: no touched buckets — every existing cell
     // file hardlinks across, delta rows append into their cell dirs
     val rotated = IndexRotation.rotateBucketed(spark, s"$srcDir/cells",

@@ -945,6 +945,35 @@ class DedupSimilaritySpec extends SparkSuiteBase {
     assert(math.abs(nn(None) - 0.5) < 1e-5, s"null-source rate: ${nn(None)}")
   }
 
+  test("nearest-cell kernel matches the struct-sort rank-1 slice bit-for-bit") {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, sfDir)
+    val cents = Similarity.smallestIdCentroids(e, "vec_id", "embedding", 20)
+    def viaKernel(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("vec_id"),
+          Similarity.cellAssign(spark, cents, col("embedding")).as("c"))
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    def viaSort(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("vec_id"),
+          element_at(Similarity.cellRank(spark, cents, col("embedding")), 1)
+            .getField("cell").as("c"))
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(viaKernel(e) === viaSort(e))
+    // edge cases the fixture can't produce: an exact duplicate of a
+    // centroid (tie at d=0 -> that centroid's cell, and ties between
+    // equal distances -> the smaller cell) agrees with the sort; a
+    // zero vector is DEFINED only for the kernel (all-NaN distances
+    // -> cell 0, the sort's tie-break answer) — the struct-sort path
+    // throws under ANSI (double divide-by-zero in cos6), so the
+    // kernel is strictly more tolerant, never divergent
+    val dims = cents.head._2.length
+    val dup = Seq((1001L, cents(7)._2.toSeq)).toDF("vec_id", "embedding")
+    assert(viaKernel(dup) === viaSort(dup))
+    assert(viaKernel(dup)(1001L) === 7)
+    val zero = Seq((1000L, Seq.fill(dims)(0.0f))).toDF("vec_id", "embedding")
+    assert(viaKernel(zero)(1000L) === 0)
+  }
+
   test("temperatureMix above the literal ceiling broadcast-joins, same result") {
     import spark.implicits._
     // 200 sources (one of them null) — far past the 64-literal ceiling
