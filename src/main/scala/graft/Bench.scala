@@ -47,7 +47,11 @@ object Bench {
     // round-7 session-2 additions, mins at sf0.1 (comparator 0.48/0.32)
     "q85_nb_quality" -> 2.18, "q86_shuffle_shard" -> 1.02,
     "q87_temperature_mix" -> 0.54, "q88_ivf_train" -> 1.02,
-    "q89_quantile_filter" -> 1.23, "q90_char_entropy" -> 0.42)
+    "q89_quantile_filter" -> 1.23, "q90_char_entropy" -> 0.42,
+    // round-8 additions, quiet-box mins at sf0.1 (q84 re-measured at
+    // the auto-sized 20 cells + argmin kernel)
+    "q91_source_divergence" -> 1.33, "q92_substring_dedup" -> 2.41,
+    "q93_image_phash" -> 1.22, "q94_substring_strip" -> 1.84)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1805,15 +1805,12 @@ object PipelineQueries extends QueryGroup {
       .orderBy(col("grp"))
   }
 
-  // R-19: EXACT SUBSTRING dedup (Lee et al. 2021 ExactSubstr) — the
-  // maximal token spans repeated across >= 2 documents, via
-  // fixed-length (20-token) gram fingerprints + per-doc island merge
-  // (Dedup.repeatedSpans). The oracle mines the same windows as gram
-  // STRINGS (xxhash64 not in DuckDB) and merges with the same
-  // gaps-and-islands rule, so the hash-match asserts positions AND
-  // merge semantics.
-  q("q92_substring_dedup",
-    s"""WITH t92 AS (SELECT doc_id, $sqlTokens AS l FROM documents),
+  // Shared CTE chain mining the cross-document repeated 20-token
+  // windows and merging them into maximal spans — the oracle twin of
+  // Dedup.repeatedSpans's internals. Used by q92 (the span list) and
+  // q94 (the strip rewrite).
+  private val substringSpanCtes: String =
+    s"""t92 AS (SELECT doc_id, $sqlTokens AS l FROM documents),
        |g92 AS (SELECT doc_id,
        |    unnest(generate_series(1, greatest(len(l) - 19, 0))) AS pos,
        |    unnest(list_transform(generate_series(1, greatest(len(l) - 19, 0)),
@@ -1827,7 +1824,17 @@ object PipelineQueries extends QueryGroup {
        |           <= 20 THEN 0 ELSE 1 END AS brk FROM h92),
        |s92 AS (SELECT doc_id, pos,
        |    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
-       |  FROM i92)
+       |  FROM i92)""".stripMargin
+
+  // R-19: EXACT SUBSTRING dedup (Lee et al. 2021 ExactSubstr) — the
+  // maximal token spans repeated across >= 2 documents, via
+  // fixed-length (20-token) gram fingerprints + per-doc island merge
+  // (Dedup.repeatedSpans). The oracle mines the same windows as gram
+  // STRINGS (xxhash64 not in DuckDB) and merges with the same
+  // gaps-and-islands rule, so the hash-match asserts positions AND
+  // merge semantics.
+  q("q92_substring_dedup",
+    s"""WITH $substringSpanCtes
        |SELECT doc_id, min(pos) AS span_start, max(pos) + 19 AS span_end,
        |  count(*) AS n_windows
        |FROM s92 GROUP BY doc_id, island
@@ -1835,6 +1842,34 @@ object PipelineQueries extends QueryGroup {
     Dedup.repeatedSpans(Tables.documents(s, d), "doc_id", "text",
         gramLen = 20, minDocs = 2)
       .orderBy(col("doc_id"), col("span_start"))
+  }
+
+  // R-19 operationalized: the STRIP rewrite — every flagged span's
+  // tokens removed from every document holding one (Lee et al. drop
+  // all occurrences of a cross-document repeat), survivors keep their
+  // text verbatim at token level. The oracle re-mines the spans and
+  // strips by position with a correlated NOT EXISTS; both sides
+  // re-assemble in position order.
+  q("q94_substring_strip",
+    s"""WITH $substringSpanCtes,
+       |sp94 AS (SELECT doc_id, min(pos) AS span_start,
+       |    max(pos) + 19 AS span_end
+       |  FROM s92 GROUP BY doc_id, island),
+       |tok94 AS (SELECT doc_id, unnest(generate_series(1, len(l))) AS pos,
+       |    unnest(l) AS token FROM t92),
+       |k94 AS (SELECT t.doc_id, t.pos, t.token FROM tok94 t
+       |  WHERE NOT EXISTS (SELECT 1 FROM sp94 s
+       |    WHERE s.doc_id = t.doc_id
+       |      AND t.pos BETWEEN s.span_start AND s.span_end)),
+       |c94 AS (SELECT doc_id, string_agg(token, ' ' ORDER BY pos) AS ct,
+       |    count(*) AS nk FROM k94 GROUP BY doc_id)
+       |SELECT t92.doc_id, coalesce(c94.ct, '') AS clean_text,
+       |  CAST(len(t92.l) - coalesce(c94.nk, 0) AS BIGINT) AS n_dropped_tokens
+       |FROM t92 LEFT JOIN c94 ON c94.doc_id = t92.doc_id
+       |ORDER BY t92.doc_id""".stripMargin) { (s, d) =>
+    Dedup.stripRepeatedSpans(Tables.documents(s, d), "doc_id", "text",
+        gramLen = 20, minDocs = 2)
+      .orderBy(col("doc_id"))
   }
 
   // R-19 x north star: CONTENT-level image dedup — perceptual aHash

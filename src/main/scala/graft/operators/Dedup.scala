@@ -651,6 +651,57 @@ object Dedup {
         col("n_windows"))
   }
 
+  /** The OPERATIONAL half of exact-substring dedup: rewrite each
+    * document with every [[repeatedSpans]] token span REMOVED (Lee et
+    * al. 2021 drop every occurrence of a cross-document repeat; the
+    * survivors keep their unique text). Returns every input doc with
+    * `clean_text` (tokens outside flagged spans, single-space joined,
+    * lowercased by the tokenizer — token-level fidelity, not byte: the
+    * span machinery is defined over the token stream) and
+    * `n_dropped_tokens`.
+    *
+    * Scale shape: spans per doc are a tiny frame (output of the span
+    * miner); the rewrite is one posexplode of the corpus tokens, one
+    * broadcast-or-shuffle anti-join on (doc, pos-in-span) — expressed
+    * as a range predicate on the doc-keyed join so Catalyst keeps it
+    * an equi-join on doc with the span bounds as residuals — and one
+    * per-doc ordered re-assembly (array_sort of (pos, token) structs,
+    * no window).
+    */
+  def stripRepeatedSpans(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      gramLen: Int,
+      minDocs: Int = 2): DataFrame = {
+    val spans = repeatedSpans(docs, idCol, textCol, gramLen, minDocs)
+      .select(col(idCol).as("__sdoc"), col("span_start"), col("span_end"))
+    val toks = docs
+      .filter(col(idCol).isNotNull)
+      .select(col(idCol).as("__doc"),
+        posexplode(TextFns.tokens(col(textCol))).as(Seq("__p0", "__t")))
+      .select(col("__doc"), (col("__p0") + 1).cast("long").as("pos"),
+        col("__t"))
+    val kept = toks.join(spans,
+        col("__doc") === col("__sdoc") &&
+          col("pos") >= col("span_start") && col("pos") <= col("span_end"),
+        "left_anti")
+      .groupBy(col("__doc"))
+      .agg(
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("__t")))),
+          s => s.getField("__t"))).as("clean_text"),
+        count(lit(1)).as("__n_kept"))
+    docs.filter(col(idCol).isNotNull)
+      .select(col(idCol),
+        size(TextFns.tokens(col(textCol))).cast("long").as("__n_total"))
+      .join(kept, col(idCol) === col("__doc"), "left")
+      .select(col(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        (col("__n_total") - coalesce(col("__n_kept"), lit(0L)))
+          .as("n_dropped_tokens"))
+  }
+
   /** Staged dedup pipeline: near-dup PAIRS → connected-component
     * CLUSTERS → quality-argmax SURVIVORS, sharing ONE materialized
     * pair frame across the three results instead of re-mining the

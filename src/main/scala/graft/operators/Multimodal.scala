@@ -471,11 +471,24 @@ object Multimodal {
       (corpusRows + targetClassSize - 1) / targetClassSize)
 
   /** Image asset table with real decodable BMP payloads derived from
-    * `doc_id` ([[syntheticBitmap]]).
+    * `doc_id` ([[syntheticBitmap]]). A bitmap depends on `doc_id` only
+    * through (class, perturbation arm), so the synthesis UDF memoizes
+    * per executor — 2×numClasses small arrays, not one 64-md5 build
+    * per row (the 30× sweep spent most of q93 in the fixture UDF).
     */
   def syntheticBitmapAssets(docs: DataFrame,
       numClasses: Long = 16L): DataFrame = {
-    val payloadUdf = udf((id: Long) => syntheticBitmap(id, numClasses))
+    val payloadUdf = udf {
+      val cache =
+        new java.util.concurrent.ConcurrentHashMap[java.lang.Long, Array[Byte]]()
+      (id: Long) => {
+        val key = java.lang.Long.valueOf(
+          (id % numClasses) * 2 + (if (id % 5 == 0) 1L else 0L))
+        // safe to share the array across rows: Spark copies UDF binary
+        // results into the row buffer
+        cache.computeIfAbsent(key, _ => syntheticBitmap(id, numClasses))
+      }
+    }
     docs.select(col("doc_id").as("asset_id"),
       payloadUdf(col("doc_id")).as("payload"))
   }

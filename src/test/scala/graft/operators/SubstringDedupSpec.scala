@@ -78,6 +78,26 @@ class SubstringDedupSpec extends SparkSuiteBase {
       (3L, 5L, 29L) -> 6L))
   }
 
+  test("stripRepeatedSpans removes exactly the flagged spans") {
+    import spark.implicits._
+    val shared = (0 until 200).map(i => s"shared$i")
+    val f1a = filler(1L, 50, "a"); val f1b = filler(1L, 30, "b")
+    val f2a = filler(2L, 10, "a"); val f2b = filler(2L, 5, "b")
+    val rows = Seq(
+      doc(1L, Seq(f1a, shared, f1b)),
+      doc(2L, Seq(f2a, shared, f2b)),
+      doc(3L, Seq(filler(3L, 40, "solo"))))
+    val got = Dedup.stripRepeatedSpans(rows.toDF("doc_id", "text"),
+        "doc_id", "text", gramLen = L, minDocs = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2))))
+      .toMap
+    // the shared run vanishes from BOTH holders; unique filler stays
+    assert(got(1L) === (((f1a ++ f1b).mkString(" "), 200L)))
+    assert(got(2L) === (((f2a ++ f2b).mkString(" "), 200L)))
+    // a doc with no flagged span keeps its token stream verbatim
+    assert(got(3L) === ((filler(3L, 40, "solo").mkString(" "), 0L)))
+  }
+
   test("the sf fixture's planted near-dups carry repeated spans") {
     val spans = Dedup.repeatedSpans(Tables.documents(spark, sfDir),
       "doc_id", "text", gramLen = L, minDocs = 2)
