@@ -50,6 +50,23 @@ object TinyAppendBench {
       (System.nanoTime() - t0) / 1e9
     }
     println(f"TINY_CURATION_APPEND_SECS ${curTimes.map(t => f"$t%.2f").mkString(",")}")
+
+    // ANN twin: a 1% vector delta against a persisted IVF index —
+    // the StreamingAnnMaintainer tick's cost shape (assign against
+    // frozen centroids + hardlink rotation + delta-cell file appends)
+    val emb = Tables.embeddings(spark, sfDir)
+    val ebase = emb.filter(pmod(col("vec_id"), lit(100)) =!= 0)
+    val edelta = emb.filter(pmod(col("vec_id"), lit(100)) === 0)
+    val cells = operators.Similarity.autoCells(ebase.count())
+    operators.SimilarityIndex.buildIvf(ebase, "vec_id", "embedding",
+      cells, s"$root/a0")
+    val annTimes = (1 to 3).map { i =>
+      val t0 = System.nanoTime()
+      operators.SimilarityIndex.appendIvf(edelta, "vec_id", "embedding",
+        s"$root/a0", s"$root/a$i-out")
+      (System.nanoTime() - t0) / 1e9
+    }
+    println(f"TINY_ANN_APPEND_SECS ${annTimes.map(t => f"$t%.2f").mkString(",")}")
     spark.stop()
   }
 }

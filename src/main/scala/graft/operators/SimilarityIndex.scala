@@ -120,6 +120,23 @@ object SimilarityIndex {
     rotated
   }
 
+  /** Compact a multi-append IVF index into `dstDir`: every tick
+    * appends one part-file per touched cell, so a long-lived
+    * maintained index accumulates per-cell file counts that tax
+    * every probe's listing + footer reads. Rewrites `cells` to one
+    * file per cell partition (same rows, same layout contract —
+    * [[IndexRotation.compactFrame]]); centroids and meta carry
+    * frozen. Run between read barriers, like the dedup index's
+    * compaction.
+    */
+  def compactIvf(spark: SparkSession, srcDir: String, dstDir: String): Unit = {
+    IndexRotation.compactFrame(spark, s"$srcDir/cells", s"$dstDir/cells",
+      schema = None, partitionCol = Some("cell"))
+    IndexRotation.rotateFrozen(spark, s"$srcDir/centroids", s"$dstDir/centroids")
+    IndexRotation.rotateFrozen(spark, s"$srcDir/meta", s"$dstDir/meta")
+    ()
+  }
+
   /** Probe a persisted IVF index: rank the persisted centroids per
     * probe (one codegen scan — centroids are numCells driver
     * literals), then join against ONLY the probed cell partitions.

@@ -228,6 +228,21 @@ class PlanSpec extends SparkSuiteBase {
     }
   }
 
+  test("substring strip anti-joins on doc; re-assembly is sort-free") {
+    val p = plan("q94_substring_strip")
+    assert(!p.contains("CartesianProduct")
+      && !p.contains("BroadcastNestedLoopJoin"),
+      s"span strip must anti-join on the doc key:\n$p")
+    // the only windows are the embedded span miner's island merges,
+    // partitioned by doc — the strip's own re-assembly is a hash
+    // aggregate + row-local array_sort, and nothing plans a global
+    // (empty-partition-spec) window
+    p.linesIterator.filter(_.contains("Window ")).foreach { l =>
+      assert(l.contains("__doc"),
+        s"windows must partition by doc, got: $l")
+    }
+  }
+
   test("image-hash pairs mine through the chunk-bucket equi-join") {
     val p = plan("q93_image_phash")
     assert(!p.contains("CartesianProduct")

@@ -109,6 +109,33 @@ class StreamingAnnMaintainerSpec extends SparkSuiteBase {
     assert(cellsAt(d1).view.filterKeys(_ < 16L).toMap === before)
   }
 
+  test("compaction restores one file per cell; appends keep working") {
+    val root = tmpDir("ann-compact")
+    StreamingAnnMaintainer.tick(corpus(0L until 16L),
+      "vec_id", "embedding", root, numCells = cells)
+    StreamingAnnMaintainer.tick(corpus(16L until 24L),
+      "vec_id", "embedding", root, numCells = cells)
+    val d2 = StreamingAnnMaintainer.tick(corpus(24L until 32L),
+      "vec_id", "embedding", root, numCells = cells)
+    def filesPerCell(dir: String): Map[String, Int] =
+      HardlinkProbe.dataFiles(s"$dir/cells").keys
+        .groupBy(_.split('/')(0)).view.mapValues(_.size).toMap
+    // the multi-append index holds accumulated per-cell files
+    assert(filesPerCell(d2).values.exists(_ > 1),
+      s"fixture should accumulate files: ${filesPerCell(d2)}")
+    val cdir = tmpDir("ann-compacted")
+    SimilarityIndex.compactIvf(spark, d2, cdir)
+    // same rows, one file per cell, probes unaffected
+    assert(cellsAt(cdir) === cellsAt(d2))
+    assert(filesPerCell(cdir).values.forall(_ == 1),
+      s"compaction must leave one file per cell: ${filesPerCell(cdir)}")
+    // and the compacted index accepts further appends
+    val post = tmpDir("ann-post")
+    SimilarityIndex.appendIvf(corpus(Seq(200L)), "vec_id", "embedding",
+      cdir, post)
+    assert(spark.read.parquet(s"$post/cells").count() === 33L)
+  }
+
   test("untouched cell files carry as hardlinks, not copies") {
     val root = tmpDir("ann-hardlink")
     val d0 = StreamingAnnMaintainer.tick(corpus(0L until 16L),
