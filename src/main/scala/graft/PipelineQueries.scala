@@ -1912,4 +1912,38 @@ object PipelineQueries extends QueryGroup {
         maxHamming = 3)
       .orderBy(col("id_a"), col("id_b"))
   }
+
+  // R-19 x north star: content-level AUDIO dedup — the energy-envelope
+  // fingerprint over real decoded PCM WAV (AudioHashExpr: RIFF chunk
+  // walk, 64-block envelope, mean threshold), pairs through the same
+  // chunk-bucket join as q93/q35. Same oracle discipline as q93: the
+  // fixture's envelope bits are md5 arithmetic on doc_id (class count
+  // ∝ N; the perturbation arm is doc_id % 7, decorrelated from the
+  // image fixture's % 5).
+  q("q95_audio_phash",
+    """WITH i95 AS (SELECT unnest(generate_series(0, 63)) AS i),
+      |n95 AS (SELECT greatest(16, CAST(ceil(count(*) / 32.0) AS BIGINT)) AS cls
+      |  FROM documents),
+      |b95 AS (SELECT doc_id, i,
+      |    CASE WHEN i = 0 AND doc_id % 7 = 0 THEN 1 - b0 ELSE b0 END AS bit
+      |  FROM (SELECT d.doc_id, i95.i,
+      |      CASE WHEN i95.i = 1 THEN 0 WHEN i95.i = 2 THEN 1
+      |        ELSE CAST('0x' || substr(md5(
+      |               'a:' || (d.doc_id % (SELECT cls FROM n95)) || ':' || i95.i),
+      |             1, 15) AS BIGINT) % 2
+      |      END AS b0
+      |    FROM documents d, i95)),
+      |p95 AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |    sum(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) AS hamming
+      |  FROM b95 a JOIN b95 b ON a.i = b.i AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT id_a, id_b, CAST(hamming AS INT) AS hamming FROM p95
+      |WHERE hamming <= 3 ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    Multimodal.audioPairs(
+        Multimodal.syntheticWavAssets(docs,
+          Multimodal.autoImageClasses(docs.count())),
+        maxHamming = 3)
+      .orderBy(col("id_a"), col("id_b"))
+  }
 }

@@ -493,6 +493,95 @@ object Multimodal {
       payloadUdf(col("doc_id")).as("payload"))
   }
 
+  /** Deterministic 8-bit PCM mono WAV with REAL sample data — the
+    * audio twin of [[syntheticBitmap]]: 2048 samples in 64 blocks of
+    * 32; block b of class s = docId % numClasses carries a square
+    * wave of amplitude 16 (quiet) or 96 (loud) by
+    * bit(s, b) = md5("a:s:b") & 1 (blocks 1 and 2 pinned to 0 and 1
+    * so the energy mean sits strictly between the two amplitudes and
+    * the envelope-hash bit b == bit(s, b) exactly). Docs with
+    * docId % 7 == 0 flip block 0 — the planted near-duplicate at
+    * hamming exactly 1 (a different arm than the image fixture's %5,
+    * so the two modalities' duplicate sets are decorrelated).
+    */
+  def syntheticWav(docId: Long, numClasses: Long = 16L): Array[Byte] = {
+    val nSamples = 2048
+    val bb = java.nio.ByteBuffer.allocate(44 + nSamples)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII"))
+    bb.putInt(36 + nSamples)
+    bb.put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII"))
+    bb.putInt(16)
+    bb.putShort(1.toShort) // PCM
+    bb.putShort(1.toShort) // mono
+    bb.putInt(8000)
+    bb.putInt(8000) // byte rate = rate x 1 byte x 1 channel
+    bb.putShort(1.toShort) // block align
+    bb.putShort(8.toShort) // bits per sample
+    bb.put("data".getBytes("US-ASCII"))
+    bb.putInt(nSamples)
+    var t = 0
+    while (t < nSamples) {
+      val a = wavBlockAmplitude(docId, t / 32, numClasses)
+      bb.put((128 + (if (t % 2 == 0) a else -a)).toByte)
+      t += 1
+    }
+    bb.array()
+  }
+
+  /** Square-wave amplitude of block b for `docId` — the arithmetic the
+    * q95 oracle replays in SQL.
+    */
+  def wavBlockAmplitude(docId: Long, b: Int,
+      numClasses: Long = 16L): Int = {
+    val s = docId % numClasses
+    val base = b match {
+      case 1 => 0
+      case 2 => 1
+      case _ => (graft.functions.PortableHash.md5Long60Jvm(
+        s"a:$s:$b".getBytes(java.nio.charset.StandardCharsets.UTF_8)) & 1L).toInt
+    }
+    val bit = if (b == 0 && docId % 7 == 0) base ^ 1 else base
+    16 + bit * 80
+  }
+
+  /** Audio asset table with real decodable PCM WAV payloads derived
+    * from `doc_id` ([[syntheticWav]]); synthesis memoizes per
+    * (class, perturbation arm) like [[syntheticBitmapAssets]].
+    */
+  def syntheticWavAssets(docs: DataFrame,
+      numClasses: Long = 16L): DataFrame = {
+    val payloadUdf = udf {
+      val cache =
+        new java.util.concurrent.ConcurrentHashMap[java.lang.Long, Array[Byte]]()
+      (id: Long) => {
+        val key = java.lang.Long.valueOf(
+          (id % numClasses) * 2 + (if (id % 7 == 0) 1L else 0L))
+        cache.computeIfAbsent(key, _ => syntheticWav(id, numClasses))
+      }
+    }
+    docs.select(col("doc_id").as("asset_id"),
+      payloadUdf(col("doc_id")).as("payload"))
+  }
+
+  /** Content-level audio near-dup pairs: energy-envelope hash within
+    * `maxHamming`, mined through the same chunk-bucket equi-join as
+    * image and text hashes. Output: (id_a, id_b, hamming).
+    */
+  def audioPairs(
+      assets: DataFrame,
+      maxHamming: Int,
+      idCol: String = "asset_id",
+      payloadCol: String = "payload",
+      numChunks: Int = 8): DataFrame = {
+    val spark = assets.sparkSession
+    val hashed = assets.select(col(idCol).as("doc"),
+        graft.plans.AudioHash.envHash(spark, col(payloadCol)).as("sh"))
+      .filter(col("sh").isNotNull)
+    Dedup.hammingPairs64(hashed, maxHamming, numChunks)
+  }
+
   /** Per-asset perceptual hashes: decode + pool + aHash/dHash in ONE
     * codegen'd scan ([[graft.plans.ImageHash]]); undecodable payloads
     * yield null hashes and drop out of pair mining.

@@ -243,10 +243,12 @@ class PlanSpec extends SparkSuiteBase {
     }
   }
 
-  test("image-hash pairs mine through the chunk-bucket equi-join") {
-    val p = plan("q93_image_phash")
-    assert(!p.contains("CartesianProduct")
-      && !p.contains("BroadcastNestedLoopJoin"),
-      s"hamming candidates must stay bucket-equi-keyed:\n$p")
+  test("image and audio hash pairs mine through the chunk-bucket equi-join") {
+    Seq("q93_image_phash", "q95_audio_phash").foreach { name =>
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct")
+        && !p.contains("BroadcastNestedLoopJoin"),
+        s"$name hamming candidates must stay bucket-equi-keyed:\n$p")
+    }
   }
 }
