@@ -51,8 +51,8 @@ object Bench {
     // round-8 additions, quiet-box mins at sf0.1 (q84 re-measured at
     // the auto-sized 20 cells + argmin kernel)
     "q91_source_divergence" -> 1.33, "q92_substring_dedup" -> 2.41,
-    "q93_image_phash" -> 1.22, "q94_substring_strip" -> 1.84,
-    "q95_audio_phash" -> 1.60)
+    "q93_image_phash" -> 0.94, "q94_substring_strip" -> 1.84,
+    "q95_audio_phash" -> 1.18)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -574,7 +574,7 @@ object Multimodal {
       maxHamming: Int,
       idCol: String = "asset_id",
       payloadCol: String = "payload",
-      numChunks: Int = 8): DataFrame = {
+      numChunks: Int = 4): DataFrame = {
     val spark = assets.sparkSession
     val hashed = assets.select(col(idCol).as("doc"),
         graft.plans.AudioHash.envHash(spark, col(payloadCol)).as("sh"))
@@ -605,7 +605,7 @@ object Multimodal {
       maxHamming: Int,
       idCol: String = "asset_id",
       payloadCol: String = "payload",
-      numChunks: Int = 8): DataFrame = {
+      numChunks: Int = 4): DataFrame = {
     val spark = assets.sparkSession
     val hashed = assets.select(col(idCol).as("doc"),
         graft.plans.ImageHash.aHash(spark, col(payloadCol)).as("sh"))
