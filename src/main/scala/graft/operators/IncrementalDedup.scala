@@ -95,11 +95,13 @@ import org.apache.spark.sql.functions._
   * hash-bucket(shingle), every join in the tick is keyed on the
   * delta's own shingles, and a shingle's holders all live in its
   * bucket — so the per-tick read is ~(delta's distinct shingles /
-  * num_shingle_buckets) of the index, not all of it. Size
-  * `numShingleBuckets` at build time so a routine delta touches a
-  * small fraction (≈ corpus distinct shingles / target bucket bytes;
-  * the 256 default suits test-scale corpora — a 10⁹-doc deployment
-  * wants 2^16-2^20). The only full-frame scan left is the RARE
+  * num_shingle_buckets) of the index, not all of it. The bucket
+  * count auto-sizes from the corpus at build time
+  * ([[autoShingleBuckets]]: ~250k index rows per bucket, 16..4096)
+  * and persists in meta; a deployment wanting finer pruning (a
+  * 10⁹-doc corpus with tiny deltas may want 2^16) passes
+  * `numShingleBuckets` explicitly. The only full-frame scan left is
+  * the RARE
   * cap-crossing path, which must fetch affected OLD docs' rows by
   * doc id (the layout is inverted by shingle, not doc). Compact the
   * index periodically in multi-append deployments ([[compact]]).
@@ -115,12 +117,22 @@ object IncrementalDedup {
     */
   private val DefaultNumBuckets = 64
 
-  /** Bucket count for the shingle-partitioned inverted index. Sized
-    * for test-scale corpora; persisted in meta like the id buckets.
-    * Deployments size it so one bucket is ~a scan unit (corpus
-    * distinct shingles / target bucket bytes).
+  /** Auto-sized bucket count for the shingle-partitioned inverted
+    * index (the [[graft.operators.Similarity.autoCells]] discipline):
+    * ~`targetBucketRows` index rows per bucket, floored at 16 so tiny
+    * corpora keep some pruning granularity, capped at 4096 so build
+    * writes and tick hardlink carries stay filesystem-sane (a
+    * deployment wanting finer pruning passes `numShingleBuckets`
+    * explicitly). A FIXED count is wrong at both ends: 256 buckets
+    * cost 256 small-file writes per toy-scale tick (measured 2×
+    * q75/q80 wall time at sf0.1), while a 10⁹-doc corpus wants far
+    * more than 256 for the delta-bucket pruning to bite.
     */
-  private val DefaultNumShingleBuckets = 256
+  private[operators] def autoShingleBuckets(
+      indexRows: Long,
+      targetBucketRows: Long = 250000L): Int =
+    math.max(16L, math.min(4096L,
+      (indexRows + targetBucketRows - 1) / targetBucketRows)).toInt
 
   /** Size router for the per-tick broadcast joins: a side at or under
     * this many rows (16-24-byte keys → tens of MB serialized) is
@@ -223,16 +235,23 @@ object IncrementalDedup {
       threshold: Double,
       maxShingleDocFreq: Int,
       dir: String,
-      numShingleBuckets: Int = DefaultNumShingleBuckets): Unit = {
+      numShingleBuckets: Int = 0): Unit = {
     val spark = docs.sparkSession
     val idT = docs.schema(idCol).dataType
     val blkT = docs.schema(blockCol).dataType
     docs.filter(col(idCol).isNotNull).select(col(idCol).as("doc"))
       .write.mode("overwrite").parquet(s"$dir/docs")
+    val shingleFrame = Dedup.shingleFrame(docs, idCol, textCol, blockCol, n)
+    // 0 = auto-size from the corpus ([[autoShingleBuckets]]); the
+    // count is one extra shingling pass paid ONCE at build time —
+    // appends read the persisted choice from meta
+    val sbuckets =
+      if (numShingleBuckets > 0) numShingleBuckets
+      else autoShingleBuckets(shingleFrame.count())
     // inverted layout: one exchange on the shingle bucket buys one
     // file per bucket and static pruning for every later delta tick
-    Dedup.shingleFrame(docs, idCol, textCol, blockCol, n)
-      .withColumn("sbkt", sbktOf(numShingleBuckets))
+    shingleFrame
+      .withColumn("sbkt", sbktOf(sbuckets))
       .repartition(col("sbkt"))
       .write.partitionBy("sbkt").mode("overwrite").parquet(s"$dir/shingles")
     // mine from the WRITTEN index, not the in-memory plan: one
@@ -270,7 +289,7 @@ object IncrementalDedup {
       .repartition(col("bkt"))
       .write.partitionBy("bkt").mode("overwrite").parquet(s"$dir/labels")
     writeMeta(spark, dir, n, threshold, maxShingleDocFreq, DefaultNumBuckets,
-      numShingleBuckets)
+      sbuckets)
   }
 
   /** Fold `delta` into the index at `indexDir`, writing the updated

@@ -270,8 +270,11 @@ class IncrementalDedupSpec extends SparkSuiteBase {
       (i, Seq.fill(30)(words(rnd.nextInt(words.size))).mkString(" "), "en")
     }.toDF("doc_id", "text", "lang")
     val dir = tmpDir("incdedup-prune")
+    // explicit 256 buckets: the default auto-sizes DOWN for a corpus
+    // this small, and this test needs a populated bucket space to
+    // prove the pruned-scan shape
     IncrementalDedup.buildIndex(olds, "doc_id", "text", "lang",
-      3, 0.8, 1000, s"$dir/base")
+      3, 0.8, 1000, s"$dir/base", numShingleBuckets = 256)
     val bucketDirs = new java.io.File(s"$dir/base/shingles").listFiles()
       .count(f => f.isDirectory && f.getName.startsWith("sbkt="))
     assert(bucketDirs > 100,
