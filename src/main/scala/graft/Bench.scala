@@ -52,7 +52,8 @@ object Bench {
     // the auto-sized 20 cells + argmin kernel)
     "q91_source_divergence" -> 1.33, "q92_substring_dedup" -> 2.41,
     "q93_image_phash" -> 0.94, "q94_substring_strip" -> 1.84,
-    "q95_audio_phash" -> 1.18)
+    "q95_audio_phash" -> 1.18, "q96_train_split" -> 0.29,
+    "q97_decontaminate_bloom" -> 1.11)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

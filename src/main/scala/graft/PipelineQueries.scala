@@ -1946,4 +1946,72 @@ object PipelineQueries extends QueryGroup {
         maxHamming = 3)
       .orderBy(col("id_a"), col("id_b"))
   }
+
+  // R-29: deterministic train/val/test split — membership is a pure
+  // function of the id (md5-uniform u against cumulative ppm
+  // thresholds, Curation.deterministicSplit), so re-runs and corpus
+  // growth never move an existing doc between splits and no shuffle,
+  // count or global state is involved. The dataset-versioning
+  // contract every training pipeline needs.
+  q("q96_train_split",
+    """WITH u96 AS (SELECT doc_id,
+      |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+      |      % 1000000 AS u
+      |  FROM documents WHERE doc_id IS NOT NULL)
+      |SELECT doc_id, u,
+      |  CASE WHEN u < 800000 THEN 'train'
+      |       WHEN u < 900000 THEN 'val'
+      |       ELSE 'test' END AS split
+      |FROM u96 ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Curation.deterministicSplit(Tables.documents(s, d), "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .orderBy(col("doc_id"))
+  }
+
+  // R-21 scale path: BLOOM decontamination — q64's semantics with the
+  // eval set shipped as a FIXED-SIZE (2^20-bit) Bloom side instead of
+  // raw shingle strings (the broadcast stays bounded no matter how
+  // many eval benchmarks accumulate). The bit arithmetic is the
+  // portable md5 + universal-lane family, so the oracle replays the
+  // filter — including any false positives — bit-for-bit: the
+  // hash-match asserts the Bloom construction itself, not just the
+  // happy path.
+  private val bloomCoeffs = graft.functions.PortableHash.laneCoeffs(4)
+  q("q97_decontaminate_bloom", {
+    val aL = bloomCoeffs._1.mkString("[", ",", "]")
+    val bL = bloomCoeffs._2.mkString("[", ",", "]")
+    s"""WITH tk AS (SELECT doc_id, $sqlTokens AS l FROM documents),
+       |sh AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(l) - 4),
+       |         i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2] || ' ' || l[i+3] || ' ' || l[i+4])) AS shingle
+       |       FROM tk),
+       |eh AS (SELECT DISTINCT
+       |         CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT)
+       |           % 2147483647 AS h
+       |       FROM sh WHERE doc_id % 20 = 0),
+       |eb AS (SELECT DISTINCT
+       |         ($aL[i+1] * h + $bL[i+1]) % 2147483647 % 1048576 AS bit
+       |       FROM eh CROSS JOIN (SELECT unnest(range(0, 4)) AS i)),
+       |tr AS (SELECT DISTINCT doc_id,
+       |         CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT)
+       |           % 2147483647 AS h
+       |       FROM sh WHERE doc_id % 20 <> 0),
+       |lb AS (SELECT doc_id, h, i,
+       |         ($aL[i+1] * h + $bL[i+1]) % 2147483647 % 1048576 AS bit
+       |       FROM tr CROSS JOIN (SELECT unnest(range(0, 4)) AS i)),
+       |pos AS (SELECT doc_id, h FROM lb JOIN eb USING (bit)
+       |        GROUP BY doc_id, h HAVING count(DISTINCT i) = 4),
+       |ov AS (SELECT doc_id, count(*) AS n_overlap FROM pos GROUP BY 1)
+       |SELECT d.doc_id, coalesce(ov.n_overlap, 0) AS n_overlap,
+       |  coalesce(ov.n_overlap, 0) >= 1 AS contaminated
+       |FROM documents d LEFT JOIN ov USING (doc_id)
+       |WHERE d.doc_id % 20 <> 0
+       |ORDER BY d.doc_id""".stripMargin }) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    Dedup.decontaminateBloom(
+        docs.filter(pmod(col("doc_id"), lit(20)) =!= 0),
+        docs.filter(pmod(col("doc_id"), lit(20)) === 0),
+        "doc_id", "text", n = 5)
+      .select(col("doc_id"), col("n_overlap"), col("contaminated"))
+      .orderBy(col("doc_id"))
+  }
 }

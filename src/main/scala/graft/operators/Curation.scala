@@ -87,6 +87,36 @@ object Curation {
     * is wanted. Row-local filter, no shuffle; rate-1.0 rows
     * short-circuit before the md5 is evaluated.
     */
+  /** Deterministic train/val/test assignment: each non-null-id doc
+    * lands in exactly one named split by its md5-uniform u(id)
+    * against the CUMULATIVE ppm thresholds of `splits` (name →
+    * fraction, must sum to 1 within ppm rounding). The standard
+    * dataset-versioning contract: membership is a pure function of
+    * the id — re-runs, re-partitions and corpus growth never move an
+    * existing doc between splits, and any subset of the corpus can be
+    * assigned independently (no global shuffle, no count, one
+    * row-local scan).
+    */
+  def deterministicSplit(docs: DataFrame, idCol: String,
+      splits: Seq[(String, Double)]): DataFrame = {
+    require(splits.nonEmpty && splits.forall(_._2 >= 0),
+      "splits must be non-negative fractions")
+    val ppms = splits.map { case (nm, f) => (nm, math.round(f * 1e6)) }
+    require(math.abs(ppms.map(_._2).sum - 1000000L) <= splits.size,
+      s"split fractions must sum to 1 (got ${splits.map(_._2).sum})")
+    val cum = ppms.scanLeft(0L)(_ + _._2).tail
+    val u = graft.functions.PortableHash.md5Long60(col(idCol).cast("string")) %
+      lit(1000000L)
+    // last split is the unconditional tail arm: cumulative rounding
+    // can land a hair under 1e6 and no doc may fall through unsplit
+    val split = ppms.init.zip(cum.init).reverse
+      .foldLeft(lit(ppms.last._1)) { case (acc, ((nm, _), c)) =>
+        when(u < lit(c), lit(nm)).otherwise(acc)
+      }
+    docs.filter(col(idCol).isNotNull)
+      .select(col(idCol), u.as("u"), split.as("split"))
+  }
+
   def mixSample(docs: DataFrame, idCol: String, groupCol: String,
       rates: Map[String, Double], defaultRate: Double = 1.0): DataFrame = {
     require((rates.values ++ Seq(defaultRate)).forall(r => r >= 0 && r <= 1),

@@ -578,6 +578,106 @@ object Dedup {
       .withColumn("contaminated", col("n_overlap") >= minOverlap)
   }
 
+  /** BLOOM-side eval bit set for [[decontaminateBloom]]: every
+    * distinct eval shingle sets `k` bits of an `m`-bit Bloom filter,
+    * materialized as the DISTINCT bit-position frame (≤ min(m,
+    * shingles×k) ints). Bits are fully deterministic public
+    * arithmetic — md5-derived base hash into the
+    * [[graft.functions.PortableHash]] universal lane family, mod m —
+    * so an oracle can replay the filter (including its false
+    * positives) bit-for-bit, and a persisted bit frame is reusable
+    * across runs and engines.
+    */
+  def bloomEvalBits(evalShingles: DataFrame, m: Int, k: Int): DataFrame = {
+    require(m > 0 && k > 0, "bloom needs positive m and k")
+    val (a, b) = graft.functions.PortableHash.laneCoeffs(k)
+    val p = graft.functions.PortableHash.P
+    val h = graft.functions.PortableHash.md5Long60(col("shingle")) % lit(p)
+    evalShingles
+      .select(h.as("__h"))
+      .select(explode(array((0 until k).map(i =>
+        (((lit(a(i)) * col("__h") + lit(b(i))) % lit(p)) % lit(m.toLong))
+          .cast("long")): _*)).as("bit"))
+      .distinct()
+  }
+
+  /** [[decontaminate]]'s FIXED-SIZE scale path: the eval set ships as
+    * an `m`-bit Bloom filter instead of its raw shingle strings, so
+    * the broadcast side is bounded (~m/8 bytes) NO MATTER how many
+    * eval benchmarks pile up — the exact path's broadcast grows with
+    * every added benchmark and eventually hits the executor ceiling.
+    * Classic Bloom semantics: zero false NEGATIVES (every truly
+    * contaminated doc is flagged), false positives at the standard
+    * (1-e^{-kn/m})^k rate — callers route flagged docs through the
+    * exact check or accept the over-drop (the conservative direction
+    * for decontamination). Unlike library bloom filters, the bit
+    * arithmetic here is engine-portable ([[bloomEvalBits]]), so the
+    * FP set itself is deterministic and oracle-checkable.
+    *
+    * Output contract mirrors [[decontaminate]]: every train row with
+    * `n_overlap` (count of DISTINCT shingle hashes whose k bits all
+    * hit — a 2^31-space quantization, same ~collision caveat as
+    * [[shingleFrame]]) and `contaminated`.
+    *
+    * Scale shape: one row-local shingle scan (k bit rows per distinct
+    * shingle), one broadcast equi-join on the int bit, two
+    * partial-aggregated shuffles keyed on (doc, hash) then doc. No
+    * eval-side strings anywhere in the plan.
+    */
+  def decontaminateBloom(
+      train: DataFrame,
+      eval: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      m: Int = 1 << 20,
+      k: Int = 4,
+      minOverlap: Int = 1): DataFrame = {
+    val evalShingles = eval
+      .select(explode(TextFns.textShingles(col(textCol), n)).as("shingle"))
+      .distinct()
+    decontaminateBloomWith(train, bloomEvalBits(evalShingles, m, k),
+      idCol, textCol, n, m, k, minOverlap)
+  }
+
+  /** [[decontaminateBloom]] against a PRE-BUILT bit frame (one `bit`
+    * column) — the persisted-filter deployment path.
+    */
+  def decontaminateBloomWith(
+      train: DataFrame,
+      evalBits: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      m: Int,
+      k: Int,
+      minOverlap: Int = 1): DataFrame = {
+    require(m > 0 && k > 0, "bloom needs positive m and k")
+    val (a, b) = graft.functions.PortableHash.laneCoeffs(k)
+    val p = graft.functions.PortableHash.P
+    val sh = train
+      .select(col(idCol).as("__doc"),
+        explode(array_distinct(TextFns.textShingles(col(textCol), n)))
+          .as("shingle"))
+      .select(col("__doc"),
+        (graft.functions.PortableHash.md5Long60(col("shingle")) % lit(p))
+          .as("__h"))
+    val laneBits = sh.select(col("__doc"), col("__h"),
+      posexplode(array((0 until k).map(i =>
+        (((lit(a(i)) * col("__h") + lit(b(i))) % lit(p)) % lit(m.toLong))
+          .cast("long")): _*)).as(Seq("__lane", "bit")))
+    val hits = laneBits.join(broadcast(evalBits), "bit")
+      .groupBy(col("__doc"), col("__h"))
+      .agg(count_distinct(col("__lane")).as("__nl"))
+      .filter(col("__nl") === k)
+      .groupBy(col("__doc"))
+      .agg(count(lit(1)).as("n_overlap"))
+    train.join(hits, train(idCol) === hits("__doc"), "left")
+      .drop("__doc")
+      .withColumn("n_overlap", coalesce(col("n_overlap"), lit(0L)))
+      .withColumn("contaminated", col("n_overlap") >= minOverlap)
+  }
+
   /** EXACT SUBSTRING dedup (Lee et al. 2021, arXiv:2107.06499
     * `ExactSubstr`): find the token spans REPEATED ACROSS documents —
     * the published complement to document-level MinHash, targeting

@@ -945,6 +945,54 @@ class DedupSimilaritySpec extends SparkSuiteBase {
     assert(math.abs(nn(None) - 0.5) < 1e-5, s"null-source rate: ${nn(None)}")
   }
 
+  test("bloom decontamination: zero false negatives; tiny filters over-flag deterministically") {
+    val train = docs.filter(col("doc_id") % 20 =!= 0)
+    val eval = docs.filter(col("doc_id") % 20 === 0)
+    def flagged(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.filter(col("contaminated")).select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+    val exact = flagged(Dedup.decontaminate(train, eval, "doc_id", "text", n = 5))
+    // a well-sized filter (2^20 bits for ~1k shingles) has a
+    // vanishing FP rate: bloom == exact on the fixture
+    val bloom = flagged(Dedup.decontaminateBloom(train, eval,
+      "doc_id", "text", n = 5))
+    assert(bloom === exact)
+    // a deliberately tiny filter (64 bits) saturates: still NO false
+    // negatives (the Bloom guarantee), over-flagging allowed — and
+    // the FP set is deterministic (portable arithmetic, not library
+    // hash seeds)
+    val tiny1 = flagged(Dedup.decontaminateBloom(train, eval,
+      "doc_id", "text", n = 5, m = 64, k = 2))
+    val tiny2 = flagged(Dedup.decontaminateBloom(train, eval,
+      "doc_id", "text", n = 5, m = 64, k = 2))
+    assert(exact.subsetOf(tiny1), s"false negatives: ${exact.diff(tiny1)}")
+    assert(tiny1.size > exact.size, "64 bits should saturate into FPs")
+    assert(tiny1 === tiny2)
+  }
+
+  test("deterministic split: stable membership, one split per doc, ~fractions") {
+    import spark.implicits._
+    val ids = (1L to 4000L).toDF("doc_id")
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val full = Curation.deterministicSplit(ids, "doc_id", splits)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(full.size === 4000)
+    // fractions hold within sampling noise
+    val counts = full.values.groupBy(identity).view.mapValues(_.size)
+    assert(math.abs(counts("train") - 3200) < 200, counts.toMap.toString)
+    assert(math.abs(counts("val") - 400) < 100, counts.toMap.toString)
+    // membership is a pure function of the id: splitting any SUBSET
+    // assigns identically — corpus growth never moves a doc
+    val sub = Curation.deterministicSplit(
+        ids.filter(col("doc_id") <= 1000L), "doc_id", splits)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(sub === full.view.filterKeys(_ <= 1000L).toMap)
+    // degenerate fractions fail loudly
+    intercept[IllegalArgumentException] {
+      Curation.deterministicSplit(ids, "doc_id", Seq("a" -> 0.5, "b" -> 0.3))
+    }
+  }
+
   test("nearest-cell kernel matches the struct-sort rank-1 slice bit-for-bit") {
     import spark.implicits._
     val e = Tables.embeddings(spark, sfDir)
