@@ -72,5 +72,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("char_entropy_stats",
         "char_entropy_stats(text) - struct(n_chars, n_distinct, s): code-point count, distinct code points, sum c*log2(c) over per-code-point counts"),
       (exprs: Seq[Expression]) => CharEntropyExpr.buildFromExprs(exprs)))
+    ext.injectFunction((FunctionIdentifier("image_ahash"),
+      info("image_ahash",
+        "image_ahash(bmp) - 64-bit average-hash of a 24bpp BMP payload (null if undecodable)"),
+      (exprs: Seq[Expression]) => ImageAHashExpr(exprs.head)))
+    ext.injectFunction((FunctionIdentifier("image_dhash"),
+      info("image_dhash",
+        "image_dhash(bmp) - 64-bit gradient-hash of a 24bpp BMP payload (null if undecodable)"),
+      (exprs: Seq[Expression]) => ImageDHashExpr(exprs.head)))
+    ext.injectFunction((FunctionIdentifier("audio_envhash"),
+      info("audio_envhash",
+        "audio_envhash(wav) - 64-bit energy-envelope hash of an 8-bit PCM mono WAV payload (null if undecodable)"),
+      (exprs: Seq[Expression]) => AudioEnvHashExpr(exprs.head)))
+    ext.injectFunction((FunctionIdentifier("nearest_cell"),
+      info("nearest_cell",
+        "nearest_cell(vec, centroids) - cell index of the nearest centroid by (1 - cos6, cell); centroids must be a foldable array<array<float>>"),
+      (exprs: Seq[Expression]) => NearestCellExpr(exprs(0), exprs(1))))
   }
 }

@@ -115,6 +115,34 @@ class ImageHashSpec extends SparkSuiteBase {
       && expected.values.exists(_ == 1))
   }
 
+  test("malformed bitmaps refuse cleanly, never throw") {
+    val src = Multimodal.syntheticBitmap(4L)
+    // truncated mid-pixel-data
+    assert(ImageHash.aHash64(java.util.Arrays.copyOf(src, 200)) == null)
+    // truncated mid-header
+    assert(ImageHash.aHash64(java.util.Arrays.copyOf(src, 20)) == null)
+    // wrong magic
+    val magic = src.clone(); magic(0) = 'X'.toByte
+    assert(ImageHash.aHash64(magic) == null)
+    // unsupported bpp (8-bit palette)
+    val bpp = src.clone(); bpp(28) = 8
+    assert(ImageHash.aHash64(bpp) == null)
+    // compressed (BI_RLE8)
+    val comp = src.clone(); comp(30) = 1
+    assert(ImageHash.aHash64(comp) == null)
+    // hostile pixel offset pointing past the payload
+    val off = src.clone(); off(10) = 0x7f
+    assert(ImageHash.aHash64(off) == null)
+    // hostile huge width: w*3 rows would overrun the buffer
+    val wide = src.clone(); wide(20) = 0x7f
+    assert(ImageHash.aHash64(wide) == null)
+    // sub-8x8 images cannot pool to an 8x8 grid
+    val narrow = src.clone(); narrow(18) = 4
+    assert(ImageHash.aHash64(narrow) == null)
+    assert(ImageHash.aHash64(null) == null)
+    assert(ImageHash.aHash64(Array.emptyByteArray) == null)
+  }
+
   test("dHash separates designs aHash-equal under brightness shift") {
     // dHash depends only on neighbor ORDER: a +20 uniform brightness
     // shift preserves it (and aHash, since the mean shifts equally) —

@@ -273,7 +273,11 @@ class SketchExprSpec extends SparkSuiteBase {
           "word_shingles(array('a', '', 'b', 'c'), 2) AS sh, " +
           "int8_unpack(int8_pack(array(5, -5))) AS rt, " +
           "winnow(array('a b', 'b c'), 4) AS wf, " +
-          "text_stats('the quick fox', 3, 'the,a').n_tokens AS nt").head()
+          "text_stats('the quick fox', 3, 'the,a').n_tokens AS nt, " +
+          "image_ahash(CAST(NULL AS BINARY)) AS ia, " +
+          "audio_envhash(CAST('xx' AS BINARY)) AS ae, " +
+          "nearest_cell(array(1.0f, 0.0f), " +
+          "array(array(0.0f, 1.0f), array(1.0f, 0.0f))) AS nc").head()
       assert(r.getDouble(0) == 11.0)
       assert(r.getDouble(1) == 0.5)
       assert(!r.isNullAt(2))
@@ -283,6 +287,10 @@ class SketchExprSpec extends SparkSuiteBase {
       // 2 shingles <= w=4: one fingerprint, the min hash
       assert(r.getSeq[Long](6).size == 1)
       assert(r.getInt(7) == 3)
+      // perceptual hashes: null in / undecodable in -> null out
+      assert(r.isNullAt(8) && r.isNullAt(9))
+      // the axis-1 vector ranks centroid 1 nearest
+      assert(r.getInt(10) == 1)
     } finally {
       org.apache.spark.sql.SparkSession.setDefaultSession(base)
       org.apache.spark.sql.SparkSession.setActiveSession(base)
