@@ -590,6 +590,10 @@ object Dedup {
     */
   def bloomEvalBits(evalShingles: DataFrame, m: Int, k: Int): DataFrame = {
     require(m > 0 && k > 0, "bloom needs positive m and k")
+    require(m <= (1 << 27),
+      s"m=$m bits exceeds the broadcast-sane ceiling (2^27 ≈ 16 MB of " +
+        "set bits) — a filter that big belongs in a shuffle join, not " +
+        "a broadcast side")
     val (a, b) = graft.functions.PortableHash.laneCoeffs(k)
     val p = graft.functions.PortableHash.P
     val h = graft.functions.PortableHash.md5Long60(col("shingle")) % lit(p)

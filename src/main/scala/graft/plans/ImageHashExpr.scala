@@ -108,8 +108,12 @@ object ImageHash {
     val h = math.abs(hRaw)
     if (bpp != 24 || compression != 0 || w < 8 || h < 8 || pixOff < 54)
       return null
-    val rowBytes = ((w * 3 + 3) / 4) * 4
-    if (pixOff.toLong + rowBytes.toLong * h > b.length) return null
+    // LONG row arithmetic: a crafted width near 2^31/3 overflows
+    // w*3 as an int to a NEGATIVE rowBytes that sails through the
+    // bounds check and indexes out of the buffer
+    val rowBytesL = ((w.toLong * 3 + 3) / 4) * 4
+    if (pixOff.toLong + rowBytesL * h > b.length) return null
+    val rowBytes = rowBytesL.toInt // <= b.length after the check
     val topDown = hRaw < 0
     val sums = new Array[Double](64)
     val counts = new Array[Int](64)

@@ -136,6 +136,12 @@ class ImageHashSpec extends SparkSuiteBase {
     // hostile huge width: w*3 rows would overrun the buffer
     val wide = src.clone(); wide(20) = 0x7f
     assert(ImageHash.aHash64(wide) == null)
+    // hostile width near 2^31/3: w*3 overflows int to a NEGATIVE row
+    // size that would pass a naive bounds check and index negatively
+    val overflow = src.clone()
+    overflow(18) = 0xff.toByte; overflow(19) = 0xff.toByte
+    overflow(20) = 0xff.toByte; overflow(21) = 0x2f
+    assert(ImageHash.aHash64(overflow) == null)
     // sub-8x8 images cannot pool to an 8x8 grid
     val narrow = src.clone(); narrow(18) = 4
     assert(ImageHash.aHash64(narrow) == null)
