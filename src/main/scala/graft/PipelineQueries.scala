@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFns
-import graft.operators.{Curation, Dedup, IncrementalDedup, Multimodal, QualityModel, Similarity, TextAnalysis}
+import graft.operators.{Curation, Dedup, IncrementalDedup, Multimodal, ProductQuant, QualityModel, Similarity, TextAnalysis}
 
 /** LLM-data-pipeline operator surface (SURVEY §2B R-19/R-20/R-21 +
   * BASELINE north star): text analysis, language-ID, near-dup
@@ -2013,5 +2013,44 @@ object PipelineQueries extends QueryGroup {
         "doc_id", "text", n = 5)
       .select(col("doc_id"), col("n_overlap"), col("contaminated"))
       .orderBy(col("doc_id"))
+  }
+
+  // R-20 product-quantization ANN (Jégou et al. 2011): corpus
+  // compressed to 4 byte-codes/vector (16 smallest-id corpus vectors
+  // sliced per subspace as the deterministic codebooks, q46's mode),
+  // probes answered by asymmetric distance computation — Σ of
+  // per-subspace LUT lookups over the codes. The oracle replays the
+  // same pipeline relationally: per-subspace squared-L2 (6 dp), argmin
+  // with centroid-id tie-break, LUT join, rank by (adist, neighbor).
+  q("q98_pq_ann",
+    """WITH u AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+      |             unnest(embedding)::DOUBLE AS x FROM embeddings),
+      |s AS (SELECT vec_id, CAST(floor((i - 1) / 16) AS INT) AS m, i, x FROM u),
+      |seeds AS (SELECT vec_id AS sid, row_number() OVER (ORDER BY vec_id) - 1 AS cid
+      |          FROM embeddings WHERE vec_id >= 5 ORDER BY vec_id LIMIT 16),
+      |cb AS (SELECT se.cid, s.m, s.i, s.x FROM s JOIN seeds se ON s.vec_id = se.sid),
+      |d AS (SELECT s.vec_id, s.m, c.cid,
+      |        floor(sum((s.x - c.x) * (s.x - c.x)) * 1000000.0 + 0.5) / 1000000.0 AS d2
+      |      FROM s JOIN cb c ON s.m = c.m AND s.i = c.i
+      |      GROUP BY 1, 2, 3),
+      |codes AS (SELECT vec_id, m, cid AS code FROM (
+      |            SELECT vec_id, m, cid,
+      |              row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, cid) AS rn
+      |            FROM d WHERE vec_id >= 5) WHERE rn = 1),
+      |adc AS (SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+      |          floor(sum(p.d2) * 1000000.0 + 0.5) / 1000000.0 AS adist
+      |        FROM codes c JOIN d p ON p.m = c.m AND p.cid = c.code
+      |        WHERE p.vec_id < 5
+      |        GROUP BY 1, 2),
+      |r AS (SELECT probe_id, neighbor_id, adist,
+      |        row_number() OVER (PARTITION BY probe_id ORDER BY adist, neighbor_id) AS rnk
+      |      FROM adc)
+      |SELECT probe_id, rnk, neighbor_id, adist FROM r WHERE rnk <= 5
+      |ORDER BY probe_id, rnk""".stripMargin) { (s, d) =>
+    val e = Tables.embeddings(s, d)
+    ProductQuant.adcTopK(
+        e.filter(col("vec_id") < 5), e.filter(col("vec_id") >= 5),
+        "vec_id", "embedding", numSub = 4, numCentroids = 16, k = 5)
+      .orderBy(col("probe_id"), col("rnk"))
   }
 }

@@ -84,6 +84,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("audio_envhash",
         "audio_envhash(wav) - 64-bit energy-envelope hash of an 8-bit PCM mono WAV payload (null if undecodable)"),
       (exprs: Seq[Expression]) => AudioEnvHashExpr(exprs.head)))
+    ext.injectFunction((FunctionIdentifier("pq_encode"),
+      info("pq_encode",
+        "pq_encode(vec, codebooks) - array<int>: per-subspace nearest-centroid PQ codes; codebooks must be a foldable array<array<array<float>>>"),
+      (exprs: Seq[Expression]) => PqEncodeExpr(exprs(0), exprs(1))))
     ext.injectFunction((FunctionIdentifier("nearest_cell"),
       info("nearest_cell",
         "nearest_cell(vec, centroids) - cell index of the nearest centroid by (1 - cos6, cell); centroids must be a foldable array<array<float>>"),
