@@ -2053,4 +2053,64 @@ object PipelineQueries extends QueryGroup {
         "vec_id", "embedding", numSub = 4, numCentroids = 16, k = 5)
       .orderBy(col("probe_id"), col("rnk"))
   }
+
+  // R-20 IVF-PQ (Jégou 2011 §V) — the composed billion-scale recipe:
+  // probes route to nprobe=2 of 8 smallest-id IVF cells (q46's cell
+  // machinery), then ADC-scan ONLY those cells' PQ codes (q98's
+  // machinery). One corpus scan computes both cell and codes. The
+  // oracle splices the q46 cell CTEs into the q98 PQ CTEs with the
+  // candidate restrict between them.
+  q("q100_ivfpq_ann",
+    """WITH u AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+      |             unnest(embedding)::DOUBLE AS x FROM embeddings),
+      |nrm AS (SELECT vec_id, sqrt(sum(x*x)) AS nr FROM u GROUP BY vec_id),
+      |cent AS (SELECT vec_id AS cvid, CAST(vec_id - 10 AS INT) AS cell
+      |         FROM embeddings WHERE vec_id >= 10 AND vec_id < 18),
+      |vc0 AS (SELECT a.vec_id AS vid, c.cell AS cell, c.cvid AS cvid,
+      |          sum(a.x * b.x) AS dp
+      |        FROM u a JOIN cent c ON true
+      |        JOIN u b ON b.vec_id = c.cvid AND a.i = b.i
+      |        GROUP BY 1, 2, 3),
+      |vc AS (SELECT vid, cell,
+      |         floor((dp / (x.nr * y.nr)) * 1000000.0 + 0.5) / 1000000.0 AS ccos
+      |       FROM vc0 JOIN nrm x ON x.vec_id = vid JOIN nrm y ON y.vec_id = cvid),
+      |assign AS (SELECT vid, cell FROM (
+      |  SELECT vid, cell, row_number() OVER (PARTITION BY vid
+      |           ORDER BY (1.0 - ccos) ASC, cell) AS rn FROM vc) WHERE rn = 1),
+      |pc AS (SELECT vid, cell FROM (
+      |  SELECT vid, cell, row_number() OVER (PARTITION BY vid
+      |           ORDER BY (1.0 - ccos) ASC, cell) AS rn FROM vc) WHERE rn <= 2),
+      |s AS (SELECT vec_id, CAST(floor((i - 1) / 16) AS INT) AS m, i, x FROM u),
+      |seeds AS (SELECT vec_id AS sid, row_number() OVER (ORDER BY vec_id) - 1 AS cid
+      |          FROM embeddings WHERE vec_id >= 10 ORDER BY vec_id LIMIT 16),
+      |cb AS (SELECT se.cid, s.m, s.i, s.x FROM s JOIN seeds se ON s.vec_id = se.sid),
+      |d AS (SELECT s.vec_id, s.m, c.cid,
+      |        floor(sum((s.x - c.x) * (s.x - c.x)) * 1000000.0 + 0.5) / 1000000.0 AS d2
+      |      FROM s JOIN cb c ON s.m = c.m AND s.i = c.i
+      |      GROUP BY 1, 2, 3),
+      |codes AS (SELECT vec_id, m, cid AS code FROM (
+      |            SELECT vec_id, m, cid,
+      |              row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, cid) AS rn
+      |            FROM d WHERE vec_id >= 10) WHERE rn = 1),
+      |cand AS (SELECT p.vid AS probe_id, n.vid AS neighbor_id
+      |         FROM pc p JOIN assign n USING (cell)
+      |         WHERE p.vid < 5 AND n.vid >= 10),
+      |adc AS (SELECT ca.probe_id, ca.neighbor_id,
+      |          floor(sum(p.d2) * 1000000.0 + 0.5) / 1000000.0 AS adist
+      |        FROM cand ca
+      |        JOIN codes c ON c.vec_id = ca.neighbor_id
+      |        JOIN d p ON p.vec_id = ca.probe_id AND p.m = c.m AND p.cid = c.code
+      |        GROUP BY 1, 2),
+      |r AS (SELECT probe_id, neighbor_id, adist,
+      |        row_number() OVER (PARTITION BY probe_id ORDER BY adist, neighbor_id) AS rnk
+      |      FROM adc)
+      |SELECT probe_id, rnk, neighbor_id, adist FROM r WHERE rnk <= 5
+      |ORDER BY probe_id, rnk""".stripMargin) { (s, d) =>
+    val e = Tables.embeddings(s, d)
+    ProductQuant.ivfPqTopK(
+        e.filter(col("vec_id") < 5), e.filter(col("vec_id") >= 10),
+        "vec_id", "embedding",
+        numCells = 8, nprobe = 2, numSub = 4, numCentroids = 16, k = 5)
+      .orderBy(col("probe_id"), col("rnk"))
+  }
 }

@@ -98,6 +98,50 @@ object StreamingQueries extends QueryGroup {
     lateFiltered(events, batchSize)
       .select(col("event_id"), col("tms").as("ts_ms"))
 
+  /** Stream-stream event-time interval join (beyond the S-1…S-9
+    * surface; the reference's per-partition replication never joins
+    * two live streams, but a training-data event pipeline does —
+    * click→conversion attribution, request→response pairing): lead
+    * events inner-joined to follow events on the key with
+    * `lead_ts < follow_ts <= lead_ts + lagMinutes`.
+    *
+    * With `watermarkDelay` set and streaming inputs this is Spark's
+    * stream-stream inner join: both sides shuffle on the equality key
+    * (co-partitioned state), and the TIME-RANGE bound is what lets
+    * the state store evict — a lead row can only match follows within
+    * lagMinutes, so once the follow-side watermark passes
+    * `lead_ts + lag + delay` the row is dropped. Without the range
+    * bound, stream-stream state grows without bound; that failure
+    * mode is the reason the lag is a REQUIRED parameter. Batch
+    * callers leave `watermarkDelay` empty and get the identical
+    * per-row semantics (StreamingSemanticsSpec proves stream == batch
+    * over a MemoryStream feed).
+    *
+    * Output: (user_id, lead_id, follow_id, lag_ms) — lag in
+    * epoch-millis (the ns-fixture-portable precision).
+    */
+  def intervalJoin(
+      lead: org.apache.spark.sql.DataFrame,
+      follow: org.apache.spark.sql.DataFrame,
+      keyCol: String, idCol: String, tsCol: String,
+      lagMinutes: Int,
+      watermarkDelay: Option[String] = None): org.apache.spark.sql.DataFrame = {
+    require(lagMinutes > 0, "lagMinutes must be positive")
+    val a0 = lead.select(col(keyCol).as("user_id"),
+      col(idCol).as("lead_id"), col(tsCol).as("lead_ts"))
+    val b0 = follow.select(col(keyCol).as("__fk"),
+      col(idCol).as("follow_id"), col(tsCol).as("follow_ts"))
+    val a = watermarkDelay.fold(a0)(w => a0.withWatermark("lead_ts", w))
+    val b = watermarkDelay.fold(b0)(w => b0.withWatermark("follow_ts", w))
+    a.join(b, col("user_id") === col("__fk") &&
+        col("follow_ts") > col("lead_ts") &&
+        col("follow_ts") <=
+          col("lead_ts") + expr(s"INTERVAL $lagMinutes MINUTES"))
+      .select(col("user_id"), col("lead_id"), col("follow_id"),
+        (unix_millis(col("follow_ts")) - unix_millis(col("lead_ts")))
+          .as("lag_ms"))
+  }
+
   /** The batch twin of streaming `dropDuplicates` under a watermark
     * (S-5): among the non-late arrivals, each dedup key
     * (user_id, event_type) is emitted once, in its first passing
@@ -421,5 +465,32 @@ object StreamingQueries extends QueryGroup {
         unix_millis(col("session_window.end")).as("send_ms"),
         col("n"))
       .orderBy(col("user_id"), col("sstart_ms"))
+  }
+
+  // ------------------------------------------------------------- S-10
+  // Stream-stream interval join as a batch twin: click→purchase
+  // attribution within 60 minutes per user. The gated frame floors ts
+  // to epoch-millis FIRST (timestamp_millis∘unix_millis) so the range
+  // boundary compares identically to the oracle's epoch_ms arithmetic
+  // — the ns fixture could otherwise admit a pair on one engine and
+  // not the other at the exact +60 min edge. Stream==batch equality
+  // (with real watermarks and state eviction) is proven in
+  // StreamingSemanticsSpec over MemoryStream feeds.
+  q("q99_interval_join",
+    """SELECT a.user_id AS user_id, a.event_id AS lead_id,
+      |  b.event_id AS follow_id,
+      |  epoch_ms(b.ts) - epoch_ms(a.ts) AS lag_ms
+      |FROM events a JOIN events b ON a.user_id = b.user_id
+      | AND a.event_type = 'click' AND b.event_type = 'purchase'
+      | AND epoch_ms(b.ts) > epoch_ms(a.ts)
+      | AND epoch_ms(b.ts) <= epoch_ms(a.ts) + 3600000
+      |ORDER BY lead_id, follow_id""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d)
+      .withColumn("ts", timestamp_millis(unix_millis(col("ts"))))
+    StreamingQueries.intervalJoin(
+        ev.filter(col("event_type") === "click"),
+        ev.filter(col("event_type") === "purchase"),
+        "user_id", "event_id", "ts", lagMinutes = 60)
+      .orderBy(col("lead_id"), col("follow_id"))
   }
 }

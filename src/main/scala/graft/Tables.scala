@@ -37,18 +37,33 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
-  /** `events.ts` is nanosecond-precision parquet, which Spark can only
-    * read with `spark.sql.legacy.parquet.nanosAsLong=true` (sessions in
-    * Verify/Bench/tests set it). The long nanos are converted here to a
-    * microsecond TIMESTAMP so downstream operators see a real timestamp
-    * column; oracle-compared outputs must use `unix_millis` (= DuckDB
-    * `epoch_ms`) since DuckDB keeps the nanos.
+  /** `events.ts` normalization — the fixture's physical type has
+    * varied across driver revisions, so dispatch on what's actually
+    * there; downstream operators always see a session-TZ TIMESTAMP:
+    *
+    *   - nanosecond-precision int64 (readable only with
+    *     `spark.sql.legacy.parquet.nanosAsLong=true`, which
+    *     Verify/Bench/test sessions set): truncated to a microsecond
+    *     TIMESTAMP;
+    *   - microsecond `isAdjustedToUTC=false` (Spark reads it as
+    *     TIMESTAMP_NTZ): cast to TIMESTAMP — sessions pin UTC, so the
+    *     naive wall time is interpreted as the same instant DuckDB's
+    *     naive-timestamp `epoch_ms` computes.
+    *
+    * Oracle-compared outputs must still go through `unix_millis`
+    * (= DuckDB `epoch_ms`) — millis is the precision both engines
+    * floor to identically regardless of the fixture's physical unit.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     val raw = rawLoad(s, d, "events")
-    if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

@@ -135,19 +135,73 @@ object ProductQuant {
       .select(col(idCol).as("neighbor_id"), col("codes"))
     val p = probes.select(col(idCol).as("probe_id"),
       lutColumn(col(vecCol), books).as("lut"))
+    rankAdc(coded.crossJoin(broadcast(p)), k)
+  }
+
+  /** ADC distance + (adist asc, neighbor_id) top-k over a frame
+    * carrying (probe_id, neighbor_id, codes, lut).
+    */
+  private def rankAdc(pairs: DataFrame, k: Int): DataFrame = {
     val adist = aggregate(
       zip_with(col("codes"), col("lut"),
         (c, l) => element_at(l, c + lit(1))),
       lit(0.0), (acc, v) => acc + v)
-    val pairs = coded.crossJoin(broadcast(p))
-      .select(col("probe_id"), col("neighbor_id"),
-        (floor(adist * lit(1e6) + lit(0.5)) / lit(1e6)).as("adist"))
+    val scored = pairs.select(col("probe_id"), col("neighbor_id"),
+      (floor(adist * lit(1e6) + lit(0.5)) / lit(1e6)).as("adist"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("probe_id"))
       .orderBy(col("adist").asc, col("neighbor_id"))
-    pairs
+    scored
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("probe_id"), col("rnk"), col("neighbor_id"), col("adist"))
+  }
+
+  /** IVF-PQ — the standard billion-scale ANN recipe (Jégou 2011 §V):
+    * route each probe to its `nprobe` nearest IVF cells
+    * ([[Similarity.ivfTopK]]'s cell ranking), then ADC-scan only
+    * those cells' PQ codes. Per-probe work drops from
+    * O(corpus × numSub lookups) to O(corpus × nprobe/numCells ×
+    * numSub), and the scanned representation is bytes, not floats.
+    *
+    * ONE codegen'd corpus scan computes both the cell assignment
+    * ([[graft.plans.NearestCellExpr]]) and the PQ codes
+    * ([[graft.plans.PqEncodeExpr]]) — at 100 TB this pass is the
+    * index build you persist ([[SimilarityIndex]]'s cell-partitioned
+    * layout applies verbatim, with codes instead of raw vectors);
+    * the probe-side cell route + LUT is broadcast and the candidate
+    * restrict is an equi-join on the cell id.
+    *
+    * Centroids and codebooks are the deterministic smallest-id
+    * stand-ins (oracle-reproducible, q46/q98's mode); both accept
+    * trained upgrades without changing the plan shape.
+    */
+  def ivfPqTopK(
+      probes: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      numCells: Int,
+      nprobe: Int,
+      numSub: Int,
+      numCentroids: Int,
+      k: Int): DataFrame = {
+    require(nprobe >= 1 && nprobe <= numCells, "need 1 <= nprobe <= numCells")
+    val spark = probes.sparkSession
+    val cents = Similarity.smallestIdCentroids(corpus, idCol, vecCol, numCells)
+    val books = codebooks(corpus, idCol, vecCol, numSub, numCentroids)
+    val booksLit = typedlit(books.map(_.map(_.toSeq).toSeq).toSeq)
+    val coded = corpus.select(
+      col(idCol).as("neighbor_id"),
+      Similarity.cellAssign(spark, cents, col(vecCol)).as("cell"),
+      graft.plans.PqEncodeExpr.pqEncode(spark, col(vecCol), booksLit)
+        .as("codes"))
+    val probeCells = probes.select(
+      col(idCol).as("probe_id"),
+      lutColumn(col(vecCol), books).as("lut"),
+      explode(transform(
+        slice(Similarity.cellRank(spark, cents, col(vecCol)), 1, nprobe),
+        s => s.getField("cell"))).as("cell"))
+    rankAdc(coded.join(broadcast(probeCells), "cell"), k)
   }
 }

@@ -366,4 +366,89 @@ class StreamingSemanticsSpec extends SparkSuiteBase {
       (1L, "2024-01-01 00:30:00", 1L), (2L, "2024-01-01 01:00:00", 1L)))
     q.stop()
   }
+
+  test("stream-stream interval join matches the batch twin (S-10)") {
+    def evk(id: Long, t: String, u: Long, typ: String) =
+      EvK(id, Timestamp.valueOf(t), u, typ)
+    val clicks = Seq(
+      evk(1, "2024-01-01 00:00:00", 1, "click"),
+      evk(2, "2024-01-01 00:10:00", 1, "click"),
+      evk(3, "2024-01-01 00:05:00", 2, "click"))
+    val purchases = Seq(
+      // matches clicks 1 and 2 (within 60 min of both)
+      evk(10, "2024-01-01 00:20:00", 1, "purchase"),
+      // matches click 2 only (>60 min after click 1)
+      evk(11, "2024-01-01 01:05:00", 1, "purchase"),
+      // equal-ts to click 3: excluded by the strict > bound
+      evk(12, "2024-01-01 00:05:00", 2, "purchase"),
+      // different user: no match
+      evk(13, "2024-01-01 00:06:00", 3, "purchase"))
+    val msA = MemoryStream[EvK](spark, 1)
+    val msB = MemoryStream[EvK](spark, 1)
+    msA.addData(clicks: _*)
+    msB.addData(purchases: _*)
+    val joined = graft.StreamingQueries.intervalJoin(
+      msA.toDF(), msB.toDF(), "user_id", "event_id", "ts",
+      lagMinutes = 60, watermarkDelay = Some("10 minutes"))
+    val q = joined.writeStream.format("memory").queryName("ssij")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("user_id"), col("lead_id"), col("follow_id"), col("lag_ms"))
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val got = rows(spark.table("ssij"))
+    val batch = rows(graft.StreamingQueries.intervalJoin(
+      clicks.toDF(), purchases.toDF(), "user_id", "event_id", "ts",
+      lagMinutes = 60))
+    assert(got == batch)
+    assert(got == Set(
+      (1L, 1L, 10L, 1200000L),
+      (1L, 2L, 10L, 600000L),
+      (1L, 2L, 11L, 3300000L)))
+    q.stop()
+  }
+
+  test("interval join evicts lead state once the follow watermark passes (S-10)") {
+    // The range bound is what lets the state store evict: after the
+    // follow-side watermark advances past lead_ts + lag + delay, the
+    // lead row is gone — a follow that ARRIVES later (beyond the
+    // watermark) finds no state and emits nothing, while the batch
+    // twin (which sees all data at once) would pair it.
+    def evk(id: Long, t: String, u: Long, typ: String) =
+      EvK(id, Timestamp.valueOf(t), u, typ)
+    val msA = MemoryStream[EvK](spark, 1)
+    val msB = MemoryStream[EvK](spark, 1)
+    val joined = graft.StreamingQueries.intervalJoin(
+      msA.toDF(), msB.toDF(), "user_id", "event_id", "ts",
+      lagMinutes = 10, watermarkDelay = Some("5 minutes"))
+    val q = joined.writeStream.format("memory").queryName("ssij_evict")
+      .outputMode("append").start()
+    // batch 1: a click, plus far-future rows on BOTH sides — the
+    // query watermark is the MIN across all watermarked inputs
+    // (multipleWatermarkPolicy=min), so both streams must advance for
+    // the join state to evict
+    msA.addData(evk(1, "2024-01-01 00:00:00", 1, "click"),
+      evk(2, "2024-01-01 03:00:00", 9, "click"))
+    msB.addData(evk(10, "2024-01-01 03:00:00", 8, "purchase"))
+    q.processAllAvailable()
+    // batch 2: a purchase that the batch twin pairs with click 1, but
+    // it arrives hours past the 02:55 watermark — dropped as late,
+    // and click 1's state is already evicted: no emit
+    msB.addData(evk(11, "2024-01-01 00:05:00", 1, "purchase"))
+    q.processAllAvailable()
+    val got = spark.table("ssij_evict").collect()
+    assert(got.isEmpty,
+      s"late follow must find no lead state, got ${got.mkString(",")}")
+    import spark.implicits._
+    val batchPairs = graft.StreamingQueries.intervalJoin(
+      Seq(evk(1, "2024-01-01 00:00:00", 1, "click"),
+        evk(2, "2024-01-01 03:00:00", 9, "click")).toDF(),
+      Seq(evk(10, "2024-01-01 03:00:00", 8, "purchase"),
+        evk(11, "2024-01-01 00:05:00", 1, "purchase")).toDF(),
+      "user_id", "event_id", "ts", lagMinutes = 10)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(batchPairs == Set((1L, 11L))) // batch WOULD pair it
+    q.stop()
+  }
 }
