@@ -53,7 +53,10 @@ object Bench {
     "q91_source_divergence" -> 1.33, "q92_substring_dedup" -> 2.41,
     "q93_image_phash" -> 0.94, "q94_substring_strip" -> 1.84,
     "q95_audio_phash" -> 1.18, "q96_train_split" -> 0.29,
-    "q97_decontaminate_bloom" -> 1.11)
+    "q97_decontaminate_bloom" -> 1.11,
+    // round-10 additions, quiet-box mins at sf0.1 (comparator 0.45/0.13)
+    "q98_pq_ann" -> 0.79, "q99_interval_join" -> 0.32,
+    "q100_ivfpq_ann" -> 1.03)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -58,6 +58,39 @@ object ProductQuant {
     * construction (numCentroids rows). Requires dims % numSub == 0
     * (uneven tails would silently skew subspace weighting).
     */
+  /** The `n` smallest-id corpus vectors — ONE driver collect, shared
+    * by centroid and codebook derivation (n rows, KB-sized).
+    */
+  private def seedVectors(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      n: Int): Array[Array[Float]] = {
+    val seeds = corpus
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+      .filter(col("v").isNotNull)
+      .orderBy(col("id"))
+      .limit(n)
+      .collect()
+      .map(_.getSeq[Float](1).toArray)
+    require(seeds.length == n,
+      s"corpus has only ${seeds.length} rows with vectors; need $n seeds")
+    val dims = seeds.head.length
+    require(seeds.forall(_.length == dims),
+      "ragged embedding dimensions in the seed set")
+    seeds
+  }
+
+  private def slicedBooks(
+      seeds: Array[Array[Float]], numSub: Int,
+      numCentroids: Int): Array[Array[Array[Float]]] = {
+    val dims = seeds.head.length
+    require(dims % numSub == 0,
+      s"dims=$dims not divisible by numSub=$numSub")
+    val sub = dims / numSub
+    Array.tabulate(numSub) { m =>
+      seeds.take(numCentroids).map(_.slice(m * sub, (m + 1) * sub))
+    }
+  }
+
   def codebooks(
       corpus: DataFrame,
       idCol: String,
@@ -66,25 +99,8 @@ object ProductQuant {
       numCentroids: Int): Array[Array[Array[Float]]] = {
     require(numSub > 0, "numSub must be positive")
     require(numCentroids > 0, "numCentroids must be positive")
-    val seeds = corpus
-      .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
-      .filter(col("v").isNotNull)
-      .orderBy(col("id"))
-      .limit(numCentroids)
-      .collect()
-      .map(_.getSeq[Float](1).toArray)
-    require(seeds.length == numCentroids,
-      s"corpus has only ${seeds.length} rows with vectors; " +
-        s"need numCentroids=$numCentroids seeds")
-    val dims = seeds.head.length
-    require(seeds.forall(_.length == dims),
-      "ragged embedding dimensions in the seed set")
-    require(dims % numSub == 0,
-      s"dims=$dims not divisible by numSub=$numSub")
-    val sub = dims / numSub
-    Array.tabulate(numSub) { m =>
-      seeds.map(_.slice(m * sub, (m + 1) * sub))
-    }
+    slicedBooks(seedVectors(corpus, idCol, vecCol, numCentroids),
+      numSub, numCentroids)
   }
 
   /** The probe's ADC lookup table as a literal-built nested array
@@ -188,8 +204,14 @@ object ProductQuant {
       k: Int): DataFrame = {
     require(nprobe >= 1 && nprobe <= numCells, "need 1 <= nprobe <= numCells")
     val spark = probes.sparkSession
-    val cents = Similarity.smallestIdCentroids(corpus, idCol, vecCol, numCells)
-    val books = codebooks(corpus, idCol, vecCol, numSub, numCentroids)
+    // one driver collect serves both derivations (centroids = whole
+    // vectors of the first numCells seeds; codebooks = subvector
+    // slices of the first numCentroids)
+    val seeds = seedVectors(corpus, idCol, vecCol,
+      math.max(numCells, numCentroids))
+    val cents = seeds.take(numCells).zipWithIndex
+      .map { case (v, i) => (i, v) }.toSeq
+    val books = slicedBooks(seeds, numSub, numCentroids)
     val booksLit = typedlit(books.map(_.map(_.toSeq).toSeq).toSeq)
     val coded = corpus.select(
       col(idCol).as("neighbor_id"),
