@@ -251,4 +251,34 @@ class PlanSpec extends SparkSuiteBase {
         s"$name hamming candidates must stay bucket-equi-keyed:\n$p")
     }
   }
+
+  test("PQ ADC scans codes against a BROADCAST probe side (q98)") {
+    val p = plan("q98_pq_ann")
+    // exhaustive ADC is BY DESIGN a probe×corpus scan — the scale
+    // contract is that the probe side (LUT rows) broadcasts so the
+    // corpus streams once with no shuffle before the top-k rank
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"probe LUTs must broadcast:\n$p")
+    assert(p.contains("pqencode") || p.contains("pq_encode"),
+      s"corpus codes must come from the codegen encode kernel:\n$p")
+  }
+
+  test("IVF-PQ candidates come from a cell equi-join, never all-pairs (q100)") {
+    val p = plan("q100_ivfpq_ann")
+    assert(p.contains("BroadcastHashJoin") && p.contains("cell"),
+      s"cell routing must be a broadcast equi-join on the cell id:\n$p")
+    assert(!p.contains("CartesianProduct")
+      && !p.contains("BroadcastNestedLoopJoin"),
+      s"IVF-PQ must never plan an all-pairs join:\n$p")
+  }
+
+  test("interval join is a single equi-join on the key with a range residual (q99)") {
+    val p = plan("q99_interval_join")
+    assert(!p.contains("CartesianProduct")
+      && !p.contains("BroadcastNestedLoopJoin"),
+      s"interval join must equi-join on user_id:\n$p")
+    val joins = p.linesIterator.count(l =>
+      l.contains("HashJoin") || l.contains("SortMergeJoin"))
+    assert(joins == 1, s"expected exactly one join, got $joins:\n$p")
+  }
 }

@@ -123,6 +123,19 @@ class ProductQuantSpec extends SparkSuiteBase {
     }
   }
 
+  test("pq_encode is SQL-callable and rejects non-foldable codebooks") {
+    graft.plans.PqEncodeExpr.register(spark)
+    val got = spark.sql(
+      """SELECT pq_encode(array(0.9f, 0.1f), array(
+        |  array(array(1.0f, 0.0f), array(0.0f, 1.0f)))) AS codes""".stripMargin)
+      .head().getSeq[Int](0)
+    assert(got == Seq(0)) // (0.9,0.1) is nearer (1,0) than (0,1)
+    intercept[Exception] {
+      spark.sql("SELECT pq_encode(array(1.0f), array(array(array(rand()))))")
+        .collect()
+    }
+  }
+
   test("codebook shape validation fails loudly") {
     intercept[IllegalArgumentException] {
       ProductQuant.codebooks(emb, "vec_id", "embedding",
