@@ -52,16 +52,10 @@ object ProductQuant {
     floor(d * lit(1e6) + lit(0.5)) / lit(1e6)
   }
 
-  /** Deterministic codebooks: the `numCentroids` smallest-id corpus
-    * vectors, each split into `numSub` contiguous subvectors —
-    * books(m)(c) = centroid c of subspace m. Driver-sized by
-    * construction (numCentroids rows). Requires dims % numSub == 0
-    * (uneven tails would silently skew subspace weighting).
-    */
   /** The `n` smallest-id corpus vectors — ONE driver collect, shared
     * by centroid and codebook derivation (n rows, KB-sized).
     */
-  private def seedVectors(
+  private[operators] def seedVectors(
       corpus: DataFrame, idCol: String, vecCol: String,
       n: Int): Array[Array[Float]] = {
     val seeds = corpus
@@ -79,7 +73,7 @@ object ProductQuant {
     seeds
   }
 
-  private def slicedBooks(
+  private[operators] def slicedBooks(
       seeds: Array[Array[Float]], numSub: Int,
       numCentroids: Int): Array[Array[Array[Float]]] = {
     val dims = seeds.head.length
@@ -91,6 +85,12 @@ object ProductQuant {
     }
   }
 
+  /** Deterministic codebooks: the `numCentroids` smallest-id corpus
+    * vectors, each split into `numSub` contiguous subvectors —
+    * books(m)(c) = centroid c of subspace m. Driver-sized by
+    * construction (numCentroids rows). Requires dims % numSub == 0
+    * (uneven tails would silently skew subspace weighting).
+    */
   def codebooks(
       corpus: DataFrame,
       idCol: String,
@@ -108,7 +108,7 @@ object ProductQuant {
     * subvector to codebook centroid c. numSub × numCentroids
     * subexpressions — probe-side only, never applied to the corpus.
     */
-  private def lutColumn(
+  private[operators] def lutColumn(
       vec: Column, books: Array[Array[Array[Float]]]): Column = {
     val sub = books(0)(0).length
     array(books.indices.map { m =>
@@ -157,7 +157,7 @@ object ProductQuant {
   /** ADC distance + (adist asc, neighbor_id) top-k over a frame
     * carrying (probe_id, neighbor_id, codes, lut).
     */
-  private def rankAdc(pairs: DataFrame, k: Int): DataFrame = {
+  private[operators] def rankAdc(pairs: DataFrame, k: Int): DataFrame = {
     val adist = aggregate(
       zip_with(col("codes"), col("lut"),
         (c, l) => element_at(l, c + lit(1))),

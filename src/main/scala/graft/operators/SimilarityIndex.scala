@@ -180,6 +180,175 @@ object SimilarityIndex {
     Similarity.ranked(pairs, k)
   }
 
+  /** Build and persist an IVF-PQ index (Jégou 2011 §V — the
+    * billion-scale layout): cells hold PQ CODES, not raw vectors, so
+    * the persisted inverted file is numSub ints/vector instead of
+    * dims floats — the representation that makes the on-disk index
+    * (and every probe's IO) ~64× smaller at 100 TB. ONE codegen'd
+    * corpus scan computes cell + codes.
+    *
+    * Layout: `centroids` (cell, centroid) and `codebooks`
+    * (m, cid, centroid) — both driver-sized; `cells`
+    * (neighbor_id, codes) PARTITIONED BY cell; `meta` kind='ivfpq'
+    * (+ num_sub/num_centroids in `pqmeta`). Same stale-config
+    * discipline as the other indexes: probes validate every
+    * parameter and the vector dimensionality before reading a cell.
+    *
+    * Centroids default to the smallest-id stand-in; codebook seeds
+    * are always the smallest-id corpus vectors (both deterministic,
+    * q46/q98's mode); pass trained centroids for real distributions.
+    */
+  def buildIvfPq(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      numCells: Int,
+      numSub: Int,
+      numCentroids: Int,
+      dir: String,
+      centroids: Option[Seq[Array[Float]]] = None): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val seeds = ProductQuant.seedVectors(corpus, idCol, vecCol,
+      math.max(numCells, numCentroids))
+    val cents: Seq[(Int, Array[Float])] = centroids match {
+      case Some(cs) =>
+        require(cs.size == numCells,
+          s"got ${cs.size} centroids for numCells=$numCells")
+        cs.zipWithIndex.map { case (v, i) => (i, v) }
+      case None =>
+        seeds.take(numCells).zipWithIndex.map { case (v, i) => (i, v) }.toSeq
+    }
+    val books = ProductQuant.slicedBooks(seeds, numSub, numCentroids)
+    val dims = seeds.head.length
+    cents.map { case (i, v) => (i, v.toSeq) }.toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+    books.zipWithIndex.flatMap { case (sub, m) =>
+      sub.zipWithIndex.map { case (cv, cid) => (m, cid, cv.toSeq) }
+    }.toSeq.toDF("m", "cid", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/codebooks")
+    val booksLit = typedlit(books.map(_.map(_.toSeq).toSeq).toSeq)
+    corpus.select(
+        col(idCol).as("neighbor_id"),
+        graft.plans.PqEncodeExpr.pqEncode(spark, col(vecCol), booksLit)
+          .as("codes"),
+        Similarity.cellAssign(spark, cents, col(vecCol)).as("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/cells")
+    writeMeta(spark, dir, "ivfpq", numCells, dims)
+    Seq((numSub, numCentroids)).toDF("num_sub", "num_centroids")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/pqmeta")
+  }
+
+  private def readPqIndex(spark: SparkSession, indexDir: String,
+      numCells: Int, numSub: Int, numCentroids: Int,
+      probeDims: Option[Int])
+      : (Seq[(Int, Array[Float])], Array[Array[Array[Float]]]) = {
+    checkMeta(spark, indexDir, "ivfpq", numCells, probeDims = probeDims)
+    val pq = spark.read.parquet(s"$indexDir/pqmeta").collect()
+    require(pq.length == 1, s"corrupt pq meta at $indexDir/pqmeta")
+    val (s0, c0) = (pq(0).getAs[Int]("num_sub"),
+      pq(0).getAs[Int]("num_centroids"))
+    require(s0 == numSub && c0 == numCentroids,
+      s"index at $indexDir was built with numSub=$s0/numCentroids=$c0; " +
+        s"probe expects $numSub/$numCentroids — stale config, rebuild " +
+        "or fix the caller")
+    val cents = spark.read.parquet(s"$indexDir/centroids")
+      .orderBy(col("cell")).collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).toArray)).toSeq
+    require(cents.size == numCells,
+      s"index at $indexDir holds ${cents.size} centroids, expected $numCells")
+    val bookRows = spark.read.parquet(s"$indexDir/codebooks")
+      .orderBy(col("m"), col("cid")).collect()
+    val books = bookRows.groupBy(_.getInt(0)).toSeq.sortBy(_._1)
+      .map { case (_, rows) =>
+        rows.sortBy(_.getInt(1)).map(_.getSeq[Float](2).toArray)
+      }.toArray
+    require(books.length == numSub && books.forall(_.length == numCentroids),
+      s"corrupt codebooks at $indexDir/codebooks")
+    (cents, books)
+  }
+
+  /** Probe a persisted IVF-PQ index: rank the persisted centroids per
+    * probe, build the probe's ADC lookup table from the persisted
+    * codebooks (both driver-sized), then ADC-scan ONLY the probed
+    * cell partitions (static partition pruning, like [[ivfProbe]]).
+    * Output: (probe_id, rnk, neighbor_id, adist).
+    */
+  def ivfPqProbe(
+      probes: DataFrame,
+      idCol: String,
+      vecCol: String,
+      indexDir: String,
+      numCells: Int,
+      nprobe: Int,
+      numSub: Int,
+      numCentroids: Int,
+      k: Int): DataFrame = {
+    require(nprobe >= 1 && nprobe <= numCells, "need 1 <= nprobe <= numCells")
+    val spark = probes.sparkSession
+    val (cents, books) = readPqIndex(spark, indexDir, numCells, numSub,
+      numCentroids, probeDims = firstDims(probes, vecCol))
+    val probeCells = probes.select(
+      col(idCol).as("probe_id"),
+      ProductQuant.lutColumn(col(vecCol), books).as("lut"),
+      explode(transform(
+        slice(Similarity.cellRank(spark, cents, col(vecCol)), 1, nprobe),
+        s => s.getField("cell"))).as("cell"))
+    val probedCells = probeCells.select(col("cell")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val assigned = spark.read.parquet(s"$indexDir/cells")
+      .filter(if (probedCells.isEmpty) lit(false)
+        else col("cell").isin(probedCells: _*))
+    ProductQuant.rankAdc(assigned.join(broadcast(probeCells), "cell"), k)
+  }
+
+  /** APPEND a delta into a persisted IVF-PQ index — [[appendIvf]]'s
+    * copy-free rotation with the delta encoded by the PERSISTED
+    * codebooks and assigned by the PERSISTED centroids (both frozen:
+    * re-deriving either would put old and new vectors in different
+    * quantization geometries). Per-tick cost is one codegen scan of
+    * the delta plus delta-cell file appends.
+    */
+  def appendIvfPq(
+      delta: DataFrame,
+      idCol: String,
+      vecCol: String,
+      srcDir: String,
+      dstDir: String): DataFrame = {
+    require(srcDir != dstDir, "append rotates to a fresh directory")
+    val spark = delta.sparkSession
+    val meta = spark.read.parquet(s"$srcDir/meta").collect()(0)
+    val numCells = meta.getAs[Int]("param")
+    val pq = spark.read.parquet(s"$srcDir/pqmeta").collect()(0)
+    val (cents, books) = readPqIndex(spark, srcDir, numCells,
+      pq.getAs[Int]("num_sub"), pq.getAs[Int]("num_centroids"),
+      probeDims = firstDims(delta, vecCol))
+    val booksLit = typedlit(books.map(_.map(_.toSeq).toSeq).toSeq)
+    val assigned = delta.select(
+      col(idCol).as("neighbor_id"),
+      graft.plans.PqEncodeExpr.pqEncode(spark, col(vecCol), booksLit)
+        .as("codes"),
+      Similarity.cellAssign(spark, cents, col(vecCol)).as("cell"))
+    val rotated = IndexRotation.rotateBucketed(spark, s"$srcDir/cells",
+      s"$dstDir/cells", Seq.empty, assigned, partCol = "cell")
+    Seq("centroids", "codebooks", "meta", "pqmeta").foreach { f =>
+      IndexRotation.rotateFrozen(spark, s"$srcDir/$f", s"$dstDir/$f")
+    }
+    rotated
+  }
+
+  /** [[compactIvf]] for the PQ layout: one file per cell partition;
+    * centroids/codebooks/meta carry frozen.
+    */
+  def compactIvfPq(spark: SparkSession, srcDir: String, dstDir: String): Unit = {
+    IndexRotation.compactFrame(spark, s"$srcDir/cells", s"$dstDir/cells",
+      schema = None, partitionCol = Some("cell"))
+    Seq("centroids", "codebooks", "meta", "pqmeta").foreach { f =>
+      IndexRotation.rotateFrozen(spark, s"$srcDir/$f", s"$dstDir/$f")
+    }
+    ()
+  }
+
   /** Build and persist a sign-bucket LSH index over the first `bits`
     * dimensions.
     */

@@ -175,6 +175,68 @@ class SimilarityIndexSpec extends SparkSuiteBase {
     assert(e3.getMessage.contains("wrong embedding space"))
   }
 
+  test("ivfPqProbe over a persisted index equals ivfPqTopK") {
+    val e = Tables.embeddings(spark, sfDir)
+    val probes = e.filter(col("vec_id") < 5)
+    val corpus = e.filter(col("vec_id") >= 10)
+    val dir = tmpDir("ivfpq-idx")
+    SimilarityIndex.buildIvfPq(corpus, "vec_id", "embedding",
+      numCells = 8, numSub = 4, numCentroids = 16, dir = dir)
+    def adcRows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    val probed = adcRows(SimilarityIndex.ivfPqProbe(probes,
+      "vec_id", "embedding", dir,
+      numCells = 8, nprobe = 2, numSub = 4, numCentroids = 16, k = 5))
+    val direct = adcRows(ProductQuant.ivfPqTopK(probes, corpus,
+      "vec_id", "embedding",
+      numCells = 8, nprobe = 2, numSub = 4, numCentroids = 16, k = 5))
+    assert(probed == direct)
+    // the persisted inverted file holds CODES, not raw vectors — the
+    // 64x-compression claim is the layout, not a comment
+    val cellsSchema = spark.read.parquet(s"$dir/cells").schema
+    assert(cellsSchema.fieldNames.toSet == Set("neighbor_id", "codes", "cell"))
+    assert(!cellsSchema.fieldNames.contains("cv"))
+  }
+
+  test("appendIvfPq deltas equal a from-scratch build; config drift fails loudly") {
+    val e = Tables.embeddings(spark, sfDir)
+    val probes = e.filter(col("vec_id") < 5)
+    val all = e.filter(col("vec_id") >= 10)
+    val base = all.filter(col("vec_id") < 300)
+    val d1 = all.filter(col("vec_id") >= 300 && col("vec_id") < 400)
+    val d2 = all.filter(col("vec_id") >= 400)
+    val v0 = tmpDir("ivfpq-v0"); val v1 = tmpDir("ivfpq-v1")
+    val v2 = tmpDir("ivfpq-v2"); val full = tmpDir("ivfpq-full")
+    SimilarityIndex.buildIvfPq(base, "vec_id", "embedding",
+      numCells = 8, numSub = 4, numCentroids = 16, dir = v0)
+    SimilarityIndex.appendIvfPq(d1, "vec_id", "embedding", v0, v1)
+    SimilarityIndex.appendIvfPq(d2, "vec_id", "embedding", v1, v2)
+    // the maintained index must answer exactly like one built from
+    // scratch WITH THE SAME frozen geometry (centroids/codebooks are
+    // seeded from the base corpus in both: base holds the smallest ids)
+    SimilarityIndex.buildIvfPq(all, "vec_id", "embedding",
+      numCells = 8, numSub = 4, numCentroids = 16, dir = full)
+    def adcRows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    def probe(dir: String) = adcRows(SimilarityIndex.ivfPqProbe(probes,
+      "vec_id", "embedding", dir,
+      numCells = 8, nprobe = 8, numSub = 4, numCentroids = 16, k = 10))
+    assert(probe(v2) == probe(full))
+    // stale config refused on every axis
+    val e1 = intercept[IllegalArgumentException] {
+      SimilarityIndex.ivfPqProbe(probes, "vec_id", "embedding", v2,
+        numCells = 8, nprobe = 2, numSub = 8, numCentroids = 16, k = 5)
+    }
+    assert(e1.getMessage.contains("stale config"))
+    val e2 = intercept[IllegalArgumentException] {
+      SimilarityIndex.ivfPqProbe(probes, "vec_id", "embedding", v2,
+        numCells = 16, nprobe = 2, numSub = 4, numCentroids = 16, k = 5)
+    }
+    assert(e2.getMessage.contains("stale config"))
+  }
+
   test("buildIvf on a corpus smaller than numCells fails at build time") {
     val e = Tables.embeddings(spark, sfDir)
     val corpus = e.filter(col("vec_id") < 5) // 5 rows, 8 cells requested
