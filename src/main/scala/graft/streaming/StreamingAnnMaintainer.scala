@@ -81,6 +81,54 @@ object StreamingAnnMaintainer {
     }
   }
 
+  /** [[tick]] for the IVF-PQ layout: identical tick-dir discipline,
+    * with the first batch bootstrapping via
+    * [[SimilarityIndex.buildIvfPq]] (so it must carry at least
+    * max(numCells, numCentroids) vectors — centroid AND codebook
+    * seeds) and every later tick appending through
+    * [[SimilarityIndex.appendIvfPq]] — the persisted quantization
+    * geometry (centroids + codebooks) stays frozen across ticks for
+    * the same reason centroids do in [[tick]]: re-deriving it would
+    * make old codes and new codes incomparable. Re-quantizing is a
+    * REBUILD job, not an append.
+    */
+  def tickPq(
+      batch: DataFrame,
+      idCol: String,
+      vecCol: String,
+      indexRoot: String,
+      numCells: Int,
+      numSub: Int,
+      numCentroids: Int,
+      centroids: Option[Seq[Array[Float]]] = None): String = {
+    val spark = batch.sparkSession
+    val uniq = batch.filter(col(idCol).isNotNull).dropDuplicates(idCol)
+    val current = TickDirs.committed(spark, indexRoot).lastOption
+    val nextN = current.map(_ + 1).getOrElse(0L)
+    val nextDir = s"$indexRoot/tick-$nextN"
+    TickDirs.clearHalfTick(spark, nextDir)
+
+    current match {
+      case None =>
+        SimilarityIndex.buildIvfPq(uniq, idCol, vecCol, numCells,
+          numSub, numCentroids, nextDir, centroids)
+        TickDirs.commit(spark, nextDir)
+        nextDir
+      case Some(cur) =>
+        val curDir = s"$indexRoot/tick-$cur"
+        val seen = spark.read.parquet(s"$curDir/cells")
+          .select(col("neighbor_id").as(idCol))
+        val fresh = uniq.join(seen, Seq(idCol), "left_anti")
+          .localCheckpoint(true)
+        if (fresh.isEmpty) curDir
+        else {
+          SimilarityIndex.appendIvfPq(fresh, idCol, vecCol, curDir, nextDir)
+          TickDirs.commit(spark, nextDir)
+          nextDir
+        }
+    }
+  }
+
   /** Start the maintainer: vector stream → one index tick per
     * micro-batch, wired through `foreachBatch` like
     * [[StreamingIndexMaintainer.start]].

@@ -75,6 +75,35 @@ class StreamingAnnMaintainerSpec extends SparkSuiteBase {
     assert(topk(cur.get) === topk(fullDir))
   }
 
+  test("PQ ticks equal a single full IVF-PQ build; probes agree") {
+    val root = tmpDir("annpq-root")
+    val allIds = (0L until 40L)
+    // batch 1 carries the 16 smallest ids = centroid AND codebook
+    // seeds of the full build, so the frozen geometries coincide
+    Seq(allIds.take(16), allIds.slice(16, 28), allIds.drop(28)).foreach { b =>
+      StreamingAnnMaintainer.tickPq(corpus(b), "vec_id", "embedding",
+        root, numCells = cells, numSub = 2, numCentroids = 16)
+    }
+    val maintained = StreamingAnnMaintainer.currentDir(spark, root).get
+    val full = tmpDir("annpq-full")
+    SimilarityIndex.buildIvfPq(corpus(allIds), "vec_id", "embedding",
+      numCells = cells, numSub = 2, numCentroids = 16, dir = full)
+    val probes = corpus(Seq(1L, 2L, 3L))
+    def rows(dir: String) = SimilarityIndex.ivfPqProbe(probes,
+        "vec_id", "embedding", dir,
+        numCells = cells, nprobe = cells, numSub = 2, numCentroids = 16,
+        k = 10)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(rows(maintained) == rows(full))
+    // replay of an already-applied batch is a no-op tick
+    val before = maintained
+    val after = StreamingAnnMaintainer.tickPq(corpus(allIds.drop(28)),
+      "vec_id", "embedding", root, numCells = cells, numSub = 2,
+      numCentroids = 16)
+    assert(after == before)
+  }
+
   test("replayed batches are no-op ticks; fresh ids still append") {
     val root = tmpDir("ann-replay")
     val first = corpus(0L until 16L)
