@@ -2192,4 +2192,44 @@ object PipelineQueries extends QueryGroup {
         numCells = 8, nprobe = 2, numSub = 4, numCentroids = 16, k = 5)
       .orderBy(col("probe_id"), col("rnk"))
   }
+
+  // Time-series subsequence similarity search (EDBT'19/REPOSE family):
+  // per user, the 3 sliding windows of the (ts, event_id)-ordered
+  // value series most correlated with a rising ramp pattern [1..8] —
+  // trend/motif detection over metric streams. One per-key shuffle,
+  // w-1 lead() columns, explicit left-associative sum chains (NOT
+  // aggregates) so both engines run the identical IEEE op sequence —
+  // the corr and the zero-variance guard decide bit-identically.
+  q("q102_subseq_search",
+    """WITH s AS (SELECT user_id, value::DOUBLE AS x0,
+      |    row_number() OVER w AS rn,
+      |    lead(value::DOUBLE, 1) OVER w AS x1,
+      |    lead(value::DOUBLE, 2) OVER w AS x2,
+      |    lead(value::DOUBLE, 3) OVER w AS x3,
+      |    lead(value::DOUBLE, 4) OVER w AS x4,
+      |    lead(value::DOUBLE, 5) OVER w AS x5,
+      |    lead(value::DOUBLE, 6) OVER w AS x6,
+      |    lead(value::DOUBLE, 7) OVER w AS x7
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |f AS (SELECT user_id, CAST(rn AS BIGINT) AS start_pos,
+      |        x0 + x1 + x2 + x3 + x4 + x5 + x6 + x7 AS sx,
+      |        x0*x0 + x1*x1 + x2*x2 + x3*x3 + x4*x4 + x5*x5 + x6*x6 + x7*x7 AS sxx,
+      |        x0*1.0 + x1*2.0 + x2*3.0 + x3*4.0 + x4*5.0 + x5*6.0 + x6*7.0 + x7*8.0 AS sxy
+      |      FROM s WHERE x0 IS NOT NULL AND x1 IS NOT NULL AND x2 IS NOT NULL
+      |        AND x3 IS NOT NULL AND x4 IS NOT NULL AND x5 IS NOT NULL
+      |        AND x6 IS NOT NULL AND x7 IS NOT NULL),
+      |c AS (SELECT user_id, start_pos,
+      |        floor((8.0*sxy - sx*36.0) / (sqrt(8.0*sxx - sx*sx) * sqrt(336.0))
+      |          * 1000000.0 + 0.5) / 1000000.0 AS corr6
+      |      FROM f WHERE 8.0*sxx - sx*sx > 0),
+      |r AS (SELECT user_id, start_pos, corr6,
+      |        row_number() OVER (PARTITION BY user_id
+      |          ORDER BY corr6 DESC, start_pos) AS rnk FROM c)
+      |SELECT user_id, rnk, start_pos, corr6 FROM r WHERE rnk <= 3
+      |ORDER BY user_id, rnk""".stripMargin) { (s, d) =>
+    graft.operators.TimeSeries.subsequenceSearch(
+        Tables.events(s, d), "user_id", "ts", "event_id", "value",
+        pattern = (1 to 8).map(_.toDouble), k = 3)
+      .orderBy(col("user_id"), col("rnk"))
+  }
 }

@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed time-series subsequence similarity search (the
+  * streaming-data similarity-search family — EDBT 2019/REPOSE ICDE
+  * 2021 problem shape, re-expressed Spark-first): for each key's
+  * event-time-ordered value series, score every length-`w` sliding
+  * window by Pearson correlation against a fixed query pattern and
+  * return the top-k windows per key — "where does this series look
+  * most like the pattern" (trend/motif detection over metric
+  * streams).
+  *
+  * The 100 TB shape: ONE shuffle (the per-key sort the window
+  * functions need — the same key+time partitioning every other
+  * per-key operator here uses), then w-1 `lead()` columns and pure
+  * codegen arithmetic — no self-join, no per-key array
+  * materialization, no UDF. Window count = row count, so the scored
+  * frame never exceeds the input and the final top-k is a per-key
+  * rank. Pattern length is a literal constant (a query, not data).
+  *
+  * Determinism contract (the q102 oracle replays it textually): sums
+  * are explicit LEFT-ASSOCIATIVE chains in window-position order —
+  * not aggregates — so both engines execute the identical IEEE op
+  * sequence and the guard (`w·Σxx − Σx² > 0`, excluding
+  * zero-variance windows) decides identically; the correlation is
+  * rounded to 6 dp before ranking, ties break on the earlier start
+  * position. Windows shorter than `w` (series tails) are excluded.
+  */
+object TimeSeries {
+
+  /** Top-k pattern-correlated windows per key.
+    *
+    * Output: (key, rnk, start_pos, corr6) where `start_pos` is the
+    * window's 1-based position in the key's (ts, id)-ordered series
+    * and corr6 the 6-dp-rounded Pearson correlation with `pattern`.
+    */
+  def subsequenceSearch(
+      events: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      idCol: String,
+      valCol: String,
+      pattern: Seq[Double],
+      k: Int): DataFrame = {
+    val w = pattern.length
+    require(w >= 2, "pattern must have at least 2 points")
+    require(k >= 1, "k must be positive")
+    val sy = pattern.sum
+    val syy = pattern.map(p => p * p).sum
+    val denY = math.sqrt(w * syy - sy * sy)
+    require(denY > 0, "pattern must not be constant")
+
+    val ord = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col(idCol))
+    val xs: Seq[Column] = col(valCol).cast("double") +:
+      (1 until w).map(i => lead(col(valCol).cast("double"), i).over(ord))
+    // both windows partition on the ORIGINAL key attribute — aliasing
+    // it below the shuffle would hide the partitioning from the rank
+    // window and buy a second exchange (plan-asserted in the spec)
+    val named = events.select(
+      Seq(col(keyCol),
+        row_number().over(ord).cast("long").as("start_pos")) ++
+      xs.zipWithIndex.map { case (c, i) => c.as(s"__x$i") }: _*)
+      // exclude tail windows (any missing lead) — null-safe even if
+      // the value column itself carries nulls mid-series
+      .filter((0 until w).map(i => col(s"__x$i").isNotNull).reduce(_ && _))
+
+    def chain(terms: Seq[Column]): Column = terms.reduceLeft(_ + _)
+    val sx = chain((0 until w).map(i => col(s"__x$i")))
+    val sxx = chain((0 until w).map(i => col(s"__x$i") * col(s"__x$i")))
+    val sxy = chain((0 until w).map(i => col(s"__x$i") * lit(pattern(i))))
+    val varX = lit(w.toDouble) * sxx - sx * sx
+    val corr = (lit(w.toDouble) * sxy - sx * lit(sy)) /
+      (sqrt(varX) * lit(denY))
+    val scored = named
+      .withColumn("__varx", varX)
+      .filter(col("__varx") > 0)
+      .select(col(keyCol), col("start_pos"),
+        (floor(corr * lit(1e6) + lit(0.5)) / lit(1e6)).as("corr6"))
+    val rankW = Window.partitionBy(col(keyCol))
+      .orderBy(col("corr6").desc, col("start_pos"))
+    scored
+      .withColumn("rnk", row_number().over(rankW))
+      .filter(col("rnk") <= k)
+      .select(col(keyCol), col("rnk"), col("start_pos"), col("corr6"))
+  }
+}
