@@ -136,6 +136,34 @@ class ProductQuantSpec extends SparkSuiteBase {
     }
   }
 
+  test("pq_encode survives adversarial vectors: NaN/Inf/empty, codes stay in range") {
+    import spark.implicits._
+    val books = ProductQuant.codebooks(emb, "vec_id", "embedding",
+      numSub, numCentroids)
+    val nan = Float.NaN; val inf = Float.PositiveInfinity
+    val adversarial = Seq(
+      (1L, Array.fill(64)(nan)),           // all-NaN: lands on centroid 0
+      (2L, Array.fill(64)(inf)),           // Inf distances: still a valid code
+      (3L, Array.empty[Float]),            // empty: zero-overlap → centroid 0
+      (4L, Array.fill(64)(-inf)),
+      (5L, Array.tabulate(64)(i => if (i % 2 == 0) nan else 1.0f))
+    ).toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    val rows = ProductQuant.encode(adversarial, "vec_id", "embedding", books)
+      .collect()
+    rows.foreach { r =>
+      val codes = r.getSeq[Int](1)
+      assert(codes.length == numSub)
+      assert(codes.forall(c => c >= 0 && c < numCentroids),
+        s"out-of-range code for vec ${r.getLong(0)}: $codes")
+    }
+    // all-NaN and empty deterministically land on centroid 0 per
+    // subspace (the NearestCellExpr tie-break convention)
+    val byId = rows.map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(byId(1L) == Seq.fill(numSub)(0))
+    assert(byId(3L) == Seq.fill(numSub)(0))
+  }
+
   test("codebook shape validation fails loudly") {
     intercept[IllegalArgumentException] {
       ProductQuant.codebooks(emb, "vec_id", "embedding",

@@ -277,7 +277,10 @@ class SketchExprSpec extends SparkSuiteBase {
           "image_ahash(CAST(NULL AS BINARY)) AS ia, " +
           "audio_envhash(CAST('xx' AS BINARY)) AS ae, " +
           "nearest_cell(array(1.0f, 0.0f), " +
-          "array(array(0.0f, 1.0f), array(1.0f, 0.0f))) AS nc").head()
+          "array(array(0.0f, 1.0f), array(1.0f, 0.0f))) AS nc, " +
+          "pq_encode(array(1.0f, 0.0f), " +
+          "array(array(array(0.0f), array(1.0f)), " +
+          "array(array(1.0f), array(0.0f)))) AS pq").head()
       assert(r.getDouble(0) == 11.0)
       assert(r.getDouble(1) == 0.5)
       assert(!r.isNullAt(2))
@@ -291,6 +294,8 @@ class SketchExprSpec extends SparkSuiteBase {
       assert(r.isNullAt(8) && r.isNullAt(9))
       // the axis-1 vector ranks centroid 1 nearest
       assert(r.getInt(10) == 1)
+      // subspace 0 (dim 0 = 1.0) → centroid 1; subspace 1 (dim 1 = 0.0) → centroid 1
+      assert(r.getSeq[Int](11) == Seq(1, 1))
     } finally {
       org.apache.spark.sql.SparkSession.setDefaultSession(base)
       org.apache.spark.sql.SparkSession.setActiveSession(base)
