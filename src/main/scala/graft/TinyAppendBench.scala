@@ -67,6 +67,19 @@ object TinyAppendBench {
       (System.nanoTime() - t0) / 1e9
     }
     println(f"TINY_ANN_APPEND_SECS ${annTimes.map(t => f"$t%.2f").mkString(",")}")
+
+    // IVF-PQ twin: the same 1% vector delta against the persisted
+    // PQ index — encode against frozen codebooks + assign against
+    // frozen centroids in one scan, then the same rotation
+    operators.SimilarityIndex.buildIvfPq(ebase, "vec_id", "embedding",
+      cells, numSub = 4, numCentroids = 16, dir = s"$root/p0")
+    val pqTimes = (1 to 3).map { i =>
+      val t0 = System.nanoTime()
+      operators.SimilarityIndex.appendIvfPq(edelta, "vec_id", "embedding",
+        s"$root/p0", s"$root/p$i-out")
+      (System.nanoTime() - t0) / 1e9
+    }
+    println(f"TINY_PQ_APPEND_SECS ${pqTimes.map(t => f"$t%.2f").mkString(",")}")
     spark.stop()
   }
 }
