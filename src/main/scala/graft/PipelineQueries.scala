@@ -2232,4 +2232,36 @@ object PipelineQueries extends QueryGroup {
         pattern = (1 to 8).map(_.toDouble), k = 3)
       .orderBy(col("user_id"), col("rnk"))
   }
+
+  // R-21/R-4 at sketch scale: Count-Min heavy hitters — the
+  // fixed-memory alternative to q30's exact token groupBy (shuffle
+  // volume = tasks × lanes × width regardless of corpus/vocabulary).
+  // Same lane-coefficient discipline as q97's Bloom filter: driver
+  // literals in both the plan and this SQL. est ≥ exact always (the
+  // sketch's one-sided error), so the τ-report has no false negatives.
+  q("q103_heavy_hitters", {
+    val aL = bloomCoeffs._1.mkString("[", ",", "]")
+    val bL = bloomCoeffs._2.mkString("[", ",", "]")
+    s"""WITH tk AS (SELECT unnest($sqlTokens) AS token FROM documents),
+       |h AS (SELECT token,
+       |        CAST('0x' || substr(md5(token), 1, 15) AS BIGINT)
+       |          % 2147483647 AS h
+       |      FROM tk),
+       |lb AS (SELECT h, i,
+       |         ($aL[i+1] * h + $bL[i+1]) % 2147483647 % 1024 AS bucket
+       |       FROM h CROSS JOIN (SELECT unnest(range(0, 4)) AS i)),
+       |cm AS (SELECT i, bucket, count(*) AS c FROM lb GROUP BY 1, 2),
+       |cand AS (SELECT DISTINCT token, h FROM h),
+       |cl AS (SELECT token, i,
+       |         ($aL[i+1] * h + $bL[i+1]) % 2147483647 % 1024 AS bucket
+       |       FROM cand CROSS JOIN (SELECT unnest(range(0, 4)) AS i)),
+       |est AS (SELECT token, min(c) AS est
+       |        FROM cl JOIN cm USING (i, bucket) GROUP BY token)
+       |SELECT token, est FROM est WHERE est >= 500
+       |ORDER BY token""".stripMargin }) { (s, d) =>
+    graft.operators.Sketches.heavyHitters(
+        Tables.documents(s, d), "text",
+        lanes = 4, width = 1024, minCount = 500L)
+      .orderBy(col("token"))
+  }
 }

@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSuiteBase, Tables}
+
+/** Count-Min must honor its one-sided contract — est ≥ exact for
+  * every token, hence no false negatives in a threshold report — and
+  * keep the fixed-memory plan shape.
+  */
+class SketchesSpec extends SparkSuiteBase {
+
+  private def docs = Tables.documents(spark, sfDir)
+
+  test("est >= exact for every token; heavy hitters have no false negatives") {
+    val exact = docs
+      .select(explode(graft.functions.TextFns.tokens(col("text"))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("exact"))
+    val est = Sketches.heavyHitters(docs, "text",
+      lanes = 4, width = 1024, minCount = 1L) // report everything
+    val joined = exact.join(est, Seq("token"), "left").collect()
+    joined.foreach { r =>
+      assert(!r.isNullAt(2), s"token ${r.getString(0)} missing from report")
+      assert(r.getLong(2) >= r.getLong(1),
+        s"under-estimate for ${r.getString(0)}: est ${r.getLong(2)} < exact ${r.getLong(1)}")
+    }
+    // threshold report: exactly the tokens whose ESTIMATE clears it,
+    // superset of the exactly-heavy ones
+    val tau = 50L
+    val reported = Sketches.heavyHitters(docs, "text", 4, 1024, tau)
+      .collect().map(_.getString(0)).toSet
+    val exactHeavy = joined.filter(_.getLong(1) >= tau).map(_.getString(0)).toSet
+    assert(exactHeavy.subsetOf(reported),
+      s"false negatives: ${exactHeavy -- reported}")
+  }
+
+  test("the sketch table never exceeds lanes x width rows") {
+    val cm = Sketches.countMinTable(docs, "text", lanes = 3, width = 64)
+    assert(cm.count() <= 3L * 64L)
+    // and a 10x-duplicated corpus yields the SAME table size (counts
+    // scale, state does not)
+    val big = docs.union(docs).union(docs)
+    val cmBig = Sketches.countMinTable(big, "text", lanes = 3, width = 64)
+    assert(cmBig.count() == cm.count())
+    val tripled = cm.withColumnRenamed("c", "c1")
+      .join(cmBig, Seq("lane", "bucket"))
+      .filter(col("c") =!= col("c1") * 3).count()
+    assert(tripled == 0, "counters must scale linearly with duplication")
+  }
+
+  test("the candidate estimate join broadcasts the sketch side") {
+    val p = Sketches.heavyHitters(docs, "text", 4, 1024, 500L)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"sketch side must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"no vocabulary-sized sort-merge join:\n$p")
+  }
+}
