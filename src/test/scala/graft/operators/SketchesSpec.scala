@@ -48,6 +48,29 @@ class SketchesSpec extends SparkSuiteBase {
     assert(tripled == 0, "counters must scale linearly with duplication")
   }
 
+  test("the sketch is mergeable: a streaming micro-batched build equals the batch table") {
+    // Count-Min counters are a pure sum — the sketch is mergeable, so
+    // the STREAMING build is just the same (lane, bucket) aggregate in
+    // complete mode, batch-equal after any micro-batch split
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val texts = docs.select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val ms = MemoryStream[(Long, String)](spark, 1)
+    val sketch = Sketches.countMinTable(
+      ms.toDF().toDF("doc_id", "text"), "text", lanes = 3, width = 64)
+    val q = sketch.writeStream.format("memory").queryName("cm_stream")
+      .outputMode("complete").start()
+    try {
+      texts.grouped(200).foreach { b => ms.addData(b.toSeq: _*); q.processAllAvailable() }
+      val got = spark.table("cm_stream")
+        .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val batch = Sketches.countMinTable(docs, "text", lanes = 3, width = 64)
+        .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(got == batch)
+    } finally q.stop()
+  }
+
   test("the candidate estimate join broadcasts the sketch side") {
     val p = Sketches.heavyHitters(docs, "text", 4, 1024, 500L)
       .queryExecution.executedPlan.toString
