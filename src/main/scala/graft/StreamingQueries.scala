@@ -125,18 +125,28 @@ object StreamingQueries extends QueryGroup {
       follow: org.apache.spark.sql.DataFrame,
       keyCol: String, idCol: String, tsCol: String,
       lagMinutes: Int,
-      watermarkDelay: Option[String] = None): org.apache.spark.sql.DataFrame = {
+      watermarkDelay: Option[String] = None,
+      joinType: String = "inner"): org.apache.spark.sql.DataFrame = {
     require(lagMinutes > 0, "lagMinutes must be positive")
+    require(joinType == "inner" || joinType == "left_outer",
+      s"interval join supports inner/left_outer, got $joinType")
     val a0 = lead.select(col(keyCol).as("user_id"),
       col(idCol).as("lead_id"), col(tsCol).as("lead_ts"))
     val b0 = follow.select(col(keyCol).as("__fk"),
       col(idCol).as("follow_id"), col(tsCol).as("follow_ts"))
     val a = watermarkDelay.fold(a0)(w => a0.withWatermark("lead_ts", w))
     val b = watermarkDelay.fold(b0)(w => b0.withWatermark("follow_ts", w))
+    // left_outer semantics at streaming runtime: an unmatched lead row
+    // emits its null-extended result ONLY when the watermark passes
+    // lead_ts + lag (+ delay) and its state is evicted — "no
+    // conversion within the window" is an absence that needs the
+    // window to be provably over (spec-asserted). Batch callers get
+    // ordinary left-outer rows immediately.
     a.join(b, col("user_id") === col("__fk") &&
         col("follow_ts") > col("lead_ts") &&
         col("follow_ts") <=
-          col("lead_ts") + expr(s"INTERVAL $lagMinutes MINUTES"))
+          col("lead_ts") + expr(s"INTERVAL $lagMinutes MINUTES"),
+      joinType)
       .select(col("user_id"), col("lead_id"), col("follow_id"),
         (unix_millis(col("follow_ts")) - unix_millis(col("lead_ts")))
           .as("lag_ms"))

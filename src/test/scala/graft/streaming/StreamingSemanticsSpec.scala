@@ -451,4 +451,36 @@ class StreamingSemanticsSpec extends SparkSuiteBase {
     assert(batchPairs == Set((1L, 11L))) // batch WOULD pair it
     q.stop()
   }
+
+  test("left-outer interval join emits the unmatched lead only after eviction (S-10)") {
+    def evk(id: Long, t: String, u: Long, typ: String) =
+      EvK(id, Timestamp.valueOf(t), u, typ)
+    val msA = MemoryStream[EvK](spark, 1)
+    val msB = MemoryStream[EvK](spark, 1)
+    val joined = graft.StreamingQueries.intervalJoin(
+      msA.toDF(), msB.toDF(), "user_id", "event_id", "ts",
+      lagMinutes = 10, watermarkDelay = Some("5 minutes"),
+      joinType = "left_outer")
+    val q = joined.writeStream.format("memory").queryName("ssij_outer")
+      .outputMode("append").start()
+    def rows() = spark.table("ssij_outer").collect()
+      .map(r => (r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    // batch 1: one matched lead, one unmatched lead; watermark still low
+    msA.addData(evk(1, "2024-01-01 00:00:00", 1, "click"),
+      evk(2, "2024-01-01 00:00:30", 2, "click"))
+    msB.addData(evk(10, "2024-01-01 00:05:00", 1, "purchase"))
+    q.processAllAvailable()
+    // the match emits; the unmatched lead does NOT — its window is not
+    // provably over yet
+    assert(rows() == Set((1L, 10L)))
+    // batch 2: far-future rows on both sides push the watermark past
+    // lead_ts + lag + delay → lead 2's state evicts and the
+    // null-extended row finally emits
+    msA.addData(evk(3, "2024-01-01 02:00:00", 9, "click"))
+    msB.addData(evk(11, "2024-01-01 02:00:00", 8, "purchase"))
+    q.processAllAvailable()
+    assert(rows() == Set((1L, 10L), (2L, -1L)),
+      s"unmatched lead must emit null-extended after eviction, got ${rows()}")
+    q.stop()
+  }
 }
