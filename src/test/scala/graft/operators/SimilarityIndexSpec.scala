@@ -199,6 +199,36 @@ class SimilarityIndexSpec extends SparkSuiteBase {
     assert(!cellsSchema.fieldNames.contains("cv"))
   }
 
+  test("ivfPqProbe scans only the probed cell partitions; empty probes short-circuit") {
+    val e = Tables.embeddings(spark, sfDir)
+    val corpus = e.filter(col("vec_id") >= 10)
+    val dir = tmpDir("ivfpq-prune")
+    SimilarityIndex.buildIvfPq(corpus, "vec_id", "embedding",
+      numCells = 8, numSub = 4, numCentroids = 16, dir = dir)
+    val oneProbe = e.filter(col("vec_id") === 0)
+    val res = SimilarityIndex.ivfPqProbe(oneProbe, "vec_id", "embedding",
+      dir, numCells = 8, nprobe = 1, numSub = 4, numCentroids = 16, k = 3)
+    res.collect()
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p.collect {
+      case f: FileSourceScanExec => Seq(f)
+      case q: QueryStageExec => scans(q.plan)
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case r: ReusedExchangeExec => scans(r.child)
+    }.flatten
+    val cellScan = scans(res.queryExecution.executedPlan)
+      .filter(_.metadata.get("Location").exists(_.contains("cells")))
+    assert(cellScan.nonEmpty)
+    assert(cellScan.head.metrics("numPartitions").value == 1,
+      "nprobe=1 single probe must read one cell partition")
+    val empty = SimilarityIndex.ivfPqProbe(
+      e.filter(col("vec_id") < 0), "vec_id", "embedding",
+      dir, numCells = 8, nprobe = 2, numSub = 4, numCentroids = 16, k = 3)
+    assert(empty.count() == 0)
+  }
+
   test("appendIvfPq deltas equal a from-scratch build; config drift fails loudly") {
     val e = Tables.embeddings(spark, sfDir)
     val probes = e.filter(col("vec_id") < 5)
