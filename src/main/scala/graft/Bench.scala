@@ -57,7 +57,8 @@ object Bench {
     // round-10 additions, quiet-box mins at sf0.1 (comparator 0.45/0.13)
     "q98_pq_ann" -> 0.79, "q99_interval_join" -> 0.32,
     "q100_ivfpq_ann" -> 1.03, "q101_pq_index_probe" -> 1.82,
-    "q102_subseq_search" -> 0.56, "q103_heavy_hitters" -> 0.64)
+    "q102_subseq_search" -> 0.56, "q103_heavy_hitters" -> 0.64,
+    "q104_interval_join_outer" -> 0.52)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -486,6 +486,32 @@ object StreamingQueries extends QueryGroup {
   // not the other at the exact +60 min edge. Stream==batch equality
   // (with real watermarks and state eviction) is proven in
   // StreamingSemanticsSpec over MemoryStream feeds.
+  // S-10 left-outer variant: every click, with its conversion when
+  // one landed inside the hour and NULLs otherwise — the attrition
+  // report. At streaming runtime the null-extended rows emit only on
+  // watermark-driven state eviction (StreamingSemanticsSpec); the
+  // batch twin is the plain filtered LEFT JOIN. NULLS FIRST pinned on
+  // both engines (DuckDB defaults NULLS LAST for ASC, Spark FIRST).
+  q("q104_interval_join_outer",
+    """WITH a AS (SELECT * FROM events WHERE event_type = 'click'),
+      |     b AS (SELECT * FROM events WHERE event_type = 'purchase')
+      |SELECT a.user_id AS user_id, a.event_id AS lead_id,
+      |  b.event_id AS follow_id,
+      |  epoch_ms(b.ts) - epoch_ms(a.ts) AS lag_ms
+      |FROM a LEFT JOIN b ON a.user_id = b.user_id
+      | AND epoch_ms(b.ts) > epoch_ms(a.ts)
+      | AND epoch_ms(b.ts) <= epoch_ms(a.ts) + 3600000
+      |ORDER BY lead_id, follow_id NULLS FIRST""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d)
+      .withColumn("ts", timestamp_millis(unix_millis(col("ts"))))
+    StreamingQueries.intervalJoin(
+        ev.filter(col("event_type") === "click"),
+        ev.filter(col("event_type") === "purchase"),
+        "user_id", "event_id", "ts", lagMinutes = 60,
+        joinType = "left_outer")
+      .orderBy(col("lead_id"), col("follow_id").asc_nulls_first)
+  }
+
   q("q99_interval_join",
     """SELECT a.user_id AS user_id, a.event_id AS lead_id,
       |  b.event_id AS follow_id,
