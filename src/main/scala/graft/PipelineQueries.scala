@@ -2264,4 +2264,29 @@ object PipelineQueries extends QueryGroup {
         lanes = 4, width = 1024, minCount = 500L)
       .orderBy(col("token"))
   }
+
+  // Scale-path skew join on the oracle surface: hot-key-targeted
+  // salting (ScaleOps.hotKeySaltedJoin — only keys with big-side
+  // frequency >= 35 are salted; the dim side replicates only for
+  // those). Salting never changes the join multiset, so the oracle is
+  // the PLAIN inner join — the gate proves the skew machinery is
+  // invisible in the result, which is the whole contract.
+  // l_quantity is integral-valued in the fixture, so the sum is exact
+  // in double and casts to BIGINT without a rounding hazard.
+  q("q105_skew_join",
+    """SELECT p_brand, count(*) AS n_li,
+      |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |GROUP BY p_brand
+      |ORDER BY p_brand""".stripMargin) { (s, d) =>
+    val big = Tables.lineitem(s, d)
+      .select(col("l_partkey").as("p_partkey"), col("l_quantity"))
+    val small = Tables.part(s, d).select("p_partkey", "p_brand")
+    graft.operators.ScaleOps.hotKeySaltedJoin(
+        big, small, "p_partkey", salts = 8, hotThreshold = 35L)
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_li"),
+        sum(col("l_quantity")).cast("long").as("sum_qty"))
+      .orderBy(col("p_brand"))
+  }
 }

@@ -177,6 +177,55 @@ object ScaleOps {
     saltedBig.join(replicatedSmall, Seq(key, "__salt")).drop("__salt")
   }
 
+  /** Production-shape skew join (q105): salt ONLY the keys whose
+    * big-side frequency crosses `hotThreshold`, and replicate the
+    * small side ONLY for those keys. [[saltedJoin]] multiplies the
+    * entire small side by `salts`; at 100 TB with a 10 GB dim table
+    * that is `salts` x 10 GB of shuffle for keys that were never hot.
+    * Here the replication cost is `|hot| x (salts - 1)` rows — the
+    * skew fix is paid exactly where the skew is.
+    *
+    * Hot-key detection is an EXACT count over the big side's key
+    * column (column-pruned scan, partial-agg shuffle of distinct keys
+    * — not rows); a sampled estimate drops in unchanged when even one
+    * pruned scan is too much, and the result is identical either way
+    * (salting never changes the join multiset, only its layout).
+    * The hot set rides a broadcast into both sides, so no extra
+    * shuffle is added to either input.
+    *
+    * Big-side salt is `monotonically_increasing_id mod salts` —
+    * deterministic for a fixed partition layout, and any assignment is
+    * correct: each big row meets exactly the one replica carrying its
+    * salt. Cold keys keep salt 0 and meet the single un-replicated
+    * row, so the plan degenerates to the plain join when nothing is
+    * hot. Result multiset == plain inner join (oracle-gated by q105;
+    * spread/replication asserted in ScaleOpsSpec).
+    */
+  def hotKeySaltedJoin(
+      big: DataFrame,
+      small: DataFrame,
+      key: String,
+      salts: Int,
+      hotThreshold: Long): DataFrame = {
+    require(salts > 0, s"salts must be positive, got $salts")
+    val hot = broadcast(
+      big.groupBy(col(key)).agg(count(lit(1)).as("__c"))
+        .where(col("__c") >= hotThreshold)
+        .select(col(key), lit(true).as("__hot")))
+    val bigSalted = big.join(hot, Seq(key), "left")
+      .withColumn("__salt",
+        when(col("__hot"),
+          pmod(monotonically_increasing_id(), lit(salts.toLong)).cast("int"))
+          .otherwise(lit(0)))
+      .drop("__hot")
+    val smallSalted = small.join(hot, Seq(key), "left")
+      .withColumn("__salt",
+        explode(when(col("__hot"), sequence(lit(0), lit(salts - 1)))
+          .otherwise(array(lit(0)))))
+      .drop("__hot")
+    bigSalted.join(smallSalted, Seq(key, "__salt")).drop("__salt")
+  }
+
   /** Salted two-phase aggregation for skewed group keys: pre-aggregate
     * on (key, salt), then final-aggregate on key. For algebraic
     * aggregates (sum/count/min/max) the result is identical to a

@@ -77,6 +77,56 @@ class ScaleOpsSpec extends SparkSuiteBase {
     salted.foreach { case (k, v) => assert(math.abs(v - plain(k)) < 1e-6) }
   }
 
+  test("hot-key salted join: identical multiset, targeted replication") {
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_partkey").as("p_partkey"), col("l_quantity"))
+    val part = Tables.part(spark, sfDir).select("p_partkey", "p_brand")
+    val thr = 35L
+    val salts = 8
+    // full multiset equality with the plain join, not just aggregates
+    def multiset(d: org.apache.spark.sql.DataFrame) =
+      d.groupBy("p_partkey", "p_brand", "l_quantity").count()
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getLong(3)))
+        .toSet
+    val plain = li.join(part, "p_partkey")
+    val salted = ScaleOps.hotKeySaltedJoin(li, part, "p_partkey", salts, thr)
+    assert(multiset(salted) == multiset(plain))
+
+    // replication is TARGETED: the salted small side carries exactly
+    // |hot| * (salts - 1) extra rows, nothing for cold keys
+    val hotKeys = li.groupBy("p_partkey").count()
+      .where(col("count") >= thr).collect().map(_.getLong(0)).toSet
+    assert(hotKeys.nonEmpty && hotKeys.size < 2000,
+      s"fixture should have a proper hot subset, got ${hotKeys.size}")
+    val hot = org.apache.spark.sql.functions.broadcast(
+      li.groupBy(col("p_partkey")).agg(count(lit(1)).as("__c"))
+        .where(col("__c") >= thr)
+        .select(col("p_partkey"), lit(true).as("__hot")))
+    val smallSalted = part.join(hot, Seq("p_partkey"), "left")
+      .withColumn("__salt",
+        explode(when(col("__hot"), sequence(lit(0), lit(salts - 1)))
+          .otherwise(array(lit(0)))))
+    assert(smallSalted.count() == part.count() + hotKeys.size * (salts - 1))
+
+    // a hot key's big-side rows actually spread over more than one salt
+    val someHot = hotKeys.head
+    val spread = li.where(col("p_partkey") === someHot)
+      .withColumn("__salt",
+        pmod(monotonically_increasing_id(), lit(salts.toLong)).cast("int"))
+      .select("__salt").distinct().count()
+    assert(spread > 1, s"hot key $someHot spread over $spread salts")
+  }
+
+  test("hot-key salted join degenerates cleanly when nothing is hot") {
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_partkey").as("p_partkey"), col("l_quantity"))
+    val part = Tables.part(spark, sfDir).select("p_partkey", "p_brand")
+    val salted = ScaleOps.hotKeySaltedJoin(
+      li, part, "p_partkey", salts = 8, hotThreshold = Long.MaxValue)
+    assert(salted.count() == li.join(part, "p_partkey").count())
+  }
+
   test("salted aggregation equals direct aggregation") {
     val ev = Tables.events(spark, sfDir)
     val direct = ev.groupBy("user_id").agg(sum("value").as("s"))
