@@ -2265,6 +2265,52 @@ object PipelineQueries extends QueryGroup {
       .orderBy(col("token"))
   }
 
+  // R-20 at graph granularity: kNN-graph construction — every
+  // vector's top-5 neighbors by 6-dp cosine, candidates bounded to
+  // the vector's IVF cell (same assignment replay as q84; never a
+  // global N^2 cross join). The adjacency list downstream clustering
+  // and SemDeDup-style pruning consume.
+  q("q106_knn_graph",
+    """WITH u AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+      |             unnest(embedding)::DOUBLE AS x FROM embeddings),
+      |nrm AS (SELECT vec_id, sqrt(sum(x*x)) AS nr FROM u GROUP BY vec_id),
+      |nc AS (SELECT greatest(8, CAST(ceil(count(*) / 100.0) AS BIGINT)) AS cells
+      |       FROM embeddings),
+      |cent AS (SELECT cvid, CAST(rn - 1 AS INT) AS cell FROM (
+      |           SELECT vec_id AS cvid,
+      |             row_number() OVER (ORDER BY vec_id) AS rn FROM embeddings)
+      |         WHERE rn <= (SELECT cells FROM nc)),
+      |vc0 AS (SELECT a.vec_id AS vid, c.cell AS cell, c.cvid AS cvid,
+      |          sum(a.x * b.x) AS dp
+      |        FROM u a JOIN cent c ON true
+      |        JOIN u b ON b.vec_id = c.cvid AND a.i = b.i
+      |        GROUP BY 1, 2, 3),
+      |vc AS (SELECT vid, cell,
+      |         floor((dp / (x.nr * y.nr)) * 1000000.0 + 0.5) / 1000000.0 AS ccos
+      |       FROM vc0 JOIN nrm x ON x.vec_id = vid JOIN nrm y ON y.vec_id = cvid),
+      |assign AS (SELECT vid, cell FROM (
+      |  SELECT vid, cell, row_number() OVER (PARTITION BY vid
+      |           ORDER BY (1.0 - ccos) ASC, cell) AS rn FROM vc) WHERE rn = 1),
+      |p AS (SELECT a.vid AS xid, b.vid AS yid
+      |      FROM assign a JOIN assign b USING (cell) WHERE b.vid <> a.vid),
+      |pd AS (SELECT xid, yid, sum(xu.x * yu.x) AS dp
+      |       FROM p JOIN u xu ON xu.vec_id = xid
+      |              JOIN u yu ON yu.vec_id = yid AND xu.i = yu.i
+      |       GROUP BY 1, 2),
+      |pc AS (SELECT xid, yid,
+      |         floor((dp / (x.nr * y.nr)) * 1000000.0 + 0.5) / 1000000.0 AS cos
+      |       FROM pd JOIN nrm x ON x.vec_id = xid JOIN nrm y ON y.vec_id = yid),
+      |r AS (SELECT xid, yid, cos, row_number() OVER (PARTITION BY xid
+      |        ORDER BY cos DESC, yid) AS rnk FROM pc)
+      |SELECT xid AS vec_id, rnk, yid AS neighbor_id, cos
+      |FROM r WHERE rnk <= 5
+      |ORDER BY vec_id, rnk""".stripMargin) { (s, d) =>
+    val e = Tables.embeddings(s, d)
+    Similarity.knnGraph(e, "vec_id", "embedding",
+        numCells = Similarity.autoCells(e.count()), k = 5)
+      .orderBy(col("vec_id"), col("rnk"))
+  }
+
   // Scale-path skew join on the oracle surface: hot-key-targeted
   // salting (ScaleOps.hotKeySaltedJoin — only keys with big-side
   // frequency >= 35 are salted; the dim side replicates only for

@@ -202,6 +202,51 @@ object Similarity {
       .withColumn("keep", !col("__d")).drop("__d")
   }
 
+  /** kNN-graph construction (q106): every vector's top-k nearest
+    * neighbors by 6-dp cosine, candidates bounded to the vector's IVF
+    * cell — the adjacency-list input to graph clustering, SemDeDup's
+    * within-cluster pruning, and link-based quality propagation.
+    *
+    * Scale shape: the candidate set is a cell equi-join (Σ|cell|²
+    * pairs with autoCells targeting ~100 rows/cell — never the global
+    * N² cross join), and the per-vector rank is a window keyed on the
+    * source id, so the ranking shuffle moves the candidate frame, not
+    * the corpus. Cell-boundary misses are the standard IVF recall
+    * trade; a multi-probe variant drops in by unioning assignments
+    * over the top-p cells before the same join (the oracle replays
+    * the single-probe contract exactly). Vectors in a cell smaller
+    * than k+1 return the neighbors that exist — rank stays dense.
+    */
+  def knnGraph(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      numCells: Int,
+      k: Int,
+      centroids: Option[Seq[(Int, Array[Float])]] = None): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val spark = corpus.sparkSession
+    val cents = centroids.getOrElse(
+      smallestIdCentroids(corpus, idCol, vecCol, numCells))
+    require(cents.nonEmpty, "cannot build a kNN graph over zero cells")
+    val assigned = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("v"),
+      cellAssign(spark, cents, col(vecCol)).as("cell"))
+    val x = assigned
+      .select(col("vec_id").as("xid"), col("v").as("xv"), col("cell"))
+    val y = assigned
+      .select(col("vec_id").as("yid"), col("v").as("yv"), col("cell"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("xid"))
+      .orderBy(col("cos").desc, col("yid"))
+    x.join(y, "cell")
+      .filter(col("xid") =!= col("yid"))
+      .select(col("xid"), col("yid"), cos6(spark, col("xv"), col("yv")).as("cos"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("xid").as("vec_id"), col("rnk"),
+        col("yid").as("neighbor_id"), col("cos"))
+  }
+
   /** Exact all-pairs cosine >= threshold over a SMALL corpus. The
     * corpus is collected and broadcast as primitive float arrays and
     * each task scans its probe slice with tight JVM loops — the same

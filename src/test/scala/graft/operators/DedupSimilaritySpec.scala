@@ -206,6 +206,66 @@ class DedupSimilaritySpec extends SparkSuiteBase {
     assert(p.contains("Join [cell"), s"expected a cell equi-join:\n$p")
   }
 
+  test("kNN graph: within-cluster neighbors, dense ranks, cell-bounded plan") {
+    import spark.implicits._
+    // same 6 well-separated planted clusters; ids laid out so cluster
+    // membership is id % 6 from id 6 on
+    val rnd = new scala.util.Random(11)
+    val centers = Array.tabulate(6, 8)((c, j) =>
+      if (j == c) 4.0f else if (j == (c + 1) % 8) -2.0f else 0.0f)
+    val vecs = (0 until 300).map { id =>
+      val c = id % 6
+      (id.toLong, centers(c).map(x => x + (rnd.nextFloat() - 0.5f) * 0.6f))
+    }
+    val corpus = vecs.toDF("vec_id", "embedding")
+    val trained = Similarity.trainIvfCentroids(
+      corpus, "vec_id", "embedding", numCells = 6, lloydRounds = 5)
+    val g = Similarity.knnGraph(corpus, "vec_id", "embedding",
+      numCells = 6, k = 5,
+      centroids = Some(trained.zipWithIndex.map { case (v, i) => (i, v) }))
+    val rows = g.collect().map(r =>
+      (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    // every vector appears with dense ranks 1..5 (cells hold ~50 rows)
+    val byVec = rows.groupBy(_._1)
+    assert(byVec.size == 300)
+    byVec.foreach { case (v, ns) =>
+      assert(ns.map(_._2).sorted.toSeq == (1 to 5), s"ranks for $v")
+    }
+    // neighbors come from the vector's own planted cluster — the
+    // separation is wide enough that cross-cluster cosine never wins
+    rows.foreach { case (v, _, n, _) =>
+      assert(v % 6 == n % 6, s"$v got cross-cluster neighbor $n")
+    }
+    // cosine is non-increasing in rank per vector
+    byVec.foreach { case (v, ns) =>
+      val sorted = ns.sortBy(_._2).map(_._4)
+      assert(sorted.zip(sorted.tail).forall { case (a, b) => a >= b },
+        s"cosine not monotone for $v")
+    }
+    // plan shape: candidates via cell equi-join, never a cartesian
+    val p = g.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("Join [cell"), s"expected a cell equi-join:\n$p")
+  }
+
+  test("kNN graph: a cell smaller than k+1 returns dense ranks over what exists") {
+    import spark.implicits._
+    // 3 vectors in one direction, 1 lone vector orthogonal: with 2
+    // cells the lone vector's cell has no peers -> zero rows for it
+    val corpus = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)),
+      (1L, Array(0.9f, 0.1f, 0f, 0f)),
+      (2L, Array(0.95f, 0.05f, 0f, 0f)),
+      (50L, Array(0f, 0f, 1f, 0f))).toDF("vec_id", "embedding")
+    val cents = Seq((0, Array(1f, 0f, 0f, 0f)), (1, Array(0f, 0f, 1f, 0f)))
+    val g = Similarity.knnGraph(corpus, "vec_id", "embedding",
+      numCells = 2, k = 5, centroids = Some(cents)).collect()
+    val byVec = g.map(r => (r.getLong(0), r.getInt(1))).groupBy(_._1)
+    assert(byVec.keySet == Set(0L, 1L, 2L), "lone vector has no neighbors")
+    byVec.foreach { case (_, ns) =>
+      assert(ns.map(_._2).sorted.toSeq == Seq(1, 2)) }
+  }
+
   test("clusterSurvivors keeps the max-score member, min-id on ties, via aggregate (no window)") {
     import spark.implicits._
     val labeled = Seq(
