@@ -2265,6 +2265,35 @@ object PipelineQueries extends QueryGroup {
       .orderBy(col("token"))
   }
 
+  // R-21 corpus analysis: PMI collocations — top adjacent word pairs
+  // by lift p(w1 w2)/(p(w1)p(w2)), the pass behind multi-word-token
+  // vocabulary building. Log-free (log is monotone; libm last-ulp
+  // behavior differs across engines) with one fixed-order IEEE
+  // mul/div chain both engines run verbatim.
+  q("q107_pmi_collocations",
+    s"""WITH toks AS (SELECT doc_id, $sqlTokens AS l FROM documents),
+       |uni AS (SELECT unnest(l) AS word FROM toks),
+       |uc AS (SELECT word, count(*) AS c FROM uni GROUP BY word),
+       |bg AS (SELECT unnest(list_transform(generate_series(1, len(l) - 1),
+       |              i -> l[i] || ' ' || l[i+1])) AS bg FROM toks),
+       |bc AS (SELECT bg, count(*) AS c12 FROM bg GROUP BY bg),
+       |tot AS (SELECT (SELECT sum(c) FROM uc) AS u_total,
+       |               (SELECT sum(c12) FROM bc) AS t_total),
+       |sc AS (SELECT string_split(bg, ' ')[1] AS w1,
+       |              string_split(bg, ' ')[2] AS w2, c12,
+       |         floor(c12::DOUBLE / t_total * u_total / w1c.c * u_total / w2c.c
+       |           * 1000000.0 + 0.5) / 1000000.0 AS lift
+       |       FROM bc CROSS JOIN tot
+       |       JOIN uc w1c ON w1c.word = string_split(bg, ' ')[1]
+       |       JOIN uc w2c ON w2c.word = string_split(bg, ' ')[2]
+       |       WHERE c12 >= 5)
+       |SELECT w1, w2, c12, lift FROM sc
+       |ORDER BY lift DESC, w1, w2
+       |LIMIT 50""".stripMargin) { (s, d) =>
+    TextAnalysis.pmiCollocations(Tables.documents(s, d), "text",
+      minCount = 5L, topK = 50)
+  }
+
   // R-20 at graph granularity: kNN-graph construction — every
   // vector's top-5 neighbors by 6-dp cosine, candidates bounded to
   // the vector's IVF cell (same assignment replay as q84; never a

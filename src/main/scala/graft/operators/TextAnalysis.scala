@@ -458,4 +458,52 @@ object TextAnalysis {
       .select(col("doc"), best.as("guessed_lang"),
         col("__max").cast("long").as("score"))
   }
+
+  /** PMI collocation mining (q107): the top-k adjacent word pairs by
+    * pointwise-mutual-information LIFT, `p(w1 w2) / (p(w1) p(w2))` —
+    * the corpus-analysis pass behind multi-word-token vocabulary
+    * building and tokenizer merge auditing. The lift is PMI without
+    * the log (log is monotone, so the ranking is identical) — kept
+    * log-free because `ln` is a libm call whose last-ulp behavior the
+    * DuckDB oracle need not share, while this fixed-order chain of
+    * IEEE mul/div is bit-identical on both engines:
+    * `((((c12 / T) * U) / c1) * U) / c2`.
+    *
+    * Scale shape: one token-level and one bigram-level hash aggregate
+    * over the corpus (map-side partials do the heavy lifting), then
+    * two vocabulary-sized equi-joins and a broadcast of the two
+    * scalar totals; the final top-k is a TakeOrdered, never a
+    * single-task global window.
+    */
+  def pmiCollocations(
+      docs: DataFrame,
+      textCol: String,
+      minCount: Long,
+      topK: Int): DataFrame = {
+    val uni = docs
+      .select(explode(TextFns.tokens(col(textCol))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("c"))
+    val bi = docs
+      .select(explode(TextFns.textShingles(col(textCol), 2)).as("bg"))
+      .groupBy(col("bg")).agg(count(lit(1)).as("c12"))
+    val totals = broadcast(
+      uni.agg(sum(col("c")).as("u_total"))
+        .crossJoin(bi.agg(sum(col("c12")).as("t_total"))))
+    val w1c = uni.select(col("word").as("w1"), col("c").as("c1"))
+    val w2c = uni.select(col("word").as("w2"), col("c").as("c2"))
+    bi.filter(col("c12") >= minCount)
+      .withColumn("w1", split(col("bg"), " ").getItem(0))
+      .withColumn("w2", split(col("bg"), " ").getItem(1))
+      .join(w1c, "w1").join(w2c, "w2")
+      .crossJoin(totals)
+      .withColumn("lift", {
+        val s = math.pow(10, 6)
+        val raw = col("c12").cast("double") / col("t_total") *
+          col("u_total") / col("c1") * col("u_total") / col("c2")
+        floor(raw * lit(s) + lit(0.5)) / lit(s)
+      })
+      .select(col("w1"), col("w2"), col("c12"), col("lift"))
+      .orderBy(col("lift").desc, col("w1"), col("w2"))
+      .limit(topK)
+  }
 }
