@@ -2265,6 +2265,36 @@ object PipelineQueries extends QueryGroup {
       .orderBy(col("token"))
   }
 
+  // R-19 at sub-document granularity: chunk-level exact dedup with
+  // reassembly (RefinedWeb's line-dedup adapted to line-less text) —
+  // every 3-token chunk survives only at its first corpus-wide
+  // occurrence; documents are re-assembled from what survives.
+  q("q108_chunk_dedup",
+    s"""WITH toks AS (SELECT doc_id, $sqlTokens AS l FROM documents),
+       |ch AS (SELECT doc_id, CAST(i AS INTEGER) AS pos,
+       |         array_to_string(l[(i*3+1):(i*3+3)], ' ') AS chunk
+       |       FROM toks CROSS JOIN
+       |         unnest(generate_series(0,
+       |           CAST(ceil(len(l)/3.0) AS BIGINT) - 1)) AS t(i)),
+       |k AS (SELECT doc_id, pos, chunk FROM (
+       |        SELECT doc_id, pos, chunk, row_number() OVER (
+       |          PARTITION BY chunk ORDER BY doc_id, pos) AS rn FROM ch)
+       |      WHERE rn = 1),
+       |ka AS (SELECT doc_id, count(*) AS n_kept,
+       |         string_agg(chunk, ' ' ORDER BY pos) AS text_dedup
+       |       FROM k GROUP BY doc_id),
+       |tot AS (SELECT doc_id, count(*) AS n_chunks FROM ch GROUP BY doc_id)
+       |SELECT d.doc_id, coalesce(ka.text_dedup, '') AS text_dedup,
+       |  coalesce(ka.n_kept, 0) AS n_kept,
+       |  coalesce(tot.n_chunks, 0) - coalesce(ka.n_kept, 0) AS n_dropped
+       |FROM documents d
+       |LEFT JOIN tot USING (doc_id) LEFT JOIN ka USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+    Dedup.chunkDedup(Tables.documents(s, d), "doc_id", "text",
+        chunkWords = 3)
+      .orderBy(col("doc_id"))
+  }
+
   // R-21 corpus analysis: PMI collocations — top adjacent word pairs
   // by lift p(w1 w2)/(p(w1)p(w2)), the pass behind multi-word-token
   // vocabulary building. Log-free (log is monotone; libm last-ulp

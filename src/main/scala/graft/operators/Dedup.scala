@@ -42,6 +42,63 @@ object Dedup {
       .drop("__rn")
   }
 
+  /** Chunk-granularity exact dedup with document reassembly (q108) —
+    * the RefinedWeb line-dedup pass adapted to a corpus without line
+    * structure: split each document into disjoint `chunkWords`-token
+    * windows, keep every chunk ONLY at its first occurrence corpus-
+    * wide (smallest (doc, position)), and re-assemble what survives in
+    * position order. Output per input document: `text_dedup` (possibly
+    * empty), `n_kept`, `n_dropped` — so boilerplate shared across
+    * documents is stripped while each document keeps its own prose.
+    *
+    * Scale shape: chunking is row-local (one explode over a sequence,
+    * no self-join); the keep-first decision is one window keyed on
+    * the chunk value (cardinality ~ corpus chunks — the partition is
+    * the dedup key, never a global sort); reassembly is a doc-keyed
+    * aggregate whose `sort_array(collect_list)` is bounded by a
+    * single document's chunk count. Three shuffles total, each on a
+    * key that grows with the data, none driver-side.
+    */
+  def chunkDedup(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      chunkWords: Int): DataFrame = {
+    require(chunkWords > 0, s"chunkWords must be positive, got $chunkWords")
+    val toks = docs.select(col(idCol).as("__doc"),
+      TextFns.tokens(col(textCol)).as("__l"))
+    // Spark's sequence(0, -1) counts DOWN — the n==0 guard is load-bearing
+    val chunks = toks
+      .withColumn("__n",
+        ceil(size(col("__l")).cast("double") / lit(chunkWords.toDouble))
+          .cast("int"))
+      .withColumn("pos",
+        explode(when(col("__n") > 0, sequence(lit(0), col("__n") - 1))
+          .otherwise(array().cast("array<int>"))))
+      .withColumn("chunk",
+        concat_ws(" ",
+          slice(col("__l"), col("pos") * chunkWords + 1, lit(chunkWords))))
+      .select(col("__doc"), col("pos"), col("chunk"))
+    val w = Window.partitionBy(col("chunk")).orderBy(col("__doc"), col("pos"))
+    val kept = chunks.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+    val keptAgg = kept.groupBy(col("__doc"))
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(" ",
+          transform(sort_array(collect_list(struct(col("pos"), col("chunk")))),
+            s => s.getField("chunk"))).as("text_dedup"))
+    val totals = chunks.groupBy(col("__doc"))
+      .agg(count(lit(1)).as("__n_chunks"))
+    docs.select(col(idCol))
+      .join(totals, col(idCol) === totals("__doc"), "left").drop("__doc")
+      .join(keptAgg, col(idCol) === keptAgg("__doc"), "left").drop("__doc")
+      .select(col(idCol),
+        coalesce(col("text_dedup"), lit("")).as("text_dedup"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (coalesce(col("__n_chunks"), lit(0L)) -
+          coalesce(col("n_kept"), lit(0L))).as("n_dropped"))
+  }
+
   /** Quality-aware survivor selection over near-dup clusters: among
     * each cluster's members keep the row maximizing `scoreCol`, ties
     * broken by smallest `idCol` — the final step of a training-data

@@ -111,4 +111,52 @@ class SubstringDedupSpec extends SparkSuiteBase {
       col("n_windows") > col("span_end") - col("span_start") - (L - 2))
     assert(bad.count() === 0)
   }
+
+  test("chunkDedup: a shared chunk survives only at its first occurrence") {
+    import spark.implicits._
+    // doc 1 and doc 5 share the chunk "a b c"; everything else is
+    // per-doc unique so only that chunk can collide
+    val docs = Seq(
+      (1L, "a b c u1x0 u1x1 u1x2"),
+      (5L, "u5x0 u5x1 u5x2 a b c"),
+      (9L, "u9x0 u9x1 u9x2")).toDF("doc_id", "text")
+    val out = Dedup.chunkDedup(docs, "doc_id", "text", chunkWords = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) == (("a b c u1x0 u1x1 u1x2", 2L, 0L)))
+    assert(out(5L) == (("u5x0 u5x1 u5x2", 1L, 1L)), s"got ${out(5L)}")
+    assert(out(9L) == (("u9x0 u9x1 u9x2", 1L, 0L)))
+  }
+
+  test("chunkDedup: within-doc repeats keep first, partial tails and empty text survive") {
+    import spark.implicits._
+    val docs = Seq(
+      (2L, "x y z x y z w"), // repeated chunk within one doc + 1-word tail
+      (3L, ""),              // zero chunks
+      (4L, "p q")            // single partial chunk
+    ).toDF("doc_id", "text")
+    val out = Dedup.chunkDedup(docs, "doc_id", "text", chunkWords = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(2L) == (("x y z w", 2L, 1L)), s"got ${out(2L)}")
+    assert(out(3L) == (("", 0L, 0L)))
+    assert(out(4L) == (("p q", 1L, 0L)))
+  }
+
+  test("chunkDedup: the fixture's planted near-dups actually lose chunks") {
+    val docs = Tables.documents(spark, sfDir)
+    val out = Dedup.chunkDedup(docs, "doc_id", "text", chunkWords = 3)
+    assert(out.count() == docs.count(), "output stays total over documents")
+    val dropped = out.agg(sum(col("n_dropped"))).collect()(0).getLong(0)
+    assert(dropped > 0, "fixture near-dups must produce chunk drops")
+    // no chunk value survives twice corpus-wide: re-chunking the
+    // deduped text yields all-distinct chunks
+    val rechunk = Dedup.chunkDedup(
+      out.select(col("doc_id"), col("text_dedup").as("text")),
+      "doc_id", "text", chunkWords = 3)
+    // note: reassembly can create NEW chunks across former boundaries,
+    // so assert on the weaker invariant that a second pass drops less
+    val dropped2 = rechunk.agg(sum(col("n_dropped"))).collect()(0).getLong(0)
+    assert(dropped2 < dropped, s"second pass dropped $dropped2 >= $dropped")
+  }
 }
