@@ -2265,6 +2265,49 @@ object PipelineQueries extends QueryGroup {
       .orderBy(col("token"))
   }
 
+  // Scale-path data layout: Z-order (Morton) file assignment over
+  // (user_id, event day) — each of 64 files covers a near-rectangular
+  // 2-D box, so a 2-D selection prunes to intersecting files (the
+  // OPTIMIZE ZORDER BY trick as a deterministic column; pruning
+  // factor asserted in ScaleOpsSpec). Output = per-file bounding-box
+  // stats, i.e. exactly the metadata a reader would prune on.
+  q("q109_zorder_layout",
+    """WITH e AS (SELECT event_id, user_id,
+      |        CAST(floor(epoch_ms(ts) / 86400000.0) AS BIGINT) AS day
+      |      FROM events),
+      |mm AS (SELECT min(user_id) AS mina, max(user_id) AS maxa,
+      |              min(day) AS minb, max(day) AS maxb FROM e),
+      |q AS (SELECT event_id, user_id, day,
+      |        CAST(floor(CAST(user_id - mina AS DOUBLE) * 1024.0
+      |          / (maxa - mina + 1)) AS BIGINT) AS ba,
+      |        CAST(floor(CAST(day - minb AS DOUBLE) * 1024.0
+      |          / (maxb - minb + 1)) AS BIGINT) AS bb
+      |      FROM e CROSS JOIN mm),
+      |zb AS (SELECT event_id, user_id, day,
+      |         sum((((ba >> i) & 1) << (2*i)) + (((bb >> i) & 1) << (2*i+1)))
+      |           AS zval
+      |       FROM q CROSS JOIN (SELECT unnest(range(0, 16)) AS i)
+      |       GROUP BY event_id, user_id, day),
+      |f AS (SELECT user_id, day,
+      |        CAST(floor(zval * 64.0 / 1048576.0) AS BIGINT) AS file
+      |      FROM zb)
+      |SELECT file, count(*) AS n_rows,
+      |  min(user_id) AS min_user, max(user_id) AS max_user,
+      |  min(day) AS min_day, max(day) AS max_day
+      |FROM f GROUP BY file
+      |ORDER BY file""".stripMargin) { (s, d) =>
+    val e = Tables.events(s, d).select(col("event_id"), col("user_id"),
+      floor(unix_millis(col("ts")).cast("double") / lit(86400000.0))
+        .cast("long").as("day"))
+    graft.operators.ScaleOps.zorderLayout(e, "user_id", "day",
+        bins = 1024, numFiles = 64)
+      .groupBy(col("file"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("user_id")).as("min_user"), max(col("user_id")).as("max_user"),
+        min(col("day")).as("min_day"), max(col("day")).as("max_day"))
+      .orderBy(col("file"))
+  }
+
   // R-19 at sub-document granularity: chunk-level exact dedup with
   // reassembly (RefinedWeb's line-dedup adapted to line-less text) —
   // every 3-token chunk survives only at its first corpus-wide

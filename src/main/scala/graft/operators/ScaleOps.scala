@@ -177,6 +177,58 @@ object ScaleOps {
     saltedBig.join(replicatedSmall, Seq(key, "__salt")).drop("__salt")
   }
 
+  /** Z-order (Morton) layout assignment (q109): quantize two integral
+    * dimensions into `bins` equal-width bins, interleave the bin bits
+    * ([[graft.plans.ZOrderExpr]], codegen), and map the z-value to one
+    * of `numFiles` equal-width z-ranges. Range-partitioning/writing by
+    * `file` then gives every file a near-rectangular (dimA, dimB)
+    * bounding box, so a 2-D selection prunes to the files whose box
+    * intersects — the layout trick behind `OPTIMIZE ZORDER BY`
+    * (Delta/Iceberg), as a plain deterministic column. Appends
+    * `bin_a`, `bin_b`, `zval`, `file`; row-preserving.
+    *
+    * The min/max quantization anchors are ONE exact aggregate (4 longs
+    * to the driver). All arithmetic is fixed-order IEEE double
+    * (`floor((x - min) * bins / range)`) — exact while
+    * `(x - min) * bins < 2^53`, i.e. any dimension span below ~2^42
+    * at 1024 bins — so the DuckDB oracle replays it bit-identically.
+    * Balance caveat (documented contract): equal-width z-ranges give
+    * equal-size files for roughly uniform dims; heavily skewed dims
+    * want rank-based binning in place of min/max scaling (the
+    * prefix-sum rank machinery above drops in), which changes only
+    * the `bin` definition, not the interleave or the file math.
+    */
+  def zorderLayout(
+      df: DataFrame,
+      dimA: String,
+      dimB: String,
+      bins: Int,
+      numFiles: Int): DataFrame = {
+    require(bins > 1 && bins <= (1 << graft.plans.ZOrderExpr.Bits),
+      s"bins must be in (1, 65536], got $bins")
+    require(numFiles > 0, s"numFiles must be positive, got $numFiles")
+    val spark = df.sparkSession
+    val mm = df.agg(
+      min(col(dimA).cast("long")), max(col(dimA).cast("long")),
+      min(col(dimB).cast("long")), max(col(dimB).cast("long"))).collect()(0)
+    require(!mm.isNullAt(0) && !mm.isNullAt(2),
+      "zorderLayout needs at least one row with non-null dimensions")
+    val (minA, maxA) = (mm.getLong(0), mm.getLong(1))
+    val (minB, maxB) = (mm.getLong(2), mm.getLong(3))
+    val bitsUsed = 64 - java.lang.Long.numberOfLeadingZeros((bins - 1).toLong)
+    val zSpace = math.pow(4.0, bitsUsed.toDouble)
+    def bin(c: org.apache.spark.sql.Column, lo: Long, hi: Long) =
+      floor((c.cast("long") - lit(lo)).cast("double") * lit(bins.toDouble) /
+        lit((hi - lo + 1).toDouble)).cast("long")
+    df.withColumn("bin_a", bin(col(dimA), minA, maxA))
+      .withColumn("bin_b", bin(col(dimB), minB, maxB))
+      .withColumn("zval",
+        graft.plans.ZOrderExpr.zorder(spark, col("bin_a"), col("bin_b")))
+      .withColumn("file",
+        floor(col("zval").cast("double") * lit(numFiles.toDouble) /
+          lit(zSpace)).cast("long"))
+  }
+
   /** Production-shape skew join (q105): salt ONLY the keys whose
     * big-side frequency crosses `hotThreshold`, and replicate the
     * small side ONLY for those keys. [[saltedJoin]] multiplies the

@@ -92,5 +92,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("nearest_cell",
         "nearest_cell(vec, centroids) - cell index of the nearest centroid by (1 - cos6, cell); centroids must be a foldable array<array<float>>"),
       (exprs: Seq[Expression]) => NearestCellExpr(exprs(0), exprs(1))))
+    ext.injectFunction((FunctionIdentifier("zorder"),
+      info("zorder",
+        "zorder(a, b) - Morton interleave of the low 16 bits of two bigint dimension bins"),
+      (exprs: Seq[Expression]) => ZOrderExpr.buildFromExprs(exprs)))
   }
 }

@@ -77,6 +77,60 @@ class ScaleOpsSpec extends SparkSuiteBase {
     salted.foreach { case (k, v) => assert(math.abs(v - plain(k)) < 1e-6) }
   }
 
+  test("zorder interleave: known bit patterns and bounds") {
+    import graft.plans.ZOrderExpr
+    // a-bits land at even positions, b-bits at odd
+    assert(ZOrderExpr.interleave(0L, 0L) == 0L)
+    assert(ZOrderExpr.interleave(1L, 0L) == 1L)
+    assert(ZOrderExpr.interleave(0L, 1L) == 2L)
+    assert(ZOrderExpr.interleave(3L, 0L) == 5L)    // 0b101
+    assert(ZOrderExpr.interleave(0L, 3L) == 10L)   // 0b1010
+    assert(ZOrderExpr.interleave(5L, 3L) == 27L)   // 0b11011
+    // 16 bits per dim: max input fills 32 z-bits
+    assert(ZOrderExpr.interleave(65535L, 65535L) == 0xFFFFFFFFL)
+    // bits above the width are masked, not smeared
+    assert(ZOrderExpr.interleave(65536L, 0L) == 0L)
+    // codegen/eval agreement through the SQL surface
+    import spark.implicits._
+    val got = Seq((5L, 3L)).toDF("a", "b")
+      .select(graft.plans.ZOrderExpr.zorder(spark, col("a"), col("b")))
+      .collect()(0).getLong(0)
+    assert(got == 27L)
+  }
+
+  test("zorder layout: 2-D selections prune to few files, 1-D sort layout cannot") {
+    import spark.implicits._
+    // uniform 128x128 grid: every (x, y) cell once
+    val grid = (0 until 128).flatMap(x => (0 until 128).map(y =>
+      (x.toLong * 128 + y, x.toLong, y.toLong))).toDF("id", "x", "y")
+    val laid = ScaleOps.zorderLayout(grid, "x", "y", bins = 1024, numFiles = 64)
+      .select(col("x"), col("y"), col("file")).cache()
+    try {
+      // all 64 files used, sizes exactly balanced on the uniform grid
+      val sizes = laid.groupBy("file").count().collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(sizes.size == 64, s"used ${sizes.size} files")
+      assert(sizes.values.forall(_ == 128L * 128 / 64), s"sizes $sizes")
+      // a 16x16 rectangle (1/8 of each dim) touches at most 4 files:
+      // file boxes are a 8x8 grid of 16x16 rectangles, so an aligned
+      // query hits 1, any unaligned one at most 2x2
+      val touched = laid
+        .where(col("x").between(37, 52) && col("y").between(81, 96))
+        .select("file").distinct().count()
+      assert(touched <= 4, s"z-layout touched $touched files")
+      // the same selection on an x-sorted layout touches every file
+      // holding the x-range — but a y-only selection hits ALL files
+      val xSorted = grid.withColumn("file",
+        floor(col("x") * 64 / 128).cast("long"))
+      val yTouched = xSorted.where(col("y").between(81, 96))
+        .select("file").distinct().count()
+      assert(yTouched == 64, s"x-sorted layout touched $yTouched for y-query")
+      val zyTouched = laid.where(col("y").between(81, 96))
+        .select("file").distinct().count()
+      assert(zyTouched <= 16, s"z-layout touched $zyTouched for y-query")
+    } finally { laid.unpersist(); () }
+  }
+
   test("hot-key salted join: identical multiset, targeted replication") {
     val li = Tables.lineitem(spark, sfDir)
       .select(col("l_partkey").as("p_partkey"), col("l_quantity"))

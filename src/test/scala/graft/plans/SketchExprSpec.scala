@@ -280,7 +280,8 @@ class SketchExprSpec extends SparkSuiteBase {
           "array(array(0.0f, 1.0f), array(1.0f, 0.0f))) AS nc, " +
           "pq_encode(array(1.0f, 0.0f), " +
           "array(array(array(0.0f), array(1.0f)), " +
-          "array(array(1.0f), array(0.0f)))) AS pq").head()
+          "array(array(1.0f), array(0.0f)))) AS pq, " +
+          "zorder(5L, 3L) AS z").head()
       assert(r.getDouble(0) == 11.0)
       assert(r.getDouble(1) == 0.5)
       assert(!r.isNullAt(2))
@@ -296,6 +297,7 @@ class SketchExprSpec extends SparkSuiteBase {
       assert(r.getInt(10) == 1)
       // subspace 0 (dim 0 = 1.0) → centroid 1; subspace 1 (dim 1 = 0.0) → centroid 1
       assert(r.getSeq[Int](11) == Seq(1, 1))
+      assert(r.getLong(12) == 27L)
     } finally {
       org.apache.spark.sql.SparkSession.setDefaultSession(base)
       org.apache.spark.sql.SparkSession.setActiveSession(base)
