@@ -2265,6 +2265,33 @@ object PipelineQueries extends QueryGroup {
       .orderBy(col("token"))
   }
 
+  // R-20 dimensionality cut: Johnson-Lindenstrauss projection onto 16
+  // md5-derived +-1 directions (Achlioptas), emitted as fixed-point
+  // 1e-6 units so the portable form never trusts double->string
+  // formatting. Row-local — the operator adds zero shuffles.
+  q("q110_random_projection",
+    """WITH u AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+      |             unnest(embedding)::DOUBLE AS x FROM embeddings),
+      |s AS (SELECT j, i,
+      |        CASE WHEN CAST('0x' || substr(md5('rp' || j || '_' || (i-1)), 1, 15)
+      |          AS BIGINT) % 2 = 1 THEN 1.0 ELSE -1.0 END AS sgn
+      |      FROM (SELECT unnest(range(0, 16)) AS j)
+      |      CROSS JOIN (SELECT unnest(range(1, 65)) AS i)),
+      |p AS (SELECT vec_id, j,
+      |        CAST(floor(sum(x * sgn) / sqrt(16.0) * 1000000.0 + 0.5)
+      |          AS BIGINT) AS ym
+      |      FROM u JOIN s USING (i) GROUP BY vec_id, j)
+      |SELECT vec_id, string_agg(CAST(ym AS VARCHAR), ',' ORDER BY j) AS y_csv
+      |FROM p GROUP BY vec_id
+      |ORDER BY vec_id""".stripMargin) { (s, d) =>
+    Similarity.randomProject(Tables.embeddings(s, d), "vec_id", "embedding",
+        outDims = 16, inDims = 64)
+      .select(col("vec_id"),
+        concat_ws(",", transform(col("y_micro"), c => c.cast("string")))
+          .as("y_csv"))
+      .orderBy(col("vec_id"))
+  }
+
   // Scale-path data layout: Z-order (Morton) file assignment over
   // (user_id, event day) — each of 64 files covers a near-rectangular
   // 2-D box, so a 2-D selection prunes to intersecting files (the

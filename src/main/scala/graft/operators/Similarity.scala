@@ -202,6 +202,45 @@ object Similarity {
       .withColumn("keep", !col("__d")).drop("__d")
   }
 
+  /** Johnson-Lindenstrauss random projection (q110): project each
+    * embedding onto `outDims` md5-derived ±1 directions (Achlioptas
+    * 2003's database-friendly sign matrix), scaled by 1/√outDims —
+    * the cheap dimensionality cut that preserves pairwise distances
+    * within (1±ε) and feeds faster downstream ANN/clustering.
+    *
+    * The sign matrix is derived at build time from
+    * `md5("rp<j>_<i>")` parity — no RNG state, so the DuckDB oracle
+    * re-derives the identical matrix from the same md5 arithmetic.
+    * Each output component is one codegen [[graft.plans.FloatVecDot]]
+    * against a literal direction (row-local; the operator adds no
+    * shuffle at all). Components are emitted as FIXED-POINT 1e-6
+    * units (`y_micro`: array<long>, value = micro/1e6) — rounding
+    * happens once, on the double dot product, so the portable form
+    * is exact on both engines instead of trusting double→string
+    * formatting.
+    */
+  def randomProject(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      outDims: Int,
+      inDims: Int): DataFrame = {
+    require(outDims > 0 && inDims > 0, "dims must be positive")
+    val spark = corpus.sparkSession
+    val scale = math.sqrt(outDims.toDouble)
+    val comps = (0 until outDims).map { j =>
+      val signs = Array.tabulate(inDims) { i =>
+        if ((graft.functions.PortableHash.md5Long60Jvm(
+          s"rp${j}_${i}".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          & 1L) == 1L) 1.0f else -1.0f
+      }
+      floor(graft.plans.FloatVecDot.vecDot(spark, col(vecCol),
+          typedLit(signs.toSeq)) / lit(scale) * lit(1e6) + lit(0.5))
+        .cast("long")
+    }
+    corpus.select(col(idCol).as("vec_id"), array(comps: _*).as("y_micro"))
+  }
+
   /** kNN-graph construction (q106): every vector's top-k nearest
     * neighbors by 6-dp cosine, candidates bounded to the vector's IVF
     * cell — the adjacency-list input to graph clustering, SemDeDup's

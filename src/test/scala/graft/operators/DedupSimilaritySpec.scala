@@ -266,6 +266,42 @@ class DedupSimilaritySpec extends SparkSuiteBase {
       assert(ns.map(_._2).sorted.toSeq == Seq(1, 2)) }
   }
 
+  test("random projection: JL distance preservation, determinism, no shuffle") {
+    import spark.implicits._
+    // planted clusters: within-cluster distances are small, cross-
+    // cluster large — the projection must preserve that separation.
+    // (The sf fixture's embeddings are nearly equidistant, where a
+    // distance-correlation assert only measures noise.)
+    val rnd = new scala.util.Random(13)
+    val centers = Array.tabulate(4, 64)((c, j) =>
+      if (j % 4 == c) 3.0f else 0.0f)
+    val e = (0 until 60).map { id =>
+      val c = id % 4
+      (id.toLong, centers(c).map(v => v + (rnd.nextFloat() - 0.5f) * 0.4f))
+    }.toDF("vec_id", "embedding")
+    val proj = Similarity.randomProject(e, "vec_id", "embedding",
+      outDims = 16, inDims = 64)
+    val y = proj.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).map(_ / 1e6).toArray).toMap
+    def d2(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (p, q) => (p - q) * (p - q) }.sum
+    val ids = y.keys.toSeq.sorted
+    val pairs = for { a <- ids; b <- ids if a < b } yield (a, b)
+    val (within, cross) = pairs.partition { case (a, b) => a % 4 == b % 4 }
+    val wAvg = within.map { case (a, b) => d2(y(a), y(b)) }.sum / within.size
+    val cAvg = cross.map { case (a, b) => d2(y(a), y(b)) }.sum / cross.size
+    assert(cAvg > 3 * wAvg,
+      s"projected cluster separation lost: within=$wAvg cross=$cAvg")
+    // deterministic: identical output on a second run
+    val again = Similarity.randomProject(e, "vec_id", "embedding", 16, 64)
+      .collect().map(r2 => r2.getLong(0) -> r2.getSeq[Long](1)).toMap
+    val first = proj.collect().map(r2 => r2.getLong(0) -> r2.getSeq[Long](1)).toMap
+    assert(first == again)
+    // row-local: the plan carries no exchange at all
+    val plan = proj.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"projection must not shuffle:\n$plan")
+  }
+
   test("clusterSurvivors keeps the max-score member, min-id on ties, via aggregate (no window)") {
     import spark.implicits._
     val labeled = Seq(
