@@ -2265,6 +2265,50 @@ object PipelineQueries extends QueryGroup {
       .orderBy(col("token"))
   }
 
+  // R-19 link analytics: PageRank over the mined near-dup pair graph
+  // (Brin-Page power steps; the quality-propagation recipe behind
+  // host/document importance weighting in web-corpus curation). Every
+  // iteration rounds at 6dp in BOTH engines so float summation order
+  // cannot drift across iterations; the oracle unrolls the 3 power
+  // steps as CTEs over the same staged pair frame.
+  q("q111_pagerank",
+    s"""WITH $jaccardPairCtes,
+       |ed AS (SELECT id_a AS src, id_b AS dst FROM pr
+       |       UNION ALL SELECT id_b, id_a FROM pr),
+       |dg AS (SELECT src, count(*) AS deg FROM ed GROUP BY src),
+       |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+       |p0 AS (SELECT doc_id, floor(1.0 / n * 1000000.0 + 0.5)/1000000.0 AS pg
+       |       FROM documents CROSS JOIN nn),
+       |s1 AS (SELECT ed.dst AS doc_id, sum(p.pg / dg.deg) AS sm
+       |       FROM ed JOIN p0 p ON p.doc_id = ed.src
+       |            JOIN dg ON dg.src = ed.src GROUP BY ed.dst),
+       |i1 AS (SELECT d.doc_id,
+       |         floor((0.15 / n + 0.85 * coalesce(s1.sm, 0)) * 1000000.0
+       |           + 0.5)/1000000.0 AS pg
+       |       FROM documents d CROSS JOIN nn LEFT JOIN s1 USING (doc_id)),
+       |s2 AS (SELECT ed.dst AS doc_id, sum(p.pg / dg.deg) AS sm
+       |       FROM ed JOIN i1 p ON p.doc_id = ed.src
+       |            JOIN dg ON dg.src = ed.src GROUP BY ed.dst),
+       |i2 AS (SELECT d.doc_id,
+       |         floor((0.15 / n + 0.85 * coalesce(s2.sm, 0)) * 1000000.0
+       |           + 0.5)/1000000.0 AS pg
+       |       FROM documents d CROSS JOIN nn LEFT JOIN s2 USING (doc_id)),
+       |s3 AS (SELECT ed.dst AS doc_id, sum(p.pg / dg.deg) AS sm
+       |       FROM ed JOIN i2 p ON p.doc_id = ed.src
+       |            JOIN dg ON dg.src = ed.src GROUP BY ed.dst),
+       |i3 AS (SELECT d.doc_id,
+       |         floor((0.15 / n + 0.85 * coalesce(s3.sm, 0)) * 1000000.0
+       |           + 0.5)/1000000.0 AS pg
+       |       FROM documents d CROSS JOIN nn LEFT JOIN s3 USING (doc_id))
+       |SELECT doc_id, pg FROM i3
+       |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    graft.operators.GraphOps.pageRank(
+        Tables.documents(s, d), dedupStage(s, d).pairs,
+        "doc_id", "id_a", "id_b", iterations = 3, damping = 0.85)
+      .select(col("doc_id"), col("pr").as("pg"))
+      .orderBy(col("doc_id"))
+  }
+
   // R-20 dimensionality cut: Johnson-Lindenstrauss projection onto 16
   // md5-derived +-1 directions (Achlioptas), emitted as fixed-point
   // 1e-6 units so the portable form never trusts double->string

@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Link-graph analytics over mined pair frames (SURVEY R-19 terminal
+  * steps): PageRank-style score propagation — the published recipe
+  * behind host/document importance weighting in web-corpus curation
+  * (Common Crawl host ranks; Brin & Page 1998), here run over any
+  * undirected pair frame such as the staged near-dup graph.
+  */
+object GraphOps {
+
+  /** PageRank over an undirected pair frame. `pairs` carries one row
+    * per undirected edge (idA, idB); each edge contributes in both
+    * directions. `nodes` fixes the universe (isolated nodes keep the
+    * teleport mass `(1-damping)/N`).
+    *
+    * Determinism contract (oracle-replayable, q111): every iteration
+    * rounds to 6 decimals with the portable `floor(x*1e6+0.5)/1e6`,
+    * so float summation order cannot drift ACROSS iterations; the
+    * update is the plain power step
+    * `pr' = (1-d)/N + d * Σ_in pr/deg` with NO dangling-mass
+    * redistribution (documented simplification — dangling rank
+    * teleports implicitly, exactly what the unrolled SQL replays).
+    *
+    * Scale shape: per iteration one edge-keyed join (rank onto edge
+    * sources — the shuffle moves the edge frame, partitioned by a
+    * growing key), one destination-keyed aggregate, one node-keyed
+    * left join; each round is eagerly localCheckpoint'ed so the plan
+    * stays iteration-deep, not lineage-deep (the [[Dedup.clusters]]
+    * discipline).
+    */
+  def pageRank(
+      nodes: DataFrame,
+      pairs: DataFrame,
+      idCol: String,
+      idACol: String,
+      idBCol: String,
+      iterations: Int,
+      damping: Double): DataFrame = {
+    require(iterations >= 0, s"iterations must be >= 0, got $iterations")
+    require(damping > 0 && damping < 1, s"damping must be in (0,1), got $damping")
+    def r6(c: org.apache.spark.sql.Column) =
+      floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+    val ids = nodes.select(col(idCol).as("id"))
+    val edges = pairs
+      .select(col(idACol).as("src"), col(idBCol).as("dst"))
+      .unionByName(pairs.select(col(idBCol).as("src"), col(idACol).as("dst")))
+      .localCheckpoint(true)
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint(true)
+    val n = ids.count()
+    require(n > 0, "pageRank needs a non-empty node frame")
+    var pr = ids.withColumn("pr", r6(lit(1.0) / lit(n.toDouble)))
+      .localCheckpoint(true)
+    var i = 0
+    while (i < iterations) {
+      val contrib = edges
+        .join(pr.withColumnRenamed("id", "src"), "src")
+        .join(deg, "src")
+        .groupBy(col("dst"))
+        .agg(sum(col("pr") / col("deg")).as("__in"))
+      val stepped = ids
+        .join(contrib.withColumnRenamed("dst", "id"), Seq("id"), "left")
+        .withColumn("pr",
+          r6(lit((1.0 - damping)) / lit(n.toDouble) +
+            lit(damping) * coalesce(col("__in"), lit(0.0))))
+        .drop("__in")
+        .localCheckpoint(true)
+      pr = stepped
+      i += 1
+    }
+    pr.select(col("id").as(idCol), col("pr"))
+  }
+}
