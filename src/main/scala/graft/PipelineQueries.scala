@@ -2265,6 +2265,50 @@ object PipelineQueries extends QueryGroup {
       .orderBy(col("token"))
   }
 
+  // Scale-path skewed aggregation on the oracle surface: the salted
+  // two-phase sum (ScaleOps.saltedSumAgg) must be invisible in the
+  // result — the oracle is the plain GROUP BY.
+  q("q112_skew_agg",
+    s"""SELECT user_id,
+       |  ${sqlRound("sum(value)", 4)} AS sum_value
+       |FROM events GROUP BY user_id
+       |ORDER BY user_id""".stripMargin) { (s, d) =>
+    graft.operators.ScaleOps.saltedSumAgg(
+        Tables.events(s, d), "user_id", "value", salts = 8)
+      .select(col("user_id"), pround(col("sum_value"), 4).as("sum_value"))
+      .orderBy(col("user_id"))
+  }
+
+  // R-4 at sketch scale: fixed-bin histogram quantiles — the
+  // bounded-state alternative to q89's exact global rank (state =
+  // 1024 counters however large the input; the estimate is within one
+  // bin width of exact by construction).
+  q("q113_histogram_quantiles",
+    """WITH mm AS (SELECT min(value) AS lo, max(value) AS hi,
+      |              CAST(count(*) AS DOUBLE) AS n FROM events),
+      |b AS (SELECT least(CAST(floor((value - lo) / ((hi - lo) / 1024.0))
+      |         AS BIGINT), 1023) AS bin
+      |      FROM events CROSS JOIN mm),
+      |bc AS (SELECT bin, count(*) AS c FROM b GROUP BY bin),
+      |cum AS (SELECT bin,
+      |          sum(c) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cum
+      |        FROM bc),
+      |qs AS (SELECT CAST(unnest([0.5, 0.9, 0.99]) AS DOUBLE) AS q),
+      |pick AS (SELECT q, min(bin) AS bin
+      |         FROM qs CROSS JOIN mm JOIN cum
+      |           ON cum.cum >= CAST(ceil(q * n) AS BIGINT)
+      |         GROUP BY q)
+      |SELECT q, bin,
+      |  floor((lo + (bin + 1) * ((hi - lo) / 1024.0)) * 1000000.0 + 0.5)
+      |    / 1000000.0 AS est
+      |FROM pick CROSS JOIN mm
+      |ORDER BY q""".stripMargin) { (s, d) =>
+    graft.operators.Sketches.histogramQuantiles(
+        Tables.events(s, d), "value", bins = 1024,
+        probs = Seq(0.5, 0.9, 0.99))
+      .orderBy(col("q"))
+  }
+
   // R-19 link analytics: PageRank over the mined near-dup pair graph
   // (Brin-Page power steps; the quality-propagation recipe behind
   // host/document importance weighting in web-corpus curation). Every

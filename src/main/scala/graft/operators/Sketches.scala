@@ -85,4 +85,59 @@ object Sketches {
       .agg(min(col("c")).as("est"))
       .filter(col("est") >= minCount)
   }
+
+  /** Fixed-bin histogram quantile estimates (q113): the bounded-state
+    * alternative to q89's exact global-rank quantile — state is
+    * exactly `bins` counters however large the input, the shape
+    * behind `approx_percentile`-class estimators when the oracle must
+    * replay every bit. Equal-width bins over the exact min/max (one
+    * aggregate, two doubles to the driver); the estimate for
+    * probability q is the RIGHT EDGE of the first bin whose
+    * cumulative count reaches `ceil(q*N)` — within one bin width of
+    * the exact quantile by construction.
+    *
+    * Scale shape: one map-side-combined aggregate to `bins` rows;
+    * the cumulative walk is a window over the bin table (state =
+    * `bins` rows by construction, never the data); the probe joins a
+    * literal probability frame. All arithmetic is fixed-order IEEE
+    * double, replayed verbatim by the DuckDB oracle.
+    */
+  def histogramQuantiles(
+      df: DataFrame,
+      valueCol: String,
+      bins: Int,
+      probs: Seq[Double]): DataFrame = {
+    require(bins > 1, s"bins must be > 1, got $bins")
+    require(probs.nonEmpty && probs.forall(p => p > 0 && p <= 1),
+      "probabilities must lie in (0, 1]")
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    val mm = df.agg(
+      min(col(valueCol).cast("double")), max(col(valueCol).cast("double")),
+      count(lit(1))).collect()(0)
+    require(!mm.isNullAt(0) && mm.getLong(2) > 0,
+      "histogramQuantiles needs at least one non-null value")
+    val (lo, hi, n) = (mm.getDouble(0), mm.getDouble(1), mm.getLong(2))
+    val width = (hi - lo) / bins.toDouble
+    val binCol =
+      if (hi == lo) lit(0L)
+      else least(
+        floor((col(valueCol).cast("double") - lit(lo)) / lit(width))
+          .cast("long"),
+        lit((bins - 1).toLong))
+    val counts = df.select(binCol.as("bin"))
+      .groupBy(col("bin")).agg(count(lit(1)).as("c"))
+    val w = Window.orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = counts.withColumn("cum", sum(col("c")).over(w))
+    import spark.implicits._
+    val probe = probs.toDF("q")
+    probe.crossJoin(cum)
+      .filter(col("cum") >= ceil(col("q") * lit(n.toDouble)).cast("long"))
+      .groupBy(col("q"))
+      .agg(min(col("bin")).as("bin"))
+      .withColumn("est",
+        floor((lit(lo) + (col("bin") + lit(1L)).cast("double") * lit(width)) *
+          lit(1e6) + lit(0.5)) / lit(1e6))
+  }
 }

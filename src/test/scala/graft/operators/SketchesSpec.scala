@@ -79,4 +79,31 @@ class SketchesSpec extends SparkSuiteBase {
     assert(!p.contains("SortMergeJoin"),
       s"no vocabulary-sized sort-merge join:\n$p")
   }
+
+  test("histogram quantiles: within one bin width of exact, bounded state") {
+    import spark.implicits._
+    val vals = (1 to 10000).map(_.toDouble)
+    val df = vals.toDF("v")
+    val out = Sketches.histogramQuantiles(df, "v", bins = 1024,
+        probs = Seq(0.5, 0.9, 0.99))
+      .collect().map(r => r.getDouble(0) -> r.getDouble(2)).toMap
+    val width = (10000.0 - 1.0) / 1024
+    Seq(0.5, 0.9, 0.99).foreach { q =>
+      val exact = vals(math.ceil(q * vals.size).toInt - 1)
+      val est = out(q)
+      assert(est >= exact - 1e-9 && est <= exact + width + 1e-9,
+        s"q=$q est=$est exact=$exact width=$width")
+    }
+    // degenerate input: all-equal values land in bin 0, est = the value
+    val const = Seq.fill(50)(7.5).toDF("v")
+    val c = Sketches.histogramQuantiles(const, "v", 1024, Seq(0.5))
+      .collect()(0)
+    assert(c.getLong(1) == 0L && c.getDouble(2) == 7.5)
+    // bounded state: the bin table never exceeds `bins` rows
+    val skewed = (1 to 5000).map(i => if (i % 2 == 0) 1.0 else i.toDouble)
+    val lo = skewed.min; val hi = skewed.max
+    val nBins = skewed.map(v =>
+      math.min(math.floor((v - lo) / ((hi - lo) / 1024)), 1023)).distinct.size
+    assert(nBins <= 1024)
+  }
 }
