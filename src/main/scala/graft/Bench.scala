@@ -58,7 +58,16 @@ object Bench {
     "q98_pq_ann" -> 0.79, "q99_interval_join" -> 0.32,
     "q100_ivfpq_ann" -> 1.03, "q101_pq_index_probe" -> 1.82,
     "q102_subseq_search" -> 0.56, "q103_heavy_hitters" -> 0.64,
-    "q104_interval_join_outer" -> 0.52)
+    "q104_interval_join_outer" -> 0.52,
+    // round-11 additions, quiet-box mins at sf0.1 (comparator
+    // 0.49/0.38; 3 reps). q111 runs alphabetically BEFORE q33, so its
+    // number includes building the shared dedup stage cold (mining +
+    // 3 power steps — the composed cost, like q69)
+    "q105_skew_join" -> 1.25, "q106_knn_graph" -> 1.04,
+    "q107_pmi_collocations" -> 0.67, "q108_chunk_dedup" -> 0.99,
+    "q109_zorder_layout" -> 0.40, "q110_random_projection" -> 0.34,
+    "q111_pagerank" -> 1.53, "q112_skew_agg" -> 0.40,
+    "q113_histogram_quantiles" -> 0.54)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
