@@ -64,24 +64,8 @@ object Dedup {
       idCol: String,
       textCol: String,
       chunkWords: Int): DataFrame = {
-    require(chunkWords > 0, s"chunkWords must be positive, got $chunkWords")
-    val toks = docs.select(col(idCol).as("__doc"),
-      TextFns.tokens(col(textCol)).as("__l"))
-    // Spark's sequence(0, -1) counts DOWN — the n==0 guard is load-bearing
-    val chunks = toks
-      .withColumn("__n",
-        ceil(size(col("__l")).cast("double") / lit(chunkWords.toDouble))
-          .cast("int"))
-      .withColumn("pos",
-        explode(when(col("__n") > 0, sequence(lit(0), col("__n") - 1))
-          .otherwise(array().cast("array<int>"))))
-      .withColumn("chunk",
-        concat_ws(" ",
-          slice(col("__l"), col("pos") * chunkWords + 1, lit(chunkWords))))
-      .select(col("__doc"), col("pos"), col("chunk"))
-    val w = Window.partitionBy(col("chunk")).orderBy(col("__doc"), col("pos"))
-    val kept = chunks.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
+    val chunks = chunkFrame(docs, idCol, textCol, chunkWords)
+    val kept = chunkWinners(chunks)
     val keptAgg = kept.groupBy(col("__doc"))
       .agg(count(lit(1)).as("n_kept"),
         concat_ws(" ",
@@ -97,6 +81,45 @@ object Dedup {
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         (coalesce(col("__n_chunks"), lit(0L)) -
           coalesce(col("n_kept"), lit(0L))).as("n_dropped"))
+  }
+
+  /** The (doc, position, chunk) frame [[chunkDedup]] mines: disjoint
+    * `chunkWords`-token windows, row-local (one explode, no
+    * self-join). Pure projection — applies unchanged to a STREAMING
+    * frame, which is how the streaming chunk-dedup twin feeds
+    * `dropDuplicates("chunk")` (StreamingSemanticsSpec).
+    */
+  def chunkFrame(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      chunkWords: Int): DataFrame = {
+    require(chunkWords > 0, s"chunkWords must be positive, got $chunkWords")
+    docs.select(col(idCol).as("__doc"), TextFns.tokens(col(textCol)).as("__l"))
+      // Spark's sequence(0, -1) counts DOWN — the n==0 guard is load-bearing
+      .withColumn("__n",
+        ceil(size(col("__l")).cast("double") / lit(chunkWords.toDouble))
+          .cast("int"))
+      .withColumn("pos",
+        explode(when(col("__n") > 0, sequence(lit(0), col("__n") - 1))
+          .otherwise(array().cast("array<int>"))))
+      .withColumn("chunk",
+        concat_ws(" ",
+          slice(col("__l"), col("pos") * chunkWords + 1, lit(chunkWords))))
+      .select(col("__doc"), col("pos"), col("chunk"))
+  }
+
+  /** Keep-first selection over a [[chunkFrame]]: one row per distinct
+    * chunk value — the occurrence with the smallest (doc, position).
+    * One window keyed on the chunk value; the batch semantics the
+    * streaming `dropDuplicates("chunk")` state must reproduce under
+    * an id-ordered feed.
+    */
+  def chunkWinners(chunks: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("chunk")).orderBy(col("__doc"), col("pos"))
+    chunks.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
   }
 
   /** Quality-aware survivor selection over near-dup clusters: among

@@ -255,6 +255,12 @@ object Similarity {
     * over the top-p cells before the same join (the oracle replays
     * the single-probe contract exactly). Vectors in a cell smaller
     * than k+1 return the neighbors that exist — rank stays dense.
+    *
+    * `nprobe` > 1 is the recall dial: the SOURCE side probes its
+    * `nprobe` nearest cells (neighbors still sit in their single home
+    * cell, so no candidate pair is produced twice) — at
+    * `nprobe == numCells` the graph equals exact brute-force top-k
+    * (spec-asserted). Candidate volume scales linearly in nprobe.
     */
   def knnGraph(
       corpus: DataFrame,
@@ -262,16 +268,24 @@ object Similarity {
       vecCol: String,
       numCells: Int,
       k: Int,
-      centroids: Option[Seq[(Int, Array[Float])]] = None): DataFrame = {
+      centroids: Option[Seq[(Int, Array[Float])]] = None,
+      nprobe: Int = 1): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
+    require(nprobe > 0, s"nprobe must be positive, got $nprobe")
     val spark = corpus.sparkSession
     val cents = centroids.getOrElse(
       smallestIdCentroids(corpus, idCol, vecCol, numCells))
     require(cents.nonEmpty, "cannot build a kNN graph over zero cells")
     val assigned = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("v"),
       cellAssign(spark, cents, col(vecCol)).as("cell"))
-    val x = assigned
-      .select(col("vec_id").as("xid"), col("v").as("xv"), col("cell"))
+    val x =
+      if (nprobe <= 1)
+        assigned.select(col("vec_id").as("xid"), col("v").as("xv"), col("cell"))
+      else
+        corpus.select(col(idCol).as("xid"), col(vecCol).as("xv"),
+          explode(transform(
+            slice(cellRank(spark, cents, col(vecCol)), 1, nprobe),
+            s => s.getField("cell"))).as("cell"))
     val y = assigned
       .select(col("vec_id").as("yid"), col("v").as("yv"), col("cell"))
     val w = org.apache.spark.sql.expressions.Window

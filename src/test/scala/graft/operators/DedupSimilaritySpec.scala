@@ -248,6 +248,51 @@ class DedupSimilaritySpec extends SparkSuiteBase {
     assert(p.contains("Join [cell"), s"expected a cell equi-join:\n$p")
   }
 
+  test("kNN graph: nprobe == numCells recovers exact brute-force top-k") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    val vecs = (0 until 40).map(id =>
+      (id.toLong, Array.fill(8)((rnd.nextFloat() - 0.5f) * 2f)))
+    val corpus = vecs.toDF("vec_id", "embedding")
+    // exact truth with the engine's own rounding (left-to-right double
+    // dot, 6-dp floor) and tie-break (cos desc, id asc)
+    def cos6(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      math.floor(dot / (math.sqrt(na) * math.sqrt(nb)) * 1e6 + 0.5) / 1e6
+    }
+    val truth = vecs.flatMap { case (id, v) =>
+      vecs.filter(_._1 != id)
+        .map { case (nid, nv) => (nid, cos6(v, nv)) }
+        .sortBy { case (nid, c) => (-c, nid) }
+        .take(3)
+        .zipWithIndex
+        .map { case ((nid, c), r) => (id, r + 1, nid, c) }
+    }.toSet
+    val got = Similarity.knnGraph(corpus, "vec_id", "embedding",
+        numCells = 4, k = 3, nprobe = 4)
+      .collect().map(r =>
+        (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got == truth,
+      s"missing=${truth.diff(got).take(3)} extra=${got.diff(truth).take(3)}")
+    // recall vs exact is non-decreasing in nprobe
+    def recall(np: Int): Double = {
+      val g = Similarity.knnGraph(corpus, "vec_id", "embedding", 4, 3,
+          nprobe = np)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+      val t = truth.map(t3 => (t3._1, t3._3))
+      t.intersect(g).size.toDouble / t.size
+    }
+    val r1 = recall(1); val r2 = recall(2)
+    assert(r1 <= r2 && r2 <= 1.0, s"recall not monotone: $r1 -> $r2")
+  }
+
   test("kNN graph: a cell smaller than k+1 returns dense ranks over what exists") {
     import spark.implicits._
     // 3 vectors in one direction, 1 lone vector orthogonal: with 2

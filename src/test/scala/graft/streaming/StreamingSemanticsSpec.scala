@@ -253,6 +253,46 @@ class StreamingSemanticsSpec extends SparkSuiteBase {
     assert(twin.size < docs.length)
   }
 
+  test("streaming chunk dedup equals the batch keep-first winners (S-5 × R-19)") {
+    // Dedup.chunkFrame is a pure projection, so it applies unchanged
+    // to the stream; dropDuplicates("chunk") state then IS the batch
+    // keep-first rule when docs arrive one per micro-batch in id
+    // order (within a batch dropDuplicates keeps an arbitrary tied
+    // row; per-doc feed plus position-ordered rows make first-arrival
+    // = min (doc, pos) exact for the doc-level winner map)
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+      .orderBy(col("doc_id"))
+      .limit(100)
+      .collect().map(r => Doc(r.getLong(0), r.getString(1)))
+    val batchDf = docs.toSeq.toDF("doc_id", "text")
+    val ms = MemoryStream[Doc](spark, 1)
+    val q = graft.operators.Dedup
+      .chunkFrame(ms.toDF(), "doc_id", "text", chunkWords = 3)
+      .dropDuplicates("chunk")
+      .writeStream.format("memory").queryName("chunktwin")
+      .outputMode("append").start()
+    docs.foreach { d =>
+      ms.addData(d)
+      q.processAllAvailable()
+    }
+    val streamed = spark.table("chunktwin")
+      .select(col("chunk"), col("__doc"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    q.stop()
+    val winners = graft.operators.Dedup.chunkWinners(
+        graft.operators.Dedup.chunkFrame(batchDf, "doc_id", "text", 3))
+      .select(col("chunk"), col("__doc"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(streamed == winners,
+      s"diff: ${streamed.toSet.diff(winners.toSet).take(3)} / " +
+        s"${winners.toSet.diff(streamed.toSet).take(3)}")
+    // non-vacuous: the state actually suppressed repeats
+    val totalChunks = graft.operators.Dedup
+      .chunkFrame(batchDf, "doc_id", "text", 3).count()
+    assert(winners.size < totalChunks)
+  }
+
   test("stream-static join enriches the stream (S-7)") {
     val ms = MemoryStream[Ev](spark, 1)
     val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
