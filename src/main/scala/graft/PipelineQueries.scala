@@ -2309,6 +2309,38 @@ object PipelineQueries extends QueryGroup {
       .orderBy(col("q"))
   }
 
+  // R-5/R-20 at sketch scale: oracle-portable HyperLogLog — the third
+  // exact-replay sketch next to q97's Bloom and q103's Count-Min.
+  // Registers from md5 bit arithmetic; the harmonic sum is an EXACT
+  // scaled-integer sum (dyadic sums in double round by add order,
+  // which neither engine orders). Raw estimator only; exact count
+  // carried as accuracy evidence.
+  q("q114_hll_distinct",
+    s"""WITH tk AS (SELECT doc_id, $sqlTokens AS l FROM documents),
+       |sh AS (SELECT unnest(list_transform(generate_series(1, len(l) - 2),
+       |              i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])) AS s
+       |       FROM tk),
+       |h AS (SELECT CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) AS h
+       |      FROM sh),
+       |b AS (SELECT h & 255 AS bucket, h >> 8 AS rest FROM h),
+       |r AS (SELECT bucket,
+       |        least(CASE WHEN rest = 0 THEN 53
+       |          ELSE bit_count((rest & -rest) - 1) + 1 END, 50) AS rho
+       |      FROM b),
+       |rg AS (SELECT bucket, max(rho) AS reg FROM r GROUP BY bucket),
+       |ss AS (SELECT sum(1::BIGINT << (50 - reg)) AS sp, count(*) AS np
+       |       FROM rg),
+       |ex AS (SELECT count(DISTINCT s) AS exact FROM sh)
+       |SELECT np AS n_buckets,
+       |  floor((0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0 /
+       |    ((sp + (256 - np) * (1::BIGINT << 50)) / 1125899906842624.0)
+       |    * 100.0 + 0.5) / 100.0 AS est,
+       |  exact
+       |FROM ss CROSS JOIN ex""".stripMargin) { (s, d) =>
+    graft.operators.Sketches.hllDistinct(
+      Tables.documents(s, d), "text", shingleN = 3, m = 256)
+  }
+
   // R-19 link analytics: PageRank over the mined near-dup pair graph
   // (Brin-Page power steps; the quality-propagation recipe behind
   // host/document importance weighting in web-corpus curation). Every

@@ -86,6 +86,69 @@ object Sketches {
       .filter(col("est") >= minCount)
   }
 
+  /** Oracle-portable HyperLogLog distinct estimate (q114, Flajolet et
+    * al. 2007) over the document n-gram stream — the third member of
+    * the exact-replay sketch family next to the q97 Bloom filter and
+    * q103 Count-Min: state is m registers however large the corpus,
+    * and REPEATS NEVER TOUCH THE ANSWER (register max is idempotent),
+    * so no distinct precedes the sketch.
+    *
+    * Portability: bucket/rank come from md5 bit arithmetic
+    * (`h & (m-1)`, trailing-zero rank of `h >> log2(m)` via the
+    * `bit_count((rest & -rest) - 1)` isolate-lowest-bit trick), and
+    * the harmonic sum Σ 2^(-reg) is computed EXACTLY as the integer
+    * Σ 2^(maxReg - reg) — dyadic sums in double round depending on
+    * ADD ORDER, which neither engine guarantees; the scaled-integer
+    * sum cannot (register ranks cap at maxReg=50, so the sum stays
+    * under 2^58 for m ≤ 256). The raw estimator applies as-is: the
+    * small-range (LinearCounting, ln) branch is deliberately out of
+    * scope and documented — callers with n ≲ 2.5m want an exact
+    * count anyway.
+    *
+    * Output row: n_buckets (touched registers), est (2-dp), exact
+    * (the true distinct count, carried for accuracy evidence — the
+    * one vocabulary-sized term, and precisely what the sketch
+    * replaces at scale).
+    */
+  def hllDistinct(
+      docs: DataFrame,
+      textCol: String,
+      shingleN: Int,
+      m: Int): DataFrame = {
+    require(m >= 16 && (m & (m - 1)) == 0 && m <= 256,
+      s"m must be a power of two in [16, 256], got $m")
+    val logM = java.lang.Integer.numberOfTrailingZeros(m)
+    val maxReg = 50
+    val sh = docs.select(
+      explode(TextFns.textShingles(col(textCol), shingleN)).as("s"))
+    val regs = sh
+      .select(PortableHash.md5Long60(col("s")).as("h"))
+      .select((col("h").bitwiseAND(lit((m - 1).toLong))).as("bucket"),
+        shiftrightunsigned(col("h"), logM).as("rest"))
+      .select(col("bucket"),
+        least(
+          when(col("rest") === 0, lit(maxReg + 3))
+            .otherwise(bit_count(
+              (col("rest").bitwiseAND(lit(0L) - col("rest"))) - lit(1L))
+              + lit(1)),
+          lit(maxReg)).as("rho"))
+      .groupBy(col("bucket")).agg(max(col("rho")).as("reg"))
+    val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(m.toDouble))
+    val scale = lit((1L << maxReg).toDouble)
+    val s = regs.agg(
+      sum(expr(s"shiftleft(cast(1 as bigint), cast($maxReg - reg as int))"))
+        .as("sp"),
+      count(lit(1)).as("np"))
+    val exact = sh.agg(countDistinct(col("s")).as("exact"))
+    s.crossJoin(exact)
+      .select(col("np").as("n_buckets"),
+        (floor(alpha * lit((m.toDouble * m)) /
+          ((col("sp") + (lit(m.toLong) - col("np")) * lit(1L << maxReg))
+            .cast("double") / scale) * lit(100.0) + lit(0.5)) / lit(100.0))
+          .as("est"),
+        col("exact"))
+  }
+
   /** Fixed-bin histogram quantile estimates (q113): the bounded-state
     * alternative to q89's exact global-rank quantile — state is
     * exactly `bins` counters however large the input, the shape

@@ -80,6 +80,27 @@ class SketchesSpec extends SparkSuiteBase {
       s"no vocabulary-sized sort-merge join:\n$p")
   }
 
+  test("HLL: repeats never touch the estimate; error inside the m=256 envelope") {
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, sfDir)
+    val once = Sketches.hllDistinct(docs, "text", shingleN = 3, m = 256)
+      .collect()(0)
+    // feeding the corpus TWICE changes nothing: register max is
+    // idempotent — the property that lets the sketch skip a distinct
+    val twice = Sketches.hllDistinct(
+        docs.select("text").unionAll(docs.select("text")), "text", 3, 256)
+      .collect()(0)
+    assert(once.getDouble(1) == twice.getDouble(1))
+    assert(once.getLong(0) == twice.getLong(0))
+    // relative error within 3x the standard 1.04/sqrt(m) envelope
+    val est = once.getDouble(1); val exact = once.getLong(2).toDouble
+    val relErr = math.abs(est - exact) / exact
+    assert(relErr < 3 * 1.04 / math.sqrt(256.0),
+      s"est=$est exact=$exact relErr=$relErr")
+    // bounded state: every register the sketch holds is one of m
+    assert(once.getLong(0) <= 256L)
+  }
+
   test("histogram quantiles: within one bin width of exact, bounded state") {
     import spark.implicits._
     val vals = (1 to 10000).map(_.toDouble)
