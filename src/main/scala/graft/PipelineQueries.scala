@@ -2309,6 +2309,33 @@ object PipelineQueries extends QueryGroup {
       .orderBy(col("q"))
   }
 
+  // R-21 retrieval: BM25 scoring against a literal query — the sparse
+  // twin of the dense ANN top-k (Lucene k1=1.2/b=0.75 constants as
+  // parsed literals; ln follows the q51/q85 libm precedent).
+  q("q115_bm25",
+    s"""WITH toks AS (SELECT doc_id, unnest($sqlTokens) AS w FROM documents),
+       |dls AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+       |stats AS (SELECT (SELECT count(*) FROM documents) AS n,
+       |            (SELECT sum(dl) * 1.0 / count(*) FROM dls) AS avgdl),
+       |tf AS (SELECT doc_id, w, count(*) AS tf FROM toks
+       |       WHERE w IN ('spark', 'join', 'stream') GROUP BY doc_id, w),
+       |df AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+       |sc AS (SELECT tf.doc_id,
+       |         ln((n - df + 0.5) / (df + 0.5) + 1.0) *
+       |           ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (dl / avgdl))))
+       |           AS t
+       |       FROM tf JOIN df USING (w) JOIN dls USING (doc_id)
+       |       CROSS JOIN stats),
+       |agg AS (SELECT doc_id, floor(sum(t) * 1000000.0 + 0.5) / 1000000.0
+       |          AS score
+       |        FROM sc GROUP BY doc_id)
+       |SELECT doc_id, score FROM agg
+       |ORDER BY score DESC, doc_id
+       |LIMIT 20""".stripMargin) { (s, d) =>
+    TextAnalysis.bm25(Tables.documents(s, d), "doc_id", "text",
+      queryTokens = Seq("spark", "join", "stream"), topK = 20)
+  }
+
   // R-5/R-20 at sketch scale: oracle-portable HyperLogLog — the third
   // exact-replay sketch next to q97's Bloom and q103's Count-Min.
   // Registers from md5 bit arithmetic; the harmonic sum is an EXACT

@@ -459,6 +459,56 @@ object TextAnalysis {
         col("__max").cast("long").as("score"))
   }
 
+  /** BM25 retrieval scoring (q115; Robertson-Spärck Jones, the Lucene
+    * `k1=1.2, b=0.75` parameterization with the `+1` idf floor) — the
+    * sparse-retrieval pass next to the dense ANN family: score every
+    * document against a literal query-token set and return the top-k.
+    *
+    * Constants are written as the LITERALS 1.2 / 0.75 / 0.25 / 2.2
+    * (never `k1 + 1` arithmetic: `1.2 + 1.0` in double is not the
+    * same bit pattern as parsing `2.2`, and the oracle parses). The
+    * per-(doc, term) contribution is one fixed-order IEEE chain both
+    * engines run verbatim; `ln` follows the q51/q85 precedent (libm
+    * agreement at 6-dp rounding).
+    *
+    * Scale shape: one doc-keyed length aggregate, one (doc, term)
+    * aggregate FILTERED to the query tokens before the shuffle (the
+    * shuffled frame is |docs containing a query token| × |query|, not
+    * the corpus token stream), a broadcast-sized df frame, scalar
+    * (N, avgdl) literals, and a TakeOrdered top-k.
+    */
+  def bm25(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      queryTokens: Seq[String],
+      topK: Int): DataFrame = {
+    require(queryTokens.nonEmpty, "bm25 needs at least one query token")
+    val toks = docs.select(col(idCol).as("__doc"),
+      explode(TextFns.tokens(col(textCol))).as("w"))
+    val dls = toks.groupBy(col("__doc")).agg(count(lit(1)).as("dl"))
+      .localCheckpoint(true)
+    val n = docs.count()
+    val mm = dls.agg(sum(col("dl")), count(lit(1))).collect()(0)
+    val avgdl = mm.getLong(0).toDouble * 1.0 / mm.getLong(1).toDouble
+    val tf = toks.filter(col("w").isin(queryTokens: _*))
+      .groupBy(col("__doc"), col("w")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val term = log((lit(n) - col("df") + lit(0.5)) / (col("df") + lit(0.5))
+        + lit(1.0)) *
+      ((col("tf") * lit(2.2)) /
+        (col("tf") + lit(1.2) *
+          (lit(0.25) + lit(0.75) * (col("dl") / lit(avgdl)))))
+    tf.join(broadcast(df), "w")
+      .join(dls, "__doc")
+      .select(col("__doc"), term.as("t"))
+      .groupBy(col("__doc"))
+      .agg((floor(sum(col("t")) * lit(1e6) + lit(0.5)) / lit(1e6)).as("score"))
+      .select(col("__doc").as(idCol), col("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(topK)
+  }
+
   /** PMI collocation mining (q107): the top-k adjacent word pairs by
     * pointwise-mutual-information LIFT, `p(w1 w2) / (p(w1) p(w2))` —
     * the corpus-analysis pass behind multi-word-token vocabulary

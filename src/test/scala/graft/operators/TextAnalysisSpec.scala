@@ -32,6 +32,36 @@ class TextAnalysisSpec extends SparkSuiteBase {
     assert(top.toSeq == again.toSeq)
   }
 
+  test("BM25: term frequency, rarity, and length normalization rank as published") {
+    import spark.implicits._
+    val docs = Seq(
+      // matches all query terms, short -> should rank top
+      (1L, "spark join stream spark"),
+      // same matches but diluted by length -> below doc 1
+      (2L, "spark join stream " + Seq.fill(40)("filler").mkString(" ")),
+      // one common term only
+      (3L, "spark alone here"),
+      // rare term: 'stream' appears in fewer docs than 'spark'
+      (4L, "stream only doc"),
+      (5L, "spark something else"),
+      (6L, "no query terms at all")).toDF("doc_id", "text")
+    val out = TextAnalysis.bm25(docs, "doc_id", "text",
+        Seq("spark", "join", "stream"), topK = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1))
+    val rank = out.map(_._1)
+    val score = out.toMap
+    assert(rank.head == 1L, s"got $rank")
+    assert(score(1L) > score(2L), "length normalization must demote doc 2")
+    assert(!score.contains(6L), "no-match docs carry no score rows")
+    // rarity: 'stream' (df=2) outweighs 'spark' (df=4) at equal tf/dl
+    assert(score(4L) > score(5L),
+      s"rare-term doc ${score(4L)} vs common-term doc ${score(5L)}")
+    // deterministic
+    val again = TextAnalysis.bm25(docs, "doc_id", "text",
+      Seq("spark", "join", "stream"), 10).collect().map(r => r.getLong(0))
+    assert(rank.toSeq == again.toSeq)
+  }
+
   test("PMI collocations: minCount gates rare pairs, output is rank-deterministic under ties") {
     import spark.implicits._
     val docs = Seq(
