@@ -281,4 +281,72 @@ class PlanSpec extends SparkSuiteBase {
       l.contains("HashJoin") || l.contains("SortMergeJoin"))
     assert(joins == 1, s"expected exactly one join, got $joins:\n$p")
   }
+
+  test("hot-key salted join broadcasts the hot set into both sides (q105)") {
+    val p = plan("q105_skew_join")
+    assert(!p.contains("CartesianProduct")
+      && !p.contains("BroadcastNestedLoopJoin"), p)
+    // the hot-key frame rides a broadcast into the big AND small side
+    val bcasts = p.linesIterator.count(_.contains("BroadcastHashJoin"))
+    assert(bcasts >= 2, s"expected >=2 broadcast joins for the hot set:\n$p")
+  }
+
+  test("PMI top-k is a TakeOrdered over equi-joined vocab frames (q107)") {
+    val p = plan("q107_pmi_collocations")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"global top-k must not be a window:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    // nested-loop joins only for the single-row scalar totals: one
+    // crossing u_total with t_total, one broadcasting the pair onto
+    // the collocation frame (vocab joins stay hash equi-joins)
+    val bnlj = p.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
+    assert(bnlj <= 2, s"expected only scalar-totals cross joins:\n$p")
+    assert(p.linesIterator.count(_.contains("BroadcastHashJoin")) >= 2,
+      s"vocab joins must stay hash equi-joins:\n$p")
+  }
+
+  test("chunk dedup: keep-first windows on the chunk value, no self-join (q108)") {
+    val p = plan("q108_chunk_dedup")
+    assert(p.contains("Window") && p.contains("chunk"),
+      s"keep-first must be a chunk-keyed window:\n$p")
+    assert(!p.contains("CartesianProduct")
+      && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("z-order layout is scan-side: no join, no window, no exchange before the file agg (q109)") {
+    val p = plan("q109_zorder_layout")
+    assert(!p.contains("Join"), s"layout assignment must not join:\n$p")
+    assert(!p.contains("Window"), s"layout assignment must not window:\n$p")
+  }
+
+  test("pagerank steps are edge equi-joins over checkpointed rounds (q111)") {
+    val p = plan("q111_pagerank")
+    // per-round localCheckpoint truncates lineage: the final plan sees
+    // one scan of the last round's frame, not 3 unrolled iterations
+    assert(!p.contains("CartesianProduct")
+      && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("Scan ExistingRDD"),
+      s"rounds must be lineage-truncated:\n$p")
+  }
+
+  test("histogram quantiles: the only window runs over the bin table, not the data (q113)") {
+    val p = plan("q113_histogram_quantiles")
+    assert(p.contains("Window"), p)
+    // the window's child aggregates to <= bins rows BEFORE the sort:
+    // the plan carries a partial/final aggregate pair under the window
+    assert(p.contains("HashAggregate"), p)
+    assert(!p.contains("SortMergeJoin"),
+      s"probe join must broadcast the tiny frames:\n$p")
+  }
+
+  test("BM25 filters to query tokens before the (doc, term) shuffle; df broadcasts (q115)") {
+    val p = plan("q115_bm25")
+    assert(p.contains("BroadcastHashJoin"), s"df frame must broadcast:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k must not globally sort:\n$p")
+    // the query-token filter sits under the tf aggregate, i.e. the
+    // plan contains an IN-filter on the token column
+    assert(p.contains("w#") && (p.contains("IN (") || p.contains("INSET")),
+      s"query-token filter must precede the shuffle:\n$p")
+  }
 }
