@@ -115,39 +115,59 @@ object Sketches {
       textCol: String,
       shingleN: Int,
       m: Int): DataFrame = {
+    val sh = docs.select(
+      explode(TextFns.textShingles(col(textCol), shingleN)).as("s"))
+    val exact = sh.agg(countDistinct(col("s")).as("exact"))
+    hllEstimate(hllRegisters(sh, "s", m), m).crossJoin(exact)
+  }
+
+  /** The HLL register table of an item column: (bucket, reg), at most
+    * m rows. MERGEABLE by construction: the union of two register
+    * tables re-aggregated with `max` is exactly the whole-input table
+    * (max is associative/commutative/idempotent) — the property that
+    * lets 10k partitions sketch independently and merge in one
+    * m-sized reduce (spec-asserted).
+    */
+  def hllRegisters(items: DataFrame, itemCol: String, m: Int): DataFrame = {
     require(m >= 16 && (m & (m - 1)) == 0 && m <= 256,
       s"m must be a power of two in [16, 256], got $m")
     val logM = java.lang.Integer.numberOfTrailingZeros(m)
-    val maxReg = 50
-    val sh = docs.select(
-      explode(TextFns.textShingles(col(textCol), shingleN)).as("s"))
-    val regs = sh
-      .select(PortableHash.md5Long60(col("s")).as("h"))
+    items
+      .select(PortableHash.md5Long60(col(itemCol)).as("h"))
       .select((col("h").bitwiseAND(lit((m - 1).toLong))).as("bucket"),
         shiftrightunsigned(col("h"), logM).as("rest"))
       .select(col("bucket"),
         least(
-          when(col("rest") === 0, lit(maxReg + 3))
+          when(col("rest") === 0, lit(MaxReg + 3))
             .otherwise(bit_count(
               (col("rest").bitwiseAND(lit(0L) - col("rest"))) - lit(1L))
               + lit(1)),
-          lit(maxReg)).as("rho"))
+          lit(MaxReg)).as("rho"))
       .groupBy(col("bucket")).agg(max(col("rho")).as("reg"))
+  }
+
+  /** The raw-HLL estimate row (n_buckets, est) from a register table
+    * — the exact scaled-integer harmonic sum described on
+    * [[hllDistinct]].
+    */
+  def hllEstimate(regs: DataFrame, m: Int): DataFrame = {
     val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(m.toDouble))
-    val scale = lit((1L << maxReg).toDouble)
-    val s = regs.agg(
-      sum(expr(s"shiftleft(cast(1 as bigint), cast($maxReg - reg as int))"))
+    val scale = lit((1L << MaxReg).toDouble)
+    regs.agg(
+      sum(expr(s"shiftleft(cast(1 as bigint), cast($MaxReg - reg as int))"))
         .as("sp"),
       count(lit(1)).as("np"))
-    val exact = sh.agg(countDistinct(col("s")).as("exact"))
-    s.crossJoin(exact)
       .select(col("np").as("n_buckets"),
         (floor(alpha * lit((m.toDouble * m)) /
-          ((col("sp") + (lit(m.toLong) - col("np")) * lit(1L << maxReg))
+          ((col("sp") + (lit(m.toLong) - col("np")) * lit(1L << MaxReg))
             .cast("double") / scale) * lit(100.0) + lit(0.5)) / lit(100.0))
-          .as("est"),
-        col("exact"))
+          .as("est"))
   }
+
+  /** Register-rank cap: keeps the scaled-integer harmonic sum under
+    * 2^58 for m ≤ 256 (the oracle replays the same cap).
+    */
+  val MaxReg = 50
 
   /** Fixed-bin histogram quantile estimates (q113): the bounded-state
     * alternative to q89's exact global-rank quantile — state is

@@ -101,6 +101,35 @@ class SketchesSpec extends SparkSuiteBase {
     assert(once.getLong(0) <= 256L)
   }
 
+  test("HLL registers merge: partition sketches max-merged equal the whole-corpus sketch") {
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, sfDir)
+    val sh = docs.select(
+      explode(graft.functions.TextFns.textShingles(col("text"), 3)).as("s"))
+    val whole = Sketches.hllRegisters(sh, "s", 256)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // sketch two halves independently, merge with max
+    val h1 = Sketches.hllRegisters(
+      docs.where(col("doc_id") % 2 === 0)
+        .select(explode(graft.functions.TextFns.textShingles(col("text"), 3))
+          .as("s")), "s", 256)
+    val h2 = Sketches.hllRegisters(
+      docs.where(col("doc_id") % 2 === 1)
+        .select(explode(graft.functions.TextFns.textShingles(col("text"), 3))
+          .as("s")), "s", 256)
+    val merged = h1.unionAll(h2)
+      .groupBy(col("bucket")).agg(max(col("reg")).as("reg"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(merged == whole)
+    // and the merged estimate is the whole-corpus estimate
+    val eWhole = Sketches.hllEstimate(
+      Sketches.hllRegisters(sh, "s", 256), 256).collect()(0).getDouble(1)
+    val eMerged = Sketches.hllEstimate(
+      h1.unionAll(h2).groupBy(col("bucket")).agg(max(col("reg")).as("reg")),
+      256).collect()(0).getDouble(1)
+    assert(eWhole == eMerged)
+  }
+
   test("histogram quantiles: within one bin width of exact, bounded state") {
     import spark.implicits._
     val vals = (1 to 10000).map(_.toDouble)
