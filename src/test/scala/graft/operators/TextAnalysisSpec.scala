@@ -73,4 +73,31 @@ class TextAnalysisSpec extends SparkSuiteBase {
     assert(out.exists(t => t._1 == "x" && t._2 == "y"))
     assert(!out.exists(t => t._1 == "p"), "rare pair must be gated")
   }
+
+  test("adversarial inputs: null/empty text and degenerate corpora don't crash or lie") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, null.asInstanceOf[String]),
+      (2L, ""),
+      (3L, "   "),
+      (4L, "one"),
+      (5L, "spark join stream spark join stream")).toDF("doc_id", "text")
+    // PMI: only doc 5 contributes bigrams; null/empty rows vanish
+    val pmi = TextAnalysis.pmiCollocations(docs, "text", 1L, 50).collect()
+    assert(pmi.nonEmpty && pmi.forall(r => r.getLong(2) >= 1))
+    // BM25: null/empty docs carry no score rows, scored rows are finite
+    val bm = TextAnalysis.bm25(docs, "doc_id", "text", Seq("spark"), 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(bm.keySet == Set(5L) && !bm(5L).isNaN && !bm(5L).isInfinite)
+    // chunk dedup: output stays TOTAL over the input, null text -> ""
+    val cd = Dedup.chunkDedup(docs, "doc_id", "text", 3)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(cd.keySet == Set(1L, 2L, 3L, 4L, 5L))
+    assert(cd(1L) == "" && cd(2L) == "" && cd(3L) == "" && cd(4L) == "one")
+    // a single-doc corpus: BM25 idf floor keeps the score positive
+    val solo = TextAnalysis.bm25(
+      Seq((9L, "spark")).toDF("doc_id", "text"), "doc_id", "text",
+      Seq("spark"), 5).collect()
+    assert(solo.length == 1 && solo(0).getDouble(1) > 0)
+  }
 }

@@ -37,7 +37,12 @@ def main():
     con = duckdb.connect()
     for t in ["region","nation","customer","supplier","part","orders",
               "lineitem","events","documents","embeddings"]:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
+        # driver fixtures are single files; ScaleFixture decks are
+        # Spark-written DIRECTORIES — glob those
+        src = f"{sfdir}/{t}.parquet"
+        if os.path.isdir(src):
+            src = f"{src}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')")
     n_ok = n_bad = 0
     for name in sorted(os.listdir(outdir)):
         path = os.path.join(outdir, name)
