@@ -68,7 +68,7 @@ object Bench {
     "q109_zorder_layout" -> 0.40, "q110_random_projection" -> 0.34,
     "q111_pagerank" -> 1.53, "q112_skew_agg" -> 0.40,
     "q113_histogram_quantiles" -> 0.54, "q114_hll_distinct" -> 0.75,
-    "q115_bm25" -> 1.35)
+    "q115_bm25" -> 1.35, "q116_incremental_chunk_dedup" -> 1.67)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -2309,6 +2309,65 @@ object PipelineQueries extends QueryGroup {
       .orderBy(col("q"))
   }
 
+  /** One persisted chunk-dedup index per (session, dir): the memoized
+    * first call builds over the id-low 80% of the corpus; every later
+    * call (and every bench rep) pays ONLY the append of the id-high
+    * 20% — the id-monotone crawl-append shape the operator contracts.
+    */
+  private val chunkIndexDirs = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.SparkSession, String), (String, Long)]
+
+  private def chunkIncrementalAppend(s: org.apache.spark.sql.SparkSession,
+      d: String): graft.operators.IncrementalChunkDedup.Appended = {
+    sweepDeadEntries(chunkIndexDirs)
+    val (base, cutoff) = chunkIndexDirs.computeIfAbsent((s, d), _ => {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-incchunk").toString
+      val docs = Tables.documents(s, d)
+      val maxId = docs.agg(max(col("doc_id"))).collect()(0).getLong(0)
+      val cut = maxId * 4 / 5
+      graft.operators.IncrementalChunkDedup.buildIndex(
+        docs.filter(col("doc_id") <= cut), "doc_id", "text",
+        chunkWords = 3, dir = s"$dir/base")
+      (dir, cut)
+    })
+    graft.operators.IncrementalChunkDedup.append(
+      Tables.documents(s, d).filter(col("doc_id") > cutoff),
+      "doc_id", "text", s"$base/base", s"$base/appended")
+  }
+
+  // R-19 operationalized at chunk granularity: delta chunk-dedup
+  // against the persisted winner index — build over the id-low 80%,
+  // absorb the id-high 20% with delta-sized work (keep-first is
+  // monotone, so persisted outputs never change and the winner frame
+  // rotates with pure hardlink carries + inserts). The oracle is
+  // q108's full re-mine verbatim: the hash-match IS the
+  // "full re-mine ≡ index + delta" assertion.
+  q("q116_incremental_chunk_dedup",
+    s"""WITH toks AS (SELECT doc_id, $sqlTokens AS l FROM documents),
+       |ch AS (SELECT doc_id, CAST(i AS INTEGER) AS pos,
+       |         array_to_string(l[(i*3+1):(i*3+3)], ' ') AS chunk
+       |       FROM toks CROSS JOIN
+       |         unnest(generate_series(0,
+       |           CAST(ceil(len(l)/3.0) AS BIGINT) - 1)) AS t(i)),
+       |k AS (SELECT doc_id, pos, chunk FROM (
+       |        SELECT doc_id, pos, chunk, row_number() OVER (
+       |          PARTITION BY chunk ORDER BY doc_id, pos) AS rn FROM ch)
+       |      WHERE rn = 1),
+       |ka AS (SELECT doc_id, count(*) AS n_kept,
+       |         string_agg(chunk, ' ' ORDER BY pos) AS text_dedup
+       |       FROM k GROUP BY doc_id),
+       |tot AS (SELECT doc_id, count(*) AS n_chunks FROM ch GROUP BY doc_id)
+       |SELECT d.doc_id, coalesce(ka.text_dedup, '') AS text_dedup,
+       |  coalesce(ka.n_kept, 0) AS n_kept,
+       |  coalesce(tot.n_chunks, 0) - coalesce(ka.n_kept, 0) AS n_dropped
+       |FROM documents d
+       |LEFT JOIN tot USING (doc_id) LEFT JOIN ka USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+    chunkIncrementalAppend(s, d).outputs
+      .orderBy(col("doc_id"))
+  }
+
   // R-21 retrieval: BM25 scoring against a literal query — the sparse
   // twin of the dense ANN top-k (Lucene k1=1.2/b=0.75 constants as
   // parsed literals; ln follows the q51/q85 libm precedent).
