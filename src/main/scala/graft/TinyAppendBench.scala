@@ -51,6 +51,22 @@ object TinyAppendBench {
     }
     println(f"TINY_CURATION_APPEND_SECS ${curTimes.map(t => f"$t%.2f").mkString(",")}")
 
+    // chunk-index twin: the id-TOP 1% as the delta (the chunk index
+    // contracts id-monotone appends — the crawl-append shape)
+    val maxId = docs.agg(max(col("doc_id"))).collect()(0).getLong(0)
+    val kCut = maxId - (maxId / 100).max(1L)
+    operators.IncrementalChunkDedup.buildIndex(
+      docs.filter(col("doc_id") <= kCut), "doc_id", "text", 3, s"$root/k0")
+    val chunkTimes = (1 to 3).map { i =>
+      val t0 = System.nanoTime()
+      val a = operators.IncrementalChunkDedup.append(
+        docs.filter(col("doc_id") > kCut), "doc_id", "text",
+        s"$root/k0", s"$root/k$i-out")
+      a.outputs.write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    println(f"TINY_CHUNK_APPEND_SECS ${chunkTimes.map(t => f"$t%.2f").mkString(",")}")
+
     // ANN twin: a 1% vector delta against a persisted IVF index —
     // the StreamingAnnMaintainer tick's cost shape (assign against
     // frozen centroids + hardlink rotation + delta-cell file appends)
