@@ -2445,21 +2445,21 @@ object PipelineQueries extends QueryGroup {
        |       FROM ed JOIN p0 p ON p.doc_id = ed.src
        |            JOIN dg ON dg.src = ed.src GROUP BY ed.dst),
        |i1 AS (SELECT d.doc_id,
-       |         floor((0.15 / n + 0.85 * coalesce(s1.sm, 0)) * 1000000.0
+       |         floor(((1.0 - 0.85) / n + 0.85 * coalesce(s1.sm, 0)) * 1000000.0
        |           + 0.5)/1000000.0 AS pg
        |       FROM documents d CROSS JOIN nn LEFT JOIN s1 USING (doc_id)),
        |s2 AS (SELECT ed.dst AS doc_id, sum(p.pg / dg.deg) AS sm
        |       FROM ed JOIN i1 p ON p.doc_id = ed.src
        |            JOIN dg ON dg.src = ed.src GROUP BY ed.dst),
        |i2 AS (SELECT d.doc_id,
-       |         floor((0.15 / n + 0.85 * coalesce(s2.sm, 0)) * 1000000.0
+       |         floor(((1.0 - 0.85) / n + 0.85 * coalesce(s2.sm, 0)) * 1000000.0
        |           + 0.5)/1000000.0 AS pg
        |       FROM documents d CROSS JOIN nn LEFT JOIN s2 USING (doc_id)),
        |s3 AS (SELECT ed.dst AS doc_id, sum(p.pg / dg.deg) AS sm
        |       FROM ed JOIN i2 p ON p.doc_id = ed.src
        |            JOIN dg ON dg.src = ed.src GROUP BY ed.dst),
        |i3 AS (SELECT d.doc_id,
-       |         floor((0.15 / n + 0.85 * coalesce(s3.sm, 0)) * 1000000.0
+       |         floor(((1.0 - 0.85) / n + 0.85 * coalesce(s3.sm, 0)) * 1000000.0
        |           + 0.5)/1000000.0 AS pg
        |       FROM documents d CROSS JOIN nn LEFT JOIN s3 USING (doc_id))
        |SELECT doc_id, pg FROM i3

@@ -65,7 +65,23 @@ object Dedup {
       textCol: String,
       chunkWords: Int): DataFrame = {
     val chunks = chunkFrame(docs, idCol, textCol, chunkWords)
-    val kept = chunkWinners(chunks)
+    reassembleChunks(docs.select(col(idCol)), idCol,
+      chunks, chunkWinners(chunks))
+  }
+
+  /** Shared reassembly step for [[chunkDedup]] and the incremental
+    * index ([[IncrementalChunkDedup]]): per-document position-ordered
+    * re-concatenation of the `kept` chunk occurrences, made TOTAL over
+    * `ids` (documents with nothing kept emit "" / 0 / n_dropped). ONE
+    * copy of the reassembly semantics — the batch operator and the
+    * index must never diverge, because q116's oracle gate asserts
+    * their equivalence.
+    */
+  private[operators] def reassembleChunks(
+      ids: DataFrame,
+      idCol: String,
+      chunks: DataFrame,
+      kept: DataFrame): DataFrame = {
     val keptAgg = kept.groupBy(col("__doc"))
       .agg(count(lit(1)).as("n_kept"),
         concat_ws(" ",
@@ -73,7 +89,7 @@ object Dedup {
             s => s.getField("chunk"))).as("text_dedup"))
     val totals = chunks.groupBy(col("__doc"))
       .agg(count(lit(1)).as("__n_chunks"))
-    docs.select(col(idCol))
+    ids
       .join(totals, col(idCol) === totals("__doc"), "left").drop("__doc")
       .join(keptAgg, col(idCol) === keptAgg("__doc"), "left").drop("__doc")
       .select(col(idCol),

@@ -23,6 +23,11 @@ object GraphOps {
     * `pr' = (1-d)/N + d * Σ_in pr/deg` with NO dangling-mass
     * redistribution (documented simplification — dangling rank
     * teleports implicitly, exactly what the unrolled SQL replays).
+    * The teleport term is COMPUTED as `1.0 - damping` on the engine
+    * side, so the oracle must write the same subtraction — `(1.0 -
+    * 0.85)`, never the parsed literal `0.15`, whose double bits
+    * differ from the subtraction's by one ulp (the bm25
+    * literal-discipline rule, applied in the other direction).
     *
     * Scale shape: per iteration one edge-keyed join (rank onto edge
     * sources — the shuffle moves the edge frame, partitioned by a

@@ -73,14 +73,21 @@ object IncrementalChunkDedup {
       .localCheckpoint(true)
     val nb = if (numBuckets > 0) numBuckets
       else IncrementalDedup.autoShingleBuckets(chunks.count())
+    // the winners frame is computed ONCE and feeds both writes — the
+    // outputs reassembly reads it back instead of re-running the
+    // corpus-keyed keep-first window (review finding: the original
+    // build paid the dominant chunk+window cost twice)
     Dedup.chunkWinners(chunks)
       .select(col("chunk"), col("__doc").cast("long").as("__doc"), col("pos"))
       .withColumn("bkt", IndexRotation.bucketOf(col("chunk"), nb))
       .repartition(col("bkt"))
       .write.partitionBy("bkt").mode("overwrite").parquet(s"$dir/winners")
-    Dedup.chunkDedup(docs, idCol, textCol, chunkWords)
-      .select(col(idCol).cast("long").as("doc_id"), col("text_dedup"),
-        col("n_kept"), col("n_dropped"))
+    val winners = spark.read.schema(winnersSchema).parquet(s"$dir/winners")
+    Dedup.reassembleChunks(
+        docs.select(col(idCol).cast("long").as("doc_id")), "doc_id",
+        chunks.select(col("__doc").cast("long").as("__doc"), col("pos"),
+          col("chunk")),
+        winners.select(col("__doc"), col("pos"), col("chunk")))
       .write.mode("overwrite").parquet(s"$dir/outputs")
     val maxId = docs.agg(max(col(idCol).cast("long"))).collect()(0).getLong(0)
     writeMeta(spark, dir, chunkWords, nb, maxId)
@@ -120,22 +127,12 @@ object IncrementalChunkDedup {
       .localCheckpoint(true)
     // kept delta occurrences are EXACTLY the new winners: every other
     // delta occurrence loses either to an indexed chunk or to the
-    // delta's own first occurrence
-    val keptAgg = newWinners.groupBy(col("__doc"))
-      .agg(count(lit(1)).as("n_kept"),
-        concat_ws(" ",
-          transform(sort_array(collect_list(struct(col("pos"), col("chunk")))),
-            s => s.getField("chunk"))).as("text_dedup"))
-    val totals = dChunks.groupBy(col("__doc"))
-      .agg(count(lit(1)).as("__n_chunks"))
-    val deltaOut = delta.select(col(idCol).cast("long").as("doc_id"))
-      .join(totals, col("doc_id") === totals("__doc"), "left").drop("__doc")
-      .join(keptAgg, col("doc_id") === keptAgg("__doc"), "left").drop("__doc")
-      .select(col("doc_id"),
-        coalesce(col("text_dedup"), lit("")).as("text_dedup"),
-        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
-        (coalesce(col("__n_chunks"), lit(0L)) -
-          coalesce(col("n_kept"), lit(0L))).as("n_dropped"))
+    // delta's own first occurrence. Reassembly is the SHARED
+    // [[Dedup.reassembleChunks]] — one copy of the semantics q116's
+    // oracle equivalence depends on.
+    val deltaOut = Dedup.reassembleChunks(
+      delta.select(col(idCol).cast("long").as("doc_id")), "doc_id",
+      dChunks.drop("bkt"), newWinners)
     // winners rotation is INSERT-ONLY (touched = none rewritten): old
     // buckets hardlink-carry untouched, new winners land as appended
     // part-files in their buckets

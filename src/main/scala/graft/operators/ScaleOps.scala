@@ -210,9 +210,18 @@ object ScaleOps {
     val spark = df.sparkSession
     val mm = df.agg(
       min(col(dimA).cast("long")), max(col(dimA).cast("long")),
-      min(col(dimB).cast("long")), max(col(dimB).cast("long"))).collect()(0)
+      min(col(dimB).cast("long")), max(col(dimB).cast("long")),
+      sum(when(col(dimA).isNull || col(dimB).isNull, 1L).otherwise(0L)))
+      .collect()(0)
     require(!mm.isNullAt(0) && !mm.isNullAt(2),
       "zorderLayout needs at least one row with non-null dimensions")
+    // a null dimension would silently assign file = null and shunt the
+    // row outside every bounding box a pruning reader consults — fail
+    // loudly instead (callers route or filter nulls first)
+    require(mm.getLong(4) == 0L,
+      s"zorderLayout found ${mm.getLong(4)} rows with null dimension " +
+        "values — a null file assignment silently escapes 2-D pruning; " +
+        "filter or route them first")
     val (minA, maxA) = (mm.getLong(0), mm.getLong(1))
     val (minB, maxB) = (mm.getLong(2), mm.getLong(3))
     val bitsUsed = 64 - java.lang.Long.numberOfLeadingZeros((bins - 1).toLong)

@@ -490,6 +490,8 @@ object TextAnalysis {
       .localCheckpoint(true)
     val n = docs.count()
     val mm = dls.agg(sum(col("dl")), count(lit(1))).collect()(0)
+    require(!mm.isNullAt(0) && mm.getLong(1) > 0,
+      "bm25 needs at least one document with a non-empty token stream")
     val avgdl = mm.getLong(0).toDouble * 1.0 / mm.getLong(1).toDouble
     val tf = toks.filter(col("w").isin(queryTokens: _*))
       .groupBy(col("__doc"), col("w")).agg(count(lit(1)).as("tf"))

@@ -48,37 +48,15 @@ object StreamingAnnMaintainer {
       numCells: Int,
       centroids: Option[Seq[Array[Float]]] = None): String = {
     val spark = batch.sparkSession
-    // intra-batch dedupe first: at-least-once sources can redeliver a
-    // vector WITHIN one micro-batch, and appendIvf's contract needs
-    // unique new ids
-    val uniq = batch.filter(col(idCol).isNotNull).dropDuplicates(idCol)
-    val current = TickDirs.committed(spark, indexRoot).lastOption
-    val nextN = current.map(_ + 1).getOrElse(0L)
-    val nextDir = s"$indexRoot/tick-$nextN"
-    TickDirs.clearHalfTick(spark, nextDir)
-
-    current match {
-      case None =>
-        SimilarityIndex.buildIvf(uniq, idCol, vecCol, numCells, nextDir,
-          centroids)
-        TickDirs.commit(spark, nextDir)
-        nextDir
-      case Some(cur) =>
-        val curDir = s"$indexRoot/tick-$cur"
-        // effectively-once: drop ids the index already holds (a crash
-        // between tick commit and checkpoint commit replays the
-        // batch). The id read is column-pruned to the 8-byte id.
-        val seen = spark.read.parquet(s"$curDir/cells")
-          .select(col("neighbor_id").as(idCol))
-        val fresh = uniq.join(seen, Seq(idCol), "left_anti")
-          .localCheckpoint(true)
-        if (fresh.isEmpty) curDir
-        else {
-          SimilarityIndex.appendIvf(fresh, idCol, vecCol, curDir, nextDir)
-          TickDirs.commit(spark, nextDir)
-          nextDir
-        }
-    }
+    TickDirs.effectivelyOnceTick(batch, idCol, indexRoot,
+      build = (fresh, dir) =>
+        SimilarityIndex.buildIvf(fresh, idCol, vecCol, numCells, dir,
+          centroids),
+      append = (fresh, curDir, nextDir) =>
+        SimilarityIndex.appendIvf(fresh, idCol, vecCol, curDir, nextDir),
+      // the id read is column-pruned to the 8-byte id
+      seenIds = curDir => spark.read.parquet(s"$curDir/cells")
+        .select(col("neighbor_id").as(idCol)))
   }
 
   /** [[tick]] for the IVF-PQ layout: identical tick-dir discipline,
@@ -102,31 +80,14 @@ object StreamingAnnMaintainer {
       numCentroids: Int,
       centroids: Option[Seq[Array[Float]]] = None): String = {
     val spark = batch.sparkSession
-    val uniq = batch.filter(col(idCol).isNotNull).dropDuplicates(idCol)
-    val current = TickDirs.committed(spark, indexRoot).lastOption
-    val nextN = current.map(_ + 1).getOrElse(0L)
-    val nextDir = s"$indexRoot/tick-$nextN"
-    TickDirs.clearHalfTick(spark, nextDir)
-
-    current match {
-      case None =>
-        SimilarityIndex.buildIvfPq(uniq, idCol, vecCol, numCells,
-          numSub, numCentroids, nextDir, centroids)
-        TickDirs.commit(spark, nextDir)
-        nextDir
-      case Some(cur) =>
-        val curDir = s"$indexRoot/tick-$cur"
-        val seen = spark.read.parquet(s"$curDir/cells")
-          .select(col("neighbor_id").as(idCol))
-        val fresh = uniq.join(seen, Seq(idCol), "left_anti")
-          .localCheckpoint(true)
-        if (fresh.isEmpty) curDir
-        else {
-          SimilarityIndex.appendIvfPq(fresh, idCol, vecCol, curDir, nextDir)
-          TickDirs.commit(spark, nextDir)
-          nextDir
-        }
-    }
+    TickDirs.effectivelyOnceTick(batch, idCol, indexRoot,
+      build = (fresh, dir) =>
+        SimilarityIndex.buildIvfPq(fresh, idCol, vecCol, numCells,
+          numSub, numCentroids, dir, centroids),
+      append = (fresh, curDir, nextDir) =>
+        SimilarityIndex.appendIvfPq(fresh, idCol, vecCol, curDir, nextDir),
+      seenIds = curDir => spark.read.parquet(s"$curDir/cells")
+        .select(col("neighbor_id").as(idCol)))
   }
 
   /** Start the maintainer: vector stream → one index tick per

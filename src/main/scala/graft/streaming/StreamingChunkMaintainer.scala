@@ -28,7 +28,8 @@ object StreamingChunkMaintainer {
     TickDirs.currentDir(spark, indexRoot)
 
   /** One tick (the `foreachBatch` body). Returns the committed dir
-    * the index now lives in.
+    * the index now lives in — or `indexRoot` itself when no batch has
+    * bootstrapped an index yet (empty first batch).
     */
   def tick(
       batch: DataFrame,
@@ -37,34 +38,16 @@ object StreamingChunkMaintainer {
       indexRoot: String,
       chunkWords: Int = 3): String = {
     val spark = batch.sparkSession
-    val uniq = batch.filter(col(idCol).isNotNull).dropDuplicates(idCol)
-    val current = TickDirs.committed(spark, indexRoot).lastOption
-    val nextN = current.map(_ + 1).getOrElse(0L)
-    val nextDir = s"$indexRoot/tick-$nextN"
-    TickDirs.clearHalfTick(spark, nextDir)
-    current match {
-      case None =>
-        IncrementalChunkDedup.buildIndex(uniq, idCol, textCol, chunkWords,
-          nextDir)
-        TickDirs.commit(spark, nextDir)
-        nextDir
-      case Some(cur) =>
-        val curDir = s"$indexRoot/tick-$cur"
-        // effectively-once: drop ids the index already holds (a crash
-        // between tick commit and checkpoint commit replays the batch)
-        val seen = spark.read.parquet(s"$curDir/outputs")
-        val fresh = uniq
-          .join(seen.select(col("doc_id").cast("long").as(idCol)),
-            Seq(idCol), "left_anti")
-          .localCheckpoint(true)
-        if (fresh.isEmpty) curDir
-        else {
-          IncrementalChunkDedup.append(fresh, idCol, textCol,
-            curDir, nextDir)
-          TickDirs.commit(spark, nextDir)
-          nextDir
-        }
-    }
+    TickDirs.effectivelyOnceTick(batch, idCol, indexRoot,
+      build = (fresh, dir) =>
+        IncrementalChunkDedup.buildIndex(fresh, idCol, textCol, chunkWords,
+          dir),
+      append = (fresh, curDir, nextDir) => {
+        IncrementalChunkDedup.append(fresh, idCol, textCol, curDir, nextDir)
+        ()
+      },
+      seenIds = curDir => spark.read.parquet(s"$curDir/outputs")
+        .select(col("doc_id").cast("long").as(idCol)))
   }
 
   /** Start the maintainer: docs stream → one index tick per

@@ -43,39 +43,17 @@ object StreamingIndexMaintainer {
       threshold: Double = 0.8,
       maxShingleDocFreq: Int = 1000): String = {
     val spark = batch.sparkSession
-    // intra-batch dedupe: a source can redeliver a doc WITHIN one
-    // micro-batch too, and append's contract needs unique ids — the
-    // cross-batch anti-join below only covers ids already indexed
-    val uniq = batch.filter(col(idCol).isNotNull).dropDuplicates(idCol)
-    val current = TickDirs.committed(spark, indexRoot).lastOption
-    val nextN = current.map(_ + 1).getOrElse(0L)
-    val nextDir = s"$indexRoot/tick-$nextN"
-    // a dir without the marker is a crashed half-tick: remove it so
-    // the rotation's hardlink carry starts from a clean slate
-    TickDirs.clearHalfTick(spark, nextDir)
-
-    current match {
-      case None =>
-        IncrementalDedup.buildIndex(uniq, idCol, textCol, blockCol,
-          n, threshold, maxShingleDocFreq, nextDir)
-        TickDirs.commit(spark, nextDir)
-        nextDir
-      case Some(cur) =>
-        val curDir = s"$indexRoot/tick-$cur"
-        // effectively-once: drop ids the index already holds (a crash
-        // between tick commit and checkpoint commit replays the batch)
-        val seen = spark.read.parquet(s"$curDir/docs")
-        val fresh = uniq
-          .join(seen.select(col("doc").as(idCol)), Seq(idCol), "left_anti")
-          .localCheckpoint(true)
-        if (fresh.isEmpty) curDir
-        else {
-          IncrementalDedup.append(fresh, idCol, textCol, blockCol,
-            curDir, nextDir)
-          TickDirs.commit(spark, nextDir)
-          nextDir
-        }
-    }
+    TickDirs.effectivelyOnceTick(batch, idCol, indexRoot,
+      build = (fresh, dir) =>
+        IncrementalDedup.buildIndex(fresh, idCol, textCol, blockCol,
+          n, threshold, maxShingleDocFreq, dir),
+      append = (fresh, curDir, nextDir) => {
+        IncrementalDedup.append(fresh, idCol, textCol, blockCol,
+          curDir, nextDir)
+        ()
+      },
+      seenIds = curDir => spark.read.parquet(s"$curDir/docs")
+        .select(col("doc").as(idCol)))
   }
 
   /** Start the maintainer: docs stream → one index tick per

@@ -55,6 +55,22 @@ class StreamingChunkMaintainerSpec extends SparkSuiteBase {
     assert(outputsAt(cur.get) == fullMap(corpus))
   }
 
+  test("an empty or all-null-id bootstrap batch is a no-op, not a stream crash") {
+    import spark.implicits._
+    val root = tmpDir("scm-empty")
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(StreamingChunkMaintainer.tick(empty, "doc_id", "text", root) == root)
+    assert(StreamingChunkMaintainer.currentDir(spark, root).isEmpty)
+    val nullIds = Seq((null.asInstanceOf[java.lang.Long], "x"))
+      .toDF("doc_id", "text")
+    assert(StreamingChunkMaintainer.tick(nullIds, "doc_id", "text", root) == root)
+    // the first REAL batch still bootstraps normally afterwards
+    val d0 = StreamingChunkMaintainer.tick(
+      corpus.take(2).toDF("doc_id", "text"), "doc_id", "text", root)
+    assert(d0 == s"$root/tick-0")
+    assert(outputsAt(d0) == fullMap(corpus.take(2)))
+  }
+
   test("replayed batches are no-op ticks; out-of-order ids fail loudly") {
     import spark.implicits._
     val root = tmpDir("scm-replay")
