@@ -2670,4 +2670,207 @@ object PipelineQueries extends QueryGroup {
         sum(col("l_quantity")).cast("long").as("sum_qty"))
       .orderBy(col("p_brand"))
   }
+
+  // ------------------------------------------------------- round 12
+
+  /** Shared DSIR CTE chain (q117/q118): hashed-unigram buckets of the
+    * q64-convention TARGET slice (doc_id%20=0) vs the RAW rest, the
+    * ≤512-row smoothed log-ratio table, and the per-(raw doc, bucket)
+    * counts — the exact relational replay of
+    * [[graft.operators.Importance.logWeights]].
+    */
+  private val dsirCtes: String =
+    s"""tk117 AS (SELECT doc_id, $sqlTokens AS l FROM documents),
+       |bk AS (SELECT doc_id,
+       |         CAST('0x' || substr(md5(w), 1, 15) AS BIGINT) % 512 AS b
+       |       FROM (SELECT doc_id, unnest(l) AS w FROM tk117)),
+       |tc AS (SELECT b, count(*) AS ct FROM bk WHERE doc_id % 20 = 0
+       |       GROUP BY b),
+       |rc AS (SELECT b, count(*) AS cr FROM bk WHERE doc_id % 20 <> 0
+       |       GROUP BY b),
+       |tot AS (SELECT
+       |    (SELECT count(*) FROM bk WHERE doc_id % 20 = 0) AS nt,
+       |    (SELECT count(*) FROM bk WHERE doc_id % 20 <> 0) AS nr),
+       |lr AS (SELECT coalesce(tc.b, rc.b) AS b,
+       |         ln((coalesce(ct, 0) + 1.0) * (nr + 512)
+       |            / ((coalesce(cr, 0) + 1.0) * (nt + 512))) AS lr
+       |       FROM tc FULL OUTER JOIN rc ON tc.b = rc.b CROSS JOIN tot),
+       |db AS (SELECT doc_id, b, count(*) AS c FROM bk
+       |       WHERE doc_id % 20 <> 0 GROUP BY 1, 2)""".stripMargin
+
+  // R-21/R-29 learned curation: DSIR importance weights (Xie et al.
+  // 2023) — hashed-unigram bucket models of a TARGET slice (the q64
+  // doc_id%20=0 convention) vs the RAW rest, per-document log-weight
+  // = Σ c_d(b)·lr(b). The ratio table is ≤512 rows (broadcast); `ln`
+  // follows the q51/q85/q115 libm precedent with 6dp rounding after
+  // the per-doc sum.
+  q("q117_dsir_weights",
+    s"""WITH $dsirCtes,
+       |sc AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+       |         sum(c * lr.lr) AS raw
+       |       FROM db JOIN lr USING (b) GROUP BY 1)
+       |SELECT doc_id, n_tokens,
+       |  floor(raw * 1000000.0 + 0.5) / 1000000.0 AS logw
+       |FROM sc ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    graft.operators.Importance.logWeights(
+        docs.filter(pmod(col("doc_id"), lit(20)) =!= 0), "doc_id", "text",
+        target = docs.filter(pmod(col("doc_id"), lit(20)) === 0),
+        raw = docs.filter(pmod(col("doc_id"), lit(20)) =!= 0),
+        buckets = 512)
+      .orderBy(col("doc_id"))
+  }
+
+  // The DSIR selection step: Gumbel-top-k over the q117 weights —
+  // sampling WITHOUT replacement with inclusion ∝ exp(logw), fully
+  // deterministic in the ids (md5-uniform u, keys rounded at 6dp
+  // BEFORE ranking so a last-ulp libm difference cannot flip an
+  // order). TakeOrdered, never a global sort.
+  q("q118_dsir_resample",
+    s"""WITH $dsirCtes,
+       |sc AS (SELECT doc_id,
+       |         floor(sum(c * lr.lr) * 1000000.0 + 0.5) / 1000000.0 AS logw
+       |       FROM db JOIN lr USING (b) GROUP BY 1),
+       |ky AS (SELECT doc_id,
+       |         floor((logw - ln(-ln(
+       |             (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+       |                AS BIGINT) % 1000000 + 0.5) / 1000000.0)))
+       |           * 1000000.0 + 0.5) / 1000000.0 AS key
+       |       FROM sc)
+       |SELECT doc_id, key FROM ky
+       |ORDER BY key DESC, doc_id
+       |LIMIT 50""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val w = graft.operators.Importance.logWeights(
+      docs.filter(pmod(col("doc_id"), lit(20)) =!= 0), "doc_id", "text",
+      target = docs.filter(pmod(col("doc_id"), lit(20)) === 0),
+      raw = docs.filter(pmod(col("doc_id"), lit(20)) =!= 0),
+      buckets = 512)
+    graft.operators.Importance.gumbelTopK(w, "doc_id", "logw", k = 50)
+  }
+
+  // Scale-path runtime filter on the oracle surface: Bloom-pruned join
+  // (ScaleOps.bloomPrunedJoin) — the dim subset's keys ship as a
+  // fixed-size Bloom bit frame and the fact side is pruned by k
+  // broadcast semi-joins BEFORE the join exchange. Pruning never
+  // changes the join multiset (the exact join scrubs Bloom false
+  // positives), so the oracle is the PLAIN filtered join — same gate
+  // discipline as q105/q112.
+  q("q119_bloom_join",
+    s"""SELECT p_partkey, count(*) AS n_li,
+       |  ${sqlRound("sum(l_extendedprice * (1 - l_discount))", 2)} AS revenue
+       |FROM lineitem JOIN part ON l_partkey = p_partkey
+       |WHERE p_brand = 'Brand#4'
+       |GROUP BY p_partkey
+       |ORDER BY p_partkey""".stripMargin) { (s, d) =>
+    val dim = Tables.part(s, d)
+      .filter(col("p_brand") === "Brand#4")
+      .select(col("p_partkey"))
+    val fact = Tables.lineitem(s, d)
+      .select(col("l_partkey").as("p_partkey"),
+        col("l_extendedprice"), col("l_discount"))
+    graft.operators.ScaleOps.bloomPrunedJoin(fact, dim, "p_partkey")
+      .groupBy(col("p_partkey"))
+      .agg(count(lit(1)).as("n_li"),
+        pround(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+      .orderBy(col("p_partkey"))
+  }
+
+  // R-20/R-21 hybrid retrieval: Reciprocal Rank Fusion (Cormack et al.
+  // 2009) of the q115 sparse BM25 list with a dense cosine list for a
+  // query VECTOR (vec_id 0, the aligned embedding fixture) —
+  // rank-only fusion, so heterogeneous scores need no calibration.
+  // Each contribution is one IEEE-exact division 1.0/(60+rank); the
+  // cross-list sum is a fixed-order coalesce chain (sparse first,
+  // dense second — mirrored in the oracle), rounded at 6dp before the
+  // final ordering.
+  q("q120_hybrid_rrf",
+    s"""WITH toks AS (SELECT doc_id, unnest($sqlTokens) AS w FROM documents),
+       |dls AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+       |stats AS (SELECT (SELECT count(*) FROM documents) AS n,
+       |            (SELECT sum(dl) * 1.0 / count(*) FROM dls) AS avgdl),
+       |tf AS (SELECT doc_id, w, count(*) AS tf FROM toks
+       |       WHERE w IN ('spark', 'join', 'stream') GROUP BY doc_id, w),
+       |df AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+       |bsc AS (SELECT tf.doc_id,
+       |          ln((n - df + 0.5) / (df + 0.5) + 1.0) *
+       |            ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (dl / avgdl))))
+       |            AS t
+       |        FROM tf JOIN df USING (w) JOIN dls USING (doc_id)
+       |        CROSS JOIN stats),
+       |bagg AS (SELECT doc_id,
+       |           floor(sum(t) * 1000000.0 + 0.5) / 1000000.0 AS score
+       |         FROM bsc GROUP BY doc_id
+       |         ORDER BY score DESC, doc_id LIMIT 100),
+       |sp AS (SELECT doc_id, row_number() OVER (
+       |         ORDER BY score DESC, doc_id) AS rank FROM bagg),
+       |u AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+       |        unnest(embedding)::DOUBLE AS x FROM embeddings),
+       |nrm AS (SELECT vec_id, sqrt(sum(x*x)) AS nr FROM u GROUP BY vec_id),
+       |dd AS (SELECT c.vec_id AS doc_id, sum(p.x*c.x) AS dp
+       |       FROM u p JOIN u c ON p.i = c.i
+       |       WHERE p.vec_id = 0 AND c.vec_id <> 0 GROUP BY 1),
+       |cs AS (SELECT doc_id,
+       |         floor((dp / (x.nr * y.nr)) * 1000000.0 + 0.5) / 1000000.0 AS cos
+       |       FROM dd JOIN nrm x ON x.vec_id = 0 JOIN nrm y ON y.vec_id = doc_id),
+       |dn AS (SELECT doc_id, rank FROM (
+       |         SELECT doc_id, row_number() OVER (
+       |           ORDER BY cos DESC, doc_id) AS rank FROM cs)
+       |       WHERE rank <= 100),
+       |f AS (SELECT coalesce(sp.doc_id, dn.doc_id) AS doc_id,
+       |        floor((coalesce(1.0/(60 + sp.rank), 0)
+       |               + coalesce(1.0/(60 + dn.rank), 0)) * 1000000.0 + 0.5)
+       |          / 1000000.0 AS rrf
+       |      FROM sp FULL OUTER JOIN dn ON sp.doc_id = dn.doc_id)
+       |SELECT doc_id, rrf FROM f
+       |ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val e = Tables.embeddings(s, d)
+    val sparse = graft.operators.Retrieval.withRank(
+      TextAnalysis.bm25(docs, "doc_id", "text",
+        Seq("spark", "join", "stream"), topK = 100),
+      "doc_id", "score")
+    val dense = Similarity.bruteForceTopK(
+        e.filter(col("vec_id") === 0), e.filter(col("vec_id") =!= 0),
+        "vec_id", "embedding", k = 100)
+      .select(col("neighbor_id").as("doc_id"), col("rnk").as("rank"))
+    graft.operators.Retrieval.rrfFuse(
+      Seq(sparse.select("doc_id", "rank"), dense.select("doc_id", "rank")),
+      "doc_id", k0 = 60, topK = 20)
+  }
+
+  // Time-series monitoring: rolling z-score anomaly detection
+  // (TimeSeries.rollingZScore) — each event scored against the mean/
+  // sample-stddev of its 8 PRECEDING values per user (trailing window:
+  // a point never explains itself). Same determinism discipline as
+  // q102: lag() columns + left-associative IEEE chains (never a window
+  // aggregate whose addend order floats), z rounded at 6dp BEFORE the
+  // |z| >= 3 compare, zero-variance windows excluded by the
+  // both-engine-identical w*Sxx - Sx^2 > 0 guard.
+  q("q121_rolling_anomaly", {
+    val lagCols = (1 to 8).map(i => s"lag(value, $i) OVER w AS x$i")
+      .mkString(",\n       |  ")
+    val sx = (1 to 8).map(i => s"x$i").mkString(" + ")
+    val sxx = (1 to 8).map(i => s"x$i * x$i").mkString(" + ")
+    s"""WITH lg AS (SELECT user_id, event_id, value,
+       |  $lagCols
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       |fl AS (SELECT * FROM lg WHERE ${(1 to 8).map(i => s"x$i IS NOT NULL").mkString(" AND ")}),
+       |sm AS (SELECT user_id, event_id, value,
+       |         ($sx) AS sx, ($sxx) AS sxx FROM fl),
+       |z AS (SELECT user_id, event_id, value,
+       |        floor(((value - sx / 8.0)
+       |          / sqrt((8.0 * sxx - sx * sx) / 56.0)) * 1000000.0 + 0.5)
+       |          / 1000000.0 AS z6
+       |      FROM sm WHERE 8.0 * sxx - sx * sx > 0)
+       |SELECT user_id, event_id, value, z6, abs(z6) >= 3.0 AS anomaly
+       |FROM z ORDER BY user_id, event_id""".stripMargin
+  }) { (s, d) =>
+    graft.operators.TimeSeries.rollingZScore(
+        Tables.events(s, d), "user_id", "ts", "event_id", "value",
+        w = 8, zThreshold = 3.0)
+      .orderBy(col("user_id"), col("event_id"))
+  }
 }

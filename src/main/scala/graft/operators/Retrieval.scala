@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Rank-fusion retrieval (Cormack, Clarke & Buettcher 2009,
+  * "Reciprocal Rank Fusion outperforms Condorcet and individual rank
+  * learning methods"): combine any number of ranked candidate lists —
+  * sparse BM25 ([[TextAnalysis.bm25]]), dense ANN
+  * ([[Similarity.bruteForceTopK]] / the IVF paths), fingerprint
+  * matches — into one list by summing reciprocal ranks:
+  *
+  *   rrf(d) = Σ_lists 1 / (k₀ + rank_list(d)),   absent ⇒ 0
+  *
+  * RRF is rank-only, so heterogeneous scores (BM25 log-weights vs
+  * cosines) fuse without calibration — the reason it is the standard
+  * hybrid-retrieval combiner.
+  *
+  * Determinism/portability: each contribution is the single division
+  * `1.0 / (k₀ + rank)` on integer-valued operands (IEEE-identical in
+  * any engine), the cross-list sum is a FIXED-ORDER coalesce chain
+  * (list order = argument order — never an aggregate whose addend
+  * order floats), rounded at 6dp before the final ordering with id
+  * tie-break.
+  *
+  * Scale shape: the inputs are top-k lists (k rows each, produced by
+  * TakeOrdered upstream), so the fusion is full-outer joins of k-row
+  * frames — broadcast-sized by construction. Nothing here touches the
+  * corpus.
+  */
+object Retrieval {
+
+  /** Fuse ranked lists, each a (idCol, rankCol) frame with 1-based
+    * ranks. Output: (idCol, rrf) — top `topK` by fused score, score
+    * descending with id tie-break.
+    */
+  def rrfFuse(
+      lists: Seq[DataFrame],
+      idCol: String,
+      rankCol: String = "rank",
+      k0: Int = 60,
+      topK: Int = 20): DataFrame = {
+    require(lists.nonEmpty, "rrfFuse needs at least one ranked list")
+    require(k0 >= 0 && topK > 0, "k0 must be >= 0 and topK positive")
+    val contribs = lists.zipWithIndex.map { case (df, i) =>
+      df.select(col(idCol),
+        (lit(1.0) / (lit(k0.toLong) + col(rankCol).cast("long"))).as(s"__c$i"))
+    }
+    val joined = contribs.reduceLeft((a, b) => a.join(b, Seq(idCol), "full_outer"))
+    val score: Column = contribs.indices
+      .map(i => coalesce(col(s"__c$i"), lit(0.0)))
+      .reduceLeft(_ + _)
+    joined
+      .select(col(idCol), (floor(score * lit(1e6) + lit(0.5)) / lit(1e6)).as("rrf"))
+      .orderBy(col("rrf").desc, col(idCol))
+      .limit(topK)
+  }
+
+  /** Attach 1-based ranks to a scored list: rank = position in
+    * (scoreCol DESC, idCol) order. The input is a top-k list (k rows),
+    * so the single-partition window is k-row bounded — NOT a corpus
+    * window (callers rank AFTER their TakeOrdered, never before).
+    */
+  def withRank(list: DataFrame, idCol: String, scoreCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    list.withColumn("rank",
+      row_number().over(Window.orderBy(col(scoreCol).desc, col(idCol))))
+  }
+}

@@ -305,4 +305,52 @@ object ScaleOps {
       .agg(sum(col(valueCol)).as("__partial"))
       .groupBy(col(key))
       .agg(sum(col("__partial")).as(s"sum_$valueCol"))
+
+  /** Bloom-pruned inner equi-join — the explicit RUNTIME-FILTER shape
+    * (what `spark.sql.optimizer.runtime.bloomFilter` injects when its
+    * heuristics fire, here as a deterministic operator): the dim
+    * side's DISTINCT join keys are folded into an `m`-bit Bloom filter
+    * ([[Dedup.bloomEvalBits]] — portable md5 lane arithmetic, the q97
+    * machinery over key strings instead of shingles), and the fact
+    * side is pruned BEFORE the join by `k` broadcast semi-joins on its
+    * computed bit positions — a fact row survives only if ALL `k` of
+    * its key's bits are set. The exact join then removes the Bloom's
+    * false positives, so the result multiset is EXACTLY the plain
+    * join's (oracle-gated by q119: the oracle IS the plain join).
+    *
+    * Why this matters at 100 TB: a selective dim predicate ("this
+    * brand", "this day") leaves a dim subset whose raw keys may still
+    * be tens of GB — too big to broadcast into the fact scan — while
+    * its Bloom bit frame is ≤ min(m, |dim|·k) longs by construction
+    * (~1 MB at m = 2²⁰), so the fact table's non-matching rows (often
+    * >99%) die before the join exchange instead of shuffling. The
+    * prune is k BroadcastHashJoin semis on codegen'd integer columns —
+    * no explode, no extra shuffle, no row-id aggregate on the fact
+    * path. False-positive rate follows the standard (1−e^{−kn/m})^k;
+    * correctness never depends on it.
+    */
+  def bloomPrunedJoin(
+      fact: DataFrame,
+      dim: DataFrame,
+      key: String,
+      m: Int = 1 << 20,
+      k: Int = 4): DataFrame = {
+    require(m > 0 && k > 0, "bloom needs positive m and k")
+    val bits = Dedup.bloomEvalBits(
+      dim.select(col(key).cast("string").as("shingle")).distinct(), m, k)
+    val (a, b) = graft.functions.PortableHash.laneCoeffs(k)
+    val p = graft.functions.PortableHash.P
+    val h = graft.functions.PortableHash.md5Long60(col(key).cast("string")) %
+      lit(p)
+    val pruned = (0 until k).foldLeft(fact.withColumn("__h", h)) {
+      case (df, i) =>
+        val bit = ((lit(a(i)) * col("__h") + lit(b(i))) % lit(p)) %
+          lit(m.toLong)
+        val lane = bits.withColumnRenamed("bit", s"__bit$i")
+        df.withColumn(s"__bit$i", bit)
+          .join(broadcast(lane), Seq(s"__bit$i"), "left_semi")
+          .drop(s"__bit$i")
+    }.drop("__h")
+    pruned.join(dim, Seq(key))
+  }
 }

@@ -87,4 +87,57 @@ object TimeSeries {
       .filter(col("rnk") <= k)
       .select(col(keyCol), col("rnk"), col("start_pos"), col("corr6"))
   }
+
+  /** Rolling z-score anomaly detection: for each key's
+    * (ts, id)-ordered series, score every point against the mean and
+    * sample standard deviation of its `w` PRECEDING values and flag
+    * |z| ≥ `zThreshold` — the classic streaming outlier monitor
+    * (trailing window only, so a point never explains itself and the
+    * detector is causally usable on live streams).
+    *
+    * Same determinism discipline as [[subsequenceSearch]]: the
+    * trailing values come from `lag()` columns and the sums are
+    * explicit LEFT-ASSOCIATIVE chains in lag order (never a window
+    * aggregate, whose addend order — and, in DuckDB, segment-tree
+    * association — floats), so both engines run the identical IEEE
+    * sequence; z is rounded at 6dp BEFORE the threshold compare so
+    * the flag cannot flip on a last-ulp difference. Points without a
+    * full trailing window, and windows with zero variance, are
+    * excluded (`w·Σxx − (Σx)² > 0` decides identically in both
+    * engines).
+    *
+    * Scale shape: ONE shuffle (the per-key sort), then w lag columns
+    * and pure codegen arithmetic — no self-join, state bounded by w
+    * per row. Output: (key, id, value, z6, anomaly).
+    */
+  def rollingZScore(
+      events: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      idCol: String,
+      valCol: String,
+      w: Int,
+      zThreshold: Double): DataFrame = {
+    require(w >= 2, "window must have at least 2 points")
+    require(zThreshold > 0, "zThreshold must be positive")
+    val ord = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col(idCol))
+    val lags = (1 to w).map(i => lag(col(valCol).cast("double"), i).over(ord))
+    val named = events.select(
+      Seq(col(keyCol), col(idCol), col(valCol).cast("double").as("value")) ++
+        lags.zipWithIndex.map { case (c, i) => c.as(s"__x$i") }: _*)
+      .filter((0 until w).map(i => col(s"__x$i").isNotNull).reduce(_ && _))
+    def chain(terms: Seq[Column]): Column = terms.reduceLeft(_ + _)
+    val sx = chain((0 until w).map(i => col(s"__x$i")))
+    val sxx = chain((0 until w).map(i => col(s"__x$i") * col(s"__x$i")))
+    val varNum = lit(w.toDouble) * sxx - sx * sx
+    val z = (col("value") - sx / lit(w.toDouble)) /
+      sqrt(varNum / lit((w.toDouble) * (w - 1).toDouble))
+    named
+      .withColumn("__vn", varNum)
+      .filter(col("__vn") > 0)
+      .select(col(keyCol), col(idCol), col("value"),
+        (floor(z * lit(1e6) + lit(0.5)) / lit(1e6)).as("z6"))
+      .withColumn("anomaly", abs(col("z6")) >= lit(zThreshold))
+  }
 }

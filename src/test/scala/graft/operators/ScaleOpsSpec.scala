@@ -190,4 +190,59 @@ class ScaleOpsSpec extends SparkSuiteBase {
     assert(salted.keySet == direct.keySet)
     salted.foreach { case (k, v) => assert(math.abs(v - direct(k)) < 1e-6) }
   }
+
+  test("bloom-pruned join equals the plain join, multiset-exact") {
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_partkey").as("p_partkey"), col("l_quantity"))
+    val dim = Tables.part(spark, sfDir)
+      .filter(col("p_brand") === "Brand#4").select("p_partkey")
+    def multiset(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("p_partkey", "l_quantity").count()
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+        .toSet
+    val plain = li.join(dim, "p_partkey")
+    val bloomed = ScaleOps.bloomPrunedJoin(li, dim, "p_partkey")
+    assert(multiset(bloomed) == multiset(plain))
+    // and at a deliberately tiny m (heavy false positives) the exact
+    // join must still scrub every FP — correctness never rides the
+    // filter's accuracy
+    val fpHeavy = ScaleOps.bloomPrunedJoin(li, dim, "p_partkey", m = 64, k = 2)
+    assert(multiset(fpHeavy) == multiset(plain))
+  }
+
+  test("bloom prune really filters the fact side before the join") {
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_partkey").as("p_partkey"), col("l_quantity"))
+    val dim = Tables.part(spark, sfDir)
+      .filter(col("p_brand") === "Brand#4").select("p_partkey")
+    // the pruned fact row count sits between the true match count and
+    // the full fact count — i.e. the semi-joins actually dropped the
+    // bulk of the non-matching rows at the default m (FP rate << 1)
+    val (a, b) = graft.functions.PortableHash.laneCoeffs(4)
+    val p = graft.functions.PortableHash.P
+    val bits = Dedup.bloomEvalBits(
+      dim.select(col("p_partkey").cast("string").as("shingle")).distinct(),
+      1 << 20, 4)
+    val h = graft.functions.PortableHash.md5Long60(
+      col("p_partkey").cast("string")) % lit(p)
+    val pruned = (0 until 4).foldLeft(li.withColumn("__h", h)) {
+      case (df, i) =>
+        val bit = ((lit(a(i)) * col("__h") + lit(b(i))) % lit(p)) %
+          lit((1 << 20).toLong)
+        df.withColumn(s"__bit$i", bit)
+          .join(broadcast(bits.withColumnRenamed("bit", s"__bit$i")),
+            Seq(s"__bit$i"), "left_semi")
+          .drop(s"__bit$i")
+    }
+    val trueMatches = li.join(dim, "p_partkey").count()
+    val prunedCount = pruned.count()
+    assert(prunedCount >= trueMatches)
+    assert(prunedCount < li.count() / 2,
+      s"prune kept $prunedCount of ${li.count()} fact rows — filter inert?")
+    // plan shape: the prune is broadcast semi-joins, no extra exchange
+    // on the fact path before them
+    val plan = ScaleOps.bloomPrunedJoin(li, dim, "p_partkey")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), s"expected semi-join prune in:\n$plan")
+  }
 }
