@@ -2873,4 +2873,80 @@ object PipelineQueries extends QueryGroup {
         w = 8, zThreshold = 3.0)
       .orderBy(col("user_id"), col("event_id"))
   }
+
+  // R-19/R-21 fuzzy decontamination: the near-dup member of the q64/
+  // q97 family — flag train docs whose MINHASH-estimated Jaccard to
+  // any eval doc reaches 0.5 (the paraphrased-contamination check the
+  // published eval audits use). Same portable md5 lane family and
+  // banded cross-corpus join as q34; est = matches/32 is an exact
+  // dyadic in both engines, so the >= compare is bit-deterministic.
+  q("q122_decontaminate_fuzzy", {
+    val aList = laneCoeffs._1.mkString("[", ",", "]")
+    val bList = laneCoeffs._2.mkString("[", ",", "]")
+    s"""WITH $minhashShingleCtes,
+       |h AS (SELECT doc_id,
+       |        CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) % 2147483647 AS h0
+       |      FROM sh),
+       |lane AS (SELECT doc_id, i,
+       |           min(($aList[i+1] * h0 + $bList[i+1]) % 2147483647) AS v
+       |         FROM h CROSS JOIN (SELECT unnest(range(0, 32)) AS i)
+       |         GROUP BY 1, 2),
+       |sig AS (SELECT doc_id, list(v ORDER BY i) AS sig FROM lane GROUP BY 1),
+       |bd AS (SELECT doc_id, band,
+       |         array_to_string(sig[band*4+1 : band*4+4], ',') AS bh
+       |       FROM sig CROSS JOIN (SELECT unnest(range(0, 8)) AS band)),
+       |cand AS (SELECT DISTINCT t.doc_id AS tid, e.doc_id AS eid
+       |         FROM bd t JOIN bd e
+       |           ON t.band = e.band AND t.bh = e.bh
+       |          AND t.doc_id % 20 <> 0 AND e.doc_id % 20 = 0),
+       |sc AS (SELECT tid, eid,
+       |         len(list_filter(range(0, 32), i -> x.sig[i+1] = y.sig[i+1])) / 32.0
+       |           AS est
+       |       FROM cand JOIN sig x ON x.doc_id = tid
+       |                 JOIN sig y ON y.doc_id = eid),
+       |hit AS (SELECT tid, count(*) AS n_eval_matches,
+       |          ${sqlRound("max(est)", 4)} AS max_est
+       |        FROM sc WHERE est >= 0.5 GROUP BY tid)
+       |SELECT d.doc_id, coalesce(hit.n_eval_matches, 0) AS n_eval_matches,
+       |  coalesce(hit.max_est, 0.0) AS max_est,
+       |  coalesce(hit.n_eval_matches, 0) > 0 AS contaminated
+       |FROM documents d LEFT JOIN hit ON hit.tid = d.doc_id
+       |WHERE d.doc_id % 20 <> 0
+       |ORDER BY d.doc_id""".stripMargin
+  }) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    Dedup.decontaminateFuzzy(
+        docs.filter(pmod(col("doc_id"), lit(20)) =!= 0),
+        docs.filter(pmod(col("doc_id"), lit(20)) === 0),
+        "doc_id", "text", shingleN = 3, numHashes = 32, bands = 8,
+        estThreshold = 0.5, portable = true)
+      .select(col("doc_id"), col("n_eval_matches"),
+        pround(col("max_est"), 4).as("max_est"), col("contaminated"))
+      .orderBy(col("doc_id"))
+  }
+
+  // R-29 weighted export: deterministic multinomial draws ∝ n_chars
+  // (Curation.multinomialSample) — inverse-CDF over EXACT int64
+  // cumulative weights, draw positions md5-derived, no float
+  // anywhere. The prefix sum is the range-partitioned ScaleOps
+  // machinery; the 64-draw frame broadcasts into the containment
+  // join.
+  q("q123_multinomial_sample",
+    """WITH w AS (SELECT doc_id, n_chars AS w FROM documents
+      |           WHERE doc_id IS NOT NULL),
+      |p AS (SELECT doc_id, w,
+      |        coalesce(sum(w) OVER (ORDER BY doc_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS g
+      |      FROM w),
+      |tot AS (SELECT sum(w) AS tw FROM w),
+      |dr AS (SELECT j AS draw,
+      |         CAST('0x' || substr(md5('draw:' || j), 1, 15) AS BIGINT) % tw
+      |           AS u
+      |       FROM (SELECT unnest(range(0, 64)) AS j) CROSS JOIN tot)
+      |SELECT draw, doc_id, u FROM dr JOIN p ON u >= g AND u < g + w
+      |ORDER BY draw""".stripMargin) { (s, d) =>
+    Curation.multinomialSample(
+        Tables.documents(s, d), "doc_id", "n_chars", draws = 64)
+      .orderBy(col("draw"))
+  }
 }

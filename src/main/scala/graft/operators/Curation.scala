@@ -343,4 +343,54 @@ object Curation {
       sum(col("contaminated").cast("long")).as("n_contaminated"),
       sum((!col("keep_dedup")).cast("long")).as("n_dup_dropped"),
       countDistinct(col("cluster")).as("n_clusters"))
+
+  /** Deterministic MULTINOMIAL sampling with replacement, probability
+    * ∝ an integer weight column (size-proportional document draws —
+    * the "sample epochs by token count" step; the WITHOUT-replacement
+    * ∝-weight complement is [[Importance.gumbelTopK]]). Inverse-CDF
+    * over EXACT integer cumulative weights: doc i owns the interval
+    * [g_i, g_i + w_i) of [0, W); draw j lands at u_j = md5₆₀("draw:j")
+    * mod W. Every quantity is int64 — no float anywhere — so the
+    * assignment is bit-deterministic across engines, re-runs and
+    * partitionings (and the q123 oracle replays it exactly).
+    *
+    * Scale shape: one range-partitioned prefix sum
+    * ([[ScaleOps.prefixSumByRange]] — never a single-task window),
+    * one exact total (one long to the driver), and the draw frame —
+    * `draws` rows — broadcast into an interval-containment join
+    * (BroadcastNestedLoopJoin: each corpus row evaluates `draws`
+    * comparisons; fine to ~10⁴ draws. Beyond that, route each draw to
+    * its range partition by binary-searching the collected partition
+    * offsets and equi-join on the partition id — same frame, no new
+    * machinery). Zero-weight docs own an empty interval and are never
+    * drawn; weights must be non-negative (checked).
+    *
+    * Output: (draw, idCol, u) — one row per draw, `draw` = 0-based
+    * draw index.
+    */
+  def multinomialSample(
+      docs: DataFrame,
+      idCol: String,
+      weightCol: String,
+      draws: Int): DataFrame = {
+    require(draws > 0, "draws must be positive")
+    val keyed = docs.filter(col(idCol).isNotNull)
+      .select(col(idCol), col(weightCol).cast("long").as("__w"))
+    val neg = keyed.filter(col("__w") < 0).limit(1).count()
+    require(neg == 0, s"$weightCol must be non-negative")
+    val prefixed = ScaleOps.prefixSumByRange(keyed, Seq(idCol), col("__w"), "__g")
+    val totRow = keyed.agg(sum(col("__w"))).collect()(0)
+    require(!totRow.isNullAt(0) && totRow.getLong(0) > 0,
+      "multinomialSample needs positive total weight")
+    val total = totRow.getLong(0)
+    val spark = docs.sparkSession
+    val drawFrame = spark.range(draws.toLong)
+      .select(col("id").as("draw"),
+        (graft.functions.PortableHash.md5Long60(
+          concat(lit("draw:"), col("id").cast("string"))) % lit(total))
+          .as("u"))
+    prefixed.join(broadcast(drawFrame),
+        col("u") >= col("__g") && col("u") < col("__g") + col("__w"))
+      .select(col("draw"), col(idCol), col("u"))
+  }
 }

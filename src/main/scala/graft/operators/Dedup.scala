@@ -778,6 +778,74 @@ object Dedup {
       .withColumn("contaminated", col("n_overlap") >= minOverlap)
   }
 
+  /** FUZZY decontamination — the near-duplicate member of the
+    * decontamination family (q64 = exact shingle overlap, q97 = Bloom
+    * overlap at fixed size; this = MinHash-estimated Jaccard):
+    * flag train documents whose estimated Jaccard similarity to ANY
+    * eval document reaches `estThreshold`. Exact-overlap checks miss
+    * the paraphrased/lightly-edited contamination the published eval
+    * audits target (GPT-3 App. C, PaLM §8, Llama-2 App. A.6 all use
+    * n-gram/near-dup contamination checks); this is that check as one
+    * operator.
+    *
+    * Mechanics are [[minhashLshPairs]]'s with a CROSS-CORPUS banded
+    * join: both sides get the same `numHashes`-lane signature family
+    * (same [[graft.functions.PortableHash]] coefficients, so
+    * estimates are comparable), candidates come from band-bucket
+    * equality — eval-side state is |eval|·bands rows however large
+    * the train corpus — and candidates score inside the join stage
+    * via the codegen'd sig_overlap, dying pipelined when under
+    * threshold. Per train doc: `n_eval_matches` (distinct eval docs
+    * at/over threshold) and `max_est`.
+    *
+    * Output: every train row with (idCol, n_eval_matches, max_est,
+    * contaminated). `portable = true` swaps in the md5 lane family
+    * the DuckDB oracle replays bit-for-bit (q122).
+    */
+  def decontaminateFuzzy(
+      train: DataFrame,
+      eval: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int,
+      numHashes: Int,
+      bands: Int,
+      estThreshold: Double,
+      portable: Boolean = false): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val bandKey: Column => Column =
+      if (portable) sliced => concat_ws(",", transform(sliced, _.cast("string")))
+      else sliced => xxhash64(sliced)
+    def banded(df: DataFrame) =
+      minhashSignatures(df, idCol, textCol, shingleN, numHashes, portable)
+        .select(col("doc"), col("sig"),
+          explode(transform(sequence(lit(0), lit(bands - 1)),
+            b => struct(b.as("band"),
+              bandKey(slice(col("sig"), b * rows + 1, lit(rows))).as("bh"))))
+            .as("bb"))
+        .select(col("doc"), col("sig"),
+          col("bb.band").as("band"), col("bb.bh").as("bh"))
+    val t = banded(train).alias("t")
+    val e = banded(eval).alias("e")
+    val hits = t.join(e,
+        col("t.band") === col("e.band") && col("t.bh") === col("e.bh"))
+      .select(col("t.doc").as("__doc"), col("e.doc").as("__eval"),
+        graft.plans.SigOverlap.sigOverlap(train.sparkSession,
+          col("t.sig"), col("e.sig")).as("est"))
+      .filter(col("est") >= estThreshold)
+      // a (train, eval) pair surfaces once per shared band — collapse
+      // to the pair before counting distinct eval matches
+      .distinct()
+      .groupBy(col("__doc"))
+      .agg(count(lit(1)).as("n_eval_matches"), max(col("est")).as("max_est"))
+    train.join(hits, train(idCol) === hits("__doc"), "left")
+      .drop("__doc")
+      .withColumn("n_eval_matches", coalesce(col("n_eval_matches"), lit(0L)))
+      .withColumn("max_est", coalesce(col("max_est"), lit(0.0)))
+      .withColumn("contaminated", col("n_eval_matches") > 0)
+  }
+
   /** EXACT SUBSTRING dedup (Lee et al. 2021, arXiv:2107.06499
     * `ExactSubstr`): find the token spans REPEATED ACROSS documents —
     * the published complement to document-level MinHash, targeting

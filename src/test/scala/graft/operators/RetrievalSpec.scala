@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuiteBase
+
+/** RRF fusion must compute the textbook reciprocal-rank sum exactly,
+  * favor cross-list consensus, and stay deterministic under ties.
+  */
+class RetrievalSpec extends SparkSuiteBase {
+
+  import spark.implicits._
+
+  test("rrf score is the exact reciprocal-rank sum") {
+    val a = Seq((1L, 1), (2L, 2), (3L, 3)).toDF("id", "rank")
+    val b = Seq((2L, 1), (4L, 2)).toDF("id", "rank")
+    val out = Retrieval.rrfFuse(Seq(a, b), "id", topK = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    assert(out(1L) == r6(1.0 / 61))
+    assert(out(2L) == r6(1.0 / 62 + 1.0 / 61))
+    assert(out(3L) == r6(1.0 / 63))
+    assert(out(4L) == r6(1.0 / 62))
+  }
+
+  test("consensus beats a single strong rank (the RRF property)") {
+    // doc 10 is rank 3 in BOTH lists; doc 20 is rank 1 in one only:
+    // 2/63 > 1/61 — presence in both lists wins
+    val a = Seq((20L, 1), (30L, 2), (10L, 3)).toDF("id", "rank")
+    val b = Seq((40L, 1), (50L, 2), (10L, 3)).toDF("id", "rank")
+    val top = Retrieval.rrfFuse(Seq(a, b), "id", topK = 1)
+      .collect().map(_.getLong(0))
+    assert(top.toSeq == Seq(10L))
+  }
+
+  test("ties break by id and topK truncates after the full ordering") {
+    // two docs with identical single-list ranks → identical scores →
+    // smaller id first
+    val a = Seq((9L, 1), (3L, 2)).toDF("id", "rank")
+    val b = Seq((5L, 1), (7L, 2)).toDF("id", "rank")
+    val out = Retrieval.rrfFuse(Seq(a, b), "id", topK = 4)
+      .collect().map(_.getLong(0)).toSeq
+    assert(out == Seq(5L, 9L, 3L, 7L), s"tie order wrong: $out")
+    val top2 = Retrieval.rrfFuse(Seq(a, b), "id", topK = 2)
+      .collect().map(_.getLong(0)).toSeq
+    assert(top2 == Seq(5L, 9L))
+  }
+
+  test("withRank ranks a scored list with the (score desc, id) tie-break") {
+    val scored = Seq((1L, 0.5), (2L, 0.9), (3L, 0.5)).toDF("id", "score")
+    val ranked = Retrieval.withRank(scored, "id", "score")
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(ranked == Map(2L -> 1, 1L -> 2, 3L -> 3))
+  }
+
+  test("fusing three lists keeps the fixed-order sum deterministic") {
+    val lists = Seq(
+      Seq((1L, 1), (2L, 2)).toDF("id", "rank"),
+      Seq((2L, 1), (3L, 2)).toDF("id", "rank"),
+      Seq((3L, 1), (1L, 2)).toDF("id", "rank"))
+    val once = Retrieval.rrfFuse(lists, "id", topK = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val again = Retrieval.rrfFuse(lists.map(_.repartition(5)), "id", topK = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(once == again)
+    // every doc appears in exactly two lists at ranks {1,2} → all tie
+    // → id order
+    assert(once.map(_._1) == Seq(1L, 2L, 3L))
+  }
+}

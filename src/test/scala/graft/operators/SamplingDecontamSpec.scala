@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuiteBase
+
+/** Round-12 curation additions: multinomial weighted draws must honor
+  * exact integer intervals, and fuzzy decontamination must catch the
+  * paraphrased near-dup the exact checks miss.
+  */
+class SamplingDecontamSpec extends SparkSuiteBase {
+
+  import spark.implicits._
+
+  test("multinomial draws partition [0, W): every draw hits exactly one doc") {
+    val docs = Seq((1L, 10L), (2L, 0L), (3L, 5L), (4L, 85L))
+      .toDF("doc_id", "n_chars")
+    val out = Curation.multinomialSample(docs, "doc_id", "n_chars", draws = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.length == 50, "one row per draw, always")
+    assert(out.map(_._1).distinct.length == 50)
+    // zero-weight doc owns an empty interval — never drawn
+    assert(!out.exists(_._2 == 2L))
+    // the interval containment is exact: u < 10 → doc 1, 10 <= u < 15
+    // → doc 3, 15 <= u → doc 4
+    out.foreach { case (_, doc, u) =>
+      val expect = if (u < 10) 1L else if (u < 15) 3L else 4L
+      assert(doc == expect, s"draw at u=$u landed on $doc, want $expect")
+    }
+    // heavy doc dominates roughly proportionally (85% of mass)
+    val heavy = out.count(_._2 == 4L)
+    assert(heavy > 30, s"85%-weight doc drew only $heavy/50")
+  }
+
+  test("multinomial sampling is deterministic and rejects negative weights") {
+    val docs = Seq((1L, 7L), (2L, 3L)).toDF("doc_id", "n_chars")
+    val a = Curation.multinomialSample(docs, "doc_id", "n_chars", 20)
+      .orderBy("draw").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val b = Curation.multinomialSample(docs.repartition(5), "doc_id",
+      "n_chars", 20).orderBy("draw").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(a.toSeq == b.toSeq)
+    val neg = Seq((1L, -5L)).toDF("doc_id", "n_chars")
+    intercept[IllegalArgumentException] {
+      Curation.multinomialSample(neg, "doc_id", "n_chars", 1)
+    }
+  }
+
+  test("fuzzy decontamination flags the paraphrase the exact check misses") {
+    val evalDoc =
+      "the quick brown fox jumps over the lazy dog near the quiet river bank today"
+    // paraphrase: one token changed — shingle overlap is high but the
+    // doc is NOT an exact eval member
+    val paraphrase =
+      "the quick brown fox leaps over the lazy dog near the quiet river bank today"
+    val unrelated =
+      "completely different text about spark joins and stream processing engines"
+    val train = Seq((100L, paraphrase), (101L, unrelated))
+      .toDF("doc_id", "text")
+    val eval = Seq((1L, evalDoc)).toDF("doc_id", "text")
+    val out = Dedup.decontaminateFuzzy(train, eval, "doc_id", "text",
+        shingleN = 3, numHashes = 32, bands = 8, estThreshold = 0.5)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(2), r.getDouble(3), r.getBoolean(4))).toMap
+    assert(out(100L)._3, s"paraphrase must flag: ${out(100L)}")
+    assert(out(100L)._2 > 0.5 && out(100L)._2 < 1.0,
+      s"paraphrase est should be high but below 1: ${out(100L)}")
+    assert(!out(101L)._3, s"unrelated doc must not flag: ${out(101L)}")
+    // an exact copy estimates 1.0
+    val exact = Dedup.decontaminateFuzzy(
+        Seq((200L, evalDoc)).toDF("doc_id", "text"), eval,
+        "doc_id", "text", 3, 32, 8, 0.5)
+      .collect()(0)
+    assert(exact.getDouble(3) == 1.0 && exact.getBoolean(4))
+  }
+
+  test("fuzzy decontamination returns every train row; identical shingle sets hit 1.0 in both families") {
+    val docs = graft.Tables.documents(spark, sfDir)
+    val train = docs.filter(pmod(col("doc_id"), lit(20)) =!= 0)
+    val eval = docs.filter(pmod(col("doc_id"), lit(20)) === 0)
+    val fast = Dedup.decontaminateFuzzy(train, eval, "doc_id", "text",
+      3, 32, 8, 0.5)
+    assert(fast.count() == train.count())
+    // IDENTICAL shingle sets guarantee est 1.0 under ANY hash family
+    // (the reverse is not true — a 1.0 estimate is still an estimate,
+    // and which near-identical pairs saturate all 32 lanes is
+    // family-dependent). Plant an exact eval copy and check both
+    // families agree on it.
+    val evalText = eval.select("text").head().getString(0)
+    val planted = train.select("doc_id", "text")
+      .union(Seq((999999L, evalText)).toDF("doc_id", "text"))
+    Seq(false, true).foreach { portable =>
+      val r = Dedup.decontaminateFuzzy(planted, eval, "doc_id", "text",
+          3, 32, 8, 0.5, portable)
+        .filter(col("doc_id") === 999999L).collect()(0)
+      assert(r.getDouble(3) == 1.0 && r.getBoolean(4),
+        s"portable=$portable must flag the exact copy at 1.0, got $r")
+    }
+  }
+}

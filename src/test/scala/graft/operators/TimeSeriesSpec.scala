@@ -34,6 +34,51 @@ class TimeSeriesSpec extends SparkSuiteBase {
     assert(top.toSeq == Seq((1, 11L, 1.0)))
   }
 
+  test("rolling z-score flags a planted spike, and only the spike") {
+    // flat-ish baseline with small wiggle, then a huge spike at
+    // position 12 (0-based): its 8 trailing values are the baseline,
+    // so |z| blows past 3; every baseline point stays under
+    val base = Seq(5.0, 5.2, 4.8, 5.1, 4.9, 5.0, 5.3, 4.7, 5.0, 5.1, 4.9, 5.0)
+    val vals = base ++ Seq(50.0) ++ Seq(5.0, 5.1)
+    val df = series(7L, vals).toDF("user_id", "ts", "event_id", "value")
+    val out = TimeSeries.rollingZScore(df, "user_id", "ts", "event_id",
+      "value", w = 8, zThreshold = 3.0).collect()
+    val flagged = out.filter(_.getBoolean(4)).map(_.getLong(1)).toSeq
+    assert(flagged == Seq(7L * 1000 + 12),
+      s"exactly the spike must flag, got $flagged")
+    // causality: the spike's own z uses only PRECEDING values, so its
+    // z is large positive; the points after it (spike now inside their
+    // trailing window) must not flag
+    val zs = out.map(r => r.getLong(1) -> r.getDouble(3)).toMap
+    assert(zs(7L * 1000 + 12) > 10)
+  }
+
+  test("rolling z-score excludes short-window and zero-variance points") {
+    // first w points have no full trailing window; a constant prefix
+    // yields zero variance — both must be absent, not NaN/Inf
+    val vals = Seq.fill(10)(3.0) ++ Seq(4.0, 5.0)
+    val df = series(8L, vals).toDF("user_id", "ts", "event_id", "value")
+    val out = TimeSeries.rollingZScore(df, "user_id", "ts", "event_id",
+      "value", w = 8, zThreshold = 3.0).collect()
+    // points 0..7: no full window; points 8, 9, 10: constant trailing
+    // window (variance 0); point 11: window {3.0 x 7, 4.0} has variance
+    assert(out.map(_.getLong(1)).toSeq == Seq(8L * 1000 + 11))
+    assert(!out.exists(r => r.getDouble(3).isNaN || r.getDouble(3).isInfinite))
+  }
+
+  test("rolling z-score is per-key: one key's spike never leaks into another's") {
+    val calm = series(10L, Seq.fill(12)(5.0) ++ Seq(5.1))
+    val spiky = series(11L, Seq(5.0, 5.2, 4.8, 5.1, 4.9, 5.0, 5.3, 4.7,
+      5.0, 100.0))
+    val df = (calm ++ spiky).toDF("user_id", "ts", "event_id", "value")
+    val out = TimeSeries.rollingZScore(df, "user_id", "ts", "event_id",
+      "value", w = 8, zThreshold = 3.0).collect()
+    val byKey = out.groupBy(_.getLong(0))
+    assert(!byKey.getOrElse(10L, Array()).exists(_.getBoolean(4)))
+    assert(byKey(11L).filter(_.getBoolean(4)).map(_.getLong(1)).toSeq ==
+      Seq(11L * 1000 + 9))
+  }
+
   test("a descending ramp anti-correlates at -1") {
     val vals = Seq(9.0, 1.0, 7.0) ++ ramp.reverse ++ Seq(3.0)
     val df = series(2L, vals).toDF("user_id", "ts", "event_id", "value")
