@@ -349,4 +349,48 @@ class PlanSpec extends SparkSuiteBase {
     assert(p.contains("w#") && (p.contains("IN (") || p.contains("INSET")),
       s"query-token filter must precede the shuffle:\n$p")
   }
+
+  test("DSIR ratio model broadcasts into the scoring join; resample is TakeOrdered (q117/q118)") {
+    val p = plan("q117_dsir_weights")
+    // the CORPUS-side join (doc buckets x ratio table) must broadcast;
+    // the model-internal tc/rc full-outer join may sort-merge — Spark
+    // cannot broadcast full-outer, and both inputs are <= buckets rows
+    // by construction, so that SMJ is bounded whatever the corpus
+    assert("BroadcastHashJoin.*LeftOuter".r.findFirstIn(p).isDefined,
+      s"<=512-row ratio table must broadcast into the scoring join:\n$p")
+    val p2 = plan("q118_dsir_resample")
+    assert(p2.contains("TakeOrderedAndProject"),
+      s"gumbel top-k must not globally sort:\n$p2")
+  }
+
+  test("bloom prune: semi-joins broadcast, no exchange under the prune (q119)") {
+    val p = plan("q119_bloom_join")
+    assert(p.contains("LeftSemi"), s"prune semis missing:\n$p")
+    assert("BroadcastHashJoin.*LeftSemi".r.findFirstIn(p).isDefined,
+      s"prune must ride broadcasts:\n$p")
+  }
+
+  test("RRF fusion never touches the corpus: list-sized joins only (q120)") {
+    val p = plan("q120_hybrid_rrf")
+    // the fused frame is two top-100 lists — the final fusion join
+    // must be broadcast-sized, and the output a 20-row TakeOrdered
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("rolling z-score is one key shuffle, window + codegen only (q121)") {
+    val p = plan("q121_rolling_anomaly")
+    assert(p.contains("Window "), p)
+    assert(!p.contains("Join"), s"no join belongs in a lag chain:\n$p")
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashExchanges == 1,
+      s"expected exactly 1 key shuffle, got $hashExchanges:\n$p")
+  }
+
+  test("multinomial draws broadcast into the containment join (q123)") {
+    val p = plan("q123_multinomial_sample")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"the 64-draw frame must broadcast (interval predicate):\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"containment join must not plan a cartesian:\n$p")
+  }
 }

@@ -523,4 +523,50 @@ class StreamingSemanticsSpec extends SparkSuiteBase {
       s"unmatched lead must emit null-extended after eviction, got ${rows()}")
     q.stop()
   }
+
+  test("streaming rolling z-score equals the q121 batch operator, any batch split") {
+    import graft.streaming.StreamingAnomaly
+    // two keys, a planted spike each at different positions; values
+    // with genuine variance so z is well-defined
+    def pts(key: Long, vals: Seq[Double]): Seq[StreamingAnomaly.Point] =
+      vals.zipWithIndex.map { case (v, i) =>
+        StreamingAnomaly.Point(key, 1700000000000L + i * 1000L,
+          key * 1000 + i, v)
+      }
+    val k1 = pts(1L, Seq(5.0, 5.2, 4.8, 5.1, 4.9, 5.0, 5.3, 4.7, 5.0,
+      5.1, 60.0, 5.0, 4.9))
+    val k2 = pts(2L, Seq(1.0, 1.1, 0.9, 1.0, 1.05, 0.95, 1.0, 1.1, 0.9,
+      25.0, 1.0))
+    val all = k1 ++ k2
+
+    // batch reference: TimeSeries.rollingZScore over the same rows
+    val batchDf = all.map(p =>
+        (p.key, new Timestamp(p.tsMs), p.id, p.value))
+      .toDF("user_id", "ts", "event_id", "value")
+    val batch = graft.operators.TimeSeries.rollingZScore(
+        batchDf, "user_id", "ts", "event_id", "value", w = 8,
+        zThreshold = 3.0)
+      .collect()
+      .map(r => (r.getLong(1), r.getDouble(3), r.getBoolean(4))).toSet
+
+    // streaming: same points over THREE uneven micro-batches,
+    // per-key time-ordered across batches per the contract
+    val ms = MemoryStream[StreamingAnomaly.Point](spark, 1)
+    implicit val s = spark
+    val q = StreamingAnomaly.scores(ms.toDS(), w = 8, zThreshold = 3.0)
+      .writeStream.format("memory").queryName("zstream")
+      .outputMode("append").start()
+    Seq(all.take(5), all.slice(5, 16), all.drop(16)).foreach { b =>
+      ms.addData(b: _*)
+      q.processAllAvailable()
+    }
+    val streamed = spark.table("zstream").collect()
+      .map(r => (r.getLong(1), r.getDouble(3), r.getBoolean(4))).toSet
+    q.stop()
+    assert(streamed == batch,
+      s"stream != batch:\nonly-stream=${streamed -- batch}\nonly-batch=${batch -- streamed}")
+    // and the spikes really flagged
+    assert(batch.exists { case (id, _, a) => id == 1010L && a })
+    assert(batch.exists { case (id, _, a) => id == 2009L && a })
+  }
 }
