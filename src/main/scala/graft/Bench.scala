@@ -68,7 +68,14 @@ object Bench {
     "q109_zorder_layout" -> 0.40, "q110_random_projection" -> 0.34,
     "q111_pagerank" -> 1.53, "q112_skew_agg" -> 0.40,
     "q113_histogram_quantiles" -> 0.54, "q114_hll_distinct" -> 0.75,
-    "q115_bm25" -> 1.35, "q116_incremental_chunk_dedup" -> 1.67)
+    "q115_bm25" -> 1.35, "q116_incremental_chunk_dedup" -> 1.67,
+    // round-12 additions, quiet-box mins at sf0.1 (comparator
+    // 0.42/0.23; 3 reps). q119 measured after the xxhash64 lane
+    // switch (the md5 first cut read 2.80 — digest cost, not plan)
+    "q117_dsir_weights" -> 1.50, "q118_dsir_resample" -> 1.35,
+    "q119_bloom_join" -> 0.77, "q120_hybrid_rrf" -> 0.97,
+    "q121_rolling_anomaly" -> 0.44, "q122_decontaminate_fuzzy" -> 1.04,
+    "q123_multinomial_sample" -> 0.61)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

