@@ -75,7 +75,13 @@ object Bench {
     "q117_dsir_weights" -> 1.50, "q118_dsir_resample" -> 1.35,
     "q119_bloom_join" -> 0.77, "q120_hybrid_rrf" -> 0.97,
     "q121_rolling_anomaly" -> 0.44, "q122_decontaminate_fuzzy" -> 1.04,
-    "q123_multinomial_sample" -> 0.61)
+    "q123_multinomial_sample" -> 0.61,
+    // q126 runs alphabetically before q33 but its reps reuse the
+    // stage the first rep built (only q33 resets it), so the min is
+    // the warm triangle join over staged pairs — the incremental
+    // cost, same convention as q62
+    "q124_event_funnel" -> 0.92, "q125_cohort_retention" -> 0.50,
+    "q126_triangle_count" -> 0.34)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -2949,4 +2949,83 @@ object PipelineQueries extends QueryGroup {
         Tables.documents(s, d), "doc_id", "n_chars", draws = 64)
       .orderBy(col("draw"))
   }
+
+  // Behavior analytics: windowed event funnel (ClickHouse
+  // windowFunnel's greedy semantics) — view → click → purchase, each
+  // step the EARLIEST matching event at/after the previous, within
+  // 24h of it. The engine chains as-of ceil joins (one key shuffle
+  // per step, no range-join blowup); the oracle replays each step as
+  // a min-over-join. All time math in integer epoch-ms.
+  q("q124_event_funnel",
+    """WITH s0 AS (SELECT user_id, event_id, epoch_ms(ts) AS t0
+      |            FROM events WHERE event_type = 'view'),
+      |j1 AS (SELECT s0.user_id, s0.event_id, s0.t0, min(epoch_ms(c.ts)) AS t1
+      |       FROM s0 LEFT JOIN events c
+      |         ON c.user_id = s0.user_id AND c.event_type = 'click'
+      |        AND epoch_ms(c.ts) >= s0.t0
+      |       GROUP BY 1, 2, 3),
+      |j2 AS (SELECT j1.user_id, j1.event_id, j1.t0, j1.t1,
+      |         min(epoch_ms(p.ts)) AS t2
+      |       FROM j1 LEFT JOIN events p
+      |         ON p.user_id = j1.user_id AND p.event_type = 'purchase'
+      |        AND epoch_ms(p.ts) >= j1.t1
+      |       GROUP BY 1, 2, 3, 4),
+      |lv AS (SELECT user_id,
+      |         CASE WHEN t1 IS NOT NULL AND t1 - t0 <= 86400000
+      |              THEN CASE WHEN t2 IS NOT NULL AND t2 - t1 <= 86400000
+      |                   THEN 3 ELSE 2 END
+      |              ELSE 1 END AS lvl
+      |       FROM j2),
+      |mx AS (SELECT user_id, max(lvl) AS level FROM lv GROUP BY 1)
+      |SELECT level, count(*) AS n_users FROM mx
+      |GROUP BY level ORDER BY level""".stripMargin) { (s, d) =>
+    graft.operators.Behavior.eventFunnel(
+        Tables.events(s, d), "user_id", "ts", "event_type",
+        stages = Seq("view", "click", "purchase"), windowMs = 86400000L)
+      .orderBy(col("level"))
+  }
+
+  // Behavior analytics: cohort retention — users cohort by first-seen
+  // epoch day, activity bucketed by integer week offset. All integer
+  // day/week arithmetic, so the matrix is exact in both engines.
+  q("q125_cohort_retention",
+    """WITH dy AS (SELECT user_id,
+      |              CAST(floor(epoch_ms(ts) / 86400000.0) AS BIGINT) AS d
+      |            FROM events),
+      |ch AS (SELECT user_id, min(d) AS cohort_epoch_day FROM dy GROUP BY 1)
+      |SELECT cohort_epoch_day,
+      |  CAST(floor((d - cohort_epoch_day) / 7.0) AS BIGINT) AS week_offset,
+      |  count(DISTINCT dy.user_id) AS n_users
+      |FROM dy JOIN ch USING (user_id)
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+    graft.operators.Behavior.cohortRetention(Tables.events(s, d), "user_id", "ts")
+      .orderBy(col("cohort_epoch_day"), col("week_offset"))
+  }
+
+  // R-19 graph analytics: triangle count + global clustering
+  // coefficient over the staged near-dup pair graph — the oriented
+  // a<b<c join counts each triangle exactly once; wedges are the
+  // integer-exact degree sum. How cliquey the miner's output is.
+  q("q126_triangle_count",
+    s"""WITH $jaccardPairCtes,
+       |ed AS (SELECT DISTINCT least(id_a, id_b) AS a,
+       |         greatest(id_a, id_b) AS b
+       |       FROM pr WHERE id_a <> id_b),
+       |tr AS (SELECT count(*) AS n_triangles
+       |       FROM ed ab JOIN ed bc ON ab.b = bc.a
+       |            JOIN ed ac ON ac.a = ab.a AND ac.b = bc.b),
+       |dg AS (SELECT v, count(*) AS dv FROM (
+       |         SELECT a AS v FROM ed UNION ALL SELECT b FROM ed)
+       |       GROUP BY v),
+       |wg AS (SELECT CAST(coalesce(sum(dv * (dv - 1) / 2), 0) AS BIGINT)
+       |         AS n_wedges FROM dg)
+       |SELECT n_triangles, n_wedges,
+       |  CASE WHEN n_wedges > 0
+       |       THEN floor(3.0 * n_triangles / n_wedges * 1000000.0 + 0.5)
+       |              / 1000000.0
+       |       ELSE 0.0 END AS global_cc
+       |FROM tr CROSS JOIN wg""".stripMargin) { (s, d) =>
+    graft.operators.GraphOps.triangleStats(dedupStage(s, d).pairs,
+      "id_a", "id_b")
+  }
 }

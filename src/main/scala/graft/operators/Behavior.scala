@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** User-behavior analytics over the event stream (the classic
+  * product-analytics pair every OLAP engine grows: windowed funnels —
+  * ClickHouse `windowFunnel`'s greedy semantics — and cohort
+  * retention). Both are pure relational shapes with integer-ms/day
+  * arithmetic, so the DuckDB oracles replay them exactly.
+  */
+object Behavior {
+
+  /** Windowed event funnel: per user, the furthest stage reached
+    * where each stage's event is the EARLIEST event of that type at
+    * or after the previous matched event, and within `windowMs` of it
+    * (the published greedy `windowFunnel` matching — each step's
+    * window re-anchors on the previous matched event). Every stage-0
+    * event starts its own candidate chain; a user's level is the max
+    * over their chains.
+    *
+    * Implementation: stages chain through [[AsOfJoin.ceilJoin]]
+    * (union-tagged per-key window — ONE key shuffle per step, no
+    * range-join blowup), then one fold computes the chain level
+    * row-locally and a per-user max + histogram aggregate finish.
+    * Timestamps flatten to unix ms up front (the q17/q67 events
+    * convention, oracle twin `epoch_ms`).
+    *
+    * Output: (level, n_users) — n_users whose MAX level is exactly
+    * `level`, levels 1..stages.size; users with no stage-0 event are
+    * absent.
+    */
+  def eventFunnel(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      typeCol: String,
+      stages: Seq[String],
+      windowMs: Long): DataFrame = {
+    require(stages.size >= 2, "a funnel needs at least 2 stages")
+    require(windowMs > 0, "windowMs must be positive")
+    val ms = events.select(col(userCol),
+      unix_millis(col(tsCol)).as("__ms"), col(typeCol))
+    def stage(i: Int): DataFrame = ms
+      .filter(col(typeCol) === stages(i))
+      .select(col(userCol), col("__ms").as(s"__t$i"))
+    val chained = (1 until stages.size).foldLeft(stage(0)) { (cur, i) =>
+      AsOfJoin.ceilJoin(cur, stage(i), Seq(userCol),
+        probeTs = s"__t${i - 1}", buildTs = s"__t$i",
+        payload = Seq(s"__t$i"))
+    }
+    val lvl: Column = (1 until stages.size).foldLeft(lit(1)) { (acc, i) =>
+      when(acc === i && col(s"__t$i").isNotNull
+          && (col(s"__t$i") - col(s"__t${i - 1}")) <= windowMs, i + 1)
+        .otherwise(acc)
+    }
+    chained
+      .select(col(userCol), lvl.as("__lvl"))
+      .groupBy(col(userCol))
+      .agg(max(col("__lvl")).as("level"))
+      .groupBy(col("level"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
+  /** Cohort retention: users cohort by their FIRST-seen epoch day;
+    * each (cohort, later activity) pair lands in a week offset
+    * bucket. All arithmetic is integer epoch-day/week math (floor
+    * division on non-negative day deltas), so the matrix is exact
+    * and engine-portable. Output: (cohort_epoch_day, week_offset,
+    * n_users) — distinct users from the cohort active in that week.
+    *
+    * Scale shape: one (user)-keyed min aggregate, one broadcast-free
+    * equi-join back on the user key, one (cohort, offset) count
+    * distinct — the join and both aggregates share the user-key
+    * partitioning until the final small matrix.
+    */
+  def cohortRetention(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String): DataFrame = {
+    val days = events.select(col(userCol),
+      floor(unix_millis(col(tsCol)) / lit(86400000L)).cast("long").as("__d"))
+    val cohorts = days.groupBy(col(userCol))
+      .agg(min(col("__d")).as("cohort_epoch_day"))
+    days.join(cohorts, Seq(userCol))
+      .select(col(userCol), col("cohort_epoch_day"),
+        floor((col("__d") - col("cohort_epoch_day")) / lit(7L)).cast("long")
+          .as("week_offset"))
+      .groupBy(col("cohort_epoch_day"), col("week_offset"))
+      .agg(count_distinct(col(userCol)).as("n_users"))
+  }
+}

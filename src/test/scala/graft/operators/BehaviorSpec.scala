@@ -1,0 +1,96 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuiteBase
+
+/** Funnel chains must honor greedy earliest-next matching with
+  * per-step windows; cohorts must bucket by exact integer weeks;
+  * triangle stats must count planted structures exactly.
+  */
+class BehaviorSpec extends SparkSuiteBase {
+
+  import spark.implicits._
+
+  private def ev(u: Long, t: String, typ: String, id: Long) =
+    (id, Timestamp.valueOf(t), u, typ)
+
+  test("funnel levels: full chain, window-broken chain, missing stage") {
+    val events = Seq(
+      // user 1: full view->click->purchase inside the windows
+      ev(1, "2024-01-01 10:00:00", "view", 1),
+      ev(1, "2024-01-01 12:00:00", "click", 2),
+      ev(1, "2024-01-02 09:00:00", "purchase", 3),
+      // user 2: click arrives 25h after the view — level stays 1
+      ev(2, "2024-01-01 10:00:00", "view", 10),
+      ev(2, "2024-01-02 11:30:00", "click", 11),
+      // user 3: view+click but no purchase — level 2
+      ev(3, "2024-01-01 10:00:00", "view", 20),
+      ev(3, "2024-01-01 11:00:00", "click", 21),
+      // user 4: purchase BEFORE any view — the order matters, level 1
+      ev(4, "2024-01-01 08:00:00", "purchase", 30),
+      ev(4, "2024-01-01 10:00:00", "view", 31),
+      // user 5: no view at all — absent from the histogram
+      ev(5, "2024-01-01 10:00:00", "click", 40)
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val out = Behavior.eventFunnel(events, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"), windowMs = 86400000L)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(out == Map(1 -> 2L, 2 -> 1L, 3 -> 1L), s"got $out")
+  }
+
+  test("funnel is greedy: the EARLIEST next-stage event anchors the next window") {
+    // click A at +1h (greedy match), purchase at +26h from view but
+    // +25h from click A — outside click A's 24h window even though a
+    // later click B (+3h) would have reached it. Greedy semantics:
+    // level 2.
+    val events = Seq(
+      ev(1, "2024-01-01 00:00:00", "view", 1),
+      ev(1, "2024-01-01 01:00:00", "click", 2),
+      ev(1, "2024-01-01 03:00:00", "click", 3),
+      ev(1, "2024-01-02 02:00:00", "purchase", 4)
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val out = Behavior.eventFunnel(events, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"), windowMs = 86400000L)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(out == Map(2 -> 1L), s"greedy anchor must cap at level 2: $out")
+  }
+
+  test("cohort retention buckets by exact integer weeks from first sight") {
+    val events = Seq(
+      ev(1, "2024-01-01 10:00:00", "view", 1), // cohort day 19723
+      ev(1, "2024-01-05 10:00:00", "view", 2), // offset 0 (day 4)
+      ev(1, "2024-01-09 10:00:00", "view", 3), // offset 1 (day 8)
+      ev(2, "2024-01-03 10:00:00", "view", 10), // own cohort
+      ev(2, "2024-01-24 10:00:00", "view", 11) // offset 3 (day 21)
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val out = Behavior.cohortRetention(events, "user_id", "ts")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val c1 = Timestamp.valueOf("2024-01-01 10:00:00").getTime / 86400000L
+    val c2 = Timestamp.valueOf("2024-01-03 10:00:00").getTime / 86400000L
+    assert(out == Map((c1, 0L) -> 1L, (c1, 1L) -> 1L,
+      (c2, 0L) -> 1L, (c2, 3L) -> 1L), s"got $out")
+  }
+
+  test("triangle stats count a planted clique and wedge exactly") {
+    // K4 on {1,2,3,4} has 4 triangles and 12 wedges (4 nodes of
+    // degree 3: 4 * C(3,2)); a pendant node 5 on node 1 adds wedges
+    // (deg(1)=4 -> C(4,2)=6) but no triangle
+    val k4 = for { a <- 1L to 4L; b <- (a + 1) to 4L } yield (a, b)
+    val pairs = (k4 :+ ((1L, 5L))).toDF("id_a", "id_b")
+    val r = GraphOps.triangleStats(pairs, "id_a", "id_b").collect()(0)
+    assert(r.getLong(0) == 4, s"triangles: ${r.getLong(0)}")
+    // degrees: 1->4, 2->3, 3->3, 4->3, 5->1 => 6+3+3+3+0 = 15 wedges
+    assert(r.getLong(1) == 15, s"wedges: ${r.getLong(1)}")
+    assert(r.getDouble(2) == math.floor(3.0 * 4 / 15 * 1e6 + 0.5) / 1e6)
+    // orientation/dedup hardening: reversed + duplicate + self edges
+    // change nothing
+    val messy = pairs
+      .unionAll(Seq((2L, 1L), (1L, 2L), (3L, 3L)).toDF("id_a", "id_b"))
+    val r2 = GraphOps.triangleStats(messy, "id_a", "id_b").collect()(0)
+    assert(r2.getLong(0) == 4 && r2.getLong(1) == 15)
+  }
+}
