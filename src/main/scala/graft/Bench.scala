@@ -81,7 +81,10 @@ object Bench {
     // the warm triangle join over staged pairs — the incremental
     // cost, same convention as q62
     "q124_event_funnel" -> 0.92, "q125_cohort_retention" -> 0.50,
-    "q126_triangle_count" -> 0.34)
+    "q126_triangle_count" -> 0.34,
+    // q128 reuses the vocab q127's last rep trained — the encode
+    // increment (q78 convention)
+    "q127_wordpiece_vocab" -> 0.55, "q128_wordpiece_encode" -> 1.00)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -174,6 +177,10 @@ object Bench {
           PipelineQueries.resetBpe(spark, sfDir)
         if (name == "q78_bpe_encode")
           PipelineQueries.resetBpeEncoded(spark, sfDir)
+        // q127 owns the trained-WordPiece memo; q128 (alphabetically
+        // after) reuses it — its number is the encode increment
+        if (name == "q127_wordpiece_vocab")
+          PipelineQueries.resetWordPiece(spark, sfDir)
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()

@@ -3028,4 +3028,119 @@ object PipelineQueries extends QueryGroup {
     graft.operators.GraphOps.triangleStats(dedupStage(s, d).pairs,
       "id_a", "id_b")
   }
+
+  // ------------------------------------------- round 12, session 2
+  /** Trained WordPiece vocab per (session, dir) — q127 (train) owns
+    * it; q128 (encode) reuses it, so q128's bench number is the
+    * encode increment. Bench resets it before q127 reps.
+    */
+  private val wordpieceCache = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.SparkSession, String),
+    graft.operators.WordPiece.TrainedWordPiece]
+
+  private def wordpieceTrained(s: org.apache.spark.sql.SparkSession,
+      d: String): graft.operators.WordPiece.TrainedWordPiece = {
+    sweepDeadEntries(wordpieceCache)
+    wordpieceCache.computeIfAbsent((s, d), _ =>
+      graft.operators.WordPiece.train(Tables.documents(s, d), "text",
+        maxPieceLen = 8, minCount = 20L))
+  }
+
+  /** Drop the trained-WordPiece memo — Bench calls this before each
+    * q127 rep so q127 times the vocabulary build, not a memo read.
+    */
+  def resetWordPiece(s: org.apache.spark.sql.SparkSession, d: String): Unit = {
+    wordpieceCache.remove((s, d))
+    ()
+  }
+
+  /** Shared WordPiece CTEs: distinct-word counts, the (pos, l)
+    * substring occurrence table with `##`-marked pieces, the
+    * frequency vocabulary (min-count OR single-char fallback), and
+    * the longest-match table — the exact relational replay of
+    * [[graft.operators.WordPiece]].
+    */
+  private val wordpieceCtes: String =
+    s"""wpT AS (SELECT unnest($sqlTokens) AS word FROM documents),
+       |wpW AS (SELECT word, count(*) AS cnt FROM wpT GROUP BY word),
+       |wpP AS (SELECT word, cnt,
+       |          unnest(generate_series(1, length(word))) AS pos FROM wpW),
+       |wpOcc AS (SELECT word, cnt, pos,
+       |            unnest(generate_series(1,
+       |              least(8, length(word) - pos + 1))) AS l
+       |          FROM wpP),
+       |wpOcc2 AS (SELECT word, cnt, pos, l,
+       |             CASE WHEN pos = 1 THEN substr(word, pos, l)
+       |                  ELSE '##' || substr(word, pos, l) END AS piece
+       |           FROM wpOcc),
+       |wpVf AS (SELECT piece, CAST(sum(cnt) AS BIGINT) AS freq
+       |         FROM wpOcc2 GROUP BY piece),
+       |wpVocab AS (SELECT piece, freq,
+       |              row_number() OVER (ORDER BY piece) - 1 AS id
+       |            FROM wpVf
+       |            WHERE freq >= 20 OR
+       |              (CASE WHEN piece LIKE '##%' THEN length(piece) = 3
+       |                    ELSE length(piece) = 1 END)),
+       |wpLm AS (SELECT o.word, o.pos, max(o.l) AS len
+       |         FROM wpOcc2 o JOIN wpVocab v USING (piece)
+       |         GROUP BY 1, 2)""".stripMargin
+
+  // R-21 tokenizer, the BERT family next to the q77–q79/q83 BPE
+  // (GPT family): WordPiece frequency vocabulary — every substring
+  // occurrence position-classed (## continuation marker), min-count
+  // filtered with the single-char fallback that makes greedy
+  // matching total on the training corpus.
+  q("q127_wordpiece_vocab",
+    s"""WITH $wordpieceCtes
+       |SELECT piece, id, freq FROM wpVocab ORDER BY id""".stripMargin) {
+    (s, d) =>
+      wordpieceTrained(s, d).vocab
+        .select(col("piece"), col("id"), col("freq"))
+        .orderBy(col("id"))
+  }
+
+  // WordPiece greedy longest-match-first encode: the engine runs the
+  // walk as a row-local bounded fold over the precomputed per-word
+  // longest-match map (distinct-word-sized work, corpus touched by
+  // two joins); the oracle replays it as an aggregate-free
+  // WITH RECURSIVE pointer chase over the SAME wpLm table. A word
+  // whose walk reaches length+1 is fully covered; anything else is
+  // the whole-word UNK (id -1) — unreachable when self-encoding the
+  // training corpus (single-char fallback), spec-covered for foreign
+  // text.
+  q("q128_wordpiece_encode",
+    s"""WITH RECURSIVE $wordpieceCtes,
+       |wpWalk AS (
+       |  SELECT word, 1 AS pos FROM wpW
+       |  UNION ALL
+       |  SELECT w.word, w.pos + lm.len
+       |  FROM wpWalk w JOIN wpLm lm ON lm.word = w.word AND lm.pos = w.pos
+       |  WHERE w.pos <= length(w.word)),
+       |wpPieces AS (SELECT w.word, w.pos,
+       |    CASE WHEN w.pos = 1 THEN substr(w.word, w.pos, lm.len)
+       |         ELSE '##' || substr(w.word, w.pos, lm.len) END AS piece
+       |  FROM wpWalk w JOIN wpLm lm ON lm.word = w.word AND lm.pos = w.pos),
+       |wpTerm AS (SELECT DISTINCT word FROM wpWalk
+       |           WHERE pos = length(word) + 1),
+       |wpIds AS (SELECT p.word, list(v.id ORDER BY p.pos) AS wids
+       |          FROM wpPieces p JOIN wpVocab v USING (piece)
+       |          WHERE p.word IN (SELECT word FROM wpTerm)
+       |          GROUP BY p.word
+       |          UNION ALL
+       |          SELECT word, [CAST(-1 AS BIGINT)] FROM wpW
+       |          WHERE word NOT IN (SELECT word FROM wpTerm)),
+       |dt AS (SELECT doc_id, unnest($sqlTokens) AS word,
+       |         generate_subscripts($sqlTokens, 1) AS wpos
+       |       FROM documents),
+       |enc AS (SELECT doc_id, flatten(list(wids ORDER BY wpos)) AS ids
+       |        FROM dt JOIN wpIds USING (word) GROUP BY doc_id)
+       |SELECT doc_id, CAST(len(ids) AS INTEGER) AS n_ids,
+       |  array_to_string(ids, ',') AS ids_csv
+       |FROM enc ORDER BY doc_id""".stripMargin) { (s, d) =>
+    graft.operators.WordPiece.encode(
+        Tables.documents(s, d), "doc_id", "text", wordpieceTrained(s, d))
+      .select(col("doc_id"), col("n_ids"),
+        array_join(col("ids"), ",").as("ids_csv"))
+      .orderBy(col("doc_id"))
+  }
 }
