@@ -3054,14 +3054,14 @@ object PipelineQueries extends QueryGroup {
     ()
   }
 
-  /** Shared WordPiece CTEs: distinct-word counts, the (pos, l)
-    * substring occurrence table with `##`-marked pieces, the
-    * frequency vocabulary (min-count OR single-char fallback), and
-    * the longest-match table — the exact relational replay of
-    * [[graft.operators.WordPiece]].
+  /** WordPiece TRAINING CTEs over `documents$where`: distinct-word
+    * counts, the (pos, l) substring occurrence table with `##`-marked
+    * pieces, and the frequency vocabulary (min-count OR single-char
+    * fallback) — the exact relational replay of
+    * [[graft.operators.WordPiece.train]].
     */
-  private val wordpieceCtes: String =
-    s"""wpT AS (SELECT unnest($sqlTokens) AS word FROM documents),
+  private def wpTrainCtes(where: String = ""): String =
+    s"""wpT AS (SELECT unnest($sqlTokens) AS word FROM documents$where),
        |wpW AS (SELECT word, count(*) AS cnt FROM wpT GROUP BY word),
        |wpP AS (SELECT word, cnt,
        |          unnest(generate_series(1, length(word))) AS pos FROM wpW),
@@ -3080,10 +3080,56 @@ object PipelineQueries extends QueryGroup {
        |            FROM wpVf
        |            WHERE freq >= 20 OR
        |              (CASE WHEN piece LIKE '##%' THEN length(piece) = 3
-       |                    ELSE length(piece) = 1 END)),
-       |wpLm AS (SELECT o.word, o.pos, max(o.l) AS len
-       |         FROM wpOcc2 o JOIN wpVocab v USING (piece)
-       |         GROUP BY 1, 2)""".stripMargin
+       |                    ELSE length(piece) = 1 END))""".stripMargin
+
+  /** WordPiece ENCODE CTEs over `documents$where` against the frozen
+    * `wpVocab`: the encode split's own candidate table, its
+    * longest-match table, the aggregate-free WITH RECURSIVE greedy
+    * walk, UNK routing, and per-doc reassembly — the replay of
+    * [[graft.operators.WordPiece.encode]]. The enclosing query must
+    * open with WITH RECURSIVE.
+    */
+  private def wpEncodeCtes(where: String = ""): String =
+    s"""weW AS (SELECT DISTINCT word
+       |        FROM (SELECT unnest($sqlTokens) AS word
+       |              FROM documents$where)),
+       |weP AS (SELECT word,
+       |          unnest(generate_series(1, length(word))) AS pos FROM weW),
+       |weOcc AS (SELECT word, pos,
+       |            unnest(generate_series(1,
+       |              least(8, length(word) - pos + 1))) AS l
+       |          FROM weP),
+       |weLm AS (SELECT o.word, o.pos, max(o.l) AS len
+       |         FROM (SELECT word, pos, l,
+       |                 CASE WHEN pos = 1 THEN substr(word, pos, l)
+       |                      ELSE '##' || substr(word, pos, l) END AS piece
+       |               FROM weOcc) o
+       |         JOIN wpVocab v USING (piece)
+       |         GROUP BY 1, 2),
+       |weWalk AS (
+       |  SELECT word, 1 AS pos FROM weW
+       |  UNION ALL
+       |  SELECT w.word, w.pos + lm.len
+       |  FROM weWalk w JOIN weLm lm ON lm.word = w.word AND lm.pos = w.pos
+       |  WHERE w.pos <= length(w.word)),
+       |wePieces AS (SELECT w.word, w.pos,
+       |    CASE WHEN w.pos = 1 THEN substr(w.word, w.pos, lm.len)
+       |         ELSE '##' || substr(w.word, w.pos, lm.len) END AS piece
+       |  FROM weWalk w JOIN weLm lm ON lm.word = w.word AND lm.pos = w.pos),
+       |weTerm AS (SELECT DISTINCT word FROM weWalk
+       |           WHERE pos = length(word) + 1),
+       |weIds AS (SELECT p.word, list(v.id ORDER BY p.pos) AS wids
+       |          FROM wePieces p JOIN wpVocab v USING (piece)
+       |          WHERE p.word IN (SELECT word FROM weTerm)
+       |          GROUP BY p.word
+       |          UNION ALL
+       |          SELECT word, [CAST(-1 AS BIGINT)] FROM weW
+       |          WHERE word NOT IN (SELECT word FROM weTerm)),
+       |dt AS (SELECT doc_id, unnest($sqlTokens) AS word,
+       |         generate_subscripts($sqlTokens, 1) AS wpos
+       |       FROM documents$where),
+       |enc AS (SELECT doc_id, flatten(list(wids ORDER BY wpos)) AS ids
+       |        FROM dt JOIN weIds USING (word) GROUP BY doc_id)""".stripMargin
 
   // R-21 tokenizer, the BERT family next to the q77–q79/q83 BPE
   // (GPT family): WordPiece frequency vocabulary — every substring
@@ -3091,7 +3137,7 @@ object PipelineQueries extends QueryGroup {
   // filtered with the single-char fallback that makes greedy
   // matching total on the training corpus.
   q("q127_wordpiece_vocab",
-    s"""WITH $wordpieceCtes
+    s"""WITH ${wpTrainCtes()}
        |SELECT piece, id, freq FROM wpVocab ORDER BY id""".stripMargin) {
     (s, d) =>
       wordpieceTrained(s, d).vocab
@@ -3109,37 +3155,53 @@ object PipelineQueries extends QueryGroup {
   // training corpus (single-char fallback), spec-covered for foreign
   // text.
   q("q128_wordpiece_encode",
-    s"""WITH RECURSIVE $wordpieceCtes,
-       |wpWalk AS (
-       |  SELECT word, 1 AS pos FROM wpW
-       |  UNION ALL
-       |  SELECT w.word, w.pos + lm.len
-       |  FROM wpWalk w JOIN wpLm lm ON lm.word = w.word AND lm.pos = w.pos
-       |  WHERE w.pos <= length(w.word)),
-       |wpPieces AS (SELECT w.word, w.pos,
-       |    CASE WHEN w.pos = 1 THEN substr(w.word, w.pos, lm.len)
-       |         ELSE '##' || substr(w.word, w.pos, lm.len) END AS piece
-       |  FROM wpWalk w JOIN wpLm lm ON lm.word = w.word AND lm.pos = w.pos),
-       |wpTerm AS (SELECT DISTINCT word FROM wpWalk
-       |           WHERE pos = length(word) + 1),
-       |wpIds AS (SELECT p.word, list(v.id ORDER BY p.pos) AS wids
-       |          FROM wpPieces p JOIN wpVocab v USING (piece)
-       |          WHERE p.word IN (SELECT word FROM wpTerm)
-       |          GROUP BY p.word
-       |          UNION ALL
-       |          SELECT word, [CAST(-1 AS BIGINT)] FROM wpW
-       |          WHERE word NOT IN (SELECT word FROM wpTerm)),
-       |dt AS (SELECT doc_id, unnest($sqlTokens) AS word,
-       |         generate_subscripts($sqlTokens, 1) AS wpos
-       |       FROM documents),
-       |enc AS (SELECT doc_id, flatten(list(wids ORDER BY wpos)) AS ids
-       |        FROM dt JOIN wpIds USING (word) GROUP BY doc_id)
+    s"""WITH RECURSIVE ${wpTrainCtes()},
+       |${wpEncodeCtes()}
        |SELECT doc_id, CAST(len(ids) AS INTEGER) AS n_ids,
        |  array_to_string(ids, ',') AS ids_csv
        |FROM enc ORDER BY doc_id""".stripMargin) { (s, d) =>
     graft.operators.WordPiece.encode(
         Tables.documents(s, d), "doc_id", "text", wordpieceTrained(s, d))
       .select(col("doc_id"), col("n_ids"),
+        array_join(col("ids"), ",").as("ids_csv"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Frozen WordPiece for q129: trained ONCE on the even-doc_id
+    * split, memoized per (session, dir) — each q129 run measures
+    * deployment's shape, encoding FOREIGN text with a frozen vocab
+    * (the q83 convention). Unseen characters at a class position make
+    * the greedy walk stick and the whole word goes to id −1.
+    */
+  private val wordpieceSplitCache = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.SparkSession, String),
+    graft.operators.WordPiece.TrainedWordPiece]
+
+  private def wordpieceSplitTrained(s: org.apache.spark.sql.SparkSession,
+      d: String): graft.operators.WordPiece.TrainedWordPiece = {
+    sweepDeadEntries(wordpieceSplitCache)
+    wordpieceSplitCache.computeIfAbsent((s, d), _ =>
+      graft.operators.WordPiece.train(
+        Tables.documents(s, d).filter(pmod(col("doc_id"), lit(2)) === 0),
+        "text", maxPieceLen = 8, minCount = 20L))
+  }
+
+  // The BERT-family q83: encode the ODD split with a vocab frozen on
+  // the EVEN split. The oracle's recursive walk takes the same UNK
+  // branch the engine's fold does, so the whole-word-UNK convention
+  // is oracle-gated here (q128's self-encode can never reach it).
+  q("q129_wordpiece_encode_oov",
+    s"""WITH RECURSIVE ${wpTrainCtes(" WHERE doc_id % 2 = 0")},
+       |${wpEncodeCtes(" WHERE doc_id % 2 <> 0")}
+       |SELECT doc_id, CAST(len(ids) AS INTEGER) AS n_ids,
+       |  CAST(len(list_filter(ids, x -> x = -1)) AS INTEGER) AS n_unk,
+       |  array_to_string(ids, ',') AS ids_csv
+       |FROM enc ORDER BY doc_id""".stripMargin) { (s, d) =>
+    graft.operators.WordPiece.encode(
+        Tables.documents(s, d).filter(pmod(col("doc_id"), lit(2)) =!= 0),
+        "doc_id", "text", wordpieceSplitTrained(s, d))
+      .select(col("doc_id"), col("n_ids"),
+        size(filter(col("ids"), _ === -1L)).as("n_unk"),
         array_join(col("ids"), ",").as("ids_csv"))
       .orderBy(col("doc_id"))
   }
