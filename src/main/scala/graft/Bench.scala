@@ -86,7 +86,7 @@ object Bench {
     // increment (q78 convention)
     "q127_wordpiece_vocab" -> 0.55, "q128_wordpiece_encode" -> 1.00,
     // q129 trains its frozen even-split vocab on first rep (memoized)
-    "q129_wordpiece_encode_oov" -> 0.93)
+    "q129_wordpiece_encode_oov" -> 0.93, "q130_sparse_knn" -> 0.89)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -3205,4 +3205,44 @@ object PipelineQueries extends QueryGroup {
         array_join(col("ids"), ",").as("ids_csv"))
       .orderBy(col("doc_id"))
   }
+
+  // R-20/R-21 sparse retrieval: TF-IDF doc-to-doc top-k over the
+  // shared-term inverted join — the sparse twin of q37's dense brute
+  // top-k (same probe/candidate split, same output shape). Terms
+  // with df > 100 leave the vector space entirely (weights AND
+  // norms — the hot-shingle cap discipline); terms are word 2-grams
+  // (the fixture's 31-word unigram vocabulary is all df >= 25 — a
+  // degenerate space; its 2-gram space has 900+ selective terms);
+  // idf follows the q51 ln(n/df) convention; cosines round at 6dp
+  // before ranking.
+  q("q130_sparse_knn",
+    s"""WITH tk130 AS (SELECT doc_id, $sqlTokens AS l FROM documents),
+       |t AS (SELECT doc_id,
+       |        unnest(list_transform(generate_series(1, len(l) - 1),
+       |          i -> l[i] || ' ' || l[i+1])) AS word
+       |      FROM tk130),
+       |tf AS (SELECT doc_id, word, count(*) AS tf FROM t GROUP BY 1, 2),
+       |df AS (SELECT word, count(DISTINCT doc_id) AS df FROM t
+       |       GROUP BY 1 HAVING count(DISTINCT doc_id) <= 100),
+       |n AS (SELECT count(*) AS n FROM documents),
+       |w AS (SELECT doc_id, word, tf * ln(n.n * 1.0 / df.df) AS w
+       |      FROM tf JOIN df USING (word) CROSS JOIN n),
+       |nrm AS (SELECT doc_id, sqrt(sum(w * w)) AS nr FROM w GROUP BY 1),
+       |dp AS (SELECT p.doc_id AS probe_id, c.doc_id AS neighbor_id,
+       |         sum(p.w * c.w) AS dp
+       |       FROM w p JOIN w c USING (word)
+       |       WHERE p.doc_id < 10 AND c.doc_id >= 10 GROUP BY 1, 2),
+       |cs AS (SELECT probe_id, neighbor_id,
+       |         floor(dp / (x.nr * y.nr) * 1000000.0 + 0.5) / 1000000.0 AS cos
+       |       FROM dp JOIN nrm x ON x.doc_id = probe_id
+       |            JOIN nrm y ON y.doc_id = neighbor_id),
+       |r AS (SELECT probe_id, neighbor_id, cos, row_number() OVER (
+       |        PARTITION BY probe_id ORDER BY cos DESC, neighbor_id) AS rnk
+       |      FROM cs)
+       |SELECT probe_id, rnk, neighbor_id, cos FROM r WHERE rnk <= 5
+       |ORDER BY probe_id, rnk""".stripMargin) { (s, d) =>
+    TextAnalysis.sparseTfIdfTopK(Tables.documents(s, d), "doc_id", "text",
+        probePred = col("doc") < 10, k = 5, dfCap = 100L, termN = 2)
+      .orderBy(col("probe_id"), col("rnk"))
+  }
 }

@@ -409,6 +409,75 @@ object TextAnalysis {
       .select(col("doc"), col("rn"), col("word"), col("score"))
   }
 
+  /** Sparse TF-IDF document-to-document top-k similarity — the
+    * INVERTED-INDEX retrieval path next to the dense ANN family
+    * (q36–q38/q98) and the literal-query BM25 (q115): "find the k
+    * most similar documents to each probe document" over tf·idf
+    * weighted cosine, candidates generated by the shared-term
+    * equi-join, never an all-pairs product.
+    *
+    * DF cap: terms held by more than `dfCap` documents are dropped
+    * from the vector space entirely (weights AND norms — the space
+    * stays consistent) — the hot-shingle discipline
+    * ([[Dedup.ngramJaccardPairs]]): a stop-word-grade term would
+    * contribute candidate fanout quadratic in its df while carrying
+    * near-zero idf weight. With the cap, per-term join fanout is
+    * ≤ dfCap·|probes ∩ term|.
+    *
+    * Scale shape: tf/df are map-side-combined aggregates; the probe
+    * side's weight rows BROADCAST into the term join (probes are a
+    * query set, not a corpus); the (probe, cand) partial dot products
+    * partial-aggregate before their shuffle. idf = ln(N/df) follows
+    * the q51 convention; cosines round at 6dp before ranking.
+    *
+    * Output: (probe_id, rnk, neighbor_id, cos) — probes = rows
+    * matching `probePred` (a predicate over the `doc` id column);
+    * candidates are all other documents.
+    */
+  def sparseTfIdfTopK(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      probePred: org.apache.spark.sql.Column,
+      k: Int,
+      dfCap: Long,
+      termN: Int = 1): DataFrame = {
+    require(k >= 1 && dfCap >= 1 && termN >= 1, "bad sparse-knn params")
+    val n = docs.count()
+    // termN > 1 swaps unigram terms for word n-grams — the selective
+    // choice when the unigram vocabulary is tiny/hot (the fixture has
+    // 31 words at df >= 25; its 2-gram space has 900+ terms)
+    val termExpr =
+      if (termN == 1) TextFns.tokens(col(textCol))
+      else TextFns.textShingles(col(textCol), termN)
+    val t = docs.select(col(idCol).as("doc"),
+      explode(termExpr).as("word"))
+    val tf = t.groupBy(col("doc"), col("word")).agg(count(lit(1)).as("tf"))
+    val df = t.groupBy(col("word"))
+      .agg(countDistinct(col("doc")).as("df"))
+      .filter(col("df") <= dfCap)
+    val w = tf.join(df, "word")
+      .select(col("doc"), col("word"),
+        (col("tf") * log(lit(n) * lit(1.0) / col("df"))).as("w"))
+    val nrm = w.groupBy(col("doc"))
+      .agg(sqrt(sum(col("w") * col("w"))).as("nr"))
+    val pw = broadcast(w.filter(probePred)
+      .select(col("doc").as("probe_id"), col("word"), col("w").as("wp")))
+    val cand = w.filter(!probePred)
+      .select(col("doc").as("neighbor_id"), col("word"), col("w").as("wc"))
+    val dots = cand.join(pw, "word")
+      .groupBy(col("probe_id"), col("neighbor_id"))
+      .agg(sum(col("wp") * col("wc")).as("dp"))
+    val cos = dots
+      .join(nrm.select(col("doc").as("probe_id"), col("nr").as("np")), "probe_id")
+      .join(nrm.select(col("doc").as("neighbor_id"), col("nr").as("nc")),
+        "neighbor_id")
+      .select(col("probe_id"), col("neighbor_id"),
+        (floor(col("dp") / (col("np") * col("nc")) * lit(1e6) + lit(0.5))
+          / lit(1e6)).as("cos"))
+    Similarity.ranked(cos, k)
+  }
+
   /** Corpus-trained language ID: build per-language profiles (top
     * `profileSize` terms by frequency), score each document by how
     * many of its distinct tokens hit each profile, pick the

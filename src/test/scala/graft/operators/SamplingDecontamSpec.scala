@@ -46,6 +46,31 @@ class SamplingDecontamSpec extends SparkSuiteBase {
     }
   }
 
+  test("sparse tf-idf knn: a planted near-copy ranks first; hot terms leave the space") {
+    val probe = "alpha beta gamma delta epsilon zeta eta theta"
+    val nearCopy = "alpha beta gamma delta epsilon zeta eta iota"
+    val unrelated = "one two three four five six seven eight"
+    // 'common common' bigram appears in every doc — at dfCap 3 it is
+    // dropped from weights AND norms, so it cannot inflate similarity
+    val docs = Seq(
+      (1L, probe + " common common"),
+      (10L, nearCopy + " common common"),
+      (11L, unrelated + " common common"),
+      (12L, "alpha beta nine ten eleven twelve thirteen fourteen common common")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.sparseTfIdfTopK(docs, "doc_id", "text",
+        probePred = col("doc") < 10, k = 3, dfCap = 3L, termN = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(out.head == ((1L, 1, 10L)),
+      s"near-copy must rank first: ${out.toSeq}")
+    // the all-common doc shares ONLY the capped bigram -> no candidate row
+    assert(!out.exists(_._3 == 11L), s"capped-term-only overlap must not pair: ${out.toSeq}")
+    // plan: the probe weight side broadcasts into the term join
+    val plan = TextAnalysis.sparseTfIdfTopK(docs, "doc_id", "text",
+      col("doc") < 10, 3, 3L, 2).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"probe side must broadcast:\n$plan")
+  }
+
   test("fuzzy decontamination flags the paraphrase the exact check misses") {
     val evalDoc =
       "the quick brown fox jumps over the lazy dog near the quiet river bank today"
