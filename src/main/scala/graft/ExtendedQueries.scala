@@ -415,4 +415,81 @@ object ExtendedQueries extends QueryGroup {
         lit("-partition-"), col("i").cast("string")))
       .orderBy(col("p_partkey"), col("i"))
   }
+
+  // ------------------------------------------------------ round 13
+  // CDC latest-wins upsert compaction: current state of each user
+  // from the append-only event log. The engine path is a hash
+  // AGGREGATE (max over a version-ordered struct, map-side
+  // combinable) — never a row_number window over the corpus; the
+  // oracle states the same semantics as the window, proving the
+  // aggregate formulation is result-identical.
+  q("q132_upsert_latest",
+    """SELECT user_id, epoch_ms(ts) AS last_ts_ms,
+      |  event_type AS last_type, value AS last_value
+      |FROM events
+      |QUALIFY row_number() OVER (
+      |  PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+      |ORDER BY user_id""".stripMargin) { (s, d) =>
+    graft.operators.Cdc.latestWins(Tables.events(s, d),
+        keyCols = Seq("user_id"), orderCols = Seq("ts", "event_id"),
+        payloadCols = Seq("event_type", "value"))
+      .select(col("user_id"), unix_millis(col("ts")).as("last_ts_ms"),
+        col("event_type").as("last_type"), col("value").as("last_value"))
+      .orderBy(col("user_id"))
+  }
+
+  // SCD-type-2 history build: collapse consecutive equal event_types
+  // per user, emit (valid_from, valid_to, ver) intervals. One key
+  // shuffle total — the change-filter lag and the interval lead /
+  // version row_number share a single (partition, sort) — asserted in
+  // CdcSpec.
+  q("q133_scd2_merge",
+    """WITH o AS (
+      |  SELECT user_id, event_type, ts, event_id,
+      |    lag(event_type) OVER (
+      |      PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      |  FROM events),
+      |c AS (SELECT user_id, event_type, ts, event_id FROM o
+      |      WHERE event_type IS DISTINCT FROM prev),
+      |v AS (SELECT user_id, event_type,
+      |        epoch_ms(ts) AS valid_from_ms,
+      |        epoch_ms(lead(ts) OVER w) AS valid_to_ms,
+      |        row_number() OVER w AS ver
+      |      FROM c WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      |SELECT user_id, ver, event_type, valid_from_ms, valid_to_ms FROM v
+      |ORDER BY user_id, ver""".stripMargin) { (s, d) =>
+    graft.operators.Cdc.scd2(Tables.events(s, d),
+        keyCols = Seq("user_id"), attrCols = Seq("event_type"),
+        tsCol = "ts", tieCols = Seq("event_id"))
+      .select(col("user_id"), col("ver"), col("event_type"),
+        unix_millis(col("valid_from")).as("valid_from_ms"),
+        unix_millis(col("valid_to")).as("valid_to_ms"))
+      .orderBy(col("user_id"), col("ver"))
+  }
+
+  // GROUPING SETS — the general form of q06's rollup/cube (R-6):
+  // arbitrary group combinations in ONE pass (Spark expands to a
+  // single Expand + hash aggregate, not a union of scans). grouping()
+  // flags disambiguate real NULL group values from the superaggregate
+  // rows portably.
+  q("q136_grouping_sets",
+    s"""SELECT l_returnflag, l_linestatus,
+       |  grouping(l_returnflag) AS g_rf, grouping(l_linestatus) AS g_ls,
+       |  count(*) AS n, ${sqlRound("sum(l_quantity)", 2)} AS sum_qty
+       |FROM lineitem
+       |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+       |  (l_returnflag), (l_linestatus), ())
+       |ORDER BY g_rf, g_ls, l_returnflag NULLS FIRST,
+       |  l_linestatus NULLS FIRST""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d).createOrReplaceTempView("v_li_136")
+    s.sql(s"""SELECT l_returnflag, l_linestatus,
+      |  grouping(l_returnflag) AS g_rf, grouping(l_linestatus) AS g_ls,
+      |  count(*) AS n,
+      |  floor(sum(l_quantity) * 1e2 + 0.5) / 1e2 AS sum_qty
+      |FROM v_li_136
+      |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+      |  (l_returnflag), (l_linestatus), ())
+      |ORDER BY g_rf, g_ls, l_returnflag NULLS FIRST,
+      |  l_linestatus NULLS FIRST""".stripMargin)
+  }
 }

@@ -3245,4 +3245,24 @@ object PipelineQueries extends QueryGroup {
         probePred = col("doc") < 10, k = 5, dfCap = 100L, termN = 2)
       .orderBy(col("probe_id"), col("rnk"))
   }
+
+  // ------------------------------------------------------ round 13
+  // Edit-distance similarity self-join (Gravano 2001 / Ed-Join 2008)
+  // over the distinct part-name vocabulary: q-gram prefix filtering
+  // (rarest q*d+1 grams under the global (df, gram) order) prunes the
+  // candidate space to an equi-join on rare grams — exact, never
+  // all-pairs on the long-string side; the oracle IS the brute-force
+  // cross join, so the gate proves the pruning is result-invisible.
+  q("q131_fuzzy_join",
+    """WITH n AS (SELECT DISTINCT p_name AS s FROM part)
+      |SELECT a.s AS name_a, b.s AS name_b,
+      |  levenshtein(a.s, b.s) AS dist
+      |FROM n a JOIN n b ON a.s < b.s
+      |WHERE abs(length(a.s) - length(b.s)) <= 2
+      |  AND levenshtein(a.s, b.s) <= 2
+      |ORDER BY name_a, name_b""".stripMargin) { (s, d) =>
+    graft.operators.FuzzyJoin
+      .editDistancePairs(Tables.part(s, d), "p_name", maxDist = 2)
+      .orderBy(col("name_a"), col("name_b"))
+  }
 }

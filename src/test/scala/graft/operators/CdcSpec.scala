@@ -1,0 +1,103 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuiteBase
+
+/** Latest-wins must equal the window formulation while PLANNING as a
+  * combinable aggregate; SCD2 must collapse runs, chain intervals,
+  * and spend exactly one key shuffle.
+  */
+class CdcSpec extends SparkSuiteBase {
+
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private val log = Seq(
+    // user 1: three states, the last two at the SAME ts (event_id ties)
+    (1L, ts("2024-01-01 10:00:00"), "a", 1L, 10.0),
+    (1L, ts("2024-01-01 11:00:00"), "b", 2L, 20.0),
+    (1L, ts("2024-01-01 11:00:00"), "c", 3L, 30.0),
+    // user 2: consecutive duplicates collapse in scd2
+    (2L, ts("2024-01-01 09:00:00"), "a", 4L, 1.0),
+    (2L, ts("2024-01-01 09:30:00"), "a", 5L, 2.0),
+    (2L, ts("2024-01-01 10:30:00"), "b", 6L, 3.0),
+    (2L, ts("2024-01-01 11:30:00"), "a", 7L, 4.0),
+    // user 3: single event
+    (3L, ts("2024-01-01 08:00:00"), "z", 8L, 9.0)
+  ).toDF("user_id", "ts", "event_type", "event_id", "value")
+
+  test("latestWins: greatest (ts, event_id) payload per key") {
+    val out = Cdc.latestWins(log, Seq("user_id"), Seq("ts", "event_id"),
+        Seq("event_type", "value"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(3), r.getDouble(4))).toMap
+    assert(out === Map(1L -> ("c", 30.0), 2L -> ("a", 4.0),
+      3L -> ("z", 9.0)))
+  }
+
+  test("latestWins equals the row_number window formulation") {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val windowed = log.withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select("user_id", "ts", "event_id", "event_type", "value")
+    val agg = Cdc.latestWins(log, Seq("user_id"), Seq("ts", "event_id"),
+      Seq("event_type", "value"))
+    assert(agg.collect().toSet === windowed.collect().toSet)
+  }
+
+  test("latestWins plans as an aggregate: no Window, map-side combine") {
+    val plan = Cdc.latestWins(log, Seq("user_id"), Seq("ts", "event_id"),
+      Seq("event_type", "value")).queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      "latest-wins must not shuffle the full log through a window")
+    assert(plan.contains("partial_max") || plan.contains("partial max"),
+      s"expected a partial aggregate (map-side combine), got:\n$plan")
+  }
+
+  test("scd2: run collapse, interval chain, versions, current row") {
+    val out = Cdc.scd2(log, Seq("user_id"), Seq("event_type"), "ts",
+        Seq("event_id"))
+      .select(col("user_id"), col("ver"), col("event_type"),
+        unix_millis(col("valid_from")).as("f"),
+        unix_millis(col("valid_to")).as("t"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+        r.getLong(3), if (r.isNullAt(4)) -1L else r.getLong(4)))
+      .toSet
+    def ms(s: String) = ts(s).getTime
+    assert(out === Set(
+      (1L, 1, "a", ms("2024-01-01 10:00:00"), ms("2024-01-01 11:00:00")),
+      (1L, 2, "b", ms("2024-01-01 11:00:00"), ms("2024-01-01 11:00:00")),
+      (1L, 3, "c", ms("2024-01-01 11:00:00"), -1L),
+      // user 2: the 09:30 duplicate "a" collapsed into version 1
+      (2L, 1, "a", ms("2024-01-01 09:00:00"), ms("2024-01-01 10:30:00")),
+      (2L, 2, "b", ms("2024-01-01 10:30:00"), ms("2024-01-01 11:30:00")),
+      // the RETURN to "a" is a new version, not a merge
+      (2L, 3, "a", ms("2024-01-01 11:30:00"), -1L),
+      (3L, 1, "z", ms("2024-01-01 08:00:00"), -1L)))
+  }
+
+  test("scd2: null-safe attribute compare") {
+    val df = Seq(
+      (1L, ts("2024-01-01 10:00:00"), Option.empty[String], 1L),
+      (1L, ts("2024-01-01 11:00:00"), Option.empty[String], 2L), // same run
+      (1L, ts("2024-01-01 12:00:00"), Option("a"), 3L)
+    ).toDF("user_id", "ts", "event_type", "event_id")
+    val out = Cdc.scd2(df, Seq("user_id"), Seq("event_type"), "ts",
+      Seq("event_id"))
+    assert(out.count() === 2, "null == null must collapse")
+  }
+
+  test("scd2 spends exactly one exchange (both windows co-partitioned)") {
+    val plan = Cdc.scd2(log, Seq("user_id"), Seq("event_type"), "ts",
+      Seq("event_id")).queryExecution.executedPlan.toString
+    val exchanges = "Exchange".r.findAllIn(plan).size
+    assert(exchanges === 1, s"expected 1 shuffle, got $exchanges:\n$plan")
+  }
+}
