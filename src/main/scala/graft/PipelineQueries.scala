@@ -3265,4 +3265,146 @@ object PipelineQueries extends QueryGroup {
       .editDistancePairs(Tables.part(s, d), "p_name", maxDist = 2)
       .orderBy(col("name_a"), col("name_b"))
   }
+
+  // Top principal component by power iteration (3 rounds), the q88
+  // k-means float discipline end-to-end: double precision, every
+  // cross-row aggregate 6dp-rounded before reuse, v0 the uniform unit
+  // vector — so the oracle replays each round as unrolled CTEs. The
+  // engine's per-row projection is a row-local index-order fold (no
+  // join); per-round shuffles are dims-sized.
+  private val q134Oracle: String = {
+    val rounds = (1 to 3).map { r =>
+      val vPrev =
+        if (r == 1)
+          s"""d$r AS (SELECT vec_id,
+             |  floor(sum(cx * (SELECT v0 FROM v0))*1e6 + 0.5)/1e6 AS dot
+             |  FROM c GROUP BY vec_id)"""
+        else
+          s"""d$r AS (SELECT vec_id, floor(sum(cx * v)*1e6 + 0.5)/1e6 AS dot
+             |  FROM c JOIN v${r - 1} USING (pos) GROUP BY vec_id)"""
+      s"""$vPrev,
+         |w$r AS (SELECT pos, floor(sum(cx * dot)*1e6 + 0.5)/1e6 AS w
+         |  FROM c JOIN d$r USING (vec_id) GROUP BY pos),
+         |v$r AS (SELECT pos,
+         |  floor(w / (SELECT sqrt(sum(w*w)) FROM w$r) * 1e6 + 0.5)/1e6 AS v
+         |  FROM w$r)"""
+    }.mkString(",\n")
+    s"""WITH u AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+       |  unnest(embedding)::DOUBLE AS x FROM embeddings),
+       |mu AS (SELECT pos, floor(avg(x)*1e6 + 0.5)/1e6 AS m FROM u GROUP BY pos),
+       |v0 AS (SELECT floor(1e0/sqrt((SELECT count(*) FROM mu))*1e6 + 0.5)/1e6
+       |  AS v0),
+       |c AS (SELECT vec_id, u.pos, x - m AS cx FROM u JOIN mu USING (pos)),
+       |$rounds
+       |SELECT pos, v AS pc1 FROM v3 ORDER BY pos""".stripMargin
+  }
+
+  q("q134_pca_power", q134Oracle) { (s, d) =>
+    graft.operators.Spectral
+      .pcaPowerComponent(Tables.embeddings(s, d), "embedding", rounds = 3)
+      .orderBy(col("pos"))
+  }
+
+  // Retrieval evaluation: nDCG@10 of the q115 BM25 ranking against a
+  // deterministic graded relevance (rel = doc_id % 4). Both DCG sums
+  // are fixed-order k-term chains (max-CASE pivot, rank 1 first) and
+  // log2 is spelled ln(x)/ln(2) on both engines — the rrfFuse
+  // portability discipline. The ideal list is a TakeOrdered over the
+  // relevance table, never a global window.
+  q("q135_ndcg",
+    s"""WITH toks AS (SELECT doc_id, unnest($sqlTokens) AS w FROM documents),
+       |dls AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+       |stats AS (SELECT (SELECT count(*) FROM documents) AS n,
+       |            (SELECT sum(dl) * 1.0 / count(*) FROM dls) AS avgdl),
+       |tf AS (SELECT doc_id, w, count(*) AS tf FROM toks
+       |       WHERE w IN ('spark', 'join', 'stream') GROUP BY doc_id, w),
+       |df AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+       |sc AS (SELECT tf.doc_id,
+       |         ln((n - df + 0.5) / (df + 0.5) + 1.0) *
+       |           ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (dl / avgdl))))
+       |           AS t
+       |       FROM tf JOIN df USING (w) JOIN dls USING (doc_id)
+       |       CROSS JOIN stats),
+       |agg AS (SELECT doc_id, floor(sum(t) * 1e6 + 0.5) / 1e6 AS score
+       |        FROM sc GROUP BY doc_id),
+       |rk AS (SELECT doc_id, row_number() OVER (
+       |         ORDER BY score DESC, doc_id) AS rank
+       |       FROM (SELECT doc_id, score FROM agg
+       |             ORDER BY score DESC, doc_id LIMIT 10)),
+       |t AS (SELECT rank, floor((pow(2e0, doc_id % 4) - 1e0)
+       |        / (ln(rank + 1e0) / ln(2e0)) * 1e6 + 0.5)/1e6 AS term
+       |      FROM rk),
+       |dcg AS (SELECT floor((${(1 to 10).map(i =>
+                  s"coalesce(max(CASE WHEN rank = $i THEN term END), 0)")
+                  .mkString(" + ")}) * 1e6 + 0.5)/1e6 AS dcg FROM t),
+       |irk AS (SELECT rel, row_number() OVER (ORDER BY rel DESC, doc_id)
+       |          AS rank
+       |        FROM (SELECT doc_id, doc_id % 4 AS rel FROM documents
+       |              ORDER BY rel DESC, doc_id LIMIT 10)),
+       |it AS (SELECT rank, floor((pow(2e0, rel) - 1e0)
+       |         / (ln(rank + 1e0) / ln(2e0)) * 1e6 + 0.5)/1e6 AS term
+       |       FROM irk),
+       |idcg AS (SELECT floor((${(1 to 10).map(i =>
+                   s"coalesce(max(CASE WHEN rank = $i THEN term END), 0)")
+                   .mkString(" + ")}) * 1e6 + 0.5)/1e6 AS idcg FROM it)
+       |SELECT dcg, idcg, floor(dcg / idcg * 1e6 + 0.5)/1e6 AS ndcg
+       |FROM dcg, idcg""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val ranked = graft.operators.Retrieval.withRank(
+      TextAnalysis.bm25(docs, "doc_id", "text",
+        Seq("spark", "join", "stream"), topK = 10),
+      "doc_id", "score")
+    val rels = docs.select(col("doc_id"),
+      (col("doc_id") % 4).cast("double").as("rel"))
+    graft.operators.Retrieval.ndcgAtK(ranked, rels, "doc_id", "rel", k = 10)
+  }
+
+  // Greedy k-center coreset selection (Gonzalez 1985): 4 farthest-
+  // point rounds over the embedding corpus — each round ONE codegen'd
+  // scan folding the literal centers into a running min distance plus
+  // ONE max-struct aggregate. The oracle unrolls every selection with
+  // raw per-center distance CTEs min'd then 6dp-rounded, exactly the
+  // engine's round arithmetic.
+  private val q137Oracle: String = {
+    val b = new StringBuilder
+    b.append(
+      """WITH u AS (SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+        |  unnest(embedding)::DOUBLE AS x FROM embeddings),
+        |s1 AS (SELECT min(vec_id) AS id FROM u),
+        |c1 AS (SELECT pos, x FROM u WHERE vec_id = (SELECT id FROM s1)),
+        |e1 AS (SELECT u.vec_id, sum((u.x - c1.x)*(u.x - c1.x)) AS r1
+        |  FROM u JOIN c1 USING (pos) GROUP BY u.vec_id)""".stripMargin)
+    for (r <- 2 to 4) {
+      val rawMin = (1 until r).map(j => s"r$j") match {
+        case Seq(one) => one
+        case many => s"least(${many.mkString(", ")})"
+      }
+      val joins = (2 until r).map(j => s" JOIN e$j USING (vec_id)").mkString
+      val chosen = (1 until r).map(j => s"SELECT id FROM s$j")
+        .mkString(" UNION ALL ")
+      b.append(s""",
+        |m$r AS (SELECT e1.vec_id, floor($rawMin * 1e6 + 0.5)/1e6 AS dd
+        |  FROM e1$joins),
+        |s$r AS (SELECT vec_id AS id, dd FROM m$r
+        |  WHERE vec_id NOT IN ($chosen)
+        |  ORDER BY dd DESC, vec_id LIMIT 1)""".stripMargin)
+      if (r < 4) b.append(s""",
+        |c$r AS (SELECT pos, x FROM u WHERE vec_id = (SELECT id FROM s$r)),
+        |e$r AS (SELECT u.vec_id, sum((u.x - c$r.x)*(u.x - c$r.x)) AS r$r
+        |  FROM u JOIN c$r USING (pos) GROUP BY u.vec_id)""".stripMargin)
+    }
+    b.append("""
+      |SELECT 1 AS ord, id AS vec_id, 0e0 AS dist2 FROM s1
+      |UNION ALL SELECT 2, id, dd FROM s2
+      |UNION ALL SELECT 3, id, dd FROM s3
+      |UNION ALL SELECT 4, id, dd FROM s4
+      |ORDER BY ord""".stripMargin)
+    b.toString
+  }
+
+  q("q137_kcenter_select", q137Oracle) { (s, d) =>
+    graft.operators.Coreset
+      .kCenterSelect(Tables.embeddings(s, d), "vec_id", "embedding", k = 4)
+      .orderBy(col("ord"))
+  }
 }

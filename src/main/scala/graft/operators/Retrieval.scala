@@ -66,4 +66,56 @@ object Retrieval {
     list.withColumn("rank",
       row_number().over(Window.orderBy(col(scoreCol).desc, col(idCol))))
   }
+
+  /** nDCG@k (Järvelin & Kekäläinen 2002) of a ranked list against a
+    * graded relevance table:
+    *
+    *   DCG@k  = Σ_{i=1..k} (2^rel_i − 1) / log₂(i + 1)
+    *   IDCG@k = the same over the ideal ordering (rel DESC, id)
+    *   nDCG@k = DCG / IDCG
+    *
+    * Output: ONE row (dcg, idcg, ndcg), 6dp-rounded.
+    *
+    * Determinism/portability: log₂ is spelled ln(i+1)/ln(2) on both
+    * engines (their native log2 implementations need not agree to the
+    * ulp); each per-rank term is 6dp-rounded, and the k-term sums are
+    * FIXED-ORDER chains (rank 1 first) via a max(CASE rank) pivot —
+    * the rrfFuse discipline, never a float aggregate whose addend
+    * order floats.
+    *
+    * Scale shape: `ranked` is a top-k list; the ideal list is a
+    * TakeOrdered over the relevance table (never a global window);
+    * everything after is k-row frames.
+    */
+  def ndcgAtK(
+      ranked: DataFrame,
+      rels: DataFrame,
+      idCol: String,
+      relCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    def pr6(c: Column): Column = floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+    def term: Column = pr6((pow(lit(2.0), col(relCol).cast("double")) - lit(1.0)) /
+      (log(col("rank").cast("double") + lit(1.0)) / log(lit(2.0))))
+    def chainSum(df: DataFrame, out: String): DataFrame = {
+      val pivoted = df.agg(
+        max(when(col("rank") === 1, col("term"))).as("t1"),
+        (2 to k).map(i =>
+          max(when(col("rank") === i, col("term"))).as(s"t$i")): _*)
+      pivoted.select(pr6((1 to k).map(i => coalesce(col(s"t$i"), lit(0.0)))
+        .reduceLeft(_ + _)).as(out))
+    }
+    val actual = ranked.where(col("rank") <= k)
+      .join(rels.select(col(idCol), col(relCol)), Seq(idCol))
+      .select(col("rank"), term.as("term"))
+    val ideal = withRank(
+      rels.select(col(idCol), col(relCol).cast("double").as("__r"))
+        .orderBy(col("__r").desc, col(idCol)).limit(k)
+        .withColumnRenamed("__r", relCol),
+      idCol, relCol)
+      .select(col("rank"), term.as("term"))
+    chainSum(actual, "dcg").crossJoin(chainSum(ideal, "idcg"))
+      .select(col("dcg"), col("idcg"),
+        pr6(col("dcg") / col("idcg")).as("ndcg"))
+  }
 }

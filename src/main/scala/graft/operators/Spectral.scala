@@ -1,0 +1,111 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Spectral embedding analytics: the top principal component by
+  * power iteration, expressed as DataFrame aggregates — the standard
+  * first step of embedding-space diagnostics (anisotropy checks,
+  * dominant-direction removal ("all-but-the-top"), 1-D ordering for
+  * layout).
+  *
+  * Each round is
+  *
+  *   w  =  Σ_rows (x − μ) · ((x − μ)ᵀ v)         (un-normalized step)
+  *   v  =  w / ‖w‖                                (normalize)
+  *
+  * with the per-row projection computed ROW-LOCALLY (an index-order
+  * fold over the dimensions against the literal v — no join, no
+  * shuffle), and the per-dimension sum one hash aggregate of
+  * dims-sized groups (map-side combined). `rounds` corpus scans
+  * total; the only shuffles are dims-sized. v is collected to the
+  * driver between rounds — dims doubles, metadata-sized, the k-means
+  * collect discipline (Similarity.trainIvfCentroidsD).
+  *
+  * Float portability follows the q88 k-means contract: double
+  * precision throughout, every cross-row aggregate rounded to 6
+  * decimals before reuse (the rounding CONFINES summation-order
+  * sensitivity — see the cos6D/trainIvfCentroidsD note), v₀ the
+  * deterministic uniform unit vector, so a relational oracle replays
+  * every round from the same constants.
+  */
+object Spectral {
+
+  private def pr6(c: Column): Column =
+    floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+
+  /** Per-row index-order dot of (vec − mu) with the literal `v`. */
+  private def centeredDot(
+      vecCol: Column,
+      mu: Array[Double],
+      v: Array[Double]): Column = {
+    val terms = mu.indices.map { i =>
+      (element_at(vecCol, i + 1).cast("double") - lit(mu(i))) * lit(v(i))
+    }
+    terms.reduceLeft(_ + _)
+  }
+
+  /** Mean vector, 6dp-rounded, as one aggregate. */
+  def meanVector(emb: DataFrame, vecCol: String): Array[Double] = {
+    val rows = emb.select(posexplode(col(vecCol)).as(Seq("pos", "x")))
+      .groupBy(col("pos"))
+      .agg(pr6(avg(col("x").cast("double"))).as("m"))
+      .collect()
+    val mu = new Array[Double](rows.length)
+    rows.foreach(r => mu(r.getInt(0)) = r.getDouble(1))
+    mu
+  }
+
+  /** The top principal component after `rounds` power iterations.
+    * Output: (pos int, pc1 double) — the 6dp-rounded unit component,
+    * one row per dimension. Sign is pinned by the deterministic v₀
+    * (uniform positive), not canonicalized afterwards.
+    */
+  def pcaPowerComponent(
+      emb: DataFrame,
+      vecCol: String,
+      rounds: Int = 3): DataFrame = {
+    require(rounds >= 1, "need at least one power round")
+    val spark = emb.sparkSession
+    val mu = meanVector(emb, vecCol)
+    val dim = mu.length
+    require(dim > 0, "empty embedding column")
+    val v0 = math.floor(1.0 / math.sqrt(dim.toDouble) * 1e6 + 0.5) / 1e6
+    var v = Array.fill(dim)(v0)
+    var round = 0
+    while (round < rounds) {
+      val w = new Array[Double](dim)
+      emb.select(col(vecCol).as("e"))
+        .withColumn("dot", pr6(centeredDot(col("e"), mu, v)))
+        .select(posexplode(col("e")).as(Seq("pos", "x")), col("dot"))
+        .groupBy(col("pos"))
+        .agg(pr6(sum((col("x").cast("double") -
+          element_at(typedlit(mu), col("pos") + 1)) * col("dot"))).as("w"))
+        .collect()
+        .foreach(r => w(r.getInt(0)) = r.getDouble(1))
+      val nrm = math.sqrt(w.map(x => x * x).sum)
+      require(nrm > 0, "power iteration collapsed to the zero vector")
+      v = w.map(x => math.floor(x / nrm * 1e6 + 0.5) / 1e6)
+      round += 1
+    }
+    import spark.implicits._
+    v.zipWithIndex.map { case (x, i) => (i, x) }.toSeq
+      .toDF("pos", "pc1")
+  }
+
+  /** Projection of every row onto [[pcaPowerComponent]]'s axis:
+    * (idCol, score) with score = 6dp-rounded (x − μ)·v — one
+    * codegen'd scan, zero shuffles past the component collect.
+    */
+  def pcaProject(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      rounds: Int = 3): DataFrame = {
+    val mu = meanVector(emb, vecCol)
+    val comp = pcaPowerComponent(emb, vecCol, rounds)
+      .collect().sortBy(_.getInt(0)).map(_.getDouble(1))
+    emb.select(col(idCol),
+      pr6(centeredDot(col(vecCol), mu, comp)).as("score"))
+  }
+}

@@ -67,4 +67,44 @@ class RetrievalSpec extends SparkSuiteBase {
     // → id order
     assert(once.map(_._1) == Seq(1L, 2L, 3L))
   }
+
+  private def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+
+  private def textbookDcg(relsInRankOrder: Seq[Double]): Double =
+    r6(relsInRankOrder.zipWithIndex.map { case (rel, i) =>
+      r6((math.pow(2.0, rel) - 1.0) /
+        (math.log(i + 2.0) / math.log(2.0)))
+    }.sum)
+
+  test("ndcg of the ideal ranking is exactly 1") {
+    val rels = Seq((1L, 3.0), (2L, 2.0), (3L, 1.0), (4L, 0.0))
+      .toDF("id", "rel")
+    val ranked = Seq((1L, 1), (2L, 2), (3L, 3), (4L, 4)).toDF("id", "rank")
+    val row = Retrieval.ndcgAtK(ranked, rels, "id", "rel", k = 4).head()
+    assert(row.getDouble(2) === 1.0)
+    assert(row.getDouble(0) === row.getDouble(1))
+  }
+
+  test("ndcg matches the textbook formula on a reversed ranking") {
+    val rels = Seq((1L, 3.0), (2L, 2.0), (3L, 1.0), (4L, 0.0))
+      .toDF("id", "rel")
+    val reversed = Seq((4L, 1), (3L, 2), (2L, 3), (1L, 4)).toDF("id", "rank")
+    val row = Retrieval.ndcgAtK(reversed, rels, "id", "rel", k = 4).head()
+    val dcg = textbookDcg(Seq(0.0, 1.0, 2.0, 3.0))
+    val idcg = textbookDcg(Seq(3.0, 2.0, 1.0, 0.0))
+    assert(row.getDouble(0) === dcg)
+    assert(row.getDouble(1) === idcg)
+    assert(row.getDouble(2) === r6(dcg / idcg))
+    assert(row.getDouble(2) < 1.0)
+  }
+
+  test("ndcg: ranks past the list contribute zero, unjudged docs drop") {
+    val rels = Seq((1L, 2.0), (2L, 1.0), (3L, 3.0)).toDF("id", "rel")
+    // rank 2 is an UNJUDGED doc (id 9): its term must vanish entirely
+    val ranked = Seq((1L, 1), (9L, 2)).toDF("id", "rank")
+    val row = Retrieval.ndcgAtK(ranked, rels, "id", "rel", k = 3).head()
+    assert(row.getDouble(0) === textbookDcg(Seq(2.0)))
+    // ideal takes the BEST 3 of the judgment table: rel 3, 2, 1
+    assert(row.getDouble(1) === textbookDcg(Seq(3.0, 2.0, 1.0)))
+  }
 }

@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuiteBase
+
+/** Power iteration must recover a planted dominant direction, stay
+  * deterministic under repartitioning, and keep the projection scan
+  * shuffle-free.
+  */
+class SpectralSpec extends SparkSuiteBase {
+
+  import spark.implicits._
+
+  private val dim = 8
+
+  /** 200 vectors = t * u + bounded deterministic noise along other
+    * axes; u the planted dominant axis (unit, positive entries so the
+    * uniform-positive v0 converges onto +u, not -u).
+    */
+  private def planted() = {
+    val u = Array.fill(dim)(1.0 / math.sqrt(dim.toDouble))
+    val rows = (0 until 200).map { i =>
+      val t = (i % 21) - 10.0 // spread along u, mean 0
+      val vec = Array.tabulate(dim) { j =>
+        val noise = 0.05 * (((i * 7 + j * 13) % 11) - 5.0) / 5.0
+        (t * u(j) + noise).toFloat
+      }
+      (i.toLong, vec.toSeq)
+    }
+    (u, rows.toDF("vec_id", "embedding"))
+  }
+
+  test("recovers the planted dominant axis") {
+    val (u, df) = planted()
+    val v = Spectral.pcaPowerComponent(df, "embedding", rounds = 3)
+      .collect().sortBy(_.getInt(0)).map(_.getDouble(1))
+    val dot = v.zip(u).map { case (a, b) => a * b }.sum
+    assert(math.abs(dot) > 0.99,
+      s"pc1 misaligned with the planted axis: |cos| = ${math.abs(dot)}")
+    val nrm = math.sqrt(v.map(x => x * x).sum)
+    assert(math.abs(nrm - 1.0) < 1e-4, s"pc1 not unit: $nrm")
+  }
+
+  test("deterministic under repartitioning") {
+    val (_, df) = planted()
+    val a = Spectral.pcaPowerComponent(df, "embedding", 3)
+      .collect().sortBy(_.getInt(0)).map(_.getDouble(1)).toSeq
+    val b = Spectral.pcaPowerComponent(df.repartition(7), "embedding", 3)
+      .collect().sortBy(_.getInt(0)).map(_.getDouble(1)).toSeq
+    assert(a == b)
+  }
+
+  test("projection orders points by their planted position") {
+    val (_, df) = planted()
+    val scores = Spectral.pcaProject(df, "vec_id", "embedding", 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // i = 0 (t = -10) and i = 10 (t = 0) and i = 20 (t = +10) must be
+    // monotone along the axis (sign fixed by the positive v0)
+    assert(scores(0L) < scores(10L) && scores(10L) < scores(20L))
+    assert(scores(20L) - scores(0L) > 15.0, "spread must survive")
+  }
+
+  test("projection plan is shuffle-free past the component collect") {
+    val (_, df) = planted()
+    val mu = Spectral.meanVector(df, "embedding")
+    assert(mu.length === dim)
+    val plan = Spectral.pcaProject(df, "vec_id", "embedding", 1)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"projection must be one codegen scan, got:\n$plan")
+  }
+}
