@@ -492,4 +492,29 @@ object ExtendedQueries extends QueryGroup {
       |ORDER BY g_rf, g_ls, l_returnflag NULLS FIRST,
       |  l_linestatus NULLS FIRST""".stripMargin)
   }
+
+  // Batch sessionization (gap = 6h): the batch complement of q40's
+  // streaming session window. One key shuffle carries the gap lag,
+  // the running session counter, and the per-session aggregate
+  // (BehaviorSpec asserts the single exchange).
+  q("q138_sessionize",
+    """WITH o AS (
+      |  SELECT user_id, ts, event_id,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 21600000
+      |         THEN 1 ELSE 0 END AS ns
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |s AS (SELECT user_id, ts, sum(ns) OVER (
+      |        PARTITION BY user_id ORDER BY ts, event_id
+      |        ROWS UNBOUNDED PRECEDING) AS sess
+      |      FROM o)
+      |SELECT user_id, sess, count(*) AS n_events,
+      |  min(epoch_ms(ts)) AS start_ms, max(epoch_ms(ts)) AS end_ms,
+      |  max(epoch_ms(ts)) - min(epoch_ms(ts)) AS dur_ms
+      |FROM s GROUP BY user_id, sess
+      |ORDER BY user_id, sess""".stripMargin) { (s, d) =>
+    graft.operators.Behavior.sessionize(Tables.events(s, d),
+        "user_id", "ts", "event_id", gapMs = 21600000L)
+      .orderBy(col("user_id"), col("sess"))
+  }
 }

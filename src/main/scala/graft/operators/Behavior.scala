@@ -89,4 +89,38 @@ object Behavior {
       .groupBy(col("cohort_epoch_day"), col("week_offset"))
       .agg(count_distinct(col(userCol)).as("n_users"))
   }
+
+  /** Batch sessionization — the gap-based complement of the q40
+    * STREAMING session window: a new session starts where the gap to
+    * the previous event exceeds `gapMs`; the session id is the
+    * running count of such starts. Output: one row per session with
+    * (key, sess, n_events, start_ms, end_ms, dur_ms).
+    *
+    * Scale shape: ONE key shuffle total — the gap lag, the running
+    * sum (both over the same (key, order) window), and the final
+    * per-session aggregate (clustered by a superset key that the
+    * key partitioning already satisfies) all reuse it; asserted in
+    * BehaviorSpec.
+    */
+  def sessionize(
+      events: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      tieCol: String,
+      gapMs: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col(tieCol))
+    val ms = unix_millis(col(tsCol))
+    val newSess = when(lag(ms, 1).over(w).isNull ||
+      ms - lag(ms, 1).over(w) > gapMs, 1L).otherwise(0L)
+    events
+      .select(col(keyCol), col(tsCol), col(tieCol))
+      .withColumn("sess",
+        sum(newSess).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col(keyCol), col("sess"))
+      .agg(count(lit(1)).as("n_events"),
+        min(ms).as("start_ms"), max(ms).as("end_ms"),
+        (max(ms) - min(ms)).as("dur_ms"))
+  }
 }

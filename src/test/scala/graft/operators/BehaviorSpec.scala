@@ -93,4 +93,46 @@ class BehaviorSpec extends SparkSuiteBase {
     val r2 = GraphOps.triangleStats(messy, "id_a", "id_b").collect()(0)
     assert(r2.getLong(0) == 4 && r2.getLong(1) == 15)
   }
+
+  test("sessionize: gap splits, counter, bounds, single-event session") {
+    val events = Seq(
+      // user 1: 3 events tight, then a 2h gap, then 2 events
+      ev(1, "2024-01-01 10:00:00", "a", 1),
+      ev(1, "2024-01-01 10:10:00", "b", 2),
+      ev(1, "2024-01-01 10:20:00", "c", 3),
+      ev(1, "2024-01-01 12:30:00", "d", 4),
+      ev(1, "2024-01-01 12:40:00", "e", 5),
+      // user 2: one lone event
+      ev(2, "2024-01-01 09:00:00", "z", 6)
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val got = Behavior.sessionize(events, "user_id", "ts", "event_id",
+        gapMs = 3600000L) // 1h gap
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(5)))
+      .toSet
+    assert(got === Set(
+      (1L, 1L, 3L, 1200000L), // 10:00-10:20 = 20 min
+      (1L, 2L, 2L, 600000L),  // 12:30-12:40 = 10 min
+      (2L, 1L, 1L, 0L)))
+  }
+
+  test("sessionize: an exact-gap boundary does NOT split (strict >)") {
+    val events = Seq(
+      ev(1, "2024-01-01 10:00:00", "a", 1),
+      ev(1, "2024-01-01 11:00:00", "b", 2) // exactly 1h later
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val got = Behavior.sessionize(events, "user_id", "ts", "event_id",
+      gapMs = 3600000L).collect()
+    assert(got.length === 1 && got(0).getLong(2) === 2L)
+  }
+
+  test("sessionize spends exactly one exchange") {
+    val events = Seq(ev(1, "2024-01-01 10:00:00", "a", 1))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val plan = Behavior.sessionize(events, "user_id", "ts", "event_id",
+      3600000L).queryExecution.executedPlan.toString
+    val exchanges = "Exchange".r.findAllIn(plan).size
+    assert(exchanges === 1,
+      s"lag, running sum, and session agg must share one shuffle:\n$plan")
+  }
 }

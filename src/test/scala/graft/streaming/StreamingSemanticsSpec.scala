@@ -569,4 +569,55 @@ class StreamingSemanticsSpec extends SparkSuiteBase {
     assert(batch.exists { case (id, _, a) => id == 1010L && a })
     assert(batch.exists { case (id, _, a) => id == 2009L && a })
   }
+
+  test("streaming latest-wins upsert equals batch after every prefix, out of order") {
+    import graft.streaming.StreamingUpsert
+    import graft.streaming.StreamingUpsert.Change
+    // deliberately OUT-OF-ORDER feed: latest-wins has no ordering
+    // contract (max over the version tuple is commutative), so an
+    // old version arriving late must NOT regress the state
+    val batches = Seq(
+      Seq(Change(1, 100L, 1, "a", 1.0), Change(2, 50L, 2, "x", 9.0)),
+      Seq(Change(1, 300L, 5, "c", 3.0), Change(1, 200L, 3, "b", 2.0),
+        Change(3, 10L, 4, "q", 7.0)),
+      // late straggler: version (150, 6) < current (300, 5) for key 1;
+      // ts tie on key 2 resolved by id
+      Seq(Change(1, 150L, 6, "stale", -1.0), Change(2, 50L, 7, "y", 8.0)))
+
+    val ms = MemoryStream[Change](spark, 1)
+    implicit val s = spark
+    val q = StreamingUpsert.latest(ms.toDS())
+      .writeStream.format("memory").queryName("upsert")
+      .outputMode("update").start()
+    try {
+      var fed = Seq.empty[Change]
+      batches.foreach { b =>
+        ms.addData(b: _*)
+        q.processAllAvailable()
+        fed = fed ++ b
+        // batch reference over the prefix fed so far
+        val batchLatest = graft.operators.Cdc.latestWins(
+            fed.toDF(), Seq("key"), Seq("tsMs", "id"),
+            Seq("typ", "value"))
+          .collect()
+          .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+            r.getString(3), r.getDouble(4))).toMap
+        // stream state = per key, the max-version emission so far
+        val streamed = spark.table("upsert").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+            r.getString(3), r.getDouble(4)))
+          .groupBy(_._1)
+          .map { case (k, rows) =>
+            val b = rows.maxBy(x => (x._2, x._3))
+            k -> ((b._2, b._3, b._4, b._5))
+          }
+        assert(streamed == batchLatest,
+          s"prefix of ${fed.size}: stream $streamed != batch $batchLatest")
+      }
+      // the stale straggler emitted the UNCHANGED winner, not "stale"
+      val key1Rows = spark.table("upsert").collect()
+        .filter(_.getLong(0) == 1L).map(_.getString(3))
+      assert(!key1Rows.contains("stale"))
+    } finally q.stop()
+  }
 }
