@@ -3407,4 +3407,88 @@ object PipelineQueries extends QueryGroup {
       .kCenterSelect(Tables.embeddings(s, d), "vec_id", "embedding", k = 4)
       .orderBy(col("ord"))
   }
+
+  // R-21 tokenizer family, third discipline: OPTIMAL (Viterbi-style
+  // DP) segmentation under the q127 WordPiece vocabulary — maximize
+  // Σ len(piece)², tie-break (score DESC, split ASC). The oracle
+  // unrolls the DP as one generated CTE layer per prefix length
+  // (branch per split point) and backtracks the stored splits with a
+  // recursive pointer chase; score_sum rides along as the optimality
+  // witness. SegmentSpec plants a vocab where greedy longest-match
+  // strands the tail and the DP beats it.
+  private val q139Oracle: String = {
+    val maxW = 12 // fixture max token length 8; deck suffixes add 3
+    val maxP = 8
+    val layers = (1 to maxW).map { i =>
+      val branches = (math.max(0, i - maxP) until i).map { j =>
+        val piece =
+          if (j == 0) s"substr(p.word, 1, $i)"
+          else s"'##' || substr(p.word, ${j + 1}, ${i - j})"
+        val sel =
+          if (j == 0) s"p.s + ${i.toLong * i} AS s"
+          else s"p.s + ${(i - j).toLong * (i - j)} AS s"
+        s"""SELECT p.word, $sel, $j AS j
+           |FROM sg$j p JOIN sgV v ON v.piece = $piece
+           |WHERE length(p.word) >= $i""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""sg$i AS MATERIALIZED (SELECT word, s, j FROM (
+         |  SELECT word, s, j,
+         |    row_number() OVER (PARTITION BY word ORDER BY s DESC, j) AS rn
+         |  FROM ($branches)) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    val dpAll = (1 to maxW)
+      .map(i => s"SELECT word, $i AS i, j FROM sg$i")
+      .mkString("\nUNION ALL\n")
+    val fin = (1 to maxW)
+      .map(i => s"SELECT word, s FROM sg$i WHERE length(word) = $i")
+      .mkString("\nUNION ALL\n")
+    s"""WITH RECURSIVE ${wpTrainCtes()},
+       |sgV AS MATERIALIZED (SELECT piece, id FROM wpVocab),
+       |sgW AS MATERIALIZED (SELECT DISTINCT word FROM wpT),
+       |sg0 AS (SELECT word, CAST(0 AS BIGINT) AS s FROM sgW),
+       |$layers,
+       |sgDp AS ($dpAll),
+       |sgFin AS ($fin),
+       |sgWalk AS (
+       |  SELECT word, length(word) AS i, CAST([] AS VARCHAR[]) AS ps
+       |  FROM sgW
+       |  UNION ALL
+       |  SELECT w.word, d.j, list_prepend(
+       |    CASE WHEN d.j = 0 THEN substr(w.word, 1, w.i)
+       |         ELSE '##' || substr(w.word, d.j + 1, w.i - d.j) END, w.ps)
+       |  FROM sgWalk w JOIN sgDp d ON d.word = w.word AND d.i = w.i
+       |  WHERE w.i > 0),
+       |sgDone AS (SELECT word, ps FROM sgWalk WHERE i = 0),
+       |sgU AS (SELECT word, unnest(ps) AS piece,
+       |          generate_subscripts(ps, 1) AS k FROM sgDone),
+       |sgIds AS (SELECT u.word, list(v.id ORDER BY u.k) AS wids
+       |          FROM sgU u JOIN sgV v ON v.piece = u.piece
+       |          GROUP BY u.word
+       |          UNION ALL
+       |          SELECT word, [CAST(-1 AS BIGINT)] FROM sgW
+       |          WHERE word NOT IN (SELECT word FROM sgDone)),
+       |sgSc AS (SELECT word, s FROM sgFin
+       |         UNION ALL
+       |         SELECT word, CAST(0 AS BIGINT) FROM sgW
+       |         WHERE word NOT IN (SELECT word FROM sgFin)),
+       |sgDt AS (SELECT doc_id, unnest($sqlTokens) AS word,
+       |           generate_subscripts($sqlTokens, 1) AS wpos
+       |         FROM documents),
+       |sgEnc AS (SELECT doc_id, flatten(list(wids ORDER BY wpos)) AS ids,
+       |            CAST(sum(sc.s) AS BIGINT) AS score_sum
+       |          FROM sgDt JOIN sgIds USING (word)
+       |          JOIN sgSc sc USING (word)
+       |          GROUP BY doc_id)
+       |SELECT doc_id, CAST(len(ids) AS INTEGER) AS n_ids,
+       |  array_to_string(ids, ',') AS ids_csv, score_sum
+       |FROM sgEnc ORDER BY doc_id""".stripMargin
+  }
+
+  q("q139_optimal_segment", q139Oracle) { (s, d) =>
+    graft.operators.Segment.encode(
+        Tables.documents(s, d), "doc_id", "text", wordpieceTrained(s, d))
+      .select(col("doc_id"), col("n_ids"),
+        array_join(col("ids"), ",").as("ids_csv"), col("score_sum"))
+      .orderBy(col("doc_id"))
+  }
 }
