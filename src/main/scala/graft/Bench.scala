@@ -86,7 +86,14 @@ object Bench {
     // increment (q78 convention)
     "q127_wordpiece_vocab" -> 0.55, "q128_wordpiece_encode" -> 1.00,
     // q129 trains its frozen even-split vocab on first rep (memoized)
-    "q129_wordpiece_encode_oov" -> 0.93, "q130_sparse_knn" -> 0.89)
+    "q129_wordpiece_encode_oov" -> 0.93, "q130_sparse_knn" -> 0.89,
+    // round-13 additions, mins at sf0.1 (comparator 0.83/0.38 — a
+    // loaded sweep box; these are upper bounds on the quiet mins)
+    "q131_fuzzy_join" -> 1.16, "q132_upsert_latest" -> 0.36,
+    "q133_scd2_merge" -> 0.56, "q134_pca_power" -> 1.14,
+    "q135_ndcg" -> 2.05, "q136_grouping_sets" -> 0.76,
+    "q137_kcenter_select" -> 1.87, "q138_sessionize" -> 0.45,
+    "q139_optimal_segment" -> 1.01)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

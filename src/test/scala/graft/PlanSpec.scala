@@ -393,4 +393,42 @@ class PlanSpec extends SparkSuiteBase {
     assert(!p.contains("CartesianProduct"),
       s"containment join must not plan a cartesian:\n$p")
   }
+
+  test("fuzzy join candidates come from the gram equi-join; only the short bucket may loop (q131)") {
+    val p = plan("q131_fuzzy_join")
+    assert(!p.contains("CartesianProduct"),
+      s"long-side candidates must never plan a cartesian:\n$p")
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1,
+      s"only the bounded short bucket may nested-loop:\n$p")
+  }
+
+  test("latest-wins upsert is a combinable aggregate, not a corpus window (q132)") {
+    val p = plan("q132_upsert_latest")
+    assert(!p.contains("Window"), s"no row_number window over the log:\n$p")
+    assert(p.contains("partial_max") || p.contains("Partial"),
+      s"expected map-side combine:\n$p")
+  }
+
+  test("grouping sets plan one Expand + one aggregate pass, not a union of scans (q136)") {
+    val p = plan("q136_grouping_sets")
+    assert("Expand".r.findAllIn(p).size >= 1, s"expected Expand:\n$p")
+    assert("FileScan".r.findAllIn(p).size <= 1,
+      s"grouping sets must not rescan per grouping:\n$p")
+  }
+
+  test("sessionize shares one key shuffle across lag, counter, and session agg (q138)") {
+    val p = plan("q138_sessionize")
+    // one key shuffle + (possibly) the final presentation sort
+    val dataExchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(dataExchanges == 1,
+      s"expected exactly one hash exchange, got $dataExchanges:\n$p")
+  }
+
+  test("optimal segmentation broadcasts word tables into the corpus scan (q139)") {
+    val p = plan("q139_optimal_segment")
+    assert(p.contains("BroadcastHashJoin"),
+      s"piece table and vocab must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"no corpus-keyed merge join in the encode path:\n$p")
+  }
 }
