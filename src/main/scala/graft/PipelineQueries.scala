@@ -3491,4 +3491,68 @@ object PipelineQueries extends QueryGroup {
         array_join(col("ids"), ",").as("ids_csv"), col("score_sum"))
       .orderBy(col("doc_id"))
   }
+
+  // Key-distribution profiler — the diagnostic that SIZES the scale
+  // levers (salt factor for q105/q112, bucket counts, AQE skew
+  // thresholds): one row of per-key statistics over lineitem's
+  // part-key distribution. Entropy and skew round at 6dp with the
+  // Σ c·ln c rounded BEFORE the division, mirrored in the oracle.
+  q("q140_skew_profile",
+    """WITH c AS (SELECT l_partkey AS k, count(*) AS c
+      |           FROM lineitem GROUP BY 1),
+      |s AS (SELECT CAST(sum(c) AS BIGINT) AS n_rows, count(*) AS n_keys,
+      |        max(c) AS max_cnt,
+      |        floor(sum(c * ln(c)) * 1e6 + 0.5)/1e6 AS sclnc FROM c),
+      |h AS (SELECT count(*) AS hot_keys,
+      |        CAST(coalesce(sum(c), 0) AS BIGINT) AS hot_rows
+      |      FROM c, s
+      |      WHERE c > 1.5e0 * (n_rows / CAST(n_keys AS DOUBLE)))
+      |SELECT n_rows, n_keys, max_cnt, hot_keys, hot_rows,
+      |  floor(max_cnt / (n_rows / CAST(n_keys AS DOUBLE)) * 1e6 + 0.5)/1e6
+      |    AS skew6,
+      |  floor((ln(CAST(n_rows AS DOUBLE)) - sclnc / n_rows) * 1e6 + 0.5)/1e6
+      |    AS entropy6
+      |FROM s, h""".stripMargin) { (s, d) =>
+    graft.operators.ScaleOps.keyProfile(
+      Tables.lineitem(s, d), "l_partkey", hotFactor = 1.5)
+  }
+
+  // Join-size estimation by Count-Min inner product (Cormode 2005
+  // §4.2) — the broadcast-vs-shuffle-vs-salt planning primitive:
+  // both key multisets fold to lanes x width counter frames under
+  // map-side combine (no data rows move), the estimate is a
+  // sketch-sized equi-join, and the exact count (two key-space
+  // aggregates joined, never a row-level join) rides along as the
+  // accuracy witness. est >= exact always (collisions only add).
+  q("q141_join_cardinality", {
+    val aL = bloomCoeffs._1.mkString("[", ",", "]")
+    val bL = bloomCoeffs._2.mkString("[", ",", "]")
+    s"""WITH ka AS (SELECT CAST('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 15)
+       |              AS BIGINT) % 2147483647 AS h FROM lineitem),
+       |la AS (SELECT i, ($aL[i+1] * h + $bL[i+1]) % 2147483647 % 1024 AS bucket
+       |       FROM ka CROSS JOIN (SELECT unnest(range(0, 4)) AS i)),
+       |cma AS (SELECT i, bucket, count(*) AS c FROM la GROUP BY 1, 2),
+       |kb AS (SELECT CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15)
+       |              AS BIGINT) % 2147483647 AS h FROM orders),
+       |lb AS (SELECT i, ($aL[i+1] * h + $bL[i+1]) % 2147483647 % 1024 AS bucket
+       |       FROM kb CROSS JOIN (SELECT unnest(range(0, 4)) AS i)),
+       |cmb AS (SELECT i, bucket, count(*) AS c FROM lb GROUP BY 1, 2),
+       |ip AS (SELECT a.i, CAST(sum(a.c * b.c) AS BIGINT) AS ip
+       |       FROM cma a JOIN cmb b ON a.i = b.i AND a.bucket = b.bucket
+       |       GROUP BY 1),
+       |est AS (SELECT min(ip) AS est FROM ip),
+       |ex AS (SELECT CAST(coalesce(sum(ca * cb), 0) AS BIGINT) AS exact
+       |       FROM (SELECT l_orderkey AS k, count(*) AS ca
+       |             FROM lineitem GROUP BY 1) x
+       |       JOIN (SELECT o_orderkey AS k, count(*) AS cb
+       |             FROM orders GROUP BY 1) y USING (k))
+       |SELECT exact, est,
+       |  CASE WHEN exact = 0 THEN NULL
+       |       ELSE floor(CAST(est AS DOUBLE) / exact * 1e6 + 0.5)/1e6
+       |  END AS ratio6
+       |FROM ex, est""".stripMargin }) { (s, d) =>
+    graft.operators.Sketches.joinCardinality(
+      Tables.lineitem(s, d), "l_orderkey",
+      Tables.orders(s, d), "o_orderkey", lanes = 4, width = 1024)
+  }
 }

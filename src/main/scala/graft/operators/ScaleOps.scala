@@ -358,4 +358,52 @@ object ScaleOps {
     }
     pruned.join(dim, Seq(key))
   }
+
+  /** Key-distribution profile — the diagnostic that DECIDES the scale
+    * levers above (salting factor for [[hotKeySaltedJoin]]/
+    * [[saltedSumAgg]], bucket counts, AQE skew thresholds): one row
+    * of per-key-count statistics.
+    *
+    *   n_rows, n_keys, max_cnt       — the raw shape
+    *   skew6 = max_cnt / (n_rows/n_keys)   — >> 1 means salt
+    *   hot_keys / hot_rows           — keys (and their row mass)
+    *                                   above hotFactor × the mean
+    *   entropy6 = ln N − (Σ c·ln c)/N — key-distribution entropy in
+    *                                   nats (ln n_keys if uniform)
+    *
+    * Scale shape: ONE combinable count aggregate over the corpus
+    * (shuffles the key space), then two aggregates over the
+    * key-space-sized count frame with the 1-row stats frame
+    * broadcast into the hot filter. Nothing is collected beyond the
+    * single output row; the count frame is computed once
+    * (localCheckpoint) and shared by both passes.
+    */
+  def keyProfile(
+      df: DataFrame,
+      keyCol: String,
+      hotFactor: Double = 1.5): DataFrame = {
+    require(hotFactor > 0, "hotFactor must be positive")
+    def pr6(c: org.apache.spark.sql.Column) =
+      floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+    val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    val stats = counts.agg(
+      sum(col("c")).as("n_rows"),
+      count(lit(1)).as("n_keys"),
+      max(col("c")).as("max_cnt"),
+      pr6(sum(col("c").cast("double") * log(col("c").cast("double"))))
+        .as("__sclnc"))
+    val hot = counts.crossJoin(broadcast(stats.select(
+        (col("n_rows").cast("double") / col("n_keys")).as("__mean"))))
+      .where(col("c") > lit(hotFactor) * col("__mean"))
+      .agg(coalesce(count(lit(1)), lit(0L)).as("hot_keys"),
+        coalesce(sum(col("c")), lit(0L)).as("hot_rows"))
+    stats.crossJoin(hot)
+      .select(col("n_rows"), col("n_keys"), col("max_cnt"),
+        col("hot_keys"), col("hot_rows"),
+        pr6(col("max_cnt") /
+          (col("n_rows").cast("double") / col("n_keys"))).as("skew6"),
+        pr6(log(col("n_rows").cast("double")) -
+          col("__sclnc") / col("n_rows")).as("entropy6"))
+  }
 }

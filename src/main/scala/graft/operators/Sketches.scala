@@ -223,4 +223,72 @@ object Sketches {
         floor((lit(lo) + (col("bin") + lit(1L)).cast("double") * lit(width)) *
           lit(1e6) + lit(0.5)) / lit(1e6))
   }
+
+  /** Count-Min counter table over an arbitrary KEY column (the
+    * [[countMinTable]] token form generalized): keys are stringified
+    * before the portable md5 hash so the oracle replays the exact
+    * bits. (lane, bucket, c) — lanes × width rows at most.
+    */
+  def countMinKeyed(
+      df: DataFrame,
+      keyCol: String,
+      lanes: Int,
+      width: Int): DataFrame = {
+    require(lanes > 0 && width > 0, "count-min needs positive lanes and width")
+    val (a, b) = PortableHash.laneCoeffs(lanes)
+    val p = PortableHash.P
+    df
+      .select((PortableHash.md5Long60(col(keyCol).cast("string")) % lit(p))
+        .as("__h"))
+      .select(posexplode(array((0 until lanes).map(i =>
+        (((lit(a(i)) * col("__h") + lit(b(i))) % lit(p)) % lit(width.toLong))
+          .cast("long")): _*)).as(Seq("lane", "bucket")))
+      .groupBy(col("lane"), col("bucket"))
+      .agg(count(lit(1)).as("c"))
+  }
+
+  /** Equi-join cardinality estimation by Count-Min inner product
+    * (Cormode & Muthukrishnan 2005 §4.2): for sketches of the two key
+    * multisets with the SAME lane family,
+    *
+    *   est = min over lanes of  Σ_buckets cA(lane, w) · cB(lane, w)
+    *
+    * which is ≥ |A ⋈ B| always (collisions only add — the one-sided
+    * guarantee, spec-asserted), and tight when hot keys dominate.
+    * This is the join-size planning primitive: at 100 TB the inputs
+    * never move — each side folds to a lanes × width counter frame
+    * under map-side combine, and the estimate is a (lanes × width)-
+    * sized equi-join, so deciding broadcast-vs-shuffle-vs-salt costs
+    * two scans and no exchange of data rows.
+    *
+    * Output: ONE row (exact, est, ratio6) — `exact` = Σ_k cA(k)·cB(k)
+    * computed the efficient exact way (two count aggregates joined on
+    * the key space, never a row-level join), carried as the accuracy
+    * witness the oracle checks both sides of.
+    */
+  def joinCardinality(
+      left: DataFrame,
+      leftKey: String,
+      right: DataFrame,
+      rightKey: String,
+      lanes: Int,
+      width: Int): DataFrame = {
+    val cmA = countMinKeyed(left, leftKey, lanes, width)
+    val cmB = countMinKeyed(right, rightKey, lanes, width)
+    val est = cmA.as("a")
+      .join(cmB.as("b"), Seq("lane", "bucket"))
+      .groupBy(col("lane"))
+      .agg(sum(col("a.c") * col("b.c")).as("ip"))
+      .agg(min(col("ip")).as("est"))
+    val exact = left.groupBy(col(leftKey).cast("string").as("__k"))
+      .agg(count(lit(1)).as("ca"))
+      .join(right.groupBy(col(rightKey).cast("string").as("__k"))
+        .agg(count(lit(1)).as("cb")), Seq("__k"))
+      .agg(coalesce(sum(col("ca") * col("cb")), lit(0L)).as("exact"))
+    exact.crossJoin(est)
+      .select(col("exact"), col("est"),
+        when(col("exact") === 0, lit(null).cast("double"))
+          .otherwise(floor(col("est").cast("double") / col("exact") *
+            lit(1e6) + lit(0.5)) / lit(1e6)).as("ratio6"))
+  }
 }

@@ -240,4 +240,32 @@ class ScaleOpsSpec extends SparkSuiteBase {
       .queryExecution.executedPlan.toString
     assert(plan.contains("LeftSemi"), s"expected semi-join prune in:\n$plan")
   }
+
+  test("keyProfile: hand-computed skew, hot mass, and entropy") {
+    import spark.implicits._
+    val df = (Seq.fill(6)("A") ++ Seq.fill(2)("B") ++ Seq("C", "D"))
+      .toDF("k")
+    val r = ScaleOps.keyProfile(df, "k", hotFactor = 1.5).head()
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    assert(r.getLong(0) === 10L && r.getLong(1) === 4L) // n_rows, n_keys
+    assert(r.getLong(2) === 6L)                          // max_cnt
+    // mean 2.5, hot threshold 3.75 -> only A (6 rows)
+    assert(r.getLong(3) === 1L && r.getLong(4) === 6L)
+    assert(r.getDouble(5) === r6(6.0 / 2.5))             // skew6
+    val sclnc = r6(6 * math.log(6.0) + 2 * math.log(2.0))
+    assert(r.getDouble(6) === r6(math.log(10.0) - sclnc / 10.0))
+  }
+
+  test("keyProfile: uniform keys read skew 1, zero hot, entropy ln K") {
+    import spark.implicits._
+    val df = (1 to 8).flatMap(k => Seq.fill(5)(s"k$k")).toDF("k")
+    val r = ScaleOps.keyProfile(df, "k").head()
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    assert(r.getDouble(5) === 1.0)
+    assert(r.getLong(3) === 0L && r.getLong(4) === 0L)
+    // H = ln N - (K * c ln c)/N = ln 40 - ln 5 = ln 8, up to the
+    // 6dp staging of the sclnc sum
+    val sclnc = r6(40.0 * math.log(5.0))
+    assert(r.getDouble(6) === r6(math.log(40.0) - sclnc / 40.0))
+  }
 }

@@ -156,4 +156,24 @@ class SketchesSpec extends SparkSuiteBase {
       math.min(math.floor((v - lo) / ((hi - lo) / 1024)), 1023)).distinct.size
     assert(nBins <= 1024)
   }
+
+  test("joinCardinality: exact is the true join size, est one-sided above it") {
+    import spark.implicits._
+    val a = (Seq.fill(10)(1L) ++ Seq.fill(3)(2L) ++ Seq(3L, 4L)).toDF("k")
+    val b = (Seq.fill(4)(1L) ++ Seq.fill(2)(2L) ++ Seq(5L)).toDF("k")
+    val trueSize = a.join(b, "k").count()
+    val r = Sketches.joinCardinality(a, "k", b, "k", lanes = 4,
+      width = 64).head()
+    assert(r.getLong(0) === trueSize) // 10*4 + 3*2 = 46
+    assert(r.getLong(1) >= r.getLong(0), "CM inner product is one-sided")
+  }
+
+  test("joinCardinality: disjoint key sets read exact 0 with null ratio") {
+    import spark.implicits._
+    val a = Seq(1L, 2L, 3L).toDF("k")
+    val b = Seq(10L, 11L).toDF("k")
+    val r = Sketches.joinCardinality(a, "k", b, "k", 4, 64).head()
+    assert(r.getLong(0) === 0L)
+    assert(r.isNullAt(2))
+  }
 }
