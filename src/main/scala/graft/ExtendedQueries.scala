@@ -517,4 +517,107 @@ object ExtendedQueries extends QueryGroup {
         "user_id", "ts", "event_id", gapMs = 21600000L)
       .orderBy(col("user_id"), col("sess"))
   }
+
+  // Declarative data-quality audit (Deequ shape): null / range rules
+  // fold into ONE lineitem scan (single aggregate node, AuditSpec
+  // plan-asserts it), uniqueness is a key-space aggregate, FK checks
+  // anti-join DISTINCT key frames. Constant-sized report.
+  q("q142_data_audit",
+    """SELECT 'not_null:l_orderkey' AS chk, count(*) AS checked,
+      |  CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS violations FROM lineitem
+      |UNION ALL
+      |SELECT 'not_null:l_partkey', count(*),
+      |  CAST(sum(CASE WHEN l_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |FROM lineitem
+      |UNION ALL
+      |SELECT 'range:l_discount', count(*),
+      |  CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 0.5
+      |    THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem
+      |UNION ALL
+      |SELECT 'range:l_quantity', count(*),
+      |  CAST(sum(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |FROM lineitem
+      |UNION ALL
+      |SELECT 'unique:o_orderkey', CAST(sum(c) AS BIGINT),
+      |  CAST(sum(c - 1) AS BIGINT)
+      |FROM (SELECT o_orderkey, count(*) AS c FROM orders GROUP BY 1)
+      |UNION ALL
+      |SELECT 'fk:lineitem->orders',
+      |  (SELECT count(DISTINCT l_orderkey) FROM lineitem
+      |   WHERE l_orderkey IS NOT NULL),
+      |  (SELECT count(*) FROM
+      |    (SELECT DISTINCT l_orderkey FROM lineitem
+      |     WHERE l_orderkey IS NOT NULL) c
+      |    LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) p
+      |    ON l_orderkey = o_orderkey WHERE o_orderkey IS NULL)
+      |UNION ALL
+      |SELECT 'fk:lineitem->part',
+      |  (SELECT count(DISTINCT l_partkey) FROM lineitem
+      |   WHERE l_partkey IS NOT NULL),
+      |  (SELECT count(*) FROM
+      |    (SELECT DISTINCT l_partkey FROM lineitem
+      |     WHERE l_partkey IS NOT NULL) c
+      |    LEFT JOIN (SELECT DISTINCT p_partkey FROM part) p
+      |    ON l_partkey = p_partkey WHERE p_partkey IS NULL)
+      |ORDER BY chk""".stripMargin) { (s, d) =>
+    import graft.operators.Audit
+    val li = Tables.lineitem(s, d)
+    Audit.report(Seq(
+      Audit.scanChecks(li, Seq(
+        Audit.Rule("not_null:l_orderkey", col("l_orderkey").isNull),
+        Audit.Rule("not_null:l_partkey", col("l_partkey").isNull),
+        Audit.Rule("range:l_discount",
+          col("l_discount") < 0 || col("l_discount") > 0.5),
+        Audit.Rule("range:l_quantity", col("l_quantity") <= 0))),
+      Audit.unique(Tables.orders(s, d), Seq("o_orderkey")),
+      Audit.foreignKey(li, "l_orderkey",
+        Tables.orders(s, d), "o_orderkey", "lineitem->orders"),
+      Audit.foreignKey(li, "l_partkey",
+        Tables.part(s, d), "p_partkey", "lineitem->part")))
+      .orderBy(col("chk"))
+  }
+
+  // Point-in-time (temporal) join — the feature-store lookup over the
+  // q133 SCD2 history: each purchase event reads the dimension
+  // version valid AT ITS TIMESTAMP (no leakage from later versions).
+  // Engine path: AsOfJoin.floorJoin on valid_from — one key shuffle,
+  // never an interval-predicate row join; same-ts versions resolve to
+  // the highest ver (payload leads with ver), exactly the zero-width-
+  // interval semantics the oracle's BETWEEN predicate produces.
+  q("q143_pit_join",
+    """WITH src AS (SELECT user_id, event_type, ts, event_id FROM events
+      |             WHERE event_type <> 'purchase'),
+      |o AS (SELECT user_id, event_type, ts, event_id,
+      |        lag(event_type) OVER (
+      |          PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      |      FROM src),
+      |c AS (SELECT user_id, event_type, ts, event_id FROM o
+      |      WHERE event_type IS DISTINCT FROM prev),
+      |v AS (SELECT user_id, event_type, ts AS valid_from,
+      |        lead(ts) OVER w AS valid_to, row_number() OVER w AS ver
+      |      FROM c WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |f AS (SELECT event_id, user_id, ts FROM events
+      |      WHERE event_type = 'purchase')
+      |SELECT f.event_id, f.user_id, epoch_ms(f.ts) AS ts_ms,
+      |  v.event_type AS state, v.ver
+      |FROM f LEFT JOIN v ON v.user_id = f.user_id
+      |  AND v.valid_from <= f.ts
+      |  AND (v.valid_to IS NULL OR f.ts < v.valid_to)
+      |ORDER BY event_id""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d)
+    val dim = graft.operators.Cdc.scd2(
+      ev.filter(col("event_type") =!= "purchase"),
+      keyCols = Seq("user_id"), attrCols = Seq("event_type"),
+      tsCol = "ts", tieCols = Seq("event_id"))
+    val facts = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    graft.operators.AsOfJoin.floorJoin(facts, dim,
+        keys = Seq("user_id"), probeTs = "ts", buildTs = "valid_from",
+        payload = Seq("ver", "event_type"))
+      .select(col("event_id"), col("user_id"),
+        unix_millis(col("ts")).as("ts_ms"),
+        col("event_type").as("state"), col("ver"))
+      .orderBy(col("event_id"))
+  }
 }

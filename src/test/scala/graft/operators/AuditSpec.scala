@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuiteBase
+
+/** Audit checks must count planted violations exactly, fold all scan
+  * rules into one pass, and behave on empty inputs.
+  */
+class AuditSpec extends SparkSuiteBase {
+
+  import spark.implicits._
+
+  private val child = Seq(
+    (Some(1L), Some(10.0)),
+    (Some(2L), Some(-1.0)),  // range violation
+    (None, Some(3.0)),       // null key
+    (Some(9L), None),        // orphan + null value
+    (Some(1L), Some(200.0))  // range violation (> 100)
+  ).toDF("fk", "v")
+
+  private val parent = Seq(1L, 2L, 3L).toDF("pk")
+
+  test("scan rules count planted nulls and range violations exactly") {
+    val got = Audit.scanChecks(child, Seq(
+        Audit.Rule("not_null:fk", col("fk").isNull),
+        Audit.Rule("not_null:v", col("v").isNull),
+        Audit.Rule("range:v", col("v") < 0 || col("v") > 100)))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(got === Map(
+      "not_null:fk" -> ((5L, 1L)),
+      "not_null:v" -> ((5L, 1L)),
+      "range:v" -> ((5L, 2L))))
+  }
+
+  test("all scan rules fold into a single pass over the table") {
+    val plan = Audit.scanChecks(child, Seq(
+        Audit.Rule("a", col("fk").isNull),
+        Audit.Rule("b", col("v") < 0),
+        Audit.Rule("c", col("v") > 100)))
+      .queryExecution.executedPlan.toString
+    val scans = "LocalTableScan".r.findAllIn(plan).size
+    assert(scans === 1, s"expected one scan for all rules, got $scans:\n$plan")
+  }
+
+  test("unique counts rows in excess of one per key") {
+    val df = Seq(1L, 1L, 1L, 2L, 3L, 3L).toDF("k")
+    val r = Audit.unique(df, Seq("k")).head()
+    assert(r.getString(0) === "unique:k")
+    assert(r.getLong(1) === 6L && r.getLong(2) === 3L)
+  }
+
+  test("foreignKey counts orphan DISTINCT keys, ignoring null children") {
+    val r = Audit.foreignKey(child, "fk", parent, "pk", "child->parent")
+      .head()
+    // distinct non-null child keys {1, 2, 9}; 9 is the orphan
+    assert(r.getLong(1) === 3L && r.getLong(2) === 1L)
+  }
+
+  test("clean and empty inputs read zero violations") {
+    val clean = Seq((1L, 5.0)).toDF("fk", "v")
+    val r = Audit.report(Seq(
+      Audit.scanChecks(clean, Seq(Audit.Rule("n", col("fk").isNull))),
+      Audit.unique(clean, Seq("fk")))).collect()
+    assert(r.forall(_.getLong(2) === 0L))
+    val empty = clean.where(lit(false))
+    val e = Audit.scanChecks(empty,
+      Seq(Audit.Rule("n", col("fk").isNull))).head()
+    assert(e.getLong(1) === 0L && e.getLong(2) === 0L)
+  }
+}

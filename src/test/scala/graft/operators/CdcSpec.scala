@@ -94,6 +94,31 @@ class CdcSpec extends SparkSuiteBase {
     assert(out.count() === 2, "null == null must collapse")
   }
 
+  test("point-in-time lookup honors boundaries, pre-history, zero-width intervals") {
+    val dim = Cdc.scd2(log, Seq("user_id"), Seq("event_type"), "ts",
+      Seq("event_id"))
+    // facts: before any history, exactly AT a version start, between
+    // versions, and at user 1's zero-width 11:00 boundary (versions
+    // b and c both start at 11:00; ver 3 = "c" must win)
+    val facts = Seq(
+      (100L, 1L, ts("2024-01-01 09:00:00")), // pre-history -> null
+      (101L, 1L, ts("2024-01-01 10:00:00")), // at v1 start -> a
+      (102L, 1L, ts("2024-01-01 10:30:00")), // inside v1 -> a
+      (103L, 1L, ts("2024-01-01 11:00:00")), // zero-width tie -> c (v3)
+      (104L, 2L, ts("2024-01-01 11:00:00"))  // inside user2 v2 -> b
+    ).toDF("event_id", "user_id", "ts")
+    val got = AsOfJoin.floorJoin(facts, dim, Seq("user_id"), "ts",
+        "valid_from", Seq("ver", "event_type"))
+      .collect().map(r => r.getLong(1) ->
+        (Option(r.get(3)).map(_.asInstanceOf[Int]),
+          Option(r.getString(4)))).toMap
+    assert(got(100L) === ((None, None)))
+    assert(got(101L) === ((Some(1), Some("a"))))
+    assert(got(102L) === ((Some(1), Some("a"))))
+    assert(got(103L) === ((Some(3), Some("c"))))
+    assert(got(104L) === ((Some(2), Some("b"))))
+  }
+
   test("scd2 spends exactly one exchange (both windows co-partitioned)") {
     val plan = Cdc.scd2(log, Seq("user_id"), Seq("event_type"), "ts",
       Seq("event_id")).queryExecution.executedPlan.toString
