@@ -620,4 +620,34 @@ object ExtendedQueries extends QueryGroup {
         col("event_type").as("state"), col("ver"))
       .orderBy(col("event_id"))
   }
+
+  // Golden-record survivorship merge (MDM "most recent non-null wins,
+  // per field"): each field independently takes the latest record
+  // where it was present — one combinable hash aggregate for ALL
+  // fields, never per-field windows. The oracle states each field as
+  // its own latest-non-null window, proving the single-aggregate
+  // formulation matches.
+  q("q144_golden_record",
+    """WITH b AS (SELECT user_id, value AS big, ts, event_id FROM events
+      |           WHERE value >= 50),
+      |g1 AS (SELECT user_id, big FROM (
+      |        SELECT user_id, big, row_number() OVER (
+      |          PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      |        FROM b) WHERE rn = 1),
+      |g2 AS (SELECT user_id, event_type AS etype FROM events
+      |       QUALIFY row_number() OVER (
+      |         PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1),
+      |n AS (SELECT user_id, count(*) AS n_records FROM events GROUP BY 1)
+      |SELECT n.user_id, n.n_records, g1.big AS big_value, g2.etype
+      |FROM n LEFT JOIN g1 USING (user_id) JOIN g2 USING (user_id)
+      |ORDER BY user_id""".stripMargin) { (s, d) =>
+    graft.operators.Cdc.goldenRecord(
+        Tables.events(s, d).withColumn("big_value",
+          when(col("value") >= 50, col("value"))),
+        keyCols = Seq("user_id"), orderCols = Seq("ts", "event_id"),
+        fieldCols = Seq("big_value", "event_type"))
+      .select(col("user_id"), col("n_records"), col("big_value"),
+        col("event_type").as("etype"))
+      .orderBy(col("user_id"))
+  }
 }

@@ -3555,4 +3555,23 @@ object PipelineQueries extends QueryGroup {
       Tables.lineitem(s, d), "l_orderkey",
       Tables.orders(s, d), "o_orderkey", lanes = 4, width = 1024)
   }
+
+  // Exact phrase search by anchor alignment over the positional token
+  // index: phrase word i at position p votes for anchor p−i; a match
+  // is an anchor all k words voted for. The index filters to the
+  // phrase words BEFORE the shuffle (q115 discipline) and matching is
+  // one (doc, anchor) aggregate — no positional self-join chain.
+  q("q145_phrase_search",
+    s"""WITH t AS (SELECT doc_id, unnest($sqlTokens) AS w,
+       |             generate_subscripts($sqlTokens, 1) AS pos
+       |           FROM documents),
+       |p AS (SELECT 'spark' AS w, 0 AS i UNION ALL SELECT 'join', 1),
+       |m AS (SELECT doc_id, pos - i AS anchor FROM t JOIN p USING (w)
+       |      GROUP BY doc_id, pos - i HAVING count(DISTINCT i) = 2)
+       |SELECT doc_id, count(*) AS n_matches FROM m GROUP BY 1
+       |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    TextAnalysis.phraseSearch(Tables.documents(s, d), "doc_id", "text",
+        Seq("spark", "join"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -72,4 +72,30 @@ object Cdc {
       .withColumn("ver", row_number().over(w))
       .drop(tieCols: _*)
   }
+
+  /** Golden-record survivorship (the MDM merge rule "most recent
+    * non-null wins, per field"): one row per key where EACH field
+    * independently takes the value from the LATEST record in which
+    * that field was non-null — so a sparse recent record updates the
+    * fields it carries without nulling out the rest.
+    *
+    * Like [[latestWins]] this is a pure hash aggregate —
+    * `max(CASE WHEN field IS NOT NULL THEN (order…, field) END)` per
+    * field, all fields in ONE combinable pass — never a per-field
+    * window or self-join. `n_records` counts the merged records.
+    */
+  def goldenRecord(
+      df: DataFrame,
+      keyCols: Seq[String],
+      orderCols: Seq[String],
+      fieldCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty && orderCols.nonEmpty && fieldCols.nonEmpty,
+      "goldenRecord needs key, order, and field columns")
+    val aggs = count(lit(1)).as("n_records") +: fieldCols.map { f =>
+      max(when(col(f).isNotNull,
+        struct((orderCols.map(col) :+ col(f).as("__v")): _*)))
+        .getField("__v").as(f)
+    }
+    df.groupBy(keyCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
 }

@@ -627,4 +627,43 @@ object TextAnalysis {
       .orderBy(col("lift").desc, col("w1"), col("w2"))
       .limit(topK)
   }
+
+  /** Exact phrase search over the positional token index — the
+    * anchor-alignment formulation: an occurrence of phrase word i at
+    * token position p votes for anchor p − i, and a document position
+    * matches the phrase iff ALL k phrase words vote for the same
+    * anchor (equal anchors ⇒ consecutive positions, by
+    * construction). Output: (idCol, n_matches) for documents with at
+    * least one match.
+    *
+    * Scale shape: the positional index is filtered to the k phrase
+    * words BEFORE anything shuffles (the q115 pre-exchange filter
+    * discipline — at 100 TB that is the difference between shuffling
+    * the corpus's positions and shuffling only the phrase words'
+    * occurrences), the phrase table broadcasts, and matching is ONE
+    * (doc, anchor) aggregate — no k−1 positional self-joins.
+    * Duplicate words in the phrase are handled by the distinct-i
+    * count (an occurrence votes once per phrase slot its word fills).
+    */
+  def phraseSearch(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "empty phrase")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val k = phrase.length
+    val ptab = phrase.zipWithIndex.toDF("__w", "__i")
+    docs
+      .select(col(idCol),
+        posexplode(TextFns.tokens(col(textCol))).as(Seq("__pos", "__w")))
+      .where(col("__w").isin(phrase.distinct: _*))
+      .join(broadcast(ptab), Seq("__w"))
+      .groupBy(col(idCol), (col("__pos") - col("__i")).as("__anchor"))
+      .agg(count_distinct(col("__i")).as("__hits"))
+      .where(col("__hits") === k)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_matches"))
+  }
 }

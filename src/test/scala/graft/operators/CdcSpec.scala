@@ -119,6 +119,33 @@ class CdcSpec extends SparkSuiteBase {
     assert(got(104L) === ((Some(2), Some("b"))))
   }
 
+  test("goldenRecord: per-field latest non-null, sparse updates don't clobber") {
+    val recs = Seq(
+      // user 1: newest record has email but NULL phone — phone must
+      // survive from the older record; oldest has both
+      (1L, ts("2024-01-01 10:00:00"), 1L, Some("a@x"), Some("111")),
+      (1L, ts("2024-01-01 11:00:00"), 2L, Option.empty[String], Some("222")),
+      (1L, ts("2024-01-01 12:00:00"), 3L, Some("c@x"), Option.empty[String]),
+      // user 2: field never present
+      (2L, ts("2024-01-01 09:00:00"), 4L, Some("z@x"), Option.empty[String])
+    ).toDF("user_id", "ts", "event_id", "email", "phone")
+    val out = Cdc.goldenRecord(recs, Seq("user_id"),
+        Seq("ts", "event_id"), Seq("email", "phone"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), Option(r.getString(2)), Option(r.getString(3))))
+      .toMap
+    assert(out(1L) === ((3L, Some("c@x"), Some("222"))))
+    assert(out(2L) === ((1L, Some("z@x"), None)))
+  }
+
+  test("goldenRecord plans as one combinable aggregate, no windows") {
+    val plan = Cdc.goldenRecord(log, Seq("user_id"), Seq("ts", "event_id"),
+      Seq("event_type", "value")).queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"))
+    assert(plan.contains("partial_max") || plan.contains("Partial"),
+      s"expected map-side combine:\n$plan")
+  }
+
   test("scd2 spends exactly one exchange (both windows co-partitioned)") {
     val plan = Cdc.scd2(log, Seq("user_id"), Seq("event_type"), "ts",
       Seq("event_id")).queryExecution.executedPlan.toString

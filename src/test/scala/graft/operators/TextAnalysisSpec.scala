@@ -100,4 +100,36 @@ class TextAnalysisSpec extends SparkSuiteBase {
       Seq("spark"), 5).collect()
     assert(solo.length == 1 && solo(0).getDouble(1) > 0)
   }
+
+  test("phrase search: consecutive only, overlaps counted, duplicate words") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "big data spark join fast"),     // one match
+      (2L, "spark join spark join"),        // two matches
+      (3L, "join spark"),                   // reversed -> none
+      (4L, "spark big join"),               // gap -> none
+      (5L, "spark join spark"),             // one match
+      (6L, "nothing here")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.phraseSearch(docs, "doc_id", "text",
+        Seq("spark", "join"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 2L, 5L -> 1L))
+    // duplicate-word phrase: "a a" must need two CONSECUTIVE a's
+    val dup = TextAnalysis.phraseSearch(Seq(
+        (1L, "a b a"), (2L, "a a b"), (3L, "b a a a")
+      ).toDF("doc_id", "text"), "doc_id", "text", Seq("a", "a"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dup === Map(2L -> 1L, 3L -> 2L))
+  }
+
+  test("phrase search plan: phrase table broadcasts, index filters pre-shuffle") {
+    import spark.implicits._
+    val docs = Seq((1L, "spark join")).toDF("doc_id", "text")
+    val plan = TextAnalysis.phraseSearch(docs, "doc_id", "text",
+      Seq("spark", "join")).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"phrase table must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"no corpus merge join:\n$plan")
+  }
 }
