@@ -620,4 +620,51 @@ class StreamingSemanticsSpec extends SparkSuiteBase {
       assert(!key1Rows.contains("stale"))
     } finally q.stop()
   }
+
+  test("streaming gap sessions equal the q138 batch operator, incl. watermark flush") {
+    import graft.streaming.StreamingSessionize
+    def ev(key: Long, t: String, id: Long) =
+      StreamingSessionize.Ev(key, Timestamp.valueOf(t), id)
+    val feed = Seq(
+      // key 1: 3 tight events, a 2h gap, then 2 more
+      ev(1, "2024-01-01 10:00:00", 1), ev(1, "2024-01-01 10:10:00", 2),
+      ev(1, "2024-01-01 10:20:00", 3),
+      ev(1, "2024-01-01 12:30:00", 4), ev(1, "2024-01-01 12:40:00", 5),
+      // key 2: lone event early (must flush by watermark, not traffic)
+      ev(2, "2024-01-01 09:00:00", 6))
+
+    // batch reference over the identical rows (1h gap)
+    val batchDf = feed.map(e => (e.id, e.ts, e.key))
+      .toDF("event_id", "ts", "user_id")
+    val batch = graft.operators.Behavior.sessionize(
+        batchDf, "user_id", "ts", "event_id", gapMs = 3600000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+
+    val ms = MemoryStream[StreamingSessionize.Ev](spark, 1)
+    implicit val s = spark
+    val q = StreamingSessionize.sessions(ms.toDS(), gapMs = 3600000L)
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    try {
+      // globally time-ordered batches (the watermark contract: a
+      // batch may not carry events behind the watermark prior
+      // batches advanced); then a far-future key-3 event forces
+      // every open session to flush by timeout
+      ms.addData(Seq(feed(5), feed(0), feed(1), feed(2)): _*)
+      q.processAllAvailable()
+      ms.addData(Seq(feed(3), feed(4)): _*)
+      q.processAllAvailable()
+      ms.addData(ev(3, "2024-01-02 00:00:00", 99))
+      q.processAllAvailable()
+      ms.addData(ev(3, "2024-01-03 00:00:00", 100)) // flush key 3 too
+      q.processAllAvailable()
+      val streamed = spark.table("sessions").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5)))
+        .filter(_._1 != 3L).toSet
+      assert(streamed == batch,
+        s"stream != batch:\nonly-stream=${streamed -- batch}\nonly-batch=${batch -- streamed}")
+    } finally q.stop()
+  }
 }
