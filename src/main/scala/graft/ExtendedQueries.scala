@@ -446,11 +446,11 @@ object ExtendedQueries extends QueryGroup {
   q("q133_scd2_merge",
     """WITH o AS (
       |  SELECT user_id, event_type, ts, event_id,
-      |    lag(event_type) OVER (
-      |      PARTITION BY user_id ORDER BY ts, event_id) AS prev
-      |  FROM events),
+      |    lag(event_type) OVER w AS prev,
+      |    row_number() OVER w AS rn
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
       |c AS (SELECT user_id, event_type, ts, event_id FROM o
-      |      WHERE event_type IS DISTINCT FROM prev),
+      |      WHERE rn = 1 OR event_type IS DISTINCT FROM prev),
       |v AS (SELECT user_id, event_type,
       |        epoch_ms(ts) AS valid_from_ms,
       |        epoch_ms(lead(ts) OVER w) AS valid_to_ms,
@@ -589,11 +589,12 @@ object ExtendedQueries extends QueryGroup {
     """WITH src AS (SELECT user_id, event_type, ts, event_id FROM events
       |             WHERE event_type <> 'purchase'),
       |o AS (SELECT user_id, event_type, ts, event_id,
-      |        lag(event_type) OVER (
-      |          PARTITION BY user_id ORDER BY ts, event_id) AS prev
-      |      FROM src),
+      |        lag(event_type) OVER w AS prev,
+      |        row_number() OVER w AS rn
+      |      FROM src
+      |      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
       |c AS (SELECT user_id, event_type, ts, event_id FROM o
-      |      WHERE event_type IS DISTINCT FROM prev),
+      |      WHERE rn = 1 OR event_type IS DISTINCT FROM prev),
       |v AS (SELECT user_id, event_type, ts AS valid_from,
       |        lead(ts) OVER w AS valid_to, row_number() OVER w AS ver
       |      FROM c WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
@@ -635,11 +636,12 @@ object ExtendedQueries extends QueryGroup {
       |          PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
       |        FROM b) WHERE rn = 1),
       |g2 AS (SELECT user_id, event_type AS etype FROM events
+      |       WHERE event_type IS NOT NULL
       |       QUALIFY row_number() OVER (
       |         PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1),
       |n AS (SELECT user_id, count(*) AS n_records FROM events GROUP BY 1)
       |SELECT n.user_id, n.n_records, g1.big AS big_value, g2.etype
-      |FROM n LEFT JOIN g1 USING (user_id) JOIN g2 USING (user_id)
+      |FROM n LEFT JOIN g1 USING (user_id) LEFT JOIN g2 USING (user_id)
       |ORDER BY user_id""".stripMargin) { (s, d) =>
     graft.operators.Cdc.goldenRecord(
         Tables.events(s, d).withColumn("big_value",

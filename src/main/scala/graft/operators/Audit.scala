@@ -27,7 +27,6 @@ import org.apache.spark.sql.functions._
   */
 object Audit {
 
-  final case class NullCheck(cols: Seq[String])
   final case class Rule(name: String, violatedWhen: Column)
 
   /** One row per column: (chk = "not_null:<col>", checked = rows,
@@ -40,6 +39,8 @@ object Audit {
   /** One row per rule, all rules in ONE scan/aggregate. */
   def scanChecks(df: DataFrame, rules: Seq[Rule]): DataFrame = {
     require(rules.nonEmpty, "need at least one rule")
+    require(rules.map(_.name).distinct.size == rules.size,
+      "rule names must be distinct (they key the report map)")
     val aggs = count(lit(1)).as("checked") +:
       rules.zipWithIndex.map { case (r, i) =>
         sum(when(r.violatedWhen, 1L).otherwise(0L)).as(s"__v$i")

@@ -54,6 +54,9 @@ object Coreset {
 
     val seed = base.agg(min(col("id"))).head().getLong(0)
     var chosen = List((1, seed, 0.0))
+    // carry the winner's VECTOR inside the argmax struct so each
+    // round is exactly one scan — no separate fetch of the winner row
+    // (the vector never decides the max: (d, -id) is already total)
     var centerVec = vecOf(seed)
     // running min over rounds, rebuilt as a min() chain of the k-1
     // literal-center distance terms — each round's frame is still one
@@ -64,16 +67,16 @@ object Coreset {
       val d: Column = pr6(distCols.map(c => sqDist(col("v"), c))
         .reduceLeft(least(_, _)))
       val top = base.where(!col("id").isin(chosen.map(_._2): _*))
-        .agg(max(struct(d.as("d"), (-col("id")).as("nid"))).as("m"))
+        .agg(max(struct(d.as("d"), (-col("id")).as("nid"),
+          col("v").as("v"))).as("m"))
         .head().getStruct(0)
       val (dist, id) = (top.getDouble(0), -top.getLong(1))
       chosen = (round, id, dist) :: chosen
-      centerVec = vecOf(id)
+      centerVec = top.getSeq[Float](2).map(_.toDouble).toArray
       distCols = centerVec :: distCols
       round += 1
     }
     import spark.implicits._
-    chosen.reverse.map { case (o, id, dd) => (o, id, dd) }
-      .toDF("ord", idCol, "dist2")
+    chosen.reverse.toDF("ord", idCol, "dist2")
   }
 }

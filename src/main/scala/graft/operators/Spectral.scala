@@ -64,10 +64,16 @@ object Spectral {
   def pcaPowerComponent(
       emb: DataFrame,
       vecCol: String,
-      rounds: Int = 3): DataFrame = {
+      rounds: Int = 3): DataFrame =
+    pcaPowerComponentWithMu(emb, vecCol, rounds, meanVector(emb, vecCol))
+
+  private def pcaPowerComponentWithMu(
+      emb: DataFrame,
+      vecCol: String,
+      rounds: Int,
+      mu: Array[Double]): DataFrame = {
     require(rounds >= 1, "need at least one power round")
     val spark = emb.sparkSession
-    val mu = meanVector(emb, vecCol)
     val dim = mu.length
     require(dim > 0, "empty embedding column")
     val v0 = math.floor(1.0 / math.sqrt(dim.toDouble) * 1e6 + 0.5) / 1e6
@@ -102,8 +108,8 @@ object Spectral {
       idCol: String,
       vecCol: String,
       rounds: Int = 3): DataFrame = {
-    val mu = meanVector(emb, vecCol)
-    val comp = pcaPowerComponent(emb, vecCol, rounds)
+    val mu = meanVector(emb, vecCol) // computed once, shared below
+    val comp = pcaPowerComponentWithMu(emb, vecCol, rounds, mu)
       .collect().sortBy(_.getInt(0)).map(_.getDouble(1))
     emb.select(col(idCol),
       pr6(centeredDot(col(vecCol), mu, comp)).as("score"))

@@ -15,15 +15,21 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * the session counter, duration math, and flush timing are
   * bit-identical to the batch operator's window formulation).
   *
-  * State per key: ONE open session (counter, start, last, n) —
-  * constant memory per key however long the stream runs.
+  * State per key: ONE row (counter, start, last, n) — constant
+  * memory per key however long the stream runs. After a timeout
+  * flush the row is KEPT with n = 0 as a closed marker: the counter
+  * must survive the flush or the key's next session would renumber
+  * from 1 and diverge from the batch operator's per-key numbering
+  * (spec-asserted by resuming traffic after a timeout).
   *
-  * Ordering contract: per-key time-ordered feed (the
-  * StreamingAnomaly contract); within a batch events are sorted
-  * before folding, across batches monotonicity is on the feeder.
+  * Ordering contract: the feed must be GLOBALLY watermark-aligned,
+  * not merely per-key ordered — `withWatermark` + EventTimeTimeout
+  * filters any input behind the watermark that OTHER keys advanced,
+  * so a key whose batches lag another key's event time loses events
+  * silently. Within a batch events are sorted before folding.
   * StreamingSemanticsSpec asserts closed-session output equals the
   * q138 batch operator row-for-row, including the watermark-forced
-  * final flush.
+  * final flush and post-timeout resumption.
   */
 object StreamingSessionize {
 
@@ -43,12 +49,15 @@ object StreamingSessionize {
         (key: Long, it: Iterator[Ev], state: GroupState[Open]) =>
           if (state.hasTimedOut) {
             val o = state.get
-            state.remove()
+            // keep the counter (n = 0 marks "no open session") — a
+            // removed state would renumber the key's next session
+            state.update(o.copy(n = 0))
             Iterator(Sess(key, o.sess, o.n, o.startMs, o.lastMs,
               o.lastMs - o.startMs))
           } else {
             val out = Seq.newBuilder[Sess]
-            var open = state.getOption
+            var open = state.getOption.filter(_.n > 0)
+            var lastClosed = state.getOption.map(_.sess).getOrElse(0L)
             it.toSeq.sortBy(e => (e.ts.getTime, e.id)).foreach { e =>
               val t = e.ts.getTime
               open match {
@@ -60,7 +69,7 @@ object StreamingSessionize {
                   open = Some(o.copy(lastMs = math.max(o.lastMs, t),
                     n = o.n + 1))
                 case None =>
-                  open = Some(Open(1, t, t, 1))
+                  open = Some(Open(lastClosed + 1, t, t, 1))
               }
             }
             open.foreach { o =>

@@ -6,8 +6,9 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
 /** Streaming twin of [[graft.operators.Cdc.latestWins]] (q132): a
   * continuously-maintained current-state table over an append-only
   * change stream, as per-key `mapGroupsWithState` — every micro-batch
-  * emits the new latest row for exactly the keys that changed
-  * (upsert semantics for a downstream idempotent sink).
+  * emits the CURRENT winner for each key that received any data
+  * (possibly unchanged, when the batch carried only stale versions —
+  * idempotent-upsert semantics for the sink, not a change feed).
   *
   * State is ONE row per key — the current winner — so memory is
   * key-space-bounded regardless of stream length.

@@ -625,16 +625,20 @@ class StreamingSemanticsSpec extends SparkSuiteBase {
     import graft.streaming.StreamingSessionize
     def ev(key: Long, t: String, id: Long) =
       StreamingSessionize.Ev(key, Timestamp.valueOf(t), id)
-    val feed = Seq(
-      // key 1: 3 tight events, a 2h gap, then 2 more
+    // key 1: a 3-event session, then a 2-event session (closed by gap
+    // traffic and by timeout respectively); key 2: a lone session
+    // flushed by TIMEOUT, then traffic RESUMES a day later (the
+    // counter must continue at sess 2, not restart); key 5: two
+    // single-event sessions split by an in-data gap
+    val all = Seq(
+      ev(2, "2024-01-01 09:00:00", 6),
       ev(1, "2024-01-01 10:00:00", 1), ev(1, "2024-01-01 10:10:00", 2),
       ev(1, "2024-01-01 10:20:00", 3),
       ev(1, "2024-01-01 12:30:00", 4), ev(1, "2024-01-01 12:40:00", 5),
-      // key 2: lone event early (must flush by watermark, not traffic)
-      ev(2, "2024-01-01 09:00:00", 6))
+      ev(5, "2024-01-01 18:00:00", 7),
+      ev(2, "2024-01-02 09:00:00", 8), ev(5, "2024-01-02 10:00:00", 9))
 
-    // batch reference over the identical rows (1h gap)
-    val batchDf = feed.map(e => (e.id, e.ts, e.key))
+    val batchDf = all.map(e => (e.id, e.ts, e.key))
       .toDF("event_id", "ts", "user_id")
     val batch = graft.operators.Behavior.sessionize(
         batchDf, "user_id", "ts", "event_id", gapMs = 3600000L)
@@ -647,24 +651,25 @@ class StreamingSemanticsSpec extends SparkSuiteBase {
       .writeStream.format("memory").queryName("sessions")
       .outputMode("append").start()
     try {
-      // globally time-ordered batches (the watermark contract: a
-      // batch may not carry events behind the watermark prior
-      // batches advanced); then a far-future key-3 event forces
-      // every open session to flush by timeout
-      ms.addData(Seq(feed(5), feed(0), feed(1), feed(2)): _*)
-      q.processAllAvailable()
-      ms.addData(Seq(feed(3), feed(4)): _*)
-      q.processAllAvailable()
-      ms.addData(ev(3, "2024-01-02 00:00:00", 99))
-      q.processAllAvailable()
-      ms.addData(ev(3, "2024-01-03 00:00:00", 100)) // flush key 3 too
-      q.processAllAvailable()
+      // globally watermark-aligned batches (the documented contract);
+      // key 2's session 1 flushes by TIMEOUT in batch 2, key 1's
+      // session 2 by timeout in batch 3, and batch 4 resumes key 2
+      // after its timeout flush; the far-future key-9 event flushes
+      // the rest
+      Seq(all.take(4), all.slice(4, 6), all.slice(6, 7), all.drop(7),
+          Seq(ev(9, "2024-01-05 00:00:00", 100))).foreach { b =>
+        ms.addData(b: _*)
+        q.processAllAvailable()
+      }
       val streamed = spark.table("sessions").collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
           r.getLong(3), r.getLong(4), r.getLong(5)))
-        .filter(_._1 != 3L).toSet
+        .filter(_._1 != 9L).toSet
       assert(streamed == batch,
         s"stream != batch:\nonly-stream=${streamed -- batch}\nonly-batch=${batch -- streamed}")
+      // the resumed key-2 session is NUMBERED 2 (counter survived the
+      // timeout flush)
+      assert(streamed.exists(t => t._1 == 2L && t._2 == 2L))
     } finally q.stop()
   }
 }
