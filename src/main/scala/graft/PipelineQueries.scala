@@ -3556,6 +3556,94 @@ object PipelineQueries extends QueryGroup {
       Tables.orders(s, d), "o_orderkey", lanes = 4, width = 1024)
   }
 
+  // Hard-negative mining (DPR recipe): per probe, the top-k most
+  // similar corpus vectors with a DIFFERENT label — the negatives a
+  // contrastive loss learns from. Same broadcast-probe/one-scan shape
+  // as q37; the label filter runs before ranking.
+  q("q146_hard_negatives",
+    """WITH u AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+      |             unnest(embedding)::DOUBLE AS x FROM embeddings),
+      |nrm AS (SELECT vec_id, sqrt(sum(x*x)) AS nr FROM u GROUP BY vec_id),
+      |lb AS (SELECT vec_id, label FROM embeddings),
+      |d AS (SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+      |        sum(p.x*c.x) AS dp
+      |      FROM u p JOIN u c ON p.i = c.i
+      |      WHERE p.vec_id < 10 AND c.vec_id >= 10 GROUP BY 1, 2),
+      |cs AS (SELECT probe_id, neighbor_id,
+      |         floor((dp / (x.nr * y.nr)) * 1e6 + 0.5) / 1e6 AS cos
+      |       FROM d JOIN nrm x ON x.vec_id = probe_id
+      |            JOIN nrm y ON y.vec_id = neighbor_id),
+      |flt AS (SELECT cs.* FROM cs
+      |        JOIN lb a ON a.vec_id = probe_id
+      |        JOIN lb b ON b.vec_id = neighbor_id
+      |        WHERE a.label IS DISTINCT FROM b.label),
+      |r AS (SELECT probe_id, neighbor_id, cos, row_number() OVER (
+      |        PARTITION BY probe_id ORDER BY cos DESC, neighbor_id) AS rnk
+      |      FROM flt)
+      |SELECT probe_id, rnk, neighbor_id, cos FROM r WHERE rnk <= 5
+      |ORDER BY probe_id, rnk""".stripMargin) { (s, d) =>
+    val e = Tables.embeddings(s, d)
+    Similarity.hardNegatives(
+        e.filter(col("vec_id") < 10), e.filter(col("vec_id") >= 10),
+        "vec_id", "embedding", "label", k = 5)
+      .orderBy(col("probe_id"), col("rnk"))
+  }
+
+  // N-gram novelty vs a reference corpus (odd docs scored against the
+  // even split): fraction of a doc's DISTINCT 3-grams absent from the
+  // reference set — the memorization/contamination complement of the
+  // q64/q97 decontamination family. Reference = one distinct
+  // gram-vocab frame; membership = one gram-keyed join.
+  q("q147_novelty_score",
+    s"""WITH tk AS (SELECT doc_id, $sqlTokens AS l FROM documents),
+       |sh AS (SELECT doc_id,
+       |         unnest(list_transform(generate_series(1, len(l) - 2),
+       |           i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])) AS g
+       |       FROM tk WHERE doc_id % 2 <> 0),
+       |dg AS (SELECT DISTINCT doc_id, g FROM sh),
+       |ref AS (SELECT DISTINCT
+       |          unnest(list_transform(generate_series(1, len(l) - 2),
+       |            i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])) AS g
+       |        FROM tk WHERE doc_id % 2 = 0),
+       |j AS (SELECT dg.doc_id, r.g AS seen FROM dg
+       |      LEFT JOIN ref r ON dg.g = r.g)
+       |SELECT doc_id, count(*) AS n_grams,
+       |  CAST(sum(CASE WHEN seen IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_novel,
+       |  floor(sum(CASE WHEN seen IS NULL THEN 1 ELSE 0 END)
+       |    / CAST(count(*) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS novelty6
+       |FROM j GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    TextAnalysis.noveltyScore(
+        docs.filter(pmod(col("doc_id"), lit(2)) =!= 0), "doc_id", "text",
+        docs.filter(pmod(col("doc_id"), lit(2)) === 0), "text", n = 3)
+      .orderBy(col("doc_id"))
+  }
+
+  // Correlated LATERAL subquery with per-outer-row LIMIT — the
+  // top-k-per-key join in its SQL-native form. Catalyst decorrelates
+  // it to a WindowGroupLimit (rank pushed below the shuffle, partial
+  // + final) + one broadcast join: no per-row re-execution, the plan
+  // a hand-written window formulation would want (plan-asserted).
+  q("q148_lateral_topk",
+    """SELECT p.p_partkey, l.l_orderkey, l.l_extendedprice
+      |FROM part p, LATERAL (
+      |  SELECT l_orderkey, l_extendedprice FROM lineitem
+      |  WHERE l_partkey = p.p_partkey
+      |  ORDER BY l_extendedprice ASC, l_orderkey LIMIT 2) l
+      |ORDER BY p_partkey, l_extendedprice, l_orderkey""".stripMargin) {
+    (s, d) =>
+      Tables.part(s, d).createOrReplaceTempView("v_part_148")
+      Tables.lineitem(s, d).createOrReplaceTempView("v_li_148")
+      s.sql("""SELECT p.p_partkey, l.l_orderkey, l.l_extendedprice
+        |FROM v_part_148 p, LATERAL (
+        |  SELECT l_orderkey, l_extendedprice FROM v_li_148
+        |  WHERE l_partkey = p.p_partkey
+        |  ORDER BY l_extendedprice ASC, l_orderkey LIMIT 2) l
+        |ORDER BY p_partkey, l_extendedprice, l_orderkey""".stripMargin)
+  }
+
   // Exact phrase search by anchor alignment over the positional token
   // index: phrase word i at position p votes for anchor p−i; a match
   // is an anchor all k words voted for. The index filters to the

@@ -46,6 +46,37 @@ object Similarity {
     floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
   }
 
+  /** Hard-negative mining for contrastive training (the in-batch /
+    * ANN-mined negatives recipe, e.g. DPR, Karpukhin et al. 2020):
+    * for each probe, the top-k most-similar corpus vectors whose
+    * LABEL differs — the negatives that actually move a contrastive
+    * loss, as opposed to random negatives the model already separates.
+    *
+    * Same scale shape as [[bruteForceTopK]] (broadcast probes, one
+    * corpus scan, per-probe TakeOrdered-sized windows); the label
+    * inequality filters BEFORE ranking so true-class neighbors never
+    * occupy top-k slots. For corpora past the brute-force gate,
+    * compose with the IVF cells instead (q106's knnGraph discipline)
+    * — the filter commutes with cell blocking.
+    */
+  def hardNegatives(
+      probes: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      labelCol: String,
+      k: Int): DataFrame = {
+    val p = probes.select(col(idCol).as("probe_id"), col(vecCol).as("pv"),
+      col(labelCol).as("__pl"))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("cv"), col(labelCol).as("__cl"))
+    val pairs = c.crossJoin(broadcast(p))
+      .where(!(col("__pl") <=> col("__cl")))
+      .select(col("probe_id"), col("neighbor_id"),
+        cos6(probes.sparkSession, col("pv"), col("cv")).as("cos"))
+    ranked(pairs, k)
+  }
+
   /** Exact top-k neighbors of each probe within the corpus. */
   def bruteForceTopK(
       probes: DataFrame,

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -645,6 +645,44 @@ object TextAnalysis {
     * Duplicate words in the phrase are handled by the distinct-i
     * count (an occurrence votes once per phrase slot its word fills).
     */
+  /** N-gram novelty against a reference corpus: per document, the
+    * fraction of its DISTINCT word n-grams absent from the
+    * reference's n-gram set — the standard memorization/contamination
+    * complement to the q64/q97 decontamination family (novelty ~ 0
+    * means the doc is assembled from reference text; ~1 means unseen
+    * content). Documents with fewer than n tokens produce no row
+    * (no grams — the q128 zero-token convention).
+    *
+    * Scale shape: the reference set is a DISTINCT gram frame (gram-
+    * vocab-sized, one combinable aggregate); membership is one
+    * gram-keyed equi-join; per-doc stats are one aggregate. Nothing
+    * is all-pairs and the reference never re-scans per doc.
+    */
+  def noveltyScore(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      reference: DataFrame,
+      refTextCol: String,
+      n: Int = 3): DataFrame = {
+    require(n >= 1, "n-gram size must be >= 1")
+    def grams(c: Column) = TextFns.wordShingles(TextFns.tokens(c), n)
+    val refSet = reference
+      .select(explode(grams(col(refTextCol))).as("g"))
+      .distinct()
+      .withColumn("__seen", lit(1))
+    docs
+      .select(col(idCol), explode(grams(col(textCol))).as("g"))
+      .distinct()
+      .join(refSet, Seq("g"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("__seen").isNull, 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty6",
+        floor(col("n_novel").cast("double") / col("n_grams") * lit(1e6) +
+          lit(0.5)) / lit(1e6))
+  }
+
   def phraseSearch(
       docs: DataFrame,
       idCol: String,

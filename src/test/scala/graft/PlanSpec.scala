@@ -424,6 +424,15 @@ class PlanSpec extends SparkSuiteBase {
       s"expected exactly one hash exchange, got $dataExchanges:\n$p")
   }
 
+  test("lateral top-k decorrelates to a WindowGroupLimit + one join (q148)") {
+    val p = plan("q148_lateral_topk")
+    assert(p.contains("WindowGroupLimit"),
+      s"per-key limit must push below the shuffle as a group limit:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"the lateral must not re-execute per outer row:\n$p")
+  }
+
   test("optimal segmentation broadcasts word tables into the corpus scan (q139)") {
     val p = plan("q139_optimal_segment")
     assert(p.contains("BroadcastHashJoin"),

@@ -1185,4 +1185,44 @@ class DedupSimilaritySpec extends SparkSuiteBase {
     val lp = viaLiteral.queryExecution.executedPlan.toString
     assert(!lp.contains("Join"), s"literal path must stay join-free:\n$lp")
   }
+
+  test("hard negatives: same-label neighbors never occupy top-k slots") {
+    import spark.implicits._
+    // probe 0 (label 0) sits in a tight cluster of SAME-label vectors
+    // (ids 10-14) with one slightly-farther other-label vector (20):
+    // the same-label cluster must be invisible to the negatives list
+    val rows = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f), 0),
+      (10L, Seq(0.99f, 0.1f, 0.0f), 0), (11L, Seq(0.99f, -0.1f, 0.0f), 0),
+      (12L, Seq(0.98f, 0.05f, 0.0f), 0), (13L, Seq(0.98f, -0.05f, 0.0f), 0),
+      (14L, Seq(0.97f, 0.0f, 0.1f), 0),
+      (20L, Seq(0.9f, 0.3f, 0.0f), 1), (21L, Seq(0.5f, 0.8f, 0.0f), 1),
+      (22L, Seq(0.0f, 1.0f, 0.0f), 2), (23L, Seq(-1.0f, 0.0f, 0.0f), 2)
+    ).toDF("vec_id", "embedding", "label")
+    val probes = rows.where(col("vec_id") === 0)
+    val corpus = rows.where(col("vec_id") >= 10)
+    val got = Similarity.hardNegatives(probes, corpus, "vec_id",
+        "embedding", "label", k = 3)
+      .collect().map(r => (r.getInt(1), r.getLong(2)))
+    assert(got.map(_._2).toSeq == Seq(20L, 21L, 22L),
+      s"expected other-label ranking, got ${got.toSeq}")
+    // and the plain top-k WOULD have been dominated by same-label ids
+    val plain = Similarity.bruteForceTopK(probes, corpus, "vec_id",
+      "embedding", k = 3).collect().map(_.getLong(2))
+    assert(plain.forall(id => id >= 10 && id <= 14))
+  }
+
+  test("hard negatives: null labels form their own class (null-safe compare)") {
+    import spark.implicits._
+    val rows = Seq(
+      (0L, Seq(1.0f, 0.0f), Option.empty[Int]),
+      (10L, Seq(0.99f, 0.1f), Option.empty[Int]), // same (null) class
+      (11L, Seq(0.9f, 0.2f), Some(1))
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.hardNegatives(
+        rows.where(col("vec_id") === 0), rows.where(col("vec_id") >= 10),
+        "vec_id", "embedding", "label", k = 5)
+      .collect().map(_.getLong(2)).toSeq
+    assert(got == Seq(11L), "null==null must be SAME class, excluded")
+  }
 }

@@ -132,4 +132,23 @@ class TextAnalysisSpec extends SparkSuiteBase {
       s"phrase table must broadcast:\n$plan")
     assert(!plan.contains("SortMergeJoin"), s"no corpus merge join:\n$plan")
   }
+
+  test("novelty score: planted overlap fractions, short docs emit no row") {
+    import spark.implicits._
+    val ref = Seq((100L, "a b c d e f")).toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "a b c d"),        // grams abc, bcd - both in ref -> 0
+      (3L, "x y z w"),        // xyz, yzw - none in ref -> 1
+      (5L, "a b c x y z"),    // abc seen; bcx, cxy, xyz novel -> 3/4
+      (7L, "a b")             // no 3-grams -> no row
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.noveltyScore(docs, "doc_id", "text",
+        ref, "text", n = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got.keySet === Set(1L, 3L, 5L))
+    assert(got(1L) === ((2L, 0L, 0.0)))
+    assert(got(3L) === ((2L, 2L, 1.0)))
+    assert(got(5L) === ((4L, 3L, 0.75)))
+  }
 }
