@@ -93,7 +93,15 @@ object Bench {
     "q133_scd2_merge" -> 0.56, "q134_pca_power" -> 1.14,
     "q135_ndcg" -> 2.05, "q136_grouping_sets" -> 0.76,
     "q137_kcenter_select" -> 1.87, "q138_sessionize" -> 0.45,
-    "q139_optimal_segment" -> 1.01)
+    "q139_optimal_segment" -> 1.01,
+    // round-13 session-2 additions, mins at sf0.1 (comparator
+    // 0.55/0.32, 3 reps)
+    "q140_skew_profile" -> 0.71, "q141_join_cardinality" -> 1.17,
+    "q142_data_audit" -> 1.06, "q143_pit_join" -> 0.79,
+    "q144_golden_record" -> 0.31, "q145_phrase_search" -> 0.56,
+    "q146_hard_negatives" -> 0.59, "q147_novelty_score" -> 2.50,
+    "q148_lateral_topk" -> 1.16, "q149_ohlc_downsample" -> 0.77,
+    "q150_resample_ffill" -> 1.29)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -652,4 +652,58 @@ object ExtendedQueries extends QueryGroup {
         col("event_type").as("etype"))
       .orderBy(col("user_id"))
   }
+
+  // OHLC candlestick downsampling: per (user, hour) the first / max /
+  // min / last value under the total (ts, event_id) order — ONE
+  // combinable aggregate (open/close ride min/max over ordered
+  // structs); never a per-key window. The time-series reduction step
+  // every metrics pipeline runs before storage.
+  q("q149_ohlc_downsample",
+    """WITH h AS (SELECT user_id, date_trunc('hour', ts) AS hr, ts,
+      |             event_id, value FROM events),
+      |w AS (SELECT *,
+      |        row_number() OVER (PARTITION BY user_id, hr
+      |          ORDER BY ts, event_id) AS rn_a,
+      |        row_number() OVER (PARTITION BY user_id, hr
+      |          ORDER BY ts DESC, event_id DESC) AS rn_d
+      |      FROM h)
+      |SELECT user_id, epoch_ms(hr) AS hr_ms, count(*) AS n,
+      |  max(CASE WHEN rn_a = 1 THEN value END) AS open,
+      |  max(value) AS high, min(value) AS low,
+      |  max(CASE WHEN rn_d = 1 THEN value END) AS close
+      |FROM w GROUP BY user_id, hr
+      |ORDER BY user_id, hr_ms""".stripMargin) { (s, d) =>
+    graft.operators.TimeSeries.ohlcDownsample(Tables.events(s, d),
+        "user_id", "ts", "event_id", "value", unit = "hour")
+      .select(col("user_id"), unix_millis(col("bucket")).as("hr_ms"),
+        col("n"), col("open"), col("high"), col("low"), col("close"))
+      .orderBy(col("user_id"), col("hr_ms"))
+  }
+
+  // Regular-grid resampling with forward fill (pandas
+  // resample().ffill()): one row per (user, hour) across each user's
+  // observed span, carrying the last value at-or-before the grid
+  // point. The fill is the as-of floor machinery — one key shuffle,
+  // never a per-grid-point lookup (the oracle's LATERAL states that
+  // lookup declaratively).
+  q("q150_resample_ffill",
+    """WITH b AS (SELECT user_id, date_trunc('hour', min(ts)) AS lo,
+      |             date_trunc('hour', max(ts)) AS hi
+      |           FROM events GROUP BY 1),
+      |g AS (SELECT user_id,
+      |        unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hr
+      |      FROM b)
+      |SELECT g.user_id, epoch_ms(g.hr) AS hr_ms, l.value
+      |FROM g LEFT JOIN LATERAL (
+      |  SELECT value FROM events e
+      |  WHERE e.user_id = g.user_id AND e.ts <= g.hr
+      |  ORDER BY e.ts DESC, e.event_id DESC LIMIT 1) l ON true
+      |ORDER BY user_id, hr_ms""".stripMargin) { (s, d) =>
+    graft.operators.TimeSeries.resampleFfill(Tables.events(s, d),
+        "user_id", "ts", "event_id", "value",
+        unit = "hour", stepExpr = "interval 1 hour")
+      .select(col("user_id"), unix_millis(col("grid_ts")).as("hr_ms"),
+        col("value"))
+      .orderBy(col("user_id"), col("hr_ms"))
+  }
 }

@@ -140,4 +140,60 @@ object TimeSeries {
         (floor(z * lit(1e6) + lit(0.5)) / lit(1e6)).as("z6"))
       .withColumn("anomaly", abs(col("z6")) >= lit(zThreshold))
   }
+
+  /** OHLC downsampling (candlestick bars): per (key, bucket) the
+    * first/max/min/last value, where first/last are decided by the
+    * TOTAL (tsCol, tieCol) order. One combinable hash aggregate —
+    * open/close ride min/max over (ts, tie, value) structs, so the
+    * shuffle carries one row per (key, bucket) per map task, never a
+    * per-key window. `bucket` is `date_trunc(unit, ts)`.
+    */
+  def ohlcDownsample(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      tieCol: String,
+      valueCol: String,
+      unit: String = "hour"): DataFrame = {
+    val ord = struct(col(tsCol), col(tieCol), col(valueCol).as("__v"))
+    df.groupBy(col(keyCol),
+        date_trunc(unit, col(tsCol)).as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(ord).getField("__v").as("open"),
+        max(col(valueCol)).as("high"),
+        min(col(valueCol)).as("low"),
+        max(ord).getField("__v").as("close"))
+  }
+
+  /** Regular-grid resampling with forward fill: one row per (key,
+    * grid point) on a `stepExpr`-spaced grid spanning each key's
+    * [trunc(min ts), trunc(max ts)], carrying the key's LAST value
+    * at-or-before the point (null before the first observation) —
+    * pandas `resample().ffill()`.
+    *
+    * Scale shape: grid bounds are one combinable aggregate; the grid
+    * explode is rows × (span/step) — the DESIGNED output size; the
+    * fill is [[AsOfJoin.floorJoin]] (union + one key shuffle + one
+    * per-key sort), never a per-grid-point lookup join.
+    */
+  def resampleFfill(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      tieCol: String,
+      valueCol: String,
+      unit: String = "hour",
+      stepExpr: String = "interval 1 hour"): DataFrame = {
+    val bounds = df.groupBy(col(keyCol))
+      .agg(date_trunc(unit, min(col(tsCol))).as("__lo"),
+        date_trunc(unit, max(col(tsCol))).as("__hi"))
+    val grid = bounds.select(col(keyCol),
+      explode(sequence(col("__lo"), col("__hi"), expr(stepExpr)))
+        .as("grid_ts"))
+    AsOfJoin.floorJoin(grid,
+        df.select(col(keyCol), col(tsCol), col(tieCol), col(valueCol)),
+        keys = Seq(keyCol), probeTs = "grid_ts", buildTs = tsCol,
+        payload = Seq(tieCol, valueCol))
+      .select(col(keyCol), col("grid_ts"), col(valueCol))
+  }
 }

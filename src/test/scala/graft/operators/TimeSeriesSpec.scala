@@ -120,4 +120,52 @@ class TimeSeriesSpec extends SparkSuiteBase {
         "value", Seq(2.0, 2.0, 2.0), k = 1)
     }
   }
+
+  test("OHLC: open/close follow the total order, ties on ts break by id") {
+    import java.sql.Timestamp
+    def t(x: String) = Timestamp.valueOf(x)
+    val df = Seq(
+      // one hour bucket for key 1: two events share the SAME ts —
+      // open must be the lower id, close the higher
+      (1L, t("2024-01-01 10:05:00"), 1L, 5.0),
+      (1L, t("2024-01-01 10:05:00"), 2L, 9.0),
+      (1L, t("2024-01-01 10:40:00"), 3L, 1.0),
+      // second bucket
+      (1L, t("2024-01-01 11:10:00"), 4L, 7.0),
+      (2L, t("2024-01-01 10:30:00"), 5L, 3.0)
+    ).toDF("user_id", "ts", "event_id", "value")
+    val got = TimeSeries.ohlcDownsample(df, "user_id", "ts", "event_id",
+        "value")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1).toString) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5),
+          r.getDouble(6))).toMap
+    assert(got((1L, "2024-01-01 10:00:00.0")) ===
+      ((3L, 5.0, 9.0, 1.0, 1.0)))
+    assert(got((1L, "2024-01-01 11:00:00.0")) ===
+      ((1L, 7.0, 7.0, 7.0, 7.0)))
+    assert(got((2L, "2024-01-01 10:00:00.0")) ===
+      ((1L, 3.0, 3.0, 3.0, 3.0)))
+  }
+
+  test("resample+ffill: grid spans trunc(min)..trunc(max), nulls before first obs") {
+    import java.sql.Timestamp
+    def t(x: String) = Timestamp.valueOf(x)
+    val df = Seq(
+      (1L, t("2024-01-01 10:30:00"), 1L, 5.0),
+      (1L, t("2024-01-01 13:10:00"), 2L, 8.0),
+      (2L, t("2024-01-01 11:00:00"), 3L, 2.0)
+    ).toDF("user_id", "ts", "event_id", "value")
+    val got = TimeSeries.resampleFfill(df, "user_id", "ts", "event_id",
+        "value")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1).toString,
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSet
+    assert(got === Set(
+      // 10:00 grid point precedes the 10:30 observation -> null
+      (1L, "2024-01-01 10:00:00.0", None),
+      (1L, "2024-01-01 11:00:00.0", Some(5.0)),
+      (1L, "2024-01-01 12:00:00.0", Some(5.0)),
+      (1L, "2024-01-01 13:00:00.0", Some(5.0)),
+      // key 2: single point exactly on its own grid mark
+      (2L, "2024-01-01 11:00:00.0", Some(2.0))))
+  }
 }
