@@ -706,4 +706,25 @@ object ExtendedQueries extends QueryGroup {
         col("value"))
       .orderBy(col("user_id"), col("hr_ms"))
   }
+
+  // Sliding 7-day distinct active users per day: collapse to the
+  // (day, user) frame, explode each observation into the 7 window
+  // ends it serves, one count-distinct per window day — shuffle =
+  // 7 x |user-days|, the exact formulation's floor (the HLL register
+  // merge is the constant-state alternative, spec'd equivalent within
+  // the q114 envelope).
+  q("q151_sliding_distinct",
+    """WITH ud AS (SELECT DISTINCT
+      |    CAST(floor(epoch_ms(ts) / 86400000) AS BIGINT) AS d, user_id
+      |  FROM events),
+      |b AS (SELECT min(d) AS lo, max(d) AS hi FROM ud),
+      |e AS (SELECT d + i AS win_day, user_id FROM ud
+      |      CROSS JOIN (SELECT unnest(range(0, 7)) AS i))
+      |SELECT win_day, count(DISTINCT user_id) AS n_keys
+      |FROM e, b WHERE win_day BETWEEN lo AND hi
+      |GROUP BY win_day ORDER BY win_day""".stripMargin) { (s, d) =>
+    graft.operators.Behavior.slidingDistinct(Tables.events(s, d),
+        "user_id", "ts", windowDays = 7)
+      .orderBy(col("win_day"))
+  }
 }

@@ -102,6 +102,44 @@ object Behavior {
     * key partitioning already satisfies) all reuse it; asserted in
     * BehaviorSpec.
     */
+  /** Sliding-window distinct actives (the "7-day active users per
+    * day" reduction): for each day d in the observed span, the count
+    * of DISTINCT keys seen in [d − windowDays + 1, d].
+    *
+    * Shape: collapse to the (epoch-day, key) frame first (one
+    * combinable distinct — the corpus-sized term), then explode each
+    * observation into the `windowDays` window-ends it serves and run
+    * ONE count-distinct aggregate per window day. Shuffle volume is
+    * windowDays × |key-days| — the exact formulation's floor. For
+    * spans where exactness can yield (dashboards at 10⁹ keys),
+    * [[Sketches.hllRegisters]] per day max-merged across the window
+    * is the constant-state path (register merge == union by
+    * construction); SketchesSpec's merge law plus the q114 error
+    * envelope make the two interchangeable, and BehaviorSpec
+    * cross-checks them on a planted span.
+    */
+  def slidingDistinct(
+      events: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      windowDays: Int): DataFrame = {
+    require(windowDays >= 1, "windowDays must be >= 1")
+    val keyDay = events.select(
+        floor(unix_millis(col(tsCol)) / lit(86400000L)).cast("long")
+          .as("__d"),
+        col(keyCol))
+      .distinct()
+    val bounds = keyDay.agg(min(col("__d")).as("__lo"),
+      max(col("__d")).as("__hi"))
+    keyDay
+      .select(explode(sequence(col("__d"),
+        col("__d") + lit(windowDays - 1))).as("win_day"), col(keyCol))
+      .crossJoin(broadcast(bounds))
+      .where(col("win_day").between(col("__lo"), col("__hi")))
+      .groupBy(col("win_day"))
+      .agg(count_distinct(col(keyCol)).as("n_keys"))
+  }
+
   def sessionize(
       events: DataFrame,
       keyCol: String,

@@ -135,4 +135,31 @@ class BehaviorSpec extends SparkSuiteBase {
     assert(exchanges === 1,
       s"lag, running sum, and session agg must share one shuffle:\n$plan")
   }
+
+  test("sliding distinct: planted span, window membership, HLL merge law") {
+    def at(day: Long, u: Long, id: Long) =
+      (id, new Timestamp(day * 86400000L + 3600000L), u, "x")
+    val events = Seq(
+      at(0, 1, 1), at(0, 2, 2), at(3, 2, 3), at(3, 3, 4), at(10, 9, 5)
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val got = Behavior.slidingDistinct(events, "user_id", "ts", 7)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expect = Map(0L -> 2L, 1L -> 2L, 2L -> 2L, 3L -> 3L, 4L -> 3L,
+      5L -> 3L, 6L -> 3L, 7L -> 2L, 8L -> 2L, 9L -> 2L, 10L -> 1L)
+    assert(got === expect)
+    // HLL constant-state path: per-day register tables max-merged over
+    // a window == the register table of the union set (the merge law
+    // that makes the sketch the scale substitute)
+    import spark.implicits._
+    val day0 = Seq("u1", "u2").toDF("k")
+    val day3 = Seq("u2", "u3").toDF("k")
+    val m = 256
+    val merged = Sketches.hllRegisters(day0, "k", m)
+      .unionAll(Sketches.hllRegisters(day3, "k", m))
+      .groupBy(col("bucket")).agg(max(col("reg")).as("reg"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val direct = Sketches.hllRegisters(day0.unionAll(day3), "k", m)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(merged === direct)
+  }
 }

@@ -84,4 +84,14 @@ class FuzzyJoinSpec extends SparkSuiteBase {
     val bnl = "BroadcastNestedLoopJoin".r.findAllIn(plan).size
     assert(bnl <= 1, s"only the short bucket may nested-loop, saw $bnl")
   }
+
+  test("adversarial: null and empty strings don't crash, empty pairs with tiny") {
+    val v = Seq(Some(""), Some("a"), Some("ab"), None, Some("abcdef"))
+    val df = v.toDF("s")
+    val got = FuzzyJoin.editDistancePairs(df, "s", 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    // nulls vanish; "" pairs with "a" (d=1) and "ab" (d=2) via the
+    // short bucket; nothing pairs with the long outlier
+    assert(got === Set(("", "a", 1), ("", "ab", 2), ("a", "ab", 1)))
+  }
 }

@@ -107,4 +107,13 @@ class SegmentSpec extends SparkSuiteBase {
       .head().getSeq[Long](2)
     assert(a === b)
   }
+
+  test("adversarial: null/empty/whitespace docs emit no rows, mixed doc total") {
+    val trained = vocabOf(Seq("a", "##b"))
+    val docs = Seq((1L, null.asInstanceOf[String]), (2L, ""), (3L, "   "),
+      (4L, "ab")).toDF("doc_id", "text")
+    val out = Segment.encode(docs, "doc_id", "text", trained)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out === Map(4L -> 2))
+  }
 }
