@@ -101,7 +101,8 @@ object Bench {
     "q144_golden_record" -> 0.31, "q145_phrase_search" -> 0.56,
     "q146_hard_negatives" -> 0.59, "q147_novelty_score" -> 2.50,
     "q148_lateral_topk" -> 1.16, "q149_ohlc_downsample" -> 0.77,
-    "q150_resample_ffill" -> 1.29, "q151_sliding_distinct" -> 1.04)
+    "q150_resample_ffill" -> 1.29, "q151_sliding_distinct" -> 1.04,
+    "q152_feature_hash" -> 1.25, "q153_standardize" -> 0.64)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

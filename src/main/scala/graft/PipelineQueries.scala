@@ -3644,6 +3644,46 @@ object PipelineQueries extends QueryGroup {
         |ORDER BY p_partkey, l_extendedprice, l_orderkey""".stripMargin)
   }
 
+  // Hashing-trick featurization (Weinberger 2009): fixed-dim sparse
+  // bag-of-words with NO vocabulary pass — the property that matters
+  // at 100 TB (no vocab table to build or keep consistent). Buckets
+  // use the oracle-portable md5 family, so the oracle replays the
+  // exact bits.
+  q("q152_feature_hash",
+    s"""WITH t AS (SELECT doc_id, unnest($sqlTokens) AS w FROM documents),
+       |h AS (SELECT doc_id,
+       |        CAST('0x' || substr(md5(w), 1, 15) AS BIGINT) % 64 AS b
+       |      FROM t),
+       |c AS (SELECT doc_id, b, count(*) AS c FROM h GROUP BY 1, 2)
+       |SELECT doc_id, count(*) AS nnz,
+       |  string_agg(b || ':' || c, ',' ORDER BY b) AS vec_csv
+       |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+    TextAnalysis.featureHash(Tables.documents(s, d), "doc_id", "text",
+        dim = 64)
+      .orderBy(col("doc_id"))
+  }
+
+  // Per-dimension embedding standardization: stats staged at 6dp
+  // (mu, second moment) so the oracle replays them; probe rows only
+  // in the output, corpus-wide stats. One dims-sized aggregate + a
+  // broadcast join into the scan — no corpus shuffle.
+  q("q153_standardize",
+    """WITH u AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1
+      |             AS pos, unnest(embedding)::DOUBLE AS x
+      |           FROM embeddings),
+      |st AS (SELECT pos, floor(avg(x)*1e6 + 0.5)/1e6 AS mu,
+      |         floor(avg(x*x)*1e6 + 0.5)/1e6 AS m2
+      |       FROM u GROUP BY pos)
+      |SELECT vec_id, u.pos,
+      |  floor((x - mu) / sqrt(m2 - mu*mu) * 1e6 + 0.5)/1e6 AS z6
+      |FROM u JOIN st USING (pos) WHERE vec_id < 5
+      |ORDER BY vec_id, pos""".stripMargin) { (s, d) =>
+    graft.operators.Spectral.standardize(
+        Tables.embeddings(s, d), "vec_id", "embedding",
+        probePred = col("vec_id") < 5)
+      .orderBy(col("vec_id"), col("pos"))
+  }
+
   // Exact phrase search by anchor alignment over the positional token
   // index: phrase word i at position p votes for anchor p−i; a match
   // is an anchor all k words voted for. The index filters to the

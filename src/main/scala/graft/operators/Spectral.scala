@@ -99,6 +99,34 @@ object Spectral {
       .toDF("pos", "pc1")
   }
 
+  /** Per-dimension standardization (z-scoring) of the embedding
+    * column — the preprocessing step before cosine/PCA when dims have
+    * heterogeneous scales. Stats are STAGED at 6dp (μ = pr6(avg x),
+    * m2 = pr6(avg x²), σ = √(m2 − μ²)) so a relational oracle replays
+    * them exactly; output is (idCol, pos, z6) rows for rows matching
+    * `probePred` (the corpus-wide stats still aggregate everything).
+    *
+    * One dims-sized aggregate + one broadcast join into the scan —
+    * no corpus shuffle.
+    */
+  def standardize(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      probePred: Column): DataFrame = {
+    val u = emb.select(col(idCol),
+      posexplode(col(vecCol)).as(Seq("pos", "x")))
+      .select(col(idCol), col("pos"), col("x").cast("double").as("x"))
+    val st = u.groupBy(col("pos"))
+      .agg(pr6(avg(col("x"))).as("mu"),
+        pr6(avg(col("x") * col("x"))).as("m2"))
+    u.where(probePred)
+      .join(broadcast(st), Seq("pos"))
+      .select(col(idCol), col("pos"),
+        pr6((col("x") - col("mu")) /
+          sqrt(col("m2") - col("mu") * col("mu"))).as("z6"))
+  }
+
   /** Projection of every row onto [[pcaPowerComponent]]'s axis:
     * (idCol, score) with score = 6dp-rounded (x − μ)·v — one
     * codegen'd scan, zero shuffles past the component collect.

@@ -683,6 +683,40 @@ object TextAnalysis {
           lit(0.5)) / lit(1e6))
   }
 
+  /** Hashing-trick bag-of-words featurization (Weinberger et al.
+    * 2009): token → bucket = portable-md5(token) mod `dim`, per-doc
+    * bucket counts as a sparse vector ("b:c" csv, bucket-ordered) —
+    * the fixed-dimension text featurizer that needs NO vocabulary
+    * pass (the property that matters at 100 TB: no vocab table to
+    * build, broadcast, or keep consistent across runs; collisions are
+    * the accepted trade, bounded by dim).
+    *
+    * One doc-keyed aggregate chain: explode → (doc, bucket) count →
+    * per-doc sorted assembly. The md5 bucket is the q97/q103
+    * oracle-portable hash family, so the oracle replays the exact
+    * bits.
+    */
+  def featureHash(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      dim: Int): DataFrame = {
+    require(dim >= 2, "dim must be >= 2")
+    docs
+      .select(col(idCol), explode(TextFns.tokens(col(textCol))).as("__w"))
+      .select(col(idCol),
+        (graft.functions.PortableHash.md5Long60(col("__w")) % lit(dim.toLong))
+          .as("__b"))
+      .groupBy(col(idCol), col("__b"))
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("nnz"),
+        concat_ws(",", transform(
+          array_sort(collect_list(struct(col("__b"), col("__c")))),
+          x => concat(x.getField("__b").cast("string"), lit(":"),
+            x.getField("__c").cast("string")))).as("vec_csv"))
+  }
+
   def phraseSearch(
       docs: DataFrame,
       idCol: String,

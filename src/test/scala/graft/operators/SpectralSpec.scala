@@ -70,4 +70,23 @@ class SpectralSpec extends SparkSuiteBase {
     assert(!plan.contains("Exchange"),
       s"projection must be one codegen scan, got:\n$plan")
   }
+
+  test("standardize: probe rows z-scored against corpus-wide staged stats") {
+    import spark.implicits._
+    // dim 0 constant-ish spread 10 +- 2, dim 1 spread 0 +- 20
+    val rows = (0 until 40).map { i =>
+      val s0 = if (i % 2 == 0) 8.0f else 12.0f
+      val s1 = if (i % 2 == 0) -20.0f else 20.0f
+      (i.toLong, Seq(s0, s1))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val got = Spectral.standardize(df, "vec_id", "embedding",
+        col("vec_id") < 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(2))
+      .toMap
+    // mu0=10 sd0=2, mu1=0 sd1=20 -> vec 0 = (8,-20) -> (-1, -1);
+    // vec 1 = (12, 20) -> (1, 1)
+    assert(got === Map((0L, 0) -> -1.0, (0L, 1) -> -1.0,
+      (1L, 0) -> 1.0, (1L, 1) -> 1.0))
+  }
 }

@@ -151,4 +151,25 @@ class TextAnalysisSpec extends SparkSuiteBase {
     assert(got(3L) === ((2L, 2L, 1.0)))
     assert(got(5L) === ((4L, 3L, 0.75)))
   }
+
+  test("feature hash: fixed dim bound, exact counts, determinism") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b a c a b"), (2L, "z"), (3L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis.featureHash(docs, "doc_id", "text", dim = 8)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2)))
+      .toMap
+    // doc 3 has no tokens -> no row; nnz bounded by dim
+    assert(out.keySet === Set(1L, 2L))
+    assert(out(1L)._1 <= 8)
+    // total count across buckets = token count (6 for doc 1)
+    val total = out(1L)._2.split(",").map(_.split(":")(1).toLong).sum
+    assert(total === 6L)
+    // bucket ids replay the JVM md5 hash exactly
+    val aB = graft.functions.PortableHash.md5Long60Jvm(
+      "a".getBytes("UTF-8")) % 8
+    assert(out(1L)._2.split(",").exists(_.startsWith(s"$aB:3")))
+    val again = TextAnalysis.featureHash(docs.repartition(4), "doc_id",
+      "text", 8).collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(again(1L) === out(1L)._2)
+  }
 }
