@@ -727,4 +727,29 @@ object ExtendedQueries extends QueryGroup {
         "user_id", "ts", windowDays = 7)
       .orderBy(col("win_day"))
   }
+
+  // UNPIVOT/melt — the inverse of q28's pivot (R-30): wide measure
+  // columns to long (key, metric, val) form. Spark plans ONE Expand
+  // over a single scan (the oracle states the same relation as a
+  // UNION ALL of per-measure projections — 3 logical scans that the
+  // engine's Expand collapses to one, plan-asserted).
+  q("q154_unpivot",
+    """SELECT l_orderkey, l_linenumber, 'l_discount' AS metric,
+      |  l_discount AS val FROM lineitem
+      |UNION ALL
+      |SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+      |FROM lineitem
+      |UNION ALL
+      |SELECT l_orderkey, l_linenumber, 'l_quantity', l_quantity
+      |FROM lineitem
+      |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .unpivot(
+        ids = Array(col("l_orderkey"), col("l_linenumber")),
+        values = Array(col("l_discount"), col("l_extendedprice"),
+          col("l_quantity")),
+        variableColumnName = "metric",
+        valueColumnName = "val")
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("metric"))
+  }
 }

@@ -433,6 +433,13 @@ class PlanSpec extends SparkSuiteBase {
       s"the lateral must not re-execute per outer row:\n$p")
   }
 
+  test("unpivot collapses to one Expand over a single scan (q154)") {
+    val p = plan("q154_unpivot")
+    assert("Expand".r.findAllIn(p).size >= 1, s"expected Expand:\n$p")
+    assert("FileScan".r.findAllIn(p).size == 1,
+      s"melt must not rescan per measure:\n$p")
+  }
+
   test("optimal segmentation broadcasts word tables into the corpus scan (q139)") {
     val p = plan("q139_optimal_segment")
     assert(p.contains("BroadcastHashJoin"),
