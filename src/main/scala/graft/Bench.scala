@@ -103,7 +103,8 @@ object Bench {
     "q148_lateral_topk" -> 1.16, "q149_ohlc_downsample" -> 0.77,
     "q150_resample_ffill" -> 1.29, "q151_sliding_distinct" -> 1.04,
     "q152_feature_hash" -> 1.25, "q153_standardize" -> 0.64,
-    "q154_unpivot" -> 1.61)
+    "q154_unpivot" -> 1.61, "q155_entity_resolution" -> 3.38,
+    "q156_cusum" -> 0.85)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -3644,6 +3644,75 @@ object PipelineQueries extends QueryGroup {
         |ORDER BY p_partkey, l_extendedprice, l_orderkey""".stripMargin)
   }
 
+  // End-to-end ENTITY RESOLUTION over the part-name vocabulary: the
+  // classic MDM composition blocking -> pairwise match -> transitive
+  // clusters -> canonical survivor, spliced from q131's prefix-filter
+  // fuzzy join and the q47 pointer-jumping components — each stage
+  // already scale-shaped (gram equi-join candidates, O(log d) label
+  // rounds, one aggregate for sizes). Oracle = brute-force pairs +
+  // the recursive reachability closure.
+  q("q155_entity_resolution",
+    """WITH RECURSIVE n AS (SELECT DISTINCT p_name AS s FROM part),
+      |pr AS (SELECT a.s AS id_a, b.s AS id_b FROM n a JOIN n b
+      |       ON a.s < b.s
+      |       WHERE abs(length(a.s) - length(b.s)) <= 2
+      |         AND levenshtein(a.s, b.s) <= 2),
+      |edges AS (SELECT id_a AS src, id_b AS dst FROM pr
+      |          UNION SELECT id_b, id_a FROM pr),
+      |reach(id, lbl) AS (
+      |  SELECT s, s FROM n
+      |  UNION
+      |  SELECT e.src, r.lbl FROM reach r JOIN edges e ON e.dst = r.id),
+      |comp AS (SELECT id AS name, min(lbl) AS canon FROM reach GROUP BY id),
+      |sz AS (SELECT canon, count(*) AS csize FROM comp GROUP BY canon)
+      |SELECT name, comp.canon, csize
+      |FROM comp JOIN sz USING (canon)
+      |ORDER BY name""".stripMargin) { (s, d) =>
+    val part = Tables.part(s, d)
+    val names = part.select(col("p_name")).distinct()
+    val pairs = graft.operators.FuzzyJoin
+      .editDistancePairs(part, "p_name", maxDist = 2)
+      .select(col("name_a").as("id_a"), col("name_b").as("id_b"))
+    val comp = graft.operators.Dedup.clusters(names, "p_name", pairs)
+      .select(col("p_name").as("name"), col("cluster").as("canon"))
+    comp.join(comp.groupBy(col("canon")).agg(count(lit(1)).as("csize")),
+        Seq("canon"))
+      .select(col("name"), col("canon"), col("csize"))
+      .orderBy(col("name"))
+  }
+
+  // One-sided CUSUM changepoint detection (Page 1954) — the
+  // small-persistent-shift detector next to q121's spike z-score.
+  // The max(0, .) clamp makes the recurrence non-window-expressible;
+  // the engine folds each key's history row-locally in the EXACT
+  // left-associative grouping this recursive oracle replays, so the
+  // chain is bit-identical (s6 rounding is presentation, not a
+  // tolerance).
+  q("q156_cusum",
+    """WITH RECURSIVE o AS (
+      |  SELECT user_id, event_id, value, epoch_ms(ts) AS ts_ms,
+      |    row_number() OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS rn
+      |  FROM events),
+      |c(user_id, rn, event_id, ts_ms, value, s) AS (
+      |  SELECT user_id, rn, event_id, ts_ms, value,
+      |    greatest(0e0, 0e0 + (value - 50e0 - 5e0)) FROM o WHERE rn = 1
+      |  UNION ALL
+      |  SELECT o.user_id, o.rn, o.event_id, o.ts_ms, o.value,
+      |    greatest(0e0, c.s + (o.value - 50e0 - 5e0))
+      |  FROM c JOIN o ON o.user_id = c.user_id AND o.rn = c.rn + 1)
+      |SELECT user_id, event_id, ts_ms, value,
+      |  floor(s * 1e6 + 0.5)/1e6 AS s6, s > 60e0 AS alarm
+      |FROM c ORDER BY user_id, rn""".stripMargin) { (s, d) =>
+    graft.operators.TimeSeries.cusum(Tables.events(s, d),
+        "user_id", "ts", "event_id", "value",
+        target = 50.0, slack = 5.0, threshold = 60.0)
+      .select(col("user_id"), col("event_id"),
+        unix_millis(col("ts")).as("ts_ms"), col("value"),
+        col("s6"), col("alarm"))
+      .orderBy(col("user_id"), col("ts_ms"), col("event_id"))
+  }
+
   // Hashing-trick featurization (Weinberger 2009): fixed-dim sparse
   // bag-of-words with NO vocabulary pass — the property that matters
   // at 100 TB (no vocab table to build or keep consistent). Buckets

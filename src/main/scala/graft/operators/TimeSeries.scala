@@ -165,6 +165,62 @@ object TimeSeries {
         max(ord).getField("__v").as("close"))
   }
 
+  /** One-sided CUSUM changepoint detection (Page 1954): per key, the
+    * cumulative positive drift above `target + slack`
+    *
+    *   s₀ = 0;   sᵢ = max(0, sᵢ₋₁ + (xᵢ − target − slack))
+    *
+    * with an alarm where sᵢ > threshold — the classic sequential
+    * drift detector next to q121's rolling z-score (z catches point
+    * spikes, CUSUM catches small persistent shifts).
+    *
+    * The recurrence is non-linear (the max(0,·) clamp), so no window
+    * frame expresses it: each key's history is folded ROW-LOCALLY in
+    * (ts, tie) order after one combinable collect per key. The
+    * bounded-history contract is q102's: per-key state is that key's
+    * row count — fine for monitoring keys with bounded windows,
+    * and the arithmetic chain is written with the exact
+    * left-associative grouping the relational oracle replays, so
+    * stream, batch, and oracle agree bit-for-bit.
+    */
+  def cusum(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      tieCol: String,
+      valueCol: String,
+      target: Double,
+      slack: Double,
+      threshold: Double): DataFrame = {
+    val seq0 = df.groupBy(col(keyCol))
+      .agg(array_sort(collect_list(struct(col(tsCol).as("t"),
+        col(tieCol).as("i"), col(valueCol).cast("double").as("x"))))
+        .as("__seq"))
+    val folded = aggregate(
+      col("__seq"),
+      struct(lit(0.0).as("s"),
+        array().cast(
+          "array<struct<t:timestamp,i:bigint,x:double,s:double>>")
+          .as("out")),
+      (acc, e) => {
+        // EXACT grouping replayed by the oracle:
+        // s' = greatest(0, s + (x - target - slack))
+        val s1 = greatest(lit(0.0),
+          acc.getField("s") +
+            (e.getField("x") - lit(target) - lit(slack)))
+        struct(s1.as("s"),
+          concat(acc.getField("out"), array(struct(
+            e.getField("t").as("t"), e.getField("i").as("i"),
+            e.getField("x").as("x"), s1.as("s")))).as("out"))
+      },
+      acc => acc.getField("out"))
+    seq0.select(col(keyCol), explode(folded).as("e"))
+      .select(col(keyCol), col("e.t").as(tsCol), col("e.i").as(tieCol),
+        col("e.x").as(valueCol),
+        (floor(col("e.s") * lit(1e6) + lit(0.5)) / lit(1e6)).as("s6"),
+        (col("e.s") > lit(threshold)).as("alarm"))
+  }
+
   /** Regular-grid resampling with forward fill: one row per (key,
     * grid point) on a `stepExpr`-spaced grid spanning each key's
     * [trunc(min ts), trunc(max ts)], carrying the key's LAST value

@@ -94,4 +94,19 @@ class FuzzyJoinSpec extends SparkSuiteBase {
     // short bucket; nothing pairs with the long outlier
     assert(got === Set(("", "a", 1), ("", "ab", 2), ("a", "ab", 1)))
   }
+
+  test("entity resolution composition: transitive chains share one canonical") {
+    // chain aaaaaa ~ aaaaab ~ aaaabb ~ aaabbb: adjacent distances <= 2
+    // but endpoints differ by 3 — transitivity must still merge them
+    val chain = Seq("aaaaaa", "aaaaab", "aaaabb", "aaabbb")
+    val lone = Seq("zzzzzz")
+    val df = (chain ++ lone).toDF("s")
+    val pairs = FuzzyJoin.editDistancePairs(df, "s", 2)
+      .select(col("name_a").as("id_a"), col("name_b").as("id_b"))
+    val comp = Dedup.clusters(df.select(col("s")), "s", pairs)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    chain.foreach(n => assert(comp(n) === "aaaaaa",
+      s"$n must resolve to the chain minimum"))
+    assert(comp("zzzzzz") === "zzzzzz")
+  }
 }

@@ -168,4 +168,38 @@ class TimeSeriesSpec extends SparkSuiteBase {
       // key 2: single point exactly on its own grid mark
       (2L, "2024-01-01 11:00:00.0", Some(2.0))))
   }
+
+  test("CUSUM: clamp at zero, drift accumulation, alarm onset, hand-computed") {
+    import java.sql.Timestamp
+    def t(i: Int) = new Timestamp(1700000000000L + i * 1000L)
+    // target 10, slack 2 -> drift adds (x - 12); threshold 5
+    val vals = Seq(10.0, 9.0, 15.0, 16.0, 14.0, 8.0)
+    val df = vals.zipWithIndex.map { case (v, i) =>
+      (1L, t(i), i.toLong, v)
+    }.toDF("user_id", "ts", "event_id", "value")
+    val got = TimeSeries.cusum(df, "user_id", "ts", "event_id", "value",
+        target = 10.0, slack = 2.0, threshold = 5.0)
+      .collect().map(r => r.getLong(2) -> (r.getDouble(4), r.getBoolean(5)))
+      .toMap
+    // s: max(0,0-2)=0; max(0,0-3)=0; max(0,0+3)=3; 3+4=7; 7+2=9; 9-4=5
+    assert(got(0L) === ((0.0, false)))
+    assert(got(1L) === ((0.0, false)))
+    assert(got(2L) === ((3.0, false)))
+    assert(got(3L) === ((7.0, true)))
+    assert(got(4L) === ((9.0, true)))
+    assert(got(5L) === ((5.0, false)), "alarm is strict >")
+  }
+
+  test("CUSUM deterministic under repartitioning") {
+    import java.sql.Timestamp
+    val df = (0 until 200).map { i =>
+      ((i % 3).toLong, new Timestamp(1700000000000L + i * 1000L),
+        i.toLong, ((i * 37) % 100).toDouble)
+    }.toDF("user_id", "ts", "event_id", "value")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      TimeSeries.cusum(d, "user_id", "ts", "event_id", "value",
+        50.0, 5.0, 60.0).collect()
+        .map(r => (r.getLong(0), r.getLong(2), r.getDouble(4))).toSet
+    assert(run(df) === run(df.repartition(7)))
+  }
 }
