@@ -104,7 +104,9 @@ object Bench {
     "q150_resample_ffill" -> 1.29, "q151_sliding_distinct" -> 1.04,
     "q152_feature_hash" -> 1.25, "q153_standardize" -> 0.64,
     "q154_unpivot" -> 1.61, "q155_entity_resolution" -> 3.38,
-    "q156_cusum" -> 0.85)
+    // q157 times the PRUNED read (the partitioned layout is written
+    // once per session/dir, the q75 memo convention)
+    "q156_cusum" -> 0.85, "q157_partition_pruning" -> 0.64)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -3644,6 +3644,46 @@ object PipelineQueries extends QueryGroup {
         |ORDER BY p_partkey, l_extendedprice, l_orderkey""".stripMargin)
   }
 
+  /** Hive-style partitioned layout of lineitem by ship month, written
+    * ONCE per (session, dir) — q157 reads it back with a partition
+    * predicate, so the scan touches one month's files (PartitionFilters
+    * in the plan, asserted in PlanSpec). The result is the point: the
+    * layout is RESULT-invisible (oracle = the plain filtered
+    * aggregate), only the IO shape changes — the q109/q119 discipline
+    * applied to the most common layout lever of all.
+    */
+  private val partLayoutDirs = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.SparkSession, String), String]
+
+  private def partitionedLineitem(s: org.apache.spark.sql.SparkSession,
+      d: String): String = {
+    sweepDeadEntries(partLayoutDirs)
+    partLayoutDirs.computeIfAbsent((s, d), _ => {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-partlayout").toString
+      Tables.lineitem(s, d)
+        .withColumn("ship_month",
+          date_format(col("l_shipdate"), "yyyy-MM"))
+        .write.partitionBy("ship_month").mode("overwrite").parquet(dir)
+      dir
+    })
+  }
+
+  q("q157_partition_pruning",
+    s"""SELECT l_returnflag, count(*) AS n,
+       |  ${sqlRound("sum(l_extendedprice)", 2)} AS revenue
+       |FROM lineitem
+       |WHERE year(l_shipdate) = 1996 AND month(l_shipdate) = 3
+       |GROUP BY l_returnflag
+       |ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+    s.read.parquet(partitionedLineitem(s, d))
+      .where(col("ship_month") === "1996-03")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        pround(sum(col("l_extendedprice")), 2).as("revenue"))
+      .orderBy(col("l_returnflag"))
+  }
+
   // End-to-end ENTITY RESOLUTION over the part-name vocabulary: the
   // classic MDM composition blocking -> pairwise match -> transitive
   // clusters -> canonical survivor, spliced from q131's prefix-filter

@@ -440,6 +440,16 @@ class PlanSpec extends SparkSuiteBase {
       s"melt must not rescan per measure:\n$p")
   }
 
+  test("partitioned layout prunes the scan to the filtered month (q157)") {
+    val p = plan("q157_partition_pruning")
+    assert(p.contains("PartitionFilters") && p.contains("ship_month"),
+      s"expected a partition predicate at the scan:\n$p")
+    // the month equality must be a PARTITION filter, not a post-scan
+    // row filter (no pushed/data filter on ship_month)
+    assert(!p.contains("PushedFilters: [IsNotNull(ship_month)"),
+      s"month filter leaked to the data path:\n$p")
+  }
+
   test("optimal segmentation broadcasts word tables into the corpus scan (q139)") {
     val p = plan("q139_optimal_segment")
     assert(p.contains("BroadcastHashJoin"),

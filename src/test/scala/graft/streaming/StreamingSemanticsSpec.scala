@@ -672,4 +672,39 @@ class StreamingSemanticsSpec extends SparkSuiteBase {
       assert(streamed.exists(t => t._1 == 2L && t._2 == 2L))
     } finally q.stop()
   }
+
+  test("streaming CUSUM equals the q156 batch operator over any batch split") {
+    import graft.streaming.StreamingCusum
+    import graft.streaming.StreamingCusum.Point
+    def pts(key: Long, vals: Seq[Double]): Seq[Point] =
+      vals.zipWithIndex.map { case (v, i) =>
+        Point(key, 1700000000000L + i * 1000L, key * 1000 + i, v)
+      }
+    val all = pts(1L, Seq(10.0, 60.0, 70.0, 40.0, 80.0, 20.0, 90.0)) ++
+      pts(2L, Seq(55.0, 56.0, 57.0, 10.0))
+
+    val batchDf = all.map(p => (p.key, new Timestamp(p.tsMs), p.id, p.value))
+      .toDF("user_id", "ts", "event_id", "value")
+    val batch = graft.operators.TimeSeries.cusum(batchDf,
+        "user_id", "ts", "event_id", "value", 50.0, 5.0, 20.0)
+      .collect().map(r => (r.getLong(2), r.getDouble(4), r.getBoolean(5)))
+      .toSet
+
+    val ms = MemoryStream[Point](spark, 1)
+    implicit val s = spark
+    val q = StreamingCusum.scores(ms.toDS(), 50.0, 5.0, 20.0)
+      .writeStream.format("memory").queryName("cusum")
+      .outputMode("append").start()
+    try {
+      Seq(all.take(3), all.slice(3, 8), all.drop(8)).foreach { b =>
+        ms.addData(b: _*)
+        q.processAllAvailable()
+      }
+      val streamed = spark.table("cusum").collect()
+        .map(r => (r.getLong(1), r.getDouble(3), r.getBoolean(4))).toSet
+      assert(streamed == batch,
+        s"stream != batch:\nonly-stream=${streamed -- batch}\nonly-batch=${batch -- streamed}")
+      assert(batch.exists(_._3), "fixture must trip at least one alarm")
+    } finally q.stop()
+  }
 }
