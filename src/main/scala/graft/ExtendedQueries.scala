@@ -728,6 +728,28 @@ object ExtendedQueries extends QueryGroup {
       .orderBy(col("win_day"))
   }
 
+  // First-order Markov transition matrix over per-user event
+  // sequences — the behavior-model complement of q124's funnel: one
+  // key shuffle for the lead window, then state-space-sized
+  // aggregates (|types|^2) with broadcast row normalization.
+  q("q158_markov_transitions",
+    """WITH t AS (
+      |  SELECT event_type AS from_type,
+      |    lead(event_type) OVER (
+      |      PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+      |  FROM events),
+      |c AS (SELECT from_type, to_type, count(*) AS n FROM t
+      |      WHERE to_type IS NOT NULL GROUP BY 1, 2),
+      |tot AS (SELECT from_type, sum(n) AS tot FROM c GROUP BY 1)
+      |SELECT c.from_type, c.to_type, n,
+      |  floor(n / CAST(tot AS DOUBLE) * 1e6 + 0.5)/1e6 AS p6
+      |FROM c JOIN tot USING (from_type)
+      |ORDER BY from_type, to_type""".stripMargin) { (s, d) =>
+    graft.operators.Behavior.markovTransitions(Tables.events(s, d),
+        "user_id", "ts", "event_id", "event_type")
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
   // UNPIVOT/melt — the inverse of q28's pivot (R-30): wide measure
   // columns to long (key, metric, val) form. Spark plans ONE Expand
   // over a single scan (the oracle states the same relation as a

@@ -90,6 +90,38 @@ object Behavior {
       .agg(count_distinct(col(userCol)).as("n_users"))
   }
 
+  /** First-order Markov transition matrix over per-key event
+    * sequences: counts of consecutive (from → to) event types under
+    * the total (ts, tie) order, with row-normalized transition
+    * probabilities (6dp). One key shuffle for the lead window; the
+    * (from, to) aggregate and the per-from totals are
+    * state-space-sized (|types|²), and the normalization join
+    * broadcasts the totals.
+    */
+  def markovTransitions(
+      events: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      tieCol: String,
+      typeCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col(tieCol))
+    val trans = events
+      .select(col(keyCol), col(tsCol), col(tieCol),
+        col(typeCol).as("from_type"))
+      .withColumn("to_type", lead(col("from_type"), 1).over(w))
+      .where(col("to_type").isNotNull)
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = trans.groupBy(col("from_type"))
+      .agg(sum(col("n")).as("__tot"))
+    trans.join(broadcast(totals), Seq("from_type"))
+      .select(col("from_type"), col("to_type"), col("n"),
+        (floor(col("n").cast("double") / col("__tot") * lit(1e6) +
+          lit(0.5)) / lit(1e6)).as("p6"))
+  }
+
   /** Batch sessionization — the gap-based complement of the q40
     * STREAMING session window: a new session starts where the gap to
     * the previous event exceeds `gapMs`; the session id is the

@@ -162,4 +162,27 @@ class BehaviorSpec extends SparkSuiteBase {
       .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
     assert(merged === direct)
   }
+
+  test("markov transitions: planted chain counts and row-normalized probabilities") {
+    val events = Seq(
+      // user 1: a -> b -> a -> c ; user 2: a -> b
+      ev(1, "2024-01-01 10:00:00", "a", 1),
+      ev(1, "2024-01-01 10:01:00", "b", 2),
+      ev(1, "2024-01-01 10:02:00", "a", 3),
+      ev(1, "2024-01-01 10:03:00", "c", 4),
+      ev(2, "2024-01-01 09:00:00", "a", 5),
+      ev(2, "2024-01-01 09:30:00", "b", 6)
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val got = Behavior.markovTransitions(events, "user_id", "ts",
+        "event_id", "event_type")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    // from a: a->b twice, a->c once; from b: b->a once (user 2's b is
+    // terminal — no cross-user transition)
+    assert(got === Map(
+      ("a", "b") -> ((2L, r6(2.0 / 3.0))),
+      ("a", "c") -> ((1L, r6(1.0 / 3.0))),
+      ("b", "a") -> ((1L, 1.0))))
+  }
 }
