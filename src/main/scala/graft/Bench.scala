@@ -106,8 +106,8 @@ object Bench {
     "q154_unpivot" -> 1.61, "q155_entity_resolution" -> 3.38,
     // q157 times the PRUNED read (the partitioned layout is written
     // once per session/dir, the q75 memo convention)
-    "q156_cusum" -> 0.85, "q157_partition_pruning" -> 0.64,
-    "q158_markov_transitions" -> 0.89)
+    "q156_cusum" -> 0.85, "q157_partition_pruning" -> 0.72,
+    "q158_markov_transitions" -> 1.04)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

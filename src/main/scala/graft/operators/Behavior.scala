@@ -107,6 +107,9 @@ object Behavior {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col(keyCol))
       .orderBy(col(tsCol), col(tieCol))
+    // |types|^2-sized — materialized so the totals aggregate and the
+    // normalization join don't replay the corpus window twice (the
+    // keyProfile shared-small-frame discipline)
     val trans = events
       .select(col(keyCol), col(tsCol), col(tieCol),
         col(typeCol).as("from_type"))
@@ -114,6 +117,7 @@ object Behavior {
       .where(col("to_type").isNotNull)
       .groupBy(col("from_type"), col("to_type"))
       .agg(count(lit(1)).as("n"))
+      .localCheckpoint(true)
     val totals = trans.groupBy(col("from_type"))
       .agg(sum(col("n")).as("__tot"))
     trans.join(broadcast(totals), Seq("from_type"))
@@ -122,18 +126,6 @@ object Behavior {
           lit(0.5)) / lit(1e6)).as("p6"))
   }
 
-  /** Batch sessionization — the gap-based complement of the q40
-    * STREAMING session window: a new session starts where the gap to
-    * the previous event exceeds `gapMs`; the session id is the
-    * running count of such starts. Output: one row per session with
-    * (key, sess, n_events, start_ms, end_ms, dur_ms).
-    *
-    * Scale shape: ONE key shuffle total — the gap lag, the running
-    * sum (both over the same (key, order) window), and the final
-    * per-session aggregate (clustered by a superset key that the
-    * key partitioning already satisfies) all reuse it; asserted in
-    * BehaviorSpec.
-    */
   /** Sliding-window distinct actives (the "7-day active users per
     * day" reduction): for each day d in the observed span, the count
     * of DISTINCT keys seen in [d − windowDays + 1, d].
@@ -172,6 +164,18 @@ object Behavior {
       .agg(count_distinct(col(keyCol)).as("n_keys"))
   }
 
+  /** Batch sessionization — the gap-based complement of the q40
+    * STREAMING session window: a new session starts where the gap to
+    * the previous event exceeds `gapMs`; the session id is the
+    * running count of such starts. Output: one row per session with
+    * (key, sess, n_events, start_ms, end_ms, dur_ms).
+    *
+    * Scale shape: ONE key shuffle total — the gap lag, the running
+    * sum (both over the same (key, order) window), and the final
+    * per-session aggregate (clustered by a superset key that the
+    * key partitioning already satisfies) all reuse it; asserted in
+    * BehaviorSpec.
+    */
   def sessionize(
       events: DataFrame,
       keyCol: String,
