@@ -3644,6 +3644,41 @@ object PipelineQueries extends QueryGroup {
         |ORDER BY p_partkey, l_extendedprice, l_orderkey""".stripMargin)
   }
 
+  // Per-GROUP histogram quantiles (q113 generalized): per-source
+  // latency-percentile shape, fully distributed — per-group bounds
+  // broadcast back into the binning scan (no driver collect), the
+  // cumulative window bounded by bins per group.
+  q("q159_grouped_quantiles",
+    """WITH mm AS (SELECT event_type, min(value) AS lo, max(value) AS hi,
+      |              count(*) AS n FROM events GROUP BY 1),
+      |b AS (SELECT e.event_type,
+      |        CASE WHEN hi = lo THEN 0
+      |             ELSE least(CAST(floor((value - lo)
+      |                    / ((hi - lo) / 256.0)) AS BIGINT), 255)
+      |        END AS bin
+      |      FROM events e JOIN mm ON e.event_type = mm.event_type),
+      |bc AS (SELECT event_type, bin, count(*) AS c FROM b GROUP BY 1, 2),
+      |cum AS (SELECT event_type, bin, sum(c) OVER (
+      |          PARTITION BY event_type ORDER BY bin
+      |          ROWS UNBOUNDED PRECEDING) AS cum
+      |        FROM bc),
+      |qs AS (SELECT CAST(unnest([0.5, 0.95]) AS DOUBLE) AS q),
+      |pick AS (SELECT cum.event_type, q, min(bin) AS bin
+      |         FROM cum JOIN mm ON cum.event_type = mm.event_type
+      |         CROSS JOIN qs
+      |         WHERE cum >= CAST(ceil(q * CAST(n AS DOUBLE)) AS BIGINT)
+      |         GROUP BY 1, 2)
+      |SELECT pick.event_type, q, bin,
+      |  floor((lo + (bin + 1) * ((hi - lo) / 256.0)) * 1e6 + 0.5)/1e6
+      |    AS est
+      |FROM pick JOIN mm ON pick.event_type = mm.event_type
+      |ORDER BY pick.event_type, q""".stripMargin) { (s, d) =>
+    graft.operators.Sketches.groupedHistogramQuantiles(
+        Tables.events(s, d), "event_type", "value",
+        bins = 256, probs = Seq(0.5, 0.95))
+      .orderBy(col("event_type"), col("q"))
+  }
+
   /** Hive-style partitioned layout of lineitem by ship month, written
     * ONCE per (session, dir) — q157 reads it back with a partition
     * predicate, so the scan touches one month's files (PartitionFilters

@@ -224,6 +224,59 @@ object Sketches {
           lit(1e6) + lit(0.5)) / lit(1e6))
   }
 
+  /** Per-GROUP fixed-bin histogram quantiles — [[histogramQuantiles]]
+    * generalized to grouped form (per-source latency percentiles, the
+    * dashboard staple), fully distributed: per-group bounds are a
+    * group-space-sized aggregate broadcast back into the binning scan
+    * (no driver collect, unlike the global form's two-row probe), the
+    * cumulative pass windows WITHIN a group (≤ bins rows each), and
+    * the quantile probe is a bins×probs-sized join. State per group
+    * is `bins` counters — the q113 bounded-sketch contract, per key.
+    *
+    * Degenerate groups (hi == lo) collapse to bin 0 with est = lo,
+    * guarded identically in the oracle.
+    */
+  def groupedHistogramQuantiles(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      bins: Int,
+      probs: Seq[Double]): DataFrame = {
+    require(bins > 1, s"bins must be > 1, got $bins")
+    require(probs.nonEmpty && probs.forall(p => p > 0 && p <= 1),
+      "probabilities must lie in (0, 1]")
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    val v = col(valueCol).cast("double")
+    val mm = df.groupBy(col(groupCol))
+      .agg(min(v).as("__lo"), max(v).as("__hi"), count(lit(1)).as("__n"))
+    val width = (col("__hi") - col("__lo")) / lit(bins.toDouble)
+    val binned = df.join(broadcast(mm), Seq(groupCol))
+      .select(col(groupCol), col("__lo"), col("__hi"), col("__n"),
+        when(col("__hi") === col("__lo"), lit(0L))
+          .otherwise(least(floor((v - col("__lo")) / width).cast("long"),
+            lit((bins - 1).toLong))).as("bin"))
+    val counts = binned
+      .groupBy(col(groupCol), col("bin"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = counts.withColumn("cum", sum(col("c")).over(w))
+    import spark.implicits._
+    val probe = probs.toDF("q")
+    cum.join(broadcast(mm), Seq(groupCol))
+      .crossJoin(broadcast(probe))
+      .filter(col("cum") >=
+        ceil(col("q") * col("__n").cast("double")).cast("long"))
+      .groupBy(col(groupCol), col("q"))
+      .agg(min(col("bin")).as("bin"),
+        first(col("__lo")).as("__lo"), first(col("__hi")).as("__hi"))
+      .select(col(groupCol), col("q"), col("bin"),
+        (floor((col("__lo") + (col("bin") + lit(1L)).cast("double") *
+          ((col("__hi") - col("__lo")) / lit(bins.toDouble))) * lit(1e6) +
+          lit(0.5)) / lit(1e6)).as("est"))
+  }
+
   /** Count-Min counter table over an arbitrary KEY column (the
     * [[countMinTable]] token form generalized): keys are stringified
     * before the portable md5 hash so the oracle replays the exact

@@ -176,4 +176,20 @@ class SketchesSpec extends SparkSuiteBase {
     assert(r.getLong(0) === 0L)
     assert(r.isNullAt(2))
   }
+
+  test("grouped quantiles: per-group accuracy within a bin, degenerate group") {
+    import spark.implicits._
+    // group A uniform 0..999; group B constant 42
+    val df = ((0 until 1000).map(i => ("A", i.toDouble)) ++
+      Seq.fill(10)(("B", 42.0))).toDF("g", "v")
+    val got = Sketches.groupedHistogramQuantiles(df, "g", "v",
+        bins = 256, probs = Seq(0.5, 0.9))
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(3))
+      .toMap
+    val binW = 999.0 / 256.0
+    assert(math.abs(got(("A", 0.5)) - 499.5) <= binW + 1e-6)
+    assert(math.abs(got(("A", 0.9)) - 899.1) <= binW + 1e-6)
+    // degenerate group: hi == lo -> est = lo exactly
+    assert(got(("B", 0.5)) === 42.0 && got(("B", 0.9)) === 42.0)
+  }
 }
