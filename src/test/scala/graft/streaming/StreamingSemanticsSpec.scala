@@ -673,6 +673,50 @@ class StreamingSemanticsSpec extends SparkSuiteBase {
     } finally q.stop()
   }
 
+  test("transformWithState latest-wins equals the mapGroupsWithState twin (API migration)") {
+    import graft.streaming.{StreamingUpsert, StreamingUpsertV2}
+    import graft.streaming.StreamingUpsert.Change
+    val batches = Seq(
+      Seq(Change(1, 100L, 1, "a", 1.0), Change(2, 50L, 2, "x", 9.0)),
+      Seq(Change(1, 300L, 5, "c", 3.0), Change(1, 200L, 3, "b", 2.0)),
+      Seq(Change(1, 150L, 6, "stale", -1.0), Change(3, 10L, 4, "q", 7.0)))
+    implicit val s = spark
+    // transformWithState requires the RocksDB provider
+    val prev = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      def run(name: String,
+          f: org.apache.spark.sql.Dataset[Change] =>
+            org.apache.spark.sql.Dataset[StreamingUpsert.Latest]) = {
+        val ms = MemoryStream[Change](spark, 1)
+        val q = f(ms.toDS())
+          .writeStream.format("memory").queryName(name)
+          .outputMode("update").start()
+        try {
+          batches.foreach { b => ms.addData(b: _*); q.processAllAvailable() }
+          spark.table(name).collect()
+            .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+              r.getString(3), r.getDouble(4)))
+            .groupBy(_._1).map { case (k, rows) =>
+              k -> rows.maxBy(x => (x._2, x._3)) }.toMap
+        } finally q.stop()
+      }
+      val v1 = run("upsert_v1", StreamingUpsert.latest(_))
+      val v2 = run("upsert_v2", StreamingUpsertV2.latest(_))
+      assert(v1 == v2, s"APIs diverge:\nv1=$v1\nv2=$v2")
+      assert(v1(1L)._4 == "c" && v1(2L)._4 == "x" && v1(3L)._4 == "q")
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set(
+          "spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset(
+          "spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streaming CUSUM equals the q156 batch operator over any batch split") {
     import graft.streaming.StreamingCusum
     import graft.streaming.StreamingCusum.Point
