@@ -107,7 +107,8 @@ object Bench {
     // q157 times the PRUNED read (the partitioned layout is written
     // once per session/dir, the q75 memo convention)
     "q156_cusum" -> 0.85, "q157_partition_pruning" -> 0.72,
-    "q158_markov_transitions" -> 1.04, "q159_grouped_quantiles" -> 0.91)
+    "q158_markov_transitions" -> 1.04, "q159_grouped_quantiles" -> 0.91,
+    "q160_window_distribution" -> 0.74)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -750,6 +750,27 @@ object ExtendedQueries extends QueryGroup {
       .orderBy(col("from_type"), col("to_type"))
   }
 
+  // Distribution window functions — percent_rank / cume_dist / ntile
+  // complete q15's ranking family (R-14). Both are exact rational
+  // arithmetic over integer ranks ((rank−1)/(n−1), running/n), so 6dp
+  // staging is presentation only.
+  q("q160_window_distribution",
+    s"""SELECT o_orderkey, o_custkey,
+       |  ${sqlRound("percent_rank() OVER w", 6)} AS prk,
+       |  ${sqlRound("cume_dist() OVER w", 6)} AS cd
+       |FROM orders
+       |WINDOW w AS (PARTITION BY o_custkey
+       |             ORDER BY o_totalprice, o_orderkey)
+       |ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"),
+        pround(percent_rank().over(w), 6).as("prk"),
+        pround(cume_dist().over(w), 6).as("cd"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
   // UNPIVOT/melt — the inverse of q28's pivot (R-30): wide measure
   // columns to long (key, metric, val) form. Spark plans ONE Expand
   // over a single scan (the oracle states the same relation as a
