@@ -750,8 +750,8 @@ object ExtendedQueries extends QueryGroup {
       .orderBy(col("from_type"), col("to_type"))
   }
 
-  // Distribution window functions — percent_rank / cume_dist / ntile
-  // complete q15's ranking family (R-14). Both are exact rational
+  // Distribution window functions — percent_rank / cume_dist join
+  // q15's rank/dense_rank/ntile to complete the R-14 family. Both are exact rational
   // arithmetic over integer ranks ((rank−1)/(n−1), running/n), so 6dp
   // staging is presentation only.
   q("q160_window_distribution",

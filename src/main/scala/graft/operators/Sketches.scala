@@ -189,40 +189,15 @@ object Sketches {
       df: DataFrame,
       valueCol: String,
       bins: Int,
-      probs: Seq[Double]): DataFrame = {
-    require(bins > 1, s"bins must be > 1, got $bins")
-    require(probs.nonEmpty && probs.forall(p => p > 0 && p <= 1),
-      "probabilities must lie in (0, 1]")
-    import org.apache.spark.sql.expressions.Window
-    val spark = df.sparkSession
-    val mm = df.agg(
-      min(col(valueCol).cast("double")), max(col(valueCol).cast("double")),
-      count(lit(1))).collect()(0)
-    require(!mm.isNullAt(0) && mm.getLong(2) > 0,
-      "histogramQuantiles needs at least one non-null value")
-    val (lo, hi, n) = (mm.getDouble(0), mm.getDouble(1), mm.getLong(2))
-    val width = (hi - lo) / bins.toDouble
-    val binCol =
-      if (hi == lo) lit(0L)
-      else least(
-        floor((col(valueCol).cast("double") - lit(lo)) / lit(width))
-          .cast("long"),
-        lit((bins - 1).toLong))
-    val counts = df.select(binCol.as("bin"))
-      .groupBy(col("bin")).agg(count(lit(1)).as("c"))
-    val w = Window.orderBy(col("bin"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = counts.withColumn("cum", sum(col("c")).over(w))
-    import spark.implicits._
-    val probe = probs.toDF("q")
-    probe.crossJoin(cum)
-      .filter(col("cum") >= ceil(col("q") * lit(n.toDouble)).cast("long"))
-      .groupBy(col("q"))
-      .agg(min(col("bin")).as("bin"))
-      .withColumn("est",
-        floor((lit(lo) + (col("bin") + lit(1L)).cast("double") * lit(width)) *
-          lit(1e6) + lit(0.5)) / lit(1e6))
-  }
+      probs: Seq[Double]): DataFrame =
+    // ONE copy of the IEEE-sensitive bin/threshold/est formulas: the
+    // global form is the grouped form under a constant key (review
+    // finding — two drifting copies of oracle-replayed arithmetic).
+    // This also removes the old driver-side bounds collect; nulls are
+    // ignored and an empty/all-null input yields an empty frame.
+    groupedHistogramQuantiles(
+      df.withColumn("__g", lit(0)), "__g", valueCol, bins, probs)
+      .drop("__g")
 
   /** Per-GROUP fixed-bin histogram quantiles — [[histogramQuantiles]]
     * generalized to grouped form (per-source latency percentiles, the
@@ -248,10 +223,15 @@ object Sketches {
     import org.apache.spark.sql.expressions.Window
     val spark = df.sparkSession
     val v = col(valueCol).cast("double")
-    val mm = df.groupBy(col(groupCol))
+    // NULL values are ignored (and excluded from n): Spark's window
+    // sorts a null bin FIRST while DuckDB sorts it LAST, so letting
+    // nulls into the bin table would silently shift every cumulative
+    // count between engine and oracle
+    val df0 = df.where(col(valueCol).isNotNull)
+    val mm = df0.groupBy(col(groupCol))
       .agg(min(v).as("__lo"), max(v).as("__hi"), count(lit(1)).as("__n"))
     val width = (col("__hi") - col("__lo")) / lit(bins.toDouble)
-    val binned = df.join(broadcast(mm), Seq(groupCol))
+    val binned = df0.join(broadcast(mm), Seq(groupCol))
       .select(col(groupCol), col("__lo"), col("__hi"), col("__n"),
         when(col("__hi") === col("__lo"), lit(0L))
           .otherwise(least(floor((v - col("__lo")) / width).cast("long"),

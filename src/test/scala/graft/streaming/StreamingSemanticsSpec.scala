@@ -687,6 +687,10 @@ class StreamingSemanticsSpec extends SparkSuiteBase {
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     try {
+      // compare the PER-BATCH EMISSION MULTISETS, not a client-side
+      // re-derivation of latest-wins — a V2 that dropped prior state
+      // would emit the batch-local winner and a collapsed comparison
+      // could not see it (review finding)
       def run(name: String,
           f: org.apache.spark.sql.Dataset[Change] =>
             org.apache.spark.sql.Dataset[StreamingUpsert.Latest]) = {
@@ -695,18 +699,27 @@ class StreamingSemanticsSpec extends SparkSuiteBase {
           .writeStream.format("memory").queryName(name)
           .outputMode("update").start()
         try {
-          batches.foreach { b => ms.addData(b: _*); q.processAllAvailable() }
-          spark.table(name).collect()
-            .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
-              r.getString(3), r.getDouble(4)))
-            .groupBy(_._1).map { case (k, rows) =>
-              k -> rows.maxBy(x => (x._2, x._3)) }.toMap
+          var prev = Map.empty[(Long, Long, Long, String, Double), Int]
+          batches.map { b =>
+            ms.addData(b: _*); q.processAllAvailable()
+            val now = spark.table(name).collect()
+              .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+                r.getString(3), r.getDouble(4)))
+              .groupBy(identity).map { case (k, v) => k -> v.size }
+            val emitted = now.map { case (k, c) =>
+              k -> (c - prev.getOrElse(k, 0)) }.filter(_._2 > 0)
+            prev = now
+            emitted
+          }
         } finally q.stop()
       }
       val v1 = run("upsert_v1", StreamingUpsert.latest(_))
       val v2 = run("upsert_v2", StreamingUpsertV2.latest(_))
-      assert(v1 == v2, s"APIs diverge:\nv1=$v1\nv2=$v2")
-      assert(v1(1L)._4 == "c" && v1(2L)._4 == "x" && v1(3L)._4 == "q")
+      assert(v1 == v2, s"per-batch emissions diverge:\nv1=$v1\nv2=$v2")
+      // batch 3 carried only a STALE change for key 1: both APIs must
+      // re-emit the ts=300 winner there, proving state was read
+      assert(v1(2).keySet.exists(r => r._1 == 1L && r._2 == 300L),
+        s"stale batch must re-emit the stateful winner: ${v1(2)}")
     } finally {
       prev match {
         case Some(p) => spark.conf.set(
