@@ -497,16 +497,24 @@ object ExtendedQueries extends QueryGroup {
   // streaming session window. One key shuffle carries the gap lag,
   // the running session counter, and the per-session aggregate
   // (BehaviorSpec asserts the single exchange).
+  // Oracle portability: the named WINDOW clause is inlined (its
+  // binding rules have shifted across DuckDB releases) and the
+  // running sum(ns) — DuckDB HUGEINT for integer input, whose Arrow
+  // conversion is version-dependent — is CAST to BIGINT before it
+  // reaches the compare. ORDER BY (user_id, sess) is the grouping
+  // key, hence total.
   q("q138_sessionize",
     """WITH o AS (
       |  SELECT user_id, ts, event_id,
-      |    CASE WHEN lag(ts) OVER w IS NULL
-      |           OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 21600000
+      |    CASE WHEN lag(ts) OVER (PARTITION BY user_id
+      |             ORDER BY ts, event_id) IS NULL
+      |           OR epoch_ms(ts) - epoch_ms(lag(ts) OVER (
+      |             PARTITION BY user_id ORDER BY ts, event_id)) > 21600000
       |         THEN 1 ELSE 0 END AS ns
-      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-      |s AS (SELECT user_id, ts, sum(ns) OVER (
+      |  FROM events),
+      |s AS (SELECT user_id, ts, CAST(sum(ns) OVER (
       |        PARTITION BY user_id ORDER BY ts, event_id
-      |        ROWS UNBOUNDED PRECEDING) AS sess
+      |        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess
       |      FROM o)
       |SELECT user_id, sess, count(*) AS n_events,
       |  min(epoch_ms(ts)) AS start_ms, max(epoch_ms(ts)) AS end_ms,

@@ -2931,23 +2931,31 @@ object PipelineQueries extends QueryGroup {
   // anywhere. The prefix sum is the range-partitioned ScaleOps
   // machinery; the 64-draw frame broadcasts into the containment
   // join.
+  // Oracle portability: DuckDB's integer sum() yields HUGEINT
+  // (int128); HUGEINT→Arrow conversion has shifted across duckdb
+  // releases (decimal128 vs float64), so every sum that reaches the
+  // compare — the prefix sum g and the total tw — is CAST to BIGINT,
+  // and the md5 input is an explicit VARCHAR cast (no implicit
+  // BIGINT||VARCHAR coercion). ORDER BY draw is total: each draw
+  // lands in exactly one half-open interval.
   q("q123_multinomial_sample",
     """WITH w AS (SELECT doc_id, n_chars AS w FROM documents
       |           WHERE doc_id IS NOT NULL),
       |p AS (SELECT doc_id, w,
-      |        coalesce(sum(w) OVER (ORDER BY doc_id
-      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS g
+      |        CAST(coalesce(sum(w) OVER (ORDER BY doc_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |          AS BIGINT) AS g
       |      FROM w),
-      |tot AS (SELECT sum(w) AS tw FROM w),
+      |tot AS (SELECT CAST(sum(w) AS BIGINT) AS tw FROM w),
       |dr AS (SELECT j AS draw,
-      |         CAST('0x' || substr(md5('draw:' || j), 1, 15) AS BIGINT) % tw
-      |           AS u
+      |         CAST('0x' || substr(md5('draw:' || CAST(j AS VARCHAR)), 1, 15)
+      |           AS BIGINT) % tw AS u
       |       FROM (SELECT unnest(range(0, 64)) AS j) CROSS JOIN tot)
       |SELECT draw, doc_id, u FROM dr JOIN p ON u >= g AND u < g + w
-      |ORDER BY draw""".stripMargin) { (s, d) =>
+      |ORDER BY draw, doc_id""".stripMargin) { (s, d) =>
     Curation.multinomialSample(
         Tables.documents(s, d), "doc_id", "n_chars", draws = 64)
-      .orderBy(col("draw"))
+      .orderBy(col("draw"), col("doc_id"))
   }
 
   // Behavior analytics: windowed event funnel (ClickHouse
