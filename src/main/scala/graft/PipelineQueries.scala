@@ -41,6 +41,29 @@ object PipelineQueries extends QueryGroup {
     while (it.hasNext) if (it.next()._1.sparkContext.isStopped) it.remove()
   }
 
+  /** Per-process scratch dir, recursively deleted by a JVM shutdown
+    * hook — the memoized layouts/indexes built under these are
+    * process-scoped artifacts, never meant to outlive the JVM
+    * (repeated bench sessions were accumulating full partitioned
+    * table copies on disk).
+    */
+  private[graft] def scratchDir(prefix: String): String = {
+    import java.nio.file.{Files, LinkOption, Path}
+    val dir = Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(p: Path): Unit = {
+        if (Files.isDirectory(p, LinkOption.NOFOLLOW_LINKS)) {
+          val children = Files.list(p)
+          try children.forEach(c => rm(c)) finally children.close()
+        }
+        Files.deleteIfExists(p)
+        ()
+      }
+      try rm(dir) catch { case _: Throwable => () }
+    }))
+    dir.toString
+  }
+
   private def dedupStage(s: org.apache.spark.sql.SparkSession,
       d: String): Dedup.Stage = {
     sweepDeadEntries(dedupStages)
@@ -355,8 +378,7 @@ object PipelineQueries extends QueryGroup {
       d: String): graft.operators.IncrementalDedup.Appended = {
     sweepDeadEntries(incIndexDirs)
     val base = incIndexDirs.computeIfAbsent((s, d), _ => {
-      val dir = java.nio.file.Files
-        .createTempDirectory("graft-incdedup").toString
+      val dir = scratchDir("graft-incdedup")
       IncrementalDedup.buildIndex(
         Tables.documents(s, d).filter(pmod(col("doc_id"), lit(5)) =!= 0),
         "doc_id", "text", "lang", n = 3, threshold = 0.8,
@@ -722,8 +744,7 @@ object PipelineQueries extends QueryGroup {
       d: String): String = {
     sweepDeadEntries(ivfIndexDirs)
     ivfIndexDirs.computeIfAbsent((s, d), _ => {
-      val dir = java.nio.file.Files
-        .createTempDirectory("graft-ivfindex").toString
+      val dir = scratchDir("graft-ivfindex")
       graft.operators.SimilarityIndex.buildIvf(
         Tables.embeddings(s, d).filter(col("vec_id") >= 10),
         "vec_id", "embedding", numCells = 8, dir = dir)
@@ -1127,8 +1148,7 @@ object PipelineQueries extends QueryGroup {
       d: String): org.apache.spark.sql.DataFrame = {
     sweepDeadEntries(curIndexDirs)
     val base = curIndexDirs.computeIfAbsent((s, d), _ => {
-      val dir = java.nio.file.Files
-        .createTempDirectory("graft-inccur").toString
+      val dir = scratchDir("graft-inccur")
       val docs = Tables.documents(s, d)
       graft.operators.IncrementalCuration.buildIndex(
         docs.filter(pmod(col("doc_id"), lit(20)) =!= 0
@@ -2126,8 +2146,7 @@ object PipelineQueries extends QueryGroup {
       d: String): String = {
     sweepDeadEntries(pqIndexDirs)
     pqIndexDirs.computeIfAbsent((s, d), _ => {
-      val dir = java.nio.file.Files
-        .createTempDirectory("graft-pqindex").toString
+      val dir = scratchDir("graft-pqindex")
       graft.operators.SimilarityIndex.buildIvfPq(
         Tables.embeddings(s, d).filter(col("vec_id") >= 10),
         "vec_id", "embedding",
@@ -2321,8 +2340,7 @@ object PipelineQueries extends QueryGroup {
       d: String): graft.operators.IncrementalChunkDedup.Appended = {
     sweepDeadEntries(chunkIndexDirs)
     val (base, cutoff) = chunkIndexDirs.computeIfAbsent((s, d), _ => {
-      val dir = java.nio.file.Files
-        .createTempDirectory("graft-incchunk").toString
+      val dir = scratchDir("graft-incchunk")
       val docs = Tables.documents(s, d)
       val maxId = docs.agg(max(col("doc_id"))).collect()(0).getLong(0)
       val cut = maxId * 4 / 5
@@ -3702,8 +3720,7 @@ object PipelineQueries extends QueryGroup {
       d: String): String = {
     sweepDeadEntries(partLayoutDirs)
     partLayoutDirs.computeIfAbsent((s, d), _ => {
-      val dir = java.nio.file.Files
-        .createTempDirectory("graft-partlayout").toString
+      val dir = scratchDir("graft-partlayout")
       Tables.lineitem(s, d)
         .withColumn("ship_month",
           date_format(col("l_shipdate"), "yyyy-MM"))

@@ -45,12 +45,18 @@ object Coreset {
       k: Int): DataFrame = {
     require(k >= 1, "k must be >= 1")
     val spark = emb.sparkSession
+    // vector column normalized to array<double> up front so float-
+    // AND double-typed embeddings both work (everything downstream
+    // reads Double)
     val base = emb.select(col(idCol).cast("long").as("id"),
-      col(vecCol).as("v"))
+      col(vecCol).cast("array<double>").as("v"))
+    val n = base.count()
+    require(n >= 1, "kCenterSelect needs a non-empty corpus")
+    require(k <= n,
+      s"kCenterSelect: k=$k exceeds the corpus row count $n")
 
     def vecOf(id: Long): Array[Double] =
-      base.where(col("id") === id).head().getSeq[Float](1)
-        .map(_.toDouble).toArray
+      base.where(col("id") === id).head().getSeq[Double](1).toArray
 
     val seed = base.agg(min(col("id"))).head().getLong(0)
     var chosen = List((1, seed, 0.0))
@@ -72,7 +78,7 @@ object Coreset {
         .head().getStruct(0)
       val (dist, id) = (top.getDouble(0), -top.getLong(1))
       chosen = (round, id, dist) :: chosen
-      centerVec = top.getSeq[Float](2).map(_.toDouble).toArray
+      centerVec = top.getSeq[Double](2).toArray
       distCols = centerVec :: distCols
       round += 1
     }

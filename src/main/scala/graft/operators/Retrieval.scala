@@ -114,8 +114,12 @@ object Retrieval {
         .withColumnRenamed("__r", relCol),
       idCol, relCol)
       .select(col("rank"), term.as("term"))
+    // all-zero / empty relevance ⇒ idcg = 0: null the ratio instead
+    // of emitting NaN (the joinCardinality zero-denominator
+    // convention)
     chainSum(actual, "dcg").crossJoin(chainSum(ideal, "idcg"))
       .select(col("dcg"), col("idcg"),
-        pr6(col("dcg") / col("idcg")).as("ndcg"))
+        when(col("idcg") === 0, lit(null).cast("double"))
+          .otherwise(pr6(col("dcg") / col("idcg"))).as("ndcg"))
   }
 }

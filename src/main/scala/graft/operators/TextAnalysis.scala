@@ -628,23 +628,6 @@ object TextAnalysis {
       .limit(topK)
   }
 
-  /** Exact phrase search over the positional token index — the
-    * anchor-alignment formulation: an occurrence of phrase word i at
-    * token position p votes for anchor p − i, and a document position
-    * matches the phrase iff ALL k phrase words vote for the same
-    * anchor (equal anchors ⇒ consecutive positions, by
-    * construction). Output: (idCol, n_matches) for documents with at
-    * least one match.
-    *
-    * Scale shape: the positional index is filtered to the k phrase
-    * words BEFORE anything shuffles (the q115 pre-exchange filter
-    * discipline — at 100 TB that is the difference between shuffling
-    * the corpus's positions and shuffling only the phrase words'
-    * occurrences), the phrase table broadcasts, and matching is ONE
-    * (doc, anchor) aggregate — no k−1 positional self-joins.
-    * Duplicate words in the phrase are handled by the distinct-i
-    * count (an occurrence votes once per phrase slot its word fills).
-    */
   /** N-gram novelty against a reference corpus: per document, the
     * fraction of its DISTINCT word n-grams absent from the
     * reference's n-gram set — the standard memorization/contamination
@@ -717,6 +700,23 @@ object TextAnalysis {
             x.getField("__c").cast("string")))).as("vec_csv"))
   }
 
+  /** Exact phrase search over the positional token index — the
+    * anchor-alignment formulation: an occurrence of phrase word i at
+    * token position p votes for anchor p − i, and a document position
+    * matches the phrase iff ALL k phrase words vote for the same
+    * anchor (equal anchors ⇒ consecutive positions, by
+    * construction). Output: (idCol, n_matches) for documents with at
+    * least one match.
+    *
+    * Scale shape: the positional index is filtered to the k phrase
+    * words BEFORE anything shuffles (the q115 pre-exchange filter
+    * discipline — at 100 TB that is the difference between shuffling
+    * the corpus's positions and shuffling only the phrase words'
+    * occurrences), the phrase table broadcasts, and matching is ONE
+    * (doc, anchor) aggregate — no k−1 positional self-joins.
+    * Duplicate words in the phrase are handled by the distinct-i
+    * count (an occurrence votes once per phrase slot its word fills).
+    */
   def phraseSearch(
       docs: DataFrame,
       idCol: String,
