@@ -33,3 +33,22 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+
+// ---- live transport binding (compile-off by default) ----
+// The Pulsar binding under src/live-pulsar needs the pulsar-client
+// jars, which do not exist in this zero-egress environment. Point
+// GRAFT_PULSAR_JARS at a directory of pulsar-client-all (or
+// pulsar-client + pulsar-client-admin) jars to compile and test it:
+//   GRAFT_PULSAR_JARS=/path/to/pulsar/lib sbt compile
+// The binding implements EnvelopeBroker/WritableEnvelopeBroker and is
+// certified by re-instantiating EnvelopeBrokerTCK (see
+// src/live-pulsar-test) against a standalone broker.
+Compile / unmanagedSourceDirectories ++=
+  sys.env.get("GRAFT_PULSAR_JARS").toSeq.map(_ =>
+    baseDirectory.value / "src" / "live-pulsar" / "scala")
+Test / unmanagedSourceDirectories ++=
+  sys.env.get("GRAFT_PULSAR_JARS").toSeq.map(_ =>
+    baseDirectory.value / "src" / "live-pulsar-test" / "scala")
+Compile / unmanagedJars ++=
+  sys.env.get("GRAFT_PULSAR_JARS").toSeq.flatMap(d =>
+    ((file(d) ** "*.jar") --- (file(d) ** "*sources*.jar")).classpath)

@@ -24,10 +24,13 @@ import graft.streaming.RawMessage
   * order preserved, replayable offsets = the reference's subscription
   * read position.
   *
-  * The TRANSPORT is pluggable behind [[EnvelopeBroker]]: a live
-  * deployment implements it over the Pulsar reader/admin API (not
-  * possible offline — no Pulsar jars in this environment, SURVEY
-  * §7.5); tests and the offline harness use [[InMemoryBroker]]. All
+  * The TRANSPORT is pluggable behind [[EnvelopeBroker]]: the live
+  * binding over the Pulsar reader/admin API is
+  * `graft.sources.PulsarEnvelopeBroker` in the compile-off
+  * `src/live-pulsar` source set (the pulsar-client jars cannot exist
+  * in the offline build — set GRAFT_PULSAR_JARS to compile it and
+  * PulsarBrokerTCKSpec to certify it); tests and the offline harness
+  * use [[InMemoryBroker]] / [[FileBroker]] / the socket broker. All
   * the Spark machinery — TableProvider, capabilities, batch planning,
   * micro-batch offsets/ranges, InternalRow encoding — is real and
   * exercised end-to-end (EnvelopeSourceSpec, incl. driving

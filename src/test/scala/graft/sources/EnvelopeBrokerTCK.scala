@@ -34,11 +34,15 @@ import graft.streaming.RawMessage
   *   6. DISCOVERY — `topicPartitions` lists every partition with data;
   *                `latest` never moves backwards as data arrives.
   *
-  * A live transport binding (e.g. over the Pulsar reader/admin API)
-  * extends this suite with a `newBroker()` that provisions its real
-  * backend; passing the TCK is the drop-in criterion for swapping
-  * [[InMemoryBroker]] out. Keep the tests transport-agnostic: only
-  * the trait's methods, no InMemoryBroker internals.
+  * A live transport binding extends this suite with a `newBroker()`
+  * that provisions its real backend; passing the TCK is the drop-in
+  * criterion for swapping [[InMemoryBroker]] out. Keep the tests
+  * transport-agnostic: only the trait's methods, no InMemoryBroker
+  * internals. FOUR implementations instantiate it: in-memory (below),
+  * file, socket, and the live Pulsar binding
+  * (src/live-pulsar-test/.../PulsarBrokerTCKSpec.scala — compile-off;
+  * its clause-by-clause mapping onto the reader/producer-dedup/admin
+  * APIs is documented on PulsarEnvelopeBroker itself).
   */
 trait EnvelopeBrokerTCK extends AnyFunSuite {
 
