@@ -631,6 +631,31 @@ object PipelineQueries extends QueryGroup {
       .orderBy(col("asset_id"))
   }
 
+  // Multimodal q41 family, JPEG member: real SOF0/SOF2 marker-walk
+  // dimension parsing (HeaderCodec.jpeg) over deterministic JPEG
+  // payloads with a VARIABLE-length COM segment (the walk, not a
+  // fixed-offset read, is what's gated). Odd ids carry progressive
+  // SOF2 frames, even baseline SOF0 — both parse. Oracle = pure
+  // arithmetic on doc_id.
+  q("q161_jpeg_dims",
+    """SELECT doc_id AS asset_id,
+      |  CAST(45 + doc_id % 5 AS INT) AS n_bytes,
+      |  CAST(1 + (doc_id * 3) % 2048 AS INT) AS width,
+      |  CAST(1 + (doc_id * 11) % 1536 AS INT) AS height,
+      |  doc_id % 2 = 1 AS progressive,
+      |  true AS header_parsed
+      |FROM documents ORDER BY asset_id""".stripMargin) { (s, d) =>
+    Multimodal.extractFeatures(
+        Multimodal.syntheticJpegAssets(Tables.documents(s, d)))
+      .select(col("asset_id"),
+        col("features.n_bytes").as("n_bytes"),
+        col("features.width").as("width"),
+        col("features.height").as("height"),
+        (pmod(col("asset_id"), lit(2)) === 1).as("progressive"),
+        col("features.header_parsed").as("header_parsed"))
+      .orderBy(col("asset_id"))
+  }
+
   // R-20 IVF ANN: corpus partitioned into 8 Voronoi cells by nearest
   // centroid (centroids = the 8 smallest-id corpus vectors — the
   // deterministic stand-in for k-means training), probes search their

@@ -362,6 +362,55 @@ object Multimodal {
       map(lit("lang"), col("lang"), lit("source"), col("source")).as("meta"))
   }
 
+  /** Deterministic JPEG payload: SOI → APP0 (JFIF) → COM (variable
+    * `docId % 5` filler, so the marker WALK is exercised, not just the
+    * fixed-offset read) → SOF0 (baseline) or SOF2 (progressive, odd
+    * ids — both frame types must parse) → EOI.
+    *
+    *   width  = 1 + (docId*3)  % 2048
+    *   height = 1 + (docId*11) % 1536
+    *   n_bytes = 45 + docId % 5
+    *
+    * The q161 oracle predicts all three arithmetically — the JPEG
+    * member of the [[syntheticPayload]] (PNG/WAV/MP4) family.
+    */
+  def syntheticJpeg(docId: Long): Array[Byte] = {
+    val w = (1 + (docId * 3) % 2048).toInt
+    val h = (1 + (docId * 11) % 1536).toInt
+    val pad = (docId % 5).toInt
+    val bb = java.nio.ByteBuffer.allocate(45 + pad) // big-endian default
+    bb.put(0xff.toByte); bb.put(0xd8.toByte) // SOI
+    bb.put(0xff.toByte); bb.put(0xe0.toByte) // APP0
+    bb.putShort(16)
+    bb.put("JFIF".getBytes("US-ASCII")); bb.put(0.toByte)
+    bb.putShort(0x0101.toShort) // version 1.1
+    bb.put(0.toByte) // density units
+    bb.putShort(1); bb.putShort(1) // x/y density
+    bb.put(0.toByte); bb.put(0.toByte) // no thumbnail
+    bb.put(0xff.toByte); bb.put(0xfe.toByte) // COM
+    bb.putShort((2 + pad).toShort)
+    bb.put(new Array[Byte](pad))
+    bb.put(0xff.toByte)
+    bb.put((if (docId % 2 == 1) 0xc2 else 0xc0).toByte) // SOF2 | SOF0
+    bb.putShort(17)
+    bb.put(8.toByte) // precision
+    bb.putShort(h.toShort); bb.putShort(w.toShort)
+    bb.put(3.toByte) // components
+    bb.put(Array(1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1).map(_.toByte))
+    bb.put(0xff.toByte); bb.put(0xd9.toByte) // EOI
+    bb.array()
+  }
+
+  /** JPEG asset table — [[syntheticAssets]]' JPEG twin. */
+  def syntheticJpegAssets(docs: DataFrame): DataFrame = {
+    val payloadUdf = udf((id: Long) => syntheticJpeg(id))
+    docs.select(
+      col("doc_id").as("asset_id"),
+      lit("image").as("media_type"),
+      payloadUdf(col("doc_id")).as("payload"),
+      map(lit("lang"), col("lang"), lit("source"), col("source")).as("meta"))
+  }
+
   /** Partition-batched decode → appends a `features` struct. The codec
     * initializes once per partition (the `FakeCodec` object stands in
     * for an expensive model/library handle).

@@ -124,6 +124,44 @@ class MultimodalUdfSpec extends SparkSuiteBase {
     assert(Multimodal.HeaderCodec.jpeg(bb.array()).contains((800, 600)))
   }
 
+  test("multimodal: hostile JPEG inputs never crash, hang, or misparse") {
+    val hc = Multimodal.HeaderCodec
+    // truncated mid-SOF: length word present, dims cut off
+    assert(hc.jpeg(jpegBytes(800, 600).take(18)).isEmpty)
+    // truncated mid-length-word
+    assert(hc.jpeg(jpegBytes(800, 600).take(11)).isEmpty)
+    // bare SOI, SOI+EOI only
+    assert(hc.jpeg(Array(0xff, 0xd8).map(_.toByte)).isEmpty)
+    assert(hc.jpeg(Array(0xff, 0xd8, 0xff, 0xd9).map(_.toByte)).isEmpty)
+    // lost marker sync (non-FF where a marker must start)
+    assert(hc.jpeg(Array(0xff, 0xd8, 0x00, 0xc0).map(_.toByte)).isEmpty)
+    // segment length pointing past the buffer walks off cleanly
+    val over = jpegBytes(800, 600)
+    over(4) = 0x7f; over(5) = 0xff.toByte // APP0 claims 32 KB
+    assert(hc.jpeg(over).isEmpty)
+    // DHT (0xC4) must NOT be taken for a SOF even though it's in C0-CF
+    val dht = java.nio.ByteBuffer.allocate(16)
+    dht.put(0xff.toByte).put(0xd8.toByte)
+    dht.put(0xff.toByte).put(0xc4.toByte).putShort(11)
+    dht.put(8.toByte).putShort(600.toShort).putShort(800.toShort).put(3.toByte)
+    assert(hc.jpeg(dht.array().take(15)).isEmpty)
+    // not a JPEG at all / empty
+    assert(hc.jpeg(Array.empty[Byte]).isEmpty)
+    assert(hc.jpeg("plain text".getBytes("UTF-8")).isEmpty)
+  }
+
+  test("multimodal: synthetic JPEG fixtures parse to the q161 oracle formulas") {
+    Seq(0L, 1L, 7L, 1234L, 99999L).foreach { id =>
+      val b = Multimodal.syntheticJpeg(id)
+      assert(b.length == 45 + (id % 5).toInt)
+      // SOF marker alternates baseline/progressive by parity
+      val f = Multimodal.FakeCodec.decode("image", b)
+      assert(f.headerParsed, s"id=$id must header-parse")
+      assert(f.width.contains((1 + (id * 3) % 2048).toInt), s"id=$id width")
+      assert(f.height.contains((1 + (id * 11) % 1536).toInt), s"id=$id height")
+    }
+  }
+
   test("multimodal: synthetic doc_id payloads parse to the oracle formulas") {
     // the q41 contract: real codecs fire and extract pure doc_id
     // arithmetic, flagged header_parsed
