@@ -70,7 +70,7 @@ class SocketBrokerTCKSpec extends EnvelopeBrokerTCK
       val sink = new SocketDestinationSink("127.0.0.1", dstServer.boundPort)
       val q = MessageMirror.start(raw, sink, tmpDir("socket-mirror-ckpt"),
         trigger = Trigger.AvailableNow()).start()
-      q.awaitTermination(60000L)
+      assert(q.awaitTermination(600000L), "mirror drain timed out (loaded box?) — raise the wait, the plan did not fail")
 
       val got = dstBackend.topicPartitions.flatMap { case (t, p) =>
         dstBackend.read(t, p, (0L, 0L), dstBackend.latest(t, p))
@@ -85,7 +85,7 @@ class SocketBrokerTCKSpec extends EnvelopeBrokerTCK
       // harmlessly: MessageId dedup holds across the wire
       val q2 = MessageMirror.start(raw, sink, tmpDir("socket-mirror-ckpt2"),
         trigger = Trigger.AvailableNow()).start()
-      q2.awaitTermination(60000L)
+      assert(q2.awaitTermination(600000L), "mirror drain timed out (loaded box?) — raise the wait, the plan did not fail")
       val again = dstBackend.topicPartitions.flatMap { case (t, p) =>
         dstBackend.read(t, p, (0L, 0L), dstBackend.latest(t, p))
       }
@@ -160,7 +160,8 @@ class SocketBrokerTCKSpec extends EnvelopeBrokerTCK
     try {
       val q1 = MessageMirror.start(raw, sink, ckpt,
         trigger = Trigger.AvailableNow()).start()
-      q1.awaitTermination(60000L)
+      assert(q1.awaitTermination(600000L),
+        "mirror drain timed out (loaded box?) — raise the wait, the plan did not fail")
       def mirrored(): Seq[Long] = dstBackend.topicPartitions
         .flatMap { case (t, p) =>
           dstBackend.read(t, p, (0L, 0L), dstBackend.latest(t, p))
@@ -176,7 +177,7 @@ class SocketBrokerTCKSpec extends EnvelopeBrokerTCK
       try {
         val q2 = MessageMirror.start(raw, sink, ckpt,
           trigger = Trigger.AvailableNow()).start()
-        q2.awaitTermination(60000L)
+        assert(q2.awaitTermination(600000L), "mirror drain timed out (loaded box?) — raise the wait, the plan did not fail")
         assert(mirrored() == (0L until 10L),
           "post-bounce run must deliver exactly the new rows once")
       } finally server2.close()

@@ -361,7 +361,7 @@ class SyncPipelineSpec extends SparkSuiteBase {
     try {
       // first run: every publish attempt fails -> batch fails -> query
       // dies -> supervisor restarts from checkpoint -> replay succeeds
-      assert(sup.awaitTerminated(60000L), "supervisor did not finish")
+      assert(sup.awaitTerminated(600000L), "supervisor did not finish")
       assert(sup.restarts >= 1, "mirror was never restarted")
       assert(flakyDest.cluster.messages.size == 1)
       assert(new String(flakyDest.cluster.messages.head.value, "UTF-8") == "m1")
