@@ -3459,6 +3459,111 @@ object PipelineQueries extends QueryGroup {
       .orderBy(col("ord"))
   }
 
+  // Greedy MAXIMAL MARGINAL RELEVANCE (Carbonell & Goldstein 1998):
+  // the diversity-aware top-k — round r picks argmax of
+  // λ·cos(q,d) − (1−λ)·max_chosen cos(d,s). Same k-scans-no-matrix
+  // shape as q137; every pairwise cosine 6dp-rounded before the
+  // argmax so the oracle replays each pick. (1−λ) is spelled
+  // (1e0 − 0.7e0) in the SQL so BOTH engines compute the identical
+  // IEEE double — the literal 0.3 is a different number.
+  private val q162Oracle: String = {
+    val b = new StringBuilder
+    b.append(
+      """WITH u AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+        |  unnest(embedding)::DOUBLE AS x FROM embeddings),
+        |nrm AS (SELECT vec_id, sqrt(sum(x*x)) AS nr FROM u GROUP BY vec_id),
+        |qc AS (SELECT a.vec_id,
+        |    floor(sum(a.x*q.x) / (na.nr * (SELECT nr FROM nrm WHERE vec_id = 0))
+        |      * 1e6 + 0.5)/1e6 AS qcos
+        |  FROM u a JOIN u q ON q.vec_id = 0 AND a.i = q.i
+        |  JOIN nrm na ON na.vec_id = a.vec_id
+        |  WHERE a.vec_id <> 0 AND na.nr > 0
+        |  GROUP BY a.vec_id, na.nr),
+        |s1 AS (SELECT vec_id AS id,
+        |    floor(0.7e0 * qcos * 1e6 + 0.5)/1e6 AS sc
+        |  FROM qc ORDER BY sc DESC, vec_id LIMIT 1)""".stripMargin)
+    for (r <- 2 to 5) {
+      val j = r - 1
+      val red = (1 until r).map(x => s"c$x") match {
+        case Seq(one) => one
+        case many => s"greatest(${many.mkString(", ")})"
+      }
+      val joins = (1 until r).map(x => s" JOIN e$x USING (vec_id)").mkString
+      val chosen = (1 to j).map(x => s"SELECT id FROM s$x")
+        .mkString(" UNION ALL ")
+      b.append(s""",
+        |e$j AS (SELECT a.vec_id,
+        |    floor(sum(a.x*b.x) / (na.nr * nb.nr) * 1e6 + 0.5)/1e6 AS c$j
+        |  FROM u a JOIN u b ON b.vec_id = (SELECT id FROM s$j) AND a.i = b.i
+        |  JOIN nrm na ON na.vec_id = a.vec_id
+        |  JOIN nrm nb ON nb.vec_id = b.vec_id
+        |  WHERE a.vec_id <> 0 AND na.nr > 0
+        |  GROUP BY a.vec_id, na.nr, nb.nr),
+        |m$r AS (SELECT qc.vec_id,
+        |    floor((0.7e0 * qcos - (1e0 - 0.7e0) * $red) * 1e6 + 0.5)/1e6 AS sc
+        |  FROM qc$joins),
+        |s$r AS (SELECT vec_id AS id, sc FROM m$r
+        |  WHERE vec_id NOT IN ($chosen)
+        |  ORDER BY sc DESC, vec_id LIMIT 1)""".stripMargin)
+    }
+    b.append("""
+      |SELECT * FROM (
+      |  SELECT 1 AS ord, id AS vec_id, sc AS score FROM s1
+      |  UNION ALL SELECT 2, id, sc FROM s2
+      |  UNION ALL SELECT 3, id, sc FROM s3
+      |  UNION ALL SELECT 4, id, sc FROM s4
+      |  UNION ALL SELECT 5, id, sc FROM s5)
+      |ORDER BY ord""".stripMargin)
+    b.toString
+  }
+
+  q("q162_mmr_select", q162Oracle) { (s, d) =>
+    graft.operators.Coreset
+      .mmrSelect(Tables.embeddings(s, d), "vec_id", "embedding",
+        queryId = 0L, k = 5, lambda = 0.7)
+      .orderBy(col("ord"))
+  }
+
+  // Per-cell SIMPLIFIED silhouette over the q46-style smallest-id
+  // centroid partition — the clustering-quality audit for the IVF/
+  // SemDeDup layouts: a = distance to the assigned (nearest) cell,
+  // b = distance to the runner-up, s = (b−a)/max(a,b). One row-local
+  // centroid fold + one cell aggregate; linear, the member of the
+  // silhouette family a 100 TB corpus can afford (full silhouette is
+  // all-pairs).
+  q("q163_cell_silhouette",
+    """WITH u AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+      |  unnest(embedding)::DOUBLE AS x FROM embeddings),
+      |nrm AS (SELECT vec_id, sqrt(sum(x*x)) AS nr FROM u GROUP BY vec_id),
+      |cent AS (SELECT vec_id AS cvid,
+      |    CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell
+      |  FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 8)),
+      |vc0 AS (SELECT a.vec_id AS vid, c.cell, c.cvid, sum(a.x*b.x) AS dp
+      |  FROM u a JOIN cent c ON true
+      |  JOIN u b ON b.vec_id = c.cvid AND a.i = b.i
+      |  GROUP BY 1, 2, 3),
+      |vc AS (SELECT vid, cell,
+      |    1e0 - floor(dp / (x.nr * y.nr) * 1e6 + 0.5)/1e6 AS dd
+      |  FROM vc0 JOIN nrm x ON x.vec_id = vid JOIN nrm y ON y.vec_id = cvid),
+      |rk AS (SELECT vid, cell, dd, row_number() OVER (
+      |    PARTITION BY vid ORDER BY dd, cell) AS rn FROM vc),
+      |ab AS (SELECT a.vid, a.cell, a.dd AS ad, b.dd AS bd
+      |  FROM rk a JOIN rk b ON a.vid = b.vid AND a.rn = 1 AND b.rn = 2),
+      |sil AS (SELECT vid, cell,
+      |    CASE WHEN greatest(ad, bd) = 0e0 THEN 0e0
+      |         ELSE floor((bd - ad) / greatest(ad, bd) * 1e6 + 0.5)/1e6
+      |    END AS s
+      |  FROM ab)
+      |SELECT cell, count(*) AS n_vectors,
+      |  floor(avg(s) * 1e6 + 0.5)/1e6 AS mean_sil
+      |FROM sil GROUP BY cell
+      |ORDER BY cell""".stripMargin) { (s, d) =>
+    graft.operators.Similarity
+      .cellSilhouette(Tables.embeddings(s, d), "vec_id", "embedding",
+        numCells = 8)
+      .orderBy(col("cell"))
+  }
+
   // R-21 tokenizer family, third discipline: OPTIMAL (Viterbi-style
   // DP) segmentation under the q127 WordPiece vocabulary — maximize
   // Σ len(piece)², tie-break (score DESC, split ASC). The oracle

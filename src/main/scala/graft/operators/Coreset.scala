@@ -85,4 +85,80 @@ object Coreset {
     import spark.implicits._
     chosen.reverse.toDF("ord", idCol, "dist2")
   }
+
+  /** Index-order dot-product term chain against a literal vector. */
+  private def dotLit(vecCol: Column, c: Array[Double]): Column =
+    c.indices.map(i =>
+      element_at(vecCol, i + 1).cast("double") * lit(c(i)))
+      .reduceLeft(_ + _)
+
+  /** 6dp-rounded cosine against a literal vector (norm precomputed). */
+  private def cosLit(vecCol: Column, normCol: Column,
+      c: Array[Double]): Column = {
+    val cn = math.sqrt(c.map(x => x * x).sum)
+    pr6(dotLit(vecCol, c) / (normCol * lit(cn)))
+  }
+
+  /** Greedy MAXIMAL MARGINAL RELEVANCE selection (Carbonell &
+    * Goldstein 1998) — the diversity-aware complement of plain top-k
+    * retrieval, and the standard "relevant but not redundant"
+    * data-selection recipe: round r picks
+    * argmax[ λ·cos(q, d) − (1−λ)·max_{s∈chosen} cos(d, s) ].
+    *
+    * Same scale shape as [[kCenterSelect]]: the query relevance is ONE
+    * precomputed column; each round folds the latest pick's literal
+    * vector into a running max-similarity column (index-order chain,
+    * no join) and takes ONE max-of-struct aggregate. k scans, nothing
+    * quadratic, no similarity matrix.
+    *
+    * Float portability: every pairwise cosine is 6dp-rounded BEFORE
+    * the greatest()/argmax (the q137 discipline), so the oracle
+    * replays every pick; ties on the smaller id. Zero-norm vectors are
+    * excluded (cosine undefined). Output: (ord 1-based, idCol, score
+    * double = the 6dp MMR objective at selection time; round 1 has an
+    * empty chosen set, so its score is pure relevance λ·qcos).
+    */
+  def mmrSelect(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queryId: Long,
+      k: Int,
+      lambda: Double): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(lambda >= 0.0 && lambda <= 1.0, "lambda must be in [0, 1]")
+    val spark = emb.sparkSession
+    val all = emb.select(col(idCol).cast("long").as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+    val qRow = all.where(col("id") === queryId).head()
+    val qVec = qRow.getSeq[Double](1).toArray
+    require(qVec.exists(_ != 0.0), s"query vector $queryId has zero norm")
+    val base0 = all.where(col("id") =!= queryId)
+      .withColumn("__n", sqrt(sqDist(col("v"), Array.fill(qVec.length)(0.0))))
+      .where(col("__n") > 0)
+    val base = base0.withColumn("__qcos", cosLit(col("v"), col("__n"), qVec))
+    val n = base.count()
+    require(k <= n, s"mmrSelect: k=$k exceeds the candidate count $n")
+
+    var chosen = List.empty[(Int, Long, Double)]
+    var simCols = List.empty[Array[Double]] // chosen vectors, literal
+    var round = 1
+    while (round <= k) {
+      val redundancy: Column =
+        if (simCols.isEmpty) lit(0.0)
+        else simCols.map(c => cosLit(col("v"), col("__n"), c))
+          .reduceLeft(greatest(_, _))
+      val score = pr6(lit(lambda) * col("__qcos") -
+        lit(1.0 - lambda) * redundancy)
+      val top = base.where(!col("id").isin(chosen.map(_._2): _*))
+        .agg(max(struct(score.as("s"), (-col("id")).as("nid"),
+          col("v").as("v"))).as("m"))
+        .head().getStruct(0)
+      chosen = (round, -top.getLong(1), top.getDouble(0)) :: chosen
+      simCols = top.getSeq[Double](2).toArray :: simCols
+      round += 1
+    }
+    import spark.implicits._
+    chosen.reverse.toDF("ord", idCol, "score")
+  }
 }

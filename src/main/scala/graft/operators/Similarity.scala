@@ -664,4 +664,51 @@ object Similarity {
       .distinct()
     ranked(pairs, k)
   }
+
+  /** Per-cell SIMPLIFIED SILHOUETTE over a centroid partition — the
+    * clustering-quality audit for every IVF/SemDeDup layout in this
+    * file: for each vector, a = cosine distance to its nearest
+    * centroid (its cell), b = distance to the second-nearest, and
+    * s = (b − a) / max(a, b) ∈ [0, 1] (1 = deep inside its cell,
+    * 0 = on a cell boundary — exactly the vectors SemDeDup's
+    * cell-bounded pair pass can mis-bucket). Centroid-based a/b is
+    * the standard linear-time simplification of full silhouette
+    * (which needs all-pairs); it is the member the 100 TB path can
+    * afford.
+    *
+    * Scale shape: ONE row-local scan (the [[cellRank]] struct sort
+    * against numCells literal centroids — no join, codegen-friendly)
+    * + one cell-keyed aggregate. Nothing quadratic, nothing
+    * collected beyond the centroid frame.
+    *
+    * Float portability: per-centroid distances are d = 1 − cos6
+    * (exact doubles on 6dp cosines), the ratio is 6dp-rounded before
+    * the mean (q137 discipline), ties in the cell ranking break on
+    * the smaller cell id. Output: (cell, n_vectors, mean_sil) —
+    * empty cells are absent, like every cell-keyed aggregate here.
+    */
+  def cellSilhouette(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      numCells: Int): DataFrame = {
+    require(numCells >= 2, "silhouette needs at least 2 cells")
+    val spark = corpus.sparkSession
+    val cents = smallestIdCentroids(corpus, idCol, vecCol, numCells)
+    val rk = cellRank(spark, cents, col(vecCol))
+    val a = element_at(col("__rk"), 1).getField("d")
+    val b = element_at(col("__rk"), 2).getField("d")
+    corpus
+      .select(col(idCol), rk.as("__rk"))
+      .select(col(idCol),
+        element_at(col("__rk"), 1).getField("cell").as("cell"),
+        when(greatest(a, b) === 0.0, lit(0.0))
+          .otherwise(pr6s((b - a) / greatest(a, b))).as("__s"))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_vectors"),
+        pr6s(avg(col("__s"))).as("mean_sil"))
+  }
+
+  private def pr6s(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
 }
