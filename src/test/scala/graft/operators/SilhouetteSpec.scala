@@ -78,4 +78,18 @@ class SilhouetteSpec extends SparkSuiteBase {
       .sortBy(_._1)
     assert(got === perCell)
   }
+
+  test("plan shape: one cell-keyed exchange, centroid fold stays row-local") {
+    // the scale contract: per-row work is a literal centroid fold (no
+    // join), so the ONLY shuffle is the final groupBy(cell) aggregate
+    val plan = Similarity
+      .cellSilhouette(twoClusters(), "vec_id", "embedding", 2)
+      .queryExecution.executedPlan.toString
+    val exchanges = "(?m)^\\s*[+:*-]*\\s*Exchange ".r
+      .findAllIn(plan).size
+    assert(exchanges == 1,
+      s"expected exactly 1 exchange (the cell aggregate), got $exchanges:\n$plan")
+    assert(!plan.contains("Join"),
+      s"centroids must fold as literals, never join:\n$plan")
+  }
 }
