@@ -118,7 +118,12 @@ object Bench {
     // once per session/dir, the q75 memo convention)
     "q156_cusum" -> 0.85, "q157_partition_pruning" -> 0.72,
     "q158_markov_transitions" -> 1.04, "q159_grouped_quantiles" -> 0.91,
-    "q160_window_distribution" -> 0.74)
+    "q160_window_distribution" -> 0.74,
+    // round-11 session additions (comparator 0.51/0.19; q162 measured
+    // after the relevance-column localCheckpoint — the pre-truncation
+    // cut read 9.0 because every round re-folded norm+relevance)
+    "q161_jpeg_dims" -> 0.18, "q162_mmr_select" -> 2.58,
+    "q163_cell_silhouette" -> 0.27)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -133,10 +133,16 @@ object Coreset {
     val qRow = all.where(col("id") === queryId).head()
     val qVec = qRow.getSeq[Double](1).toArray
     require(qVec.exists(_ != 0.0), s"query vector $queryId has zero norm")
-    val base0 = all.where(col("id") =!= queryId)
+    // materialize (id, v, norm, query-relevance) ONCE — the relevance
+    // column is round-invariant, and without truncation every round's
+    // scan would re-fold it (plus the norm) from the source; with it
+    // each round folds only its redundancy terms. localCheckpoint =
+    // the Dedup.Stage lineage-truncation discipline.
+    val base = all.where(col("id") =!= queryId)
       .withColumn("__n", sqrt(sqDist(col("v"), Array.fill(qVec.length)(0.0))))
       .where(col("__n") > 0)
-    val base = base0.withColumn("__qcos", cosLit(col("v"), col("__n"), qVec))
+      .withColumn("__qcos", cosLit(col("v"), col("__n"), qVec))
+      .localCheckpoint()
     val n = base.count()
     require(k <= n, s"mmrSelect: k=$k exceeds the candidate count $n")
 
