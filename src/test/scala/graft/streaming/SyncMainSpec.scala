@@ -105,6 +105,52 @@ class SyncMainSpec extends SparkSuiteBase {
     assert(dst.topics.count() == 2)
   }
 
+  test("continuous mode over file roots: new entities and data picked up by the cadences") {
+    val srcRoot = tmpDir("smc-src")
+    val dstRoot = tmpDir("smc-dst")
+    val src = seedSource(srcRoot)
+    val dst = new FileCluster(spark, dstRoot, "dst-east")
+    val conf = SyncConfig(subscriptionName = "cont",
+      autoUpdateTenant = true, autoUpdateNamespace = true,
+      autoUpdateTopic = true, autoUpdatePartition = true,
+      autoUpdateSubscription = true)
+    val pipe = new SyncPipeline(spark, src, dst, conf)
+    val recorder = FileOffsetRecorder(s"$dstRoot/offsetmap")
+    val sup = pipe.superviseMirror(s"$dstRoot/_ckpt",
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(100L),
+      offsets = Some(recorder))
+    val ticker = pipe.runContinuous(
+      metadataPeriodMillis = 200L, partitionPeriodMillis = 200L,
+      cursorPeriodMillis = 200L,
+      offsetMap = Some(() => recorder.toDF(spark)))
+    try {
+      def eventually[A](what: String, timeoutMs: Long = 120000L)(
+          cond: => Boolean): Unit = {
+        val t0 = System.nanoTime()
+        while (!cond) {
+          if ((System.nanoTime() - t0) / 1000000L > timeoutMs)
+            fail(s"timed out waiting for $what")
+          Thread.sleep(100L)
+        }
+      }
+      eventually("initial topology")(dst.mirroredMessages.size == 3)
+      // entities + data arriving AFTER start are picked up by the
+      // periodic re-ticks (A21) — no restart, no manual tick
+      src.createTenants(Seq(TenantRow("late-tenant", Seq("src-cluster"))))
+      src.addMessages(RawMessage("acme", "prod", "tp", 1, 7, 1,
+        "b1".getBytes("UTF-8"), null, 0L, 1700000240000L, Map.empty))
+      src.observeCursor(CursorStat("tp", 1, "sub2", 7, 0,
+        Timestamp.valueOf("2024-01-01 11:00:00")))
+      eventually("late tenant")(
+        dst.tenants.collect().map(_.getString(0)).toSet("late-tenant"))
+      eventually("late message")(dst.mirroredMessages.size == 4)
+      eventually("late cursor")(dst.dstCursors.contains(("tp", 1, "sub2")))
+    } finally {
+      ticker.close()
+      sup.close()
+    }
+  }
+
   test("arg parsing: env fallback, required flags, unknown levels rejected") {
     intercept[IllegalArgumentException] { SyncMain.parse(Array("--dst", "/x")) }
     intercept[IllegalArgumentException] {
