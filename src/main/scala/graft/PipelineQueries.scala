@@ -4001,4 +4001,50 @@ object PipelineQueries extends QueryGroup {
         Seq("spark", "join"))
       .orderBy(col("doc_id"))
   }
+
+  // R-5/R-20 sketch family, set-operation member: KMV bottom-k
+  // cardinality of the en/es shingle-set UNION and INTERSECTION —
+  // the estimate HLL (q114) structurally cannot produce (registers
+  // union but never intersect). τ and every membership bit replay
+  // from md5 arithmetic; exact counts ride along as the accuracy
+  // witness. One row.
+  q("q164_kmv_setops",
+    s"""WITH tk AS (SELECT lang, $sqlTokens AS l FROM documents
+       |            WHERE lang IN ('en', 'es')),
+       |sh AS (SELECT lang, unnest(list_transform(generate_series(1, len(l) - 2),
+       |         i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])) AS s FROM tk),
+       |ha AS (SELECT DISTINCT CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) AS h
+       |       FROM sh WHERE lang = 'en'),
+       |hb AS (SELECT DISTINCT CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) AS h
+       |       FROM sh WHERE lang = 'es'),
+       |sa AS (SELECT h FROM ha ORDER BY h LIMIT 512),
+       |sb AS (SELECT h FROM hb ORDER BY h LIMIT 512),
+       |mg AS (SELECT h FROM (SELECT h FROM sa UNION SELECT h FROM sb)
+       |       ORDER BY h LIMIT 512),
+       |ms AS (SELECT count(*) AS n_merged, max(h) AS tau FROM mg),
+       |nb AS (SELECT count(*) AS n_both FROM mg
+       |       WHERE h IN (SELECT h FROM sa) AND h IN (SELECT h FROM sb)),
+       |eu AS (SELECT count(*) AS exact_union
+       |       FROM (SELECT h FROM ha UNION SELECT h FROM hb)),
+       |ei AS (SELECT count(*) AS exact_inter FROM ha
+       |       WHERE h IN (SELECT h FROM hb)),
+       |es AS (SELECT n_merged, n_both,
+       |         CASE WHEN n_merged < 512 THEN CAST(n_merged AS DOUBLE)
+       |              ELSE 511e0 * 1152921504606846976e0 / CAST(tau AS DOUBLE)
+       |         END AS u_raw,
+       |         CASE WHEN n_merged = 0 THEN 0e0
+       |              ELSE CAST(n_both AS DOUBLE) / CAST(n_merged AS DOUBLE)
+       |         END AS j_raw
+       |       FROM ms CROSS JOIN nb)
+       |SELECT 512 AS k, n_merged, exact_union, exact_inter,
+       |  floor(u_raw * 1e2 + 0.5)/1e2 AS union_est,
+       |  floor(j_raw * u_raw * 1e2 + 0.5)/1e2 AS inter_est,
+       |  floor(j_raw * 1e6 + 0.5)/1e6 AS jaccard_est
+       |FROM es CROSS JOIN eu CROSS JOIN ei""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    def side(l: String) = docs.filter(col("lang") === l)
+      .select(explode(graft.functions.TextFns.textShingles(col("text"), 3))
+        .as("s"))
+    graft.operators.Sketches.kmvSetOps(side("en"), side("es"), "s", k = 512)
+  }
 }

@@ -192,4 +192,60 @@ class SketchesSpec extends SparkSuiteBase {
     // degenerate group: hi == lo -> est = lo exactly
     assert(got(("B", 0.5)) === 42.0 && got(("B", 0.9)) === 42.0)
   }
+
+  test("KMV: mergeable — bottom-k of partition sketches equals the whole-set sketch") {
+    import spark.implicits._
+    val items = (0 until 5000).map(i => s"item-$i").toDF("s")
+    val whole = Sketches.kmvSketch(items, "s", 64)
+      .collect().map(_.getLong(0)).toSeq
+    // split the set arbitrarily, sketch each part, merge the SKETCHES
+    val p1 = items.filter(xxhash64(col("s")) % 3 === 0)
+    val p2 = items.filter(xxhash64(col("s")) % 3 =!= 0)
+    val merged = Sketches.kmvSketch(p1, "s", 64)
+      .union(Sketches.kmvSketch(p2, "s", 64))
+      .distinct().orderBy(col("h")).limit(64)
+      .collect().map(_.getLong(0)).toSeq
+    assert(merged === whole,
+      "bottomK(bottomK(A) U bottomK(B)) must equal bottomK(A U B)")
+  }
+
+  test("KMV set ops: exact path when k covers both sets") {
+    import spark.implicits._
+    val a = (0 until 100).map(i => s"x$i").toDF("s")   // 100 distinct
+    val b = (50 until 130).map(i => s"x$i").toDF("s")  // 80 distinct, 50 shared
+    val r = Sketches.kmvSetOps(a, b, "s", k = 512).head()
+    assert(r.getAs[Long]("exact_union") === 130L)
+    assert(r.getAs[Long]("exact_inter") === 50L)
+    // n_merged < k -> the "estimates" are the exact cardinalities
+    assert(r.getAs[Long]("n_merged") === 130L)
+    assert(r.getAs[Double]("union_est") === 130.0)
+    assert(r.getAs[Double]("inter_est") === 50.0)
+  }
+
+  test("KMV set ops: estimator path inside the O(1/sqrt k) envelope") {
+    import spark.implicits._
+    val a = (0 until 8000).map(i => s"v$i").toDF("s")
+    val b = (6000 until 12000).map(i => s"v$i").toDF("s")
+    // union 12000, inter 2000, jaccard 1/6
+    val r = Sketches.kmvSetOps(a, b, "s", k = 512).head()
+    assert(r.getAs[Long]("exact_union") === 12000L)
+    assert(r.getAs[Long]("exact_inter") === 2000L)
+    val uErr = math.abs(r.getAs[Double]("union_est") / 12000.0 - 1.0)
+    assert(uErr < 0.15, s"union est off by $uErr")   // ~3.4 sigma at k=512
+    val jErr = math.abs(r.getAs[Double]("jaccard_est") - 2000.0 / 12000.0)
+    assert(jErr < 0.06, s"jaccard est off by $jErr")
+    val iErr = math.abs(r.getAs[Double]("inter_est") / 2000.0 - 1.0)
+    assert(iErr < 0.45, s"inter est off by $iErr")
+  }
+
+  test("KMV sketch plans as TakeOrderedAndProject, never a global sort") {
+    import spark.implicits._
+    val items = (0 until 1000).map(i => s"i$i").toDF("s")
+    val p = Sketches.kmvSketch(items, "s", 32)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"),
+      s"bottom-k must be per-partition top-k + one merge, got:\n$p")
+    assert(!p.contains("Exchange rangepartitioning"),
+      s"bottom-k must not global-sort:\n$p")
+  }
 }
