@@ -4047,4 +4047,37 @@ object PipelineQueries extends QueryGroup {
         .as("s"))
     graft.operators.Sketches.kmvSetOps(side("en"), side("es"), "s", k = 512)
   }
+
+  // Time-series smoothing: truncated adjusted EWMA per user (q121's
+  // lag-chain determinism discipline; α=0.5 makes every weight an
+  // exact dyadic literal). Partial leading windows kept — adjust=true
+  // renormalizes by the weights present.
+  q("q165_ewma_smooth", {
+    val L = 6
+    val ws = (0 until L).map(j => math.pow(0.5, j))
+    val lagCols = (s"value AS x0" +:
+      (1 until L).map(i => s"lag(value, $i) OVER w AS x$i")).mkString(",\n       |  ")
+    val num = (0 until L).map(j => s"coalesce(x$j, 0e0) * ${ws(j)}e0")
+      .mkString(" + ")
+    val den = (0 until L)
+      .map(j => s"(CASE WHEN x$j IS NULL THEN 0e0 ELSE ${ws(j)}e0 END)")
+      .mkString(" + ")
+    val nt = (0 until L)
+      .map(j => s"(CASE WHEN x$j IS NULL THEN 0 ELSE 1 END)")
+      .mkString(" + ")
+    s"""WITH lg AS (SELECT user_id, event_id, value,
+       |  $lagCols
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       |sm AS (SELECT user_id, event_id, value,
+       |         ($num) AS num, ($den) AS den, ($nt) AS n_terms FROM lg)
+       |SELECT user_id, event_id, value, n_terms,
+       |  floor(num / den * 1e6 + 0.5)/1e6 AS ewma6
+       |FROM sm ORDER BY user_id, event_id""".stripMargin
+  }) { (s, d) =>
+    graft.operators.TimeSeries.ewmaSmooth(
+        Tables.events(s, d), "user_id", "ts", "event_id", "value",
+        alpha = 0.5, lookback = 6)
+      .orderBy(col("user_id"), col("event_id"))
+  }
 }

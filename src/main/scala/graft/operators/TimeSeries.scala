@@ -141,6 +141,58 @@ object TimeSeries {
       .withColumn("anomaly", abs(col("z6")) >= lit(zThreshold))
   }
 
+  /** Truncated exponentially-weighted moving average (EWMA) per key:
+    * for each event the weighted mean of its value and the `lookback-1`
+    * PRECEDING values in the key's (ts, id) order, weight `(1-α)^j` on
+    * the j-th-newest point, normalized by the weights actually present
+    * (pandas `ewm(adjust=True)` semantics, truncated to a finite
+    * window). Truncation is the SCALE choice: the exact recursive EWMA
+    * carries unbounded per-key state and an inherently sequential
+    * prefix product, while the truncated form is `lookback` lag
+    * columns over ONE per-key sort — bounded state, whole-stage
+    * codegen — at a relative error ≤ (1-α)^lookback of the dropped
+    * tail (α=0.5, L=6 → <1.6%).
+    *
+    * Determinism (q102/q121 discipline): numerator and denominator are
+    * explicit LEFT-ASSOCIATIVE chains in lag order, never a window
+    * aggregate; absent terms contribute an EXACT +0.0; the quotient is
+    * rounded at 6dp. With α an exact dyadic (0.5 default) every weight
+    * literal is bit-identical in both engines.
+    *
+    * Output: (key, id, value, n_terms, ewma6) — partial leading
+    * windows are KEPT (adjust=true renormalizes), unlike the z-score's
+    * full-window contract.
+    */
+  def ewmaSmooth(
+      events: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      idCol: String,
+      valCol: String,
+      alpha: Double,
+      lookback: Int): DataFrame = {
+    require(alpha > 0.0 && alpha < 1.0, s"alpha must be in (0,1), got $alpha")
+    require(lookback >= 1, s"lookback must be >= 1, got $lookback")
+    val ord = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col(idCol))
+    val weights = (0 until lookback).map(j => math.pow(1.0 - alpha, j))
+    val xs = col(valCol).cast("double") +:
+      (1 until lookback).map(i => lag(col(valCol).cast("double"), i).over(ord))
+    val named = events.select(
+      Seq(col(keyCol), col(idCol), col(valCol).cast("double").as("value")) ++
+        xs.zipWithIndex.map { case (c, i) => c.as(s"__x$i") }: _*)
+    def chain(terms: Seq[Column]): Column = terms.reduceLeft(_ + _)
+    val num = chain((0 until lookback).map(j =>
+      coalesce(col(s"__x$j"), lit(0.0)) * lit(weights(j))))
+    val den = chain((0 until lookback).map(j =>
+      when(col(s"__x$j").isNull, lit(0.0)).otherwise(lit(weights(j)))))
+    val nTerms = chain((0 until lookback).map(j =>
+      when(col(s"__x$j").isNull, lit(0)).otherwise(lit(1))))
+    named.select(col(keyCol), col(idCol), col("value"),
+      nTerms.as("n_terms"),
+      (floor(num / den * lit(1e6) + lit(0.5)) / lit(1e6)).as("ewma6"))
+  }
+
   /** OHLC downsampling (candlestick bars): per (key, bucket) the
     * first/max/min/last value, where first/last are decided by the
     * TOTAL (tsCol, tieCol) order. One combinable hash aggregate —

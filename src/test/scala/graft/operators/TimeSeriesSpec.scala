@@ -202,4 +202,52 @@ class TimeSeriesSpec extends SparkSuiteBase {
         .map(r => (r.getLong(0), r.getLong(2), r.getDouble(4))).toSet
     assert(run(df) === run(df.repartition(7)))
   }
+
+  test("EWMA: hand-checked values, adjust=true renormalization on partial windows") {
+    import java.sql.Timestamp
+    val df = Seq(1.0, 3.0, 5.0, 7.0).zipWithIndex.map { case (v, i) =>
+      (1L, new Timestamp(1700000000000L + i * 1000L), i.toLong, v)
+    }.toDF("user_id", "ts", "event_id", "value")
+    val got = TimeSeries.ewmaSmooth(df, "user_id", "ts", "event_id", "value",
+        alpha = 0.5, lookback = 3)
+      .collect().map(r => r.getLong(1) -> (r.getInt(3), r.getDouble(4))).toMap
+    // t0: 1/1 = 1;  t1: (3 + .5*1)/1.5 = 7/3;  t2: (5+.5*3+.25*1)/1.75
+    assert(got(0L) === ((1, 1.0)))
+    assert(got(1L) === ((2, math.floor(3.5 / 1.5 * 1e6 + 0.5) / 1e6)))
+    assert(got(2L) === ((3, math.floor(6.75 / 1.75 * 1e6 + 0.5) / 1e6)))
+    assert(got(3L) === ((3, math.floor(10.25 / 1.75 * 1e6 + 0.5) / 1e6)))
+  }
+
+  test("EWMA: truncation error vs the exact recursive EWMA is <= (1-a)^L of range") {
+    import java.sql.Timestamp
+    val vals = (0 until 100).map(i => ((i * 37) % 100).toDouble)
+    val df = vals.zipWithIndex.map { case (v, i) =>
+      (1L, new Timestamp(1700000000000L + i * 1000L), i.toLong, v)
+    }.toDF("user_id", "ts", "event_id", "value")
+    val got = TimeSeries.ewmaSmooth(df, "user_id", "ts", "event_id", "value",
+        alpha = 0.5, lookback = 8)
+      .collect().map(r => r.getLong(1) -> r.getDouble(4)).toMap
+    // exact adjusted EWMA, full history
+    var num = 0.0; var den = 0.0
+    vals.zipWithIndex.foreach { case (v, i) =>
+      num = num * 0.5 + v; den = den * 0.5 + 1.0
+      val err = math.abs(got(i.toLong) - num / den)
+      assert(err <= math.pow(0.5, 8) * 100.0 + 1e-9,
+        s"truncation error $err at $i exceeds the (1-a)^L bound")
+    }
+  }
+
+  test("EWMA plan: one exchange (the per-key sort), no self-join") {
+    import java.sql.Timestamp
+    val df = (0 until 50).map { i =>
+      ((i % 3).toLong, new Timestamp(1700000000000L + i * 1000L),
+        i.toLong, i.toDouble)
+    }.toDF("user_id", "ts", "event_id", "value")
+    val p = TimeSeries.ewmaSmooth(df, "user_id", "ts", "event_id", "value",
+        alpha = 0.5, lookback = 6)
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange".r.findAllIn(p).length
+    assert(exchanges <= 1, s"EWMA must shuffle once, saw $exchanges:\n$p")
+    assert(!p.contains("Join"), s"EWMA must not self-join:\n$p")
+  }
 }
