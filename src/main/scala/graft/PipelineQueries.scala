@@ -4080,4 +4080,38 @@ object PipelineQueries extends QueryGroup {
         alpha = 0.5, lookback = 6)
       .orderBy(col("user_id"), col("event_id"))
   }
+
+  // Curation diversity: cluster-balanced sampling — equal md5-ranked
+  // quota per q163-convention centroid cell (5 × 8 cells from a
+  // 40-vector budget), the selection that spreads a sample across the
+  // embedding space instead of reproducing cluster skew. Assignment is
+  // row-local (NearestCellExpr); the rank≤quota filter compiles to
+  // WindowGroupLimit (plan-asserted in CurationSamplingSpec).
+  q("q166_cell_balanced_sample",
+    """WITH u AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+      |  unnest(embedding)::DOUBLE AS x FROM embeddings),
+      |nrm AS (SELECT vec_id, sqrt(sum(x*x)) AS nr FROM u GROUP BY vec_id),
+      |cent AS (SELECT vec_id AS cvid,
+      |    CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell
+      |  FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 8)),
+      |vc0 AS (SELECT a.vec_id AS vid, c.cell, c.cvid, sum(a.x*b.x) AS dp
+      |  FROM u a JOIN cent c ON true
+      |  JOIN u b ON b.vec_id = c.cvid AND a.i = b.i
+      |  GROUP BY 1, 2, 3),
+      |vc AS (SELECT vid, cell,
+      |    1e0 - floor(dp / (x.nr * y.nr) * 1e6 + 0.5)/1e6 AS dd
+      |  FROM vc0 JOIN nrm x ON x.vec_id = vid JOIN nrm y ON y.vec_id = cvid),
+      |asg AS (SELECT vid, cell FROM (SELECT vid, cell, row_number() OVER (
+      |    PARTITION BY vid ORDER BY dd, cell) AS rn FROM vc) WHERE rn = 1),
+      |rnk AS (SELECT cell, vid, CAST(row_number() OVER (PARTITION BY cell
+      |    ORDER BY CAST('0x' || substr(md5(CAST(vid AS VARCHAR)), 1, 15)
+      |      AS BIGINT), vid) AS INT) AS rk
+      |  FROM asg)
+      |SELECT cell, rk, vid AS vec_id FROM rnk WHERE rk <= 5
+      |ORDER BY cell, rk""".stripMargin) { (s, d) =>
+    graft.operators.Curation.cellBalancedSample(
+        Tables.embeddings(s, d), "vec_id", "embedding",
+        numCells = 8, budget = 40)
+      .orderBy(col("cell"), col("rk"))
+  }
 }

@@ -393,4 +393,47 @@ object Curation {
         col("u") >= col("__g") && col("u") < col("__g") + col("__w"))
       .select(col("draw"), col(idCol), col("u"))
   }
+
+  /** Cluster-balanced diversity sampling over an embedding column:
+    * assign every vector to its nearest of `numCells` centroid cells
+    * (the q46/q163 smallest-id centroid convention — swap in
+    * [[Similarity.trainIvfCentroids]] for trained cells) and keep an
+    * EQUAL quota of `ceil(budget / numCells)` per cell, ranked by the
+    * portable md5 of the id — the deterministic stand-in for uniform
+    * within-cell sampling. This is the curation move that keeps the
+    * selected set spread across the embedding space where a global
+    * uniform sample reproduces the corpus's cluster skew (the
+    * cluster-balanced selection step of prototypicality-based
+    * curation, SemDeDup/DataComp lineage).
+    *
+    * Scale shape: assignment is ROW-LOCAL (the
+    * [[graft.plans.NearestCellExpr]] codegen argmin against literal
+    * centroids — no join); the only exchange is the per-cell window,
+    * and the rank≤quota filter compiles to WindowGroupLimit, so each
+    * cell contributes at most `quota` rows to the final gather
+    * (plan-asserted). Output: (cell, rk, id) — cells smaller than the
+    * quota contribute all their members.
+    */
+  def cellBalancedSample(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      numCells: Int,
+      budget: Int): DataFrame = {
+    require(numCells >= 1, s"numCells must be >= 1, got $numCells")
+    require(budget >= 1, s"budget must be >= 1, got $budget")
+    val spark = corpus.sparkSession
+    val quota = (budget + numCells - 1) / numCells
+    val cents = Similarity.smallestIdCentroids(corpus, idCol, vecCol, numCells)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("cell"))
+      .orderBy(col("__r"), col(idCol))
+    corpus
+      .select(col(idCol),
+        Similarity.cellAssign(spark, cents, col(vecCol)).as("cell"))
+      .withColumn("__r", graft.functions.PortableHash.md5Long60(
+        col(idCol).cast("string")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= quota)
+      .select(col("cell"), col("rk"), col(idCol))
+  }
 }

@@ -122,4 +122,35 @@ class SamplingDecontamSpec extends SparkSuiteBase {
         s"portable=$portable must flag the exact copy at 1.0, got $r")
     }
   }
+
+  test("cell-balanced sample: equal quota per cell, small cells give all members") {
+    val emb = graft.Tables.embeddings(spark, sfDir)
+    val got = Curation.cellBalancedSample(emb, "vec_id", "embedding",
+      numCells = 8, budget = 40).collect()
+    val perCell = got.groupBy(_.getInt(0)).view.mapValues(_.length).toMap
+    assert(perCell.values.forall(_ <= 5), s"quota 5 violated: $perCell")
+    assert(got.map(_.getLong(2)).distinct.length === got.length,
+      "a vector must be sampled at most once")
+    // ranks are 1..n_c contiguous within each cell
+    got.groupBy(_.getInt(0)).foreach { case (c, rows) =>
+      assert(rows.map(_.getInt(1)).sorted.toSeq === (1 to rows.length),
+        s"ranks not contiguous in cell $c")
+    }
+    // deterministic under repartitioning
+    val again = Curation.cellBalancedSample(emb.repartition(7), "vec_id",
+      "embedding", numCells = 8, budget = 40).collect()
+    assert(got.map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSet ===
+      again.map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSet)
+  }
+
+  test("cell-balanced sample plan: row-local assignment, WindowGroupLimit quota") {
+    val emb = graft.Tables.embeddings(spark, sfDir)
+    val p = Curation.cellBalancedSample(emb, "vec_id", "embedding",
+        numCells = 8, budget = 40)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("WindowGroupLimit"),
+      s"rank<=quota must push into WindowGroupLimit:\n$p")
+    assert(!p.contains("Join"),
+      s"assignment must be row-local (literal centroids, no join):\n$p")
+  }
 }
