@@ -4114,4 +4114,27 @@ object PipelineQueries extends QueryGroup {
         numCells = 8, budget = 40)
       .orderBy(col("cell"), col("rk"))
   }
+
+  // Multimodal q41 family, animated-GIF member: the REAL block walk
+  // (HeaderCodec.gifFrames) over deterministic GIF payloads whose
+  // every structural variation — global/local color tables, comment
+  // and graphic-control extensions, chained data sub-blocks — is
+  // doc_id arithmetic the oracle predicts. The dimension read alone
+  // (q41's GIF tier) never exercises the walk; the frame count does.
+  q("q167_gif_frames",
+    """SELECT doc_id AS asset_id,
+      |  CAST(1 + (doc_id * 5) % 1024 AS INT) AS width,
+      |  CAST(1 + (doc_id * 13) % 512 AS INT) AS height,
+      |  CAST(1 + doc_id % 7 AS INT) AS n_frames,
+      |  true AS header_parsed
+      |FROM documents ORDER BY asset_id""".stripMargin) { (s, d) =>
+    Multimodal.extractFeatures(
+        Multimodal.syntheticGifAssets(Tables.documents(s, d)))
+      .select(col("asset_id"),
+        col("features.width").as("width"),
+        col("features.height").as("height"),
+        col("features.n_frames").as("n_frames"),
+        col("features.header_parsed").as("header_parsed"))
+      .orderBy(col("asset_id"))
+  }
 }

@@ -32,6 +32,9 @@ object Multimodal {
     StructField("width", IntegerType, nullable = true),
     StructField("height", IntegerType, nullable = true),
     StructField("duration_ms", LongType, nullable = true),
+    // frame count for animated containers (GIF block walk); null for
+    // single-image/audio formats
+    StructField("n_frames", IntegerType, nullable = true),
     // true = the real header codecs extracted the metadata; false =
     // the deterministic fake tier fabricated it. Without the flag a
     // fabricated width is indistinguishable from a parsed one
@@ -41,6 +44,7 @@ object Multimodal {
   case class Features(
       nBytes: Int, checksum: Long,
       width: Option[Int], height: Option[Int], durationMs: Option[Long],
+      nFrames: Option[Int] = None,
       headerParsed: Boolean)
 
   /** REAL header parsing for the container formats whose metadata is
@@ -125,6 +129,55 @@ object Multimodal {
         Some(((b(6) & 0xff) | ((b(7) & 0xff) << 8),
           (b(8) & 0xff) | ((b(9) & 0xff) << 8)))
       else None
+
+    /** GIF frame count: the full block walk the dimension read skips.
+      * After the 13-byte header (+ global color table when flagged in
+      * the packed byte), the stream is a sequence of extension blocks
+      * (0x21: label byte + chained sub-blocks), image descriptors
+      * (0x2C: 9 descriptor bytes + optional local color table + LZW
+      * min-code byte + chained data sub-blocks) and the 0x3B trailer.
+      * Frames = image-descriptor count. None for any malformed or
+      * truncated stream — the walk never loops (offsets strictly
+      * advance) and never reads past the buffer.
+      */
+    def gifFrames(b: Array[Byte]): Option[Int] = {
+      if (gif(b).isEmpty || b.length < 13) return None
+      var off = 13
+      val packed = b(10) & 0xff
+      if ((packed & 0x80) != 0) off += 3 * (1 << ((packed & 0x07) + 1))
+      // chained sub-blocks: (len, bytes)* then a 0 terminator
+      def skipSubBlocks(start: Int): Int = {
+        var o = start
+        while (o < b.length) {
+          val n = b(o) & 0xff
+          if (n == 0) return o + 1
+          o += 1 + n
+        }
+        -1
+      }
+      var frames = 0
+      while (off < b.length) {
+        (b(off) & 0xff) match {
+          case 0x3b => return Some(frames)
+          case 0x21 =>
+            if (off + 2 > b.length) return None
+            off = skipSubBlocks(off + 2)
+            if (off < 0) return None
+          case 0x2c =>
+            if (off + 10 > b.length) return None
+            val lp = b(off + 9) & 0xff
+            off += 10
+            if ((lp & 0x80) != 0) off += 3 * (1 << ((lp & 0x07) + 1))
+            off += 1 // LZW minimum code size
+            if (off > b.length) return None
+            off = skipSubBlocks(off)
+            if (off < 0) return None
+            frames += 1
+          case _ => return None // unknown block type: malformed
+        }
+      }
+      None // ran off the end without a trailer
+    }
 
     /** WAV: RIFF/WAVE container; walk the chunk list for `fmt ` (byte
       * rate at +8 inside it, little-endian) and `data` (payload size);
@@ -246,7 +299,8 @@ object Multimodal {
       // real tier first: a payload with a parseable header yields its
       // ACTUAL dimensions/duration
       HeaderCodec.sniff(payload) match {
-        case Some((w, h, d)) => Features(n, checksum, w, h, d, headerParsed = true)
+        case Some((w, h, d)) => Features(n, checksum, w, h, d,
+          nFrames = HeaderCodec.gifFrames(payload), headerParsed = true)
         case None => mediaType match {
           case "image" => Features(n, checksum,
             Some(1 + math.abs((checksum % 1024).toInt)),
@@ -411,6 +465,72 @@ object Multimodal {
       map(lit("lang"), col("lang"), lit("source"), col("source")).as("meta"))
   }
 
+  /** Deterministic animated GIF payload — the [[syntheticJpeg]] twin
+    * for the FRAME-COUNT walk ([[HeaderCodec.gifFrames]]): every
+    * structural variation the walk must survive is exercised as
+    * doc_id arithmetic (mirrored in the q167 oracle):
+    *
+    *   - w = 1 + (id*5) % 1024, h = 1 + (id*13) % 512
+    *   - frames = 1 + id % 7
+    *   - global color table present iff id % 2 == 0 (size bits id % 3)
+    *   - a comment extension with 2 sub-blocks when id % 3 == 0
+    *   - a graphic control extension before every even frame
+    *   - a local color table on frame f iff (id + f) % 3 == 0
+    *   - per-frame data sub-block of 1 + (id + f) % 4 bytes
+    */
+  def syntheticGif(docId: Long): Array[Byte] = {
+    val w = (1 + (docId * 5) % 1024).toInt
+    val h = (1 + (docId * 13) % 512).toInt
+    val frames = (1 + docId % 7).toInt
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("GIF89a".getBytes("US-ASCII"))
+    out.write(w & 0xff); out.write(w >> 8)
+    out.write(h & 0xff); out.write(h >> 8)
+    val gctBits = (docId % 3).toInt
+    val hasGct = docId % 2 == 0
+    out.write((if (hasGct) 0x80 else 0x00) | gctBits) // packed
+    out.write(0) // background color index
+    out.write(0) // pixel aspect ratio
+    if (hasGct) out.write(new Array[Byte](3 * (1 << (gctBits + 1))))
+    if (docId % 3 == 0) { // comment extension, 2 chained sub-blocks
+      out.write(0x21); out.write(0xfe)
+      out.write(3); out.write("gif".getBytes("US-ASCII"))
+      out.write(2); out.write('o'); out.write('k')
+      out.write(0)
+    }
+    for (f <- 0 until frames) {
+      if (f % 2 == 0) { // graphic control extension
+        out.write(0x21); out.write(0xf9)
+        out.write(4); out.write(new Array[Byte](4))
+        out.write(0)
+      }
+      out.write(0x2c) // image descriptor: 1x1 at (f, 0)
+      out.write(f & 0xff); out.write(0)
+      out.write(0); out.write(0)
+      out.write(1); out.write(0)
+      out.write(1); out.write(0)
+      val hasLct = (docId + f) % 3 == 0
+      out.write(if (hasLct) 0x80 else 0x00)
+      if (hasLct) out.write(new Array[Byte](3 * 2)) // size bits 0: 2 entries
+      out.write(2) // LZW minimum code size
+      val dataLen = (1 + (docId + f) % 4).toInt
+      out.write(dataLen); out.write(new Array[Byte](dataLen))
+      out.write(0) // sub-block terminator
+    }
+    out.write(0x3b) // trailer
+    out.toByteArray
+  }
+
+  /** GIF asset table — [[syntheticAssets]]' animated-GIF twin. */
+  def syntheticGifAssets(docs: DataFrame): DataFrame = {
+    val payloadUdf = udf((id: Long) => syntheticGif(id))
+    docs.select(
+      col("doc_id").as("asset_id"),
+      lit("image").as("media_type"),
+      payloadUdf(col("doc_id")).as("payload"),
+      map(lit("lang"), col("lang"), lit("source"), col("source")).as("meta"))
+  }
+
   /** Partition-batched decode → appends a `features` struct. The codec
     * initializes once per partition (the `FakeCodec` object stands in
     * for an expensive model/library handle).
@@ -428,7 +548,8 @@ object Multimodal {
         val f = FakeCodec.decode(r.getString(mtIdx), r.getAs[Array[Byte]](plIdx))
         Row.fromSeq(r.toSeq :+ Row(f.nBytes, f.checksum,
           f.width.map(Int.box).orNull, f.height.map(Int.box).orNull,
-          f.durationMs.map(Long.box).orNull, f.headerParsed))
+          f.durationMs.map(Long.box).orNull,
+          f.nFrames.map(Int.box).orNull, f.headerParsed))
       }
     }(enc)
     ds.toDF()

@@ -383,4 +383,43 @@ class MultimodalUdfSpec extends SparkSuiteBase {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(viaAgg == viaDf)
   }
+
+  test("multimodal: synthetic GIF fixtures walk to the q167 oracle formulas") {
+    Seq(0L, 1L, 2L, 3L, 6L, 7L, 41L, 1234L, 99999L).foreach { id =>
+      val b = Multimodal.syntheticGif(id)
+      val f = Multimodal.FakeCodec.decode("image", b)
+      assert(f.headerParsed, s"id=$id must header-parse")
+      assert(f.width.contains((1 + (id * 5) % 1024).toInt), s"id=$id width")
+      assert(f.height.contains((1 + (id * 13) % 512).toInt), s"id=$id height")
+      assert(f.nFrames.contains((1 + id % 7).toInt),
+        s"id=$id frames: got ${f.nFrames}")
+    }
+    // non-GIF containers carry no frame count
+    assert(Multimodal.FakeCodec.decode("image",
+      Multimodal.syntheticJpeg(5L)).nFrames.isEmpty)
+  }
+
+  test("multimodal: hostile GIF inputs never crash, hang, or misparse") {
+    val hc = Multimodal.HeaderCodec
+    val good = Multimodal.syntheticGif(10L)
+    assert(hc.gifFrames(good).contains(4))
+    // truncated anywhere: every prefix either parses to None or a
+    // smaller frame count — never throws, never loops
+    (0 until good.length).foreach { n =>
+      val got = hc.gifFrames(good.take(n))
+      assert(got.forall(_ <= 4), s"prefix $n gave $got")
+    }
+    // no trailer: the walk must not report a count
+    assert(hc.gifFrames(good.dropRight(1)).isEmpty)
+    // unknown block type byte where a block should start (odd id: no
+    // global color table, so offset 13 IS the first block)
+    val bad = Multimodal.syntheticGif(1L); bad(13) = 0x77
+    assert(hc.gifFrames(bad).isEmpty)
+    // sub-block length pointing past the end
+    val overrun = good.take(20) ++ Array(0x21.toByte, 0xfe.toByte, 0xff.toByte)
+    assert(hc.gifFrames(overrun).isEmpty)
+    // not a GIF at all
+    assert(hc.gifFrames("plain text".getBytes("UTF-8")).isEmpty)
+    assert(hc.gifFrames(Array.empty[Byte]).isEmpty)
+  }
 }
