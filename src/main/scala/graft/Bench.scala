@@ -123,7 +123,10 @@ object Bench {
     // after the relevance-column localCheckpoint — the pre-truncation
     // cut read 9.0 because every round re-folded norm+relevance)
     "q161_jpeg_dims" -> 0.18, "q162_mmr_select" -> 2.58,
-    "q163_cell_silhouette" -> 0.27)
+    "q163_cell_silhouette" -> 0.27,
+    // round-11 session-2 additions (comparator 0.47/0.32; 3 reps)
+    "q164_kmv_setops" -> 1.11, "q165_ewma_smooth" -> 0.56,
+    "q166_cell_balanced_sample" -> 0.36, "q167_gif_frames" -> 0.32)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
