@@ -4137,4 +4137,36 @@ object PipelineQueries extends QueryGroup {
         col("features.header_parsed").as("header_parsed"))
       .orderBy(col("asset_id"))
   }
+
+  // R-21: interpolated Kneser-Ney bigram scoring — the smoothing the
+  // CCNet-class perplexity filters actually ship (q81 is the add-k
+  // baseline). Continuation counts reward words that complete many
+  // contexts; all counts integer, per-bigram chain replayed verbatim,
+  // per-doc sum 6dp (q81 discipline).
+  q("q168_kn_lm_score",
+    s"""WITH t68 AS (SELECT doc_id, $sqlTokens AS l FROM documents),
+       |px68 AS (SELECT doc_id, l[i] AS w1, l[i + 1] AS w2
+       |  FROM (SELECT doc_id, l, unnest(generate_series(1, len(l) - 1)) AS i
+       |        FROM t68 WHERE len(l) >= 2)),
+       |uni68 AS (SELECT w1, count(*) AS cu
+       |  FROM (SELECT unnest(l) AS w1 FROM t68) GROUP BY w1),
+       |big68 AS (SELECT w1, w2, count(*) AS cb FROM px68 GROUP BY 1, 2),
+       |t168 AS (SELECT w1, count(*) AS t1 FROM big68 GROUP BY w1),
+       |pc68 AS (SELECT w2, count(*) AS pcn FROM big68 GROUP BY w2),
+       |b68 AS (SELECT count(*) AS b FROM big68),
+       |sc68 AS (SELECT px68.doc_id, count(*) AS n_bigrams,
+       |    sum(log2((cb - 0.75) / cu
+       |      + 0.75 * t1 / cu * (pcn / CAST(b AS DOUBLE)))) AS raw
+       |  FROM px68 JOIN big68 USING (w1, w2) JOIN uni68 USING (w1)
+       |       JOIN t168 USING (w1) JOIN pc68 USING (w2), b68
+       |  GROUP BY 1)
+       |SELECT doc_id, n_bigrams,
+       |  floor(raw * 1000000.0 + 0.5) / 1000000.0 AS kn_logprob,
+       |  floor(raw / n_bigrams * 1000000.0 + 0.5) / 1000000.0
+       |    AS avg_kn_logprob
+       |FROM sc68 ORDER BY doc_id""".stripMargin) { (s, d) =>
+    TextAnalysis.knBigramScore(Tables.documents(s, d), "doc_id", "text")
+      .withColumnRenamed("doc", "doc_id")
+      .orderBy(col("doc_id"))
+  }
 }

@@ -319,6 +319,69 @@ object TextAnalysis {
         .as("avg_logprob"))
   }
 
+  /** Interpolated Kneser-Ney bigram scoring (Kneser & Ney 1995; the
+    * smoothing CCNet-class perplexity filters actually ship, next to
+    * [[bigramLmScore]]'s add-k baseline): per seen bigram
+    *
+    *   P(w2|w1) = (c(w1,w2) − D)/c(w1)
+    *            + D · T(w1)/c(w1) · N1+(·,w2)/B
+    *
+    * with D = 0.75, T(w1) = distinct continuations of w1, N1+(·,w2) =
+    * distinct predecessors of w2 (the CONTINUATION count — how many
+    * contexts a word completes, the insight that "francisco" is
+    * frequent but only ever follows "san"), and B = distinct bigram
+    * total. Trained on the corpus it scores, every doc bigram has
+    * c ≥ 1, so c − D > 0 and the log is always defined.
+    *
+    * Scale shape = [[bigramLmScore]]'s: three vocabulary-sized count
+    * aggregates (map-side combinable), equi-joined back onto the
+    * bigram stream, one per-doc aggregate. The only driver value is
+    * the scalar B. All counts are integers; the per-bigram expression
+    * is a fixed left-associative IEEE chain the oracle replays, the
+    * per-doc sum rounds at 6dp (q81 discipline).
+    *
+    * Output: (doc, n_bigrams, kn_logprob, avg_kn_logprob).
+    */
+  def knBigramScore(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      discount: Double = 0.75): DataFrame = {
+    require(discount > 0.0 && discount < 1.0,
+      s"discount must be in (0,1), got $discount")
+    val toks = docs.select(col(idCol).as("doc"),
+      TextFns.tokens(col(textCol)).as("l"))
+    val pairs = toks
+      .filter(size(col("l")) >= 2)
+      .select(col("doc"),
+        explode(transform(sequence(lit(1), size(col("l")) - 1),
+          i => struct(element_at(col("l"), i).as("w1"),
+            element_at(col("l"), i + 1).as("w2")))).as("p"))
+      .select(col("doc"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val uni = toks.select(explode(col("l")).as("w1"))
+      .groupBy(col("w1")).agg(count(lit(1)).as("cu"))
+    val big = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+    val t1 = big.groupBy(col("w1")).agg(count(lit(1)).as("t1"))
+    val pc = big.groupBy(col("w2")).agg(count(lit(1)).as("pcn"))
+    val b = big.count() // scalar: distinct bigram total
+    val p = (col("cb") - lit(discount)) / col("cu") +
+      lit(discount) * col("t1") / col("cu") *
+        (col("pcn").cast("double") / lit(b.toDouble))
+    val scored = pairs
+      .join(big, Seq("w1", "w2"))
+      .join(uni, Seq("w1"))
+      .join(t1, Seq("w1"))
+      .join(pc, Seq("w2"))
+      .groupBy(col("doc"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(log2(p)).as("__raw"))
+    scored.select(col("doc"),
+      col("n_bigrams"),
+      (floor(col("__raw") * lit(1e6) + lit(0.5)) / lit(1e6))
+        .as("kn_logprob"),
+      (floor(col("__raw") / col("n_bigrams") * lit(1e6) + lit(0.5)) / lit(1e6))
+        .as("avg_kn_logprob"))
+  }
+
   /** Per-document character-level Shannon entropy — the gibberish /
     * noise signal (low entropy = repetitive filler, high = random
     * byte salad; natural text sits in a band). One codegen'd

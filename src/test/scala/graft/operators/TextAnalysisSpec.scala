@@ -172,4 +172,36 @@ class TextAnalysisSpec extends SparkSuiteBase {
       "text", 8).collect().map(r => r.getLong(0) -> r.getString(2)).toMap
     assert(again(1L) === out(1L)._2)
   }
+
+  test("Kneser-Ney: continuation counts break the add-k tie") {
+    import spark.implicits._
+    // (u,p) and (v,q) have identical bigram/unigram counts; p completes
+    // TWO contexts (u,z), q completes one. KN scores (u,p) strictly
+    // higher — add-k smoothing cannot see the difference.
+    val docs = Seq((1L, "u p"), (2L, "v q"), (3L, "z p"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.knBigramScore(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // P(p|u) = 0.25/1 + 0.75*1*(2/3) = 0.75; P(q|v) = 0.25 + 0.75/3 = 0.5
+    assert(got(1L) === math.floor(math.log(0.75) / math.log(2) * 1e6 + 0.5) / 1e6)
+    assert(got(2L) === -1.0)
+    assert(got(1L) > got(2L))
+  }
+
+  test("Kneser-Ney: seen-continuation mass sums to 1; deterministic under repartition") {
+    import spark.implicits._
+    // every continuation of m in the corpus is {a, b}: the interpolated
+    // model's mass over them is exactly 1
+    val docs = Seq((1L, "m a"), (2L, "m b"), (3L, "m a"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.knBigramScore(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val mass = math.pow(2, got(1L)) + math.pow(2, got(2L))
+    assert(math.abs(mass - 1.0) < 1e-5, s"mass $mass")
+    assert(got(1L) === got(3L), "identical docs must score identically")
+    val again = TextAnalysis.knBigramScore(docs.repartition(5),
+        "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(again === got)
+  }
 }
