@@ -570,6 +570,43 @@ class StreamingSemanticsSpec extends SparkSuiteBase {
     assert(batch.exists { case (id, _, a) => id == 2009L && a })
   }
 
+  test("streaming EWMA equals the q165 batch operator, any batch split") {
+    import graft.streaming.StreamingEwma
+    def pts(key: Long, vals: Seq[Double]): Seq[StreamingEwma.Point] =
+      vals.zipWithIndex.map { case (v, i) =>
+        StreamingEwma.Point(key, 1700000000000L + i * 1000L,
+          key * 1000 + i, v)
+      }
+    val all = pts(1L, Seq(5.0, 7.0, 3.0, 9.0, 4.0, 6.0, 8.0, 2.0)) ++
+      pts(2L, Seq(1.5, 2.5, 0.5, 3.5, 1.0))
+
+    val batchDf = all.map(p =>
+        (p.key, new Timestamp(p.tsMs), p.id, p.value))
+      .toDF("user_id", "ts", "event_id", "value")
+    val batch = graft.operators.TimeSeries.ewmaSmooth(
+        batchDf, "user_id", "ts", "event_id", "value",
+        alpha = 0.5, lookback = 4)
+      .collect()
+      .map(r => (r.getLong(1), r.getInt(3), r.getDouble(4))).toSet
+
+    val ms = MemoryStream[StreamingEwma.Point](spark, 1)
+    implicit val s = spark
+    val q = StreamingEwma.smoothed(ms.toDS(), alpha = 0.5, lookback = 4)
+      .writeStream.format("memory").queryName("ewmastream")
+      .outputMode("append").start()
+    Seq(all.take(3), all.slice(3, 10), all.drop(10)).foreach { b =>
+      ms.addData(b: _*)
+      q.processAllAvailable()
+    }
+    val streamed = spark.table("ewmastream").collect()
+      .map(r => (r.getLong(1), r.getInt(3), r.getDouble(4))).toSet
+    q.stop()
+    assert(streamed == batch,
+      s"stream != batch:\nonly-stream=${streamed -- batch}\nonly-batch=${batch -- streamed}")
+    // every input row is smoothed (partial windows kept)
+    assert(batch.size == all.size)
+  }
+
   test("streaming latest-wins upsert equals batch after every prefix, out of order") {
     import graft.streaming.StreamingUpsert
     import graft.streaming.StreamingUpsert.Change
