@@ -4169,4 +4169,41 @@ object PipelineQueries extends QueryGroup {
       .withColumnRenamed("doc", "doc_id")
       .orderBy(col("doc_id"))
   }
+
+  // R-19 link analytics: semi-supervised label propagation over the
+  // staged near-dup pair graph (frozen-once-assigned majority vote,
+  // tie -> smaller label) — sparse-annotation spreading next to q111's
+  // PageRank and q47's components. Seeds = every 10th doc labeled with
+  // its lang; 3 unrolled rounds in the oracle.
+  q("q169_label_propagation", {
+    val b = new StringBuilder
+    b.append(s"""WITH $jaccardPairCtes,
+       |ed AS (SELECT id_a AS src, id_b AS dst FROM pr
+       |       UNION ALL SELECT id_b, id_a FROM pr),
+       |l0 AS (SELECT doc_id, CASE WHEN doc_id % 10 = 0 THEN lang END AS lbl
+       |       FROM documents)""".stripMargin)
+    for (r <- 1 to 3) {
+      val p = r - 1
+      b.append(s""",
+       |v$r AS (SELECT ed.dst, l.lbl, count(*) AS votes
+       |       FROM ed JOIN l$p l ON l.doc_id = ed.src AND l.lbl IS NOT NULL
+       |       GROUP BY 1, 2),
+       |w$r AS (SELECT dst AS doc_id, lbl FROM (
+       |         SELECT dst, lbl, row_number() OVER (PARTITION BY dst
+       |           ORDER BY votes DESC, lbl) AS rn FROM v$r) WHERE rn = 1),
+       |l$r AS (SELECT l$p.doc_id, coalesce(l$p.lbl, w$r.lbl) AS lbl
+       |       FROM l$p LEFT JOIN w$r USING (doc_id))""".stripMargin)
+    }
+    b.append("""
+       |SELECT doc_id, lbl AS label FROM l3 ORDER BY doc_id""".stripMargin)
+    b.toString
+  }) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    graft.operators.GraphOps.labelPropagation(
+        docs, "doc_id", dedupStage(s, d).pairs, "id_a", "id_b",
+        docs.filter(pmod(col("doc_id"), lit(10)) === 0), "doc_id", "lang",
+        rounds = 3)
+      .withColumnRenamed("lang", "label")
+      .orderBy(col("doc_id"))
+  }
 }

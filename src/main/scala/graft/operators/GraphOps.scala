@@ -130,4 +130,68 @@ object GraphOps {
             + lit(0.5)) / lit(1e6))
           .otherwise(lit(0.0)).as("global_cc"))
   }
+
+  /** Semi-supervised label propagation over an undirected pair frame
+    * (Zhu & Ghahramani 2002 lineage, the FROZEN-ONCE-ASSIGNED
+    * deterministic variant): seed nodes carry labels; each round,
+    * every still-unlabeled node adjacent to at least one labeled node
+    * takes the MAJORITY label of its labeled neighbors, ties broken by
+    * the lexicographically smaller label. Assigned labels never change
+    * (seeds included) — the monotone frontier makes every round a
+    * deterministic integer vote the oracle unrolls as CTEs, where the
+    * classic re-votable variant oscillates on bipartite structures.
+    * This is the label-spreading recipe curation pipelines use to
+    * extend sparse quality/topic annotations across a near-dup or
+    * similarity graph.
+    *
+    * Scale shape ([[pageRank]]'s): per round one edge-keyed join onto
+    * the CURRENT labeled set (frontier-sized, shrinking as the graph
+    * saturates), one destination-keyed count aggregate, one
+    * WindowGroupLimit-able rank, one node-keyed left join; each round
+    * localCheckpoints so the plan stays round-deep. Rounds needed =
+    * graph diameter from the seed set, typically ≤ a handful on
+    * near-dup clusters.
+    *
+    * Output: (idCol, labelCol) — null label = unreachable from any
+    * seed within `rounds`.
+    */
+  def labelPropagation(
+      nodes: DataFrame,
+      idCol: String,
+      pairs: DataFrame,
+      idACol: String,
+      idBCol: String,
+      seeds: DataFrame,
+      seedIdCol: String,
+      labelCol: String,
+      rounds: Int): DataFrame = {
+    require(rounds >= 0, s"rounds must be >= 0, got $rounds")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("dst"))
+      .orderBy(col("votes").desc, col("lbl"))
+    val edges = pairs
+      .select(col(idACol).as("src"), col(idBCol).as("dst"))
+      .unionByName(pairs.select(col(idBCol).as("src"), col(idACol).as("dst")))
+      .localCheckpoint(true)
+    var lab = nodes.select(col(idCol).as("id"))
+      .join(seeds.select(col(seedIdCol).as("id"), col(labelCol).as("lbl")),
+        Seq("id"), "left")
+      .localCheckpoint(true)
+    var i = 0
+    while (i < rounds) {
+      val votes = edges
+        .join(lab.filter(col("lbl").isNotNull)
+          .select(col("id").as("src"), col("lbl")), "src")
+        .groupBy(col("dst"), col("lbl"))
+        .agg(count(lit(1)).as("votes"))
+      val winner = votes
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("dst").as("id"), col("lbl").as("__new"))
+      lab = lab.join(winner, Seq("id"), "left")
+        .select(col("id"), coalesce(col("lbl"), col("__new")).as("lbl"))
+        .localCheckpoint(true)
+      i += 1
+    }
+    lab.select(col("id").as(idCol), col("lbl").as(labelCol))
+  }
 }

@@ -57,4 +57,51 @@ class GraphOpsSpec extends SparkSuiteBase {
     // symmetric graph -> identical ranks
     assert(pr.toSet.size == 1)
   }
+
+  test("label propagation: seeds flood their cliques, unreachable stays null") {
+    import spark.implicits._
+    // clique {1,2,3} seeded 'a' at 1; path 4-5-6 seeded 'b' at 4;
+    // isolated 7 never reached
+    val nodes = (1L to 7L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L))
+      .toDF("id_a", "id_b")
+    val seeds = Seq((1L, "a"), (4L, "b")).toDF("doc_id", "lang")
+    val got = GraphOps.labelPropagation(nodes, "doc_id", pairs,
+        "id_a", "id_b", seeds, "doc_id", "lang", rounds = 3)
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(got(1L).contains("a") && got(2L).contains("a")
+      && got(3L).contains("a"))
+    assert(got(4L).contains("b") && got(5L).contains("b")
+      && got(6L).contains("b"))
+    assert(got(7L).isEmpty, "isolated node must stay unlabeled")
+    // 6 is 2 hops from the seed: one round is not enough
+    val r1 = GraphOps.labelPropagation(nodes, "doc_id", pairs,
+        "id_a", "id_b", seeds, "doc_id", "lang", rounds = 1)
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(r1(5L).contains("b") && r1(6L).isEmpty)
+  }
+
+  test("label propagation: majority wins, ties take the smaller label, seeds frozen") {
+    import spark.implicits._
+    // node 10 hears 'b' twice and 'a' once -> 'b'; node 20 hears one
+    // of each -> tie -> 'a'; seed 2 keeps 'b' though both its
+    // neighbors say 'a'
+    val nodes = Seq(1L, 2L, 3L, 4L, 10L, 20L).toDF("doc_id")
+    val pairs = Seq((1L, 10L), (2L, 10L), (3L, 10L),
+      (1L, 20L), (2L, 20L), (1L, 2L), (4L, 2L)).toDF("id_a", "id_b")
+    val seeds = Seq((1L, "a"), (4L, "a"), (2L, "b"), (3L, "b"))
+      .toDF("doc_id", "lang")
+    val got = GraphOps.labelPropagation(nodes, "doc_id", pairs,
+        "id_a", "id_b", seeds, "doc_id", "lang", rounds = 2)
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(got(10L).contains("b"), s"majority: ${got(10L)}")
+    assert(got(20L).contains("a"), s"tie-break: ${got(20L)}")
+    assert(got(2L).contains("b"), "assigned labels are frozen")
+    // deterministic under repartitioning
+    val again = GraphOps.labelPropagation(nodes.repartition(5), "doc_id",
+        pairs.repartition(3), "id_a", "id_b", seeds, "doc_id", "lang",
+        rounds = 2)
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(again === got)
+  }
 }
