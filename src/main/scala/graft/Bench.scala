@@ -126,7 +126,11 @@ object Bench {
     "q163_cell_silhouette" -> 0.27,
     // round-11 session-2 additions (comparator 0.47/0.32; 3 reps)
     "q164_kmv_setops" -> 1.11, "q165_ewma_smooth" -> 0.56,
-    "q166_cell_balanced_sample" -> 0.36, "q167_gif_frames" -> 0.32)
+    "q166_cell_balanced_sample" -> 0.36, "q167_gif_frames" -> 0.32,
+    // q169's min is the propagation over the staged pairs (q111 built
+    // the stage earlier in the alphabetical sweep)
+    "q168_kn_lm_score" -> 2.23, "q169_label_propagation" -> 1.20,
+    "q170_lsh_recall_audit" -> 2.14)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -4206,4 +4206,56 @@ object PipelineQueries extends QueryGroup {
       .withColumnRenamed("lang", "label")
       .orderBy(col("doc_id"))
   }
+
+  // R-19 estimator audit: precision/recall of the q34 MinHash-LSH
+  // pair set against the exact Jaccard pairs over the same un-blocked
+  // shingle universe — what the (bands=8, rows=4) S-curve point
+  // actually bought on this corpus. One row; both sides and the
+  // tuple-join replay in the oracle.
+  q("q170_lsh_recall_audit", {
+    val aList = laneCoeffs._1.mkString("[", ",", "]")
+    val bList = laneCoeffs._2.mkString("[", ",", "]")
+    s"""WITH $minhashShingleCtes,
+       |h AS (SELECT doc_id,
+       |        CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) % 2147483647 AS h0
+       |      FROM sh),
+       |lane AS (SELECT doc_id, i,
+       |           min(($aList[i+1] * h0 + $bList[i+1]) % 2147483647) AS v
+       |         FROM h CROSS JOIN (SELECT unnest(range(0, 32)) AS i)
+       |         GROUP BY 1, 2),
+       |sig AS (SELECT doc_id, list(v ORDER BY i) AS sig FROM lane GROUP BY 1),
+       |bd AS (SELECT doc_id, band,
+       |         array_to_string(sig[band*4+1 : band*4+4], ',') AS bh
+       |       FROM sig CROSS JOIN (SELECT unnest(range(0, 8)) AS band)),
+       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |         FROM bd a JOIN bd b
+       |           ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+       |lsh AS (SELECT id_a, id_b FROM cand
+       |        JOIN sig x ON x.doc_id = id_a JOIN sig y ON y.doc_id = id_b
+       |        WHERE len(list_filter(range(0, 32),
+       |          i -> x.sig[i+1] = y.sig[i+1])) / 32.0 >= 0.5),
+       |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+       |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+       |      FROM sh a JOIN sh b ON a.shingle = b.shingle
+       |                         AND a.doc_id < b.doc_id
+       |      GROUP BY 1, 2),
+       |ex AS (SELECT id_a, id_b
+       |       FROM p JOIN sz x ON x.doc_id = id_a JOIN sz y ON y.doc_id = id_b
+       |       WHERE inter * 1.0 / (x.sz + y.sz - inter) >= 0.5),
+       |tp AS (SELECT count(*) AS tp FROM ex JOIN lsh USING (id_a, id_b)),
+       |ne AS (SELECT count(*) AS n_exact FROM ex),
+       |nl AS (SELECT count(*) AS n_lsh FROM lsh)
+       |SELECT n_exact, n_lsh, tp,
+       |  CASE WHEN n_lsh = 0 THEN NULL
+       |       ELSE floor(CAST(tp AS DOUBLE) / CAST(n_lsh AS DOUBLE)
+       |         * 1e6 + 0.5)/1e6 END AS precision6,
+       |  CASE WHEN n_exact = 0 THEN NULL
+       |       ELSE floor(CAST(tp AS DOUBLE) / CAST(n_exact AS DOUBLE)
+       |         * 1e6 + 0.5)/1e6 END AS recall6
+       |FROM ne CROSS JOIN nl CROSS JOIN tp""".stripMargin
+  }) { (s, d) =>
+    Dedup.lshRecallAudit(Tables.documents(s, d), "doc_id", "text",
+      shingleN = 3, numHashes = 32, bands = 8, threshold = 0.5,
+      portable = true)
+  }
 }

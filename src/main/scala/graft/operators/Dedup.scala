@@ -1139,4 +1139,52 @@ object Dedup {
         TextFns.hamming64(col("a.sh"), col("b.sh")).as("hamming"))
       .distinct()
   }
+
+  /** MinHash-LSH quality audit: precision/recall of the banded
+    * estimator's pair set ([[minhashLshPairs]], est ≥ threshold)
+    * against the EXACT Jaccard pairs over the same un-blocked,
+    * un-capped shingle universe — the measurement that tunes
+    * bands/rows before committing a corpus-scale dedup run (the S
+    * curve says what recall a (bands, rows) point buys at a
+    * threshold; this reports what it ACTUALLY bought on this corpus).
+    *
+    * Output: ONE row (n_exact, n_lsh, tp, precision6, recall6) — tp =
+    * pairs in both sets, precision = tp/n_lsh, recall = tp/n_exact
+    * (null on an empty denominator, the q141 zero-ratio convention).
+    *
+    * Scale note: the exact side is the audit's cost (a full
+    * shingle-equality self-join) — run it on a SAMPLE at corpus scale
+    * and the estimator side at full width; the sample's recall
+    * estimate is unbiased because membership in both sets is
+    * pair-local.
+    */
+  def lshRecallAudit(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int,
+      numHashes: Int,
+      bands: Int,
+      threshold: Double,
+      portable: Boolean = true): DataFrame = {
+    val exact = ngramJaccardPairs(
+        docs.withColumn("__blk", lit("all")), idCol, textCol, "__blk",
+        shingleN, threshold, maxShingleDocFreq = Int.MaxValue)
+      .select(col("id_a"), col("id_b"))
+    val lsh = minhashLshPairs(docs, idCol, textCol, shingleN, numHashes,
+        bands, threshold, portable)
+      .select(col("id_a"), col("id_b"))
+    val tp = exact.join(lsh, Seq("id_a", "id_b"), "left_semi")
+      .agg(count(lit(1)).as("tp"))
+    val ne = exact.agg(count(lit(1)).as("n_exact"))
+    val nl = lsh.agg(count(lit(1)).as("n_lsh"))
+    ne.crossJoin(nl).crossJoin(tp)
+      .select(col("n_exact"), col("n_lsh"), col("tp"),
+        when(col("n_lsh") === 0, lit(null).cast("double"))
+          .otherwise(floor(col("tp").cast("double") / col("n_lsh").cast("double")
+            * lit(1e6) + lit(0.5)) / lit(1e6)).as("precision6"),
+        when(col("n_exact") === 0, lit(null).cast("double"))
+          .otherwise(floor(col("tp").cast("double") / col("n_exact").cast("double")
+            * lit(1e6) + lit(0.5)) / lit(1e6)).as("recall6"))
+  }
 }

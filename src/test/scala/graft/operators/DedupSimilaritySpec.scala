@@ -1225,4 +1225,29 @@ class DedupSimilaritySpec extends SparkSuiteBase {
       .collect().map(_.getLong(2)).toSeq
     assert(got == Seq(11L), "null==null must be SAME class, excluded")
   }
+
+  test("LSH recall audit: consistent counts, perfect on the fixture's planted dups") {
+    val r = Dedup.lshRecallAudit(docs, "doc_id", "text",
+      shingleN = 3, numHashes = 32, bands = 8, threshold = 0.5).head()
+    val (ne, nl, tp) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(tp <= math.min(ne, nl), s"tp $tp exceeds a side ($ne, $nl)")
+    assert(r.getDouble(3) === math.floor(tp.toDouble / nl * 1e6 + 0.5) / 1e6)
+    assert(r.getDouble(4) === math.floor(tp.toDouble / ne * 1e6 + 0.5) / 1e6)
+    // the fixture's planted dups are near-identical: both detectors
+    // find exactly them at 0.5
+    assert(ne > 0 && r.getDouble(3) === 1.0 && r.getDouble(4) === 1.0)
+  }
+
+  test("LSH recall audit: empty pair sets read zero with null ratios") {
+    import spark.implicits._
+    val disjoint = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "one two three four five six seven eight nine"),
+      (3L, "red orange yellow green blue indigo violet pink"))
+      .toDF("doc_id", "text")
+    val r = Dedup.lshRecallAudit(disjoint, "doc_id", "text",
+      shingleN = 3, numHashes = 32, bands = 8, threshold = 0.5).head()
+    assert(r.getLong(0) === 0L && r.getLong(1) === 0L && r.getLong(2) === 0L)
+    assert(r.isNullAt(3) && r.isNullAt(4))
+  }
 }
