@@ -4258,4 +4258,85 @@ object PipelineQueries extends QueryGroup {
       shingleN = 3, numHashes = 32, bands = 8, threshold = 0.5,
       portable = true)
   }
+
+  // Data-ops monitoring: snapshot DRIFT report (q142's audit watches
+  // one snapshot's rules; this watches the DISTRIBUTION between two) —
+  // per numeric column the mean/null-rate shifts and range expansion
+  // between the pre-1998 and 1998+ lineitem slices. Two single-scan
+  // profiles + a k-row join; the snapshots never co-shuffle.
+  q("q171_drift_report", {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    def side(tag: String, pred: String) =
+      s"""p$tag AS (SELECT count(*) AS n${cols.map(c =>
+        s""",
+           |    sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS nulls_$c,
+           |    min($c) AS min_$c, max($c) AS max_$c, sum($c) AS sum_$c"""
+          .stripMargin).mkString}
+         |  FROM lineitem WHERE $pred)""".stripMargin
+    val rows = cols.map { c =>
+      s"""SELECT '$c' AS "column", a.n AS n_a, b.n AS n_b,
+         |  floor(a.sum_$c / CAST(a.n - a.nulls_$c AS DOUBLE) * 1e6 + 0.5)/1e6
+         |    AS mean_a6,
+         |  floor(b.sum_$c / CAST(b.n - b.nulls_$c AS DOUBLE) * 1e6 + 0.5)/1e6
+         |    AS mean_b6,
+         |  floor((floor(b.sum_$c / CAST(b.n - b.nulls_$c AS DOUBLE) * 1e6
+         |      + 0.5)/1e6
+         |    - floor(a.sum_$c / CAST(a.n - a.nulls_$c AS DOUBLE) * 1e6
+         |      + 0.5)/1e6) * 1e6 + 0.5)/1e6 AS mean_delta6,
+         |  floor(CAST(a.nulls_$c AS DOUBLE) / CAST(a.n AS DOUBLE) * 1e6
+         |    + 0.5)/1e6 AS null_rate_a6,
+         |  floor(CAST(b.nulls_$c AS DOUBLE) / CAST(b.n AS DOUBLE) * 1e6
+         |    + 0.5)/1e6 AS null_rate_b6,
+         |  (b.min_$c < a.min_$c OR b.max_$c > a.max_$c) AS range_expanded
+         |FROM pa a CROSS JOIN pb b""".stripMargin
+    }
+    s"""WITH ${side("a", "l_shipdate < TIMESTAMP '1998-01-01'")},
+       |${side("b", "l_shipdate >= TIMESTAMP '1998-01-01'")}
+       |${rows.mkString("\n|UNION ALL\n|").stripMargin}
+       |ORDER BY "column"""".stripMargin
+  }) { (s, d) =>
+    val li = Tables.lineitem(s, d)
+    val cut = lit("1998-01-01").cast("timestamp")
+    graft.operators.Audit.driftReport(
+        li.filter(col("l_shipdate") < cut),
+        li.filter(col("l_shipdate") >= cut),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+      .orderBy(col("column"))
+  }
+
+  // Feature diagnostics: Pearson correlation matrix over the lineitem
+  // measures in ONE combinable aggregate (all sums/squares/cross
+  // products in a single scan; r is row-local arithmetic on the stat
+  // row). The same textual formula runs in both engines — never each
+  // engine's own corr() whose co-moment accumulation orders differ.
+  q("q172_correlation_matrix", {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val pairs = for { i <- cols.indices; j <- cols.indices if i < j }
+      yield (cols(i), cols(j))
+    val sums = cols.map(c =>
+      s"sum($c) AS s_$c, sum($c * $c) AS ss_$c").mkString(",\n       |    ")
+    val crosses = pairs.map { case (a, b) =>
+      s"sum($a * $b) AS sp_${a}_$b" }.mkString(",\n       |    ")
+    val rows = pairs.map { case (a, b) =>
+      s"""SELECT '$a' AS col_a, '$b' AS col_b,
+         |  CASE WHEN CAST(n AS DOUBLE) * ss_$a - s_$a * s_$a > 0
+         |        AND CAST(n AS DOUBLE) * ss_$b - s_$b * s_$b > 0
+         |       THEN floor((CAST(n AS DOUBLE) * sp_${a}_$b - s_$a * s_$b)
+         |         / sqrt((CAST(n AS DOUBLE) * ss_$a - s_$a * s_$a)
+         |              * (CAST(n AS DOUBLE) * ss_$b - s_$b * s_$b))
+         |         * 1e6 + 0.5)/1e6
+         |  END AS corr6
+         |FROM st""".stripMargin }
+    s"""WITH st AS (SELECT count(*) AS n,
+       |    $sums,
+       |    $crosses
+       |  FROM lineitem
+       |  WHERE ${cols.map(c => s"$c IS NOT NULL").mkString(" AND ")})
+       |${rows.mkString("\n|UNION ALL\n|").stripMargin}
+       |ORDER BY col_a, col_b""".stripMargin
+  }) { (s, d) =>
+    graft.operators.Spectral.correlationMatrix(Tables.lineitem(s, d),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+      .orderBy(col("col_a"), col("col_b"))
+  }
 }

@@ -90,4 +90,72 @@ object Audit {
     require(parts.nonEmpty, "empty audit")
     parts.reduceLeft(_ unionAll _)
   }
+
+  /** One-pass numeric column profile: for every column one row
+    * (column, n_rows, n_nulls, vmin, vmax, mean6). ALL columns fold
+    * into a SINGLE scan/aggregate (the [[scanChecks]] discipline —
+    * one combinable aggregate node emits every stat, then a row-local
+    * `stack` pivots the single stat row to long format), so profiling
+    * k columns of a 100 TB table costs one pass regardless of k.
+    * mean6 is null for all-null columns (zero-denominator convention).
+    */
+  def columnProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "columnProfile needs at least one column")
+    val aggCols = count(lit(1)).as("__n") +: cols.flatMap(c => Seq(
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nulls_$c"),
+      min(col(c).cast("double")).as(s"__min_$c"),
+      max(col(c).cast("double")).as(s"__max_$c"),
+      sum(col(c).cast("double")).as(s"__sum_$c")))
+    val one = df.agg(aggCols.head, aggCols.tail: _*)
+    val stackExpr = s"stack(${cols.length}, " + cols.map(c =>
+      s"'$c', __nulls_$c, __min_$c, __max_$c, __sum_$c").mkString(", ") +
+      ") as (column, n_nulls, vmin, vmax, __vsum)"
+    one.select(col("__n").as("n_rows"), expr(stackExpr))
+      .select(col("column"), col("n_rows"), col("n_nulls"),
+        col("vmin"), col("vmax"),
+        when(col("n_rows") - col("n_nulls") === 0,
+            lit(null).cast("double"))
+          .otherwise(floor(col("__vsum")
+            / (col("n_rows") - col("n_nulls")).cast("double")
+            * lit(1e6) + lit(0.5)) / lit(1e6)).as("mean6"))
+  }
+
+  /** Snapshot drift report (the distribution-shift monitor a
+    * continuously-ingested corpus needs next to [[scanChecks]]'s
+    * within-snapshot rules): [[columnProfile]] of two snapshots
+    * joined per column, with the deltas a drift alert keys on —
+    * mean shift, null-rate shift, and whether the observed value
+    * range EXPANDED (new out-of-range values arriving is the classic
+    * upstream-schema-change symptom). Two single-scan profiles + one
+    * k-row join: the snapshots are never co-shuffled.
+    *
+    * Output per column: (column, n_a, n_b, mean_a6, mean_b6,
+    * mean_delta6, null_rate_a6, null_rate_b6, range_expanded).
+    */
+  def driftReport(
+      a: DataFrame,
+      b: DataFrame,
+      cols: Seq[String]): DataFrame = {
+    val pa = columnProfile(a, cols)
+    val pb = columnProfile(b, cols)
+    def nullRate(n: Column, nulls: Column): Column =
+      when(n === 0, lit(null).cast("double"))
+        .otherwise(floor(nulls.cast("double") / n.cast("double")
+          * lit(1e6) + lit(0.5)) / lit(1e6))
+    pa.select(col("column"), col("n_rows").as("n_a"),
+        col("n_nulls").as("__nulls_a"), col("vmin").as("__min_a"),
+        col("vmax").as("__max_a"), col("mean6").as("mean_a6"))
+      .join(pb.select(col("column"), col("n_rows").as("n_b"),
+        col("n_nulls").as("__nulls_b"), col("vmin").as("__min_b"),
+        col("vmax").as("__max_b"), col("mean6").as("mean_b6")),
+        Seq("column"))
+      .select(col("column"), col("n_a"), col("n_b"),
+        col("mean_a6"), col("mean_b6"),
+        (floor((col("mean_b6") - col("mean_a6")) * lit(1e6) + lit(0.5))
+          / lit(1e6)).as("mean_delta6"),
+        nullRate(col("n_a"), col("__nulls_a")).as("null_rate_a6"),
+        nullRate(col("n_b"), col("__nulls_b")).as("null_rate_b6"),
+        (col("__min_b") < col("__min_a") || col("__max_b") > col("__max_a"))
+          .as("range_expanded"))
+  }
 }

@@ -131,6 +131,52 @@ object Spectral {
     * (idCol, score) with score = 6dp-rounded (x − μ)·v — one
     * codegen'd scan, zero shuffles past the component collect.
     */
+  /** Pearson correlation matrix over k numeric columns in ONE
+    * combinable aggregate pass (the feature-diagnostics step before
+    * training: redundant/leaking features show as |r| → 1): all
+    * k sums, k squares and k(k−1)/2 cross-products fold into a single
+    * scan's aggregate node, then every pairwise
+    *
+    *   r = (n·Σxy − Σx·Σy) / √((n·Σxx − Σx²)(n·Σyy − Σy²))
+    *
+    * is row-local arithmetic on the one stat row, pivoted long by
+    * `stack`. Listwise deletion: rows with a null in ANY profiled
+    * column are excluded (the convention the oracle replays).
+    * Zero-variance columns read null r (zero denominator). Output:
+    * (col_a, col_b, corr6) for the a < b upper triangle in `cols`
+    * order. State: O(k²) doubles however large the table.
+    */
+  def correlationMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "correlationMatrix needs at least 2 columns")
+    val clean = df.filter(cols.map(col(_).isNotNull).reduce(_ && _))
+    val pairs = for {
+      i <- cols.indices; j <- cols.indices if i < j
+    } yield (cols(i), cols(j))
+    val aggCols = count(lit(1)).as("__n") +:
+      (cols.flatMap(c => Seq(
+        sum(col(c).cast("double")).as(s"__s_$c"),
+        sum(col(c).cast("double") * col(c).cast("double")).as(s"__ss_$c"))) ++
+        pairs.map { case (a, b) =>
+          sum(col(a).cast("double") * col(b).cast("double")).as(s"__sp_${a}_$b")
+        })
+    val one = clean.agg(aggCols.head, aggCols.tail: _*)
+    def corrExpr(a: String, b: String): Column = {
+      val n = col("__n").cast("double")
+      val va = n * col(s"__ss_$a") - col(s"__s_$a") * col(s"__s_$a")
+      val vb = n * col(s"__ss_$b") - col(s"__s_$b") * col(s"__s_$b")
+      val cov = n * col(s"__sp_${a}_$b") - col(s"__s_$a") * col(s"__s_$b")
+      when(va > 0 && vb > 0,
+        floor(cov / sqrt(va * vb) * lit(1e6) + lit(0.5)) / lit(1e6))
+        .otherwise(lit(null).cast("double"))
+    }
+    val stacked = pairs.map { case (a, b) =>
+      struct(lit(a).as("col_a"), lit(b).as("col_b"),
+        corrExpr(a, b).as("corr6"))
+    }
+    one.select(explode(array(stacked: _*)).as("__p"))
+      .select(col("__p.col_a"), col("__p.col_b"), col("__p.corr6"))
+  }
+
   def pcaProject(
       emb: DataFrame,
       idCol: String,

@@ -69,4 +69,35 @@ class AuditSpec extends SparkSuiteBase {
       Seq(Audit.Rule("n", col("fk").isNull))).head()
     assert(e.getLong(1) === 0L && e.getLong(2) === 0L)
   }
+
+  test("columnProfile: one scan for all columns; all-null column reads null mean") {
+    val df = Seq(
+      (Some(1.0), Option.empty[Double]),
+      (Some(3.0), Option.empty[Double]),
+      (None, Option.empty[Double])).toDF("x", "y")
+    val prof = Audit.columnProfile(df, Seq("x", "y"))
+    val plan = prof.queryExecution.executedPlan.toString
+    val scans = "LocalTableScan".r.findAllIn(plan).size
+    assert(scans === 1, s"expected one scan for all columns, got $scans:\n$plan")
+    val got = prof.collect().map(r => r.getString(0) -> r).toMap
+    assert(got("x").getLong(1) === 3L && got("x").getLong(2) === 1L)
+    assert(got("x").getDouble(3) === 1.0 && got("x").getDouble(4) === 3.0)
+    assert(got("x").getDouble(5) === 2.0)
+    assert(got("y").getLong(2) === 3L && got("y").isNullAt(5),
+      "all-null column must read null mean")
+  }
+
+  test("driftReport: mean shift, null-rate shift and range expansion flagged") {
+    val a = Seq(Some(1.0), Some(2.0), Some(3.0), None).toDF("v")
+    val b = Seq(Some(2.0), Some(4.0), Some(12.0), Some(2.0)).toDF("v")
+    val r = Audit.driftReport(a, b, Seq("v")).head()
+    assert(r.getLong(1) === 4L && r.getLong(2) === 4L)
+    assert(r.getDouble(3) === 2.0 && r.getDouble(4) === 5.0)
+    assert(r.getDouble(5) === 3.0) // mean delta
+    assert(r.getDouble(6) === 0.25 && r.getDouble(7) === 0.0)
+    assert(r.getBoolean(8), "max 12 > 3 must flag range_expanded")
+    // no expansion when the new snapshot sits inside the old range
+    val r2 = Audit.driftReport(b, b.filter(col("v") < 10.0), Seq("v")).head()
+    assert(!r2.getBoolean(8))
+  }
 }

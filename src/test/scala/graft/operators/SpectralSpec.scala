@@ -89,4 +89,38 @@ class SpectralSpec extends SparkSuiteBase {
     assert(got === Map((0L, 0) -> -1.0, (0L, 1) -> -1.0,
       (1L, 0) -> 1.0, (1L, 1) -> 1.0))
   }
+
+  test("correlation matrix: exact +-1 on linear columns, null on zero variance") {
+    val df = (1 to 50).map { i =>
+      (i.toDouble, 2.0 * i + 3.0, -1.0 * i, 7.0)
+    }.toDF("x", "y", "z", "c")
+    val got = Spectral.correlationMatrix(df, Seq("x", "y", "z", "c"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(got(("x", "y")).contains(1.0))
+    assert(got(("x", "z")).contains(-1.0))
+    assert(got(("y", "z")).contains(-1.0))
+    // constant column: zero variance -> null, for every pairing side
+    assert(got(("x", "c")).isEmpty && got(("y", "c")).isEmpty
+      && got(("z", "c")).isEmpty)
+    assert(got.size === 6)
+  }
+
+  test("correlation matrix: one scan, listwise deletion drops null rows") {
+    val df = Seq(
+      (Some(1.0), Some(1.0)), (Some(2.0), Some(4.0)),
+      (Some(3.0), Some(9.0)), (None, Some(100.0)), (Some(100.0), None))
+      .toDF("x", "y")
+    val q = Spectral.correlationMatrix(df, Seq("x", "y"))
+    val plan = q.queryExecution.executedPlan.toString
+    assert("LocalTableScan".r.findAllIn(plan).size === 1,
+      s"all stats must fold into one scan:\n$plan")
+    // r over (1,1),(2,4),(3,9) only — the null rows must not leak in
+    val n = 3.0; val sx = 6.0; val sy = 14.0; val sxx = 14.0
+    val syy = 98.0; val sxy = 36.0
+    val expect = math.floor((n * sxy - sx * sy) /
+      math.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) * 1e6 + 0.5) / 1e6
+    assert(q.head().getDouble(2) === expect)
+  }
 }
