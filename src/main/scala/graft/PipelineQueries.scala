@@ -4339,4 +4339,61 @@ object PipelineQueries extends QueryGroup {
         Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
       .orderBy(col("col_a"), col("col_b"))
   }
+
+  // R-5/R-20 sketch family at matrix scale: every pairwise
+  // union/intersect/Jaccard estimate across the 5 language shingle
+  // sets from ONE bottom-k sketch per language (q164's estimators per
+  // pair) — S sources cost S·k sketch rows, never S² data passes.
+  // Exact counts ride along from one hash self-join.
+  q("q173_kmv_overlap_matrix",
+    s"""WITH tk AS (SELECT lang, $sqlTokens AS l FROM documents),
+       |shg AS (SELECT DISTINCT lang,
+       |         unnest(list_transform(generate_series(1, len(l) - 2),
+       |           i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])) AS s
+       |       FROM tk),
+       |hx AS (SELECT DISTINCT lang AS g,
+       |         CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) AS h FROM shg),
+       |sk AS (SELECT g, h FROM (SELECT g, h,
+       |         row_number() OVER (PARTITION BY g ORDER BY h) AS rk FROM hx)
+       |       WHERE rk <= 256),
+       |gs AS (SELECT DISTINCT g FROM sk),
+       |gp AS (SELECT a.g AS ga, b.g AS gb FROM gs a JOIN gs b ON a.g < b.g),
+       |un AS (SELECT DISTINCT ga, gb, h FROM (
+       |        SELECT gp.ga, gp.gb, sk.h FROM gp JOIN sk ON sk.g = gp.ga
+       |        UNION ALL
+       |        SELECT gp.ga, gp.gb, sk.h FROM gp JOIN sk ON sk.g = gp.gb)),
+       |mg AS (SELECT ga, gb, h FROM (SELECT ga, gb, h,
+       |         row_number() OVER (PARTITION BY ga, gb ORDER BY h) AS rk
+       |       FROM un) WHERE rk <= 256),
+       |ms AS (SELECT ga, gb, count(*) AS n_merged, max(h) AS tau
+       |       FROM mg GROUP BY 1, 2),
+       |nb AS (SELECT mg.ga, mg.gb, count(*) AS n_both FROM mg
+       |       JOIN sk x ON x.g = mg.ga AND x.h = mg.h
+       |       JOIN sk y ON y.g = mg.gb AND y.h = mg.h
+       |       GROUP BY 1, 2),
+       |sz AS (SELECT g, count(*) AS sz FROM hx GROUP BY g),
+       |ei AS (SELECT a.g AS ga, b.g AS gb, count(*) AS exact_inter
+       |       FROM hx a JOIN hx b ON a.h = b.h AND a.g < b.g GROUP BY 1, 2),
+       |es AS (SELECT ms.ga, ms.gb, n_merged,
+       |         CASE WHEN n_merged < 256 THEN CAST(n_merged AS DOUBLE)
+       |              ELSE 255e0 * 1152921504606846976e0 / CAST(tau AS DOUBLE)
+       |         END AS u_raw,
+       |         CAST(coalesce(nb.n_both, 0) AS DOUBLE)
+       |           / CAST(n_merged AS DOUBLE) AS j_raw
+       |       FROM ms LEFT JOIN nb ON nb.ga = ms.ga AND nb.gb = ms.gb)
+       |SELECT es.ga, es.gb, n_merged,
+       |  x.sz + y.sz - coalesce(ei.exact_inter, 0) AS exact_union,
+       |  coalesce(ei.exact_inter, 0) AS exact_inter,
+       |  floor(u_raw * 1e2 + 0.5)/1e2 AS union_est,
+       |  floor(j_raw * u_raw * 1e2 + 0.5)/1e2 AS inter_est,
+       |  floor(j_raw * 1e6 + 0.5)/1e6 AS jaccard_est
+       |FROM es JOIN sz x ON x.g = es.ga JOIN sz y ON y.g = es.gb
+       |LEFT JOIN ei ON ei.ga = es.ga AND ei.gb = es.gb
+       |ORDER BY es.ga, es.gb""".stripMargin) { (s, d) =>
+    val sh = Tables.documents(s, d)
+      .select(col("lang"),
+        explode(graft.functions.TextFns.textShingles(col("text"), 3)).as("s"))
+    graft.operators.Sketches.kmvOverlapMatrix(sh, "lang", "s", k = 256)
+      .orderBy(col("ga"), col("gb"))
+  }
 }

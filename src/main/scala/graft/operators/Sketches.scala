@@ -409,4 +409,98 @@ object Sketches {
         (floor(jRaw * uRaw * lit(1e2) + lit(0.5)) / lit(1e2)).as("inter_est"),
         (floor(jRaw * lit(1e6) + lit(0.5)) / lit(1e6)).as("jaccard_est"))
   }
+
+  /** Per-group KMV sketch: the k smallest distinct hashes of each
+    * group's item set — (g, h), at most k rows per group (the rank
+    * filter compiles to WindowGroupLimit, so no group ever shuffles
+    * more than its bottom-k out of the partial aggregate).
+    */
+  def kmvGroupedSketch(
+      items: DataFrame,
+      groupCol: String,
+      itemCol: String,
+      k: Int): DataFrame = {
+    require(k >= 2, s"kmv needs k >= 2, got $k")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("g"))
+      .orderBy(col("h"))
+    items.select(col(groupCol).as("g"),
+        PortableHash.md5Long60(col(itemCol)).as("h"))
+      .distinct()
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k)
+      .select(col("g"), col("h"))
+  }
+
+  /** ALL-PAIRS set-overlap matrix from ONE sketch per group — the
+    * reason bottom-k beats exact counting at scale: S sources yield
+    * S·k sketch rows, and every one of the S·(S−1)/2 pairwise
+    * union/intersection/Jaccard estimates is computed from those
+    * k-sized frames alone ([[kmvSetOps]]' estimators per pair) —
+    * never S² passes over the data. Exact counts ride along as the
+    * accuracy witness (one hash self-join answers every pair at
+    * once).
+    *
+    * Output per (ga < gb) pair: (ga, gb, n_merged, exact_union,
+    * exact_inter, union_est, inter_est, jaccard_est). Pairs with no
+    * shared sketch hash read 0 estimates (not null — the empty
+    * intersection is a measurement).
+    */
+  def kmvOverlapMatrix(
+      items: DataFrame,
+      groupCol: String,
+      itemCol: String,
+      k: Int): DataFrame = {
+    require(k >= 2, s"kmv needs k >= 2, got $k")
+    val hx = items.select(col(groupCol).as("g"),
+        PortableHash.md5Long60(col(itemCol)).as("h"))
+      .distinct()
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("g"))
+      .orderBy(col("h"))
+    val sk = hx.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k)
+      .select(col("g"), col("h"))
+    val groups = sk.select(col("g")).distinct()
+    val gp = groups.select(col("g").as("ga"))
+      .crossJoin(groups.select(col("g").as("gb")))
+      .filter(col("ga") < col("gb"))
+    val uni = gp.join(sk.select(col("g").as("ga"), col("h")), Seq("ga"))
+      .select(col("ga"), col("gb"), col("h"))
+      .union(gp.join(sk.select(col("g").as("gb"), col("h")), Seq("gb"))
+        .select(col("ga"), col("gb"), col("h")))
+      .distinct()
+    val wp = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("ga"), col("gb")).orderBy(col("h"))
+    val merged = uni.withColumn("__rk", row_number().over(wp))
+      .filter(col("__rk") <= k)
+      .select(col("ga"), col("gb"), col("h"))
+    val ms = merged.groupBy(col("ga"), col("gb"))
+      .agg(count(lit(1)).as("n_merged"), max(col("h")).as("tau"))
+    val nBoth = merged
+      .join(sk.select(col("g").as("ga"), col("h")), Seq("ga", "h"), "left_semi")
+      .join(sk.select(col("g").as("gb"), col("h")), Seq("gb", "h"), "left_semi")
+      .groupBy(col("ga"), col("gb"))
+      .agg(count(lit(1)).as("n_both"))
+    val sz = hx.groupBy(col("g")).agg(count(lit(1)).as("sz"))
+    val exInter = hx.select(col("g").as("ga"), col("h"))
+      .join(hx.select(col("g").as("gb"), col("h")), Seq("h"))
+      .filter(col("ga") < col("gb"))
+      .groupBy(col("ga"), col("gb"))
+      .agg(count(lit(1)).as("exact_inter"))
+    val uRaw = when(col("n_merged") < k, col("n_merged").cast("double"))
+      .otherwise(lit((k - 1).toDouble) * lit(1.152921504606846976e18) /
+        col("tau").cast("double"))
+    val jRaw = coalesce(col("n_both"), lit(0L)).cast("double") /
+      col("n_merged").cast("double")
+    ms.join(nBoth, Seq("ga", "gb"), "left")
+      .join(sz.select(col("g").as("ga"), col("sz").as("__sza")), Seq("ga"))
+      .join(sz.select(col("g").as("gb"), col("sz").as("__szb")), Seq("gb"))
+      .join(exInter, Seq("ga", "gb"), "left")
+      .select(col("ga"), col("gb"), col("n_merged"),
+        (col("__sza") + col("__szb") - coalesce(col("exact_inter"), lit(0L)))
+          .as("exact_union"),
+        coalesce(col("exact_inter"), lit(0L)).as("exact_inter"),
+        (floor(uRaw * lit(1e2) + lit(0.5)) / lit(1e2)).as("union_est"),
+        (floor(jRaw * uRaw * lit(1e2) + lit(0.5)) / lit(1e2)).as("inter_est"),
+        (floor(jRaw * lit(1e6) + lit(0.5)) / lit(1e6)).as("jaccard_est"))
+  }
 }

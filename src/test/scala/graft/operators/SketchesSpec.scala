@@ -238,6 +238,40 @@ class SketchesSpec extends SparkSuiteBase {
     assert(iErr < 0.45, s"inter est off by $iErr")
   }
 
+  test("KMV overlap matrix agrees with the pairwise kmvSetOps estimators") {
+    import spark.implicits._
+    val items = ((0 until 3000).map(i => ("a", s"v$i")) ++
+      (2000 until 5000).map(i => ("b", s"v$i")) ++
+      (0 until 500).map(i => ("c", s"w$i"))).toDF("g", "s")
+    val m = Sketches.kmvOverlapMatrix(items, "g", "s", k = 256)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    // (a,b): same numbers as the dedicated two-set operator
+    val ab = Sketches.kmvSetOps(
+      items.filter(col("g") === "a").select("s"),
+      items.filter(col("g") === "b").select("s"), "s", k = 256).head()
+    val got = m(("a", "b"))
+    assert(got.getAs[Long]("exact_union") === ab.getAs[Long]("exact_union"))
+    assert(got.getAs[Long]("exact_inter") === ab.getAs[Long]("exact_inter"))
+    assert(got.getAs[Double]("union_est") === ab.getAs[Double]("union_est"))
+    assert(got.getAs[Double]("jaccard_est") === ab.getAs[Double]("jaccard_est"))
+    // disjoint pair: zero estimates, not nulls
+    assert(m(("a", "c")).getAs[Long]("exact_inter") === 0L)
+    assert(m(("a", "c")).getAs[Double]("inter_est") === 0.0)
+    assert(m(("a", "c")).getAs[Double]("jaccard_est") === 0.0)
+    assert(m.size === 3, "3 groups -> 3 pairs")
+  }
+
+  test("KMV grouped sketch: at most k rows per group via WindowGroupLimit") {
+    import spark.implicits._
+    val items = (0 until 2000).map(i => (s"g${i % 3}", s"x$i")).toDF("g", "s")
+    val sk = Sketches.kmvGroupedSketch(items, "g", "s", 64)
+    val counts = sk.groupBy("g").count().collect().map(_.getLong(1))
+    assert(counts.forall(_ == 64L))
+    val p = sk.queryExecution.executedPlan.toString
+    assert(p.contains("WindowGroupLimit"),
+      s"per-group bottom-k must push into WindowGroupLimit:\n$p")
+  }
+
   test("KMV sketch plans as TakeOrderedAndProject, never a global sort") {
     import spark.implicits._
     val items = (0 until 1000).map(i => s"i$i").toDF("s")
