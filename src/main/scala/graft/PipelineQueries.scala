@@ -4396,4 +4396,31 @@ object PipelineQueries extends QueryGroup {
     graft.operators.Sketches.kmvOverlapMatrix(sh, "lang", "s", k = 256)
       .orderBy(col("ga"), col("gb"))
   }
+
+  // R-29: dispersion-allocated stratified sampling — budget flows to
+  // the strata with more internal spread (Neyman's shape; the
+  // VARIANCE-proportional weight keeps every quota an exact integer
+  // cross-engine). 60 docs across langs by n_chars dispersion,
+  // md5-ranked admission within each stratum.
+  q("q174_stratified_alloc",
+    """WITH st AS (SELECT lang AS g, count(*) AS n, sum(n_chars) AS sx,
+      |         sum(n_chars * n_chars) AS sxx
+      |       FROM documents GROUP BY lang),
+      |vv AS (SELECT g, n * sxx - sx * sx AS v FROM st),
+      |tt AS (SELECT sum(v) AS vw, count(*) AS ng FROM vv),
+      |qt AS (SELECT g, greatest(1, CASE WHEN vw > 0 THEN (60 * v) // vw
+      |         ELSE 60 // ng END) AS quota
+      |       FROM vv CROSS JOIN tt),
+      |rk AS (SELECT lang, doc_id, row_number() OVER (PARTITION BY lang
+      |         ORDER BY CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+      |           1, 15) AS BIGINT), doc_id) AS rk
+      |       FROM documents)
+      |SELECT lang, quota, rk, doc_id
+      |FROM rk JOIN qt ON qt.g = rk.lang
+      |WHERE rk <= quota
+      |ORDER BY lang, rk""".stripMargin) { (s, d) =>
+    graft.operators.Curation.dispersionAllocatedSample(
+        Tables.documents(s, d), "doc_id", "lang", "n_chars", budget = 60)
+      .orderBy(col("lang"), col("rk"))
+  }
 }

@@ -394,6 +394,58 @@ object Curation {
       .select(col("draw"), col(idCol), col("u"))
   }
 
+  /** Dispersion-allocated stratified sampling (the Neyman-allocation
+    * shape — Neyman 1934 allocates ∝ N_h·σ_h; this ships the
+    * VARIANCE-proportional variant, weight V_h = n_h·Σx² − (Σx)²,
+    * because V_h is an EXACT INTEGER for integer-valued columns, so
+    * the quota arithmetic `greatest(1, budget·V_h div ΣV)` is
+    * bit-deterministic cross-engine — the classic √V weight would put
+    * a float sum in the denominator and an engine-order ulp could
+    * flip a floor). Strata with more internal spread get more of the
+    * budget; within a stratum the kept rows are the md5-ranked prefix
+    * (deterministic uniform order, q96 discipline).
+    *
+    * Scale shape: one combinable stats aggregate (strata-sized
+    * output), one integer total, one per-stratum window whose
+    * rank≤quota filter compiles to WindowGroupLimit. Integer overflow
+    * bound: n·Σx² must fit int64 — at ~10¹¹ rows of ~10³-sized values
+    * move the stats to DECIMAL(38).
+    *
+    * Output: (groupCol, quota, rk, idCol) — the kept rows. All-zero
+    * total variance splits the budget evenly across strata.
+    */
+  def dispersionAllocatedSample(
+      docs: DataFrame,
+      idCol: String,
+      groupCol: String,
+      valueCol: String,
+      budget: Int): DataFrame = {
+    require(budget >= 1, s"budget must be >= 1, got $budget")
+    val st = docs.groupBy(col(groupCol).as("g"))
+      .agg(count(lit(1)).as("n"),
+        sum(col(valueCol).cast("long")).as("sx"),
+        sum(col(valueCol).cast("long") * col(valueCol).cast("long"))
+          .as("sxx"))
+      .select(col("g"), (col("n") * col("sxx") - col("sx") * col("sx"))
+        .as("v"))
+    val tot = st.agg(sum(col("v")).as("vw"), count(lit(1)).as("ng"))
+    val quotas = st.crossJoin(tot)
+      .select(col("g"),
+        greatest(lit(1L),
+          when(col("vw") > 0, expr(s"($budget * v) div vw"))
+            .otherwise(expr(s"$budget div ng"))).as("quota"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(col("__r"), col(idCol))
+    docs
+      .withColumn("__r", graft.functions.PortableHash.md5Long60(
+        col(idCol).cast("string")))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .join(quotas.withColumnRenamed("g", groupCol), Seq(groupCol))
+      .filter(col("rk") <= col("quota"))
+      .select(col(groupCol), col("quota"), col("rk"), col(idCol))
+  }
+
   /** Cluster-balanced diversity sampling over an embedding column:
     * assign every vector to its nearest of `numCells` centroid cells
     * (the q46/q163 smallest-id centroid convention — swap in

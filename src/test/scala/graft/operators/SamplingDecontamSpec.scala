@@ -143,6 +143,36 @@ class SamplingDecontamSpec extends SparkSuiteBase {
       again.map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSet)
   }
 
+  test("dispersion allocation: spread strata win budget; constant strata fall back even") {
+    import spark.implicits._
+    // stratum A: high variance; B: low variance; C: constant
+    val docs = (
+      Seq((1L, "A", 0L), (2L, "A", 100L), (3L, "A", 0L), (4L, "A", 100L)) ++
+      Seq((11L, "B", 50L), (12L, "B", 52L), (13L, "B", 50L), (14L, "B", 52L)) ++
+      Seq((21L, "C", 70L), (22L, "C", 70L))).toDF("doc_id", "lang", "n_chars")
+    val got = Curation.dispersionAllocatedSample(docs, "doc_id", "lang",
+      "n_chars", budget = 6).collect()
+    val quotas = got.map(r => r.getString(0) -> r.getLong(1)).toMap
+    // V_A = 4*20000 - 200^2 = 40000; V_B = 4*10408 - 204^2 = 16;
+    // V_C = 0. Sum 40016 -> quota_A = 6*40000//40016 = 5 (capped by
+    // membership at collect time? no — quota is the allocation),
+    // quota_B = max(1, 6*16//40016) = 1, quota_C = max(1, 0) = 1
+    assert(quotas("A") === 5L && quotas("B") === 1L && quotas("C") === 1L)
+    // kept rows never exceed quota or stratum size, ranks contiguous
+    got.groupBy(_.getString(0)).foreach { case (g, rows) =>
+      assert(rows.length <= quotas(g))
+      assert(rows.map(_.getLong(2)).sorted.toSeq ===
+        (1L to rows.length.toLong))
+    }
+    // all-constant strata: even split
+    val const = Seq((1L, "A", 5L), (2L, "A", 5L), (3L, "B", 9L),
+      (4L, "B", 9L)).toDF("doc_id", "lang", "n_chars")
+    val ev = Curation.dispersionAllocatedSample(const, "doc_id", "lang",
+      "n_chars", budget = 4).collect().map(r => r.getString(0) -> r.getLong(1))
+      .toMap
+    assert(ev("A") === 2L && ev("B") === 2L)
+  }
+
   test("cell-balanced sample plan: row-local assignment, WindowGroupLimit quota") {
     val emb = graft.Tables.embeddings(spark, sfDir)
     val p = Curation.cellBalancedSample(emb, "vec_id", "embedding",
