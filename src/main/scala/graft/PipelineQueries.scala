@@ -4423,4 +4423,35 @@ object PipelineQueries extends QueryGroup {
         Tables.documents(s, d), "doc_id", "lang", "n_chars", budget = 60)
       .orderBy(col("lang"), col("rk"))
   }
+
+  // R-19: containment pairs — the ASYMMETRIC Jaccard member (Broder
+  // 1997): |A∩B|/min(|A|,|B|) catches the small-doc-inside-large-doc
+  // cases the symmetric score dilutes. Same df-capped mining CTEs as
+  // q33 with the containment denominator.
+  q("q175_containment_pairs",
+    s"""WITH toks AS (SELECT doc_id, lang, $sqlTokens AS l FROM documents),
+       |sh0 AS (SELECT DISTINCT doc_id, lang,
+       |         unnest(list_transform(generate_series(1, len(l) - 2),
+       |                i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])) AS shingle
+       |       FROM toks),
+       |sh AS (SELECT doc_id, lang, shingle FROM (
+       |         SELECT *, count(*) OVER (PARTITION BY lang, shingle) AS df
+       |         FROM sh0) WHERE df <= 1000),
+       |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+       |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+       |      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.lang = b.lang
+       |                         AND a.doc_id < b.doc_id
+       |      GROUP BY 1, 2),
+       |c AS (SELECT id_a, id_b,
+       |        ${sqlRound("inter * 1.0 / least(x.sz, y.sz)", 4)} AS containment
+       |      FROM p JOIN sz x ON x.doc_id = id_a JOIN sz y ON y.doc_id = id_b
+       |      WHERE inter * 1.0 / least(x.sz, y.sz) >= 0.5)
+       |SELECT id_a, id_b, containment FROM c
+       |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+    Dedup.containmentPairs(Tables.documents(s, d), "doc_id", "text",
+        "lang", n = 3, threshold = 0.5)
+      .select(col("id_a"), col("id_b"),
+        pround(col("containment"), 4).as("containment"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
 }

@@ -1140,6 +1140,49 @@ object Dedup {
       .distinct()
   }
 
+  /** Containment near-dup pairs — the ASYMMETRIC member of the
+    * Jaccard family (Broder 1997 defines both): score =
+    * |A∩B| / min(|A|, |B|), which catches a small document wholly
+    * EMBEDDED in a large one (quote inclusion, boilerplate-wrapped
+    * copies, chunk-of-corpus leaks) where symmetric Jaccard
+    * |A∩B|/|A∪B| stays low because the union is dominated by the
+    * large side. Same mining shape as [[ngramJaccardPairs]] (df-capped
+    * shingle equi-join, sizes joined onto the aggregated pair list);
+    * only the final score differs. Output: (id_a, id_b, containment).
+    */
+  def containmentPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      blockCol: String,
+      n: Int,
+      threshold: Double,
+      maxShingleDocFreq: Int = 1000): DataFrame = {
+    val shAll = shingleFrame(docs, idCol, textCol, blockCol, n)
+    val hot = shAll.groupBy(col("blk"), col("shingle"))
+      .agg(count(lit(1)).as("__df"))
+      .filter(col("__df") > maxShingleDocFreq)
+      .select(col("blk"), col("shingle"))
+    val surviving = shAll.join(hot, Seq("blk", "shingle"), "left_anti")
+    val sizes = surviving.groupBy(col("doc")).agg(count(lit(1)).as("sz"))
+    val a = surviving.alias("a")
+    val b = surviving.alias("b")
+    val pairCounts = a.join(b,
+        col("a.shingle") === col("b.shingle")
+          && col("a.blk") === col("b.blk")
+          && col("a.doc") < col("b.doc"))
+      .groupBy(col("a.doc").as("id_a"), col("b.doc").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    pairCounts
+      .join(sizes.select(col("doc").as("id_a"), col("sz").as("sz_a")), "id_a")
+      .join(sizes.select(col("doc").as("id_b"), col("sz").as("sz_b")), "id_b")
+      .withColumn("containment",
+        col("inter").cast("double")
+          / least(col("sz_a"), col("sz_b")).cast("double"))
+      .filter(col("containment") >= threshold)
+      .select(col("id_a"), col("id_b"), col("containment"))
+  }
+
   /** MinHash-LSH quality audit: precision/recall of the banded
     * estimator's pair set ([[minhashLshPairs]], est ≥ threshold)
     * against the EXACT Jaccard pairs over the same un-blocked,

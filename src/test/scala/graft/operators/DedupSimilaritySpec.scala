@@ -1238,6 +1238,28 @@ class DedupSimilaritySpec extends SparkSuiteBase {
     assert(ne > 0 && r.getDouble(3) === 1.0 && r.getDouble(4) === 1.0)
   }
 
+  test("containment catches the embedded doc symmetric Jaccard dilutes") {
+    import spark.implicits._
+    val small = "alpha beta gamma delta epsilon zeta eta theta"
+    val filler = (1 to 80).map(i => s"w$i").mkString(" ")
+    val corpus = Seq(
+      (1L, s"$filler $small", "en"), // small doc embedded in a big one
+      (2L, small, "en"),
+      (3L, "totally unrelated words about other things entirely here", "en"))
+      .toDF("doc_id", "text", "lang")
+    val cont = Dedup.containmentPairs(corpus, "doc_id", "text", "lang",
+        n = 3, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    assert(cont.contains((1L, 2L)), s"embedded doc missed: $cont")
+    assert(cont((1L, 2L)) === 1.0, "full embedding must score 1.0")
+    // the symmetric score dilutes the same pair below any useful bar:
+    // |A ∩ B| = 6 shingles, |A ∪ B| = 84
+    val jac = Dedup.ngramJaccardPairs(corpus, "doc_id", "text", "lang",
+      n = 3, threshold = 0.5).count()
+    assert(jac === 0L, "symmetric Jaccard must miss the embedded doc")
+  }
+
   test("LSH recall audit: empty pair sets read zero with null ratios") {
     import spark.implicits._
     val disjoint = Seq(
