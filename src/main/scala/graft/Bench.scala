@@ -130,7 +130,10 @@ object Bench {
     // q169's min is the propagation over the staged pairs (q111 built
     // the stage earlier in the alphabetical sweep)
     "q168_kn_lm_score" -> 2.23, "q169_label_propagation" -> 1.20,
-    "q170_lsh_recall_audit" -> 2.14)
+    "q170_lsh_recall_audit" -> 2.14,
+    "q171_drift_report" -> 0.76, "q172_correlation_matrix" -> 0.43,
+    "q173_kmv_overlap_matrix" -> 2.10, "q174_stratified_alloc" -> 0.46,
+    "q175_containment_pairs" -> 1.69)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
