@@ -4454,4 +4454,29 @@ object PipelineQueries extends QueryGroup {
         pround(col("containment"), 4).as("containment"))
       .orderBy(col("id_a"), col("id_b"))
   }
+
+  // Feature pipeline: quantile normalization of the second half of
+  // January's event values against the first half's distribution —
+  // all-integer rank mapping (ceil(r_B·n_A/n_B)), ranks from
+  // range-partitioned prefix sums, lookup as one equi-join.
+  q("q176_quantile_normalize",
+    """WITH a AS (SELECT value, row_number() OVER (ORDER BY value, event_id)
+      |         AS ra
+      |       FROM events WHERE ts < TIMESTAMP '2024-01-16'),
+      |b AS (SELECT event_id, value, row_number() OVER (ORDER BY value,
+      |         event_id) AS rb
+      |      FROM events WHERE ts >= TIMESTAMP '2024-01-16'),
+      |na AS (SELECT count(*) AS n FROM a),
+      |nb AS (SELECT count(*) AS n FROM b)
+      |SELECT b.event_id, b.value, a.value AS norm_value
+      |FROM b CROSS JOIN na CROSS JOIN nb
+      |JOIN a ON a.ra = ((b.rb * na.n) + nb.n - 1) // nb.n
+      |ORDER BY b.event_id""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d)
+    val cut = lit("2024-01-16").cast("timestamp")
+    graft.operators.ScaleOps.quantileNormalize(
+        ev.filter(col("ts") < cut), ev.filter(col("ts") >= cut),
+        "event_id", "value")
+      .orderBy(col("event_id"))
+  }
 }

@@ -406,4 +406,42 @@ object ScaleOps {
         pr6(log(col("n_rows").cast("double")) -
           col("__sclnc") / col("n_rows")).as("entropy6"))
   }
+
+  /** Quantile normalization of a target column against a REFERENCE
+    * snapshot's distribution (the rank-map trick genomics normalizes
+    * arrays with and feature pipelines use for drift correction): the
+    * value at rank r_B of n_B target rows maps to the reference value
+    * at rank `ceil(r_B · n_A / n_B)` — ALL-INTEGER rank arithmetic
+    * (no quantile-fraction floats to disagree on), ties totally
+    * ordered by (value, id) on both sides.
+    *
+    * Scale shape: both ranks come from [[prefixSumByRange]] (the q89
+    * discipline — never a single-task global window), the map is one
+    * integer expression, and the lookup is an equi-join on the
+    * computed reference rank. Only the two scalar counts touch the
+    * driver.
+    *
+    * Output: (idCol, value, norm_value) for every target row.
+    */
+  def quantileNormalize(
+      ref: DataFrame,
+      target: DataFrame,
+      idCol: String,
+      valueCol: String): DataFrame = {
+    val nA = ref.count()
+    val nB = target.count()
+    require(nA > 0 && nB > 0, "quantileNormalize needs non-empty frames")
+    val ra = prefixSumByRange(
+        ref.select(col(idCol).as("__rid"),
+          col(valueCol).cast("double").as("__rv")),
+        Seq("__rv", "__rid"), lit(1L), "__r0")
+      .select((col("__r0") + lit(1L)).as("__ra"), col("__rv"))
+    val rb = prefixSumByRange(
+        target.select(col(idCol), col(valueCol).cast("double").as("value")),
+        Seq("value", idCol), lit(1L), "__r0")
+      .select(col(idCol), col("value"), (col("__r0") + lit(1L)).as("__rb"))
+    rb.withColumn("__ra", expr(s"((__rb * ${nA}L) + ${nB}L - 1L) div ${nB}L"))
+      .join(ra, Seq("__ra"))
+      .select(col(idCol), col("value"), col("__rv").as("norm_value"))
+  }
 }

@@ -268,4 +268,25 @@ class ScaleOpsSpec extends SparkSuiteBase {
     val sclnc = r6(40.0 * math.log(5.0))
     assert(r.getDouble(6) === r6(math.log(40.0) - sclnc / 40.0))
   }
+
+  test("quantile normalize: hand-checked rank map, equal sizes copy the reference") {
+    import spark.implicits._
+    val ref = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0), (4L, 40.0))
+      .toDF("event_id", "value")
+    val tgt = Seq((11L, 5.0), (12L, 999.0)).toDF("event_id", "value")
+    // nB=2, nA=4: rank 1 -> ceil(4/2)=2 -> 20.0; rank 2 -> 4 -> 40.0
+    val got = ScaleOps.quantileNormalize(ref, tgt, "event_id", "value")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(got === Map(11L -> 20.0, 12L -> 40.0))
+    // equal sizes: the normalized multiset IS the reference multiset
+    val tgt2 = Seq((21L, -7.0), (22L, 0.0), (23L, 3.0), (24L, 100.0))
+      .toDF("event_id", "value")
+    val norm = ScaleOps.quantileNormalize(ref, tgt2, "event_id", "value")
+      .collect()
+    assert(norm.map(_.getDouble(2)).sorted.toSeq ===
+      Seq(10.0, 20.0, 30.0, 40.0))
+    // monotone: target order is preserved in the normalized values
+    val byId = norm.sortBy(_.getDouble(1)).map(_.getDouble(2))
+    assert(byId.toSeq === byId.sorted.toSeq)
+  }
 }
