@@ -4479,4 +4479,40 @@ object PipelineQueries extends QueryGroup {
         "event_id", "value")
       .orderBy(col("event_id"))
   }
+
+  // Behavior analytics: frequent session paths — top-20 event-type
+  // trigrams over session-contiguous sequences (30-min q138 gaps; a
+  // path never crosses a session, so idle gaps don't fabricate
+  // transitions). One key sort carries sessions AND leads.
+  q("q177_session_paths",
+    """WITH lg AS (SELECT user_id, ts, event_id, event_type,
+      |    CASE WHEN lag(epoch_ms(ts), 1) OVER w IS NULL
+      |           OR epoch_ms(ts) - lag(epoch_ms(ts), 1) OVER w > 1800000
+      |         THEN 1 ELSE 0 END AS ns
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |ss AS (SELECT user_id, ts, event_id, event_type,
+      |    sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+      |  FROM lg),
+      |ld AS (SELECT event_type AS t0,
+      |    lead(event_type, 1) OVER w2 AS t1, lead(sess, 1) OVER w2 AS s1,
+      |    lead(event_type, 2) OVER w2 AS t2, lead(sess, 2) OVER w2 AS s2,
+      |    sess
+      |  FROM ss
+      |  WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |pc AS (SELECT t0 || '>' || t1 || '>' || t2 AS path, count(*) AS cnt
+      |  FROM ld WHERE t1 IS NOT NULL AND t2 IS NOT NULL
+      |    AND s1 = sess AND s2 = sess
+      |  GROUP BY 1)
+      |SELECT CAST(row_number() OVER (ORDER BY cnt DESC, path) AS INT)
+      |    AS rn, path, cnt
+      |FROM pc
+      |QUALIFY rn <= 20
+      |ORDER BY rn""".stripMargin) { (s, d) =>
+    graft.operators.Behavior.sessionPaths(Tables.events(s, d),
+        "user_id", "ts", "event_id", "event_type",
+        gapMs = 1800000L, n = 3, topK = 20)
+      .orderBy(col("rn"))
+  }
 }

@@ -197,4 +197,61 @@ object Behavior {
         min(ms).as("start_ms"), max(ms).as("end_ms"),
         (max(ms) - min(ms)).as("dur_ms"))
   }
+
+  /** Frequent session paths: the top-k event-type n-grams over
+    * SESSION-CONTIGUOUS event sequences (the "what do users actually
+    * do" sequence-mining step over [[sessionize]]'s gap semantics —
+    * a path never crosses a session boundary, so idle gaps don't
+    * fabricate transitions the way a raw per-user n-gram would).
+    *
+    * One key-partitioned sort carries BOTH the session counter and
+    * the n−1 lead columns (the leads check the LEAD ROW'S session id
+    * instead of re-windowing by (key, sess) — same result, one
+    * exchange, plan-asserted); the count is a map-side-combinable
+    * aggregate over the path vocabulary and the final rank a
+    * vocabulary-sized top-k.
+    *
+    * Output: (rn, path, cnt), path = ">"-joined event types, ranked
+    * (cnt DESC, path).
+    */
+  def sessionPaths(
+      events: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      tieCol: String,
+      typeCol: String,
+      gapMs: Long,
+      n: Int,
+      topK: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(n >= 2, s"paths need n >= 2, got $n")
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col(tieCol))
+    val ms = unix_millis(col(tsCol))
+    val newSess = when(lag(ms, 1).over(w).isNull ||
+      ms - lag(ms, 1).over(w) > gapMs, 1L).otherwise(0L)
+    val sessed = events
+      .select(col(keyCol), col(tsCol), col(tieCol),
+        col(typeCol).as("__t0"))
+      .withColumn("__sess",
+        sum(newSess).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    val withLeads = (1 until n).foldLeft(sessed) { (df, i) =>
+      df.withColumn(s"__t$i", lead(col("__t0"), i).over(w))
+        .withColumn(s"__s$i", lead(col("__sess"), i).over(w))
+    }
+    val sameSession = (1 until n)
+      .map(i => col(s"__s$i") === col("__sess"))
+      .reduce(_ && _)
+    val rk = Window.orderBy(col("cnt").desc, col("path"))
+    withLeads
+      .filter((1 until n).map(i => col(s"__t$i").isNotNull).reduce(_ && _))
+      .filter(sameSession)
+      .select(concat_ws(">", (0 until n).map(i => col(s"__t$i")): _*)
+        .as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("cnt"))
+      .withColumn("rn", row_number().over(rk))
+      .filter(col("rn") <= topK)
+      .select(col("rn"), col("path"), col("cnt"))
+  }
 }

@@ -185,4 +185,31 @@ class BehaviorSpec extends SparkSuiteBase {
       ("a", "c") -> ((1L, r6(1.0 / 3.0))),
       ("b", "a") -> ((1L, 1.0))))
   }
+
+  test("session paths: gaps break paths; counts and ranks hand-checked") {
+    def ev(id: Long, u: Long, sec: Long, t: String) =
+      (u, new Timestamp(1700000000000L + sec * 1000L), id, t)
+    // user 1: a b c [31-min gap] a b c  -> a>b>c twice, b c a NEVER
+    //   (the gap kills the cross-session trigrams b>c>a and c>a>b)
+    // user 2: a b c d -> a>b>c, b>c>d
+    val events = Seq(
+      ev(1, 1L, 0, "a"), ev(2, 1L, 10, "b"), ev(3, 1L, 20, "c"),
+      ev(4, 1L, 20 + 1900, "a"), ev(5, 1L, 20 + 1910, "b"),
+      ev(6, 1L, 20 + 1920, "c"),
+      ev(7, 2L, 0, "a"), ev(8, 2L, 5, "b"), ev(9, 2L, 10, "c"),
+      ev(10, 2L, 15, "d"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val got = Behavior.sessionPaths(events, "user_id", "ts", "event_id",
+        "event_type", gapMs = 1800000L, n = 3, topK = 10)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq === Seq((1, "a>b>c", 3L), (2, "b>c>d", 1L)),
+      s"got ${got.toSeq}")
+    // one key exchange carries sessions AND leads (plus the final
+    // vocabulary-sized rank): never a per-(key, sess) re-shuffle
+    val p = Behavior.sessionPaths(events, "user_id", "ts", "event_id",
+        "event_type", 1800000L, 3, 10)
+      .queryExecution.executedPlan.toString
+    val keyExchanges = "hashpartitioning\\(user_id".r.findAllIn(p).length
+    assert(keyExchanges <= 1, s"expected one key exchange:\n$p")
+  }
 }
