@@ -4515,4 +4515,87 @@ object PipelineQueries extends QueryGroup {
         gapMs = 1800000L, n = 3, topK = 20)
       .orderBy(col("rn"))
   }
+
+  // R-21 keyword extraction: TextRank (Mihalcea & Tarau 2004) — q111's
+  // PageRank run over the word ADJACENCY graph (distinct unordered
+  // adjacent-token pairs) instead of the doc near-dup graph; the
+  // corpus's top-20 words by stationary centrality. Vocab-sized graph;
+  // the oracle unrolls the same 3 power steps over word nodes.
+  q("q178_textrank_keywords", {
+    val steps = (1 to 3).map { r =>
+      val p = r - 1
+      s"""s$r AS (SELECT ed.dst AS w, sum(p.pg / dg.deg) AS sm
+         |       FROM ed JOIN i$p p ON p.w = ed.src
+         |            JOIN dg ON dg.src = ed.src GROUP BY ed.dst),
+         |i$r AS (SELECT nd.w,
+         |         floor(((1.0 - 0.85) / n + 0.85 * coalesce(s$r.sm, 0))
+         |           * 1000000.0 + 0.5)/1000000.0 AS pg
+         |       FROM nd CROSS JOIN nn LEFT JOIN s$r USING (w))"""
+        .stripMargin
+    }.mkString(",\n|")
+    s"""WITH tk AS (SELECT doc_id, $sqlTokens AS l FROM documents),
+       |ww AS (SELECT l[i] AS w1, l[i + 1] AS w2
+       |  FROM (SELECT l, unnest(generate_series(1, len(l) - 1)) AS i
+       |        FROM tk WHERE len(l) >= 2)),
+       |ed0 AS (SELECT DISTINCT least(w1, w2) AS a, greatest(w1, w2) AS b
+       |       FROM ww WHERE w1 <> w2),
+       |ed AS (SELECT a AS src, b AS dst FROM ed0
+       |       UNION ALL SELECT b, a FROM ed0),
+       |dg AS (SELECT src, count(*) AS deg FROM ed GROUP BY src),
+       |nd AS (SELECT DISTINCT unnest(l) AS w FROM tk),
+       |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nd),
+       |i0 AS (SELECT w, floor(1.0 / n * 1000000.0 + 0.5)/1000000.0 AS pg
+       |       FROM nd CROSS JOIN nn),
+       |${steps.stripMargin}
+       |SELECT CAST(row_number() OVER (ORDER BY pg DESC, w) AS INT) AS rn,
+       |  w AS word, pg
+       |FROM i3 QUALIFY rn <= 20 ORDER BY rn""".stripMargin
+  }) { (s, d) =>
+    val toks = Tables.documents(s, d)
+      .select(graft.functions.TextFns.tokens(col("text")).as("l"))
+    val pairsAdj = toks.filter(size(col("l")) >= 2)
+      .select(explode(transform(sequence(lit(1), size(col("l")) - 1),
+        i => struct(element_at(col("l"), i).as("w1"),
+          element_at(col("l"), i + 1).as("w2")))).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .filter(col("w1") =!= col("w2"))
+      .select(least(col("w1"), col("w2")).as("id_a"),
+        greatest(col("w1"), col("w2")).as("id_b"))
+      .distinct()
+    val nodes = toks.select(explode(col("l")).as("word")).distinct()
+    val rk = org.apache.spark.sql.expressions.Window
+      .orderBy(col("pg").desc, col("word"))
+    graft.operators.GraphOps.pageRank(nodes, pairsAdj, "word",
+        "id_a", "id_b", iterations = 3, damping = 0.85)
+      .select(col("word"), col("pr").as("pg"))
+      .withColumn("rn", row_number().over(rk).cast("int"))
+      .filter(col("rn") <= 20)
+      .select(col("rn"), col("word"), col("pg"))
+      .orderBy(col("rn"))
+  }
+
+  // Data-ops audit: Benford first-significant-digit screen over
+  // order totals — observed vs log10(1+1/d) expectation, the
+  // fabricated-data / unit-mixup smell test. One 9-group combinable
+  // aggregate; libm log10 digit extraction (q51/q85 precedent).
+  q("q179_benford_audit",
+    """WITH dv AS (SELECT CAST(floor(o_totalprice
+      |         / power(10, floor(log10(o_totalprice)))) AS INT) AS digit
+      |       FROM orders WHERE o_totalprice > 0),
+      |ct AS (SELECT digit, count(*) AS cnt FROM dv GROUP BY digit),
+      |tt AS (SELECT sum(cnt) AS n FROM ct)
+      |SELECT digit, cnt,
+      |  floor(CAST(cnt AS DOUBLE) / CAST(n AS DOUBLE) * 1e6 + 0.5)/1e6
+      |    AS obs_rate6,
+      |  floor(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)) * 1e6 + 0.5)/1e6
+      |    AS exp_rate6,
+      |  floor((floor(CAST(cnt AS DOUBLE) / CAST(n AS DOUBLE) * 1e6
+      |      + 0.5)/1e6
+      |    - floor(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)) * 1e6
+      |      + 0.5)/1e6) * 1e6 + 0.5)/1e6 AS dev6
+      |FROM ct CROSS JOIN tt
+      |ORDER BY digit""".stripMargin) { (s, d) =>
+    graft.operators.Audit.benfordAudit(Tables.orders(s, d), "o_totalprice")
+      .orderBy(col("digit"))
+  }
 }

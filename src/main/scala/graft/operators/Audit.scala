@@ -120,6 +120,38 @@ object Audit {
             * lit(1e6) + lit(0.5)) / lit(1e6)).as("mean6"))
   }
 
+  /** Benford first-significant-digit audit (Benford 1938; the
+    * fabricated-data / unit-mixup screen financial auditors run, and
+    * a cheap synthetic-data smell test for generated numeric
+    * columns): observed first-digit rates of a positive column
+    * against the Benford expectation log10(1 + 1/d), with the
+    * per-digit deviation. One combinable 9-group aggregate; the
+    * digit is `floor(v / 10^floor(log10 v))` — libm log10 is
+    * correctly rounded in both engines (q51/q85 precedent), so the
+    * digit extraction never disagrees.
+    *
+    * Output: (digit, cnt, obs_rate6, exp_rate6, dev6) for the digits
+    * present. Zero/negative rows are excluded (no first significant
+    * digit).
+    */
+  def benfordAudit(df: DataFrame, valueCol: String): DataFrame = {
+    val v = col(valueCol).cast("double")
+    val digit = floor(v / pow(lit(10.0), floor(log10(v)))).cast("int")
+    val counts = df.filter(v > 0)
+      .select(digit.as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("cnt"))
+    val tot = counts.agg(sum(col("cnt")).as("__n"))
+    counts.crossJoin(tot)
+      .select(col("digit"), col("cnt"),
+        (floor(col("cnt").cast("double") / col("__n").cast("double")
+          * lit(1e6) + lit(0.5)) / lit(1e6)).as("obs_rate6"),
+        (floor(log10(lit(1.0) + lit(1.0) / col("digit").cast("double"))
+          * lit(1e6) + lit(0.5)) / lit(1e6)).as("exp_rate6"))
+      .withColumn("dev6",
+        floor((col("obs_rate6") - col("exp_rate6")) * lit(1e6) + lit(0.5))
+          / lit(1e6))
+  }
+
   /** Snapshot drift report (the distribution-shift monitor a
     * continuously-ingested corpus needs next to [[scanChecks]]'s
     * within-snapshot rules): [[columnProfile]] of two snapshots

@@ -87,6 +87,34 @@ class AuditSpec extends SparkSuiteBase {
       "all-null column must read null mean")
   }
 
+  test("benford: digit extraction exact at powers of ten; zero rows excluded") {
+    val df = Seq(1.0, 10.0, 100.0, 1000.0, 999.99, 0.0, -5.0, 0.02, 7e7)
+      .toDF("v")
+    val got = Audit.benfordAudit(df, "v")
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // 1,10,100,1000 -> digit 1; 999.99 -> 9; 0.02 -> 2; 7e7 -> 7;
+    // 0 and -5 excluded
+    assert(got === Map(1 -> 4L, 9 -> 1L, 2 -> 1L, 7 -> 1L))
+    val row = Audit.benfordAudit(df, "v").filter(col("digit") === 1).head()
+    // expected rate for digit 1 is log10(2) ~ 0.301030
+    assert(row.getDouble(3) === math.floor(math.log10(2.0) * 1e6 + 0.5) / 1e6)
+    assert(row.getDouble(2) === math.floor(4.0 / 7.0 * 1e6 + 0.5) / 1e6)
+  }
+
+  test("benford: a geometric series conforms, a shifted-uniform one deviates") {
+    // 10^(k/1000) covers exactly one decade log-uniformly -> Benford
+    // rates up to the 1/1000 discretization
+    val geo = (0 until 1000).map(k => math.pow(10.0, k / 1000.0)).toDF("v")
+    val gdev = Audit.benfordAudit(geo, "v")
+      .collect().map(r => math.abs(r.getDouble(4))).max
+    assert(gdev < 0.02, s"geometric series should conform, max dev $gdev")
+    // values uniform on [500, 600): all mass on digit 5 -> huge deviation
+    val uni = (0 until 1000).map(k => 500.0 + k * 0.1).toDF("v")
+    val udev = Audit.benfordAudit(uni, "v")
+      .collect().map(r => math.abs(r.getDouble(4))).max
+    assert(udev > 0.8, s"shifted uniform must deviate, got $udev")
+  }
+
   test("driftReport: mean shift, null-rate shift and range expansion flagged") {
     val a = Seq(Some(1.0), Some(2.0), Some(3.0), None).toDF("v")
     val b = Seq(Some(2.0), Some(4.0), Some(12.0), Some(2.0)).toDF("v")
