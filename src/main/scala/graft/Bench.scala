@@ -133,7 +133,9 @@ object Bench {
     "q170_lsh_recall_audit" -> 2.14,
     "q171_drift_report" -> 0.76, "q172_correlation_matrix" -> 0.43,
     "q173_kmv_overlap_matrix" -> 2.10, "q174_stratified_alloc" -> 0.46,
-    "q175_containment_pairs" -> 1.69)
+    "q175_containment_pairs" -> 1.69, "q176_quantile_normalize" -> 1.91,
+    "q177_session_paths" -> 0.53, "q178_textrank_keywords" -> 2.33,
+    "q179_benford_audit" -> 0.40)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
