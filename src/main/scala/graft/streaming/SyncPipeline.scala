@@ -372,6 +372,51 @@ class SyncPipeline(
     actions.foreach(dest.applyCursorAction)
     actions
   }
+
+  /** Replication LAG report — the monitoring surface the reference
+    * never had (its only signal is its log lines): per
+    * (tenant, namespace, topic, partition), how far the mirror's
+    * offset map trails the source's message frontier.
+    *
+    *   - `src_messages` / `mirrored`: message counts on each side
+    *     (the offset map records exactly one row per delivered
+    *     message, so the difference IS the backlog — A15/A16);
+    *   - `backlog`: src_messages − mirrored;
+    *   - frontier columns: the max (ledger, entry) MessageId seen on
+    *     each side (null mirrored frontier = nothing delivered yet).
+    *
+    * Scale shape: two map-side-combinable count/max aggregates (one
+    * per side) joined on (topic, partition) — partition-count-sized
+    * output, no message-level co-shuffle. Run it from any scheduler
+    * next to [[tickMetadata]]/[[syncCursors]].
+    *
+    * `srcMessages` is a BATCH snapshot of the source's message log
+    * (RawMessage schema) — `SourceCluster.messages` is the streaming
+    * frame the mirror consumes; the report wants the batch view the
+    * DSv2 connector also serves (`spark.read.format("pulsar-envelope")`,
+    * S-1 batch mode).
+    */
+  def lagReport(srcMessages: DataFrame, offsetMap: DataFrame): DataFrame = {
+    val srcAgg = srcMessages
+      .groupBy(col("tenant"), col("namespace"), col("topic"),
+        col("partition"))
+      .agg(count(lit(1)).as("src_messages"),
+        max(struct(col("ledgerId"), col("entryId"))).as("__sf"))
+    val mirAgg = offsetMap
+      .groupBy(col("topic"), col("partition"))
+      .agg(count(lit(1)).as("__mirrored"),
+        max(struct(col("srcLedger"), col("srcEntry"))).as("__mf"))
+    srcAgg.join(mirAgg, Seq("topic", "partition"), "left")
+      .select(col("tenant"), col("namespace"), col("topic"),
+        col("partition"), col("src_messages"),
+        coalesce(col("__mirrored"), lit(0L)).as("mirrored"),
+        (col("src_messages") - coalesce(col("__mirrored"), lit(0L)))
+          .as("backlog"),
+        col("__sf.ledgerId").as("src_frontier_ledger"),
+        col("__sf.entryId").as("src_frontier_entry"),
+        col("__mf.srcLedger").as("mirrored_frontier_ledger"),
+        col("__mf.srcEntry").as("mirrored_frontier_entry"))
+  }
 }
 
 /** A20 mirror supervision: starts the query, and on an errored

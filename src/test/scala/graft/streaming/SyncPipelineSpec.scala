@@ -442,4 +442,38 @@ class SyncPipelineSpec extends SparkSuiteBase {
     assert(!dst0.partitionCreates.exists(_.topic == "brand-new"))
     assert(dst0.topicRows.map(_.topic) == Seq("old"))
   }
+
+  test("lag report: backlog and frontiers per partition, null frontier before delivery") {
+    import spark.implicits._
+    val src0 = new FakeSource(spark)
+    val dst0 = new FakeDest(spark, "lag-dst")
+    val pipe = new SyncPipeline(spark, src0, dst0)
+    def raw(t: String, p: Int, l: Long, e: Long) =
+      RawMessage("acme", "prod", t, p, l, e, Array[Byte](1), null, 0L,
+        1700000000000L, Map.empty)
+    val srcBatch = Seq(
+      raw("tp", 0, 1, 0), raw("tp", 0, 1, 1), raw("tp", 0, 2, 0),
+      raw("tp", 1, 5, 0), raw("tp", 1, 5, 1),
+      raw("other", 0, 9, 9)).toDF()
+    def om(t: String, p: Int, sl: Long, se: Long) =
+      OffsetMapping(t, p, sl, se, sl + 100, se,
+        new java.sql.Timestamp(1700000000000L))
+    val offsetMap = Seq(
+      om("tp", 0, 1, 0), om("tp", 0, 1, 1), // 2 of 3 delivered
+      om("tp", 1, 5, 0)).toDF()             // 1 of 2 delivered
+    val got = pipe.lagReport(srcBatch, offsetMap)
+      .collect().map(r => (r.getString(2), r.getInt(3)) -> r).toMap
+    val tp0 = got(("tp", 0))
+    assert(tp0.getLong(4) === 3L && tp0.getLong(5) === 2L
+      && tp0.getLong(6) === 1L)
+    assert(tp0.getLong(7) === 2L && tp0.getLong(8) === 0L) // src frontier
+    assert(tp0.getLong(9) === 1L && tp0.getLong(10) === 1L) // mirrored
+    val tp1 = got(("tp", 1))
+    assert(tp1.getLong(6) === 1L && tp1.getLong(9) === 5L
+      && tp1.getLong(10) === 0L)
+    // nothing mirrored for "other": zero counts, null mirrored frontier
+    val oth = got(("other", 0))
+    assert(oth.getLong(5) === 0L && oth.getLong(6) === 1L)
+    assert(oth.isNullAt(9) && oth.isNullAt(10))
+  }
 }
