@@ -4466,12 +4466,13 @@ object PipelineQueries extends QueryGroup {
       |b AS (SELECT event_id, value, row_number() OVER (ORDER BY value,
       |         event_id) AS rb
       |      FROM events WHERE ts >= TIMESTAMP '2024-01-16'),
-      |na AS (SELECT count(*) AS n FROM a),
-      |nb AS (SELECT count(*) AS n FROM b)
-      |SELECT b.event_id, b.value, a.value AS norm_value
-      |FROM b CROSS JOIN na CROSS JOIN nb
-      |JOIN a ON a.ra = ((b.rb * na.n) + nb.n - 1) // nb.n
-      |ORDER BY b.event_id""".stripMargin) { (s, d) =>
+      |b2 AS (SELECT event_id, value,
+      |         ((rb * (SELECT count(*) FROM a)) + (SELECT count(*) FROM b)
+      |           - 1) // (SELECT count(*) FROM b) AS mra
+      |       FROM b)
+      |SELECT b2.event_id, b2.value, a.value AS norm_value
+      |FROM b2 JOIN a ON a.ra = b2.mra
+      |ORDER BY b2.event_id""".stripMargin) { (s, d) =>
     val ev = Tables.events(s, d)
     val cut = lit("2024-01-16").cast("timestamp")
     graft.operators.ScaleOps.quantileNormalize(
