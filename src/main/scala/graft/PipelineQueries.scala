@@ -4599,4 +4599,64 @@ object PipelineQueries extends QueryGroup {
     graft.operators.Audit.benfordAudit(Tables.orders(s, d), "o_totalprice")
       .orderBy(col("digit"))
   }
+
+  // Replication/warehouse reconciliation: snapshot diff — one
+  // full-outer key join classifies every order key as added/removed/
+  // changed/unchanged (null-safe compares) with per-column changed
+  // counts. Snapshots derived deterministically from orders: A drops
+  // keys %97==0, B drops %89==0 and rewrites the status of %7==0.
+  q("q180_snapshot_diff",
+    """WITH a AS (SELECT o_orderkey, o_orderstatus, o_totalprice
+      |       FROM orders WHERE o_orderkey % 97 <> 0),
+      |b AS (SELECT o_orderkey,
+      |        CASE WHEN o_orderkey % 7 = 0 THEN 'X' ELSE o_orderstatus END
+      |          AS o_orderstatus,
+      |        o_totalprice
+      |      FROM orders WHERE o_orderkey % 89 <> 0),
+      |j AS (SELECT a.o_orderkey AS ka, b.o_orderkey AS kb,
+      |        a.o_orderstatus AS s_a, b.o_orderstatus AS s_b,
+      |        a.o_totalprice AS p_a, b.o_totalprice AS p_b
+      |      FROM a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey),
+      |f AS (SELECT
+      |        CASE WHEN ka IS NULL THEN 1 ELSE 0 END AS add_,
+      |        CASE WHEN kb IS NULL THEN 1 ELSE 0 END AS rem_,
+      |        CASE WHEN ka IS NOT NULL AND kb IS NOT NULL
+      |              AND (s_a IS DISTINCT FROM s_b
+      |                OR p_a IS DISTINCT FROM p_b) THEN 1 ELSE 0 END AS chg_,
+      |        CASE WHEN ka IS NOT NULL AND kb IS NOT NULL
+      |              AND s_a IS NOT DISTINCT FROM s_b
+      |              AND p_a IS NOT DISTINCT FROM p_b THEN 1 ELSE 0 END
+      |          AS unch_,
+      |        CASE WHEN ka IS NOT NULL AND kb IS NOT NULL
+      |              AND s_a IS DISTINCT FROM s_b THEN 1 ELSE 0 END AS ds,
+      |        CASE WHEN ka IS NOT NULL AND kb IS NOT NULL
+      |              AND p_a IS DISTINCT FROM p_b THEN 1 ELSE 0 END AS dp
+      |      FROM j),
+      |t AS (SELECT CAST(sum(add_) AS BIGINT) AS added,
+      |        CAST(sum(rem_) AS BIGINT) AS removed,
+      |        CAST(sum(chg_) AS BIGINT) AS changed,
+      |        CAST(sum(unch_) AS BIGINT) AS unchanged,
+      |        CAST(sum(ds) AS BIGINT) AS c_status,
+      |        CAST(sum(dp) AS BIGINT) AS c_price
+      |      FROM f)
+      |SELECT chk, cnt FROM (
+      |  SELECT 'added' AS chk, added AS cnt FROM t
+      |  UNION ALL SELECT 'removed', removed FROM t
+      |  UNION ALL SELECT 'changed', changed FROM t
+      |  UNION ALL SELECT 'unchanged', unchanged FROM t
+      |  UNION ALL SELECT 'changed:o_orderstatus', c_status FROM t
+      |  UNION ALL SELECT 'changed:o_totalprice', c_price FROM t)
+      |ORDER BY chk""".stripMargin) { (s, d) =>
+    val o = Tables.orders(s, d)
+    val snapA = o.filter(pmod(col("o_orderkey"), lit(97)) =!= 0)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    val snapB = o.filter(pmod(col("o_orderkey"), lit(89)) =!= 0)
+      .select(col("o_orderkey"),
+        when(pmod(col("o_orderkey"), lit(7)) === 0, lit("X"))
+          .otherwise(col("o_orderstatus")).as("o_orderstatus"),
+        col("o_totalprice"))
+    graft.operators.Cdc.snapshotDiff(snapA, snapB,
+        Seq("o_orderkey"), Seq("o_orderstatus", "o_totalprice"))
+      .orderBy(col("chk"))
+  }
 }

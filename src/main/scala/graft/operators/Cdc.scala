@@ -98,4 +98,63 @@ object Cdc {
     }
     df.groupBy(keyCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
+
+  /** Snapshot reconciliation diff — the "did the copy drift" check a
+    * replication pipeline runs between a source table and its mirror
+    * (or two daily snapshots): one full-outer key join classifies
+    * every key as added / removed / changed / unchanged (null-safe
+    * per-column compare, so a real NULL→value transition counts as a
+    * change and NULL==NULL does not), and ONE combinable aggregate
+    * emits the summary plus a per-column changed count (which column
+    * drifts is the actionable part).
+    *
+    * Output: (chk, cnt) rows — `added`, `removed`, `changed`,
+    * `unchanged`, then `changed:<col>` per compare column. Constant
+    * output size however large the snapshots; the only exchange is
+    * the key join.
+    */
+  def snapshotDiff(
+      a: DataFrame,
+      b: DataFrame,
+      keyCols: Seq[String],
+      compareCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty && compareCols.nonEmpty,
+      "snapshotDiff needs key and compare columns")
+    val an = a.select((keyCols ++ compareCols).map(col): _*)
+      .withColumn("__ina", lit(1))
+    val bn = b.select((keyCols ++ compareCols).map(c =>
+        col(c).as(s"__b_$c")): _*)
+      .withColumn("__inb", lit(1))
+    val keyCond = keyCols.map(k => col(k) <=> col(s"__b_$k")).reduce(_ && _)
+    val joined = an.join(bn, keyCond, "full_outer")
+    val colDiff = compareCols.map(c =>
+      (!(col(c) <=> col(s"__b_$c"))).cast("long"))
+    val isAdded = col("__ina").isNull
+    val isRemoved = col("__inb").isNull
+    val anyDiff = compareCols.map(c => !(col(c) <=> col(s"__b_$c")))
+      .reduce(_ || _)
+    val flagCols = Seq(
+      isAdded.cast("long").as("__add"),
+      isRemoved.cast("long").as("__rem"),
+      (!isAdded && !isRemoved && anyDiff).cast("long").as("__chg"),
+      (!isAdded && !isRemoved && !anyDiff).cast("long").as("__unch")) ++
+      colDiff.zip(compareCols).map { case (d, c) =>
+        when(col("__ina").isNotNull && col("__inb").isNotNull, d)
+          .otherwise(lit(0L)).as(s"__d_$c")
+      }
+    val flagged = joined.select(flagCols: _*)
+    val aggs = Seq(sum(col("__add")).as("added"),
+      sum(col("__rem")).as("removed"),
+      sum(col("__chg")).as("changed"),
+      sum(col("__unch")).as("unchanged")) ++
+      compareCols.map(c => sum(col(s"__d_$c")).as(s"changed_$c"))
+    val one = flagged.agg(aggs.head, aggs.tail: _*)
+    val stackExpr = s"stack(${4 + compareCols.size}, " +
+      (Seq("'added', added", "'removed', removed", "'changed', changed",
+        "'unchanged', unchanged") ++
+        compareCols.map(c => s"'changed:$c', changed_$c")).mkString(", ") +
+      ") as (chk, cnt)"
+    one.select(expr(stackExpr))
+      .select(col("chk"), coalesce(col("cnt"), lit(0L)).as("cnt"))
+  }
 }

@@ -152,4 +152,31 @@ class CdcSpec extends SparkSuiteBase {
     val exchanges = "Exchange".r.findAllIn(plan).size
     assert(exchanges === 1, s"expected 1 shuffle, got $exchanges:\n$plan")
   }
+
+  test("snapshot diff: added/removed/changed classified null-safely per column") {
+    val a = Seq(
+      (1L, Some("a"), Some(1.0)),  // unchanged
+      (2L, Some("b"), Some(2.0)),  // status changes
+      (3L, None: Option[String], Some(3.0)), // NULL -> value: changed
+      (4L, Some("d"), None: Option[Double]), // NULL==NULL price: unchanged
+      (5L, Some("e"), Some(5.0)))  // removed
+      .toDF("k", "status", "price")
+    val b = Seq(
+      (1L, Some("a"), Some(1.0)),
+      (2L, Some("B"), Some(2.0)),
+      (3L, Some("c"), Some(3.0)),
+      (4L, Some("d"), None: Option[Double]),
+      (6L, Some("f"), Some(6.0)))  // added
+      .toDF("k", "status", "price")
+    val got = Cdc.snapshotDiff(a, b, Seq("k"), Seq("status", "price"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map(
+      "added" -> 1L, "removed" -> 1L, "changed" -> 2L, "unchanged" -> 2L,
+      "changed:status" -> 2L, "changed:price" -> 0L))
+    // identical snapshots: everything unchanged, zero drift
+    val same = Cdc.snapshotDiff(a, a, Seq("k"), Seq("status", "price"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(same("unchanged") === 5L && same("added") === 0L
+      && same("removed") === 0L && same("changed") === 0L)
+  }
 }
