@@ -4659,4 +4659,32 @@ object PipelineQueries extends QueryGroup {
         Seq("o_orderkey"), Seq("o_orderstatus", "o_totalprice"))
       .orderBy(col("chk"))
   }
+
+  // Embedding-ops monitoring: drift between the even- and odd-id
+  // embedding snapshots — cosine of the 6dp-staged mean vectors
+  // (direction) and the mean norms (magnitude). Two (dim)-keyed
+  // aggregates + a dims-sized join; corpora never co-shuffle.
+  q("q181_embedding_drift",
+    """WITH u AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+      |         unnest(embedding)::DOUBLE AS x FROM embeddings),
+      |ma AS (SELECT pos, count(*) AS na, floor(avg(x) * 1e6 + 0.5)/1e6 AS m
+      |       FROM u WHERE vec_id % 2 = 0 GROUP BY pos),
+      |mb AS (SELECT pos, count(*) AS nb, floor(avg(x) * 1e6 + 0.5)/1e6 AS m
+      |       FROM u WHERE vec_id % 2 = 1 GROUP BY pos),
+      |j AS (SELECT ma.na, mb.nb, ma.m AS x, mb.m AS y
+      |      FROM ma JOIN mb USING (pos)),
+      |t AS (SELECT max(na) AS n_a, max(nb) AS n_b, sum(x*y) AS dot,
+      |        sum(x*x) AS sa, sum(y*y) AS sb FROM j)
+      |SELECT n_a, n_b,
+      |  CASE WHEN sa > 0 AND sb > 0
+      |       THEN floor(dot / (sqrt(sa) * sqrt(sb)) * 1e6 + 0.5)/1e6
+      |  END AS cos_means6,
+      |  floor(sqrt(sa) * 1e6 + 0.5)/1e6 AS norm_a6,
+      |  floor(sqrt(sb) * 1e6 + 0.5)/1e6 AS norm_b6
+      |FROM t""".stripMargin) { (s, d) =>
+    val e = Tables.embeddings(s, d)
+    graft.operators.Spectral.embeddingDrift(
+      e.filter(pmod(col("vec_id"), lit(2)) === 0),
+      e.filter(pmod(col("vec_id"), lit(2)) === 1), "embedding")
+  }
 }

@@ -131,6 +131,43 @@ object Spectral {
     * (idCol, score) with score = 6dp-rounded (x − μ)·v — one
     * codegen'd scan, zero shuffles past the component collect.
     */
+  /** Embedding-space drift between two vector snapshots — the
+    * "did the encoder (or the corpus) move" check run before mixing
+    * embedding batches produced at different times: the cosine
+    * between the two MEAN vectors (direction drift) and the two mean
+    * norms (magnitude drift), plus counts. Means are 6dp-staged
+    * before the cosine (the q134/q153 float discipline) so the
+    * comparison replays bit-for-bit.
+    *
+    * Scale shape: one (side, dim)-keyed aggregate per snapshot
+    * (map-side combined, dims-sized output) + a dims-sized join —
+    * the corpora are never co-shuffled. Output one row:
+    * (n_a, n_b, cos_means6, norm_a6, norm_b6).
+    */
+  def embeddingDrift(
+      a: DataFrame,
+      b: DataFrame,
+      vecCol: String): DataFrame = {
+    def meansOf(df: DataFrame, cnt: String, m: String): DataFrame =
+      df.select(posexplode(col(vecCol).cast("array<double>"))
+          .as(Seq("pos", "x")))
+        .groupBy(col("pos"))
+        .agg(count(lit(1)).as(cnt), pr6(avg(col("x"))).as(m))
+    val ma = meansOf(a, "__na", "ma")
+    val mb = meansOf(b, "__nb", "mb")
+    ma.join(mb, Seq("pos"))
+      .agg(max(col("__na")).as("n_a"), max(col("__nb")).as("n_b"),
+        sum(col("ma") * col("mb")).as("__dot"),
+        sum(col("ma") * col("ma")).as("__sa"),
+        sum(col("mb") * col("mb")).as("__sb"))
+      .select(col("n_a"), col("n_b"),
+        when(col("__sa") > 0 && col("__sb") > 0,
+          pr6(col("__dot") / (sqrt(col("__sa")) * sqrt(col("__sb")))))
+          .otherwise(lit(null).cast("double")).as("cos_means6"),
+        pr6(sqrt(col("__sa"))).as("norm_a6"),
+        pr6(sqrt(col("__sb"))).as("norm_b6"))
+  }
+
   /** Pearson correlation matrix over k numeric columns in ONE
     * combinable aggregate pass (the feature-diagnostics step before
     * training: redundant/leaking features show as |r| → 1): all

@@ -107,6 +107,29 @@ class SpectralSpec extends SparkSuiteBase {
     assert(got.size === 6)
   }
 
+  test("embedding drift: identical snapshots read cosine 1; a rotation reads lower") {
+    val a = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f)), (2L, Seq(0.9f, 0.1f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val same = Spectral.embeddingDrift(a, a, "embedding").head()
+    assert(same.getDouble(2) === 1.0)
+    assert(same.getDouble(3) === same.getDouble(4))
+    // b points along y instead of x: mean cosine near 0
+    val b = Seq(
+      (3L, Seq(0.0f, 1.0f, 0.0f)), (4L, Seq(0.1f, 0.9f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val rot = Spectral.embeddingDrift(a, b, "embedding").head()
+    assert(rot.getLong(0) === 2L && rot.getLong(1) === 2L)
+    assert(rot.getDouble(2) < 0.25, s"rotated means must decorrelate: $rot")
+    // degenerate: a zero-mean side reads null cosine
+    val z = Seq((5L, Seq(1.0f, 0.0f)), (6L, Seq(-1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val deg = Spectral.embeddingDrift(z,
+      Seq((7L, Seq(1.0f, 1.0f))).toDF("vec_id", "embedding"), "embedding")
+      .head()
+    assert(deg.isNullAt(2) && deg.getDouble(3) === 0.0)
+  }
+
   test("correlation matrix: one scan, listwise deletion drops null rows") {
     val df = Seq(
       (Some(1.0), Some(1.0)), (Some(2.0), Some(4.0)),
