@@ -570,6 +570,34 @@ class StreamingSemanticsSpec extends SparkSuiteBase {
     assert(batch.exists { case (id, _, a) => id == 2009L && a })
   }
 
+  test("streaming column profile equals the batch profile after every batch (mergeable stats)") {
+    // columnProfile is count/nulls/min/max/sum — every stat algebraic,
+    // so the SAME operator code runs as a complete-mode streaming
+    // aggregate and equals the batch profile over the rows fed so far
+    import graft.operators.Audit
+    val ms = MemoryStream[(Option[Double], Option[Double])](spark, 1)
+    val q = Audit.columnProfile(ms.toDF().toDF("x", "y"), Seq("x", "y"))
+      .writeStream.format("memory").queryName("profstream")
+      .outputMode("complete").start()
+    val batches = Seq(
+      Seq((Some(1.0), Option.empty[Double]), (Some(5.0), Some(2.0))),
+      Seq((None, Some(7.0)), (Some(-3.0), Some(3.0))),
+      Seq((Some(10.0), None)))
+    var fed = Seq.empty[(Option[Double], Option[Double])]
+    try {
+      batches.foreach { b =>
+        ms.addData(b: _*)
+        q.processAllAvailable()
+        fed = fed ++ b
+        val batch = Audit.columnProfile(fed.toDF("x", "y"), Seq("x", "y"))
+          .collect().map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+        val streamed = spark.table("profstream")
+          .collect().map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+        assert(streamed === batch, s"after ${fed.size} rows")
+      }
+    } finally q.stop()
+  }
+
   test("streaming EWMA equals the q165 batch operator, any batch split") {
     import graft.streaming.StreamingEwma
     def pts(key: Long, vals: Seq[Double]): Seq[StreamingEwma.Point] =
