@@ -4311,19 +4311,23 @@ object PipelineQueries extends QueryGroup {
   // engine's own corr() whose co-moment accumulation orders differ.
   q("q172_correlation_matrix", {
     val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    // index-keyed aliases, like the engine side (name-derived ones
+    // collide for underscore-bearing names)
     val pairs = for { i <- cols.indices; j <- cols.indices if i < j }
-      yield (cols(i), cols(j))
-    val sums = cols.map(c =>
-      s"sum($c) AS s_$c, sum($c * $c) AS ss_$c").mkString(",\n       |    ")
-    val crosses = pairs.map { case (a, b) =>
-      s"sum($a * $b) AS sp_${a}_$b" }.mkString(",\n       |    ")
-    val rows = pairs.map { case (a, b) =>
-      s"""SELECT '$a' AS col_a, '$b' AS col_b,
-         |  CASE WHEN CAST(n AS DOUBLE) * ss_$a - s_$a * s_$a > 0
-         |        AND CAST(n AS DOUBLE) * ss_$b - s_$b * s_$b > 0
-         |       THEN floor((CAST(n AS DOUBLE) * sp_${a}_$b - s_$a * s_$b)
-         |         / sqrt((CAST(n AS DOUBLE) * ss_$a - s_$a * s_$a)
-         |              * (CAST(n AS DOUBLE) * ss_$b - s_$b * s_$b))
+      yield (i, j)
+    val sums = cols.indices.map(i =>
+      s"sum(${cols(i)}) AS s_$i, sum(${cols(i)} * ${cols(i)}) AS ss_$i")
+      .mkString(",\n       |    ")
+    val crosses = pairs.map { case (i, j) =>
+      s"sum(${cols(i)} * ${cols(j)}) AS sp_${i}_$j" }
+      .mkString(",\n       |    ")
+    val rows = pairs.map { case (i, j) =>
+      s"""SELECT '${cols(i)}' AS col_a, '${cols(j)}' AS col_b,
+         |  CASE WHEN CAST(n AS DOUBLE) * ss_$i - s_$i * s_$i > 0
+         |        AND CAST(n AS DOUBLE) * ss_$j - s_$j * s_$j > 0
+         |       THEN floor((CAST(n AS DOUBLE) * sp_${i}_$j - s_$i * s_$j)
+         |         / sqrt((CAST(n AS DOUBLE) * ss_$i - s_$i * s_$i)
+         |              * (CAST(n AS DOUBLE) * ss_$j - s_$j * s_$j))
          |         * 1e6 + 0.5)/1e6
          |  END AS corr6
          |FROM st""".stripMargin }
@@ -4503,7 +4507,7 @@ object PipelineQueries extends QueryGroup {
       |  FROM ss
       |  WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)),
       |pc AS (SELECT t0 || '>' || t1 || '>' || t2 AS path, count(*) AS cnt
-      |  FROM ld WHERE t1 IS NOT NULL AND t2 IS NOT NULL
+      |  FROM ld WHERE t0 IS NOT NULL AND t1 IS NOT NULL AND t2 IS NOT NULL
       |    AND s1 = sess AND s2 = sess
       |  GROUP BY 1)
       |SELECT CAST(row_number() OVER (ORDER BY cnt DESC, path) AS INT)

@@ -101,22 +101,28 @@ object Audit {
     */
   def columnProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "columnProfile needs at least one column")
-    val aggCols = count(lit(1)).as("__n") +: cols.flatMap(c => Seq(
-      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nulls_$c"),
-      min(col(c).cast("double")).as(s"__min_$c"),
-      max(col(c).cast("double")).as(s"__max_$c"),
-      sum(col(c).cast("double")).as(s"__sum_$c")))
+    // internal aliases are INDEX-keyed and the pivot is a struct
+    // array, never a parsed `stack(...)` string — a column name with
+    // '-', '.' or spaces must not reach any SQL parser
+    val aggCols = count(lit(1)).as("__n") +:
+      cols.indices.flatMap(i => Seq(
+        sum(when(col(cols(i)).isNull, 1L).otherwise(0L)).as(s"__nulls_$i"),
+        min(col(cols(i)).cast("double")).as(s"__min_$i"),
+        max(col(cols(i)).cast("double")).as(s"__max_$i"),
+        sum(col(cols(i)).cast("double")).as(s"__sum_$i")))
     val one = df.agg(aggCols.head, aggCols.tail: _*)
-    val stackExpr = s"stack(${cols.length}, " + cols.map(c =>
-      s"'$c', __nulls_$c, __min_$c, __max_$c, __sum_$c").mkString(", ") +
-      ") as (column, n_nulls, vmin, vmax, __vsum)"
-    one.select(col("__n").as("n_rows"), expr(stackExpr))
-      .select(col("column"), col("n_rows"), col("n_nulls"),
-        col("vmin"), col("vmax"),
-        when(col("n_rows") - col("n_nulls") === 0,
+    val stacked = cols.indices.map(i =>
+      struct(lit(cols(i)).as("column"), col(s"__nulls_$i").as("n_nulls"),
+        col(s"__min_$i").as("vmin"), col(s"__max_$i").as("vmax"),
+        col(s"__sum_$i").as("__vsum")))
+    one.select(col("__n").as("n_rows"), explode(array(stacked: _*)).as("__p"))
+      .select(col("__p.column").as("column"), col("n_rows"),
+        col("__p.n_nulls").as("n_nulls"),
+        col("__p.vmin").as("vmin"), col("__p.vmax").as("vmax"),
+        when(col("n_rows") - col("__p.n_nulls") === 0,
             lit(null).cast("double"))
-          .otherwise(floor(col("__vsum")
-            / (col("n_rows") - col("n_nulls")).cast("double")
+          .otherwise(floor(col("__p.__vsum")
+            / (col("n_rows") - col("__p.n_nulls")).cast("double")
             * lit(1e6) + lit(0.5)) / lit(1e6)).as("mean6"))
   }
 

@@ -245,7 +245,9 @@ object Behavior {
       .reduce(_ && _)
     val rk = Window.orderBy(col("cnt").desc, col("path"))
     withLeads
-      .filter((1 until n).map(i => col(s"__t$i").isNotNull).reduce(_ && _))
+      // __t0 included: a null CURRENT type would make concat_ws emit a
+      // truncated (n-1)-gram posing as an n-gram
+      .filter((0 until n).map(i => col(s"__t$i").isNotNull).reduce(_ && _))
       .filter(sameSession)
       .select(concat_ws(">", (0 until n).map(i => col(s"__t$i")): _*)
         .as("path"))

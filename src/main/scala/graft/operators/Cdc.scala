@@ -133,28 +133,34 @@ object Cdc {
     val isRemoved = col("__inb").isNull
     val anyDiff = compareCols.map(c => !(col(c) <=> col(s"__b_$c")))
       .reduce(_ || _)
+    // index-keyed aliases + struct-array pivot (no parsed stack
+    // string) — the columnProfile discipline for hostile names
     val flagCols = Seq(
       isAdded.cast("long").as("__add"),
       isRemoved.cast("long").as("__rem"),
       (!isAdded && !isRemoved && anyDiff).cast("long").as("__chg"),
       (!isAdded && !isRemoved && !anyDiff).cast("long").as("__unch")) ++
-      colDiff.zip(compareCols).map { case (d, c) =>
+      colDiff.zipWithIndex.map { case (d, i) =>
         when(col("__ina").isNotNull && col("__inb").isNotNull, d)
-          .otherwise(lit(0L)).as(s"__d_$c")
+          .otherwise(lit(0L)).as(s"__d_$i")
       }
     val flagged = joined.select(flagCols: _*)
     val aggs = Seq(sum(col("__add")).as("added"),
       sum(col("__rem")).as("removed"),
       sum(col("__chg")).as("changed"),
       sum(col("__unch")).as("unchanged")) ++
-      compareCols.map(c => sum(col(s"__d_$c")).as(s"changed_$c"))
+      compareCols.indices.map(i => sum(col(s"__d_$i")).as(s"__dc_$i"))
     val one = flagged.agg(aggs.head, aggs.tail: _*)
-    val stackExpr = s"stack(${4 + compareCols.size}, " +
-      (Seq("'added', added", "'removed', removed", "'changed', changed",
-        "'unchanged', unchanged") ++
-        compareCols.map(c => s"'changed:$c', changed_$c")).mkString(", ") +
-      ") as (chk, cnt)"
-    one.select(expr(stackExpr))
-      .select(col("chk"), coalesce(col("cnt"), lit(0L)).as("cnt"))
+    val stacked = Seq(
+      struct(lit("added").as("chk"), col("added").as("cnt")),
+      struct(lit("removed").as("chk"), col("removed").as("cnt")),
+      struct(lit("changed").as("chk"), col("changed").as("cnt")),
+      struct(lit("unchanged").as("chk"), col("unchanged").as("cnt"))) ++
+      compareCols.indices.map(i =>
+        struct(lit(s"changed:${compareCols(i)}").as("chk"),
+          col(s"__dc_$i").as("cnt")))
+    one.select(explode(array(stacked: _*)).as("__p"))
+      .select(col("__p.chk").as("chk"),
+        coalesce(col("__p.cnt"), lit(0L)).as("cnt"))
   }
 }

@@ -248,7 +248,10 @@ object Dedup {
       threshold: Double,
       maxShingleDocFreq: Int,
       precomputedHot: Option[DataFrame] = None,
-      precomputedSizes: Option[DataFrame] = None): DataFrame = {
+      precomputedSizes: Option[DataFrame] = None,
+      // "jaccard" (inter/union) or "containment" (inter/min) — the
+      // score column is NAMED after the mode
+      score: String = "jaccard"): DataFrame = {
     // The DF cap and the per-doc set size are HASH aggregates joined
     // back (the oracle's own shape), not window passes: a window here
     // is a full sort of the exploded frame per pass, and those two
@@ -281,14 +284,19 @@ object Dedup {
           && col("a.doc") < col("b.doc"))
       .groupBy(col("a.doc").as("id_a"), col("b.doc").as("id_b"))
       .agg(count(lit(1)).as("inter"))
+    val denom = score match {
+      case "containment" => least(col("sz_a"), col("sz_b")).cast("double")
+      case "jaccard" =>
+        (col("sz_a") + col("sz_b") - col("inter")).cast("double")
+      case other => throw new IllegalArgumentException(
+        s"unknown pair score '$other' (jaccard | containment)")
+    }
     pairCounts
       .join(sizes.select(col("doc").as("id_a"), col("sz").as("sz_a")), "id_a")
       .join(sizes.select(col("doc").as("id_b"), col("sz").as("sz_b")), "id_b")
-      .withColumn("jaccard",
-        col("inter").cast("double")
-          / (col("sz_a") + col("sz_b") - col("inter")).cast("double"))
-      .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
+      .withColumn(score, col("inter").cast("double") / denom)
+      .filter(col(score) >= threshold)
+      .select(col("id_a"), col("id_b"), col(score))
   }
 
   /** [[pairsFromShingles]] restricted to pairs with AT LEAST ONE
@@ -1157,31 +1165,9 @@ object Dedup {
       blockCol: String,
       n: Int,
       threshold: Double,
-      maxShingleDocFreq: Int = 1000): DataFrame = {
-    val shAll = shingleFrame(docs, idCol, textCol, blockCol, n)
-    val hot = shAll.groupBy(col("blk"), col("shingle"))
-      .agg(count(lit(1)).as("__df"))
-      .filter(col("__df") > maxShingleDocFreq)
-      .select(col("blk"), col("shingle"))
-    val surviving = shAll.join(hot, Seq("blk", "shingle"), "left_anti")
-    val sizes = surviving.groupBy(col("doc")).agg(count(lit(1)).as("sz"))
-    val a = surviving.alias("a")
-    val b = surviving.alias("b")
-    val pairCounts = a.join(b,
-        col("a.shingle") === col("b.shingle")
-          && col("a.blk") === col("b.blk")
-          && col("a.doc") < col("b.doc"))
-      .groupBy(col("a.doc").as("id_a"), col("b.doc").as("id_b"))
-      .agg(count(lit(1)).as("inter"))
-    pairCounts
-      .join(sizes.select(col("doc").as("id_a"), col("sz").as("sz_a")), "id_a")
-      .join(sizes.select(col("doc").as("id_b"), col("sz").as("sz_b")), "id_b")
-      .withColumn("containment",
-        col("inter").cast("double")
-          / least(col("sz_a"), col("sz_b")).cast("double"))
-      .filter(col("containment") >= threshold)
-      .select(col("id_a"), col("id_b"), col("containment"))
-  }
+      maxShingleDocFreq: Int = 1000): DataFrame =
+    pairsFromShingles(shingleFrame(docs, idCol, textCol, blockCol, n),
+      threshold, maxShingleDocFreq, score = "containment")
 
   /** MinHash-LSH quality audit: precision/recall of the banded
     * estimator's pair set ([[minhashLshPairs]], est ≥ threshold)

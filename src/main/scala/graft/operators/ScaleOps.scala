@@ -428,9 +428,6 @@ object ScaleOps {
       target: DataFrame,
       idCol: String,
       valueCol: String): DataFrame = {
-    val nA = ref.count()
-    val nB = target.count()
-    require(nA > 0 && nB > 0, "quantileNormalize needs non-empty frames")
     val ra = prefixSumByRange(
         ref.select(col(idCol).as("__rid"),
           col(valueCol).cast("double").as("__rv")),
@@ -440,6 +437,15 @@ object ScaleOps {
         target.select(col(idCol), col(valueCol).cast("double").as("value")),
         Seq("value", idCol), lit(1L), "__r0")
       .select(col(idCol), col("value"), (col("__r0") + lit(1L)).as("__rb"))
+    // counts read off the checkpointed ranked frames (max rank == n) —
+    // counting the RAW inputs would cost an extra full pass per side
+    def countOf(df: DataFrame, rankCol: String): Long = {
+      val r = df.agg(max(col(rankCol))).head()
+      if (r.isNullAt(0)) 0L else r.getLong(0)
+    }
+    val nA = countOf(ra, "__ra")
+    val nB = countOf(rb, "__rb")
+    require(nA > 0 && nB > 0, "quantileNormalize needs non-empty frames")
     rb.withColumn("__ra", expr(s"((__rb * ${nA}L) + ${nB}L - 1L) div ${nB}L"))
       .join(ra, Seq("__ra"))
       .select(col(idCol), col("value"), col("__rv").as("norm_value"))

@@ -415,20 +415,26 @@ object Sketches {
     * filter compiles to WindowGroupLimit, so no group ever shuffles
     * more than its bottom-k out of the partial aggregate).
     */
+  /** Bottom-k per group over a prehashed distinct (g, h) frame — the
+    * shared core of [[kmvGroupedSketch]] and [[kmvOverlapMatrix]].
+    */
+  private def bottomKPerGroup(hx: DataFrame, k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("g"))
+      .orderBy(col("h"))
+    hx.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k)
+      .select(col("g"), col("h"))
+  }
+
   def kmvGroupedSketch(
       items: DataFrame,
       groupCol: String,
       itemCol: String,
       k: Int): DataFrame = {
     require(k >= 2, s"kmv needs k >= 2, got $k")
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("g"))
-      .orderBy(col("h"))
-    items.select(col(groupCol).as("g"),
-        PortableHash.md5Long60(col(itemCol)).as("h"))
-      .distinct()
-      .withColumn("__rk", row_number().over(w))
-      .filter(col("__rk") <= k)
-      .select(col("g"), col("h"))
+    bottomKPerGroup(
+      items.select(col(groupCol).as("g"),
+        PortableHash.md5Long60(col(itemCol)).as("h")).distinct(), k)
   }
 
   /** ALL-PAIRS set-overlap matrix from ONE sketch per group — the
@@ -454,11 +460,7 @@ object Sketches {
     val hx = items.select(col(groupCol).as("g"),
         PortableHash.md5Long60(col(itemCol)).as("h"))
       .distinct()
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("g"))
-      .orderBy(col("h"))
-    val sk = hx.withColumn("__rk", row_number().over(w))
-      .filter(col("__rk") <= k)
-      .select(col("g"), col("h"))
+    val sk = bottomKPerGroup(hx, k)
     val groups = sk.select(col("g")).distinct()
     val gp = groups.select(col("g").as("ga"))
       .crossJoin(groups.select(col("g").as("gb")))

@@ -186,29 +186,34 @@ object Spectral {
   def correlationMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.size >= 2, "correlationMatrix needs at least 2 columns")
     val clean = df.filter(cols.map(col(_).isNotNull).reduce(_ && _))
+    // aggregate aliases are keyed by column INDEX, never by name —
+    // name-derived aliases collide for names containing underscores
+    // (pairs (a, b_c) and (a_b, c) would both read __sp_a_b_c)
     val pairs = for {
       i <- cols.indices; j <- cols.indices if i < j
-    } yield (cols(i), cols(j))
+    } yield (i, j)
     val aggCols = count(lit(1)).as("__n") +:
-      (cols.flatMap(c => Seq(
-        sum(col(c).cast("double")).as(s"__s_$c"),
-        sum(col(c).cast("double") * col(c).cast("double")).as(s"__ss_$c"))) ++
-        pairs.map { case (a, b) =>
-          sum(col(a).cast("double") * col(b).cast("double")).as(s"__sp_${a}_$b")
+      (cols.indices.flatMap(i => Seq(
+        sum(col(cols(i)).cast("double")).as(s"__s_$i"),
+        sum(col(cols(i)).cast("double") * col(cols(i)).cast("double"))
+          .as(s"__ss_$i"))) ++
+        pairs.map { case (i, j) =>
+          sum(col(cols(i)).cast("double") * col(cols(j)).cast("double"))
+            .as(s"__sp_${i}_$j")
         })
     val one = clean.agg(aggCols.head, aggCols.tail: _*)
-    def corrExpr(a: String, b: String): Column = {
+    def corrExpr(i: Int, j: Int): Column = {
       val n = col("__n").cast("double")
-      val va = n * col(s"__ss_$a") - col(s"__s_$a") * col(s"__s_$a")
-      val vb = n * col(s"__ss_$b") - col(s"__s_$b") * col(s"__s_$b")
-      val cov = n * col(s"__sp_${a}_$b") - col(s"__s_$a") * col(s"__s_$b")
+      val va = n * col(s"__ss_$i") - col(s"__s_$i") * col(s"__s_$i")
+      val vb = n * col(s"__ss_$j") - col(s"__s_$j") * col(s"__s_$j")
+      val cov = n * col(s"__sp_${i}_$j") - col(s"__s_$i") * col(s"__s_$j")
       when(va > 0 && vb > 0,
         floor(cov / sqrt(va * vb) * lit(1e6) + lit(0.5)) / lit(1e6))
         .otherwise(lit(null).cast("double"))
     }
-    val stacked = pairs.map { case (a, b) =>
-      struct(lit(a).as("col_a"), lit(b).as("col_b"),
-        corrExpr(a, b).as("corr6"))
+    val stacked = pairs.map { case (i, j) =>
+      struct(lit(cols(i)).as("col_a"), lit(cols(j)).as("col_b"),
+        corrExpr(i, j).as("corr6"))
     }
     one.select(explode(array(stacked: _*)).as("__p"))
       .select(col("__p.col_a"), col("__p.col_b"), col("__p.corr6"))

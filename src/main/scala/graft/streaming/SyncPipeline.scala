@@ -375,8 +375,8 @@ class SyncPipeline(
 
   /** Replication LAG report — the monitoring surface the reference
     * never had (its only signal is its log lines): per
-    * (tenant, namespace, topic, partition), how far the mirror's
-    * offset map trails the source's message frontier.
+    * (topic, partition), how far the mirror's offset map trails the
+    * source's message frontier.
     *
     *   - `src_messages` / `mirrored`: message counts on each side
     *     (the offset map records exactly one row per delivered
@@ -384,6 +384,13 @@ class SyncPipeline(
     *   - `backlog`: src_messages − mirrored;
     *   - frontier columns: the max (ledger, entry) MessageId seen on
     *     each side (null mirrored frontier = nothing delivered yet).
+    *
+    * GRAIN: (topic, partition) — the offset map's own key (and the
+    * cursor machinery's), which carries the SHORT topic name. Both
+    * sides aggregate to that same key; grouping the source by
+    * tenant/namespace too would fan one mirrored count into several
+    * namespace rows whenever short names collide and silently report
+    * negative backlogs.
     *
     * Scale shape: two map-side-combinable count/max aggregates (one
     * per side) joined on (topic, partition) — partition-count-sized
@@ -398,8 +405,7 @@ class SyncPipeline(
     */
   def lagReport(srcMessages: DataFrame, offsetMap: DataFrame): DataFrame = {
     val srcAgg = srcMessages
-      .groupBy(col("tenant"), col("namespace"), col("topic"),
-        col("partition"))
+      .groupBy(col("topic"), col("partition"))
       .agg(count(lit(1)).as("src_messages"),
         max(struct(col("ledgerId"), col("entryId"))).as("__sf"))
     val mirAgg = offsetMap
@@ -407,8 +413,7 @@ class SyncPipeline(
       .agg(count(lit(1)).as("__mirrored"),
         max(struct(col("srcLedger"), col("srcEntry"))).as("__mf"))
     srcAgg.join(mirAgg, Seq("topic", "partition"), "left")
-      .select(col("tenant"), col("namespace"), col("topic"),
-        col("partition"), col("src_messages"),
+      .select(col("topic"), col("partition"), col("src_messages"),
         coalesce(col("__mirrored"), lit(0L)).as("mirrored"),
         (col("src_messages") - coalesce(col("__mirrored"), lit(0L)))
           .as("backlog"),

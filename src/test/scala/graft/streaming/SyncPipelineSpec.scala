@@ -462,18 +462,28 @@ class SyncPipelineSpec extends SparkSuiteBase {
       om("tp", 0, 1, 0), om("tp", 0, 1, 1), // 2 of 3 delivered
       om("tp", 1, 5, 0)).toDF()             // 1 of 2 delivered
     val got = pipe.lagReport(srcBatch, offsetMap)
-      .collect().map(r => (r.getString(2), r.getInt(3)) -> r).toMap
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r).toMap
     val tp0 = got(("tp", 0))
-    assert(tp0.getLong(4) === 3L && tp0.getLong(5) === 2L
-      && tp0.getLong(6) === 1L)
-    assert(tp0.getLong(7) === 2L && tp0.getLong(8) === 0L) // src frontier
-    assert(tp0.getLong(9) === 1L && tp0.getLong(10) === 1L) // mirrored
+    assert(tp0.getLong(2) === 3L && tp0.getLong(3) === 2L
+      && tp0.getLong(4) === 1L)
+    assert(tp0.getLong(5) === 2L && tp0.getLong(6) === 0L) // src frontier
+    assert(tp0.getLong(7) === 1L && tp0.getLong(8) === 1L) // mirrored
     val tp1 = got(("tp", 1))
-    assert(tp1.getLong(6) === 1L && tp1.getLong(9) === 5L
-      && tp1.getLong(10) === 0L)
+    assert(tp1.getLong(4) === 1L && tp1.getLong(7) === 5L
+      && tp1.getLong(8) === 0L)
     // nothing mirrored for "other": zero counts, null mirrored frontier
     val oth = got(("other", 0))
-    assert(oth.getLong(5) === 0L && oth.getLong(6) === 1L)
-    assert(oth.isNullAt(9) && oth.isNullAt(10))
+    assert(oth.getLong(3) === 0L && oth.getLong(4) === 1L)
+    assert(oth.isNullAt(7) && oth.isNullAt(8))
+    // the report's grain is the OFFSET MAP's key: a short topic name
+    // shared by two namespaces folds into ONE row with the combined
+    // counts (never a fan-out into per-namespace rows with negative
+    // backlog)
+    val collide = srcBatch.unionByName(
+      Seq(raw("tp", 0, 7, 0).copy(namespace = "dev")).toDF())
+    val c = pipe.lagReport(collide, offsetMap)
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r).toMap
+    assert(c(("tp", 0)).getLong(2) === 4L && c(("tp", 0)).getLong(4) === 2L)
+    assert(c.size === 3, "one row per (topic, partition)")
   }
 }
