@@ -4691,4 +4691,45 @@ object PipelineQueries extends QueryGroup {
       e.filter(pmod(col("vec_id"), lit(2)) === 0),
       e.filter(pmod(col("vec_id"), lit(2)) === 1), "embedding")
   }
+
+  // Behavior analytics: association rules over session baskets
+  // (Agrawal & Srikant 1994) — support/confidence/lift for directed
+  // event-type pairs, baskets = q138's 30-min gap sessions. Baskets
+  // reduce to distinct (session, type) rows before the pair join.
+  q("q182_basket_rules",
+    """WITH lg AS (SELECT user_id, ts, event_id, event_type,
+      |    CASE WHEN lag(epoch_ms(ts), 1) OVER w IS NULL
+      |           OR epoch_ms(ts) - lag(epoch_ms(ts), 1) OVER w > 1800000
+      |         THEN 1 ELSE 0 END AS ns
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |ss AS (SELECT user_id, event_type,
+      |    sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+      |  FROM lg),
+      |it AS (SELECT DISTINCT user_id, sess, event_type AS t FROM ss),
+      |nsx AS (SELECT count(*) AS n
+      |        FROM (SELECT DISTINCT user_id, sess FROM it)),
+      |nt AS (SELECT t, count(*) AS nt FROM it GROUP BY t),
+      |ab AS (SELECT a.t AS antecedent, b.t AS consequent,
+      |         count(*) AS n_ab
+      |       FROM it a JOIN it b ON a.user_id = b.user_id
+      |         AND a.sess = b.sess AND a.t <> b.t
+      |       GROUP BY 1, 2 HAVING count(*) >= 5)
+      |SELECT antecedent, consequent, n_ab,
+      |  floor(CAST(n_ab AS DOUBLE) / CAST(n AS DOUBLE) * 1e6 + 0.5)/1e6
+      |    AS support6,
+      |  floor(CAST(n_ab AS DOUBLE) / CAST(na.nt AS DOUBLE) * 1e6 + 0.5)/1e6
+      |    AS confidence6,
+      |  floor(CAST(n_ab * n AS DOUBLE) / CAST(na.nt * nb.nt AS DOUBLE)
+      |    * 1e6 + 0.5)/1e6 AS lift6
+      |FROM ab JOIN nt na ON na.t = antecedent
+      |        JOIN nt nb ON nb.t = consequent
+      |        CROSS JOIN nsx
+      |ORDER BY antecedent, consequent""".stripMargin) { (s, d) =>
+    graft.operators.Behavior.basketRules(Tables.events(s, d),
+        "user_id", "ts", "event_id", "event_type",
+        gapMs = 1800000L, minSessions = 5L)
+      .orderBy(col("antecedent"), col("consequent"))
+  }
 }

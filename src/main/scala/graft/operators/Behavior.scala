@@ -198,6 +198,89 @@ object Behavior {
         (max(ms) - min(ms)).as("dur_ms"))
   }
 
+  /** Gap-based session ids attached to every event — the shared
+    * assignment under [[sessionize]], [[sessionPaths]] and
+    * [[basketRules]]: one key-partitioned sort carries the lag gap
+    * check and the running session counter. Output columns:
+    * (keyCol, tsCol, tieCol, __t0 = typeCol, __sess).
+    */
+  private def withSessionIds(
+      events: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      tieCol: String,
+      typeCol: String,
+      gapMs: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col(tieCol))
+    val ms = unix_millis(col(tsCol))
+    val newSess = when(lag(ms, 1).over(w).isNull ||
+      ms - lag(ms, 1).over(w) > gapMs, 1L).otherwise(0L)
+    events
+      .select(col(keyCol), col(tsCol), col(tieCol),
+        col(typeCol).as("__t0"))
+      .withColumn("__sess",
+        sum(newSess).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+  }
+
+  /** Association rules over session baskets (the Agrawal & Srikant
+    * 1994 market-basket surface, with [[sessionize]]'s gap semantics
+    * defining the basket): for every DIRECTED event-type pair
+    * a → b co-occurring in at least `minSessions` sessions,
+    *
+    *   support    = n_ab / n_sessions
+    *   confidence = n_ab / n_a
+    *   lift       = (n_ab · n_sessions) / (n_a · n_b)
+    *
+    * (lift > 1 = the pair co-occurs more than independence predicts —
+    * the signal behind "users who X also Y").
+    *
+    * Scale shape: session assignment is ONE key sort; baskets reduce
+    * to DISTINCT (key, sess, type) rows, so the pair join is bounded
+    * by Σ types-per-session² (types vocabulary, not events) and every
+    * count is a map-side-combinable aggregate. Output:
+    * (antecedent, consequent, n_ab, support6, confidence6, lift6).
+    */
+  def basketRules(
+      events: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      tieCol: String,
+      typeCol: String,
+      gapMs: Long,
+      minSessions: Long): DataFrame = {
+    require(minSessions >= 1, s"minSessions must be >= 1, got $minSessions")
+    val items = withSessionIds(events, keyCol, tsCol, tieCol, typeCol, gapMs)
+      .select(col(keyCol).as("__k"), col("__sess"), col("__t0").as("__t"))
+      .distinct()
+    val nS = items.select(col("__k"), col("__sess")).distinct()
+      .agg(count(lit(1)).as("__ns"))
+    val nT = items.groupBy(col("__t")).agg(count(lit(1)).as("__nt"))
+    val ab = items.alias("a")
+      .join(items.alias("b"),
+        col("a.__k") === col("b.__k") && col("a.__sess") === col("b.__sess")
+          && col("a.__t") =!= col("b.__t"))
+      .groupBy(col("a.__t").as("antecedent"), col("b.__t").as("consequent"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minSessions)
+    def pr6(c: org.apache.spark.sql.Column) =
+      floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+    ab
+      .join(nT.select(col("__t").as("antecedent"), col("__nt").as("__na")),
+        Seq("antecedent"))
+      .join(nT.select(col("__t").as("consequent"), col("__nt").as("__nb")),
+        Seq("consequent"))
+      .crossJoin(nS)
+      .select(col("antecedent"), col("consequent"), col("n_ab"),
+        pr6(col("n_ab").cast("double") / col("__ns").cast("double"))
+          .as("support6"),
+        pr6(col("n_ab").cast("double") / col("__na").cast("double"))
+          .as("confidence6"),
+        pr6((col("n_ab") * col("__ns")).cast("double")
+          / (col("__na") * col("__nb")).cast("double")).as("lift6"))
+  }
+
   /** Frequent session paths: the top-k event-type n-grams over
     * SESSION-CONTIGUOUS event sequences (the "what do users actually
     * do" sequence-mining step over [[sessionize]]'s gap semantics —
@@ -228,14 +311,7 @@ object Behavior {
     require(topK >= 1, s"topK must be >= 1, got $topK")
     val w = Window.partitionBy(col(keyCol))
       .orderBy(col(tsCol), col(tieCol))
-    val ms = unix_millis(col(tsCol))
-    val newSess = when(lag(ms, 1).over(w).isNull ||
-      ms - lag(ms, 1).over(w) > gapMs, 1L).otherwise(0L)
-    val sessed = events
-      .select(col(keyCol), col(tsCol), col(tieCol),
-        col(typeCol).as("__t0"))
-      .withColumn("__sess",
-        sum(newSess).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    val sessed = withSessionIds(events, keyCol, tsCol, tieCol, typeCol, gapMs)
     val withLeads = (1 until n).foldLeft(sessed) { (df, i) =>
       df.withColumn(s"__t$i", lead(col("__t0"), i).over(w))
         .withColumn(s"__s$i", lead(col("__sess"), i).over(w))

@@ -186,6 +186,39 @@ class BehaviorSpec extends SparkSuiteBase {
       ("b", "a") -> ((1L, 1.0))))
   }
 
+  test("basket rules: support/confidence/lift hand-checked; baskets are distinct types") {
+    def ev(id: Long, u: Long, sec: Long, t: String) =
+      (u, new Timestamp(1700000000000L + sec * 1000L), id, t)
+    // 4 sessions (2 users x 31-min gap):
+    //   u1 s1: {a, b}   u1 s2: {a, b}   u2 s1: {a, a, c}   u2 s2: {b}
+    // n_a=3, n_b=3, n_ab=2; a->b: conf 2/3, lift 2*4/(3*3)
+    val events = Seq(
+      ev(1, 1L, 0, "a"), ev(2, 1L, 10, "b"),
+      ev(3, 1L, 10 + 1900, "a"), ev(4, 1L, 20 + 1900, "b"),
+      ev(5, 2L, 0, "a"), ev(6, 2L, 5, "a"), ev(7, 2L, 10, "c"),
+      ev(8, 2L, 10 + 1900, "b"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val got = Behavior.basketRules(events, "user_id", "ts", "event_id",
+        "event_type", gapMs = 1800000L, minSessions = 1L)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+      .toMap
+    def p6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    assert(got(("a", "b")) === ((2L, 0.5, p6(2.0 / 3.0), p6(8.0 / 9.0))))
+    assert(got(("b", "a")) === ((2L, 0.5, p6(2.0 / 3.0), p6(8.0 / 9.0))))
+    // duplicate 'a' events in u2 s1 count ONCE (basket = distinct set)
+    assert(got(("a", "c"))._1 === 1L)
+    // lift > 1 requires beating independence: a,c co-occur in 1 of 4
+    // sessions, independence predicts 3/4 * 1/4 -> lift = 4/3
+    assert(got(("a", "c"))._4 === p6(4.0 / 3.0))
+    // the minSessions floor prunes
+    val pruned = Behavior.basketRules(events, "user_id", "ts", "event_id",
+      "event_type", 1800000L, minSessions = 2L)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(pruned === Set(("a", "b"), ("b", "a")))
+  }
+
   test("session paths: gaps break paths; counts and ranks hand-checked") {
     def ev(id: Long, u: Long, sec: Long, t: String) =
       (u, new Timestamp(1700000000000L + sec * 1000L), id, t)
