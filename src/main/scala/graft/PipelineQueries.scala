@@ -1635,9 +1635,22 @@ object PipelineQueries extends QueryGroup {
   // Train AND inference are oracle-checked end-to-end; `pred`
   // thresholds the 6-dp ROUNDED log-odds so both engines compare the
   // same number (q51/q81 float discipline).
-  q("q85_nb_quality",
-    s"""WITH tk85 AS (SELECT doc_id, text, $sqlTokens AS l FROM documents),
-       |sd85 AS (SELECT doc_id, text, l FROM tk85 WHERE doc_id % 10 < 3),
+  // The q58 heuristic rule as SQL text — spliced into lab85 (seed
+  // labels) and q183's all-docs label CTE, so rule and model reuse
+  // one definition.
+  private val nbRuleSql: String =
+    """((n_tokens BETWEEN 5 AND 10000) AND (awl >= 2.0 AND awl <= 12.0)
+      |    AND swr > 0.0 AND dr < 0.2
+      |    AND (CASE WHEN len(s) > 0
+      |         THEN 1.0 - len(list_distinct(s)) * 1.0 / len(s)
+      |         ELSE 0.0 END) < 0.3)""".stripMargin
+
+  /** The q85 NB train+score chain (features over ALL docs — lab85
+    * filters to the seed split, so q85's results are unchanged and
+    * q183 can read all-docs labels off the same f85).
+    */
+  private val nbQualityCtes: String =
+    s"""tk85 AS (SELECT doc_id, text, $sqlTokens AS l FROM documents),
        |f85 AS (SELECT doc_id, l,
        |  len(l) AS n_tokens,
        |  coalesce(list_sum(list_transform(l, t -> length(t))), 0) * 1.0
@@ -1648,14 +1661,10 @@ object PipelineQueries extends QueryGroup {
        |    / length(text) AS dr,
        |  list_transform(generate_series(1, len(l) - 2),
        |    i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2]) AS s
-       |FROM sd85),
+       |FROM tk85),
        |lab85 AS (SELECT doc_id, l,
-       |  ((n_tokens BETWEEN 5 AND 10000) AND (awl >= 2.0 AND awl <= 12.0)
-       |    AND swr > 0.0 AND dr < 0.2
-       |    AND (CASE WHEN len(s) > 0
-       |         THEN 1.0 - len(list_distinct(s)) * 1.0 / len(s)
-       |         ELSE 0.0 END) < 0.3) AS y
-       |FROM f85),
+       |  $nbRuleSql AS y
+       |FROM f85 WHERE doc_id % 10 < 3),
        |cnt85 AS (SELECT token,
        |    sum(CASE WHEN y THEN 0 ELSE 1 END) AS c0,
        |    sum(CASE WHEN y THEN 1 ELSE 0 END) AS c1
@@ -1670,7 +1679,10 @@ object PipelineQueries extends QueryGroup {
        |    sum(tf * (ln((coalesce(c1, 0) + 1.0) / (t1 + v))
        |            - ln((coalesce(c0, 0) + 1.0) / (t0 + v)))) AS raw
        |  FROM tf85 LEFT JOIN cnt85 USING (token), tot85
-       |  GROUP BY doc_id)
+       |  GROUP BY doc_id)""".stripMargin
+
+  q("q85_nb_quality",
+    s"""WITH $nbQualityCtes
        |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
        |  floor((raw + ln(n1 * 1.0 / n0)) * 1e6 + 0.5) / 1e6 AS log_odds,
        |  (floor((raw + ln(n1 * 1.0 / n0)) * 1e6 + 0.5) / 1e6 > 0) AS pred
@@ -4731,5 +4743,31 @@ object PipelineQueries extends QueryGroup {
         "user_id", "ts", "event_id", "event_type",
         gapMs = 1800000L, minSessions = 5L)
       .orderBy(col("antecedent"), col("consequent"))
+  }
+
+  // Model evaluation: reliability bins for the q85 NB quality scorer —
+  // equal-count score deciles (integer rank cuts) vs the observed
+  // heuristic-label rate. Monotone pos_rate = the scores order docs
+  // the way the rule does; the check before trusting a threshold.
+  q("q183_calibration_bins",
+    s"""WITH $nbQualityCtes,
+       |lo AS (SELECT sc85.doc_id,
+       |    floor((raw + ln(n1 * 1.0 / n0)) * 1e6 + 0.5)/1e6 AS lo
+       |  FROM sc85, pri85),
+       |la AS (SELECT doc_id, $nbRuleSql AS y FROM f85),
+       |rk AS (SELECT lo.doc_id, lo,
+       |    row_number() OVER (ORDER BY lo, doc_id) - 1 AS r0 FROM lo),
+       |bn AS (SELECT doc_id, lo,
+       |    CAST((r0 * 10) // (SELECT count(*) FROM rk) AS INT) AS bin
+       |  FROM rk)
+       |SELECT bin, count(*) AS n_docs,
+       |  floor(avg(lo) * 1e6 + 0.5)/1e6 AS mean_log_odds6,
+       |  floor(avg(CASE WHEN y THEN 1e0 ELSE 0e0 END) * 1e6 + 0.5)/1e6
+       |    AS pos_rate6
+       |FROM bn JOIN la USING (doc_id)
+       |GROUP BY bin ORDER BY bin""".stripMargin) { (s, d) =>
+    graft.operators.QualityModel.calibrationBins(Tables.documents(s, d),
+        "doc_id", "text", Seq("the", "a"), bins = 10)
+      .orderBy(col("bin"))
   }
 }

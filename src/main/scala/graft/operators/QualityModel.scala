@@ -125,4 +125,50 @@ object QualityModel {
     val model = trainNaiveBayes(labeled, textCol, "keep")
     scoreNaiveBayes(model, docs, idCol, textCol)
   }
+
+  /** Reliability (calibration) bins for the seeded NB scorer: rank
+    * the whole corpus by log-odds, cut into `bins` equal-count
+    * score deciles (integer arithmetic — bin = r0·bins div n), and
+    * report each bin's observed positive rate under the heuristic
+    * rule next to its mean score. A well-behaved classifier shows a
+    * MONOTONE pos_rate across bins; a flat curve says the scores
+    * carry no signal — the check run before trusting a quality
+    * model's threshold (Guo et al. 2017's reliability-diagram shape,
+    * rank-binned so no sigmoid/temperature floats enter the gate).
+    *
+    * Scale shape: scoring is [[heuristicSeededScores]]; the global
+    * rank is ONE range-partitioned prefix sum
+    * ([[graft.operators.ScaleOps.prefixSumByRange]], never a
+    * single-task window); binning and both means are one combinable
+    * bins-sized aggregate.
+    *
+    * Output: (bin, n_docs, mean_log_odds6, pos_rate6), bin ascending
+    * by score.
+    */
+  def calibrationBins(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      stopwords: Seq[String],
+      bins: Int = 10): DataFrame = {
+    require(bins >= 2, s"calibration needs >= 2 bins, got $bins")
+    val scored = heuristicSeededScores(docs, idCol, textCol, stopwords)
+      .select(col("doc").as(idCol), col("log_odds"))
+    val labels = TextAnalysis.qualityFilter(docs, idCol, textCol, stopwords)
+      .select(col(idCol), col("keep"))
+    val joined = scored.join(labels, Seq(idCol))
+    val ranked = ScaleOps.prefixSumByRange(joined,
+      Seq("log_odds", idCol), lit(1L), "__r0")
+    val nRow = ranked.agg(max(col("__r0"))).head()
+    require(!nRow.isNullAt(0), "calibration needs a non-empty corpus")
+    val n = nRow.getLong(0) + 1
+    def pr6(c: org.apache.spark.sql.Column) =
+      floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+    ranked
+      .withColumn("bin", expr(s"(__r0 * ${bins}L) div ${n}L").cast("int"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        pr6(avg(col("log_odds"))).as("mean_log_odds6"),
+        pr6(avg(col("keep").cast("double"))).as("pos_rate6"))
+  }
 }

@@ -66,4 +66,25 @@ class QualityModelSpec extends SparkSuiteBase {
       .collect().map(_.getLong(0)).toSet
     assert(out == Set(11L))
   }
+
+  test("calibration bins: equal-count deciles, monotone rate on the fixture") {
+    val bins = QualityModel.calibrationBins(
+        graft.Tables.documents(spark, sfDir), "doc_id", "text",
+        Seq("the", "a"), bins = 5)
+      .orderBy(org.apache.spark.sql.functions.col("bin"))
+      .collect()
+    assert(bins.map(_.getInt(0)).toSeq === (0 until 5))
+    // equal-count cuts: sizes differ by at most 1
+    val sizes = bins.map(_.getLong(1))
+    assert(sizes.max - sizes.min <= 1, s"uneven bins: ${sizes.toSeq}")
+    assert(sizes.sum ===
+      graft.Tables.documents(spark, sfDir).count())
+    // the score must ORDER the rule's judgment: mean log-odds strictly
+    // increases by construction, pos_rate must be non-decreasing
+    val mlo = bins.map(_.getDouble(2))
+    assert(mlo.toSeq === mlo.sorted.toSeq)
+    val rates = bins.map(_.getDouble(3))
+    assert(rates.zip(rates.tail).forall { case (a, b) => b >= a - 1e-9 },
+      s"pos_rate not monotone: ${rates.toSeq}")
+  }
 }
