@@ -4770,4 +4770,36 @@ object PipelineQueries extends QueryGroup {
         "doc_id", "text", Seq("the", "a"), bins = 10)
       .orderBy(col("bin"))
   }
+
+  // R-19 link analytics: 2-core peeling over the staged near-dup pair
+  // graph (Seidman 1983) — dense cores vs scattered pairs, the
+  // density audit next to q126's clustering coefficient. 3 unrolled
+  // rounds in the oracle (clique graphs converge in 1-2).
+  q("q184_kcore", {
+    val b = new StringBuilder
+    b.append(s"""WITH $jaccardPairCtes,
+       |ed AS (SELECT id_a AS src, id_b AS dst FROM pr
+       |       UNION ALL SELECT id_b, id_a FROM pr),
+       |a0 AS (SELECT doc_id AS id FROM documents)""".stripMargin)
+    for (r <- 1 to 3) {
+      val p = r - 1
+      b.append(s""",
+       |d$r AS (SELECT ed.src AS id, count(*) AS dg FROM ed
+       |       WHERE ed.src IN (SELECT id FROM a$p)
+       |         AND ed.dst IN (SELECT id FROM a$p)
+       |       GROUP BY ed.src),
+       |a$r AS (SELECT a$p.id FROM a$p JOIN d$r USING (id)
+       |       WHERE d$r.dg >= 2)""".stripMargin)
+    }
+    b.append("""
+       |SELECT n.doc_id, (a3.id IS NOT NULL) AS in_core
+       |FROM documents n LEFT JOIN a3 ON a3.id = n.doc_id
+       |ORDER BY n.doc_id""".stripMargin)
+    b.toString
+  }) { (s, d) =>
+    graft.operators.GraphOps.kCore(
+        Tables.documents(s, d), "doc_id", dedupStage(s, d).pairs,
+        "id_a", "id_b", k = 2, rounds = 3)
+      .orderBy(col("doc_id"))
+  }
 }

@@ -131,6 +131,58 @@ object GraphOps {
           .otherwise(lit(0.0)).as("global_cc"))
   }
 
+  /** k-core peeling over an undirected pair frame (Seidman 1983; the
+    * graph-density audit next to [[triangleStats]]): each round
+    * removes every node whose degree WITHIN the surviving subgraph is
+    * below `k`, for `rounds` rounds — the bounded-round prefix of the
+    * fixed-point k-core (full convergence needs ≤ diameter rounds;
+    * near-dup clique graphs converge in 1–2). Nodes left standing are
+    * the dense cores the near-dup miner's clusters should look like;
+    * a graph that peels to nothing at k=2 is all scattered pairs.
+    *
+    * Deterministic: degrees are integer counts, no tie-breaks needed
+    * (removal is a pure threshold). Per round one alive-filtered edge
+    * semi-join + one degree aggregate + one node left-join, each
+    * round localCheckpoint'ed ([[pageRank]]'s discipline). The oracle
+    * unrolls the rounds as CTEs.
+    *
+    * Output: (idCol, in_core) for every node — isolated nodes read
+    * false from round 1.
+    */
+  def kCore(
+      nodes: DataFrame,
+      idCol: String,
+      pairs: DataFrame,
+      idACol: String,
+      idBCol: String,
+      k: Int,
+      rounds: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val edges = pairs
+      .select(col(idACol).as("src"), col(idBCol).as("dst"))
+      .unionByName(pairs.select(col(idBCol).as("src"), col(idACol).as("dst")))
+      .localCheckpoint(true)
+    var alive = nodes.select(col(idCol).as("id")).localCheckpoint(true)
+    var i = 0
+    while (i < rounds) {
+      val aliveEdges = edges
+        .join(alive.select(col("id").as("src")), Seq("src"), "left_semi")
+        .join(alive.select(col("id").as("dst")), Seq("dst"), "left_semi")
+      val deg = aliveEdges.groupBy(col("src").as("id"))
+        .agg(count(lit(1)).as("__deg"))
+      alive = alive.join(deg, Seq("id"), "left")
+        .filter(coalesce(col("__deg"), lit(0L)) >= k)
+        .select(col("id"))
+        .localCheckpoint(true)
+      i += 1
+    }
+    nodes.select(col(idCol))
+      .join(alive.select(col("id").as(idCol)).withColumn("__in", lit(true)),
+        Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("__in"), lit(false)).as("in_core"))
+  }
+
   /** Semi-supervised label propagation over an undirected pair frame
     * (Zhu & Ghahramani 2002 lineage, the FROZEN-ONCE-ASSIGNED
     * deterministic variant): seed nodes carry labels; each round,

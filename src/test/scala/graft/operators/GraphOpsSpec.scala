@@ -81,6 +81,31 @@ class GraphOpsSpec extends SparkSuiteBase {
     assert(r1(5L).contains("b") && r1(6L).isEmpty)
   }
 
+  test("k-core: a triangle survives 2-core peeling, a path peels away in cascade") {
+    import spark.implicits._
+    // triangle {1,2,3}; path 4-5-6 (ends deg 1, middle deg 2 -> the
+    // middle only peels AFTER its ends go — the cascade needs round 2);
+    // isolated 7
+    val nodes = (1L to 7L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L))
+      .toDF("id_a", "id_b")
+    val got = GraphOps.kCore(nodes, "doc_id", pairs, "id_a", "id_b",
+        k = 2, rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(got(1L) && got(2L) && got(3L), "triangle is the 2-core")
+    assert(!got(4L) && !got(5L) && !got(6L), "path must fully cascade out")
+    assert(!got(7L), "isolated node leaves in round 1")
+    // ONE round is not enough for the cascade: 5 still looks degree-2
+    val r1 = GraphOps.kCore(nodes, "doc_id", pairs, "id_a", "id_b", 2, 1)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(r1(5L) && !r1(4L), "the middle survives round 1, ends don't")
+    // deterministic under repartitioning
+    val again = GraphOps.kCore(nodes.repartition(5), "doc_id",
+        pairs.repartition(3), "id_a", "id_b", 2, 3)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(again === got)
+  }
+
   test("label propagation: majority wins, ties take the smaller label, seeds frozen") {
     import spark.implicits._
     // node 10 hears 'b' twice and 'a' once -> 'b'; node 20 hears one
