@@ -136,7 +136,7 @@ object Bench {
     "q175_containment_pairs" -> 1.69, "q176_quantile_normalize" -> 1.91,
     "q177_session_paths" -> 0.53, "q178_textrank_keywords" -> 2.33,
     "q179_benford_audit" -> 0.40, "q180_snapshot_diff" -> 0.76,
-    "q181_embedding_drift" -> 0.69, "q182_basket_rules" -> 1.42, "q183_calibration_bins" -> 3.77)
+    "q181_embedding_drift" -> 0.69, "q182_basket_rules" -> 1.42, "q183_calibration_bins" -> 3.77, "q184_kcore" -> 0.93)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

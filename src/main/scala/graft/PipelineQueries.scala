@@ -4188,11 +4188,15 @@ object PipelineQueries extends QueryGroup {
   // PageRank and q47's components. Seeds = every 10th doc labeled with
   // its lang; 3 unrolled rounds in the oracle.
   q("q169_label_propagation", {
+    // l{p} is referenced twice per round — MATERIALIZED stops DuckDB
+    // re-inlining the jaccard chain exponentially (the q184 lesson;
+    // the un-materialized form spilled >45 GB at the 30× deck)
     val b = new StringBuilder
     b.append(s"""WITH $jaccardPairCtes,
-       |ed AS (SELECT id_a AS src, id_b AS dst FROM pr
+       |ed AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM pr
        |       UNION ALL SELECT id_b, id_a FROM pr),
-       |l0 AS (SELECT doc_id, CASE WHEN doc_id % 10 = 0 THEN lang END AS lbl
+       |l0 AS MATERIALIZED (SELECT doc_id,
+       |         CASE WHEN doc_id % 10 = 0 THEN lang END AS lbl
        |       FROM documents)""".stripMargin)
     for (r <- 1 to 3) {
       val p = r - 1
@@ -4203,7 +4207,8 @@ object PipelineQueries extends QueryGroup {
        |w$r AS (SELECT dst AS doc_id, lbl FROM (
        |         SELECT dst, lbl, row_number() OVER (PARTITION BY dst
        |           ORDER BY votes DESC, lbl) AS rn FROM v$r) WHERE rn = 1),
-       |l$r AS (SELECT l$p.doc_id, coalesce(l$p.lbl, w$r.lbl) AS lbl
+       |l$r AS MATERIALIZED (SELECT l$p.doc_id,
+       |         coalesce(l$p.lbl, w$r.lbl) AS lbl
        |       FROM l$p LEFT JOIN w$r USING (doc_id))""".stripMargin)
     }
     b.append("""
@@ -4776,19 +4781,23 @@ object PipelineQueries extends QueryGroup {
   // density audit next to q126's clustering coefficient. 3 unrolled
   // rounds in the oracle (clique graphs converge in 1-2).
   q("q184_kcore", {
+    // every a{p} is referenced twice per round: without MATERIALIZED,
+    // DuckDB re-inlines the whole jaccard chain per reference and the
+    // plan blows up exponentially with rounds (>580 s at the 10×
+    // deck; 6 s materialized)
     val b = new StringBuilder
     b.append(s"""WITH $jaccardPairCtes,
-       |ed AS (SELECT id_a AS src, id_b AS dst FROM pr
+       |ed AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM pr
        |       UNION ALL SELECT id_b, id_a FROM pr),
-       |a0 AS (SELECT doc_id AS id FROM documents)""".stripMargin)
+       |a0 AS MATERIALIZED (SELECT doc_id AS id FROM documents)""".stripMargin)
     for (r <- 1 to 3) {
       val p = r - 1
       b.append(s""",
-       |d$r AS (SELECT ed.src AS id, count(*) AS dg FROM ed
-       |       WHERE ed.src IN (SELECT id FROM a$p)
-       |         AND ed.dst IN (SELECT id FROM a$p)
+       |d$r AS (SELECT ed.src AS id, count(*) AS dg
+       |       FROM ed JOIN a$p x ON x.id = ed.src
+       |               JOIN a$p y ON y.id = ed.dst
        |       GROUP BY ed.src),
-       |a$r AS (SELECT a$p.id FROM a$p JOIN d$r USING (id)
+       |a$r AS MATERIALIZED (SELECT a$p.id FROM a$p JOIN d$r USING (id)
        |       WHERE d$r.dg >= 2)""".stripMargin)
     }
     b.append("""
