@@ -4240,7 +4240,8 @@ object PipelineQueries extends QueryGroup {
        |           min(($aList[i+1] * h0 + $bList[i+1]) % 2147483647) AS v
        |         FROM h CROSS JOIN (SELECT unnest(range(0, 32)) AS i)
        |         GROUP BY 1, 2),
-       |sig AS (SELECT doc_id, list(v ORDER BY i) AS sig FROM lane GROUP BY 1),
+       |sig AS MATERIALIZED (SELECT doc_id, list(v ORDER BY i) AS sig
+       |       FROM lane GROUP BY 1),
        |bd AS (SELECT doc_id, band,
        |         array_to_string(sig[band*4+1 : band*4+4], ',') AS bh
        |       FROM sig CROSS JOIN (SELECT unnest(range(0, 8)) AS band)),
