@@ -3567,7 +3567,8 @@ object PipelineQueries extends QueryGroup {
       |    END AS s
       |  FROM ab)
       |SELECT cell, count(*) AS n_vectors,
-      |  floor(avg(s) * 1e6 + 0.5)/1e6 AS mean_sil
+      |  floor(CAST(sum(CAST(floor(s * 1e6 + 0.5) AS BIGINT)) AS DOUBLE)
+      |    / CAST(count(*) AS DOUBLE) + 0.5)/1e6 AS mean_sil
       |FROM sil GROUP BY cell
       |ORDER BY cell""".stripMargin) { (s, d) =>
     graft.operators.Similarity
@@ -4767,7 +4768,8 @@ object PipelineQueries extends QueryGroup {
        |    CAST((r0 * 10) // (SELECT count(*) FROM rk) AS INT) AS bin
        |  FROM rk)
        |SELECT bin, count(*) AS n_docs,
-       |  floor(avg(lo) * 1e6 + 0.5)/1e6 AS mean_log_odds6,
+       |  floor(CAST(sum(CAST(floor(lo * 1e6 + 0.5) AS BIGINT)) AS DOUBLE)
+       |    / CAST(count(*) AS DOUBLE) + 0.5)/1e6 AS mean_log_odds6,
        |  floor(avg(CASE WHEN y THEN 1e0 ELSE 0e0 END) * 1e6 + 0.5)/1e6
        |    AS pos_rate6
        |FROM bn JOIN la USING (doc_id)

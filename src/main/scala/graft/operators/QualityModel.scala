@@ -166,9 +166,20 @@ object QualityModel {
       floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
     ranked
       .withColumn("bin", expr(s"(__r0 * ${bins}L) div ${n}L").cast("int"))
+      // mean over INTEGER MICRO-UNITS of the 6dp scores (the q163
+      // lesson: avg() over rounded doubles can flip the final 6dp
+      // rounding by an ulp depending on partition add order); the
+      // pos rate is a 0/1 sum — exact in any order already
+      .select(col("bin"),
+        floor(col("log_odds") * lit(1e6) + lit(0.5)).cast("long")
+          .as("__lom"),
+        col("keep").cast("double").as("__y"))
       .groupBy(col("bin"))
-      .agg(count(lit(1)).as("n_docs"),
-        pr6(avg(col("log_odds"))).as("mean_log_odds6"),
-        pr6(avg(col("keep").cast("double"))).as("pos_rate6"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__lom")).as("__sm"),
+        pr6(avg(col("__y"))).as("pos_rate6"))
+      .select(col("bin"), col("n_docs"),
+        (floor(col("__sm").cast("double") / col("n_docs").cast("double")
+          + lit(0.5)) / lit(1e6)).as("mean_log_odds6"),
+        col("pos_rate6"))
   }
 }

@@ -704,9 +704,17 @@ object Similarity {
         element_at(col("__rk"), 1).getField("cell").as("cell"),
         when(greatest(a, b) === 0.0, lit(0.0))
           .otherwise(pr6s((b - a) / greatest(a, b))).as("__s"))
+      // the mean runs over INTEGER MICRO-UNITS of the 6dp scores: an
+      // integer sum is order-independent, where avg() over the 6dp
+      // doubles flipped the final rounding by one ulp between runs
+      // (Spark's partition add order is schedule-dependent)
+      .select(col("cell"),
+        floor(col("__s") * lit(1e6) + lit(0.5)).cast("long").as("__si"))
       .groupBy(col("cell"))
-      .agg(count(lit(1)).as("n_vectors"),
-        pr6s(avg(col("__s"))).as("mean_sil"))
+      .agg(count(lit(1)).as("n_vectors"), sum(col("__si")).as("__sm"))
+      .select(col("cell"), col("n_vectors"),
+        (floor(col("__sm").cast("double") / col("n_vectors").cast("double")
+          + lit(0.5)) / lit(1e6)).as("mean_sil"))
   }
 
   private def pr6s(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
