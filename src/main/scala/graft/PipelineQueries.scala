@@ -4814,4 +4814,170 @@ object PipelineQueries extends QueryGroup {
         "id_a", "id_b", k = 2, rounds = 3)
       .orderBy(col("doc_id"))
   }
+
+  // Scorer evaluation: exact tie-corrected ROC-AUC of the q85 NB
+  // quality scorer against the q58 heuristic rule — does the model's
+  // ORDERING separate the classes (q183's calibration bins ask a
+  // different question: are the probabilities honest). Mann-Whitney
+  // rank-sum identity over DOUBLED average ranks, so every cross-row
+  // sum is an exact integer (RankStats discipline); the oracle
+  // replays the same integers from the shared q85 CTE chain and the
+  // only float is the final one-row division.
+  q("q185_roc_auc",
+    s"""WITH $nbQualityCtes,
+       |lo185 AS (SELECT sc85.doc_id,
+       |    CAST(floor((raw + ln(n1 * 1.0 / n0)) * 1e6 + 0.5) AS BIGINT) AS m
+       |  FROM sc85, pri85),
+       |la185 AS (SELECT doc_id, $nbRuleSql AS y FROM f85),
+       |g185 AS (SELECT m, count(*) AS n_s,
+       |    CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS p_s
+       |  FROM lo185 JOIN la185 USING (doc_id) GROUP BY m),
+       |r185 AS (SELECT n_s, p_s,
+       |    CAST(coalesce(sum(n_s) OVER (ORDER BY m
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |      AS below
+       |  FROM g185),
+       |a185 AS (SELECT CAST(sum(p_s) AS BIGINT) AS n_pos,
+       |    CAST(sum(n_s - p_s) AS BIGINT) AS n_neg,
+       |    CAST(sum(p_s * (2 * below + n_s + 1)) AS BIGINT) AS sum2r
+       |  FROM r185)
+       |SELECT n_pos, n_neg, sum2r - n_pos * (n_pos + 1) AS u2,
+       |  CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+       |    floor(CAST(sum2r - n_pos * (n_pos + 1) AS DOUBLE)
+       |      / (2e0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE))
+       |      * 1e6 + 0.5)/1e6
+       |  END AS auc6
+       |FROM a185""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val scored = QualityModel
+      .heuristicSeededScores(docs, "doc_id", "text", Seq("the", "a"))
+      .select(col("doc").as("doc_id"),
+        floor(col("log_odds") * lit(1e6) + lit(0.5)).cast("long").as("m"))
+    val labels = TextAnalysis
+      .qualityFilter(docs, "doc_id", "text", Seq("the", "a"))
+      .select(col("doc_id"), col("keep"))
+    graft.operators.RankStats.rocAuc(
+      scored.join(labels, Seq("doc_id")), "m", "keep")
+  }
+
+  // Feature diagnostics, rank edition: Spearman correlation matrix
+  // over the lineitem measures — q172's Pearson answers "linear in
+  // the raw units"; Spearman answers "monotone at all", robust to
+  // the heavy-tailed prices. Pearson over doubled average ranks:
+  // rank moments are exact integer sums in BOTH engines (decimal
+  // there, HUGEINT here) and the correlation is one row-local double
+  // chain with the SAME text.
+  q("q186_spearman_matrix", {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val pairs = for { i <- cols.indices; j <- cols.indices if i < j }
+      yield (i, j)
+    val rankCtes = cols.indices.map { i =>
+      s"""g186_$i AS (SELECT ${cols(i)} AS v, count(*) AS n_s
+         |  FROM cl186 GROUP BY 1),
+         |r186_$i AS (SELECT v,
+         |    2 * CAST(coalesce(sum(n_s) OVER (ORDER BY v
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) + n_s + 1 AS r2
+         |  FROM g186_$i)""".stripMargin
+    }.mkString(",\n|")
+    val sums = cols.indices.map(i =>
+      s"sum(x$i) AS s_$i, sum(x$i * x$i) AS ss_$i")
+      .mkString(",\n       |    ")
+    val crosses = pairs.map { case (i, j) =>
+      s"sum(x$i * x$j) AS sp_${i}_$j" }.mkString(",\n       |    ")
+    def d(e: String) = s"CAST($e AS DOUBLE)"
+    val rows = pairs.map { case (i, j) =>
+      val va = s"${d("n")} * ${d(s"ss_$i")} - ${d(s"s_$i")} * ${d(s"s_$i")}"
+      val vb = s"${d("n")} * ${d(s"ss_$j")} - ${d(s"s_$j")} * ${d(s"s_$j")}"
+      val cov = s"${d("n")} * ${d(s"sp_${i}_$j")} - ${d(s"s_$i")} * ${d(s"s_$j")}"
+      s"""SELECT '${cols(i)}' AS col_a, '${cols(j)}' AS col_b,
+         |  CASE WHEN $va > 0 AND $vb > 0
+         |       THEN floor(($cov) / sqrt(($va) * ($vb)) * 1e6 + 0.5)/1e6
+         |  END AS rho6
+         |FROM st186""".stripMargin }
+    s"""WITH cl186 AS (SELECT ${cols.mkString(", ")} FROM lineitem
+       |  WHERE ${cols.map(c => s"$c IS NOT NULL").mkString(" AND ")}),
+       |$rankCtes,
+       |rk186 AS (SELECT ${cols.indices.map(i => s"r186_$i.r2 AS x$i")
+            .mkString(", ")}
+       |  FROM cl186 ${cols.indices.map(i =>
+            s"JOIN r186_$i ON r186_$i.v = cl186.${cols(i)}").mkString(" ")}),
+       |st186 AS (SELECT count(*) AS n,
+       |    $sums,
+       |    $crosses
+       |  FROM rk186)
+       |${rows.mkString("\n|UNION ALL\n|").stripMargin}
+       |ORDER BY col_a, col_b""".stripMargin
+  }) { (s, d) =>
+    graft.operators.RankStats.spearmanMatrix(Tables.lineitem(s, d),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+      .orderBy(col("col_a"), col("col_b"))
+  }
+
+  // Corpus-health audit: Zipf-law fit over the top-256 token
+  // frequencies — ln(freq) ~ ln(rank) OLS; a natural corpus reads
+  // slope ≈ −1, boilerplate floods flatten it. Both logs snap to
+  // integer micro-units BEFORE any sum (q163's order-independence
+  // lesson applied at the source), so the five OLS moments are exact
+  // int64 in both engines and slope/intercept/R² are one-row double
+  // chains with identical text.
+  q("q187_zipf_fit", {
+    def d(e: String) = s"CAST($e AS DOUBLE)"
+    val varL = s"${d("k")} * ${d("sll")} - ${d("sl")} * ${d("sl")}"
+    val varF = s"${d("k")} * ${d("sff")} - ${d("sf")} * ${d("sf")}"
+    val cov = s"${d("k")} * ${d("slf")} - ${d("sl")} * ${d("sf")}"
+    s"""WITH t187 AS (SELECT unnest($sqlTokens) AS token FROM documents),
+       |f187 AS (SELECT token, count(*) AS freq FROM t187 GROUP BY 1),
+       |k187 AS (SELECT freq, r FROM (SELECT freq, token,
+       |    row_number() OVER (ORDER BY freq DESC, token) AS r FROM f187)
+       |  WHERE r <= 256),
+       |m187 AS (SELECT
+       |    CAST(floor(ln(CAST(r AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS lr,
+       |    CAST(floor(ln(CAST(freq AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS lf
+       |  FROM k187),
+       |s187 AS (SELECT count(*) AS k,
+       |    CAST(sum(lr) AS BIGINT) AS sl, CAST(sum(lf) AS BIGINT) AS sf,
+       |    CAST(sum(lr * lr) AS BIGINT) AS sll,
+       |    CAST(sum(lr * lf) AS BIGINT) AS slf,
+       |    CAST(sum(lf * lf) AS BIGINT) AS sff
+       |  FROM m187)
+       |SELECT CAST(k AS BIGINT) AS n_terms,
+       |  floor(($cov) / ($varL) * 1e6 + 0.5)/1e6 AS slope6,
+       |  floor((${d("sf")} - ($cov) / ($varL) * ${d("sl")}) / ${d("k")} / 1e6
+       |    * 1e6 + 0.5)/1e6 AS intercept6,
+       |  CASE WHEN $varL > 0 AND $varF > 0
+       |       THEN floor(($cov) * ($cov) / (($varL) * ($varF)) * 1e6 + 0.5)/1e6
+       |  END AS r2_6
+       |FROM s187""".stripMargin
+  }) { (s, d) =>
+    TextAnalysis.zipfFit(Tables.documents(s, d), "text", topK = 256)
+  }
+
+  // Corpus-health audit: Gini concentration of character mass across
+  // documents + the top-decile share — how much of the corpus a
+  // handful of giant documents actually is (the skew every
+  // chunking/packing/budget step inherits). Sorted-rank identity over
+  // a range-partitioned prefix sum; Σi·x is exact integer in both
+  // engines and the two ratios are one-row double chains.
+  q("q188_gini_concentration",
+    """WITH v188 AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS x
+      |  FROM documents WHERE n_chars IS NOT NULL),
+      |r188 AS (SELECT x, row_number() OVER (ORDER BY x, doc_id) AS i
+      |  FROM v188),
+      |n188 AS (SELECT count(*) AS n FROM v188),
+      |s188 AS (SELECT CAST(sum(x) AS BIGINT) AS sx, sum(i * x) AS six,
+      |    CAST(sum(CASE WHEN i > n - n // 10 THEN x ELSE 0 END) AS BIGINT)
+      |      AS topx
+      |  FROM r188 CROSS JOIN n188)
+      |SELECT CAST(n AS BIGINT) AS n_rows, sx AS total,
+      |  floor((2e0 * CAST(six AS DOUBLE)
+      |      / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE))
+      |    - (CAST(n AS DOUBLE) + 1e0) / CAST(n AS DOUBLE)) * 1e6 + 0.5)/1e6
+      |    AS gini6,
+      |  floor(CAST(topx AS DOUBLE) / CAST(sx AS DOUBLE) * 1e6 + 0.5)/1e6
+      |    AS top_decile_share6
+      |FROM s188 CROSS JOIN n188""".stripMargin) { (s, d) =>
+    graft.operators.RankStats.giniConcentration(
+      Tables.documents(s, d), "doc_id", "n_chars")
+  }
 }

@@ -1,0 +1,211 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Rank-based evaluation and concentration statistics: tie-corrected
+  * ROC-AUC (the Mann-Whitney rank-sum identity), Spearman rank
+  * correlation, and the Gini concentration index — the evaluation
+  * layer a curation pipeline runs over its own scorers (is the
+  * quality model's ORDERING any good, not just its calibration —
+  * q183's bins ask the latter) and over its corpus shape (how
+  * concentrated is the length/token mass).
+  *
+  * Determinism discipline: every statistic here is a pure function of
+  * RANKS, and ranks are integers — so all cross-row aggregates are
+  * exact integer sums (order-independent in any engine, any partition
+  * layout), and floats appear only in the final row-local division,
+  * 6dp-rounded. Ties take AVERAGE ranks; to keep averages integral
+  * the machinery works in DOUBLED ranks (`2·rank`, so a tie-group
+  * average `below + (cnt+1)/2` becomes the integer
+  * `2·below + cnt + 1`).
+  *
+  * Scale shape: per ranked column, ONE hash aggregate to the
+  * distinct-value frame, one range-partitioned prefix sum over that
+  * frame ([[ScaleOps.prefixSumByRange]] — never a single-task
+  * window), and (where per-row ranks are needed) one equi-join back
+  * on the value. Nothing quadratic, no corpus-sized window, no
+  * driver-side data.
+  */
+object RankStats {
+
+  private def pr6(c: Column): Column =
+    floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+
+  /** Doubled average rank per DISTINCT value of `valueCol` (ascending
+    * ranks, 1-based): `__rank2 = 2·below + cnt + 1` where `below` is
+    * the count of rows with a strictly smaller value. Output:
+    * (valueCol, __n_s, __rank2) — distinct-value-sized.
+    */
+  private[graft] def avgRank2ByValue(
+      df: DataFrame,
+      valueCol: String): DataFrame = {
+    val g = df.groupBy(col(valueCol)).agg(count(lit(1)).as("__n_s"))
+    ScaleOps.prefixSumByRange(g, Seq(valueCol), col("__n_s"), "__below")
+      .select(col(valueCol), col("__n_s"),
+        (lit(2L) * col("__below") + col("__n_s") + lit(1L)).as("__rank2"))
+  }
+
+  /** Exact ROC-AUC of `scoreCol` against boolean `labelCol` via the
+    * rank-sum identity with the standard tie correction (tied scores
+    * get average ranks, i.e. a tied positive/negative pair counts
+    * 1/2):
+    *
+    *   AUC = (R₁ − n₁(n₁+1)/2) / (n₀·n₁),  R₁ = Σ ranks of positives
+    *
+    * carried in doubled-rank integers: `u2 = 2·R₁ − n₁(n₁+1) = 2·U₁`
+    * and `auc = u2 / (2·n₀·n₁)`. Null scores/labels are excluded;
+    * a one-class input yields NULL auc (the q135-family
+    * zero-denominator convention) with the counts still reported.
+    *
+    * The integer path holds exactly while 2·R₁ ≤ 2n² stays inside
+    * int64 — n up to ~2.1e9 rows; beyond that, pre-aggregate or
+    * switch the two sums to decimal.
+    *
+    * Scale shape: one hash aggregate to the distinct-score frame
+    * (n_s, p_s per score), one range-partitioned prefix sum over it,
+    * one combinable final aggregate. The corpus is never joined back
+    * — only per-GROUP counts matter for AUC.
+    *
+    * Output: ONE row (n_pos, n_neg, u2, auc6).
+    */
+  def rocAuc(
+      scored: DataFrame,
+      scoreCol: String,
+      labelCol: String): DataFrame = {
+    val base = scored
+      .filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .select(col(scoreCol).as("__sc"),
+        col(labelCol).cast("boolean").as("__y"))
+    val g = base.groupBy(col("__sc"))
+      .agg(count(lit(1)).as("__n_s"),
+        sum(when(col("__y"), 1L).otherwise(0L)).as("__p_s"))
+    val r = ScaleOps.prefixSumByRange(g, Seq("__sc"), col("__n_s"), "__below")
+    r.agg(
+        coalesce(sum(col("__p_s")), lit(0L)).as("__np"),
+        coalesce(sum(col("__n_s") - col("__p_s")), lit(0L)).as("__nn"),
+        coalesce(sum(col("__p_s") *
+          (lit(2L) * col("__below") + col("__n_s") + lit(1L))), lit(0L))
+          .as("__s2r"))
+      .select(col("__np").as("n_pos"), col("__nn").as("n_neg"),
+        (col("__s2r") - col("__np") * (col("__np") + lit(1L))).as("u2"),
+        when(col("__np") > 0 && col("__nn") > 0,
+          pr6((col("__s2r") - col("__np") * (col("__np") + lit(1L)))
+            .cast("double") /
+            (lit(2e0) * col("__np").cast("double") *
+              col("__nn").cast("double"))))
+          .otherwise(lit(null).cast("double")).as("auc6"))
+  }
+
+  /** Spearman rank correlation for every pair in `cols` (upper
+    * triangle, `cols` order) — Pearson over doubled average ranks.
+    * Listwise deletion (rows with a null in ANY column are excluded,
+    * q172's convention) so all columns rank the same row set.
+    *
+    * All rank sums/squares/cross-products accumulate in
+    * decimal(38,0) — exact at any row count and partition order
+    * (doubles would lose order-independence past 2^53; int64 products
+    * overflow near 2e9 rows) — and are cast to double only inside the
+    * final row-local correlation formula, 6dp-rounded. Zero-variance
+    * (constant) columns read NULL rho.
+    *
+    * Scale shape: k distinct-value aggregates + k range-partitioned
+    * prefix sums + k value equi-joins back (the small rank frames
+    * broadcast under AQE), then ONE combinable O(k²)-wide aggregate.
+    *
+    * Output: (col_a, col_b, rho6) for i < j in `cols` order.
+    */
+  def spearmanMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "spearmanMatrix needs at least 2 columns")
+    val clean = df
+      .filter(cols.map(col(_).isNotNull).reduce(_ && _))
+      .select(cols.map(c => col(c)): _*)
+    // per-row doubled ranks, one value-join per column; aggregate
+    // aliases are INDEX-keyed (q172's underscore-collision lesson)
+    var ranked = clean
+    cols.zipWithIndex.foreach { case (c, i) =>
+      val rk = avgRank2ByValue(clean, c)
+        .select(col(c), col("__rank2").as(s"__r2_$i"))
+      ranked = ranked.join(rk, Seq(c))
+    }
+    val dec = "decimal(38,0)"
+    val pairs = for { i <- cols.indices; j <- cols.indices if i < j }
+      yield (i, j)
+    val aggCols = count(lit(1)).as("__n") +:
+      (cols.indices.flatMap(i => Seq(
+        sum(col(s"__r2_$i").cast(dec)).as(s"__s_$i"),
+        sum(col(s"__r2_$i").cast(dec) * col(s"__r2_$i").cast(dec))
+          .as(s"__ss_$i"))) ++
+        pairs.map { case (i, j) =>
+          sum(col(s"__r2_$i").cast(dec) * col(s"__r2_$j").cast(dec))
+            .as(s"__sp_${i}_$j")
+        })
+    val one = ranked.agg(aggCols.head, aggCols.tail: _*)
+    def rhoExpr(i: Int, j: Int): Column = {
+      val n = col("__n").cast("double")
+      val va = n * col(s"__ss_$i").cast("double") -
+        col(s"__s_$i").cast("double") * col(s"__s_$i").cast("double")
+      val vb = n * col(s"__ss_$j").cast("double") -
+        col(s"__s_$j").cast("double") * col(s"__s_$j").cast("double")
+      val cov = n * col(s"__sp_${i}_$j").cast("double") -
+        col(s"__s_$i").cast("double") * col(s"__s_$j").cast("double")
+      when(va > 0 && vb > 0, pr6(cov / sqrt(va * vb)))
+        .otherwise(lit(null).cast("double"))
+    }
+    val stacked = pairs.map { case (i, j) =>
+      struct(lit(cols(i)).as("col_a"), lit(cols(j)).as("col_b"),
+        rhoExpr(i, j).as("rho6"))
+    }
+    one.select(explode(array(stacked: _*)).as("__p"))
+      .select(col("__p.col_a"), col("__p.col_b"), col("__p.rho6"))
+  }
+
+  /** Gini concentration of non-negative `valueCol` mass across rows
+    * (0 = uniform, →1 = one row holds everything), by the sorted-rank
+    * identity
+    *
+    *   G = 2·Σ i·xᵢ / (n·Σx) − (n+1)/n        (xᵢ ascending, i 1-based)
+    *
+    * which is invariant to tie order (equal x swap freely), so the
+    * (value, id) total order exists purely to make the prefix sum
+    * deterministic. The top-decile share (mass held by the
+    * ⌊n/10⌋ largest rows) rides along — the headline a corpus-health
+    * report prints next to G.
+    *
+    * Σ i·x accumulates in decimal(38,0) (i ≤ n makes the product
+    * overflow int64 past ~2e9·value rows); Σx stays int64. Floats
+    * appear only in the final one-row division, 6dp-rounded.
+    *
+    * Scale shape: one range-partitioned prefix sum over the (value,
+    * id) projection, one count action to fix n (metadata-sized), one
+    * combinable aggregate.
+    *
+    * Output: ONE row (n_rows, total, gini6, top_decile_share6).
+    */
+  def giniConcentration(
+      df: DataFrame,
+      idCol: String,
+      valueCol: String): DataFrame = {
+    val v = df.filter(col(valueCol).isNotNull)
+      .select(col(idCol), col(valueCol).cast("long").as("__x"))
+    val ranked = ScaleOps.prefixSumByRange(
+      v, Seq("__x", idCol), lit(1L), "__r0")
+    val n = ranked.count()
+    require(n > 0, "giniConcentration needs a non-empty input")
+    val cut = n - n / 10 // rows ranked above this are the top decile
+    val nd = lit(n).cast("double")
+    ranked
+      .agg(
+        sum(col("__x")).as("__sx"),
+        sum((col("__r0") + lit(1L)).cast("decimal(38,0)") *
+          col("__x").cast("decimal(38,0)")).as("__six"),
+        sum(when(col("__r0") + lit(1L) > cut, col("__x")).otherwise(0L))
+          .as("__topx"))
+      .select(lit(n).as("n_rows"), col("__sx").as("total"),
+        pr6(lit(2e0) * col("__six").cast("double") /
+            (nd * col("__sx").cast("double")) -
+          (nd + lit(1e0)) / nd).as("gini6"),
+        pr6(col("__topx").cast("double") / col("__sx").cast("double"))
+          .as("top_decile_share6"))
+  }
+}

@@ -801,4 +801,67 @@ object TextAnalysis {
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_matches"))
   }
+
+  /** Zipf-law fit over the corpus token-frequency distribution: OLS
+    * of ln(freq) on ln(rank) across the `topK` most frequent tokens
+    * (rank ties broken by token text — a total order, so the ranking
+    * is deterministic). A healthy natural-language corpus reads a
+    * slope near −1 (Zipf 1949); a much flatter or steeper slope is
+    * the corpus-health smell (template/boilerplate floods, truncated
+    * vocabularies) this audit exists to catch.
+    *
+    * Float discipline: both logs are snapped to integer MICRO-UNITS
+    * (`⌊ln(·)·1e6 + 0.5⌋`) before any cross-row sum, so all five OLS
+    * moments are exact int64 sums (order-independent; topK ≤ ~1e4
+    * keeps every moment far inside int64) and the slope/intercept/R²
+    * divisions are row-local double arithmetic on exact integers,
+    * 6dp-rounded.
+    *
+    * Scale shape: one corpus token aggregate (map-side combined) →
+    * one global top-K (TakeOrderedAndProject — K rows cross the
+    * wire, never the vocabulary) → a K-row bounded-frame rank window
+    * (the Tokenize.scala:121 vocab-rank precedent) → one K-row
+    * aggregate.
+    *
+    * Output: ONE row (n_terms, slope6, intercept6, r2_6) — intercept
+    * in ln-frequency units; R² NULL if either log column is constant
+    * (degenerate K=1 or all-equal frequencies).
+    */
+  def zipfFit(
+      docs: DataFrame,
+      textCol: String,
+      topK: Int = 256): DataFrame = {
+    require(topK >= 2, "zipfFit needs topK >= 2")
+    val freq = docs
+      .select(explode(TextFns.tokens(col(textCol))).as("__token"))
+      .groupBy(col("__token")).agg(count(lit(1)).as("__freq"))
+      .orderBy(col("__freq").desc, col("__token"))
+      .limit(topK)
+    val w = Window.orderBy(col("__freq").desc, col("__token"))
+    val m = freq
+      .withColumn("__r", row_number().over(w))
+      .select(
+        floor(log(col("__r").cast("double")) * lit(1e6) + lit(0.5))
+          .cast("long").as("__lr"),
+        floor(log(col("__freq").cast("double")) * lit(1e6) + lit(0.5))
+          .cast("long").as("__lf"))
+    val s = m.agg(count(lit(1)).as("__k"),
+      sum(col("__lr")).as("__sl"), sum(col("__lf")).as("__sf"),
+      sum(col("__lr") * col("__lr")).as("__sll"),
+      sum(col("__lr") * col("__lf")).as("__slf"),
+      sum(col("__lf") * col("__lf")).as("__sff"))
+    def pr6(c: Column): Column = floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+    val kd = col("__k").cast("double")
+    val sl = col("__sl").cast("double")
+    val sf = col("__sf").cast("double")
+    val varL = kd * col("__sll").cast("double") - sl * sl
+    val varF = kd * col("__sff").cast("double") - sf * sf
+    val cov = kd * col("__slf").cast("double") - sl * sf
+    val slopeRaw = cov / varL
+    s.select(col("__k").as("n_terms"),
+      pr6(slopeRaw).as("slope6"),
+      pr6((sf - slopeRaw * sl) / kd / lit(1e6)).as("intercept6"),
+      when(varL > 0 && varF > 0, pr6(cov * cov / (varL * varF)))
+        .otherwise(lit(null).cast("double")).as("r2_6"))
+  }
 }

@@ -1,0 +1,110 @@
+package graft.operators
+
+import graft.SparkSuiteBase
+import org.apache.spark.sql.functions._
+
+/** Hand-computed fixtures for the rank-statistics family: the AUC
+  * tie correction, Spearman average-rank ties, the Gini sorted-rank
+  * identity, and the Zipf OLS on an exact power law — plus the
+  * degenerate inputs (one-class AUC, constant column, K > vocab).
+  */
+class RankStatsSpec extends SparkSuiteBase {
+
+  test("rocAuc: tie-corrected hand case") {
+    import spark.implicits._
+    // ranks asc: 1, {2,3}→2.5 tied, 4; R1 = 2.5 + 4 → AUC = 0.875
+    val df = Seq((1.0, false), (2.0, false), (2.0, true), (3.0, true))
+      .toDF("s", "y")
+    val r = RankStats.rocAuc(df, "s", "y").head()
+    assert(r.getAs[Long]("n_pos") == 2L)
+    assert(r.getAs[Long]("n_neg") == 2L)
+    assert(r.getAs[Long]("u2") == 7L) // 2*U1 = 2*3.5
+    assert(r.getAs[Double]("auc6") == 0.875)
+  }
+
+  test("rocAuc: perfect separation and one-class null") {
+    import spark.implicits._
+    val perfect = Seq((1.0, false), (2.0, false), (3.0, true), (4.0, true))
+      .toDF("s", "y")
+    assert(RankStats.rocAuc(perfect, "s", "y").head()
+      .getAs[Double]("auc6") == 1.0)
+    val oneClass = Seq((1.0, true), (2.0, true)).toDF("s", "y")
+    val r = RankStats.rocAuc(oneClass, "s", "y").head()
+    assert(r.getAs[Long]("n_neg") == 0L)
+    assert(r.isNullAt(r.fieldIndex("auc6")), "one-class AUC must be NULL")
+  }
+
+  test("spearmanMatrix: monotone, reversed, tied, constant") {
+    import spark.implicits._
+    val df = Seq(
+      (1.0, 10.0, 30.0, 7.0),
+      (2.0, 20.0, 20.0, 7.0),
+      (2.0, 30.0, 10.0, 7.0),
+      (3.0, 40.0, 5.0, 7.0))
+      .toDF("a", "b", "c", "k")
+    val out = RankStats.spearmanMatrix(df, Seq("a", "b", "c", "k"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    // a=[1,2,2,3] rank2=[2,5,5,8]; b strictly asc rank2=[2,4,6,8]:
+    // rho = 72/sqrt(72*80) = 0.948683...
+    assert(out(("a", "b")) == Some(0.948683))
+    assert(out(("b", "c")) == Some(-1.0), "strict reversal is -1")
+    assert(out(("a", "k")) == None, "constant column reads NULL")
+    assert(out(("a", "c")) == Some(-0.948683))
+  }
+
+  test("giniConcentration: uniform is 0, one-holder is (n-1)/n") {
+    import spark.implicits._
+    val flat = Seq((1L, 5L), (2L, 5L), (3L, 5L), (4L, 5L)).toDF("id", "x")
+    val rf = RankStats.giniConcentration(flat, "id", "x").head()
+    assert(rf.getAs[Double]("gini6") == 0.0)
+    assert(rf.getAs[Long]("total") == 20L)
+    // n=4: top decile is floor(4/10)=0 rows
+    assert(rf.getAs[Double]("top_decile_share6") == 0.0)
+
+    val one = Seq((1L, 0L), (2L, 0L), (3L, 0L), (4L, 100L)).toDF("id", "x")
+    assert(RankStats.giniConcentration(one, "id", "x").head()
+      .getAs[Double]("gini6") == 0.75) // (n-1)/n
+  }
+
+  test("giniConcentration: top-decile share on 20 rows") {
+    import spark.implicits._
+    // 19 ones + one 100: top decile = 2 rows = {100, 1} → 101/119;
+    // six = Σ1..19 + 20*100 = 2190 → G = 4380/2380 - 1.05
+    val df = ((1 to 19).map(i => (i.toLong, 1L)) :+ (20L, 100L))
+      .toDF("id", "x")
+    val r = RankStats.giniConcentration(df, "id", "x").head()
+    assert(r.getAs[Long]("n_rows") == 20L)
+    assert(r.getAs[Double]("gini6") == 0.790336)
+    assert(r.getAs[Double]("top_decile_share6") == 0.848739)
+  }
+
+  test("zipfFit: exact power law reads slope -1") {
+    import spark.implicits._
+    // freq = 24/r for r=1..4 — an exact Zipf curve; the only slope
+    // error is the ±0.5 micro-unit log snapping
+    val text = Seq.fill(24)("aa") ++ Seq.fill(12)("bb") ++
+      Seq.fill(8)("cc") ++ Seq.fill(6)("dd")
+    val docs = Seq(text.mkString(" ")).toDF("text")
+    val r = TextAnalysis.zipfFit(docs, "text", topK = 256).head()
+    assert(r.getAs[Long]("n_terms") == 4L, "topK > vocab keeps all terms")
+    assert(math.abs(r.getAs[Double]("slope6") + 1.0) < 1e-4,
+      s"slope ${r.getAs[Double]("slope6")} should be -1")
+    assert(r.getAs[Double]("r2_6") > 0.9999)
+    // intercept ≈ ln 24
+    assert(math.abs(r.getAs[Double]("intercept6") - math.log(24.0)) < 1e-4)
+    // deterministic across runs
+    assert(TextAnalysis.zipfFit(docs, "text", topK = 256).head() == r)
+  }
+
+  test("zipfFit: rank ties broken by token text, topK truncates") {
+    import spark.implicits._
+    val docs = Seq(Seq.fill(4)("x y z").mkString(" ")).toDF("text")
+    // all three tokens tie at freq 4: ranks by token text x<y<z
+    val r = TextAnalysis.zipfFit(docs, "text", topK = 2).head()
+    assert(r.getAs[Long]("n_terms") == 2L)
+    // equal frequencies: varF = 0 → R² NULL, slope 0
+    assert(r.isNullAt(r.fieldIndex("r2_6")))
+    assert(r.getAs[Double]("slope6") == 0.0)
+  }
+}
