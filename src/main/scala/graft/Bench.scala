@@ -136,7 +136,12 @@ object Bench {
     "q175_containment_pairs" -> 1.69, "q176_quantile_normalize" -> 1.91,
     "q177_session_paths" -> 0.53, "q178_textrank_keywords" -> 2.33,
     "q179_benford_audit" -> 0.40, "q180_snapshot_diff" -> 0.76,
-    "q181_embedding_drift" -> 0.69, "q182_basket_rules" -> 1.42, "q183_calibration_bins" -> 3.77, "q184_kcore" -> 0.93)
+    "q181_embedding_drift" -> 0.69, "q182_basket_rules" -> 1.42, "q183_calibration_bins" -> 3.77, "q184_kcore" -> 0.93,
+    // round-11 session-3 additions (comparator 0.59/0.32; 3 reps).
+    // q185's min is the NB score+rank chain (q85's family); q186 pays
+    // four rank prefix sums + four value joins by design
+    "q185_roc_auc" -> 3.80, "q186_spearman_matrix" -> 5.71,
+    "q187_zipf_fit" -> 0.30, "q188_gini_concentration" -> 0.56)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
