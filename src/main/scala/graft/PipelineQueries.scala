@@ -4980,4 +4980,93 @@ object PipelineQueries extends QueryGroup {
     graft.operators.RankStats.giniConcentration(
       Tables.documents(s, d), "doc_id", "n_chars")
   }
+
+  // Experimentation readout: two-variant A/B test on user-grain
+  // purchase conversion (variant = user_id % 2 — the deterministic
+  // split q96's family uses). Pooled two-proportion z + its χ² twin;
+  // every count is an exact integer aggregate and the z/χ² chain is
+  // ONE row of double arithmetic with identical text in both
+  // engines; `significant` thresholds the ROUNDED z (q85's pred
+  // discipline).
+  q("q189_ab_test", {
+    val pa = "CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE)"
+    val pb = "CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE)"
+    val pp = "CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE)"
+    val se2 = s"($pp) * (1e0 - ($pp)) * " +
+      "(1e0 / CAST(n_a AS DOUBLE) + 1e0 / CAST(n_b AS DOUBLE))"
+    val z = s"(($pb) - ($pa)) / sqrt($se2)"
+    val z6 = s"floor(($z) * 1e6 + 0.5)/1e6"
+    val ok = s"n_a > 0 AND n_b > 0 AND $se2 > 0"
+    s"""WITH u189 AS (SELECT user_id, user_id % 2 AS v,
+       |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS c
+       |  FROM events GROUP BY 1, 2),
+       |s189 AS (SELECT
+       |    CAST(sum(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+       |    CAST(sum(CASE WHEN v = 0 THEN c ELSE 0 END) AS BIGINT) AS conv_a,
+       |    CAST(sum(CASE WHEN v = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+       |    CAST(sum(CASE WHEN v = 1 THEN c ELSE 0 END) AS BIGINT) AS conv_b
+       |  FROM u189)
+       |SELECT CAST(0 AS BIGINT) AS variant_a, CAST(1 AS BIGINT) AS variant_b,
+       |  n_a, conv_a, n_b, conv_b,
+       |  floor(($pa) * 1e6 + 0.5)/1e6 AS rate_a6,
+       |  floor(($pb) * 1e6 + 0.5)/1e6 AS rate_b6,
+       |  floor((($pb) - ($pa)) * 1e6 + 0.5)/1e6 AS lift6,
+       |  CASE WHEN $ok THEN $z6 END AS z6,
+       |  CASE WHEN $ok THEN floor(($z) * ($z) * 1e6 + 0.5)/1e6 END AS chi2_6,
+       |  CASE WHEN $ok THEN abs($z6) >= 1.96 END AS significant
+       |FROM s189""".stripMargin
+  }) { (s, d) =>
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), pmod(col("user_id"), lit(2L)).as("variant"),
+        (col("event_type") === "purchase").as("converted"))
+    graft.operators.Behavior.abTest(ev, "user_id", "variant", "converted")
+  }
+
+  // Metadata-association audit: mutual information + Cramér's V
+  // between `lang` and `source` — is the stratification key
+  // independent of the language mix, or is one column the other in
+  // disguise (the leakage check before any per-source split is
+  // trusted). χ² covers observed-zero grid cells; each cell term
+  // snaps to integer micro-units before the sum (q163 discipline) so
+  // partition order can never move the hash.
+  q("q190_categorical_mi", {
+    def dd(e: String) = s"CAST($e AS DOUBLE)"
+    val e = s"${dd("ni")} * ${dd("nj")} / ${dd("n")}"
+    s"""WITH b190 AS (SELECT lang AS a, source AS b FROM documents
+       |  WHERE lang IS NOT NULL AND source IS NOT NULL),
+       |c190 AS (SELECT a, b, count(*) AS nij FROM b190 GROUP BY 1, 2),
+       |ra190 AS (SELECT a, CAST(sum(nij) AS BIGINT) AS ni
+       |  FROM c190 GROUP BY 1),
+       |rb190 AS (SELECT b, CAST(sum(nij) AS BIGINT) AS nj
+       |  FROM c190 GROUP BY 1),
+       |t190 AS (SELECT CAST(sum(nij) AS BIGINT) AS n FROM c190),
+       |g190 AS (SELECT ni, nj, coalesce(nij, 0) AS nij
+       |  FROM ra190 CROSS JOIN rb190
+       |  LEFT JOIN c190 ON c190.a = ra190.a AND c190.b = rb190.b),
+       |m190 AS (SELECT
+       |    CAST(sum(CASE WHEN nij > 0 THEN CAST(floor(
+       |        (${dd("nij")} / ${dd("n")})
+       |          * ln(${dd("n")} * ${dd("nij")} / (${dd("ni")} * ${dd("nj")}))
+       |          * 1e6 + 0.5) AS BIGINT) ELSE 0 END) AS BIGINT) AS mi_micro,
+       |    CAST(sum(CAST(floor(
+       |        (${dd("nij")} - $e) * (${dd("nij")} - $e) / ($e)
+       |          * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS chi_micro
+       |  FROM g190 CROSS JOIN t190),
+       |d190 AS (SELECT count(*) AS r FROM ra190),
+       |e190 AS (SELECT count(*) AS c FROM rb190)
+       |SELECT n, CAST(r AS BIGINT) AS n_a_classes,
+       |  CAST(c AS BIGINT) AS n_b_classes,
+       |  CAST(mi_micro AS DOUBLE)/1e6 AS mi6,
+       |  CAST(chi_micro AS DOUBLE)/1e6 AS chi2_6,
+       |  CASE WHEN least(r, c) > 1
+       |       THEN floor(sqrt((CAST(chi_micro AS DOUBLE)/1e6)
+       |         / (CAST(n AS DOUBLE) * CAST(least(r, c) - 1 AS DOUBLE)))
+       |         * 1e6 + 0.5)/1e6
+       |  END AS cramers_v6
+       |FROM m190 CROSS JOIN t190 CROSS JOIN d190 CROSS JOIN e190"""
+      .stripMargin
+  }) { (s, d) =>
+    graft.operators.Audit.categoricalAssociation(
+      Tables.documents(s, d), "lang", "source")
+  }
 }

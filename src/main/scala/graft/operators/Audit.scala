@@ -196,4 +196,71 @@ object Audit {
         (col("__min_b") < col("__min_a") || col("__max_b") > col("__max_a"))
           .as("range_expanded"))
   }
+
+  /** Association strength between two CATEGORICAL columns: mutual
+    * information (nats) and Cramér's V from the full r×c contingency
+    * grid — the audit run before trusting a stratification key or
+    * suspecting label leakage between two metadata columns (is
+    * `source` just `lang` in disguise?). Listwise deletion of nulls.
+    *
+    * χ² sums over ALL grid cells including observed-zero ones (a
+    * zero cell contributes its expectation e_ij); MI terms vanish at
+    * n_ij = 0. Both statistics snap each cell term to integer
+    * micro-units BEFORE summing (the q163 order-independence
+    * discipline — the grid is small, but partition add order must
+    * still never move a hash), so the only unrounded floats are
+    * row-local. Cramér's V reads NULL when min(r, c) = 1 (a constant
+    * column has no association to measure).
+    *
+    * Scale shape: ONE corpus hash aggregate to the (a, b) cell frame
+    * (map-side combined, grid-sized result); marginals, totals, the
+    * zero-filled grid and both statistics are grid-sized arithmetic.
+    *
+    * Output: ONE row (n, n_a_classes, n_b_classes, mi6, chi2_6,
+    * cramers_v6).
+    */
+  def categoricalAssociation(
+      df: DataFrame,
+      aCol: String,
+      bCol: String): DataFrame = {
+    val cells = df
+      .filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .select(col(aCol).as("__a"), col(bCol).as("__b"))
+      .groupBy(col("__a"), col("__b")).agg(count(lit(1)).as("__nij"))
+      .localCheckpoint(true) // grid-sized; read by marginals + grid + total
+    val ra = cells.groupBy(col("__a")).agg(sum(col("__nij")).as("__ni"))
+    val rb = cells.groupBy(col("__b")).agg(sum(col("__nij")).as("__nj"))
+    val tot = cells.agg(coalesce(sum(col("__nij")), lit(0L)).as("__n"))
+    val grid = ra.crossJoin(rb)
+      .join(cells, Seq("__a", "__b"), "left")
+      .select(col("__ni"), col("__nj"),
+        coalesce(col("__nij"), lit(0L)).as("__nij"))
+      .crossJoin(broadcast(tot))
+    val nd = col("__n").cast("double")
+    val nijd = col("__nij").cast("double")
+    val nid = col("__ni").cast("double")
+    val njd = col("__nj").cast("double")
+    val e = nid * njd / nd
+    val miTerm = when(col("__nij") > 0,
+      floor((nijd / nd) * log(nd * nijd / (nid * njd)) * lit(1e6) + lit(0.5))
+        .cast("long")).otherwise(0L)
+    val chiTerm = floor((nijd - e) * (nijd - e) / e * lit(1e6) + lit(0.5))
+      .cast("long")
+    val s = grid.agg(sum(miTerm).as("__mi_micro"),
+      sum(chiTerm).as("__chi_micro"))
+    val rc = ra.agg(count(lit(1)).as("__r"))
+      .crossJoin(rb.agg(count(lit(1)).as("__c")))
+      .crossJoin(tot)
+    def pr6(c: Column): Column = floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+    s.crossJoin(rc).select(
+      col("__n").as("n"), col("__r").as("n_a_classes"),
+      col("__c").as("n_b_classes"),
+      (col("__mi_micro").cast("double") / lit(1e6)).as("mi6"),
+      (col("__chi_micro").cast("double") / lit(1e6)).as("chi2_6"),
+      when(least(col("__r"), col("__c")) > 1,
+        pr6(sqrt((col("__chi_micro").cast("double") / lit(1e6)) /
+          (col("__n").cast("double") *
+            (least(col("__r"), col("__c")) - lit(1L)).cast("double")))))
+        .otherwise(lit(null).cast("double")).as("cramers_v6"))
+  }
 }

@@ -332,4 +332,73 @@ object Behavior {
       .filter(col("rn") <= topK)
       .select(col("rn"), col("path"), col("cnt"))
   }
+
+  /** Two-variant A/B test on a unit-grain conversion: the pooled
+    * two-proportion z statistic (and its χ² = z² twin for the 2×2
+    * table) — the readout every experimentation pipeline computes
+    * before believing a lift. A unit (user) converts if ANY of its
+    * rows converts; a unit appearing under BOTH variants is a broken
+    * assignment and fails loudly (silently dropping contaminated
+    * units would bias exactly the statistic being reported).
+    *
+    * Determinism: all counts are exact integer aggregates; the only
+    * floats are the final ONE-ROW rate/z/χ² chain, 6dp-rounded, and
+    * `significant` thresholds the ROUNDED z (both engines compare
+    * the same number — the q85 `pred` discipline).
+    *
+    * Scale shape: one (unit → variant, converted) hash aggregate
+    * (map-side combined), one 2-group aggregate over the unit frame,
+    * one distinct-variant metadata action (2 rows). No windows, no
+    * joins.
+    *
+    * Output: ONE row (variant_a, variant_b, n_a, conv_a, n_b,
+    * conv_b, rate_a6, rate_b6, lift6, z6, chi2_6, significant) —
+    * variant_a < variant_b by value; lift = rate_b − rate_a; z > 0
+    * means b converts more; NULL z/χ²/significant when the pooled
+    * variance degenerates (all or none convert, or an empty side).
+    */
+  def abTest(
+      df: DataFrame,
+      unitCol: String,
+      variantCol: String,
+      conversionCol: String): DataFrame = {
+    val units = df
+      .filter(col(variantCol).isNotNull)
+      .groupBy(col(unitCol).as("__u"))
+      .agg(min(col(variantCol)).as("__va"), max(col(variantCol)).as("__vb"),
+        max(col(conversionCol).cast("boolean").cast("long")).as("__c"))
+      .localCheckpoint(true) // read by the guard count + both aggregates
+    val nMixed = units.filter(col("__va") =!= col("__vb")).count()
+    require(nMixed == 0,
+      s"abTest: $nMixed unit(s) assigned to BOTH variants — broken split")
+    val variants = units.select(col("__va")).distinct()
+      .orderBy(col("__va")).collect().map(_.get(0))
+    require(variants.length == 2,
+      s"abTest needs exactly 2 variants, got ${variants.length}")
+    val (a, b) = (variants(0), variants(1))
+    def pr6(c: Column): Column = floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+    val s = units.agg(
+      sum(when(col("__va") === a, 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("__va") === a, col("__c")).otherwise(0L)).as("conv_a"),
+      sum(when(col("__va") === b, 1L).otherwise(0L)).as("n_b"),
+      sum(when(col("__va") === b, col("__c")).otherwise(0L)).as("conv_b"))
+    val nad = col("n_a").cast("double")
+    val nbd = col("n_b").cast("double")
+    val pa = col("conv_a").cast("double") / nad
+    val pb = col("conv_b").cast("double") / nbd
+    val pp = (col("conv_a") + col("conv_b")).cast("double") /
+      (col("n_a") + col("n_b")).cast("double")
+    val se2 = pp * (lit(1e0) - pp) * (lit(1e0) / nad + lit(1e0) / nbd)
+    val zRaw = (pb - pa) / sqrt(se2)
+    val ok = col("n_a") > 0 && col("n_b") > 0 && se2 > 0
+    s.select(lit(a).as("variant_a"), lit(b).as("variant_b"),
+      col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
+      pr6(pa).as("rate_a6"), pr6(pb).as("rate_b6"),
+      pr6(pb - pa).as("lift6"),
+      when(ok, pr6(zRaw)).otherwise(lit(null).cast("double")).as("z6"),
+      when(ok, pr6(zRaw * zRaw)).otherwise(lit(null).cast("double"))
+        .as("chi2_6"),
+      when(ok, abs(pr6(zRaw)) >= 1.96)
+        .otherwise(lit(null).cast("boolean")).as("significant"))
+  }
 }

@@ -128,4 +128,41 @@ class AuditSpec extends SparkSuiteBase {
     val r2 = Audit.driftReport(b, b.filter(col("v") < 10.0), Seq("v")).head()
     assert(!r2.getBoolean(8))
   }
+
+  test("categoricalAssociation: perfect, independent, constant") {
+    import spark.implicits._
+    // a == b: χ² = n, V = 1, MI = ln 2 (micro-rounded per diag term)
+    val perfect = Seq(("x", "x"), ("x", "x"), ("y", "y"), ("y", "y"))
+      .toDF("a", "b")
+    val rp = Audit.categoricalAssociation(perfect, "a", "b").head()
+    assert(rp.getAs[Long]("n") == 4L)
+    assert(rp.getAs[Double]("chi2_6") == 4.0)
+    assert(rp.getAs[Double]("cramers_v6") == 1.0)
+    assert(math.abs(rp.getAs[Double]("mi6") - math.log(2.0)) < 1e-5)
+
+    // uniform grid: no association anywhere
+    val indep = Seq(("x", "p"), ("x", "q"), ("y", "p"), ("y", "q"))
+      .toDF("a", "b")
+    val ri = Audit.categoricalAssociation(indep, "a", "b").head()
+    assert(ri.getAs[Double]("chi2_6") == 0.0)
+    assert(ri.getAs[Double]("mi6") == 0.0)
+    assert(ri.getAs[Double]("cramers_v6") == 0.0)
+
+    // constant b: min(r, c) = 1 → V undefined (NULL), MI 0
+    val const = Seq(("x", "k"), ("y", "k")).toDF("a", "b")
+    val rc = Audit.categoricalAssociation(const, "a", "b").head()
+    assert(rc.isNullAt(rc.fieldIndex("cramers_v6")))
+    assert(rc.getAs[Double]("mi6") == 0.0)
+  }
+
+  test("categoricalAssociation: observed-zero cells pay their e_ij") {
+    import spark.implicits._
+    // (y,y) never observed: χ² = 1/12 + 1/6 + 1/6 + 1/3 = 0.75 —
+    // the missing cell's 1/3 term MUST be included (without the
+    // zero-filled grid the sum would read 0.416667)
+    val df = Seq(("x", "x"), ("x", "y"), ("y", "x")).toDF("a", "b")
+    val r = Audit.categoricalAssociation(df, "a", "b").head()
+    assert(r.getAs[Long]("n") == 3L)
+    assert(r.getAs[Double]("chi2_6") == 0.75, s"got $r")
+  }
 }

@@ -245,4 +245,49 @@ class BehaviorSpec extends SparkSuiteBase {
     val keyExchanges = "hashpartitioning\\(user_id".r.findAllIn(p).length
     assert(keyExchanges <= 1, s"expected one key exchange:\n$p")
   }
+
+  test("abTest: hand-computed pooled z on unit-grain conversion") {
+    import spark.implicits._
+    // variant 0: 4 users, 2 convert; variant 1: 4 users, 3 convert.
+    // One converting user has 3 rows (only one converting) — unit
+    // grain must count it once.
+    val rows = Seq(
+      (1L, 0L, true), (1L, 0L, false), (1L, 0L, false),
+      (2L, 0L, true), (3L, 0L, false), (4L, 0L, false),
+      (5L, 1L, true), (6L, 1L, true), (7L, 1L, true), (8L, 1L, false))
+      .toDF("u", "v", "c")
+    val r = Behavior.abTest(rows, "u", "v", "c").head()
+    assert(r.getAs[Long]("n_a") == 4L && r.getAs[Long]("conv_a") == 2L)
+    assert(r.getAs[Long]("n_b") == 4L && r.getAs[Long]("conv_b") == 3L)
+    assert(r.getAs[Double]("rate_a6") == 0.5)
+    assert(r.getAs[Double]("rate_b6") == 0.75)
+    assert(r.getAs[Double]("lift6") == 0.25)
+    // p̂ = 5/8; se² = .625·.375·.5; z = .25/sqrt(se²) = 0.730296...
+    assert(r.getAs[Double]("z6") == 0.730297)
+    assert(r.getAs[Double]("chi2_6") == 0.533333)
+    assert(!r.getAs[Boolean]("significant"))
+  }
+
+  test("abTest: degenerate variance reads NULL, bad splits refuse") {
+    import spark.implicits._
+    // everyone converts → pooled variance 0 → z/χ²/significant NULL
+    val all = Seq((1L, 0L, true), (2L, 1L, true)).toDF("u", "v", "c")
+    val r = Behavior.abTest(all, "u", "v", "c").head()
+    assert(r.isNullAt(r.fieldIndex("z6")))
+    assert(r.isNullAt(r.fieldIndex("significant")))
+    // a unit under both variants is a broken assignment
+    val mixed = Seq((1L, 0L, true), (1L, 1L, false), (2L, 1L, false))
+      .toDF("u", "v", "c")
+    val e1 = intercept[IllegalArgumentException] {
+      Behavior.abTest(mixed, "u", "v", "c")
+    }
+    assert(e1.getMessage.contains("BOTH variants"))
+    // three variants is not an A/B test
+    val three = Seq((1L, 0L, true), (2L, 1L, false), (3L, 2L, false))
+      .toDF("u", "v", "c")
+    val e2 = intercept[IllegalArgumentException] {
+      Behavior.abTest(three, "u", "v", "c")
+    }
+    assert(e2.getMessage.contains("exactly 2 variants"))
+  }
 }
