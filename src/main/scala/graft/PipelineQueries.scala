@@ -5069,4 +5069,53 @@ object PipelineQueries extends QueryGroup {
     graft.operators.Audit.categoricalAssociation(
       Tables.documents(s, d), "lang", "source")
   }
+
+  // Behavior analytics: last-touch revenue attribution — every
+  // purchase credited to the user's latest click within 7 days
+  // (campaign = props.k % 10), no-touch purchases reported in the
+  // NULL row. The engine is ONE key shuffle (the as-of floor join's
+  // union-tagged window, R-16 machinery — never a time-range join);
+  // the oracle replays the floor as a max-over-join. Revenue sums in
+  // integer micro-units (value is a double; raw double sums would be
+  // partition-order-dependent).
+  q("q191_attribution",
+    """WITH cv191 AS (SELECT user_id, event_id, epoch_ms(ts) AS cts,
+      |    CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS rev
+      |  FROM events WHERE event_type = 'purchase'),
+      |tc191 AS (SELECT user_id, epoch_ms(ts) AS tts,
+      |    CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT) % 10
+      |      AS campaign
+      |  FROM events WHERE event_type = 'click'),
+      |mx191 AS (SELECT cv191.user_id, cv191.event_id, cv191.cts, cv191.rev,
+      |    max(tc191.tts) AS mtts
+      |  FROM cv191 LEFT JOIN tc191 ON tc191.user_id = cv191.user_id
+      |    AND tc191.tts <= cv191.cts
+      |  GROUP BY 1, 2, 3, 4),
+      |cp191 AS (SELECT mx191.user_id, mx191.event_id,
+      |    max(tc2.campaign) AS camp
+      |  FROM mx191 JOIN tc191 tc2 ON tc2.user_id = mx191.user_id
+      |    AND tc2.tts = mx191.mtts
+      |  GROUP BY 1, 2),
+      |at191 AS (SELECT mx.rev,
+      |    CASE WHEN mx.mtts IS NOT NULL AND mx.mtts >= mx.cts - 604800000
+      |         THEN cp.camp END AS campaign
+      |  FROM mx191 mx
+      |  LEFT JOIN cp191 cp ON cp.user_id = mx.user_id
+      |    AND cp.event_id = mx.event_id)
+      |SELECT campaign, count(*) AS n_conversions,
+      |  CAST(sum(rev) AS DOUBLE)/1e6 AS revenue6
+      |FROM at191 GROUP BY campaign
+      |ORDER BY campaign NULLS FIRST""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d)
+    val conv = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), unix_millis(col("ts")).as("cts"),
+        floor(col("value") * lit(1e6) + lit(0.5)).cast("long").as("rev"))
+    val touch = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), unix_millis(col("ts")).as("tts"),
+        (regexp_extract(col("props"), "\"k\":\\s*(\\d+)", 1).cast("long")
+          % 10).as("campaign"))
+    graft.operators.Behavior.lastTouchAttribution(conv, touch, "user_id",
+        "cts", "tts", "rev", "campaign", windowMs = 604800000L)
+      .orderBy(col("campaign"))
+  }
 }

@@ -401,4 +401,57 @@ object Behavior {
       when(ok, abs(pr6(zRaw)) >= 1.96)
         .otherwise(lit(null).cast("boolean")).as("significant"))
   }
+
+  /** Last-touch revenue attribution: each conversion is credited to
+    * the LATEST touch (click/impression) by the same key at or
+    * before the conversion, provided it falls inside `windowMs`;
+    * conversions with no in-window touch land in the NULL-campaign
+    * row (reported, never silently dropped — unattributed spend is
+    * the number marketing actually argues about).
+    *
+    * Inputs are integer-ms/micro-unit frames (the q124 epoch-ms
+    * discipline): `conversions` carries (keyCol, convTsMsCol,
+    * valueMicroCol — revenue pre-snapped to 1e-6 integer units so
+    * the attribution sums are exact in any partition order);
+    * `touches` carries (keyCol, touchTsMsCol, campaignCol). Ties:
+    * several touches on the same millisecond resolve to the GREATEST
+    * campaign value ([[AsOfJoin.floorJoin]]'s documented equal-ts
+    * payload convention).
+    *
+    * Scale shape: ONE key shuffle (the floor join's union-tagged
+    * window — never a time-range join blowup), then a
+    * campaign-vocabulary-sized aggregate (map-side combined).
+    *
+    * Output: (campaign, n_conversions, revenue6), NULL campaign =
+    * unattributed.
+    */
+  def lastTouchAttribution(
+      conversions: DataFrame,
+      touches: DataFrame,
+      keyCol: String,
+      convTsMsCol: String,
+      touchTsMsCol: String,
+      valueMicroCol: String,
+      campaignCol: String,
+      windowMs: Long): DataFrame = {
+    require(windowMs > 0, s"windowMs must be positive, got $windowMs")
+    require(convTsMsCol != touchTsMsCol,
+      "conversion and touch ts columns must have distinct names " +
+        "(the floor join attaches the touch ts under its own name)")
+    val joined = AsOfJoin.floorJoin(
+      conversions, touches.select(col(keyCol), col(touchTsMsCol),
+        col(campaignCol)),
+      keys = Seq(keyCol), probeTs = convTsMsCol, buildTs = touchTsMsCol,
+      payload = Seq(touchTsMsCol, campaignCol))
+    joined
+      .withColumn("__camp",
+        when(col(touchTsMsCol).isNotNull &&
+          col(touchTsMsCol) >= col(convTsMsCol) - lit(windowMs),
+          col(campaignCol)))
+      .groupBy(col("__camp").as("campaign"))
+      .agg(count(lit(1)).as("n_conversions"),
+        sum(col(valueMicroCol)).as("__rm"))
+      .select(col("campaign"), col("n_conversions"),
+        (col("__rm").cast("double") / lit(1e6)).as("revenue6"))
+  }
 }

@@ -290,4 +290,28 @@ class BehaviorSpec extends SparkSuiteBase {
     }
     assert(e2.getMessage.contains("exactly 2 variants"))
   }
+
+  test("lastTouchAttribution: latest in-window touch wins, ties take max campaign") {
+    import spark.implicits._
+    val conv = Seq(
+      (1L, 150L, 2500000L), // after the tied touches → campaign 7
+      (1L, 50L, 3000000L),  // before any touch → unattributed
+      (2L, 1000L, 500000L), // touch at 0 expired (window 500)
+      (2L, 400L, 1000000L), // touch at 0 inside window
+      (3L, 500L, 700000L))  // touch exactly window old: 0 >= 500-500
+      .toDF("u", "cts", "rev")
+    val touch = Seq(
+      (1L, 100L, 3L), (1L, 100L, 7L), // same-ms tie → greatest campaign
+      (2L, 0L, 1L), (3L, 0L, 4L))
+      .toDF("u", "tts", "campaign")
+    val got = Behavior.lastTouchAttribution(conv, touch, "u",
+        "cts", "tts", "rev", "campaign", windowMs = 500L)
+      .orderBy(col("campaign"))
+      .collect()
+      .map(r => (if (r.isNullAt(0)) -1L else r.getLong(0),
+        r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq === Seq(
+      (-1L, 2L, 3.5), // no-touch + expired purchases, summed exactly
+      (1L, 1L, 1.0), (4L, 1L, 0.7), (7L, 1L, 2.5)), s"got ${got.toSeq}")
+  }
 }
