@@ -5118,4 +5118,53 @@ object PipelineQueries extends QueryGroup {
         "cts", "tts", "rev", "campaign", windowMs = 604800000L)
       .orderBy(col("campaign"))
   }
+
+  // Distribution-shift audit: two-sample Kolmogorov–Smirnov on
+  // l_extendedprice across q171's shipdate split — the SHAPE-change
+  // detector the mean/null/range drift report structurally cannot
+  // be. D's numerator is the exact integer max |c_a·n_b − c_b·n_a|
+  // (cross-multiplied cumulative counts — no float until the final
+  // one-row division), cumulatives ride range-partitioned prefix
+  // sums in the engine and a window in the oracle, and
+  // `significant` compares 6dp-ROUNDED D against the 6dp-rounded
+  // α=0.05 critical value.
+  q("q192_ks_test", {
+    def dd(e: String) = s"CAST($e AS DOUBLE)"
+    val d6 = s"floor(${dd("d_num")} / (${dd("n1")} * ${dd("n2")}) " +
+      "* 1e6 + 0.5)/1e6"
+    val crit6 = s"floor(1.358e0 * sqrt((${dd("n1")} + ${dd("n2")}) " +
+      s"/ (${dd("n1")} * ${dd("n2")})) * 1e6 + 0.5)/1e6"
+    s"""WITH u192 AS (
+       |  SELECT l_extendedprice AS v,
+       |    CASE WHEN l_shipdate < TIMESTAMP '1998-01-01' THEN 1 ELSE 0 END
+       |      AS s1,
+       |    CASE WHEN l_shipdate < TIMESTAMP '1998-01-01' THEN 0 ELSE 1 END
+       |      AS s2
+       |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+       |g192 AS (SELECT v, CAST(sum(s1) AS BIGINT) AS c1,
+       |    CAST(sum(s2) AS BIGINT) AS c2
+       |  FROM u192 GROUP BY v),
+       |p192 AS (SELECT
+       |    CAST(sum(c1) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+       |      AS BIGINT) AS cc1,
+       |    CAST(sum(c2) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+       |      AS BIGINT) AS cc2
+       |  FROM g192),
+       |t192 AS (SELECT CAST(sum(c1) AS BIGINT) AS n1,
+       |    CAST(sum(c2) AS BIGINT) AS n2 FROM g192),
+       |m192 AS (SELECT max(abs(cc1 * n2 - cc2 * n1)) AS d_num
+       |  FROM p192 CROSS JOIN t192)
+       |SELECT n1 AS n_a, n2 AS n_b, d_num,
+       |  $d6 AS d6,
+       |  $crit6 AS crit6,
+       |  ($d6) > ($crit6) AS significant
+       |FROM m192 CROSS JOIN t192""".stripMargin
+  }) { (s, d) =>
+    val li = Tables.lineitem(s, d)
+    val cut = lit("1998-01-01").cast("timestamp")
+    graft.operators.RankStats.ksTest(
+      li.filter(col("l_shipdate") < cut),
+      li.filter(col("l_shipdate") >= cut),
+      "l_extendedprice")
+  }
 }

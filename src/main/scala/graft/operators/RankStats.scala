@@ -208,4 +208,65 @@ object RankStats {
         pr6(col("__topx").cast("double") / col("__sx").cast("double"))
           .as("top_decile_share6"))
   }
+
+  /** Two-sample Kolmogorov–Smirnov distance between `valueCol`'s
+    * distributions in `a` and `b`: D = max |F_a(v) − F_b(v)| over the
+    * merged support, with the asymptotic α = 0.05 critical value
+    * c·√((n_a+n_b)/(n_a·n_b)), c = 1.358 — the
+    * did-the-distribution-actually-shift test behind drift alerts
+    * (q171 reports mean/null/range deltas; KS catches shape changes
+    * those miss entirely).
+    *
+    * Exactness: the maximized quantity is carried as the INTEGER
+    * |c_a·n_b − c_b·n_a| (cumulative counts cross-multiplied instead
+    * of divided), so D's numerator is an exact integer max — no float
+    * enters until the final one-row division, and `significant`
+    * compares the 6dp-ROUNDED D against the 6dp-rounded critical
+    * value (the q85 pred discipline). The cross-products stay inside
+    * int64 while n_a·n_b < 2^63 (~3e9 rows a side).
+    *
+    * Scale shape: one union + one distinct-value hash aggregate, then
+    * ONE range-partitioned prefix sum over the distinct-value frame —
+    * both sides' cumulatives ride a single packed long
+    * (`c_a·2³¹ + c_b`; exact while each side stays under 2³¹ rows,
+    * decoded by shift/mask), with the range partitions sized for the
+    * narrow (value, counters) projection — and one max aggregate.
+    * Nothing row-quadratic, no single-task window.
+    *
+    * Output: ONE row (n_a, n_b, d_num, d6, crit6, significant);
+    * NULL d/crit/significant when either side is empty.
+    */
+  def ksTest(a: DataFrame, b: DataFrame, valueCol: String): DataFrame = {
+    val u = a.filter(col(valueCol).isNotNull)
+      .select(col(valueCol).as("__v"), lit(1L).as("__s1"), lit(0L).as("__s2"))
+      .unionByName(b.filter(col(valueCol).isNotNull)
+        .select(col(valueCol).as("__v"), lit(0L).as("__s1"),
+          lit(1L).as("__s2")))
+    val K = 1L << 31
+    val g = u.groupBy(col("__v"))
+      .agg(sum(col("__s1")).as("__c1"), sum(col("__s2")).as("__c2"))
+      .withColumn("__pk", col("__c1") * lit(K) + col("__c2"))
+    val p = ScaleOps.prefixSumByRange(g, Seq("__v"), col("__pk"), "__bp",
+      targetPartBytes = 1L << 20)
+    val tot = g.agg(coalesce(sum(col("__c1")), lit(0L)).as("__n1"),
+      coalesce(sum(col("__c2")), lit(0L)).as("__n2"))
+    val dmax = p.crossJoin(broadcast(tot))
+      .select(abs(
+        (shiftright(col("__bp"), 31) + col("__c1")) * col("__n2") -
+          (col("__bp").bitwiseAND(lit(K - 1L)) + col("__c2")) * col("__n1"))
+        .as("__dn"))
+      .agg(coalesce(max(col("__dn")), lit(0L)).as("d_num"))
+      .crossJoin(broadcast(tot))
+    val n1d = col("__n1").cast("double")
+    val n2d = col("__n2").cast("double")
+    val ok = col("__n1") > 0 && col("__n2") > 0
+    val d6 = pr6(col("d_num").cast("double") / (n1d * n2d))
+    val crit6 = pr6(lit(1.358) * sqrt((n1d + n2d) / (n1d * n2d)))
+    dmax.select(col("__n1").as("n_a"), col("__n2").as("n_b"),
+      col("d_num"),
+      when(ok, d6).otherwise(lit(null).cast("double")).as("d6"),
+      when(ok, crit6).otherwise(lit(null).cast("double")).as("crit6"),
+      when(ok, d6 > crit6).otherwise(lit(null).cast("boolean"))
+        .as("significant"))
+  }
 }

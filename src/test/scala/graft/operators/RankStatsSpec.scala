@@ -97,6 +97,33 @@ class RankStatsSpec extends SparkSuiteBase {
     assert(TextAnalysis.zipfFit(docs, "text", topK = 256).head() == r)
   }
 
+  test("ksTest: hand CDF gaps, identical zero, empty-side NULL") {
+    import spark.implicits._
+    // a=[1,1,2,3], b=[1,2,2,4]: max gap at v=1 and v=3, both
+    // |cc_a·n_b − cc_b·n_a| = 4 → D = 4/16 = 0.25
+    val a = Seq(1.0, 1.0, 2.0, 3.0).toDF("v")
+    val b = Seq(1.0, 2.0, 2.0, 4.0).toDF("v")
+    val r = RankStats.ksTest(a, b, "v").head()
+    assert(r.getAs[Long]("n_a") == 4L && r.getAs[Long]("n_b") == 4L)
+    assert(r.getAs[Long]("d_num") == 4L)
+    assert(r.getAs[Double]("d6") == 0.25)
+    assert(!r.getAs[Boolean]("significant"), "tiny samples can't reach crit")
+
+    val same = RankStats.ksTest(a, a, "v").head()
+    assert(same.getAs[Long]("d_num") == 0L)
+    assert(same.getAs[Double]("d6") == 0.0)
+
+    // fully separated supports: D = 1 exactly
+    val lo = Seq(1.0, 2.0).toDF("v")
+    val hi = Seq(10.0, 20.0).toDF("v")
+    assert(RankStats.ksTest(lo, hi, "v").head().getAs[Double]("d6") == 1.0)
+
+    val empty = RankStats.ksTest(lo, hi.filter(col("v") < 0), "v").head()
+    assert(empty.getAs[Long]("n_b") == 0L)
+    assert(empty.isNullAt(empty.fieldIndex("d6")))
+    assert(empty.isNullAt(empty.fieldIndex("significant")))
+  }
+
   test("zipfFit: rank ties broken by token text, topK truncates") {
     import spark.implicits._
     val docs = Seq(Seq.fill(4)("x y z").mkString(" ")).toDF("text")
