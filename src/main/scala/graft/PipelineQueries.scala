@@ -5167,4 +5167,63 @@ object PipelineQueries extends QueryGroup {
       li.filter(col("l_shipdate") >= cut),
       "l_extendedprice")
   }
+
+  // Time-to-event analytics: Kaplan–Meier survival from first signup
+  // to first purchase, right-censored at the global event horizon —
+  // the conversion readout that stays honest when observation
+  // windows differ per user. Integer ms→day division on both sides;
+  // the survival product is a cumulative integer-micro ln sum
+  // (exp'd at the end), and a d=n day drives S to exact 0 via a
+  // cumulative flag, never ln(0). Day-frame windows are
+  // calendar-bounded (see the operator doc).
+  q("q193_kaplan_meier",
+    """WITH st193 AS (SELECT user_id, min(epoch_ms(ts)) AS s
+      |  FROM events WHERE event_type = 'signup' GROUP BY 1),
+      |hz193 AS (SELECT max(epoch_ms(ts)) AS h FROM events),
+      |dt193 AS (SELECT st193.user_id, st193.s, min(epoch_ms(e.ts)) AS d
+      |  FROM st193 LEFT JOIN events e ON e.user_id = st193.user_id
+      |    AND e.event_type = 'purchase' AND epoch_ms(e.ts) >= st193.s
+      |  GROUP BY 1, 2),
+      |su193 AS (SELECT user_id,
+      |    CASE WHEN d IS NOT NULL THEN (d - s) // 86400000
+      |         ELSE (h - s) // 86400000 END AS day,
+      |    (d IS NOT NULL) AS died
+      |  FROM dt193 CROSS JOIN hz193),
+      |ds193 AS (SELECT day,
+      |    CAST(sum(CASE WHEN died THEN 1 ELSE 0 END) AS BIGINT) AS d,
+      |    CAST(sum(CASE WHEN died THEN 0 ELSE 1 END) AS BIGINT) AS w
+      |  FROM su193 GROUP BY day),
+      |nn193 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM su193),
+      |rk193 AS (SELECT day, d, w,
+      |    n - CAST(coalesce(sum(d + w) OVER (ORDER BY day
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      |      AS atrisk
+      |  FROM ds193 CROSS JOIN nn193),
+      |ev193 AS (SELECT day, d, w, atrisk,
+      |    CASE WHEN d < atrisk THEN CAST(floor(
+      |        ln(CAST(atrisk - d AS DOUBLE) / CAST(atrisk AS DOUBLE))
+      |        * 1e6 + 0.5) AS BIGINT) ELSE 0 END AS tm,
+      |    CASE WHEN d >= atrisk THEN 1 ELSE 0 END AS zf
+      |  FROM rk193 WHERE d > 0),
+      |cm193 AS (SELECT day, d, w, atrisk,
+      |    CAST(sum(tm) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+      |      AS BIGINT) AS ct,
+      |    CAST(sum(zf) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+      |      AS BIGINT) AS cz
+      |  FROM ev193)
+      |SELECT day, atrisk AS n_at_risk, d AS n_events, w AS n_censored,
+      |  CASE WHEN cz > 0 THEN 0e0
+      |       ELSE floor(exp(CAST(ct AS DOUBLE) / 1e6) * 1e6 + 0.5)/1e6
+      |  END AS survival6
+      |FROM cm193 ORDER BY day""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d)
+    val starts = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(unix_millis(col("ts"))).as("s0"))
+    val deaths = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), unix_millis(col("ts")).as("e0"))
+    val horizon = ev.agg(max(unix_millis(col("ts")))).head().getLong(0)
+    graft.operators.Behavior.kaplanMeier(starts, deaths, "user_id",
+        "s0", "e0", horizon)
+      .orderBy(col("day"))
+  }
 }

@@ -454,4 +454,85 @@ object Behavior {
       .select(col("campaign"), col("n_conversions"),
         (col("__rm").cast("double") / lit(1e6)).as("revenue6"))
   }
+
+  /** Kaplan–Meier survival curve over integer event days: each
+    * subject in `starts` either dies at its first `deaths` event at
+    * or after its start, or is right-censored at `horizonMs` (the
+    * end of observation) — the time-to-event readout (signup →
+    * first purchase, onboarding → churn) that a plain conversion
+    * rate misrepresents whenever observation windows differ.
+    *
+    *   S(t) = Π_{tᵢ ≤ t, event days} (1 − dᵢ/nᵢ)
+    *
+    * with the standard convention that subjects censored on an event
+    * day count as at-risk on that day and leave after.
+    *
+    * Determinism: day arithmetic is integer ms→day division; the
+    * product is carried as the CUMULATIVE INTEGER-MICRO SUM of
+    * ln((n−d)/n) terms (each term snapped before summing — the q163
+    * discipline — so S(t) = exp(Σ/1e6) is identical in any engine),
+    * and a day with d = n drives S to EXACT 0 from that day on via a
+    * cumulative flag instead of ln(0).
+    *
+    * Scale shape: one key-shuffle join (first death per subject),
+    * one subject-grain aggregate, then all remaining work on the
+    * DAY-STAT frame, which is calendar-bounded (one row per distinct
+    * duration day — horizon-days rows at most, never subject-count
+    * rows), where the cumulative windows run single-task by design
+    * (the Tokenize vocab-rank bounded-frame precedent).
+    *
+    * Output: (day, n_at_risk, n_events, n_censored, survival6) for
+    * event days, day ascending.
+    */
+  def kaplanMeier(
+      starts: DataFrame,
+      deaths: DataFrame,
+      keyCol: String,
+      startMsCol: String,
+      eventMsCol: String,
+      horizonMs: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dayMs = 86400000L
+    val firstDeath = starts
+      .select(col(keyCol).as("__k"), col(startMsCol).as("__s"))
+      .join(deaths.select(col(keyCol).as("__k"),
+        col(eventMsCol).as("__e")), Seq("__k"), "left")
+      .groupBy(col("__k"), col("__s"))
+      .agg(min(when(col("__e") >= col("__s"), col("__e"))).as("__d"))
+    val subjects = firstDeath
+      .select(
+        // INTEGRAL division (ms → day): `/` on longs is DOUBLE
+        // division in Spark, and truncating it can disagree with the
+        // oracle's integer `//` by one at exact-multiple boundaries
+        when(col("__d").isNotNull, col("__d") - col("__s"))
+          .otherwise(lit(horizonMs) - col("__s")).as("__dur"),
+        col("__d").isNotNull.as("__died"))
+      .select(expr(s"__dur div ${dayMs}L").as("day"), col("__died"))
+    val dayStats = subjects.groupBy(col("day"))
+      .agg(sum(when(col("__died"), 1L).otherwise(0L)).as("__d"),
+        sum(when(col("__died"), 0L).otherwise(1L)).as("__w"))
+    val tot = subjects.agg(count(lit(1)).as("__n"))
+    val wBefore = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val atRisk = dayStats.crossJoin(broadcast(tot))
+      .withColumn("__atrisk", col("__n") -
+        coalesce(sum(col("__d") + col("__w")).over(wBefore), lit(0L)))
+      .filter(col("__d") > 0)
+      .withColumn("__tm", when(col("__d") < col("__atrisk"),
+        floor(log((col("__atrisk") - col("__d")).cast("double") /
+          col("__atrisk").cast("double")) * lit(1e6) + lit(0.5))
+          .cast("long")).otherwise(0L))
+      .withColumn("__zf", when(col("__d") >= col("__atrisk"), 1L)
+        .otherwise(0L))
+    val wIncl = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    atRisk
+      .withColumn("__ct", sum(col("__tm")).over(wIncl))
+      .withColumn("__cz", sum(col("__zf")).over(wIncl))
+      .select(col("day"), col("__atrisk").as("n_at_risk"),
+        col("__d").as("n_events"), col("__w").as("n_censored"),
+        when(col("__cz") > 0, lit(0e0))
+          .otherwise(floor(exp(col("__ct").cast("double") / lit(1e6)) *
+            lit(1e6) + lit(0.5)) / lit(1e6)).as("survival6"))
+  }
 }

@@ -314,4 +314,39 @@ class BehaviorSpec extends SparkSuiteBase {
       (-1L, 2L, 3.5), // no-touch + expired purchases, summed exactly
       (1L, 1L, 1.0), (4L, 1L, 0.7), (7L, 1L, 2.5)), s"got ${got.toSeq}")
   }
+
+  test("kaplanMeier: hand-computed curve with censoring") {
+    import spark.implicits._
+    val day = 86400000L
+    // u1,u2 die day 2; u3 starts day 5, no death → censored day 5
+    // (horizon 10); u4 dies day 7; u5 censored day 10.
+    // S(2) = 3/5, S(7) = 3/5 · 1/2 = 0.3; at-risk 5 → 3 → 2 → 1
+    val starts = Seq((1L, 0L), (2L, 0L), (3L, 5 * day), (4L, 0L),
+      (5L, 0L)).toDF("u", "s0")
+    val deaths = Seq((1L, 2 * day), (2L, 2 * day), (4L, 7 * day))
+      .toDF("u", "e0")
+    val got = Behavior.kaplanMeier(starts, deaths, "u", "s0", "e0",
+        horizonMs = 10 * day)
+      .orderBy(col("day")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(got.toSeq === Seq(
+      (2L, 5L, 2L, 0L, 0.6),
+      (7L, 2L, 1L, 0L, 0.3)), s"got ${got.toSeq}")
+  }
+
+  test("kaplanMeier: extinction day reads exact 0, pre-start deaths ignored") {
+    import spark.implicits._
+    val day = 86400000L
+    // a death BEFORE the subject's start must not count (u2's stray
+    // early event); both subjects then die on day 1 → d = n → S = 0
+    val starts = Seq((1L, 0L), (2L, 0L)).toDF("u", "s0")
+    val deaths = Seq((1L, 1 * day), (2L, -3 * day), (2L, 1 * day))
+      .toDF("u", "e0")
+    val got = Behavior.kaplanMeier(starts, deaths, "u", "s0", "e0",
+        horizonMs = 5 * day)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(4)))
+    assert(got.toSeq === Seq((1L, 2L, 2L, 0.0)), s"got ${got.toSeq}")
+  }
 }
