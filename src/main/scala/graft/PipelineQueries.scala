@@ -5226,4 +5226,45 @@ object PipelineQueries extends QueryGroup {
         "s0", "e0", horizon)
       .orderBy(col("day"))
   }
+
+  // Robust per-user outlier profile: median/MAD with the 1.4826
+  // σ-consistency scale — the detector a single wild point cannot
+  // poison (q121's rolling mean/stddev chases it). Both medians are
+  // SELECTED lower-median order statistics (raw input values, never
+  // averaged — bit-identical cross-engine); the outlier compare runs
+  // on 6dp-rounded deviation vs 6dp-rounded threshold. The whole
+  // operator rides ONE key exchange (both rank passes re-sort within
+  // the same partitioning; plan-asserted in the spec).
+  q("q194_mad_outliers",
+    """WITH v194 AS (SELECT user_id, event_id, value AS x FROM events
+      |  WHERE value IS NOT NULL),
+      |r194 AS (SELECT user_id, event_id, x,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY x, event_id)
+      |      AS rn,
+      |    count(*) OVER (PARTITION BY user_id) AS n
+      |  FROM v194),
+      |m194 AS (SELECT user_id,
+      |    max(CASE WHEN rn = (n + 1) // 2 THEN x END) AS med
+      |  FROM r194 GROUP BY 1),
+      |d194 AS (SELECT r194.user_id, r194.event_id, abs(x - med) AS dev,
+      |    med, n
+      |  FROM r194 JOIN m194 USING (user_id)),
+      |r294 AS (SELECT user_id, med, n, dev,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY dev, event_id)
+      |      AS rn2
+      |  FROM d194),
+      |md194 AS (SELECT user_id,
+      |    max(CASE WHEN rn2 = (n + 1) // 2 THEN dev END) AS mad
+      |  FROM r294 GROUP BY 1)
+      |SELECT d194.user_id, CAST(max(n) AS BIGINT) AS n,
+      |  max(med) AS median, max(mad) AS mad,
+      |  CAST(sum(CASE WHEN floor(dev * 1e6 + 0.5)/1e6 >
+      |      floor(3e0 * 1.4826e0 * mad * 1e6 + 0.5)/1e6
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+      |FROM d194 JOIN md194 USING (user_id)
+      |GROUP BY d194.user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+    graft.operators.RankStats.robustOutliers(Tables.events(s, d),
+        "user_id", "value", "event_id", k = 3.0)
+      .orderBy(col("user_id"))
+  }
 }

@@ -269,4 +269,62 @@ object RankStats {
       when(ok, d6 > crit6).otherwise(lit(null).cast("boolean"))
         .as("significant"))
   }
+
+  /** Per-key robust outlier profile: median / MAD (median absolute
+    * deviation, scaled by 1.4826 ≈ 1/Φ⁻¹(3/4) to be σ-consistent)
+    * and the count of points beyond `k` robust sigmas — the outlier
+    * detector that, unlike the rolling z-score (q121), a single
+    * wild point cannot poison, because medians don't chase it.
+    *
+    * Exactness: both medians are SELECTED order statistics (the
+    * LOWER median, rank (n+1) div 2 under the (value, tie) total
+    * order) — never averaged, so they are raw input values and
+    * bit-identical in any engine; the only arithmetic is |x − med|
+    * and the threshold product, and the outlier compare runs on
+    * 6dp-ROUNDED deviation vs 6dp-rounded threshold (the q85 pred
+    * discipline).
+    *
+    * Scale shape: ONE key exchange carries everything — both rank
+    * passes are windows over the same key partitioning (a re-sort
+    * within partitions, no second shuffle) and the final rollup
+    * groups on the same key. Per-key state never leaves the
+    * executor.
+    *
+    * Output: (keyCol, n, median, mad, n_outliers), one row per key.
+    */
+  def robustOutliers(
+      df: DataFrame,
+      keyCol: String,
+      valueCol: String,
+      tieCol: String,
+      k: Double = 3.0): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val wVal = Window.partitionBy(col(keyCol))
+      .orderBy(col("__x"), col(tieCol))
+    val wAll = Window.partitionBy(col(keyCol))
+    val ranked = df
+      .filter(col(valueCol).isNotNull)
+      .select(col(keyCol), col(tieCol),
+        col(valueCol).cast("double").as("__x"))
+      .withColumn("__rn", row_number().over(wVal))
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .withColumn("__m", expr("(__n + 1L) div 2L"))
+      .withColumn("__med",
+        max(when(col("__rn") === col("__m"), col("__x"))).over(wAll))
+      .withColumn("__dev", abs(col("__x") - col("__med")))
+    val wDev = Window.partitionBy(col(keyCol))
+      .orderBy(col("__dev"), col(tieCol))
+    val withMad = ranked
+      .withColumn("__rn2", row_number().over(wDev))
+      .withColumn("__mad",
+        max(when(col("__rn2") === col("__m"), col("__dev"))).over(wAll))
+    withMad
+      .groupBy(col(keyCol))
+      .agg(max(col("__n")).as("n"), max(col("__med")).as("median"),
+        max(col("__mad")).as("mad"),
+        sum(when(pr6(col("__dev")) >
+          pr6(lit(k) * lit(1.4826) * col("__mad")), 1L).otherwise(0L))
+          .as("n_outliers"))
+  }
 }

@@ -79,6 +79,34 @@ class RankStatsSpec extends SparkSuiteBase {
     assert(r.getAs[Double]("top_decile_share6") == 0.848739)
   }
 
+  test("robustOutliers: lower medians, MAD scale, one exchange") {
+    import spark.implicits._
+    // key 1: x=[1,2,3,4,100] → med=3, dev sorted [0,1,1,2,97] →
+    // mad=1, threshold 4.4478 → only 97 is out.
+    // key 2 (even n): x=[1,2,3,10] → LOWER med=2, dev sorted
+    // [0,1,1,8] → mad=1 → only 8 is out.
+    val df = (Seq((1L, 1L, 1.0), (1L, 2L, 2.0), (1L, 3L, 3.0),
+      (1L, 4L, 4.0), (1L, 5L, 100.0)) ++
+      Seq((2L, 1L, 1.0), (2L, 2L, 2.0), (2L, 3L, 3.0), (2L, 4L, 10.0)))
+      .toDF("k", "id", "v")
+    val got = RankStats.robustOutliers(df, "k", "v", "id")
+      .orderBy(col("k")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getLong(4)))
+    assert(got.toSeq === Seq(
+      (1L, 5L, 3.0, 1.0, 1L), (2L, 4L, 2.0, 1.0, 1L)), s"got ${got.toSeq}")
+    // zero-MAD key: constant values → every deviation 0, none out
+    val const = Seq((9L, 1L, 7.0), (9L, 2L, 7.0)).toDF("k", "id", "v")
+    val rc = RankStats.robustOutliers(const, "k", "v", "id").head()
+    assert(rc.getDouble(3) == 0.0 && rc.getLong(4) == 0L)
+    // the whole operator rides ONE key exchange (both rank passes
+    // re-sort inside the same partitioning)
+    val plan = RankStats.robustOutliers(df, "k", "v", "id")
+      .queryExecution.executedPlan.toString
+    val exchanges = "hashpartitioning\\(k".r.findAllIn(plan).length
+    assert(exchanges <= 1, s"expected one key exchange:\n$plan")
+  }
+
   test("zipfFit: exact power law reads slope -1") {
     import spark.implicits._
     // freq = 24/r for r=1..4 — an exact Zipf curve; the only slope
