@@ -5267,4 +5267,47 @@ object PipelineQueries extends QueryGroup {
         "user_id", "value", "event_id", k = 3.0)
       .orderBy(col("user_id"))
   }
+
+  // Customer-value segmentation: RFM quartile scores (Hughes 1994)
+  // over purchase events, horizon = the global max event time. All
+  // three scores are integer rank-quartiles under (metric, user)
+  // total orders — q183's equal-count binning, no percentile floats;
+  // revenue aggregates in integer micro-units.
+  q("q195_rfm_scores",
+    """WITH pu195 AS (SELECT user_id, epoch_ms(ts) AS t,
+      |    CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS rev
+      |  FROM events WHERE event_type = 'purchase'),
+      |hz195 AS (SELECT max(epoch_ms(ts)) AS h FROM events),
+      |per195 AS (SELECT user_id,
+      |    (h - max(t)) // 86400000 AS recency_days,
+      |    CAST(count(*) AS BIGINT) AS frequency,
+      |    CAST(sum(rev) AS BIGINT) AS mon
+      |  FROM pu195 CROSS JOIN hz195 GROUP BY user_id, h),
+      |nn195 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM per195),
+      |rk195 AS (SELECT user_id, recency_days, frequency, mon,
+      |    row_number() OVER (ORDER BY recency_days, user_id) - 1 AS rr,
+      |    row_number() OVER (ORDER BY frequency, user_id) - 1 AS rf,
+      |    row_number() OVER (ORDER BY mon, user_id) - 1 AS rm
+      |  FROM per195),
+      |sc195 AS (SELECT user_id, recency_days, frequency, mon,
+      |    5 - ((rr * 4) // n + 1) AS r_score,
+      |    (rf * 4) // n + 1 AS f_score,
+      |    (rm * 4) // n + 1 AS m_score
+      |  FROM rk195 CROSS JOIN nn195)
+      |SELECT user_id, recency_days, frequency,
+      |  CAST(mon AS DOUBLE)/1e6 AS monetary6,
+      |  CAST(r_score AS BIGINT) AS r_score,
+      |  CAST(f_score AS BIGINT) AS f_score,
+      |  CAST(m_score AS BIGINT) AS m_score,
+      |  CAST(r_score * 100 + f_score * 10 + m_score AS BIGINT) AS rfm
+      |FROM sc195 ORDER BY user_id""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), unix_millis(col("ts")).as("t"),
+        floor(col("value") * lit(1e6) + lit(0.5)).cast("long").as("rev"))
+    val horizon = ev.agg(max(unix_millis(col("ts")))).head().getLong(0)
+    graft.operators.Behavior.rfmScores(purchases, "user_id", "t", "rev",
+        horizonMs = horizon)
+      .orderBy(col("user_id"))
+  }
 }

@@ -535,4 +535,56 @@ object Behavior {
           .otherwise(floor(exp(col("__ct").cast("double") / lit(1e6)) *
             lit(1e6) + lit(0.5)) / lit(1e6)).as("survival6"))
   }
+
+  /** RFM segmentation: per-key Recency (days since last purchase at
+    * `horizonMs`), Frequency (purchase count) and Monetary (revenue,
+    * integer micro-units), each quartile-scored 1–4 with 4 best —
+    * the classic customer-value grid (Hughes 1994) every CRM export
+    * carries.
+    *
+    * Scores are INTEGER rank-quartiles under a TOTAL order
+    * (metric, key) — `score = rank·4 div n` flipped for recency
+    * where smaller is better — the q183 equal-count binning
+    * discipline: no percentile floats, ties broken by key
+    * identically in both engines.
+    *
+    * Scale shape: one key aggregate, then three range-partitioned
+    * prefix-sum rankings over the KEY-sized frame (one per metric —
+    * different total orders genuinely need different sorts), one
+    * metadata count. No corpus-sized window.
+    *
+    * Output: (keyCol, recency_days, frequency, monetary6, r_score,
+    * f_score, m_score, rfm), rfm = r·100 + f·10 + m.
+    */
+  def rfmScores(
+      purchases: DataFrame,
+      keyCol: String,
+      tsMsCol: String,
+      valueMicroCol: String,
+      horizonMs: Long): DataFrame = {
+    val per = purchases
+      .groupBy(col(keyCol))
+      .agg(max(col(tsMsCol)).as("__last"),
+        count(lit(1)).as("frequency"),
+        sum(col(valueMicroCol)).as("__mon"))
+      .select(col(keyCol),
+        expr(s"(${horizonMs}L - __last) div 86400000L").as("recency_days"),
+        col("frequency"), col("__mon"))
+    val n = per.count()
+    require(n > 0, "rfmScores needs at least one purchaser")
+    def binned(df: DataFrame, metric: String, name: String): DataFrame =
+      ScaleOps.prefixSumByRange(df, Seq(metric, keyCol), lit(1L), "__r0")
+        .withColumn(name, expr(s"(__r0 * 4L) div ${n}L + 1L"))
+        .drop("__r0")
+    val scored = binned(binned(binned(
+      per, "recency_days", "__rr"), "frequency", "f_score"),
+      "__mon", "m_score")
+      // recency: SMALLER is better → flip the ascending quartile
+      .withColumn("r_score", lit(5L) - col("__rr"))
+    scored.select(col(keyCol), col("recency_days"), col("frequency"),
+      (col("__mon").cast("double") / lit(1e6)).as("monetary6"),
+      col("r_score"), col("f_score"), col("m_score"),
+      (col("r_score") * 100L + col("f_score") * 10L + col("m_score"))
+        .as("rfm"))
+  }
 }

@@ -349,4 +349,25 @@ class BehaviorSpec extends SparkSuiteBase {
         r.getDouble(4)))
     assert(got.toSeq === Seq((1L, 2L, 2L, 0.0)), s"got ${got.toSeq}")
   }
+
+  test("rfmScores: quartile grid hand-checked, monetary tie by key") {
+    import spark.implicits._
+    val day = 86400000L
+    val p = (Seq.fill(4)((1L, 1 * day, 1000000L)) ++
+      Seq((2L, 9 * day, 10000000L)) ++
+      Seq.fill(2)((3L, 5 * day, 2000000L)) ++
+      Seq.fill(3)((4L, 8 * day, 500000L)))
+      .toDF("u", "t", "rev")
+    val got = Behavior.rfmScores(p, "u", "t", "rev", horizonMs = 10 * day)
+      .orderBy(col("u")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+    // u1/u3 tie at monetary 4.0 — broken by key, u1 takes the lower
+    // quartile slot
+    assert(got.toSeq === Seq(
+      (1L, 9L, 4L, 4.0, 1L, 4L, 2L, 142L),
+      (2L, 1L, 1L, 10.0, 4L, 1L, 4L, 414L),
+      (3L, 5L, 2L, 4.0, 2L, 2L, 3L, 223L),
+      (4L, 2L, 3L, 1.5, 3L, 3L, 1L, 331L)), s"got ${got.toSeq}")
+  }
 }
