@@ -5310,4 +5310,44 @@ object PipelineQueries extends QueryGroup {
         horizonMs = horizon)
       .orderBy(col("user_id"))
   }
+
+  // Uncertainty for corpus statistics: Poisson-bootstrap 95% CI for
+  // the mean document length — the one-pass per-row-independent
+  // bootstrap that works at data scale (64 md5-deterministic
+  // Poisson(1) reweightings, map-side-combined to 64 integer sum
+  // pairs; classic resampling would draw n per replicate). Every
+  // weight replays in the oracle; replicate means are identical
+  // doubles so the 2.5%/97.5% order-statistic selection agrees.
+  q("q196_bootstrap_ci",
+    """WITH x196 AS (SELECT CAST(doc_id AS VARCHAR) AS id,
+      |    CAST(n_chars AS BIGINT) AS x
+      |  FROM documents WHERE n_chars IS NOT NULL AND doc_id IS NOT NULL),
+      |r196 AS (SELECT id, x, j,
+      |    CAST('0x' || substr(md5(id || ':' || CAST(j AS VARCHAR)), 1, 15)
+      |      AS BIGINT) % 1000000 AS u
+      |  FROM x196 CROSS JOIN (SELECT unnest(range(0, 64)) AS j)),
+      |w196 AS (SELECT x, j,
+      |    CASE WHEN u < 367879 THEN 0 WHEN u < 735758 THEN 1
+      |         WHEN u < 919698 THEN 2 WHEN u < 981011 THEN 3
+      |         WHEN u < 996340 THEN 4 WHEN u < 999405 THEN 5
+      |         ELSE 6 END AS w
+      |  FROM r196),
+      |m196 AS (SELECT j, CAST(sum(w * x) AS BIGINT) AS swx,
+      |    CAST(sum(w) AS BIGINT) AS sw
+      |  FROM w196 GROUP BY j),
+      |mu196 AS (SELECT CAST(swx AS DOUBLE) / CAST(sw AS DOUBLE) AS mu
+      |  FROM m196 WHERE sw > 0),
+      |s196 AS (SELECT list_sort(list(mu)) AS l FROM mu196),
+      |b196 AS (SELECT CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(x) AS BIGINT) AS sx
+      |  FROM x196)
+      |SELECT n, CAST(64 AS BIGINT) AS b,
+      |  floor(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) * 1e6 + 0.5)/1e6
+      |    AS mean6,
+      |  floor(l[2] * 1e6 + 0.5)/1e6 AS ci_lo6,
+      |  floor(l[63] * 1e6 + 0.5)/1e6 AS ci_hi6
+      |FROM s196 CROSS JOIN b196""".stripMargin) { (s, d) =>
+    graft.operators.RankStats.poissonBootstrapMean(
+      Tables.documents(s, d), "doc_id", "n_chars", b = 64)
+  }
 }

@@ -327,4 +327,73 @@ object RankStats {
           pr6(lit(k) * lit(1.4826) * col("__mad")), 1L).otherwise(0L))
           .as("n_outliers"))
   }
+
+  /** Poisson(1) CDF in integer micro-units — the deterministic
+    * resampling weights' inverse-CDF thresholds (u < cdf(k) → weight
+    * k; the ≥6 tail, mass 6e-5, caps at 6). Hard literals so engine
+    * and oracle compare the SAME integers.
+    */
+  private[graft] val PoissonCdfMicro: Seq[Long] =
+    Seq(367879L, 735758L, 919698L, 981011L, 996340L, 999405L)
+
+  /** Poisson-bootstrap confidence interval for the mean of
+    * `valueCol` (integer-valued; pre-snap doubles to micro-units) —
+    * the one-pass, per-row-independent bootstrap used at data scale
+    * (each replicate reweights every row by an independent
+    * Poisson(1) count, the large-n limit of multinomial resampling),
+    * where classic resampling would need n draws per replicate.
+    * Replicate weights are md5-uniform inverse-CDF draws
+    * ([[PoissonCdfMicro]]) keyed by (id, replicate) — fully
+    * deterministic, so the oracle replays every weight.
+    *
+    * Replicate sums are exact integer aggregates; replicate means
+    * are identical doubles in both engines, so sorting and selecting
+    * the 2.5%/97.5% order statistics is deterministic. Output
+    * rounding only at the end.
+    *
+    * Scale shape: the b-way row expansion feeds a b-group hash
+    * aggregate — map-side combine collapses each task to ≤ b rows
+    * before the shuffle, so the exchange carries b·tasks rows
+    * however large the corpus; the CI selection runs on b values.
+    *
+    * Output: ONE row (n, b, mean6, ci_lo6, ci_hi6).
+    */
+  def poissonBootstrapMean(
+      df: DataFrame,
+      idCol: String,
+      valueCol: String,
+      b: Int = 64): DataFrame = {
+    require(b >= 4 && b <= 1024, s"replicates must be in [4, 1024], got $b")
+    val x = df
+      .filter(col(valueCol).isNotNull && col(idCol).isNotNull)
+      .select(col(idCol).cast("string").as("__id"),
+        col(valueCol).cast("long").as("__x"))
+    val rep = x.select(col("__id"), col("__x"),
+      explode(array((0 until b).map(j => lit(j.toLong)): _*)).as("__j"))
+    val u = graft.functions.PortableHash.md5Long60(
+      concat(col("__id"), lit(":"), col("__j").cast("string"))) %
+      lit(1000000L)
+    val w = PoissonCdfMicro.zipWithIndex.reverse
+      .foldLeft(lit(6L)) { case (acc, (t, k)) =>
+        when(u < lit(t), lit(k.toLong)).otherwise(acc)
+      }
+    val means = rep
+      .withColumn("__w", w)
+      .groupBy(col("__j"))
+      .agg(sum(col("__w") * col("__x")).as("__swx"),
+        sum(col("__w")).as("__sw"))
+      .filter(col("__sw") > 0)
+      .select((col("__swx").cast("double") / col("__sw").cast("double"))
+        .as("__mu"))
+    val ci = means.agg(sort_array(collect_list(col("__mu"))).as("__l"))
+    val base = x.agg(count(lit(1)).as("__n"), sum(col("__x")).as("__sx"))
+    val il = b * 25 / 1000 + 1  // 1-based order-statistic indices
+    val iu = b * 975 / 1000 + 1
+    ci.crossJoin(base).select(
+      col("__n").as("n"), lit(b.toLong).as("b"),
+      pr6(col("__sx").cast("double") / col("__n").cast("double"))
+        .as("mean6"),
+      pr6(element_at(col("__l"), il)).as("ci_lo6"),
+      pr6(element_at(col("__l"), iu)).as("ci_hi6"))
+  }
 }

@@ -107,6 +107,23 @@ class RankStatsSpec extends SparkSuiteBase {
     assert(exchanges <= 1, s"expected one key exchange:\n$plan")
   }
 
+  test("poissonBootstrapMean: deterministic, CI brackets the mean") {
+    import spark.implicits._
+    val df = (1 to 200).map(i => (i.toLong, i.toLong)).toDF("id", "x")
+    val r = RankStats.poissonBootstrapMean(df, "id", "x", b = 64).head()
+    assert(r.getAs[Long]("n") == 200L && r.getAs[Long]("b") == 64L)
+    assert(r.getAs[Double]("mean6") == 100.5)
+    val (lo, hi) = (r.getAs[Double]("ci_lo6"), r.getAs[Double]("ci_hi6"))
+    assert(lo < 100.5 && 100.5 < hi, s"CI [$lo, $hi] must bracket 100.5")
+    // a 95% CI of the mean of 1..200 (σ≈57.7) is a few units wide
+    assert(hi - lo > 1.0 && hi - lo < 40.0, s"width ${hi - lo}")
+    // md5-keyed weights: bit-identical across runs
+    assert(RankStats.poissonBootstrapMean(df, "id", "x", b = 64).head() == r)
+    intercept[IllegalArgumentException] {
+      RankStats.poissonBootstrapMean(df, "id", "x", b = 2)
+    }
+  }
+
   test("zipfFit: exact power law reads slope -1") {
     import spark.implicits._
     // freq = 24/r for r=1..4 — an exact Zipf curve; the only slope
