@@ -5350,4 +5350,33 @@ object PipelineQueries extends QueryGroup {
     graft.operators.RankStats.poissonBootstrapMean(
       Tables.documents(s, d), "doc_id", "n_chars", b = 64)
   }
+
+  // Corpus-health audit, tail edition: Hill tail-index over the
+  // top-256 document lengths — HOW heavy is the length tail (α ≤ 2 =
+  // infinite variance, where mean-based chunk/packing budgets lie).
+  // The quantitative companion to q187's Zipf slope and q188's Gini.
+  // Micro-unit logs over a k+1-row TakeOrderedAndProject frame.
+  q("q197_hill_tail",
+    """WITH t197 AS (SELECT x, rn FROM (
+      |    SELECT CAST(n_chars AS BIGINT) AS x, doc_id,
+      |      row_number() OVER (ORDER BY n_chars DESC, doc_id) AS rn
+      |    FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0)
+      |  WHERE rn <= 257),
+      |k197 AS (SELECT x AS xmin FROM t197 WHERE rn = 257),
+      |s197 AS (SELECT count(*) AS k,
+      |    CAST(sum(CAST(floor(
+      |      (ln(CAST(x AS DOUBLE)) - ln(CAST(xmin AS DOUBLE)))
+      |      * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS sl,
+      |    max(xmin) AS xmin
+      |  FROM t197 CROSS JOIN k197 WHERE rn <= 256)
+      |SELECT CAST(k AS BIGINT) AS k, xmin AS x_kplus1,
+      |  floor(CAST(sl AS DOUBLE) / CAST(k AS DOUBLE) / 1e6 * 1e6 + 0.5)/1e6
+      |    AS gamma6,
+      |  CASE WHEN sl > 0 THEN floor(1e0 /
+      |      (CAST(sl AS DOUBLE) / CAST(k AS DOUBLE) / 1e6) * 1e6 + 0.5)/1e6
+      |  END AS alpha6
+      |FROM s197""".stripMargin) { (s, d) =>
+    TextAnalysis.hillTailIndex(Tables.documents(s, d), "n_chars",
+      "doc_id", k = 256)
+  }
 }

@@ -864,4 +864,54 @@ object TextAnalysis {
       when(varL > 0 && varF > 0, pr6(cov * cov / (varL * varF)))
         .otherwise(lit(null).cast("double")).as("r2_6"))
   }
+
+  /** Hill tail-index estimate over the top-k order statistics of a
+    * positive size column (Hill 1975):
+    *
+    *   γ̂ = (1/k) Σ_{i=1..k} (ln x₍ᵢ₎ − ln x₍ₖ₊₁₎),   α̂ = 1/γ̂
+    *
+    * — does the document-length (or group-size) distribution have a
+    * power-law tail, and how heavy: α̂ ≤ 2 means infinite variance,
+    * the regime where mean-based capacity planning (chunk budgets,
+    * packing bins) silently lies. The quantitative companion to the
+    * [[zipfFit]]/Gini shape audits.
+    *
+    * Float discipline: each ln snaps to integer micro-units before
+    * the sum (k+1-row frame, exact int64), γ̂/α̂ are one-row double
+    * chains. The top-(k+1) is a global TakeOrderedAndProject under
+    * the (x desc, tie) total order — k+1 rows cross the wire.
+    *
+    * Output: ONE row (k, x_kplus1, gamma6, alpha6); alpha NULL when
+    * γ̂ = 0 (top-k all equal — no tail to measure).
+    */
+  def hillTailIndex(
+      df: DataFrame,
+      valueCol: String,
+      tieCol: String,
+      k: Int = 256): DataFrame = {
+    require(k >= 2, s"hill needs k >= 2, got $k")
+    val top = df
+      .filter(col(valueCol).isNotNull && col(valueCol) > 0)
+      .select(col(valueCol).cast("long").as("__x"), col(tieCol).as("__t"))
+      .orderBy(col("__x").desc, col("__t"))
+      .limit(k + 1)
+    val w = Window.orderBy(col("__x").desc, col("__t"))
+    val ranked = top.withColumn("__rn", row_number().over(w))
+    val kp1 = ranked.filter(col("__rn") === k + 1)
+      .select(col("__x").as("__xmin"))
+    val s = ranked.filter(col("__rn") <= k)
+      .crossJoin(broadcast(kp1))
+      .select(floor((log(col("__x").cast("double")) -
+        log(col("__xmin").cast("double"))) * lit(1e6) + lit(0.5))
+        .cast("long").as("__lm"), col("__xmin"))
+      .groupBy(col("__xmin"))
+      .agg(count(lit(1)).as("__k"), sum(col("__lm")).as("__sl"))
+    def pr6(c: Column): Column = floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+    val gamma = col("__sl").cast("double") / col("__k").cast("double") /
+      lit(1e6)
+    s.select(col("__k").as("k"), col("__xmin").as("x_kplus1"),
+      pr6(gamma).as("gamma6"),
+      when(col("__sl") > 0, pr6(lit(1e0) / gamma))
+        .otherwise(lit(null).cast("double")).as("alpha6"))
+  }
 }

@@ -204,4 +204,26 @@ class TextAnalysisSpec extends SparkSuiteBase {
       .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
     assert(again === got)
   }
+
+  test("hillTailIndex: geometric top values, flat tail, short corpus") {
+    import spark.implicits._
+    // top-3 = [1000e², 1000e, 1000]: ln ratios ≈ [2, 1] → γ ≈ 1.5
+    val df = (Seq((1L, 7389L), (2L, 2718L), (3L, 1000L)) ++
+      (4L to 20L).map(i => (i, 10L))).toDF("id", "x")
+    val r = TextAnalysis.hillTailIndex(df, "x", "id", k = 2).head()
+    assert(r.getAs[Long]("k") == 2L)
+    assert(r.getAs[Long]("x_kplus1") == 1000L)
+    assert(math.abs(r.getAs[Double]("gamma6") - 1.5) < 1e-3)
+    assert(math.abs(r.getAs[Double]("alpha6") - 2.0 / 3.0) < 1e-3)
+
+    // all-equal top: no tail to measure → γ 0, α NULL
+    val flat = (1L to 10L).map(i => (i, 500L)).toDF("id", "x")
+    val rf = TextAnalysis.hillTailIndex(flat, "x", "id", k = 4).head()
+    assert(rf.getAs[Double]("gamma6") == 0.0)
+    assert(rf.isNullAt(rf.fieldIndex("alpha6")))
+
+    // fewer than k+1 positive rows: no (k+1)-th order statistic →
+    // empty result, never a fabricated xmin
+    assert(TextAnalysis.hillTailIndex(flat, "x", "id", k = 64).isEmpty)
+  }
 }
