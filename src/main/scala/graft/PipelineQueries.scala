@@ -5379,4 +5379,68 @@ object PipelineQueries extends QueryGroup {
     TextAnalysis.hillTailIndex(Tables.documents(s, d), "n_chars",
       "doc_id", k = 256)
   }
+
+  // Cross-series analytics: CCF between daily view and purchase
+  // counts at lags −3..+3 — does one stream LEAD the other, the
+  // lagged dependence q172's same-bucket correlation cannot see.
+  // Missing grid days are 0 (absent day = zero events); per-lag
+  // Pearson over the overlap with exact integer moments; the shifted
+  // columns ride ONE calendar-bounded ordered window.
+  q("q198_ccf", {
+    def dd(e: String) = s"CAST($e AS DOUBLE)"
+    def cN(l: Int) = if (l < 0) s"ym${-l}" else if (l > 0) s"yp$l" else "yv"
+    val rows = (-3 to 3).map { l =>
+      val c = cN(l)
+      val n = dd(s"sum(CASE WHEN $c IS NOT NULL THEN 1 ELSE 0 END)")
+      val sx = dd(s"sum(CASE WHEN $c IS NOT NULL THEN xv ELSE 0 END)")
+      val sy = dd(s"sum(CASE WHEN $c IS NOT NULL THEN $c ELSE 0 END)")
+      val sxx = dd(s"sum(CASE WHEN $c IS NOT NULL THEN xv * xv ELSE 0 END)")
+      val syy = dd(s"sum(CASE WHEN $c IS NOT NULL THEN $c * $c ELSE 0 END)")
+      val sxy = dd(s"sum(CASE WHEN $c IS NOT NULL THEN xv * $c ELSE 0 END)")
+      val va = s"$n * $sxx - $sx * $sx"
+      val vb = s"$n * $syy - $sy * $sy"
+      val cov = s"$n * $sxy - $sx * $sy"
+      s"""SELECT CAST($l AS BIGINT) AS lag,
+         |  CAST(sum(CASE WHEN $c IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_pairs,
+         |  CASE WHEN $va > 0 AND $vb > 0
+         |       THEN floor(($cov) / sqrt(($va) * ($vb)) * 1e6 + 0.5)/1e6
+         |  END AS ccf6
+         |FROM s198""".stripMargin
+    }
+    s"""WITH e198 AS (SELECT epoch_ms(ts) // 86400000 AS t, event_type
+       |  FROM events),
+       |bx198 AS (SELECT t, CAST(count(*) AS BIGINT) AS xv FROM e198
+       |  WHERE event_type = 'view' GROUP BY t),
+       |by198 AS (SELECT t, CAST(count(*) AS BIGINT) AS yv FROM e198
+       |  WHERE event_type = 'purchase' GROUP BY t),
+       |bd198 AS (SELECT min(t) AS lo, max(t) AS hi FROM
+       |  (SELECT t FROM bx198 UNION ALL SELECT t FROM by198)),
+       |gr198 AS (SELECT unnest(range(lo, hi + 1)) AS t FROM bd198),
+       |g198 AS (SELECT gr198.t, coalesce(xv, 0) AS xv,
+       |    coalesce(yv, 0) AS yv
+       |  FROM gr198 LEFT JOIN bx198 ON bx198.t = gr198.t
+       |             LEFT JOIN by198 ON by198.t = gr198.t),
+       |s198 AS (SELECT xv, yv,
+       |    lag(yv, 3) OVER (ORDER BY t) AS ym3,
+       |    lag(yv, 2) OVER (ORDER BY t) AS ym2,
+       |    lag(yv, 1) OVER (ORDER BY t) AS ym1,
+       |    lead(yv, 1) OVER (ORDER BY t) AS yp1,
+       |    lead(yv, 2) OVER (ORDER BY t) AS yp2,
+       |    lead(yv, 3) OVER (ORDER BY t) AS yp3
+       |  FROM g198)
+       |${rows.mkString("\n|UNION ALL\n|").stripMargin}
+       |ORDER BY lag""".stripMargin
+  }) { (s, d) =>
+    val ev = Tables.events(s, d)
+      .select(expr("unix_millis(ts) div 86400000").as("t"),
+        col("event_type"))
+    val xs = ev.filter(col("event_type") === "view")
+      .groupBy(col("t")).agg(count(lit(1)).as("v"))
+    val ys = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("t")).agg(count(lit(1)).as("v"))
+    graft.operators.TimeSeries.crossCorrelation(xs, ys, "t", "v",
+        maxLag = 3)
+      .orderBy(col("lag"))
+  }
 }

@@ -304,4 +304,88 @@ object TimeSeries {
         payload = Seq(tieCol, valueCol))
       .select(col(keyCol), col("grid_ts"), col(valueCol))
   }
+
+  /** Cross-correlation function between two integer-valued series on
+    * a shared integer time grid: ccf(ℓ) = corr(x_t, y_{t+ℓ}) for
+    * ℓ ∈ [−maxLag, maxLag] — does one stream LEAD the other
+    * (views → purchases a day later), the lagged-dependence readout
+    * a same-bucket correlation (q172) cannot see.
+    *
+    * Both inputs are (t, value) frames on an integer grid index;
+    * missing grid points count as 0 (the count-series convention —
+    * an absent day is zero events, not missing data). Each lag's
+    * Pearson runs on the overlap rows only (grid − |ℓ| pairs), all
+    * moments exact integer sums, the correlation one row-local
+    * double chain (the q172/q186 formula), 6dp-rounded; zero
+    * variance on either side reads NULL.
+    *
+    * Scale shape: two grid-key aggregates + a grid-frame join, then
+    * ONE ordered window carrying all 2·maxLag shifted columns (the
+    * grid is calendar-bounded — the bounded-frame single-task window
+    * precedent) and one combinable aggregate; the stacked output is
+    * 2·maxLag+1 rows.
+    *
+    * Output: (lag, n_pairs, ccf6), lag ascending.
+    */
+  def crossCorrelation(
+      x: DataFrame,
+      y: DataFrame,
+      tCol: String,
+      vCol: String,
+      maxLag: Int = 3): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 64, s"maxLag in [1, 64], got $maxLag")
+    val spark = x.sparkSession
+    val xs = x.select(col(tCol).cast("long").as("__t"),
+      col(vCol).cast("long").as("__xv"))
+    val ys = y.select(col(tCol).cast("long").as("__t"),
+      col(vCol).cast("long").as("__yv"))
+    val bounds = xs.select(col("__t"))
+      .unionByName(ys.select(col("__t")))
+      .agg(min(col("__t")).as("lo"), max(col("__t")).as("hi")).head()
+    require(!bounds.isNullAt(0), "crossCorrelation needs non-empty input")
+    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    val grid = spark.range(lo, hi + 1).select(col("id").as("__t"))
+      .join(xs.groupBy(col("__t")).agg(sum(col("__xv")).as("__xv")),
+        Seq("__t"), "left")
+      .join(ys.groupBy(col("__t")).agg(sum(col("__yv")).as("__yv")),
+        Seq("__t"), "left")
+      .select(col("__t"), coalesce(col("__xv"), lit(0L)).as("__xv"),
+        coalesce(col("__yv"), lit(0L)).as("__yv"))
+    val w = Window.orderBy(col("__t"))
+    val lags = (-maxLag to maxLag).toSeq
+    val shifted = lags.foldLeft(grid) { (df, l) =>
+      val c = if (l < 0) lag(col("__yv"), -l).over(w)
+              else if (l > 0) lead(col("__yv"), l).over(w)
+              else col("__yv")
+      df.withColumn(s"__y_$l", c)
+    }
+    val aggCols = lags.flatMap { l =>
+      val yl = col(s"__y_$l")
+      val live = yl.isNotNull
+      Seq(
+        sum(when(live, 1L).otherwise(0L)).as(s"__n_$l"),
+        sum(when(live, col("__xv")).otherwise(0L)).as(s"__sx_$l"),
+        sum(when(live, yl).otherwise(0L)).as(s"__sy_$l"),
+        sum(when(live, col("__xv") * col("__xv")).otherwise(0L))
+          .as(s"__sxx_$l"),
+        sum(when(live, yl * yl).otherwise(0L)).as(s"__syy_$l"),
+        sum(when(live, col("__xv") * yl).otherwise(0L)).as(s"__sxy_$l"))
+    }
+    val one = shifted.agg(aggCols.head, aggCols.tail: _*)
+    def pr6(c: Column): Column = floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+    val stacked = lags.map { l =>
+      val n = col(s"__n_$l").cast("double")
+      val va = n * col(s"__sxx_$l").cast("double") -
+        col(s"__sx_$l").cast("double") * col(s"__sx_$l").cast("double")
+      val vb = n * col(s"__syy_$l").cast("double") -
+        col(s"__sy_$l").cast("double") * col(s"__sy_$l").cast("double")
+      val cov = n * col(s"__sxy_$l").cast("double") -
+        col(s"__sx_$l").cast("double") * col(s"__sy_$l").cast("double")
+      struct(lit(l.toLong).as("lag"), col(s"__n_$l").as("n_pairs"),
+        when(va > 0 && vb > 0, pr6(cov / sqrt(va * vb)))
+          .otherwise(lit(null).cast("double")).as("ccf6"))
+    }
+    one.select(explode(array(stacked: _*)).as("__p"))
+      .select(col("__p.lag"), col("__p.n_pairs"), col("__p.ccf6"))
+  }
 }

@@ -250,4 +250,33 @@ class TimeSeriesSpec extends SparkSuiteBase {
     assert(exchanges <= 1, s"EWMA must shuffle once, saw $exchanges:\n$p")
     assert(!p.contains("Join"), s"EWMA must not self-join:\n$p")
   }
+
+  test("crossCorrelation: a 1-step lead reads ccf(+1) = 1, gaps fill 0") {
+    import spark.implicits._
+    // y_t = x_{t-1}: y LAGS x by one day → corr(x_t, y_{t+1}) = 1.
+    // Grid spans 0..5; x misses t=5 and y misses t=0 → filled 0.
+    // non-monotone series: a LINEAR x would read 1.0 at every lag
+    // (any aligned window of a line is perfectly correlated)
+    val x = Seq((0L, 1L), (1L, 3L), (2L, 2L), (3L, 5L), (4L, 4L))
+      .toDF("t", "v")
+    val y = Seq((1L, 1L), (2L, 3L), (3L, 2L), (4L, 5L), (5L, 4L))
+      .toDF("t", "v")
+    val got = TimeSeries.crossCorrelation(x, y, "t", "v", maxLag = 2)
+      .orderBy(col("lag")).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) Double.NaN else r.getDouble(2)))
+    // n_pairs = grid − |lag| = 6 − |l|
+    assert(got.map(g => (g._1, g._2)).toSeq ===
+      Seq((-2L, 4L), (-1L, 5L), (0L, 6L), (1L, 5L), (2L, 4L)))
+    val byLag = got.map(g => g._1 -> g._3).toMap
+    assert(byLag(1L) == 1.0, s"perfect 1-step lead: $byLag")
+    assert(byLag(0L) < 1.0 && byLag(2L) < 1.0,
+      "other lags must read weaker")
+    // constant x ACROSS THE WHOLE GRID (a shorter constant series
+    // would stop being constant after the zero-fill): NULL at every lag
+    val const = (0L to 5L).map(t => (t, 7L)).toDF("t", "v")
+    val rc = TimeSeries.crossCorrelation(const, y, "t", "v", maxLag = 1)
+      .collect()
+    assert(rc.forall(_.isNullAt(2)), "zero variance must read NULL")
+  }
 }
