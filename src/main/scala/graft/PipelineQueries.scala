@@ -5443,4 +5443,81 @@ object PipelineQueries extends QueryGroup {
         maxLag = 3)
       .orderBy(col("lag"))
   }
+
+  // Cohort economics: the LTV curve — revenue per user accumulated
+  // by (first-seen cohort day, week offset), q125's retention grid
+  // with money on it. Revenue stays integer micro-units through the
+  // per-cohort cumulative; the per-user ratio divides once per
+  // output row, micro-rounded.
+  q("q199_ltv_curve",
+    """WITH r199 AS (SELECT user_id AS u, epoch_ms(ts) // 86400000 AS d,
+      |    CASE WHEN event_type = 'purchase'
+      |         THEN CAST(floor(value * 1e6 + 0.5) AS BIGINT)
+      |         ELSE 0 END AS r
+      |  FROM events),
+      |ch199 AS (SELECT u, min(d) AS c FROM r199 GROUP BY 1),
+      |sz199 AS (SELECT c, CAST(count(*) AS BIGINT) AS cohort_size
+      |  FROM ch199 GROUP BY 1),
+      |wk199 AS (SELECT ch199.c, r199.u, (d - c) // 7 AS week_offset, r
+      |  FROM r199 JOIN ch199 ON ch199.u = r199.u),
+      |cl199 AS (SELECT c, week_offset,
+      |    CAST(count(DISTINCT u) AS BIGINT) AS n_active,
+      |    CAST(sum(r) AS BIGINT) AS wr
+      |  FROM wk199 GROUP BY 1, 2),
+      |cm199 AS (SELECT c, week_offset, n_active, wr,
+      |    CAST(sum(wr) OVER (PARTITION BY c ORDER BY week_offset
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      |  FROM cl199)
+      |SELECT c AS cohort_epoch_day, week_offset, cohort_size, n_active,
+      |  CAST(wr AS DOUBLE)/1e6 AS week_revenue6,
+      |  CAST(cum AS DOUBLE)/1e6 AS cum_revenue6,
+      |  floor(CAST(cum AS DOUBLE) / CAST(cohort_size AS DOUBLE) + 0.5)/1e6
+      |    AS ltv_per_user6
+      |FROM cm199 JOIN sz199 USING (c)
+      |ORDER BY cohort_epoch_day, week_offset""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), unix_millis(col("ts")).as("tms"),
+        when(col("event_type") === "purchase",
+          floor(col("value") * lit(1e6) + lit(0.5)).cast("long"))
+          .otherwise(0L).as("rev"))
+    graft.operators.Behavior.ltvCurve(ev, "user_id", "tms", "rev")
+      .orderBy(col("cohort_epoch_day"), col("week_offset"))
+  }
+
+  // Seasonality audit: the weekday profile of daily event volume +
+  // η² (SS_between/SS_total — the one-way ANOVA effect size): is the
+  // weekly pattern real or noise. dow = (epochDay + 4) % 7,
+  // 0 = Sunday. Exact integer moments; the 7 group SS terms
+  // micro-snap before summing.
+  q("q200_dow_seasonality", {
+    def dd(e: String) = s"CAST($e AS DOUBLE)"
+    val grand = s"${dd("sx")} * ${dd("sx")} / ${dd("n")}"
+    val ssb = s"${dd("st")} / 1e6 - $grand"
+    val sst = s"${dd("sxx")} - $grand"
+    s"""WITH dl200 AS (SELECT epoch_ms(ts) // 86400000 AS t,
+       |    CAST(count(*) AS BIGINT) AS x
+       |  FROM events GROUP BY 1),
+       |dw200 AS (SELECT (t + 4) % 7 AS dow, x FROM dl200),
+       |g200 AS (SELECT dow, CAST(count(*) AS BIGINT) AS n_days,
+       |    CAST(sum(x) AS BIGINT) AS sg, CAST(sum(x * x) AS BIGINT) AS ssg
+       |  FROM dw200 GROUP BY 1),
+       |t200 AS (SELECT CAST(sum(n_days) AS BIGINT) AS n,
+       |    CAST(sum(sg) AS BIGINT) AS sx, CAST(sum(ssg) AS BIGINT) AS sxx
+       |  FROM g200),
+       |s200 AS (SELECT CAST(sum(CAST(floor(
+       |    ${dd("sg")} * ${dd("sg")} / ${dd("n_days")} * 1e6 + 0.5)
+       |    AS BIGINT)) AS BIGINT) AS st FROM g200)
+       |SELECT dow, n_days, sg AS total_events,
+       |  floor(${dd("sg")} / ${dd("n_days")} * 1e6 + 0.5)/1e6 AS mean6,
+       |  CASE WHEN $sst > 0 THEN floor(($ssb) / ($sst) * 1e6 + 0.5)/1e6
+       |  END AS eta2_6
+       |FROM g200 CROSS JOIN t200 CROSS JOIN s200
+       |ORDER BY dow""".stripMargin
+  }) { (s, d) =>
+    val daily = Tables.events(s, d)
+      .select(expr("unix_millis(ts) div 86400000").as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("x"))
+    graft.operators.TimeSeries.dowSeasonality(daily, "t", "x")
+      .orderBy(col("dow"))
+  }
 }

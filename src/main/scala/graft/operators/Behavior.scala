@@ -587,4 +587,63 @@ object Behavior {
       (col("r_score") * 100L + col("f_score") * 10L + col("m_score"))
         .as("rfm"))
   }
+
+  /** Cohort LTV curve: users cohorted by first-seen epoch day
+    * ([[cohortRetention]]'s grid), revenue accumulated per integer
+    * week offset — the cumulative value-per-user readout that tells
+    * whether later cohorts monetize faster, the revenue twin of the
+    * retention matrix.
+    *
+    * Input is row-grain: (keyCol, tsMsCol, revMicroCol) where
+    * revMicro is the row's revenue in integer micro-units (0 for
+    * non-revenue events — non-revenue rows still define cohort entry
+    * and activity weeks). Weeks with no cohort activity emit no row;
+    * the cumulative is unaffected (a silent week adds 0).
+    *
+    * All revenue stays integer micro-units through the cumulative
+    * (partition add order can never move it); the two per-user
+    * ratios divide once, at the end, per output row.
+    *
+    * Scale shape: one user-grain aggregate (cohort day), one
+    * (cohort, week) aggregate, and a per-cohort cumulative window —
+    * frames bounded by the week count, keys by the cohort-day
+    * calendar (the q125 grid).
+    *
+    * Output: (cohort_epoch_day, week_offset, cohort_size, n_active,
+    * week_revenue6, cum_revenue6, ltv_per_user6), ordered grid.
+    */
+  def ltvCurve(
+      events: DataFrame,
+      keyCol: String,
+      tsMsCol: String,
+      revMicroCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rows = events.select(col(keyCol).as("__u"),
+      expr(s"${tsMsCol} div 86400000L").as("__d"),
+      col(revMicroCol).as("__r"))
+    val cohort = rows.groupBy(col("__u"))
+      .agg(min(col("__d")).as("__c"))
+    val sizes = cohort.groupBy(col("__c"))
+      .agg(count(lit(1)).as("cohort_size"))
+    val wk = rows.join(cohort, Seq("__u"))
+      .select(col("__c"), col("__u"),
+        expr("(__d - __c) div 7L").as("week_offset"), col("__r"))
+    val cells = wk.groupBy(col("__c"), col("week_offset"))
+      .agg(count_distinct(col("__u")).as("n_active"),
+        sum(col("__r")).as("__wr"))
+    val wCum = Window.partitionBy(col("__c")).orderBy(col("week_offset"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cells
+      .withColumn("__cum", sum(col("__wr")).over(wCum))
+      .join(sizes, Seq("__c"))
+      .select(col("__c").as("cohort_epoch_day"), col("week_offset"),
+        col("cohort_size"), col("n_active"),
+        (col("__wr").cast("double") / lit(1e6)).as("week_revenue6"),
+        (col("__cum").cast("double") / lit(1e6)).as("cum_revenue6"),
+        // cum/size is micro-units per user: rounding on the micro
+        // scale == 6dp rounding of the unit-scale LTV
+        (floor(col("__cum").cast("double") /
+          col("cohort_size").cast("double") + lit(0.5)) / lit(1e6))
+          .as("ltv_per_user6"))
+  }
 }

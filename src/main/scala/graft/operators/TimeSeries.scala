@@ -388,4 +388,53 @@ object TimeSeries {
     one.select(explode(array(stacked: _*)).as("__p"))
       .select(col("__p.lag"), col("__p.n_pairs"), col("__p.ccf6"))
   }
+
+  /** Day-of-week seasonality of a daily count series: the weekday
+    * profile (mean per dow) plus η² — the share of daily variance
+    * the weekday factor explains (SS_between/SS_total, the one-way
+    * ANOVA effect size) — "is this weekly pattern real or noise",
+    * answered before anyone trusts a weekday-adjusted forecast.
+    *
+    * dow = (epochDay + 4) % 7 with 0 = Sunday (1970-01-01 was a
+    * Thursday). All moments are exact integer sums; the 7 per-group
+    * SS terms snap to integer micro-units before summing (the q163
+    * discipline) and η² is a one-row double chain; NULL when the
+    * series is constant (no variance to explain).
+    *
+    * Scale shape: one day-key aggregate (map-side combined) → a
+    * 7-group aggregate → 7-row arithmetic.
+    *
+    * Output: 7 rows (dow, n_days, total_events, mean6, eta2_6 —
+    * replicated), dow ascending.
+    */
+  def dowSeasonality(
+      counts: DataFrame,
+      tCol: String,
+      vCol: String): DataFrame = {
+    val daily = counts.select(col(tCol).cast("long").as("__t"),
+      col(vCol).cast("long").as("__x"))
+      .groupBy(col("__t")).agg(sum(col("__x")).as("__x"))
+      .select(pmod(col("__t") + lit(4L), lit(7L)).as("dow"), col("__x"))
+    val g = daily.groupBy(col("dow"))
+      .agg(count(lit(1)).as("n_days"), sum(col("__x")).as("__sg"),
+        sum(col("__x") * col("__x")).as("__ssg"))
+    val tot = g.agg(sum(col("n_days")).as("__n"), sum(col("__sg")).as("__sx"),
+      sum(col("__ssg")).as("__sxx"))
+    val terms = g.select(floor(
+        col("__sg").cast("double") * col("__sg").cast("double") /
+          col("n_days").cast("double") * lit(1e6) + lit(0.5))
+        .cast("long").as("__tm"))
+      .agg(sum(col("__tm")).as("__st"))
+    def pr6(c: Column): Column = floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+    val nd = col("__n").cast("double")
+    val grand = col("__sx").cast("double") * col("__sx").cast("double") / nd
+    val ssb = col("__st").cast("double") / lit(1e6) - grand
+    val sst = col("__sxx").cast("double") - grand
+    g.crossJoin(broadcast(tot)).crossJoin(broadcast(terms))
+      .select(col("dow"), col("n_days"), col("__sg").as("total_events"),
+        pr6(col("__sg").cast("double") / col("n_days").cast("double"))
+          .as("mean6"),
+        when(sst > 0, pr6(ssb / sst))
+          .otherwise(lit(null).cast("double")).as("eta2_6"))
+  }
 }

@@ -370,4 +370,25 @@ class BehaviorSpec extends SparkSuiteBase {
       (3L, 5L, 2L, 4.0, 2L, 2L, 3L, 223L),
       (4L, 2L, 3L, 1.5, 3L, 3L, 1L, 331L)), s"got ${got.toSeq}")
   }
+
+  test("ltvCurve: cumulative per-cohort revenue, zero-revenue activity counts") {
+    import spark.implicits._
+    val day = 86400000L
+    val ev = Seq(
+      (1L, 0 * day, 0L),        // u1 enters cohort day 0
+      (1L, 3 * day, 2000000L),  // u1 buys 2.0 in week 0
+      (1L, 10 * day, 1000000L), // u1 buys 1.0 in week 1
+      (2L, 0 * day, 0L),        // u2 same cohort, never buys
+      (2L, 8 * day, 0L),        //   ...but is active in week 1
+      (3L, 7 * day, 5000000L))  // u3: own cohort (day 7), buys 5.0
+      .toDF("u", "tms", "rev")
+    val got = Behavior.ltvCurve(ev, "u", "tms", "rev")
+      .orderBy(col("cohort_epoch_day"), col("week_offset")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6)))
+    assert(got.toSeq === Seq(
+      (0L, 0L, 2L, 2L, 2.0, 2.0, 1.0),
+      (0L, 1L, 2L, 2L, 1.0, 3.0, 1.5),
+      (7L, 0L, 1L, 1L, 5.0, 5.0, 5.0)), s"got ${got.toSeq}")
+  }
 }

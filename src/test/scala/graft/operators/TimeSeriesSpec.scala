@@ -279,4 +279,31 @@ class TimeSeriesSpec extends SparkSuiteBase {
       .collect()
     assert(rc.forall(_.isNullAt(2)), "zero variance must read NULL")
   }
+
+  test("dowSeasonality: pure weekly pattern reads eta2 = 1, constant NULL") {
+    import spark.implicits._
+    // two full weeks where the count is a pure function of the
+    // weekday: between-group variance explains everything
+    val pure = (0L to 13L).map(t => (t, (t + 4) % 7 + 1)).toDF("t", "v")
+    val got = TimeSeries.dowSeasonality(pure, "t", "v")
+      .orderBy(col("dow")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(got.length == 7)
+    assert(got.forall(_._2 == 2L), "two days per weekday")
+    // dow d has constant count d+1 → mean d+1, total 2(d+1)
+    assert(got.forall(g => g._4 == g._1 + 1.0 && g._3 == 2 * (g._1 + 1)))
+    assert(got.forall(_._5 == 1.0), s"pure pattern is eta2=1: ${got.toSeq}")
+
+    val const = (0L to 13L).map(t => (t, 5L)).toDF("t", "v")
+    val rc = TimeSeries.dowSeasonality(const, "t", "v").collect()
+    assert(rc.forall(_.isNullAt(4)), "constant series has no variance")
+
+    // duplicate t rows pre-sum into the day before anything else
+    val dup = Seq((0L, 2L), (0L, 3L), (1L, 5L)).toDF("t", "v")
+    val rd = TimeSeries.dowSeasonality(dup, "t", "v")
+      .orderBy(col("dow")).collect()
+    assert(rd.map(_.getLong(2)).toSet == Set(5L),
+      "both days total 5 after the t-grain pre-aggregation")
+  }
 }
