@@ -150,7 +150,7 @@ object Bench {
     "q194_mad_outliers" -> 0.94, "q195_rfm_scores" -> 2.62,
     "q196_bootstrap_ci" -> 0.98, "q197_hill_tail" -> 0.56,
     "q198_ccf" -> 1.18, "q199_ltv_curve" -> 1.11,
-    "q200_dow_seasonality" -> 0.76)
+    "q200_dow_seasonality" -> 0.76, "q201_sprt" -> 1.11)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

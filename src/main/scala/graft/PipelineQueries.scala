@@ -5520,4 +5520,45 @@ object PipelineQueries extends QueryGroup {
     graft.operators.TimeSeries.dowSeasonality(daily, "t", "x")
       .orderBy(col("dow"))
   }
+
+  // Sequential analysis: Wald's SPRT on the event stream — is the
+  // purchase rate 0.2 (H0) or 0.3 (H1), decided the FIRST moment the
+  // evidence suffices (α=β=0.05), the always-valid peeking q189's
+  // fixed-horizon z forbids. LLR_t = s·A + (t−s)·B rides ONE
+  // packed-counter prefix sum (q192's discipline); A/B/thresholds
+  // are integer micro literals (405465, −133531, ±2944439), so every
+  // crossing compare is exact integer arithmetic.
+  q("q201_sprt",
+    """WITH tr201 AS (SELECT epoch_ms(ts) AS t, event_id,
+      |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS x
+      |  FROM events),
+      |c201 AS (SELECT x,
+      |    row_number() OVER (ORDER BY t, event_id) AS i,
+      |    CAST(sum(x) OVER (ORDER BY t, event_id ROWS UNBOUNDED PRECEDING)
+      |      AS BIGINT) AS s
+      |  FROM tr201),
+      |l201 AS (SELECT i, s, s * 405465 + (i - s) * (-133531) AS llr
+      |  FROM c201),
+      |a201 AS (SELECT
+      |    CAST(min(CASE WHEN llr >= 2944439 THEN i END) AS BIGINT)
+      |      AS up_idx,
+      |    CAST(min(CASE WHEN llr <= -2944439 THEN i END) AS BIGINT)
+      |      AS dn_idx
+      |  FROM l201),
+      |t201 AS (SELECT CAST(count(*) AS BIGINT) AS n_trials,
+      |    CAST(sum(x) AS BIGINT) AS n_success FROM tr201)
+      |SELECT n_trials, n_success, up_idx, dn_idx,
+      |  CASE WHEN up_idx IS NOT NULL AND (dn_idx IS NULL OR up_idx < dn_idx)
+      |       THEN 'accept_h1'
+      |       WHEN dn_idx IS NOT NULL THEN 'accept_h0'
+      |       ELSE 'continue' END AS decision,
+      |  CAST(n_success * 405465 + (n_trials - n_success) * (-133531)
+      |    AS DOUBLE) / 1e6 AS final_llr6
+      |FROM a201 CROSS JOIN t201""".stripMargin) { (s, d) =>
+    val tr = Tables.events(s, d)
+      .select(unix_millis(col("ts")).as("t"), col("event_id"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("x"))
+    graft.operators.RankStats.sprt(tr, Seq("t", "event_id"), "x",
+      p0 = 0.2, p1 = 0.3)
+  }
 }

@@ -396,4 +396,71 @@ object RankStats {
       pr6(element_at(col("__l"), il)).as("ci_lo6"),
       pr6(element_at(col("__l"), iu)).as("ci_hi6"))
   }
+
+  /** Wald's sequential probability ratio test (SPRT, Wald 1945) over
+    * an ORDERED Bernoulli trial stream: H₀: p = p0 vs H₁: p = p1,
+    * stop the first time the log-likelihood ratio leaves
+    * (ln(β/(1−α)), ln((1−β)/α)) — the always-valid sequential
+    * readout that, unlike the fixed-horizon z test (q189), you may
+    * peek at after every trial.
+    *
+    * Because trials are Bernoulli, LLRₜ = s·A + (t−s)·B where s =
+    * successes so far and A/B are the per-outcome log terms — so ONE
+    * range-partitioned prefix sum over the packed long `2³¹ + x`
+    * (the q192 packing; trial count in the high bits, successes in
+    * the low) carries the whole trajectory, and A/B/thresholds are
+    * integer micro-unit constants, making every crossing compare
+    * exact integer arithmetic.
+    *
+    * Output: ONE row (n_trials, n_success, up_idx, dn_idx, decision,
+    * final_llr6) — `up_idx`/`dn_idx` the first 1-based trial index
+    * crossing the H₁/H₀ bound (NULL if never), decision the EARLIER
+    * crossing or 'continue'.
+    */
+  def sprt(
+      trials: DataFrame,
+      orderCols: Seq[String],
+      xCol: String,
+      p0: Double,
+      p1: Double,
+      alpha: Double = 0.05,
+      beta: Double = 0.05): DataFrame = {
+    require(p0 > 0 && p0 < 1 && p1 > 0 && p1 < 1 && p0 != p1,
+      s"need distinct interior p0/p1, got $p0/$p1")
+    require(alpha > 0 && alpha < 1 && beta > 0 && beta < 1,
+      s"need interior alpha/beta, got $alpha/$beta")
+    def micro(v: Double): Long = math.floor(v * 1e6 + 0.5).toLong
+    val aTerm = micro(math.log(p1 / p0))            // x = 1 term
+    val bTerm = micro(math.log((1 - p1) / (1 - p0))) // x = 0 term
+    val up = micro(math.log((1 - beta) / alpha))
+    val dn = micro(math.log(beta / (1 - alpha)))
+    val K = 1L << 31
+    val t = trials.select(
+      (orderCols.map(col) :+
+        (lit(K) + col(xCol).cast("long")).as("__pk")): _*)
+    val p = ScaleOps.prefixSumByRange(t, orderCols, col("__pk"), "__bp",
+      targetPartBytes = 1L << 20)
+    val llr = p.select(
+      (shiftright(col("__bp"), 31) + lit(1L)).as("__i"),
+      (col("__bp").bitwiseAND(lit(K - 1L)) +
+        col("__pk").bitwiseAND(lit(K - 1L))).as("__s"))
+      .select(col("__i"),
+        (col("__s") * lit(aTerm) + (col("__i") - col("__s")) * lit(bTerm))
+          .as("__llr"), col("__s"))
+    val agg = llr.agg(
+      coalesce(count(lit(1)), lit(0L)).as("n_trials"),
+      coalesce(max(col("__s")), lit(0L)).as("n_success"),
+      min(when(col("__llr") >= up, col("__i"))).as("up_idx"),
+      min(when(col("__llr") <= dn, col("__i"))).as("dn_idx"))
+    agg.select(col("n_trials"), col("n_success"), col("up_idx"),
+      col("dn_idx"),
+      when(col("up_idx").isNotNull &&
+        (col("dn_idx").isNull || col("up_idx") < col("dn_idx")),
+        lit("accept_h1"))
+        .when(col("dn_idx").isNotNull, lit("accept_h0"))
+        .otherwise(lit("continue")).as("decision"),
+      ((col("n_success") * lit(aTerm) +
+        (col("n_trials") - col("n_success")) * lit(bTerm)).cast("double") /
+        lit(1e6)).as("final_llr6"))
+  }
 }

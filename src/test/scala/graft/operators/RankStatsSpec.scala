@@ -124,6 +124,33 @@ class RankStatsSpec extends SparkSuiteBase {
     }
   }
 
+  test("sprt: first crossing decides, even against the final LLR") {
+    import spark.implicits._
+    // p0=0.2 vs p1=0.3: A=405465, B=-133531 micro, bounds ±2944439.
+    // 8 successes cross the H1 bound (8·405465 ≥ 2944439) — then 100
+    // failures drag the FINAL llr negative, but the sequential
+    // decision was already made at trial 8.
+    val early = ((1 to 8).map(i => (i.toLong, 1L)) ++
+      (9 to 108).map(i => (i.toLong, 0L))).toDF("i", "x")
+    val r = RankStats.sprt(early, Seq("i"), "x", 0.2, 0.3).head()
+    assert(r.getAs[Long]("up_idx") == 8L)
+    assert(r.getAs[String]("decision") == "accept_h1")
+    assert(r.getAs[Double]("final_llr6") < 0, "final LLR is negative")
+
+    // pure failures: H0 bound needs ceil(2944439/133531) = 23 trials
+    val fails = (1 to 25).map(i => (i.toLong, 0L)).toDF("i", "x")
+    val rf = RankStats.sprt(fails, Seq("i"), "x", 0.2, 0.3).head()
+    assert(rf.getAs[Long]("dn_idx") == 23L)
+    assert(rf.getAs[String]("decision") == "accept_h0")
+
+    // not enough evidence yet → continue, both bounds NULL
+    val short = (1 to 5).map(i => (i.toLong, 0L)).toDF("i", "x")
+    val rs = RankStats.sprt(short, Seq("i"), "x", 0.2, 0.3).head()
+    assert(rs.getAs[String]("decision") == "continue")
+    assert(rs.isNullAt(rs.fieldIndex("up_idx")))
+    assert(rs.getAs[Double]("final_llr6") == -0.667655)
+  }
+
   test("zipfFit: exact power law reads slope -1") {
     import spark.implicits._
     // freq = 24/r for r=1..4 — an exact Zipf curve; the only slope
