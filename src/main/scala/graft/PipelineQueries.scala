@@ -5561,4 +5561,357 @@ object PipelineQueries extends QueryGroup {
     graft.operators.RankStats.sprt(tr, Seq("t", "event_id"), "x",
       p0 = 0.2, p1 = 0.3)
   }
+
+  // Continuous-outcome experimentation: per-event-type Welch's
+  // unequal-variance t-test of `value` means between the q189 user
+  // split (user_id % 2) — the readout for revenue/latency metrics
+  // where q189's proportion z doesn't apply. Per-arm moments are
+  // exact (Σx int64 micro, Σx² decimal128 micro²); the
+  // t/df/p chain is one row of identical-text double math
+  // (p via the A&S 7.1.26 normal polynomial — `exp` is the only
+  // transcendental, 6dp-snapped).
+  q("q202_welch_ttest", {
+    val w = graft.operators.Hypothesis.welchSql(
+      "n_a", "sa", "qa", "n_b", "sb", "qb")
+    s"""WITH v202 AS (SELECT event_type, user_id % 2 AS arm,
+       |    CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS xm
+       |  FROM events WHERE value IS NOT NULL),
+       |m202 AS (SELECT event_type,
+       |    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+       |    CAST(sum(CASE WHEN arm = 0 THEN xm ELSE 0 END) AS BIGINT) AS sa,
+       |    sum(CASE WHEN arm = 0 THEN CAST(xm AS HUGEINT) * xm
+       |        ELSE 0 END) AS qa,
+       |    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+       |    CAST(sum(CASE WHEN arm = 1 THEN xm ELSE 0 END) AS BIGINT) AS sb,
+       |    sum(CASE WHEN arm = 1 THEN CAST(xm AS HUGEINT) * xm
+       |        ELSE 0 END) AS qb
+       |  FROM v202 GROUP BY 1)
+       |SELECT event_type, n_a, n_b,
+       |  ${w("mean_a6")} AS mean_a6, ${w("mean_b6")} AS mean_b6,
+       |  ${w("diff6")} AS diff6, ${w("t6")} AS t6, ${w("df6")} AS df6,
+       |  ${w("p6")} AS p6, ${w("significant")} AS significant
+       |FROM m202 ORDER BY event_type""".stripMargin
+  }) { (s, d) =>
+    val ev = Tables.events(s, d).filter(col("value").isNotNull)
+      .select(col("event_type"),
+        pmod(col("user_id"), lit(2L)).as("arm"),
+        floor(col("value") * lit(1e6) + lit(0.5)).cast("long").as("xm"))
+    graft.operators.Hypothesis.welchTTest(ev, Seq("event_type"),
+        "arm", "xm")
+      .orderBy(col("event_type"))
+  }
+
+  // Distribution-shift monitoring: PSI of the doc-length
+  // distribution per source against baseline src0 (fixed-width
+  // 50-char bins ×16, clamped; Laplace +1 smoothing keeps ln(p/q)
+  // defined on empty bins with exact integer arithmetic). Each bin
+  // term nano-snaps before the per-source sum (q190 discipline at
+  // 1e-9 — PSI terms are O(1e-4)). One corpus aggregate to the
+  // grid; everything after is grid-sized.
+  q("q203_psi_drift", {
+    val bin = "least(CAST(floor(CAST(greatest(CAST(n_chars AS BIGINT), 0)" +
+      " AS DOUBLE) / 50e0) AS BIGINT), 15)"
+    val psi = "floor(CAST(s9 AS DOUBLE)/1e9*1e6 + 0.5)/1e6"
+    s"""WITH v203 AS (SELECT source AS g, $bin AS bin
+       |  FROM documents WHERE n_chars IS NOT NULL),
+       |c203 AS (SELECT g, bin, CAST(count(*) AS BIGINT) AS c
+       |  FROM v203 GROUP BY 1, 2),
+       |gr203 AS (SELECT g, b.bin FROM (SELECT DISTINCT g FROM c203) s
+       |  CROSS JOIN (SELECT unnest(range(0, 16)) AS bin) b),
+       |f203 AS (SELECT gr203.g, gr203.bin, coalesce(c, 0) AS c
+       |  FROM gr203 LEFT JOIN c203
+       |    ON c203.g = gr203.g AND c203.bin = gr203.bin),
+       |t203 AS (SELECT g, CAST(sum(c) AS BIGINT) AS n
+       |  FROM f203 GROUP BY 1),
+       |p203 AS (SELECT f203.g, bin, n,
+       |    CAST(c + 1 AS DOUBLE) / CAST(n + 16 AS DOUBLE) AS p
+       |  FROM f203 JOIN t203 ON t203.g = f203.g),
+       |b203 AS (SELECT bin, p AS q FROM p203 WHERE g = 'src0'),
+       |s203 AS (SELECT p203.g, CAST(max(n) AS BIGINT) AS n_rows,
+       |    CAST(sum(CAST(floor((p - q) * ln(p / q) * 1e9 + 0.5)
+       |      AS BIGINT)) AS BIGINT) AS s9
+       |  FROM p203 JOIN b203 ON b203.bin = p203.bin
+       |  WHERE g <> 'src0' GROUP BY 1)
+       |SELECT g AS source, n_rows, $psi AS psi6, $psi > 0.2 AS drifted
+       |FROM s203 ORDER BY source""".stripMargin
+  }) { (s, d) =>
+    graft.operators.Audit.psiDrift(Tables.documents(s, d),
+        "source", "n_chars", baseline = "src0",
+        binWidth = 50L, nBins = 16)
+      .orderBy(col("source"))
+  }
+
+  // Pairwise source drift MATRIX: Jensen–Shannon divergence between
+  // every source pair's unigram distributions over the top-64 global
+  // tokens + a rest bucket (profile-bounded: the pair grid is
+  // G²·65 whatever the corpus vocabulary does; the top-k is a
+  // distributed TakeOrderedAndProject with (count desc, token)
+  // ties, never a vocab window). Bucket terms nano-snap before the
+  // per-pair sum.
+  q("q204_jsd_sources", {
+    val term =
+      "CASE WHEN a.p > 0 THEN 0.5 * a.p * ln(2e0 * a.p / (a.p + b2.p))" +
+      " ELSE 0e0 END + CASE WHEN b2.p > 0 THEN 0.5 * b2.p *" +
+      " ln(2e0 * b2.p / (a.p + b2.p)) ELSE 0e0 END"
+    s"""WITH t204 AS (SELECT source AS g, unnest($sqlTokens) AS tok
+       |  FROM documents),
+       |c204 AS (SELECT g, tok, CAST(count(*) AS BIGINT) AS c
+       |  FROM t204 GROUP BY 1, 2),
+       |pr204 AS (SELECT tok FROM (SELECT tok, sum(c) AS cg
+       |    FROM c204 GROUP BY 1)
+       |  ORDER BY cg DESC, tok LIMIT 64),
+       |bk204 AS (SELECT g, CASE WHEN pr204.tok IS NOT NULL
+       |      THEN c204.tok ELSE ' __rest__' END AS b,
+       |    CAST(sum(c) AS BIGINT) AS c
+       |  FROM c204 LEFT JOIN pr204 ON pr204.tok = c204.tok
+       |  GROUP BY 1, 2),
+       |al204 AS (SELECT tok AS b FROM pr204
+       |  UNION ALL SELECT ' __rest__'),
+       |gr204 AS (SELECT g, b
+       |  FROM (SELECT DISTINCT g FROM bk204) CROSS JOIN al204),
+       |f204 AS (SELECT gr204.g, gr204.b, coalesce(bk204.c, 0) AS c
+       |  FROM gr204 LEFT JOIN bk204
+       |    ON bk204.g = gr204.g AND bk204.b = gr204.b),
+       |tt204 AS (SELECT g, CAST(sum(c) AS BIGINT) AS n
+       |  FROM f204 GROUP BY 1),
+       |p204 AS (SELECT f204.g, b, n,
+       |    CAST(c AS DOUBLE) / CAST(n AS DOUBLE) AS p
+       |  FROM f204 JOIN tt204 ON tt204.g = f204.g),
+       |j204 AS (SELECT a.g AS group_a, b2.g AS group_b,
+       |    a.n AS na, b2.n AS nb,
+       |    CAST(floor(($term) * 1e9 + 0.5) AS BIGINT) AS t9
+       |  FROM p204 a JOIN p204 b2 ON a.b = b2.b AND a.g < b2.g),
+       |s204 AS (SELECT group_a, group_b,
+       |    CAST(max(na) AS BIGINT) AS n_tokens_a,
+       |    CAST(max(nb) AS BIGINT) AS n_tokens_b,
+       |    CAST(sum(t9) AS BIGINT) AS s9
+       |  FROM j204 GROUP BY 1, 2)
+       |SELECT group_a, group_b, n_tokens_a, n_tokens_b,
+       |  floor(CAST(s9 AS DOUBLE)/1e9*1e6 + 0.5)/1e6 AS jsd6
+       |FROM s204 ORDER BY group_a, group_b""".stripMargin
+  }) { (s, d) =>
+    graft.operators.TextAnalysis.jsdProfilePairs(
+        Tables.documents(s, d), "source", "text", profileK = 64)
+      .orderBy(col("group_a"), col("group_b"))
+  }
+
+  // Nonparametric per-user trend screen: Mann–Kendall over each
+  // user's daily event counts — S = Σ sign pairs (exact integers,
+  // deliberately quadratic in the calendar-bounded SERIES length,
+  // linear in users), tie-corrected variance carried as the exact
+  // integer 18·Var, continuity-corrected z, A&S normal p. Users
+  // with < 10 active days are dropped.
+  q("q206_mann_kendall", {
+    val varD = "(CAST(var18 AS DOUBLE) / 18e0)"
+    val z = "CASE WHEN s_stat > 0 THEN CAST(s_stat - 1 AS DOUBLE) / " +
+      s"sqrt($varD) WHEN s_stat < 0 THEN CAST(s_stat + 1 AS DOUBLE) / " +
+      s"sqrt($varD) ELSE 0e0 END"
+    val p = graft.operators.Hypothesis.normP2Sql(z)
+    val p6 = s"floor(($p) * 1e6 + 0.5)/1e6"
+    s"""WITH d206 AS (SELECT user_id AS k, epoch_ms(ts) // 86400000 AS t,
+       |    CAST(count(*) AS BIGINT) AS v
+       |  FROM events GROUP BY 1, 2),
+       |n206 AS (SELECT k, CAST(count(*) AS BIGINT) AS n_obs
+       |  FROM d206 GROUP BY 1 HAVING count(*) >= 10),
+       |k206 AS (SELECT d206.k, t, v, n_obs
+       |  FROM d206 JOIN n206 ON n206.k = d206.k),
+       |s206 AS (SELECT a.k, CAST(max(a.n_obs) AS BIGINT) AS n_obs,
+       |    CAST(sum(CASE WHEN b.v > a.v THEN 1
+       |      WHEN b.v < a.v THEN -1 ELSE 0 END) AS BIGINT) AS s_stat
+       |  FROM k206 a JOIN k206 b ON a.k = b.k AND a.t < b.t
+       |  GROUP BY 1),
+       |g206 AS (SELECT k, v, CAST(count(*) AS BIGINT) AS tg
+       |  FROM k206 GROUP BY 1, 2),
+       |t206 AS (SELECT k, CAST(sum(tg * (tg - 1) * (2 * tg + 5))
+       |    AS BIGINT) AS tie18 FROM g206 GROUP BY 1),
+       |v206 AS (SELECT s206.k, n_obs, s_stat,
+       |    n_obs * (n_obs - 1) * (2 * n_obs + 5) - tie18 AS var18
+       |  FROM s206 JOIN t206 ON t206.k = s206.k)
+       |SELECT k AS user_id, n_obs, s_stat, var18,
+       |  CASE WHEN var18 > 0 THEN floor(($z) * 1e6 + 0.5)/1e6 END AS z6,
+       |  CASE WHEN var18 > 0 THEN $p6 END AS p6,
+       |  CASE WHEN var18 <= 0 THEN NULL
+       |       WHEN $p6 <= 0.05 AND s_stat > 0 THEN 'increasing'
+       |       WHEN $p6 <= 0.05 AND s_stat < 0 THEN 'decreasing'
+       |       ELSE 'none' END AS trend
+       |FROM v206 ORDER BY user_id""".stripMargin
+  }) { (s, d) =>
+    val daily = Tables.events(s, d)
+      .select(col("user_id"),
+        expr("unix_millis(ts) div 86400000").as("t"))
+      .groupBy(col("user_id"), col("t")).agg(count(lit(1)).as("v"))
+    graft.operators.TimeSeries.mannKendall(daily, "user_id", "t", "v",
+        minN = 10)
+      .orderBy(col("user_id"))
+  }
+
+  // Lakehouse compaction planning: coalesce an ordered small-file
+  // list (here: per-(source, doc_id%4) shards of `documents`, bytes
+  // = Σ n_chars) into ~10 KB output bins — bin = floor(cumulative
+  // bytes before / target) over ONE range-partitioned prefix sum of
+  // the metadata-sized file-stats frame. The data is never read;
+  // the plan is what a rewrite job executes.
+  q("q207_compaction_plan",
+    """WITH f207 AS (SELECT source || '#' || CAST(doc_id % 4 AS VARCHAR)
+      |    AS f, CAST(sum(n_chars) AS BIGINT) AS bytes
+      |  FROM documents GROUP BY 1),
+      |c207 AS (SELECT f, bytes, CAST(coalesce(sum(bytes) OVER (
+      |    ORDER BY f ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+      |    0) AS BIGINT) AS cb FROM f207)
+      |SELECT cb // 10000 AS bin_id, CAST(count(*) AS BIGINT) AS n_files,
+      |  CAST(sum(bytes) AS BIGINT) AS total_bytes,
+      |  floor(CAST(sum(bytes) AS DOUBLE) / 10000e0 * 1e6 + 0.5)/1e6
+      |    AS fill6
+      |FROM c207 GROUP BY 1 ORDER BY bin_id""".stripMargin) { (s, d) =>
+    val files = Tables.documents(s, d)
+      .groupBy(concat(col("source"), lit("#"),
+        pmod(col("doc_id"), lit(4L)).cast("string")).as("f"))
+      .agg(sum(col("n_chars")).as("bytes"))
+    graft.operators.ScaleOps.compactionPlan(files, Seq("f"), "bytes",
+        targetBytes = 10000L)
+      .orderBy(col("bin_id"))
+  }
+
+  // Closed-form OLS: value ~ β₀ + β₁·hour + β₂·weekday over events —
+  // the normal equations from ONE exact-moment aggregate pass
+  // (features are small ints, y is micro int64, Σy² decimal128),
+  // Cramer-solved in one row of identical-text double math. No
+  // iteration, no driver loop, nothing but a map-side-combinable
+  // aggregate at any scale.
+  q("q208_ols_regression", {
+    val o = graft.operators.Regression.olsSql(
+      "n", "s1", "s2", "s11", "s12", "s22", "sy", "s1y", "s2y", "syy")
+    s"""WITH v208 AS (SELECT (epoch_ms(ts) // 3600000) % 24 AS x1,
+       |    (epoch_ms(ts) // 86400000 + 4) % 7 AS x2,
+       |    CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS ym
+       |  FROM events WHERE value IS NOT NULL),
+       |m208 AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(x1) AS BIGINT) AS s1, CAST(sum(x2) AS BIGINT) AS s2,
+       |    CAST(sum(x1 * x1) AS BIGINT) AS s11,
+       |    CAST(sum(x1 * x2) AS BIGINT) AS s12,
+       |    CAST(sum(x2 * x2) AS BIGINT) AS s22,
+       |    CAST(sum(ym) AS BIGINT) AS sy,
+       |    CAST(sum(x1 * ym) AS BIGINT) AS s1y,
+       |    CAST(sum(x2 * ym) AS BIGINT) AS s2y,
+       |    sum(CAST(ym AS HUGEINT) * ym) AS syy
+       |  FROM v208)
+       |SELECT n, ${o("beta0_6")} AS beta0_6, ${o("beta1_6")} AS beta1_6,
+       |  ${o("beta2_6")} AS beta2_6, ${o("r2_6")} AS r2_6
+       |FROM m208""".stripMargin
+  }) { (s, d) =>
+    val ev = Tables.events(s, d).filter(col("value").isNotNull)
+      .select(
+        pmod(expr("unix_millis(ts) div 3600000"), lit(24L)).as("x1"),
+        pmod(expr("unix_millis(ts) div 86400000") + lit(4L), lit(7L))
+          .as("x2"),
+        floor(col("value") * lit(1e6) + lit(0.5)).cast("long").as("ym"))
+    graft.operators.Regression.olsFit(ev, "ym", "x1", "x2")
+  }
+
+  // Monotone calibration: isotonic regression of mean event value
+  // over the 24 hour-of-day bins via the max–min minimax identity —
+  // PAV's answer without PAV's sequential merge (B² intervals, B³
+  // expansion, all constants once the corpus is binned). The fitted
+  // curve is non-decreasing by construction; interval means are
+  // exact-integer ratios.
+  q("q209_isotonic_calibration",
+    """WITH v209 AS (SELECT (epoch_ms(ts) // 3600000) % 24 AS bin,
+      |    CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS ym
+      |  FROM events WHERE value IS NOT NULL),
+      |b209 AS (SELECT bin, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(ym) AS BIGINT) AS s FROM v209 GROUP BY 1),
+      |sp209 AS (SELECT i.bin AS i, j.bin AS j
+      |  FROM b209 i JOIN b209 j ON i.bin <= j.bin),
+      |iv209 AS (SELECT sp209.i, sp209.j, CAST(sum(b.n) AS BIGINT) AS wn,
+      |    CAST(sum(b.s) AS BIGINT) AS ws
+      |  FROM sp209 JOIN b209 b ON b.bin >= sp209.i AND b.bin <= sp209.j
+      |  GROUP BY 1, 2),
+      |mv209 AS (SELECT i, j,
+      |    CAST(ws AS DOUBLE) / 1e6 / CAST(wn AS DOUBLE) AS m
+      |  FROM iv209 WHERE wn > 0),
+      |in209 AS (SELECT k.bin AS k, mv209.i, min(m) AS im
+      |  FROM b209 k JOIN mv209 ON mv209.i <= k.bin AND mv209.j >= k.bin
+      |  GROUP BY 1, 2),
+      |f209 AS (SELECT k, max(im) AS fit FROM in209 GROUP BY 1)
+      |SELECT b209.bin, n,
+      |  CASE WHEN n > 0 THEN floor(CAST(s AS DOUBLE) / 1e6 /
+      |    CAST(n AS DOUBLE) * 1e6 + 0.5)/1e6 END AS mean6,
+      |  floor(fit * 1e6 + 0.5)/1e6 AS fitted6
+      |FROM b209 JOIN f209 ON f209.k = b209.bin
+      |ORDER BY bin""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d).filter(col("value").isNotNull)
+      .select(
+        pmod(expr("unix_millis(ts) div 3600000"), lit(24L)).as("bin"),
+        floor(col("value") * lit(1e6) + lit(0.5)).cast("long").as("ym"))
+    val bins = ev.groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("ym")).as("s"))
+    graft.operators.Regression.isotonicFit(bins, "bin", "n", "s")
+      .orderBy(col("bin"))
+  }
+
+  // Multiple-testing control: screen every (event_type, weekday)
+  // cell's mean value against its complement (Welch vs the rest of
+  // the week, complement moments = group totals minus the cell — the
+  // corpus is aggregated once), then Benjamini–Hochberg the 35-cell
+  // family at FDR 0.05. Rank + suffix-min ride one window over the
+  // hypothesis frame (grid-sized, never corpus-sized); the BH
+  // ordering totals on (p6, event_type, dow) so rounded-p ties can't
+  // float the ranks.
+  q("q205_bh_fdr", {
+    val w = graft.operators.Hypothesis.welchSql(
+      "nc", "sc", "qc", "(nt - nc)", "(st - sc)", "(qt - qc)")
+    s"""WITH v205 AS (SELECT event_type,
+       |    (epoch_ms(ts) // 86400000 + 4) % 7 AS dow,
+       |    CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS xm
+       |  FROM events WHERE value IS NOT NULL),
+       |c205 AS (SELECT event_type, dow,
+       |    CAST(count(*) AS BIGINT) AS nc,
+       |    CAST(sum(xm) AS BIGINT) AS sc,
+       |    sum(CAST(xm AS HUGEINT) * xm) AS qc
+       |  FROM v205 GROUP BY 1, 2),
+       |t205 AS (SELECT event_type, CAST(sum(nc) AS BIGINT) AS nt,
+       |    CAST(sum(sc) AS BIGINT) AS st, sum(qc) AS qt
+       |  FROM c205 GROUP BY 1),
+       |w205 AS (SELECT c205.event_type, dow,
+       |    nc AS n_a, (nt - nc) AS n_b,
+       |    ${w("mean_a6")} AS mean_a6, ${w("mean_b6")} AS mean_b6,
+       |    ${w("diff6")} AS diff6, ${w("t6")} AS t6, ${w("df6")} AS df6,
+       |    ${w("p6")} AS p6, ${w("significant")} AS significant
+       |  FROM c205 JOIN t205 ON t205.event_type = c205.event_type),
+       |m205 AS (SELECT CAST(count(*) AS BIGINT) AS m FROM w205
+       |  WHERE p6 IS NOT NULL),
+       |r205 AS (SELECT w205.*, m,
+       |    CAST(row_number() OVER (ORDER BY p6, event_type, dow)
+       |      AS INTEGER) AS rank
+       |  FROM w205 CROSS JOIN m205 WHERE p6 IS NOT NULL),
+       |a205 AS (SELECT *, least(min(
+       |      p6 * CAST(m AS DOUBLE) / CAST(rank AS DOUBLE))
+       |    OVER (ORDER BY p6 DESC, event_type DESC, dow DESC
+       |      ROWS UNBOUNDED PRECEDING), 1e0) AS adjr
+       |  FROM r205),
+       |f205 AS (SELECT event_type, dow, n_a, n_b, mean_a6, mean_b6,
+       |    diff6, t6, df6, p6, significant, rank,
+       |    floor(adjr * 1e6 + 0.5)/1e6 AS adj_p6,
+       |    floor(adjr * 1e6 + 0.5)/1e6 <= 0.05 AS rejected
+       |  FROM a205
+       |  UNION ALL
+       |  SELECT event_type, dow, n_a, n_b, mean_a6, mean_b6,
+       |    diff6, t6, df6, p6, significant,
+       |    CAST(NULL AS INTEGER) AS rank,
+       |    CAST(NULL AS DOUBLE) AS adj_p6,
+       |    CAST(NULL AS BOOLEAN) AS rejected
+       |  FROM w205 WHERE p6 IS NULL)
+       |SELECT * FROM f205 ORDER BY event_type, dow""".stripMargin
+  }) { (s, d) =>
+    val ev = Tables.events(s, d).filter(col("value").isNotNull)
+      .select(col("event_type"),
+        pmod(expr("unix_millis(ts) div 86400000") + lit(4L), lit(7L))
+          .as("dow"),
+        floor(col("value") * lit(1e6) + lit(0.5)).cast("long").as("xm"))
+    val screened = graft.operators.Hypothesis.welchScreen(
+      ev, Seq("event_type"), "dow", "xm")
+    graft.operators.Hypothesis.bhFdr(screened,
+        Seq("event_type", "dow"), "p6")
+      .orderBy(col("event_type"), col("dow"))
+  }
 }

@@ -263,4 +263,74 @@ object Audit {
             (least(col("__r"), col("__c")) - lit(1L)).cast("double")))))
         .otherwise(lit(null).cast("double")).as("cramers_v6"))
   }
+
+  /** Population Stability Index of a numeric column per group against
+    * a BASELINE group — the monitoring score model-risk teams bin
+    * score/feature distributions with (PSI < 0.1 stable, > 0.2
+    * actionable drift; the industry folklore thresholds). Fixed-width
+    * binning (`binWidth`, `nBins`, clamped to the last bin) so bin
+    * identity is a pure row-local function — a quantile binning would
+    * make every group's PSI depend on a global sort. Laplace +1
+    * smoothing on BOTH sides (p = (c+1)/(n+B)) keeps every bin
+    * strictly positive — PSI's ln(p/q) is undefined on empty bins and
+    * epsilon hacks are engine-dependent; +1 is exact integer
+    * arithmetic.
+    *
+    * Determinism: bin counts are exact integer aggregates over the
+    * full group×bin GRID (zero-filled — absent bins still carry
+    * smoothing mass); each bin's (p−q)·ln(p/q) term snaps to integer
+    * NANO-units before the per-group sum (the q190 snap-then-sum
+    * discipline, 1e-9 granularity because PSI terms are O(1e-4)),
+    * so partition add order can never move the hash.
+    *
+    * Scale shape: ONE corpus hash aggregate to the (group, bin)
+    * frame (map-side combined, grid-sized), a broadcast of the
+    * baseline's B bins, grid-sized arithmetic after.
+    *
+    * Output per non-baseline group: (groupCol, n_rows, psi6,
+    * drifted = psi6 > 0.2), ordered by group.
+    */
+  def psiDrift(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      baseline: String,
+      binWidth: Long,
+      nBins: Int): DataFrame = {
+    require(binWidth > 0 && nBins > 1, "psiDrift needs binWidth>0, nBins>1")
+    // floor(v/w) over clamped non-negative longs — exact while
+    // v < 2^53 (the doubles are integers)
+    val bin = least(
+      floor(greatest(col(valueCol).cast("long"), lit(0L)) /
+        lit(binWidth.toDouble)).cast("long"),
+      lit(nBins - 1L))
+    val counts = df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol).as("__g"), bin.as("__bin"))
+      .groupBy(col("__g"), col("__bin")).agg(count(lit(1)).as("__c"))
+      .localCheckpoint(true) // grid-sized; feeds grid + totals below
+    val grid = counts.select(col("__g")).distinct()
+      .crossJoin(
+        counts.sparkSession.range(nBins).select(col("id").as("__bin")))
+      .join(counts, Seq("__g", "__bin"), "left")
+      .select(col("__g"), col("__bin"),
+        coalesce(col("__c"), lit(0L)).as("__c"))
+    val totals = grid.groupBy(col("__g")).agg(sum(col("__c")).as("__n"))
+    val withP = grid.join(totals, Seq("__g"))
+      .select(col("__g"), col("__bin"), col("__n"),
+        ((col("__c") + lit(1L)).cast("double") /
+          (col("__n") + lit(nBins.toLong)).cast("double")).as("__p"))
+    val base = withP.filter(col("__g") === baseline)
+      .select(col("__bin"), col("__p").as("__q"))
+    val term = (col("__p") - col("__q")) * log(col("__p") / col("__q"))
+    withP.filter(col("__g") =!= baseline)
+      .join(broadcast(base), Seq("__bin"))
+      .select(col("__g"), col("__n"),
+        floor(term * lit(1e9) + lit(0.5)).cast("long").as("__t9"))
+      .groupBy(col("__g"))
+      .agg(max(col("__n")).as("n_rows"), sum(col("__t9")).as("__s9"))
+      .select(col("__g").as(groupCol), col("n_rows"),
+        (floor(col("__s9").cast("double") / lit(1e9) * lit(1e6) + lit(0.5))
+          / lit(1e6)).as("psi6"))
+      .withColumn("drifted", col("psi6") > lit(0.2))
+  }
 }

@@ -1,0 +1,252 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Hypothesis-testing layer over experiment readouts: per-group
+  * Welch's unequal-variance t-test (the continuous-outcome
+  * counterpart of [[Behavior.abTest]]'s two-proportion z — revenue
+  * per user, latency, tokens per document, anything with a mean),
+  * and Benjamini–Hochberg FDR control over a FAMILY of such tests —
+  * the correction that keeps a 35-cell screening sweep from
+  * "discovering" two cells by chance at α=0.05.
+  *
+  * Determinism discipline: per-arm moments (n, Σx, Σx²) accumulate
+  * exactly — x is a pre-snapped integer micro-unit column, Σx in
+  * int64, Σx² in decimal(38,0) (x² of a 1e9-micro value overflows
+  * int64 at ~10 rows) — so every cross-row sum is partition-order
+  * free. The t / df / p chain is ONE row of double arithmetic with
+  * identical text in both engines, 6dp-snapped. p-values use the
+  * NORMAL approximation to the t reference distribution
+  * (Abramowitz–Stegun 7.1.26 erf polynomial — `exp` is the only
+  * transcendental), documented and adequate for the n≥30-per-arm
+  * regime experiments run at; exact t CDFs need incomplete-beta
+  * machinery neither engine exposes.
+  *
+  * Scale shape: one map-side-combinable hash aggregate to the
+  * group×arm frame, then row-local math. BH ranks ride ONE window
+  * over the HYPOTHESIS frame — bounded by the test-family size
+  * (cells of a grouping grid, never the corpus), the same
+  * vocab-sized-window carve-out as Tokenize's merge ranks.
+  */
+object Hypothesis {
+
+  private def pr6(c: Column): Column =
+    floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+
+  /** Two-sided normal tail probability 2·(1−Φ(|z|)) via the
+    * Abramowitz–Stegun 7.1.26 erf polynomial (|error| < 1.5e-7,
+    * far inside the 6dp snap): with x = |z|/√2 and
+    * t = 1/(1 + 0.3275911·x),
+    * 2(1−Φ) = (a₁t + a₂t² + a₃t³ + a₄t⁴ + a₅t⁵)·e^(−x²).
+    * Row-local; the only transcendental is `exp`.
+    */
+  def normP2(z: Column): Column = {
+    val x = abs(z) / lit(1.4142135623730951)
+    val t = lit(1.0) / (lit(1.0) + lit(0.3275911) * x)
+    val poly = ((((lit(1.061405429) * t + lit(-1.453152027)) * t +
+      lit(1.421413741)) * t + lit(-0.284496736)) * t +
+      lit(0.254829592)) * t
+    poly * exp(-(x * x))
+  }
+
+  /** SQL-text twin of [[normP2]] (same literals, same nesting) for
+    * oracle queries; `z` is a SQL expression string.
+    */
+  def normP2Sql(z: String): String = {
+    val x = s"(abs($z) / 1.4142135623730951)"
+    val t = s"(1e0 / (1e0 + 0.3275911 * $x))"
+    val poly = s"((((1.061405429 * $t + -1.453152027) * $t + " +
+      s"1.421413741) * $t + -0.284496736) * $t + 0.254829592) * $t"
+    s"(($poly) * exp(-($x * $x)))"
+  }
+
+  /** SQL-text twin of the [[welchFromMoments]] chain for oracle
+    * queries: given the six moment column names (counts, micro sums,
+    * micro² sums-of-squares), returns the output expression per
+    * readout column — identical operation order to the Column chain
+    * so the doubles match bit-for-bit before the 6dp snap.
+    */
+  def welchSql(
+      na: String, sa: String, qa: String,
+      nb: String, sb: String, qb: String): Map[String, String] = {
+    def dd(e: String) = s"CAST($e AS DOUBLE)"
+    def p6(e: String) = s"floor(($e) * 1e6 + 0.5)/1e6"
+    val naD = dd(na); val nbD = dd(nb)
+    val saD = s"(${dd(sa)} / 1e6)"; val sbD = s"(${dd(sb)} / 1e6)"
+    val qaD = s"(${dd(qa)} / 1e12)"; val qbD = s"(${dd(qb)} / 1e12)"
+    val ma = s"($saD / $naD)"; val mb = s"($sbD / $nbD)"
+    val va = s"(($qaD - $saD * $saD / $naD) / ($naD - 1e0))"
+    val vb = s"(($qbD - $sbD * $sbD / $nbD) / ($nbD - 1e0))"
+    val wa = s"($va / $naD)"; val wb = s"($vb / $nbD)"
+    val se2 = s"($wa + $wb)"
+    val tt = s"(($mb - $ma) / sqrt($se2))"
+    val dfW = s"($se2 * $se2 / " +
+      s"($wa * $wa / ($naD - 1e0) + $wb * $wb / ($nbD - 1e0)))"
+    val p = normP2Sql(tt)
+    val ok = s"($na > 1 AND $nb > 1 AND $se2 > 0)"
+    Map(
+      "mean_a6" -> p6(ma), "mean_b6" -> p6(mb),
+      "diff6" -> p6(s"($mb - $ma)"),
+      "t6" -> s"CASE WHEN $ok THEN ${p6(tt)} END",
+      "df6" -> s"CASE WHEN $ok THEN ${p6(dfW)} END",
+      "p6" -> s"CASE WHEN $ok THEN ${p6(p)} END",
+      "significant" ->
+        s"CASE WHEN $ok THEN ${p6(p)} <= 0.05 END")
+  }
+
+  /** Per-group Welch's t-test of the micro-unit outcome `microCol`
+    * between the two arms of `armCol` (0 = A, 1 = B).
+    *
+    * Per (group, arm): n, Σx (int64), Σx² (decimal(38,0)) — exact.
+    * Then the Welch chain: sample variance v = (Σx² − (Σx)²/n)/(n−1),
+    * se² = v_a/n_a + v_b/n_b, t = (m_b − m_a)/√se², and the
+    * Welch–Satterthwaite df = se²² / ((v_a/n_a)²/(n_a−1) +
+    * (v_b/n_b)²/(n_b−1)). Degenerate inputs (an arm with n ≤ 1, or
+    * se² = 0 — both arms constant) yield NULL t/df/p with the counts
+    * still reported, the q135-family zero-denominator convention.
+    * `significant` thresholds the ROUNDED p at α=0.05 (q85's pred
+    * discipline: compare snapped values, never raw doubles).
+    *
+    * Output: per group — (groupCols..., n_a, n_b, mean_a6, mean_b6,
+    * diff6, t6, df6, p6, significant). Means/diff are in ORIGINAL
+    * units (micro / 1e6).
+    */
+  def welchTTest(
+      df: DataFrame,
+      groupCols: Seq[String],
+      armCol: String,
+      microCol: String): DataFrame = {
+    val x = col(microCol).cast("long")
+    val xd = x.cast("decimal(38,0)")
+    val isB = col(armCol).cast("long") === 1L
+    val g = df.groupBy(groupCols.map(col): _*).agg(
+      sum(when(!isB, 1L).otherwise(0L)).as("n_a"),
+      sum(when(!isB, x).otherwise(0L)).as("__sa"),
+      sum(when(!isB, xd * xd).otherwise(lit(0).cast("decimal(38,0)")))
+        .as("__qa"),
+      sum(when(isB, 1L).otherwise(0L)).as("n_b"),
+      sum(when(isB, x).otherwise(0L)).as("__sb"),
+      sum(when(isB, xd * xd).otherwise(lit(0).cast("decimal(38,0)")))
+        .as("__qb"))
+    welchFromMoments(g,
+      groupCols.map(col),
+      col("n_a"), col("__sa"), col("__qa"),
+      col("n_b"), col("__sb"), col("__qb"))
+  }
+
+  /** The Welch chain over pre-aggregated exact moments — shared by
+    * [[welchTTest]] and [[welchScreen]] (whose "arm B" is the
+    * complement cell of a grouping grid). Moment columns: counts
+    * int64, sums int64 micro, sum-of-squares decimal(38,0) in
+    * micro². Emits the full readout row per input row.
+    */
+  private[operators] def welchFromMoments(
+      g: DataFrame,
+      keep: Seq[Column],
+      nA: Column, sA: Column, qA: Column,
+      nB: Column, sB: Column, qB: Column): DataFrame = {
+    val naD = nA.cast("double")
+    val nbD = nB.cast("double")
+    // micro → original units: sums /1e6, sums-of-squares /1e12
+    val saD = sA.cast("double") / lit(1e6)
+    val sbD = sB.cast("double") / lit(1e6)
+    val qaD = qA.cast("double") / lit(1e12)
+    val qbD = qB.cast("double") / lit(1e12)
+    val ma = saD / naD
+    val mb = sbD / nbD
+    val va = (qaD - saD * saD / naD) / (naD - lit(1.0))
+    val vb = (qbD - sbD * sbD / nbD) / (nbD - lit(1.0))
+    val wa = va / naD
+    val wb = vb / nbD
+    val se2 = wa + wb
+    val tt = (mb - ma) / sqrt(se2)
+    val dfW = se2 * se2 /
+      (wa * wa / (naD - lit(1.0)) + wb * wb / (nbD - lit(1.0)))
+    val p = normP2(tt)
+    val ok = nA > 1L && nB > 1L && se2 > 0
+    g.select(keep ++ Seq(
+      nA.as("n_a"), nB.as("n_b"),
+      pr6(ma).as("mean_a6"), pr6(mb).as("mean_b6"),
+      pr6(mb - ma).as("diff6"),
+      when(ok, pr6(tt)).otherwise(lit(null).cast("double")).as("t6"),
+      when(ok, pr6(dfW)).otherwise(lit(null).cast("double")).as("df6"),
+      when(ok, pr6(p)).otherwise(lit(null).cast("double")).as("p6"),
+      when(ok, pr6(p) <= lit(0.05))
+        .otherwise(lit(null).cast("boolean")).as("significant")): _*)
+  }
+
+  /** Screening sweep: one Welch test per (groupCols, sliceCol) cell
+    * against its COMPLEMENT (all other slices of the same group) —
+    * "is Tuesday's mean different from the rest of the week", asked
+    * for every cell of the grid at once. The complement's moments are
+    * group totals minus the cell's (all exact integers/decimals), so
+    * the corpus is aggregated ONCE — no per-hypothesis second pass.
+    * Feed the result to [[bhFdr]]: a G×S grid is G·S hypotheses and
+    * uncorrected α=0.05 expects G·S/20 false flags.
+    *
+    * Output: (groupCols..., sliceCol, welch readout columns) where
+    * arm A = the cell, arm B = its complement.
+    */
+  def welchScreen(
+      df: DataFrame,
+      groupCols: Seq[String],
+      sliceCol: String,
+      microCol: String): DataFrame = {
+    val x = col(microCol).cast("long")
+    val xd = x.cast("decimal(38,0)")
+    val cell = df.groupBy((groupCols :+ sliceCol).map(col): _*).agg(
+      count(lit(1)).as("__nc"), sum(x).as("__sc"),
+      sum(xd * xd).as("__qc"))
+    val tot = cell.groupBy(groupCols.map(col): _*).agg(
+      sum(col("__nc")).as("__nt"), sum(col("__sc")).as("__st"),
+      sum(col("__qc")).as("__qt"))
+    val j = cell.join(broadcast(tot), groupCols)
+    welchFromMoments(j,
+      (groupCols :+ sliceCol).map(col),
+      col("__nc"), col("__sc"), col("__qc"),
+      col("__nt") - col("__nc"), col("__st") - col("__sc"),
+      col("__qt") - col("__qc"))
+  }
+
+  /** Benjamini–Hochberg step-up FDR control over a hypothesis frame:
+    * rank hypotheses by ascending p (ties broken by `keyCols` for a
+    * total order), adjusted p(i) = min over j ≥ i of p(j)·m/j
+    * (clamped at 1), reject where the ROUNDED adjusted p ≤ α.
+    * NULL p rows (degenerate tests) pass through with NULL
+    * adjusted/rejected and do not count toward m.
+    *
+    * The rank and the suffix-min ride one window over the
+    * hypothesis frame — test-family-sized (a grouping grid's cells),
+    * never corpus-sized; min/max are order-free so no snapping is
+    * needed before them.
+    *
+    * Output: input columns + (rank, adj_p6, rejected).
+    */
+  def bhFdr(
+      df: DataFrame,
+      keyCols: Seq[String],
+      pCol: String,
+      alpha: Double = 0.05): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tested = df.filter(col(pCol).isNotNull)
+    val mDf = tested.agg(count(lit(1)).as("__m"))
+    val ordCols = col(pCol) +: keyCols.map(col)
+    val w = Window.orderBy(ordCols: _*)
+    val wSuffix = Window.orderBy(ordCols.map(_.desc): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = tested.crossJoin(broadcast(mDf))
+      .withColumn("rank", row_number().over(w))
+      .withColumn("__raw",
+        col(pCol) * col("__m").cast("double") / col("rank").cast("double"))
+      .withColumn("__adj", least(min(col("__raw")).over(wSuffix), lit(1.0)))
+      .withColumn("adj_p6", pr6(col("__adj")))
+      .withColumn("rejected", col("adj_p6") <= lit(alpha))
+      .drop("__m", "__raw", "__adj")
+    val nulls = df.filter(col(pCol).isNull)
+      .withColumn("rank", lit(null).cast("int"))
+      .withColumn("adj_p6", lit(null).cast("double"))
+      .withColumn("rejected", lit(null).cast("boolean"))
+    ranked.unionByName(nulls)
+  }
+}

@@ -1,0 +1,182 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Closed-form regression operators: 2-feature OLS via the normal
+  * equations (one aggregate pass + a Cramer solve — no iteration, no
+  * driver loop), and isotonic regression over a binned curve via the
+  * max–min minimax identity (the calibration-map fitter behind
+  * monotone score calibration).
+  *
+  * Determinism discipline: every cross-row moment is an exact
+  * integer sum — features are small integers, the outcome is a
+  * pre-snapped micro-unit long, and the y² / cross moments ride
+  * decimal(38,0) where int64 could overflow. The solve itself is ONE
+  * row of double arithmetic with identical text in both engines,
+  * 6dp-snapped.
+  */
+object Regression {
+
+  private def pr6(c: Column): Column =
+    floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+
+  /** OLS fit of y = β₀ + β₁x₁ + β₂x₂ by the normal equations,
+    * solved with Cramer's rule on the 3×3 Gram matrix.
+    *
+    * `yMicroCol` is the micro-unit outcome (int64); `x1Col`/`x2Col`
+    * small-integer features (e.g. hour-of-day, weekday). Moments:
+    * n, Σx₁, Σx₂, Σx₁², Σx₁x₂, Σx₂² in int64 (features are small);
+    * Σy, Σx₁y, Σx₂y in int64 micro; Σy² in decimal(38,0) micro².
+    * The β/R² chain is row-local double math; a singular Gram
+    * matrix (collinear features, e.g. a constant column) reads NULL
+    * betas — det is compared against exact 0 because its inputs are
+    * exact integers carried into doubles.
+    *
+    * Output: ONE row (n, beta0_6, beta1_6, beta2_6, r2_6).
+    *
+    * Scale shape: one map-side-combinable aggregate; nothing else.
+    * For k features beyond 2, the same recipe wants a real linear
+    * solver — at k ≤ 3 Cramer stays a few codegen'd multiplies.
+    */
+  def olsFit(
+      df: DataFrame,
+      yMicroCol: String,
+      x1Col: String,
+      x2Col: String): DataFrame = {
+    val x1 = col(x1Col).cast("long")
+    val x2 = col(x2Col).cast("long")
+    val y = col(yMicroCol).cast("long")
+    val yd = y.cast("decimal(38,0)")
+    val m = df.agg(
+      count(lit(1)).as("n"),
+      sum(x1).as("s1"), sum(x2).as("s2"),
+      sum(x1 * x1).as("s11"), sum(x1 * x2).as("s12"),
+      sum(x2 * x2).as("s22"),
+      sum(y).as("sy"), sum(x1 * y).as("s1y"), sum(x2 * y).as("s2y"),
+      sum(yd * yd).as("syy"))
+    val nD = col("n").cast("double")
+    val s1 = col("s1").cast("double")
+    val s2 = col("s2").cast("double")
+    val s11 = col("s11").cast("double")
+    val s12 = col("s12").cast("double")
+    val s22 = col("s22").cast("double")
+    val sy = col("sy").cast("double") / lit(1e6)
+    val s1y = col("s1y").cast("double") / lit(1e6)
+    val s2y = col("s2y").cast("double") / lit(1e6)
+    val syy = col("syy").cast("double") / lit(1e12)
+    val det = nD * (s11 * s22 - s12 * s12) -
+      s1 * (s1 * s22 - s12 * s2) + s2 * (s1 * s12 - s11 * s2)
+    val b0 = (sy * (s11 * s22 - s12 * s12) -
+      s1 * (s1y * s22 - s12 * s2y) + s2 * (s1y * s12 - s11 * s2y)) / det
+    val b1 = (nD * (s1y * s22 - s12 * s2y) -
+      sy * (s1 * s22 - s12 * s2) + s2 * (s1 * s2y - s1y * s2)) / det
+    val b2 = (nD * (s11 * s2y - s1y * s12) -
+      s1 * (s1 * s2y - s1y * s2) + sy * (s1 * s12 - s11 * s2)) / det
+    val sse = syy - (b0 * sy + b1 * s1y + b2 * s2y)
+    val sst = syy - sy * sy / nD
+    val ok = col("n") > 2L && det =!= lit(0.0)
+    m.select(col("n"),
+      when(ok, pr6(b0)).otherwise(lit(null).cast("double")).as("beta0_6"),
+      when(ok, pr6(b1)).otherwise(lit(null).cast("double")).as("beta1_6"),
+      when(ok, pr6(b2)).otherwise(lit(null).cast("double")).as("beta2_6"),
+      when(ok && sst > 0, pr6(lit(1.0) - sse / sst))
+        .otherwise(lit(null).cast("double")).as("r2_6"))
+  }
+
+  /** SQL-text twin of [[olsFit]]'s solve chain for oracle queries:
+    * given the ten moment column names, the output expression per
+    * readout column, operation-ordered identically to the Column
+    * chain.
+    */
+  def olsSql(
+      n: String, s1: String, s2: String, s11: String, s12: String,
+      s22: String, sy: String, s1y: String, s2y: String,
+      syy: String): Map[String, String] = {
+    def dd(e: String) = s"CAST($e AS DOUBLE)"
+    def p6(e: String) = s"floor(($e) * 1e6 + 0.5)/1e6"
+    val nD = dd(n)
+    val v1 = dd(s1); val v2 = dd(s2)
+    val v11 = dd(s11); val v12 = dd(s12); val v22 = dd(s22)
+    val vy = s"(${dd(sy)} / 1e6)"
+    val v1y = s"(${dd(s1y)} / 1e6)"
+    val v2y = s"(${dd(s2y)} / 1e6)"
+    val vyy = s"(${dd(syy)} / 1e12)"
+    val det = s"($nD * ($v11 * $v22 - $v12 * $v12) - " +
+      s"$v1 * ($v1 * $v22 - $v12 * $v2) + $v2 * ($v1 * $v12 - $v11 * $v2))"
+    val b0 = s"(($vy * ($v11 * $v22 - $v12 * $v12) - " +
+      s"$v1 * ($v1y * $v22 - $v12 * $v2y) + " +
+      s"$v2 * ($v1y * $v12 - $v11 * $v2y)) / $det)"
+    val b1 = s"(($nD * ($v1y * $v22 - $v12 * $v2y) - " +
+      s"$vy * ($v1 * $v22 - $v12 * $v2) + " +
+      s"$v2 * ($v1 * $v2y - $v1y * $v2)) / $det)"
+    val b2 = s"(($nD * ($v11 * $v2y - $v1y * $v12) - " +
+      s"$v1 * ($v1 * $v2y - $v1y * $v2) + " +
+      s"$vy * ($v1 * $v12 - $v11 * $v2)) / $det)"
+    val sse = s"($vyy - ($b0 * $vy + $b1 * $v1y + $b2 * $v2y))"
+    val sst = s"($vyy - $vy * $vy / $nD)"
+    val ok = s"($n > 2 AND $det <> 0e0)"
+    Map(
+      "beta0_6" -> s"CASE WHEN $ok THEN ${p6(b0)} END",
+      "beta1_6" -> s"CASE WHEN $ok THEN ${p6(b1)} END",
+      "beta2_6" -> s"CASE WHEN $ok THEN ${p6(b2)} END",
+      "r2_6" -> (s"CASE WHEN $ok AND $sst > 0 " +
+        s"THEN ${p6(s"1e0 - $sse / $sst")} END"))
+  }
+
+  /** Isotonic (monotone non-decreasing) regression over a BINNED
+    * curve via the minimax identity: the fitted value at bin k is
+    *
+    *   ŷ_k = max_{i ≤ k} min_{j ≥ k} mean(y over bins i..j)
+    *
+    * — the closed form of the pool-adjacent-violators solution,
+    * computed with bounded-size set arithmetic instead of PAV's
+    * sequential merge loop (which does not distribute). With B bins
+    * the interval frame is B², the (k, interval) expansion ≤ B³ —
+    * all constants once the curve is binned, which is the point:
+    * bin first (corpus-sized aggregate), fit on the B-row curve.
+    *
+    * Input: per-bin stats (binCol ascending long, weight `nCol`
+    * int64, `sMicroCol` int64 micro sum of the outcome). Interval
+    * means are exact-integer ratios evaluated row-locally; min/max
+    * are order-free so nothing needs snapping before them.
+    *
+    * Output: per bin — (binCol, n, mean6 — the raw bin mean,
+    * fitted6 — the isotonic fit, non-decreasing in bin order).
+    */
+  def isotonicFit(
+      bins: DataFrame,
+      binCol: String,
+      nCol: String,
+      sMicroCol: String): DataFrame = {
+    val base = bins.select(col(binCol).cast("long").as("__bin"),
+      col(nCol).cast("long").as("__n"), col(sMicroCol).cast("long")
+        .as("__s"))
+      .localCheckpoint(true) // B rows; feeds intervals + the k frame
+    val lo = base.select(col("__bin").as("__i"))
+    val hi = base.select(col("__bin").as("__j"))
+    val spans = lo.crossJoin(hi).filter(col("__i") <= col("__j"))
+    val members = spans.join(base,
+        col("__bin") >= col("__i") && col("__bin") <= col("__j"))
+      .groupBy(col("__i"), col("__j"))
+      .agg(sum(col("__n")).as("__wn"), sum(col("__s")).as("__ws"))
+      .filter(col("__wn") > 0L)
+      .select(col("__i"), col("__j"),
+        (col("__ws").cast("double") / lit(1e6) /
+          col("__wn").cast("double")).as("__mean"))
+    val ks = base.select(col("__bin").as("__k"))
+    val fitted = ks.join(members,
+        col("__i") <= col("__k") && col("__j") >= col("__k"))
+      .groupBy(col("__k"), col("__i"))
+      .agg(min(col("__mean")).as("__inner"))
+      .groupBy(col("__k"))
+      .agg(max(col("__inner")).as("__fit"))
+    base.join(fitted, col("__bin") === col("__k"))
+      .select(col("__bin").as(binCol), col("__n").as("n"),
+        when(col("__n") > 0,
+          pr6(col("__s").cast("double") / lit(1e6) /
+            col("__n").cast("double")))
+          .otherwise(lit(null).cast("double")).as("mean6"),
+        pr6(col("__fit")).as("fitted6"))
+  }
+}

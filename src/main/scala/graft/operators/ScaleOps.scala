@@ -450,4 +450,41 @@ object ScaleOps {
       .join(ra, Seq("__ra"))
       .select(col(idCol), col("value"), col("__rv").as("norm_value"))
   }
+
+  /** Compaction planner: assign an ORDERED list of (small) files to
+    * output bins of ~`targetBytes` — the job a lakehouse OPTIMIZE
+    * runs before rewriting a small-file-bloated table. Ordered
+    * coalesce (files keep their `orderCols` order — time-ordered
+    * ingest files compact into time-contiguous outputs, preserving
+    * clustering) with the bin boundary at every `targetBytes` of
+    * CUMULATIVE input: bin = floor(bytes_before / target). One file
+    * never splits; a file larger than `targetBytes` gets its own bin
+    * (its successor's cumulative jumps past the boundary).
+    *
+    * Scale shape: one range-partitioned prefix sum over the FILE
+    * STATS frame (metadata-sized — millions of files, not the data),
+    * one hash aggregate to the bin frame. The data itself is never
+    * read: the plan is what the rewrite job executes afterwards.
+    *
+    * Output per bin: (bin_id, n_files, total_bytes, fill6 —
+    * total/target, > 1 exactly when the bin closes past the
+    * boundary or holds one oversized file), ordered by bin_id.
+    */
+  def compactionPlan(
+      files: DataFrame,
+      orderCols: Seq[String],
+      bytesCol: String,
+      targetBytes: Long): DataFrame = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val stats = files.select(
+      (orderCols.map(col) :+ col(bytesCol).cast("long").as("__bytes")): _*)
+    prefixSumByRange(stats, orderCols, col("__bytes"), "__before")
+      .withColumn("bin_id", expr(s"__before div ${targetBytes}L"))
+      .groupBy(col("bin_id"))
+      .agg(count(lit(1)).as("n_files"), sum(col("__bytes"))
+        .as("total_bytes"))
+      .withColumn("fill6",
+        floor(col("total_bytes").cast("double") /
+          lit(targetBytes.toDouble) * lit(1e6) + lit(0.5)) / lit(1e6))
+  }
 }

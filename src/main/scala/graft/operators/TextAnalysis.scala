@@ -914,4 +914,98 @@ object TextAnalysis {
       when(col("__sl") > 0, pr6(lit(1e0) / gamma))
         .otherwise(lit(null).cast("double")).as("alpha6"))
   }
+
+  /** Pairwise Jensen–Shannon divergence between the unigram
+    * distributions of every group PAIR — the symmetric, bounded
+    * ([0, ln 2] nats) companion of [[sourceDivergence]]'s
+    * KL(source ‖ corpus): "which two sources are interchangeable
+    * and which pair is a different language entirely", the full
+    * drift MATRIX a mixture designer reads before merging sources.
+    *
+    * The distribution support is the TOP-`profileK` global tokens
+    * (distributed top-k — `TakeOrderedAndProject`, never a
+    * vocab-wide window; ties close deterministically on
+    * (count desc, token)) plus ONE rest-bucket carrying all other
+    * mass, so the pair grid is bounded at G²·(K+1) whatever the
+    * corpus vocabulary does — the profile is the scale knob, and
+    * a fatter corpus only sharpens the same K-token profile.
+    *
+    * Determinism: bucket counts are exact integers over the
+    * zero-filled group×bucket grid; each bucket's JSD term
+    * ½·[p·ln(2p/(p+q)) + q·ln(2q/(p+q))] (0 where the numerator
+    * mass is 0) nano-snaps to integer 1e-9 units before the
+    * per-pair sum.
+    *
+    * Scale shape: one explode + (group, token) hash aggregate
+    * (map-side combined), a broadcast profile join to bucket the
+    * tail, then grid-sized arithmetic: the G×(K+1) frame self-joins
+    * on bucket into G(G−1)/2 · (K+1) rows.
+    *
+    * Output per pair (groupCol asc): (group_a, group_b, n_tokens_a,
+    * n_tokens_b, jsd6), ordered.
+    */
+  def jsdProfilePairs(
+      docs: DataFrame,
+      groupCol: String,
+      textCol: String,
+      profileK: Int): DataFrame = {
+    require(profileK >= 1, "profileK must be >= 1")
+    val rest = " __rest__"
+    val cst = docs
+      .select(col(groupCol).as("__g"),
+        explode(TextFns.tokens(col(textCol))).as("__tok"))
+      .groupBy(col("__g"), col("__tok")).agg(count(lit(1)).as("__c"))
+      .localCheckpoint(true) // feeds profile + buckets below
+    val profile = cst.groupBy(col("__tok")).agg(sum(col("__c")).as("__cg"))
+      .orderBy(col("__cg").desc, col("__tok"))
+      .limit(profileK) // distributed top-k, not a vocab window
+      .select(col("__tok"), lit(true).as("__in_profile"))
+    val bucketed = cst
+      .join(broadcast(profile), Seq("__tok"), "left")
+      .select(col("__g"),
+        when(col("__in_profile"), col("__tok")).otherwise(lit(rest))
+          .as("__b"),
+        col("__c"))
+      .groupBy(col("__g"), col("__b")).agg(sum(col("__c")).as("__c"))
+    val buckets = profile.select(col("__tok").as("__b"))
+      .unionByName(
+        profile.sparkSession.range(1).select(lit(rest).as("__b")))
+    val grid = bucketed.select(col("__g")).distinct()
+      .crossJoin(broadcast(buckets))
+      .join(bucketed, Seq("__g", "__b"), "left")
+      .select(col("__g"), col("__b"),
+        coalesce(col("__c"), lit(0L)).as("__c"))
+    val totals = grid.groupBy(col("__g")).agg(sum(col("__c")).as("__n"))
+    val withP = grid.join(totals, Seq("__g"))
+      .select(col("__g"), col("__b"), col("__n"),
+        (col("__c").cast("double") / col("__n").cast("double")).as("__p"))
+      .localCheckpoint(true) // both sides of the pair self-join
+    val a = withP.select(col("__g").as("group_a"), col("__b"),
+      col("__n").as("n_tokens_a"), col("__p").as("__pa"))
+    val b = withP.select(col("__g").as("group_b"), col("__b"),
+      col("__n").as("n_tokens_b"), col("__p").as("__pb"))
+    val half = lit(0.5)
+    val termA = when(col("__pa") > 0,
+      half * col("__pa") *
+        log(lit(2.0) * col("__pa") / (col("__pa") + col("__pb"))))
+      .otherwise(lit(0.0))
+    val termB = when(col("__pb") > 0,
+      half * col("__pb") *
+        log(lit(2.0) * col("__pb") / (col("__pa") + col("__pb"))))
+      .otherwise(lit(0.0))
+    a.join(b, Seq("__b"))
+      .filter(col("group_a") < col("group_b"))
+      .select(col("group_a"), col("group_b"),
+        col("n_tokens_a"), col("n_tokens_b"),
+        floor((termA + termB) * lit(1e9) + lit(0.5)).cast("long")
+          .as("__t9"))
+      .groupBy(col("group_a"), col("group_b"))
+      .agg(max(col("n_tokens_a")).as("n_tokens_a"),
+        max(col("n_tokens_b")).as("n_tokens_b"),
+        sum(col("__t9")).as("__s9"))
+      .select(col("group_a"), col("group_b"),
+        col("n_tokens_a"), col("n_tokens_b"),
+        (floor(col("__s9").cast("double") / lit(1e9) * lit(1e6) + lit(0.5))
+          / lit(1e6)).as("jsd6"))
+  }
 }

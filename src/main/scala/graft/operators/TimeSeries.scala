@@ -407,6 +407,83 @@ object TimeSeries {
     * Output: 7 rows (dow, n_days, total_events, mean6, eta2_6 —
     * replicated), dow ascending.
     */
+  /** Per-key Mann–Kendall trend test: S = Σ_{i<j} sign(x_j − x_i)
+    * over each key's time-ordered series, the tie-corrected variance
+    * Var(S) = [n(n−1)(2n+5) − Σ_g t_g(t_g−1)(2t_g+5)]/18, and the
+    * continuity-corrected z = (S∓1)/√Var — the nonparametric "is
+    * this key trending" screen that needs no distributional
+    * assumption and shrugs at outliers (a single 100× spike moves
+    * OLS slope arbitrarily, it moves S by at most n−1).
+    *
+    * The pair sum is a WITHIN-KEY self-join on t_i < t_j —
+    * deliberately quadratic in the SERIES LENGTH, which is
+    * calendar-bounded (days of history), and linear in the number of
+    * keys, which is what scales. A 1000× corpus is 1000× more keys ×
+    * the same ~10² pair block per key: the join stays one key-hash
+    * shuffle with bounded per-key fan-out. S and the variance
+    * numerator ride exact int64 (n ≤ ~2M rows per key before
+    * n(n−1)(2n+5) overflows — series are days, not rows).
+    *
+    * Keys with n < `minN` observations are dropped (a 3-point trend
+    * is noise); all-tied series read NULL z/p/trend (Var = 0).
+    * `significant` thresholds ROUNDED p at α=0.05.
+    *
+    * Output per key: (keyCol, n_obs, s_stat, var18 — the exact
+    * 18·Var integer, z6, p6, trend ∈ increasing|decreasing|none,
+    * NULL when untestable).
+    */
+  def mannKendall(
+      df: DataFrame,
+      keyCol: String,
+      tCol: String,
+      vCol: String,
+      minN: Int = 10): DataFrame = {
+    val series = df.select(col(keyCol).as("__k"),
+      col(tCol).cast("long").as("__t"), col(vCol).cast("long").as("__v"))
+    val sized = series.groupBy(col("__k"))
+      .agg(count(lit(1)).as("n_obs"))
+      .filter(col("n_obs") >= minN)
+    val kept = series.join(sized, Seq("__k"))
+    val a = kept.select(col("__k"), col("__t").as("__ta"),
+      col("__v").as("__va"))
+    val b = kept.select(col("__k"), col("__t").as("__tb"),
+      col("__v").as("__vb"), col("n_obs"))
+    val s = a.join(b, Seq("__k"))
+      .filter(col("__ta") < col("__tb"))
+      .groupBy(col("__k"))
+      .agg(max(col("n_obs")).as("n_obs"),
+        sum(signum(col("__vb") - col("__va")).cast("long")).as("s_stat"))
+    val ties = kept.groupBy(col("__k"), col("__v"))
+      .agg(count(lit(1)).as("__tg"))
+      .groupBy(col("__k"))
+      .agg(sum(col("__tg") * (col("__tg") - lit(1L)) *
+        (lit(2L) * col("__tg") + lit(5L))).as("__tie18"))
+    val n = col("n_obs")
+    val var18 = n * (n - lit(1L)) * (lit(2L) * n + lit(5L)) -
+      col("__tie18")
+    val varD = col("var18").cast("double") / lit(18.0)
+    val zRaw = when(col("s_stat") > 0,
+        (col("s_stat") - lit(1L)).cast("double") / sqrt(varD))
+      .when(col("s_stat") < 0,
+        (col("s_stat") + lit(1L)).cast("double") / sqrt(varD))
+      .otherwise(lit(0.0))
+    def pr6(c: Column): Column = floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+    val p = Hypothesis.normP2(zRaw)
+    val ok = col("var18") > 0L
+    s.join(ties, Seq("__k"))
+      .withColumn("var18", var18)
+      .select(col("__k").as(keyCol), col("n_obs"), col("s_stat"),
+        col("var18"),
+        when(ok, pr6(zRaw)).otherwise(lit(null).cast("double")).as("z6"),
+        when(ok, pr6(p)).otherwise(lit(null).cast("double")).as("p6"),
+        when(!ok, lit(null).cast("string"))
+          .when(pr6(p) <= lit(0.05) && col("s_stat") > 0,
+            lit("increasing"))
+          .when(pr6(p) <= lit(0.05) && col("s_stat") < 0,
+            lit("decreasing"))
+          .otherwise(lit("none")).as("trend"))
+  }
+
   def dowSeasonality(
       counts: DataFrame,
       tCol: String,

@@ -1,0 +1,120 @@
+package graft.operators
+
+import graft.SparkSuiteBase
+import org.apache.spark.sql.functions._
+
+/** Hand-computed fixtures for the hypothesis-testing layer: the
+  * Welch chain against a worked example, the normal-tail polynomial
+  * against known Φ values, BH's step-up ordering (including the
+  * suffix-min that makes adjusted p monotone), the screen's
+  * complement moments, and the degenerate guards (one-row arm,
+  * constant arms, all-null p).
+  */
+class HypothesisSpec extends SparkSuiteBase {
+
+  test("normP2: matches known normal tail probabilities to 1e-6") {
+    import spark.implicits._
+    val df = Seq(0.0, 1.0, 1.96, 2.575829).toDF("z")
+    val got = df.select(col("z"),
+        (floor(Hypothesis.normP2(col("z")) * lit(1e6) + lit(0.5)) /
+          lit(1e6)).as("p"))
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    // 2(1-Φ): z=0 → 1, z=1 → 0.3173105, z=1.96 → 0.0499958,
+    // z=2.575829 → 0.0100000 (6dp-snapped below)
+    assert(math.abs(got(0.0) - 1.0) <= 1e-6)
+    assert(got(1.0) == 0.317311)
+    assert(got(1.96) == 0.049996)
+    assert(got(2.575829) == 0.01)
+  }
+
+  test("welchTTest: hand case, equal-variance symmetric arms") {
+    import spark.implicits._
+    // arm0: 1, 2, 3 (micro: 1e6..3e6); arm1: 4, 5, 6
+    // m_a=2 m_b=5 v=1 se2=2/3 t=3/sqrt(2/3)=3.674235 df=4
+    val df = Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 4L), (1L, 5L),
+      (1L, 6L)).map { case (a, v) => ("g", a, v * 1000000L) }
+      .toDF("grp", "arm", "xm")
+    val r = Hypothesis.welchTTest(df, Seq("grp"), "arm", "xm").head()
+    assert(r.getAs[Long]("n_a") == 3L && r.getAs[Long]("n_b") == 3L)
+    assert(r.getAs[Double]("mean_a6") == 2.0)
+    assert(r.getAs[Double]("mean_b6") == 5.0)
+    assert(r.getAs[Double]("diff6") == 3.0)
+    assert(math.abs(r.getAs[Double]("t6") - 3.674234) <= 1e-5)
+    assert(r.getAs[Double]("df6") == 4.0)
+    assert(r.getAs[Boolean]("significant"))
+  }
+
+  test("welchTTest: degenerate arms read NULL t with counts intact") {
+    import spark.implicits._
+    // one-row arm B; and a group with both arms constant (se2 = 0)
+    val df = Seq(("tiny", 0L, 1000000L), ("tiny", 0L, 2000000L),
+      ("tiny", 1L, 5000000L),
+      ("flat", 0L, 7000000L), ("flat", 0L, 7000000L),
+      ("flat", 1L, 7000000L), ("flat", 1L, 7000000L))
+      .toDF("grp", "arm", "xm")
+    val out = Hypothesis.welchTTest(df, Seq("grp"), "arm", "xm")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("tiny").isNullAt(out("tiny").fieldIndex("t6")))
+    assert(out("tiny").getAs[Long]("n_b") == 1L)
+    assert(out("flat").isNullAt(out("flat").fieldIndex("t6")),
+      "constant arms (se2=0) must read NULL")
+  }
+
+  test("welchScreen: complement moments equal a direct two-arm test") {
+    import spark.implicits._
+    val rows = Seq(("g", "a", 1L), ("g", "a", 2L), ("g", "a", 4L),
+      ("g", "b", 5L), ("g", "b", 6L), ("g", "b", 9L),
+      ("g", "c", 3L), ("g", "c", 8L))
+      .map { case (g, s, v) => (g, s, v * 1000000L) }
+    val df = rows.toDF("grp", "slice", "xm")
+    val screen = Hypothesis.welchScreen(df, Seq("grp"), "slice", "xm")
+      .filter(col("slice") === "a").head()
+    // direct: arm0 = slice a, arm1 = everything else
+    val direct = Hypothesis.welchTTest(
+      df.withColumn("arm", when(col("slice") === "a", 0L).otherwise(1L)),
+      Seq("grp"), "arm", "xm").head()
+    assert(screen.getAs[Long]("n_a") == direct.getAs[Long]("n_a"))
+    assert(screen.getAs[Long]("n_b") == direct.getAs[Long]("n_b"))
+    assert(screen.getAs[Double]("t6") == direct.getAs[Double]("t6"))
+    assert(screen.getAs[Double]("df6") == direct.getAs[Double]("df6"))
+    assert(screen.getAs[Double]("p6") == direct.getAs[Double]("p6"))
+  }
+
+  test("bhFdr: textbook step-up, adjusted p monotone, nulls pass") {
+    import spark.implicits._
+    // classic: p = .01, .04, .03, .005 with m=4:
+    // sorted .005 .01 .03 .04 → raw .02 .02 .04 .04 → suffix-min
+    // adj = .02 .02 .04 .04
+    val df = Seq(("h1", 0.01), ("h2", 0.04), ("h3", 0.03),
+      ("h4", 0.005), ("h5", Double.NaN))
+      .toDF("h", "p")
+      .withColumn("p", when(col("h") === "h5",
+        lit(null).cast("double")).otherwise(col("p")))
+    val out = Hypothesis.bhFdr(df, Seq("h"), "p", alpha = 0.05)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("h4").getAs[Int]("rank") == 1)
+    assert(out("h4").getAs[Double]("adj_p6") == 0.02)
+    assert(out("h1").getAs[Double]("adj_p6") == 0.02)
+    assert(out("h3").getAs[Double]("adj_p6") == 0.04)
+    assert(out("h2").getAs[Double]("adj_p6") == 0.04)
+    assert(Seq("h1", "h2", "h3", "h4")
+      .forall(h => out(h).getAs[Boolean]("rejected")))
+    assert(out("h5").isNullAt(out("h5").fieldIndex("adj_p6")))
+    assert(out("h5").isNullAt(out("h5").fieldIndex("rank")))
+    // adjusted p must be monotone in rank
+    val byRank = Seq("h4", "h1", "h3", "h2")
+      .map(h => out(h).getAs[Double]("adj_p6"))
+    assert(byRank == byRank.sorted)
+  }
+
+  test("bhFdr: m excludes NULL p rows") {
+    import spark.implicits._
+    val df = Seq(("a", Some(0.04)), ("b", None), ("c", None))
+      .toDF("h", "p")
+    val row = Hypothesis.bhFdr(df, Seq("h"), "p")
+      .filter(col("h") === "a").head()
+    // m=1 → adj = 0.04·1/1, rejected at 0.05
+    assert(row.getAs[Double]("adj_p6") == 0.04)
+    assert(row.getAs[Boolean]("rejected"))
+  }
+}

@@ -1,0 +1,83 @@
+package graft.operators
+
+import graft.SparkSuiteBase
+import org.apache.spark.sql.functions._
+
+/** Hand-computed fixtures for the closed-form regression operators:
+  * OLS recovering exact planted coefficients (zero residual ⇒ R²=1),
+  * the collinear-NULL guard, and the isotonic minimax fit against
+  * the classic pooled-violator example plus the monotone invariant.
+  */
+class RegressionSpec extends SparkSuiteBase {
+
+  test("olsFit: recovers an exact plane with R2 = 1") {
+    import spark.implicits._
+    // y = 2 + 3·x1 − 1·x2, exact in micro units
+    val rows = for (x1 <- 0L to 4L; x2 <- 0L to 3L)
+      yield (x1, x2, (2L + 3L * x1 - x2) * 1000000L)
+    val r = Regression.olsFit(rows.toDF("x1", "x2", "ym"),
+      "ym", "x1", "x2").head()
+    assert(r.getAs[Long]("n") == 20L)
+    assert(r.getAs[Double]("beta0_6") == 2.0)
+    assert(r.getAs[Double]("beta1_6") == 3.0)
+    assert(r.getAs[Double]("beta2_6") == -1.0)
+    assert(r.getAs[Double]("r2_6") == 1.0)
+  }
+
+  test("olsFit: collinear features read NULL betas") {
+    import spark.implicits._
+    // x2 = 2·x1 exactly → singular Gram matrix
+    val rows = (0L to 9L).map(i => (i, 2L * i, i * 1000000L))
+    val r = Regression.olsFit(rows.toDF("x1", "x2", "ym"),
+      "ym", "x1", "x2").head()
+    assert(r.isNullAt(r.fieldIndex("beta0_6")))
+    assert(r.isNullAt(r.fieldIndex("r2_6")))
+  }
+
+  test("olsFit: constant y reads R2 NULL (SST = 0), betas defined") {
+    import spark.implicits._
+    val rows = (0L to 9L).map(i => (i, (i * i) % 7, 5000000L))
+    val r = Regression.olsFit(rows.toDF("x1", "x2", "ym"),
+      "ym", "x1", "x2").head()
+    assert(r.getAs[Double]("beta0_6") == 5.0)
+    assert(r.getAs[Double]("beta1_6") == 0.0)
+    assert(r.isNullAt(r.fieldIndex("r2_6")))
+  }
+
+  test("isotonicFit: pools the classic violator") {
+    import spark.implicits._
+    // means by bin: 1, 3, 2, 4 → bins 2,3 pool to 2.5; unit weights
+    val bins = Seq((0L, 1L, 1000000L), (1L, 1L, 3000000L),
+      (2L, 1L, 2000000L), (3L, 1L, 4000000L))
+      .toDF("bin", "n", "s")
+    val out = Regression.isotonicFit(bins, "bin", "n", "s")
+      .orderBy(col("bin")).collect()
+    assert(out.map(_.getAs[Double]("fitted6")).toSeq ==
+      Seq(1.0, 2.5, 2.5, 4.0))
+    assert(out.map(_.getAs[Double]("mean6")).toSeq ==
+      Seq(1.0, 3.0, 2.0, 4.0))
+  }
+
+  test("isotonicFit: weighted pool + monotone invariant") {
+    import spark.implicits._
+    // bin1 mean 4 (w=3), bin2 mean 1 (w=1) → pooled (12+1)/4 = 3.25
+    val bins = Seq((0L, 1L, 0L), (1L, 3L, 12000000L),
+      (2L, 1L, 1000000L), (3L, 2L, 10000000L))
+      .toDF("bin", "n", "s")
+    val out = Regression.isotonicFit(bins, "bin", "n", "s")
+      .orderBy(col("bin")).collect()
+    val fit = out.map(_.getAs[Double]("fitted6")).toSeq
+    assert(fit == Seq(0.0, 3.25, 3.25, 5.0))
+    assert(fit == fit.sorted, "isotonic fit must be non-decreasing")
+  }
+
+  test("isotonicFit: already-monotone input is returned unchanged") {
+    import spark.implicits._
+    val bins = (0L to 5L).map(b => (b, 2L, (b * 2L + 1L) * 2000000L))
+      .toDF("bin", "n", "s")
+    val out = Regression.isotonicFit(bins, "bin", "n", "s")
+      .orderBy(col("bin")).collect()
+    assert(out.forall(r =>
+      r.getAs[Double]("fitted6") == r.getAs[Double]("mean6")))
+  }
+}
