@@ -165,4 +165,50 @@ class AuditSpec extends SparkSuiteBase {
     assert(r.getAs[Long]("n") == 3L)
     assert(r.getAs[Double]("chi2_6") == 0.75, s"got $r")
   }
+
+  test("psiDrift: identical distribution reads ~0, shifted flags") {
+    import spark.implicits._
+    // twin: same histogram as baseline → PSI exactly 0 (p = q in
+    // every bin, including the smoothing); shifted: all mass moved
+    // two bins up
+    val rows =
+      Seq.tabulate(40)(i => ("base", (i % 4) * 10L)) ++
+      Seq.tabulate(40)(i => ("twin", (i % 4) * 10L)) ++
+      Seq.tabulate(40)(i => ("shift", (i % 4) * 10L + 60L))
+    val df = rows.toDF("src", "v")
+    val out = Audit.psiDrift(df, "src", "v", baseline = "base",
+        binWidth = 10L, nBins = 10)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(!out.contains("base"), "baseline is not reported")
+    assert(out("twin").getAs[Double]("psi6") == 0.0)
+    assert(!out("twin").getAs[Boolean]("drifted"))
+    assert(out("shift").getAs[Double]("psi6") > 0.2)
+    assert(out("shift").getAs[Boolean]("drifted"))
+    assert(out("shift").getAs[Long]("n_rows") == 40L)
+  }
+
+  test("psiDrift: hand-computed two-bin PSI with smoothing") {
+    import spark.implicits._
+    // baseline: 3 in bin0, 1 in bin1; other: 1 in bin0, 3 in bin1
+    // with +1/(4+2): q = (4/6, 2/6), p = (2/6, 4/6)
+    // psi = (2/6-4/6)ln(2/4) + (4/6-2/6)ln(4/2) = (2/3)ln2 = 0.462098
+    val df = (Seq.fill(3)(("b", 0L)) ++ Seq(("b", 10L)) ++
+      Seq(("o", 0L)) ++ Seq.fill(3)(("o", 10L))).toDF("src", "v")
+    val r = Audit.psiDrift(df, "src", "v", "b", 10L, 2).head()
+    assert(r.getAs[Double]("psi6") == 0.462098)
+    assert(r.getAs[Boolean]("drifted"))
+  }
+
+  test("psiDrift: values clamp into [0, nBins) bins") {
+    import spark.implicits._
+    // negative and overflow values land in the edge bins rather
+    // than throwing or creating phantom bins
+    val df = (Seq(("b", -5L), ("b", 0L), ("b", 99L), ("b", 500L)) ++
+      Seq(("o", -1L), ("o", 3L), ("o", 120L), ("o", 999L)))
+      .toDF("src", "v")
+    val r = Audit.psiDrift(df, "src", "v", "b", 10L, 5).head()
+    assert(r.getAs[Long]("n_rows") == 4L)
+    // identical bin occupancy (bin0 ×2, bin0.., clamp top = bin4 ×2)
+    assert(r.getAs[Double]("psi6") == 0.0)
+  }
 }

@@ -289,4 +289,36 @@ class ScaleOpsSpec extends SparkSuiteBase {
     val byId = norm.sortBy(_.getDouble(1)).map(_.getDouble(2))
     assert(byId.toSeq === byId.sorted.toSeq)
   }
+
+  test("compactionPlan: ordered coalesce, oversized file isolated") {
+    import spark.implicits._
+    // files in name order: 6,6,6 → bins 0,0(cum 6),1(cum 12);
+    // then 25 (cum 18 → bin 1!), then 3 (cum 43 → bin 4)
+    val files = Seq(("f1", 6L), ("f2", 6L), ("f3", 6L), ("f4", 25L),
+      ("f5", 3L)).toDF("f", "bytes")
+    val out = ScaleOps.compactionPlan(files, Seq("f"), "bytes",
+        targetBytes = 10L)
+      .orderBy(col("bin_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // bin0: f1,f2 (12 bytes); bin1: f3,f4 (31 — f4 starts at cum 12
+    // inside bin1 and overflows it, fill > 1); bin4: f5
+    assert(out == Seq((0L, 2L, 12L), (1L, 2L, 31L), (4L, 1L, 3L)))
+    // invariants: every file in exactly one bin; bins non-decreasing
+    assert(out.map(_._2).sum == 5L)
+    assert(out.map(_._3).sum == 46L)
+  }
+
+  test("compactionPlan: exact-boundary cumulative opens a new bin") {
+    import spark.implicits._
+    val files = Seq(("a", 10L), ("b", 10L), ("c", 1L))
+      .toDF("f", "bytes")
+    val out = ScaleOps.compactionPlan(files, Seq("f"), "bytes", 10L)
+      .orderBy(col("bin_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // cum-before: a=0→bin0, b=10→bin1, c=20→bin2
+    assert(out == Seq((0L, 1L, 10L), (1L, 1L, 10L), (2L, 1L, 1L)))
+    val fills = ScaleOps.compactionPlan(files, Seq("f"), "bytes", 10L)
+      .orderBy(col("bin_id")).collect().map(_.getAs[Double]("fill6"))
+    assert(fills.toSeq == Seq(1.0, 1.0, 0.1))
+  }
 }

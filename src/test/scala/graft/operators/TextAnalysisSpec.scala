@@ -226,4 +226,44 @@ class TextAnalysisSpec extends SparkSuiteBase {
     // empty result, never a fabricated xmin
     assert(TextAnalysis.hillTailIndex(flat, "x", "id", k = 64).isEmpty)
   }
+
+  test("jsdProfilePairs: identical sources 0, disjoint ln2, symmetric") {
+    import spark.implicits._
+    val docs = Seq(
+      ("a", "x x y"), ("a", "y z"),
+      ("b", "x x y y z"),         // same distribution as a: 2/5 2/5 1/5
+      ("c", "p q p q p")          // disjoint vocabulary
+    ).toDF("source", "text")
+    val out = TextAnalysis.jsdProfilePairs(docs, "source", "text",
+        profileK = 10)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        r.getAs[Double]("jsd6")).toMap
+    assert(out(("a", "b")) == 0.0, "identical unigram mix")
+    // fully disjoint supports: JSD = ln 2 = 0.693147
+    assert(out(("a", "c")) == 0.693147)
+    assert(out(("b", "c")) == 0.693147)
+    // ordering convention: pairs come out (min, max) only
+    assert(!out.contains(("b", "a")))
+  }
+
+  test("jsdProfilePairs: tail mass folds into one rest bucket") {
+    import spark.implicits._
+    // profileK = 1 keeps only the global top token ("x", count 5,
+    // ties impossible); everything else buckets as rest. a: x=2 of 3;
+    // b: x=3 of 5 — rest carries 1/3 vs 2/5
+    val docs = Seq(("a", "x x q"), ("b", "x r x s x"))
+      .toDF("source", "text")
+    val r = TextAnalysis.jsdProfilePairs(docs, "source", "text",
+      profileK = 1).head()
+    assert(r.getAs[Long]("n_tokens_a") == 3L)
+    assert(r.getAs[Long]("n_tokens_b") == 5L)
+    // hand JSD over {x: 2/3 vs 3/5, rest: 1/3 vs 2/5}
+    val p = Seq(2.0 / 3, 1.0 / 3); val q = Seq(3.0 / 5, 2.0 / 5)
+    val jsd = (p, q).zipped.map { (pi, qi) =>
+      0.5 * pi * math.log(2 * pi / (pi + qi)) +
+        0.5 * qi * math.log(2 * qi / (pi + qi))
+    }.sum
+    assert(math.abs(r.getAs[Double]("jsd6") - jsd) < 2e-6)
+  }
 }

@@ -306,4 +306,46 @@ class TimeSeriesSpec extends SparkSuiteBase {
     assert(rd.map(_.getLong(2)).toSet == Set(5L),
       "both days total 5 after the t-grain pre-aggregation")
   }
+
+  test("mannKendall: strictly increasing series, exact S and var") {
+    import spark.implicits._
+    // v = t for t=0..9: S = 45 (all pairs ascending), no ties →
+    // var18 = 10·9·25 = 2250, Var = 125, z = 44/√125 = 3.935979
+    val df = (0L to 9L).map(t => ("u", t, t)).toDF("k", "t", "v")
+    val r = TimeSeries.mannKendall(df, "k", "t", "v", minN = 5).head()
+    assert(r.getAs[Long]("n_obs") == 10L)
+    assert(r.getAs[Long]("s_stat") == 45L)
+    assert(r.getAs[Long]("var18") == 2250L)
+    assert(r.getAs[Double]("z6") == 3.93548)
+    assert(r.getAs[String]("trend") == "increasing")
+  }
+
+  test("mannKendall: tie correction and the decreasing branch") {
+    import spark.implicits._
+    // v = [5,5,3,1]: pairs (5,5)=0, 5>3 ×2, 5>1 ×2, 3>1 → S = -5
+    // ties: one group of 2 → tie18 = 2·1·9 = 18
+    // var18 = 4·3·13 − 18 = 138
+    val df = Seq(("u", 0L, 5L), ("u", 1L, 5L), ("u", 2L, 3L),
+      ("u", 3L, 1L)).toDF("k", "t", "v")
+    val r = TimeSeries.mannKendall(df, "k", "t", "v", minN = 2).head()
+    assert(r.getAs[Long]("s_stat") == -5L)
+    assert(r.getAs[Long]("var18") == 138L)
+    // z = (-5+1)/√(138/18) = -1.44463; p ≈ 0.1486 → "none"
+    assert(r.getAs[Double]("z6") == -1.44463)
+    assert(r.getAs[String]("trend") == "none")
+  }
+
+  test("mannKendall: all-tied series reads NULL, short keys drop") {
+    import spark.implicits._
+    val df = (Seq.tabulate(6)(i => ("flat", i.toLong, 7L)) ++
+      Seq(("short", 0L, 1L), ("short", 1L, 2L))).toDF("k", "t", "v")
+    val out = TimeSeries.mannKendall(df, "k", "t", "v", minN = 5)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(!out.contains("short"), "below-minN keys are dropped")
+    val f = out("flat")
+    assert(f.getAs[Long]("s_stat") == 0L)
+    assert(f.getAs[Long]("var18") == 0L)
+    assert(f.isNullAt(f.fieldIndex("z6")))
+    assert(f.isNullAt(f.fieldIndex("trend")))
+  }
 }
