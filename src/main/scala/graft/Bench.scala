@@ -150,7 +150,13 @@ object Bench {
     "q194_mad_outliers" -> 0.94, "q195_rfm_scores" -> 2.62,
     "q196_bootstrap_ci" -> 0.98, "q197_hill_tail" -> 0.56,
     "q198_ccf" -> 1.18, "q199_ltv_curve" -> 1.11,
-    "q200_dow_seasonality" -> 0.76, "q201_sprt" -> 1.11)
+    "q200_dow_seasonality" -> 0.76, "q201_sprt" -> 1.11,
+    // round-11 session-3 additions, mins at sf0.1 (comparator
+    // 1.00/0.30, 3 reps)
+    "q202_welch_ttest" -> 1.02, "q203_psi_drift" -> 0.87,
+    "q204_jsd_sources" -> 1.18, "q205_bh_fdr" -> 1.86,
+    "q206_mann_kendall" -> 0.89, "q207_compaction_plan" -> 0.64,
+    "q208_ols_regression" -> 0.24, "q209_isotonic_calibration" -> 0.44)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
