@@ -156,7 +156,10 @@ object Bench {
     "q202_welch_ttest" -> 1.02, "q203_psi_drift" -> 0.87,
     "q204_jsd_sources" -> 1.18, "q205_bh_fdr" -> 1.86,
     "q206_mann_kendall" -> 0.89, "q207_compaction_plan" -> 0.64,
-    "q208_ols_regression" -> 0.24, "q209_isotonic_calibration" -> 0.44)
+    "q208_ols_regression" -> 0.24, "q209_isotonic_calibration" -> 0.44,
+    // q210's prior is the PRUNED QUERY over the memoized layout (the
+    // first rep pays the one-time 64-file build: 10.5 s at sf0.1)
+    "q210_zonemap_skip" -> 0.54)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -5601,6 +5601,89 @@ object PipelineQueries extends QueryGroup {
       .orderBy(col("event_type"))
   }
 
+  private val zoneMapDirs = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.SparkSession, String), String]
+
+  /** Memoized q210 fixture: lineitem sort-clustered by ship day into
+    * 64 zone-mapped files (ScaleOps.zoneMapLayout). Built once per
+    * (session, sf dir); the query then pays only the metadata read +
+    * the overlapping files — which is the thing q210 measures.
+    */
+  private def zoneMappedLineitem(s: org.apache.spark.sql.SparkSession,
+      d: String): String = {
+    sweepDeadEntries(zoneMapDirs)
+    zoneMapDirs.computeIfAbsent((s, d), _ => {
+      val dir = scratchDir("graft-zonemap")
+      // l_shipdate reads as TIMESTAMP_NTZ; sessions pin UTC so the
+      // cast interprets the naive wall time as DuckDB's epoch_ms does
+      val li = Tables.lineitem(s, d).select(
+        expr("unix_millis(cast(l_shipdate as timestamp)) div 86400000")
+          .as("ship_day"),
+        col("l_orderkey"), col("l_linenumber"),
+        floor(col("l_extendedprice") * lit(100) + lit(0.5)).cast("long")
+          .as("cents"))
+      graft.operators.ScaleOps.zoneMapLayout(li,
+        Seq("ship_day", "l_orderkey", "l_linenumber"), col("ship_day"),
+        numFiles = 64, dir)
+      dir
+    })
+  }
+
+  // Zone-map file skipping: the file-level min/max index an
+  // UNPARTITIONED lakehouse table uses where directory partitioning
+  // (q157) is too coarse. The layout is 64 sort-clustered files with
+  // a persisted per-file (min, max, count) zone map; a March-1996
+  // range query reads the metadata-sized map, keeps only overlapping
+  // files (a `__zfile` partition filter — the skipped files'
+  // directories are pruned at planning time, real IO), and applies
+  // the residual predicate to the boundary files. Output reports the
+  // skip ratio next to the answer: files scanned vs total, rows
+  // scanned vs matched. Revenue rides exact integer cents.
+  q("q210_zonemap_skip", {
+    val lo = "(epoch_ms(TIMESTAMP '1996-03-01 00:00:00') // 86400000)"
+    val hi = "(epoch_ms(TIMESTAMP '1996-03-31 00:00:00') // 86400000)"
+    s"""WITH c210 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM lineitem),
+       |r210 AS (SELECT epoch_ms(l_shipdate) // 86400000 AS ship_day,
+       |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents,
+       |    row_number() OVER (ORDER BY epoch_ms(l_shipdate) // 86400000,
+       |      l_orderkey, l_linenumber) - 1 AS rk
+       |  FROM lineitem),
+       |p210 AS (SELECT ship_day, cents,
+       |    rk // greatest(1, (n + 63) // 64) AS zf
+       |  FROM r210 CROSS JOIN c210),
+       |zm210 AS (SELECT zf, min(ship_day) AS mn, max(ship_day) AS mx
+       |  FROM p210 GROUP BY 1),
+       |pk210 AS (SELECT zf FROM zm210 WHERE mx >= $lo AND mn <= $hi),
+       |s210 AS (SELECT p210.ship_day, p210.cents
+       |  FROM p210 JOIN pk210 ON pk210.zf = p210.zf),
+       |t210 AS (SELECT CAST(count(*) AS BIGINT) AS rows_scanned,
+       |    CAST(sum(CASE WHEN ship_day BETWEEN $lo AND $hi
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS n_match,
+       |    CAST(sum(CASE WHEN ship_day BETWEEN $lo AND $hi
+       |      THEN cents ELSE 0 END) AS BIGINT) AS cm
+       |  FROM s210)
+       |SELECT (SELECT CAST(count(*) AS BIGINT) FROM zm210) AS n_files,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM pk210) AS n_files_scanned,
+       |  rows_scanned, n_match, CAST(cm AS DOUBLE)/1e2 AS revenue2
+       |FROM t210""".stripMargin
+  }) { (s, d) =>
+    val dir = zoneMappedLineitem(s, d)
+    def loD = expr(
+      "unix_millis(timestamp'1996-03-01 00:00:00') div 86400000")
+    def hiD = expr(
+      "unix_millis(timestamp'1996-03-31 00:00:00') div 86400000")
+    val (scan, nFiles, nScanned) = graft.operators.ScaleOps
+      .zoneMapPrunedScan(s, dir, col("ship_day"), loD, hiD)
+    val inR = col("ship_day") >= loD && col("ship_day") <= hiD
+    scan.agg(count(lit(1)).as("rows_scanned"),
+        sum(when(inR, 1L).otherwise(0L)).as("n_match"),
+        sum(when(inR, col("cents")).otherwise(0L)).as("__cm"))
+      .select(lit(nFiles).as("n_files"),
+        lit(nScanned).as("n_files_scanned"),
+        col("rows_scanned"), col("n_match"),
+        (col("__cm").cast("double") / lit(1e2)).as("revenue2"))
+  }
+
   // Distribution-shift monitoring: PSI of the doc-length
   // distribution per source against baseline src0 (fixed-width
   // 50-char bins ×16, clamped; Laplace +1 smoothing keeps ln(p/q)

@@ -451,6 +451,70 @@ object ScaleOps {
       .select(col(idCol), col("value"), col("__rv").as("norm_value"))
   }
 
+  /** Zone-map layout writer: sort-cluster `df` by `orderCols` into
+    * `numFiles` deterministic files (file = exclusive-prefix-rank ÷
+    * rows-per-file over ONE range-partitioned prefix sum — no
+    * sampling-based range partitioner, so the layout is bit-stable
+    * across runs), write the data partitioned by `__zfile`, and
+    * persist a ZONE MAP beside it: per-file (min, max, count) of
+    * `statCol` — the file-skipping index an unpartitioned lakehouse
+    * table keeps where directory partitioning is too coarse.
+    *
+    * Layout lands at `dir/data/__zfile=k/...`; the zone map (one
+    * ~numFiles-row parquet) at `dir/zonemap`. Build cost is one data
+    * pass + one stats pass; every subsequent range query pays only
+    * the zone-map read (metadata-sized) plus the files that actually
+    * overlap — see [[zoneMapPrunedScan]].
+    */
+  def zoneMapLayout(
+      df: DataFrame,
+      orderCols: Seq[String],
+      statCol: org.apache.spark.sql.Column,
+      numFiles: Int,
+      dir: String): Unit = {
+    require(numFiles >= 1, "numFiles must be >= 1")
+    val n = df.count()
+    val rpf = math.max(1L, (n + numFiles - 1) / numFiles)
+    prefixSumByRange(df, orderCols, lit(1L), "__rk")
+      .withColumn("__zfile", expr(s"__rk div ${rpf}L"))
+      .drop("__rk")
+      .write.partitionBy("__zfile").mode("overwrite").parquet(s"$dir/data")
+    val spark = df.sparkSession
+    spark.read.parquet(s"$dir/data")
+      .groupBy(col("__zfile"))
+      .agg(min(statCol).as("mn"), max(statCol).as("mx"),
+        count(lit(1)).as("c"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/zonemap")
+  }
+
+  /** Range query over a [[zoneMapLayout]]: read the zone map
+    * (metadata-sized), keep files whose [mn, mx] overlaps [lo, hi],
+    * and scan ONLY those — the `__zfile` partition filter prunes the
+    * skipped files' directories at planning time, so the saved IO is
+    * real, not a post-scan filter. The zone-map collect is bounded
+    * by the FILE count (the layout's knob), never the data.
+    *
+    * Returns (prunedData, nFilesTotal, nFilesScanned) — the caller
+    * applies its own residual predicate/aggregate to `prunedData`
+    * (boundary files contain out-of-range rows by construction).
+    */
+  def zoneMapPrunedScan(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      statCol: org.apache.spark.sql.Column,
+      lo: org.apache.spark.sql.Column,
+      hi: org.apache.spark.sql.Column): (DataFrame, Long, Long) = {
+    val zm = spark.read.parquet(s"$dir/zonemap")
+    val nTotal = zm.count()
+    val picked = zm.filter(col("mx") >= lo && col("mn") <= hi)
+      .select(col("__zfile").cast("long"))
+      .collect().map(_.getLong(0)).sorted
+    val pruned = spark.read.parquet(s"$dir/data")
+      .filter(col("__zfile").isin(picked.map(java.lang.Long.valueOf): _*))
+    (pruned, nTotal, picked.length.toLong)
+  }
+
   /** Compaction planner: assign an ORDERED list of (small) files to
     * output bins of ~`targetBytes` — the job a lakehouse OPTIMIZE
     * runs before rewriting a small-file-bloated table. Ordered

@@ -308,6 +308,53 @@ class ScaleOpsSpec extends SparkSuiteBase {
     assert(out.map(_._3).sum == 46L)
   }
 
+  test("zoneMapLayout + prunedScan: skipped files are never read") {
+    import spark.implicits._
+    // 40 rows sorted by k into 4 files of 10; range [25, 34] overlaps
+    // exactly files 2 (k 20..29) and 3 (k 30..39)
+    val df = (0L until 40L).map(k => (k, k * 2L)).toDF("k", "v")
+    val dir = tmpDir("zm-spec")
+    ScaleOps.zoneMapLayout(df, Seq("k", "v"), col("k"), numFiles = 4,
+      dir)
+    val zm = spark.read.parquet(s"$dir/zonemap")
+      .orderBy(col("__zfile")).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(zm.toSeq == Seq((0L, 9L, 10L), (10L, 19L, 10L),
+      (20L, 29L, 10L), (30L, 39L, 10L)))
+    val (scan, nTotal, nScanned) = ScaleOps.zoneMapPrunedScan(
+      spark, dir, col("k"), lit(25L), lit(34L))
+    assert(nTotal == 4L && nScanned == 2L)
+    // file-level proof the skip is real: execute the scan and read
+    // the FileSourceScanExec's numFiles METRIC — planning-time
+    // partition pruning, not a post-scan row filter
+    // (DataFrame.inputFiles reports the un-pruned FileIndex and
+    // cannot distinguish the two)
+    val exec = scan.queryExecution.executedPlan
+    assert(exec.execute().count() == 20L,
+      "the two boundary files hold k 20..39")
+    val scanNode = exec.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.get
+    assert(scanNode.metrics("numFiles").value == 2L,
+      s"expected 2 files read, got ${scanNode.metrics("numFiles").value}")
+    assert(scanNode.toString.contains("PartitionFilters"),
+      "the __zfile predicate must be a partition filter")
+    // residual rows: matches are 25..34
+    assert(scan.filter(col("k").between(25L, 34L)).count() == 10L)
+  }
+
+  test("zoneMapPrunedScan: disjoint range reads zero files") {
+    import spark.implicits._
+    val df = (0L until 20L).map(k => (k, k)).toDF("k", "v")
+    val dir = tmpDir("zm-spec2")
+    ScaleOps.zoneMapLayout(df, Seq("k", "v"), col("k"), numFiles = 2,
+      dir)
+    val (scan, nTotal, nScanned) = ScaleOps.zoneMapPrunedScan(
+      spark, dir, col("k"), lit(100L), lit(200L))
+    assert(nTotal == 2L && nScanned == 0L)
+    assert(scan.count() == 0L)
+  }
+
   test("compactionPlan: exact-boundary cumulative opens a new bin") {
     import spark.implicits._
     val files = Seq(("a", 10L), ("b", 10L), ("c", 1L))
