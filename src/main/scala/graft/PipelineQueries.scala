@@ -5684,6 +5684,83 @@ object PipelineQueries extends QueryGroup {
         (col("__cm").cast("double") / lit(1e2)).as("revenue2"))
   }
 
+  // Weak-supervision label aggregation: one Dawid–Skene EM round
+  // over three synthetic labelers (votes are md5-replayed flips of a
+  // latent md5 label at 10/20/35% rates — the oracle regenerates
+  // them bit-for-bit). Confusion counts are Laplace-smoothed exact
+  // integers; log-weights snap to micro at the 3-row labeler grain,
+  // so the per-item relabel is a pure int64 sum compared to 0.
+  q("q211_dawid_skene", {
+    def h(e: String) =
+      s"CAST('0x' || substr(md5($e), 1, 15) AS BIGINT)"
+    def lab(l: Int, f: Int) =
+      s"""SELECT doc_id, $l AS labeler,
+         |  CASE WHEN ${h(s"'lab$l:' || CAST(doc_id AS VARCHAR)")}
+         |    % 1000000 < $f THEN 1 - g ELSE g END AS v
+         |FROM g211""".stripMargin
+    val sens = "(CAST(cp + 1 AS DOUBLE) / CAST(np + 2 AS DOUBLE))"
+    val spec = "(CAST(cn + 1 AS DOUBLE) / CAST(nn + 2 AS DOUBLE))"
+    val pi = "(CAST(n1 + 1 AS DOUBLE) / CAST(n + 2 AS DOUBLE))"
+    s"""WITH g211 AS (SELECT doc_id,
+       |    ${h("CAST(doc_id AS VARCHAR)")} % 2 AS g
+       |  FROM documents),
+       |v211 AS (${lab(1, 100000)}
+       |  UNION ALL ${lab(2, 200000)}
+       |  UNION ALL ${lab(3, 350000)}),
+       |z211 AS (SELECT doc_id,
+       |    CASE WHEN 2 * sum(v) > count(*) THEN 1 ELSE 0 END AS z
+       |  FROM v211 GROUP BY 1),
+       |m211 AS (SELECT labeler, CAST(count(*) AS BIGINT) AS n_votes,
+       |    CAST(sum(CASE WHEN z = 1 AND v = 1 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS cp,
+       |    CAST(sum(CASE WHEN z = 1 THEN 1 ELSE 0 END) AS BIGINT) AS np,
+       |    CAST(sum(CASE WHEN z = 0 AND v = 0 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS cn,
+       |    CAST(sum(CASE WHEN z = 0 THEN 1 ELSE 0 END) AS BIGINT) AS nn
+       |  FROM v211 JOIN z211 USING (doc_id) GROUP BY 1),
+       |w211 AS (SELECT labeler, n_votes,
+       |    floor($sens * 1e6 + 0.5)/1e6 AS sens6,
+       |    floor($spec * 1e6 + 0.5)/1e6 AS spec6,
+       |    CAST(floor(ln($sens / (1e0 - $spec)) * 1e6 + 0.5) AS BIGINT)
+       |      AS w1,
+       |    CAST(floor(ln((1e0 - $sens) / $spec) * 1e6 + 0.5) AS BIGINT)
+       |      AS w0
+       |  FROM m211),
+       |p211 AS (SELECT CAST(floor(ln($pi / (1e0 - $pi)) * 1e6 + 0.5)
+       |    AS BIGINT) AS pm
+       |  FROM (SELECT CAST(sum(z) AS BIGINT) AS n1,
+       |      CAST(count(*) AS BIGINT) AS n FROM z211)),
+       |e211 AS (SELECT doc_id, CAST(sum(CASE WHEN v = 1 THEN w1
+       |    ELSE w0 END) AS BIGINT) AS sw
+       |  FROM v211 JOIN w211 USING (labeler) GROUP BY 1),
+       |f211 AS (SELECT doc_id,
+       |    CASE WHEN sw + pm > 0 THEN 1 ELSE 0 END AS z1
+       |  FROM e211 CROSS JOIN p211),
+       |a211 AS (SELECT labeler,
+       |    floor(CAST(sum(CASE WHEN v = z1 THEN 1 ELSE 0 END) AS DOUBLE)
+       |      / CAST(count(*) AS DOUBLE) * 1e6 + 0.5)/1e6 AS final_agree6
+       |  FROM v211 JOIN f211 USING (doc_id) GROUP BY 1)
+       |SELECT w211.labeler, n_votes, sens6, spec6, final_agree6
+       |FROM w211 JOIN a211 ON a211.labeler = w211.labeler
+       |ORDER BY 1""".stripMargin
+  }) { (s, d) =>
+    import graft.functions.PortableHash.md5Long60
+    val base = Tables.documents(s, d).select(col("doc_id"),
+      (md5Long60(col("doc_id").cast("string")) % lit(2L)).as("g"))
+    val arms = Seq((1, 100000L), (2, 200000L), (3, 350000L))
+    val votes = base.select(col("doc_id"), explode(array(arms.map {
+      case (l, f) => struct(lit(l).as("labeler"),
+        when(md5Long60(concat(lit(s"lab$l:"),
+            col("doc_id").cast("string"))) % lit(1000000L) < f,
+          lit(1L) - col("g")).otherwise(col("g")).as("v"))
+    }: _*)).as("__lv"))
+      .select(col("doc_id"), col("__lv.labeler").as("labeler"),
+        col("__lv.v").as("v"))
+    graft.operators.WeakLabels.dawidSkene(votes, "doc_id", "labeler",
+        "v")
+      .orderBy(col("labeler"))
+  }
+
   // Distribution-shift monitoring: PSI of the doc-length
   // distribution per source against baseline src0 (fixed-width
   // 50-char bins ×16, clamped; Laplace +1 smoothing keeps ln(p/q)
