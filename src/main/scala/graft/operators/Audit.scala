@@ -298,20 +298,45 @@ object Audit {
       binWidth: Long,
       nBins: Int): DataFrame = {
     require(binWidth > 0 && nBins > 1, "psiDrift needs binWidth>0, nBins>1")
-    // floor(v/w) over clamped non-negative longs — exact while
-    // v < 2^53 (the doubles are integers)
-    val bin = least(
-      floor(greatest(col(valueCol).cast("long"), lit(0L)) /
-        lit(binWidth.toDouble)).cast("long"),
-      lit(nBins - 1L))
     val counts = df.filter(col(valueCol).isNotNull)
-      .select(col(groupCol).as("__g"), bin.as("__bin"))
+      .select(col(groupCol).as("__g"),
+        psiBin(col(valueCol), binWidth, nBins).as("__bin"))
       .groupBy(col("__g"), col("__bin")).agg(count(lit(1)).as("__c"))
       .localCheckpoint(true) // grid-sized; feeds grid + totals below
-    val grid = counts.select(col("__g")).distinct()
+    psiFromCounts(counts, baseline, nBins)
+      .withColumnRenamed("__g", groupCol)
+  }
+
+  /** The row-local bin assignment [[psiDrift]] uses — exposed so a
+    * STREAMING monitor can maintain the same (group, bin) counts
+    * incrementally (graft.streaming.StreamingPsi): floor(v/w) over
+    * clamped non-negative longs, exact while v < 2^53, top bin
+    * clamps overflow.
+    */
+  def psiBin(value: Column, binWidth: Long, nBins: Int): Column =
+    least(
+      floor(greatest(value.cast("long"), lit(0L)) /
+        lit(binWidth.toDouble)).cast("long"),
+      lit(nBins - 1L))
+
+  /** PSI from a pre-aggregated (__g, __bin, __c) count frame — the
+    * shared math of the batch operator and its streaming twin (whose
+    * running aggregate produces exactly this frame at every
+    * micro-batch). Output keeps the `__g` column name; [[psiDrift]]
+    * renames it.
+    */
+  def psiFromCounts(
+      counts: DataFrame,
+      baseline: String,
+      nBins: Int): DataFrame = {
+    // grid-sized; breaks self-join lineage (the grid below joins the
+    // frame against its own distinct — a streaming-snapshot input
+    // otherwise trips conflicting-reference resolution)
+    val c = counts.localCheckpoint(true)
+    val grid = c.select(col("__g")).distinct()
       .crossJoin(
-        counts.sparkSession.range(nBins).select(col("id").as("__bin")))
-      .join(counts, Seq("__g", "__bin"), "left")
+        c.sparkSession.range(nBins).select(col("id").as("__bin")))
+      .join(c, Seq("__g", "__bin"), "left")
       .select(col("__g"), col("__bin"),
         coalesce(col("__c"), lit(0L)).as("__c"))
     val totals = grid.groupBy(col("__g")).agg(sum(col("__c")).as("__n"))
@@ -328,7 +353,7 @@ object Audit {
         floor(term * lit(1e9) + lit(0.5)).cast("long").as("__t9"))
       .groupBy(col("__g"))
       .agg(max(col("__n")).as("n_rows"), sum(col("__t9")).as("__s9"))
-      .select(col("__g").as(groupCol), col("n_rows"),
+      .select(col("__g"), col("n_rows"),
         (floor(col("__s9").cast("double") / lit(1e9) * lit(1e6) + lit(0.5))
           / lit(1e6)).as("psi6"))
       .withColumn("drifted", col("psi6") > lit(0.2))
