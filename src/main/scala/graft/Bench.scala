@@ -159,7 +159,9 @@ object Bench {
     "q208_ols_regression" -> 0.24, "q209_isotonic_calibration" -> 0.44,
     // q210's prior is the PRUNED QUERY over the memoized layout (the
     // first rep pays the one-time 64-file build: 10.5 s at sf0.1)
-    "q210_zonemap_skip" -> 0.54, "q211_dawid_skene" -> 1.19)
+    "q210_zonemap_skip" -> 0.54, "q211_dawid_skene" -> 1.19,
+    "q212_cuped" -> 0.92, "q213_experiment_health" -> 0.46,
+    "q214_winsorized_readout" -> 1.60)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -5684,6 +5684,142 @@ object PipelineQueries extends QueryGroup {
         (col("__cm").cast("double") / lit(1e2)).as("revenue2"))
   }
 
+  // CUPED variance-reduced experiment readout: each user's
+  // second-half outcome adjusted by their first-half covariate
+  // (θ = pooled cov/var), all from ONE exact-moment aggregate over
+  // the unit frame — the adjusted diff and the variance-reduction
+  // percentage are closed forms of the moments, no per-unit second
+  // pass. The period split is the integer midpoint day.
+  q("q212_cuped", {
+    val c = graft.operators.Hypothesis.cupedSql(
+      "n", "n_a", "n_b", "sx", "sy", "sxx", "sxy", "syy",
+      "sxa", "sya", "sxb", "syb")
+    s"""WITH e212 AS (SELECT user_id, epoch_ms(ts) // 86400000 AS d,
+       |    CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS xm
+       |  FROM events WHERE value IS NOT NULL),
+       |b212 AS (SELECT (min(d) + max(d)) // 2 AS mid FROM e212),
+       |u212 AS (SELECT user_id, user_id % 2 AS arm,
+       |    CAST(sum(CASE WHEN d <= mid THEN xm ELSE 0 END) AS BIGINT)
+       |      AS x,
+       |    CAST(sum(CASE WHEN d > mid THEN xm ELSE 0 END) AS BIGINT)
+       |      AS y
+       |  FROM e212 CROSS JOIN b212 GROUP BY 1, 2),
+       |m212 AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_a,
+       |    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_b,
+       |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+       |    sum(CAST(x AS HUGEINT) * x) AS sxx,
+       |    sum(CAST(x AS HUGEINT) * y) AS sxy,
+       |    sum(CAST(y AS HUGEINT) * y) AS syy,
+       |    CAST(sum(CASE WHEN arm = 0 THEN x ELSE 0 END) AS BIGINT)
+       |      AS sxa,
+       |    CAST(sum(CASE WHEN arm = 0 THEN y ELSE 0 END) AS BIGINT)
+       |      AS sya,
+       |    CAST(sum(CASE WHEN arm = 1 THEN x ELSE 0 END) AS BIGINT)
+       |      AS sxb,
+       |    CAST(sum(CASE WHEN arm = 1 THEN y ELSE 0 END) AS BIGINT)
+       |      AS syb
+       |  FROM u212)
+       |SELECT n, n_a, n_b, ${c("theta6")} AS theta6,
+       |  ${c("diff_raw6")} AS diff_raw6, ${c("diff_adj6")} AS diff_adj6,
+       |  ${c("var_reduction6")} AS var_reduction6
+       |FROM m212""".stripMargin
+  }) { (s, d) =>
+    val ev = Tables.events(s, d).filter(col("value").isNotNull)
+      .select(col("user_id"),
+        expr("unix_millis(ts) div 86400000").as("d"),
+        floor(col("value") * lit(1e6) + lit(0.5)).cast("long").as("xm"))
+    val bounds = ev.agg(
+      ((min(col("d")) + max(col("d"))) / lit(2)).cast("long").as("mid"))
+    val units = ev.crossJoin(broadcast(bounds))
+      .groupBy(col("user_id"),
+        pmod(col("user_id"), lit(2L)).as("arm"))
+      .agg(sum(when(col("d") <= col("mid"), col("xm")).otherwise(0L))
+          .as("x"),
+        sum(when(col("d") > col("mid"), col("xm")).otherwise(0L))
+          .as("y"))
+    graft.operators.Hypothesis.cuped(units, "arm", "x", "y")
+  }
+
+  // Experiment health panel: SRM (1-dof χ² of the unit split vs
+  // 50/50 — the "is the assignment broken" alarm, flagged at the
+  // conventional p < 0.001) and the minimum detectable effect at
+  // α=0.05 / 80% power — both from ONE exact-moment aggregate over
+  // the per-user outcome frame.
+  q("q213_experiment_health", {
+    val h = graft.operators.Hypothesis.experimentHealthSql(
+      "n", "n_a", "n_b", "sy", "syy")
+    s"""WITH u213 AS (SELECT user_id, user_id % 2 AS arm,
+       |    CAST(sum(CAST(floor(value * 1e6 + 0.5) AS BIGINT))
+       |      AS BIGINT) AS y
+       |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+       |m213 AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_a,
+       |    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_b,
+       |    CAST(sum(y) AS BIGINT) AS sy,
+       |    sum(CAST(y AS HUGEINT) * y) AS syy
+       |  FROM u213)
+       |SELECT n, n_a, n_b, ${h("srm_chi2_6")} AS srm_chi2_6,
+       |  ${h("srm_p6")} AS srm_p6, ${h("srm_flag")} AS srm_flag,
+       |  ${h("sd6")} AS sd6, ${h("mde_abs6")} AS mde_abs6,
+       |  ${h("mde_rel6")} AS mde_rel6
+       |FROM m213""".stripMargin
+  }) { (s, d) =>
+    val units = Tables.events(s, d).filter(col("value").isNotNull)
+      .groupBy(col("user_id"), pmod(col("user_id"), lit(2L)).as("arm"))
+      .agg(sum(floor(col("value") * lit(1e6) + lit(0.5)).cast("long"))
+        .as("y"))
+    graft.operators.Hypothesis.experimentHealth(units, "arm", "y")
+  }
+
+  // Robust experiment readout: per-arm winsorized mean over EXACT
+  // [p5, p95] order statistics — ranks in integer arithmetic
+  // (ceil(pct·n/100) as (n·pct+99)//100; a float 0.05·n rounds the
+  // rank UP on exact multiples), per-arm ranks from ONE shared
+  // range-partitioned prefix sum (global prefix minus the arm's
+  // offset — any number of groups, one pass).
+  q("q214_winsorized_readout",
+    """WITH v214 AS (SELECT user_id % 2 AS g,
+      |    CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS v
+      |  FROM events WHERE value IS NOT NULL),
+      |c214 AS (SELECT g, v, CAST(count(*) AS BIGINT) AS c
+      |  FROM v214 GROUP BY 1, 2),
+      |p214 AS (SELECT g, v, c, CAST(coalesce(sum(c) OVER (
+      |    PARTITION BY g ORDER BY v
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |    AS BIGINT) AS below FROM c214),
+      |t214 AS (SELECT g, CAST(sum(c) AS BIGINT) AS n,
+      |    CAST(sum(v * c) AS BIGINT) AS s FROM c214 GROUP BY 1),
+      |k214 AS (SELECT p214.g, v, c, below + c AS cum,
+      |    (n * 5 + 99) // 100 AS klo, (n * 95 + 99) // 100 AS khi
+      |  FROM p214 JOIN t214 ON t214.g = p214.g),
+      |st214 AS (SELECT g,
+      |    CAST(min(CASE WHEN cum >= klo THEN v END) AS BIGINT) AS lo,
+      |    CAST(min(CASE WHEN cum >= khi THEN v END) AS BIGINT) AS hi
+      |  FROM k214 GROUP BY 1),
+      |w214 AS (SELECT k214.g, CAST(sum((CASE WHEN v < lo THEN lo
+      |    WHEN v > hi THEN hi ELSE v END) * c) AS BIGINT) AS ws
+      |  FROM k214 JOIN st214 ON st214.g = k214.g GROUP BY 1)
+      |SELECT t214.g AS arm, n,
+      |  floor(CAST(s AS DOUBLE)/1e6/CAST(n AS DOUBLE) * 1e6 + 0.5)/1e6
+      |    AS mean6,
+      |  CAST(lo AS DOUBLE)/1e6 AS lo6, CAST(hi AS DOUBLE)/1e6 AS hi6,
+      |  floor(CAST(ws AS DOUBLE)/1e6/CAST(n AS DOUBLE) * 1e6 + 0.5)/1e6
+      |    AS winsorized_mean6
+      |FROM t214 JOIN st214 ON st214.g = t214.g
+      |JOIN w214 ON w214.g = t214.g
+      |ORDER BY arm""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d).filter(col("value").isNotNull)
+      .select(pmod(col("user_id"), lit(2L)).as("arm"),
+        floor(col("value") * lit(1e6) + lit(0.5)).cast("long").as("vm"))
+    graft.operators.RankStats.winsorizedMeans(ev, "arm", "vm")
+      .orderBy(col("arm"))
+  }
+
   // Weak-supervision label aggregation: one Dawid–Skene EM round
   // over three synthetic labelers (votes are md5-replayed flips of a
   // latent md5 label at 10/20/35% rates — the oracle regenerates

@@ -209,6 +209,202 @@ object Hypothesis {
       col("__qt") - col("__qc"))
   }
 
+  /** CUPED variance reduction (Deng et al. 2013): adjust each unit's
+    * experiment-period outcome y by its PRE-period covariate x,
+    * y' = y − θ(x − x̄) with θ = cov(x, y)/var(x) pooled across arms
+    * — the standard trick that cuts experiment readout variance by
+    * the covariate's R² (often 30-50% for revenue metrics, i.e. the
+    * same sensitivity from half the traffic).
+    *
+    * Everything reduces to ONE exact-moment aggregate over the
+    * unit frame: the adjusted mean difference is
+    * (ȳ_b − ȳ_a) − θ(x̄_b − x̄_a), and the variance reduction is
+    * 1 − (S_yy − 2θS_xy + θ²S_xx)/S_yy over centered pooled moments
+    * — no per-unit second pass, no re-read. Micro-unit int64 sums;
+    * cross/square moments in decimal(38,0); the θ/diff/reduction
+    * chain is one row of identical-text double math.
+    *
+    * Degenerate inputs: var(x) = 0 (constant covariate) reads NULL
+    * θ/adjusted columns with the raw diff still reported.
+    *
+    * Output: ONE row (n, n_a, n_b, theta6, diff_raw6, diff_adj6,
+    * var_reduction6).
+    */
+  def cuped(
+      units: DataFrame,
+      armCol: String,
+      preMicroCol: String,
+      postMicroCol: String): DataFrame = {
+    val x = col(preMicroCol).cast("long")
+    val y = col(postMicroCol).cast("long")
+    val xd = x.cast("decimal(38,0)")
+    val yd = y.cast("decimal(38,0)")
+    val isB = col(armCol).cast("long") === 1L
+    val m = units.agg(
+      count(lit(1)).as("n"),
+      sum(when(!isB, 1L).otherwise(0L)).as("n_a"),
+      sum(when(isB, 1L).otherwise(0L)).as("n_b"),
+      sum(x).as("__sx"), sum(y).as("__sy"),
+      sum(xd * xd).as("__sxx"), sum(xd * yd).as("__sxy"),
+      sum(yd * yd).as("__syy"),
+      sum(when(!isB, x).otherwise(0L)).as("__sxa"),
+      sum(when(!isB, y).otherwise(0L)).as("__sya"),
+      sum(when(isB, x).otherwise(0L)).as("__sxb"),
+      sum(when(isB, y).otherwise(0L)).as("__syb"))
+    val nD = col("n").cast("double")
+    val sx = col("__sx").cast("double") / lit(1e6)
+    val sy = col("__sy").cast("double") / lit(1e6)
+    val sxx = col("__sxx").cast("double") / lit(1e12)
+    val sxy = col("__sxy").cast("double") / lit(1e12)
+    val syy = col("__syy").cast("double") / lit(1e12)
+    val cxx = sxx - sx * sx / nD
+    val cxy = sxy - sx * sy / nD
+    val cyy = syy - sy * sy / nD
+    val theta = cxy / cxx
+    val naD = col("n_a").cast("double")
+    val nbD = col("n_b").cast("double")
+    val mya = col("__sya").cast("double") / lit(1e6) / naD
+    val myb = col("__syb").cast("double") / lit(1e6) / nbD
+    val mxa = col("__sxa").cast("double") / lit(1e6) / naD
+    val mxb = col("__sxb").cast("double") / lit(1e6) / nbD
+    val diffRaw = myb - mya
+    val diffAdj = (myb - mya) - theta * (mxb - mxa)
+    val vr = lit(1.0) - (cyy - lit(2.0) * theta * cxy + theta * theta * cxx) / cyy
+    val ok = col("n_a") > 0L && col("n_b") > 0L && cxx > 0 && cyy > 0
+    m.select(col("n"), col("n_a"), col("n_b"),
+      when(ok, pr6(theta)).otherwise(lit(null).cast("double"))
+        .as("theta6"),
+      when(col("n_a") > 0L && col("n_b") > 0L, pr6(diffRaw))
+        .otherwise(lit(null).cast("double")).as("diff_raw6"),
+      when(ok, pr6(diffAdj)).otherwise(lit(null).cast("double"))
+        .as("diff_adj6"),
+      when(ok, pr6(vr)).otherwise(lit(null).cast("double"))
+        .as("var_reduction6"))
+  }
+
+  /** SQL-text twin of [[cuped]]'s solve chain (moment column names →
+    * output expressions, operation-ordered identically).
+    */
+  def cupedSql(
+      n: String, na: String, nb: String, sx: String, sy: String,
+      sxx: String, sxy: String, syy: String,
+      sxa: String, sya: String, sxb: String, syb: String)
+      : Map[String, String] = {
+    def dd(e: String) = s"CAST($e AS DOUBLE)"
+    def p6(e: String) = s"floor(($e) * 1e6 + 0.5)/1e6"
+    val nD = dd(n)
+    val vx = s"(${dd(sx)} / 1e6)"
+    val vy = s"(${dd(sy)} / 1e6)"
+    val vxx = s"(${dd(sxx)} / 1e12)"
+    val vxy = s"(${dd(sxy)} / 1e12)"
+    val vyy = s"(${dd(syy)} / 1e12)"
+    val cxx = s"($vxx - $vx * $vx / $nD)"
+    val cxy = s"($vxy - $vx * $vy / $nD)"
+    val cyy = s"($vyy - $vy * $vy / $nD)"
+    val th = s"($cxy / $cxx)"
+    val naD = dd(na); val nbD = dd(nb)
+    val mya = s"(${dd(sya)} / 1e6 / $naD)"
+    val myb = s"(${dd(syb)} / 1e6 / $nbD)"
+    val mxa = s"(${dd(sxa)} / 1e6 / $naD)"
+    val mxb = s"(${dd(sxb)} / 1e6 / $nbD)"
+    val dRaw = s"($myb - $mya)"
+    val dAdj = s"(($myb - $mya) - $th * ($mxb - $mxa))"
+    val vr = s"(1e0 - ($cyy - 2e0 * $th * $cxy + $th * $th * $cxx) / $cyy)"
+    val ok = s"($na > 0 AND $nb > 0 AND $cxx > 0 AND $cyy > 0)"
+    Map(
+      "theta6" -> s"CASE WHEN $ok THEN ${p6(th)} END",
+      "diff_raw6" -> s"CASE WHEN $na > 0 AND $nb > 0 THEN ${p6(dRaw)} END",
+      "diff_adj6" -> s"CASE WHEN $ok THEN ${p6(dAdj)} END",
+      "var_reduction6" -> s"CASE WHEN $ok THEN ${p6(vr)} END")
+  }
+
+  /** Experiment health panel: the two numbers to check BEFORE
+    * reading any treatment effect — sample-ratio mismatch (SRM: a
+    * 1-dof χ² of the observed split against 50/50; a tiny p means
+    * the assignment itself is broken and every downstream readout is
+    * garbage) and the minimum detectable effect at α=0.05 / 80%
+    * power (MDE = (z_{α/2}+z_β)·√(s²(1/n_a+1/n_b)) ≈ 2.801585·se —
+    * what this sample size can actually see; an effect below it was
+    * never going to reach significance).
+    *
+    * One exact-moment aggregate over the unit frame (micro int64
+    * sums, Σy² decimal128); the χ²/p/MDE chain is one row. SRM p
+    * reuses the 1-dof identity P(χ² > c) = 2(1−Φ(√c)) through
+    * [[normP2]]. `srm_flag` thresholds ROUNDED p at the conventional
+    * 0.001 (SRM alarms demand stronger evidence than 0.05 — traffic
+    * splits are checked daily and false alarms burn trust).
+    *
+    * Output: ONE row (n, n_a, n_b, srm_chi2_6, srm_p6, srm_flag,
+    * sd6, mde_abs6, mde_rel6 — relative to the pooled mean, NULL
+    * when the mean is ≤ 0).
+    */
+  def experimentHealth(
+      units: DataFrame,
+      armCol: String,
+      microCol: String): DataFrame = {
+    val y = col(microCol).cast("long")
+    val yd = y.cast("decimal(38,0)")
+    val isB = col(armCol).cast("long") === 1L
+    val m = units.agg(
+      count(lit(1)).as("n"),
+      sum(when(!isB, 1L).otherwise(0L)).as("n_a"),
+      sum(when(isB, 1L).otherwise(0L)).as("n_b"),
+      sum(y).as("__sy"), sum(yd * yd).as("__syy"))
+    val nD = col("n").cast("double")
+    val naD = col("n_a").cast("double")
+    val nbD = col("n_b").cast("double")
+    val chi2 = (naD - nbD) * (naD - nbD) / (naD + nbD)
+    val p = normP2(sqrt(chi2))
+    val sy = col("__sy").cast("double") / lit(1e6)
+    val syy = col("__syy").cast("double") / lit(1e12)
+    val v = (syy - sy * sy / nD) / (nD - lit(1.0))
+    val sd = sqrt(v)
+    val mean = sy / nD
+    val mde = lit(2.801585) * sqrt(v * (lit(1.0) / naD + lit(1.0) / nbD))
+    val okSrm = col("n") > 0L
+    val okMde = col("n_a") > 0L && col("n_b") > 0L && col("n") > 1L && v > 0
+    m.select(col("n"), col("n_a"), col("n_b"),
+      when(okSrm, pr6(chi2)).otherwise(lit(null).cast("double"))
+        .as("srm_chi2_6"),
+      when(okSrm, pr6(p)).otherwise(lit(null).cast("double"))
+        .as("srm_p6"),
+      when(okSrm, pr6(p) < lit(0.001))
+        .otherwise(lit(null).cast("boolean")).as("srm_flag"),
+      when(okMde, pr6(sd)).otherwise(lit(null).cast("double")).as("sd6"),
+      when(okMde, pr6(mde)).otherwise(lit(null).cast("double"))
+        .as("mde_abs6"),
+      when(okMde && mean > 0, pr6(mde / mean))
+        .otherwise(lit(null).cast("double")).as("mde_rel6"))
+  }
+
+  /** SQL-text twin of [[experimentHealth]] (moment column names →
+    * output expressions, operation-ordered identically).
+    */
+  def experimentHealthSql(
+      n: String, na: String, nb: String, sy: String, syy: String)
+      : Map[String, String] = {
+    def dd(e: String) = s"CAST($e AS DOUBLE)"
+    def p6(e: String) = s"floor(($e) * 1e6 + 0.5)/1e6"
+    val nD = dd(n); val naD = dd(na); val nbD = dd(nb)
+    val chi2 = s"(($naD - $nbD) * ($naD - $nbD) / ($naD + $nbD))"
+    val p = normP2Sql(s"sqrt($chi2)")
+    val vy = s"(${dd(sy)} / 1e6)"
+    val vyy = s"(${dd(syy)} / 1e12)"
+    val v = s"(($vyy - $vy * $vy / $nD) / ($nD - 1e0))"
+    val mean = s"($vy / $nD)"
+    val mde = s"(2.801585 * sqrt($v * (1e0 / $naD + 1e0 / $nbD)))"
+    val okSrm = s"($n > 0)"
+    val okMde = s"($na > 0 AND $nb > 0 AND $n > 1 AND $v > 0)"
+    Map(
+      "srm_chi2_6" -> s"CASE WHEN $okSrm THEN ${p6(chi2)} END",
+      "srm_p6" -> s"CASE WHEN $okSrm THEN ${p6(p)} END",
+      "srm_flag" -> s"CASE WHEN $okSrm THEN ${p6(p)} < 0.001 END",
+      "sd6" -> s"CASE WHEN $okMde THEN ${p6(s"sqrt($v)")} END",
+      "mde_abs6" -> s"CASE WHEN $okMde THEN ${p6(mde)} END",
+      "mde_rel6" -> (s"CASE WHEN $okMde AND $mean > 0 " +
+        s"THEN ${p6(s"$mde / $mean")} END"))
+  }
+
   /** Benjamini–Hochberg step-up FDR control over a hypothesis frame:
     * rank hypotheses by ascending p (ties broken by `keyCols` for a
     * total order), adjusted p(i) = min over j ≥ i of p(j)·m/j

@@ -463,4 +463,74 @@ object RankStats {
         (col("n_trials") - col("n_success")) * lit(bTerm)).cast("double") /
         lit(1e6)).as("final_llr6"))
   }
+
+  /** Per-group winsorized mean over EXACT order statistics: clamp the
+    * micro-unit outcome to its group's [p_lo, p_hi] percentile values
+    * (ranks `ceil(pct·n/100)`, integer arithmetic — `0.05·n` in
+    * floats rounds the rank UP on exact multiples) and report the
+    * clamped mean next to the raw one — the robust experiment
+    * readout: one whale in one arm moves a raw revenue mean
+    * arbitrarily, it moves the winsorized mean by at most the clamp
+    * width.
+    *
+    * Scale shape: one (group, value) hash aggregate, ONE
+    * range-partitioned prefix sum over the whole distinct frame
+    * ordered by (group, value) — per-group ranks are the global
+    * prefix minus the group's offset (its min prefix), so ANY number
+    * of groups shares one pass, no per-group window, no per-group
+    * job. Order statistics and the clamped sum are then joins
+    * against the group-sized stats frame; all sums exact int64
+    * micro.
+    *
+    * Output per group: (groupCol, n, mean6, lo6, hi6,
+    * winsorized_mean6), NULL means on empty groups can't occur (a
+    * group exists only via its rows).
+    */
+  def winsorizedMeans(
+      df: DataFrame,
+      groupCol: String,
+      microCol: String,
+      pctLo: Int = 5,
+      pctHi: Int = 95): DataFrame = {
+    require(0 < pctLo && pctLo < pctHi && pctHi <= 100,
+      s"need 0 < pctLo < pctHi <= 100, got ($pctLo, $pctHi)")
+    val counts = df
+      .select(col(groupCol).as("__g"), col(microCol).cast("long")
+        .as("__v"))
+      .groupBy(col("__g"), col("__v")).agg(count(lit(1)).as("__c"))
+    val pfx = ScaleOps.prefixSumByRange(counts, Seq("__g", "__v"),
+      col("__c"), "__gb")
+    val offs = pfx.groupBy(col("__g")).agg(min(col("__gb")).as("__off"),
+      sum(col("__c")).as("__n"), sum(col("__v") * col("__c")).as("__s"))
+    val ranked = pfx.join(broadcast(offs), Seq("__g"))
+      .select(col("__g"), col("__v"), col("__c"),
+        (col("__gb") - col("__off")).as("__below"), col("__n"))
+    val kLo = (col("__n") * lit(pctLo.toLong) + lit(99L)) / lit(100L)
+    val kHi = (col("__n") * lit(pctHi.toLong) + lit(99L)) / lit(100L)
+    // integer division: Column./ on longs is a double divide — the
+    // floor-cast is exact (operands < 2^53)
+    val stats = ranked
+      .select(col("__g"), col("__v"),
+        (col("__below") + col("__c")).as("__cum"),
+        floor(kLo).cast("long").as("__kLo"),
+        floor(kHi).cast("long").as("__kHi"))
+      .groupBy(col("__g"))
+      .agg(min(when(col("__cum") >= col("__kLo"), col("__v")))
+          .as("__lo"),
+        min(when(col("__cum") >= col("__kHi"), col("__v"))).as("__hi"))
+    val clamped = ranked.join(broadcast(stats), Seq("__g"))
+      .select(col("__g"),
+        (when(col("__v") < col("__lo"), col("__lo"))
+          .when(col("__v") > col("__hi"), col("__hi"))
+          .otherwise(col("__v")) * col("__c")).as("__wc"))
+      .groupBy(col("__g")).agg(sum(col("__wc")).as("__ws"))
+    offs.join(stats, Seq("__g")).join(clamped, Seq("__g"))
+      .select(col("__g").as(groupCol), col("__n").as("n"),
+        pr6(col("__s").cast("double") / lit(1e6) /
+          col("__n").cast("double")).as("mean6"),
+        (col("__lo").cast("double") / lit(1e6)).as("lo6"),
+        (col("__hi").cast("double") / lit(1e6)).as("hi6"),
+        pr6(col("__ws").cast("double") / lit(1e6) /
+          col("__n").cast("double")).as("winsorized_mean6"))
+  }
 }

@@ -107,6 +107,81 @@ class HypothesisSpec extends SparkSuiteBase {
     assert(byRank == byRank.sorted)
   }
 
+  test("cuped: exact linear covariate, theta 2, full correction") {
+    import spark.implicits._
+    // y = 2x + arm: raw diff 1, covariate means equal across arms so
+    // the adjusted diff is unchanged; VR = 1 - 1.5/17.5
+    val units = Seq((0L, 1L, 2L), (0L, 2L, 4L), (0L, 3L, 6L),
+      (1L, 1L, 3L), (1L, 2L, 5L), (1L, 3L, 7L))
+      .map { case (a, x, y) => (a, x * 1000000L, y * 1000000L) }
+      .toDF("arm", "x", "y")
+    val r = Hypothesis.cuped(units, "arm", "x", "y").head()
+    assert(r.getAs[Double]("theta6") == 2.0)
+    assert(r.getAs[Double]("diff_raw6") == 1.0)
+    assert(r.getAs[Double]("diff_adj6") == 1.0)
+    assert(r.getAs[Double]("var_reduction6") == 0.914286)
+  }
+
+  test("cuped: covariate imbalance is corrected out") {
+    import spark.implicits._
+    // identical y~x relation (y = x) but arm1 units have larger x:
+    // raw diff 2 is pure covariate imbalance; adjusted diff = 0
+    val units = Seq((0L, 1L, 1L), (0L, 2L, 2L), (0L, 3L, 3L),
+      (1L, 3L, 3L), (1L, 4L, 4L), (1L, 5L, 5L))
+      .map { case (a, x, y) => (a, x * 1000000L, y * 1000000L) }
+      .toDF("arm", "x", "y")
+    val r = Hypothesis.cuped(units, "arm", "x", "y").head()
+    assert(r.getAs[Double]("diff_raw6") == 2.0)
+    assert(r.getAs[Double]("diff_adj6") == 0.0)
+    assert(r.getAs[Double]("var_reduction6") == 1.0)
+  }
+
+  test("cuped: constant covariate reads NULL adjusted columns") {
+    import spark.implicits._
+    val units = Seq((0L, 5L, 1L), (0L, 5L, 2L), (1L, 5L, 3L),
+      (1L, 5L, 4L))
+      .map { case (a, x, y) => (a, x * 1000000L, y * 1000000L) }
+      .toDF("arm", "x", "y")
+    val r = Hypothesis.cuped(units, "arm", "x", "y").head()
+    assert(r.isNullAt(r.fieldIndex("theta6")))
+    assert(r.isNullAt(r.fieldIndex("diff_adj6")))
+    assert(r.getAs[Double]("diff_raw6") == 2.0, "raw diff survives")
+  }
+
+  test("experimentHealth: SRM chi2/p and the 0.001 alarm") {
+    import spark.implicits._
+    // 60/40 split: chi2 = 4, p = 0.0455 — suspicious but NOT an alarm
+    val mild = (1L to 100L).map(u =>
+      (if (u <= 60) 0L else 1L, 1000000L)).toDF("arm", "y")
+    val rm = Hypothesis.experimentHealth(mild, "arm", "y").head()
+    assert(rm.getAs[Double]("srm_chi2_6") == 4.0)
+    assert(rm.getAs[Double]("srm_p6") == 0.0455)
+    assert(!rm.getAs[Boolean]("srm_flag"))
+    // 200/100: chi2 = 33.33 → p rounds to 0 → alarm
+    val broken = (1L to 300L).map(u =>
+      (if (u <= 200) 0L else 1L, 1000000L)).toDF("arm", "y")
+    val rb = Hypothesis.experimentHealth(broken, "arm", "y").head()
+    assert(rb.getAs[Double]("srm_chi2_6") == 33.333333)
+    assert(rb.getAs[Boolean]("srm_flag"))
+  }
+
+  test("experimentHealth: MDE from exact moments") {
+    import spark.implicits._
+    // y = 1..4 micro, 2v2: var 5/3, mde = 2.801585·sd
+    val units = Seq((0L, 1L), (0L, 2L), (1L, 3L), (1L, 4L))
+      .map { case (a, y) => (a, y * 1000000L) }.toDF("arm", "y")
+    val r = Hypothesis.experimentHealth(units, "arm", "y").head()
+    assert(r.getAs[Double]("sd6") == 1.290994)
+    assert(r.getAs[Double]("mde_abs6") == 3.616831)
+    assert(r.getAs[Double]("mde_rel6") == 1.446732)
+    // constant outcome: v = 0 → MDE NULL, SRM still reported
+    val const = Seq((0L, 5L), (0L, 5L), (1L, 5L), (1L, 5L))
+      .map { case (a, y) => (a, y * 1000000L) }.toDF("arm", "y")
+    val rc = Hypothesis.experimentHealth(const, "arm", "y").head()
+    assert(rc.isNullAt(rc.fieldIndex("mde_abs6")))
+    assert(rc.getAs[Double]("srm_chi2_6") == 0.0)
+  }
+
   test("bhFdr: m excludes NULL p rows") {
     import spark.implicits._
     val df = Seq(("a", Some(0.04)), ("b", None), ("c", None))

@@ -67,6 +67,42 @@ class RankStatsSpec extends SparkSuiteBase {
       .getAs[Double]("gini6") == 0.75) // (n-1)/n
   }
 
+  test("winsorizedMeans: exact order statistics, whale clamped") {
+    import spark.implicits._
+    // group a: 1..20 → lo = rank ceil(20·5/100)=1 → 1, hi = rank 19
+    // → 19; winsorized mean = (Σ1..19 + 19)/20 = 10.45
+    // group b: same but the 20 is a 1000-whale — winsorized mean
+    // IDENTICAL, raw mean blown to 59.5
+    val rows =
+      (1L to 20L).map(v => ("a", v * 1000000L)) ++
+      ((1L to 19L).map(v => ("b", v * 1000000L)) :+ ("b", 1000000000L))
+    val out = RankStats.winsorizedMeans(rows.toDF("g", "v"), "g", "v")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("a").getAs[Double]("lo6") == 1.0)
+    assert(out("a").getAs[Double]("hi6") == 19.0)
+    assert(out("a").getAs[Double]("mean6") == 10.5)
+    assert(out("a").getAs[Double]("winsorized_mean6") == 10.45)
+    assert(out("b").getAs[Double]("winsorized_mean6") == 10.45,
+      "the whale must not move the winsorized mean")
+    assert(out("b").getAs[Double]("mean6") == 59.5)
+  }
+
+  test("winsorizedMeans: duplicates and integer rank edges") {
+    import spark.implicits._
+    // n = 40 of one value → lo = hi = the value, winsorized == raw;
+    // and a 2-value group where rank ceil(0.05·2)=1 picks the min
+    val rows = Seq.fill(40)(("flat", 7000000L)) ++
+      Seq(("two", 1000000L), ("two", 9000000L))
+    val out = RankStats.winsorizedMeans(rows.toDF("g", "v"), "g", "v")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("flat").getAs[Double]("winsorized_mean6") == 7.0)
+    assert(out("flat").getAs[Double]("lo6") == 7.0)
+    assert(out("two").getAs[Double]("lo6") == 1.0)
+    // kHi = ceil(2·95/100) = 2 → hi = 9; nothing clamps
+    assert(out("two").getAs[Double]("hi6") == 9.0)
+    assert(out("two").getAs[Double]("winsorized_mean6") == 5.0)
+  }
+
   test("giniConcentration: top-decile share on 20 rows") {
     import spark.implicits._
     // 19 ones + one 100: top decile = 2 rows = {100, 1} → 101/119;
