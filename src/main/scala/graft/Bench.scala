@@ -161,7 +161,10 @@ object Bench {
     // first rep pays the one-time 64-file build: 10.5 s at sf0.1)
     "q210_zonemap_skip" -> 0.54, "q211_dawid_skene" -> 1.19,
     "q212_cuped" -> 0.92, "q213_experiment_health" -> 0.46,
-    "q214_winsorized_readout" -> 1.60)
+    "q214_winsorized_readout" -> 1.60,
+    // q215 measured on a transiently loaded box (comparator 3.8
+    // before the sweep) — an upper bound on the quiet min
+    "q215_hits" -> 4.02)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

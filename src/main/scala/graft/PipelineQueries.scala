@@ -5684,6 +5684,50 @@ object PipelineQueries extends QueryGroup {
         (col("__cm").cast("double") / lit(1e2)).as("revenue2"))
   }
 
+  // HITS hubs/authorities over the bipartite customer→part purchase
+  // graph (Kleinberg 1999, 2 rounds): authority(part) = Σ hub of its
+  // buyers, mutually reinforced — the signal plain degree can't
+  // see. Scores ride integer micro longs with per-round
+  // MAX-normalization (order-free where an L2 norm would sum
+  // floats); the oracle unrolls both rounds over the same distinct
+  // edge frame.
+  q("q215_hits", {
+    // one normalize block: raw sums grid-filled over the node side,
+    // then micro max-norm — identical text each round
+    def step(side: String, nodes: String, idc: String, other: String,
+        prevScores: String, tag: String) =
+      s"""${tag}r AS (SELECT $idc, CAST(sum(sc) AS BIGINT) AS raw
+         |  FROM e215 JOIN $prevScores USING ($other) GROUP BY $idc),
+         |${tag}g AS (SELECT $nodes.$idc, coalesce(raw, 0) AS raw
+         |  FROM $nodes LEFT JOIN ${tag}r ON ${tag}r.$idc = $nodes.$idc),
+         |${tag}m AS (SELECT max(raw) AS mx FROM ${tag}g),
+         |$tag AS (SELECT $idc, CASE WHEN mx > 0 THEN
+         |    CAST(floor(CAST(raw AS DOUBLE) / CAST(mx AS DOUBLE)
+         |      * 1e6 + 0.5) AS BIGINT) ELSE 0 END AS sc
+         |  FROM ${tag}g CROSS JOIN ${tag}m)""".stripMargin
+    s"""WITH e215 AS (SELECT DISTINCT o_custkey AS s, l_partkey AS d
+       |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+       |sn AS (SELECT DISTINCT c_custkey AS s FROM customer),
+       |dn AS (SELECT DISTINCT p_partkey AS d FROM part),
+       |h0 AS (SELECT s, CAST(1000000 AS BIGINT) AS sc FROM sn),
+       |${step("d", "dn", "d", "s", "h0", "a1")},
+       |${step("s", "sn", "s", "d", "a1", "h1")},
+       |${step("d", "dn", "d", "s", "h1", "a2")}
+       |SELECT d AS p_partkey, CAST(sc AS DOUBLE)/1e6 AS authority6
+       |FROM a2 ORDER BY p_partkey""".stripMargin
+  }) { (s, d) =>
+    val edges = Tables.orders(s, d)
+      .join(Tables.lineitem(s, d),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("cust"), col("l_partkey").as("part"))
+    val (_, auths) = graft.operators.GraphOps.hits(
+      Tables.customer(s, d).select(col("c_custkey").as("cust")),
+      Tables.part(s, d).select(col("p_partkey").as("part")),
+      edges, "cust", "part", rounds = 2)
+    auths.select(col("part").as("p_partkey"), col("authority6"))
+      .orderBy(col("p_partkey"))
+  }
+
   // CUPED variance-reduced experiment readout: each user's
   // second-half outcome adjusted by their first-half covariate
   // (θ = pooled cov/var), all from ONE exact-moment aggregate over

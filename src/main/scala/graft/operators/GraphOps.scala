@@ -104,6 +104,79 @@ object GraphOps {
     * lower-degree endpoint) drops in by re-orienting `pairs` before
     * the joins — near-dup graphs (small cliques) don't need it.
     */
+  /** HITS hubs & authorities (Kleinberg 1999) over a BIPARTITE/
+    * directed edge frame — on a purchase graph, authority(item) =
+    * Σ hub(buyers) and hub(buyer) = Σ authority(items): the mutual
+    * reinforcement that plain degree can't see (an item bought by
+    * ten strong hubs outranks one bought by twenty drive-bys).
+    *
+    * Determinism discipline: scores live as INTEGER MICRO longs
+    * (1e6 = 1.0) — every Σ over edges is an exact int64 sum, and
+    * the per-round normalization divides by the round's MAX (the
+    * standard max-norm HITS variant; max is order-free where an L2
+    * norm would sum floats) in one row-local double op, re-snapped
+    * to micro. Partition order can never move a score.
+    *
+    * Scale shape per round: two edge-keyed hash aggregates
+    * (map-side combined) + two 1-row max aggregates broadcast back.
+    * Edges are deduplicated first (multiplicity is intentional
+    * weight otherwise — callers pick by pre-aggregating).
+    *
+    * Returns (hubs: srcCol, hub6; authorities: dstCol, authority6),
+    * zero-degree nodes of either side included at 0 via the node
+    * frames.
+    */
+  def hits(
+      srcNodes: DataFrame,
+      dstNodes: DataFrame,
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      rounds: Int): (DataFrame, DataFrame) = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val e = edges.select(col(srcCol).as("__s"), col(dstCol).as("__d"))
+      .distinct().localCheckpoint(true)
+    val srcs = srcNodes.select(col(srcCol).as("__s")).distinct()
+      .localCheckpoint(true)
+    val dsts = dstNodes.select(col(dstCol).as("__d")).distinct()
+      .localCheckpoint(true)
+    def renorm(df: DataFrame, idCol: String, raw: String): DataFrame = {
+      val mx = df.agg(max(col(raw)).as("__mx"))
+      df.crossJoin(broadcast(mx))
+        .select(col(idCol),
+          when(col("__mx") > 0L,
+            floor(col(raw).cast("double") / col("__mx").cast("double") *
+              lit(1e6) + lit(0.5)).cast("long"))
+            .otherwise(lit(0L)).as("__score"))
+    }
+    var hub = srcs.withColumn("__score", lit(1000000L))
+      .localCheckpoint(true)
+    var auth = dsts.withColumn("__score", lit(0L))
+    var i = 0
+    while (i < rounds) {
+      val aRaw = e.join(hub.withColumnRenamed("__s", "__js"),
+          col("__js") === col("__s"))
+        .groupBy(col("__d")).agg(sum(col("__score")).as("__raw"))
+      auth = renorm(
+        dsts.join(aRaw, Seq("__d"), "left")
+          .select(col("__d"), coalesce(col("__raw"), lit(0L)).as("__raw")),
+        "__d", "__raw").localCheckpoint(true)
+      val hRaw = e.join(auth.withColumnRenamed("__d", "__jd"),
+          col("__jd") === col("__d"))
+        .groupBy(col("__s")).agg(sum(col("__score")).as("__raw"))
+      hub = renorm(
+        srcs.join(hRaw, Seq("__s"), "left")
+          .select(col("__s"), coalesce(col("__raw"), lit(0L)).as("__raw")),
+        "__s", "__raw").localCheckpoint(true)
+      i += 1
+    }
+    val hubs = hub.select(col("__s").as(srcCol),
+      (col("__score").cast("double") / lit(1e6)).as("hub6"))
+    val auths = auth.select(col("__d").as(dstCol),
+      (col("__score").cast("double") / lit(1e6)).as("authority6"))
+    (hubs, auths)
+  }
+
   def triangleStats(
       pairs: DataFrame,
       idACol: String,

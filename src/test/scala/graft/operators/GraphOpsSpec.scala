@@ -129,4 +129,33 @@ class GraphOpsSpec extends SparkSuiteBase {
       .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
     assert(again === got)
   }
+
+  test("hits: mutual reinforcement, max-norm, zero-degree at 0") {
+    import spark.implicits._
+    // u1→{i1,i2}, u2→{i2}; i3 isolated. Hand-walk (micro, max-norm):
+    // r1: auth (0.5, 1, 0); hub (1, 0.666667)
+    // r2: auth i1 = 1e6/1666667 → 0.6, i2 = 1.0, i3 = 0;
+    //     hub u1 = 1.0, u2 = 1e6/1.6e6 → 0.625
+    val src = Seq("u1", "u2").toDF("u")
+    val dst = Seq("i1", "i2", "i3").toDF("i")
+    // duplicate edge must collapse (unweighted HITS)
+    val e = Seq(("u1", "i1"), ("u1", "i1"), ("u1", "i2"), ("u2", "i2"))
+      .toDF("u", "i")
+    val (hubs, auths) = GraphOps.hits(src, dst, e, "u", "i", rounds = 2)
+    val a = auths.collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(a == Map("i1" -> 0.6, "i2" -> 1.0, "i3" -> 0.0), s"got $a")
+    val h = hubs.collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(h == Map("u1" -> 1.0, "u2" -> 0.625), s"got $h")
+  }
+
+  test("hits: empty edge frame reads all-zero scores, not a crash") {
+    import spark.implicits._
+    val (hubs, auths) = GraphOps.hits(
+      Seq("u1").toDF("u"), Seq("i1").toDF("i"),
+      Seq.empty[(String, String)].toDF("u", "i"), "u", "i", rounds = 1)
+    assert(auths.head().getDouble(1) == 0.0)
+    assert(hubs.head().getDouble(1) == 0.0)
+  }
 }
