@@ -164,7 +164,8 @@ object Bench {
     "q214_winsorized_readout" -> 1.60,
     // q215 measured on a transiently loaded box (comparator 3.8
     // before the sweep) — an upper bound on the quiet min
-    "q215_hits" -> 4.02)
+    "q215_hits" -> 4.02,
+    "q216_quantile_effects" -> 1.52, "q217_did" -> 0.80)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

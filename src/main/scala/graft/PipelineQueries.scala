@@ -5728,6 +5728,117 @@ object PipelineQueries extends QueryGroup {
       .orderBy(col("p_partkey"))
   }
 
+  // Quantile treatment effects: the per-arm EXACT p25/p50/p75/p90
+  // order statistics and their differences — where in the outcome
+  // DISTRIBUTION the treatment acts (a mean diff can hide "only the
+  // whales moved"). Integer ceil-ranks; per-arm ranks from the one
+  // shared range-partitioned prefix pass (q214 machinery).
+  q("q216_quantile_effects",
+    """WITH v216 AS (SELECT user_id % 2 AS g,
+      |    CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS v
+      |  FROM events WHERE value IS NOT NULL),
+      |c216 AS (SELECT g, v, CAST(count(*) AS BIGINT) AS c
+      |  FROM v216 GROUP BY 1, 2),
+      |p216 AS (SELECT g, v, c, CAST(coalesce(sum(c) OVER (
+      |    PARTITION BY g ORDER BY v
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |    AS BIGINT) AS below FROM c216),
+      |t216 AS (SELECT g, CAST(sum(c) AS BIGINT) AS n
+      |  FROM c216 GROUP BY 1),
+      |pr216 AS (SELECT unnest([25, 50, 75, 90]) AS pct),
+      |q216 AS (SELECT p216.g, pct, CAST(min(v) AS BIGINT) AS q
+      |  FROM p216 JOIN t216 ON t216.g = p216.g CROSS JOIN pr216
+      |  WHERE below + c >= (n * pct + 99) // 100
+      |  GROUP BY 1, 2)
+      |SELECT a.pct, CAST(a.q AS DOUBLE)/1e6 AS q_a6,
+      |  CAST(b.q AS DOUBLE)/1e6 AS q_b6,
+      |  CAST(b.q - a.q AS DOUBLE)/1e6 AS effect6
+      |FROM q216 a JOIN q216 b ON a.pct = b.pct AND a.g = 0 AND b.g = 1
+      |ORDER BY a.pct""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d).filter(col("value").isNotNull)
+      .select(pmod(col("user_id"), lit(2L)).as("arm"),
+        floor(col("value") * lit(1e6) + lit(0.5)).cast("long").as("vm"))
+    val q = graft.operators.RankStats.groupedExactQuantiles(
+        ev, "arm", "vm", Seq(25, 50, 75, 90))
+      .localCheckpoint(true) // both sides of the arm pivot below
+    val a = q.filter(col("arm") === 0L)
+      .select(col("pct"), col("q6").as("q_a6"))
+    val b = q.filter(col("arm") === 1L)
+      .select(col("pct"), col("q6").as("q_b6"))
+    a.join(b, Seq("pct"))
+      .select(col("pct"), col("q_a6"), col("q_b6"),
+        // micro-exact subtraction: both sides are integer micro/1e6
+        ((col("q_b6") * lit(1e6) - col("q_a6") * lit(1e6)) / lit(1e6))
+          .as("effect6"))
+      .orderBy(col("pct"))
+  }
+
+  // Difference-in-differences over the midpoint period split: the
+  // (arm × period) 2×2 cell means and the interaction effect
+  // (Δpost − Δpre) with its Welch-style standard error from exact
+  // cell moments — the readout that separates a true treatment
+  // effect from a pre-existing arm imbalance q212 corrects and q202
+  // cannot see.
+  q("q217_did", {
+    def dd(e: String) = s"CAST($e AS DOUBLE)"
+    def m(c: String, n: String) = s"(${dd(c)} / 1e6 / ${dd(n)})"
+    def va(q: String, sm: String, n: String) =
+      s"((${dd(q)} / 1e12 - (${dd(sm)} / 1e6) * (${dd(sm)} / 1e6) / ${dd(n)}) / (${dd(n)} - 1e0))"
+    val cells = Seq(("a0", "arm = 0 AND pre = 1"),
+      ("a1", "arm = 0 AND pre = 0"),
+      ("b0", "arm = 1 AND pre = 1"), ("b1", "arm = 1 AND pre = 0"))
+    val moms = cells.map { case (t, w) =>
+      s"""CAST(sum(CASE WHEN $w THEN 1 ELSE 0 END) AS BIGINT) AS n_$t,
+         |    CAST(sum(CASE WHEN $w THEN y ELSE 0 END) AS BIGINT) AS s_$t,
+         |    sum(CASE WHEN $w THEN CAST(y AS HUGEINT) * y
+         |      ELSE 0 END) AS q_$t""".stripMargin
+    }.mkString(",\n|    ")
+    val did = s"((${m("s_b1", "n_b1")} - ${m("s_b0", "n_b0")}) - " +
+      s"(${m("s_a1", "n_a1")} - ${m("s_a0", "n_a0")}))"
+    val se2 = cells.map { case (t, _) =>
+      s"${va(s"q_$t", s"s_$t", s"n_$t")} / ${dd(s"n_$t")}"
+    }.mkString("(", " + ", ")")
+    val tt = s"($did / sqrt($se2))"
+    val p = graft.operators.Hypothesis.normP2Sql(tt)
+    val ok = cells.map { case (t, _) => s"n_$t > 1" }.mkString(" AND ") +
+      s" AND $se2 > 0"
+    def p6(e: String) = s"floor(($e) * 1e6 + 0.5)/1e6"
+    s"""WITH e217 AS (SELECT user_id, epoch_ms(ts) // 86400000 AS d,
+       |    CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS xm
+       |  FROM events WHERE value IS NOT NULL),
+       |b217 AS (SELECT (min(d) + max(d)) // 2 AS mid FROM e217),
+       |u217 AS (SELECT user_id, user_id % 2 AS arm,
+       |    CASE WHEN d <= mid THEN 1 ELSE 0 END AS pre,
+       |    CAST(sum(xm) AS BIGINT) AS y
+       |  FROM e217 CROSS JOIN b217 GROUP BY 1, 2, 3),
+       |m217 AS (SELECT
+       |    $moms
+       |  FROM u217)
+       |SELECT n_a0, n_a1, n_b0, n_b1,
+       |  ${p6(m("s_a0", "n_a0"))} AS mean_a_pre6,
+       |  ${p6(m("s_a1", "n_a1"))} AS mean_a_post6,
+       |  ${p6(m("s_b0", "n_b0"))} AS mean_b_pre6,
+       |  ${p6(m("s_b1", "n_b1"))} AS mean_b_post6,
+       |  CASE WHEN $ok THEN ${p6(did)} END AS did6,
+       |  CASE WHEN $ok THEN ${p6(tt)} END AS t6,
+       |  CASE WHEN $ok THEN ${p6(p)} END AS p6,
+       |  CASE WHEN $ok THEN ${p6(p)} <= 0.05 END AS significant
+       |FROM m217""".stripMargin
+  }) { (s, d) =>
+    val ev = Tables.events(s, d).filter(col("value").isNotNull)
+      .select(col("user_id"),
+        expr("unix_millis(ts) div 86400000").as("day"),
+        floor(col("value") * lit(1e6) + lit(0.5)).cast("long").as("xm"))
+    val bounds = ev.agg(
+      ((min(col("day")) + max(col("day"))) / lit(2)).cast("long")
+        .as("mid"))
+    val units = ev.crossJoin(broadcast(bounds))
+      .groupBy(col("user_id"), pmod(col("user_id"), lit(2L)).as("arm"),
+        when(col("day") <= col("mid"), 1L).otherwise(0L).as("pre"))
+      .agg(sum(col("xm")).as("y"))
+    graft.operators.Hypothesis.diffInDiff(units, "arm", "pre", "y")
+  }
+
   // CUPED variance-reduced experiment readout: each user's
   // second-half outcome adjusted by their first-half covariate
   // (θ = pooled cov/var), all from ONE exact-moment aggregate over

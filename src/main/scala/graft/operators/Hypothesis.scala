@@ -405,6 +405,68 @@ object Hypothesis {
         s"THEN ${p6(s"$mde / $mean")} END"))
   }
 
+  /** Difference-in-differences over a 2×2 (arm × period) design:
+    * did = (m_b,post − m_b,pre) − (m_a,post − m_a,pre), the
+    * interaction that separates a treatment effect from a
+    * pre-existing arm imbalance. Per-cell exact moments (n, Σy
+    * int64 micro, Σy² decimal128) from ONE aggregate; the Welch-
+    * style standard error sums the four cell variance/n terms in
+    * fixed a0→a1→b0→b1 order; p via [[normP2]]. Any cell with
+    * n ≤ 1 (or zero variance everywhere) reads NULL effect columns
+    * with the four means still reported.
+    *
+    * `preCol` is 1 for the pre period, 0 for post.
+    *
+    * Output: ONE row (n_a0, n_a1, n_b0, n_b1, mean_a_pre6,
+    * mean_a_post6, mean_b_pre6, mean_b_post6, did6, t6, p6,
+    * significant).
+    */
+  def diffInDiff(
+      units: DataFrame,
+      armCol: String,
+      preCol: String,
+      microCol: String): DataFrame = {
+    val y = col(microCol).cast("long")
+    val yd = y.cast("decimal(38,0)")
+    val arm = col(armCol).cast("long")
+    val pre = col(preCol).cast("long")
+    def cell(a: Long, p: Long) = arm === a && pre === p
+    val tags = Seq(("a0", 0L, 1L), ("a1", 0L, 0L), ("b0", 1L, 1L),
+      ("b1", 1L, 0L))
+    val momCols = tags.flatMap { case (t, a, p) => Seq(
+      sum(when(cell(a, p), 1L).otherwise(0L)).as(s"n_$t"),
+      sum(when(cell(a, p), y).otherwise(0L)).as(s"__s_$t"),
+      sum(when(cell(a, p), yd * yd)
+        .otherwise(lit(0).cast("decimal(38,0)"))).as(s"__q_$t"))
+    }
+    val m = units.agg(momCols.head, momCols.tail: _*)
+    def nD(t: String) = col(s"n_$t").cast("double")
+    def mean(t: String) =
+      col(s"__s_$t").cast("double") / lit(1e6) / nD(t)
+    def vOf(t: String) = {
+      val s = col(s"__s_$t").cast("double") / lit(1e6)
+      (col(s"__q_$t").cast("double") / lit(1e12) -
+        s * s / nD(t)) / (nD(t) - lit(1.0))
+    }
+    val did = (mean("b1") - mean("b0")) - (mean("a1") - mean("a0"))
+    val se2 = vOf("a0") / nD("a0") + vOf("a1") / nD("a1") +
+      vOf("b0") / nD("b0") + vOf("b1") / nD("b1")
+    val tt = did / sqrt(se2)
+    val p = normP2(tt)
+    val ok = tags.map { case (t, _, _) => col(s"n_$t") > 1L }
+      .reduce(_ && _) && se2 > 0
+    m.select((tags.map { case (t, _, _) => col(s"n_$t") } ++ Seq(
+      pr6(mean("a0")).as("mean_a_pre6"),
+      pr6(mean("a1")).as("mean_a_post6"),
+      pr6(mean("b0")).as("mean_b_pre6"),
+      pr6(mean("b1")).as("mean_b_post6"),
+      when(ok, pr6(did)).otherwise(lit(null).cast("double")).as("did6"),
+      when(ok, pr6(tt)).otherwise(lit(null).cast("double")).as("t6"),
+      when(ok, pr6(p)).otherwise(lit(null).cast("double")).as("p6"),
+      when(ok, pr6(p) <= lit(0.05))
+        .otherwise(lit(null).cast("boolean")).as("significant"))): _*)
+  }
+
   /** Benjamini–Hochberg step-up FDR control over a hypothesis frame:
     * rank hypotheses by ascending p (ties broken by `keyCols` for a
     * total order), adjusted p(i) = min over j ≥ i of p(j)·m/j

@@ -486,14 +486,17 @@ object RankStats {
     * winsorized_mean6), NULL means on empty groups can't occur (a
     * group exists only via its rows).
     */
-  def winsorizedMeans(
+  /** Shared per-group rank machinery: (group, value) counts with the
+    * per-group EXCLUSIVE prefix (`__below`) derived from ONE global
+    * range-partitioned prefix sum (per-group rank = global prefix −
+    * the group's offset — any number of groups in one pass). Also
+    * carries per-group `__n` and the micro sum `__s`. Used by
+    * [[winsorizedMeans]] and [[groupedExactQuantiles]].
+    */
+  private def rankedCounts(
       df: DataFrame,
       groupCol: String,
-      microCol: String,
-      pctLo: Int = 5,
-      pctHi: Int = 95): DataFrame = {
-    require(0 < pctLo && pctLo < pctHi && pctHi <= 100,
-      s"need 0 < pctLo < pctHi <= 100, got ($pctLo, $pctHi)")
+      microCol: String): (DataFrame, DataFrame) = {
     val counts = df
       .select(col(groupCol).as("__g"), col(microCol).cast("long")
         .as("__v"))
@@ -505,6 +508,48 @@ object RankStats {
     val ranked = pfx.join(broadcast(offs), Seq("__g"))
       .select(col("__g"), col("__v"), col("__c"),
         (col("__gb") - col("__off")).as("__below"), col("__n"))
+    (ranked, offs)
+  }
+
+  /** Per-group EXACT quantiles at integer percent points: the value
+    * at rank ceil(pct·n/100) (integer arithmetic — see
+    * [[winsorizedMeans]] on why a float 0.05·n is wrong). One shared
+    * range-partitioned prefix pass for every group; the probe is a
+    * group×pct-sized aggregate.
+    *
+    * Output: (groupCol, pct, q6 — the order statistic in original
+    * units), ordered by caller.
+    */
+  def groupedExactQuantiles(
+      df: DataFrame,
+      groupCol: String,
+      microCol: String,
+      pcts: Seq[Int]): DataFrame = {
+    require(pcts.nonEmpty && pcts.forall(p => 0 < p && p <= 100),
+      s"pcts must lie in (0, 100], got $pcts")
+    val (ranked, _) = rankedCounts(df, groupCol, microCol)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val probe = pcts.toDF("pct")
+    ranked.crossJoin(broadcast(probe))
+      .filter(col("__below") + col("__c") >=
+        floor((col("__n") * col("pct").cast("long") + lit(99L)) /
+          lit(100L)).cast("long"))
+      .groupBy(col("__g"), col("pct"))
+      .agg(min(col("__v")).as("__q"))
+      .select(col("__g").as(groupCol), col("pct"),
+        (col("__q").cast("double") / lit(1e6)).as("q6"))
+  }
+
+  def winsorizedMeans(
+      df: DataFrame,
+      groupCol: String,
+      microCol: String,
+      pctLo: Int = 5,
+      pctHi: Int = 95): DataFrame = {
+    require(0 < pctLo && pctLo < pctHi && pctHi <= 100,
+      s"need 0 < pctLo < pctHi <= 100, got ($pctLo, $pctHi)")
+    val (ranked, offs) = rankedCounts(df, groupCol, microCol)
     val kLo = (col("__n") * lit(pctLo.toLong) + lit(99L)) / lit(100L)
     val kHi = (col("__n") * lit(pctHi.toLong) + lit(99L)) / lit(100L)
     // integer division: Column./ on longs is a double divide — the

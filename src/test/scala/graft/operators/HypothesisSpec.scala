@@ -182,6 +182,38 @@ class HypothesisSpec extends SparkSuiteBase {
     assert(rc.getAs[Double]("srm_chi2_6") == 0.0)
   }
 
+  test("diffInDiff: hand 2x2, parallel-trends null, tiny-cell NULL") {
+    import spark.implicits._
+    // a: pre [1,2] post [2,3]; b: pre [1,3] post [4,6]
+    // did = (5-2) - (2.5-1.5) = 2; se² = .25+.25+1+1 = 2.5
+    val units = Seq((0L, 1L, 1L), (0L, 1L, 2L), (0L, 0L, 2L),
+      (0L, 0L, 3L), (1L, 1L, 1L), (1L, 1L, 3L), (1L, 0L, 4L),
+      (1L, 0L, 6L))
+      .map { case (a, p, y) => (a, p, y * 1000000L) }
+      .toDF("arm", "pre", "y")
+    val r = Hypothesis.diffInDiff(units, "arm", "pre", "y").head()
+    assert(r.getAs[Double]("mean_a_pre6") == 1.5)
+    assert(r.getAs[Double]("mean_b_post6") == 5.0)
+    assert(r.getAs[Double]("did6") == 2.0)
+    assert(r.getAs[Double]("t6") == 1.264911)
+    assert(r.getAs[Double]("p6") == 0.205903)
+    assert(!r.getAs[Boolean]("significant"))
+    // pure parallel trends: both arms shift +1 → did = 0
+    val par = Seq((0L, 1L, 1L), (0L, 1L, 3L), (0L, 0L, 2L), (0L, 0L, 4L),
+      (1L, 1L, 5L), (1L, 1L, 7L), (1L, 0L, 6L), (1L, 0L, 8L))
+      .map { case (a, p, y) => (a, p, y * 1000000L) }
+      .toDF("arm", "pre", "y")
+    assert(Hypothesis.diffInDiff(par, "arm", "pre", "y").head()
+      .getAs[Double]("did6") == 0.0)
+    // a 1-row cell → NULL effect, means still present
+    val tiny = Seq((0L, 1L, 1000000L), (0L, 0L, 2000000L),
+      (0L, 0L, 3000000L), (1L, 1L, 1000000L), (1L, 1L, 2000000L),
+      (1L, 0L, 4000000L), (1L, 0L, 5000000L)).toDF("arm", "pre", "y")
+    val rt = Hypothesis.diffInDiff(tiny, "arm", "pre", "y").head()
+    assert(rt.isNullAt(rt.fieldIndex("did6")))
+    assert(rt.getAs[Double]("mean_a_pre6") == 1.0)
+  }
+
   test("bhFdr: m excludes NULL p rows") {
     import spark.implicits._
     val df = Seq(("a", Some(0.04)), ("b", None), ("c", None))

@@ -103,6 +103,25 @@ class RankStatsSpec extends SparkSuiteBase {
     assert(out("two").getAs[Double]("winsorized_mean6") == 5.0)
   }
 
+  test("groupedExactQuantiles: order statistics at integer ranks") {
+    import spark.implicits._
+    // group a: 1..100 → p25 = rank 25 → 25, p50 = 50, p90 = 90;
+    // group b: four values, p50 → rank ceil(4·50/100)=2 → 2nd value
+    val rows = (1L to 100L).map(v => ("a", v * 1000000L)) ++
+      Seq(10L, 20L, 30L, 40L).map(v => ("b", v * 1000000L))
+    val out = RankStats.groupedExactQuantiles(rows.toDF("g", "v"),
+        "g", "v", Seq(25, 50, 90, 100))
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getDouble(2))
+      .toMap
+    assert(out(("a", 25)) == 25.0)
+    assert(out(("a", 50)) == 50.0)
+    assert(out(("a", 90)) == 90.0)
+    assert(out(("a", 100)) == 100.0, "p100 is the max")
+    assert(out(("b", 50)) == 20.0)
+    assert(out(("b", 25)) == 10.0)
+    assert(out(("b", 100)) == 40.0)
+  }
+
   test("giniConcentration: top-decile share on 20 rows") {
     import spark.implicits._
     // 19 ones + one 100: top decile = 2 rows = {100, 1} → 101/119;
