@@ -165,7 +165,8 @@ object Bench {
     // q215 measured on a transiently loaded box (comparator 3.8
     // before the sweep) — an upper bound on the quiet min
     "q215_hits" -> 4.02,
-    "q216_quantile_effects" -> 1.52, "q217_did" -> 0.80)
+    "q216_quantile_effects" -> 1.52, "q217_did" -> 0.80,
+    "q218_cmh_test" -> 0.80, "q219_seasonal_decompose" -> 0.77)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

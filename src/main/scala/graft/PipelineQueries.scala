@@ -5728,6 +5728,118 @@ object PipelineQueries extends QueryGroup {
       .orderBy(col("p_partkey"))
   }
 
+  // Additive seasonal decomposition of daily event volume:
+  // x = trend (centered 7-day mean over the zero-filled grid)
+  // + seasonal (per-weekday mean of the detrended series)
+  // + residual — the "is Tuesday ALWAYS low or is this one broken"
+  // split. Trend/seasonal snap to micro; detrended/residual are
+  // exact integer arithmetic after. Edge days without a full ±3
+  // window are excluded.
+  q("q219_seasonal_decompose",
+    """WITH d219 AS (SELECT epoch_ms(ts) // 86400000 AS t,
+      |    CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1),
+      |b219 AS (SELECT min(t) AS lo, max(t) AS hi FROM d219),
+      |g219 AS (SELECT gr.t, coalesce(x, 0) AS x
+      |  FROM (SELECT unnest(range(lo, hi + 1)) AS t FROM b219) gr
+      |  LEFT JOIN d219 ON d219.t = gr.t),
+      |f219 AS (SELECT t, x,
+      |    CAST(sum(x) OVER (ORDER BY t
+      |      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS BIGINT) AS s7,
+      |    count(*) OVER (ORDER BY t
+      |      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS c7
+      |  FROM g219),
+      |dt219 AS (SELECT t, x,
+      |    CAST(floor(CAST(s7 AS DOUBLE) / 7e0 * 1e6 + 0.5) AS BIGINT)
+      |      AS trend,
+      |    (t + 4) % 7 AS dow,
+      |    x * 1000000 - CAST(floor(CAST(s7 AS DOUBLE) / 7e0 * 1e6
+      |      + 0.5) AS BIGINT) AS det
+      |  FROM f219 WHERE c7 = 7),
+      |se219 AS (SELECT dow, CAST(floor(CAST(sum(det) AS DOUBLE)
+      |    / CAST(count(*) AS DOUBLE) + 0.5) AS BIGINT) AS seas
+      |  FROM dt219 GROUP BY 1)
+      |SELECT t, x, dt219.dow, CAST(trend AS DOUBLE)/1e6 AS trend6,
+      |  CAST(seas AS DOUBLE)/1e6 AS seasonal6,
+      |  CAST(det - seas AS DOUBLE)/1e6 AS residual6
+      |FROM dt219 JOIN se219 ON se219.dow = dt219.dow
+      |ORDER BY t""".stripMargin) { (s, d) =>
+    val daily = Tables.events(s, d)
+      .select(expr("unix_millis(ts) div 86400000").as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("x"))
+    graft.operators.TimeSeries.seasonalDecompose(daily, "t", "x")
+      .orderBy(col("t"))
+  }
+
+  // Stratified experimentation: Cochran–Mantel–Haenszel pooled
+  // arm→conversion test across signup-week cohorts + the MH pooled
+  // odds ratio — association pooled WITHOUT mixing cohort base
+  // rates (the Simpson guard q189's single 2×2 walks into). Cells
+  // exact integers; per-stratum terms nano-snap before the
+  // cross-stratum sums.
+  q("q218_cmh_test", {
+    def dd(e: String) = s"CAST($e AS DOUBLE)"
+    def nano(e: String) = s"CAST(floor(($e) * 1e9 + 0.5) AS BIGINT)"
+    val (n1, n0, m1, m0) = ("(a + b)", "(c + d)", "(a + c)", "(b + d)")
+    val nk = "(a + b + c + d)"
+    val dev = s"(${dd("a")} - ${dd(n1)} * ${dd(m1)} / ${dd(nk)})"
+    val vterm = s"(${dd(n1)} * ${dd(n0)} * ${dd(m1)} * ${dd(m0)} / " +
+      s"(${dd(nk)} * ${dd(nk)} * (${dd(nk)} - 1e0)))"
+    val ad = s"(${dd("a")} * ${dd("d")} / ${dd(nk)})"
+    val bc = s"(${dd("b")} * ${dd("c")} / ${dd(nk)})"
+    val chi2 = "((CAST(sd9 AS DOUBLE) / 1e9) * (CAST(sd9 AS DOUBLE) " +
+      "/ 1e9) / (CAST(sv9 AS DOUBLE) / 1e9))"
+    val p = graft.operators.Hypothesis.normP2Sql(s"sqrt($chi2)")
+    val orMh = "((CAST(sad9 AS DOUBLE) / 1e9) / " +
+      "(CAST(sbc9 AS DOUBLE) / 1e9))"
+    def p6(e: String) = s"floor(($e) * 1e6 + 0.5)/1e6"
+    s"""WITH e218 AS (SELECT user_id, epoch_ms(ts) // 86400000 AS d,
+       |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pur
+       |  FROM events),
+       |u218 AS (SELECT user_id, user_id % 2 AS arm, min(d) // 7 AS wk,
+       |    max(pur) AS conv
+       |  FROM e218 GROUP BY 1, 2),
+       |c218 AS (SELECT wk,
+       |    CAST(sum(CASE WHEN arm = 1 AND conv = 1 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS a,
+       |    CAST(sum(CASE WHEN arm = 1 AND conv = 0 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS b,
+       |    CAST(sum(CASE WHEN arm = 0 AND conv = 1 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS c,
+       |    CAST(sum(CASE WHEN arm = 0 AND conv = 0 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS d
+       |  FROM u218 GROUP BY 1),
+       |t218 AS (SELECT
+       |    CASE WHEN $nk > 1 THEN ${nano(dev)} ELSE 0 END AS dev9,
+       |    CASE WHEN $nk > 1 THEN ${nano(vterm)} ELSE 0 END AS v9,
+       |    CASE WHEN $nk > 1 THEN ${nano(ad)} ELSE 0 END AS ad9,
+       |    CASE WHEN $nk > 1 THEN ${nano(bc)} ELSE 0 END AS bc9,
+       |    CASE WHEN $nk > 1 THEN 1 ELSE 0 END AS use9,
+       |    $nk AS nk
+       |  FROM c218),
+       |s218 AS (SELECT CAST(sum(use9) AS BIGINT) AS n_strata,
+       |    CAST(sum(nk) AS BIGINT) AS n_units,
+       |    CAST(sum(dev9) AS BIGINT) AS sd9,
+       |    CAST(sum(v9) AS BIGINT) AS sv9,
+       |    CAST(sum(ad9) AS BIGINT) AS sad9,
+       |    CAST(sum(bc9) AS BIGINT) AS sbc9
+       |  FROM t218)
+       |SELECT n_strata, n_units,
+       |  CASE WHEN sv9 > 0 THEN ${p6(chi2)} END AS chi2_6,
+       |  CASE WHEN sv9 > 0 THEN ${p6(p)} END AS p6,
+       |  CASE WHEN sv9 > 0 THEN ${p6(p)} <= 0.05 END AS significant,
+       |  CASE WHEN sbc9 > 0 THEN ${p6(orMh)} END AS or_mh6
+       |FROM s218""".stripMargin
+  }) { (s, d) =>
+    val ev = Tables.events(s, d).select(col("user_id"),
+      expr("unix_millis(ts) div 86400000").as("day"),
+      when(col("event_type") === "purchase", 1L).otherwise(0L)
+        .as("pur"))
+    val units = ev
+      .groupBy(col("user_id"), pmod(col("user_id"), lit(2L)).as("arm"))
+      .agg(expr("min(day) div 7").as("wk"), max(col("pur")).as("conv"))
+    graft.operators.Hypothesis.cmhTest(units, "wk", "arm", "conv")
+  }
+
   // Quantile treatment effects: the per-arm EXACT p25/p50/p75/p90
   // order statistics and their differences — where in the outcome
   // DISTRIBUTION the treatment acts (a mean diff can hide "only the

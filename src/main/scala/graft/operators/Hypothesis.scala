@@ -467,6 +467,87 @@ object Hypothesis {
         .otherwise(lit(null).cast("boolean")).as("significant"))): _*)
   }
 
+  /** Cochran–Mantel–Haenszel test over STRATIFIED 2×2 conversion
+    * tables: pools the arm→conversion association across strata
+    * (cohorts, segments, countries) without mixing their base rates
+    * — the guard against Simpson's paradox that a single pooled 2×2
+    * (q189) walks straight into. Per stratum k with arm-1 count n1,
+    * arm-0 count n0, converted m1, total n:
+    *
+    *   χ² = (Σ(a_k − n1_k·m1_k/n_k))² / Σ V_k,
+    *   V_k = n1·n0·m1·m0 / (n²(n−1))
+    *
+    * plus the Mantel–Haenszel pooled odds ratio
+    * Σ(a_k d_k/n_k) / Σ(b_k c_k/n_k). No continuity correction (a
+    * fixed convention beats a knife-edge |·|−0.5 flip).
+    *
+    * Determinism: the 2×2 cells are exact integer aggregates; each
+    * stratum's (a−E), V, and OR terms snap to integer NANO-units
+    * before the cross-stratum sums (q190 discipline); the final
+    * χ²/p/OR chain is one row. Strata with n ≤ 1 contribute nothing
+    * (V undefined). Degenerate totals (ΣV = 0, or a zero OR
+    * denominator) read NULL.
+    *
+    * Output: ONE row (n_strata, n_units, chi2_6, p6, significant,
+    * or_mh6).
+    */
+  def cmhTest(
+      units: DataFrame,
+      stratumCol: String,
+      armCol: String,
+      convCol: String): DataFrame = {
+    val arm = col(armCol).cast("long")
+    val cv = col(convCol).cast("boolean").cast("long")
+    val cells = units.groupBy(col(stratumCol).as("__k"))
+      .agg(
+        sum(when(arm === 1L && cv === 1L, 1L).otherwise(0L)).as("__a"),
+        sum(when(arm === 1L && cv === 0L, 1L).otherwise(0L)).as("__b"),
+        sum(when(arm === 0L && cv === 1L, 1L).otherwise(0L)).as("__c"),
+        sum(when(arm === 0L && cv === 0L, 1L).otherwise(0L)).as("__d"))
+    val n1 = col("__a") + col("__b")
+    val n0 = col("__c") + col("__d")
+    val m1 = col("__a") + col("__c")
+    val m0 = col("__b") + col("__d")
+    val nk = n1 + n0
+    val nD = nk.cast("double")
+    def nano(c: Column): Column =
+      floor(c * lit(1e9) + lit(0.5)).cast("long")
+    val usable = nk > 1L
+    val terms = cells.select(
+      when(usable, nano(col("__a").cast("double") -
+        n1.cast("double") * m1.cast("double") / nD))
+        .otherwise(0L).as("__dev9"),
+      when(usable, nano(n1.cast("double") * n0.cast("double") *
+        m1.cast("double") * m0.cast("double") /
+        (nD * nD * (nD - lit(1.0))))).otherwise(0L).as("__v9"),
+      when(usable, nano(col("__a").cast("double") *
+        col("__d").cast("double") / nD)).otherwise(0L).as("__ad9"),
+      when(usable, nano(col("__b").cast("double") *
+        col("__c").cast("double") / nD)).otherwise(0L).as("__bc9"),
+      when(usable, 1L).otherwise(0L).as("__use"),
+      nk.as("__nk"))
+    val s = terms.agg(sum(col("__use")).as("n_strata"),
+      sum(col("__nk")).as("n_units"),
+      sum(col("__dev9")).as("__sd9"), sum(col("__v9")).as("__sv9"),
+      sum(col("__ad9")).as("__sad9"), sum(col("__bc9")).as("__sbc9"))
+    val dev = col("__sd9").cast("double") / lit(1e9)
+    val v = col("__sv9").cast("double") / lit(1e9)
+    val chi2 = dev * dev / v
+    val p = normP2(sqrt(chi2))
+    val orMh = (col("__sad9").cast("double") / lit(1e9)) /
+      (col("__sbc9").cast("double") / lit(1e9))
+    val okChi = col("__sv9") > 0L
+    val okOr = col("__sbc9") > 0L
+    s.select(col("n_strata"), col("n_units"),
+      when(okChi, pr6(chi2)).otherwise(lit(null).cast("double"))
+        .as("chi2_6"),
+      when(okChi, pr6(p)).otherwise(lit(null).cast("double")).as("p6"),
+      when(okChi, pr6(p) <= lit(0.05))
+        .otherwise(lit(null).cast("boolean")).as("significant"),
+      when(okOr, pr6(orMh)).otherwise(lit(null).cast("double"))
+        .as("or_mh6"))
+  }
+
   /** Benjamini–Hochberg step-up FDR control over a hypothesis frame:
     * rank hypotheses by ascending p (ties broken by `keyCols` for a
     * total order), adjusted p(i) = min over j ≥ i of p(j)·m/j

@@ -484,6 +484,67 @@ object TimeSeries {
           .otherwise(lit("none")).as("trend"))
   }
 
+  /** Additive seasonal decomposition of a daily series:
+    * x = trend + seasonal + residual — trend is the CENTERED 7-day
+    * rolling mean over the zero-filled calendar grid (q198's
+    * missing-day convention), seasonal is the per-weekday mean of
+    * the detrended series, residual is what's left: the
+    * decomposition that turns "Tuesday looks low" into "Tuesday is
+    * ALWAYS low (seasonal), this one is fine (residual ≈ 0)".
+    *
+    * Determinism: the trend snaps to integer micro per day
+    * (sum7/7 is one row-local double op on exact ints), detrended
+    * values are then exact micro ints, the per-dow seasonal mean is
+    * one integer-sum ratio re-snapped, and the residual is pure
+    * integer subtraction. Edge days without a full ±3 window are
+    * EXCLUDED (not zero-padded — a half-window trend is a different
+    * estimator).
+    *
+    * Scale shape: one day-grain aggregate (map-side combined), a
+    * calendar-bounded grid join, ONE ordered window over the day
+    * frame (bounded by the date span — the q198 carve-out), a
+    * 7-group aggregate, grid-sized arithmetic after.
+    *
+    * Output per full-window grid day: (t, x, dow, trend6,
+    * seasonal6, residual6).
+    */
+  def seasonalDecompose(
+      counts: DataFrame,
+      tCol: String,
+      vCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = counts.select(col(tCol).cast("long").as("__t"),
+      col(vCol).cast("long").as("__x"))
+      .groupBy(col("__t")).agg(sum(col("__x")).as("__x"))
+    val bounds = daily.agg(min(col("__t")).as("__lo"),
+      max(col("__t")).as("__hi"))
+    val grid = bounds.select(
+        explode(sequence(col("__lo"), col("__hi"))).as("__t"))
+      .join(daily, Seq("__t"), "left")
+      .select(col("__t"), coalesce(col("__x"), lit(0L)).as("__x"))
+    val w = Window.orderBy(col("__t")).rowsBetween(-3, 3)
+    val framed = grid
+      .withColumn("__s7", sum(col("__x")).over(w))
+      .withColumn("__c7", count(lit(1)).over(w))
+      .filter(col("__c7") === 7L)
+      .select(col("__t"), col("__x"),
+        floor(col("__s7").cast("double") / lit(7.0) * lit(1e6) +
+          lit(0.5)).cast("long").as("__trend"))
+      .withColumn("__det", col("__x") * lit(1000000L) - col("__trend"))
+      .withColumn("dow", pmod(col("__t") + lit(4L), lit(7L)))
+    val seasonal = framed.groupBy(col("dow"))
+      .agg(sum(col("__det")).as("__sd"), count(lit(1)).as("__cd"))
+      .select(col("dow"),
+        floor(col("__sd").cast("double") / col("__cd").cast("double") +
+          lit(0.5)).cast("long").as("__seas"))
+    framed.join(broadcast(seasonal), Seq("dow"))
+      .select(col("__t").as(tCol), col("__x").as(vCol), col("dow"),
+        (col("__trend").cast("double") / lit(1e6)).as("trend6"),
+        (col("__seas").cast("double") / lit(1e6)).as("seasonal6"),
+        ((col("__det") - col("__seas")).cast("double") / lit(1e6))
+          .as("residual6"))
+  }
+
   def dowSeasonality(
       counts: DataFrame,
       tCol: String,

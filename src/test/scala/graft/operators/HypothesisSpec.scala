@@ -214,6 +214,53 @@ class HypothesisSpec extends SparkSuiteBase {
     assert(rt.getAs[Double]("mean_a_pre6") == 1.0)
   }
 
+  test("cmhTest: pooled strata hand case + OR") {
+    import spark.implicits._
+    // two strata, same within-stratum effect, different base rates:
+    // s1 arm1 8/10 vs arm0 6/10; s2 arm1 4/10 vs arm0 2/10
+    // dev = 1 each, V = 1.105263 each → χ² = 1.809524, OR = 8/3
+    def stratum(k: Long, a: Int, b: Int, c: Int, d: Int) =
+      Seq.fill(a)((k, 1L, true)) ++ Seq.fill(b)((k, 1L, false)) ++
+      Seq.fill(c)((k, 0L, true)) ++ Seq.fill(d)((k, 0L, false))
+    val units = (stratum(1L, 8, 2, 6, 4) ++ stratum(2L, 4, 6, 2, 8))
+      .toDF("wk", "arm", "conv")
+    val r = Hypothesis.cmhTest(units, "wk", "arm", "conv").head()
+    assert(r.getAs[Long]("n_strata") == 2L)
+    assert(r.getAs[Long]("n_units") == 40L)
+    assert(r.getAs[Double]("chi2_6") == 1.809524)
+    assert(r.getAs[Double]("p6") == 0.178565)
+    assert(!r.getAs[Boolean]("significant"))
+    assert(r.getAs[Double]("or_mh6") == 2.666667)
+  }
+
+  test("cmhTest: Simpson structure — pooled 2x2 misleads, CMH not") {
+    import spark.implicits._
+    // within each stratum arm1 conversion rate EQUALS arm0's, but
+    // arm1 is concentrated in the high-rate stratum: the naive
+    // pooled table shows a big lift; CMH reads no association
+    def stratum(k: Long, a: Int, b: Int, c: Int, d: Int) =
+      Seq.fill(a)((k, 1L, true)) ++ Seq.fill(b)((k, 1L, false)) ++
+      Seq.fill(c)((k, 0L, true)) ++ Seq.fill(d)((k, 0L, false))
+    val units = (stratum(1L, 16, 4, 4, 1) ++ stratum(2L, 1, 4, 4, 16))
+      .toDF("wk", "arm", "conv")
+    val r = Hypothesis.cmhTest(units, "wk", "arm", "conv").head()
+    // per-stratum rates equal (0.8 and 0.2) → dev = 0 → χ² = 0
+    assert(r.getAs[Double]("chi2_6") == 0.0)
+    assert(r.getAs[Double]("or_mh6") == 1.0)
+    // the naive pooled table would read 17/25 vs 8/25 — a huge lift
+  }
+
+  test("cmhTest: single-unit strata are excluded, not a crash") {
+    import spark.implicits._
+    val units = (Seq((9L, 1L, true)) ++ // n = 1 stratum: no V
+      Seq.fill(5)((1L, 1L, true)) ++ Seq.fill(5)((1L, 1L, false)) ++
+      Seq.fill(5)((1L, 0L, true)) ++ Seq.fill(5)((1L, 0L, false)))
+      .toDF("wk", "arm", "conv")
+    val r = Hypothesis.cmhTest(units, "wk", "arm", "conv").head()
+    assert(r.getAs[Long]("n_strata") == 1L)
+    assert(r.getAs[Double]("chi2_6") == 0.0, "balanced stratum: dev 0")
+  }
+
   test("bhFdr: m excludes NULL p rows") {
     import spark.implicits._
     val df = Seq(("a", Some(0.04)), ("b", None), ("c", None))

@@ -307,6 +307,45 @@ class TimeSeriesSpec extends SparkSuiteBase {
       "both days total 5 after the t-grain pre-aggregation")
   }
 
+  test("seasonalDecompose: pure weekly pattern splits exactly") {
+    import spark.implicits._
+    // x = 10 + pat[t%7], Σpat = 0 → every 7-day centered mean is
+    // exactly 10: trend 10, seasonal = the pattern, residual 0
+    val pat = Seq(0L, 1L, 2L, 3L, -2L, -2L, -2L)
+    val df = (0L to 20L).map(t => (t, 10L + pat((t % 7).toInt)))
+      .toDF("t", "x")
+    val out = TimeSeries.seasonalDecompose(df, "t", "x")
+      .orderBy(col("t")).collect()
+    // only full-window days 3..17 survive
+    assert(out.map(_.getLong(0)).toSeq == (3L to 17L))
+    assert(out.forall(_.getDouble(3) == 10.0), "trend is exactly 10")
+    assert(out.forall(r => r.getDouble(5) == 0.0),
+      "a pure pattern has zero residual")
+    val byT = out.map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    assert((3L to 17L).forall(t =>
+      byT(t) == pat((t % 7).toInt).toDouble))
+    // x = trend + seasonal + residual identically
+    assert(out.forall(r => math.abs(r.getLong(1).toDouble -
+      (r.getDouble(3) + r.getDouble(4) + r.getDouble(5))) < 1e-9))
+  }
+
+  test("seasonalDecompose: missing grid days are zero-filled") {
+    import spark.implicits._
+    // a hole at t=5: the grid fills it with 0, windows spanning it
+    // see the 0 (not a skipped row)
+    val df = (0L to 13L).filter(_ != 5L).map(t => (t, 7L)).toDF("t", "x")
+    val out = TimeSeries.seasonalDecompose(df, "t", "x")
+      .orderBy(col("t")).collect()
+    val byT = out.map(r => r.getLong(0) ->
+      (r.getLong(1), r.getDouble(3))).toMap
+    assert(byT(5L)._1 == 0L, "the hole itself appears with x = 0")
+    // a window fully clear of the hole: days 9..13 window for t=10?
+    // t=10 window covers 7..13 — all 7s → trend 7 exactly
+    assert(byT(10L)._2 == 7.0)
+    // a window containing the hole: t=4 covers 1..7 → (6·7)/7 = 6
+    assert(byT(4L)._2 == 6.0)
+  }
+
   test("mannKendall: strictly increasing series, exact S and var") {
     import spark.implicits._
     // v = t for t=0..9: S = 45 (all pairs ascending), no ties →
