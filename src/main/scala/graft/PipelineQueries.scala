@@ -5770,6 +5770,65 @@ object PipelineQueries extends QueryGroup {
       .orderBy(col("t"))
   }
 
+  // Corpus planning: Heaps'-law fit V(N) ≈ k·N^β over ten doc_id-
+  // order prefixes — "how much NEW vocabulary does the next 10× of
+  // corpus buy" (β≈0.5 natural text; ≈1 id-pollution; ≈0 templated).
+  // V_i = tokens whose FIRST-occurrence rank lands in prefix i (one
+  // token aggregate, no per-checkpoint pass); ln terms nano-snap
+  // before the 4-moment log-log OLS.
+  q("q220_heaps_law", {
+    def dd(e: String) = s"CAST($e AS DOUBLE)"
+    def nano(e: String) = s"CAST(floor(($e) * 1e9 + 0.5) AS BIGINT)"
+    val (k, sx, sy, sxy, sxx) = (dd("k"), s"(${dd("sx9")} / 1e9)",
+      s"(${dd("sy9")} / 1e9)", s"(${dd("sxy9")} / 1e9)",
+      s"(${dd("sxx9")} / 1e9)")
+    val den = s"($sxx - $sx * $sx / $k)"
+    val beta = s"(($sxy - $sx * $sy / $k) / $den)"
+    def p6(e: String) = s"floor(($e) * 1e6 + 0.5)/1e6"
+    s"""WITH r220 AS (SELECT doc_id,
+       |    row_number() OVER (ORDER BY doc_id) - 1 AS rk
+       |  FROM documents),
+       |nd220 AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM documents),
+       |cp220 AS (SELECT chk, (nd * chk + 9) // 10 AS thr
+       |  FROM (SELECT unnest(range(1, 11)) AS chk) CROSS JOIN nd220),
+       |tk220 AS (SELECT r220.rk, t.tok
+       |  FROM (SELECT doc_id, unnest($sqlTokens) AS tok
+       |    FROM documents) t
+       |  JOIN r220 ON r220.doc_id = t.doc_id),
+       |dc220 AS (SELECT rk, CAST(count(*) AS BIGINT) AS c
+       |  FROM tk220 GROUP BY 1),
+       |na220 AS (SELECT chk, CAST(sum(c) AS BIGINT) AS n_tokens,
+       |    CAST(max(thr) AS BIGINT) AS n_docs_prefix
+       |  FROM dc220 JOIN cp220 ON dc220.rk < cp220.thr GROUP BY 1),
+       |fa220 AS (SELECT tok, min(rk) AS fr FROM tk220 GROUP BY 1),
+       |va220 AS (SELECT chk, CAST(count(*) AS BIGINT) AS vocab
+       |  FROM fa220 JOIN cp220 ON fa220.fr < cp220.thr GROUP BY 1),
+       |pt220 AS (SELECT na220.chk, n_docs_prefix, n_tokens, vocab
+       |  FROM na220 JOIN va220 ON va220.chk = na220.chk),
+       |m220 AS (SELECT CAST(count(*) AS BIGINT) AS k,
+       |    CAST(sum(${nano(s"ln(${dd("n_tokens")})")}) AS BIGINT)
+       |      AS sx9,
+       |    CAST(sum(${nano(s"ln(${dd("vocab")})")}) AS BIGINT) AS sy9,
+       |    CAST(sum(${nano(
+             s"ln(${dd("n_tokens")}) * ln(${dd("vocab")})")})
+       |      AS BIGINT) AS sxy9,
+       |    CAST(sum(${nano(
+             s"ln(${dd("n_tokens")}) * ln(${dd("n_tokens")})")})
+       |      AS BIGINT) AS sxx9
+       |  FROM pt220),
+       |f220 AS (SELECT
+       |    CASE WHEN $den > 0 THEN ${p6(beta)} END AS beta6,
+       |    CASE WHEN $den > 0
+       |      THEN ${p6(s"($sy / $k - $beta * ($sx / $k))")} END AS logk6
+       |  FROM m220)
+       |SELECT chk, n_docs_prefix, n_tokens, vocab, beta6, logk6
+       |FROM pt220 CROSS JOIN f220 ORDER BY chk""".stripMargin
+  }) { (s, d) =>
+    graft.operators.TextAnalysis.heapsLaw(Tables.documents(s, d),
+        "doc_id", "text", checkpoints = 10)
+      .orderBy(col("chk"))
+  }
+
   // Stratified experimentation: Cochran–Mantel–Haenszel pooled
   // arm→conversion test across signup-week cohorts + the MH pooled
   // odds ratio — association pooled WITHOUT mixing cohort base

@@ -915,6 +915,89 @@ object TextAnalysis {
         .otherwise(lit(null).cast("double")).as("alpha6"))
   }
 
+  /** Heaps'-law fit of vocabulary growth: V(N) ≈ k·N^β over corpus
+    * PREFIXES — the companion of the Zipf fit (q187) that answers
+    * the planning question "how much NEW vocabulary does the next
+    * 10× of corpus buy" (β ≈ 0.5 for natural text; β near 1 flags
+    * id-like token pollution, β near 0 a saturated/templated
+    * corpus).
+    *
+    * Prefixes are deterministic doc_id-order checkpoints at
+    * i/`checkpoints` of the corpus (ranks from ONE range-partitioned
+    * prefix sum; thresholds in integer ceil arithmetic). V_i counts
+    * tokens whose FIRST-occurrence rank falls inside prefix i — one
+    * token-grain aggregate, no per-checkpoint corpus pass; N_i sums
+    * per-doc token counts the same way. The log-log OLS runs over
+    * `checkpoints` points whose ln terms nano-snap before the
+    * 4-moment sums, so the fit is partition-order free.
+    *
+    * Output per checkpoint: (chk, n_docs_prefix, n_tokens, vocab,
+    * beta6, logk6 — the fit repeated on every row; NULL when the
+    * x-variance is 0, i.e. degenerate equal-N checkpoints).
+    */
+  def heapsLaw(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      checkpoints: Int = 10): DataFrame = {
+    require(checkpoints >= 2, "need at least 2 checkpoints")
+    val spark = docs.sparkSession
+    val ids = docs.select(col(idCol).as("__id"))
+    val ranked = ScaleOps.prefixSumByRange(ids, Seq("__id"), lit(1L),
+      "__rk") // 0-based doc rank in id order
+    val nDocs = ids.agg(count(lit(1)).as("__nd"))
+    val cps = spark.range(1, checkpoints + 1L)
+      .select(col("id").cast("long").as("chk"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("chk"),
+        floor((col("__nd") * col("chk") + lit(checkpoints - 1L)) /
+          lit(checkpoints.toLong)).cast("long").as("__thr"))
+      .localCheckpoint(true) // checkpoint-count-sized, reused 3×
+    val toks = docs
+      .select(col(idCol).as("__id"),
+        explode(TextFns.tokens(col(textCol))).as("__tok"))
+      .join(ranked, Seq("__id"))
+    val docCnt = toks.groupBy(col("__rk")).agg(count(lit(1)).as("__c"))
+    val nAt = docCnt.crossJoin(broadcast(cps))
+      .filter(col("__rk") < col("__thr"))
+      .groupBy(col("chk"))
+      .agg(sum(col("__c")).as("n_tokens"), max(col("__thr"))
+        .as("n_docs_prefix"))
+    val firstAt = toks.groupBy(col("__tok")).agg(min(col("__rk"))
+        .as("__fr"))
+      .crossJoin(broadcast(cps))
+      .filter(col("__fr") < col("__thr"))
+      .groupBy(col("chk")).agg(count(lit(1)).as("vocab"))
+    val pts = nAt.join(firstAt, Seq("chk"))
+      .localCheckpoint(true) // checkpoint-sized; feeds fit + output
+    def nano(c: Column): Column =
+      floor(c * lit(1e9) + lit(0.5)).cast("long")
+    val x = log(col("n_tokens").cast("double"))
+    val y = log(col("vocab").cast("double"))
+    val fit = pts.select(nano(x).as("__x9"), nano(y).as("__y9"),
+        nano(x * y).as("__xy9"), nano(x * x).as("__xx9"))
+      .agg(count(lit(1)).as("__k"), sum(col("__x9")).as("__sx9"),
+        sum(col("__y9")).as("__sy9"), sum(col("__xy9")).as("__sxy9"),
+        sum(col("__xx9")).as("__sxx9"))
+    val kD = col("__k").cast("double")
+    val sx = col("__sx9").cast("double") / lit(1e9)
+    val sy = col("__sy9").cast("double") / lit(1e9)
+    val sxy = col("__sxy9").cast("double") / lit(1e9)
+    val sxx = col("__sxx9").cast("double") / lit(1e9)
+    val den = sxx - sx * sx / kD
+    val beta = (sxy - sx * sy / kD) / den
+    val logk = sy / kD - beta * (sx / kD)
+    def pr6(c: Column): Column = floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+    val fitted = fit.select(
+      when(den > 0, pr6(beta)).otherwise(lit(null).cast("double"))
+        .as("beta6"),
+      when(den > 0, pr6(logk)).otherwise(lit(null).cast("double"))
+        .as("logk6"))
+    pts.crossJoin(broadcast(fitted))
+      .select(col("chk"), col("n_docs_prefix"), col("n_tokens"),
+        col("vocab"), col("beta6"), col("logk6"))
+  }
+
   /** Pairwise Jensen–Shannon divergence between the unigram
     * distributions of every group PAIR — the symmetric, bounded
     * ([0, ln 2] nats) companion of [[sourceDivergence]]'s
