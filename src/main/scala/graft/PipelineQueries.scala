@@ -4431,8 +4431,8 @@ object PipelineQueries extends QueryGroup {
       |       FROM documents GROUP BY lang),
       |vv AS (SELECT g, n * sxx - sx * sx AS v FROM st),
       |tt AS (SELECT sum(v) AS vw, count(*) AS ng FROM vv),
-      |qt AS (SELECT g, greatest(1, CASE WHEN vw > 0 THEN (60 * v) // vw
-      |         ELSE 60 // ng END) AS quota
+      |qt AS (SELECT g, CAST(greatest(1, CASE WHEN vw > 0 THEN (60 * v) // vw
+      |         ELSE 60 // ng END) AS BIGINT) AS quota
       |       FROM vv CROSS JOIN tt),
       |rk AS (SELECT lang, doc_id, row_number() OVER (PARTITION BY lang
       |         ORDER BY CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
