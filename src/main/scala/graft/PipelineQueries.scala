@@ -6536,4 +6536,60 @@ object PipelineQueries extends QueryGroup {
         Seq("event_type", "dow"), "p6")
       .orderBy(col("event_type"), col("dow"))
   }
+
+  // Scorer evaluation, imbalanced edition: the precision–recall curve
+  // + step-function average precision of the q85 NB quality scorer
+  // against the q58 rule labels — ROC (q185) asks "does it order?",
+  // PR asks "what does a cut COST?" where the negative flood makes
+  // FPR blind (Davis & Goadrich 2006). One distinct-score aggregate,
+  // one packed-counter prefix sum, exact int64 micro-sum AP; the
+  // inline (never named — the q138 lesson) oracle windows replay the
+  // cumulative counters.
+  q("q221_pr_curve", {
+    s"""WITH $nbQualityCtes,
+       |lo221 AS (SELECT sc85.doc_id,
+       |    CAST(floor((raw + ln(n1 * 1.0 / n0)) * 1e6 + 0.5) AS BIGINT) AS m
+       |  FROM sc85, pri85),
+       |la221 AS (SELECT doc_id, $nbRuleSql AS y FROM f85),
+       |g221 AS (SELECT m, CAST(count(*) AS BIGINT) AS n_s,
+       |    CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS p_s
+       |  FROM lo221 JOIN la221 USING (doc_id) GROUP BY m),
+       |r221 AS (SELECT m, n_s, p_s,
+       |    CAST(coalesce(sum(n_s) OVER (ORDER BY m
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS BIGINT) AS below_n,
+       |    CAST(coalesce(sum(p_s) OVER (ORDER BY m
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS BIGINT) AS below_p
+       |  FROM g221),
+       |t221 AS (SELECT CAST(sum(p_s) AS BIGINT) AS np,
+       |    CAST(sum(n_s) AS BIGINT) AS nt FROM g221),
+       |c221 AS (SELECT m, p_s, np, np - below_p AS tp, nt - below_n AS pp
+       |  FROM r221, t221),
+       |a221 AS (SELECT CAST(sum(CAST(floor(
+       |      CAST(p_s AS DOUBLE) * CAST(tp AS DOUBLE) * 1e6
+       |      / (CAST(pp AS DOUBLE) * CAST(np AS DOUBLE)) + 0.5)
+       |      AS BIGINT)) AS BIGINT) AS apm,
+       |    max(np) AS np2 FROM c221)
+       |SELECT m AS score, tp, pp - tp AS fp,
+       |  floor((CAST(tp AS DOUBLE) / CAST(pp AS DOUBLE)) * 1e6 + 0.5)/1e6
+       |    AS prec6,
+       |  CASE WHEN np > 0 THEN
+       |    floor((CAST(tp AS DOUBLE) / CAST(np AS DOUBLE)) * 1e6 + 0.5)/1e6
+       |  END AS rec6,
+       |  CASE WHEN np2 > 0 THEN CAST(apm AS DOUBLE) / 1e6 END AS ap6
+       |FROM c221, a221 ORDER BY score""".stripMargin
+  }) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val scored = QualityModel
+      .heuristicSeededScores(docs, "doc_id", "text", Seq("the", "a"))
+      .select(col("doc").as("doc_id"),
+        floor(col("log_odds") * lit(1e6) + lit(0.5)).cast("long").as("m"))
+    val labels = TextAnalysis
+      .qualityFilter(docs, "doc_id", "text", Seq("the", "a"))
+      .select(col("doc_id"), col("keep"))
+    graft.operators.RankStats.prCurve(
+        scored.join(labels, Seq("doc_id")), "m", "keep")
+      .orderBy(col("score"))
+  }
 }

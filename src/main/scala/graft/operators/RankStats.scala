@@ -97,6 +97,83 @@ object RankStats {
           .otherwise(lit(null).cast("double")).as("auc6"))
   }
 
+  /** Precision–recall curve at every distinct score threshold, plus
+    * step-function average precision — the evaluation twin of
+    * [[rocAuc]] for IMBALANCED labels, where ROC's false-positive
+    * rate hides a flood of false positives behind a huge negative
+    * class (Davis & Goadrich 2006). Threshold semantics: a row is
+    * predicted positive when `score >= s`, one curve row per
+    * distinct score, descending (the first row is the strictest
+    * cut).
+    *
+    * AP is the usual step sum AP = Σ_s (Δtp_s / n_pos) · prec_s over
+    * thresholds in descending-score order, where Δtp_s = positives
+    * exactly AT score s — so each term is a pure function of that
+    * threshold's counters and the sum is order-free. Each term is
+    * snapped to the 1e-6 grid FIRST (`floor(term·1e6 + 0.5)` on a
+    * double built from exact int64 counters — IEEE multiply/divide
+    * on identical inputs, bit-identical in any engine) and the terms
+    * accumulate as an exact int64 micro sum; ap6 = that sum / 1e6.
+    * The per-term snap makes the statistic deterministic at any
+    * partition order and any scale, at the price of ≤ 5e-7·|curve|
+    * absolute bias vs the unsnapped AP — the [[GraphOps.pageRank]]
+    * per-iteration-rounding trade.
+    *
+    * Scale shape: ONE hash aggregate to the distinct-score frame,
+    * ONE range-partitioned prefix sum over it (both cumulative
+    * counters ride a single packed long, the [[ksTest]] idiom —
+    * exact under 2³¹ rows per class), one broadcast of the 1-row
+    * totals, one combinable micro-sum aggregate. The corpus is never
+    * joined back; nothing is corpus-sized after the first aggregate.
+    *
+    * Output: (score, tp, fp, prec6, rec6, ap6) — ap6 constant across
+    * rows; NULL when there are no positives. Callers order by score.
+    */
+  def prCurve(
+      scored: DataFrame,
+      scoreCol: String,
+      labelCol: String): DataFrame = {
+    val base = scored
+      .filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .select(col(scoreCol).as("__sc"),
+        col(labelCol).cast("boolean").as("__y"))
+    val K = 1L << 31
+    val g = base.groupBy(col("__sc"))
+      .agg(count(lit(1)).as("__n_s"),
+        sum(when(col("__y"), 1L).otherwise(0L)).as("__p_s"))
+      .withColumn("__pk", col("__n_s") * lit(K) + col("__p_s"))
+    val p = ScaleOps.prefixSumByRange(g, Seq("__sc"), col("__pk"), "__bp",
+      targetPartBytes = 1L << 20)
+    val tot = g.agg(coalesce(sum(col("__p_s")), lit(0L)).as("__np"),
+      coalesce(sum(col("__n_s")), lit(0L)).as("__nt"))
+    // counts strictly below s → counts at-or-above s by complement
+    val curve = p.crossJoin(broadcast(tot))
+      .withColumn("__tp", col("__np") - col("__bp").bitwiseAND(lit(K - 1L)))
+      .withColumn("__pp", col("__nt") - shiftright(col("__bp"), 31))
+      .withColumn("__term",
+        when(col("__np") > 0,
+          floor(col("__p_s").cast("double") * col("__tp").cast("double") *
+            lit(1e6) /
+            (col("__pp").cast("double") * col("__np").cast("double")) +
+            lit(0.5)).cast("long"))
+          .otherwise(lit(0L)))
+      .localCheckpoint(true)
+    val ap = curve.agg(coalesce(sum(col("__term")), lit(0L)).as("__apm"),
+      max(col("__np")).as("__np2"))
+      .select(when(col("__np2") > 0,
+        col("__apm").cast("double") / lit(1e6))
+        .otherwise(lit(null).cast("double")).as("ap6"))
+    curve.crossJoin(broadcast(ap))
+      .select(col("__sc").as("score"), col("__tp").as("tp"),
+        (col("__pp") - col("__tp")).as("fp"),
+        pr6(col("__tp").cast("double") / col("__pp").cast("double"))
+          .as("prec6"),
+        when(col("__np") > 0,
+          pr6(col("__tp").cast("double") / col("__np").cast("double")))
+          .otherwise(lit(null).cast("double")).as("rec6"),
+        col("ap6"))
+  }
+
   /** Spearman rank correlation for every pair in `cols` (upper
     * triangle, `cols` order) — Pearson over doubled average ranks.
     * Listwise deletion (rows with a null in ANY column are excluded,

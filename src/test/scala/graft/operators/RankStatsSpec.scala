@@ -34,6 +34,46 @@ class RankStatsSpec extends SparkSuiteBase {
     assert(r.isNullAt(r.fieldIndex("auc6")), "one-class AUC must be NULL")
   }
 
+  test("prCurve: hand thresholds, tie at one score, exact AP micro sum") {
+    import spark.implicits._
+    // desc thresholds: s=3 → tp=1 pp=1; s=2 → tp=2 pp=3; s=1 → tp=2 pp=4
+    // AP = 1/2·1 + 1/2·(2/3) + 0 = 0.5 + 0.333333(floored micro) = 0.833333
+    val df = Seq((3.0, true), (2.0, false), (2.0, true), (1.0, false))
+      .toDF("s", "y")
+    val rows = RankStats.prCurve(df, "s", "y")
+      .orderBy(desc("score")).collect()
+    assert(rows.length == 3)
+    val at3 = rows(0)
+    assert(at3.getAs[Double]("score") == 3.0 &&
+      at3.getAs[Long]("tp") == 1L && at3.getAs[Long]("fp") == 0L &&
+      at3.getAs[Double]("prec6") == 1.0 && at3.getAs[Double]("rec6") == 0.5)
+    val at2 = rows(1)
+    assert(at2.getAs[Long]("tp") == 2L && at2.getAs[Long]("fp") == 1L &&
+      at2.getAs[Double]("prec6") == 0.666667 &&
+      at2.getAs[Double]("rec6") == 1.0)
+    val at1 = rows(2)
+    assert(at1.getAs[Long]("tp") == 2L && at1.getAs[Long]("fp") == 2L &&
+      at1.getAs[Double]("prec6") == 0.5)
+    // ap6 constant across rows, exactly the micro sum
+    assert(rows.map(_.getAs[Double]("ap6")).distinct.toSeq == Seq(0.833333))
+  }
+
+  test("prCurve: perfect scorer AP=1, no-positive input NULLs, grid") {
+    import spark.implicits._
+    val perfect = Seq((4.0, true), (3.0, true), (2.0, false), (1.0, false))
+      .toDF("s", "y")
+    val pr = RankStats.prCurve(perfect, "s", "y").collect()
+    assert(pr.map(_.getAs[Double]("ap6")).distinct.toSeq == Seq(1.0))
+    // every rounded value sits on the 1e-6 grid
+    pr.flatMap(r => Seq(r.getAs[Double]("prec6"), r.getAs[Double]("rec6")))
+      .foreach(v => assert(v == math.floor(v * 1e6 + 0.5) / 1e6))
+    val negOnly = Seq((1.0, false), (2.0, false)).toDF("s", "y")
+    val r = RankStats.prCurve(negOnly, "s", "y").orderBy("score").head()
+    assert(r.getAs[Long]("tp") == 0L)
+    assert(r.isNullAt(r.fieldIndex("rec6")), "no-positive recall is NULL")
+    assert(r.isNullAt(r.fieldIndex("ap6")), "no-positive AP is NULL")
+  }
+
   test("spearmanMatrix: monotone, reversed, tied, constant") {
     import spark.implicits._
     val df = Seq(
