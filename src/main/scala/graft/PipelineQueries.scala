@@ -6592,4 +6592,34 @@ object PipelineQueries extends QueryGroup {
         scored.join(labels, Seq("doc_id")), "m", "keep")
       .orderBy(col("score"))
   }
+
+  // GLM classification: does purchase probability move with
+  // hour-of-day / weekday? Logistic regression by 3 Newton-IRLS
+  // rounds from beta=0 — q208's OLS asks the linear-mean question,
+  // this asks the log-odds one. Per-round micro-snapped integer
+  // moments (order-free), one Cramer solve per round with the betas
+  // re-snapped to the 1e-6 grid, oracle = the same rounds unrolled
+  // as CTEs (Regression.irlsSql — op order shared token-for-token).
+  q("q222_logistic_irls", {
+    val ctes = graft.operators.Regression.irlsSql("v222", 3)
+    s"""WITH v222 AS (SELECT
+       |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
+       |    (epoch_ms(ts) // 3600000) % 24 AS x1,
+       |    (epoch_ms(ts) // 86400000 + 4) % 7 AS x2
+       |  FROM events),
+       |$ctes
+       |SELECT n, n_pos, b0 AS beta0_6, b1 AS beta1_6, b2 AS beta2_6,
+       |  CASE WHEN n > 0 THEN
+       |    floor((CAST(n_correct AS DOUBLE) / CAST(n AS DOUBLE))
+       |      * 1e6 + 0.5)/1e6
+       |  END AS acc6
+       |FROM irf, ir3""".stripMargin
+  }) { (s, d) =>
+    val ev = Tables.events(s, d).select(
+      (col("event_type") === "purchase").as("y"),
+      pmod(expr("unix_millis(ts) div 3600000"), lit(24L)).as("x1"),
+      pmod(expr("unix_millis(ts) div 86400000") + lit(4L), lit(7L))
+        .as("x2"))
+    graft.operators.Regression.logisticFit(ev, "y", "x1", "x2", steps = 3)
+  }
 }

@@ -124,6 +124,187 @@ object Regression {
         s"THEN ${p6(s"1e0 - $sse / $sst")} END"))
   }
 
+  /** Logistic regression of a binary label on two small-integer
+    * features (+ intercept) by `steps` Newton–IRLS rounds from
+    * β = 0 — the GLM companion of [[olsFit]]: same one-aggregate-
+    * per-round scale shape, same Cramer 3×3 solve, no gradient
+    * schedule to tune (Newton needs no learning rate; logistic
+    * likelihood is globally concave).
+    *
+    * Determinism contract (oracle-replayable): each round's per-row
+    * IRLS weight μ(1−μ) and residual y−μ are snapped to int64 micro
+    * units BEFORE summation, so every cross-row moment is an exact
+    * integer sum (order-free in any engine at any partition layout);
+    * the Newton step solves the integer moments in one row of double
+    * arithmetic written in [[irlsSql]]'s exact operation order, and
+    * β is re-snapped to the 1e-6 grid after every round (the
+    * [[GraphOps.pageRank]] per-iteration discipline, so drift cannot
+    * compound across rounds). The only transcendental is `exp`
+    * inside the sigmoid — the [[Hypothesis.normP2]] precedent; a
+    * last-ulp `exp` divergence would have to land a row's weight
+    * within one ulp of a .5 micro boundary to flip a moment by 1,
+    * and the final 6dp snap absorbs even that.
+    *
+    * Moment bound: per row, wm ≤ 2.5e5 and |x| small (hour/weekday
+    * sized), so int64 holds to ~1e11 rows; beyond, ride the products
+    * on decimal(38,0) like [[olsFit]]'s Σy².
+    *
+    * A singular (or non-finite) Gram matrix at any round reads NULL
+    * betas/accuracy with the counts still reported, like [[olsFit]].
+    *
+    * Output: ONE row (n, n_pos, beta0_6, beta1_6, beta2_6, acc6 —
+    * the training accuracy of the η > 0 cut under the final betas).
+    *
+    * Scale shape: `steps`+1 map-side-combinable aggregates over a
+    * lineage-truncated 3-column frame; β travels as literals
+    * (driver state = 3 doubles — centroid-sized, the allowed kind).
+    */
+  def logisticFit(
+      df: DataFrame,
+      yCol: String,
+      x1Col: String,
+      x2Col: String,
+      steps: Int): DataFrame = {
+    require(steps >= 1 && steps <= 8, s"steps must be in [1,8], got $steps")
+    val base = df
+      .filter(col(yCol).isNotNull && col(x1Col).isNotNull &&
+        col(x2Col).isNotNull)
+      .select(when(col(yCol).cast("boolean"), 1L).otherwise(0L).as("__y"),
+        col(x1Col).cast("long").as("__x1"),
+        col(x2Col).cast("long").as("__x2"))
+      .localCheckpoint(true)
+    def snap6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    def etaOf(b: (Double, Double, Double)): Column =
+      lit(b._1) + lit(b._2) * col("__x1").cast("double") +
+        lit(b._3) * col("__x2").cast("double")
+    var b = (0.0, 0.0, 0.0)
+    var ok = true
+    var step = 0
+    while (step < steps && ok) {
+      val mu = lit(1.0) / (lit(1.0) + exp(-etaOf(b)))
+      val wm = floor(mu * (lit(1.0) - mu) * lit(1e6) + lit(0.5)).cast("long")
+      val rm = floor((col("__y").cast("double") - mu) * lit(1e6) + lit(0.5))
+        .cast("long")
+      val r = base.agg(
+        sum(wm).as("sw"),
+        sum(wm * col("__x1")).as("sw1"), sum(wm * col("__x2")).as("sw2"),
+        sum(wm * col("__x1") * col("__x1")).as("sw11"),
+        sum(wm * col("__x1") * col("__x2")).as("sw12"),
+        sum(wm * col("__x2") * col("__x2")).as("sw22"),
+        sum(rm).as("sr"),
+        sum(rm * col("__x1")).as("sr1"), sum(rm * col("__x2")).as("sr2"))
+        .head()
+      if (r.isNullAt(0)) ok = false
+      else {
+        val sw = r.getLong(0).toDouble
+        val sw1 = r.getLong(1).toDouble; val sw2 = r.getLong(2).toDouble
+        val sw11 = r.getLong(3).toDouble; val sw12 = r.getLong(4).toDouble
+        val sw22 = r.getLong(5).toDouble
+        val sr = r.getLong(6).toDouble
+        val sr1 = r.getLong(7).toDouble; val sr2 = r.getLong(8).toDouble
+        // identical operation order to [[irlsSql]]'s d0/d1/d2 text
+        val det = sw * (sw11 * sw22 - sw12 * sw12) -
+          sw1 * (sw1 * sw22 - sw12 * sw2) + sw2 * (sw1 * sw12 - sw11 * sw2)
+        if (det == 0.0 || !java.lang.Double.isFinite(det)) ok = false
+        else {
+          val d0 = (sr * (sw11 * sw22 - sw12 * sw12) -
+            sw1 * (sr1 * sw22 - sw12 * sr2) +
+            sw2 * (sr1 * sw12 - sw11 * sr2)) / det
+          val d1 = (sw * (sr1 * sw22 - sw12 * sr2) -
+            sr * (sw1 * sw22 - sw12 * sw2) +
+            sw2 * (sw1 * sr2 - sr1 * sw2)) / det
+          val d2 = (sw * (sw11 * sr2 - sr1 * sw12) -
+            sw1 * (sw1 * sr2 - sr1 * sw2) +
+            sr * (sw1 * sw12 - sw11 * sw2)) / det
+          b = (snap6(b._1 + d0), snap6(b._2 + d1), snap6(b._3 + d2))
+          if (!java.lang.Double.isFinite(b._1) ||
+            !java.lang.Double.isFinite(b._2) ||
+            !java.lang.Double.isFinite(b._3)) ok = false
+        }
+      }
+      step += 1
+    }
+    val correct = (etaOf(b) > lit(0.0)) === (col("__y") === lit(1L))
+    val m = base.agg(count(lit(1)).as("n"),
+      coalesce(sum(col("__y")), lit(0L)).as("n_pos"),
+      coalesce(sum(when(correct, 1L).otherwise(0L)), lit(0L))
+        .as("n_correct"))
+    val okNow = ok // stabilize for the closure
+    def bLit(v: Double): Column =
+      if (okNow) lit(v) else lit(null).cast("double")
+    m.select(col("n"), col("n_pos"),
+      bLit(b._1).as("beta0_6"), bLit(b._2).as("beta1_6"),
+      bLit(b._3).as("beta2_6"),
+      when(lit(okNow) && col("n") > 0L,
+        pr6(col("n_correct").cast("double") / col("n").cast("double")))
+        .otherwise(lit(null).cast("double")).as("acc6"))
+  }
+
+  /** SQL-text twin of [[logisticFit]] for oracle queries: the CTE
+    * chain (no leading WITH) unrolling `steps` IRLS rounds over
+    * `view`, which must expose integer columns y (0/1), x1, x2.
+    * Exposes `ir$steps` (b0, b1, b2 — the final snapped betas) and
+    * `irf` (n, n_pos, n_correct); the caller writes the readout
+    * SELECT. Operation order matches the Column/driver chain
+    * token-for-token.
+    */
+  def irlsSql(view: String, steps: Int): String = {
+    require(steps >= 1 && steps <= 8, s"steps must be in [1,8], got $steps")
+    val eta = "(b0 + b1 * CAST(x1 AS DOUBLE) + b2 * CAST(x2 AS DOUBLE))"
+    val mu = s"(1e0 / (1e0 + exp(-($eta))))"
+    def dd(e: String) = s"CAST($e AS DOUBLE)"
+    val d0 = s"((${dd("sr")} * (${dd("sw11")} * ${dd("sw22")} - " +
+      s"${dd("sw12")} * ${dd("sw12")}) - ${dd("sw1")} * (${dd("sr1")} * " +
+      s"${dd("sw22")} - ${dd("sw12")} * ${dd("sr2")}) + ${dd("sw2")} * " +
+      s"(${dd("sr1")} * ${dd("sw12")} - ${dd("sw11")} * ${dd("sr2")})) " +
+      "/ det)"
+    val d1 = s"((${dd("sw")} * (${dd("sr1")} * ${dd("sw22")} - " +
+      s"${dd("sw12")} * ${dd("sr2")}) - ${dd("sr")} * (${dd("sw1")} * " +
+      s"${dd("sw22")} - ${dd("sw12")} * ${dd("sw2")}) + ${dd("sw2")} * " +
+      s"(${dd("sw1")} * ${dd("sr2")} - ${dd("sr1")} * ${dd("sw2")})) " +
+      "/ det)"
+    val d2 = s"((${dd("sw")} * (${dd("sw11")} * ${dd("sr2")} - " +
+      s"${dd("sr1")} * ${dd("sw12")}) - ${dd("sw1")} * (${dd("sw1")} * " +
+      s"${dd("sr2")} - ${dd("sr1")} * ${dd("sw2")}) + ${dd("sr")} * " +
+      s"(${dd("sw1")} * ${dd("sw12")} - ${dd("sw11")} * ${dd("sw2")})) " +
+      "/ det)"
+    val det = s"(${dd("sw")} * (${dd("sw11")} * ${dd("sw22")} - " +
+      s"${dd("sw12")} * ${dd("sw12")}) - ${dd("sw1")} * (${dd("sw1")} * " +
+      s"${dd("sw22")} - ${dd("sw12")} * ${dd("sw2")}) + ${dd("sw2")} * " +
+      s"(${dd("sw1")} * ${dd("sw12")} - ${dd("sw11")} * ${dd("sw2")}))"
+    val head = "ir0 AS (SELECT 0e0 AS b0, 0e0 AS b1, 0e0 AS b2)"
+    val rounds = (1 to steps).map { k =>
+      s"""irr$k AS (SELECT x1, x2,
+         |    CAST(floor($mu * (1e0 - $mu) * 1e6 + 0.5) AS BIGINT) AS wm,
+         |    CAST(floor((CAST(y AS DOUBLE) - $mu) * 1e6 + 0.5) AS BIGINT)
+         |      AS rm
+         |  FROM $view, ir${k - 1}),
+         |irm$k AS (SELECT CAST(sum(wm) AS BIGINT) AS sw,
+         |    CAST(sum(wm * x1) AS BIGINT) AS sw1,
+         |    CAST(sum(wm * x2) AS BIGINT) AS sw2,
+         |    CAST(sum(wm * x1 * x1) AS BIGINT) AS sw11,
+         |    CAST(sum(wm * x1 * x2) AS BIGINT) AS sw12,
+         |    CAST(sum(wm * x2 * x2) AS BIGINT) AS sw22,
+         |    CAST(sum(rm) AS BIGINT) AS sr,
+         |    CAST(sum(rm * x1) AS BIGINT) AS sr1,
+         |    CAST(sum(rm * x2) AS BIGINT) AS sr2
+         |  FROM irr$k),
+         |ird$k AS (SELECT sw, sw1, sw2, sw11, sw12, sw22, sr, sr1, sr2,
+         |    $det AS det FROM irm$k),
+         |ir$k AS (SELECT floor((b0 + $d0) * 1e6 + 0.5)/1e6 AS b0,
+         |    floor((b1 + $d1) * 1e6 + 0.5)/1e6 AS b1,
+         |    floor((b2 + $d2) * 1e6 + 0.5)/1e6 AS b2
+         |  FROM ird$k, ir${k - 1})""".stripMargin
+    }
+    val fin =
+      s"""irf AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(y) AS BIGINT) AS n_pos,
+         |    CAST(sum(CASE WHEN ($eta > 0e0) = (y = 1) THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_correct
+         |  FROM $view, ir$steps)""".stripMargin
+    (head +: rounds :+ fin).mkString(",\n")
+  }
+
   /** Isotonic (monotone non-decreasing) regression over a BINNED
     * curve via the minimax identity: the fitted value at bin k is
     *

@@ -80,4 +80,60 @@ class RegressionSpec extends SparkSuiteBase {
     assert(out.forall(r =>
       r.getAs[Double]("fitted6") == r.getAs[Double]("mean6")))
   }
+
+  test("logisticFit: separable-by-x1 fixture classifies perfectly") {
+    import spark.implicits._
+    // y = (x1 >= 2); x2 varies but carries no signal
+    val rows = for {
+      x1 <- 0L to 3L; x2 <- 0L to 1L; _ <- 1 to 2
+    } yield (x1 >= 2L, x1, x2)
+    val df = rows.toDF("y", "x1", "x2")
+    val r = Regression.logisticFit(df, "y", "x1", "x2", steps = 3).head()
+    assert(r.getAs[Long]("n") == 16L && r.getAs[Long]("n_pos") == 8L)
+    val b1 = r.getAs[Double]("beta1_6")
+    assert(b1 > 0.5, s"x1 must carry the signal, got b1=$b1")
+    // x2 coefficient stays near zero; the eta>0 cut separates exactly
+    assert(math.abs(r.getAs[Double]("beta2_6")) < 0.1)
+    assert(r.getAs[Double]("acc6") == 1.0)
+    // every beta sits on the 1e-6 grid (per-round snap discipline)
+    Seq("beta0_6", "beta1_6", "beta2_6").foreach { c =>
+      val v = r.getAs[Double](c)
+      assert(v == math.floor(v * 1e6 + 0.5) / 1e6, s"$c off-grid: $v")
+    }
+  }
+
+  test("logisticFit: no-signal balanced input keeps beta at 0") {
+    import spark.implicits._
+    // every (x1, x2) cell holds one positive and one negative:
+    // all residual moments are exactly 0 and Newton never moves
+    val rows = for { x1 <- 0L to 2L; x2 <- 0L to 1L; y <- Seq(true, false) }
+      yield (y, x1, x2)
+    val r = Regression.logisticFit(rows.toDF("y", "x1", "x2"),
+      "y", "x1", "x2", steps = 3).head()
+    assert(r.getAs[Double]("beta0_6") == 0.0 &&
+      r.getAs[Double]("beta1_6") == 0.0 &&
+      r.getAs[Double]("beta2_6") == 0.0)
+    // eta = 0 everywhere → predicted negative → half correct
+    assert(r.getAs[Double]("acc6") == 0.5)
+  }
+
+  test("logisticFit: constant feature reads NULL betas, counts kept") {
+    import spark.implicits._
+    val df = Seq((true, 1L, 5L), (false, 2L, 5L), (true, 3L, 5L),
+      (false, 4L, 5L)).toDF("y", "x1", "x2")
+    val r = Regression.logisticFit(df, "y", "x1", "x2", steps = 2).head()
+    assert(r.getAs[Long]("n") == 4L && r.getAs[Long]("n_pos") == 2L)
+    assert(r.isNullAt(r.fieldIndex("beta0_6")))
+    assert(r.isNullAt(r.fieldIndex("acc6")))
+  }
+
+  test("logisticFit: determinism across runs") {
+    import spark.implicits._
+    val rows = (0 until 40).map(i =>
+      (i % 3 == 0, (i % 7).toLong, (i % 5).toLong))
+    val df = rows.toDF("y", "x1", "x2")
+    val a = Regression.logisticFit(df, "y", "x1", "x2", 3).head()
+    val b = Regression.logisticFit(df, "y", "x1", "x2", 3).head()
+    assert(a == b)
+  }
 }
