@@ -6622,4 +6622,60 @@ object PipelineQueries extends QueryGroup {
         .as("x2"))
     graft.operators.Regression.logisticFit(ev, "y", "x1", "x2", steps = 3)
   }
+
+  // Annotator agreement: Cohen's kappa between the q58 heuristic rule
+  // and the q85 NB scorer's cut over the same documents — the
+  // chance-corrected number behind "the model agrees with the rule
+  // 9x% of the time" (Cohen 1960). Confusion cells, marginals, and
+  // the chance numerator are exact int64; one corpus aggregate, then
+  // label-pair-sized frames only.
+  q("q223_cohens_kappa", {
+    s"""WITH $nbQualityCtes,
+       |ra223 AS (SELECT doc_id,
+       |    CASE WHEN $nbRuleSql THEN 1 ELSE 0 END AS a FROM f85),
+       |rb223 AS (SELECT sc85.doc_id,
+       |    CASE WHEN floor((raw + ln(n1 * 1.0 / n0)) * 1e6 + 0.5)/1e6 > 0
+       |      THEN 1 ELSE 0 END AS b
+       |  FROM sc85, pri85),
+       |c223 AS (SELECT a, b, CAST(count(*) AS BIGINT) AS c
+       |  FROM ra223 JOIN rb223 USING (doc_id) GROUP BY 1, 2),
+       |t223 AS (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS n,
+       |    CAST(coalesce(sum(CASE WHEN a = b THEN c ELSE 0 END), 0)
+       |      AS BIGINT) AS agree
+       |  FROM c223),
+       |pa223 AS (SELECT a AS k, CAST(sum(c) AS BIGINT) AS na
+       |  FROM c223 GROUP BY 1),
+       |pb223 AS (SELECT b AS k, CAST(sum(c) AS BIGINT) AS nb
+       |  FROM c223 GROUP BY 1),
+       |pe223 AS (SELECT CAST(coalesce(sum(na * nb), 0) AS BIGINT)
+       |    AS pe_num
+       |  FROM pa223 JOIN pb223 USING (k))
+       |SELECT n, agree, pe_num,
+       |  CASE WHEN n > 0 THEN floor((CAST(agree AS DOUBLE)
+       |    / CAST(n AS DOUBLE)) * 1e6 + 0.5)/1e6 END AS po6,
+       |  CASE WHEN n > 0 THEN floor((CAST(pe_num AS DOUBLE)
+       |    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) * 1e6 + 0.5)/1e6
+       |  END AS pe6,
+       |  CASE WHEN n > 0 AND (1e0 - CAST(pe_num AS DOUBLE)
+       |      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) <> 0e0 THEN
+       |    floor(((CAST(agree AS DOUBLE) / CAST(n AS DOUBLE)
+       |      - CAST(pe_num AS DOUBLE)
+       |        / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+       |      / (1e0 - CAST(pe_num AS DOUBLE)
+       |        / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))
+       |      * 1e6 + 0.5)/1e6
+       |  END AS kappa6
+       |FROM t223, pe223""".stripMargin
+  }) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val ra = TextAnalysis
+      .qualityFilter(docs, "doc_id", "text", Seq("the", "a"))
+      .select(col("doc_id"), when(col("keep"), 1L).otherwise(0L).as("a"))
+    val rb = QualityModel
+      .heuristicSeededScores(docs, "doc_id", "text", Seq("the", "a"))
+      .select(col("doc").as("doc_id"),
+        when(col("log_odds") > 0, 1L).otherwise(0L).as("b"))
+    graft.operators.WeakLabels.cohensKappa(
+      ra.join(rb, Seq("doc_id")), "a", "b")
+  }
 }

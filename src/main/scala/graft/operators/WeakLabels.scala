@@ -100,4 +100,58 @@ object WeakLabels {
       .select(col("__lab").as(labelerCol), col("n_votes"),
         col("sens6"), col("spec6"), col("final_agree6"))
   }
+
+  /** Cohen's kappa between two raters over the same items — the
+    * chance-corrected agreement a labeling pipeline reads BEFORE
+    * believing two annotators (or a model and a rule) that "agree
+    * 90%": with skewed marginals, 90% raw agreement can be pure
+    * chance. κ = (p_o − p_e) / (1 − p_e), multi-class; Cohen (1960).
+    *
+    * Exactness: the confusion cells, both marginals, the diagonal
+    * sum, and the chance numerator Σ_k rowA_k·rowB_k are all exact
+    * int64 aggregates (order-free); p_o / p_e / κ are one row of
+    * double arithmetic at the end, 6dp-snapped. The marginal product
+    * bound: Σ na·nb ≤ n², inside int64 to ~3e9 rows.
+    *
+    * Scale shape: ONE corpus-sized hash aggregate to the (a, b)
+    * confusion frame (label-pairs-sized); everything after runs on
+    * that frame — two marginal aggregates, one label equi-join, one
+    * 1-row cross join. Rater labels may be any equatable type; both
+    * columns must share it (the join compares them).
+    *
+    * Output: ONE row (n, agree, pe_num, po6, pe6, kappa6); κ is
+    * NULL when p_e = 1 (both raters constant — zero denominator) or
+    * the input is empty.
+    */
+  def cohensKappa(
+      df: DataFrame,
+      aCol: String,
+      bCol: String): DataFrame = {
+    val cells = df
+      .filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .groupBy(col(aCol).as("__a"), col(bCol).as("__b"))
+      .agg(count(lit(1)).as("__c"))
+      .localCheckpoint(true) // label-pairs-sized; read three times
+    val tot = cells.agg(
+      coalesce(sum(col("__c")), lit(0L)).as("n"),
+      coalesce(sum(when(col("__a") === col("__b"), col("__c"))
+        .otherwise(0L)), lit(0L)).as("agree"))
+    val ra = cells.groupBy(col("__a").as("__k"))
+      .agg(sum(col("__c")).as("__na"))
+    val rb = cells.groupBy(col("__b").as("__k"))
+      .agg(sum(col("__c")).as("__nb"))
+    val pe = ra.join(rb, Seq("__k"))
+      .agg(coalesce(sum(col("__na") * col("__nb")), lit(0L)).as("pe_num"))
+    val nD = col("n").cast("double")
+    val po = col("agree").cast("double") / nD
+    val ped = col("pe_num").cast("double") / (nD * nD)
+    tot.crossJoin(pe).select(col("n"), col("agree"), col("pe_num"),
+      when(col("n") > 0, pr6(po))
+        .otherwise(lit(null).cast("double")).as("po6"),
+      when(col("n") > 0, pr6(ped))
+        .otherwise(lit(null).cast("double")).as("pe6"),
+      when(col("n") > 0 && (lit(1.0) - ped) =!= lit(0.0),
+        pr6((po - ped) / (lit(1.0) - ped)))
+        .otherwise(lit(null).cast("double")).as("kappa6"))
+  }
 }

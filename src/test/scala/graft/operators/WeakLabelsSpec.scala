@@ -63,4 +63,35 @@ class WeakLabelsSpec extends SparkSuiteBase {
     assert(out.forall(_.getAs[Double]("sens6") == 0.833333))
     assert(out.forall(_.getAs[Double]("spec6") == 0.875))
   }
+
+  test("cohensKappa: textbook 2x2 reads kappa 0.4") {
+    import spark.implicits._
+    // cells: (1,1)=20 (1,0)=5 (0,1)=10 (0,0)=15 → po=0.7,
+    // pe=(25*30 + 25*20)/2500=0.5, kappa=(0.7-0.5)/0.5=0.4
+    val rows = Seq.fill(20)((1L, 1L)) ++ Seq.fill(5)((1L, 0L)) ++
+      Seq.fill(10)((0L, 1L)) ++ Seq.fill(15)((0L, 0L))
+    val r = WeakLabels.cohensKappa(rows.toDF("a", "b"), "a", "b").head()
+    assert(r.getAs[Long]("n") == 50L && r.getAs[Long]("agree") == 35L)
+    assert(r.getAs[Long]("pe_num") == 1250L)
+    assert(r.getAs[Double]("po6") == 0.7)
+    assert(r.getAs[Double]("pe6") == 0.5)
+    assert(r.getAs[Double]("kappa6") == 0.4)
+  }
+
+  test("cohensKappa: multi-class perfect agreement is 1, constant raters NULL") {
+    import spark.implicits._
+    val perfect = Seq(("x", "x"), ("y", "y"), ("z", "z"), ("x", "x"))
+      .toDF("a", "b")
+    assert(WeakLabels.cohensKappa(perfect, "a", "b").head()
+      .getAs[Double]("kappa6") == 1.0)
+    // both raters constant: pe = 1 → zero denominator → NULL kappa
+    val const = Seq((1L, 1L), (1L, 1L)).toDF("a", "b")
+    val r = WeakLabels.cohensKappa(const, "a", "b").head()
+    assert(r.getAs[Double]("po6") == 1.0)
+    assert(r.isNullAt(r.fieldIndex("kappa6")), "pe=1 must read NULL")
+    // chance-level: independent raters with balanced marginals → ~0
+    val chance = Seq((1L, 1L), (1L, 0L), (0L, 1L), (0L, 0L)).toDF("a", "b")
+    assert(WeakLabels.cohensKappa(chance, "a", "b").head()
+      .getAs[Double]("kappa6") == 0.0)
+  }
 }
