@@ -6678,4 +6678,52 @@ object PipelineQueries extends QueryGroup {
     graft.operators.WeakLabels.cohensKappa(
       ra.join(rb, Seq("doc_id")), "a", "b")
   }
+
+  // Link prediction on the BUILDING-segment co-purchase graph
+  // (customer and part nodes, parity-disambiguated ids 2c / 2p+1):
+  // non-adjacent node pairs at distance 2 scored by common-neighbor
+  // count and the resource-allocation index — part–part wedges ride
+  // shared buyers (the collaborative-filtering readout), customer–
+  // customer wedges shared parts. The mined near-dup graph was
+  // deliberately NOT used here: its clusters are cliques, so it has
+  // no open wedges and the query would be vacuously empty. Wedge
+  // enumeration keyed on the intermediary with a deg<=64 hub cap;
+  // per-neighbor 1/deg terms micro-snapped, summed in int64.
+  q("q224_link_prediction",
+    s"""WITH bp224 AS (SELECT DISTINCT 2 * o_custkey AS a,
+       |    2 * l_partkey + 1 AS b
+       |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+       |  JOIN customer ON c_custkey = o_custkey
+       |  WHERE c_mktsegment = 'BUILDING'),
+       |ed224 AS (SELECT DISTINCT least(a, b) AS a, greatest(a, b) AS b
+       |  FROM bp224 WHERE a <> b),
+       |ad224 AS (SELECT a AS w, b AS u FROM ed224
+       |  UNION ALL SELECT b AS w, a AS u FROM ed224),
+       |dg224 AS (SELECT w, CAST(count(*) AS BIGINT) AS dw
+       |  FROM ad224 GROUP BY 1),
+       |wf224 AS (SELECT ad224.w, ad224.u, dw
+       |  FROM ad224 JOIN dg224 USING (w) WHERE dw <= 64),
+       |wd224 AS (SELECT x.u AS ua, y.u AS ub, x.dw
+       |  FROM wf224 x JOIN wf224 y ON x.w = y.w AND x.u < y.u),
+       |ca224 AS (SELECT ua, ub, CAST(count(*) AS BIGINT) AS cn,
+       |    CAST(sum(CAST(floor(1e6 / CAST(dw AS DOUBLE) + 0.5)
+       |      AS BIGINT)) AS BIGINT) AS ram
+       |  FROM wd224 GROUP BY 1, 2)
+       |SELECT ua AS id_a, ub AS id_b, cn, CAST(ram AS DOUBLE)/1e6 AS ra6
+       |FROM ca224 LEFT JOIN ed224 ON ed224.a = ua AND ed224.b = ub
+       |WHERE ed224.a IS NULL AND cn >= 2
+       |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+    val edges = Tables.orders(s, d)
+      .join(Tables.lineitem(s, d),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING"),
+        col("c_custkey") === col("o_custkey"))
+      .select((lit(2L) * col("o_custkey")).as("id_a"),
+        (lit(2L) * col("l_partkey") + lit(1L)).as("id_b"))
+      .distinct()
+    graft.operators.GraphOps.linkPredict(edges, "id_a", "id_b",
+        maxDeg = 64)
+      .filter(col("cn") >= 2) // singleton-wedge pairs are noise-level
+      .orderBy(col("id_a"), col("id_b"))
+  }
 }

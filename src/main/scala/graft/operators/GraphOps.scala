@@ -222,6 +222,65 @@ object GraphOps {
     * Output: (idCol, in_core) for every node — isolated nodes read
     * false from round 1.
     */
+  /** Link prediction over an undirected pair frame: every
+    * NON-adjacent node pair at distance 2 scored by common-neighbor
+    * count and the resource-allocation index Σ_{w∈Γ(u)∩Γ(v)} 1/deg(w)
+    * (Zhou, Lü & Zhang 2009) — RA rather than Adamic–Adar's
+    * 1/ln(deg) deliberately: the house oracle discipline avoids
+    * cross-engine `ln`, and RA dominates AA on dedup-style graphs in
+    * the published benchmarks. The "which docs are about to become
+    * duplicates" / "which nodes the next edge joins" readout over
+    * the mined near-dup graph.
+    *
+    * Determinism: each common neighbor contributes the MICRO-SNAPPED
+    * term floor(1e6/deg + 0.5) and the pair's score is the exact
+    * int64 sum of those — order-free at any partition layout (the
+    * prCurve per-term-snap discipline); ra6 = sum/1e6.
+    *
+    * Scale shape: wedge enumeration keyed on the intermediary w —
+    * one degree aggregate, one self-equi-join on w bounded by
+    * Σ deg(w)² over KEPT intermediaries, one (u,v) aggregate, one
+    * anti-join against the edge set. `maxDeg` drops hub
+    * intermediaries BEFORE the join (default 64), bounding the
+    * expansion at maxDeg·|E| rows however the degree distribution
+    * skews; the dropped terms are RA's smallest (1/deg ≤ 1/maxDeg),
+    * the standard hub cut in the link-prediction literature. Set it
+    * to the corpus's honest hub threshold, not ∞.
+    *
+    * Output: (id_a, id_b, cn, ra6) with id_a < id_b, one row per
+    * candidate non-edge with ≥1 kept common neighbor; callers order.
+    */
+  def linkPredict(
+      pairs: DataFrame,
+      idACol: String,
+      idBCol: String,
+      maxDeg: Int = 64): DataFrame = {
+    require(maxDeg >= 1, s"maxDeg must be >= 1, got $maxDeg")
+    val ed = pairs.filter(col(idACol) =!= col(idBCol))
+      .select(least(col(idACol), col(idBCol)).as("__a"),
+        greatest(col(idACol), col(idBCol)).as("__b"))
+      .distinct()
+      .localCheckpoint(true) // feeds adjacency twice + the anti-join
+    val adj = ed.select(col("__a").as("__w"), col("__b").as("__u"))
+      .unionByName(ed.select(col("__b").as("__w"), col("__a").as("__u")))
+    val deg = adj.groupBy(col("__w")).agg(count(lit(1)).as("__dw"))
+    val kept = adj.join(deg, Seq("__w")).filter(col("__dw") <= maxDeg)
+      .localCheckpoint(true) // self-joined next; mine the wedge once
+    val wedges = kept.select(col("__w"), col("__u").as("__ua"),
+        col("__dw"))
+      .join(kept.select(col("__w"), col("__u").as("__ub")), Seq("__w"))
+      .filter(col("__ua") < col("__ub"))
+    val cand = wedges.groupBy(col("__ua"), col("__ub"))
+      .agg(count(lit(1)).as("cn"),
+        sum(floor(lit(1e6) / col("__dw").cast("double") + lit(0.5))
+          .cast("long")).as("__ram"))
+    cand.join(ed,
+        cand("__ua") === ed("__a") && cand("__ub") === ed("__b"),
+        "left_anti")
+      .select(col("__ua").as("id_a"), col("__ub").as("id_b"), col("cn"),
+        (col("__ram").cast("double") / lit(1e6)).as("ra6"))
+  }
+
   def kCore(
       nodes: DataFrame,
       idCol: String,

@@ -45,6 +45,44 @@ class GraphOpsSpec extends SparkSuiteBase {
     assert(a(1L) == a(2L) && a(1L) > a(3L))
   }
 
+  test("linkPredict: path wedge, square double-wedge, triangle empty") {
+    import spark.implicits._
+    // path a-b-c: candidate (a,c) via b (deg 2) → cn=1, ra=0.5
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val p = GraphOps.linkPredict(path, "id_a", "id_b").collect()
+    assert(p.length == 1)
+    assert(p(0).getAs[Long]("id_a") == 1L && p(0).getAs[Long]("id_b") == 3L)
+    assert(p(0).getAs[Long]("cn") == 1L && p(0).getAs[Double]("ra6") == 0.5)
+    // square 1-2-3-4-1: (1,3) and (2,4) each see two deg-2 neighbors
+    val sq = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))
+      .toDF("id_a", "id_b")
+    val qr = GraphOps.linkPredict(sq, "id_a", "id_b")
+      .orderBy("id_a").collect()
+    assert(qr.map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+      r.getAs[Long]("cn"), r.getAs[Double]("ra6"))).toSeq ==
+      Seq((1L, 3L, 2L, 1.0), (2L, 4L, 2L, 1.0)))
+    // triangle: every pair adjacent → no candidates
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("id_a", "id_b")
+    assert(GraphOps.linkPredict(tri, "id_a", "id_b").count() == 0L)
+  }
+
+  test("linkPredict: hub cap drops high-degree intermediaries") {
+    import spark.implicits._
+    // star center 9 with leaves 1..4 (deg 4); maxDeg=3 kills all wedges
+    val star = (1L to 4L).map(l => (9L, l)).toDF("id_a", "id_b")
+    assert(GraphOps.linkPredict(star, "id_a", "id_b", maxDeg = 3)
+      .count() == 0L)
+    // with the cap open the star yields all 6 leaf pairs at ra=0.25
+    val open = GraphOps.linkPredict(star, "id_a", "id_b", maxDeg = 64)
+      .collect()
+    assert(open.length == 6 && open.forall(_.getAs[Double]("ra6") == 0.25))
+    // duplicate + reversed edge rows collapse to one edge
+    val dup = Seq((1L, 2L), (2L, 1L), (2L, 3L), (2L, 3L))
+      .toDF("id_a", "id_b")
+    val d = GraphOps.linkPredict(dup, "id_a", "id_b").collect()
+    assert(d.length == 1 && d(0).getAs[Double]("ra6") == 0.5)
+  }
+
   test("pageRank: total mass stays below 1 only by the dangling leak") {
     import spark.implicits._
     // fully connected triangle: no dangling nodes, mass ~ 1 (up to
