@@ -6537,6 +6537,36 @@ object PipelineQueries extends QueryGroup {
       .orderBy(col("event_type"), col("dow"))
   }
 
+  /** BUILDING-segment co-purchase graph, shared by q224/q225:
+    * customer and part nodes with parity-disambiguated ids (2c for
+    * customers, 2p+1 for parts — the keyspaces overlap numerically),
+    * one undirected edge per distinct (customer, part) purchase.
+    * `edG` is the canonical a<b edge list; `adG` both directions.
+    */
+  private val copurchaseCtes: String =
+    """bpG AS (SELECT DISTINCT 2 * o_custkey AS a, 2 * l_partkey + 1 AS b
+      |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+      |  JOIN customer ON c_custkey = o_custkey
+      |  WHERE c_mktsegment = 'BUILDING'),
+      |edG AS (SELECT DISTINCT least(a, b) AS a, greatest(a, b) AS b
+      |  FROM bpG WHERE a <> b),
+      |adG AS (SELECT a AS w, b AS u FROM edG
+      |  UNION ALL SELECT b AS w, a AS u FROM edG)""".stripMargin
+
+  /** Engine twin of [[copurchaseCtes]]'s bpG: the distinct
+    * parity-coded (customer, part) edge frame.
+    */
+  private def copurchaseEdges(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    Tables.orders(s, d)
+      .join(Tables.lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, d)
+        .filter(col("c_mktsegment") === "BUILDING"),
+        col("c_custkey") === col("o_custkey"))
+      .select((lit(2L) * col("o_custkey")).as("id_a"),
+        (lit(2L) * col("l_partkey") + lit(1L)).as("id_b"))
+      .distinct()
+
   // Scorer evaluation, imbalanced edition: the precision–recall curve
   // + step-function average precision of the q85 NB quality scorer
   // against the q58 rule labels — ROC (q185) asks "does it order?",
@@ -6690,19 +6720,11 @@ object PipelineQueries extends QueryGroup {
   // enumeration keyed on the intermediary with a deg<=64 hub cap;
   // per-neighbor 1/deg terms micro-snapped, summed in int64.
   q("q224_link_prediction",
-    s"""WITH bp224 AS (SELECT DISTINCT 2 * o_custkey AS a,
-       |    2 * l_partkey + 1 AS b
-       |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
-       |  JOIN customer ON c_custkey = o_custkey
-       |  WHERE c_mktsegment = 'BUILDING'),
-       |ed224 AS (SELECT DISTINCT least(a, b) AS a, greatest(a, b) AS b
-       |  FROM bp224 WHERE a <> b),
-       |ad224 AS (SELECT a AS w, b AS u FROM ed224
-       |  UNION ALL SELECT b AS w, a AS u FROM ed224),
+    s"""WITH $copurchaseCtes,
        |dg224 AS (SELECT w, CAST(count(*) AS BIGINT) AS dw
-       |  FROM ad224 GROUP BY 1),
-       |wf224 AS (SELECT ad224.w, ad224.u, dw
-       |  FROM ad224 JOIN dg224 USING (w) WHERE dw <= 64),
+       |  FROM adG GROUP BY 1),
+       |wf224 AS (SELECT adG.w, adG.u, dw
+       |  FROM adG JOIN dg224 USING (w) WHERE dw <= 64),
        |wd224 AS (SELECT x.u AS ua, y.u AS ub, x.dw
        |  FROM wf224 x JOIN wf224 y ON x.w = y.w AND x.u < y.u),
        |ca224 AS (SELECT ua, ub, CAST(count(*) AS BIGINT) AS cn,
@@ -6710,20 +6732,54 @@ object PipelineQueries extends QueryGroup {
        |      AS BIGINT)) AS BIGINT) AS ram
        |  FROM wd224 GROUP BY 1, 2)
        |SELECT ua AS id_a, ub AS id_b, cn, CAST(ram AS DOUBLE)/1e6 AS ra6
-       |FROM ca224 LEFT JOIN ed224 ON ed224.a = ua AND ed224.b = ub
-       |WHERE ed224.a IS NULL AND cn >= 2
+       |FROM ca224 LEFT JOIN edG ON edG.a = ua AND edG.b = ub
+       |WHERE edG.a IS NULL AND cn >= 2
        |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
-    val edges = Tables.orders(s, d)
-      .join(Tables.lineitem(s, d),
-        col("l_orderkey") === col("o_orderkey"))
-      .join(Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING"),
-        col("c_custkey") === col("o_custkey"))
-      .select((lit(2L) * col("o_custkey")).as("id_a"),
-        (lit(2L) * col("l_partkey") + lit(1L)).as("id_b"))
-      .distinct()
-    graft.operators.GraphOps.linkPredict(edges, "id_a", "id_b",
-        maxDeg = 64)
+    graft.operators.GraphOps.linkPredict(copurchaseEdges(s, d),
+        "id_a", "id_b", maxDeg = 64)
       .filter(col("cn") >= 2) // singleton-wedge pairs are noise-level
       .orderBy(col("id_a"), col("id_b"))
+  }
+
+  // Multi-source BFS: hop distance from the flagged-customer seed
+  // set (custkey % 97 = 0, BUILDING segment) over the co-purchase
+  // graph — "how much of the corpus is within k hops of the flagged
+  // set", the reachability probe behind contamination-spread and
+  // recall-region audits. Pure integer set algebra, one frontier
+  // join per hop; the oracle unrolls 4 MATERIALIZED rounds.
+  q("q225_bfs_hops",
+    s"""WITH $copurchaseCtes,
+       |s225 AS (SELECT DISTINCT 2 * c_custkey AS id FROM customer
+       |  WHERE c_mktsegment = 'BUILDING' AND c_custkey % 97 = 0),
+       |d0 AS MATERIALIZED (SELECT id, 0 AS hops FROM s225),
+       |n1 AS (SELECT DISTINCT u AS id FROM adG
+       |  JOIN d0 ON w = d0.id AND d0.hops = 0),
+       |d1 AS MATERIALIZED (SELECT * FROM d0 UNION ALL
+       |  SELECT n1.id, 1 FROM n1 LEFT JOIN d0 ON d0.id = n1.id
+       |  WHERE d0.id IS NULL),
+       |n2 AS (SELECT DISTINCT u AS id FROM adG
+       |  JOIN d1 ON w = d1.id AND d1.hops = 1),
+       |d2 AS MATERIALIZED (SELECT * FROM d1 UNION ALL
+       |  SELECT n2.id, 2 FROM n2 LEFT JOIN d1 ON d1.id = n2.id
+       |  WHERE d1.id IS NULL),
+       |n3 AS (SELECT DISTINCT u AS id FROM adG
+       |  JOIN d2 ON w = d2.id AND d2.hops = 2),
+       |d3 AS MATERIALIZED (SELECT * FROM d2 UNION ALL
+       |  SELECT n3.id, 3 FROM n3 LEFT JOIN d2 ON d2.id = n3.id
+       |  WHERE d2.id IS NULL),
+       |n4 AS (SELECT DISTINCT u AS id FROM adG
+       |  JOIN d3 ON w = d3.id AND d3.hops = 3),
+       |d4 AS MATERIALIZED (SELECT * FROM d3 UNION ALL
+       |  SELECT n4.id, 4 FROM n4 LEFT JOIN d3 ON d3.id = n4.id
+       |  WHERE d3.id IS NULL)
+       |SELECT id, CAST(hops AS BIGINT) AS hops FROM d4
+       |ORDER BY id""".stripMargin) { (s, d) =>
+    val seeds = Tables.customer(s, d)
+      .filter(col("c_mktsegment") === "BUILDING" &&
+        col("c_custkey") % 97 === 0)
+      .select((lit(2L) * col("c_custkey")).as("seed"))
+    graft.operators.GraphOps.bfsHops(copurchaseEdges(s, d),
+        "id_a", "id_b", seeds, "seed", maxHops = 4)
+      .orderBy(col("id"))
   }
 }

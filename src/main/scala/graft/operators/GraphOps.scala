@@ -281,6 +281,68 @@ object GraphOps {
         (col("__ram").cast("double") / lit(1e6)).as("ra6"))
   }
 
+  /** Multi-source BFS hop distances over an undirected pair frame:
+    * every node reachable from ANY seed within `maxHops` hops reads
+    * the exact hop count of its NEAREST seed (seeds read 0, even
+    * isolated ones). The reachability/radius probe over mined
+    * graphs — "how much of the corpus is within k hops of the
+    * flagged set".
+    *
+    * Pure integer set algebra — no floats anywhere, so nothing needs
+    * snapping and any engine replays it exactly.
+    *
+    * Scale shape: per hop, ONE equi-join of the CURRENT FRONTIER
+    * onto the adjacency frame (shuffle keyed on node id, frontier-
+    * sized left side) + one anti-join against the settled set; each
+    * round is localCheckpoint'ed so the plan stays hop-deep, not
+    * lineage-deep (the [[pageRank]] discipline). An empty frontier
+    * short-circuits the remaining rounds (driver reads one count per
+    * hop — scalar, the allowed kind). Hop count is bounded by
+    * `maxHops`, so the worst case is maxHops frontier joins — BFS's
+    * irreducible depth; Σ frontier sizes ≤ |V|, so total join work
+    * is O(|E|) per sweep however the rounds split it.
+    *
+    * Output: (id, hops) for settled nodes, hops ∈ [0, maxHops];
+    * callers order.
+    */
+  def bfsHops(
+      pairs: DataFrame,
+      idACol: String,
+      idBCol: String,
+      seeds: DataFrame,
+      seedCol: String,
+      maxHops: Int): DataFrame = {
+    require(maxHops >= 0 && maxHops <= 16,
+      s"maxHops must be in [0,16], got $maxHops")
+    val adj = pairs.filter(col(idACol) =!= col(idBCol))
+      .select(col(idACol).as("__w"), col(idBCol).as("__u"))
+      .unionByName(pairs.filter(col(idACol) =!= col(idBCol))
+        .select(col(idBCol).as("__w"), col(idACol).as("__u")))
+      .distinct()
+      .localCheckpoint(true) // probed once per hop
+    var dist = seeds.select(col(seedCol).as("id")).distinct()
+      .withColumn("hops", lit(0L))
+      .localCheckpoint(true)
+    var frontier = dist
+    var hop = 1L
+    var live = frontier.count() > 0
+    while (hop <= maxHops && live) {
+      val fresh = frontier
+        .join(adj, col("id") === col("__w"))
+        .select(col("__u").as("id")).distinct()
+        .join(dist.select("id"), Seq("id"), "left_anti")
+        .withColumn("hops", lit(hop))
+        .localCheckpoint(true)
+      live = fresh.count() > 0
+      if (live) {
+        dist = dist.unionByName(fresh).localCheckpoint(true)
+        frontier = fresh
+      }
+      hop += 1
+    }
+    dist
+  }
+
   def kCore(
       nodes: DataFrame,
       idCol: String,

@@ -83,6 +83,29 @@ class GraphOpsSpec extends SparkSuiteBase {
     assert(d.length == 1 && d(0).getAs[Double]("ra6") == 0.5)
   }
 
+  test("bfsHops: path distances, nearest seed wins, cap and isolation") {
+    import spark.implicits._
+    // path 1-2-3-4-5-6 with seeds {1, 6}: hops = 0,1,2,2,1,0
+    val path = (1L to 5L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val seeds = Seq(1L, 6L).toDF("seed")
+    val d = GraphOps.bfsHops(path, "id_a", "id_b", seeds, "seed", 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(d == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 2L, 5L -> 1L,
+      6L -> 0L))
+    // maxHops truncates: single seed, cap 2 → node 4.. unreached
+    val one = Seq(1L).toDF("seed")
+    val c = GraphOps.bfsHops(path, "id_a", "id_b", one, "seed", 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(c == Map(1L -> 0L, 2L -> 1L, 3L -> 2L))
+    // an isolated seed still reads hops 0; empty seed set reads empty
+    val iso = GraphOps.bfsHops(path, "id_a", "id_b",
+      Seq(99L).toDF("seed"), "seed", 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(iso == Map(99L -> 0L))
+    assert(GraphOps.bfsHops(path, "id_a", "id_b",
+      Seq.empty[Long].toDF("seed"), "seed", 3).count() == 0L)
+  }
+
   test("pageRank: total mass stays below 1 only by the dangling leak") {
     import spark.implicits._
     // fully connected triangle: no dangling nodes, mass ~ 1 (up to
