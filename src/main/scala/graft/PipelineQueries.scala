@@ -6782,4 +6782,35 @@ object PipelineQueries extends QueryGroup {
         "id_a", "id_b", seeds, "seed", maxHops = 4)
       .orderBy(col("id"))
   }
+
+  // Gaps-and-islands coverage: each event occupies [ts, ts+30min);
+  // per user, overlapping/touching intervals coalesce into maximal
+  // islands — the occupancy readout q138's point-gap sessionize
+  // can't give (durations, set semantics). Integer-ms math, one key
+  // exchange carrying both windows and the rollup.
+  q("q226_interval_merge",
+    """WITH v226 AS (SELECT user_id, epoch_ms(ts) AS s,
+      |    epoch_ms(ts) + 1800000 AS e FROM events),
+      |r226 AS (SELECT user_id, s, e,
+      |    max(e) OVER (PARTITION BY user_id ORDER BY s, e
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pe
+      |  FROM v226),
+      |f226 AS (SELECT user_id, s, e,
+      |    CASE WHEN pe IS NULL OR s > pe THEN 1 ELSE 0 END AS nf
+      |  FROM r226),
+      |i226 AS (SELECT user_id, s, e,
+      |    sum(nf) OVER (PARTITION BY user_id ORDER BY s, e
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+      |  FROM f226)
+      |SELECT user_id, CAST(min(s) AS BIGINT) AS start_ms,
+      |  CAST(max(e) AS BIGINT) AS end_ms,
+      |  CAST(count(*) AS BIGINT) AS n_events
+      |FROM i226 GROUP BY user_id, isl
+      |ORDER BY user_id, start_ms""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d).select(col("user_id"),
+      expr("unix_millis(ts)").as("s"),
+      (expr("unix_millis(ts)") + lit(1800000L)).as("e"))
+    graft.operators.Behavior.mergeIntervals(ev, "user_id", "s", "e")
+      .orderBy(col("user_id"), col("start_ms"))
+  }
 }

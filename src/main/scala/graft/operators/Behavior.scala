@@ -646,4 +646,50 @@ object Behavior {
           col("cohort_size").cast("double") + lit(0.5)) / lit(1e6))
           .as("ltv_per_user6"))
   }
+
+  /** Gaps-and-islands interval merge: per key, coalesce overlapping
+    * or touching [start, end) intervals into maximal islands — the
+    * coverage operator behind "how much wall-clock did this user
+    * actually occupy" (vs [[sessionize]], which gaps POINT events;
+    * here the inputs carry durations and merging is set semantics).
+    *
+    * Pure integer-ms arithmetic, and the island partition is a
+    * function of the interval SET: a row starts a new island iff its
+    * start exceeds the running max end of everything sorted before
+    * it under the (start, end) order — tied rows can swap without
+    * moving any island boundary, so the result is deterministic at
+    * any partition layout.
+    *
+    * Scale shape: ONE key exchange carries everything — both windows
+    * (running max end, running island count) ride the same
+    * (key, start, end) sort, and the final rollup groups on the same
+    * key (the [[RankStats.robustOutliers]] discipline). Per-key
+    * state never leaves the executor; keys are independent, so skew
+    * is bounded by the hottest key's row count.
+    *
+    * Output: (keyCol, start_ms, end_ms, n_events) — one row per
+    * island; callers order.
+    */
+  def mergeIntervals(
+      df: DataFrame,
+      keyCol: String,
+      startMsCol: String,
+      endMsCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("__u")).orderBy(col("__s"), col("__e"))
+    val base = df.select(col(keyCol).as("__u"),
+      col(startMsCol).cast("long").as("__s"),
+      col(endMsCol).cast("long").as("__e"))
+    val prevEnd = max(col("__e"))
+      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    val flagged = base.withColumn("__nf",
+      when(prevEnd.isNull || col("__s") > prevEnd, 1L).otherwise(0L))
+    val islands = flagged.withColumn("__isl",
+      sum(col("__nf")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    islands.groupBy(col("__u"), col("__isl"))
+      .agg(min(col("__s")).as("start_ms"), max(col("__e")).as("end_ms"),
+        count(lit(1)).as("n_events"))
+      .select(col("__u").as(keyCol), col("start_ms"), col("end_ms"),
+        col("n_events"))
+  }
 }

@@ -391,4 +391,33 @@ class BehaviorSpec extends SparkSuiteBase {
       (0L, 1L, 2L, 2L, 1.0, 3.0, 1.5),
       (7L, 0L, 1L, 1L, 5.0, 5.0, 5.0)), s"got ${got.toSeq}")
   }
+
+  test("mergeIntervals: overlap, touch, gap, containment, per-key") {
+    import spark.implicits._
+    val rows = Seq(
+      // user 1: [0,10) ∪ [5,15) overlap, [15,20) touches → one island;
+      // [30,40) gapped → second island
+      (1L, 0L, 10L), (1L, 5L, 15L), (1L, 15L, 20L), (1L, 30L, 40L),
+      // user 2: containment [0,100) ⊇ [10,20) → one island of 2
+      (2L, 0L, 100L), (2L, 10L, 20L))
+      .toDF("u", "s", "e")
+    val got = Behavior.mergeIntervals(rows, "u", "s", "e")
+      .orderBy("u", "start_ms")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (1L, 0L, 20L, 3L), (1L, 30L, 40L, 1L), (2L, 0L, 100L, 2L)),
+      s"got ${got.toSeq}")
+  }
+
+  test("mergeIntervals: duplicate intervals and determinism") {
+    import spark.implicits._
+    val rows = Seq((1L, 0L, 5L), (1L, 0L, 5L), (1L, 5L, 9L))
+      .toDF("u", "s", "e")
+    val a = Behavior.mergeIntervals(rows, "u", "s", "e").collect()
+    assert(a.length == 1 && a(0).getLong(3) == 3L)
+    val b = Behavior.mergeIntervals(rows.repartition(7), "u", "s", "e")
+      .collect()
+    assert(a.toSeq == b.toSeq)
+  }
 }
