@@ -6813,4 +6813,38 @@ object PipelineQueries extends QueryGroup {
     graft.operators.Behavior.mergeIntervals(ev, "user_id", "s", "e")
       .orderBy(col("user_id"), col("start_ms"))
   }
+
+  // Pareto/ABC inventory classes over part revenue: inclusive
+  // cumulative share under the (revenue DESC, partkey) total order,
+  // A/B/C at 80/95 — integer cross-products decide every class, the
+  // prefix sum is range-partitioned, and only the reported share is
+  // a (6dp) double. The long-tail-cut readout q186's Gini summarizes
+  // but can't itemize.
+  q("q227_pareto_abc",
+    """WITH r227 AS (SELECT l_partkey,
+      |    CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 1e6
+      |      + 0.5) AS BIGINT)) AS BIGINT) AS rm
+      |  FROM lineitem GROUP BY 1),
+      |c227 AS (SELECT l_partkey, rm,
+      |    CAST(sum(rm) OVER (ORDER BY rm DESC, l_partkey
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS cum
+      |  FROM r227),
+      |t227 AS (SELECT CAST(sum(rm) AS BIGINT) AS tot FROM r227)
+      |SELECT l_partkey AS p_partkey, CAST(rm AS DOUBLE)/1e6 AS value6,
+      |  floor((CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE)) * 1e6 + 0.5)/1e6
+      |    AS cum_share6,
+      |  CASE WHEN cum * 100 <= 80 * tot THEN 'A'
+      |       WHEN cum * 100 <= 95 * tot THEN 'B'
+      |       ELSE 'C' END AS abc_class
+      |FROM c227, t227 ORDER BY p_partkey""".stripMargin) { (s, d) =>
+    val rev = Tables.lineitem(s, d)
+      .select(col("l_partkey"),
+        floor(col("l_extendedprice") * (lit(1) - col("l_discount")) *
+          lit(1e6) + lit(0.5)).cast("long").as("rm"))
+      .groupBy(col("l_partkey")).agg(sum(col("rm")).as("rm"))
+    graft.operators.RankStats.paretoAbc(rev, "l_partkey", "rm")
+      .withColumnRenamed("l_partkey", "p_partkey")
+      .orderBy(col("p_partkey"))
+  }
 }

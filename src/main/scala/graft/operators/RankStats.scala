@@ -347,6 +347,60 @@ object RankStats {
         .as("significant"))
   }
 
+  /** Pareto/ABC classification: items ranked by a micro-unit value,
+    * each stamped with its INCLUSIVE cumulative share of the total
+    * and the classic inventory class — A while the running share
+    * stays ≤ `aCut`, B while ≤ `bCut`, else C (defaults 80/95;
+    * Pareto 1896 by way of every ops textbook). The "which 20% of
+    * parts carry 80% of revenue" readout, and the long-tail cut
+    * behind corpus-pruning decisions.
+    *
+    * Exactness: values arrive as int64 micro units, the running
+    * cumulative is a range-partitioned prefix sum of exact integers,
+    * and both class thresholds compare integer cross-products
+    * (cum·100 ≤ cut·total — no float ever decides a class). Only the
+    * reported share is a double, 6dp-snapped. Cross-product bound:
+    * cum·100 inside int64 while the total micro value stays under
+    * ~9e16 (≈ 9e10 full units); beyond, pre-scale the micro unit.
+    *
+    * Ties rank under the (value DESC, id ASC) total order, so equal
+    * values cannot float between classes across runs.
+    *
+    * Scale shape: one key aggregate to the item frame, ONE
+    * range-partitioned prefix sum over it ([[ScaleOps.prefixSumByRange]]
+    * — never a single-task window), one broadcast 1-row total.
+    *
+    * Output: (idCol, value6, cum_share6, abc_class); callers order.
+    */
+  def paretoAbc(
+      items: DataFrame,
+      idCol: String,
+      microCol: String,
+      aCut: Int = 80,
+      bCut: Int = 95): DataFrame = {
+    require(0 < aCut && aCut <= bCut && bCut <= 100,
+      s"need 0 < aCut <= bCut <= 100, got $aCut/$bCut")
+    val base = items.select(col(idCol).as("__id"),
+      col(microCol).cast("long").as("__v"),
+      (-col(microCol).cast("long")).as("__nv"))
+    val p = ScaleOps.prefixSumByRange(base, Seq("__nv", "__id"),
+      col("__v"), "__before", targetPartBytes = 1L << 20)
+    val tot = p.agg(coalesce(sum(col("__v")), lit(0L)).as("__tot"))
+    p.crossJoin(broadcast(tot))
+      .withColumn("__cum", col("__before") + col("__v"))
+      .select(col("__id").as(idCol),
+        (col("__v").cast("double") / lit(1e6)).as("value6"),
+        when(col("__tot") > 0,
+          pr6(col("__cum").cast("double") / col("__tot").cast("double")))
+          .otherwise(lit(null).cast("double")).as("cum_share6"),
+        when(col("__tot") > 0,
+          when(col("__cum") * 100L <= lit(aCut.toLong) * col("__tot"), "A")
+            .when(col("__cum") * 100L <= lit(bCut.toLong) * col("__tot"),
+              "B")
+            .otherwise("C"))
+          .otherwise(lit(null).cast("string")).as("abc_class"))
+  }
+
   /** Per-key robust outlier profile: median / MAD (median absolute
     * deviation, scaled by 1.4826 ≈ 1/Φ⁻¹(3/4) to be σ-consistent)
     * and the count of points beyond `k` robust sigmas — the outlier

@@ -74,6 +74,35 @@ class RankStatsSpec extends SparkSuiteBase {
     assert(r.isNullAt(r.fieldIndex("ap6")), "no-positive AP is NULL")
   }
 
+  test("paretoAbc: textbook shares, exact boundary stays in class") {
+    import spark.implicits._
+    // values 50/30/15/5 → inclusive shares .5 (A), .8 (A — boundary
+    // is integer-exact, no float can push it to B), .95 (B), 1.0 (C)
+    val items = Seq((1L, 50000000L), (2L, 30000000L), (3L, 15000000L),
+      (4L, 5000000L)).toDF("id", "m")
+    val got = RankStats.paretoAbc(items, "id", "m")
+      .orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getAs[Double]("cum_share6"),
+        r.getAs[String]("abc_class")))
+    assert(got.toSeq == Seq((1L, 0.5, "A"), (2L, 0.8, "A"),
+      (3L, 0.95, "B"), (4L, 1.0, "C")), s"got ${got.toSeq}")
+  }
+
+  test("paretoAbc: ties rank by id, zero total reads NULLs") {
+    import spark.implicits._
+    val tied = Seq((7L, 40000000L), (3L, 40000000L), (9L, 20000000L))
+      .toDF("id", "m")
+    val got = RankStats.paretoAbc(tied, "id", "m")
+      .orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getAs[Double]("cum_share6")))
+      .toSeq
+    // id 3 ranks before id 7 under (value DESC, id ASC)
+    assert(got == Seq((3L, 0.4), (7L, 0.8), (9L, 1.0)), s"got $got")
+    val zeros = Seq((1L, 0L), (2L, 0L)).toDF("id", "m")
+    val z = RankStats.paretoAbc(zeros, "id", "m").collect()
+    assert(z.forall(_.isNullAt(2)) && z.forall(_.isNullAt(3)))
+  }
+
   test("spearmanMatrix: monotone, reversed, tied, constant") {
     import spark.implicits._
     val df = Seq(
