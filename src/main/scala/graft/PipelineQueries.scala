@@ -6847,4 +6847,42 @@ object PipelineQueries extends QueryGroup {
       .withColumnRenamed("l_partkey", "p_partkey")
       .orderBy(col("p_partkey"))
   }
+
+  // Per-segment drift: for every event_type, the OLS slope of value
+  // over day-in-corpus — "which segments are trending, how fast"
+  // where q208 fits one global plane. One combinable aggregate
+  // carries all six moments per key; x is offset to the corpus's
+  // first day (exact integer min, broadcast) so the cross products
+  // stay small.
+  q("q228_grouped_ols", {
+    val o = graft.operators.Regression.olsSimpleSql(
+      "n", "sx", "sxx", "sy", "sxy", "syy")
+    s"""WITH b228 AS (SELECT CAST(min(epoch_ms(ts) // 86400000)
+       |    AS BIGINT) AS d0 FROM events WHERE value IS NOT NULL),
+       |v228 AS (SELECT event_type,
+       |    (epoch_ms(ts) // 86400000) - d0 AS x,
+       |    CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS ym
+       |  FROM events, b228 WHERE value IS NOT NULL),
+       |m228 AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(x) AS BIGINT) AS sx,
+       |    CAST(sum(x * x) AS BIGINT) AS sxx,
+       |    CAST(sum(ym) AS BIGINT) AS sy,
+       |    CAST(sum(x * ym) AS BIGINT) AS sxy,
+       |    sum(CAST(ym AS HUGEINT) * ym) AS syy
+       |  FROM v228 GROUP BY 1)
+       |SELECT event_type, n, ${o("slope6")} AS slope6,
+       |  ${o("intercept6")} AS intercept6, ${o("r2_6")} AS r2_6
+       |FROM m228 ORDER BY event_type""".stripMargin
+  }) { (s, d) =>
+    val ev = Tables.events(s, d).filter(col("value").isNotNull)
+      .select(col("event_type"),
+        expr("unix_millis(ts) div 86400000").as("day"),
+        floor(col("value") * lit(1e6) + lit(0.5)).cast("long").as("ym"))
+    val d0 = ev.agg(min(col("day")).as("d0"))
+    val v = ev.crossJoin(broadcast(d0))
+      .select(col("event_type"), (col("day") - col("d0")).as("x"),
+        col("ym"))
+    graft.operators.Regression.groupedOls(v, "event_type", "x", "ym")
+      .orderBy(col("event_type"))
+  }
 }

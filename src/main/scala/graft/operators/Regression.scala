@@ -124,6 +124,84 @@ object Regression {
         s"THEN ${p6(s"1e0 - $sse / $sst")} END"))
   }
 
+  /** Per-key simple OLS trend: for every key, the slope/intercept/R²
+    * of a micro-unit outcome over an integer regressor — the
+    * "which segments are drifting, and how fast" readout that q208's
+    * single global fit can't give. One map-side-combinable aggregate
+    * produces every key's six moments; the solve is row-local double
+    * arithmetic in [[olsSimpleSql]]'s exact operation order,
+    * 6dp-snapped. Keys with n < 2 or a degenerate regressor
+    * (den = 0) read NULL fits; constant outcomes read NULL R²
+    * (SST = 0) — the [[olsFit]] conventions, per key.
+    *
+    * Exactness: n, Σx, Σx², Σy, Σxy are int64 (x small-integer, y
+    * micro); Σy² rides decimal(38,0) like [[olsFit]]'s. Keep x
+    * OFFSET-SMALL (e.g. day − min(day), not raw epoch-day) so the
+    * Σxy products hold: |x|·|y_micro|·rows < 2⁶³.
+    *
+    * Output: (keyCol, n, slope6, intercept6, r2_6), one row per key;
+    * callers order. slope6 is outcome units per x unit.
+    */
+  def groupedOls(
+      df: DataFrame,
+      keyCol: String,
+      xCol: String,
+      yMicroCol: String): DataFrame = {
+    val x = col(xCol).cast("long")
+    val y = col(yMicroCol).cast("long")
+    val yd = y.cast("decimal(38,0)")
+    val m = df.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"),
+        sum(x).as("sx"), sum(x * x).as("sxx"),
+        sum(y).as("sy"), sum(x * y).as("sxy"),
+        sum(yd * yd).as("syy"))
+    val nD = col("n").cast("double")
+    val sxD = col("sx").cast("double")
+    val sxxD = col("sxx").cast("double")
+    val vy = col("sy").cast("double") / lit(1e6)
+    val vxy = col("sxy").cast("double") / lit(1e6)
+    val vyy = col("syy").cast("double") / lit(1e12)
+    val den = nD * sxxD - sxD * sxD
+    val slope = (nD * vxy - sxD * vy) / den
+    val inter = (vy - slope * sxD) / nD
+    val sse = vyy - (inter * vy + slope * vxy)
+    val sst = vyy - vy * vy / nD
+    val ok = col("n") >= 2L && den =!= lit(0.0)
+    m.select(col(keyCol), col("n"),
+      when(ok, pr6(slope)).otherwise(lit(null).cast("double"))
+        .as("slope6"),
+      when(ok, pr6(inter)).otherwise(lit(null).cast("double"))
+        .as("intercept6"),
+      when(ok && sst > 0, pr6(lit(1.0) - sse / sst))
+        .otherwise(lit(null).cast("double")).as("r2_6"))
+  }
+
+  /** SQL-text twin of [[groupedOls]]'s solve for oracle queries:
+    * given the six moment column names, the output expression per
+    * readout column, operation-ordered identically.
+    */
+  def olsSimpleSql(
+      n: String, sx: String, sxx: String, sy: String, sxy: String,
+      syy: String): Map[String, String] = {
+    def dd(e: String) = s"CAST($e AS DOUBLE)"
+    def p6(e: String) = s"floor(($e) * 1e6 + 0.5)/1e6"
+    val nD = dd(n); val sxD = dd(sx); val sxxD = dd(sxx)
+    val vy = s"(${dd(sy)} / 1e6)"
+    val vxy = s"(${dd(sxy)} / 1e6)"
+    val vyy = s"(${dd(syy)} / 1e12)"
+    val den = s"($nD * $sxxD - $sxD * $sxD)"
+    val slope = s"(($nD * $vxy - $sxD * $vy) / $den)"
+    val inter = s"(($vy - $slope * $sxD) / $nD)"
+    val sse = s"($vyy - ($inter * $vy + $slope * $vxy))"
+    val sst = s"($vyy - $vy * $vy / $nD)"
+    val ok = s"($n >= 2 AND $den <> 0e0)"
+    Map(
+      "slope6" -> s"CASE WHEN $ok THEN ${p6(slope)} END",
+      "intercept6" -> s"CASE WHEN $ok THEN ${p6(inter)} END",
+      "r2_6" -> (s"CASE WHEN $ok AND $sst > 0 " +
+        s"THEN ${p6(s"1e0 - $sse / $sst")} END"))
+  }
+
   /** Logistic regression of a binary label on two small-integer
     * features (+ intercept) by `steps` Newton–IRLS rounds from
     * β = 0 — the GLM companion of [[olsFit]]: same one-aggregate-

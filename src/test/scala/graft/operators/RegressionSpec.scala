@@ -81,6 +81,32 @@ class RegressionSpec extends SparkSuiteBase {
       r.getAs[Double]("fitted6") == r.getAs[Double]("mean6")))
   }
 
+  test("groupedOls: exact line per key, degenerate keys read NULL") {
+    import spark.implicits._
+    val rows = Seq(
+      // key a: y = 2 + 3x exactly (micro units) → r2 = 1
+      ("a", 0L, 2000000L), ("a", 1L, 5000000L), ("a", 2L, 8000000L),
+      // key b: constant y → slope 0, r2 NULL (SST = 0)
+      ("b", 0L, 4000000L), ("b", 1L, 4000000L),
+      // key c: single point → NULL fit
+      ("c", 5L, 1000000L),
+      // key d: constant x → den = 0 → NULL fit
+      ("d", 3L, 1000000L), ("d", 3L, 2000000L))
+      .toDF("k", "x", "ym")
+    val got = Regression.groupedOls(rows, "k", "x", "ym")
+      .orderBy("k").collect()
+    val a = got(0)
+    assert(a.getAs[Double]("slope6") == 3.0 &&
+      a.getAs[Double]("intercept6") == 2.0 &&
+      a.getAs[Double]("r2_6") == 1.0, s"got $a")
+    val b = got(1)
+    assert(b.getAs[Double]("slope6") == 0.0 &&
+      b.getAs[Double]("intercept6") == 4.0 &&
+      b.isNullAt(b.fieldIndex("r2_6")))
+    assert(got(2).isNullAt(got(2).fieldIndex("slope6")))
+    assert(got(3).isNullAt(got(3).fieldIndex("slope6")))
+  }
+
   test("logisticFit: separable-by-x1 fixture classifies perfectly") {
     import spark.implicits._
     // y = (x1 >= 2); x2 varies but carries no signal
