@@ -6885,4 +6885,37 @@ object PipelineQueries extends QueryGroup {
     graft.operators.Regression.groupedOls(v, "event_type", "x", "ym")
       .orderBy(col("event_type"))
   }
+
+  // Multimodal q41 family, MP3 member: real MPEG-1 Layer III frame
+  // walk (HeaderCodec.mp3) over deterministic payloads sweeping the
+  // full bitrate table, all three samplerates, per-frame padding
+  // bits, ID3v2 prefixes and ID3v1 trailers — duration and frame
+  // count come out of the walk, the oracle predicts both from pure
+  // doc_id arithmetic.
+  q("q229_mp3_duration",
+    """WITH p229 AS (SELECT doc_id, 1 + doc_id % 5 AS frames,
+      |    ([32,40,48,56,64,80,96,112,128,160,192,224,256,320])[
+      |      CAST(1 + doc_id % 14 AS INT)] AS kbps,
+      |    CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+      |      ELSE 32000 END AS sr
+      |  FROM documents)
+      |SELECT doc_id AS asset_id,
+      |  CAST(CASE WHEN doc_id % 3 = 0 THEN 10 + doc_id % 17 ELSE 0 END
+      |    + frames * ((144000 * kbps) // sr)
+      |    + (frames + 1 - doc_id % 2) // 2
+      |    + CASE WHEN doc_id % 4 = 0 THEN 128 ELSE 0 END AS INT)
+      |    AS n_bytes,
+      |  CAST((frames * 1152000) // sr AS BIGINT) AS duration_ms,
+      |  CAST(frames AS INT) AS n_frames,
+      |  true AS header_parsed
+      |FROM p229 ORDER BY asset_id""".stripMargin) { (s, d) =>
+    Multimodal.extractFeatures(
+        Multimodal.syntheticMp3Assets(Tables.documents(s, d)))
+      .select(col("asset_id"),
+        col("features.n_bytes").as("n_bytes"),
+        col("features.duration_ms").as("duration_ms"),
+        col("features.n_frames").as("n_frames"),
+        col("features.header_parsed").as("header_parsed"))
+      .orderBy(col("asset_id"))
+  }
 }

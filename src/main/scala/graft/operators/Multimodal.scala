@@ -272,13 +272,65 @@ object Multimodal {
       None
     }
 
+    /** MPEG-1 Layer III (MP3) frame walk: duration and frame count
+      * from the frame headers alone — bitrate/samplerate indices per
+      * frame, length = 144000·kbps/samplerate + padding, 1152
+      * samples per frame, duration_ms = frames·1152·1000/samplerate.
+      * An ID3v2 prefix (10-byte header + syncsafe size) is skipped;
+      * an ID3v1 "TAG" trailer (exactly 128 bytes) is tolerated.
+      * None for anything else: free/bad bitrate index, reserved
+      * samplerate, MPEG-2/2.5 or non-III layers, mixed samplerates,
+      * a truncated frame, or trailing garbage — the walk never loops
+      * (frame length ≥ 96 > 0 always advances) and never reads past
+      * the buffer.
+      */
+    def mp3(b: Array[Byte]): Option[(Long, Int)] = {
+      val bitrates = Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128,
+        160, 192, 224, 256, 320)
+      val srs = Array(44100, 48000, 32000)
+      var off = 0L
+      if (b.length >= 10 && b(0) == 'I' && b(1) == 'D' && b(2) == '3') {
+        val sz = ((b(6) & 0x7f) << 21) | ((b(7) & 0x7f) << 14) |
+          ((b(8) & 0x7f) << 7) | (b(9) & 0x7f)
+        off = 10L + sz
+      }
+      var frames = 0
+      var sr = 0
+      var bad = false
+      while (!bad && off + 4 <= b.length &&
+        (b(off.toInt) & 0xff) == 0xff &&
+        (b(off.toInt + 1) & 0xe0) == 0xe0) {
+        val o = off.toInt
+        val version = ((b(o + 1) & 0xff) >> 3) & 3
+        val layer = ((b(o + 1) & 0xff) >> 1) & 3
+        val bi = ((b(o + 2) & 0xff) >> 4) & 0xf
+        val si = ((b(o + 2) & 0xff) >> 2) & 3
+        val pad = ((b(o + 2) & 0xff) >> 1) & 1
+        if (version != 3 || layer != 1 || bi == 0 || bi == 15 || si == 3)
+          bad = true
+        else if (sr != 0 && srs(si) != sr) bad = true
+        else {
+          sr = srs(si)
+          off += 144000L * bitrates(bi) / sr + pad
+          frames += 1
+        }
+      }
+      if (bad || frames == 0) return None
+      val rest = b.length - off
+      val tagOk = rest == 128L && b(off.toInt) == 'T' &&
+        b(off.toInt + 1) == 'A' && b(off.toInt + 2) == 'G'
+      if (rest == 0L || tagOk)
+        Some((frames.toLong * 1152L * 1000L / sr, frames))
+      else None
+    }
+
     /** Sniff the payload's magic bytes and extract what the header
       * carries; None when the format isn't one of the pure-JVM ones.
       */
     def sniff(b: Array[Byte]): Option[(Option[Int], Option[Int], Option[Long])] =
       png(b).orElse(bmp(b)).orElse(jpeg(b)).orElse(gif(b))
         .map { case (w, h) => (Some(w), Some(h), None) }
-        .orElse(wav(b).orElse(mp4(b))
+        .orElse(wav(b).orElse(mp4(b)).orElse(mp3(b).map(_._1))
           .map(d => (None: Option[Int], None: Option[Int], Some(d))))
   }
 
@@ -300,7 +352,9 @@ object Multimodal {
       // ACTUAL dimensions/duration
       HeaderCodec.sniff(payload) match {
         case Some((w, h, d)) => Features(n, checksum, w, h, d,
-          nFrames = HeaderCodec.gifFrames(payload), headerParsed = true)
+          nFrames = HeaderCodec.gifFrames(payload)
+            .orElse(HeaderCodec.mp3(payload).map(_._2)),
+          headerParsed = true)
         case None => mediaType match {
           case "image" => Features(n, checksum,
             Some(1 + math.abs((checksum % 1024).toInt)),
@@ -461,6 +515,62 @@ object Multimodal {
     docs.select(
       col("doc_id").as("asset_id"),
       lit("image").as("media_type"),
+      payloadUdf(col("doc_id")).as("payload"),
+      map(lit("lang"), col("lang"), lit("source"), col("source")).as("meta"))
+  }
+
+  /** Deterministic MP3 payload — the audio member of the synthetic
+    * container family ([[HeaderCodec.mp3]]'s walk under test): every
+    * structural variation is doc_id arithmetic, mirrored in the q229
+    * oracle:
+    *
+    *   - frames = 1 + id % 5
+    *   - bitrate index = 1 + id % 14 (the full MPEG-1 L3 table)
+    *   - samplerate = [44100, 48000, 32000][id % 3]
+    *   - per-frame padding bit on iff (id + f) % 2 == 0
+    *   - an ID3v2 prefix (syncsafe size id % 17) when id % 3 == 0
+    *   - an ID3v1 "TAG" trailer when id % 4 == 0
+    */
+  def syntheticMp3(docId: Long): Array[Byte] = {
+    val bitrates = Array(32, 40, 48, 56, 64, 80, 96, 112, 128, 160,
+      192, 224, 256, 320)
+    val frames = (1 + docId % 5).toInt
+    val bi = (1 + docId % 14).toInt
+    val kbps = bitrates(bi - 1)
+    val si = (docId % 3).toInt
+    val sr = Array(44100, 48000, 32000)(si)
+    val buf = new java.io.ByteArrayOutputStream()
+    if (docId % 3 == 0) {
+      val tagSz = (docId % 17).toInt
+      buf.write('I'); buf.write('D'); buf.write('3')
+      buf.write(3); buf.write(0); buf.write(0) // v2.3, flags 0
+      buf.write((tagSz >> 21) & 0x7f); buf.write((tagSz >> 14) & 0x7f)
+      buf.write((tagSz >> 7) & 0x7f); buf.write(tagSz & 0x7f)
+      buf.write(new Array[Byte](tagSz), 0, tagSz)
+    }
+    var f = 0
+    while (f < frames) {
+      val pad = if ((docId + f) % 2 == 0) 1 else 0
+      val len = (144000L * kbps / sr).toInt + pad
+      // sync + MPEG-1 (11) + Layer III (01) + no-CRC (1) = 0xFF 0xFB
+      buf.write(0xff); buf.write(0xfb)
+      buf.write((bi << 4) | (si << 2) | (pad << 1)); buf.write(0)
+      buf.write(new Array[Byte](len - 4), 0, len - 4)
+      f += 1
+    }
+    if (docId % 4 == 0) {
+      buf.write('T'); buf.write('A'); buf.write('G')
+      buf.write(new Array[Byte](125), 0, 125)
+    }
+    buf.toByteArray
+  }
+
+  /** MP3 asset table — [[syntheticAssets]]' audio twin. */
+  def syntheticMp3Assets(docs: DataFrame): DataFrame = {
+    val payloadUdf = udf((id: Long) => syntheticMp3(id))
+    docs.select(
+      col("doc_id").as("asset_id"),
+      lit("audio").as("media_type"),
       payloadUdf(col("doc_id")).as("payload"),
       map(lit("lang"), col("lang"), lit("source"), col("source")).as("meta"))
   }

@@ -422,4 +422,47 @@ class MultimodalUdfSpec extends SparkSuiteBase {
     assert(hc.gifFrames("plain text".getBytes("UTF-8")).isEmpty)
     assert(hc.gifFrames(Array.empty[Byte]).isEmpty)
   }
+
+  test("multimodal: mp3 walk round-trips every synthetic variation") {
+    val hc = Multimodal.HeaderCodec
+    // ids sweep bitrates, samplerates, ID3 prefix/trailer, padding
+    for (id <- 0L to 120L) {
+      val b = Multimodal.syntheticMp3(id)
+      val got = hc.mp3(b)
+      val frames = (1 + id % 5).toInt
+      val sr = Array(44100, 48000, 32000)((id % 3).toInt)
+      val want = (frames.toLong * 1152L * 1000L / sr, frames)
+      assert(got.contains(want), s"id=$id got $got want $want")
+    }
+  }
+
+  test("multimodal: hostile MP3 inputs never crash, hang, or misparse") {
+    val hc = Multimodal.HeaderCodec
+    val good = Multimodal.syntheticMp3(1L)
+    // truncated mid-frame
+    assert(hc.mp3(good.take(good.length - 3)).isEmpty)
+    // trailing garbage that is neither EOF nor an ID3v1 trailer
+    assert(hc.mp3(good ++ Array[Byte](1, 2, 3)).isEmpty)
+    // free (0) and invalid (15) bitrate indices
+    def hdr(b2: Int): Array[Byte] =
+      Array(0xff, 0xfb, b2, 0).map(_.toByte) ++ new Array[Byte](92)
+    assert(hc.mp3(hdr(0x00 << 4)).isEmpty)
+    assert(hc.mp3(hdr(0xf0)).isEmpty)
+    // reserved samplerate index 3
+    assert(hc.mp3(hdr((1 << 4) | (3 << 2))).isEmpty)
+    // MPEG-2 version bits / wrong layer
+    assert(hc.mp3(Array(0xff, 0xf3, 0x10, 0).map(_.toByte) ++
+      new Array[Byte](200)).isEmpty)
+    assert(hc.mp3(Array(0xff, 0xfd, 0x10, 0).map(_.toByte) ++
+      new Array[Byte](200)).isEmpty)
+    // ID3v2 size overrunning the buffer; plain text; empty
+    assert(hc.mp3("ID3junkjunk".getBytes("US-ASCII")).isEmpty)
+    assert(hc.mp3("plain text".getBytes("UTF-8")).isEmpty)
+    assert(hc.mp3(Array.empty[Byte]).isEmpty)
+    // a second frame at a different samplerate is rejected
+    val f44 = Multimodal.syntheticMp3(1L) // sr idx 1 → 48000
+    val mixed = f44 ++ Array(0xff, 0xfb, (1 << 4) | (0 << 2), 0)
+      .map(_.toByte) ++ new Array[Byte](96)
+    assert(hc.mp3(mixed).isEmpty)
+  }
 }
