@@ -36,12 +36,25 @@ object Sketches {
       docs: DataFrame,
       textCol: String,
       lanes: Int,
+      width: Int): DataFrame =
+    countMinFromTokens(
+      docs.select(explode(TextFns.tokens(col(textCol))).as("__t")),
+      lanes, width)
+
+  /** [[countMinTable]] over an already-token-grain frame (column
+    * `__t`) — the seam the streaming twin
+    * ([[graft.streaming.StreamingHeavyHitters]]) shares: a streaming
+    * aggregation over this exact projection keeps the same
+    * lanes × width state.
+    */
+  def countMinFromTokens(
+      toks: DataFrame,
+      lanes: Int,
       width: Int): DataFrame = {
     require(lanes > 0 && width > 0, "count-min needs positive lanes and width")
     val (a, b) = PortableHash.laneCoeffs(lanes)
     val p = PortableHash.P
-    docs
-      .select(explode(TextFns.tokens(col(textCol))).as("__t"))
+    toks
       .select((PortableHash.md5Long60(col("__t")) % lit(p)).as("__h"))
       .select(posexplode(array((0 until lanes).map(i =>
         (((lit(a(i)) * col("__h") + lit(b(i))) % lit(p)) % lit(width.toLong))
@@ -64,14 +77,30 @@ object Sketches {
       textCol: String,
       lanes: Int,
       width: Int,
+      minCount: Long): DataFrame =
+    heavyHittersFrom(
+      countMinTable(docs, textCol, lanes, width),
+      docs.select(explode(TextFns.tokens(col(textCol))).as("token"))
+        .distinct(),
+      lanes, width, minCount)
+
+  /** [[heavyHitters]]' readout half: estimate every candidate token
+    * against an existing counter table — the seam that lets ANY
+    * candidate source (yesterday's report, a streaming vocabulary
+    * aggregate) probe ANY sketch snapshot (a streaming counter
+    * state). `cm` must carry (lane, bucket, c) built with the same
+    * lanes/width; `candidates` a `token` column.
+    */
+  def heavyHittersFrom(
+      cm: DataFrame,
+      candidates: DataFrame,
+      lanes: Int,
+      width: Int,
       minCount: Long): DataFrame = {
     require(minCount >= 1, "minCount must be positive")
     val (a, b) = PortableHash.laneCoeffs(lanes)
     val p = PortableHash.P
-    val cm = countMinTable(docs, textCol, lanes, width)
-    val cand = docs
-      .select(explode(TextFns.tokens(col(textCol))).as("token"))
-      .distinct()
+    val cand = candidates
       .select(col("token"),
         (PortableHash.md5Long60(col("token")) % lit(p)).as("__h"))
     val candLanes = cand.select(col("token"),
