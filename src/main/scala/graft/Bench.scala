@@ -170,7 +170,16 @@ object Bench {
     // before the sweep) — an upper bound on the quiet min
     "q215_hits" -> 4.02,
     "q216_quantile_effects" -> 1.52, "q217_did" -> 0.80,
-    "q218_cmh_test" -> 0.80, "q219_seasonal_decompose" -> 0.77)
+    "q218_cmh_test" -> 0.80, "q219_seasonal_decompose" -> 0.77,
+    // round-12 session-2 additions, quiet-box mins at sf0.1
+    // (comparator 0.68/0.36, 2 reps; q221 rides the q85/q185 NB
+    // score chain — its level is the family's, the curve machinery
+    // adds ~2.4 s over q185's rank readout)
+    "q221_pr_curve" -> 6.61, "q222_logistic_irls" -> 0.69,
+    "q223_cohens_kappa" -> 1.81, "q224_link_prediction" -> 4.14,
+    "q225_bfs_hops" -> 2.87, "q226_interval_merge" -> 0.67,
+    "q227_pareto_abc" -> 1.21, "q228_grouped_ols" -> 0.49,
+    "q229_mp3_duration" -> 0.47)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

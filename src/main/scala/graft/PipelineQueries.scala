@@ -6834,8 +6834,10 @@ object PipelineQueries extends QueryGroup {
       |SELECT l_partkey AS p_partkey, CAST(rm AS DOUBLE)/1e6 AS value6,
       |  floor((CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE)) * 1e6 + 0.5)/1e6
       |    AS cum_share6,
-      |  CASE WHEN cum * 100 <= 80 * tot THEN 'A'
-      |       WHEN cum * 100 <= 95 * tot THEN 'B'
+      |  CASE WHEN CAST(cum AS HUGEINT) * 100 <= 80 * CAST(tot AS HUGEINT)
+      |         THEN 'A'
+      |       WHEN CAST(cum AS HUGEINT) * 100 <= 95 * CAST(tot AS HUGEINT)
+      |         THEN 'B'
       |       ELSE 'C' END AS abc_class
       |FROM c227, t227 ORDER BY p_partkey""".stripMargin) { (s, d) =>
     val rev = Tables.lineitem(s, d)
@@ -6917,5 +6919,44 @@ object PipelineQueries extends QueryGroup {
         col("features.n_frames").as("n_frames"),
         col("features.header_parsed").as("header_parsed"))
       .orderBy(col("asset_id"))
+  }
+
+  // Forecasting: Holt's linear-trend smoothing over the per-type
+  // daily event counts, emitting each day's one-step-ahead forecast
+  // BEFORE folding the day in — the self-backtesting forecaster
+  // q165's trendless EWMA can't be. Dyadic gains (0.5/0.25) make
+  // every product exact; the fold is the q156 row-local per-key
+  // aggregate and the oracle replays the identical chain with a
+  // recursive CTE, no tolerance.
+  q("q230_holt_forecast",
+    """WITH RECURSIVE d230 AS (SELECT event_type,
+      |    epoch_ms(ts) // 86400000 AS t, CAST(count(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1, 2),
+      |o230 AS (SELECT event_type, t, CAST(n AS DOUBLE) AS x,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY t) AS rn
+      |  FROM d230),
+      |c230(event_type, rn, t, x, l, b, fc) AS (
+      |  SELECT event_type, rn, t, x, x, 0e0, CAST(NULL AS DOUBLE)
+      |  FROM o230 WHERE rn = 1
+      |  UNION ALL
+      |  SELECT o230.event_type, o230.rn, o230.t, o230.x,
+      |    0.5 * o230.x + (1e0 - 0.5) * (c230.l + c230.b),
+      |    0.25 * ((0.5 * o230.x + (1e0 - 0.5) * (c230.l + c230.b))
+      |      - c230.l) + (1e0 - 0.25) * c230.b,
+      |    c230.l + c230.b
+      |  FROM c230 JOIN o230 ON o230.event_type = c230.event_type
+      |    AND o230.rn = c230.rn + 1)
+      |SELECT event_type, t, x, floor(l * 1e6 + 0.5)/1e6 AS level6,
+      |  floor(b * 1e6 + 0.5)/1e6 AS trend6,
+      |  CASE WHEN fc IS NOT NULL THEN floor(fc * 1e6 + 0.5)/1e6 END
+      |    AS fc6
+      |FROM c230 ORDER BY event_type, t""".stripMargin) { (s, d) =>
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"),
+        expr("unix_millis(ts) div 86400000").as("t"))
+      .agg(count(lit(1)).cast("double").as("x"))
+    graft.operators.TimeSeries.holtSmooth(daily, "event_type", "t", "x",
+        alpha = 0.5, beta = 0.25)
+      .orderBy(col("event_type"), col("t"))
   }
 }

@@ -358,10 +358,11 @@ object RankStats {
     * Exactness: values arrive as int64 micro units, the running
     * cumulative is a range-partitioned prefix sum of exact integers,
     * and both class thresholds compare integer cross-products
-    * (cum·100 ≤ cut·total — no float ever decides a class). Only the
-    * reported share is a double, 6dp-snapped. Cross-product bound:
-    * cum·100 inside int64 while the total micro value stays under
-    * ~9e16 (≈ 9e10 full units); beyond, pre-scale the micro unit.
+    * (cum·100 ≤ cut·total — no float ever decides a class) carried
+    * in decimal(38,0), so the products hold at any total the int64
+    * micro sums themselves can reach (a long cross-product overflows
+    * at ~9e16 micro total — the 10× deck already crosses it). Only
+    * the reported share is a double, 6dp-snapped.
     *
     * Ties rank under the (value DESC, id ASC) total order, so equal
     * values cannot float between classes across runs.
@@ -393,12 +394,13 @@ object RankStats {
         when(col("__tot") > 0,
           pr6(col("__cum").cast("double") / col("__tot").cast("double")))
           .otherwise(lit(null).cast("double")).as("cum_share6"),
-        when(col("__tot") > 0,
-          when(col("__cum") * 100L <= lit(aCut.toLong) * col("__tot"), "A")
-            .when(col("__cum") * 100L <= lit(bCut.toLong) * col("__tot"),
-              "B")
-            .otherwise("C"))
-          .otherwise(lit(null).cast("string")).as("abc_class"))
+        when(col("__tot") > 0, {
+          val cumD = col("__cum").cast("decimal(38,0)")
+          val totD = col("__tot").cast("decimal(38,0)")
+          when(cumD * lit(100) <= lit(aCut) * totD, "A")
+            .when(cumD * lit(100) <= lit(bCut) * totD, "B")
+            .otherwise("C")
+        }).otherwise(lit(null).cast("string")).as("abc_class"))
   }
 
   /** Per-key robust outlier profile: median / MAD (median absolute

@@ -273,6 +273,79 @@ object TimeSeries {
         (col("e.s") > lit(threshold)).as("alarm"))
   }
 
+  /** Holt's linear-trend exponential smoothing (Holt 1957) per key —
+    * the forecasting member of the smoothing family: [[ewmaSmooth]]
+    * tracks a level, this tracks level AND trend, and emits the
+    * one-step-ahead forecast fc_t = l_{t−1} + b_{t−1} BEFORE folding
+    * x_t in, so every row carries its own backtest error. Recurrence
+    * (α level gain, β trend gain; init l₁ = x₁, b₁ = 0, fc₁ = null):
+    *
+    *   l_t = α·x_t + (1−α)·(l_{t−1} + b_{t−1})
+    *   b_t = β·(l_t − l_{t−1}) + (1−β)·b_{t−1}
+    *
+    * Determinism: the fold is a row-local per-key `aggregate` over
+    * the (t, tie)-sorted struct array — the [[cusum]] discipline —
+    * and the oracle replays the SAME left-associative chain with a
+    * recursive CTE, bit-identical, no tolerance. Pick DYADIC gains
+    * (0.5, 0.25) and every product is exact. h-step forecasts are
+    * row-local functions of the last row (l + h·b) — consumers
+    * extend without re-folding.
+    *
+    * Scale shape: ONE key exchange (the collect_list aggregate);
+    * per-key state is the series itself — calendar-bounded for
+    * day-grain series (the q156/q165 contract), never corpus-bounded.
+    *
+    * Output: (keyCol, tCol, x, level6, trend6, fc6 — null on each
+    * key's first row); callers order.
+    */
+  def holtSmooth(
+      df: DataFrame,
+      keyCol: String,
+      tCol: String,
+      xCol: String,
+      alpha: Double,
+      beta: Double): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0,1], got $alpha")
+    require(beta >= 0 && beta <= 1, s"beta must be in [0,1], got $beta")
+    val seq0 = df.groupBy(col(keyCol))
+      .agg(array_sort(collect_list(struct(col(tCol).cast("long").as("t"),
+        col(xCol).cast("double").as("x")))).as("__seq"))
+    val folded = aggregate(
+      col("__seq"),
+      struct(lit(false).as("has"), lit(0.0).as("l"), lit(0.0).as("b"),
+        array().cast(
+          "array<struct<t:bigint,x:double,l:double,b:double,fc:double>>")
+          .as("out")),
+      (acc, e) => {
+        val has = acc.getField("has")
+        val x = e.getField("x")
+        val l = acc.getField("l")
+        val b = acc.getField("b")
+        // EXACT chains replayed by the oracle (b' inlines l' — reuse
+        // is value-identical, only operation ORDER must match):
+        //   l' = α·x + (1−α)·(l + b)
+        //   b' = β·(l' − l) + (1−β)·b
+        val lNew = when(has,
+          lit(alpha) * x + (lit(1.0) - lit(alpha)) * (l + b)).otherwise(x)
+        val bNew = when(has,
+          lit(beta) *
+            ((lit(alpha) * x + (lit(1.0) - lit(alpha)) * (l + b)) - l) +
+            (lit(1.0) - lit(beta)) * b).otherwise(lit(0.0))
+        val fc = when(has, l + b).otherwise(lit(null).cast("double"))
+        struct(lit(true).as("has"), lNew.as("l"), bNew.as("b"),
+          concat(acc.getField("out"), array(struct(
+            e.getField("t").as("t"), x.as("x"), lNew.as("l"),
+            bNew.as("b"), fc.as("fc")))).as("out"))
+      },
+      acc => acc.getField("out"))
+    val p6 = (c: Column) => floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+    seq0.select(col(keyCol), explode(folded).as("e"))
+      .select(col(keyCol), col("e.t").as(tCol), col("e.x").as("x"),
+        p6(col("e.l")).as("level6"), p6(col("e.b")).as("trend6"),
+        when(col("e.fc").isNotNull, p6(col("e.fc")))
+          .otherwise(lit(null).cast("double")).as("fc6"))
+  }
+
   /** Regular-grid resampling with forward fill: one row per (key,
     * grid point) on a `stepExpr`-spaced grid spanning each key's
     * [trunc(min ts), trunc(max ts)], carrying the key's LAST value

@@ -387,4 +387,48 @@ class TimeSeriesSpec extends SparkSuiteBase {
     assert(f.isNullAt(f.fieldIndex("z6")))
     assert(f.isNullAt(f.fieldIndex("trend")))
   }
+
+  test("holtSmooth: hand-folded level/trend/forecast chain") {
+    import spark.implicits._
+    // x = 10, 14, 10 with α=0.5, β=0.25:
+    //   t1: l=10, b=0, fc=null
+    //   t2: fc=10, l=12, b=0.25·2=0.5
+    //   t3: fc=12.5, l=11.25, b=0.25·(-0.75)+0.375=0.1875
+    val df = Seq(("k", 1L, 10.0), ("k", 2L, 14.0), ("k", 3L, 10.0))
+      .toDF("key", "t", "x")
+    val got = TimeSeries.holtSmooth(df, "key", "t", "x", 0.5, 0.25)
+      .orderBy("t").collect()
+    assert(got(0).isNullAt(got(0).fieldIndex("fc6")))
+    assert(got(0).getAs[Double]("level6") == 10.0 &&
+      got(0).getAs[Double]("trend6") == 0.0)
+    assert(got(1).getAs[Double]("fc6") == 10.0 &&
+      got(1).getAs[Double]("level6") == 12.0 &&
+      got(1).getAs[Double]("trend6") == 0.5)
+    assert(got(2).getAs[Double]("fc6") == 12.5 &&
+      got(2).getAs[Double]("level6") == 11.25 &&
+      got(2).getAs[Double]("trend6") == 0.1875)
+  }
+
+  test("holtSmooth: per-key independence, determinism, trend onset") {
+    import spark.implicits._
+    val rows = (1L to 8L).flatMap(t =>
+      Seq(("ramp", t, 2.0 * t.toDouble), ("flat", t, 7.0)))
+    val df = rows.toDF("key", "t", "x")
+    val a = TimeSeries.holtSmooth(df, "key", "t", "x", 0.5, 0.25)
+    val flat = a.filter(col("key") === "flat").orderBy("t").collect()
+    // a constant series keeps level = x, trend = 0, forecast exact
+    assert(flat.forall(_.getAs[Double]("level6") == 7.0))
+    assert(flat.forall(_.getAs[Double]("trend6") == 0.0))
+    assert(flat.drop(1).forall(_.getAs[Double]("fc6") == 7.0))
+    // the ramp's one-step error shrinks as the trend locks on
+    val ramp = a.filter(col("key") === "ramp").orderBy("t").collect()
+    val errs = ramp.drop(1).map(r =>
+      math.abs(r.getAs[Double]("x") - r.getAs[Double]("fc6")))
+    assert(errs.last < errs.head, s"errors ${errs.toSeq}")
+    // bit-exact across runs and partitionings
+    val b = TimeSeries.holtSmooth(df.repartition(5), "key", "t", "x",
+      0.5, 0.25)
+    assert(a.orderBy("key", "t").collect().toSeq ==
+      b.orderBy("key", "t").collect().toSeq)
+  }
 }
