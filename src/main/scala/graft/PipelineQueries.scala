@@ -6959,4 +6959,52 @@ object PipelineQueries extends QueryGroup {
         alpha = 0.5, beta = 0.25)
       .orderBy(col("event_type"), col("t"))
   }
+
+  // Retrieval eval, first-hit edition: MRR@10 of five single-term
+  // BM25 queries against the binary doc_id%4=3 relevance — "how fast
+  // does the ranker surface ONE good answer", next to q135's graded
+  // nDCG. One corpus pass scores all five queries (shared dl/df
+  // aggregates, per-query WindowGroupLimit top-k); reciprocals are
+  // micro-snapped so the mean is an exact int64 sum.
+  q("q231_mrr_eval",
+    s"""WITH toks AS (SELECT doc_id, unnest($sqlTokens) AS w FROM documents),
+       |dls AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+       |stats AS (SELECT (SELECT count(*) FROM documents) AS n,
+       |    (SELECT sum(dl) * 1.0 / count(*) FROM dls) AS avgdl),
+       |tf231 AS (SELECT doc_id, w, count(*) AS tf FROM toks
+       |  WHERE w IN ('spark', 'join', 'stream', 'data', 'query')
+       |  GROUP BY doc_id, w),
+       |df231 AS (SELECT w, count(*) AS df FROM tf231 GROUP BY w),
+       |sc231 AS (SELECT w AS query, tf231.doc_id,
+       |    floor((ln((n - df + 0.5) / (df + 0.5) + 1.0) *
+       |      ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (dl / avgdl)))))
+       |      * 1e6 + 0.5)/1e6 AS score
+       |  FROM tf231 JOIN df231 USING (w) JOIN dls USING (doc_id)
+       |  CROSS JOIN stats),
+       |rk231 AS (SELECT query, doc_id, score, row_number() OVER (
+       |    PARTITION BY query ORDER BY score DESC, doc_id) AS rank
+       |  FROM sc231),
+       |fr231 AS (SELECT query, CAST(min(rank) AS BIGINT) AS first_rank
+       |  FROM rk231 WHERE rank <= 10 AND doc_id % 4 = 3 GROUP BY 1),
+       |qs231 AS (SELECT DISTINCT query FROM rk231),
+       |pq231 AS (SELECT qs231.query, first_rank,
+       |    CASE WHEN first_rank IS NOT NULL THEN
+       |      CAST(floor(1e6 / CAST(first_rank AS DOUBLE) + 0.5) AS BIGINT)
+       |    ELSE 0 END AS rrm
+       |  FROM qs231 LEFT JOIN fr231 ON fr231.query = qs231.query),
+       |t231 AS (SELECT CAST(count(*) AS BIGINT) AS nq,
+       |    CAST(coalesce(sum(rrm), 0) AS BIGINT) AS srrm FROM pq231)
+       |SELECT query, first_rank, CAST(rrm AS DOUBLE)/1e6 AS rr6,
+       |  CASE WHEN nq > 0 THEN floor(CAST(srrm AS DOUBLE)
+       |    / CAST(nq AS DOUBLE) + 0.5)/1e6 END AS mrr6
+       |FROM pq231, t231 ORDER BY query""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val ranked = TextAnalysis.bm25PerTerm(docs, "doc_id", "text",
+      Seq("spark", "join", "stream", "data", "query"), topK = 10)
+    val rels = docs.select(col("doc_id"),
+      (col("doc_id") % 4 === 3).as("rel"))
+    graft.operators.Retrieval.mrrAtK(ranked, rels,
+        "query", "doc_id", "rank", "rel", k = 10)
+      .orderBy(col("query"))
+  }
 }

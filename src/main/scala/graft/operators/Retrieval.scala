@@ -122,4 +122,54 @@ object Retrieval {
         when(col("idcg") === 0, lit(null).cast("double"))
           .otherwise(pr6(col("dcg") / col("idcg"))).as("ndcg"))
   }
+
+  /** Mean reciprocal rank at k (Voorhees 1999): per query, 1/rank of
+    * the FIRST relevant document inside the top-k (0 when none), and
+    * the mean over queries — the "how fast does the ranker surface
+    * one good answer" readout next to [[ndcgAtK]]'s graded-quality
+    * one.
+    *
+    * Determinism: first_rank is an integer min; each query's
+    * reciprocal is micro-snapped (floor(1e6/rank + 0.5)) so the MRR
+    * mean is an exact int64 micro sum over queries — the
+    * [[RankStats.prCurve]] per-term-snap discipline.
+    *
+    * Scale shape: everything runs on the (queries × k)-sized ranked
+    * frame — one relevance semi-join, one query-grain min, one 1-row
+    * broadcast total. Queries with no relevant doc in the top-k
+    * count as 0 in the mean (the standard convention), via the
+    * distinct-query left join.
+    *
+    * Output: (queryCol, first_rank — null when no hit, rr6, mrr6 —
+    * constant across rows); callers order.
+    */
+  def mrrAtK(
+      ranked: DataFrame,
+      rels: DataFrame,
+      queryCol: String,
+      idCol: String,
+      rankCol: String,
+      relCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val firsts = ranked.filter(col(rankCol) <= k)
+      .join(rels.filter(col(relCol)).select(col(idCol)), Seq(idCol),
+        "left_semi")
+      .groupBy(col(queryCol))
+      .agg(min(col(rankCol)).cast("long").as("first_rank"))
+    val perQ = ranked.select(col(queryCol)).distinct()
+      .join(firsts, Seq(queryCol), "left")
+      .withColumn("__rrm", when(col("first_rank").isNotNull,
+        floor(lit(1e6) / col("first_rank").cast("double") + lit(0.5))
+          .cast("long")).otherwise(0L))
+    val tot = perQ.agg(count(lit(1)).as("__nq"),
+      coalesce(sum(col("__rrm")), lit(0L)).as("__srrm"))
+    perQ.crossJoin(broadcast(tot))
+      .select(col(queryCol), col("first_rank"),
+        (col("__rrm").cast("double") / lit(1e6)).as("rr6"),
+        when(col("__nq") > 0,
+          floor(col("__srrm").cast("double") / col("__nq").cast("double")
+            + lit(0.5)) / lit(1e6))
+          .otherwise(lit(null).cast("double")).as("mrr6"))
+  }
 }

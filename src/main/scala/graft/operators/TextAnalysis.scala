@@ -643,6 +643,54 @@ object TextAnalysis {
       .limit(topK)
   }
 
+  /** Per-term BM25 ranked lists: the multi-QUERY evaluation shape of
+    * [[bm25]] — each query token becomes its own ranked top-k list in
+    * ONE corpus pass (shared dls/df aggregates, one per-query window
+    * whose partial top-k runs pre-shuffle as WindowGroupLimit),
+    * where calling [[bm25]] per query would re-scan the corpus per
+    * term. Scores carry the single-term BM25 value, 6dp-snapped with
+    * the q115 literal discipline.
+    *
+    * Output: (query, idCol, score, rank) with rank 1..topK per
+    * query; callers order.
+    */
+  def bm25PerTerm(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      queryTokens: Seq[String],
+      topK: Int): DataFrame = {
+    require(queryTokens.nonEmpty, "bm25PerTerm needs at least one query token")
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col(idCol).as("__doc"),
+      explode(TextFns.tokens(col(textCol))).as("w"))
+    val dls = toks.groupBy(col("__doc")).agg(count(lit(1)).as("dl"))
+      .localCheckpoint(true)
+    val n = docs.count()
+    val mm = dls.agg(sum(col("dl")), count(lit(1))).collect()(0)
+    require(!mm.isNullAt(0) && mm.getLong(1) > 0,
+      "bm25PerTerm needs at least one document with a non-empty token stream")
+    val avgdl = mm.getLong(0).toDouble * 1.0 / mm.getLong(1).toDouble
+    val tf = toks.filter(col("w").isin(queryTokens: _*))
+      .groupBy(col("__doc"), col("w")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val term = log((lit(n) - col("df") + lit(0.5)) / (col("df") + lit(0.5))
+        + lit(1.0)) *
+      ((col("tf") * lit(2.2)) /
+        (col("tf") + lit(1.2) *
+          (lit(0.25) + lit(0.75) * (col("dl") / lit(avgdl)))))
+    val scored = tf.join(broadcast(df), "w")
+      .join(dls, "__doc")
+      .select(col("w").as("query"), col("__doc"),
+        (floor(term * lit(1e6) + lit(0.5)) / lit(1e6)).as("score"))
+    val wnd = Window.partitionBy(col("query"))
+      .orderBy(col("score").desc, col("__doc"))
+    scored.withColumn("rank", row_number().over(wnd))
+      .filter(col("rank") <= topK)
+      .select(col("query"), col("__doc").as(idCol), col("score"),
+        col("rank"))
+  }
+
   /** PMI collocation mining (q107): the top-k adjacent word pairs by
     * pointwise-mutual-information LIFT, `p(w1 w2) / (p(w1) p(w2))` —
     * the corpus-analysis pass behind multi-word-token vocabulary

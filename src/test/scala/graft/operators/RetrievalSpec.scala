@@ -107,4 +107,41 @@ class RetrievalSpec extends SparkSuiteBase {
     // ideal takes the BEST 3 of the judgment table: rel 3, 2, 1
     assert(row.getDouble(1) === textbookDcg(Seq(3.0, 2.0, 1.0)))
   }
+
+  test("mrrAtK: first-hit reciprocals, missing query counts as 0") {
+    import spark.implicits._
+    // q1 first hit at rank 2 → 0.5; q2 at rank 1 → 1.0;
+    // q3 no relevant in top-k → 0; MRR = (0.5+1.0+0)/3 = 0.5
+    val ranked = Seq(
+      ("q1", 10L, 1), ("q1", 11L, 2), ("q1", 12L, 3),
+      ("q2", 11L, 1), ("q2", 10L, 2),
+      ("q3", 10L, 1), ("q3", 13L, 2))
+      .toDF("query", "doc_id", "rank")
+    val rels = Seq((10L, false), (11L, true), (12L, true), (13L, false))
+      .toDF("doc_id", "rel")
+    val got = Retrieval.mrrAtK(ranked, rels, "query", "doc_id", "rank",
+        "rel", k = 10)
+      .orderBy("query").collect()
+    assert(got.map(r => (r.getString(0),
+      Option(r.get(1)), r.getAs[Double]("rr6"))).toSeq ==
+      Seq(("q1", Some(2L), 0.5), ("q2", Some(1L), 1.0),
+        ("q3", None, 0.0)))
+    assert(got.map(_.getAs[Double]("mrr6")).distinct.toSeq == Seq(0.5))
+  }
+
+  test("mrrAtK: k truncation hides hits past k; rank-3 micro snap") {
+    import spark.implicits._
+    val ranked = Seq(("q1", 5L, 3), ("q2", 5L, 4))
+      .toDF("query", "doc_id", "rank")
+    val rels = Seq((5L, true)).toDF("doc_id", "rel")
+    val got = Retrieval.mrrAtK(ranked, rels, "query", "doc_id", "rank",
+        "rel", k = 3)
+      .orderBy("query").collect()
+    // q1: 1/3 micro-snapped = 0.333333; q2's rank-4 hit is beyond k
+    assert(got(0).getAs[Double]("rr6") == 0.333333)
+    assert(got(1).getAs[Double]("rr6") == 0.0)
+    // mean of micro ints: (333333 + 0)/2 = 166666.5 → floor(+.5) snap
+    assert(got.map(_.getAs[Double]("mrr6")).distinct.toSeq ==
+      Seq(0.166667))
+  }
 }
