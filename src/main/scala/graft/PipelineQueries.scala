@@ -7007,4 +7007,46 @@ object PipelineQueries extends QueryGroup {
         "query", "doc_id", "rank", "rel", k = 10)
       .orderBy(col("query"))
   }
+
+  // Burstiness monitor: index of dispersion (variance/mean) of the
+  // per-type daily arrival counts — Poisson arrivals read ~1,
+  // retry storms >> 1. One combinable aggregate per key over the
+  // daily grid; the flag compares the rounded ratio.
+  q("q232_dispersion_index",
+    """WITH d232 AS (SELECT event_type, epoch_ms(ts) // 86400000 AS t,
+      |    CAST(count(*) AS BIGINT) AS x
+      |  FROM events GROUP BY 1, 2),
+      |m232 AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+      |    CAST(sum(x) AS BIGINT) AS sx,
+      |    CAST(sum(x * x) AS BIGINT) AS sxx
+      |  FROM d232 GROUP BY 1)
+      |SELECT event_type, n_days,
+      |  floor((CAST(sx AS DOUBLE) / CAST(n_days AS DOUBLE))
+      |    * 1e6 + 0.5)/1e6 AS mean6,
+      |  floor((CAST(sxx AS DOUBLE) / CAST(n_days AS DOUBLE)
+      |    - (CAST(sx AS DOUBLE) / CAST(n_days AS DOUBLE))
+      |      * (CAST(sx AS DOUBLE) / CAST(n_days AS DOUBLE)))
+      |    * 1e6 + 0.5)/1e6 AS var6,
+      |  CASE WHEN sx > 0 THEN
+      |    floor(((CAST(sxx AS DOUBLE) / CAST(n_days AS DOUBLE)
+      |      - (CAST(sx AS DOUBLE) / CAST(n_days AS DOUBLE))
+      |        * (CAST(sx AS DOUBLE) / CAST(n_days AS DOUBLE)))
+      |      / (CAST(sx AS DOUBLE) / CAST(n_days AS DOUBLE)))
+      |      * 1e6 + 0.5)/1e6
+      |  END AS dispersion6,
+      |  CASE WHEN sx > 0 THEN
+      |    floor(((CAST(sxx AS DOUBLE) / CAST(n_days AS DOUBLE)
+      |      - (CAST(sx AS DOUBLE) / CAST(n_days AS DOUBLE))
+      |        * (CAST(sx AS DOUBLE) / CAST(n_days AS DOUBLE)))
+      |      / (CAST(sx AS DOUBLE) / CAST(n_days AS DOUBLE)))
+      |      * 1e6 + 0.5)/1e6 > 1.5
+      |  END AS overdispersed
+      |FROM m232 ORDER BY event_type""".stripMargin) { (s, d) =>
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"),
+        expr("unix_millis(ts) div 86400000").as("t"))
+      .agg(count(lit(1)).as("x"))
+    graft.operators.TimeSeries.dispersionIndex(daily, "event_type", "x")
+      .orderBy(col("event_type"))
+  }
 }

@@ -273,6 +273,48 @@ object TimeSeries {
         (col("e.s") > lit(threshold)).as("alarm"))
   }
 
+  /** Index of dispersion (variance-to-mean ratio) per key over a
+    * count series — the burstiness monitor: a Poisson-arrival stream
+    * reads ≈ 1, machine-gun retries / thundering herds read ≫ 1,
+    * quota-smoothed traffic ≪ 1 (Cox & Lewis 1966). The one-line
+    * companion the anomaly detectors (q121/q194) assume but never
+    * report.
+    *
+    * Exactness: per-key n, Σx, Σx² are exact int64 aggregates (x is
+    * a count; Σx² holds to ~3e9 days of 1e6-level counts — beyond,
+    * ride decimal like [[Regression.olsFit]]); mean/variance/ratio
+    * are one row of double arithmetic, 6dp-snapped, with the
+    * population-variance formula in fixed order. The overdispersion
+    * flag compares the ROUNDED ratio (the q85 pred discipline).
+    *
+    * Scale shape: ONE map-side-combinable aggregate; nothing else.
+    *
+    * Output: (keyCol, n_days, mean6, var6, dispersion6,
+    * overdispersed — NULL ratio/flag when the mean is 0).
+    */
+  def dispersionIndex(
+      df: DataFrame,
+      keyCol: String,
+      countCol: String,
+      threshold: Double = 1.5): DataFrame = {
+    val x = col(countCol).cast("long")
+    val m = df.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_days"),
+        sum(x).as("__sx"), sum(x * x).as("__sxx"))
+    val nD = col("n_days").cast("double")
+    val mean = col("__sx").cast("double") / nD
+    val varP = col("__sxx").cast("double") / nD -
+      (col("__sx").cast("double") / nD) *
+      (col("__sx").cast("double") / nD)
+    val p6 = (c: Column) => floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+    m.select(col(keyCol), col("n_days"),
+      p6(mean).as("mean6"), p6(varP).as("var6"),
+      when(col("__sx") > 0, p6(varP / mean))
+        .otherwise(lit(null).cast("double")).as("dispersion6"),
+      when(col("__sx") > 0, p6(varP / mean) > lit(threshold))
+        .otherwise(lit(null).cast("boolean")).as("overdispersed"))
+  }
+
   /** Holt's linear-trend exponential smoothing (Holt 1957) per key —
     * the forecasting member of the smoothing family: [[ewmaSmooth]]
     * tracks a level, this tracks level AND trend, and emits the

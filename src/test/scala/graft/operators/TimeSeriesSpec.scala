@@ -388,6 +388,32 @@ class TimeSeriesSpec extends SparkSuiteBase {
     assert(f.isNullAt(f.fieldIndex("trend")))
   }
 
+  test("dispersionIndex: Poisson-ish ~1, bursty >>1, constant 0, zero NULL") {
+    import spark.implicits._
+    val rows =
+      // constant series: variance 0 → ratio 0, not overdispersed
+      (1L to 4L).map(t => ("const", t, 5L)) ++
+      // bursty: {0,0,0,12} → mean 3, var (9+9+9+81)/4=27 → ratio 9
+      Seq(("burst", 1L, 0L), ("burst", 2L, 0L), ("burst", 3L, 0L),
+        ("burst", 4L, 12L)) ++
+      // all-zero: mean 0 → NULL ratio and flag
+      (1L to 3L).map(t => ("zero", t, 0L))
+    val got = TimeSeries.dispersionIndex(rows.toDF("k", "t", "x")
+        .select(col("k"), col("x")), "k", "x")
+      .orderBy("k").collect()
+    val burst = got(0)
+    assert(burst.getAs[Double]("mean6") == 3.0 &&
+      burst.getAs[Double]("var6") == 27.0 &&
+      burst.getAs[Double]("dispersion6") == 9.0 &&
+      burst.getAs[Boolean]("overdispersed"))
+    val const = got(1)
+    assert(const.getAs[Double]("dispersion6") == 0.0 &&
+      !const.getAs[Boolean]("overdispersed"))
+    val zero = got(2)
+    assert(zero.isNullAt(zero.fieldIndex("dispersion6")) &&
+      zero.isNullAt(zero.fieldIndex("overdispersed")))
+  }
+
   test("holtSmooth: hand-folded level/trend/forecast chain") {
     import spark.implicits._
     // x = 10, 14, 10 with α=0.5, β=0.25:
