@@ -7049,4 +7049,25 @@ object PipelineQueries extends QueryGroup {
     graft.operators.TimeSeries.dispersionIndex(daily, "event_type", "x")
       .orderBy(col("event_type"))
   }
+
+  // Cross-validation splitter: stratified 5-fold assignment — within
+  // every source stratum, docs rank under the md5-uniform (u, id)
+  // order and fold = rank mod 5, so every (source, fold) cell is
+  // exactly balanced (±1). One shared range-partitioned prefix pass;
+  // per-stratum ranks = global prefix minus the stratum offset.
+  q("q233_stratified_kfold",
+    """WITH u233 AS (SELECT doc_id, source,
+      |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+      |      AS BIGINT) % 1000000 AS u
+      |  FROM documents WHERE doc_id IS NOT NULL),
+      |r233 AS (SELECT doc_id, source, u,
+      |    row_number() OVER (PARTITION BY source ORDER BY u, doc_id)
+      |      - 1 AS rk
+      |  FROM u233)
+      |SELECT doc_id, source, u, CAST(rk % 5 AS BIGINT) AS fold
+      |FROM r233 ORDER BY doc_id""".stripMargin) { (s, d) =>
+    graft.operators.Curation.stratifiedKFold(
+        Tables.documents(s, d), "doc_id", "source", k = 5)
+      .orderBy(col("doc_id"))
+  }
 }

@@ -117,6 +117,43 @@ object Curation {
       .select(col(idCol), u.as("u"), split.as("split"))
   }
 
+  /** Deterministic STRATIFIED k-fold assignment: within every
+    * stratum, rows rank under the md5-uniform (u, id) total order
+    * (the [[deterministicSplit]] key — reshuffle-stable, data-blind)
+    * and fold = rank mod k — so every (stratum, fold) cell holds
+    * ⌊n_s/k⌋ or ⌈n_s/k⌉ rows EXACTLY. The cross-validation splitter:
+    * [[deterministicSplit]]'s proportional membership can leave a
+    * small stratum's folds ±√n unbalanced; ranked assignment cannot.
+    *
+    * Exhaustive + exclusive + balanced by construction (one fold per
+    * row, |cells| differ by ≤ 1 within a stratum) — all spec'd.
+    *
+    * Scale shape: ONE range-partitioned prefix sum over
+    * (stratum, u, id) ([[ScaleOps.prefixSumByRange]]) + a
+    * strata-sized min-offset join — per-stratum ranks are the global
+    * prefix minus the stratum's first prefix (the q214 shared-pass
+    * idiom), so a giant stratum never funnels into one window task.
+    *
+    * Output: (idCol, strataCol, u, fold ∈ [0, k)); callers order.
+    */
+  def stratifiedKFold(
+      docs: DataFrame,
+      idCol: String,
+      strataCol: String,
+      k: Int): DataFrame = {
+    require(k >= 2 && k <= 1000, s"k must be in [2,1000], got $k")
+    val u = graft.functions.PortableHash.md5Long60(col(idCol).cast("string")) %
+      lit(1000000L)
+    val keyed = docs.filter(col(idCol).isNotNull)
+      .select(col(strataCol).as("__s"), u.as("u"), col(idCol))
+    val p = ScaleOps.prefixSumByRange(keyed, Seq("__s", "u", idCol),
+      lit(1L), "__gb", targetPartBytes = 1L << 20)
+    val offs = p.groupBy(col("__s")).agg(min(col("__gb")).as("__off"))
+    p.join(offs, Seq("__s"))
+      .select(col(idCol), col("__s").as(strataCol), col("u"),
+        ((col("__gb") - col("__off")) % lit(k.toLong)).as("fold"))
+  }
+
   def mixSample(docs: DataFrame, idCol: String, groupCol: String,
       rates: Map[String, Double], defaultRate: Double = 1.0): DataFrame = {
     require((rates.values ++ Seq(defaultRate)).forall(r => r >= 0 && r <= 1),

@@ -183,4 +183,31 @@ class SamplingDecontamSpec extends SparkSuiteBase {
     assert(!p.contains("Join"),
       s"assignment must be row-local (literal centroids, no join):\n$p")
   }
+
+  test("stratifiedKFold: exhaustive, exclusive, balanced-per-cell, stable") {
+    import spark.implicits._
+    val docs = (1L to 103L).map(i =>
+      (i, if (i % 3 == 0) "web" else "book")).toDF("doc_id", "source")
+    val f = Curation.stratifiedKFold(docs, "doc_id", "source", k = 5)
+    val rows = f.collect()
+    // exhaustive + exclusive: one row per input doc, fold in [0,5)
+    assert(rows.length == 103)
+    assert(rows.map(_.getAs[Long]("doc_id")).distinct.length == 103)
+    assert(rows.forall(r => r.getAs[Long]("fold") >= 0 &&
+      r.getAs[Long]("fold") < 5))
+    // balance: every (stratum, fold) cell within 1 of the stratum mean
+    val cells = rows.groupBy(r => (r.getAs[String]("source"),
+      r.getAs[Long]("fold"))).view.mapValues(_.length)
+    Seq("web", "book").foreach { s =>
+      val sizes = (0L until 5L).map(k => cells.getOrElse((s, k), 0))
+      assert(sizes.max - sizes.min <= 1, s"$s cells: $sizes")
+    }
+    // reshuffle-stable: the assignment is a pure function of the ids
+    val again = Curation.stratifiedKFold(docs.repartition(7),
+        "doc_id", "source", k = 5)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("fold"))
+      .toMap
+    rows.foreach(r => assert(
+      again(r.getAs[Long]("doc_id")) == r.getAs[Long]("fold")))
+  }
 }
