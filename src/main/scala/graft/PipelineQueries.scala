@@ -7070,4 +7070,46 @@ object PipelineQueries extends QueryGroup {
         Tables.documents(s, d), "doc_id", "source", k = 5)
       .orderBy(col("doc_id"))
   }
+
+  // Duplication-leakage readout: Newman modularity of the SOURCE
+  // partition over the mined near-dup graph — Q near its maximum
+  // means duplicates stay inside sources; Q ~ 0 means cross-source
+  // contamination. Exact integer edge/degree aggregates; per-source
+  // terms micro-snapped then int64-summed.
+  q("q234_modularity",
+    s"""WITH $jaccardPairCtes,
+       |ed234 AS (SELECT DISTINCT least(id_a, id_b) AS a,
+       |    greatest(id_a, id_b) AS b
+       |  FROM pr WHERE id_a <> id_b),
+       |t234 AS (SELECT CAST(count(*) AS BIGINT) AS m FROM ed234),
+       |wl234 AS (SELECT la.source AS ca, lb.source AS cb
+       |  FROM ed234 JOIN documents la ON la.doc_id = a
+       |  JOIN documents lb ON lb.doc_id = b),
+       |in234 AS (SELECT ca AS community,
+       |    CAST(count(*) AS BIGINT) AS in_edges
+       |  FROM wl234 WHERE ca = cb GROUP BY 1),
+       |dg234 AS (SELECT d.source AS community,
+       |    CAST(count(*) AS BIGINT) AS deg_sum
+       |  FROM (SELECT a AS id FROM ed234
+       |        UNION ALL SELECT b AS id FROM ed234) e
+       |  JOIN documents d ON d.doc_id = e.id GROUP BY 1),
+       |tm234 AS (SELECT community,
+       |    CAST(coalesce(in_edges, 0) AS BIGINT) AS in_edges, deg_sum,
+       |    CASE WHEN m > 0 THEN CAST(floor(
+       |      (CAST(coalesce(in_edges, 0) AS DOUBLE) / CAST(m AS DOUBLE)
+       |       - (CAST(deg_sum AS DOUBLE) / (2e0 * CAST(m AS DOUBLE)))
+       |         * (CAST(deg_sum AS DOUBLE) / (2e0 * CAST(m AS DOUBLE))))
+       |      * 1e6 + 0.5) AS BIGINT) ELSE 0 END AS tm
+       |  FROM dg234 LEFT JOIN in234 USING (community), t234),
+       |qq234 AS (SELECT CAST(coalesce(sum(tm), 0) AS BIGINT) AS qm
+       |  FROM tm234)
+       |SELECT community, in_edges, deg_sum,
+       |  CAST(tm AS DOUBLE)/1e6 AS term6,
+       |  CAST(qm AS DOUBLE)/1e6 AS modularity6
+       |FROM tm234, qq234 ORDER BY community""".stripMargin) { (s, d) =>
+    graft.operators.GraphOps.modularity(dedupStage(s, d).pairs,
+        "id_a", "id_b",
+        Tables.documents(s, d), "doc_id", "source")
+      .orderBy(col("community"))
+  }
 }

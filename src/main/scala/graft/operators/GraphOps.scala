@@ -343,6 +343,79 @@ object GraphOps {
     dist
   }
 
+  /** Newman modularity of a NODE-LABEL partition over an undirected
+    * pair frame: Q = Σ_c (in_c/m − (deg_c/2m)²) (Newman & Girvan
+    * 2004) — here used as a data-quality readout, not a community
+    * detector: label the near-dup graph's nodes by their `source`
+    * (or lang, or license) and Q says whether duplication stays
+    * INSIDE sources (Q near its partition maximum) or leaks across
+    * them (Q ≈ 0 — the contamination smell worth chasing).
+    *
+    * Determinism: in_c, deg_c, m are exact integer aggregates; each
+    * community's term snaps to the 1e-6 grid before the final int64
+    * sum (the [[linkPredict]] per-term discipline), so Q is
+    * partition-order-free. Unlabeled endpoints (no row in `labels`)
+    * drop with their incident edges' label pairings — supply total
+    * labels if that matters.
+    *
+    * Scale shape: one distinct over edges, two label equi-joins
+    * (labels broadcast when dimension-sized), two community-grain
+    * aggregates, one 1-row total. Nothing quadratic.
+    *
+    * Output: one row per community (community, in_edges, deg_sum,
+    * term6) + the constant modularity6; callers order.
+    */
+  def modularity(
+      pairs: DataFrame,
+      idACol: String,
+      idBCol: String,
+      labels: DataFrame,
+      labelIdCol: String,
+      labelCol: String): DataFrame = {
+    def r6(c: org.apache.spark.sql.Column) =
+      floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+    val ed = pairs.filter(col(idACol) =!= col(idBCol))
+      .select(least(col(idACol), col(idBCol)).as("__a"),
+        greatest(col(idACol), col(idBCol)).as("__b"))
+      .distinct()
+      .localCheckpoint(true)
+    val lab = labels.select(col(labelIdCol).as("__id"),
+      col(labelCol).as("__c")).localCheckpoint(true)
+    val tot = ed.agg(count(lit(1)).as("__m"))
+    val withLabels = ed
+      .join(lab.select(col("__id").as("__a"), col("__c").as("__ca")),
+        Seq("__a"))
+      .join(lab.select(col("__id").as("__b"), col("__c").as("__cb")),
+        Seq("__b"))
+    val inC = withLabels.filter(col("__ca") === col("__cb"))
+      .groupBy(col("__ca").as("community"))
+      .agg(count(lit(1)).as("in_edges"))
+    val degC = ed.select(col("__a").as("__id"))
+      .unionByName(ed.select(col("__b").as("__id")))
+      .join(lab, Seq("__id"))
+      .groupBy(col("__c").as("community"))
+      .agg(count(lit(1)).as("deg_sum"))
+    val mD = col("__m").cast("double")
+    val dd = col("deg_sum").cast("double") / (lit(2.0) * mD)
+    val terms = degC.join(inC, Seq("community"), "left")
+      .select(col("community"),
+        coalesce(col("in_edges"), lit(0L)).as("in_edges"),
+        col("deg_sum"))
+      .crossJoin(broadcast(tot))
+      .withColumn("__tm",
+        when(col("__m") > 0,
+          floor((col("in_edges").cast("double") / mD - dd * dd) *
+            lit(1e6) + lit(0.5)).cast("long"))
+          .otherwise(lit(0L)))
+      .localCheckpoint(true)
+    val q = terms.agg(coalesce(sum(col("__tm")), lit(0L)).as("__qm"))
+      .select((col("__qm").cast("double") / lit(1e6)).as("modularity6"))
+    terms.crossJoin(broadcast(q))
+      .select(col("community"), col("in_edges"), col("deg_sum"),
+        (col("__tm").cast("double") / lit(1e6)).as("term6"),
+        col("modularity6"))
+  }
+
   def kCore(
       nodes: DataFrame,
       idCol: String,

@@ -106,6 +106,37 @@ class GraphOpsSpec extends SparkSuiteBase {
       Seq.empty[Long].toDF("seed"), "seed", 3).count() == 0L)
   }
 
+  test("modularity: two clean cliques high Q, label-blind split ~0") {
+    import spark.implicits._
+    // two triangles {1,2,3} and {4,5,6}; m = 6
+    val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L),
+      (4L, 6L)).toDF("id_a", "id_b")
+    // labels follow the cliques → Q = 2·(3/6 − (6/12)²) = 0.5
+    val aligned = Seq((1L, "x"), (2L, "x"), (3L, "x"), (4L, "y"),
+      (5L, "y"), (6L, "y")).toDF("id", "c")
+    val qa = GraphOps.modularity(pairs, "id_a", "id_b", aligned, "id", "c")
+      .collect()
+    assert(qa.map(_.getAs[Double]("modularity6")).distinct.toSeq ==
+      Seq(0.5))
+    val byC = qa.map(r => r.getAs[String]("community") ->
+      (r.getAs[Long]("in_edges"), r.getAs[Long]("deg_sum"))).toMap
+    assert(byC("x") == (3L, 6L) && byC("y") == (3L, 6L))
+    // labels that cut ACROSS both cliques: in_c = 2 of 6 per label
+    // → Q = 2·(2/6 − 1/4) = 2·(1/12) ≈ 0.166666 (micro-floored terms)
+    val blind = Seq((1L, "x"), (2L, "x"), (3L, "y"), (4L, "y"),
+      (5L, "x"), (6L, "y")).toDF("id", "c")
+    val qb = GraphOps.modularity(pairs, "id_a", "id_b", blind, "id", "c")
+      .collect().map(_.getAs[Double]("modularity6")).distinct
+    assert(qb.forall(v => v < 0.25), s"got ${qb.toSeq}")
+    // duplicate/reversed edge rows collapse before counting
+    val dup = Seq((1L, 2L), (2L, 1L), (1L, 2L)).toDF("id_a", "id_b")
+    val labs = Seq((1L, "x"), (2L, "x")).toDF("id", "c")
+    val qd = GraphOps.modularity(dup, "id_a", "id_b", labs, "id", "c")
+      .collect()
+    assert(qd.length == 1 && qd(0).getAs[Long]("in_edges") == 1L &&
+      qd(0).getAs[Long]("deg_sum") == 2L)
+  }
+
   test("pageRank: total mass stays below 1 only by the dangling leak") {
     import spark.implicits._
     // fully connected triangle: no dangling nodes, mass ~ 1 (up to
