@@ -7112,4 +7112,41 @@ object PipelineQueries extends QueryGroup {
         Tables.documents(s, d), "doc_id", "source")
       .orderBy(col("community"))
   }
+
+  // Data-chosen head/tail cut: the knee of q227's descending revenue
+  // curve — the rank maximizing height above the (0,0)->(n,total)
+  // chord, picked by an exact decimal cross-product (no float ever
+  // decides), ties to the smallest rank.
+  q("q235_knee_detection",
+    """WITH r235 AS (SELECT l_partkey,
+      |    CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 1e6
+      |      + 0.5) AS BIGINT)) AS BIGINT) AS rm
+      |  FROM lineitem GROUP BY 1),
+      |c235 AS (SELECT l_partkey, rm,
+      |    CAST(sum(rm) OVER (ORDER BY rm DESC, l_partkey
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS cum,
+      |    CAST(row_number() OVER (ORDER BY rm DESC, l_partkey)
+      |      AS BIGINT) AS i
+      |  FROM r235),
+      |t235 AS (SELECT CAST(sum(rm) AS BIGINT) AS tot,
+      |    CAST(count(*) AS BIGINT) AS n FROM r235),
+      |s235 AS (SELECT l_partkey, i, cum, tot, n,
+      |    CAST(cum AS HUGEINT) * n - CAST(i AS HUGEINT) * tot AS score
+      |  FROM c235, t235 WHERE tot > 0)
+      |SELECT i AS knee_rank, l_partkey AS knee_id,
+      |  floor((CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE)) * 1e6 + 0.5)
+      |    /1e6 AS cum_share6,
+      |  floor((CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE)
+      |    - CAST(i AS DOUBLE) / CAST(n AS DOUBLE)) * 1e6 + 0.5)/1e6
+      |    AS dist6
+      |FROM s235 ORDER BY score DESC, i ASC LIMIT 1""".stripMargin) {
+    (s, d) =>
+    val rev = Tables.lineitem(s, d)
+      .select(col("l_partkey"),
+        floor(col("l_extendedprice") * (lit(1) - col("l_discount")) *
+          lit(1e6) + lit(0.5)).cast("long").as("rm"))
+      .groupBy(col("l_partkey")).agg(sum(col("rm")).as("rm"))
+    graft.operators.RankStats.kneePoint(rev, "l_partkey", "rm")
+  }
 }

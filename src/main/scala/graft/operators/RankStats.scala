@@ -403,6 +403,59 @@ object RankStats {
         }).otherwise(lit(null).cast("string")).as("abc_class"))
   }
 
+  /** Knee point of the descending cumulative-value curve: the rank
+    * maximizing the curve's height ABOVE the (0,0)→(n,total) chord —
+    * the Kneedle-family "diminishing returns start here" readout
+    * (Satopää et al. 2011) that turns [[paretoAbc]]'s fixed 80/95
+    * cuts into a data-chosen one ("keep the head above the knee").
+    *
+    * Exactness: the argmax criterion cum_i·n − i·total is an exact
+    * decimal(38,0) cross-product — no float ever picks the knee; ties
+    * break to the SMALLEST rank. Only the reported share/distance are
+    * doubles, 6dp-snapped.
+    *
+    * Scale shape: one key aggregate to the item frame, two
+    * range-partitioned prefix passes over it (value cumulative +
+    * rank — both item-frame-sized), one broadcast total, one
+    * max-struct aggregate. No global window, nothing quadratic.
+    *
+    * Output: ONE row (knee_rank, knee_id, cum_share6, dist6); empty
+    * on an empty or zero-total input.
+    */
+  def kneePoint(
+      items: DataFrame,
+      idCol: String,
+      microCol: String): DataFrame = {
+    val base = items.select(col(idCol).as("__id"),
+      col(microCol).cast("long").as("__v"),
+      (-col(microCol).cast("long")).as("__nv"))
+    val p1 = ScaleOps.prefixSumByRange(base, Seq("__nv", "__id"),
+      col("__v"), "__cb", targetPartBytes = 1L << 20)
+    val p2 = ScaleOps.prefixSumByRange(p1, Seq("__nv", "__id"),
+      lit(1L), "__ib", targetPartBytes = 1L << 20)
+    val tot = p2.agg(coalesce(sum(col("__v")), lit(0L)).as("__tot"),
+      count(lit(1)).as("__n"))
+    val scored = p2.crossJoin(broadcast(tot))
+      .filter(col("__tot") > 0)
+      .withColumn("__cum", col("__cb") + col("__v"))
+      .withColumn("__i", col("__ib") + lit(1L))
+      .withColumn("__score",
+        col("__cum").cast("decimal(38,0)") * col("__n") -
+          col("__i").cast("decimal(38,0)") * col("__tot"))
+    val top = scored.agg(max(struct(col("__score"),
+      (-col("__i")).as("__ti"), col("__i"), col("__id"), col("__cum"),
+      col("__tot"), col("__n"))).as("__mx"))
+      .filter(col("__mx").isNotNull)
+    top.select(col("__mx.__i").as("knee_rank"),
+      col("__mx.__id").as("knee_id"),
+      pr6(col("__mx.__cum").cast("double") /
+        col("__mx.__tot").cast("double")).as("cum_share6"),
+      pr6(col("__mx.__cum").cast("double") /
+        col("__mx.__tot").cast("double") -
+        col("__mx.__i").cast("double") / col("__mx.__n").cast("double"))
+        .as("dist6"))
+  }
+
   /** Per-key robust outlier profile: median / MAD (median absolute
     * deviation, scaled by 1.4826 ≈ 1/Φ⁻¹(3/4) to be σ-consistent)
     * and the count of points beyond `k` robust sigmas — the outlier

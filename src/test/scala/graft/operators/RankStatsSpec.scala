@@ -103,6 +103,28 @@ class RankStatsSpec extends SparkSuiteBase {
     assert(z.forall(_.isNullAt(2)) && z.forall(_.isNullAt(3)))
   }
 
+  test("kneePoint: picks the max-above-chord rank; flat curve rank 1") {
+    import spark.implicits._
+    // cum = 50, 80, 95, 100 over n=4: scores 100, 120, 80, 0 → knee
+    // at rank 2 (share 0.8, distance 0.8 − 0.5 = 0.3)
+    val items = Seq((1L, 50000000L), (2L, 30000000L), (3L, 15000000L),
+      (4L, 5000000L)).toDF("id", "m")
+    val r = RankStats.kneePoint(items, "id", "m").head()
+    assert(r.getAs[Long]("knee_rank") == 2L &&
+      r.getAs[Long]("knee_id") == 2L)
+    assert(r.getAs[Double]("cum_share6") == 0.8 &&
+      r.getAs[Double]("dist6") == 0.3)
+    // uniform curve: every score is exactly 0 → ties break to rank 1
+    val flat = Seq((9L, 1000000L), (3L, 1000000L), (5L, 1000000L))
+      .toDF("id", "m")
+    val f = RankStats.kneePoint(flat, "id", "m").head()
+    assert(f.getAs[Long]("knee_rank") == 1L &&
+      f.getAs[Long]("knee_id") == 3L, s"got $f")
+    // zero-total and empty inputs yield no row
+    assert(RankStats.kneePoint(Seq((1L, 0L)).toDF("id", "m"),
+      "id", "m").count() == 0L)
+  }
+
   test("spearmanMatrix: monotone, reversed, tied, constant") {
     import spark.implicits._
     val df = Seq(
