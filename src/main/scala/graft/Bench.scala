@@ -179,7 +179,13 @@ object Bench {
     "q223_cohens_kappa" -> 1.81, "q224_link_prediction" -> 4.14,
     "q225_bfs_hops" -> 2.87, "q226_interval_merge" -> 0.67,
     "q227_pareto_abc" -> 1.21, "q228_grouped_ols" -> 0.49,
-    "q229_mp3_duration" -> 0.47)
+    "q229_mp3_duration" -> 0.47,
+    // round-12 session-2 batch 2 (comparator 0.57/0.32; q234 rides
+    // the staged q33 pair mine — its min is the modularity increment
+    // over the memoized stage)
+    "q230_holt_forecast" -> 0.64, "q231_mrr_eval" -> 1.97,
+    "q232_dispersion_index" -> 0.36, "q233_stratified_kfold" -> 0.95,
+    "q234_modularity" -> 0.69, "q235_knee_detection" -> 2.05)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -7078,7 +7078,7 @@ object PipelineQueries extends QueryGroup {
   // terms micro-snapped then int64-summed.
   q("q234_modularity",
     s"""WITH $jaccardPairCtes,
-       |ed234 AS (SELECT DISTINCT least(id_a, id_b) AS a,
+       |ed234 AS MATERIALIZED (SELECT DISTINCT least(id_a, id_b) AS a,
        |    greatest(id_a, id_b) AS b
        |  FROM pr WHERE id_a <> id_b),
        |t234 AS (SELECT CAST(count(*) AS BIGINT) AS m FROM ed234),
