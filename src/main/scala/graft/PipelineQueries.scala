@@ -492,10 +492,16 @@ object PipelineQueries extends QueryGroup {
   // path stays the library default; DedupSimilaritySpec asserts both
   // paths' recall against the exact q33 pairs.
   private val laneCoeffs = graft.functions.PortableHash.laneCoeffs(32)
-  q("q34_minhash_lsh", {
+
+  /** The q34 MinHash-LSH chain as reusable CTE text: exposes `sc`
+    * (id_a, id_b, est_jaccard over band candidates) — q34 reads it
+    * directly, q236's capture–recapture composes it with the q35
+    * chain.
+    */
+  private lazy val minhashPairCtes: String = {
     val aList = laneCoeffs._1.mkString("[", ",", "]")
     val bList = laneCoeffs._2.mkString("[", ",", "]")
-    s"""WITH $minhashShingleCtes,
+    s"""$minhashShingleCtes,
        |h AS (SELECT doc_id,
        |        CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) % 2147483647 AS h0
        |      FROM sh),
@@ -513,7 +519,11 @@ object PipelineQueries extends QueryGroup {
        |sc AS (SELECT id_a, id_b,
        |         ${sqlRound("len(list_filter(range(0, 32), i -> x.sig[i+1] = y.sig[i+1])) / 32.0", 4)} AS est_jaccard
        |       FROM cand JOIN sig x ON x.doc_id = id_a
-       |                 JOIN sig y ON y.doc_id = id_b)
+       |                 JOIN sig y ON y.doc_id = id_b)""".stripMargin
+  }
+
+  q("q34_minhash_lsh", {
+    s"""WITH $minhashPairCtes
        |SELECT id_a, id_b, est_jaccard FROM sc WHERE est_jaccard >= 0.5
        |ORDER BY id_a, id_b""".stripMargin
   }) { (s, d) =>
@@ -531,26 +541,33 @@ object PipelineQueries extends QueryGroup {
   // hamming numChunks-1, and every vote/bit is integer arithmetic
   // DuckDB replays exactly. Token MULTISET matters here (each
   // occurrence votes), so the oracle unnests without DISTINCT.
-  q("q35_simhash",
-    s"""WITH t AS (SELECT doc_id, unnest($sqlTokens) AS w FROM documents),
-       |h AS (SELECT doc_id,
+  /** The q35 SimHash chain as reusable CTE text (names suffixed 35
+    * so it composes with [[minhashPairCtes]]): exposes `p35`
+    * (id_a, id_b, hamming ≤ 3 pairs).
+    */
+  private val simhashPairCtes: String =
+    s"""t35 AS (SELECT doc_id, unnest($sqlTokens) AS w FROM documents),
+       |h35 AS (SELECT doc_id,
        |        CAST('0x' || substr(md5(w), 1, 15) AS BIGINT) AS h
-       |      FROM t),
-       |v AS (SELECT doc_id, j,
+       |      FROM t35),
+       |v35 AS (SELECT doc_id, j,
        |        sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS vote
-       |      FROM h CROSS JOIN (SELECT unnest(range(0, 60)) AS j)
+       |      FROM h35 CROSS JOIN (SELECT unnest(range(0, 60)) AS j)
        |      GROUP BY 1, 2),
-       |s AS (SELECT doc_id,
+       |s35 AS (SELECT doc_id,
        |        CAST(sum(CASE WHEN vote >= 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS sh
-       |      FROM v GROUP BY 1),
-       |c AS (SELECT doc_id, sh, chunk, (sh >> (chunk * 15)) & 32767 AS ch
-       |      FROM s CROSS JOIN (SELECT unnest(range(0, 4)) AS chunk)),
-       |p AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       |      FROM v35 GROUP BY 1),
+       |c35 AS (SELECT doc_id, sh, chunk, (sh >> (chunk * 15)) & 32767 AS ch
+       |      FROM s35 CROSS JOIN (SELECT unnest(range(0, 4)) AS chunk)),
+       |p35 AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
        |        bit_count(xor(a.sh, b.sh)) AS hamming
-       |      FROM c a JOIN c b
+       |      FROM c35 a JOIN c35 b
        |        ON a.chunk = b.chunk AND a.ch = b.ch AND a.doc_id < b.doc_id
-       |      WHERE bit_count(xor(a.sh, b.sh)) <= 3)
-       |SELECT id_a, id_b, hamming FROM p ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+       |      WHERE bit_count(xor(a.sh, b.sh)) <= 3)""".stripMargin
+
+  q("q35_simhash",
+    s"""WITH $simhashPairCtes
+       |SELECT id_a, id_b, hamming FROM p35 ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
     Dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text",
         maxHamming = 3, numChunks = 4, portable = true)
       .orderBy(col("id_a"), col("id_b"))
@@ -7148,5 +7165,44 @@ object PipelineQueries extends QueryGroup {
           lit(1e6) + lit(0.5)).cast("long").as("rm"))
       .groupBy(col("l_partkey")).agg(sum(col("rm")).as("rm"))
     graft.operators.RankStats.kneePoint(rev, "l_partkey", "rm")
+  }
+
+  // Dedup-recall audit with NO ground truth: capture–recapture over
+  // the two independent near-dup detectors — MinHash-LSH (band
+  // collisions) and SimHash (hamming chunks) miss pairs for
+  // unrelated reasons, so the Lincoln–Petersen estimate n_a·n_b/m
+  // reads the true duplicate population and each detector's implied
+  // recall. Composes the q34 and q35 oracle chains verbatim.
+  q("q236_capture_recapture",
+    s"""WITH $minhashPairCtes,
+       |$simhashPairCtes,
+       |ma236 AS (SELECT DISTINCT id_a, id_b FROM sc
+       |  WHERE est_jaccard >= 0.5),
+       |mb236 AS (SELECT DISTINCT id_a, id_b FROM p35),
+       |ca236 AS (SELECT CAST(count(*) AS BIGINT) AS n_a FROM ma236),
+       |cb236 AS (SELECT CAST(count(*) AS BIGINT) AS n_b FROM mb236),
+       |cm236 AS (SELECT CAST(count(*) AS BIGINT) AS n_both
+       |  FROM ma236 JOIN mb236 USING (id_a, id_b))
+       |SELECT n_a, n_b, n_both,
+       |  CASE WHEN n_both > 0 THEN
+       |    floor((CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+       |      / CAST(n_both AS DOUBLE)) * 1e6 + 0.5)/1e6
+       |  END AS est_total6,
+       |  CASE WHEN n_both > 0 AND n_b > 0 THEN
+       |    floor((CAST(n_both AS DOUBLE) / CAST(n_b AS DOUBLE))
+       |      * 1e6 + 0.5)/1e6
+       |  END AS recall_a6,
+       |  CASE WHEN n_both > 0 AND n_a > 0 THEN
+       |    floor((CAST(n_both AS DOUBLE) / CAST(n_a AS DOUBLE))
+       |      * 1e6 + 0.5)/1e6
+       |  END AS recall_b6
+       |FROM ca236, cb236, cm236""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val mh = Dedup.minhashLshPairs(docs, "doc_id", "text",
+      shingleN = 3, numHashes = 32, bands = 8, estThreshold = 0.5,
+      portable = true)
+    val sh = Dedup.simhashPairs(docs, "doc_id", "text",
+      maxHamming = 3, numChunks = 4, portable = true)
+    Dedup.captureRecapture(mh, sh, "id_a", "id_b")
   }
 }

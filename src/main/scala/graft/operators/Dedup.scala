@@ -1216,4 +1216,55 @@ object Dedup {
           .otherwise(floor(col("tp").cast("double") / col("n_exact").cast("double")
             * lit(1e6) + lit(0.5)) / lit(1e6)).as("recall6"))
   }
+
+  /** Capture–recapture (Lincoln–Petersen) estimate of the TRUE
+    * duplicate-pair population from two INDEPENDENT detectors:
+    * N̂ = n_a·n_b / n_both, where n_both is the pair overlap — the
+    * recall-estimation trick ecology uses on animal populations and
+    * dedup audits use when no ground truth exists (each detector's
+    * implied recall = n_both / n_other). Independence is the
+    * assumption doing the work: MinHash-LSH and SimHash miss pairs
+    * for unrelated reasons (band collisions vs hamming chunks), the
+    * closest thing to two independent traps the pipeline has.
+    *
+    * Exactness: all three counts are exact integer aggregates over
+    * canonicalized DISTINCT pair sets; the estimate/recalls are one
+    * row of double arithmetic, 6dp-snapped, NULL when the overlap is
+    * empty (no estimate without a recapture).
+    *
+    * Scale shape: two distincts + one pair-keyed equi-join + three
+    * 1-row aggregates — all on pair frames the detectors already
+    * bounded.
+    *
+    * Output: ONE row (n_a, n_b, n_both, est_total6, recall_a6,
+    * recall_b6).
+    */
+  def captureRecapture(
+      pairsA: DataFrame,
+      pairsB: DataFrame,
+      idACol: String,
+      idBCol: String): DataFrame = {
+    def canon(df: DataFrame): DataFrame =
+      df.filter(col(idACol) =!= col(idBCol))
+        .select(least(col(idACol), col(idBCol)).as("__a"),
+          greatest(col(idACol), col(idBCol)).as("__b"))
+        .distinct()
+    val a = canon(pairsA).localCheckpoint(true)
+    val b = canon(pairsB).localCheckpoint(true)
+    val both = a.join(b, Seq("__a", "__b"))
+    val counts = a.agg(count(lit(1)).as("n_a"))
+      .crossJoin(b.agg(count(lit(1)).as("n_b")))
+      .crossJoin(both.agg(count(lit(1)).as("n_both")))
+    val p6 = (c: Column) => floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+    val naD = col("n_a").cast("double")
+    val nbD = col("n_b").cast("double")
+    val mD = col("n_both").cast("double")
+    counts.select(col("n_a"), col("n_b"), col("n_both"),
+      when(col("n_both") > 0, p6(naD * nbD / mD))
+        .otherwise(lit(null).cast("double")).as("est_total6"),
+      when(col("n_both") > 0 && col("n_b") > 0, p6(mD / nbD))
+        .otherwise(lit(null).cast("double")).as("recall_a6"),
+      when(col("n_both") > 0 && col("n_a") > 0, p6(mD / naD))
+        .otherwise(lit(null).cast("double")).as("recall_b6"))
+  }
 }

@@ -1272,4 +1272,29 @@ class DedupSimilaritySpec extends SparkSuiteBase {
     assert(r.getLong(0) === 0L && r.getLong(1) === 0L && r.getLong(2) === 0L)
     assert(r.isNullAt(3) && r.isNullAt(4))
   }
+
+  test("captureRecapture: textbook Lincoln-Petersen, overlap-zero NULL") {
+    import spark.implicits._
+    // detector A finds 4 pairs, B finds 3, overlap 2 →
+    // est = 4·3/2 = 6, recall_a = 2/3, recall_b = 2/4 = 0.5
+    val a = Seq((1L, 2L), (3L, 4L), (5L, 6L), (7L, 8L))
+      .toDF("id_a", "id_b")
+    val b = Seq((2L, 1L), (4L, 3L), (9L, 10L)).toDF("id_a", "id_b")
+    val r2 = Dedup.captureRecapture(a, b, "id_a", "id_b").head()
+    assert(r2.getAs[Long]("n_a") == 4L && r2.getAs[Long]("n_b") == 3L &&
+      r2.getAs[Long]("n_both") == 2L)
+    assert(r2.getAs[Double]("est_total6") == 6.0)
+    assert(r2.getAs[Double]("recall_a6") == 0.666667)
+    assert(r2.getAs[Double]("recall_b6") == 0.5)
+    // disjoint detectors: no recapture → no estimate
+    val c = Seq((11L, 12L)).toDF("id_a", "id_b")
+    val z = Dedup.captureRecapture(a, c, "id_a", "id_b").head()
+    assert(z.getAs[Long]("n_both") == 0L &&
+      z.isNullAt(z.fieldIndex("est_total6")))
+    // duplicate, reversed, and self pair rows collapse before counting
+    val dup = Seq((1L, 2L), (2L, 1L), (1L, 2L), (1L, 1L))
+      .toDF("id_a", "id_b")
+    assert(Dedup.captureRecapture(dup, dup, "id_a", "id_b").head()
+      .getAs[Long]("n_a") == 1L)
+  }
 }
