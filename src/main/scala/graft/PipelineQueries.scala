@@ -7205,4 +7205,54 @@ object PipelineQueries extends QueryGroup {
       maxHamming = 3, numChunks = 4, portable = true)
     Dedup.captureRecapture(mh, sh, "id_a", "id_b")
   }
+
+  // Arrival-uniformity screen: χ² goodness-of-fit of each type's
+  // weekday distribution against uniform, p-value via the
+  // Wilson–Hilferty cube-root normal (dof=6 — beyond q213's 1-dof
+  // SRM). Zero-filled grid, decimal square sums; cube root spelled
+  // pow(x, 1/3) — probed bit-identical across engines where cbrt()
+  // is not.
+  q("q237_chisq_gof", {
+    val pz = graft.operators.Hypothesis.normP2Sql("z")
+    s"""WITH v237 AS (SELECT event_type,
+       |    (epoch_ms(ts) // 86400000 + 4) % 7 AS c FROM events),
+       |o237 AS (SELECT event_type, c, CAST(count(*) AS BIGINT) AS o
+       |  FROM v237 GROUP BY 1, 2),
+       |k237 AS (SELECT DISTINCT event_type FROM o237),
+       |g237 AS (SELECT event_type, gc AS c FROM k237
+       |  CROSS JOIN (SELECT unnest(range(0, 7)) AS gc)),
+       |f237 AS (SELECT g237.event_type, g237.c, coalesce(o, 0) AS o
+       |  FROM g237 LEFT JOIN o237 ON o237.event_type = g237.event_type
+       |    AND o237.c = g237.c),
+       |t237 AS (SELECT event_type, CAST(sum(o) AS BIGINT) AS n
+       |  FROM f237 GROUP BY 1),
+       |d237 AS (SELECT f237.event_type, n, 7 * o - n AS dv
+       |  FROM f237 JOIN t237 USING (event_type)),
+       |m237 AS (SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+       |    sum(CAST(dv AS HUGEINT) * dv) AS ss
+       |  FROM d237 GROUP BY 1),
+       |c237 AS (SELECT event_type, n,
+       |    CAST(ss AS DOUBLE) / (7e0 * CAST(n AS DOUBLE)) AS chisq
+       |  FROM m237),
+       |z237 AS (SELECT event_type, n, chisq,
+       |    (pow(chisq / 6e0, 1e0 / 3e0) - (1e0 - 2e0 / 54e0))
+       |      / sqrt(2e0 / 54e0) AS z
+       |  FROM c237),
+       |p237 AS (SELECT event_type, n, chisq, z,
+       |    CASE WHEN z >= 0 THEN $pz / 2e0
+       |         ELSE 1e0 - $pz / 2e0 END AS p
+       |  FROM z237)
+       |SELECT event_type, n, floor(chisq * 1e6 + 0.5)/1e6 AS chisq6,
+       |  floor(z * 1e6 + 0.5)/1e6 AS z6,
+       |  floor(p * 1e6 + 0.5)/1e6 AS p6,
+       |  floor(p * 1e6 + 0.5)/1e6 < 0.05 AS significant
+       |FROM p237 ORDER BY event_type""".stripMargin
+  }) { (s, d) =>
+    val ev = Tables.events(s, d).select(col("event_type"),
+      pmod(expr("unix_millis(ts) div 86400000") + lit(4L), lit(7L))
+        .as("c"))
+    graft.operators.Hypothesis.chisqUniformGof(ev, "event_type", "c",
+        nCells = 7)
+      .orderBy(col("event_type"))
+  }
 }

@@ -588,4 +588,76 @@ object Hypothesis {
       .withColumn("rejected", lit(null).cast("boolean"))
     ranked.unionByName(nulls)
   }
+
+  /** χ² goodness-of-fit against the UNIFORM distribution over
+    * `nCells` integer cells, per key, with a Wilson–Hilferty normal
+    * approximation for the arbitrary-dof p-value (WH 1931: χ²/k is
+    * approximately-normal after a cube root; |error| < 1e-3 for
+    * k ≥ 5 — far coarser than the A&S polynomial, fine for an
+    * alerting p). The "is traffic actually flat across the week"
+    * screen that q213's 1-dof SRM test can't ask.
+    *
+    * Exactness: cells zero-fill (a missing cell counts 0 — the q190
+    * grid convention); χ² = Σ(m·o − n)² / (m·n) rides the square sum
+    * in decimal(38,0) (exact at any count), lifted to double only in
+    * the final row-local chain, 6dp-snapped; dof = m−1; the upper
+    * tail comes from [[normP2]]. `significant` compares the ROUNDED
+    * p against 0.05.
+    *
+    * Scale shape: one corpus aggregate to the (key, cell) frame, one
+    * zero-fill left join against the keys × cells grid, one key
+    * aggregate. Nothing else.
+    *
+    * Output: (keyCol, n, chisq6, z6, p6, significant); NULL
+    * z/p/significant when a key has n = 0.
+    */
+  def chisqUniformGof(
+      df: DataFrame,
+      keyCol: String,
+      cellCol: String,
+      nCells: Int): DataFrame = {
+    require(nCells >= 2, s"nCells must be >= 2, got $nCells")
+    val obs = df.groupBy(col(keyCol).as("__k"),
+      col(cellCol).cast("long").as("__c"))
+      .agg(count(lit(1)).as("__o"))
+    val keys = obs.select(col("__k")).distinct()
+    val grid = keys.crossJoin(
+      spark_range_cells(nCells))
+    val filled = grid.join(obs, Seq("__k", "__c"), "left")
+      .select(col("__k"), coalesce(col("__o"), lit(0L)).as("__o"))
+    val tot = filled.groupBy(col("__k")).agg(sum(col("__o")).as("__n"))
+    val dev = filled.join(tot, Seq("__k"))
+      .withColumn("__d", lit(nCells.toLong) * col("__o") - col("__n"))
+    val m = dev.groupBy(col("__k"))
+      .agg(max(col("__n")).as("n"),
+        sum(col("__d").cast("decimal(38,0)") * col("__d")).as("__ss"))
+    val k = (nCells - 1).toDouble
+    val nD = col("n").cast("double")
+    val chisq = col("__ss").cast("double") /
+      (lit(nCells.toDouble) * nD)
+    // cube root as pow(x, 1/3): JVM Math.pow and DuckDB pow are
+    // bit-identical on this box (probed), while DuckDB's cbrt() is
+    // NOT correctly rounded (cbrt(27) reads 3.0000000000000004)
+    val z = (pow(chisq / lit(k), lit(1.0) / lit(3.0)) -
+      (lit(1.0) - lit(2.0) / lit(9.0 * k))) /
+      sqrt(lit(2.0) / lit(9.0 * k))
+    val p = when(z >= 0, normP2(z) / lit(2.0))
+      .otherwise(lit(1.0) - normP2(z) / lit(2.0))
+    val ok = col("n") > 0
+    m.select(col("__k").as(keyCol), col("n"),
+      when(ok, pr6(chisq)).otherwise(lit(null).cast("double"))
+        .as("chisq6"),
+      when(ok, pr6(z)).otherwise(lit(null).cast("double")).as("z6"),
+      when(ok, pr6(p)).otherwise(lit(null).cast("double")).as("p6"),
+      when(ok, pr6(p) < lit(0.05))
+        .otherwise(lit(null).cast("boolean")).as("significant"))
+  }
+
+  /** A 0..n-1 single-column frame (__c) without a driver-side
+    * collection — `spark.range` through the active session.
+    */
+  private def spark_range_cells(n: Int) = {
+    val s = org.apache.spark.sql.SparkSession.active
+    s.range(n).select(col("id").as("__c"))
+  }
 }

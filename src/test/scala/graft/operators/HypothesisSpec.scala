@@ -271,4 +271,26 @@ class HypothesisSpec extends SparkSuiteBase {
     assert(row.getAs[Double]("adj_p6") == 0.04)
     assert(row.getAs[Boolean]("rejected"))
   }
+
+  test("chisqUniformGof: uniform accepts, point-mass rejects, zero-fill") {
+    import spark.implicits._
+    // "flat": exactly 10 per cell over 7 cells → chisq 0, p ~ 1;
+    // "spike": all 70 rows on cell 0 — the other 6 cells zero-fill
+    val rows = (0L until 7L).flatMap(c =>
+      Seq.fill(10)(("flat", c))) ++ Seq.fill(70)(("spike", 0L))
+    val got = Hypothesis.chisqUniformGof(rows.toDF("k", "c"), "k", "c",
+        nCells = 7)
+      .orderBy("k").collect()
+    val flat = got(0)
+    assert(flat.getAs[Long]("n") == 70L &&
+      flat.getAs[Double]("chisq6") == 0.0)
+    assert(flat.getAs[Double]("p6") > 0.99 &&
+      !flat.getAs[Boolean]("significant"))
+    val spike = got(1)
+    // chisq = sum over cells: (7*70-70)^2/(7*70) + 6*(0-70)... via
+    // the integer identity: ((420)^2 + 6*70^2)/490 = 420
+    assert(spike.getAs[Double]("chisq6") == 420.0)
+    assert(spike.getAs[Double]("p6") < 0.001 &&
+      spike.getAs[Boolean]("significant"))
+  }
 }
