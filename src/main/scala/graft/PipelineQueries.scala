@@ -7255,4 +7255,36 @@ object PipelineQueries extends QueryGroup {
         nCells = 7)
       .orderBy(col("event_type"))
   }
+
+  // Mass-weighted quantiles: per source, the doc length holding the
+  // 25/50/75th percentile of TOKEN mass — where the tokens live, not
+  // where the docs do (a handful of huge docs can carry most of the
+  // mass). Pure integers: one shared prefix pass, cross-product
+  // threshold compares, the answer is a raw input value.
+  q("q238_weighted_quantiles",
+    s"""WITH b238 AS (SELECT source, n_chars AS v, doc_id,
+       |    CAST(len($sqlTokens) AS BIGINT) AS w FROM documents),
+       |c238 AS (SELECT source, v, doc_id, w,
+       |    CAST(sum(w) OVER (PARTITION BY source ORDER BY v, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |      AS BIGINT) AS cum
+       |  FROM b238),
+       |t238 AS (SELECT source, CAST(sum(w) AS BIGINT) AS w_total
+       |  FROM b238 GROUP BY 1)
+       |SELECT c238.source, p AS pct,
+       |  CAST(min(CASE WHEN cum * 100 >= p * w_total THEN v END)
+       |    AS BIGINT) AS value,
+       |  w_total
+       |FROM c238 JOIN t238 USING (source)
+       |CROSS JOIN (SELECT unnest([25, 50, 75]) AS p)
+       |GROUP BY c238.source, p, w_total
+       |ORDER BY source, pct""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val w = docs.select(col("source"), col("n_chars").as("v"),
+      col("doc_id"),
+      size(graft.functions.TextFns.tokens(col("text"))).as("w"))
+    graft.operators.RankStats.groupedWeightedQuantiles(w,
+        "source", "v", "doc_id", "w", Seq(25, 50, 75))
+      .orderBy(col("source"), col("pct"))
+  }
 }

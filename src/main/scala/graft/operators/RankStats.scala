@@ -403,6 +403,64 @@ object RankStats {
         }).otherwise(lit(null).cast("string")).as("abc_class"))
   }
 
+  /** Exact WEIGHTED quantiles per group: the smallest value whose
+    * inclusive cumulative weight reaches p% of the group's total —
+    * "the median TOKEN lives in a doc of length X", which the
+    * count-weighted quantiles (q159/q216) cannot say when weights
+    * skew (a handful of huge docs can carry most of the token mass).
+    *
+    * Pure integer arithmetic end to end: the cumulative is an exact
+    * prefix sum of int64 weights under the (value, id) total order,
+    * the threshold compare is the cross-product cum·100 ≥ p·W (no
+    * float, no interpolation — the answer is a raw input value), and
+    * ties/zero-weight rows resolve identically in any engine because
+    * the selection is min(value | inclusive-cum ≥ threshold).
+    * Cross-product bound: cum·100 needs W < ~9e16; beyond, pre-scale
+    * the weight unit.
+    *
+    * Scale shape: ONE range-partitioned prefix pass over
+    * (group, value, id) ([[ScaleOps.prefixSumByRange]] — the q214
+    * shared-pass idiom: per-group cum = global prefix minus the
+    * group's first prefix), one group-grain offset/total aggregate,
+    * one combinable min-per-percentile aggregate, then a row-local
+    * stack to long format. No per-group window task, nothing
+    * value-buffering.
+    *
+    * Output: (keyCol, pct, value, w_total), one row per
+    * (group, pct); callers order.
+    */
+  def groupedWeightedQuantiles(
+      df: DataFrame,
+      keyCol: String,
+      valueCol: String,
+      idCol: String,
+      weightCol: String,
+      pcts: Seq[Int]): DataFrame = {
+    require(pcts.nonEmpty && pcts.forall(p => p >= 1 && p <= 100),
+      s"pcts must be in [1,100], got $pcts")
+    val base = df.select(col(keyCol).as("__k"),
+      col(valueCol).cast("long").as("__v"), col(idCol).as("__id"),
+      col(weightCol).cast("long").as("__w"))
+    val p = ScaleOps.prefixSumByRange(base, Seq("__k", "__v", "__id"),
+      col("__w"), "__wb", targetPartBytes = 1L << 20)
+    val g = p.groupBy(col("__k"))
+      .agg(min(col("__wb")).as("__off"), sum(col("__w")).as("w_total"))
+    val cum = p.join(g, Seq("__k"))
+      .withColumn("__cum", col("__wb") - col("__off") + col("__w"))
+    val aggs = pcts.map { pc =>
+      min(when(col("__cum") * 100L >= lit(pc.toLong) * col("w_total"),
+        col("__v"))).as(s"__q$pc")
+    }
+    val picks = cum.groupBy(col("__k"), col("w_total"))
+      .agg(aggs.head, aggs.tail: _*)
+    picks.select(col("__k"), col("w_total"),
+      explode(array(pcts.map(pc =>
+        struct(lit(pc).as("pct"), col(s"__q$pc").as("value"))): _*))
+        .as("__e"))
+      .select(col("__k").as(keyCol), col("__e.pct").as("pct"),
+        col("__e.value").as("value"), col("w_total"))
+  }
+
   /** Knee point of the descending cumulative-value curve: the rank
     * maximizing the curve's height ABOVE the (0,0)→(n,total) chord —
     * the Kneedle-family "diminishing returns start here" readout

@@ -125,6 +125,42 @@ class RankStatsSpec extends SparkSuiteBase {
       "id", "m").count() == 0L)
   }
 
+  test("groupedWeightedQuantiles: mass-weighted picks, whale pulls the median") {
+    import spark.implicits._
+    // group g: values 1..4 weight 1 each, plus value 5 with weight 96
+    // → W=100; p25/p50/p75 all land inside the whale (value 5);
+    // group h: uniform weights → plain quantiles (2, 3 at p50 of 1..4?)
+    val rows = Seq(
+      ("g", 1L, 101L, 1L), ("g", 2L, 102L, 1L), ("g", 3L, 103L, 1L),
+      ("g", 4L, 104L, 1L), ("g", 5L, 105L, 96L),
+      ("h", 1L, 201L, 1L), ("h", 2L, 202L, 1L), ("h", 3L, 203L, 1L),
+      ("h", 4L, 204L, 1L))
+      .toDF("k", "v", "id", "w")
+    val got = RankStats.groupedWeightedQuantiles(rows, "k", "v", "id",
+        "w", Seq(25, 50, 75))
+      .orderBy("k", "pct").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    // g: cum = 1,2,3,4,100; thresholds 25/50/75 → all inside value 5
+    // h: W=4; thresholds ceil(1)=1→v1, 2→v2, 3→v3
+    assert(got.toSeq == Seq(
+      ("g", 25, 5L), ("g", 50, 5L), ("g", 75, 5L),
+      ("h", 25, 1L), ("h", 50, 2L), ("h", 75, 3L)), s"got ${got.toSeq}")
+  }
+
+  test("groupedWeightedQuantiles: boundary hits exactly, reshuffle-stable") {
+    import spark.implicits._
+    // W = 4, p50 threshold = 2 exactly: value 1 (cum 2) satisfies
+    // 2·100 >= 50·4 — the boundary row is IN
+    val rows = Seq(("k", 1L, 1L, 2L), ("k", 9L, 2L, 2L))
+      .toDF("k", "v", "id", "w")
+    val v50 = RankStats.groupedWeightedQuantiles(rows, "k", "v", "id",
+      "w", Seq(50)).head().getLong(2)
+    assert(v50 == 1L)
+    val a = RankStats.groupedWeightedQuantiles(rows.repartition(3),
+      "k", "v", "id", "w", Seq(50)).head().getLong(2)
+    assert(a == v50)
+  }
+
   test("spearmanMatrix: monotone, reversed, tied, constant") {
     import spark.implicits._
     val df = Seq(
