@@ -829,4 +829,39 @@ class StreamingSemanticsSpec extends SparkSuiteBase {
       assert(batch.exists(_._3), "fixture must trip at least one alarm")
     } finally q.stop()
   }
+
+  test("streaming Holt equals the q230 batch operator over any batch split") {
+    import graft.streaming.StreamingHolt
+    import graft.streaming.StreamingHolt.Point
+    val all = Seq(10.0, 14.0, 10.0, 18.0, 22.0, 16.0).zipWithIndex
+      .map { case (v, i) => Point("a", i.toLong, v) } ++
+      Seq(7.0, 7.0, 7.0).zipWithIndex
+        .map { case (v, i) => Point("b", i.toLong, v) }
+
+    val batch = graft.operators.TimeSeries.holtSmooth(
+        all.map(p => (p.key, p.t, p.x)).toDF("key", "t", "x"),
+        "key", "t", "x", 0.5, 0.25)
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        r.getAs[Double]("level6"), r.getAs[Double]("trend6"),
+        Option(r.get(r.fieldIndex("fc6"))))).toSet
+
+    val ms = MemoryStream[Point](spark, 1)
+    implicit val s = spark
+    val q = StreamingHolt.fits(ms.toDS(), 0.5, 0.25)
+      .writeStream.format("memory").queryName("holt")
+      .outputMode("append").start()
+    try {
+      // split mid-key: a's series crosses batch boundaries twice
+      Seq(all.take(2), all.slice(2, 7), all.drop(7)).foreach { b =>
+        ms.addData(b: _*)
+        q.processAllAvailable()
+      }
+      val streamed = spark.table("holt").collect()
+        .map(r => (r.getString(0), r.getLong(1),
+          r.getAs[Double]("level6"), r.getAs[Double]("trend6"),
+          Option(r.get(r.fieldIndex("fc6"))))).toSet
+      assert(streamed == batch,
+        s"stream != batch:\nonly-stream=${streamed -- batch}\nonly-batch=${batch -- streamed}")
+    } finally q.stop()
+  }
 }
