@@ -185,7 +185,11 @@ object Bench {
     // over the memoized stage)
     "q230_holt_forecast" -> 0.64, "q231_mrr_eval" -> 1.97,
     "q232_dispersion_index" -> 0.36, "q233_stratified_kfold" -> 0.95,
-    "q234_modularity" -> 0.69, "q235_knee_detection" -> 2.05)
+    "q234_modularity" -> 0.69, "q235_knee_detection" -> 2.05,
+    // round-12 session-2 batch 3 (comparator 0.53/0.31; q236 mines
+    // BOTH the minhash and simhash pair sets per rep by design)
+    "q236_capture_recapture" -> 2.36, "q237_chisq_gof" -> 0.71,
+    "q238_weighted_quantiles" -> 1.00)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
