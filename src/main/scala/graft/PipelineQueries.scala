@@ -6759,7 +6759,7 @@ object PipelineQueries extends QueryGroup {
   }
 
   // Multi-source BFS: hop distance from the flagged-customer seed
-  // set (custkey % 97 = 0, BUILDING segment) over the co-purchase
+  // set (custkey % 13 = 0, BUILDING segment) over the co-purchase
   // graph — "how much of the corpus is within k hops of the flagged
   // set", the reachability probe behind contamination-spread and
   // recall-region audits. Pure integer set algebra, one frontier
@@ -6767,7 +6767,7 @@ object PipelineQueries extends QueryGroup {
   q("q225_bfs_hops",
     s"""WITH $copurchaseCtes,
        |s225 AS (SELECT DISTINCT 2 * c_custkey AS id FROM customer
-       |  WHERE c_mktsegment = 'BUILDING' AND c_custkey % 97 = 0),
+       |  WHERE c_mktsegment = 'BUILDING' AND c_custkey % 13 = 0),
        |d0 AS MATERIALIZED (SELECT id, 0 AS hops FROM s225),
        |n1 AS (SELECT DISTINCT u AS id FROM adG
        |  JOIN d0 ON w = d0.id AND d0.hops = 0),
@@ -6793,7 +6793,7 @@ object PipelineQueries extends QueryGroup {
        |ORDER BY id""".stripMargin) { (s, d) =>
     val seeds = Tables.customer(s, d)
       .filter(col("c_mktsegment") === "BUILDING" &&
-        col("c_custkey") % 97 === 0)
+        col("c_custkey") % 13 === 0)
       .select((lit(2L) * col("c_custkey")).as("seed"))
     graft.operators.GraphOps.bfsHops(copurchaseEdges(s, d),
         "id_a", "id_b", seeds, "seed", maxHops = 4)
@@ -7286,5 +7286,39 @@ object PipelineQueries extends QueryGroup {
     graft.operators.RankStats.groupedWeightedQuantiles(w,
         "source", "v", "doc_id", "w", Seq(25, 50, 75))
       .orderBy(col("source"), col("pct"))
+  }
+
+  // Robust trend SLOPE: Theil–Sen lower-median of pairwise slopes
+  // over each user's daily counts — q206's Mann–Kendall says whether
+  // a user trends, this says how fast, and a single spike moves at
+  // most n−1 of the ~n²/2 slopes. Same quadratic-in-series,
+  // linear-in-keys shape; the median is a SELECTED slope, never an
+  // average.
+  q("q239_theil_sen",
+    """WITH d239 AS (SELECT user_id AS k, epoch_ms(ts) // 86400000 AS t,
+      |    CAST(count(*) AS BIGINT) AS v
+      |  FROM events GROUP BY 1, 2),
+      |n239 AS (SELECT k, CAST(count(*) AS BIGINT) AS n_obs
+      |  FROM d239 GROUP BY 1 HAVING count(*) >= 10),
+      |k239 AS (SELECT d239.k, t, v, n_obs
+      |  FROM d239 JOIN n239 ON n239.k = d239.k),
+      |p239 AS (SELECT a.k, a.n_obs, a.t AS ta, b.t AS tb,
+      |    CAST(b.v - a.v AS DOUBLE) / CAST(b.t - a.t AS DOUBLE) AS s
+      |  FROM k239 a JOIN k239 b ON a.k = b.k AND a.t < b.t),
+      |r239 AS (SELECT k, n_obs, s,
+      |    row_number() OVER (PARTITION BY k ORDER BY s, ta, tb) AS rn,
+      |    count(*) OVER (PARTITION BY k) AS np
+      |  FROM p239)
+      |SELECT k AS user_id, n_obs, CAST(np AS BIGINT) AS n_pairs,
+      |  floor(s * 1e6 + 0.5)/1e6 AS slope6
+      |FROM r239 WHERE rn = (np + 1) // 2
+      |ORDER BY user_id""".stripMargin) { (s, d) =>
+    val daily = Tables.events(s, d)
+      .groupBy(col("user_id").as("k"),
+        expr("unix_millis(ts) div 86400000").as("t"))
+      .agg(count(lit(1)).as("v"))
+    graft.operators.TimeSeries.theilSen(daily, "k", "t", "v", minN = 10)
+      .withColumnRenamed("k", "user_id")
+      .orderBy(col("user_id"))
   }
 }

@@ -522,6 +522,66 @@ object TimeSeries {
     * Output: 7 rows (dow, n_days, total_events, mean6, eta2_6 —
     * replicated), dow ascending.
     */
+  /** Per-key Theil–Sen robust slope: the LOWER MEDIAN of all pairwise
+    * slopes (x_j − x_i)/(t_j − t_i) over each key's series (Theil
+    * 1950, Sen 1968) — [[mannKendall]]'s companion: MK says WHETHER
+    * the key trends, Theil–Sen says HOW FAST, and a single 100×
+    * spike moves at most n−1 of the ~n²/2 slopes (OLS chases it
+    * arbitrarily).
+    *
+    * Same deliberate shape as [[mannKendall]]: the pair join is
+    * quadratic in the calendar-bounded SERIES LENGTH and linear in
+    * keys; one key-hash shuffle with bounded per-key fan-out, then
+    * ONE per-key window for the median rank (per-key pair blocks are
+    * bounded, so the window task is too).
+    *
+    * Determinism: each pair's slope double is the same IEEE division
+    * in any engine (micro-int inputs), and the median is a SELECTED
+    * order statistic at rank (n_pairs+1) div 2 under the
+    * (slope, t_i, t_j) total order — never averaged, so the output
+    * is a raw computed value, 6dp-snapped only at the readout. The
+    * slope is in INPUT value units per t unit — callers feeding
+    * micro ints rescale themselves.
+    *
+    * Output per key with ≥ minN points: (keyCol, n_obs, n_pairs,
+    * slope6).
+    */
+  def theilSen(
+      df: DataFrame,
+      keyCol: String,
+      tCol: String,
+      vCol: String,
+      minN: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val series = df.select(col(keyCol).as("__k"),
+      col(tCol).cast("long").as("__t"), col(vCol).cast("long").as("__v"))
+    val sized = series.groupBy(col("__k"))
+      .agg(count(lit(1)).as("n_obs"))
+      .filter(col("n_obs") >= minN)
+    val kept = series.join(sized, Seq("__k"))
+    val a = kept.select(col("__k"), col("__t").as("__ta"),
+      col("__v").as("__va"))
+    val b = kept.select(col("__k"), col("__t").as("__tb"),
+      col("__v").as("__vb"), col("n_obs"))
+    val slopes = a.join(b, Seq("__k"))
+      .filter(col("__ta") < col("__tb"))
+      .select(col("__k"), col("n_obs"), col("__ta"), col("__tb"),
+        ((col("__vb") - col("__va")).cast("double") /
+          (col("__tb") - col("__ta")).cast("double")).as("__s"))
+    val w = Window.partitionBy(col("__k"))
+      .orderBy(col("__s"), col("__ta"), col("__tb"))
+    val ranked = slopes
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__np",
+        count(lit(1)).over(Window.partitionBy(col("__k"))))
+    def pr6(c: Column): Column = floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+    ranked
+      .filter(col("__rn") === shiftright(col("__np") + lit(1L), 1))
+      .select(col("__k").as(keyCol), col("n_obs"),
+        col("__np").as("n_pairs"),
+        pr6(col("__s")).as("slope6"))
+  }
+
   /** Per-key Mann–Kendall trend test: S = Σ_{i<j} sign(x_j − x_i)
     * over each key's time-ordered series, the tie-corrected variance
     * Var(S) = [n(n−1)(2n+5) − Σ_g t_g(t_g−1)(2t_g+5)]/18, and the

@@ -388,6 +388,27 @@ class TimeSeriesSpec extends SparkSuiteBase {
     assert(f.isNullAt(f.fieldIndex("trend")))
   }
 
+  test("theilSen: exact line recovers slope, spike barely moves it") {
+    import spark.implicits._
+    // key "lin": v = 3t exactly over 10 days → every pair slope = 3
+    val lin = (0L until 10L).map(t => ("lin", t, 3L * t))
+    // key "spk": same line but day 9 spikes to 1000 — OLS would chase
+    // it; the median pair slope stays 3
+    val spk = (0L until 9L).map(t => ("spk", t, 3L * t)) :+
+      ("spk", 9L, 1000L)
+    val got = TimeSeries.theilSen((lin ++ spk).toDF("k", "t", "v"),
+        "k", "t", "v", minN = 5)
+      .orderBy("k").collect()
+    assert(got(0).getAs[Double]("slope6") == 3.0)
+    assert(got(0).getAs[Long]("n_pairs") == 45L)
+    assert(got(1).getAs[Double]("slope6") == 3.0,
+      s"spike must not move the median slope: ${got(1)}")
+    // short series are dropped
+    val short = Seq(("s", 1L, 1L), ("s", 2L, 2L)).toDF("k", "t", "v")
+    assert(TimeSeries.theilSen(short, "k", "t", "v", minN = 5)
+      .count() == 0L)
+  }
+
   test("dispersionIndex: Poisson-ish ~1, bursty >>1, constant 0, zero NULL") {
     import spark.implicits._
     val rows =
