@@ -7321,4 +7321,90 @@ object PipelineQueries extends QueryGroup {
       .withColumnRenamed("k", "user_id")
       .orderBy(col("user_id"))
   }
+
+  // ANN quality audit: recall@3 of the q46 IVF configuration against
+  // the brute-force baseline, per probe + mean — q170's recall idea
+  // pointed at the ANN family. The oracle shares u/nrm between the
+  // exact and IVF chains and replays both verbatim.
+  q("q240_ivf_recall_audit",
+    """WITH u AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+      |             unnest(embedding)::DOUBLE AS x FROM embeddings),
+      |nrm AS (SELECT vec_id, sqrt(sum(x*x)) AS nr FROM u GROUP BY vec_id),
+      |dx AS (SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+      |         sum(p.x*c.x) AS dp
+      |       FROM u p JOIN u c ON p.i = c.i
+      |       WHERE p.vec_id < 10 AND c.vec_id >= 10 GROUP BY 1, 2),
+      |csx AS (SELECT probe_id, neighbor_id,
+      |          floor((dp / (x.nr * y.nr)) * 1000000.0 + 0.5) / 1000000.0
+      |            AS cos
+      |        FROM dx JOIN nrm x ON x.vec_id = probe_id
+      |                JOIN nrm y ON y.vec_id = neighbor_id),
+      |rx AS (SELECT probe_id, neighbor_id,
+      |         row_number() OVER (PARTITION BY probe_id
+      |           ORDER BY cos DESC, neighbor_id) AS rnk
+      |       FROM csx),
+      |cent AS (SELECT vec_id AS cvid, CAST(vec_id - 10 AS INT) AS cell
+      |         FROM embeddings WHERE vec_id >= 10 AND vec_id < 18),
+      |vc0 AS (SELECT a.vec_id AS vid, c.cell AS cell, c.cvid AS cvid,
+      |          sum(a.x * b.x) AS dp
+      |        FROM u a JOIN cent c ON true
+      |        JOIN u b ON b.vec_id = c.cvid AND a.i = b.i
+      |        GROUP BY 1, 2, 3),
+      |vc AS (SELECT vid, cell,
+      |         floor((dp / (x.nr * y.nr)) * 1000000.0 + 0.5) / 1000000.0
+      |           AS ccos
+      |       FROM vc0 JOIN nrm x ON x.vec_id = vid
+      |               JOIN nrm y ON y.vec_id = cvid),
+      |assign AS (SELECT vid, cell FROM (
+      |  SELECT vid, cell, row_number() OVER (PARTITION BY vid
+      |           ORDER BY (1.0 - ccos) ASC, cell) AS rn FROM vc)
+      |  WHERE rn = 1),
+      |pc AS (SELECT vid, cell FROM (
+      |  SELECT vid, cell, row_number() OVER (PARTITION BY vid
+      |           ORDER BY (1.0 - ccos) ASC, cell) AS rn FROM vc)
+      |  WHERE rn <= 2),
+      |cand AS (SELECT p.vid AS probe_id, n.vid AS neighbor_id
+      |         FROM pc p JOIN assign n USING (cell)
+      |         WHERE p.vid < 10 AND n.vid >= 10),
+      |d AS (SELECT probe_id, neighbor_id, sum(pu.x * cu.x) AS dp
+      |      FROM cand JOIN u pu ON pu.vec_id = probe_id
+      |                JOIN u cu ON cu.vec_id = neighbor_id AND pu.i = cu.i
+      |      GROUP BY 1, 2),
+      |cs AS (SELECT probe_id, neighbor_id,
+      |         floor((dp / (x.nr * y.nr)) * 1000000.0 + 0.5) / 1000000.0
+      |           AS cos
+      |       FROM d JOIN nrm x ON x.vec_id = probe_id
+      |               JOIN nrm y ON y.vec_id = neighbor_id),
+      |r AS (SELECT probe_id, neighbor_id,
+      |        row_number() OVER (PARTITION BY probe_id
+      |          ORDER BY cos DESC, neighbor_id) AS rnk
+      |      FROM cs),
+      |ex240 AS (SELECT probe_id, neighbor_id FROM rx WHERE rnk <= 3),
+      |ap240 AS (SELECT probe_id, neighbor_id FROM r WHERE rnk <= 3),
+      |ne240 AS (SELECT probe_id, CAST(count(*) AS BIGINT) AS n_exact
+      |  FROM ex240 GROUP BY 1),
+      |hi240 AS (SELECT ex240.probe_id, CAST(count(*) AS BIGINT) AS nh
+      |  FROM ex240 JOIN ap240 USING (probe_id, neighbor_id) GROUP BY 1),
+      |pe240 AS (SELECT ne240.probe_id, n_exact,
+      |    CAST(coalesce(nh, 0) AS BIGINT) AS n_hit,
+      |    CAST(floor(CAST(coalesce(nh, 0) AS DOUBLE)
+      |      / CAST(n_exact AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS rm
+      |  FROM ne240 LEFT JOIN hi240 ON hi240.probe_id = ne240.probe_id),
+      |t240 AS (SELECT CAST(count(*) AS BIGINT) AS np,
+      |    CAST(coalesce(sum(rm), 0) AS BIGINT) AS srm FROM pe240)
+      |SELECT probe_id, n_exact, n_hit, CAST(rm AS DOUBLE)/1e6 AS recall6,
+      |  CASE WHEN np > 0 THEN floor(CAST(srm AS DOUBLE)
+      |    / CAST(np AS DOUBLE) + 0.5)/1e6 END AS mean_recall6
+      |FROM pe240, t240 ORDER BY probe_id""".stripMargin) { (s, d) =>
+    val e = Tables.embeddings(s, d)
+    val probes = e.filter(col("vec_id") < 10)
+    val corpus = e.filter(col("vec_id") >= 10)
+    val exact = Similarity.bruteForceTopK(probes, corpus,
+      "vec_id", "embedding", k = 3)
+    val ivf = Similarity.ivfTopK(probes, corpus,
+      "vec_id", "embedding", numCells = 8, nprobe = 2, k = 3)
+    Similarity.annRecallAudit(exact, ivf,
+        "probe_id", "neighbor_id", "rnk", k = 3)
+      .orderBy(col("probe_id"))
+  }
 }

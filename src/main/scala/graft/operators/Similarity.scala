@@ -719,4 +719,54 @@ object Similarity {
 
   private def pr6s(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+
+  /** ANN recall audit: per probe, the fraction of the EXACT top-k
+    * the approximate detector recovered — the q170 LSH-recall idea
+    * pointed at the ANN family (run the brute-force baseline on a
+    * probe sample, score the index against it; the number that says
+    * whether nprobe/numCells are tuned or lying). Both inputs carry
+    * (probe, neighbor, rank) as [[bruteForceTopK]]/[[ivfTopK]] emit
+    * them.
+    *
+    * Exactness: hit counts are exact integers; each probe's recall
+    * micro-snaps before the int64 mean (the q231 MRR discipline).
+    * Probes the approximate side missed entirely still read recall 0
+    * (left join from the exact side — the baseline defines the probe
+    * universe).
+    *
+    * Output: per probe (probe_id, n_exact, n_hit, recall6) + the
+    * constant mean_recall6; callers order.
+    */
+  def annRecallAudit(
+      exact: DataFrame,
+      approx: DataFrame,
+      probeCol: String,
+      neighborCol: String,
+      rankCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val ex = exact.filter(col(rankCol) <= k)
+      .select(col(probeCol).as("__p"), col(neighborCol).as("__n"))
+    val ap = approx.filter(col(rankCol) <= k)
+      .select(col(probeCol).as("__p"), col(neighborCol).as("__n"))
+    val nEx = ex.groupBy(col("__p")).agg(count(lit(1)).as("n_exact"))
+    val hits = ex.join(ap, Seq("__p", "__n"))
+      .groupBy(col("__p")).agg(count(lit(1)).as("__h"))
+    val per = nEx.join(hits, Seq("__p"), "left")
+      .select(col("__p"), col("n_exact"),
+        coalesce(col("__h"), lit(0L)).as("n_hit"))
+      .withColumn("__rm",
+        floor(col("n_hit").cast("double") / col("n_exact").cast("double")
+          * lit(1e6) + lit(0.5)).cast("long"))
+      .localCheckpoint(true) // probe-sized; read twice
+    val tot = per.agg(count(lit(1)).as("__np"),
+      coalesce(sum(col("__rm")), lit(0L)).as("__srm"))
+    per.crossJoin(broadcast(tot))
+      .select(col("__p").as(probeCol), col("n_exact"), col("n_hit"),
+        (col("__rm").cast("double") / lit(1e6)).as("recall6"),
+        when(col("__np") > 0,
+          floor(col("__srm").cast("double") / col("__np").cast("double")
+            + lit(0.5)) / lit(1e6))
+          .otherwise(lit(null).cast("double")).as("mean_recall6"))
+  }
 }

@@ -1273,6 +1273,28 @@ class DedupSimilaritySpec extends SparkSuiteBase {
     assert(r.isNullAt(3) && r.isNullAt(4))
   }
 
+  test("annRecallAudit: per-probe hits, missed probe reads 0, exact mean") {
+    import spark.implicits._
+    val exact = Seq(
+      (1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3),
+      (2L, 20L, 1), (2L, 21L, 2), (2L, 22L, 3))
+      .toDF("probe_id", "neighbor_id", "rnk")
+    // probe 1 recovers 2 of 3 (one wrong neighbor, one past-k row);
+    // probe 2 recovers none (probe absent from the approx side)
+    val approx = Seq((1L, 10L, 1), (1L, 99L, 2), (1L, 11L, 3),
+      (1L, 12L, 4)).toDF("probe_id", "neighbor_id", "rnk")
+    val got = Similarity.annRecallAudit(exact, approx,
+        "probe_id", "neighbor_id", "rnk", k = 3)
+      .orderBy("probe_id").collect()
+    assert(got(0).getAs[Long]("n_hit") == 2L &&
+      got(0).getAs[Double]("recall6") == 0.666667)
+    assert(got(1).getAs[Long]("n_hit") == 0L &&
+      got(1).getAs[Double]("recall6") == 0.0)
+    // mean of micro recalls: (666667 + 0)/2 = 333333.5 → snap
+    assert(got.map(_.getAs[Double]("mean_recall6")).distinct.toSeq ==
+      Seq(0.333334))
+  }
+
   test("captureRecapture: textbook Lincoln-Petersen, overlap-zero NULL") {
     import spark.implicits._
     // detector A finds 4 pairs, B finds 3, overlap 2 →
