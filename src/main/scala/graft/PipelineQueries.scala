@@ -7407,4 +7407,34 @@ object PipelineQueries extends QueryGroup {
         "probe_id", "neighbor_id", "rnk", k = 3)
       .orderBy(col("probe_id"))
   }
+
+  // Consistent work assignment: rendezvous (HRW) hashing of the
+  // (event_type × 16-partition) topic grid onto 5 workers — the
+  // reference's partition→sync-worker fan-out as a first-class
+  // operator: removing one worker moves ONLY its ~1/W of the
+  // partitions. One row-local codegen'd greatest() fold; the oracle
+  // replays the argmax as an (h DESC, w DESC) window.
+  q("q241_rendezvous_assign",
+    """WITH pt241 AS (SELECT DISTINCT event_type FROM events),
+      |pp241 AS (SELECT event_type, pp FROM pt241
+      |  CROSS JOIN (SELECT unnest(range(0, 16)) AS pp)),
+      |wk241 AS (SELECT unnest(['w0','w1','w2','w3','w4']) AS w),
+      |h241 AS (SELECT event_type, pp, w,
+      |    CAST('0x' || substr(md5(w || '|' || event_type || '#'
+      |      || CAST(pp AS VARCHAR)), 1, 15) AS BIGINT) AS h
+      |  FROM pp241 CROSS JOIN wk241),
+      |a241 AS (SELECT event_type, pp, w,
+      |    row_number() OVER (PARTITION BY event_type, pp
+      |      ORDER BY h DESC, w DESC) AS rn
+      |  FROM h241)
+      |SELECT event_type, CAST(pp AS BIGINT) AS p, w AS worker
+      |FROM a241 WHERE rn = 1
+      |ORDER BY event_type, p""".stripMargin) { (s, d) =>
+    val parts = Tables.events(s, d).select(col("event_type")).distinct()
+      .crossJoin(s.range(16).select(col("id").as("p")))
+    graft.operators.ScaleOps.rendezvousAssign(parts,
+        Seq("event_type", "p"),
+        Seq("w0", "w1", "w2", "w3", "w4"))
+      .orderBy(col("event_type"), col("p"))
+  }
 }

@@ -52,6 +52,43 @@ object ScaleOps {
     * sort bound for any plausible narrow-projection input (callers
     * pass (key, value) projections, never corpus text).
     */
+  /** Rendezvous (highest-random-weight) assignment: every item picks
+    * the worker maximizing md5(worker ‖ item-key) (Thaler & Ravishankar
+    * 1996) — the consistent work-assignment rule behind partition →
+    * sync-worker fan-out: adding/removing ONE worker moves only the
+    * items that hashed to it (~1/W of the load), where a modulo
+    * assignment reshuffles nearly everything. The [[SURVEY]] §2A
+    * partition-fan-out story as a first-class relational operator.
+    *
+    * Pure integer comparisons over the portable md5 family — no
+    * shuffle, no join, no explode: the argmax is ONE row-local
+    * greatest() fold over worker-literal structs (codegen'd), so the
+    * operator costs exactly one scan at any scale. Ties (md5
+    * collisions) break to the LARGER worker name via the struct's
+    * second field — deterministic in any engine.
+    *
+    * Output: the input plus a `worker` column.
+    */
+  def rendezvousAssign(
+      items: DataFrame,
+      keyCols: Seq[String],
+      workers: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "rendezvousAssign needs key columns")
+    require(workers.nonEmpty && workers.distinct.size == workers.size,
+      "workers must be non-empty and distinct")
+    val key = concat_ws("#", keyCols.map(c => col(c).cast("string")): _*)
+    val cands = workers.map { w =>
+      struct(
+        graft.functions.PortableHash.md5Long60(
+          concat(lit(w), lit("|"), key)).as("h"),
+        lit(w).as("w"))
+    }
+    val pick =
+      if (cands.size == 1) lit(workers.head)
+      else greatest(cands: _*).getField("w")
+    items.withColumn("worker", pick)
+  }
+
   def prefixSumByRange(
       df: DataFrame,
       orderCols: Seq[String],

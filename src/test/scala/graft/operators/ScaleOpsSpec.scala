@@ -368,4 +368,38 @@ class ScaleOpsSpec extends SparkSuiteBase {
       .orderBy(col("bin_id")).collect().map(_.getAs[Double]("fill6"))
     assert(fills.toSeq == Seq(1.0, 1.0, 0.1))
   }
+
+  test("rendezvousAssign: deterministic, total, minimal-disruption") {
+    import spark.implicits._
+    val items = (1L to 200L).map(i => (s"t${i % 7}", i)).toDF("topic", "p")
+    val w5 = Seq("w0", "w1", "w2", "w3", "w4")
+    val a = ScaleOps.rendezvousAssign(items, Seq("topic", "p"), w5)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getAs[String]("worker"))
+      .toMap
+    // total + deterministic across reshuffles
+    assert(a.size == 200 && a.values.forall(w5.contains))
+    val b = ScaleOps.rendezvousAssign(items.repartition(9),
+        Seq("topic", "p"), w5)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getAs[String]("worker"))
+      .toMap
+    assert(a == b)
+    // every worker gets a non-trivial share (md5 uniformity)
+    val byW = a.values.groupBy(identity).view.mapValues(_.size)
+    w5.foreach(w => assert(byW.getOrElse(w, 0) >= 10, s"$w starved: $byW"))
+    // minimal disruption: dropping w4 moves ONLY w4's items
+    val a4 = ScaleOps.rendezvousAssign(items, Seq("topic", "p"),
+        w5.filterNot(_ == "w4"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getAs[String]("worker"))
+      .toMap
+    a.foreach { case (k, w) =>
+      if (w != "w4") assert(a4(k) == w, s"$k moved from $w to ${a4(k)}")
+    }
+    // single-worker degenerate case
+    assert(ScaleOps.rendezvousAssign(items, Seq("p"), Seq("only"))
+      .select("worker").distinct().collect().map(_.getString(0)).toSeq ==
+      Seq("only"))
+  }
 }
