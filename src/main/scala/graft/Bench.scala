@@ -189,7 +189,8 @@ object Bench {
     // round-12 session-2 batch 3 (comparator 0.53/0.31; q236 mines
     // BOTH the minhash and simhash pair sets per rep by design)
     "q236_capture_recapture" -> 2.36, "q237_chisq_gof" -> 0.71,
-    "q238_weighted_quantiles" -> 1.00, "q239_theil_sen" -> 1.40)
+    "q238_weighted_quantiles" -> 1.00, "q239_theil_sen" -> 1.40,
+    "q240_ivf_recall_audit" -> 1.68, "q241_rendezvous_assign" -> 0.39)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
