@@ -7408,6 +7408,86 @@ object PipelineQueries extends QueryGroup {
       .orderBy(col("probe_id"))
   }
 
+  /** q242's oracle: the unigram-LM hard-EM round with the q139 DP
+    * replay — per-prefix-length MATERIALIZED layers whose branch
+    * scores come from the LEARNED piece table (ugV) instead of
+    * q139's literal len², then the recursive backtrack, then the
+    * usage re-estimation. maxW = 12 covers the fixture (8) and the
+    * deck suffixes (11), the q139 bound.
+    */
+  private val q242Oracle: String = {
+    val maxW = 12
+    val maxP = 4
+    val layers = (1 to maxW).map { i =>
+      val branches = (math.max(0, i - maxP) until i).map { j =>
+        s"""SELECT p.word, p.wf, p.s + v.sc AS s, $j AS j
+           |FROM ug$j p JOIN ugV v
+           |  ON v.piece = substr(p.word, ${j + 1}, ${i - j})
+           |WHERE length(p.word) >= $i""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""ug$i AS MATERIALIZED (SELECT word, wf, s, j FROM (
+         |  SELECT word, wf, s, j,
+         |    row_number() OVER (PARTITION BY word ORDER BY s DESC, j)
+         |      AS rn
+         |  FROM ($branches)) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    val dpAll = (1 to maxW)
+      .map(i => s"SELECT word, $i AS i, j FROM ug$i")
+      .mkString("\nUNION ALL\n")
+    s"""WITH RECURSIVE
+       |ugT AS (SELECT unnest($sqlTokens) AS word FROM documents),
+       |ugW AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS wf
+       |  FROM ugT GROUP BY 1),
+       |ugP AS (SELECT word, wf,
+       |    unnest(generate_series(1, length(word))) AS pos FROM ugW),
+       |ugO AS (SELECT word, wf, pos,
+       |    unnest(generate_series(1, least($maxP,
+       |      length(word) - pos + 1))) AS l FROM ugP),
+       |ugOP AS (SELECT word, wf, pos, l, substr(word, pos, l) AS piece
+       |  FROM ugO),
+       |ugS AS (SELECT piece, CAST(sum(wf) AS BIGINT) AS c
+       |  FROM ugOP GROUP BY 1),
+       |ugK AS MATERIALIZED (SELECT piece, c FROM ugS
+       |  WHERE c >= 50 OR length(piece) = 1),
+       |ugTT AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM ugK),
+       |ugV AS MATERIALIZED (SELECT piece, c AS seed_count,
+       |    CAST(floor(ln(CAST(c AS DOUBLE) / CAST(t AS DOUBLE))
+       |      * 1e6 + 0.5) AS BIGINT) AS sc
+       |  FROM ugK, ugTT),
+       |ug0 AS (SELECT word, wf, CAST(0 AS BIGINT) AS s FROM ugW),
+       |$layers,
+       |ugDp AS ($dpAll),
+       |ugWalk AS (
+       |  SELECT word, wf, length(word) AS i, CAST([] AS VARCHAR[]) AS ps
+       |  FROM ugW
+       |  UNION ALL
+       |  SELECT w.word, w.wf, d.j,
+       |    list_prepend(substr(w.word, d.j + 1, w.i - d.j), w.ps)
+       |  FROM ugWalk w JOIN ugDp d ON d.word = w.word AND d.i = w.i
+       |  WHERE w.i > 0),
+       |ugDone AS (SELECT word, wf, ps FROM ugWalk WHERE i = 0),
+       |ugU AS (SELECT unnest(ps) AS piece, wf FROM ugDone),
+       |ugUs AS MATERIALIZED (SELECT piece, CAST(sum(wf) AS BIGINT)
+       |    AS usage
+       |  FROM ugU GROUP BY 1),
+       |ugUT AS (SELECT CAST(sum(usage) AS BIGINT) AS u FROM ugUs)
+       |SELECT ugUs.piece, seed_count, usage,
+       |  floor(ln(CAST(usage AS DOUBLE) / CAST(u AS DOUBLE))
+       |    * 1e6 + 0.5)/1e6 AS score6
+       |FROM ugUs JOIN ugV ON ugV.piece = ugUs.piece, ugUT
+       |ORDER BY usage DESC, ugUs.piece LIMIT 50""".stripMargin
+  }
+
+  // The FOURTH tokenizer discipline: unigram-LM (SentencePiece
+  // shape), one hard-EM round — seed substring counts → ln-prob
+  // scores micro-snapped → Viterbi E-step per distinct word (the
+  // q139 DP with LEARNED scores in place of len²) → usage-weighted
+  // M-step re-estimation. Top-50 re-estimated pieces.
+  q("q242_unigram_em", q242Oracle) { (s, d) =>
+    graft.operators.UnigramLm.emRound(Tables.documents(s, d), "text",
+      maxPieceLen = 4, minCount = 50L, topK = 50)
+  }
+
   // Consistent work assignment: rendezvous (HRW) hashing of the
   // (event_type × 16-partition) topic grid onto 5 workers — the
   // reference's partition→sync-worker fan-out as a first-class
