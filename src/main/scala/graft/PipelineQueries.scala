@@ -7478,6 +7478,62 @@ object PipelineQueries extends QueryGroup {
        |ORDER BY usage DESC, ugUs.piece LIMIT 50""".stripMargin
   }
 
+  // Campaign-targeting readout: decile lift/gains of the q85 NB
+  // scorer against the q58 rule labels — "keep the top k deciles,
+  // capture X% of the good docs at Y× random". Equal-count integer
+  // rank cuts (q183's discipline) over one range-partitioned prefix
+  // pass; the cumulative runs on the 10-row bin frame.
+  q("q243_lift_table", {
+    s"""WITH $nbQualityCtes,
+       |lo243 AS (SELECT sc85.doc_id,
+       |    CAST(floor((raw + ln(n1 * 1.0 / n0)) * 1e6 + 0.5) AS BIGINT)
+       |      AS m
+       |  FROM sc85, pri85),
+       |la243 AS (SELECT doc_id, $nbRuleSql AS y FROM f85),
+       |j243 AS (SELECT lo243.doc_id, m,
+       |    CASE WHEN y THEN 1 ELSE 0 END AS y
+       |  FROM lo243 JOIN la243 USING (doc_id)),
+       |r243 AS (SELECT doc_id, m, y,
+       |    CAST(row_number() OVER (ORDER BY m DESC, doc_id) - 1
+       |      AS BIGINT) AS rk
+       |  FROM j243),
+       |t243 AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(y) AS BIGINT) AS pos FROM j243),
+       |b243 AS (SELECT (rk * 10) // n AS bin, y FROM r243, t243),
+       |g243 AS (SELECT bin, CAST(count(*) AS BIGINT) AS nb,
+       |    CAST(sum(y) AS BIGINT) AS pb
+       |  FROM b243 GROUP BY 1),
+       |c243 AS (SELECT bin, nb, pb,
+       |    CAST(sum(pb) OVER (ORDER BY bin
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |      AS BIGINT) AS cp
+       |  FROM g243)
+       |SELECT bin, nb AS n, pb AS n_pos,
+       |  floor((CAST(pb AS DOUBLE) / CAST(nb AS DOUBLE)) * 1e6 + 0.5)
+       |    /1e6 AS pos_rate6,
+       |  CASE WHEN pos > 0 THEN floor((CAST(cp AS DOUBLE)
+       |    / CAST(pos AS DOUBLE)) * 1e6 + 0.5)/1e6 END AS capture6,
+       |  CASE WHEN pos > 0 THEN
+       |    floor(((CAST(pb AS DOUBLE) / CAST(nb AS DOUBLE))
+       |      / (CAST(pos AS DOUBLE) / CAST(n AS DOUBLE)))
+       |      * 1e6 + 0.5)/1e6
+       |  END AS lift6
+       |FROM c243, t243 ORDER BY bin""".stripMargin
+  }) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val scored = QualityModel
+      .heuristicSeededScores(docs, "doc_id", "text", Seq("the", "a"))
+      .select(col("doc").as("doc_id"),
+        floor(col("log_odds") * lit(1e6) + lit(0.5)).cast("long").as("m"))
+    val labels = TextAnalysis
+      .qualityFilter(docs, "doc_id", "text", Seq("the", "a"))
+      .select(col("doc_id"), col("keep"))
+    graft.operators.RankStats.liftTable(
+        scored.join(labels, Seq("doc_id")), "doc_id", "m", "keep",
+        bins = 10)
+      .orderBy(col("bin"))
+  }
+
   // The FOURTH tokenizer discipline: unigram-LM (SentencePiece
   // shape), one hard-EM round — seed substring counts → ln-prob
   // scores micro-snapped → Viterbi E-step per distinct word (the

@@ -461,6 +461,60 @@ object RankStats {
         col("__e.value").as("value"), col("w_total"))
   }
 
+  /** Decile lift/gains table: rows ranked by score DESCENDING are
+    * cut into `bins` EQUAL-COUNT bins (integer rank cuts — the q183
+    * discipline, no percentile floats), and each bin reads its
+    * positive rate, the CUMULATIVE capture rate (share of all
+    * positives found so far — the gains curve), and lift vs the base
+    * rate — the campaign-targeting readout next to [[prCurve]]'s
+    * threshold view: "mail the top 2 deciles, catch X% of buyers at
+    * Y× random".
+    *
+    * Exactness: ranks come from ONE range-partitioned prefix sum
+    * under the (score DESC, id) total order; bin = rank·bins div n
+    * is exact integer arithmetic; counts are exact; the three ratios
+    * are row-local doubles, 6dp-snapped. The cumulative runs on the
+    * bins-sized frame (a bounded window — the vocab-rank carve-out).
+    *
+    * Output: (bin 0-based, n, n_pos, pos_rate6, capture6, lift6);
+    * lift/pos_rate NULL for an empty input, lift NULL when there are
+    * no positives. Callers order by bin.
+    */
+  def liftTable(
+      scored: DataFrame,
+      idCol: String,
+      scoreCol: String,
+      labelCol: String,
+      bins: Int = 10): DataFrame = {
+    require(bins >= 2 && bins <= 1000, s"bins must be in [2,1000], got $bins")
+    import org.apache.spark.sql.expressions.Window
+    val base = scored
+      .filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .select(col(idCol).as("__id"),
+        (-col(scoreCol).cast("long")).as("__ns"),
+        when(col(labelCol).cast("boolean"), 1L).otherwise(0L).as("__y"))
+    val p = ScaleOps.prefixSumByRange(base, Seq("__ns", "__id"),
+      lit(1L), "__rb", targetPartBytes = 1L << 20)
+    val tot = p.agg(count(lit(1)).as("__n"),
+      coalesce(sum(col("__y")), lit(0L)).as("__pos"))
+    val g = p.crossJoin(broadcast(tot))
+      .withColumn("bin", expr(s"(__rb * $bins) div __n"))
+      .groupBy(col("bin"), col("__n"), col("__pos"))
+      .agg(count(lit(1)).as("n"), sum(col("__y")).as("n_pos"))
+    val w = Window.orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = g.withColumn("__cp", sum(col("n_pos")).over(w))
+    val rate = col("n_pos").cast("double") / col("n").cast("double")
+    val baseRate = col("__pos").cast("double") / col("__n").cast("double")
+    cum.select(col("bin"), col("n"), col("n_pos"),
+      pr6(rate).as("pos_rate6"),
+      when(col("__pos") > 0,
+        pr6(col("__cp").cast("double") / col("__pos").cast("double")))
+        .otherwise(lit(null).cast("double")).as("capture6"),
+      when(col("__pos") > 0, pr6(rate / baseRate))
+        .otherwise(lit(null).cast("double")).as("lift6"))
+  }
+
   /** Knee point of the descending cumulative-value curve: the rank
     * maximizing the curve's height ABOVE the (0,0)→(n,total) chord —
     * the Kneedle-family "diminishing returns start here" readout

@@ -103,6 +103,34 @@ class RankStatsSpec extends SparkSuiteBase {
     assert(z.forall(_.isNullAt(2)) && z.forall(_.isNullAt(3)))
   }
 
+  test("liftTable: perfect scorer concentrates, bins equal-count, gains reach 1") {
+    import spark.implicits._
+    // 20 rows, scores 20..1, positives = the top 5 scores → with 5
+    // bins: bin 0 holds 4 positives of 4 (rate 1), bin 1 holds 1 of
+    // 4; base rate 0.25 → lift 4.0 / 1.0; capture reaches 1 by bin 1
+    val rows = (1L to 20L).map(i => (i, 21L - i, i <= 5))
+      .toDF("id", "score", "y")
+    val got = RankStats.liftTable(rows, "id", "score", "y", bins = 5)
+      .orderBy("bin").collect()
+    assert(got.map(_.getAs[Long]("n")).toSeq == Seq.fill(5)(4L))
+    assert(got(0).getAs[Long]("n_pos") == 4L &&
+      got(0).getAs[Double]("pos_rate6") == 1.0 &&
+      got(0).getAs[Double]("lift6") == 4.0 &&
+      got(0).getAs[Double]("capture6") == 0.8)
+    assert(got(1).getAs[Long]("n_pos") == 1L &&
+      got(1).getAs[Double]("capture6") == 1.0 &&
+      got(1).getAs[Double]("lift6") == 1.0)
+    assert(got.drop(2).forall(_.getAs[Double]("lift6") == 0.0))
+    assert(got.last.getAs[Double]("capture6") == 1.0)
+    // no positives → NULL capture/lift, rates still defined
+    val none = (1L to 10L).map(i => (i, i, false)).toDF("id", "score", "y")
+    val z = RankStats.liftTable(none, "id", "score", "y", bins = 5)
+      .orderBy("bin").head()
+    assert(z.getAs[Double]("pos_rate6") == 0.0 &&
+      z.isNullAt(z.fieldIndex("capture6")) &&
+      z.isNullAt(z.fieldIndex("lift6")))
+  }
+
   test("kneePoint: picks the max-above-chord rank; flat curve rank 1") {
     import spark.implicits._
     // cum = 50, 80, 95, 100 over n=4: scores 100, 120, 80, 0 → knee
