@@ -197,7 +197,9 @@ object Bench {
     "q236_capture_recapture" -> 2.36, "q237_chisq_gof" -> 0.71,
     "q238_weighted_quantiles" -> 1.00, "q239_theil_sen" -> 1.40,
     "q240_ivf_recall_audit" -> 1.68, "q241_rendezvous_assign" -> 0.39,
-    "q242_unigram_em" -> 1.66)
+    "q242_unigram_em" -> 1.66,
+    // q243 rides the q85/q185/q221 NB score chain — family level
+    "q243_lift_table" -> 5.34)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
