@@ -7478,6 +7478,60 @@ object PipelineQueries extends QueryGroup {
        |ORDER BY usage DESC, ugUs.piece LIMIT 50""".stripMargin
   }
 
+  // Series memory: the autocorrelation function of the TOTAL daily
+  // arrival series at lags ±3 — crossCorrelation pointed at itself
+  // (lag 0 reads exactly 1, the symmetry is the sanity check, and a
+  // slow decay is the "yesterday predicts today" signal q230's Holt
+  // gains exploit). Same zero-filled grid, one bounded window.
+  q("q244_acf", {
+    def dd(e: String) = s"CAST($e AS DOUBLE)"
+    def cN(l: Int) = if (l < 0) s"ym${-l}" else if (l > 0) s"yp$l" else "yv"
+    val rows = (-3 to 3).map { l =>
+      val c = cN(l)
+      val n = dd(s"sum(CASE WHEN $c IS NOT NULL THEN 1 ELSE 0 END)")
+      val sx = dd(s"sum(CASE WHEN $c IS NOT NULL THEN xv ELSE 0 END)")
+      val sy = dd(s"sum(CASE WHEN $c IS NOT NULL THEN $c ELSE 0 END)")
+      val sxx = dd(s"sum(CASE WHEN $c IS NOT NULL THEN xv * xv ELSE 0 END)")
+      val syy = dd(s"sum(CASE WHEN $c IS NOT NULL THEN $c * $c ELSE 0 END)")
+      val sxy = dd(s"sum(CASE WHEN $c IS NOT NULL THEN xv * $c ELSE 0 END)")
+      val va = s"$n * $sxx - $sx * $sx"
+      val vb = s"$n * $syy - $sy * $sy"
+      val cov = s"$n * $sxy - $sx * $sy"
+      s"""SELECT CAST($l AS BIGINT) AS lag,
+         |  CAST(sum(CASE WHEN $c IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_pairs,
+         |  CASE WHEN $va > 0 AND $vb > 0
+         |       THEN floor(($cov) / sqrt(($va) * ($vb)) * 1e6 + 0.5)/1e6
+         |  END AS ccf6
+         |FROM s244""".stripMargin
+    }
+    s"""WITH b244 AS (SELECT epoch_ms(ts) // 86400000 AS t,
+       |    CAST(count(*) AS BIGINT) AS v
+       |  FROM events GROUP BY 1),
+       |bd244 AS (SELECT min(t) AS lo, max(t) AS hi FROM b244),
+       |gr244 AS (SELECT unnest(range(lo, hi + 1)) AS t FROM bd244),
+       |g244 AS (SELECT gr244.t, coalesce(v, 0) AS xv, coalesce(v, 0)
+       |    AS yv
+       |  FROM gr244 LEFT JOIN b244 ON b244.t = gr244.t),
+       |s244 AS (SELECT xv, yv,
+       |    lag(yv, 3) OVER (ORDER BY t) AS ym3,
+       |    lag(yv, 2) OVER (ORDER BY t) AS ym2,
+       |    lag(yv, 1) OVER (ORDER BY t) AS ym1,
+       |    lead(yv, 1) OVER (ORDER BY t) AS yp1,
+       |    lead(yv, 2) OVER (ORDER BY t) AS yp2,
+       |    lead(yv, 3) OVER (ORDER BY t) AS yp3
+       |  FROM g244)
+       |${rows.mkString("\nUNION ALL\n")}
+       |ORDER BY lag""".stripMargin
+  }) { (s, d) =>
+    val daily = Tables.events(s, d)
+      .select(expr("unix_millis(ts) div 86400000").as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("v"))
+    graft.operators.TimeSeries.crossCorrelation(daily, daily, "t", "v",
+        maxLag = 3)
+      .orderBy(col("lag"))
+  }
+
   // Campaign-targeting readout: decile lift/gains of the q85 NB
   // scorer against the q58 rule labels — "keep the top k deciles,
   // capture X% of the good docs at Y× random". Equal-count integer

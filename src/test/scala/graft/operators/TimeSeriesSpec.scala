@@ -388,6 +388,16 @@ class TimeSeriesSpec extends SparkSuiteBase {
     assert(f.isNullAt(f.fieldIndex("trend")))
   }
 
+  test("crossCorrelation with itself: ACF identity (lag 0 = 1, symmetric)") {
+    import spark.implicits._
+    val s = Seq((0L, 5L), (1L, 9L), (2L, 2L), (3L, 7L), (4L, 4L),
+      (5L, 8L)).toDF("t", "v")
+    val acf = TimeSeries.crossCorrelation(s, s, "t", "v", maxLag = 2)
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("ccf6")).toMap
+    assert(acf(0L) == 1.0)
+    assert(acf(1L) == acf(-1L) && acf(2L) == acf(-2L), s"got $acf")
+  }
+
   test("theilSen: exact line recovers slope, spike barely moves it") {
     import spark.implicits._
     // key "lin": v = 3t exactly over 10 days → every pair slope = 3
