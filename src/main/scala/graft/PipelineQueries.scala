@@ -7478,6 +7478,58 @@ object PipelineQueries extends QueryGroup {
        |ORDER BY usage DESC, ugUs.piece LIMIT 50""".stripMargin
   }
 
+  // Forecast gate: is q230's Holt actually better than "same day
+  // last week"? MASE-shaped readout per event_type — both absolute
+  // errors micro-snapped per day, exact int64 sums, the ratio NULL
+  // only if the naive is perfect. A model that reads >= 1 here
+  // should not ship.
+  q("q245_forecast_mase",
+    """WITH RECURSIVE d245 AS (SELECT event_type,
+      |    epoch_ms(ts) // 86400000 AS t, CAST(count(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1, 2),
+      |o245 AS (SELECT event_type, t, CAST(n AS DOUBLE) AS x,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY t) AS rn
+      |  FROM d245),
+      |c245(event_type, rn, t, x, l, b, fc) AS (
+      |  SELECT event_type, rn, t, x, x, 0e0, CAST(NULL AS DOUBLE)
+      |  FROM o245 WHERE rn = 1
+      |  UNION ALL
+      |  SELECT o245.event_type, o245.rn, o245.t, o245.x,
+      |    0.5 * o245.x + (1e0 - 0.5) * (c245.l + c245.b),
+      |    0.25 * ((0.5 * o245.x + (1e0 - 0.5) * (c245.l + c245.b))
+      |      - c245.l) + (1e0 - 0.25) * c245.b,
+      |    c245.l + c245.b
+      |  FROM c245 JOIN o245 ON o245.event_type = c245.event_type
+      |    AND o245.rn = c245.rn + 1),
+      |f245 AS (SELECT event_type, t, x,
+      |    CASE WHEN fc IS NOT NULL THEN floor(fc * 1e6 + 0.5)/1e6 END
+      |      AS fc6,
+      |    lag(x, 7) OVER (PARTITION BY event_type ORDER BY t) AS nv
+      |  FROM c245),
+      |e245 AS (SELECT event_type,
+      |    CAST(floor(abs(x - fc6) * 1e6 + 0.5) AS BIGINT) AS eh,
+      |    CAST(floor(abs(x - nv) * 1e6 + 0.5) AS BIGINT) AS en
+      |  FROM f245 WHERE fc6 IS NOT NULL AND nv IS NOT NULL),
+      |m245 AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(eh) AS BIGINT) AS sh, CAST(sum(en) AS BIGINT) AS sn
+      |  FROM e245 GROUP BY 1)
+      |SELECT event_type, n,
+      |  floor((CAST(sh AS DOUBLE) / CAST(n AS DOUBLE) / 1e6)
+      |    * 1e6 + 0.5)/1e6 AS mae_holt6,
+      |  floor((CAST(sn AS DOUBLE) / CAST(n AS DOUBLE) / 1e6)
+      |    * 1e6 + 0.5)/1e6 AS mae_naive6,
+      |  CASE WHEN sn > 0 THEN floor((CAST(sh AS DOUBLE)
+      |    / CAST(sn AS DOUBLE)) * 1e6 + 0.5)/1e6 END AS mase6
+      |FROM m245 ORDER BY event_type""".stripMargin) { (s, d) =>
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"),
+        expr("unix_millis(ts) div 86400000").as("t"))
+      .agg(count(lit(1)).cast("double").as("x"))
+    graft.operators.TimeSeries.holtVsSeasonalNaive(daily,
+        "event_type", "t", "x", alpha = 0.5, beta = 0.25, period = 7)
+      .orderBy(col("event_type"))
+  }
+
   // Series memory: the autocorrelation function of the TOTAL daily
   // arrival series at lags ±3 — crossCorrelation pointed at itself
   // (lag 0 reads exactly 1, the symmetry is the sanity check, and a

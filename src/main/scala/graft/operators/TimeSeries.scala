@@ -273,6 +273,59 @@ object TimeSeries {
         (col("e.s") > lit(threshold)).as("alarm"))
   }
 
+  /** Forecast-accuracy comparison: per key, the MAE of
+    * [[holtSmooth]]'s one-step-ahead forecasts vs the seasonal-naive
+    * baseline (x̂_t = x_{t−period}) over the days BOTH are defined,
+    * and their ratio — the MASE shape (Hyndman & Koehler 2006): a
+    * model that can't beat "same day last week" reads ≥ 1 and should
+    * not ship.
+    *
+    * Determinism: each day's two absolute errors snap to int64 micro
+    * BEFORE summation (order-free); both MAEs and the ratio are
+    * row-local readouts of the exact sums (equal day counts cancel,
+    * so mase6 is the plain sum ratio), 6dp-snapped.
+    *
+    * Scale shape: the Holt fold (one key exchange) + ONE more per-key
+    * ordered window for the seasonal lag on the same day grain + a
+    * key-grain aggregate.
+    *
+    * Output per key: (keyCol, n — compared days, mae_holt6,
+    * mae_naive6, mase6 — NULL when the naive MAE is 0).
+    */
+  def holtVsSeasonalNaive(
+      df: DataFrame,
+      keyCol: String,
+      tCol: String,
+      xCol: String,
+      alpha: Double,
+      beta: Double,
+      period: Int): DataFrame = {
+    require(period >= 1, s"period must be >= 1, got $period")
+    import org.apache.spark.sql.expressions.Window
+    val holt = holtSmooth(df, keyCol, tCol, xCol, alpha, beta)
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tCol))
+    val both = holt
+      .withColumn("__nv", lag(col("x"), period).over(w))
+      .filter(col("fc6").isNotNull && col("__nv").isNotNull)
+      .select(col(keyCol),
+        floor(abs(col("x") - col("fc6")) * lit(1e6) + lit(0.5))
+          .cast("long").as("__eh"),
+        floor(abs(col("x") - col("__nv")) * lit(1e6) + lit(0.5))
+          .cast("long").as("__en"))
+    val p6 = (c: Column) => floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+    both.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"), sum(col("__eh")).as("__sh"),
+        sum(col("__en")).as("__sn"))
+      .select(col(keyCol), col("n"),
+        p6(col("__sh").cast("double") / col("n").cast("double") /
+          lit(1e6)).as("mae_holt6"),
+        p6(col("__sn").cast("double") / col("n").cast("double") /
+          lit(1e6)).as("mae_naive6"),
+        when(col("__sn") > 0,
+          p6(col("__sh").cast("double") / col("__sn").cast("double")))
+          .otherwise(lit(null).cast("double")).as("mase6"))
+  }
+
   /** Index of dispersion (variance-to-mean ratio) per key over a
     * count series — the burstiness monitor: a Poisson-arrival stream
     * reads ≈ 1, machine-gun retries / thundering herds read ≫ 1,

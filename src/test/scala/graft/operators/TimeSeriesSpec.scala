@@ -388,6 +388,29 @@ class TimeSeriesSpec extends SparkSuiteBase {
     assert(f.isNullAt(f.fieldIndex("trend")))
   }
 
+  test("holtVsSeasonalNaive: pure weekly pattern crowns the naive") {
+    import spark.implicits._
+    // exact period-7 pattern over 4 weeks: the seasonal naive is
+    // PERFECT (mae 0 → mase NULL); Holt's trendless smoothing lags
+    val pat = Seq(10.0, 20.0, 30.0, 40.0, 30.0, 20.0, 10.0)
+    val rows = (0 until 28).map(t => ("k", t.toLong, pat(t % 7)))
+      .toDF("key", "t", "x")
+    val r = TimeSeries.holtVsSeasonalNaive(rows, "key", "t", "x",
+      0.5, 0.25, period = 7).head()
+    assert(r.getAs[Long]("n") == 21L)
+    assert(r.getAs[Double]("mae_naive6") == 0.0)
+    assert(r.getAs[Double]("mae_holt6") > 0.0)
+    assert(r.isNullAt(r.fieldIndex("mase6")), "perfect naive → NULL")
+    // a constant series: Holt is also perfect → mase NULL both ways?
+    // no — both MAEs are 0, naive 0 → NULL (zero-denominator rule)
+    val const = (0 until 20).map(t => ("c", t.toLong, 5.0))
+      .toDF("key", "t", "x")
+    val c = TimeSeries.holtVsSeasonalNaive(const, "key", "t", "x",
+      0.5, 0.25, 7).head()
+    assert(c.getAs[Double]("mae_holt6") == 0.0 &&
+      c.isNullAt(c.fieldIndex("mase6")))
+  }
+
   test("crossCorrelation with itself: ACF identity (lag 0 = 1, symmetric)") {
     import spark.implicits._
     val s = Seq((0L, 5L), (1L, 9L), (2L, 2L), (3L, 7L), (4L, 4L),
