@@ -199,7 +199,8 @@ object Bench {
     "q240_ivf_recall_audit" -> 1.68, "q241_rendezvous_assign" -> 0.39,
     "q242_unigram_em" -> 1.66,
     // q243 rides the q85/q185/q221 NB score chain — family level
-    "q243_lift_table" -> 5.34, "q244_acf" -> 1.07)
+    "q243_lift_table" -> 5.34, "q244_acf" -> 1.07,
+    "q245_forecast_mase" -> 0.86)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
