@@ -1,8 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{BooleanType, DoubleType, StructField, StructType}
 
 /** Distributed time-series subsequence similarity search (the
   * streaming-data similarity-search family — EDBT 2019/REPOSE ICDE
@@ -227,13 +228,15 @@ object TimeSeries {
     * spikes, CUSUM catches small persistent shifts).
     *
     * The recurrence is non-linear (the max(0,·) clamp), so no window
-    * frame expresses it: each key's history is folded ROW-LOCALLY in
-    * (ts, tie) order after one combinable collect per key. The
-    * bounded-history contract is q102's: per-key state is that key's
-    * row count — fine for monitoring keys with bounded windows,
-    * and the arithmetic chain is written with the exact
-    * left-associative grouping the relational oracle replays, so
-    * stream, batch, and oracle agree bit-for-bit.
+    * frame expresses it: each key's history is folded as a STREAMING
+    * per-key scan — one hash exchange on the key, one external
+    * per-partition sort on (key, ts, tie), then an O(1)-state
+    * iterator fold — never a per-key array. A key with n rows costs
+    * O(n log n) sort + O(n) fold with O(1) driver/executor state, so
+    * an unbounded key history streams (and spills) instead of
+    * materializing a multi-MB single row; the arithmetic chain is
+    * written with the exact left-associative grouping the relational
+    * oracle replays, so stream, batch, and oracle agree bit-for-bit.
     */
   def cusum(
       df: DataFrame,
@@ -244,33 +247,38 @@ object TimeSeries {
       target: Double,
       slack: Double,
       threshold: Double): DataFrame = {
-    val seq0 = df.groupBy(col(keyCol))
-      .agg(array_sort(collect_list(struct(col(tsCol).as("t"),
-        col(tieCol).as("i"), col(valueCol).cast("double").as("x"))))
-        .as("__seq"))
-    val folded = aggregate(
-      col("__seq"),
-      struct(lit(0.0).as("s"),
-        array().cast(
-          "array<struct<t:timestamp,i:bigint,x:double,s:double>>")
-          .as("out")),
-      (acc, e) => {
+    val prepped = df.select(col(keyCol), col(tsCol),
+      col(tieCol).cast("long").as(tieCol),
+      col(valueCol).cast("double").as(valueCol))
+    // same exchange the old collect_list aggregate paid, but the sort
+    // is external (spills) and the fold streams — per-key state is
+    // one double, not the key's history
+    val sorted = prepped
+      .repartition(col(keyCol))
+      .sortWithinPartitions(
+        col(keyCol), col(tsCol), col(tieCol), col(valueCol))
+    val enc = Encoders.row(StructType(sorted.schema.fields ++ Array(
+      StructField("s6", DoubleType), StructField("alarm", BooleanType))))
+    sorted.mapPartitions { rows =>
+      var key: Any = null
+      var open = false
+      var s = 0.0
+      rows.map { r =>
+        val k = r.get(0)
+        if (!open || !java.util.Objects.equals(k, key)) {
+          key = k; open = true; s = 0.0
+        }
         // EXACT grouping replayed by the oracle:
-        // s' = greatest(0, s + (x - target - slack))
-        val s1 = greatest(lit(0.0),
-          acc.getField("s") +
-            (e.getField("x") - lit(target) - lit(slack)))
-        struct(s1.as("s"),
-          concat(acc.getField("out"), array(struct(
-            e.getField("t").as("t"), e.getField("i").as("i"),
-            e.getField("x").as("x"), s1.as("s")))).as("out"))
-      },
-      acc => acc.getField("out"))
-    seq0.select(col(keyCol), explode(folded).as("e"))
-      .select(col(keyCol), col("e.t").as(tsCol), col("e.i").as(tieCol),
-        col("e.x").as(valueCol),
-        (floor(col("e.s") * lit(1e6) + lit(0.5)) / lit(1e6)).as("s6"),
-        (col("e.s") > lit(threshold)).as("alarm"))
+        // s' = greatest(0, s + (x - target - slack)); a null x makes
+        // the sum null and greatest(0, null) = 0, as the old HOF fold
+        val xNull = r.isNullAt(3)
+        s = if (xNull) 0.0
+            else math.max(0.0, s + (r.getDouble(3) - target - slack))
+        Row(k, r.get(1), r.get(2),
+          if (xNull) null else java.lang.Double.valueOf(r.getDouble(3)),
+          math.floor(s * 1e6 + 0.5) / 1e6, s > threshold)
+      }
+    }(enc)
   }
 
   /** Forecast-accuracy comparison: per key, the MAE of
@@ -378,17 +386,20 @@ object TimeSeries {
     *   l_t = α·x_t + (1−α)·(l_{t−1} + b_{t−1})
     *   b_t = β·(l_t − l_{t−1}) + (1−β)·b_{t−1}
     *
-    * Determinism: the fold is a row-local per-key `aggregate` over
-    * the (t, tie)-sorted struct array — the [[cusum]] discipline —
-    * and the oracle replays the SAME left-associative chain with a
-    * recursive CTE, bit-identical, no tolerance. Pick DYADIC gains
-    * (0.5, 0.25) and every product is exact. h-step forecasts are
-    * row-local functions of the last row (l + h·b) — consumers
-    * extend without re-folding.
+    * Determinism: the fold is a streaming per-key scan in (t, x)
+    * order — the [[cusum]] discipline (one key exchange, one external
+    * per-partition sort, O(1) per-key state) — and the oracle replays
+    * the SAME left-associative chain with a recursive CTE,
+    * bit-identical, no tolerance (JVM doubles are strict IEEE-754
+    * binary64, the identical op sequence to the oracle's). Pick
+    * DYADIC gains (0.5, 0.25) and every product is exact. h-step
+    * forecasts are row-local functions of the last row (l + h·b) —
+    * consumers extend without re-folding.
     *
-    * Scale shape: ONE key exchange (the collect_list aggregate);
-    * per-key state is the series itself — calendar-bounded for
-    * day-grain series (the q156/q165 contract), never corpus-bounded.
+    * Scale shape: ONE key exchange + per-partition sort; per-key
+    * state is TWO doubles (level, trend), never the series — an
+    * unbounded key streams instead of materializing its history in
+    * one row.
     *
     * Output: (keyCol, tCol, x, level6, trend6, fc6 — null on each
     * key's first row); callers order.
@@ -402,43 +413,57 @@ object TimeSeries {
       beta: Double): DataFrame = {
     require(alpha > 0 && alpha <= 1, s"alpha must be in (0,1], got $alpha")
     require(beta >= 0 && beta <= 1, s"beta must be in [0,1], got $beta")
-    val seq0 = df.groupBy(col(keyCol))
-      .agg(array_sort(collect_list(struct(col(tCol).cast("long").as("t"),
-        col(xCol).cast("double").as("x")))).as("__seq"))
-    val folded = aggregate(
-      col("__seq"),
-      struct(lit(false).as("has"), lit(0.0).as("l"), lit(0.0).as("b"),
-        array().cast(
-          "array<struct<t:bigint,x:double,l:double,b:double,fc:double>>")
-          .as("out")),
-      (acc, e) => {
-        val has = acc.getField("has")
-        val x = e.getField("x")
-        val l = acc.getField("l")
-        val b = acc.getField("b")
-        // EXACT chains replayed by the oracle (b' inlines l' — reuse
-        // is value-identical, only operation ORDER must match):
-        //   l' = α·x + (1−α)·(l + b)
-        //   b' = β·(l' − l) + (1−β)·b
-        val lNew = when(has,
-          lit(alpha) * x + (lit(1.0) - lit(alpha)) * (l + b)).otherwise(x)
-        val bNew = when(has,
-          lit(beta) *
-            ((lit(alpha) * x + (lit(1.0) - lit(alpha)) * (l + b)) - l) +
-            (lit(1.0) - lit(beta)) * b).otherwise(lit(0.0))
-        val fc = when(has, l + b).otherwise(lit(null).cast("double"))
-        struct(lit(true).as("has"), lNew.as("l"), bNew.as("b"),
-          concat(acc.getField("out"), array(struct(
-            e.getField("t").as("t"), x.as("x"), lNew.as("l"),
-            bNew.as("b"), fc.as("fc")))).as("out"))
-      },
-      acc => acc.getField("out"))
-    val p6 = (c: Column) => floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
-    seq0.select(col(keyCol), explode(folded).as("e"))
-      .select(col(keyCol), col("e.t").as(tCol), col("e.x").as("x"),
-        p6(col("e.l")).as("level6"), p6(col("e.b")).as("trend6"),
-        when(col("e.fc").isNotNull, p6(col("e.fc")))
-          .otherwise(lit(null).cast("double")).as("fc6"))
+    val prepped = df.select(col(keyCol),
+      col(tCol).cast("long").as(tCol), col(xCol).cast("double").as("x"))
+    val sorted = prepped
+      .repartition(col(keyCol))
+      .sortWithinPartitions(col(keyCol), col(tCol), col("x"))
+    val enc = Encoders.row(StructType(sorted.schema.fields ++ Array(
+      StructField("level6", DoubleType), StructField("trend6", DoubleType),
+      StructField("fc6", DoubleType))))
+    val (a, g) = (alpha, beta)
+    sorted.mapPartitions { rows =>
+      var key: Any = null
+      var open = false
+      var first = true
+      // boxed so a null x poisons the chain exactly as the old
+      // expression fold did (null propagates through l'/b'/fc)
+      var l: java.lang.Double = null
+      var b: java.lang.Double = null
+      def p6(v: java.lang.Double): java.lang.Double =
+        if (v == null) null else math.floor(v * 1e6 + 0.5) / 1e6
+      rows.map { r =>
+        val k = r.get(0)
+        if (!open || !java.util.Objects.equals(k, key)) {
+          key = k; open = true; first = true; l = null; b = null
+        }
+        val xNull = r.isNullAt(2)
+        var fc: java.lang.Double = null
+        if (first) {
+          // init l₁ = x₁, b₁ = 0, fc₁ = null
+          l = if (xNull) null else java.lang.Double.valueOf(r.getDouble(2))
+          b = 0.0
+          first = false
+        } else {
+          fc = if (l == null || b == null) null
+               else java.lang.Double.valueOf(l + b)
+          if (xNull || l == null || b == null) { l = null; b = null }
+          else {
+            // EXACT chains replayed by the oracle:
+            //   l' = α·x + (1−α)·(l + b)
+            //   b' = β·(l' − l) + (1−β)·b
+            val x = r.getDouble(2)
+            val lv = a * x + (1.0 - a) * (l + b)
+            val bv = g * (lv - l) + (1.0 - g) * b
+            l = lv; b = bv
+          }
+        }
+        Row(k,
+          if (r.isNullAt(1)) null else java.lang.Long.valueOf(r.getLong(1)),
+          if (xNull) null else java.lang.Double.valueOf(r.getDouble(2)),
+          p6(l), p6(b), p6(fc))
+      }
+    }(enc)
   }
 
   /** Regular-grid resampling with forward fill: one row per (key,

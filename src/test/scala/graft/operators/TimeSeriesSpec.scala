@@ -203,6 +203,51 @@ class TimeSeriesSpec extends SparkSuiteBase {
     assert(run(df) === run(df.repartition(7)))
   }
 
+  test("CUSUM/holt: streaming fold — no per-key history in the plan, " +
+      "200k-row single key matches the driver replay") {
+    // the old collect_list + HOF-aggregate fold materialized each
+    // key's full history in one row and rebuilt the accumulator array
+    // per step (O(n²)); this would not finish on 200k rows. The
+    // streaming fold must (a) show no collect_list in the plan and
+    // (b) reproduce the exact left-associative chain.
+    val df = spark.range(200000).select(
+      lit(1L).as("user_id"),
+      timestamp_millis(lit(1700000000000L) + col("id") * lit(1000L))
+        .as("ts"),
+      col("id").as("event_id"),
+      (col("id") * lit(37L) % lit(100L)).cast("double").as("value"))
+    val out = TimeSeries.cusum(df, "user_id", "ts", "event_id", "value",
+      target = 50.0, slack = 5.0, threshold = 60.0)
+    assert(!out.queryExecution.optimizedPlan.toString.contains("collect_list"))
+    var s = 0.0
+    var alarms = 0L
+    (0L until 200000L).foreach { i =>
+      s = math.max(0.0, s + ((i * 37 % 100).toDouble - 50.0 - 5.0))
+      if (s > 60.0) alarms += 1
+    }
+    val last = out.orderBy(col("event_id").desc).limit(1).collect()(0)
+    assert(last.getDouble(4) == math.floor(s * 1e6 + 0.5) / 1e6)
+    assert(out.filter(col("alarm")).count() == alarms)
+
+    val holt = TimeSeries.holtSmooth(
+      df.select(col("user_id"), col("event_id").as("t"), col("value").as("x")),
+      "user_id", "t", "x", alpha = 0.5, beta = 0.25)
+    assert(!holt.queryExecution.optimizedPlan.toString.contains("collect_list"))
+    var (l, b) = (0.0, 0.0)
+    (0L until 200000L).foreach { i =>
+      val x = (i * 37 % 100).toDouble
+      if (i == 0L) { l = x; b = 0.0 }
+      else {
+        val lv = 0.5 * x + (1.0 - 0.5) * (l + b)
+        b = 0.25 * (lv - l) + (1.0 - 0.25) * b
+        l = lv
+      }
+    }
+    val hLast = holt.orderBy(col("t").desc).limit(1).collect()(0)
+    assert(hLast.getDouble(3) == math.floor(l * 1e6 + 0.5) / 1e6)
+    assert(hLast.getDouble(4) == math.floor(b * 1e6 + 0.5) / 1e6)
+  }
+
   test("EWMA: hand-checked values, adjust=true renormalization on partial windows") {
     import java.sql.Timestamp
     val df = Seq(1.0, 3.0, 5.0, 7.0).zipWithIndex.map { case (v, i) =>
