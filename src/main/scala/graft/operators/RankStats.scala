@@ -186,25 +186,54 @@ object RankStats {
     * final row-local correlation formula, 6dp-rounded. Zero-variance
     * (constant) columns read NULL rho.
     *
-    * Scale shape: k distinct-value aggregates + k range-partitioned
-    * prefix sums + k value equi-joins back (the small rank frames
-    * broadcast under AQE), then ONE combinable O(k²)-wide aggregate.
+    * Columns must be NUMERIC (values ride a double melt column whose
+    * ordering must match the raw column's and whose mapping must stay
+    * injective — exact for int/decimal(≤15 digits)/float inputs, the
+    * Spearman use case).
+    *
+    * Scale shape: the k columns MELT into one stacked (column-index,
+    * value) frame, so there is ONE distinct-value aggregate and ONE
+    * range-partitioned prefix sum for all k columns together (each
+    * column contributes exactly n rows after listwise deletion, so
+    * per-column `below` = global prefix − ci·n) — not k copies of the
+    * prefix machinery. One (ci, value) equi-join puts per-row ranks on
+    * the slim melt, ONE rowid hash aggregate re-assembles each row's
+    * rank vector, and ONE combinable O(k²)-wide aggregate finishes —
+    * the corpus is never re-shuffled k times at full width.
     *
     * Output: (col_a, col_b, rho6) for i < j in `cols` order.
     */
   def spearmanMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.size >= 2, "spearmanMatrix needs at least 2 columns")
+    // localCheckpoint freezes the rowid↔values pairing so every
+    // branch reads the same assignment (rho is invariant to WHICH ids
+    // rows get, but all downstream reads must agree)
     val clean = df
       .filter(cols.map(col(_).isNotNull).reduce(_ && _))
       .select(cols.map(c => col(c)): _*)
-    // per-row doubled ranks, one value-join per column; aggregate
-    // aliases are INDEX-keyed (q172's underscore-collision lesson)
-    var ranked = clean
-    cols.zipWithIndex.foreach { case (c, i) =>
-      val rk = avgRank2ByValue(clean, c)
-        .select(col(c), col("__rank2").as(s"__r2_$i"))
-      ranked = ranked.join(rk, Seq(c))
-    }
+      .withColumn("__rid", monotonically_increasing_id())
+      .localCheckpoint(true)
+    val n = clean.count()
+    val melted = clean.select(col("__rid"), explode(array(
+        cols.zipWithIndex.map { case (c, i) =>
+          struct(lit(i).as("ci"), col(c).cast("double").as("v")) }: _*))
+        .as("__e"))
+      .select(col("__rid"), col("__e.ci").as("__ci"), col("__e.v").as("__v"))
+    val g = melted.groupBy(col("__ci"), col("__v"))
+      .agg(count(lit(1)).as("__n_s"))
+    val pref = ScaleOps.prefixSumByRange(
+      g, Seq("__ci", "__v"), col("__n_s"), "__gp")
+    // doubled average rank: 2·below + cnt + 1, below = prefix − ci·n
+    val rk = pref.select(col("__ci"), col("__v"),
+      (lit(2L) * (col("__gp") - col("__ci").cast("long") * lit(n)) +
+        col("__n_s") + lit(1L)).as("__r2"))
+    // aggregate aliases are INDEX-keyed (q172's underscore-collision
+    // lesson)
+    val pivotAggs = cols.indices.map(i =>
+      max(when(col("__ci") === lit(i), col("__r2"))).as(s"__r2_$i"))
+    val ranked = melted.join(rk, Seq("__ci", "__v"))
+      .groupBy(col("__rid"))
+      .agg(pivotAggs.head, pivotAggs.tail: _*)
     val dec = "decimal(38,0)"
     val pairs = for { i <- cols.indices; j <- cols.indices if i < j }
       yield (i, j)

@@ -97,41 +97,60 @@ object ScaleOps {
       numParts: Int = 0,
       targetPartBytes: Long = 64L << 10,
       maxAutoParts: Int = 131072): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val parts = if (numParts > 0) numParts
-                else autoRangeParts(df, targetPartBytes, maxAutoParts)
-    val parted = df
-      .repartitionByRange(parts, orderCols.map(col): _*)
-      .withColumn("__pfx_pid", spark_partition_id())
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val storage = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // evaluate `value` once up front so the per-partition sums, the
+    // streaming scan, and the auto-sizing all read one column; cache
+    // the input when auto-sizing so the exact count does not recompute
+    // the caller's upstream a second time (the count job materializes
+    // the cache, every later pass reads it)
+    val withV = df.withColumn("__pfx_v", value.cast("long"))
+    val cached = if (numParts > 0) withV else withV.persist(storage)
     try {
-      val sums = parted.groupBy(col("__pfx_pid"))
-        .agg(coalesce(sum(value), lit(0L)).as("__s"))
-        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-      val offsets = (0 until parts).map { p =>
-        p -> (0 until p).map(q => sums.getOrElse(q, 0L)).sum
-      }.toMap
-      val w = Window.partitionBy(col("__pfx_pid"))
-        .orderBy(orderCols.map(col): _*)
-        .rowsBetween(Window.unboundedPreceding, -1)
-      parted
-        // the window clusters on __pfx_pid; without this explicit
-        // repartition its exchange would default to the SESSION
-        // shuffle-partition count (AQE-coalescible), silently capping
-        // the cumulative-sum stage's parallelism regardless of
-        // `parts` (observed: 55 range partitions funneled into 2
-        // window tasks). Hashing the pid into exactly `parts` buckets
-        // satisfies the window's clustering requirement up front — no
-        // re-exchange, one ~range-partition-sized sort per task
-        // (pid hash collisions can double up a bucket; bounded skew).
-        .repartition(parts, col("__pfx_pid"))
-        .withColumn(prefixName,
-          coalesce(sum(value).over(w), lit(0L)) +
-            element_at(typedlit(offsets), col("__pfx_pid")))
-        .drop("__pfx_pid")
-        .localCheckpoint(true)
+      val parts = if (numParts > 0) numParts
+                  else autoRangeParts(cached, targetPartBytes, maxAutoParts)
+      val parted = cached
+        .repartitionByRange(parts, orderCols.map(col): _*)
+        .sortWithinPartitions(orderCols.map(col): _*)
+        .withColumn("__pfx_pid", spark_partition_id())
+        .persist(storage)
+      try {
+        val sums = parted.groupBy(col("__pfx_pid"))
+          .agg(coalesce(sum(col("__pfx_v")), lit(0L)).as("__s"))
+          .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+        val offsets = (0 until parts).map { p =>
+          p -> (0 until p).map(q => sums.getOrElse(q, 0L)).sum
+        }.toMap
+        // cumulative sum = one STREAMING scan of the already-sorted
+        // cached partitions (the row's own stored pid keys the offset,
+        // so a task retry observing a different task id cannot corrupt
+        // the prefix) — no second exchange, no window re-sort; each
+        // range partition is one O(rows) task
+        val baseLen = df.schema.fields.length
+        val enc = Encoders.row(StructType(df.schema.fields :+
+          StructField(prefixName, LongType, nullable = false)))
+        parted.mapPartitions { it =>
+          var curPid = -1
+          var running = 0L
+          it.map { r =>
+            val pid = r.getInt(baseLen + 1)
+            if (pid != curPid) { curPid = pid; running = offsets(pid) }
+            val out = new Array[Any](baseLen + 1)
+            var i = 0
+            while (i < baseLen) { out(i) = r.get(i); i += 1 }
+            out(baseLen) = running
+            if (!r.isNullAt(baseLen)) running += r.getLong(baseLen)
+            Row.fromSeq(scala.collection.immutable.ArraySeq
+              .unsafeWrapArray(out))
+          }
+        }(enc).localCheckpoint(true)
+      } finally {
+        parted.unpersist()
+        ()
+      }
     } finally {
-      parted.unpersist()
+      if (!(numParts > 0)) cached.unpersist()
       ()
     }
   }

@@ -152,11 +152,32 @@ object SocketBroker {
   final class Client(host: String, port: Int)
       extends EnvelopeBroker with WritableEnvelopeBroker with Serializable {
 
+    // bounded retry on the CONNECT phase only: before the request is
+    // written, retrying is unconditionally safe (no protocol state),
+    // and a saturated accept queue under load can transiently reject
+    // (RST) a connection that succeeds 50 ms later. Once a request has
+    // been sent, failures surface immediately — a mid-protocol retry
+    // could double-execute a command. A genuinely dead server still
+    // reads as IOException in well under a second (4 attempts,
+    // 50/100/200 ms backoff).
     private def connect(): (Socket, DataInputStream, DataOutputStream) = {
-      val sock = new Socket(host, port)
-      sock.setTcpNoDelay(true)
-      (sock, new DataInputStream(sock.getInputStream),
-        new DataOutputStream(sock.getOutputStream))
+      var attempt = 0
+      var delayMs = 50L
+      while (true) {
+        try {
+          val sock = new Socket(host, port)
+          sock.setTcpNoDelay(true)
+          return (sock, new DataInputStream(sock.getInputStream),
+            new DataOutputStream(sock.getOutputStream))
+        } catch {
+          case e: IOException =>
+            attempt += 1
+            if (attempt >= 4) throw e
+            Thread.sleep(delayMs)
+            delayMs *= 2
+        }
+      }
+      throw new IllegalStateException("unreachable")
     }
 
     override def topicPartitions: Seq[(String, Int)] = {

@@ -149,14 +149,20 @@ trait EnvelopeBrokerTCK extends AnyFunSuite {
     // exactly one immutable row per MessageId afterwards
     val b = newBroker()
     val positions = (0L until 50L).map(e => (e / 10, e % 10))
+    // a bare Thread swallows its exception — capture them so a
+    // transport hiccup fails THIS assertion loudly instead of reading
+    // as an inexplicable missing row (the r11/r12 loaded-box flake)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
     val threads = (0 until 8).map { t =>
       new Thread(() =>
-        positions.foreach { case (l, e) =>
+        try positions.foreach { case (l, e) =>
           b.append(msg("a", 0, l, e, payload = s"writer-$t"))
-        })
+        } catch { case e: Throwable => failures.add(e); () })
     }
     threads.foreach(_.start())
     threads.foreach(_.join())
+    assert(failures.isEmpty,
+      s"appender thread failed: ${Option(failures.peek()).map(_.toString)}")
     val rows = b.read("a", 0, (0L, 0L), b.latest("a", 0)).toSeq
     assert(rows.map(m => (m.ledgerId, m.entryId)) == positions,
       "exactly one row per MessageId, in order")
