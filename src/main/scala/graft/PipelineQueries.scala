@@ -7272,7 +7272,8 @@ object PipelineQueries extends QueryGroup {
        |t238 AS (SELECT source, CAST(sum(w) AS BIGINT) AS w_total
        |  FROM b238 GROUP BY 1)
        |SELECT c238.source, p AS pct,
-       |  CAST(min(CASE WHEN cum * 100 >= p * w_total THEN v END)
+       |  CAST(min(CASE WHEN CAST(cum AS HUGEINT) * 100
+       |      >= p * CAST(w_total AS HUGEINT) THEN v END)
        |    AS BIGINT) AS value,
        |  w_total
        |FROM c238 JOIN t238 USING (source)

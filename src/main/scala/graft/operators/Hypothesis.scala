@@ -597,6 +597,14 @@ object Hypothesis {
     * alerting p). The "is traffic actually flat across the week"
     * screen that q213's 1-dof SRM test can't ask.
     *
+    * INPUT CONTRACT: `cellCol` values must already lie in
+    * [0, nCells) — callers bucket with pmod, not % (a negative %
+    * result would fall outside the grid and the zero-fill left join
+    * would silently exclude it from BOTH n and the χ² sum, quietly
+    * weakening the test). Out-of-range cells are NOT detected here:
+    * detection would cost a validation pass per call on the hot
+    * aggregate, and every in-repo caller buckets with pmod.
+    *
     * Exactness: cells zero-fill (a missing cell counts 0 — the q190
     * grid convention); χ² = Σ(m·o − n)² / (m·n) rides the square sum
     * in decimal(38,0) (exact at any count), lifted to double only in

@@ -196,44 +196,42 @@ object RankStats {
     * range-partitioned prefix sum for all k columns together (each
     * column contributes exactly n rows after listwise deletion, so
     * per-column `below` = global prefix − ci·n) — not k copies of the
-    * prefix machinery. One (ci, value) equi-join puts per-row ranks on
-    * the slim melt, ONE rowid hash aggregate re-assembles each row's
-    * rank vector, and ONE combinable O(k²)-wide aggregate finishes —
-    * the corpus is never re-shuffled k times at full width.
+    * prefix machinery. Each column's rank map is then a filter of the
+    * ONE checkpointed prefix output, equi-joined onto the slim clean
+    * projection: low-cardinality maps broadcast under AQE, only a
+    * near-unique column pays a shuffle, and ONE combinable O(k²)-wide
+    * aggregate finishes — no rowid pivot, no corpus re-shuffle at
+    * full width.
     *
     * Output: (col_a, col_b, rho6) for i < j in `cols` order.
     */
   def spearmanMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.size >= 2, "spearmanMatrix needs at least 2 columns")
-    // localCheckpoint freezes the rowid↔values pairing so every
-    // branch reads the same assignment (rho is invariant to WHICH ids
-    // rows get, but all downstream reads must agree)
     val clean = df
       .filter(cols.map(col(_).isNotNull).reduce(_ && _))
       .select(cols.map(c => col(c)): _*)
-      .withColumn("__rid", monotonically_increasing_id())
-      .localCheckpoint(true)
     val n = clean.count()
-    val melted = clean.select(col("__rid"), explode(array(
+    val melted = clean.select(explode(array(
         cols.zipWithIndex.map { case (c, i) =>
           struct(lit(i).as("ci"), col(c).cast("double").as("v")) }: _*))
         .as("__e"))
-      .select(col("__rid"), col("__e.ci").as("__ci"), col("__e.v").as("__v"))
+      .select(col("__e.ci").as("__ci"), col("__e.v").as("__v"))
     val g = melted.groupBy(col("__ci"), col("__v"))
       .agg(count(lit(1)).as("__n_s"))
     val pref = ScaleOps.prefixSumByRange(
       g, Seq("__ci", "__v"), col("__n_s"), "__gp")
-    // doubled average rank: 2·below + cnt + 1, below = prefix − ci·n
+    // doubled average rank: 2·below + cnt + 1, below = prefix − ci·n;
+    // aggregate aliases are INDEX-keyed (q172's underscore-collision
+    // lesson)
     val rk = pref.select(col("__ci"), col("__v"),
       (lit(2L) * (col("__gp") - col("__ci").cast("long") * lit(n)) +
         col("__n_s") + lit(1L)).as("__r2"))
-    // aggregate aliases are INDEX-keyed (q172's underscore-collision
-    // lesson)
-    val pivotAggs = cols.indices.map(i =>
-      max(when(col("__ci") === lit(i), col("__r2"))).as(s"__r2_$i"))
-    val ranked = melted.join(rk, Seq("__ci", "__v"))
-      .groupBy(col("__rid"))
-      .agg(pivotAggs.head, pivotAggs.tail: _*)
+    val ranked = cols.zipWithIndex.foldLeft(clean) { case (acc, (c, i)) =>
+      val m = rk.filter(col("__ci") === lit(i))
+        .select(col("__v").as(s"__vv_$i"), col("__r2").as(s"__r2_$i"))
+      acc.join(m, acc(c).cast("double") === col(s"__vv_$i"))
+        .drop(s"__vv_$i")
+    }
     val dec = "decimal(38,0)"
     val pairs = for { i <- cols.indices; j <- cols.indices if i < j }
       yield (i, j)
@@ -443,9 +441,10 @@ object RankStats {
     * the threshold compare is the cross-product cum·100 ≥ p·W (no
     * float, no interpolation — the answer is a raw input value), and
     * ties/zero-weight rows resolve identically in any engine because
-    * the selection is min(value | inclusive-cum ≥ threshold).
-    * Cross-product bound: cum·100 needs W < ~9e16; beyond, pre-scale
-    * the weight unit.
+    * the selection is min(value | inclusive-cum ≥ threshold). The
+    * cross-product rides decimal(38,0) (HUGEINT in the oracle) — the
+    * same overflow class [[paretoAbc]] hit on the 10× deck, closed
+    * the same way, so no W < ~9e16 caveat survives.
     *
     * Scale shape: ONE range-partitioned prefix pass over
     * (group, value, id) ([[ScaleOps.prefixSumByRange]] — the q214
@@ -476,8 +475,10 @@ object RankStats {
       .agg(min(col("__wb")).as("__off"), sum(col("__w")).as("w_total"))
     val cum = p.join(g, Seq("__k"))
       .withColumn("__cum", col("__wb") - col("__off") + col("__w"))
+    val dec = "decimal(38,0)"
     val aggs = pcts.map { pc =>
-      min(when(col("__cum") * 100L >= lit(pc.toLong) * col("w_total"),
+      min(when(col("__cum").cast(dec) * lit(100L) >=
+          lit(pc.toLong) * col("w_total").cast(dec),
         col("__v"))).as(s"__q$pc")
     }
     val picks = cum.groupBy(col("__k"), col("w_total"))
@@ -500,10 +501,12 @@ object RankStats {
     * Y× random".
     *
     * Exactness: ranks come from ONE range-partitioned prefix sum
-    * under the (score DESC, id) total order; bin = rank·bins div n
-    * is exact integer arithmetic; counts are exact; the three ratios
-    * are row-local doubles, 6dp-snapped. The cumulative runs on the
-    * bins-sized frame (a bounded window — the vocab-rank carve-out).
+    * under the (score DESC, id) total order — on the RAW score column
+    * (any orderable numeric, the [[prCurve]] convention; no silent
+    * integer cast); bin = rank·bins div n is exact integer
+    * arithmetic; counts are exact; the three ratios are row-local
+    * doubles, 6dp-snapped. The cumulative runs on the bins-sized
+    * frame (a bounded window — the vocab-rank carve-out).
     *
     * Output: (bin 0-based, n, n_pos, pos_rate6, capture6, lift6);
     * lift/pos_rate NULL for an empty input, lift NULL when there are
@@ -520,7 +523,7 @@ object RankStats {
     val base = scored
       .filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
       .select(col(idCol).as("__id"),
-        (-col(scoreCol).cast("long")).as("__ns"),
+        (-col(scoreCol)).as("__ns"),
         when(col(labelCol).cast("boolean"), 1L).otherwise(0L).as("__y"))
     val p = ScaleOps.prefixSumByRange(base, Seq("__ns", "__id"),
       lit(1L), "__rb", targetPartBytes = 1L << 20)

@@ -129,6 +129,14 @@ object Retrieval {
     * one good answer" readout next to [[ndcgAtK]]'s graded-quality
     * one.
     *
+    * RELEVANCE CONTRACT: `rels` is DOC-GLOBAL — a document is
+    * relevant (or not) for EVERY query, joined on `idCol` alone.
+    * This matches the corpus-label evaluations in this repo (one
+    * quality label per doc); it is NOT TREC-style per-(query, doc)
+    * qrels — a caller with per-query judgments must pre-filter or
+    * pre-join `rels` per query before calling, or first_rank will
+    * credit hits relevant to a different query.
+    *
     * Determinism: first_rank is an integer min; each query's
     * reciprocal is micro-snapped (floor(1e6/rank + 0.5)) so the MRR
     * mean is an exact int64 micro sum over queries — the

@@ -35,22 +35,25 @@ object ScaleOps {
     * `orderCols` must be a total order (no ties) — with ties the
     * strictly-before frame is tie-order-dependent.
     *
-    * Partition sizing: each range partition is cumulative-summed by a
-    * SINGLE-TASK window sort, so the partition count — not the data —
-    * bounds the per-task work. `numParts <= 0` (the default) derives
-    * the count from an EXACT row count times the schema width
-    * ([[autoRangeParts]]), clamped to [shuffle.partitions,
-    * maxAutoParts]: a growing input picks more partitions by itself
-    * instead of sharding a 100 TB corpus into ~3 TB single-task sorts
-    * (the round-5 fixed-32 defect). The 64 KiB default target is in
-    * schema-width bytes (8 B per long), which undercount the real
-    * in-task footprint (UnsafeRow + sort array + the pid-stability
-    * persist) by roughly an order of magnitude — 64 KiB of estimate
-    * is ~1 MiB of real partition. The `maxAutoParts` cap bounds the
-    * driver's offset map and the task count at extreme scale; at the
-    * cap, partitions grow linearly but stay far under the single-task
-    * sort bound for any plausible narrow-projection input (callers
-    * pass (key, value) projections, never corpus text).
+    * Partition sizing: each range partition is sorted and
+    * cumulative-summed by a SINGLE task, so the partition count — not
+    * the data — bounds the per-task work. `numParts <= 0` (the
+    * default) derives the count from an EXACT row count times the
+    * schema width ([[autoRangeParts]]), clamped to
+    * [shuffle.partitions, maxAutoParts]: a growing input picks more
+    * partitions by itself instead of sharding a 100 TB corpus into
+    * ~3 TB single-task sorts (the round-5 fixed-32 defect). The 1 MiB
+    * default target is in schema-width bytes (8 B per long), which
+    * undercount the real in-task footprint (UnsafeRow + sort array +
+    * the pid-stability persist) by roughly an order of magnitude —
+    * 1 MiB of estimate is ~10 MiB of real partition, comfortably one
+    * task's sort and far fewer task waves than the earlier 64 KiB
+    * target (which cost 10 waves of sub-second tasks on a 600k-row
+    * rank frame). The `maxAutoParts` cap bounds the driver's offset
+    * map and the task count at extreme scale; at the cap, partitions
+    * grow linearly but stay far under the single-task sort bound for
+    * any plausible narrow-projection input (callers pass (key, value)
+    * projections, never corpus text).
     */
   /** Rendezvous (highest-random-weight) assignment: every item picks
     * the worker maximizing md5(worker ‖ item-key) (Thaler & Ravishankar
@@ -95,7 +98,7 @@ object ScaleOps {
       value: org.apache.spark.sql.Column,
       prefixName: String,
       numParts: Int = 0,
-      targetPartBytes: Long = 64L << 10,
+      targetPartBytes: Long = 1L << 20,
       maxAutoParts: Int = 131072): DataFrame = {
     import org.apache.spark.sql.{Encoders, Row}
     import org.apache.spark.sql.types.{LongType, StructField, StructType}
@@ -174,7 +177,7 @@ object ScaleOps {
     */
   def autoRangeParts(
       df: DataFrame,
-      targetPartBytes: Long = 64L << 10,
+      targetPartBytes: Long = 1L << 20,
       maxAutoParts: Int = 131072): Int = {
     val floor = df.sparkSession.sessionState.conf.numShufflePartitions
     val rowWidth = 8L + df.schema.fields.map(_.dataType.defaultSize.toLong).sum

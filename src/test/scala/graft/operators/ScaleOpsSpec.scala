@@ -37,15 +37,15 @@ class ScaleOpsSpec extends SparkSuiteBase {
   }
 
   test("prefixSumByRange auto-sizes partitions from input stats") {
-    // 600k (long, long) rows x 24 B schema width ≈ 14 MiB — far past
-    // 32 x 64 KiB — so the auto path (numParts <= 0) must pick more
-    // than 32 range partitions BY ITSELF (the floor here is this
+    // 600k (long, long, long) rows x 32 B schema width ≈ 18 MiB — past
+    // 16 x 1 MiB — so the auto path (numParts <= 0) must pick more
+    // than 16 range partitions BY ITSELF (the floor here is this
     // suite's shuffle.partitions = 4, so the size term decides), the
     // round-5 fix for sharding a growing corpus into fixed-32
     // single-task sorts
     val df = spark.range(600000).toDF("id").withColumn("v", lit(1L))
     val auto = ScaleOps.prefixSumByRange(df, Seq("id"), col("v"), "pfx")
-    assert(auto.rdd.getNumPartitions > 32,
+    assert(auto.rdd.getNumPartitions > 16,
       s"auto picked ${auto.rdd.getNumPartitions} partitions")
     // sizing must never leak into the values: auto and a fixed count
     // produce the identical prefix function
