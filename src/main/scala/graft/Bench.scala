@@ -301,7 +301,7 @@ object Bench {
         // q127 owns the trained-WordPiece memo; q128 (alphabetically
         // after) reuses it — its number is the encode increment
         if (name == "q127_wordpiece_vocab")
-          PipelineQueries.resetWordPiece(spark, sfDir)
+          PipelineSketchQueries.resetWordPiece(spark, sfDir)
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()

@@ -54,7 +54,8 @@ abstract class QueryGroup {
 
 object Queries {
   private def groups: Seq[QueryGroup] =
-    Seq(RelationalQueries, ExtendedQueries, PipelineQueries, StreamingQueries)
+    Seq(RelationalQueries, ExtendedQueries, PipelineQueries,
+      PipelineSketchQueries, PipelineAnalyticsQueries, StreamingQueries)
 
   lazy val defs: Seq[QDef] = groups.flatMap(_.all)
 
