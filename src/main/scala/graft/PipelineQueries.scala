@@ -111,6 +111,47 @@ object PipelineQueries extends QueryGroup {
     ()
   }
 
+  /** NB-quality scored frame memo: the q85 heuristic-seeded NB scorer
+    * and the q58 rule labels joined once per (session, dir) —
+    * q185/q221/q223/q243 are four READOUTS of the same scored corpus
+    * (ROC, PR curve, kappa, lift), so the corpus-scale tokenize+score
+    * chain runs once and each readout prices its own aggregation (the
+    * [[dedupStages]] discipline; Bench resets this memo on the
+    * family's first-alphabetical member q185 so the mine is still
+    * timed every round, and the later readouts time their true
+    * increments — the deployment shape: score once, read many).
+    * Carries RAW log_odds (not the micro snap) so q223's `> 0` cut
+    * and the micro-snap readouts derive from identical bits.
+    */
+  private val nbScoredCache = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.SparkSession, String),
+    org.apache.spark.sql.DataFrame]
+
+  private[graft] def nbScored(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    sweepDeadEntries(nbScoredCache)
+    nbScoredCache.computeIfAbsent((s, d), _ => {
+      val docs = Tables.documents(s, d)
+      val scored = QualityModel
+        .heuristicSeededScores(docs, "doc_id", "text", Seq("the", "a"))
+        .select(col("doc").as("doc_id"), col("log_odds"))
+      val labels = TextAnalysis
+        .qualityFilter(docs, "doc_id", "text", Seq("the", "a"))
+        .select(col("doc_id"), col("keep"))
+      scored.join(labels, Seq("doc_id")).localCheckpoint(true)
+    })
+  }
+
+  /** Forget the memoized NB-scored frame — Bench calls this before
+    * each q185 rep so the family's mine cost is re-timed, exactly as
+    * [[resetDedupStage]] does for q33.
+    */
+  def resetNbScored(s: org.apache.spark.sql.SparkSession,
+      d: String): Unit = {
+    nbScoredCache.remove((s, d))
+    ()
+  }
+
   /** DuckDB twin of [[graft.functions.TextFns.tokens]]: lowercase,
     * split on whitespace runs, drop empties. Every text oracle MUST
     * tokenize through this so engine and oracle agree on any fixture
