@@ -346,6 +346,10 @@ object Bench {
         // over a frame scored once (the deployment shape)
         if (name == "q185_roc_auc")
           PipelineQueries.resetNbScored(spark, sfDir)
+        // q224 owns the co-purchase edge memo; q225 (alphabetically
+        // after) reads it — its number is the BFS increment
+        if (name == "q224_link_prediction")
+          PipelineAnalyticsQueries.resetCopurchase(spark, sfDir)
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()

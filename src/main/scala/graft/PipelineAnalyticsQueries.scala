@@ -2340,16 +2340,39 @@ object PipelineAnalyticsQueries extends QueryGroup {
   /** Engine twin of [[copurchaseCtes]]'s bpG: the distinct
     * parity-coded (customer, part) edge frame.
     */
+  /** Memoized per (session, dir) — q224 (link prediction) and q225
+    * (BFS) are two readouts of the SAME mined co-purchase graph, so
+    * the 3-table join + distinct runs once (the nbScored/dedupStages
+    * discipline; Bench resets on the alphabetical owner q224 so the
+    * mine is still timed every round and q225's number is the BFS
+    * increment).
+    */
+  private val copurchaseEdgeCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      (org.apache.spark.sql.SparkSession, String),
+      org.apache.spark.sql.DataFrame]
+
   private def copurchaseEdges(s: org.apache.spark.sql.SparkSession,
-      d: String): org.apache.spark.sql.DataFrame =
-    Tables.orders(s, d)
-      .join(Tables.lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
-      .join(Tables.customer(s, d)
-        .filter(col("c_mktsegment") === "BUILDING"),
-        col("c_custkey") === col("o_custkey"))
-      .select((lit(2L) * col("o_custkey")).as("id_a"),
-        (lit(2L) * col("l_partkey") + lit(1L)).as("id_b"))
-      .distinct()
+      d: String): org.apache.spark.sql.DataFrame = {
+    PipelineQueries.sweepDeadEntries(copurchaseEdgeCache)
+    copurchaseEdgeCache.computeIfAbsent((s, d), _ =>
+      Tables.orders(s, d)
+        .join(Tables.lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d)
+          .filter(col("c_mktsegment") === "BUILDING"),
+          col("c_custkey") === col("o_custkey"))
+        .select((lit(2L) * col("o_custkey")).as("id_a"),
+          (lit(2L) * col("l_partkey") + lit(1L)).as("id_b"))
+        .distinct()
+        .localCheckpoint(true))
+  }
+
+  /** Bench hook: forget the memoized co-purchase edge frame. */
+  def resetCopurchase(s: org.apache.spark.sql.SparkSession,
+      d: String): Unit = {
+    copurchaseEdgeCache.remove((s, d))
+    ()
+  }
 
   // Scorer evaluation, imbalanced edition: the precision–recall curve
   // + step-function average precision of the q85 NB quality scorer
