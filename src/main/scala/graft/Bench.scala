@@ -208,6 +208,8 @@ object Bench {
     // these time their readout increments over the scored corpus
     "q243_lift_table" -> 0.70, "q244_acf" -> 0.52,
     "q245_forecast_mase" -> 0.34,
+    // round-13 additions (comparator 0.61/0.25)
+    "q246_water_fill" -> 1.22, "q247_good_turing" -> 0.86,
     // round-13 additions: the relational/simple surface never had
     // priors ("new queries never escalate"); recorded from the same
     // quiet full-session sweep so the regression gate covers the

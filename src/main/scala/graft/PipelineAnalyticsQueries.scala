@@ -3454,4 +3454,79 @@ object PipelineAnalyticsQueries extends QueryGroup {
         Seq("w0", "w1", "w2", "w3", "w4"))
       .orderBy(col("event_type"), col("p"))
   }
+
+  // Data-mixing allocation: WATER-FILL the per-source character mass
+  // against a 60%-of-total budget — the max-min-fair cap ("every
+  // source keeps up to one common level L, small sources keep all")
+  // that q87's temperature mix reshapes and this CAPS. Pure int64:
+  // the level solve is integer division over the source-sized sorted
+  // frame; the oracle replays the identical first-infeasible-rank
+  // selection.
+  q("q246_water_fill",
+    """WITH g246 AS (SELECT source, CAST(sum(n_chars) AS BIGINT)
+      |    AS n_tokens
+      |  FROM documents GROUP BY 1),
+      |b246 AS (SELECT (CAST(sum(n_tokens) AS BIGINT) * 6) // 10 AS b
+      |  FROM g246),
+      |r246 AS (SELECT source, n_tokens,
+      |    CAST(row_number() OVER (ORDER BY n_tokens, source) AS BIGINT)
+      |      AS r,
+      |    CAST(coalesce(sum(n_tokens) OVER (ORDER BY n_tokens, source
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS BIGINT) AS pb,
+      |    (SELECT CAST(count(*) AS BIGINT) FROM g246) AS k
+      |  FROM g246),
+      |c246 AS (SELECT source, n_tokens, r,
+      |    (b - pb) // (k - r + 1) AS lvl
+      |  FROM r246, b246),
+      |l246 AS (SELECT min(CASE WHEN lvl < n_tokens THEN r END) AS rs
+      |  FROM c246),
+      |lv246 AS (SELECT lvl AS level FROM c246, l246 WHERE c246.r = l246.rs)
+      |SELECT g246.source, n_tokens,
+      |  (SELECT level FROM lv246) AS level,
+      |  CAST(CASE WHEN (SELECT count(*) FROM lv246) = 0 THEN n_tokens
+      |       ELSE least(n_tokens, (SELECT level FROM lv246)) END
+      |    AS BIGINT) AS alloc,
+      |  (CASE WHEN (SELECT count(*) FROM lv246) = 0 THEN n_tokens
+      |       ELSE least(n_tokens, (SELECT level FROM lv246)) END)
+      |    = n_tokens AS funded
+      |FROM g246 ORDER BY source""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val total = docs.agg(
+      sum(col("n_chars").cast("long"))).head().getLong(0)
+    graft.operators.Curation.waterFill(docs, "source", "n_chars",
+        budget = total * 6 / 10)
+      .orderBy(col("source"))
+  }
+
+  // Vocabulary mass: Good-Turing frequency-of-frequencies — the
+  // unseen-token probability P0 = N1/N next to q220's Heaps exponent
+  // and q187's Zipf slope, plus the smoothed counts r* the q168 KN
+  // smoother builds on. Two aggregates and a 5-row grid; NULL r*
+  // where a frequency class is empty.
+  q("q247_good_turing",
+    s"""WITH t247 AS (SELECT unnest($sqlTokens) AS w FROM documents),
+       |tc247 AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM t247
+       |  GROUP BY 1),
+       |cc247 AS (SELECT c, CAST(count(*) AS BIGINT) AS n_c FROM tc247
+       |  GROUP BY 1),
+       |tot247 AS (SELECT CAST(count(*) AS BIGINT) AS n_tokens FROM t247),
+       |n247 AS (SELECT CAST(coalesce((SELECT n_c FROM cc247 WHERE c = 1),
+       |    0) AS BIGINT) AS n_1),
+       |g247 AS (SELECT CAST(unnest(range(1, 6)) AS BIGINT) AS r)
+       |SELECT r, CAST(coalesce(c1.n_c, 0) AS BIGINT) AS n_r,
+       |  CAST(coalesce(c2.n_c, 0) AS BIGINT) AS n_r1,
+       |  CASE WHEN coalesce(c1.n_c, 0) > 0 AND coalesce(c2.n_c, 0) > 0
+       |    THEN floor(CAST(r + 1 AS DOUBLE) * CAST(c2.n_c AS DOUBLE)
+       |      / CAST(c1.n_c AS DOUBLE) * 1e6 + 0.5)/1e6
+       |  END AS rstar6,
+       |  n_tokens, n_1,
+       |  floor(CAST(n_1 AS DOUBLE) / CAST(n_tokens AS DOUBLE) * 1e6
+       |    + 0.5)/1e6 AS p0_6
+       |FROM g247 LEFT JOIN cc247 c1 ON c1.c = g247.r
+       |LEFT JOIN cc247 c2 ON c2.c = g247.r + 1, tot247, n247
+       |ORDER BY r""".stripMargin) { (s, d) =>
+    TextAnalysis.goodTuring(Tables.documents(s, d), "text", maxR = 5)
+      .orderBy(col("r"))
+  }
 }

@@ -525,4 +525,63 @@ object Curation {
       .filter(col("rk") <= quota)
       .select(col("cell"), col("rk"), col(idCol))
   }
+
+  /** Token-budget WATER-FILLING across sources — the max-min-fair
+    * data-mixing allocation (the classic water-filling level of
+    * Bertsekas & Gallager 1992, applied to corpus mixing): find the
+    * unique integer level L with Σᵢ min(nᵢ, L) ≤ budget <
+    * Σᵢ min(nᵢ, L+1) and allocate allocᵢ = min(nᵢ, L) — small
+    * sources keep everything, large sources are capped at one common
+    * level, the fairest cap under a hard token budget (contrast
+    * [[temperatureMix]], which RESHAPES the distribution; water-fill
+    * CAPS it). budget ≥ Σ nᵢ reads a NULL level and full funding.
+    *
+    * Determinism/exactness: pure int64 end to end — per-source sums,
+    * a strictly-before prefix over the (n, source) total order, and
+    * the level solve by integer division: the FIRST rank r where
+    * (budget − prefix_{r−1}) div (k − r + 1) < n_r names the level
+    * (before r every source is fully funded by the invariant
+    * level ≥ n_{r−1}). No floats anywhere; any engine replays it.
+    *
+    * Scale shape: ONE map-side-combinable corpus aggregate to the
+    * source-sized count frame; the prefix/level solve runs on that
+    * k-row frame under a single-task window — the catalog-sized
+    * bounded-frame carve-out (sources are a catalog, not a corpus);
+    * the 1-row level broadcast-joins back. The corpus itself is
+    * never re-shuffled.
+    *
+    * Output: (sourceCol, n_tokens, level — NULL when fully funded,
+    * alloc, funded = alloc == n_tokens); callers order.
+    */
+  def waterFill(
+      docs: DataFrame,
+      sourceCol: String,
+      weightCol: String,
+      budget: Long): DataFrame = {
+    require(budget >= 0, s"budget must be non-negative, got $budget")
+    import org.apache.spark.sql.expressions.Window
+    val g = docs.groupBy(col(sourceCol))
+      .agg(sum(col(weightCol).cast("long")).as("n_tokens"))
+    val ord = Window.orderBy(col("n_tokens"), col(sourceCol))
+    val ranked = g
+      .withColumn("__r", row_number().over(ord).cast("long"))
+      .withColumn("__pb", coalesce(sum(col("n_tokens"))
+        .over(ord.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__k", count(lit(1)).over(
+        Window.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)).cast("long"))
+    val lvl = expr(s"($budget - __pb) div (__k - __r + 1)")
+    val cand = ranked.withColumn("__lvl", lvl)
+    val pick = cand
+      .agg(min(when(col("__lvl") < col("n_tokens"),
+        struct(col("__r"), col("__lvl").as("level")))).as("__m"))
+      .select(col("__m.level").as("level"))
+    cand.crossJoin(broadcast(pick))
+      .select(col(sourceCol), col("n_tokens"), col("level"),
+        when(col("level").isNull, col("n_tokens"))
+          .otherwise(least(col("n_tokens"), col("level"))).as("alloc"),
+        (when(col("level").isNull, col("n_tokens"))
+          .otherwise(least(col("n_tokens"), col("level"))) ===
+          col("n_tokens")).as("funded"))
+  }
 }

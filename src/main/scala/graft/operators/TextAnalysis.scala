@@ -1139,4 +1139,61 @@ object TextAnalysis {
         (floor(col("__s9").cast("double") / lit(1e9) * lit(1e6) + lit(0.5))
           / lit(1e6)).as("jsd6"))
   }
+
+  /** Good–Turing frequency-of-frequencies readout (Good 1953) — the
+    * vocabulary-mass companion to Heaps' law (q220) and the Zipf fit
+    * (q187): N_c = number of DISTINCT terms seen exactly c times,
+    * the unseen-mass estimate P₀ = N₁/N (the probability the NEXT
+    * token is a never-seen term — "how much vocabulary is this corpus
+    * still missing"), and the smoothed count r* = (r+1)·N_{r+1}/N_r
+    * for r = 1..maxR (the Good–Turing discount the KN smoother q168
+    * builds on, here surfaced as a corpus diagnostic).
+    *
+    * Exactness: term counts and counts-of-counts are exact int64
+    * aggregates; r* and P₀ are row-local double chains in fixed
+    * operand order, 6dp-snapped; a frequency class with N_r = 0 or
+    * N_{r+1} = 0 reads NULL r* (grid rows zero-fill — the q190
+    * convention).
+    *
+    * Scale shape: one (term) hash aggregate (the corpus exchange),
+    * one count-of-counts aggregate over the vocabulary-sized frame,
+    * then a maxR-row grid join. Nothing quadratic, no windows.
+    *
+    * Output: maxR rows (r, n_r, n_r1, rstar6, n_tokens, n_1, p0_6 —
+    * the last three replicated), r ascending via callers.
+    */
+  def goodTuring(
+      docs: DataFrame,
+      textCol: String,
+      maxR: Int = 5): DataFrame = {
+    require(maxR >= 1 && maxR <= 64, s"maxR must be in [1,64], got $maxR")
+    val spark = docs.sparkSession
+    val toks = docs.select(
+      explode(graft.functions.TextFns.tokens(col(textCol))).as("__w"))
+    val tc = toks.groupBy(col("__w")).agg(count(lit(1)).as("__c"))
+    val cc = tc.groupBy(col("__c")).agg(count(lit(1)).as("__n_c"))
+      .localCheckpoint(true) // probed three times (grid ×2 + N1)
+    val tot = toks.agg(count(lit(1)).as("n_tokens"))
+    val n1 = cc.filter(col("__c") === 1L)
+      .agg(coalesce(sum(col("__n_c")), lit(0L)).as("n_1"))
+    val grid = spark.range(1, maxR + 1).select(col("id").as("r"))
+    val p6 = (c: Column) => floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+    grid
+      .join(cc.select(col("__c").as("r"), col("__n_c").as("__nr")),
+        Seq("r"), "left")
+      .join(cc.select((col("__c") - lit(1L)).as("r"),
+        col("__n_c").as("__nr1")), Seq("r"), "left")
+      .crossJoin(broadcast(tot)).crossJoin(broadcast(n1))
+      .select(col("r"),
+        coalesce(col("__nr"), lit(0L)).as("n_r"),
+        coalesce(col("__nr1"), lit(0L)).as("n_r1"),
+        when(coalesce(col("__nr"), lit(0L)) > 0 &&
+            coalesce(col("__nr1"), lit(0L)) > 0,
+          p6((col("r") + lit(1L)).cast("double") *
+            col("__nr1").cast("double") / col("__nr").cast("double")))
+          .otherwise(lit(null).cast("double")).as("rstar6"),
+        col("n_tokens"), col("n_1"),
+        p6(col("n_1").cast("double") / col("n_tokens").cast("double"))
+          .as("p0_6"))
+  }
 }

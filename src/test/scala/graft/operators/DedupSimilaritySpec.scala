@@ -1319,4 +1319,45 @@ class DedupSimilaritySpec extends SparkSuiteBase {
     assert(Dedup.captureRecapture(dup, dup, "id_a", "id_b").head()
       .getAs[Long]("n_a") == 1L)
   }
+
+  test("waterFill: hand-computed level, full funding, zero budget, clamp") {
+    import spark.implicits._
+    import graft.operators.Curation
+    // sources: s1=10, s2=20, s3=70 (one weighted row each)
+    val docs = Seq(("s1", 10L), ("s2", 20L), ("s3", 70L))
+      .toDF("source", "w")
+    def run(b: Long) = Curation.waterFill(docs, "source", "w", b)
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(2)) None else Some(r.getLong(2)),
+          r.getLong(3), r.getBoolean(4))).toMap
+    // budget 60: r=1 lvl=60/3=20>=10 funded; r=2 lvl=(60-10)/2=25>=20
+    // funded; r=3 lvl=(60-30)/1=30<70 -> level=30, alloc=(10,20,30)
+    val b60 = run(60L)
+    assert(b60("s1") == ((Some(30L), 10L, true)))
+    assert(b60("s2") == ((Some(30L), 20L, true)))
+    assert(b60("s3") == ((Some(30L), 30L, false)))
+    // budget 25: r=1 lvl=25/3=8<10 -> level=8, everyone capped at 8
+    val b25 = run(25L)
+    assert(b25("s1") == ((Some(8L), 8L, false)))
+    assert(b25("s3") == ((Some(8L), 8L, false)))
+    // budget >= total: NULL level, all funded
+    val all = run(100L)
+    assert(all("s3") == ((None, 70L, true)))
+    // zero budget: level 0, zero allocations
+    val z = run(0L)
+    assert(z("s1") == ((Some(0L), 0L, false)))
+    // invariant at every budget: sum(alloc) <= budget, and within 1
+    // level-step of exhausting it when not fully funded
+    (0L to 100L by 7L).foreach { b =>
+      val m = run(b)
+      val total = m.values.map(_._2).sum
+      assert(total <= math.min(b, 100L), s"budget $b overspent: $total")
+      if (b < 100L) {
+        val lvl = m.values.flatMap(_._1).headOption.getOrElse(0L)
+        val unfunded = m.values.count(!_._3)
+        assert(total + unfunded > b - unfunded,
+          s"budget $b underspent: $total at level $lvl")
+      }
+    }
+  }
 }

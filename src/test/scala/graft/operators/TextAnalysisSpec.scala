@@ -266,4 +266,25 @@ class TextAnalysisSpec extends SparkSuiteBase {
     }.sum
     assert(math.abs(r.getAs[Double]("jsd6") - jsd) < 2e-6)
   }
+
+  test("goodTuring: hand-built counts-of-counts, unseen mass, empty-class NULLs") {
+    import spark.implicits._
+    // corpus: a a a b b c d e  -> N=8 tokens, counts: a=3, b=2, c=d=e=1
+    // N_1=3, N_2=1, N_3=1, N_4..=0; P0 = 3/8 = 0.375
+    // r*=1: 2*N2/N1 = 2/3; r*=2: 3*N3/N2 = 3; r*=3: N4=0 -> NULL
+    val docs = Seq("a a a b b", "c d e").toDF("text")
+    val got = TextAnalysis.goodTuring(docs, "text", maxR = 4)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(got(1L) == ((3L, 1L,
+      Some(math.floor(2.0 * 1 / 3 * 1e6 + 0.5) / 1e6))))
+    assert(got(2L) == ((1L, 1L, Some(3.0))))
+    assert(got(3L) == ((1L, 0L, None)), "N_4 = 0 reads NULL r*")
+    assert(got(4L) == ((0L, 0L, None)), "empty class zero-fills")
+    val one = TextAnalysis.goodTuring(docs, "text", maxR = 4).head()
+    assert(one.getAs[Long]("n_tokens") == 8L)
+    assert(one.getAs[Long]("n_1") == 3L)
+    assert(one.getAs[Double]("p0_6") == 0.375)
+  }
 }
