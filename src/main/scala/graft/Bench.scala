@@ -210,6 +210,7 @@ object Bench {
     "q245_forecast_mase" -> 0.34,
     // round-13 additions (comparator 0.61/0.25)
     "q246_water_fill" -> 1.22, "q247_good_turing" -> 0.86,
+    "q248_dsir_ess" -> 1.78, "q249_k_anonymity" -> 0.25,
     // round-13 additions: the relational/simple surface never had
     // priors ("new queries never escalate"); recorded from the same
     // quiet full-session sweep so the regression gate covers the

@@ -569,6 +569,79 @@ object PipelineSketchQueries extends QueryGroup {
     graft.operators.Importance.gumbelTopK(w, "doc_id", "logw", k = 50)
   }
 
+  // Importance-weighting diagnostic: the effective sample size of the
+  // q117 DSIR weights (Kong 1992, ESS = (Σw)²/Σw²) — "how many
+  // equally-weighted docs is this weighted corpus worth"; an ESS far
+  // below n means the q118 resample is about to collapse onto a few
+  // huge weights. Scale-invariant, so weights normalize by the max
+  // log-weight before exp and the micro-snap keeps every sum exact
+  // int64/HUGEINT (the q51/q81 libm-boundary discipline for exp).
+  q("q248_dsir_ess",
+    s"""WITH $dsirCtes,
+       |sc248 AS (SELECT doc_id, sum(c * lr.lr) AS raw
+       |  FROM db JOIN lr USING (b) GROUP BY 1),
+       |lw248 AS (SELECT doc_id,
+       |    floor(raw * 1000000.0 + 0.5) / 1000000.0 AS logw
+       |  FROM sc248),
+       |mx248 AS (SELECT max(logw) AS mx FROM lw248),
+       |wm248 AS (SELECT CAST(floor(exp(logw - mx) * 1e6 + 0.5)
+       |    AS BIGINT) AS wm
+       |  FROM lw248, mx248),
+       |ag248 AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(wm) AS BIGINT) AS sw,
+       |    sum(CAST(wm AS HUGEINT) * CAST(wm AS HUGEINT)) AS sww
+       |  FROM wm248)
+       |SELECT n_docs,
+       |  CASE WHEN sww > 0 THEN floor(CAST(sw AS DOUBLE)
+       |    * CAST(sw AS DOUBLE) / CAST(sww AS DOUBLE) * 1e6 + 0.5)/1e6
+       |  END AS ess6,
+       |  CASE WHEN sww > 0 THEN floor((CAST(sw AS DOUBLE)
+       |    * CAST(sw AS DOUBLE) / CAST(sww AS DOUBLE))
+       |    / CAST(n_docs AS DOUBLE) * 1e6 + 0.5)/1e6
+       |  END AS ess_ratio6
+       |FROM ag248""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val w = graft.operators.Importance.logWeights(
+      docs.filter(pmod(col("doc_id"), lit(20)) =!= 0), "doc_id", "text",
+      target = docs.filter(pmod(col("doc_id"), lit(20)) === 0),
+      raw = docs.filter(pmod(col("doc_id"), lit(20)) =!= 0),
+      buckets = 512)
+    graft.operators.Importance.effectiveSampleSize(w, "logw")
+  }
+
+  // Release-gate privacy audit: k-anonymity over the
+  // (segment, nation, balance-bucket) quasi-identifier tuple — the
+  // share of customers whose QI tuple is shared by fewer than 10
+  // rows, i.e. re-identifiable however the direct identifiers were
+  // scrubbed (Sweeney 2002). Pure integer counting: one QI-group
+  // aggregate + one readout row.
+  q("q249_k_anonymity",
+    """WITH g249 AS (SELECT c_mktsegment, c_nationkey,
+      |    CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_k,
+      |    CAST(count(*) AS BIGINT) AS n
+      |  FROM customer GROUP BY 1, 2, 3)
+      |SELECT CAST(10 AS BIGINT) AS k,
+      |  CAST(sum(n) AS BIGINT) AS n_rows,
+      |  CAST(count(*) AS BIGINT) AS n_groups,
+      |  CAST(sum(CASE WHEN n < 10 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_small_groups,
+      |  CAST(sum(CASE WHEN n < 10 THEN n ELSE 0 END) AS BIGINT)
+      |    AS n_rows_small,
+      |  CASE WHEN sum(n) > 0 THEN
+      |    floor(CAST(sum(CASE WHEN n < 10 THEN n ELSE 0 END) AS DOUBLE)
+      |      / CAST(sum(n) AS DOUBLE) * 1e6 + 0.5)/1e6
+      |  END AS share_small6,
+      |  CAST(min(n) AS BIGINT) AS min_group_size,
+      |  sum(CASE WHEN n < 10 THEN n ELSE 0 END) = 0 AS k_anonymous
+      |FROM g249""".stripMargin) { (s, d) =>
+    val qi = Tables.customer(s, d).select(col("c_mktsegment"),
+      col("c_nationkey"),
+      floor(col("c_acctbal").cast("double") / lit(1000.0)).cast("long")
+        .as("bal_k"))
+    graft.operators.Audit.kAnonymity(qi,
+      Seq("c_mktsegment", "c_nationkey", "bal_k"), k = 10L)
+  }
+
   // Scale-path runtime filter on the oracle surface: Bloom-pruned join
   // (ScaleOps.bloomPrunedJoin) — the dim subset's keys ship as a
   // fixed-size Bloom bit frame and the fact side is pruned by k

@@ -358,4 +358,46 @@ object Audit {
           / lit(1e6)).as("psi6"))
       .withColumn("drifted", col("psi6") > lit(0.2))
   }
+
+  /** k-anonymity audit over quasi-identifier columns (Sweeney 2002):
+    * the share of rows whose quasi-identifier tuple is shared by
+    * fewer than k rows — the released-data privacy readout a
+    * training-corpus export runs BEFORE shipping (a row in a size-1
+    * QI group is individually re-identifiable however the direct
+    * identifiers were scrubbed).
+    *
+    * Pure integer counting: one hash aggregate to the QI-group frame
+    * (map-side combined), one combinable readout aggregate over it;
+    * the share is the only float, 6dp-snapped. NULL QI values form
+    * their own groups (null-safe grouping — the SQL GROUP BY
+    * convention both engines share).
+    *
+    * Output: ONE row (k, n_rows, n_groups, n_small_groups,
+    * n_rows_small, share_small6, min_group_size, k_anonymous =
+    * n_rows_small == 0).
+    */
+  def kAnonymity(
+      df: DataFrame,
+      qiCols: Seq[String],
+      k: Long): DataFrame = {
+    require(qiCols.nonEmpty, "kAnonymity needs quasi-identifier columns")
+    require(k >= 2, s"k must be >= 2, got $k")
+    val g = df.groupBy(qiCols.map(col): _*).agg(count(lit(1)).as("__n"))
+    def p6(c: org.apache.spark.sql.Column) =
+      floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+    g.agg(count(lit(1)).as("n_groups"),
+        coalesce(sum(col("__n")), lit(0L)).as("n_rows"),
+        coalesce(sum(when(col("__n") < k, 1L).otherwise(0L)), lit(0L))
+          .as("n_small_groups"),
+        coalesce(sum(when(col("__n") < k, col("__n")).otherwise(0L)),
+          lit(0L)).as("n_rows_small"),
+        min(col("__n")).as("min_group_size"))
+      .select(lit(k).as("k"), col("n_rows"), col("n_groups"),
+        col("n_small_groups"), col("n_rows_small"),
+        when(col("n_rows") > 0, p6(col("n_rows_small").cast("double") /
+          col("n_rows").cast("double")))
+          .otherwise(lit(null).cast("double")).as("share_small6"),
+        col("min_group_size"),
+        (col("n_rows_small") === 0L).as("k_anonymous"))
+  }
 }

@@ -148,4 +148,50 @@ object Importance {
       .orderBy(col("key").desc, col(idCol))
       .limit(k)
   }
+
+  /** Effective sample size of an importance-weighted corpus (Kong
+    * 1992's ESS = (Σw)²/Σw², the standard importance-sampling
+    * diagnostic): how many EQUALLY-weighted documents this weighted
+    * corpus is worth — an ESS far below n means a few huge weights
+    * dominate and the resample (q118) is about to collapse onto them.
+    * The go/no-go readout a DSIR pipeline checks before trusting its
+    * weights.
+    *
+    * Determinism: ESS is scale-invariant, so weights normalize by the
+    * MAX log-weight (an exact 6dp-value max) before exp — bounding
+    * every normalized weight in (0, 1] so the micro-snap
+    * wᵢ = floor(exp(logwᵢ − max)·1e6 + 0.5) is exact int64 whatever
+    * the log-weight range; Σw rides int64, Σw² rides decimal(38,0)
+    * (n·1e12 per row — int64 dies near 9e6 rows); the final ratio is
+    * one row-local double chain, 6dp-snapped. exp() is libm-vs-JVM
+    * 1-ulp territory — the micro-snap absorbs it except at exact .5
+    * boundaries, the accepted q51/q81 float-discipline class.
+    *
+    * Scale shape: one 1-row max broadcast + ONE map-side-combinable
+    * aggregate. Output: ONE row (n_docs, ess6, ess_ratio6).
+    */
+  def effectiveSampleSize(
+      weights: DataFrame,
+      logwCol: String): DataFrame = {
+    val mx = weights.agg(max(col(logwCol)).as("__mx"))
+    val wm = floor(exp(col(logwCol) - col("__mx")) * lit(1e6) + lit(0.5))
+      .cast("long")
+    val dec = "decimal(38,0)"
+    val agg = weights.crossJoin(broadcast(mx))
+      .select(wm.as("__wm"))
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(col("__wm")), lit(0L)).as("__sw"),
+        coalesce(sum(col("__wm").cast(dec) * col("__wm").cast(dec)),
+          lit(0L).cast(dec)).as("__sww"))
+    def p6(c: org.apache.spark.sql.Column) =
+      floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+    val ess = col("__sw").cast("double") * col("__sw").cast("double") /
+      col("__sww").cast("double")
+    agg.select(col("n_docs"),
+      when(col("__sww") > 0, p6(ess))
+        .otherwise(lit(null).cast("double")).as("ess6"),
+      when(col("__sww") > 0,
+        p6(ess / col("n_docs").cast("double")))
+        .otherwise(lit(null).cast("double")).as("ess_ratio6"))
+  }
 }

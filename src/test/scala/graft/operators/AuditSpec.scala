@@ -211,4 +211,25 @@ class AuditSpec extends SparkSuiteBase {
     // identical bin occupancy (bin0 ×2, bin0.., clamp top = bin4 ×2)
     assert(r.getAs[Double]("psi6") == 0.0)
   }
+
+  test("kAnonymity: hand counts, k-boundary is inclusive-safe, null QI groups") {
+    import spark.implicits._
+    // groups: (a,1)x3, (a,2)x2, (b,1)x1, (null,1)x2 -> k=2:
+    // small (<2) = only (b,1): 1 group, 1 row of 8
+    val df = Seq(("a", 1), ("a", 1), ("a", 1), ("a", 2), ("a", 2),
+      ("b", 1), (null, 1), (null, 1)).toDF("seg", "nat")
+    val r = Audit.kAnonymity(df, Seq("seg", "nat"), k = 2L).head()
+    assert(r.getAs[Long]("n_rows") == 8L)
+    assert(r.getAs[Long]("n_groups") == 4L, "null QI tuple forms a group")
+    assert(r.getAs[Long]("n_small_groups") == 1L)
+    assert(r.getAs[Long]("n_rows_small") == 1L)
+    assert(r.getAs[Double]("share_small6") == 0.125)
+    assert(r.getAs[Long]("min_group_size") == 1L)
+    assert(!r.getAs[Boolean]("k_anonymous"))
+    // a group of exactly k is NOT small (the < k contract)
+    val ok = Audit.kAnonymity(df.filter(col("seg") =!= "b"),
+      Seq("seg", "nat"), k = 2L).head()
+    assert(ok.getAs[Long]("n_small_groups") == 0L)
+    assert(ok.getAs[Boolean]("k_anonymous"))
+  }
 }

@@ -97,4 +97,29 @@ class ImportanceSpec extends SparkSuiteBase {
     assert(math.abs(r.getDouble(2) - expect) < 1e-9,
       s"unseen fallback: got ${r.getDouble(2)}, want $expect")
   }
+
+  test("effectiveSampleSize: uniform = n, dominated ~ 1, shift-invariant") {
+    import spark.implicits._
+    // uniform weights: ESS = n exactly (all wm = 1e6)
+    val uni = (1 to 8).map(i => (i.toLong, 2.5)).toDF("doc_id", "logw")
+    val ru = Importance.effectiveSampleSize(uni, "logw").head()
+    assert(ru.getAs[Long]("n_docs") == 8L)
+    assert(ru.getAs[Double]("ess6") == 8.0)
+    assert(ru.getAs[Double]("ess_ratio6") == 1.0)
+    // one huge weight dominates: ESS -> 1
+    val dom = ((1 to 99).map(i => (i.toLong, 0.0)) :+ (100L, 20.0))
+      .toDF("doc_id", "logw")
+    val rd = Importance.effectiveSampleSize(dom, "logw").head()
+    assert(rd.getAs[Double]("ess6") < 1.01,
+      s"dominated ESS should approach 1, got ${rd.getAs[Double]("ess6")}")
+    // ESS is scale-invariant: a constant log-shift changes nothing
+    val mixed = Seq((1L, 0.0), (2L, 0.5), (3L, 1.0), (4L, 1.5))
+      .toDF("doc_id", "logw")
+    val shifted = mixed.select(col("doc_id"),
+      (col("logw") + lit(7.25)).as("logw"))
+    assert(Importance.effectiveSampleSize(mixed, "logw").head()
+        .getAs[Double]("ess6") ==
+      Importance.effectiveSampleSize(shifted, "logw").head()
+        .getAs[Double]("ess6"))
+  }
 }
