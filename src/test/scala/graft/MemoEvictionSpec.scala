@@ -34,4 +34,22 @@ class MemoEvictionSpec extends SparkSuiteBase {
     // cleanup so later suites see a fresh memo
     foreign.foreach { case (s, d) => PipelineQueries.resetDedupStage(s, d) }
   }
+
+  test("NB-scored and co-purchase memos: one mine per (session, dir), reset forgets") {
+    val dir = sfDir
+    PipelineQueries.resetNbScored(spark, dir)
+    val a = PipelineQueries.nbScored(spark, dir)
+    // memo hit: the SAME checkpointed frame instance comes back
+    assert(PipelineQueries.nbScored(spark, dir) eq a,
+      "second call must be a memo read, not a re-score")
+    PipelineQueries.resetNbScored(spark, dir)
+    assert(!(PipelineQueries.nbScored(spark, dir) eq a),
+      "reset must forget the frame so the next call re-mines")
+    PipelineQueries.resetNbScored(spark, dir)
+
+    // the memo frame carries exactly the columns the four readouts
+    // derive from (raw log_odds — NOT the micro snap — plus the label)
+    val cols = a.columns.toSet
+    assert(cols == Set("doc_id", "log_odds", "keep"), s"got $cols")
+  }
 }
