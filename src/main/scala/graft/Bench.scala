@@ -425,8 +425,12 @@ object Bench {
     // Config-gated like the priors themselves (empty elsewhere).
     // relative AND absolute excess: 1.5x is meaningful on a 5 s
     // query, meaningless on a 0.2 s one where +0.25 s is scheduler/GC
-    // noise at session scale (see priorMins policy note)
-    val regressions = if (noPriors) Seq.empty[String] else
+    // noise at session scale (see priorMins policy note). The report
+    // is FULL-SURFACE-ONLY: priors are full-session levels, and a
+    // SPARK_GRAFT_BENCH_ONLY subset (local iteration, never the
+    // driver) reads cold-JIT numbers that would flag spuriously —
+    // prior-based extra-rep escalation stays active either way
+    val regressions = if (noPriors || only.isDefined) Seq.empty[String] else
       results.toSeq.sortBy(_._1).collect {
         case (k, (v, _)) if v >= 0 && priorMins.get(k)
             .exists(p => v > 1.5 * p && v > p + 0.25) =>
