@@ -311,12 +311,41 @@ object Bench {
       }
       (System.nanoTime() - t0) / 1e9
     }
-    val compBefore = comparator()
     // priors only mean anything on the config they were measured on
     // (local[32], the sf0.1 fixture); elsewhere both the extra-rep
     // escalation and the regression report below are disabled
     val noPriors = sys.env.get("SPARK_GRAFT_BENCH_NO_PRIORS").contains("1") ||
       cpus != "32" || !sfDir.contains("sf0.1")
+    // memo warm-up BEFORE the comparator and the timed sweep: every
+    // owner/dependent-split memo family with a benched member is
+    // pre-built here, untimed, so a dependent's number can never
+    // include a memo build whatever the order or subset (owners
+    // reset+rebuild per rep regardless). Best-effort like the JIT
+    // warm-up above.
+    val include: String => Boolean =
+      name => only.forall(_.contains(name))
+    try {
+      PipelineQueries.warmMemos(spark, sfDir, include)
+      PipelineSketchQueries.warmMemos(spark, sfDir, include)
+      PipelineAnalyticsQueries.warmMemos(spark, sfDir, include)
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] memo warm-up failed: $e")
+    }
+    val compBefore = comparator()
+    // quiet-box comparator level (min of the r11-r13 quiet-sweep
+    // readings, 0.33-0.41 after-sweep / 0.45-0.54 right after
+    // warm-up): a before-reading above 1.3x this level is direct
+    // evidence the box is contended, and the sweep responds by
+    // raising the per-query escalation cap so a loaded run produces
+    // its own exonerating reps in the artifact (the round-13
+    // driver-vs-builder contradiction: 8 flags at comparator 0.715
+    // that two quiet sweeps could not reproduce).
+    val compPrior = 0.35
+    val boxLoaded = compBefore > 1.3 * compPrior
+    val extraCap = if (boxLoaded) 5 else 3
+    // per-flag comparator probes, keyed by query name (see rep loop)
+    val flagComps = new java.util.concurrent.ConcurrentHashMap[
+      String, Double]
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
@@ -389,17 +418,30 @@ object Bench {
       // matching config; SPARK_GRAFT_BENCH_NO_PRIORS=1 disables them
       // explicitly (scaled sweeps). The intra-run spread check is
       // config-independent and always active.
+      // a min that would FLAG under the gate predicate below also
+      // counts as unstable: a would-be flag earns its extra reps (up
+      // to extraCap — raised when the comparator says the box is
+      // loaded) BEFORE it can reach the artifact, so transient load
+      // exonerates itself instead of requiring a builder re-run
       def unstable(ts: Seq[Double]): Boolean = {
         val s = ts.sorted
         (s.size >= 2 && s(1) > 2.0 * s(0)) ||
-          (!noPriors && priorMins.get(name).exists(p => s.head > 2.0 * p))
+          (!noPriors && priorMins.get(name).exists(p =>
+            s.head > 1.5 * p && s.head > p + math.max(0.1, 0.3 * p)))
       }
       var times = base
       var extra = 0
-      while (base.size == reps && extra < 3 && unstable(times)) {
+      while (base.size == reps && extra < extraCap && unstable(times)) {
         times = times ++ rep().toSeq
         extra += 1
       }
+      // a min that STILL flags after escalation gets a comparator
+      // probe timed right here, next to the flag, so the artifact
+      // itself records the box's load at the moment of measurement
+      if (!noPriors && times.size == reps + extra &&
+          priorMins.get(name).exists(p => times.min > 1.5 * p &&
+            times.min > p + math.max(0.1, 0.3 * p)))
+        flagComps.put(name, comparator())
       // ANY failed rep reports -1: min-of-reps absorbs timing noise,
       // but a query that crashes intermittently is a failure signal
       // the gate must see, not average away
@@ -420,26 +462,34 @@ object Bench {
     // automated regression gate: every query whose min exceeds 1.5x
     // its embedded quiet-box prior is NAMED in the artifact, so a
     // round can't silently regress a plan — the reader sees the list
-    // (with ratios) next to the comparator's load evidence and either
-    // fixes the plan or re-records the prior with an explanation.
-    // Config-gated like the priors themselves (empty elsewhere).
-    // relative AND absolute excess: 1.5x is meaningful on a 5 s
-    // query, meaningless on a 0.2 s one where +0.25 s is scheduler/GC
-    // noise at session scale (see priorMins policy note). The report
-    // is FULL-SURFACE-ONLY: priors are full-session levels, and a
-    // SPARK_GRAFT_BENCH_ONLY subset (local iteration, never the
-    // driver) reads cold-JIT numbers that would flag spuriously —
-    // prior-based extra-rep escalation stays active either way
-    val regressions = if (noPriors || only.isDefined) Seq.empty[String] else
+    // (with ratios, the full rep spread, and a comparator probe timed
+    // AT the flag) next to the sweep-level comparator evidence and
+    // either fixes the plan or re-records the prior with an
+    // explanation. Config-gated like the priors themselves (empty
+    // elsewhere). Relative AND absolute excess: 1.5x is meaningful on
+    // a 5 s query; the absolute floor scales with the prior
+    // (max(0.1 s, 0.3·p) — a flat 0.25 s let sub-second queries creep
+    // ~2x unflagged, the r13 ADVICE). On a SPARK_GRAFT_BENCH_ONLY
+    // subset (local iteration, never the driver) the same list is
+    // emitted as ADVISORY — cold-JIT numbers flag spuriously there,
+    // but suppressing the report entirely hid real signal.
+    val regressions = if (noPriors) Seq.empty[String] else
       results.toSeq.sortBy(_._1).collect {
-        case (k, (v, _)) if v >= 0 && priorMins.get(k)
-            .exists(p => v > 1.5 * p && v > p + 0.25) =>
+        case (k, (v, ts)) if v >= 0 && priorMins.get(k)
+            .exists(p => v > 1.5 * p && v > p + math.max(0.1, 0.3 * p)) =>
           val p = priorMins(k)
-          s"""\"$k\":{"min":${num(v)},"prior":${num(p)},"ratio":${num(v / p)}}"""
+          val comp = Option(flagComps.get(k))
+            .filter(_ > 0)
+            .map(c => s""","comp":${num(c)},"comp_ratio":${num(c / compPrior)}""")
+            .getOrElse("")
+          s"""\"$k\":{"min":${num(v)},"prior":${num(p)},"ratio":${num(v / p)},"reps":${ts.map(num).mkString("[", ",", "]")}$comp}"""
       }
-    val regJson = regressions.mkString("{", ",", "}")
+    val regJson =
+      if (only.isDefined) "{}" else regressions.mkString("{", ",", "}")
+    val regAdvJson =
+      if (only.isDefined) regressions.mkString("{", ",", "}") else "{}"
     val json =
-      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"reps":$repJson,"comparator":[${num(compBefore)},${num(compAfter)}],"regressions":$regJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"reps":$repJson,"comparator":[${num(compBefore)},${num(compAfter)}],"comp_prior":${num(compPrior)},"box_loaded":$boxLoaded,"regressions":$regJson,"regressions_advisory":$regAdvJson,"sf":"$sfDir"}"""
     // write the JSON to a file first: the stdout line gets wrapped in
     // sbt [info]/log prefixes, which defeated the driver's parser in
     // round 1 (BENCH_r01.json "parsed": null)
@@ -464,7 +514,7 @@ object Bench {
     println(json)
     println("GRAFT_BENCH_RESULT_COMPACT_JSON")
     println(
-      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"comparator":[${num(compBefore)},${num(compAfter)}],"n_regressions":${regressions.size},"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"comparator":[${num(compBefore)},${num(compAfter)}],"n_regressions":${if (only.isDefined) 0 else regressions.size},"sf":"$sfDir"}""")
     // absolute last line: a MINIMAL object with no per-query map at
     // all (<120 bytes) — the compact line above is still ~2.6 KB at
     // 82 queries, and six rounds of driver artifacts started their

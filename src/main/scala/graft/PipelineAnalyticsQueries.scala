@@ -2374,6 +2374,13 @@ object PipelineAnalyticsQueries extends QueryGroup {
     ()
   }
 
+  /** Bench warm-up hook — see [[PipelineQueries.warmMemos]]. */
+  def warmMemos(s: org.apache.spark.sql.SparkSession, d: String,
+      include: String => Boolean): Unit = {
+    if (Seq("q224_link_prediction", "q225_bfs_hops")
+        .exists(include)) { copurchaseEdges(s, d); () }
+  }
+
   // Scorer evaluation, imbalanced edition: the precision–recall curve
   // + step-function average precision of the q85 NB quality scorer
   // against the q58 rule labels — ROC (q185) asks "does it order?",

@@ -100,6 +100,35 @@ object PipelineQueries extends QueryGroup {
     ()
   }
 
+  /** Bench warm-up hook: pre-build every owner/dependent-split memo
+    * whose family intersects the benched set, so a DEPENDENT query
+    * never pays a memo build whatever the execution order or subset —
+    * the build lands on this untimed warm-up. Owners are unaffected:
+    * they reset their memo at each rep and re-time the build anyway.
+    * (Round-13 driver artifact flagged q79/q81/q82/q221 on a loaded
+    * box; this removes "a memo build landed on the wrong clock" from
+    * the space of explanations structurally.)
+    */
+  def warmMemos(s: org.apache.spark.sql.SparkSession, d: String,
+      include: String => Boolean): Unit = {
+    if (Seq("q33_ngram_jaccard", "q47_dedup_clusters",
+        "q62_cluster_survivors").exists(include)) {
+      val st = dedupStage(s, d)
+      st.clusters
+      ()
+    }
+    if (Seq("q185_roc_auc", "q221_pr_curve", "q223_cohens_kappa",
+        "q243_lift_table").exists(include)) { nbScored(s, d); () }
+    if (Seq("q69_curation", "q71_curation_report").exists(include)) {
+      curated(s, d); ()
+    }
+    if (Seq("q77_bpe_train", "q78_bpe_encode", "q79_pack_bpe")
+        .exists(include)) { bpeTrained(s, d); () }
+    if (Seq("q78_bpe_encode", "q79_pack_bpe").exists(include)) {
+      bpeEncoded(s, d); ()
+    }
+  }
+
   /** Forget only the clusters layer (the mined pair frame stays) —
     * Bench calls this before each q47 rep so q47 times the label
     * propagation over the staged pairs, not a read of the clusters a

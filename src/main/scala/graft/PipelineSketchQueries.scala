@@ -955,6 +955,13 @@ object PipelineSketchQueries extends QueryGroup {
     ()
   }
 
+  /** Bench warm-up hook — see [[PipelineQueries.warmMemos]]. */
+  def warmMemos(s: org.apache.spark.sql.SparkSession, d: String,
+      include: String => Boolean): Unit = {
+    if (Seq("q127_wordpiece_vocab", "q128_wordpiece_encode")
+        .exists(include)) { wordpieceTrained(s, d); () }
+  }
+
   /** WordPiece TRAINING CTEs over `documents$where`: distinct-word
     * counts, the (pos, l) substring occurrence table with `##`-marked
     * pieces, and the frequency vocabulary (min-count OR single-char

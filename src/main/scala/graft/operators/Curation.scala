@@ -560,8 +560,13 @@ object Curation {
       budget: Long): DataFrame = {
     require(budget >= 0, s"budget must be non-negative, got $budget")
     import org.apache.spark.sql.expressions.Window
+    // coalesce: a source whose weights are ALL NULL sums to NULL, and
+    // least() skips nulls downstream — it would read the level as its
+    // alloc (tokens granted to an empty source) with funded = NULL.
+    // An all-null source holds 0 tokens: alloc 0, funded true.
     val g = docs.groupBy(col(sourceCol))
-      .agg(sum(col(weightCol).cast("long")).as("n_tokens"))
+      .agg(coalesce(sum(col(weightCol).cast("long")), lit(0L))
+        .as("n_tokens"))
     val ord = Window.orderBy(col("n_tokens"), col(sourceCol))
     val ranked = g
       .withColumn("__r", row_number().over(ord).cast("long"))

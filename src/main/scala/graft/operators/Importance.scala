@@ -173,11 +173,15 @@ object Importance {
   def effectiveSampleSize(
       weights: DataFrame,
       logwCol: String): DataFrame = {
-    val mx = weights.agg(max(col(logwCol)).as("__mx"))
+    // NULL log-weights carry no weight information: they are dropped
+    // BEFORE any aggregate, so n_docs counts only weighted rows and
+    // ess_ratio6 is not silently deflated by null-weight rows.
+    val live = weights.filter(col(logwCol).isNotNull)
+    val mx = live.agg(max(col(logwCol)).as("__mx"))
     val wm = floor(exp(col(logwCol) - col("__mx")) * lit(1e6) + lit(0.5))
       .cast("long")
     val dec = "decimal(38,0)"
-    val agg = weights.crossJoin(broadcast(mx))
+    val agg = live.crossJoin(broadcast(mx))
       .select(wm.as("__wm"))
       .agg(count(lit(1)).as("n_docs"),
         coalesce(sum(col("__wm")), lit(0L)).as("__sw"),

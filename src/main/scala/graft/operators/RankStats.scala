@@ -2,6 +2,8 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ByteType, DecimalType, DoubleType,
+  FloatType, IntegerType, LongType, ShortType}
 
 /** Rank-based evaluation and concentration statistics: tie-corrected
   * ROC-AUC (the Mann-Whitney rank-sum identity), Spearman rank
@@ -196,21 +198,61 @@ object RankStats {
     * range-partitioned prefix sum for all k columns together (each
     * column contributes exactly n rows after listwise deletion, so
     * per-column `below` = global prefix − ci·n) — not k copies of the
-    * prefix machinery. Each column's rank map is then a filter of the
-    * ONE checkpointed prefix output, equi-joined onto the slim clean
-    * projection: low-cardinality maps broadcast under AQE, only a
-    * near-unique column pays a shuffle, and ONE combinable O(k²)-wide
-    * aggregate finishes — no rowid pivot, no corpus re-shuffle at
-    * full width.
+    * prefix machinery. The join-back is a MEASURED hybrid: each
+    * column's rank map (a filter of the one checkpointed prefix
+    * output) joins the wide clean frame, EXPLICITLY broadcast when
+    * the map is catalog-sized (≤ 64k distinct values — the broadcast
+    * joins fuse into one codegen stage over the corpus, zero
+    * shuffles) and a shuffle join only for corpus-cardinality
+    * columns; ONE combinable O(k²)-wide aggregate finishes. The
+    * alternative the melt suggests — join the stacked map once onto
+    * the (rowid, ci, v) melt and pivot ranks back by rowid — was
+    * built and measured at 2× this plan's time (sf0.1, r14): it
+    * re-shuffles n·k rows TWICE (join + rowid pivot) where this plan
+    * shuffles n rows per corpus-sized column and zero for the rest.
+    * Cardinalities come from a k-row collect off the checkpointed
+    * prefix output, so the broadcast/shuffle routing is driver-cheap
+    * at any scale.
     *
     * Output: (col_a, col_b, rho6) for i < j in `cols` order.
     */
   def spearmanMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.size >= 2, "spearmanMatrix needs at least 2 columns")
+    cols.foreach { c =>
+      val dt = df.schema(c).dataType
+      val ok = dt match {
+        case ByteType | ShortType | IntegerType | LongType | FloatType |
+            DoubleType => true
+        case d: DecimalType => d.precision <= 15
+        case _ => false
+      }
+      require(ok, s"spearmanMatrix: column $c has type $dt; values must " +
+        "map injectively onto the double melt column (int/float/double/" +
+        "long within ±2^53/decimal precision <= 15)")
+    }
+    val longCols = cols.filter(c => df.schema(c).dataType == LongType)
     val clean = df
       .filter(cols.map(col(_).isNotNull).reduce(_ && _))
       .select(cols.map(c => col(c)): _*)
-    val n = clean.count()
+    // long-column injectivity bounds need an EXACT pre-pass (a long
+    // beyond ±2^53 silently collapses distinct values to one rank
+    // after the cast("double") melt, and post-cast bounds have a
+    // one-ulp blind spot at exactly 2^53); the pass is paid only when
+    // a long column is present — int/float/double/decimal(≤15) inputs
+    // skip the extra corpus scan entirely (n comes from the prefix
+    // probe below).
+    if (longCols.nonEmpty) {
+      val boundAggs = longCols.flatMap(c => Seq(min(col(c)), max(col(c))))
+      val nrow = clean.agg(count(lit(1)), boundAggs: _*).head()
+      if (nrow.getLong(0) > 0) longCols.zipWithIndex.foreach {
+        case (c, i) =>
+          val lo = nrow.getLong(1 + 2 * i)
+          val hi = nrow.getLong(2 + 2 * i)
+          require(lo >= -(1L << 53) && hi <= (1L << 53),
+            s"spearmanMatrix: long column $c has values outside ±2^53 " +
+              s"([$lo, $hi]) — not exactly representable in the double melt")
+      }
+    }
     val melted = clean.select(explode(array(
         cols.zipWithIndex.map { case (c, i) =>
           struct(lit(i).as("ci"), col(c).cast("double").as("v")) }: _*))
@@ -220,6 +262,14 @@ object RankStats {
       .agg(count(lit(1)).as("__n_s"))
     val pref = ScaleOps.prefixSumByRange(
       g, Seq("__ci", "__v"), col("__n_s"), "__gp")
+    // one k-row collect off the CHECKPOINTED prefix output yields BOTH
+    // n (each column melts exactly n rows after listwise deletion) and
+    // the per-column rank-map cardinality that routes each join below
+    val probe = pref.groupBy(col("__ci"))
+      .agg(count(lit(1)).as("__m"), sum(col("__n_s")).as("__cn"))
+      .collect()
+    val card = probe.map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val n = if (probe.isEmpty) 0L else probe.map(_.getLong(2)).max
     // doubled average rank: 2·below + cnt + 1, below = prefix − ci·n;
     // aggregate aliases are INDEX-keyed (q172's underscore-collision
     // lesson)
@@ -227,8 +277,9 @@ object RankStats {
       (lit(2L) * (col("__gp") - col("__ci").cast("long") * lit(n)) +
         col("__n_s") + lit(1L)).as("__r2"))
     val ranked = cols.zipWithIndex.foldLeft(clean) { case (acc, (c, i)) =>
-      val m = rk.filter(col("__ci") === lit(i))
+      val m0 = rk.filter(col("__ci") === lit(i))
         .select(col("__v").as(s"__vv_$i"), col("__r2").as(s"__r2_$i"))
+      val m = if (card.getOrElse(i, 0L) <= 65536L) broadcast(m0) else m0
       acc.join(m, acc(c).cast("double") === col(s"__vv_$i"))
         .drop(s"__vv_$i")
     }

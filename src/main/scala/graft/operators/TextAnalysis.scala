@@ -1193,7 +1193,8 @@ object TextAnalysis {
             col("__nr1").cast("double") / col("__nr").cast("double")))
           .otherwise(lit(null).cast("double")).as("rstar6"),
         col("n_tokens"), col("n_1"),
-        p6(col("n_1").cast("double") / col("n_tokens").cast("double"))
-          .as("p0_6"))
+        when(col("n_tokens") > 0,
+          p6(col("n_1").cast("double") / col("n_tokens").cast("double")))
+          .otherwise(lit(null).cast("double")).as("p0_6"))
   }
 }
