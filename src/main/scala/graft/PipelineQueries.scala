@@ -662,6 +662,35 @@ object PipelineQueries extends QueryGroup {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  // ---------------------------------------------------------------- U-1
+  // The scalar-UDF escape hatch on the oracle gate: consecutive-id
+  // embedding pairs scored by [[graft.functions.Udfs.cosineUdf]] (the
+  // documented U-1 fallback; MultimodalUdfSpec asserts it equals the
+  // codegen VectorFns.cosine bit-for-bit). Same 6dp snap and
+  // unnest/sum oracle shape as q36 — the hash-match pins the UDF's
+  // index-ordered double accumulation against DuckDB's.
+  q("q252_cosine_udf",
+    """WITH u AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+      |             unnest(embedding)::DOUBLE AS x FROM embeddings),
+      |nrm AS (SELECT vec_id, sqrt(sum(x*x)) AS nr FROM u GROUP BY vec_id),
+      |d AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, sum(a.x*b.x) AS dp
+      |      FROM u a JOIN u b ON a.i = b.i AND b.vec_id = a.vec_id + 1
+      |      GROUP BY 1, 2)
+      |SELECT id_a, id_b,
+      |  floor((dp / (x.nr * y.nr)) * 1000000.0 + 0.5) / 1000000.0 AS cos6
+      |FROM d JOIN nrm x ON x.vec_id = id_a JOIN nrm y ON y.vec_id = id_b
+      |ORDER BY id_a""".stripMargin) { (s, d) =>
+    val e = Tables.embeddings(s, d)
+    val a = e.select(col("vec_id").as("id_a"), col("embedding").as("__ea"))
+    val b = e.select((col("vec_id") - 1).as("id_a"),
+      col("vec_id").as("id_b"), col("embedding").as("__eb"))
+    a.join(b, Seq("id_a"))
+      .select(col("id_a"), col("id_b"),
+        pround(graft.functions.Udfs.cosineUdf(col("__ea"), col("__eb")), 6)
+          .as("cos6"))
+      .orderBy(col("id_a"))
+  }
+
   // R-20 exact top-k similarity search: 10 probes, top-5 neighbors.
   q("q37_ann_topk",
     """WITH u AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,

@@ -383,6 +383,132 @@ object StreamingQueries extends QueryGroup {
       .orderBy(col("topic"), col("part"), col("cursor"), col("ord"))
   }
 
+  // ---------------------------------------------------------------- U-2
+  // The typed-Aggregator surface on the oracle gate: the sparse offset
+  // sampler (A16, reference PulsarPartitionSyncWorker.java:236-239 /
+  // SparseMap.java:55-62) run as a real UDAF over the events stream —
+  // at most one src→dst mapping per (topic, partition, minute), the
+  // FIRST by (tsMillis, srcLedger, srcEntry). The oracle is the exact
+  // R-15 window reformulation (row_number over the minute bucket), so
+  // the hash-match pins the Aggregator's zero/reduce/merge/finish —
+  // including merge commutativity, since local[32] merges partial
+  // buffers in arbitrary partition order.
+  q("q250_sparse_sampler",
+    """WITH o AS (SELECT event_type AS topic,
+      |    CAST(user_id % 4 AS INT) AS part,
+      |    epoch_ms(ts) AS ts_ms,
+      |    event_id // 100 AS src_ledger, event_id % 100 AS src_entry,
+      |    event_id // 100 + 5000 AS dst_ledger,
+      |    (event_id % 100) * 7 % 100 AS dst_entry
+      |  FROM events),
+      |r AS (SELECT *, row_number() OVER (
+      |    PARTITION BY topic, part, ts_ms // 60000
+      |    ORDER BY ts_ms, src_ledger, src_entry) AS rn FROM o)
+      |SELECT topic, part, ts_ms, src_ledger, src_entry,
+      |  dst_ledger, dst_entry
+      |FROM r WHERE rn = 1 ORDER BY topic, part, ts_ms""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val sampler = udaf(graft.functions.SparseSamplerAgg)
+    Tables.events(s, d)
+      .select(col("event_type").as("topic"),
+        (col("user_id") % 4).cast("int").as("part"),
+        expr("unix_millis(ts)").as("tsMillis"),
+        expr("event_id div 100").as("srcLedger"),
+        (col("event_id") % 100).as("srcEntry"),
+        (expr("event_id div 100") + 5000).as("dstLedger"),
+        ((col("event_id") % 100) * 7 % 100).as("dstEntry"))
+      .groupBy(col("topic"), col("part"))
+      .agg(sampler(col("tsMillis"), col("srcLedger"), col("srcEntry"),
+        col("dstLedger"), col("dstEntry")).as("out"))
+      .select(col("topic"), col("part"),
+        explode(col("out.samples")).as("smp"))
+      .select(col("topic"), col("part"),
+        col("smp.tsMillis").as("ts_ms"),
+        col("smp.srcLedger").as("src_ledger"),
+        col("smp.srcEntry").as("src_entry"),
+        col("smp.dstLedger").as("dst_ledger"),
+        col("smp.dstEntry").as("dst_entry"))
+      .orderBy(col("topic"), col("part"), col("ts_ms"))
+  }
+
+  // ----------------------------------------------------------- A17→A19
+  // The reference's actual cursor-translation FLOW as one oracle-gated
+  // query: build the sparse index from recorded src→dst mappings
+  // (A16, retention + first-per-minute), floor-translate every cursor
+  // observation through it (A17, PulsarPartitionSyncWorker.java:
+  // 211-218; no-floor ⇒ NULL dst, the fixed SparseMap NPE), then fold
+  // the create/reset/skip decision table over the translated stats in
+  // observed order (A19, :149-209). q17/q59 pin the pieces; this pins
+  // their COMPOSITION — late/out-of-order observations translate
+  // against the index and still fold in observedTs order.
+  q("q251_cursor_translate",
+    """WITH om AS (SELECT event_type AS topic,
+      |    CAST(user_id % 4 AS INT) AS part,
+      |    epoch_ms(ts) AS rts, event_id // 100 AS sl, event_id % 100 AS se,
+      |    event_id // 100 + 5000 AS dl, (event_id % 100) * 7 % 100 AS de
+      |  FROM events WHERE event_id % 3 = 0),
+      |mx AS (SELECT topic, part, max(rts) AS mxts FROM om GROUP BY 1, 2),
+      |ret AS (SELECT om.* FROM om JOIN mx USING (topic, part)
+      |  WHERE rts >= mxts - 28800 * 60000),
+      |sp AS (SELECT *, row_number() OVER (
+      |    PARTITION BY topic, part, rts // 60000
+      |    ORDER BY rts, sl, se) AS rn FROM ret),
+      |idx AS (SELECT topic, part, sl, se, dl, de FROM sp WHERE rn = 1),
+      |cs AS (SELECT event_type AS topic, CAST(user_id % 4 AS INT) AS part,
+      |    'sub-' || CAST(user_id % 2 AS VARCHAR) AS cursor,
+      |    event_id // 100 AS rl, event_id % 100 AS re,
+      |    (event_id % 11 = 0) AS act, epoch_ms(ts) AS ots
+      |  FROM events WHERE event_id % 3 = 1),
+      |tr AS (SELECT cs.*, f.dl, f.de FROM cs LEFT JOIN LATERAL (
+      |    SELECT dl, de FROM idx
+      |    WHERE idx.topic = cs.topic AND idx.part = cs.part
+      |      AND (idx.sl < cs.rl OR (idx.sl = cs.rl AND idx.se <= cs.re))
+      |    ORDER BY sl DESC, se DESC LIMIT 1) f ON true),
+      |l AS (SELECT *, lag(rl) OVER w AS pl, lag(re) OVER w AS pe
+      |  FROM tr WINDOW w AS (PARTITION BY topic, part, cursor
+      |    ORDER BY ots, rl, re)),
+      |a AS (SELECT topic, part, cursor, ots, rl, re, dl, de,
+      |    CASE WHEN pl IS NULL THEN 'create'
+      |         WHEN (rl != pl OR re != pe) AND NOT act THEN 'reset'
+      |         END AS action
+      |  FROM l),
+      |e AS (SELECT topic, part, cursor, dl, de, action,
+      |    row_number() OVER (PARTITION BY topic, part, cursor
+      |      ORDER BY ots, rl, re) AS ord
+      |  FROM a WHERE action IS NOT NULL)
+      |SELECT topic, part, cursor, CAST(ord AS BIGINT) AS ord, action,
+      |  dl AS dst_ledger, de AS dst_entry
+      |FROM e ORDER BY topic, part, cursor, ord""".stripMargin) { (s, d) =>
+    import s.implicits._
+    import graft.streaming.{CursorSync, OffsetIndex, TranslatedCursorStat}
+    val ev = Tables.events(s, d)
+    val offsetMap = ev.filter(col("event_id") % 3 === 0)
+      .select(col("event_type").as("topic"),
+        (col("user_id") % 4).cast("int").as("partition"),
+        timestamp_millis(expr("unix_millis(ts)")).as("recordedTs"),
+        expr("event_id div 100").as("srcLedger"),
+        (col("event_id") % 100).as("srcEntry"),
+        (expr("event_id div 100") + 5000).as("dstLedger"),
+        ((col("event_id") % 100) * 7 % 100).as("dstEntry"))
+    val stats = ev.filter(col("event_id") % 3 === 1)
+      .select(col("event_type").as("topic"),
+        (col("user_id") % 4).cast("int").as("partition"),
+        concat(lit("sub-"), (col("user_id") % 2).cast("string")).as("cursor"),
+        expr("event_id div 100").as("readLedger"),
+        (col("event_id") % 100).as("readEntry"),
+        (col("event_id") % 11 === 0).as("dstHasActive"),
+        timestamp_millis(expr("unix_millis(ts)")).as("observedTs"))
+    val index = OffsetIndex.sparseSample(offsetMap, retentionMinutes = 28800)
+    val translated = OffsetIndex.translate(stats, index)
+      .select(col("topic"), col("partition"), col("cursor"),
+        col("readLedger"), col("readEntry"),
+        col("dstLedger"), col("dstEntry"),
+        col("dstHasActive"), col("observedTs"))
+      .as[TranslatedCursorStat]
+    CursorSync.batchActions(translated)
+      .orderBy(col("topic"), col("part"), col("cursor"), col("ord"))
+  }
+
   // ---------------------------------------------------------------- S-1
   // The DSv2 connector on the oracle surface: a deterministic
   // formula-seeded broker (2 topics x 2 partitions x 1200 messages)
