@@ -112,20 +112,29 @@ object IncrementalCuration {
     val (stopwords, decontamN, minOverlap, numBuckets) =
       readMeta(spark, indexDir)
 
-    val appended = IncrementalDedup.append(delta, idCol, textCol, blockCol,
-      s"$indexDir/dedup", s"$outDir/dedup")
-
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
     // eval set is frozen: hardlinked into the rotated index, no copy
     val evalShingles = IndexRotation.rotateFrozen(spark,
       s"$indexDir/eval-shingles", s"$outDir/eval-shingles")
 
     // row-local signals: old docs' signals cannot change, so the frame
     // is append-only — old files hardlink over, only the delta's
-    // signals are new bytes
-    val signals = IndexRotation.rotateAppendOnly(spark,
-      s"$indexDir/signals", s"$outDir/signals",
-      signalsOf(delta, idCol, textCol, stopwords,
-        evalShingles, decontamN, minOverlap))
+    // signals are new bytes. The whole signal pass (quality +
+    // contamination over the delta text) is INDEPENDENT of the dedup
+    // fold and runs concurrently with it — a tick's wall-clock is
+    // the dedup fold, not dedup + signals in sequence.
+    val signalsF = Future {
+      IndexRotation.rotateAppendOnly(spark,
+        s"$indexDir/signals", s"$outDir/signals",
+        signalsOf(delta, idCol, textCol, stopwords,
+          evalShingles, decontamN, minOverlap))
+    }
+
+    val appended = IncrementalDedup.append(delta, idCol, textCol, blockCol,
+      s"$indexDir/dedup", s"$outDir/dedup")
+    val signals = Await.result(signalsF, Duration.Inf)
 
     // decisions: untouched clusters carry over byte-stable (their
     // buckets hardlink); the recomputed rows are exactly the dedup
@@ -134,8 +143,12 @@ object IncrementalCuration {
     // new labels + signals
     val decCols = Seq("doc", "cluster", "passes", "ok_quality",
       "contaminated", "keep_dedup", "keep").map(col)
+    // NOT checkpointed: the frame is consumed exactly once (inside the
+    // decisions write below), and its cluster set — all the
+    // touched-bucket probe needs — is readable off the CHECKPOINTED
+    // recomputedLabels frame instead, so the survivor argmax runs as
+    // part of the write job rather than as its own checkpoint job
     val recomputed = decisionsOf(appended.recomputedLabels, signals)
-      .localCheckpoint(true)
     // explicit schema (decision columns + the bkt partition column):
     // an index built over a corpus with no decisions would have an
     // empty partitioned dir that schema inference cannot read
@@ -147,18 +160,25 @@ object IncrementalCuration {
     val oldDecisionsP = spark.read.schema(decSchema)
       .parquet(s"$indexDir/decisions")
     val bktOfC = IndexRotation.bucketOf(col("cluster"), numBuckets)
+    // recomputed's clusters are exactly recomputedLabels' clusters
+    // (decisionsOf preserves every label row's cluster), and THAT
+    // frame is checkpointed — probing it keeps this collect cheap
     val touchedBkts = appended.touchedClusters.select(bktOfC.as("bkt"))
-      .unionByName(recomputed.select(bktOfC.as("bkt")))
+      .unionByName(appended.recomputedLabels.select(bktOfC.as("bkt")))
       .distinct().collect().map(_.getInt(0)).toSeq
     val replacement = oldDecisionsP
       .filter(col("bkt").isin(touchedBkts: _*))
       .join(appended.touchedClusters, Seq("cluster"), "left_anti")
       .unionByName(recomputed.withColumn("bkt", bktOfC))
+    // decisions and meta land in disjoint directories — concurrent
+    val metaF = Future {
+      writeMeta(spark, outDir, stopwords, decontamN, minOverlap, numBuckets)
+    }
     val decisionsNew = IndexRotation.rotateBucketed(spark,
         s"$indexDir/decisions", s"$outDir/decisions", touchedBkts,
         replacement)
       .select(decCols: _*)
-    writeMeta(spark, outDir, stopwords, decontamN, minOverlap, numBuckets)
+    Await.result(metaF, Duration.Inf)
     decisionsNew
   }
 

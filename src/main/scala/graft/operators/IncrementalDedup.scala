@@ -330,11 +330,17 @@ object IncrementalDedup {
 
     val deltaDocs = delta.filter(col(idCol).isNotNull)
       .select(col(idCol).as("doc"))
-    val overlap = docsOld.join(deltaDocs, "doc").limit(1).count()
-    require(overlap == 0,
-      "delta ids must be disjoint from the indexed corpus " +
-        "(append is insert-only; re-ingesting a doc would double-count " +
-        "its shingles)")
+    // the disjointness check runs CONCURRENTLY with the delta
+    // shingling (independent inputs) and is awaited before the first
+    // index write — a tick is ~25 fixed delta-sized jobs whose
+    // scheduler overhead, not work, dominates at bench scale, so
+    // independent jobs overlap (round-14 q80 gate task)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val overlapF = Future {
+      docsOld.join(deltaDocs, "doc").limit(1).count()
+    }
 
     // ONE text-shingling pass — over the delta only; materialized
     // (with its bucket column) because the index write, the DF
@@ -345,16 +351,30 @@ object IncrementalDedup {
     val shDeltaCore = shDelta.select(col("doc"), col("blk"), col("shingle"))
     // the delta's shingle buckets — every per-tick index read below is
     // keyed on the delta's own shingles, so these buckets are all it
-    // can touch (≤ numShingleBuckets ints on the driver)
-    val deltaSbkts = shDelta.select(col("sbkt")).distinct()
-      .collect().map(_.getInt(0)).toSeq
+    // can touch (≤ numShingleBuckets ints on the driver). ONE pass
+    // over the checkpointed frame yields both the bucket list and the
+    // delta shingle count the mine router needs later.
+    val sbktCounts = shDelta.groupBy(col("sbkt"))
+      .agg(count(lit(1)).as("__c")).collect()
+    val deltaSbkts = sbktCounts.map(_.getInt(0)).toSeq
+    val nDeltaSh = sbktCounts.map(_.getLong(1)).sum
+    require(Await.result(overlapF, Duration.Inf) == 0,
+      "delta ids must be disjoint from the indexed corpus " +
+        "(append is insert-only; re-ingesting a doc would double-count " +
+        "its shingles)")
     // the shingle frame is append-only AND bucketed: untouched bucket
-    // dirs hardlink over, delta rows land as new files in theirs
-    IndexRotation.rotateBucketed(spark,
-      s"$indexDir/shingles", s"$outDir/shingles", Seq.empty, shDelta,
-      partCol = "sbkt")
-    IndexRotation.rotateAppendOnly(spark,
-      s"$indexDir/docs", s"$outDir/docs", deltaDocs)
+    // dirs hardlink over, delta rows land as new files in theirs.
+    // The two rotations touch disjoint directories — run them
+    // concurrently, awaited before the index scans below read outDir.
+    val shingleRotF = Future {
+      IndexRotation.rotateBucketed(spark,
+        s"$indexDir/shingles", s"$outDir/shingles", Seq.empty, shDelta,
+        partCol = "sbkt")
+    }
+    val docsRotF = Future {
+      IndexRotation.rotateAppendOnly(spark,
+        s"$indexDir/docs", s"$outDir/docs", deltaDocs)
+    }
 
     // shingles whose DF crossed the cap BECAUSE of the delta: their
     // old holders' surviving sets (and set sizes) changed, so every
@@ -366,8 +386,12 @@ object IncrementalDedup {
     // — no corpus-keyed exchange, no full-frame read. Oversized
     // deltas fall back to the round-6 origin-tagged full aggregate
     // (one full shuffle; correct at any scale).
+    // persist+count instead of checkpoint-then-count: ONE job both
+    // materializes the frame and returns its size (the checkpoint
+    // variant paid a second, scheduler-bound job per frame)
+    val storage = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val deltaCounts = shDelta.groupBy(col("blk"), col("shingle"))
-      .agg(count(lit(1)).as("__cd")).localCheckpoint(true)
+      .agg(count(lit(1)).as("__cd")).persist(storage)
     val nDeltaKeys = deltaCounts.count()
     val newlyHot = (if (nDeltaKeys <= MaxBroadcastRows) {
       val dfOldForDelta =
@@ -387,13 +411,17 @@ object IncrementalDedup {
         .agg(count(lit(1)).as("__c"), sum(col("__new")).as("__cnew"))
         .filter(col("__c") > maxDf && col("__c") - col("__cnew") <= maxDf)
         .select(col("blk"), col("shingle"))
-    }).localCheckpoint(true)
+    }).persist(storage)
     val nNewlyHot = newlyHot.count()
     // hot over old ∪ delta = persisted hot ∪ newly-hot: DF only grows
     // on append, so no old hot shingle ever cools
-    val hotAll = hotOld.unionByName(newlyHot).localCheckpoint(true)
+    val hotAll = hotOld.unionByName(newlyHot).persist(storage)
     val nHotAll = hotAll.count()
-    hotAll.write.mode("overwrite").parquet(s"$outDir/hot")
+    // outDir/hot is only read by the NEXT tick — the write overlaps
+    // everything below (hotB reads the in-memory persisted frame)
+    val hotWriteF = Future {
+      hotAll.write.mode("overwrite").parquet(s"$outDir/hot")
+    }
     val hotB = if (nHotAll <= MaxBroadcastRows) broadcast(hotAll) else hotAll
 
     // cap-crossing fallout: old holders of a newly-hot shingle, with
@@ -402,14 +430,22 @@ object IncrementalDedup {
     // when it fires, newly-hot shingles are delta shingles, so the
     // scan still prunes to the delta's buckets.
     val affectedCnts = (if (nNewlyHot == 0L)
-        shOld.limit(0).groupBy(col("doc")).agg(count(lit(1)).as("__nhot"))
+        // the routine tick: build the empty frame directly — zero jobs
+        // (a limit(0)-plan checkpoint still scheduled one)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("doc", idT),
+            org.apache.spark.sql.types.StructField("__nhot",
+              org.apache.spark.sql.types.LongType))))
       else {
         val nh = if (nNewlyHot <= MaxBroadcastRows) broadcast(newlyHot)
           else newlyHot
         prunedShingleScan(spark, s"$indexDir/shingles", idT, blkT, deltaSbkts)
           .join(nh, Seq("blk", "shingle"))
           .groupBy(col("doc")).agg(count(lit(1)).as("__nhot"))
-      }).localCheckpoint(true)
+          .localCheckpoint(true)
+      })
     val affectedOld = affectedCnts.select(col("doc"))
 
     // restrict is materialized once: it seeds the candidate join, two
@@ -454,7 +490,6 @@ object IncrementalDedup {
         shDeltaCore.unionByName(shOld.join(af, Seq("doc"), "left_semi"))
       }
     val restrictSh = restrictShRaw.join(hotB, Seq("blk", "shingle"), "left_anti")
-    val nDeltaSh = shDelta.count()
 
     // the candidate join's index side prunes to the buckets holding
     // the restrict side's shingles — every candidate pair shares one
@@ -466,6 +501,11 @@ object IncrementalDedup {
       if (nNewlyHot == 0L) deltaSbkts
       else restrictSh.select(sbktOf(numShingleBuckets).as("sbkt"))
         .distinct().collect().map(_.getInt(0)).toSeq
+    // the candidate scan reads the ROTATED shingle frame — the
+    // concurrent rotation must have landed by now (docs too: cheap,
+    // and awaiting both keeps failure surfacing inside append)
+    Await.result(shingleRotF, Duration.Inf)
+    Await.result(docsRotF, Duration.Inf)
     val shCand = prunedShingleScan(spark, s"$outDir/shingles", idT, blkT,
       candSbkts)
 
@@ -552,21 +592,37 @@ object IncrementalDedup {
       .join(restrict.select(col("doc").as("id_a")), Seq("id_a"), "left_anti")
       .join(restrict.select(col("doc").as("id_b")), Seq("id_b"), "left_anti")
       .unionByName(minedM.withColumn("bkt", bktOfA))
-    val pairsNew = IndexRotation.rotateBucketed(spark,
-        s"$indexDir/pairs", s"$outDir/pairs", touchedPairBkts,
-        pairsReplacement)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
-
     val labelsReplacement = labelsOldP
       .filter(col("bkt").isin(touchedLabelBkts: _*))
       .join(touchedClusters, Seq("cluster"), "left_anti")
       .unionByName(subLabels.withColumn("bkt", bktOfC))
-    val labelsNew = IndexRotation.rotateBucketed(spark,
-        s"$indexDir/labels", s"$outDir/labels", touchedLabelBkts,
-        labelsReplacement)
-      .select(col("doc"), col("cluster"))
-    writeMeta(spark, outDir, n, threshold, maxDf, numBuckets,
-      numShingleBuckets)
+    // the three remaining writes touch disjoint directories and read
+    // only checkpointed/persisted/old-index inputs — run concurrently
+    val pairsF = Future {
+      IndexRotation.rotateBucketed(spark,
+          s"$indexDir/pairs", s"$outDir/pairs", touchedPairBkts,
+          pairsReplacement)
+        .select(col("id_a"), col("id_b"), col("jaccard"))
+    }
+    val labelsF = Future {
+      IndexRotation.rotateBucketed(spark,
+          s"$indexDir/labels", s"$outDir/labels", touchedLabelBkts,
+          labelsReplacement)
+        .select(col("doc"), col("cluster"))
+    }
+    val metaF = Future {
+      writeMeta(spark, outDir, n, threshold, maxDf, numBuckets,
+        numShingleBuckets)
+    }
+    val pairsNew = Await.result(pairsF, Duration.Inf)
+    val labelsNew = Await.result(labelsF, Duration.Inf)
+    Await.result(metaF, Duration.Inf)
+    Await.result(hotWriteF, Duration.Inf)
+    // internal scratch frames: release the cache (non-blocking); the
+    // returned frames read outDir parquet or their own checkpoints
+    deltaCounts.unpersist(false)
+    newlyHot.unpersist(false)
+    hotAll.unpersist(false)
 
     Appended(
       labels = labelsNew,
@@ -595,11 +651,19 @@ object IncrementalDedup {
       maxDriverEdges: Long = 200000L): DataFrame = {
     val longKeyed = subDocs.schema.fields.head.dataType ==
       org.apache.spark.sql.types.LongType
-    val nEdges = if (longKeyed) subPairs.count() else Long.MaxValue
-    if (nEdges > maxDriverEdges) Dedup.clusters(subDocs, "doc", subPairs)
+    require(maxDriverEdges < Int.MaxValue,
+      s"maxDriverEdges must fit an Int limit, got $maxDriverEdges")
+    // ONE job decides the route AND fetches the edges: collect up to
+    // limit+1 rows — overflow means "too big, go distributed" (the
+    // count-then-collect version ran the subgraph join twice)
+    val sample = if (longKeyed)
+      subPairs.select(col("id_a"), col("id_b"))
+        .limit(maxDriverEdges.toInt + 1).collect()
+    else null
+    if (sample == null || sample.length > maxDriverEdges)
+      Dedup.clusters(subDocs, "doc", subPairs)
     else {
-      val edges = subPairs.select(col("id_a"), col("id_b"))
-        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val edges = sample.map(r => (r.getLong(0), r.getLong(1)))
       val parent = scala.collection.mutable.Map.empty[Long, Long]
       def find(x: Long): Long = {
         var r = x
