@@ -379,11 +379,12 @@ object Bench {
         // after) reuses it — its number is the encode increment
         if (name == "q127_wordpiece_vocab")
           PipelineSketchQueries.resetWordPiece(spark, sfDir)
-        // q185 owns the NB-scored-frame memo; q221/q223/q243
+        // q183 owns the NB-scored-frame memo (family-first
+        // alphabetically since it joined in r14); q185/q221/q223/q243
         // (alphabetically after) are readouts of the same scored
-        // corpus — their numbers are the ROC/PR/kappa/lift increments
-        // over a frame scored once (the deployment shape)
-        if (name == "q185_roc_auc")
+        // corpus — their numbers are the calibration/ROC/PR/kappa/
+        // lift increments over a frame scored once (deployment shape)
+        if (name == "q183_calibration_bins")
           PipelineQueries.resetNbScored(spark, sfDir)
         // q224 owns the co-purchase edge memo; q225 (alphabetically
         // after) reads it — its number is the BFS increment

@@ -563,8 +563,12 @@ object PipelineAnalyticsQueries extends QueryGroup {
        |    AS pos_rate6
        |FROM bn JOIN la USING (doc_id)
        |GROUP BY bin ORDER BY bin""".stripMargin) { (s, d) =>
-    graft.operators.QualityModel.calibrationBins(Tables.documents(s, d),
-        "doc_id", "text", Seq("the", "a"), bins = 10)
+    // reads the family's memoized NB-scored frame (q183 is the
+    // family's first-alphabetical member, so Bench resets the memo on
+    // IT — the mine is timed here; q185/q221/q223/q243 readouts price
+    // their increments)
+    graft.operators.QualityModel.calibrationBinsFrom(
+        PipelineQueries.nbScored(s, d), "doc_id", bins = 10)
       .orderBy(col("bin"))
   }
 

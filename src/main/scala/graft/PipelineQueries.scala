@@ -117,8 +117,10 @@ object PipelineQueries extends QueryGroup {
       st.clusters
       ()
     }
-    if (Seq("q185_roc_auc", "q221_pr_curve", "q223_cohens_kappa",
-        "q243_lift_table").exists(include)) { nbScored(s, d); () }
+    if (Seq("q183_calibration_bins", "q185_roc_auc", "q221_pr_curve",
+        "q223_cohens_kappa", "q243_lift_table").exists(include)) {
+      nbScored(s, d); ()
+    }
     if (Seq("q69_curation", "q71_curation_report").exists(include)) {
       curated(s, d); ()
     }
@@ -142,13 +144,14 @@ object PipelineQueries extends QueryGroup {
 
   /** NB-quality scored frame memo: the q85 heuristic-seeded NB scorer
     * and the q58 rule labels joined once per (session, dir) —
-    * q185/q221/q223/q243 are four READOUTS of the same scored corpus
-    * (ROC, PR curve, kappa, lift), so the corpus-scale tokenize+score
-    * chain runs once and each readout prices its own aggregation (the
-    * [[dedupStages]] discipline; Bench resets this memo on the
-    * family's first-alphabetical member q185 so the mine is still
-    * timed every round, and the later readouts time their true
-    * increments — the deployment shape: score once, read many).
+    * q183/q185/q221/q223/q243 are five READOUTS of the same scored
+    * corpus (calibration bins, ROC, PR curve, kappa, lift), so the
+    * corpus-scale tokenize+score chain runs once and each readout
+    * prices its own aggregation (the [[dedupStages]] discipline;
+    * Bench resets this memo on the family's first-alphabetical
+    * member q183 so the mine is still timed every round, and the
+    * later readouts time their true increments — the deployment
+    * shape: score once, read many).
     * Carries RAW log_odds (not the micro snap) so q223's `> 0` cut
     * and the micro-snap readouts derive from identical bits.
     */
@@ -172,7 +175,7 @@ object PipelineQueries extends QueryGroup {
   }
 
   /** Forget the memoized NB-scored frame — Bench calls this before
-    * each q185 rep so the family's mine cost is re-timed, exactly as
+    * each q183 rep so the family's mine cost is re-timed, exactly as
     * [[resetDedupStage]] does for q33.
     */
   def resetNbScored(s: org.apache.spark.sql.SparkSession,

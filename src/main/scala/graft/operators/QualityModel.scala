@@ -151,13 +151,25 @@ object QualityModel {
       textCol: String,
       stopwords: Seq[String],
       bins: Int = 10): DataFrame = {
-    require(bins >= 2, s"calibration needs >= 2 bins, got $bins")
     val scored = heuristicSeededScores(docs, idCol, textCol, stopwords)
       .select(col("doc").as(idCol), col("log_odds"))
     val labels = TextAnalysis.qualityFilter(docs, idCol, textCol, stopwords)
       .select(col(idCol), col("keep"))
-    val joined = scored.join(labels, Seq(idCol))
-    val ranked = ScaleOps.prefixSumByRange(joined,
+    calibrationBinsFrom(scored.join(labels, Seq(idCol)), idCol, bins)
+  }
+
+  /** [[calibrationBins]] over an ALREADY scored+labeled frame
+    * (idCol, log_odds, keep) — the entry point when the NB-scored
+    * corpus is shared with the other readouts (ROC, PR, kappa, lift):
+    * score once, bin here. Rank/bin/aggregate only; same output.
+    */
+  def calibrationBinsFrom(
+      joined: DataFrame,
+      idCol: String,
+      bins: Int = 10): DataFrame = {
+    require(bins >= 2, s"calibration needs >= 2 bins, got $bins")
+    val ranked = ScaleOps.prefixSumByRange(
+      joined.select(col(idCol), col("log_odds"), col("keep")),
       Seq("log_odds", idCol), lit(1L), "__r0")
     val nRow = ranked.agg(max(col("__r0"))).head()
     require(!nRow.isNullAt(0), "calibration needs a non-empty corpus")
