@@ -37,7 +37,14 @@ object ScaleOps {
     *
     * Partition sizing: each range partition is sorted and
     * cumulative-summed by a SINGLE task, so the partition count — not
-    * the data — bounds the per-task work. `numParts <= 0` (the
+    * the data — bounds the per-task work. Auto-sized inputs whose
+    * exact byte estimate fits `maxSingleTaskBytes` (32 MiB default)
+    * skip the range machinery entirely and stream the prefix in one
+    * coalesced task — vocabulary/catalog-sized frames pay one job
+    * instead of the ~4 fixed jobs (cache count, range sampling,
+    * offset collect, checkpoint scan) that dominate them; corpus-
+    * sized frames take the distributed path unchanged. Above the
+    * gate, `numParts <= 0` (the
     * default) derives the count from an EXACT row count times the
     * schema width ([[autoRangeParts]]), clamped to
     * [shuffle.partitions, maxAutoParts]: a growing input picks more
@@ -99,7 +106,8 @@ object ScaleOps {
       prefixName: String,
       numParts: Int = 0,
       targetPartBytes: Long = 1L << 20,
-      maxAutoParts: Int = 131072): DataFrame = {
+      maxAutoParts: Int = 131072,
+      maxSingleTaskBytes: Long = 1L << 25): DataFrame = {
     import org.apache.spark.sql.{Encoders, Row}
     import org.apache.spark.sql.types.{LongType, StructField, StructType}
     val storage = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
@@ -111,6 +119,41 @@ object ScaleOps {
     val withV = df.withColumn("__pfx_v", value.cast("long"))
     val cached = if (numParts > 0) withV else withV.persist(storage)
     try {
+      val baseLen0 = df.schema.fields.length
+      // size-routed fast path (the foldLabels/broadcast-gate
+      // discipline): an auto-sized input whose exact byte estimate
+      // fits one task's sort skips the WHOLE range machinery — no
+      // range-sampling job, no exchange, no per-partition offset
+      // collect — and streams the prefix in one coalesced task over
+      // the already-parallel upstream (partial aggregation upstream
+      // of the coalesce still runs wide). Above the gate — any
+      // corpus-sized frame at cluster scale — the range-partitioned
+      // path below is taken unchanged; the gate only trims the fixed
+      // ~4-job scheduler cost that dominates catalog/vocabulary-sized
+      // frames. maxSingleTaskBytes <= 0 disables the fast path (the
+      // sizing spec pins the distributed path's behavior that way).
+      val rowWidth = 8L +
+        df.schema.fields.map(_.dataType.defaultSize.toLong).sum
+      if (numParts <= 0 && maxSingleTaskBytes > 0 &&
+          BigInt(cached.count()) * rowWidth <= maxSingleTaskBytes) {
+        val enc0 = Encoders.row(StructType(df.schema.fields :+
+          StructField(prefixName, LongType, nullable = false)))
+        return cached
+          .coalesce(1)
+          .sortWithinPartitions(orderCols.map(col): _*)
+          .mapPartitions { it =>
+            var running = 0L
+            it.map { r =>
+              val out = new Array[Any](baseLen0 + 1)
+              var i = 0
+              while (i < baseLen0) { out(i) = r.get(i); i += 1 }
+              out(baseLen0) = running
+              if (!r.isNullAt(baseLen0)) running += r.getLong(baseLen0)
+              Row.fromSeq(scala.collection.immutable.ArraySeq
+                .unsafeWrapArray(out))
+            }
+          }(enc0).localCheckpoint(true)
+      }
       val parts = if (numParts > 0) numParts
                   else autoRangeParts(cached, targetPartBytes, maxAutoParts)
       val parted = cached

@@ -37,27 +37,35 @@ class ScaleOpsSpec extends SparkSuiteBase {
   }
 
   test("prefixSumByRange auto-sizes partitions from input stats") {
-    // 600k (long, long, long) rows x 32 B schema width ≈ 18 MiB — past
-    // 16 x 1 MiB — so the auto path (numParts <= 0) must pick more
-    // than 16 range partitions BY ITSELF (the floor here is this
-    // suite's shuffle.partitions = 4, so the size term decides), the
-    // round-5 fix for sharding a growing corpus into fixed-32
-    // single-task sorts
+    // 600k (long, long, long) rows x 24 B schema width ≈ 14 MiB — past
+    // 16 x 1 MiB — so with the single-task gate DISABLED the auto path
+    // (numParts <= 0) must pick more than 16 range partitions BY
+    // ITSELF (the floor here is this suite's shuffle.partitions = 4,
+    // so the size term decides), the round-5 fix for sharding a
+    // growing corpus into fixed-32 single-task sorts
     val df = spark.range(600000).toDF("id").withColumn("v", lit(1L))
-    val auto = ScaleOps.prefixSumByRange(df, Seq("id"), col("v"), "pfx")
+    val auto = ScaleOps.prefixSumByRange(df, Seq("id"), col("v"), "pfx",
+      maxSingleTaskBytes = 0)
     assert(auto.rdd.getNumPartitions > 16,
       s"auto picked ${auto.rdd.getNumPartitions} partitions")
-    // sizing must never leak into the values: auto and a fixed count
-    // produce the identical prefix function
+    // sizing must never leak into the values: auto, a fixed count, and
+    // the single-task fast path (this frame is under the default
+    // 32 MiB gate) produce the identical prefix function
     val fixed = ScaleOps.prefixSumByRange(df, Seq("id"), col("v"), "pfx",
       numParts = 5)
+    val fast = ScaleOps.prefixSumByRange(df, Seq("id"), col("v"), "pfx")
+    assert(fast.rdd.getNumPartitions == 1,
+      s"gate-sized input took ${fast.rdd.getNumPartitions} partitions")
     def probe(d: org.apache.spark.sql.DataFrame) =
       d.where(col("id") % 1000 === 0)
         .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
     assert(probe(auto) == probe(fixed), "prefix diverges across sizing")
-    // a small input stays at the session floor — no pointless fan-out
+    assert(probe(auto) == probe(fast), "fast path diverges")
+    // a small input above the gate stays at the session floor — no
+    // pointless fan-out
     val small = spark.range(100).toDF("id").withColumn("v", lit(1L))
-    val smallParts = ScaleOps.prefixSumByRange(small, Seq("id"), col("v"), "pfx")
+    val smallParts = ScaleOps.prefixSumByRange(small, Seq("id"), col("v"),
+        "pfx", maxSingleTaskBytes = 0)
       .rdd.getNumPartitions
     assert(smallParts == spark.sessionState.conf.numShufflePartitions,
       s"small input picked $smallParts")
