@@ -5,250 +5,165 @@ object Bench {
   /** Reference per-query levels for load detection and the
     * regression gate (local[32], sf0.1). Policy since round 13: the
     * entry is the level BOTH of two independent full-session sweeps
-    * reproduced (the elementwise MAX of the two sweeps' min-of-reps,
-    * comparators 0.51/0.34 and 0.54/0.33) — a single sweep's minimum
-    * over-tightens the 1.5x gate, because sub-second queries inside a
-    * 249-query session carry +/-50-100% run-to-run variance from GC/
-    * codegen state (two consecutive full sweeps flagged 19 and 15
-    * NEARLY DISJOINT small queries against single-sweep minima).
-    * A rep whose min exceeds 2x this table's entry triggers extra
-    * reps (the round-3/4 loaded-box lesson); the regression flag
-    * additionally requires an ABSOLUTE excess (see the gate below) so
-    * a 0.2 s query cannot flag on 0.2 s of scheduler noise. Queries
+    * reproduced (the elementwise MAX of the two sweeps' min-of-reps) —
+    * a single sweep's minimum over-tightens the 1.5x gate, because
+    * sub-second queries inside a 250-query session carry +/-50-100%
+    * run-to-run variance from GC/codegen state (r13's two consecutive
+    * full sweeps flagged 19 and 15 NEARLY DISJOINT small queries
+    * against single-sweep minima). A min that would FLAG triggers
+    * extra reps before it can reach the artifact (cap raised when the
+    * comparator says the box is loaded); the flag additionally
+    * requires an ABSOLUTE excess scaled to the prior (see the gate
+    * below) so a 0.2 s query cannot flag on scheduler noise. Queries
     * absent here simply never escalate.
+    *
+    * priorBasis (round 14): the whole table regenerated from two
+    * quiet full-session sweeps at the round-14 plan state
+    * (157.7 s / 159.1 s over 252 queries, comparators 0.31/0.31 and
+    * 0.31/0.25 — the quietest sweeps of any round, regressions {}
+    * both). 199 of 252 entries moved DOWN >= 15% and ZERO moved up —
+    * the r13 ratchet concern resolves by the plans getting faster,
+    * not the gate looser. Decomposition of the entries VERDICT r13
+    * asked about: q75 13.51 -> 6.76 and q80 13.98 -> 8.26 are PLAN
+    * cost removed this round (concurrent rotations/signal pass,
+    * persist+count fusion, drop of the limit(0)-checkpoint and
+    * count-then-collect double jobs — commit-level A/B on one box:
+    * 11.55 -> 7.69 / 13.77 -> 9.46 at 5 reps), NOT session-GC
+    * reattribution; their single-family steady state is the
+    * TinyAppendBench tick (sf0.1: dedup 9.57, curation 8.49 — the 1%
+    * delta against a 99% index costs the same fixed jobs, which is
+    * the point). q69 5.81 -> 3.50 and q01 1.36 -> 0.89 ride the
+    * prefix-sum single-task gate + session-wide scheduler relief; no
+    * plan in either got heavier. q183 1.11 now owns the NB memo
+    * build (reset moved from q185, which drops to its 0.22 readout).
     */
   private val priorMins: Map[String, Double] = Map(
-    "q33_ngram_jaccard" -> 1.84, "q34_minhash_lsh" -> 1.36,
-    // q47/q62 priors are the STAGED incremental costs (pointer-jumped
-    // propagation over staged pairs; survivor argmax over staged
-    // clusters) — round-5 quiet-box mins after the Dedup.Stage rewire
-    "q47_dedup_clusters" -> 0.8, "q62_cluster_survivors" -> 0.62,
-    "q41_multimodal" -> 0.23, "q35_simhash" -> 1.060,
-    "q36_embed_neardup" -> 0.67, "q01_scan_project" -> 1.36,
-    "q58_quality_filter" -> 0.76, "q32_lang_id" -> 1.2,
-    // round-5 additions, quiet-box mins at sf0.1
-    "q63_multitable_ann" -> 0.39, "q64_decontaminate" -> 0.54,
-    "q65_winnow_fingerprints" -> 0.48, "q66_winnow_pairs" -> 1.82,
-    "q67_asof_forward" -> 0.41, "q68_asof_nearest" -> 0.73,
-    "q69_curation" -> 5.81, "q70_stream_neardup_twin" -> 0.76,
-    "q71_curation_report" -> 0.11,
-    // q73 re-measured round 12 (quiet box, load 0.27, 4 reps → 1.00;
-    // comparator 0.74/0.13): git shows zero touches to the packing
-    // path since the round-5 prior (0.58) — the delta tracks the
-    // session's query-surface growth (74 → 242 queries' codegen/GC
-    // load in one JVM), not a plan change; q72 moved 0.83 → 0.95 in
-    // the same proportion
-    "q72_chunk_documents" -> 0.87, "q73_sequence_packing" -> 0.750,
-    "q74_mix_sample" -> 0.2,
-    // round-6 additions, quiet-box mins at sf0.1 (q75 = the APPEND
-    // increment over the memoized index; q76/q78/q79 likewise probe/
-    // encode/pack increments)
-    // q75/q80 re-measured round 7 after copy-free index rotation: the
-    // appends carry ~2.5s of added fixed job overhead (touched-bucket
-    // collect, checkpoints, partitioned writes) in exchange for
-    // delta-sized index write IO
-    "q76_ivf_index_probe" -> 0.79,
-    // q75/q80 re-measured round 11 (quiet box, comparator 0.53/0.34,
-    // 3 reps): the +1.2s/+1.9s over the round-7 priors arrived with
-    // the index v3/v4 commits (persisted hot/sizes stats + the
-    // shingle-bucketed layout, 890bdef/2d89c78/ff1c938) — fixed
-    // per-bucket job overhead per append tick at sf0.1 toy scale,
-    // bought for bucket-pruned delta joins at 10x/30x (BASELINE.md
-    // crossover tables). Round-9's full-session min (8.69) was
-    // already on v4 and matches; the round-10 15.9 was box load
-    // (comparator 0.615/0.410).
-    "q75_incremental_dedup" -> 13.51,
-    // q78's round-6 prior (0.15) timed a memoized checkpoint read;
-    // since round 7 each q78 rep resets the encoded-frame memo and
-    // times the real two-join encode — re-measured quiet-box
-    "q77_bpe_train" -> 1.86, "q78_bpe_encode" -> 1.32,
-    "q79_pack_bpe" -> 0.44, "q80_incremental_curation" -> 13.98,
-    "q81_lm_score" -> 1.39, "q82_budget_sample" -> 0.98,
-    // round-7 additions, quiet-box mins at sf0.1 (q83 = the encode
-    // increment over the memoized even-split tokenizer)
-    "q83_bpe_encode_oov" -> 1.02, "q84_semantic_dedup" -> 0.52,
-    // round-7 session-2 additions, mins at sf0.1 (comparator 0.48/0.32)
-    "q85_nb_quality" -> 1.18, "q86_shuffle_shard" -> 0.62,
-    "q87_temperature_mix" -> 0.28, "q88_ivf_train" -> 0.75,
-    "q89_quantile_filter" -> 0.81, "q90_char_entropy" -> 0.25,
-    // round-8 additions, quiet-box mins at sf0.1 (q84 re-measured at
-    // the auto-sized 20 cells + argmin kernel)
-    "q91_source_divergence" -> 0.68, "q92_substring_dedup" -> 1.16,
-    "q93_image_phash" -> 0.79, "q94_substring_strip" -> 1.46,
-    "q95_audio_phash" -> 1.05, "q96_train_split" -> 0.15,
-    "q97_decontaminate_bloom" -> 1.16,
-    // round-10 additions, quiet-box mins at sf0.1 (comparator 0.45/0.13)
-    "q98_pq_ann" -> 0.73, "q99_interval_join" -> 0.36,
-    "q100_ivfpq_ann" -> 1.28, "q101_pq_index_probe" -> 2.04,
-    "q102_subseq_search" -> 0.73, "q103_heavy_hitters" -> 0.83,
-    "q104_interval_join_outer" -> 0.55,
-    // round-11 additions, quiet-box mins at sf0.1 (comparator
-    // 0.49/0.38; 3 reps). q111 runs alphabetically BEFORE q33, so its
-    // number includes building the shared dedup stage cold (mining +
-    // 3 power steps — the composed cost, like q69)
-    "q105_skew_join" -> 1.21, "q106_knn_graph" -> 0.81,
-    "q107_pmi_collocations" -> 0.53, "q108_chunk_dedup" -> 0.74,
-    "q109_zorder_layout" -> 0.450, "q110_random_projection" -> 0.31,
-    "q111_pagerank" -> 1.35, "q112_skew_agg" -> 0.370,
-    "q113_histogram_quantiles" -> 0.47, "q114_hll_distinct" -> 0.46,
-    "q115_bm25" -> 0.86, "q116_incremental_chunk_dedup" -> 1.78,
-    // round-12 additions, quiet-box mins at sf0.1 (comparator
-    // 0.42/0.23; 3 reps). q119 measured after the xxhash64 lane
-    // switch (the md5 first cut read 2.80 — digest cost, not plan)
-    "q117_dsir_weights" -> 1.410, "q118_dsir_resample" -> 1.31,
-    "q119_bloom_join" -> 0.81, "q120_hybrid_rrf" -> 1.24,
-    "q121_rolling_anomaly" -> 0.61, "q122_decontaminate_fuzzy" -> 1.31,
-    "q123_multinomial_sample" -> 1.18,
-    // q126 runs alphabetically before q33 but its reps reuse the
-    // stage the first rep built (only q33 resets it), so the min is
-    // the warm triangle join over staged pairs — the incremental
-    // cost, same convention as q62
-    "q124_event_funnel" -> 0.6, "q125_cohort_retention" -> 0.450,
-    "q126_triangle_count" -> 0.48,
-    // q128 reuses the vocab q127's last rep trained — the encode
-    // increment (q78 convention)
-    "q127_wordpiece_vocab" -> 1.24, "q128_wordpiece_encode" -> 1.650,
-    // q129 trains its frozen even-split vocab on first rep (memoized)
-    "q129_wordpiece_encode_oov" -> 1.15, "q130_sparse_knn" -> 1.02,
-    // round-13 additions, mins at sf0.1 (comparator 0.83/0.38 — a
-    // loaded sweep box; these are upper bounds on the quiet mins)
-    "q131_fuzzy_join" -> 0.66, "q132_upsert_latest" -> 0.36,
-    "q133_scd2_merge" -> 0.61, "q134_pca_power" -> 1.08,
-    "q135_ndcg" -> 1.09, "q136_grouping_sets" -> 0.49,
-    "q137_kcenter_select" -> 1.15, "q138_sessionize" -> 0.56,
-    "q139_optimal_segment" -> 1.09,
-    // round-13 session-2 additions, mins at sf0.1 (comparator
-    // 0.55/0.32, 3 reps)
-    "q140_skew_profile" -> 0.37, "q141_join_cardinality" -> 1.14,
-    "q142_data_audit" -> 0.87, "q143_pit_join" -> 0.8,
-    "q144_golden_record" -> 0.34, "q145_phrase_search" -> 0.5,
-    "q146_hard_negatives" -> 0.3, "q147_novelty_score" -> 2.730,
-    "q148_lateral_topk" -> 1.12, "q149_ohlc_downsample" -> 0.53,
-    "q150_resample_ffill" -> 0.89, "q151_sliding_distinct" -> 0.51,
-    "q152_feature_hash" -> 0.95, "q153_standardize" -> 0.28,
-    "q154_unpivot" -> 1.49, "q155_entity_resolution" -> 2.72,
-    // q157 times the PRUNED read (the partitioned layout is written
-    // once per session/dir, the q75 memo convention)
-    "q156_cusum" -> 0.43, "q157_partition_pruning" -> 0.38,
-    "q158_markov_transitions" -> 0.55, "q159_grouped_quantiles" -> 0.5,
-    "q160_window_distribution" -> 0.5,
-    // round-11 session additions (comparator 0.51/0.19; q162 measured
-    // after the relevance-column localCheckpoint — the pre-truncation
-    // cut read 9.0 because every round re-folded norm+relevance)
-    // q161 re-measured round 13 (quiet box, comparator 0.47/0.33,
-    // reproduced across a full-session run and a 3-rep subset run):
-    // the JPEG header walk is untouched since the 0.18 prior — the
-    // drift tracks the 245-query session's codegen/GC state, same
-    // class as the r12 q73 adjudication. Historical quiet min: 0.18.
-    "q161_jpeg_dims" -> 0.33, "q162_mmr_select" -> 2.55,
-    "q163_cell_silhouette" -> 0.33,
-    // round-11 session-2 additions (comparator 0.47/0.32; 3 reps)
-    "q164_kmv_setops" -> 0.9, "q165_ewma_smooth" -> 0.46,
-    "q166_cell_balanced_sample" -> 0.27, "q167_gif_frames" -> 0.26,
-    // q169's min is the propagation over the staged pairs (q111 built
-    // the stage earlier in the alphabetical sweep)
-    "q168_kn_lm_score" -> 1.67, "q169_label_propagation" -> 0.840,
-    "q170_lsh_recall_audit" -> 3.0,
-    "q171_drift_report" -> 0.4, "q172_correlation_matrix" -> 0.24,
-    "q173_kmv_overlap_matrix" -> 1.960, "q174_stratified_alloc" -> 0.46,
-    "q175_containment_pairs" -> 1.72, "q176_quantile_normalize" -> 1.43,
-    "q177_session_paths" -> 0.46, "q178_textrank_keywords" -> 2.11,
-    "q179_benford_audit" -> 0.320, "q180_snapshot_diff" -> 0.48,
-    "q181_embedding_drift" -> 0.36, "q182_basket_rules" -> 1.17, "q183_calibration_bins" -> 2.21, "q184_kcore" -> 0.47,
-    // round-11 session-3 additions (comparator 0.59/0.32; 3 reps).
-    // q185's min is the NB score+rank chain (q85's family); q186 pays
-    // four rank prefix sums + four value joins by design.
-    // q184/q185/q205 re-measured quiet round 12 (comparator
-    // 0.53/0.37) after the r11 driver run flagged them: 1.03/4.20/2.20
-    // vs driver 1.41/6.60/3.35 — box load, no plan change; priors
-    // refreshed to the round-12 quiet mins
-    "q185_roc_auc" -> 2.170, "q186_spearman_matrix" -> 3.61,
-    "q187_zipf_fit" -> 0.420, "q188_gini_concentration" -> 0.87,
-    "q189_ab_test" -> 0.48, "q190_categorical_mi" -> 0.54,
-    "q191_attribution" -> 0.460,
-    // q192 measured after the packed-counter single prefix sum (the
-    // two-pass cut read 12.2 at sf0.1, 73 at the 10x deck)
-    "q192_ks_test" -> 1.99, "q193_kaplan_meier" -> 0.48,
-    "q194_mad_outliers" -> 1.25, "q195_rfm_scores" -> 2.55,
-    "q196_bootstrap_ci" -> 1.06, "q197_hill_tail" -> 0.36,
-    "q198_ccf" -> 0.58, "q199_ltv_curve" -> 0.56,
-    "q200_dow_seasonality" -> 0.45, "q201_sprt" -> 0.71,
-    // round-11 session-3 additions, mins at sf0.1 (comparator
-    // 1.00/0.30, 3 reps)
-    "q202_welch_ttest" -> 0.49, "q203_psi_drift" -> 0.52,
-    "q204_jsd_sources" -> 0.82, "q205_bh_fdr" -> 1.710,
-    "q206_mann_kendall" -> 0.96, "q207_compaction_plan" -> 0.6,
-    "q208_ols_regression" -> 0.23, "q209_isotonic_calibration" -> 0.48,
-    // q210's prior is the PRUNED QUERY over the memoized layout (the
-    // first rep pays the one-time 64-file build: 10.5 s at sf0.1)
-    "q210_zonemap_skip" -> 0.44, "q211_dawid_skene" -> 0.56,
-    "q212_cuped" -> 0.37, "q213_experiment_health" -> 0.21,
-    "q214_winsorized_readout" -> 1.120,
-    // q215 measured on a transiently loaded box (comparator 3.8
-    // before the sweep) — an upper bound on the quiet min
-    "q215_hits" -> 3.42,
-    "q216_quantile_effects" -> 1.13, "q217_did" -> 0.540,
-    "q218_cmh_test" -> 0.340, "q219_seasonal_decompose" -> 0.45,
-    // round-12 session-2 additions, quiet-box mins at sf0.1
-    // (comparator 0.68/0.36, 2 reps; q221 rides the q85/q185 NB
-    // score chain — its level is the family's, the curve machinery
-    // adds ~2.4 s over q185's rank readout)
-    "q221_pr_curve" -> 0.99, "q222_logistic_irls" -> 0.52,
-    "q223_cohens_kappa" -> 0.2, "q224_link_prediction" -> 3.65,
-    "q225_bfs_hops" -> 1.68, "q226_interval_merge" -> 0.73,
-    "q227_pareto_abc" -> 1.2, "q228_grouped_ols" -> 0.41,
-    "q229_mp3_duration" -> 0.35,
-    // round-12 session-2 batch 2 (comparator 0.57/0.32; q234 rides
-    // the staged q33 pair mine — its min is the modularity increment
-    // over the memoized stage)
-    "q230_holt_forecast" -> 0.23, "q231_mrr_eval" -> 1.19,
-    "q232_dispersion_index" -> 0.25, "q233_stratified_kfold" -> 0.8,
-    "q234_modularity" -> 0.48, "q235_knee_detection" -> 1.38,
-    // round-12 session-2 batch 3 (comparator 0.53/0.31; q236 mines
-    // BOTH the minhash and simhash pair sets per rep by design)
-    "q236_capture_recapture" -> 2.07, "q237_chisq_gof" -> 0.46,
-    "q238_weighted_quantiles" -> 0.790, "q239_theil_sen" -> 1.570,
-    "q240_ivf_recall_audit" -> 0.61, "q241_rendezvous_assign" -> 0.19,
-    "q242_unigram_em" -> 0.97,
-    // q221/q223/q243 re-measured round 13 after the NB-scored-frame
-    // memo: q185 (alphabetical owner, reset per rep) times the mine,
-    // these time their readout increments over the scored corpus
-    "q243_lift_table" -> 0.73, "q244_acf" -> 0.54,
-    "q245_forecast_mase" -> 0.34,
-    // round-13 additions (comparator 0.61/0.25)
-    "q246_water_fill" -> 1.22, "q247_good_turing" -> 0.86,
-    "q248_dsir_ess" -> 1.78, "q249_k_anonymity" -> 0.25,
-    // round-13 additions: the relational/simple surface never had
-    // priors ("new queries never escalate"); recorded from the same
-    // quiet full-session sweep so the regression gate covers the
-    // whole 245-query surface, not just the pipeline families
-    "q02_filter_predicates" -> 0.44, "q03_agg_q1" -> 0.63,
-    "q04_count_distinct" -> 0.49, "q05_approx_distinct" -> 0.58,
-    "q06_rollup" -> 0.77, "q07_join_star" -> 1.5,
-    "q08_left_outer" -> 0.74, "q09_full_outer" -> 0.41,
-    "q10_semi_anti" -> 0.41, "q11_range_join" -> 1.07,
-    "q12_cross_join" -> 0.32, "q13_sort_nulls" -> 0.37,
-    "q14_topk" -> 0.21, "q15_window_rank" -> 0.84,
-    "q16_window_analytic" -> 0.59, "q17_asof_join" -> 0.44,
-    "q18_setops" -> 0.38, "q19_dedup_exact" -> 0.31,
-    "q20_string_fns" -> 0.28, "q21_datetime_month" -> 0.26,
-    "q220_heaps_law" -> 1.06, "q22_datetime_row" -> 0.27,
-    "q23_math_fns" -> 0.21, "q24_array_fns" -> 0.24,
-    "q25_map_json" -> 0.95, "q26_conditional" -> 0.33,
-    "q27_sample_mod" -> 0.31, "q28_pivot" -> 0.6,
-    "q29_fanout" -> 0.69, "q30_token_freq" -> 0.49,
-    "q31_text_quality" -> 0.51, "q37_ann_topk" -> 0.27,
-    "q38_lsh_ann" -> 0.28, "q39_tumbling_window" -> 0.36,
-    "q40_session_window" -> 0.62, "q42_token_estimate" -> 0.23,
-    "q43_json_roundtrip" -> 0.36, "q44_stats_agg" -> 1.04,
-    "q45_subqueries" -> 0.34, "q46_ivf_ann" -> 0.45,
-    "q48_stratified_sample" -> 0.2, "q49_text_normalize" -> 0.25,
-    "q50_sliding_window" -> 0.27, "q51_tfidf" -> 0.93,
-    "q52_watermark_late_drop" -> 0.54, "q53_streaming_dedup_twin" -> 0.57,
-    "q54_redact_pii" -> 0.75, "q55_embed_quantize" -> 0.22,
-    "q56_stream_static_enrich" -> 0.59, "q57_doc_repetition" -> 0.45,
-    "q59_cursor_actions" -> 0.46, "q60_envelope_scan" -> 0.16,
-    "q61_embed_pack" -> 0.15)
+    "q01_scan_project" -> 0.89, "q02_filter_predicates" -> 0.2,
+    "q03_agg_q1" -> 0.34, "q04_count_distinct" -> 0.3,
+    "q05_approx_distinct" -> 0.38, "q06_rollup" -> 0.4,
+    "q07_join_star" -> 0.8, "q08_left_outer" -> 0.44,
+    "q09_full_outer" -> 0.26, "q100_ivfpq_ann" -> 0.97,
+    "q101_pq_index_probe" -> 1.5, "q102_subseq_search" -> 0.51,
+    "q103_heavy_hitters" -> 0.68, "q104_interval_join_outer" -> 0.36,
+    "q105_skew_join" -> 0.76, "q106_knn_graph" -> 0.62,
+    "q107_pmi_collocations" -> 0.41, "q108_chunk_dedup" -> 0.64,
+    "q109_zorder_layout" -> 0.31, "q10_semi_anti" -> 0.31,
+    "q110_random_projection" -> 0.22, "q111_pagerank" -> 0.82,
+    "q112_skew_agg" -> 0.24, "q113_histogram_quantiles" -> 0.41,
+    "q114_hll_distinct" -> 0.44, "q115_bm25" -> 0.87,
+    "q116_incremental_chunk_dedup" -> 1.48, "q117_dsir_weights" -> 1.24,
+    "q118_dsir_resample" -> 1.12, "q119_bloom_join" -> 0.62,
+    "q11_range_join" -> 0.82, "q120_hybrid_rrf" -> 1.1,
+    "q121_rolling_anomaly" -> 0.5, "q122_decontaminate_fuzzy" -> 0.92,
+    "q123_multinomial_sample" -> 0.42, "q124_event_funnel" -> 0.51,
+    "q125_cohort_retention" -> 0.33, "q126_triangle_count" -> 0.23,
+    "q127_wordpiece_vocab" -> 0.38, "q128_wordpiece_encode" -> 0.88,
+    "q129_wordpiece_encode_oov" -> 0.65, "q12_cross_join" -> 0.2,
+    "q130_sparse_knn" -> 0.91, "q131_fuzzy_join" -> 0.61,
+    "q132_upsert_latest" -> 0.3, "q133_scd2_merge" -> 0.56,
+    "q134_pca_power" -> 0.84, "q135_ndcg" -> 0.79,
+    "q136_grouping_sets" -> 0.4, "q137_kcenter_select" -> 0.85,
+    "q138_sessionize" -> 0.41, "q139_optimal_segment" -> 0.92,
+    "q13_sort_nulls" -> 0.31, "q140_skew_profile" -> 0.28,
+    "q141_join_cardinality" -> 0.95, "q142_data_audit" -> 0.76,
+    "q143_pit_join" -> 0.75, "q144_golden_record" -> 0.33,
+    "q145_phrase_search" -> 0.4, "q146_hard_negatives" -> 0.24,
+    "q147_novelty_score" -> 2.27, "q148_lateral_topk" -> 0.91,
+    "q149_ohlc_downsample" -> 0.42, "q14_topk" -> 0.16,
+    "q150_resample_ffill" -> 0.74, "q151_sliding_distinct" -> 0.4,
+    "q152_feature_hash" -> 0.76, "q153_standardize" -> 0.24,
+    "q154_unpivot" -> 1.44, "q155_entity_resolution" -> 2.13,
+    "q156_cusum" -> 0.38, "q157_partition_pruning" -> 0.33,
+    "q158_markov_transitions" -> 0.41, "q159_grouped_quantiles" -> 0.45,
+    "q15_window_rank" -> 0.6, "q160_window_distribution" -> 0.43,
+    "q161_jpeg_dims" -> 0.2, "q162_mmr_select" -> 2.06,
+    "q163_cell_silhouette" -> 0.24, "q164_kmv_setops" -> 0.71,
+    "q165_ewma_smooth" -> 0.38, "q166_cell_balanced_sample" -> 0.21,
+    "q167_gif_frames" -> 0.2, "q168_kn_lm_score" -> 1.45,
+    "q169_label_propagation" -> 0.76, "q16_window_analytic" -> 0.41,
+    "q170_lsh_recall_audit" -> 2.27, "q171_drift_report" -> 0.27,
+    "q172_correlation_matrix" -> 0.2, "q173_kmv_overlap_matrix" -> 1.47,
+    "q174_stratified_alloc" -> 0.37, "q175_containment_pairs" -> 1.45,
+    "q176_quantile_normalize" -> 0.57, "q177_session_paths" -> 0.36,
+    "q178_textrank_keywords" -> 2.06, "q179_benford_audit" -> 0.25,
+    "q17_asof_join" -> 0.41, "q180_snapshot_diff" -> 0.34,
+    "q181_embedding_drift" -> 0.23, "q182_basket_rules" -> 0.85,
+    "q183_calibration_bins" -> 1.11, "q184_kcore" -> 0.37,
+    "q185_roc_auc" -> 0.22, "q186_spearman_matrix" -> 2.55,
+    "q187_zipf_fit" -> 0.25, "q188_gini_concentration" -> 0.21,
+    "q189_ab_test" -> 0.29, "q18_setops" -> 0.32,
+    "q190_categorical_mi" -> 0.38, "q191_attribution" -> 0.36,
+    "q192_ks_test" -> 1.61, "q193_kaplan_meier" -> 0.42,
+    "q194_mad_outliers" -> 0.57, "q195_rfm_scores" -> 0.58,
+    "q196_bootstrap_ci" -> 0.66, "q197_hill_tail" -> 0.2,
+    "q198_ccf" -> 0.59, "q199_ltv_curve" -> 0.58,
+    "q19_dedup_exact" -> 0.33, "q200_dow_seasonality" -> 0.38,
+    "q201_sprt" -> 0.41, "q202_welch_ttest" -> 0.38,
+    "q203_psi_drift" -> 0.41, "q204_jsd_sources" -> 0.77,
+    "q205_bh_fdr" -> 1.37, "q206_mann_kendall" -> 1.09,
+    "q207_compaction_plan" -> 0.32, "q208_ols_regression" -> 0.29,
+    "q209_isotonic_calibration" -> 0.36, "q20_string_fns" -> 0.21,
+    "q210_zonemap_skip" -> 0.36, "q211_dawid_skene" -> 0.48,
+    "q212_cuped" -> 0.28, "q213_experiment_health" -> 0.2,
+    "q214_winsorized_readout" -> 0.67, "q215_hits" -> 2.46,
+    "q216_quantile_effects" -> 0.53, "q217_did" -> 0.46,
+    "q218_cmh_test" -> 0.25, "q219_seasonal_decompose" -> 0.32,
+    "q21_datetime_month" -> 0.18, "q220_heaps_law" -> 0.66,
+    "q221_pr_curve" -> 0.37, "q222_logistic_irls" -> 0.43,
+    "q223_cohens_kappa" -> 0.16, "q224_link_prediction" -> 2.97,
+    "q225_bfs_hops" -> 1.42, "q226_interval_merge" -> 0.55,
+    "q227_pareto_abc" -> 0.46, "q228_grouped_ols" -> 0.39,
+    "q229_mp3_duration" -> 0.32, "q22_datetime_row" -> 0.26,
+    "q230_holt_forecast" -> 0.22, "q231_mrr_eval" -> 0.94,
+    "q232_dispersion_index" -> 0.19, "q233_stratified_kfold" -> 0.22,
+    "q234_modularity" -> 0.35, "q235_knee_detection" -> 0.49,
+    "q236_capture_recapture" -> 1.62, "q237_chisq_gof" -> 0.41,
+    "q238_weighted_quantiles" -> 0.31, "q239_theil_sen" -> 1.31,
+    "q23_math_fns" -> 0.17, "q240_ivf_recall_audit" -> 0.48,
+    "q241_rendezvous_assign" -> 0.16, "q242_unigram_em" -> 0.71,
+    "q243_lift_table" -> 0.16, "q244_acf" -> 0.43,
+    "q245_forecast_mase" -> 0.25, "q246_water_fill" -> 0.26,
+    "q247_good_turing" -> 0.44, "q248_dsir_ess" -> 1.14,
+    "q249_k_anonymity" -> 0.13, "q24_array_fns" -> 0.15,
+    "q250_sparse_sampler" -> 0.61, "q251_cursor_translate" -> 0.59,
+    "q252_cosine_udf" -> 0.23, "q25_map_json" -> 0.66,
+    "q26_conditional" -> 0.21, "q27_sample_mod" -> 0.15,
+    "q28_pivot" -> 0.36, "q29_fanout" -> 0.48,
+    "q30_token_freq" -> 0.33, "q31_text_quality" -> 0.36,
+    "q32_lang_id" -> 0.92, "q33_ngram_jaccard" -> 1.4,
+    "q34_minhash_lsh" -> 1.02, "q35_simhash" -> 0.74,
+    "q36_embed_neardup" -> 0.53, "q37_ann_topk" -> 0.25,
+    "q38_lsh_ann" -> 0.23, "q39_tumbling_window" -> 0.29,
+    "q40_session_window" -> 0.48, "q41_multimodal" -> 0.19,
+    "q42_token_estimate" -> 0.18, "q43_json_roundtrip" -> 0.27,
+    "q44_stats_agg" -> 0.79, "q45_subqueries" -> 0.28,
+    "q46_ivf_ann" -> 0.32, "q47_dedup_clusters" -> 0.67,
+    "q48_stratified_sample" -> 0.15, "q49_text_normalize" -> 0.22,
+    "q50_sliding_window" -> 0.23, "q51_tfidf" -> 0.72,
+    "q52_watermark_late_drop" -> 0.42, "q53_streaming_dedup_twin" -> 0.44,
+    "q54_redact_pii" -> 0.56, "q55_embed_quantize" -> 0.16,
+    "q56_stream_static_enrich" -> 0.52, "q57_doc_repetition" -> 0.35,
+    "q58_quality_filter" -> 0.62, "q59_cursor_actions" -> 0.41,
+    "q60_envelope_scan" -> 0.15, "q61_embed_pack" -> 0.14,
+    "q62_cluster_survivors" -> 0.51, "q63_multitable_ann" -> 0.31,
+    "q64_decontaminate" -> 0.43, "q65_winnow_fingerprints" -> 0.39,
+    "q66_winnow_pairs" -> 1.39, "q67_asof_forward" -> 0.4,
+    "q68_asof_nearest" -> 0.65, "q69_curation" -> 3.5,
+    "q70_stream_neardup_twin" -> 0.47, "q71_curation_report" -> 0.07,
+    "q72_chunk_documents" -> 0.48, "q73_sequence_packing" -> 0.23,
+    "q74_mix_sample" -> 0.12, "q75_incremental_dedup" -> 6.76,
+    "q76_ivf_index_probe" -> 0.62, "q77_bpe_train" -> 1.28,
+    "q78_bpe_encode" -> 1.19, "q79_pack_bpe" -> 0.13,
+    "q80_incremental_curation" -> 8.26, "q81_lm_score" -> 1.07,
+    "q82_budget_sample" -> 0.39, "q83_bpe_encode_oov" -> 0.72,
+    "q84_semantic_dedup" -> 0.4, "q85_nb_quality" -> 0.93,
+    "q86_shuffle_shard" -> 0.2, "q87_temperature_mix" -> 0.23,
+    "q88_ivf_train" -> 0.58, "q89_quantile_filter" -> 0.46,
+    "q90_char_entropy" -> 0.16, "q91_source_divergence" -> 0.47,
+    "q92_substring_dedup" -> 0.85, "q93_image_phash" -> 0.56,
+    "q94_substring_strip" -> 1.16, "q95_audio_phash" -> 0.75,
+    "q96_train_split" -> 0.13, "q97_decontaminate_bloom" -> 0.83,
+    "q98_pq_ann" -> 0.61, "q99_interval_join" -> 0.26)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

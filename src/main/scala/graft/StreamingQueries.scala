@@ -459,11 +459,22 @@ object StreamingQueries extends QueryGroup {
       |    event_id // 100 AS rl, event_id % 100 AS re,
       |    (event_id % 11 = 0) AS act, epoch_ms(ts) AS ots
       |  FROM events WHERE event_id % 3 = 1),
-      |tr AS (SELECT cs.*, f.dl, f.de FROM cs LEFT JOIN LATERAL (
-      |    SELECT dl, de FROM idx
-      |    WHERE idx.topic = cs.topic AND idx.part = cs.part
-      |      AND (idx.sl < cs.rl OR (idx.sl = cs.rl AND idx.se <= cs.re))
-      |    ORDER BY sl DESC, se DESC LIMIT 1) f ON true),
+      |un AS (SELECT topic, part, sl * 100 + se AS pos, 0 AS side,
+      |    dl AS dl_i, de AS de_i, NULL AS cursor, NULL::BIGINT AS rl,
+      |    NULL::BIGINT AS re, NULL::BOOLEAN AS act, NULL::BIGINT AS ots
+      |  FROM idx
+      |  UNION ALL
+      |  SELECT topic, part, rl * 100 + re AS pos, 1 AS side,
+      |    NULL, NULL, cursor, rl, re, act, ots
+      |  FROM cs),
+      |w AS (SELECT *,
+      |    last_value(dl_i IGNORE NULLS) OVER fl AS dl,
+      |    last_value(de_i IGNORE NULLS) OVER fl AS de
+      |  FROM un WINDOW fl AS (PARTITION BY topic, part
+      |    ORDER BY pos, side
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |tr AS (SELECT topic, part, cursor, rl, re, act, ots, dl, de
+      |  FROM w WHERE side = 1),
       |l AS (SELECT *, lag(rl) OVER w AS pl, lag(re) OVER w AS pe
       |  FROM tr WINDOW w AS (PARTITION BY topic, part, cursor
       |    ORDER BY ots, rl, re)),
