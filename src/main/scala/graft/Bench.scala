@@ -126,7 +126,11 @@ object Bench {
     "q247_good_turing" -> 0.44, "q248_dsir_ess" -> 1.14,
     "q249_k_anonymity" -> 0.13, "q24_array_fns" -> 0.15,
     "q250_sparse_sampler" -> 0.61, "q251_cursor_translate" -> 0.59,
-    "q252_cosine_udf" -> 0.23, "q25_map_json" -> 0.66,
+    "q252_cosine_udf" -> 0.23,
+    // q253/q254 measured on a 3-rep subset run post-table-regeneration
+    // (comparator 0.35/0.16); both are memo-fed increments
+    "q253_tokenizer_fertility" -> 0.45, "q254_pack_efficiency" -> 0.24,
+    "q25_map_json" -> 0.66,
     "q26_conditional" -> 0.21, "q27_sample_mod" -> 0.15,
     "q28_pivot" -> 0.36, "q29_fanout" -> 0.48,
     "q30_token_freq" -> 0.33, "q31_text_quality" -> 0.36,

@@ -124,9 +124,11 @@ object PipelineQueries extends QueryGroup {
     if (Seq("q69_curation", "q71_curation_report").exists(include)) {
       curated(s, d); ()
     }
-    if (Seq("q77_bpe_train", "q78_bpe_encode", "q79_pack_bpe")
+    if (Seq("q77_bpe_train", "q78_bpe_encode", "q79_pack_bpe",
+        "q253_tokenizer_fertility", "q254_pack_efficiency")
         .exists(include)) { bpeTrained(s, d); () }
-    if (Seq("q78_bpe_encode", "q79_pack_bpe").exists(include)) {
+    if (Seq("q78_bpe_encode", "q79_pack_bpe", "q253_tokenizer_fertility",
+        "q254_pack_efficiency").exists(include)) {
       bpeEncoded(s, d); ()
     }
   }
@@ -1620,6 +1622,82 @@ object PipelineQueries extends QueryGroup {
         bpeEncoded(s, d).select(col("doc_id"), col("n_ids").cast("long").as("n_ids")),
         "doc_id", "n_ids", budget = bpeBudget)
       .orderBy(col("doc_id"))
+  }
+
+  // R-21 tokenizer evaluation: FERTILITY per language — BPE ids per
+  // whitespace token and characters per id (the standard
+  // tokenizer-quality readouts: a fertility far above ~1.3 for a
+  // language means the vocab under-serves it and its texts pay more
+  // sequence length per word). One join of the memoized encoded
+  // corpus onto row-local doc stats, one language-sized aggregate;
+  // exact int64 sums, ratios 6dp-snapped, NULL on empty denominators.
+  q("q253_tokenizer_fertility",
+    s"""WITH ${bpeTrainCtes(bpeMerges)},
+       |${bpeEncodeCtes(bpeMerges)},
+       |d253 AS (SELECT doc_id, lang, len($sqlTokens) AS n_ws,
+       |    length(text) AS n_chars FROM documents),
+       |j253 AS (SELECT lang, len(ids) AS n_ids, n_ws, n_chars
+       |  FROM enc JOIN d253 USING (doc_id)),
+       |g253 AS (SELECT lang, count(*) AS n_docs,
+       |    CAST(sum(n_ids) AS BIGINT) AS n_ids,
+       |    CAST(sum(n_ws) AS BIGINT) AS n_ws,
+       |    CAST(sum(n_chars) AS BIGINT) AS n_chars
+       |  FROM j253 GROUP BY lang)
+       |SELECT lang, n_docs, n_ids, n_ws, n_chars,
+       |  CASE WHEN n_ws > 0 THEN floor(CAST(n_ids AS DOUBLE)
+       |    / CAST(n_ws AS DOUBLE) * 1e6 + 0.5)/1e6 END AS fertility6,
+       |  CASE WHEN n_ids > 0 THEN floor(CAST(n_chars AS DOUBLE)
+       |    / CAST(n_ids AS DOUBLE) * 1e6 + 0.5)/1e6 END AS chars_per_id6
+       |FROM g253 ORDER BY lang""".stripMargin) { (s, d) =>
+    val stats = Tables.documents(s, d).select(col("doc_id"), col("lang"),
+      size(graft.functions.TextFns.tokens(col("text"))).cast("long")
+        .as("n_ws"),
+      length(col("text")).cast("long").as("n_chars"))
+    bpeEncoded(s, d)
+      .select(col("doc_id"), col("n_ids").cast("long").as("n_ids"))
+      .join(stats, Seq("doc_id"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_ids")).as("n_ids"),
+        sum(col("n_ws")).as("n_ws"), sum(col("n_chars")).as("n_chars"))
+      .select(col("lang"), col("n_docs"), col("n_ids"), col("n_ws"),
+        col("n_chars"),
+        when(col("n_ws") > 0, pround(col("n_ids").cast("double") /
+          col("n_ws").cast("double"), 6))
+          .otherwise(lit(null).cast("double")).as("fertility6"),
+        when(col("n_ids") > 0, pround(col("n_chars").cast("double") /
+          col("n_ids").cast("double"), 6))
+          .otherwise(lit(null).cast("double")).as("chars_per_id6"))
+      .orderBy(col("lang"))
+  }
+
+  // R-21 packing efficiency: the per-BIN readout of q79's scan pack —
+  // docs per bin, ids per bin, fill rate against the budget (the
+  // crossing-doc convention means a bin can exceed 1.0; every bin
+  // except possibly the last is ≥ the budget by construction, so the
+  // readout surfaces padding waste, not just averages). One bin-sized
+  // aggregate over the same prefix-sum assignment q79 pins.
+  q("q254_pack_efficiency",
+    s"""WITH ${bpeTrainCtes(bpeMerges)},
+       |${bpeEncodeCtes(bpeMerges)},
+       |c254 AS (SELECT doc_id, len(ids) AS n_ids,
+       |        coalesce(sum(len(ids)) OVER (ORDER BY doc_id
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef
+       |      FROM enc)
+       |SELECT CAST(bef // $bpeBudget AS BIGINT) AS pack_id,
+       |  count(*) AS n_docs, CAST(sum(n_ids) AS BIGINT) AS n_ids,
+       |  floor(CAST(sum(n_ids) AS DOUBLE) / CAST($bpeBudget AS DOUBLE)
+       |    * 1e6 + 0.5)/1e6 AS fill6
+       |FROM c254 GROUP BY 1 ORDER BY pack_id""".stripMargin) { (s, d) =>
+    TextAnalysis.packScan(
+        bpeEncoded(s, d)
+          .select(col("doc_id"), col("n_ids").cast("long").as("n_ids")),
+        "doc_id", "n_ids", budget = bpeBudget)
+      .groupBy(col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_ids")).as("n_ids"))
+      .select(col("pack_id"), col("n_docs"), col("n_ids"),
+        pround(col("n_ids").cast("double") / lit(bpeBudget.toDouble), 6)
+          .as("fill6"))
+      .orderBy(col("pack_id"))
   }
 
   // R-21: perplexity-style LM quality scoring — a bigram model with
