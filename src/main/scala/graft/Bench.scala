@@ -169,6 +169,38 @@ object Bench {
     "q96_train_split" -> 0.13, "q97_decontaminate_bloom" -> 0.83,
     "q98_pq_ann" -> 0.61, "q99_interval_join" -> 0.26)
 
+  /** The gate predicate: relative AND prior-scaled absolute excess
+    * (1.5x is meaningful on a 5 s query; the absolute floor
+    * max(0.1 s, 0.3·p) keeps a 0.2 s query from flagging on
+    * scheduler noise while still catching a ~2x creep the r13 flat
+    * 0.25 s floor let through).
+    */
+  private[graft] def wouldFlag(prior: Double, v: Double): Boolean =
+    v > 1.5 * prior && v > prior + math.max(0.1, 0.3 * prior)
+
+  /** Locale-pinned rendering for every double in the artifact: a
+    * comma-decimal default locale (de_DE etc.) would render 1,234
+    * inside the arrays and the artifact would be unparseable.
+    */
+  private[graft] def num(t: Double): String =
+    String.format(java.util.Locale.ROOT, "%.3f", Double.box(t))
+
+  /** One flag object for the regressions map — `"name":{min, prior,
+    * ratio, reps, [comp, comp_ratio]}`. The driver parses this
+    * artifact, so the shape is a contract: BenchGateSpec
+    * round-trips it through a strict JSON parser (the inline string
+    * building never fired in a real sweep before round 14 — zero
+    * flags — so the spec is the only thing standing between a
+    * malformed flag and an unparseable driver artifact).
+    */
+  private[graft] def flagJson(name: String, v: Double, p: Double,
+      ts: Seq[Double], comp: Option[Double], compPrior: Double): String = {
+    val c = comp.filter(_ > 0)
+      .map(x => s""","comp":${num(x)},"comp_ratio":${num(x / compPrior)}""")
+      .getOrElse("")
+    s""""$name":{"min":${num(v)},"prior":${num(p)},"ratio":${num(v / p)},"reps":${ts.map(num).mkString("[", ",", "]")}$c}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -347,7 +379,7 @@ object Bench {
         val s = ts.sorted
         (s.size >= 2 && s(1) > 2.0 * s(0)) ||
           (!noPriors && priorMins.get(name).exists(p =>
-            s.head > 1.5 * p && s.head > p + math.max(0.1, 0.3 * p)))
+            wouldFlag(p, s.head)))
       }
       var times = base
       var extra = 0
@@ -359,8 +391,7 @@ object Bench {
       // probe timed right here, next to the flag, so the artifact
       // itself records the box's load at the moment of measurement
       if (!noPriors && times.size == reps + extra &&
-          priorMins.get(name).exists(p => times.min > 1.5 * p &&
-            times.min > p + math.max(0.1, 0.3 * p)))
+          priorMins.get(name).exists(p => wouldFlag(p, times.min)))
         flagComps.put(name, comparator())
       // ANY failed rep reports -1: min-of-reps absorbs timing noise,
       // but a query that crashes intermittently is a failure signal
@@ -368,11 +399,6 @@ object Bench {
       name -> (if (times.size == reps + extra) times.min else -1.0, times)
     }.toMap
     val compAfter = comparator()
-    // Locale.ROOT everywhere a double becomes JSON: a comma-decimal
-    // default locale (de_DE etc.) would render 1,234 inside the arrays
-    // and the artifact would be unparseable.
-    def num(t: Double): String =
-      String.format(java.util.Locale.ROOT, "%.3f", Double.box(t))
     val qs = results.map { case (k, (v, _)) => s"\"" + k + "\":" + num(v) }
       .mkString("{", ",", "}")
     val repJson = results.map { case (k, (_, ts)) =>
@@ -395,14 +421,10 @@ object Bench {
     // but suppressing the report entirely hid real signal.
     val regressions = if (noPriors) Seq.empty[String] else
       results.toSeq.sortBy(_._1).collect {
-        case (k, (v, ts)) if v >= 0 && priorMins.get(k)
-            .exists(p => v > 1.5 * p && v > p + math.max(0.1, 0.3 * p)) =>
-          val p = priorMins(k)
-          val comp = Option(flagComps.get(k))
-            .filter(_ > 0)
-            .map(c => s""","comp":${num(c)},"comp_ratio":${num(c / compPrior)}""")
-            .getOrElse("")
-          s"""\"$k\":{"min":${num(v)},"prior":${num(p)},"ratio":${num(v / p)},"reps":${ts.map(num).mkString("[", ",", "]")}$comp}"""
+        case (k, (v, ts)) if v >= 0 &&
+            priorMins.get(k).exists(p => wouldFlag(p, v)) =>
+          flagJson(k, v, priorMins(k), ts,
+            Option(flagComps.get(k)), compPrior)
       }
     val regJson =
       if (only.isDefined) "{}" else regressions.mkString("{", ",", "}")

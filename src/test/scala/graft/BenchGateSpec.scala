@@ -1,0 +1,69 @@
+package graft
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The regression-gate artifact is a CONTRACT with the driver (it
+  * parses bench_out.json's "regressions" map), and the flag-entry
+  * string building had never fired in a real sweep before round 14
+  * (zero flags every round) — these tests are what stands between a
+  * malformed flag and an unparseable driver artifact. No Spark
+  * session needed: the predicate and the JSON builder are pure.
+  */
+class BenchGateSpec extends AnyFunSuite {
+
+  private val mapper = new ObjectMapper()
+
+  test("wouldFlag: relative AND prior-scaled absolute excess") {
+    // p = 0.2 → floor max(0.1, 0.06) = 0.1 → flag iff v > 0.3
+    assert(!Bench.wouldFlag(0.2, 0.30))
+    assert(Bench.wouldFlag(0.2, 0.31))
+    // p = 1.0 → 1.5x dominates (abs floor 0.3 < 0.5 excess at 1.5x)
+    assert(!Bench.wouldFlag(1.0, 1.5))
+    assert(Bench.wouldFlag(1.0, 1.51))
+    // p = 0.1 → abs floor 0.1 dominates the 1.5x (0.15): flag iff
+    // v > 0.2
+    assert(!Bench.wouldFlag(0.1, 0.19))
+    assert(Bench.wouldFlag(0.1, 0.21))
+    // the r13 flat-0.25 blind spot is closed: 0.25 → 0.62 now flags
+    assert(Bench.wouldFlag(0.25, 0.62))
+  }
+
+  test("flagJson: parses strictly, with and without a comparator probe") {
+    val withComp = "{" + Bench.flagJson("q99_example", v = 1.234,
+      p = 0.5, ts = Seq(1.234, 2.0, 1.5), comp = Some(0.7),
+      compPrior = 0.35) + "}"
+    val n = mapper.readTree(withComp).get("q99_example")
+    assert(n != null, s"flag object missing: $withComp")
+    assert(n.get("min").asDouble() == 1.234)
+    assert(n.get("prior").asDouble() == 0.5)
+    assert(n.get("ratio").asDouble() == 2.468)
+    assert(n.get("reps").size() == 3 && n.get("reps").get(1).asDouble() == 2.0)
+    assert(n.get("comp").asDouble() == 0.7)
+    assert(n.get("comp_ratio").asDouble() == 2.0)
+
+    val noComp = "{" + Bench.flagJson("q01_scan_project", v = 0.9,
+      p = 0.4, ts = Seq(0.9), comp = None, compPrior = 0.35) + "}"
+    val m = mapper.readTree(noComp).get("q01_scan_project")
+    assert(m.get("comp") == null && m.get("comp_ratio") == null)
+    assert(m.get("reps").get(0).asDouble() == 0.9)
+    // the missing-probe sentinel: a ConcurrentHashMap miss unboxes
+    // null to 0.0 — Some(0.0) must render as NO probe, not a 0-ratio
+    val zeroComp = "{" + Bench.flagJson("q02", 0.9, 0.4, Seq(0.9),
+      comp = Some(0.0), compPrior = 0.35) + "}"
+    assert(mapper.readTree(zeroComp).get("q02").get("comp") == null)
+  }
+
+  test("a multi-flag regressions map assembles into one JSON object") {
+    val entries = Seq(
+      Bench.flagJson("q10_semi_anti", 0.9, 0.31, Seq(0.95, 0.9),
+        Some(0.5), 0.35),
+      Bench.flagJson("q11_range_join", 1.4, 0.82, Seq(1.4), None, 0.35))
+    val json = entries.mkString("{", ",", "}")
+    val root = mapper.readTree(json)
+    assert(root.size() == 2)
+    assert(root.get("q10_semi_anti").get("comp_ratio").asDouble() ==
+      1.429)
+    assert(root.get("q11_range_join").get("ratio").asDouble() == 1.707)
+  }
+}
