@@ -130,6 +130,11 @@ object Bench {
     // q253/q254 measured on a 3-rep subset run post-table-regeneration
     // (comparator 0.35/0.16); both are memo-fed increments
     "q253_tokenizer_fertility" -> 0.45, "q254_pack_efficiency" -> 0.24,
+    // q255–q258 measured on a 2-rep subset run at their introduction
+    // (comparator 0.36/0.32); q256 owns the lm-scored memo build
+    // (q81 drops to its readout increment — see its entry)
+    "q255_boilerplate_ngrams" -> 1.39, "q256_ccnet_buckets" -> 2.58,
+    "q257_l_diversity" -> 0.32, "q258_dedup_retention" -> 0.28,
     "q25_map_json" -> 0.66,
     "q26_conditional" -> 0.21, "q27_sample_mod" -> 0.15,
     "q28_pivot" -> 0.36, "q29_fanout" -> 0.48,
@@ -158,7 +163,10 @@ object Bench {
     "q74_mix_sample" -> 0.12, "q75_incremental_dedup" -> 6.76,
     "q76_ivf_index_probe" -> 0.62, "q77_bpe_train" -> 1.28,
     "q78_bpe_encode" -> 1.19, "q79_pack_bpe" -> 0.13,
-    "q80_incremental_curation" -> 8.26, "q81_lm_score" -> 1.07,
+    // q81 became the lm-scored memo's READOUT when q256 (family-first
+    // alphabetically) took ownership of the mine — 1.07 was its
+    // standalone train+score level
+    "q80_incremental_curation" -> 8.26, "q81_lm_score" -> 0.13,
     "q82_budget_sample" -> 0.39, "q83_bpe_encode_oov" -> 0.72,
     "q84_semantic_dedup" -> 0.4, "q85_nb_quality" -> 0.93,
     "q86_shuffle_shard" -> 0.2, "q87_temperature_mix" -> 0.23,
@@ -341,6 +349,11 @@ object Bench {
         // after) reads it — its number is the BFS increment
         if (name == "q224_link_prediction")
           PipelineAnalyticsQueries.resetCopurchase(spark, sfDir)
+        // q256 owns the bigram-LM scored-frame memo (family-first
+        // alphabetically); q81 (after) reads it — its number is the
+        // score-readout increment over a corpus scored once
+        if (name == "q256_ccnet_buckets")
+          PipelineQueries.resetLmScored(spark, sfDir)
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()

@@ -131,6 +131,9 @@ object PipelineQueries extends QueryGroup {
         "q254_pack_efficiency").exists(include)) {
       bpeEncoded(s, d); ()
     }
+    if (Seq("q256_ccnet_buckets", "q81_lm_score").exists(include)) {
+      lmScored(s, d); ()
+    }
   }
 
   /** Forget only the clusters layer (the mined pair frame stays) —
@@ -183,6 +186,36 @@ object PipelineQueries extends QueryGroup {
   def resetNbScored(s: org.apache.spark.sql.SparkSession,
       d: String): Unit = {
     nbScoredCache.remove((s, d))
+    ()
+  }
+
+  /** Bigram-LM scored frame memo: [[TextAnalysis.bigramLmScore]] over
+    * the corpus, built once per (session, dir) — the q81 score readout
+    * and the q256 CCNet bucketing are two READOUTS of the same scored
+    * corpus (the [[nbScoredCache]] discipline). Bench resets this memo
+    * on the family's first-alphabetical member q256, which therefore
+    * times the corpus-scale LM train+score mine each rep; q81 times
+    * its readout increment.
+    */
+  private val lmScoredCache = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.SparkSession, String),
+    org.apache.spark.sql.DataFrame]
+
+  private[graft] def lmScored(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    sweepDeadEntries(lmScoredCache)
+    lmScoredCache.computeIfAbsent((s, d), _ =>
+      TextAnalysis.bigramLmScore(Tables.documents(s, d), "doc_id", "text")
+        .withColumnRenamed("doc", "doc_id")
+        .localCheckpoint(true))
+  }
+
+  /** Forget the memoized LM-scored frame — Bench calls this before
+    * each q256 rep (family-first alphabetically).
+    */
+  def resetLmScored(s: org.apache.spark.sql.SparkSession,
+      d: String): Unit = {
+    lmScoredCache.remove((s, d))
     ()
   }
 
@@ -339,6 +372,36 @@ object PipelineQueries extends QueryGroup {
         size(sh).as("total"),
         size(array_distinct(sh)).as("n_distinct"),
         pround(TextAnalysis.repetitionRatio(col("text"), 3), 4).as("rep_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
+  // R-21 CROSS-document boilerplate signal — the site-template/license
+  // -header repetition q57's within-doc ratio cannot see: the share of
+  // each document's 3-gram occurrences whose 3-gram appears in >= 2
+  // distinct documents of the same source. DF map + flagged-only
+  // semi-join back (band-join shape, no all-pairs).
+  q("q255_boilerplate_ngrams",
+    s"""WITH tk255 AS (SELECT doc_id, source, $sqlTokens AS l FROM documents),
+       |sh255 AS (SELECT doc_id, source,
+       |    unnest(list_transform(generate_series(1, len(l) - 2),
+       |      i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])) AS shingle
+       |  FROM tk255),
+       |df255 AS (SELECT source, shingle
+       |  FROM (SELECT source, shingle, count(DISTINCT doc_id) AS df
+       |        FROM sh255 GROUP BY 1, 2) WHERE df >= 2),
+       |b255 AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_boiler
+       |  FROM sh255 SEMI JOIN df255 USING (source, shingle) GROUP BY 1),
+       |t255 AS (SELECT doc_id, source,
+       |    CAST(greatest(len(l) - 2, 0) AS INT) AS total FROM tk255)
+       |SELECT t255.doc_id, t255.source, total,
+       |  coalesce(n_boiler, 0) AS n_boiler,
+       |  CASE WHEN total > 0 THEN
+       |    floor(coalesce(n_boiler, 0) * 1.0 / total * 1e6 + 0.5)/1e6
+       |  ELSE 0.0 END AS boiler_frac6
+       |FROM t255 LEFT JOIN b255 USING (doc_id)
+       |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    TextAnalysis.boilerplateFraction(Tables.documents(s, d),
+        "doc_id", "text", "source", n = 3, minDf = 2L)
       .orderBy(col("doc_id"))
   }
 
@@ -546,6 +609,41 @@ object PipelineQueries extends QueryGroup {
     dedupStage(s, d).survivors(passes, "passes")
       .select(col("doc_id"), col("cluster"), col("passes"), col("keep"))
       .orderBy(col("doc_id"))
+  }
+
+  // R-18/R-19 impact readout: per-source retention after near-dup
+  // dedup — the data-card row answering "which source is the dedup
+  // actually eating?" (a crawl snapshot with heavy templating loses
+  // far more than a curated source; survivorship shifts the mixture
+  // BEFORE any mixing policy runs). Survivor convention is q47's
+  // min-id; the cluster frame is the memoized stage — the readout
+  // costs one source-sized aggregate over it.
+  q("q258_dedup_retention",
+    s"""WITH RECURSIVE $jaccardPairCtes,
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM pr
+       |          UNION SELECT id_b, id_a FROM pr),
+       |reach(id, lbl) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.src, r.lbl FROM reach r JOIN edges e ON e.dst = r.id),
+       |comp AS (SELECT id AS doc_id, min(lbl) AS cluster FROM reach GROUP BY id)
+       |SELECT d.source,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(CASE WHEN comp.doc_id = comp.cluster THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_kept,
+       |  ${sqlRound("sum(CASE WHEN comp.doc_id = comp.cluster THEN 1 ELSE 0 END) * 1.0 / count(*)", 6)}
+       |    AS retention6
+       |FROM comp JOIN documents d USING (doc_id)
+       |GROUP BY 1 ORDER BY source""".stripMargin) { (s, d) =>
+    dedupStage(s, d).clusters
+      .join(Tables.documents(s, d).select(col("doc_id"), col("source")),
+        Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum((col("doc_id") === col("cluster")).cast("long")).as("n_kept"),
+        pround(sum((col("doc_id") === col("cluster")).cast("long"))
+          .cast("double") / count(lit(1)), 6).as("retention6"))
+      .orderBy(col("source"))
   }
 
   // Shared shingle CTE (3-gram, multiset is fine: min-hash is
@@ -1700,13 +1798,12 @@ object PipelineQueries extends QueryGroup {
       .orderBy(col("pack_id"))
   }
 
-  // R-21: perplexity-style LM quality scoring — a bigram model with
-  // add-k smoothing trained on the corpus, scoring every document's
-  // token sequence (the CCNet-style LM filter stage). Pure integer
-  // counts + log2 with the 6-dp floor-rounding discipline, so the
-  // oracle replays it exactly.
-  q("q81_lm_score",
-    s"""WITH t81 AS (SELECT doc_id, $sqlTokens AS l FROM documents),
+  /** Shared oracle CTE chain for the add-k bigram LM document scores
+    * (per-doc `n_bigrams`, raw `raw` log2-prob) — the q81 readout and
+    * the q256 CCNet bucketing both replay it.
+    */
+  private[graft] val bigramLmCtes: String =
+    s"""t81 AS (SELECT doc_id, $sqlTokens AS l FROM documents),
        |px81 AS (SELECT doc_id, l[i] AS w1, l[i + 1] AS w2
        |  FROM (SELECT doc_id, l, unnest(generate_series(1, len(l) - 1)) AS i
        |        FROM t81 WHERE len(l) >= 2)),
@@ -1717,14 +1814,63 @@ object PipelineQueries extends QueryGroup {
        |sc81 AS (SELECT px81.doc_id, count(*) AS n_bigrams,
        |    sum(log2((cb + 0.5) / (cu + 0.5 * v81.v))) AS raw
        |  FROM px81 JOIN big81 USING (w1, w2) JOIN uni81 USING (w1), v81
-       |  GROUP BY 1)
+       |  GROUP BY 1)""".stripMargin
+
+  // R-21: perplexity-style LM quality scoring — a bigram model with
+  // add-k smoothing trained on the corpus, scoring every document's
+  // token sequence (the CCNet-style LM filter stage). Pure integer
+  // counts + log2 with the 6-dp floor-rounding discipline, so the
+  // oracle replays it exactly.
+  q("q81_lm_score",
+    s"""WITH $bigramLmCtes
        |SELECT doc_id, n_bigrams,
        |  floor(raw * 1000000.0 + 0.5) / 1000000.0 AS logprob,
        |  floor(raw / n_bigrams * 1000000.0 + 0.5) / 1000000.0 AS avg_logprob
        |FROM sc81 ORDER BY doc_id""".stripMargin) { (s, d) =>
-    TextAnalysis.bigramLmScore(Tables.documents(s, d), "doc_id", "text")
-      .withColumnRenamed("doc", "doc_id")
-      .orderBy(col("doc_id"))
+    lmScored(s, d).orderBy(col("doc_id"))
+  }
+
+  // R-21 × R-29: the CCNet head/middle/tail split (Wenzek et al.
+  // 2020) — per language, deal LM-scored documents into 3 equal-size
+  // (±1) buckets by score, best first; the readout is the per-(lang,
+  // bucket) doc count and score envelope a pipeline uses to pick its
+  // quality slice. The engine's rank is ONE global range-partitioned
+  // prefix (Curation.ntileBuckets) — never a per-language window —
+  // replayed here against the window-function ntile oracle.
+  q("q256_ccnet_buckets",
+    s"""WITH $bigramLmCtes,
+       |av256 AS (SELECT sc81.doc_id, d.lang,
+       |    floor(raw / n_bigrams * 1000000.0 + 0.5) / 1000000.0 AS score
+       |  FROM sc81 JOIN documents d USING (doc_id)),
+       |nt256 AS (SELECT lang, score,
+       |    ntile(3) OVER (PARTITION BY lang
+       |      ORDER BY score DESC, doc_id) AS bucket
+       |  FROM av256)
+       |SELECT lang, CAST(bucket AS BIGINT) AS bucket,
+       |  CASE bucket WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+       |    ELSE 'tail' END AS slice,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  max(score) AS best_score,
+       |  min(score) AS worst_score,
+       |  ${sqlRound("sum(score) / count(*)", 6)} AS mean_score6
+       |FROM nt256 GROUP BY lang, bucket
+       |ORDER BY lang, bucket""".stripMargin) { (s, d) =>
+    val scored = lmScored(s, d)
+      .select(col("doc_id"), col("avg_logprob").as("score"))
+      .join(Tables.documents(s, d).select(col("doc_id"), col("lang")),
+        Seq("doc_id"))
+    Curation.ntileBuckets(scored, "doc_id", "lang", "score", k = 3)
+      .groupBy(col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        max(col("score")).as("best_score"),
+        min(col("score")).as("worst_score"),
+        pround(sum(col("score")) / count(lit(1)), 6).as("mean_score6"))
+      .select(col("lang"), col("bucket"),
+        when(col("bucket") === 1, "head").when(col("bucket") === 2, "middle")
+          .otherwise("tail").as("slice"),
+        col("n_docs"), col("best_score"), col("worst_score"),
+        col("mean_score6"))
+      .orderBy(col("lang"), col("bucket"))
   }
 
   // R-29 x R-21: token-BUDGET sampling — the mixture step when

@@ -642,6 +642,44 @@ object PipelineSketchQueries extends QueryGroup {
       Seq("c_mktsegment", "c_nationkey", "bal_k"), k = 10L)
   }
 
+  // The homogeneity-attack companion gate (Machanavajjhala 2007):
+  // a QI group can clear k-anonymity yet leak because every member
+  // shares one sensitive value. Same QI grain as q249 minus the
+  // segment (which becomes the SENSITIVE attribute): share of
+  // customers in (nation, balance-bucket) groups with fewer than 3
+  // distinct market segments. Two stacked hash aggregates (the
+  // distinct-pair frame is the only corpus-sized exchange) + one
+  // readout row.
+  q("q257_l_diversity",
+    """WITH p257 AS (SELECT c_nationkey,
+      |    CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_k,
+      |    c_mktsegment, CAST(count(*) AS BIGINT) AS n
+      |  FROM customer GROUP BY 1, 2, 3),
+      |g257 AS (SELECT c_nationkey, bal_k,
+      |    CAST(count(*) AS BIGINT) AS div, CAST(sum(n) AS BIGINT) AS rows_g
+      |  FROM p257 GROUP BY 1, 2)
+      |SELECT CAST(3 AS BIGINT) AS l,
+      |  CAST(sum(rows_g) AS BIGINT) AS n_rows,
+      |  CAST(count(*) AS BIGINT) AS n_groups,
+      |  CAST(sum(CASE WHEN div < 3 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_low_groups,
+      |  CAST(sum(CASE WHEN div < 3 THEN rows_g ELSE 0 END) AS BIGINT)
+      |    AS n_rows_low,
+      |  CASE WHEN sum(rows_g) > 0 THEN
+      |    floor(CAST(sum(CASE WHEN div < 3 THEN rows_g ELSE 0 END) AS DOUBLE)
+      |      / CAST(sum(rows_g) AS DOUBLE) * 1e6 + 0.5)/1e6
+      |  END AS share_low6,
+      |  CAST(min(div) AS BIGINT) AS min_diversity,
+      |  sum(CASE WHEN div < 3 THEN rows_g ELSE 0 END) = 0 AS l_diverse
+      |FROM g257""".stripMargin) { (s, d) =>
+    val qi = Tables.customer(s, d).select(col("c_nationkey"),
+      floor(col("c_acctbal").cast("double") / lit(1000.0)).cast("long")
+        .as("bal_k"),
+      col("c_mktsegment"))
+    graft.operators.Audit.lDiversity(qi,
+      Seq("c_nationkey", "bal_k"), "c_mktsegment", l = 3L)
+  }
+
   // Scale-path runtime filter on the oracle surface: Bloom-pruned join
   // (ScaleOps.bloomPrunedJoin) — the dim subset's keys ship as a
   // fixed-size Bloom bit frame and the fact side is pruned by k

@@ -400,4 +400,55 @@ object Audit {
         col("min_group_size"),
         (col("n_rows_small") === 0L).as("k_anonymous"))
   }
+
+  /** l-diversity audit (Machanavajjhala et al. 2007): the companion
+    * release gate to [[kAnonymity]] — a QI group can be large (so it
+    * passes k-anonymity) yet still leak if every member shares the
+    * same SENSITIVE value. Measures, per quasi-identifier group, the
+    * number of distinct sensitive values, and reports the share of
+    * rows sitting in groups with diversity < l (the homogeneity-
+    * attack surface).
+    *
+    * Scale shape: one exact distinct-per-group aggregate — computed
+    * as a hash aggregate over (QI, sensitive) first (map-side
+    * combined to the distinct-pair frame, which is the only corpus-
+    * sized exchange) and a second group-sized aggregate over it; the
+    * readout is ONE row. NULL sensitive values count as a value of
+    * their own (a group that is all-NULL is diversity 1 — still
+    * homogeneous, still leaking).
+    *
+    * Output: ONE row (l, n_rows, n_groups, n_low_groups, n_rows_low,
+    * share_low6, min_diversity, l_diverse = n_rows_low == 0).
+    */
+  def lDiversity(
+      df: DataFrame,
+      qiCols: Seq[String],
+      sensitiveCol: String,
+      l: Long): DataFrame = {
+    require(qiCols.nonEmpty, "lDiversity needs quasi-identifier columns")
+    require(!qiCols.contains(sensitiveCol),
+      "sensitive column must not be part of the quasi-identifier")
+    require(l >= 2, s"l must be >= 2, got $l")
+    def p6(c: Column) = floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+    // distinct-pair frame first: (QI, sensitive) -> n rows, so the
+    // diversity count is an exact count over a pre-combined frame
+    val pairs = df.groupBy((qiCols :+ sensitiveCol).map(col): _*)
+      .agg(count(lit(1)).as("__n"))
+    val g = pairs.groupBy(qiCols.map(col): _*)
+      .agg(count(lit(1)).as("__div"), sum(col("__n")).as("__rows"))
+    g.agg(count(lit(1)).as("n_groups"),
+        coalesce(sum(col("__rows")), lit(0L)).as("n_rows"),
+        coalesce(sum(when(col("__div") < l, 1L).otherwise(0L)), lit(0L))
+          .as("n_low_groups"),
+        coalesce(sum(when(col("__div") < l, col("__rows")).otherwise(0L)),
+          lit(0L)).as("n_rows_low"),
+        min(col("__div")).as("min_diversity"))
+      .select(lit(l).as("l"), col("n_rows"), col("n_groups"),
+        col("n_low_groups"), col("n_rows_low"),
+        when(col("n_rows") > 0, p6(col("n_rows_low").cast("double") /
+          col("n_rows").cast("double")))
+          .otherwise(lit(null).cast("double")).as("share_low6"),
+        col("min_diversity"),
+        (col("n_rows_low") === 0L).as("l_diverse"))
+  }
 }

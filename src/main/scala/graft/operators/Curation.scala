@@ -366,6 +366,59 @@ object Curation {
       (col(scoreCol) >= lit(thr)).as("keep"))
   }
 
+  /** Per-group NTILE bucketing over a score — the CCNet head/middle/
+    * tail split (Wenzek et al. 2020): within each group (language),
+    * rank documents by score (best first) and deal them into k
+    * equal-size (±1) buckets; bucket 1 is "head". Exact ANSI ntile
+    * semantics (the first n mod k buckets get ⌈n/k⌉ rows), so the
+    * result replays bit-identically against a window-function oracle.
+    *
+    * Scale shape: the within-group rank decomposes over the GLOBAL
+    * (group, -score, id) order exactly as [[budgetSample]]'s prefix
+    * does — ONE [[ScaleOps.prefixSumByRange]] + a per-group min/count
+    * aggregate joined back on the group key. Never a per-group window
+    * (a language is most of a corpus; one task must not sort it). The
+    * bucket is then a row-local closed form of (rank, n): with
+    * q = n div k and rem = n mod k, bucket = ⌈r/(q+1)⌉ while
+    * r ≤ rem·(q+1), else rem + ⌈(r − rem·(q+1))/q⌉.
+    *
+    * Rows with a NULL id or NULL score are excluded (no deterministic
+    * order exists for them). Ties break by id ascending — stable
+    * across engines, re-runs, and partitionings.
+    *
+    * Output: (id, group, score, rank, n_group, bucket).
+    */
+  def ntileBuckets(docs: DataFrame, idCol: String, groupCol: String,
+      scoreCol: String, k: Int): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    require(docs.schema(scoreCol).dataType
+        .isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"score column $scoreCol must be numeric")
+    val keyed = docs
+      .filter(col(idCol).isNotNull && col(scoreCol).isNotNull)
+      .select(col(idCol), col(groupCol), col(scoreCol),
+        negate(col(scoreCol).cast("double")).as("__ord"))
+    val prefixed = ScaleOps.prefixSumByRange(
+      keyed, Seq(groupCol, "__ord", idCol), lit(1L), "__r0")
+    val stats = prefixed.groupBy(col(groupCol))
+      .agg(min(col("__r0")).as("__g0"), count(lit(1)).as("n_group"))
+    // exact long floor-div: subtract the remainder first so the double
+    // division is of an exactly-divisible pair (exact below 2^53 —
+    // corpus ranks, not token counts)
+    def fdiv(a: org.apache.spark.sql.Column,
+        b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      ((a - pmod(a, b)) / b).cast("long")
+    val r = col("__r0") - col("__g0") + lit(1L)
+    val q = fdiv(col("n_group"), lit(k.toLong))
+    val rem = pmod(col("n_group"), lit(k.toLong))
+    val cut = rem * (q + lit(1L))
+    val bucket = when(r <= cut, fdiv(r + q, q + lit(1L)))
+      .otherwise(rem + fdiv(r - cut + q - lit(1L), q))
+    prefixed.join(stats, Seq(groupCol))
+      .select(col(idCol), col(groupCol), col(scoreCol),
+        r.as("rank"), col("n_group"), bucket.as("bucket"))
+  }
+
   /** One-row corpus summary over [[curate]]'s output — the data-card
     * numbers a pipeline logs per snapshot. Drop-reason counts are
     * NON-exclusive (a doc can fail quality AND be a dup; each count

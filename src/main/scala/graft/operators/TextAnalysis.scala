@@ -70,6 +70,47 @@ object TextAnalysis {
         / stats.getField("total_shingles").cast("double"))
       .otherwise(lit(0.0))
 
+  /** CROSS-document boilerplate fraction (the CCNet/site-template
+    * signal [[repetitionRatio]] cannot see): the share of a document's
+    * n-gram OCCURRENCES whose n-gram appears in >= minDf distinct
+    * documents of the same block (site templates, license headers,
+    * navigation chrome repeat across a source's documents, not within
+    * one). Per-doc output: (id, block, total, n_boiler, boiler_frac6);
+    * frac is 0 for documents with fewer than n tokens, matching
+    * [[repetitionRatio]]'s empty-shingle convention.
+    *
+    * Scale shape: the document-frequency map is one distinct
+    * (block, doc, shingle) pass + a hash aggregate, and ONLY the
+    * flagged (df >= minDf) shingles — a small fraction of the shingle
+    * vocabulary by construction — join back, as a semi-join against
+    * the occurrence multiset on (block, shingle). No all-pairs
+    * comparison anywhere; everything is shingle-keyed equi-join or
+    * aggregate, the same shape as the MinHash band join.
+    */
+  def boilerplateFraction(docs: DataFrame, idCol: String, textCol: String,
+      blockCol: String, n: Int, minDf: Long): DataFrame = {
+    require(n >= 1, s"shingle order must be >= 1, got $n")
+    require(minDf >= 2, s"minDf must be >= 2 (df >= 1 is every shingle), got $minDf")
+    val occ = docs.select(col(idCol), col(blockCol),
+        explode(TextFns.textShingles(col(textCol), n)).as("__sh"))
+    val flagged = occ.select(col(blockCol), col(idCol), col("__sh")).distinct()
+      .groupBy(col(blockCol), col("__sh"))
+      .agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= minDf)
+      .select(col(blockCol), col("__sh"))
+    val boiler = occ.join(flagged, Seq(blockCol, "__sh"), "left_semi")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_boiler"))
+    docs.select(col(idCol), col(blockCol),
+        size(TextFns.textShingles(col(textCol), n)).as("total"))
+      .join(boiler, Seq(idCol), "left")
+      .select(col(idCol), col(blockCol), col("total"),
+        coalesce(col("n_boiler"), lit(0L)).as("n_boiler"),
+        when(col("total") > 0,
+          floor(coalesce(col("n_boiler"), lit(0L)).cast("double") /
+            col("total").cast("double") * lit(1e6) + lit(0.5)) / lit(1e6))
+          .otherwise(lit(0.0)).as("boiler_frac6"))
+  }
+
   /** Composite quality verdict (Gopher-style): per-signal booleans +
     * the AND. Bounds are constructor-level policy, not magic inside
     * the plan; every signal is exact rational arithmetic both engines

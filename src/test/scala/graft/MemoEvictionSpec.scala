@@ -52,4 +52,19 @@ class MemoEvictionSpec extends SparkSuiteBase {
     val cols = a.columns.toSet
     assert(cols == Set("doc_id", "log_odds", "keep"), s"got $cols")
   }
+
+  test("bigram-LM scored memo: one mine per (session, dir), reset forgets") {
+    val dir = sfDir
+    PipelineQueries.resetLmScored(spark, dir)
+    val a = PipelineQueries.lmScored(spark, dir)
+    assert(PipelineQueries.lmScored(spark, dir) eq a,
+      "second call must be a memo read, not a re-score")
+    PipelineQueries.resetLmScored(spark, dir)
+    assert(!(PipelineQueries.lmScored(spark, dir) eq a),
+      "reset must forget the frame so the next call re-mines")
+    PipelineQueries.resetLmScored(spark, dir)
+    val cols = a.columns.toSet
+    assert(cols == Set("doc_id", "n_bigrams", "logprob", "avg_logprob"),
+      s"got $cols")
+  }
 }

@@ -232,4 +232,31 @@ class AuditSpec extends SparkSuiteBase {
     assert(ok.getAs[Long]("n_small_groups") == 0L)
     assert(ok.getAs[Boolean]("k_anonymous"))
   }
+
+  test("lDiversity: hand counts, null sensitive is a value, l-boundary inclusive") {
+    import spark.implicits._
+    // QI group g1: sensitive {x,y,z} -> div 3; g2: {x,x,x} -> div 1
+    // (homogeneous, 3 rows); g3: {x, null} -> div 2 (null counts)
+    val df = Seq(("g1", "x"), ("g1", "y"), ("g1", "z"),
+      ("g2", "x"), ("g2", "x"), ("g2", "x"),
+      ("g3", "x"), ("g3", null)).toDF("qi", "s")
+    val r = Audit.lDiversity(df, Seq("qi"), "s", l = 2L).head()
+    assert(r.getAs[Long]("n_rows") == 8L)
+    assert(r.getAs[Long]("n_groups") == 3L)
+    assert(r.getAs[Long]("n_low_groups") == 1L, "only g2 is below l=2")
+    assert(r.getAs[Long]("n_rows_low") == 3L)
+    assert(r.getAs[Double]("share_low6") == 0.375)
+    assert(r.getAs[Long]("min_diversity") == 1L)
+    assert(!r.getAs[Boolean]("l_diverse"))
+    // a group with exactly l distinct values is NOT low (< l contract)
+    val r3 = Audit.lDiversity(df, Seq("qi"), "s", l = 3L).head()
+    assert(r3.getAs[Long]("n_low_groups") == 2L, "g2 and g3 below l=3")
+    // guards: sensitive inside QI, l < 2
+    intercept[IllegalArgumentException] {
+      Audit.lDiversity(df, Seq("qi", "s"), "s", l = 2L)
+    }
+    intercept[IllegalArgumentException] {
+      Audit.lDiversity(df, Seq("qi"), "s", l = 1L)
+    }
+  }
 }
