@@ -135,6 +135,9 @@ object Bench {
     // (q81 drops to its readout increment — see its entry)
     "q255_boilerplate_ngrams" -> 1.39, "q256_ccnet_buckets" -> 2.58,
     "q257_l_diversity" -> 0.32, "q258_dedup_retention" -> 0.28,
+    // q259/q260 measured on a 3-rep subset run at their introduction
+    // (comparator 0.47/0.21, box_loaded)
+    "q259_contamination_spans" -> 0.89, "q260_gopher_repetition" -> 1.56,
     "q25_map_json" -> 0.66,
     "q26_conditional" -> 0.21, "q27_sample_mod" -> 0.15,
     "q28_pivot" -> 0.36, "q29_fanout" -> 0.48,

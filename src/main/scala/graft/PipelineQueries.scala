@@ -375,6 +375,64 @@ object PipelineQueries extends QueryGroup {
       .orderBy(col("doc_id"))
   }
 
+  // R-21 the full published Gopher repetition-signal family (Rae 2021
+  // Table A1) — per-doc char fractions under the most-frequent
+  // {2,3,4}-gram and under duplicated {5,10}-grams (q57's count ratio
+  // is the summary; these are the signals the published filter
+  // actually thresholds). Tie-break = smallest gram; occurrence mass
+  // = token chars, separators excluded.
+  q("q260_gopher_repetition",
+    s"""WITH tk260 AS (SELECT doc_id, $sqlTokens AS l FROM documents),
+       |tot260 AS (SELECT doc_id,
+       |    coalesce(list_sum(list_transform(l, t -> length(t))), 0)
+       |      AS total_chars FROM tk260),
+       |g260 AS (SELECT doc_id, n,
+       |    unnest(list_transform(generate_series(1, len(l) - n + 1),
+       |      i -> array_to_string(l[i:i+n-1], ' '))) AS g
+       |  FROM tk260, (VALUES (2), (3), (4), (5), (10)) ns(n)),
+       |c260 AS (SELECT doc_id, n, g, count(*) AS c
+       |  FROM g260 GROUP BY 1, 2, 3),
+       |mx260 AS (SELECT doc_id, n, max(c) AS mc FROM c260 GROUP BY 1, 2),
+       |tp260 AS (SELECT c260.doc_id, c260.n,
+       |    min(mc) * (length(min(g)) - (c260.n - 1)) AS topmass
+       |  FROM c260 JOIN mx260 USING (doc_id, n) WHERE c = mc
+       |  GROUP BY 1, 2),
+       |dp260 AS (SELECT doc_id, n,
+       |    coalesce(sum(CASE WHEN c > 1
+       |      THEN c * (length(g) - (n - 1)) END), 0) AS dupmass
+       |  FROM c260 GROUP BY 1, 2),
+       |w260 AS (SELECT t.doc_id, t.total_chars,
+       |    coalesce(sum(CASE WHEN tp.n = 2 THEN topmass END), 0) AS t2,
+       |    coalesce(sum(CASE WHEN tp.n = 3 THEN topmass END), 0) AS t3,
+       |    coalesce(sum(CASE WHEN tp.n = 4 THEN topmass END), 0) AS t4,
+       |    coalesce(sum(CASE WHEN dp.n = 5 THEN dupmass END), 0) AS d5,
+       |    coalesce(sum(CASE WHEN dp.n = 10 THEN dupmass END), 0) AS d10
+       |  FROM tot260 t
+       |  LEFT JOIN tp260 tp ON t.doc_id = tp.doc_id
+       |  LEFT JOIN dp260 dp ON t.doc_id = dp.doc_id AND dp.n = tp.n
+       |  GROUP BY 1, 2)
+       |SELECT doc_id, CAST(total_chars AS BIGINT) AS total_chars,
+       |  CASE WHEN total_chars > 0
+       |    THEN floor(t2 * 1.0 / total_chars * 1e6 + 0.5)/1e6
+       |    ELSE 0.0 END AS top2_frac6,
+       |  CASE WHEN total_chars > 0
+       |    THEN floor(t3 * 1.0 / total_chars * 1e6 + 0.5)/1e6
+       |    ELSE 0.0 END AS top3_frac6,
+       |  CASE WHEN total_chars > 0
+       |    THEN floor(t4 * 1.0 / total_chars * 1e6 + 0.5)/1e6
+       |    ELSE 0.0 END AS top4_frac6,
+       |  CASE WHEN total_chars > 0
+       |    THEN floor(d5 * 1.0 / total_chars * 1e6 + 0.5)/1e6
+       |    ELSE 0.0 END AS dup5_frac6,
+       |  CASE WHEN total_chars > 0
+       |    THEN floor(d10 * 1.0 / total_chars * 1e6 + 0.5)/1e6
+       |    ELSE 0.0 END AS dup10_frac6
+       |FROM w260 ORDER BY doc_id""".stripMargin) { (s, d) =>
+    TextAnalysis.gopherRepetitionSignals(Tables.documents(s, d),
+        "doc_id", "text")
+      .orderBy(col("doc_id"))
+  }
+
   // R-21 CROSS-document boilerplate signal — the site-template/license
   // -header repetition q57's within-doc ratio cannot see: the share of
   // each document's 3-gram occurrences whose 3-gram appears in >= 2
@@ -1215,6 +1273,40 @@ object PipelineQueries extends QueryGroup {
         "doc_id", "text", n = 5)
       .select(col("doc_id"), col("n_overlap"), col("contaminated"))
       .orderBy(col("doc_id"))
+  }
+
+  // R-21 span-level decontamination REPORT — q64's boolean expanded
+  // to the audit row a release review reads: WHICH eval doc each
+  // train doc overlaps, on how many distinct 5-grams, and the first
+  // train-side token position hit. Same broadcast-eval discipline;
+  // the position is row-local array_position against the doc's own
+  // shingle array (no corpus (doc, shingle) exchange).
+  q("q259_contamination_spans",
+    s"""WITH tk259 AS (SELECT doc_id, $sqlTokens AS l FROM documents),
+       |sh259 AS (SELECT doc_id,
+       |    list_transform(generate_series(1, len(l) - 4),
+       |      i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2] || ' ' ||
+       |           l[i+3] || ' ' || l[i+4]) AS s
+       |  FROM tk259),
+       |ev259 AS (SELECT DISTINCT doc_id AS eval_id, unnest(list_distinct(s))
+       |    AS shingle FROM sh259 WHERE doc_id % 20 = 0),
+       |tr259 AS (SELECT doc_id, shingle,
+       |    CAST(list_position(s, shingle) AS BIGINT) AS pos
+       |  FROM (SELECT doc_id, s, unnest(list_distinct(s)) AS shingle
+       |        FROM sh259 WHERE doc_id % 20 <> 0))
+       |SELECT tr259.doc_id, eval_id,
+       |  CAST(count(*) AS BIGINT) AS n_shared,
+       |  min(pos) AS first_pos
+       |FROM tr259 JOIN ev259 USING (shingle)
+       |GROUP BY 1, 2 ORDER BY doc_id, eval_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    Dedup.contaminationSpans(
+        docs.filter(pmod(col("doc_id"), lit(20)) =!= 0),
+        docs.filter(pmod(col("doc_id"), lit(20)) === 0),
+        "doc_id", "text", n = 5)
+      .select(col("doc_id"), col("eval_id"), col("n_shared"),
+        col("first_pos").cast("long").as("first_pos"))
+      .orderBy(col("doc_id"), col("eval_id"))
   }
 
   /** Shared winnowing CTE chain (q65/q66/q70): 3-gram shingles →

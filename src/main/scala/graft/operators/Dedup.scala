@@ -682,6 +682,48 @@ object Dedup {
       .withColumn("contaminated", col("n_overlap") >= minOverlap)
   }
 
+  /** Span-level decontamination REPORT — the audit artifact behind
+    * [[decontaminate]]'s boolean: for every (train doc, eval doc)
+    * pair sharing at least one n-gram shingle, the number of distinct
+    * shared shingles and the FIRST train-side token position hit
+    * (1-based shingle index). "q64 says drop it" becomes "doc X
+    * overlaps eval doc Y on k grams starting at token p" — what a
+    * release review actually reads.
+    *
+    * Scale shape: [[decontaminate]]'s exactly — the eval (eval_id,
+    * shingle) frame is benchmark-sized and BROADCAST; the train side
+    * explodes row-locally DISTINCT shingles with their first position
+    * (array_position against the row's own shingle array — no
+    * corpus-wide (doc, shingle) exchange), and the only shuffle is
+    * the pair-keyed count, carrying ids and two longs. Linear in
+    * train tokens, zero corpus self-joins.
+    *
+    * Output: (train id, eval_id, n_shared, first_pos), contaminated
+    * pairs only.
+    */
+  def contaminationSpans(
+      train: DataFrame,
+      eval: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int): DataFrame = {
+    val evalShingles = eval
+      .select(col(idCol).as("eval_id"),
+        explode(array_distinct(TextFns.textShingles(col(textCol), n)))
+          .as("shingle"))
+      .distinct()
+    val trainShingles = train
+      .select(col(idCol), TextFns.textShingles(col(textCol), n).as("__sh"))
+      .select(col(idCol), col("__sh"),
+        explode(array_distinct(col("__sh"))).as("shingle"))
+      .select(col(idCol), col("shingle"),
+        array_position(col("__sh"), col("shingle")).as("__pos"))
+    trainShingles
+      .join(broadcast(evalShingles), "shingle")
+      .groupBy(col(idCol), col("eval_id"))
+      .agg(count(lit(1)).as("n_shared"), min(col("__pos")).as("first_pos"))
+  }
+
   /** BLOOM-side eval bit set for [[decontaminateBloom]]: every
     * distinct eval shingle sets `k` bits of an `m`-bit Bloom filter,
     * materialized as the DISTINCT bit-position frame (≤ min(m,

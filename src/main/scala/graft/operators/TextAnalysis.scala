@@ -111,6 +111,77 @@ object TextAnalysis {
           .otherwise(lit(0.0)).as("boiler_frac6"))
   }
 
+  /** The published Gopher repetition-signal FAMILY (Rae et al. 2021,
+    * Table A1) as per-document character fractions — what
+    * [[repetitionRatio]]'s single count ratio summarizes:
+    *   - top-{2,3,4}-gram fraction: characters covered by the single
+    *     MOST FREQUENT n-gram's occurrences / total token characters
+    *     (ties break to the lexicographically smallest gram — a
+    *     deterministic convention both engines replay);
+    *   - duplicate-{5,10}-gram fraction: characters covered by all
+    *     n-grams occurring more than once.
+    * Character mass of one occurrence = the gram's token characters
+    * (separators excluded); overlapping occurrences each count, per
+    * the published definition, so a pathological loop can exceed 1.
+    * Documents with fewer than n tokens read 0 for that signal;
+    * zero-character documents read 0 everywhere.
+    *
+    * Scale shape: one explode per gram order, ONE hash aggregate on
+    * (doc, n, gram) — within-doc duplicates collapse map-side since a
+    * document's rows are partition-local — then doc-sized aggregates
+    * and a conditional-sum pivot. No windows, no per-doc O(m²) HOF
+    * scans; cost is linear in corpus tokens × the 5 gram orders.
+    *
+    * Output: (id, total_chars, top2_frac6, top3_frac6, top4_frac6,
+    * dup5_frac6, dup10_frac6).
+    */
+  def gopherRepetitionSignals(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val totals = docs.select(col(idCol),
+      coalesce(aggregate(transform(TextFns.tokens(col(textCol)),
+          t => length(t).cast("long")), lit(0L), (a, x) => a + x), lit(0L))
+        .as("total_chars"))
+    val orders = Seq(2, 3, 4, 5, 10)
+    val grams = orders.map { n =>
+      docs.select(col(idCol), lit(n).as("__n"),
+        explode(TextFns.textShingles(col(textCol), n)).as("__g"))
+    }.reduce(_ unionByName _)
+    val cnt = grams.groupBy(col(idCol), col("__n"), col("__g"))
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__chars",
+        (length(col("__g")) - (col("__n") - lit(1))).cast("long"))
+    // min over (-count, gram) = the most frequent gram, smallest on
+    // ties; its char mass is recovered row-locally from the struct
+    val per = cnt.groupBy(col(idCol), col("__n"))
+      .agg(min(struct((-col("__c")).as("nc"), col("__g").as("g")))
+          .as("__top"),
+        sum(when(col("__c") > 1, col("__c") * col("__chars")))
+          .as("__dup"))
+      .select(col(idCol), col("__n"),
+        ((-col("__top").getField("nc")) *
+          (length(col("__top").getField("g")) - (col("__n") - lit(1)))
+            .cast("long")).as("__topmass"),
+        coalesce(col("__dup"), lit(0L)).as("__dupmass"))
+    def pick(n: Int, c: String) =
+      coalesce(sum(when(col("__n") === n, col(c))), lit(0L))
+    val wide = per.groupBy(col(idCol)).agg(
+      pick(2, "__topmass").as("__t2"), pick(3, "__topmass").as("__t3"),
+      pick(4, "__topmass").as("__t4"), pick(5, "__dupmass").as("__d5"),
+      pick(10, "__dupmass").as("__d10"))
+    def frac(mass: org.apache.spark.sql.Column) =
+      when(col("total_chars") > 0,
+        floor(mass.cast("double") / col("total_chars").cast("double")
+          * lit(1e6) + lit(0.5)) / lit(1e6))
+        .otherwise(lit(0.0))
+    totals.join(wide, Seq(idCol), "left")
+      .select(col(idCol), col("total_chars"),
+        frac(coalesce(col("__t2"), lit(0L))).as("top2_frac6"),
+        frac(coalesce(col("__t3"), lit(0L))).as("top3_frac6"),
+        frac(coalesce(col("__t4"), lit(0L))).as("top4_frac6"),
+        frac(coalesce(col("__d5"), lit(0L))).as("dup5_frac6"),
+        frac(coalesce(col("__d10"), lit(0L))).as("dup10_frac6"))
+  }
+
   /** Composite quality verdict (Gopher-style): per-signal booleans +
     * the AND. Bounds are constructor-level policy, not magic inside
     * the plan; every signal is exact rational arithmetic both engines

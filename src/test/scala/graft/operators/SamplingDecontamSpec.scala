@@ -210,4 +210,29 @@ class SamplingDecontamSpec extends SparkSuiteBase {
     rows.foreach(r => assert(
       again(r.getAs[Long]("doc_id")) == r.getAs[Long]("fold")))
   }
+
+  test("contaminationSpans: per-eval-doc counts, first position, clean docs absent") {
+    import spark.implicits._
+    // train 1 contains eval 100's opening 3-gram at positions 2 and 5
+    // (first = 2, distinct -> counted once) plus eval 101's gram at 1;
+    // train 2 is clean
+    val train = Seq(
+      (1L, "z q w e r q w e x"), // 3-grams: zqw qwe wer erq rqw qwe(5) wex
+      (2L, "totally clean text here")).toDF("doc_id", "text")
+    val eval = Seq(
+      (100L, "q w e r t y"),     // shares "q w e" and "w e r"
+      (101L, "z q w only")).toDF("doc_id", "text")
+    val got = Dedup.contaminationSpans(train, eval, "doc_id", "text", n = 3)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("eval_id"))
+        -> (r.getAs[Long]("n_shared"), r.getAs[Long]("first_pos"))).toMap
+    assert(got((1L, 100L)) == ((2L, 2L)),
+      "q-w-e (first at 2, dup at 5 counted once) + w-e-r at 3")
+    assert(got((1L, 101L)) == ((1L, 1L)), "z-q-w at position 1")
+    assert(got.keySet == Set((1L, 100L), (1L, 101L)),
+      "clean train docs and unhit eval docs produce no rows")
+    // eval side must broadcast (benchmark-sized by contract)
+    val plan = Dedup.contaminationSpans(train, eval, "doc_id", "text", 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
 }

@@ -287,4 +287,41 @@ class TextAnalysisSpec extends SparkSuiteBase {
     assert(one.getAs[Long]("n_1") == 3L)
     assert(one.getAs[Double]("p0_6") == 0.375)
   }
+
+  test("gopherRepetitionSignals: hand-computed fractions, smallest-gram ties, short docs") {
+    import spark.implicits._
+    val docs = Seq(
+      // 1: "a b" x3 of 2-char mass over 6 chars -> top2 = 1.0;
+      //    3-gram tie ("a b a" / "b a b" both x2) -> smallest wins,
+      //    2*3/6 = 1.0; top4 "a b a b" x2 -> 8/6; no dup 5-grams
+      (1L, "a b a b a b"),
+      // 2: repeated 5-gram "x y z w v" x2 -> dup5 = 2*5/10 = 1.0;
+      //    2-gram ties at count 2 -> smallest "w v", 4/10 = 0.4
+      (2L, "x y z w v x y z w v"),
+      // 3: one token -> no grams anywhere, fractions all 0
+      (3L, "solo"),
+      // 4: all distinct tokens -> top masses but zero dup mass
+      (4L, "p q r s t u")).toDF("doc_id", "text")
+    val got = TextAnalysis.gopherRepetitionSignals(docs, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    def f6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val r1 = got(1L)
+    assert(r1.getAs[Long]("total_chars") == 6L)
+    assert(r1.getAs[Double]("top2_frac6") == 1.0)
+    assert(r1.getAs[Double]("top3_frac6") == 1.0)
+    assert(r1.getAs[Double]("top4_frac6") == f6(8.0 / 6))
+    assert(r1.getAs[Double]("dup5_frac6") == 0.0)
+    assert(r1.getAs[Double]("dup10_frac6") == 0.0)
+    val r2 = got(2L)
+    assert(r2.getAs[Double]("dup5_frac6") == 1.0)
+    assert(r2.getAs[Double]("top2_frac6") == 0.4,
+      "tie at count 2 must pick the lexicographically smallest gram")
+    val r3 = got(3L)
+    assert(r3.getAs[Long]("total_chars") == 4L)
+    assert(Seq("top2_frac6", "top3_frac6", "top4_frac6", "dup5_frac6",
+      "dup10_frac6").forall(c => r3.getAs[Double](c) == 0.0))
+    val r4 = got(4L)
+    assert(r4.getAs[Double]("top2_frac6") == f6(2.0 / 6))
+    assert(r4.getAs[Double]("dup5_frac6") == 0.0)
+  }
 }
