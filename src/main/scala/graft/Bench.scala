@@ -144,6 +144,9 @@ object Bench {
     "q256_ccnet_buckets" -> 1.95, "q257_l_diversity" -> 0.23,
     "q258_dedup_retention" -> 0.21, "q259_contamination_spans" -> 0.46,
     "q25_map_json" -> 0.73, "q260_gopher_repetition" -> 1.38,
+    // q261/q262 measured on a 2-rep subset run at their introduction
+    // (comparator 0.54/0.22)
+    "q261_distinct_ngrams" -> 0.83, "q262_cluster_sizes" -> 0.21,
     "q26_conditional" -> 0.25, "q27_sample_mod" -> 0.17,
     "q28_pivot" -> 0.47, "q29_fanout" -> 0.53,
     "q30_token_freq" -> 0.41, "q31_text_quality" -> 0.45,

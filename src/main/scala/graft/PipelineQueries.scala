@@ -704,6 +704,80 @@ object PipelineQueries extends QueryGroup {
       .orderBy(col("source"))
   }
 
+  // R-21 distinct-n lexical diversity per source (Li et al. 2016's
+  // distinct-1/distinct-2, the standard text-diversity readout): the
+  // share of unigram and bigram OCCURRENCES that are distinct within
+  // each source — low distinct-2 with normal distinct-1 is the
+  // templated/looping-source signature. Two source-keyed distinct
+  // aggregates (map-side combinable), no windows, no pairs.
+  q("q261_distinct_ngrams",
+    s"""WITH tk261 AS (SELECT doc_id, source, $sqlTokens AS l FROM documents),
+       |u261 AS (SELECT source, CAST(count(*) AS BIGINT) AS n_unigrams,
+       |    CAST(count(DISTINCT g) AS BIGINT) AS d_unigrams
+       |  FROM (SELECT source, unnest(l) AS g FROM tk261) GROUP BY 1),
+       |b261 AS (SELECT source, CAST(count(*) AS BIGINT) AS n_bigrams,
+       |    CAST(count(DISTINCT g) AS BIGINT) AS d_bigrams
+       |  FROM (SELECT source, unnest(list_transform(
+       |      generate_series(1, len(l) - 1), i -> l[i] || ' ' || l[i+1]))
+       |      AS g FROM tk261) GROUP BY 1)
+       |SELECT source, n_unigrams, d_unigrams,
+       |  CASE WHEN n_unigrams > 0 THEN
+       |    floor(d_unigrams * 1.0 / n_unigrams * 1e6 + 0.5)/1e6 END
+       |    AS distinct1_6,
+       |  n_bigrams, d_bigrams,
+       |  CASE WHEN n_bigrams > 0 THEN
+       |    floor(d_bigrams * 1.0 / n_bigrams * 1e6 + 0.5)/1e6 END
+       |    AS distinct2_6
+       |FROM u261 JOIN b261 USING (source)
+       |ORDER BY source""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    def lvl(grams: org.apache.spark.sql.Column, pfx: String) = docs
+      .select(col("source"), explode(grams).as("__g"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as(s"n_$pfx"),
+        countDistinct(col("__g")).as(s"d_$pfx"))
+    def ratio(dc: String, nc: String) =
+      when(col(nc) > 0, pround(col(dc).cast("double") / col(nc), 6))
+        .otherwise(lit(null).cast("double"))
+    lvl(graft.functions.TextFns.tokens(col("text")), "unigrams")
+      .join(lvl(graft.functions.TextFns.textShingles(col("text"), 2),
+        "bigrams"), Seq("source"))
+      .select(col("source"), col("n_unigrams"), col("d_unigrams"),
+        ratio("d_unigrams", "n_unigrams").as("distinct1_6"),
+        col("n_bigrams"), col("d_bigrams"),
+        ratio("d_bigrams", "n_bigrams").as("distinct2_6"))
+      .orderBy(col("source"))
+  }
+
+  // R-18/R-19 cluster-size distribution — the dedup data-card row
+  // AFTER q258's per-source retention: how many near-dup clusters of
+  // each size exist and how many documents they hold (a long tail of
+  // big clusters = template farms; all-singletons = dedup found
+  // nothing). One cluster-sized aggregate over the memoized stage,
+  // then a sizes-sized one.
+  q("q262_cluster_sizes",
+    s"""WITH RECURSIVE $jaccardPairCtes,
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM pr
+       |          UNION SELECT id_b, id_a FROM pr),
+       |reach(id, lbl) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.src, r.lbl FROM reach r JOIN edges e ON e.dst = r.id),
+       |comp AS (SELECT id AS doc_id, min(lbl) AS cluster FROM reach GROUP BY id),
+       |cs262 AS (SELECT cluster, CAST(count(*) AS BIGINT) AS sz
+       |  FROM comp GROUP BY 1)
+       |SELECT sz AS cluster_size,
+       |  CAST(count(*) AS BIGINT) AS n_clusters,
+       |  CAST(sum(sz) AS BIGINT) AS n_docs
+       |FROM cs262 GROUP BY 1 ORDER BY cluster_size""".stripMargin) { (s, d) =>
+    dedupStage(s, d).clusters
+      .groupBy(col("cluster")).agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"),
+        sum(col("cluster_size")).as("n_docs"))
+      .orderBy(col("cluster_size"))
+  }
+
   // Shared shingle CTE (3-gram, multiset is fine: min-hash is
   // duplicate-insensitive; DISTINCT kept for symmetry with the engine
   // explode feeding an idempotent min).
