@@ -112,7 +112,8 @@ object PipelineQueries extends QueryGroup {
   def warmMemos(s: org.apache.spark.sql.SparkSession, d: String,
       include: String => Boolean): Unit = {
     if (Seq("q33_ngram_jaccard", "q47_dedup_clusters",
-        "q62_cluster_survivors").exists(include)) {
+        "q62_cluster_survivors", "q258_dedup_retention",
+        "q262_cluster_sizes").exists(include)) {
       val st = dedupStage(s, d)
       st.clusters
       ()
