@@ -147,6 +147,8 @@ object Bench {
     // q261/q262 measured on a 2-rep subset run at their introduction
     // (comparator 0.54/0.22)
     "q261_distinct_ngrams" -> 0.83, "q262_cluster_sizes" -> 0.21,
+    // q263 measured on a 3-rep quiet subset run at its introduction
+    "q263_epoch_schedule" -> 1.08,
     "q26_conditional" -> 0.25, "q27_sample_mod" -> 0.17,
     "q28_pivot" -> 0.47, "q29_fanout" -> 0.53,
     "q30_token_freq" -> 0.41, "q31_text_quality" -> 0.45,

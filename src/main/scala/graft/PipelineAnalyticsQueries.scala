@@ -3510,6 +3510,63 @@ object PipelineAnalyticsQueries extends QueryGroup {
       .orderBy(col("source"))
   }
 
+  // Data-CONSTRAINED mixing: when the token budget exceeds the unique
+  // corpus, repeat sources — up to the published ~4-epoch usefulness
+  // ceiling (Muennighoff et al. 2023) — by water-filling the budget
+  // against per-source CAPACITY = 4·n_tokens. The readout is the
+  // epoch schedule: how many passes each source gets under a 2×-corpus
+  // budget (small sources saturate at 4.0, the largest are capped at
+  // the common level). Same int64 solve as q246, one derived frame up.
+  q("q263_epoch_schedule",
+    """WITH s263 AS (SELECT source, CAST(sum(n_chars) AS BIGINT)
+      |    AS n_tokens
+      |  FROM documents GROUP BY 1),
+      |g263 AS (SELECT source, n_tokens, n_tokens * 4 AS cap FROM s263),
+      |b263 AS (SELECT CAST(sum(n_tokens) AS BIGINT) * 2 AS b FROM s263),
+      |r263 AS (SELECT source, cap,
+      |    CAST(row_number() OVER (ORDER BY cap, source) AS BIGINT) AS r,
+      |    CAST(coalesce(sum(cap) OVER (ORDER BY cap, source
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS BIGINT) AS pb,
+      |    (SELECT CAST(count(*) AS BIGINT) FROM g263) AS k
+      |  FROM g263),
+      |c263 AS (SELECT source, cap, r,
+      |    (b - pb) // (k - r + 1) AS lvl
+      |  FROM r263, b263),
+      |l263 AS (SELECT min(CASE WHEN lvl < cap THEN r END) AS rs
+      |  FROM c263),
+      |lv263 AS (SELECT lvl AS level FROM c263, l263 WHERE c263.r = l263.rs),
+      |a263 AS (SELECT g263.source, g263.n_tokens,
+      |    CAST(cap AS BIGINT) AS capacity,
+      |    (SELECT level FROM lv263) AS level,
+      |    CAST(CASE WHEN (SELECT count(*) FROM lv263) = 0 THEN cap
+      |         ELSE least(cap, (SELECT level FROM lv263)) END
+      |      AS BIGINT) AS alloc
+      |  FROM g263)
+      |SELECT source, n_tokens, capacity, level, alloc,
+      |  CASE WHEN n_tokens > 0 THEN
+      |    floor(CAST(alloc AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+      |      * 1e6 + 0.5)/1e6 END AS epochs6,
+      |  alloc = capacity AS saturated
+      |FROM a263 ORDER BY source""".stripMargin) { (s, d) =>
+    val perSrc = Tables.documents(s, d).groupBy(col("source"))
+      .agg(sum(col("n_chars").cast("long")).as("n_tokens"))
+    val total = perSrc.agg(sum(col("n_tokens"))).head().getLong(0)
+    val caps = perSrc.select(col("source"),
+      (col("n_tokens") * lit(4L)).as("capacity"))
+    graft.operators.Curation.waterFill(caps, "source", "capacity",
+        budget = total * 2)
+      .withColumnRenamed("n_tokens", "capacity")
+      .join(perSrc, Seq("source"))
+      .select(col("source"), col("n_tokens"), col("capacity"),
+        col("level"), col("alloc"),
+        when(col("n_tokens") > 0,
+          pround(col("alloc").cast("double") / col("n_tokens"), 6))
+          .otherwise(lit(null).cast("double")).as("epochs6"),
+        (col("alloc") === col("capacity")).as("saturated"))
+      .orderBy(col("source"))
+  }
+
   // Vocabulary mass: Good-Turing frequency-of-frequencies — the
   // unseen-token probability P0 = N1/N next to q220's Heaps exponent
   // and q187's Zipf slope, plus the smoothed counts r* the q168 KN
