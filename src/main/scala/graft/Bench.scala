@@ -47,7 +47,9 @@ object Bench {
     * 2.06 -> 3.16 above that drift and REPRODUCES at 3.1–3.5 in a
     * fresh single-query JVM (9 reps) with Coreset.scala untouched
     * since its 2.6 s optimization — recorded as box-level, carried at
-    * the reproduced level. q81 0.13 is its new readout increment
+    * the reproduced level. q81 0.13 was its readout increment when
+    * first measured (the carried entry is 0.08 — the final
+    * max-of-MEDIANS re-base below superseded that reading)
     * (q256 owns the lm-scored memo mine at 2.72).
     *
     * priorBasis (round 14, final — q261–q263 added; POLICY CHANGE to

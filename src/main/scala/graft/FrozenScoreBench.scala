@@ -7,13 +7,14 @@ import graft.operators.{QualityModel, TextAnalysis}
 
 /** Scratch benchmark for the NB classifier's INFERENCE scaling — the
   * frozen-model deployment shape (train once on a labeled seed, score
-  * an ever-larger foreign corpus). q85's in-query training cannot run
-  * on the ScaleFixture corpora at all: the fixture suffixes every
-  * token (the dedup-scaling contract), which erases the stopword
-  * signal from the q58 seed labeler, and a one-class seed is refused
-  * loudly by design. So the scale evidence for q85 is split: the
-  * TRAIN side is seed-sized by construction; the SCORE side is
-  * measured here — model trained on the UNsuffixed sf0.1 documents,
+  * an ever-larger foreign corpus). Historical context: before round
+  * 15, q85's in-query training could not run on the ScaleFixture
+  * corpora at all — the fixture suffixed every token INCLUDING the
+  * seed stopwords, which erased the stopword signal from the q58 seed
+  * labeler, and a one-class seed is refused loudly by design. The
+  * fixture is now seed-term-preserving (ScaleFixture scaladoc), so
+  * the NB family runs in-deck; this bench remains the FROZEN-model
+  * complement — model trained on the UNsuffixed sf0.1 documents,
   * scoring the (suffixed, hence ~fully-OOV) target corpus, which also
   * exercises the OOV smoothing floor at full volume.
   *

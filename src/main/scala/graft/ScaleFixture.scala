@@ -16,18 +16,36 @@ import org.apache.spark.sql.functions._
   * fixture's:
   *
   *   - documents: EVERY copy k (including 0) suffixes every token
-  *     with the FIXED-WIDTH `x<kk>` (`$1x07` for copy 7), so shingles
-  *     never match across copies and the pair graph is `factor`
-  *     disjoint isomorphic images of the sf0.1 graph — pair count
-  *     scales exactly ×factor. Fixed width + all-copies is what makes
-  *     the claim unconditional: with copy 0 left verbatim, a source
-  *     token that already ENDS in `x<k>` (id-ish strings) could
-  *     collide with copy k's image of its prefix; equal-length
-  *     suffixes can only be equal when the copy indices are equal.
-  *     A naive text copy would instead make every planted near-dup
-  *     cluster `factor`× larger (quadratic pair growth inside each
-  *     cluster) and the measurement would conflate fixture-induced
-  *     candidate blowup with engine scaling.
+  *     with a FIXED-WIDTH LETTERS-ONLY marker `x<aa>` (base-26 copy
+  *     index: `$1xah` for copy 7), so shingles never match across
+  *     copies and the pair graph is `factor` disjoint isomorphic
+  *     images of the sf0.1 graph — pair count scales exactly ×factor.
+  *     Fixed width + all-copies is what makes the claim (nearly)
+  *     unconditional: with copy 0 left verbatim, a source token that
+  *     already ENDS in `x<k>` (id-ish strings) could collide with
+  *     copy k's image of its prefix; equal-length suffixes can only
+  *     be equal when the copy indices are equal. A naive text copy
+  *     would instead make every planted near-dup cluster `factor`×
+  *     larger (quadratic pair growth inside each cluster) and the
+  *     measurement would conflate fixture-induced candidate blowup
+  *     with engine scaling.
+  *
+  *     Two deliberate exceptions keep the QUALITY surface two-class
+  *     on decks (without them q85/q183/q185/q221/q223/q243 refused
+  *     every deck — `trainNaiveBayes` requires both seed classes):
+  *     (1) the seed stopword tokens `the`/`a` are left UNSUFFIXED
+  *     (case-insensitively), so `stopword_ratio > 0` survives the
+  *     deck exactly as in the source — the only shingles that can now
+  *     match across copies are ALL-stopword shingles, far below any
+  *     near-dup threshold (a cross-copy candidate pair would need a
+  *     nearly all-"the a" document); (2) the marker is letters-only,
+  *     because the old `x07`-style digits pushed every doc's
+  *     `digit_ratio` toward the 0.2 quality bound (+2 digits per
+  *     token ≈ 0.22 on digit-free text) — another one-classing.
+  *     Per-copy labels can differ from source labels (avg_word_len
+  *     +3, digit_ratio diluted) — irrelevant to the deck's purpose,
+  *     which only needs a deterministic two-class seed on the deck
+  *     itself.
   *   - embeddings: copy k multiplies dimension i by
   *     sign(xxhash64(k, i)) — an ISOMETRY per copy (both vectors of a
   *     within-copy pair flip identically, so every within-copy dot
@@ -54,14 +72,20 @@ object ScaleFixture {
     spark.sparkContext.setLogLevel("WARN")
 
     require(factor >= 1 && factor <= 100,
-      "fixed-width 2-digit copy suffixes cover factor <= 100")
+      "fixed-width 2-letter copy suffixes cover factor <= 676")
     val idStep = 10000000L // copy id spaces can never collide
 
+    // letters-only fixed-width marker (digits would shift every doc's
+    // digit_ratio toward the 0.2 quality bound); the lookahead skips
+    // standalone seed stopwords so the deck stays two-class (scaladoc)
+    def marker(k: Int): String =
+      "x" + ('a' + k / 26).toChar + ('a' + k % 26).toChar
+    val tokenPat = "(?i)(?<!\\S)(?!(?:the|a)(?!\\S))(\\S+)"
     val docs = spark.read.parquet(s"$src/documents.parquet")
     (0 until factor).map { k =>
       docs.select(
         (col("doc_id") + lit(k * idStep)).as("doc_id"),
-        regexp_replace(col("text"), "(\\S+)", f"$$1x$k%02d").as("text"),
+        regexp_replace(col("text"), tokenPat, "$1" + marker(k)).as("text"),
         col("lang"), col("source"), col("n_chars"))
     }.reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$dst/documents.parquet")

@@ -520,6 +520,57 @@ object StreamingQueries extends QueryGroup {
       .orderBy(col("topic"), col("part"), col("cursor"), col("ord"))
   }
 
+  // ------------------------------------------------------------- A15/A16
+  // The replication LAG report (SyncPipeline.lagReport — the monitoring
+  // surface the reference never had) on the oracle gate, q251-style:
+  // a deterministic events-derived feed plays the source message log
+  // (topic, partition, ledger, entry) and the mirror's offset map (a
+  // subset: every 5th message undelivered, partition 3 not mirrored at
+  // all — so the backlog arithmetic, the left-join zero-fill AND the
+  // null mirrored frontier all bite in the gated rows). The oracle
+  // reformulates the lexicographic (ledger, entry) struct-max as a
+  // row_number frontier pick.
+  q("q264_lag_report",
+    """WITH sm AS (SELECT event_type AS topic,
+      |    CAST(user_id % 4 AS INT) AS part,
+      |    event_id // 100 AS l, event_id % 100 AS e, event_id
+      |  FROM events),
+      |om AS (SELECT * FROM sm WHERE event_id % 5 <> 0 AND part <> 3),
+      |sa AS (SELECT topic, part, count(*) AS src_messages
+      |  FROM sm GROUP BY 1, 2),
+      |sf AS (SELECT topic, part, l, e FROM (SELECT topic, part, l, e,
+      |    row_number() OVER (PARTITION BY topic, part
+      |      ORDER BY l DESC, e DESC) AS rn FROM sm) WHERE rn = 1),
+      |ma AS (SELECT topic, part, count(*) AS mirrored
+      |  FROM om GROUP BY 1, 2),
+      |mf AS (SELECT topic, part, l, e FROM (SELECT topic, part, l, e,
+      |    row_number() OVER (PARTITION BY topic, part
+      |      ORDER BY l DESC, e DESC) AS rn FROM om) WHERE rn = 1)
+      |SELECT sa.topic, sa.part, sa.src_messages,
+      |  coalesce(ma.mirrored, 0) AS mirrored,
+      |  sa.src_messages - coalesce(ma.mirrored, 0) AS backlog,
+      |  sf.l AS src_frontier_ledger, sf.e AS src_frontier_entry,
+      |  mf.l AS mirrored_frontier_ledger, mf.e AS mirrored_frontier_entry
+      |FROM sa JOIN sf USING (topic, part)
+      |LEFT JOIN ma USING (topic, part)
+      |LEFT JOIN mf USING (topic, part)
+      |ORDER BY topic, part""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d)
+    val src = ev.select(col("event_type").as("topic"),
+      (col("user_id") % 4).cast("int").as("partition"),
+      expr("event_id div 100").as("ledgerId"),
+      (col("event_id") % 100).as("entryId"))
+    val offsetMap = ev
+      .filter(col("event_id") % 5 =!= 0 && col("user_id") % 4 =!= 3)
+      .select(col("event_type").as("topic"),
+        (col("user_id") % 4).cast("int").as("partition"),
+        expr("event_id div 100").as("srcLedger"),
+        (col("event_id") % 100).as("srcEntry"))
+    graft.streaming.SyncPipeline.lagReport(src, offsetMap)
+      .withColumnRenamed("partition", "part")
+      .orderBy(col("topic"), col("part"))
+  }
+
   // ---------------------------------------------------------------- S-1
   // The DSv2 connector on the oracle surface: a deterministic
   // formula-seeded broker (2 topics x 2 partitions x 1200 messages)

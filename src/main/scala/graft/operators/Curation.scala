@@ -383,8 +383,11 @@ object Curation {
     * r ≤ rem·(q+1), else rem + ⌈(r − rem·(q+1))/q⌉.
     *
     * Rows with a NULL id or NULL score are excluded (no deterministic
-    * order exists for them). Ties break by id ascending — stable
-    * across engines, re-runs, and partitionings.
+    * order exists for them). A NULL GROUP key is kept and buckets as
+    * its own partition — the window-ntile oracle semantics (PARTITION
+    * BY group treats NULL as a partition); the stats join is null-safe
+    * for exactly this. Ties break by id ascending — stable across
+    * engines, re-runs, and partitionings.
     *
     * Output: (id, group, score, rank, n_group, bucket).
     */
@@ -414,7 +417,12 @@ object Curation {
     val cut = rem * (q + lit(1L))
     val bucket = when(r <= cut, fdiv(r + q, q + lit(1L)))
       .otherwise(rem + fdiv(r - cut + q - lit(1L), q))
-    prefixed.join(stats, Seq(groupCol))
+    // null-SAFE equality on the group key: a window-ntile oracle
+    // (PARTITION BY group) buckets a NULL partition like any other,
+    // and a plain USING join would silently drop those rows (r15
+    // ADVICE). stats is group-count-sized — broadcast it.
+    prefixed.join(broadcast(stats.withColumnRenamed(groupCol, "__g")),
+        col(groupCol) <=> col("__g"))
       .select(col(idCol), col(groupCol), col(scoreCol),
         r.as("rank"), col("n_group"), bucket.as("bucket"))
   }

@@ -403,6 +403,17 @@ class SyncPipeline(
     * DSv2 connector also serves (`spark.read.format("pulsar-envelope")`,
     * S-1 batch mode).
     */
+  def lagReport(srcMessages: DataFrame, offsetMap: DataFrame): DataFrame =
+    SyncPipeline.lagReport(srcMessages, offsetMap)
+}
+
+/** Pure (instance-state-free) pieces of the pipeline, callable without
+  * constructing clusters — the oracle gate (q264) replays [[lagReport]]
+  * over a deterministic events-derived feed this way.
+  */
+object SyncPipeline {
+
+  /** See [[SyncPipeline!.lagReport]] — the aggregation itself. */
   def lagReport(srcMessages: DataFrame, offsetMap: DataFrame): DataFrame = {
     val srcAgg = srcMessages
       .groupBy(col("topic"), col("partition"))

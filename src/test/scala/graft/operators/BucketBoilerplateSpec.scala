@@ -50,6 +50,22 @@ class BucketBoilerplateSpec extends SparkSuiteBase {
     assert(wide.toSeq === one.toSeq)
   }
 
+  test("ntileBuckets: a NULL group key buckets as its own partition (window semantics)") {
+    // PARTITION BY grp treats NULL as a partition; the stats join is
+    // null-safe so these rows must neither drop nor mis-bucket
+    val df = Seq(("a", Some("g"), 3.0), ("b", None, 2.0),
+      ("c", None, 1.0), ("d", None, 4.0), ("e", Some("g"), 1.0))
+      .toDF("id", "grp", "score")
+    val got = Curation.ntileBuckets(df, "id", "grp", "score", 2)
+      .select("id", "bucket").as[(String, Long)].collect().toMap
+    val want = df.withColumn("bucket",
+        ntile(2).over(Window.partitionBy(col("grp"))
+          .orderBy(col("score").desc, col("id"))).cast("long"))
+      .select("id", "bucket").as[(String, Long)].collect().toMap
+    assert(got === want)
+    assert(got.size === 5, "NULL-group rows must not drop")
+  }
+
   test("ntileBuckets: null id / null score rows are excluded; guards fire") {
     val df = Seq((Some("a"), Some(1.0)), (None, Some(2.0)),
       (Some("c"), None), (Some("d"), Some(0.5)))

@@ -6,8 +6,16 @@ oracle SQL from oracle_sql.json in DuckDB over the same sf dir, and
 compares (columns sorted by name, values stringified). Usage:
 
     python3 tools/check.py /tmp/verify_out /root/testdata/sf0.01 [name...]
+    python3 tools/check.py --self-json CORRECTNESS_SELF.json OUT SF [name...]
+
+--self-json FILE additionally writes a per-round self-check artifact:
+per-query ok/bad verdicts, the total check wall-clock, per-query oracle
+seconds, and a fixed CPU-bound DuckDB comparator timed before and after
+the pass (load evidence, the Bench comparator's role) — so a round can
+never again end signal-less if the driver's own correctness artifact
+comes back empty (VERDICT r14 "What's wrong #1").
 """
-import json, sys, math, os
+import json, sys, math, os, time
 import duckdb
 import pyarrow.parquet as pq
 
@@ -30,9 +38,22 @@ def table_rows(tbl):
     # zip(*[]) is already [], no guard needed
     return cols, [tuple(canon(v) for v in row) for row in zip(*data)]
 
+def comparator(con):
+    """Fixed CPU-bound DuckDB job — its duration is box-load evidence
+    (quiet level recorded in the artifact next to the readings)."""
+    t0 = time.monotonic()
+    con.execute("SELECT sum(hash(range) % 1000000) FROM range(20000000)") \
+       .fetchall()
+    return round(time.monotonic() - t0, 3)
+
 def main():
-    outdir, sfdir = sys.argv[1], sys.argv[2]
-    only = set(sys.argv[3:])
+    args = list(sys.argv[1:])
+    self_json = None
+    if args and args[0] == "--self-json":
+        self_json = args[1]
+        args = args[2:]
+    outdir, sfdir = args[0], args[1]
+    only = set(args[2:])
     oracle = json.load(open(os.path.join(outdir, "oracle_sql.json")))
     con = duckdb.connect()
     for t in ["region","nation","customer","supplier","part","orders",
@@ -44,6 +65,9 @@ def main():
             src = f"{src}/*.parquet"
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')")
     n_ok = n_bad = 0
+    t_start = time.monotonic()
+    comp_before = comparator(con) if self_json else None
+    queries = {}
     for name in sorted(os.listdir(outdir)):
         path = os.path.join(outdir, name)
         if not os.path.isdir(path):
@@ -54,28 +78,52 @@ def main():
         if name not in oracle:
             print(f"  ?? {name}: no oracle ({spark_tbl.num_rows} rows)")
             continue
+        t_q = time.monotonic()
         try:
             duck_tbl = con.execute(oracle[name]).fetch_arrow_table()
         except Exception as e:
             print(f"  !! {name}: oracle SQL failed: {e}")
+            queries[name] = {"ok": False, "why": f"oracle SQL failed: {e}",
+                             "oracle_sec": round(time.monotonic() - t_q, 3)}
             n_bad += 1
             continue
+        oracle_sec = round(time.monotonic() - t_q, 3)
         sc, srows = table_rows(spark_tbl)
         dc, drows = table_rows(duck_tbl)
         if sc != dc:
             print(f"  !! {name}: column mismatch spark={sc} duck={dc}")
+            queries[name] = {"ok": False,
+                             "why": f"column mismatch spark={sc} duck={dc}",
+                             "oracle_sec": oracle_sec}
             n_bad += 1
             continue
         if srows == drows:
             print(f"  ok {name}: {len(srows)} rows")
+            queries[name] = {"ok": True, "rows": len(srows),
+                             "oracle_sec": oracle_sec}
             n_ok += 1
         else:
             n_bad += 1
             print(f"  !! {name}: rows differ (spark={len(srows)}, duck={len(drows)})")
+            queries[name] = {"ok": False,
+                             "why": f"rows differ (spark={len(srows)}, duck={len(drows)})",
+                             "oracle_sec": oracle_sec}
             for i, (a, b) in enumerate(zip(srows, drows)):
                 if a != b:
                     print(f"     first diff at row {i}:\n       spark={a}\n       duck ={b}")
                     break
+    if self_json:
+        comp_after = comparator(con)
+        artifact = {
+            "n_ok": n_ok, "n_bad": n_bad,
+            "check_wall_sec": round(time.monotonic() - t_start, 3),
+            "comparator_sec": [comp_before, comp_after],
+            "sf_dir": sfdir,
+            "queries": queries,
+        }
+        with open(self_json, "w") as f:
+            json.dump(artifact, f, indent=1, sort_keys=True)
+        print(f"== self-check artifact -> {self_json}")
     print(f"== {n_ok} ok, {n_bad} bad")
     sys.exit(1 if n_bad else 0)
 
