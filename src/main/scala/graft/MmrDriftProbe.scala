@@ -19,6 +19,21 @@ import org.apache.spark.sql.functions._
   * round's identical job a second time (same literals ⇒ plan + codegen
   * cache hot): the delta first−second is the pure compile cost.
   *
+  * RESOLVED (round 15): jstack sampling during the steady-state jobs
+  * put the driver inside `Expression.genCode` /
+  * `BinaryArithmetic.doGenCode` / janino `UnitCompiler.compile` on
+  * EVERY job — whole-stage source generation + compile re-runs per
+  * action (~2.5 s at dim=64, even for a byte-identical repeat job),
+  * while `executedPlan` alone costs 0.04 s and a constant-size-
+  * expression variant runs the same job in 0.12 s. The probe's A/B
+  * below keeps both variants runnable. Fix: Coreset/Spectral now
+  * compute literal-vector distances via the codegen'd loop
+  * expressions in [[graft.plans.VecDistExprs]] (bit-identical
+  * numerics; q162 2.26 s / q137 1.33 s / q134 1.21 s on the r15 box).
+  * The r14 "drift with no code change" was this fixed cost moving
+  * with the box's JIT/compiler throughput — the operator plan never
+  * regressed, the per-job janino bill did.
+  *
   * Usage: runMain graft.MmrDriftProbe [sfDir]
   */
 object MmrDriftProbe {
@@ -67,13 +82,47 @@ object MmrDriftProbe {
       val qVec = t("head(query vec)") {
         all.where(col("id") === queryId).head().getSeq[Double](1).toArray
       }
-      val base = t("checkpoint base") {
-        val b = all.where(col("id") =!= queryId)
-          .withColumn("__n", sqrt(sqDist0(col("v"), qVec.length)))
-          .where(col("__n") > 0)
-          .withColumn("__qcos", cosLit(col("v"), col("__n"), qVec))
-          .localCheckpoint()
-        b.count(); b
+      val bplan = all.where(col("id") =!= queryId)
+        .withColumn("__n", sqrt(sqDist0(col("v"), qVec.length)))
+        .where(col("__n") > 0)
+        .withColumn("__qcos", cosLit(col("v"), col("__n"), qVec))
+      // dissect: same frame through (a) noop write (pure compute),
+      // (b) raw-column checkpoint (checkpoint mechanics alone),
+      // (c) the real checkpoint, (d) its count
+      t("plan only (executedPlan)") {
+        bplan.queryExecution.executedPlan
+      }
+      t("noop write (no ckpt)") {
+        bplan.write.format("noop").mode("overwrite").save()
+      }
+      t("noop write SAME frame again") {
+        bplan.write.format("noop").mode("overwrite").save()
+      }
+      if (sys.env.contains("GRAFT_MMR_SPIN"))
+        t("noop write x20 (jstack window)") {
+          (1 to 20).foreach(_ =>
+            bplan.write.format("noop").mode("overwrite").save())
+        }
+      // constant-size expression alternative: literal array + HOF
+      val qlit = lit(qVec)
+      val hof = all.where(col("id") =!= queryId)
+        .withColumn("__n", sqrt(aggregate(
+          transform(col("v"), x => x * x), lit(0.0), (a, x) => a + x)))
+        .where(col("__n") > 0)
+        .withColumn("__qcos", pr6(
+          aggregate(zip_with(col("v"), qlit, (a, b) => a * b),
+            lit(0.0), (a, x) => a + x) /
+          (col("__n") * lit(math.sqrt(qVec.map(x => x * x).sum)))))
+      t("HOF variant noop write") {
+        hof.write.format("noop").mode("overwrite").save()
+      }
+      t("ckpt WITHOUT exprs") {
+        all.where(col("id") =!= queryId).localCheckpoint().count()
+      }
+      val base = {
+        val b = t("localCheckpoint(base)") { bplan.localCheckpoint() }
+        t("count(base)") { b.count() }
+        b
       }
       var chosen = List.empty[Long]
       var simCols = List.empty[Array[Double]]

@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
   *
   * Each round is ONE codegen'd corpus scan — the running min-distance
   * column is folded with the latest center's literal vector (squared
-  * L2 as an index-order term chain, no join) — followed by ONE
+  * L2 as one [[graft.plans.DoubleVecSqDist]] loop, no join) — followed by ONE
   * max-of-struct aggregate (map-side combined) to find the farthest
   * point. k rounds ⇒ k scans + k dims-sized driver collects; nothing
   * is quadratic in the corpus and no all-pairs distance matrix ever
@@ -26,12 +26,18 @@ object Coreset {
   private def pr6(c: Column): Column =
     floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
 
-  /** Index-order squared-L2 term chain against a literal center. */
-  private def sqDist(vecCol: Column, center: Array[Double]): Column =
-    center.indices.map { i =>
-      val d = element_at(vecCol, i + 1).cast("double") - lit(center(i))
-      d * d
-    }.reduceLeft(_ + _)
+  /** Squared L2 against a literal center — one codegen'd primitive
+    * loop ([[graft.plans.DoubleVecSqDist]]; same index-order
+    * summation as the 64-term `element_at` chain it replaced, so
+    * every 6dp-rounded selection is bit-identical). The chain form
+    * was the q162/q137 fixed-cost root cause: each greedy round's
+    * action re-walked genCode over a few-hundred-node tree and
+    * re-compiled it in janino, ~2.5 s of driver time PER JOB at
+    * dim=64 (MmrDriftProbe, round 15).
+    */
+  private def sqDist(spark: org.apache.spark.sql.SparkSession,
+      vecCol: Column, center: Array[Double]): Column =
+    graft.plans.VecDistExprs.vecSqDistD(spark, vecCol, lit(center))
 
   /** Greedily select `k` centers. Output: (ord int 1-based selection
     * order, idCol, dist2 double = the 6dp-rounded squared distance to
@@ -70,7 +76,7 @@ object Coreset {
     var distCols: List[Array[Double]] = List(centerVec)
     var round = 2
     while (round <= k) {
-      val d: Column = pr6(distCols.map(c => sqDist(col("v"), c))
+      val d: Column = pr6(distCols.map(c => sqDist(spark, col("v"), c))
         .reduceLeft(least(_, _)))
       val top = base.where(!col("id").isin(chosen.map(_._2): _*))
         .agg(max(struct(d.as("d"), (-col("id")).as("nid"),
@@ -86,17 +92,16 @@ object Coreset {
     chosen.reverse.toDF("ord", idCol, "dist2")
   }
 
-  /** Index-order dot-product term chain against a literal vector. */
-  private def dotLit(vecCol: Column, c: Array[Double]): Column =
-    c.indices.map(i =>
-      element_at(vecCol, i + 1).cast("double") * lit(c(i)))
-      .reduceLeft(_ + _)
-
-  /** 6dp-rounded cosine against a literal vector (norm precomputed). */
-  private def cosLit(vecCol: Column, normCol: Column,
-      c: Array[Double]): Column = {
+  /** 6dp-rounded cosine against a literal vector (norm precomputed):
+    * codegen'd loop dot ([[graft.plans.DoubleVecDot]]) — index-order
+    * summation, bit-identical to the replaced term chain (see
+    * [[sqDist]] for why the chain form had to go).
+    */
+  private def cosLit(spark: org.apache.spark.sql.SparkSession,
+      vecCol: Column, normCol: Column, c: Array[Double]): Column = {
     val cn = math.sqrt(c.map(x => x * x).sum)
-    pr6(dotLit(vecCol, c) / (normCol * lit(cn)))
+    pr6(graft.plans.VecDistExprs.vecDotD(spark, vecCol, lit(c)) /
+      (normCol * lit(cn)))
   }
 
   /** Greedy MAXIMAL MARGINAL RELEVANCE selection (Carbonell &
@@ -139,9 +144,12 @@ object Coreset {
     // each round folds only its redundancy terms. localCheckpoint =
     // the Dedup.Stage lineage-truncation discipline.
     val base = all.where(col("id") =!= queryId)
-      .withColumn("__n", sqrt(sqDist(col("v"), Array.fill(qVec.length)(0.0))))
+      // ‖v‖ = √(v·v): (vᵢ−0)² and vᵢ·vᵢ are the same IEEE doubles,
+      // so this matches the old zeros-vector sqDist bit-for-bit
+      .withColumn("__n",
+        sqrt(graft.plans.VecDistExprs.vecDotD(spark, col("v"), col("v"))))
       .where(col("__n") > 0)
-      .withColumn("__qcos", cosLit(col("v"), col("__n"), qVec))
+      .withColumn("__qcos", cosLit(spark, col("v"), col("__n"), qVec))
       .localCheckpoint()
     val n = base.count()
     require(k <= n, s"mmrSelect: k=$k exceeds the candidate count $n")
@@ -152,7 +160,7 @@ object Coreset {
     while (round <= k) {
       val redundancy: Column =
         if (simCols.isEmpty) lit(0.0)
-        else simCols.map(c => cosLit(col("v"), col("__n"), c))
+        else simCols.map(c => cosLit(spark, col("v"), col("__n"), c))
           .reduceLeft(greatest(_, _))
       val score = pr6(lit(lambda) * col("__qcos") -
         lit(1.0 - lambda) * redundancy)

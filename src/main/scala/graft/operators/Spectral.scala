@@ -34,16 +34,20 @@ object Spectral {
   private def pr6(c: Column): Column =
     floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
 
-  /** Per-row index-order dot of (vec − mu) with the literal `v`. */
+  /** Per-row index-order dot of (vec − mu) with the literal `v` — one
+    * codegen'd ternary loop ([[graft.plans.DoubleVecCenteredDot]]):
+    * identical arithmetic and summation order to the 64-term
+    * `element_at` chain it replaced, without the chain's per-job
+    * genCode+janino fixed cost (the q162 drift root cause — Coreset
+    * paid it per greedy round, this file per power round).
+    */
   private def centeredDot(
+      spark: org.apache.spark.sql.SparkSession,
       vecCol: Column,
       mu: Array[Double],
-      v: Array[Double]): Column = {
-    val terms = mu.indices.map { i =>
-      (element_at(vecCol, i + 1).cast("double") - lit(mu(i))) * lit(v(i))
-    }
-    terms.reduceLeft(_ + _)
-  }
+      v: Array[Double]): Column =
+    graft.plans.VecDistExprs.vecCenteredDotD(spark,
+      vecCol.cast("array<double>"), lit(mu), lit(v))
 
   /** Mean vector, 6dp-rounded, as one aggregate. */
   def meanVector(emb: DataFrame, vecCol: String): Array[Double] = {
@@ -82,7 +86,7 @@ object Spectral {
     while (round < rounds) {
       val w = new Array[Double](dim)
       emb.select(col(vecCol).as("e"))
-        .withColumn("dot", pr6(centeredDot(col("e"), mu, v)))
+        .withColumn("dot", pr6(centeredDot(spark, col("e"), mu, v)))
         .select(posexplode(col("e")).as(Seq("pos", "x")), col("dot"))
         .groupBy(col("pos"))
         .agg(pr6(sum((col("x").cast("double") -
@@ -228,6 +232,6 @@ object Spectral {
     val comp = pcaPowerComponentWithMu(emb, vecCol, rounds, mu)
       .collect().sortBy(_.getInt(0)).map(_.getDouble(1))
     emb.select(col(idCol),
-      pr6(centeredDot(col(vecCol), mu, comp)).as("score"))
+      pr6(centeredDot(emb.sparkSession, col(vecCol), mu, comp)).as("score"))
   }
 }
