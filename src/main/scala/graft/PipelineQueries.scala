@@ -113,7 +113,8 @@ object PipelineQueries extends QueryGroup {
       include: String => Boolean): Unit = {
     if (Seq("q33_ngram_jaccard", "q47_dedup_clusters",
         "q62_cluster_survivors", "q258_dedup_retention",
-        "q262_cluster_sizes").exists(include)) {
+        "q262_cluster_sizes", "q267_cross_source_dups",
+        "q268_dedup_threshold_sweep").exists(include)) {
       val st = dedupStage(s, d)
       st.clusters
       ()
@@ -126,10 +127,12 @@ object PipelineQueries extends QueryGroup {
       curated(s, d); ()
     }
     if (Seq("q77_bpe_train", "q78_bpe_encode", "q79_pack_bpe",
-        "q253_tokenizer_fertility", "q254_pack_efficiency")
+        "q253_tokenizer_fertility", "q254_pack_efficiency",
+        "q265_vocab_coverage", "q266_truncation_budget")
         .exists(include)) { bpeTrained(s, d); () }
     if (Seq("q78_bpe_encode", "q79_pack_bpe", "q253_tokenizer_fertility",
-        "q254_pack_efficiency").exists(include)) {
+        "q254_pack_efficiency", "q265_vocab_coverage",
+        "q266_truncation_budget").exists(include)) {
       bpeEncoded(s, d); ()
     }
     if (Seq("q256_ccnet_buckets", "q81_lm_score").exists(include)) {
@@ -537,6 +540,69 @@ object PipelineQueries extends QueryGroup {
     dedupStage(s, d).pairs
       .select(col("id_a"), col("id_b"), pround(col("jaccard"), 4).as("jaccard"))
       .orderBy(col("id_a"), col("id_b"))
+  }
+
+  // R-19 provenance readout: CROSS-SOURCE near-dup matrix — which
+  // source pairs duplicate each other, from the memoized pair frame
+  // (two id-keyed equi-joins onto the doc->source projection, output
+  // sized by source pairs; max is the order-insensitive similarity
+  // summary, so no cross-engine summation risk). At 100 TB this is
+  // the dedup report a pipeline reads to decide which feeds to
+  // de-prioritize at INGEST rather than paying dedup after the fact.
+  q("q267_cross_source_dups",
+    s"""WITH $jaccardPairCtes,
+       |ds267 AS (SELECT doc_id, source FROM documents)
+       |SELECT least(sa.source, sb.source) AS src_a,
+       |  greatest(sa.source, sb.source) AS src_b,
+       |  count(*) AS n_pairs, max(jaccard) AS max_jaccard4
+       |FROM pr JOIN ds267 sa ON sa.doc_id = pr.id_a
+       |        JOIN ds267 sb ON sb.doc_id = pr.id_b
+       |GROUP BY 1, 2 ORDER BY src_a, src_b""".stripMargin) { (s, d) =>
+    val src = Tables.documents(s, d).select(col("doc_id"), col("source"))
+    dedupStage(s, d).pairs
+      .select(col("id_a"), col("id_b"), pround(col("jaccard"), 4).as("j4"))
+      .join(src.select(col("doc_id").as("id_a"), col("source").as("sa")),
+        Seq("id_a"))
+      .join(src.select(col("doc_id").as("id_b"), col("source").as("sb")),
+        Seq("id_b"))
+      .groupBy(least(col("sa"), col("sb")).as("src_a"),
+        greatest(col("sa"), col("sb")).as("src_b"))
+      .agg(count(lit(1)).as("n_pairs"), max(col("j4")).as("max_jaccard4"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  // R-19 policy audit: DEDUP THRESHOLD SENSITIVITY — pair and
+  // involved-document counts at each candidate threshold, answering
+  // "how much does the dedup decision move if the bar moves" before
+  // committing a threshold corpus-wide. The mined pair frame is the
+  // only input (4 conditional passes over a pair-sized frame); the
+  // 4dp-rounded jaccard and double threshold literals are the same
+  // IEEE values in both engines, so the >= cut is portable.
+  q("q268_dedup_threshold_sweep",
+    s"""WITH $jaccardPairCtes,
+       |th AS (SELECT unnest([0.8e0, 0.85e0, 0.9e0, 0.95e0]) AS threshold),
+       |pt AS (SELECT threshold, id_a, id_b FROM th JOIN pr
+       |       ON jaccard >= threshold),
+       |np AS (SELECT threshold, count(*) AS n_pairs FROM pt GROUP BY 1),
+       |nd AS (SELECT threshold, count(DISTINCT id) AS n_docs FROM
+       |       (SELECT threshold, id_a AS id FROM pt
+       |        UNION ALL SELECT threshold, id_b FROM pt)
+       |       GROUP BY 1)
+       |SELECT threshold, n_pairs, n_docs
+       |FROM np JOIN nd USING (threshold)
+       |ORDER BY threshold""".stripMargin) { (s, d) =>
+    val withTh = dedupStage(s, d).pairs
+      .select(col("id_a"), col("id_b"), pround(col("jaccard"), 4).as("j4"))
+      .withColumn("threshold",
+        explode(array(Seq(0.8, 0.85, 0.9, 0.95).map(lit): _*)))
+      .where(col("j4") >= col("threshold"))
+    val np = withTh.groupBy(col("threshold")).agg(count(lit(1)).as("n_pairs"))
+    val nd = withTh
+      .select(col("threshold"),
+        explode(array(col("id_a"), col("id_b"))).as("id"))
+      .distinct()
+      .groupBy(col("threshold")).agg(count(lit(1)).as("n_docs"))
+    np.join(nd, Seq("threshold")).orderBy(col("threshold"))
   }
 
   // R-19 terminal step: pairwise evidence -> keep/drop decision.
@@ -1969,6 +2035,85 @@ object PipelineQueries extends QueryGroup {
         pround(col("n_ids").cast("double") / lit(bpeBudget.toDouble), 6)
           .as("fill6"))
       .orderBy(col("pack_id"))
+  }
+
+  // R-21 tokenizer evaluation: VOCAB COVERAGE CURVE — what fraction of
+  // all emitted token ids the top-m vocabulary symbols cover, at
+  // doubling cut points. The readout that sizes a production vocab
+  // (the knee of this curve is where extra merges stop paying).
+  // One vocab-sized count aggregate over the memoized encoded corpus;
+  // the rank window runs on the VOCAB-sized frame (alphabet + merges),
+  // never the corpus.
+  q("q265_vocab_coverage",
+    s"""WITH ${bpeTrainCtes(bpeMerges)},
+       |${bpeEncodeCtes(bpeMerges)},
+       |u265 AS (SELECT unnest(ids) AS id FROM enc),
+       |c265 AS (SELECT id, count(*) AS c FROM u265 GROUP BY id),
+       |r265 AS (SELECT id, c, row_number() OVER (ORDER BY c DESC, id) AS rnk,
+       |         sum(c) OVER () AS total FROM c265),
+       |m265 AS (SELECT unnest([1, 2, 4, 8, 16, 32, 64, 128]) AS m)
+       |SELECT m, count(*) AS n_top, CAST(sum(c) AS BIGINT) AS covered,
+       |  floor(sum(c) * 1.0 / max(total) * 1e6 + 0.5)/1e6 AS covered_frac6
+       |FROM m265 JOIN r265 ON rnk <= m
+       |GROUP BY m ORDER BY m""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val cnt = bpeEncoded(s, d)
+      .select(explode(col("ids")).as("id"))
+      .groupBy(col("id")).agg(count(lit(1)).as("c"))
+    val ranked = cnt
+      .withColumn("rnk",
+        row_number().over(Window.orderBy(col("c").desc, col("id"))))
+      .withColumn("total", sum(col("c")).over(
+        Window.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)))
+    val cuts = s.range(0, 1)
+      .select(explode(array(Seq(1, 2, 4, 8, 16, 32, 64, 128)
+        .map(lit): _*)).as("m"))
+    ranked.join(cuts, col("rnk") <= col("m"))
+      .groupBy(col("m"))
+      .agg(count(lit(1)).as("n_top"), sum(col("c")).as("covered"),
+        pround(sum(col("c")).cast("double") /
+          max(col("total")).cast("double"), 6).as("covered_frac6"))
+      .orderBy(col("m"))
+  }
+
+  // R-21/R-29 packing hygiene: TRUNCATION ACCOUNTING at a fixed
+  // sequence budget — per language, how many documents exceed the
+  // budget and what fraction of their ids a hard truncation would
+  // throw away (the number a pipeline weighs against q79's
+  // cross-doc packing). Row-local min/max over the memoized encoded
+  // corpus + one language-sized aggregate.
+  q("q266_truncation_budget",
+    s"""WITH ${bpeTrainCtes(bpeMerges)},
+       |${bpeEncodeCtes(bpeMerges)},
+       |t266 AS (SELECT doc_id, len(ids) AS n FROM enc),
+       |j266 AS (SELECT lang, n FROM t266 JOIN documents USING (doc_id))
+       |SELECT lang, count(*) AS n_docs,
+       |  CAST(sum(CASE WHEN n > 256 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_truncated,
+       |  CAST(sum(n) AS BIGINT) AS n_ids,
+       |  CAST(sum(CASE WHEN n > 256 THEN n - 256 ELSE 0 END) AS BIGINT)
+       |    AS ids_lost,
+       |  floor(sum(CASE WHEN n > 256 THEN n - 256 ELSE 0 END) * 1.0
+       |    / sum(n) * 1e6 + 0.5)/1e6 AS loss_frac6
+       |FROM j266 GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+    val budget = 256L
+    bpeEncoded(s, d)
+      .select(col("doc_id"), col("n_ids").cast("long").as("n"))
+      .join(Tables.documents(s, d).select(col("doc_id"), col("lang")),
+        Seq("doc_id"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("n") > budget, lit(1L)).otherwise(lit(0L)))
+          .as("n_truncated"),
+        sum(col("n")).as("n_ids"),
+        sum(when(col("n") > budget, col("n") - budget).otherwise(lit(0L)))
+          .as("ids_lost"))
+      .select(col("lang"), col("n_docs"), col("n_truncated"), col("n_ids"),
+        col("ids_lost"),
+        pround(col("ids_lost").cast("double") / col("n_ids").cast("double"),
+          6).as("loss_frac6"))
+      .orderBy(col("lang"))
   }
 
   /** Shared oracle CTE chain for the add-k bigram LM document scores
