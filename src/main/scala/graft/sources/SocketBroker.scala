@@ -166,7 +166,24 @@ object SocketBroker {
       while (true) {
         try {
           val sock = new Socket(host, port)
+          // Linux TCP SELF-CONNECT guard: a loopback connect to a port
+          // in the ephemeral range with no listener can be satisfied by
+          // simultaneous-open against ITSELF (kernel picks the
+          // destination port as the source port) — the socket then
+          // reads back its own request bytes as the "reply", i.e. a
+          // dead server answers with garbage instead of IOException.
+          // Treat it as the connection failure it is.
+          if (sock.getLocalPort == sock.getPort &&
+              sock.getLocalAddress == sock.getInetAddress) {
+            sock.close()
+            throw new IOException(
+              s"self-connect to $host:$port (no listener)")
+          }
           sock.setTcpNoDelay(true)
+          if (sys.env.contains("GRAFT_SOCKET_TRACE"))
+            System.err.println(s"[socket-trace] connected $host:$port " +
+              s"local=${sock.getLocalAddress}:${sock.getLocalPort} " +
+              s"remote=${sock.getInetAddress}:${sock.getPort} attempt=$attempt")
           return (sock, new DataInputStream(sock.getInputStream),
             new DataOutputStream(sock.getOutputStream))
         } catch {

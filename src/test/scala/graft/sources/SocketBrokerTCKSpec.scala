@@ -19,6 +19,71 @@ class SocketBrokerTCKSpec extends EnvelopeBrokerTCK
   private val servers =
     scala.collection.mutable.ArrayBuffer.empty[SocketBroker.Server]
 
+  /** A port for the bounce tests that must survive a close→rebind on
+    * the SAME number. An ephemeral (port-0) allocation is wrong for
+    * that: after server1.close() the kernel may hand the number to any
+    * OUTGOING connection on the box — Spark's own RPC/shuffle clients
+    * churn ephemeral source ports constantly — and the rebind then
+    * fails with BindException (observed as a load-correlated flake,
+    * r15). Pick below the kernel's ip_local_port_range floor (32768),
+    * PID-salted so concurrent test JVMs don't collide, and probe for a
+    * free one.
+    */
+  private def bouncePort(): Int = {
+    val base = 21000 + (ProcessHandle.current.pid % 5000).toInt
+    (0 until 50).map(i => base + i * 37).collectFirst {
+      case p if {
+        val probe = new java.net.ServerSocket()
+        try { probe.setReuseAddress(true)
+          probe.bind(new java.net.InetSocketAddress(
+            java.net.InetAddress.getLoopbackAddress, p)); true }
+        catch { case _: IOException => false }
+        finally probe.close()
+      } => p
+    }.getOrElse(fail("no free port in the bounce range"))
+  }
+
+  /** Bind on `port` with a short retry — absorbs the lingering-close
+    * race between server1.close() and the same-port rebind.
+    */
+  private def bindSamePort(
+      backend: EnvelopeBroker with WritableEnvelopeBroker,
+      port: Int): SocketBroker.Server = {
+    var last: Throwable = null
+    (0 until 40).foreach { _ =>
+      try return new SocketBroker.Server(backend, port)
+      catch { case e: java.net.BindException =>
+        last = e; Thread.sleep(250)
+      }
+    }
+    throw last
+  }
+
+  /** Assert the dead-server contract with a bounded close-propagation
+    * drain: Server.close() is not instantaneously visible to new
+    * connects — on a loaded box the JDK listener teardown raced
+    * in-flight accepts for several hundred ms, during which calls
+    * still reached a live handler and returned CORRECT answers
+    * (instrumented r15: `topicPartitions returned Vector((a,0))`,
+    * `ss -tlnp` already empty). The CONTRACT is: an answer during the
+    * drain must be RIGHT (never empty, never garbage — `check`), and
+    * within the deadline every call must surface IOException.
+    */
+  private def expectDeadEventually[A](what: String)(f: => A)(
+      check: A => Boolean): Unit = {
+    val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+    while (true) {
+      try {
+        val got = f
+        assert(check(got),
+          s"$what returned WRONG data $got from a closing server")
+        if (System.nanoTime() > deadline)
+          fail(s"$what still answering 10s after close()")
+        Thread.sleep(100)
+      } catch { case _: IOException => return }
+    }
+  }
+
   override def newBroker(): EnvelopeBroker with WritableEnvelopeBroker = {
     val server = new SocketBroker.Server(new InMemoryBroker)
     servers += server
@@ -40,8 +105,9 @@ class SocketBrokerTCKSpec extends EnvelopeBrokerTCK
     val client = new SocketBroker.Client("127.0.0.1", server.boundPort)
     assert(client.topicPartitions == Seq(("a", 0)))
     server.close()
-    intercept[IOException] { client.topicPartitions }
-    intercept[IOException] { client.latest("a", 0) }
+    expectDeadEventually("topicPartitions")(client.topicPartitions)(
+      _ == Seq(("a", 0)))
+    expectDeadEventually("latest")(client.latest("a", 0))(_ == ((1L, 1L)))
     intercept[IOException] {
       client.append(RawMessage("t", "ns", "a", 0, 1L, 1L,
         "y".getBytes("UTF-8"), null, 0L, 101L, Map.empty))
@@ -108,8 +174,8 @@ class SocketBrokerTCKSpec extends EnvelopeBrokerTCK
       backend.append(RawMessage("t", "ns", "a", 0, 1L, e,
         s"v$e".getBytes("UTF-8"), null, 0L, 100L + e, Map.empty))
     }
-    val server1 = new SocketBroker.Server(backend)
-    val port = server1.boundPort
+    val port = bouncePort()
+    val server1 = bindSamePort(backend, port)
     val client = new SocketBroker.Client("127.0.0.1", port)
     val it = client.read("a", 0, (0L, 0L), client.latest("a", 0))
     val first2 = Seq(it.next(), it.next())
@@ -117,8 +183,9 @@ class SocketBrokerTCKSpec extends EnvelopeBrokerTCK
     it.asInstanceOf[AutoCloseable].close() // abandon mid-stream
     server1.close()
     // while the server is down: loud IOException, never empty answers
-    intercept[IOException] { client.latest("a", 0) }
-    val server2 = new SocketBroker.Server(new FileBroker(dir), port)
+    // (answers inside the close-propagation drain must still be right)
+    expectDeadEventually("latest")(client.latest("a", 0))(_ == ((1L, 5L)))
+    val server2 = bindSamePort(new FileBroker(dir), port)
     try {
       // resume from the offset after the last consumed message
       val rest = client.read("a", 0,
@@ -146,8 +213,8 @@ class SocketBrokerTCKSpec extends EnvelopeBrokerTCK
       srcBackend.append(RawMessage("t", "ns", "topic-b", 0, 1L, e,
         s"payload-$e".getBytes("UTF-8"), null, 0L, 1000L + e, Map.empty))
     }
-    val server1 = new SocketBroker.Server(srcBackend)
-    val port = server1.boundPort
+    val port = bouncePort()
+    val server1 = bindSamePort(srcBackend, port)
     EnvelopeBrokerRegistry.register("socket-bounce-src",
       new SocketBroker.Client("127.0.0.1", port))
     val raw = spark.readStream.format("pulsar-envelope")
@@ -173,7 +240,7 @@ class SocketBrokerTCKSpec extends EnvelopeBrokerTCK
         srcBackend.append(RawMessage("t", "ns", "topic-b", 0, 1L, e,
           s"payload-$e".getBytes("UTF-8"), null, 0L, 1000L + e, Map.empty))
       }
-      val server2 = new SocketBroker.Server(new FileBroker(srcDir), port)
+      val server2 = bindSamePort(new FileBroker(srcDir), port)
       try {
         val q2 = MessageMirror.start(raw, sink, ckpt,
           trigger = Trigger.AvailableNow()).start()
