@@ -187,6 +187,7 @@ object Bench {
     "q263_epoch_schedule" -> 0.95, "q264_lag_report" -> 0.68,
     "q265_vocab_coverage" -> 0.29, "q266_truncation_budget" -> 0.43,
     "q267_cross_source_dups" -> 0.45, "q268_dedup_threshold_sweep" -> 0.34,
+    "q269_leakage_safe_split" -> 0.23, "q270_seq_length_histogram" -> 0.46,
     "q26_conditional" -> 0.44, "q27_sample_mod" -> 0.28,
     "q28_pivot" -> 0.79, "q29_fanout" -> 0.74,
     "q30_token_freq" -> 0.7, "q31_text_quality" -> 0.6,

@@ -114,7 +114,8 @@ object PipelineQueries extends QueryGroup {
     if (Seq("q33_ngram_jaccard", "q47_dedup_clusters",
         "q62_cluster_survivors", "q258_dedup_retention",
         "q262_cluster_sizes", "q267_cross_source_dups",
-        "q268_dedup_threshold_sweep").exists(include)) {
+        "q268_dedup_threshold_sweep", "q269_leakage_safe_split")
+        .exists(include)) {
       val st = dedupStage(s, d)
       st.clusters
       ()
@@ -128,11 +129,13 @@ object PipelineQueries extends QueryGroup {
     }
     if (Seq("q77_bpe_train", "q78_bpe_encode", "q79_pack_bpe",
         "q253_tokenizer_fertility", "q254_pack_efficiency",
-        "q265_vocab_coverage", "q266_truncation_budget")
+        "q265_vocab_coverage", "q266_truncation_budget",
+        "q270_seq_length_histogram")
         .exists(include)) { bpeTrained(s, d); () }
     if (Seq("q78_bpe_encode", "q79_pack_bpe", "q253_tokenizer_fertility",
         "q254_pack_efficiency", "q265_vocab_coverage",
-        "q266_truncation_budget").exists(include)) {
+        "q266_truncation_budget", "q270_seq_length_histogram")
+        .exists(include)) {
       bpeEncoded(s, d); ()
     }
     if (Seq("q256_ccnet_buckets", "q81_lm_score").exists(include)) {
@@ -2684,6 +2687,71 @@ object PipelineQueries extends QueryGroup {
     Curation.deterministicSplit(Tables.documents(s, d), "doc_id",
         Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
       .orderBy(col("doc_id"))
+  }
+
+  // R-29/R-19 composition: LEAKAGE-SAFE split — q96's deterministic
+  // membership drawn from the near-dup CLUSTER label, so every member
+  // of a cluster lands on the same side and an eval split can never
+  // hold a near-copy of a training doc (train/test contamination via
+  // duplicates is a measurement bug dedup alone doesn't fix; the
+  // split must be cluster-keyed). Row-local hash over the memoized
+  // cluster frame; the oracle replays q47's components then q96's
+  // arithmetic over the cluster id.
+  q("q269_leakage_safe_split",
+    s"""WITH RECURSIVE $jaccardPairCtes,
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM pr
+       |          UNION SELECT id_b, id_a FROM pr),
+       |reach(id, lbl) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.src, r.lbl FROM reach r JOIN edges e ON e.dst = r.id),
+       |comp AS (SELECT id AS doc_id, min(lbl) AS cluster FROM reach GROUP BY id),
+       |u269 AS (SELECT doc_id, cluster,
+       |    CAST('0x' || substr(md5(CAST(cluster AS VARCHAR)), 1, 15) AS BIGINT)
+       |      % 1000000 AS u
+       |  FROM comp)
+       |SELECT doc_id, cluster, u,
+       |  CASE WHEN u < 800000 THEN 'train'
+       |       WHEN u < 900000 THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM u269 ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Curation.clusterSafeSplit(
+        dedupStage(s, d).clusters.select(col("doc_id"), col("cluster")),
+        "doc_id", "cluster",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .orderBy(col("doc_id"))
+  }
+
+  // R-21 serving readout: SEQUENCE-LENGTH HISTOGRAM in real token ids
+  // over power-of-two buckets per language — the shape that sizes
+  // batch buckets / padding waste for training and serving. Integer
+  // CASE boundaries (no log2 floats near bucket edges), one
+  // language×bucket aggregate over the memoized encoded corpus.
+  q("q270_seq_length_histogram",
+    s"""WITH ${bpeTrainCtes(bpeMerges)},
+       |${bpeEncodeCtes(bpeMerges)},
+       |t270 AS (SELECT doc_id, len(ids) AS n FROM enc),
+       |b270 AS (SELECT lang,
+       |    CASE WHEN n < 16 THEN 16 WHEN n < 64 THEN 64
+       |         WHEN n < 256 THEN 256 WHEN n < 1024 THEN 1024
+       |         ELSE 4096 END AS bucket, n
+       |  FROM t270 JOIN documents USING (doc_id))
+       |SELECT lang, CAST(bucket AS INT) AS bucket, count(*) AS n_docs,
+       |  CAST(sum(n) AS BIGINT) AS n_ids
+       |FROM b270 GROUP BY lang, bucket
+       |ORDER BY lang, bucket""".stripMargin) { (s, d) =>
+    val n = col("n")
+    bpeEncoded(s, d)
+      .select(col("doc_id"), col("n_ids").cast("long").as("n"))
+      .join(Tables.documents(s, d).select(col("doc_id"), col("lang")),
+        Seq("doc_id"))
+      .select(col("lang"),
+        when(n < 16, lit(16)).when(n < 64, lit(64))
+          .when(n < 256, lit(256)).when(n < 1024, lit(1024))
+          .otherwise(lit(4096)).as("bucket"), n)
+      .groupBy(col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(n).as("n_ids"))
+      .orderBy(col("lang"), col("bucket"))
   }
 
   // R-21 scale path: BLOOM decontamination — q64's semantics with the

@@ -97,24 +97,54 @@ object Curation {
     * assigned independently (no global shuffle, no count, one
     * row-local scan).
     */
-  def deterministicSplit(docs: DataFrame, idCol: String,
-      splits: Seq[(String, Double)]): DataFrame = {
+  /** The md5-uniform ppm draw + cumulative-threshold arm fold shared
+    * by [[deterministicSplit]] and [[clusterSafeSplit]] — the last
+    * split is the unconditional tail arm: cumulative rounding can
+    * land a hair under 1e6 and no doc may fall through unsplit.
+    */
+  private def splitArms(keyCol: org.apache.spark.sql.Column,
+      splits: Seq[(String, Double)])
+      : (org.apache.spark.sql.Column, org.apache.spark.sql.Column) = {
     require(splits.nonEmpty && splits.forall(_._2 >= 0),
       "splits must be non-negative fractions")
     val ppms = splits.map { case (nm, f) => (nm, math.round(f * 1e6)) }
     require(math.abs(ppms.map(_._2).sum - 1000000L) <= splits.size,
       s"split fractions must sum to 1 (got ${splits.map(_._2).sum})")
     val cum = ppms.scanLeft(0L)(_ + _._2).tail
-    val u = graft.functions.PortableHash.md5Long60(col(idCol).cast("string")) %
+    val u = graft.functions.PortableHash.md5Long60(keyCol.cast("string")) %
       lit(1000000L)
-    // last split is the unconditional tail arm: cumulative rounding
-    // can land a hair under 1e6 and no doc may fall through unsplit
     val split = ppms.init.zip(cum.init).reverse
       .foldLeft(lit(ppms.last._1)) { case (acc, ((nm, _), c)) =>
         when(u < lit(c), lit(nm)).otherwise(acc)
       }
+    (u, split)
+  }
+
+  def deterministicSplit(docs: DataFrame, idCol: String,
+      splits: Seq[(String, Double)]): DataFrame = {
+    val (u, split) = splitArms(col(idCol), splits)
     docs.filter(col(idCol).isNotNull)
       .select(col(idCol), u.as("u"), split.as("split"))
+  }
+
+  /** LEAKAGE-SAFE train/val/test split: membership is the
+    * [[deterministicSplit]] draw of the near-dup CLUSTER label, not
+    * the document id — every member of a near-dup cluster lands on
+    * the SAME side by construction, so an eval split can never hold a
+    * near-copy of a training document (the split-level complement of
+    * dedup: surviving one copy is a choice, but letting the copies
+    * straddle the split is a measurement bug). Input is the cluster
+    * frame (idCol, clusterCol — e.g. [[Dedup]] stage clusters, where
+    * singletons carry their own id as the label, so non-duplicated
+    * docs split exactly like [[deterministicSplit]] of the cluster
+    * id). Row-local hash arithmetic — no shuffle, no global state;
+    * re-runs and corpus growth never move an existing cluster.
+    */
+  def clusterSafeSplit(clusters: DataFrame, idCol: String,
+      clusterCol: String, splits: Seq[(String, Double)]): DataFrame = {
+    val (u, split) = splitArms(col(clusterCol), splits)
+    clusters.filter(col(idCol).isNotNull && col(clusterCol).isNotNull)
+      .select(col(idCol), col(clusterCol), u.as("u"), split.as("split"))
   }
 
   /** Deterministic STRATIFIED k-fold assignment: within every

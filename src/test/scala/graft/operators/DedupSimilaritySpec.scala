@@ -1134,6 +1134,32 @@ class DedupSimilaritySpec extends SparkSuiteBase {
     }
   }
 
+  test("cluster-safe split: clusters never straddle, singletons match the id draw") {
+    import spark.implicits._
+    // 3000 docs in 1000 clusters of 3 (cluster = id div 3 * 3) plus
+    // 1000 singletons labeled with their own id
+    val grouped = (0L until 3000L).map(i => (i, i / 3 * 3))
+    val singles = (10000L until 11000L).map(i => (i, i))
+    val cl = (grouped ++ singles).toDF("doc_id", "cluster")
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val got = Curation.clusterSafeSplit(cl, "doc_id", "cluster", splits)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(3)))
+    assert(got.length === 4000)
+    // the leakage guarantee: one split per cluster, always
+    val perCluster = got.groupBy(_._2).view.mapValues(_.map(_._3).toSet)
+    assert(perCluster.values.forall(_.size == 1),
+      "a near-dup cluster straddled the split")
+    // a singleton (cluster == its own id) draws exactly what
+    // deterministicSplit of that id draws — non-duplicated docs are
+    // split-compatible with the q96 convention
+    val ids = singles.map(_._1).toDF("doc_id")
+    val plain = Curation.deterministicSplit(ids, "doc_id", splits)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    got.filter(_._1 >= 10000L).foreach { case (id, _, s) =>
+      assert(plain(id) === s)
+    }
+  }
+
   test("nearest-cell kernel matches the struct-sort rank-1 slice bit-for-bit") {
     import spark.implicits._
     val e = Tables.embeddings(spark, sfDir)
