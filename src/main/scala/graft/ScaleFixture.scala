@@ -71,7 +71,7 @@ object ScaleFixture {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    require(factor >= 1 && factor <= 100,
+    require(factor >= 1 && factor <= 676,
       "fixed-width 2-letter copy suffixes cover factor <= 676")
     val idStep = 10000000L // copy id spaces can never collide
 

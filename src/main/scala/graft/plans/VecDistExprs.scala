@@ -27,6 +27,18 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, NullType}
   *
   * Both sides must be `array<double>`; length mismatch folds over
   * min(len) ([[FloatVecDot]]'s rule). Null input ⇒ null output.
+  *
+  * PRECONDITION (r15 ADVICE): element slots must be NON-NULL and the
+  * arrays fixed-width. The "bit-identical to the chains" claim holds
+  * only there — the `element_at` chains these replace returned NULL
+  * for a null element or an out-of-range index (the row was then
+  * dropped by mmrSelect's `__n > 0` guard), while the loop folds over
+  * min(len) and `ArrayData.getDouble` on a null slot reads an
+  * UNDEFINED value. Every current caller ([[graft.operators.Coreset]]
+  * literal centroid/corpus vectors built from the embeddings fixture)
+  * satisfies this; a future caller with ragged or element-nullable
+  * arrays would silently get different selections than the chain form
+  * and must pre-normalize (null-fill or length-filter) first.
   */
 private[graft] trait DoubleVecBinary extends BinaryExpression {
   override def dataType: DataType = DoubleType

@@ -54,6 +54,57 @@ class BenchGateSpec extends AnyFunSuite {
     assert(mapper.readTree(zeroComp).get("q02").get("comp") == null)
   }
 
+  test("retryVerdict: quiet-box behavior is unchanged vs wouldFlag") {
+    // quiet probe (== compPrior) → norm 1.0: a reproducing 2x excess
+    // confirms; a retry back at prior exonerates
+    assert(Bench.retryVerdict(1.0, 2.0, 0.35, 0.35) == ("confirmed", 1.0))
+    assert(Bench.retryVerdict(1.0, 1.0, 0.35, 0.35) == ("exonerated", 1.0))
+    // just-under-the-gate retry min exonerates too
+    assert(Bench.retryVerdict(1.0, 1.5, 0.35, 0.35)._1 == "exonerated")
+  }
+
+  test("retryVerdict: verdict is invariant under a uniform 2x box slowdown") {
+    // the r15 VERDICT #6 criterion: priors bake in quiet-box speed, so
+    // a box running uniformly 2x slower (probe 0.70 vs quiet 0.35)
+    // must NOT flag a query that merely moved with it...
+    val (v1, n1) = Bench.retryVerdict(1.0, 2.0, 0.70, 0.35)
+    assert(v1 == "exonerated_normalized" && math.abs(n1 - 2.0) < 1e-9)
+    // ...while a REAL 2x plan regression measured on that same slow
+    // box (reads ~4x prior) still exceeds the normalized gate — but
+    // can only be reported unconfirmed, because the box is not quiet
+    assert(Bench.retryVerdict(1.0, 4.0, 0.70, 0.35)._1 ==
+      "unconfirmed_loaded")
+    // and the same 4x reading on a QUIET box confirms
+    assert(Bench.retryVerdict(1.0, 4.0, 0.35, 0.35)._1 == "confirmed")
+  }
+
+  test("retryVerdict: the norm clamp caps masking at 3x") {
+    // a pathological probe (10x quiet) cannot normalize away an
+    // order-of-magnitude regression: norm clamps to 3, and 10x prior
+    // still exceeds the 1.5 * 3x gate — reported unconfirmed (the box
+    // is demonstrably loaded), never silently exonerated
+    val (v, n) = Bench.retryVerdict(1.0, 10.0, 3.5, 0.35)
+    assert(n == 3.0 && v == "unconfirmed_loaded")
+  }
+
+  test("retryJson parses strictly, including an empty-reps crash entry") {
+    val ok = "{" + Bench.retryJson("q33_ngram_jaccard", sweepMin = 4.1,
+      p = 2.31, retryReps = Seq(2.4, 2.3, 2.5), probes = Seq(0.4, 0.36),
+      verdict = "exonerated", norm = 1.143) + "}"
+    val n = mapper.readTree(ok).get("q33_ngram_jaccard")
+    assert(n.get("sweep_min").asDouble() == 4.1)
+    assert(n.get("retry_min").asDouble() == 2.3)
+    assert(n.get("retry_reps").size() == 3)
+    assert(n.get("probes").size() == 2)
+    assert(n.get("verdict").asText() == "exonerated")
+    assert(n.get("norm").asDouble() == 1.143)
+    val crash = "{" + Bench.retryJson("q99", 4.1, 2.31, Seq.empty,
+      Seq(0.4), "confirmed", 1.0) + "}"
+    val m = mapper.readTree(crash).get("q99")
+    assert(m.get("retry_min").asDouble() == -1.0)
+    assert(m.get("retry_reps").size() == 0)
+  }
+
   test("a multi-flag regressions map assembles into one JSON object") {
     val entries = Seq(
       Bench.flagJson("q10_semi_anti", 0.9, 0.31, Seq(0.95, 0.9),

@@ -64,7 +64,7 @@ def main():
         if os.path.isdir(src):
             src = f"{src}/*.parquet"
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')")
-    n_ok = n_bad = 0
+    n_ok = n_bad = n_no_oracle = 0
     t_start = time.monotonic()
     comp_before = comparator(con) if self_json else None
     queries = {}
@@ -76,7 +76,16 @@ def main():
             continue
         spark_tbl = pq.read_table(path)
         if name not in oracle:
-            print(f"  ?? {name}: no oracle ({spark_tbl.num_rows} rows)")
+            # a gated output with no oracle SQL is a FAILURE here, not a
+            # skip: every query this engine claims as done carries an
+            # oracle, so a missing entry means the surface regressed —
+            # and the self-json artifact exists precisely so that can't
+            # read as a clean pass (r15 ADVICE #4)
+            print(f"  !! {name}: no oracle ({spark_tbl.num_rows} rows)")
+            queries[name] = {"ok": False, "why": "no oracle",
+                             "rows": spark_tbl.num_rows}
+            n_bad += 1
+            n_no_oracle += 1
             continue
         t_q = time.monotonic()
         try:
@@ -115,7 +124,7 @@ def main():
     if self_json:
         comp_after = comparator(con)
         artifact = {
-            "n_ok": n_ok, "n_bad": n_bad,
+            "n_ok": n_ok, "n_bad": n_bad, "n_no_oracle": n_no_oracle,
             "check_wall_sec": round(time.monotonic() - t_start, 3),
             "comparator_sec": [comp_before, comp_after],
             "sf_dir": sfdir,
