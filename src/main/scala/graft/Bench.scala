@@ -97,6 +97,12 @@ object Bench {
     * (BASELINE.md round-15 late-additions note: steady-state mins
     * 0.21/0.46); the entries are those runs' MEDIANS (0.23/0.46) —
     * the same typical-not-min convention as the sweep-derived rows.
+    *
+    * priorBasis (round 16 — q271-q274 added): medians of one isolated
+    * 5-rep sf0.1 run at introduction (comparator [0.59, 0.45]):
+    * q271 2.93, q272 0.50, q273 1.24, q274 0.65 (first reps were the
+    * cold-JIT outliers the min-of-reps convention absorbs; BASELINE.md
+    * round-16 scale-arm section records the same run).
     */
   private val priorMins: Map[String, Double] = Map(
     "q01_scan_project" -> 1.32, "q02_filter_predicates" -> 0.34,
@@ -197,6 +203,8 @@ object Bench {
     "q265_vocab_coverage" -> 0.29, "q266_truncation_budget" -> 0.43,
     "q267_cross_source_dups" -> 0.45, "q268_dedup_threshold_sweep" -> 0.34,
     "q269_leakage_safe_split" -> 0.23, "q270_seq_length_histogram" -> 0.46,
+    "q271_mirror_e2e" -> 2.93, "q272_bucketed_neardup" -> 0.5,
+    "q273_multiband_neardup" -> 1.24, "q274_cell_neardup" -> 0.65,
     "q26_conditional" -> 0.44, "q27_sample_mod" -> 0.28,
     "q28_pivot" -> 0.79, "q29_fanout" -> 0.74,
     "q30_token_freq" -> 0.7, "q31_text_quality" -> 0.6,

@@ -967,6 +967,131 @@ object PipelineQueries extends QueryGroup {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  // R-20, single-table sign-bucket pair mining on the oracle gate
+  // (r15 VERDICT #2 follow-through — the scale arms had never been
+  // oracle-gated or deck-measured; every fixture sits under the 1 GiB
+  // gate, so deck sweeps always ran q36's exact arm). The oracle
+  // replays the axis-aligned sign-bucket blocking (q38's convention):
+  // pairs form only inside equal first-8-dim sign patterns, so the
+  // hash-match pins this arm's exact output, missed cross-bucket
+  // pairs included, at sf0.01 AND deck10. Measured (BASELINE.md r16):
+  // ~2.5% recall at the 0.4 threshold — kept as the high-cosine
+  // building block; the ROUTER's scale arm is q274's cell-bounded
+  // mining.
+  q("q272_bucketed_neardup",
+    """WITH e AS (SELECT vec_id, embedding,
+      |  (CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END) ||
+      |  (CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END) ||
+      |  (CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END) ||
+      |  (CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END) ||
+      |  (CASE WHEN embedding[5] >= 0 THEN '1' ELSE '0' END) ||
+      |  (CASE WHEN embedding[6] >= 0 THEN '1' ELSE '0' END) ||
+      |  (CASE WHEN embedding[7] >= 0 THEN '1' ELSE '0' END) ||
+      |  (CASE WHEN embedding[8] >= 0 THEN '1' ELSE '0' END) AS bucket
+      |  FROM embeddings),
+      |u AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+      |        unnest(embedding)::DOUBLE AS x FROM embeddings),
+      |nrm AS (SELECT vec_id, sqrt(sum(x*x)) AS nr FROM u GROUP BY vec_id),
+      |cand AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      |         FROM e a JOIN e b ON a.bucket = b.bucket
+      |         WHERE a.vec_id < b.vec_id),
+      |d AS (SELECT id_a, id_b, sum(au.x * bu.x) AS dp
+      |      FROM cand JOIN u au ON au.vec_id = id_a
+      |                JOIN u bu ON bu.vec_id = id_b AND au.i = bu.i
+      |      GROUP BY 1, 2),
+      |c AS (SELECT id_a, id_b,
+      |        floor((dp / (x.nr * y.nr)) * 1000000.0 + 0.5) / 1000000.0 AS cos
+      |      FROM d JOIN nrm x ON x.vec_id = id_a JOIN nrm y ON y.vec_id = id_b)
+      |SELECT id_a, id_b, cos FROM c WHERE cos >= 0.4
+      |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+    Similarity.bucketedPairsCosine(Tables.embeddings(s, d),
+        "vec_id", "embedding", threshold = 0.4, bits = 8)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  // R-20, multi-table sign-bucket pair mining: eight independent
+  // tables over disjoint 8-dim slices, candidate = same bucket in ANY
+  // table (q63's signBucketAt family as a PAIR miner); the oracle
+  // replays the per-table blocking with list slicing and a DISTINCT
+  // union. Measured (BASELINE.md r16): ~8x q272's recall at deck10 —
+  // but QUADRATIC at deck30 (fixed 256-bucket tables ⇒ occupancy
+  // grows with the corpus; 160 s vs the exact arm's 28.5 s), which is
+  // why the router's scale arm is q274's cell-bounded mining, not any
+  // fixed-bits sign family. Gated for the high-cosine regime it
+  // suits.
+  q("q273_multiband_neardup",
+    """WITH tb AS (SELECT unnest(generate_series(0, 7)) AS tbl),
+      |e AS (SELECT vec_id, tbl,
+      |        array_to_string(list_transform(
+      |          embedding[tbl*8+1:tbl*8+8],
+      |          x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS bucket
+      |      FROM embeddings CROSS JOIN tb),
+      |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      |         FROM e a JOIN e b ON a.tbl = b.tbl AND a.bucket = b.bucket
+      |         WHERE a.vec_id < b.vec_id),
+      |u AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+      |        unnest(embedding)::DOUBLE AS x FROM embeddings),
+      |nrm AS (SELECT vec_id, sqrt(sum(x*x)) AS nr FROM u GROUP BY vec_id),
+      |d AS (SELECT id_a, id_b, sum(au.x * bu.x) AS dp
+      |      FROM cand JOIN u au ON au.vec_id = id_a
+      |                JOIN u bu ON bu.vec_id = id_b AND au.i = bu.i
+      |      GROUP BY 1, 2),
+      |c AS (SELECT id_a, id_b,
+      |        floor((dp / (x.nr * y.nr)) * 1000000.0 + 0.5) / 1000000.0 AS cos
+      |      FROM d JOIN nrm x ON x.vec_id = id_a JOIN nrm y ON y.vec_id = id_b)
+      |SELECT id_a, id_b, cos FROM c WHERE cos >= 0.4
+      |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+    Similarity.bucketedPairsCosineMulti(Tables.embeddings(s, d),
+        "vec_id", "embedding", threshold = 0.4, bits = 8, tables = 8)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  // R-20, the ROUTED arm of q36's byte-gate router (r16): SemDeDup
+  // cell-bounded pair mining — q84's within-cell pass exposed as a
+  // pair frame. autoCells keeps cell occupancy ~constant (~100), so
+  // the pass stays LINEAR as the corpus grows (deck measurements in
+  // BASELINE.md r16), and k-means locality recalls far more
+  // mid-cosine pairs than sign-pattern equality (q272/q273). The
+  // oracle replays q84's smallest-id-centroid assignment and mines
+  // pairs within equal cells.
+  q("q274_cell_neardup",
+    """WITH u AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+      |             unnest(embedding)::DOUBLE AS x FROM embeddings),
+      |nrm AS (SELECT vec_id, sqrt(sum(x*x)) AS nr FROM u GROUP BY vec_id),
+      |nc AS (SELECT greatest(8, CAST(ceil(count(*) / 100.0) AS BIGINT)) AS cells
+      |       FROM embeddings),
+      |cent AS (SELECT cvid, CAST(rn - 1 AS INT) AS cell FROM (
+      |           SELECT vec_id AS cvid,
+      |             row_number() OVER (ORDER BY vec_id) AS rn FROM embeddings)
+      |         WHERE rn <= (SELECT cells FROM nc)),
+      |vc0 AS (SELECT a.vec_id AS vid, c.cell AS cell, c.cvid AS cvid,
+      |          sum(a.x * b.x) AS dp
+      |        FROM u a JOIN cent c ON true
+      |        JOIN u b ON b.vec_id = c.cvid AND a.i = b.i
+      |        GROUP BY 1, 2, 3),
+      |vc AS (SELECT vid, cell,
+      |         floor((dp / (x.nr * y.nr)) * 1000000.0 + 0.5) / 1000000.0 AS ccos
+      |       FROM vc0 JOIN nrm x ON x.vec_id = vid JOIN nrm y ON y.vec_id = cvid),
+      |assign AS (SELECT vid, cell FROM (
+      |  SELECT vid, cell, row_number() OVER (PARTITION BY vid
+      |           ORDER BY (1.0 - ccos) ASC, cell) AS rn FROM vc) WHERE rn = 1),
+      |p AS (SELECT a.vid AS id_a, b.vid AS id_b
+      |      FROM assign a JOIN assign b USING (cell) WHERE a.vid < b.vid),
+      |pd AS (SELECT id_a, id_b, sum(au.x * bu.x) AS dp
+      |       FROM p JOIN u au ON au.vec_id = id_a
+      |              JOIN u bu ON bu.vec_id = id_b AND au.i = bu.i
+      |       GROUP BY 1, 2),
+      |pc AS (SELECT id_a, id_b,
+      |         floor((dp / (x.nr * y.nr)) * 1000000.0 + 0.5) / 1000000.0 AS cos
+      |       FROM pd JOIN nrm x ON x.vec_id = id_a JOIN nrm y ON y.vec_id = id_b)
+      |SELECT id_a, id_b, cos FROM pc WHERE cos >= 0.4
+      |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+    val e = Tables.embeddings(s, d)
+    Similarity.cellPairsCosine(e, "vec_id", "embedding", threshold = 0.4,
+        numCells = Similarity.autoCells(e.count()))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   // ---------------------------------------------------------------- U-1
   // The scalar-UDF escape hatch on the oracle gate: consecutive-id
   // embedding pairs scored by [[graft.functions.Udfs.cosineUdf]] (the

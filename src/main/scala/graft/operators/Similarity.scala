@@ -101,12 +101,20 @@ object Similarity {
     *     [[broadcastAllPairsCosine]]: EXACT, collect + broadcast +
     *     tight JVM loops — fine for a dimension/probe table, the
     *     scale-killer for a 100 TB corpus.
-    *   - larger → [[bucketedPairsCosine]]: sign-bucket blocked — the
-    *     candidate join is an equi-join on the bucket, fully
-    *     distributed, no driver materialization. APPROXIMATE: pairs
-    *     whose first-`bits` sign patterns differ are missed (high-
-    *     cosine near-dups rarely do; recall is asserted against the
-    *     exact path in SimilaritySpec).
+    *   - larger → [[cellPairsCosine]]: SemDeDup-style cell-bounded
+    *     pair mining — the candidate join is an equi-join on the
+    *     nearest-centroid cell, occupancy held ~constant by
+    *     [[autoCells]], so the pass stays LINEAR as the corpus grows.
+    *     APPROXIMATE: cross-cell pairs are missed. The sign-hash
+    *     alternatives were built and MEASURED first (BASELINE.md
+    *     r16): single-table 8-bit recalled ~2.5% of threshold-0.4
+    *     pairs (the textbook (1−θ/π)^bits collision rate), and the
+    *     8-table OR variant, ~8× the recall at deck10, went
+    *     QUADRATIC at deck30 (fixed bucket count ⇒ occupancy grows
+    *     with the corpus) — 160 s vs the exact arm's 28.5 s. Both
+    *     remain available ([[bucketedPairsCosine]] /
+    *     [[bucketedPairsCosineMulti]], oracle-gated as q272/q273)
+    *     for the high-cosine regime they suit.
     *
     * The gate is bytes, not rows: a row cap alone would let a 4M-row
     * corpus of 768-dim embeddings (~12 GB) through a gate sized for
@@ -121,19 +129,27 @@ object Similarity {
       threshold: Double,
       maxBroadcastBytes: Long = 1L << 30,
       bucketBits: Int = 8): DataFrame = {
+    // measurement knob (r15 VERDICT #2): every test fixture sits far
+    // under the byte gate, so the ROUTED arm the 100 TB story depends
+    // on never engaged in a deck sweep. Overriding the gate (e.g. =0)
+    // forces the bucketed arm at any scale so its wall time and recall
+    // can be measured against the exact arm on the same deck
+    // (BASELINE.md round-16 row); unset, the router is unchanged.
+    val gateBytes = sys.env.get("GRAFT_SIM_MAX_BROADCAST_BYTES")
+      .map(_.toLong).getOrElse(maxBroadcastBytes)
     // dimension probe skips null vectors (a null head row must not
     // NPE the router before either path runs)
     val sample = emb.select(col(vecCol)).filter(col(vecCol).isNotNull).head(1)
     if (sample.isEmpty)
       return broadcastAllPairsCosine(emb, idCol, vecCol, threshold) // no vectors
     val dims = math.max(1, sample(0).getSeq[Float](0).size)
-    val maxRows = maxBroadcastBytes / (4L * dims)
+    val maxRows = gateBytes / (4L * dims)
     val probeLimit = // +1 may overflow for huge budgets — clamp first
       if (maxRows >= Int.MaxValue.toLong) Int.MaxValue
       else (maxRows + 1).toInt
     val small = emb.limit(probeLimit).count() <= maxRows
     if (small) broadcastAllPairsCosine(emb, idCol, vecCol, threshold)
-    else bucketedPairsCosine(emb, idCol, vecCol, threshold, bucketBits)
+    else cellPairsCosine(emb, idCol, vecCol, threshold)
   }
 
   /** Rank-1 cell ASSIGNMENT for float centroids: the
@@ -231,6 +247,55 @@ object Similarity {
       .select(col("vec_id").as(idCol), col("cell"),
         coalesce(col("__dup"), lit(false)).as("__d"))
       .withColumn("keep", !col("__d")).drop("__d")
+  }
+
+  /** Cell-bounded all-pairs cosine — the pair-mining core of
+    * [[semanticDedup]] exposed as a pair frame, and the ROUTED arm of
+    * [[allPairsCosine]] (r16). Vectors are assigned to their nearest
+    * of `numCells` centroids (deterministic smallest-id centroids by
+    * default — the oracle-reproducible q84 convention — or
+    * caller-trained k-means via `centroids`); 6-dp cosines are
+    * computed within each cell only.
+    *
+    * Why this is the scale arm (BASELINE.md r16 measurements): a
+    * sign-bucket family at FIXED bits has a fixed bucket count, so
+    * occupancy — and per-bucket quadratic work — grows linearly with
+    * the corpus: the 8-table arm measured 7.0 s at deck10 but 160 s
+    * at deck30, WORSE than the exact arm's 28.5 s, while recalling
+    * ≤25% of threshold pairs. Cells sized by [[autoCells]] keep
+    * occupancy ~constant (~100 rows/cell), so the within-cell pass
+    * stays ~N·occupancy/2 = LINEAR, and k-means locality recalls far
+    * more mid-cosine neighbors than sign-pattern equality.
+    *
+    * At deployment scale: pass [[trainIvfCentroids]] output (or mine
+    * pairs from a persisted [[SimilarityIndex.buildIvf]] assignment)
+    * — the auto mode ships smallest-id centroids as expression
+    * literals, the right shape for ≤ ~10⁴ cells, not for a 10⁹-row
+    * corpus's 10⁷.
+    */
+  def cellPairsCosine(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      numCells: Int = 0,
+      centroids: Option[Seq[(Int, Array[Float])]] = None): DataFrame = {
+    val spark = emb.sparkSession
+    val cells = if (numCells > 0) numCells else autoCells(emb.count())
+    val cents = centroids.getOrElse(
+      smallestIdCentroids(emb, idCol, vecCol, cells))
+    require(cents.nonEmpty, "cannot mine pairs against zero cells")
+    val assigned = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
+      cellAssign(spark, cents, col(vecCol)).as("cell"))
+    val a = assigned.select(col("id").as("id_a"), col("v").as("va"),
+      col("cell"))
+    val b = assigned.select(col("id").as("id_b"), col("v").as("vb"),
+      col("cell"))
+    a.join(b, "cell")
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        cos6(spark, col("va"), col("vb")).as("cos"))
+      .filter(col("cos") >= threshold)
   }
 
   /** Johnson-Lindenstrauss random projection (q110): project each
@@ -406,6 +471,65 @@ object Similarity {
     a.join(b, col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         cos6(emb.sparkSession, col("a.v"), col("b.v")).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
+  /** Multi-table blocked all-pairs cosine — the ROUTED arm of
+    * [[allPairsCosine]] (r16): `tables` independent sign-bucket hash
+    * tables over DISJOINT dimension slices (table t buckets on sign
+    * bits of dims [t·bits+1 .. (t+1)·bits], exactly q63's
+    * [[VectorFns.signBucketAt]] family), a pair is a candidate when it
+    * shares a bucket in ANY table. Measured on the deck fixtures
+    * (BASELINE.md round 16): the single-table arm's recall at the
+    * q36 threshold regime is ~2.5% — OR-banding L=8 disjoint slices
+    * multiplies recall ~(1-(1-p)^L)/p ≈ 8× at the same equi-join
+    * shape and still misses mid-cosine pairs by LSH design (a
+    * cos≈0.45 pair is NOT "near" under any locality-sensitive family;
+    * mid-threshold SEMANTIC similarity at scale belongs to the
+    * cell-bounded [[semanticDedup]] design, which bounds the pair
+    * search by k-means locality instead of hash collisions).
+    *
+    * Scale shape: the per-table candidate join is a (tbl, bucket)
+    * equi-join — fully distributed, no driver materialization; the
+    * DISTINCT collapses multi-table hits BEFORE the cosine join-back,
+    * so each surviving candidate pays the dot product once. Work is
+    * L × the single-table arm's candidates plus one dedup exchange —
+    * linear in corpus size at fixed bucket occupancy.
+    */
+  def bucketedPairsCosineMulti(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      bits: Int = 8,
+      tables: Int = 0): DataFrame = {
+    val sample = emb.select(col(vecCol)).filter(col(vecCol).isNotNull).head(1)
+    if (sample.isEmpty)
+      return bucketedPairsCosine(emb, idCol, vecCol, threshold, bits)
+    val dims = math.max(1, sample(0).getSeq[Float](0).size)
+    // auto: every full disjoint slice, capped at 8 tables (beyond
+    // that the candidate unions outgrow the recall gain on any
+    // realistic dim count)
+    val l = if (tables > 0) tables
+      else math.max(1, math.min(8, dims / bits))
+    val e = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val bucketed = (0 until l).map { t =>
+      e.select(col("id"), lit(t).as("tbl"),
+        VectorFns.signBucketAt(col("v"), lit(t * bits), bits).as("bucket"))
+    }.reduce(_ unionByName _)
+    val a = bucketed.alias("a")
+    val b = bucketed.alias("b")
+    val cand = a.join(b,
+        col("a.tbl") === col("b.tbl") &&
+          col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    cand
+      .join(e.select(col("id").as("id_a"), col("v").as("va")), Seq("id_a"))
+      .join(e.select(col("id").as("id_b"), col("v").as("vb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        cos6(emb.sparkSession, col("va"), col("vb")).as("cos"))
       .filter(col("cos") >= threshold)
   }
 

@@ -143,18 +143,69 @@ class DedupSimilaritySpec extends SparkSuiteBase {
     val exact = Similarity.broadcastAllPairsCosine(emb, "vec_id", "embedding", 0.99)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
     assert(planted.subsetOf(exact.keySet))
-    // router with a zero byte budget forces the bucketed path
+    // router with a zero byte budget forces the ROUTED arm (r16:
+    // cell-bounded pair mining — a planted perturbation shares its
+    // base's nearest centroid, so every planted pair survives)
     val bucketed = Similarity.allPairsCosine(emb, "vec_id", "embedding", 0.99,
         maxBroadcastBytes = 0L, bucketBits = 8)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
-    // every planted near-dup survives bucketing (signs preserved) with
-    // the identical 6-decimal cosine, and nothing outside the exact
+    // every planted near-dup survives the routed arm with the
+    // identical 6-decimal cosine, and nothing outside the exact
     // result appears
     planted.foreach { p =>
       assert(bucketed.contains(p), s"bucketed path missed planted pair $p")
       assert(math.abs(bucketed(p) - exact(p)) < 1e-12)
     }
     assert(bucketed.keySet.subsetOf(exact.keySet))
+  }
+
+  test("multi-table pair mining recalls a pair single-table misses; subset of exact") {
+    import spark.implicits._
+    // a/b: tiny opposite-sign dim 1 (table 0's slice buckets differ),
+    // identical dims 9..16 (table 1's slice matches) — cos ~0.999.
+    // Padding rows keep the frame from being two lonely vectors.
+    val strong = Array.fill(15)(0.5f)
+    val a = 0.01f +: strong
+    val b = -0.01f +: strong
+    val rnd = new scala.util.Random(7)
+    val pad = (10 until 20).map(i =>
+      (i.toLong, Array.fill(16)((rnd.nextDouble() * 2 - 1).toFloat)))
+    val emb = (Seq((0L, a), (1L, b)) ++ pad).toDF("vec_id", "embedding")
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val single = pairs(Similarity.bucketedPairsCosine(
+      emb, "vec_id", "embedding", 0.9, bits = 8))
+    val multi = pairs(Similarity.bucketedPairsCosineMulti(
+      emb, "vec_id", "embedding", 0.9, bits = 8, tables = 2))
+    assert(!single.contains((0L, 1L)),
+      "fixture broken: single-table should miss the sign-flipped pair")
+    assert(multi.contains((0L, 1L)),
+      "table 1's disjoint slice must recall the pair table 0 misses")
+    val exact = pairs(Similarity.broadcastAllPairsCosine(
+      emb, "vec_id", "embedding", 0.9))
+    assert(multi.subsetOf(exact), "blocking must never invent pairs")
+    assert(single.subsetOf(multi),
+      "the multi-table candidate set contains every single-table candidate")
+  }
+
+  test("cellPairsCosine is semanticDedup's pair frame: dup flags coincide") {
+    val e = Tables.embeddings(spark, sfDir)
+    val cells = Similarity.autoCells(e.count())
+    // id_b is always the larger id, so the dup set under the
+    // smallest-id survivor convention is exactly {id_b}
+    val dupIds = Similarity.cellPairsCosine(
+        e, "vec_id", "embedding", threshold = 0.4, numCells = cells)
+      .select("id_b").collect().map(_.getLong(0)).toSet
+    val sd = Similarity.semanticDedup(
+        e, "vec_id", "embedding", numCells = cells, threshold = 0.4)
+      .select("vec_id", "keep").collect()
+    assert(sd.nonEmpty)
+    sd.foreach { r =>
+      assert(r.getBoolean(1) == !dupIds.contains(r.getLong(0)),
+        s"vec ${r.getLong(0)}: keep=${r.getBoolean(1)} but pair-frame " +
+          s"dup=${dupIds.contains(r.getLong(0))}")
+    }
   }
 
   test("trained IVF centroids: recall >= smallest-id stand-in on planted clusters") {
