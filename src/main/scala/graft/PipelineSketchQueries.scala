@@ -680,6 +680,68 @@ object PipelineSketchQueries extends QueryGroup {
       Seq("c_nationkey", "bal_k"), "c_mktsegment", l = 3L)
   }
 
+  // The skewness-attack companion (Li et al. ICDE 2007), completing
+  // the release-audit family k-anon → l-div → t-closeness: a group
+  // can be large AND diverse yet leak because its sensitive
+  // distribution is far from the table's. Ordered-distance EMD per
+  // (segment, nation) group over the balance-bucket domain; the
+  // oracle replays the rank-ordered cumulative sum with the same
+  // 1e-6 fixed-point snap before the order-free per-group long sum
+  // (a raw double sum would be association-order-dependent across
+  // engines).
+  q("q275_t_closeness",
+    """WITH pr AS (SELECT c_mktsegment AS seg, c_nationkey AS nat,
+      |    CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS v,
+      |    CAST(count(*) AS BIGINT) AS n
+      |  FROM customer GROUP BY 1, 2, 3),
+      |gl AS (SELECT v, CAST(sum(n) AS BIGINT) AS g FROM pr GROUP BY 1),
+      |glr AS (SELECT v, g, row_number() OVER (ORDER BY v) AS r FROM gl),
+      |tot AS (SELECT CAST(sum(g) AS BIGINT) AS nn,
+      |    CAST(count(*) AS BIGINT) AS m FROM gl),
+      |grp AS (SELECT seg, nat, CAST(sum(n) AS BIGINT) AS nr
+      |  FROM pr GROUP BY 1, 2),
+      |dense AS (SELECT grp.seg, grp.nat, grp.nr, glr.g, glr.r,
+      |    tot.nn, tot.m, coalesce(pr.n, 0) AS cnt
+      |  FROM grp CROSS JOIN glr CROSS JOIN tot
+      |  LEFT JOIN pr ON pr.seg = grp.seg AND pr.nat = grp.nat
+      |    AND pr.v = glr.v),
+      |cum AS (SELECT seg, nat, nr, r, m,
+      |    sum(CAST(cnt AS DOUBLE) / CAST(nr AS DOUBLE)
+      |        - CAST(g AS DOUBLE) / CAST(nn AS DOUBLE))
+      |      OVER (PARTITION BY seg, nat ORDER BY r
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cd
+      |  FROM dense),
+      |eg AS (SELECT seg, nat, max(nr) AS nr, max(m) AS m,
+      |    CAST(sum(CASE WHEN r < m
+      |      THEN CAST(floor(abs(cd) * 1e6 + 0.5) AS BIGINT)
+      |      ELSE 0 END) AS BIGINT) AS micro
+      |  FROM cum GROUP BY 1, 2),
+      |e6 AS (SELECT nr, CASE WHEN m > 1
+      |    THEN floor((CAST(micro AS DOUBLE) / 1e6)
+      |      / CAST(m - 1 AS DOUBLE) * 1e6 + 0.5) / 1e6
+      |    ELSE CAST(0 AS DOUBLE) END AS emd6
+      |  FROM eg)
+      |SELECT CAST(0.2 AS DOUBLE) AS t,
+      |  CAST(sum(nr) AS BIGINT) AS n_rows,
+      |  CAST(count(*) AS BIGINT) AS n_groups,
+      |  CAST(sum(CASE WHEN emd6 > 0.2 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_far_groups,
+      |  CAST(sum(CASE WHEN emd6 > 0.2 THEN nr ELSE 0 END) AS BIGINT)
+      |    AS n_rows_far,
+      |  CASE WHEN sum(nr) > 0 THEN
+      |    floor(CAST(sum(CASE WHEN emd6 > 0.2 THEN nr ELSE 0 END) AS DOUBLE)
+      |      / CAST(sum(nr) AS DOUBLE) * 1e6 + 0.5)/1e6
+      |  END AS share_far6,
+      |  max(emd6) AS max_emd6,
+      |  sum(CASE WHEN emd6 > 0.2 THEN nr ELSE 0 END) = 0 AS t_close
+      |FROM e6""".stripMargin) { (s, d) =>
+    val qi = Tables.customer(s, d).select(
+      col("c_mktsegment").as("seg"), col("c_nationkey").as("nat"),
+      floor(col("c_acctbal").cast("double") / lit(1000.0)).cast("long")
+        .as("v"))
+    graft.operators.Audit.tCloseness(qi, Seq("seg", "nat"), "v", t = 0.2)
+  }
+
   // Scale-path runtime filter on the oracle surface: Bloom-pruned join
   // (ScaleOps.bloomPrunedJoin) — the dim subset's keys ship as a
   // fixed-size Bloom bit frame and the fact side is pruned by k

@@ -451,4 +451,88 @@ object Audit {
         col("min_diversity"),
         (col("n_rows_low") === 0L).as("l_diverse"))
   }
+
+  /** t-closeness audit (Li, Li & Venkatasubramanian, ICDE 2007): the
+    * third release gate of the family — a QI group can clear
+    * k-anonymity AND l-diversity yet still leak when its sensitive
+    * distribution differs sharply from the table's (skewness attack:
+    * "diverse but all-extreme"). Per QI group, the ordered-distance
+    * Earth Mover's Distance between the group's distribution over the
+    * sensitive values and the GLOBAL distribution:
+    * EMD = (1/(m−1)) · Σ_{j<m} |Σ_{i≤j} (q_i − p_i)| over the m
+    * globally-ordered sensitive values; the release is t-close when
+    * every group's EMD ≤ t.
+    *
+    * The sensitive column must be ORDERED and LOW-CARDINALITY (a
+    * bucketed numeric or an ordinal code): the value domain is
+    * rank-indexed with ONE m-row single-task window (catalog-sized by
+    * contract) and broadcast, and the per-group frame is groups × m
+    * rows — the QI-group window partitions are exactly m rows each,
+    * never corpus-sized. Portability discipline: q_i and p_i are
+    * double divisions of exact counts (bit-identical cross-engine),
+    * the cumulative sum runs in pinned rank order (sequential in both
+    * engines), each |cum| is SNAPPED TO 1e-6 FIXED-POINT LONGS before
+    * the per-group sum (long addition is order-free where a double
+    * sum is not), and the final EMD is 6-dp rounded.
+    *
+    * Output: ONE row (t, n_rows, n_groups, n_far_groups, n_rows_far,
+    * share_far6, max_emd6, t_close = n_rows_far == 0).
+    */
+  def tCloseness(
+      df: DataFrame,
+      qiCols: Seq[String],
+      sensitiveCol: String,
+      t: Double): DataFrame = {
+    require(qiCols.nonEmpty, "tCloseness needs quasi-identifier columns")
+    require(!qiCols.contains(sensitiveCol),
+      "sensitive column must not be part of the quasi-identifier")
+    require(t > 0 && t < 1, s"t must be in (0, 1), got $t")
+    def p6(c: Column) = floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+    import org.apache.spark.sql.expressions.Window
+    val pairs = df
+      .groupBy((qiCols.map(col) :+ col(sensitiveCol).as("__v")): _*)
+      .agg(count(lit(1)).as("__n"))
+    val glob = pairs.groupBy(col("__v")).agg(sum(col("__n")).as("__g"))
+    // m-row unpartitioned window: the sensitive DOMAIN, not the corpus
+    val globR = glob.select(col("__v"), col("__g"),
+      row_number().over(Window.orderBy(col("__v"))).as("__r"))
+    val tot = glob.agg(sum(col("__g")).as("__nn"),
+      count(lit(1)).as("__m"))
+    val grp = pairs.groupBy(qiCols.map(col): _*)
+      .agg(sum(col("__n")).as("__rows"))
+    val dense = grp
+      .crossJoin(broadcast(globR)).crossJoin(broadcast(tot))
+      .join(pairs, qiCols :+ "__v", "left")
+    val w = Window.partitionBy(qiCols.map(col): _*).orderBy(col("__r"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val term = coalesce(col("__n"), lit(0L)).cast("double") /
+      col("__rows").cast("double") -
+      col("__g").cast("double") / col("__nn").cast("double")
+    val cum = dense.select((qiCols.map(col) :+ col("__rows") :+
+      col("__r") :+ col("__m") :+ sum(term).over(w).as("__cd")): _*)
+    val perGroup = cum.groupBy(qiCols.map(col): _*)
+      .agg(max(col("__rows")).as("__rows"), max(col("__m")).as("__m"),
+        sum(when(col("__r") < col("__m"),
+          floor(abs(col("__cd")) * lit(1e6) + lit(0.5)).cast("long"))
+          .otherwise(0L)).as("__micro"))
+      .select(col("__rows"),
+        when(col("__m") > 1,
+          p6((col("__micro").cast("double") / lit(1e6)) /
+            (col("__m") - lit(1)).cast("double")))
+          .otherwise(lit(0.0)).as("__emd6"))
+    perGroup.agg(count(lit(1)).as("n_groups"),
+        coalesce(sum(col("__rows")), lit(0L)).as("n_rows"),
+        coalesce(sum(when(col("__emd6") > t, 1L).otherwise(0L)), lit(0L))
+          .as("n_far_groups"),
+        coalesce(sum(when(col("__emd6") > t, col("__rows"))
+          .otherwise(0L)), lit(0L)).as("n_rows_far"),
+        max(col("__emd6")).as("max_emd6"))
+      .select(lit(t).as("t"), col("n_rows"), col("n_groups"),
+        col("n_far_groups"), col("n_rows_far"),
+        when(col("n_rows") > 0, p6(col("n_rows_far").cast("double") /
+          col("n_rows").cast("double")))
+          .otherwise(lit(null).cast("double")).as("share_far6"),
+        col("max_emd6"),
+        (col("n_rows_far") === 0L).as("t_close"))
+  }
 }

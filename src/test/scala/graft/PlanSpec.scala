@@ -157,6 +157,21 @@ class PlanSpec extends SparkSuiteBase {
       s"semantic dedup must stay cell-equi-keyed:\n$p")
   }
 
+  test("routed pair-mining arms stay equi-keyed: cell, bucket, (tbl, bucket)") {
+    // the r16 scale arms of q36's router — each candidate join must
+    // key on its blocking column(s); a nested-loop fallback would
+    // reintroduce the global all-pairs the arms exist to avoid
+    for (name <- Seq("q272_bucketed_neardup", "q273_multiband_neardup",
+        "q274_cell_neardup")) {
+      val df = Queries.all(name)(spark, sfDir)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct")
+        && !p.contains("BroadcastNestedLoopJoin"),
+        s"$name must stay blocking-equi-keyed:\n$p")
+    }
+  }
+
   test("BPE training is pure aggregation; encoding joins are equi-joins") {
     val train = Queries.all("q77_bpe_train")(spark, sfDir)
     train.collect()

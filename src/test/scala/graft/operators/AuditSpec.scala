@@ -259,4 +259,40 @@ class AuditSpec extends SparkSuiteBase {
       Audit.lDiversity(df, Seq("qi"), "s", l = 1L)
     }
   }
+
+  test("tCloseness: hand-computed ordered EMD, boundary, identical-dist zero") {
+    import spark.implicits._
+    // values {1,2,3}, global p = (1/3,1/3,1/3).
+    // A = (1,1,2): q = (2/3,1/3,0) -> cum (1/3, 1/3) -> EMD = 1/3
+    // B = (2,3,3): q = (0,1/3,2/3) -> cum (-1/3,-1/3) -> EMD = 1/3
+    val df = Seq(("A", 1L), ("A", 1L), ("A", 2L),
+      ("B", 2L), ("B", 3L), ("B", 3L)).toDF("qi", "v")
+    val r = Audit.tCloseness(df, Seq("qi"), "v", t = 0.2).head()
+    assert(r.getAs[Long]("n_rows") == 6L)
+    assert(r.getAs[Long]("n_groups") == 2L)
+    assert(r.getAs[Long]("n_far_groups") == 2L, "both groups at EMD 1/3 > 0.2")
+    assert(r.getAs[Long]("n_rows_far") == 6L)
+    assert(r.getAs[Double]("max_emd6") == 0.333333)
+    assert(!r.getAs[Boolean]("t_close"))
+    // the same release clears a looser bound
+    val loose = Audit.tCloseness(df, Seq("qi"), "v", t = 0.5).head()
+    assert(loose.getAs[Long]("n_far_groups") == 0L)
+    assert(loose.getAs[Boolean]("t_close"))
+    // identical per-group distributions -> EMD exactly 0 at any t
+    val same = Seq(("A", 1L), ("A", 2L), ("B", 1L), ("B", 2L))
+      .toDF("qi", "v")
+    val s0 = Audit.tCloseness(same, Seq("qi"), "v", t = 0.01).head()
+    assert(s0.getAs[Double]("max_emd6") == 0.0)
+    assert(s0.getAs[Boolean]("t_close"))
+    // a single-value domain (m=1) reads EMD 0, not a division by zero
+    val one = Seq(("A", 5L), ("B", 5L)).toDF("qi", "v")
+    assert(Audit.tCloseness(one, Seq("qi"), "v", t = 0.2)
+      .head().getAs[Double]("max_emd6") == 0.0)
+    intercept[IllegalArgumentException] {
+      Audit.tCloseness(df, Seq("qi", "v"), "v", t = 0.2)
+    }
+    intercept[IllegalArgumentException] {
+      Audit.tCloseness(df, Seq("qi"), "v", t = 1.5)
+    }
+  }
 }
