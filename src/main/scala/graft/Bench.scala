@@ -113,6 +113,9 @@ object Bench {
     * q271-q274 introduction-day entries survived the merge essentially
     * unchanged (q273 1.24 -> 1.23; the rest kept — their in-sweep
     * max-of-medians sit at or above the introduction medians).
+    * q275_t_closeness (added after the sweeps) enters at its isolated
+    * 5-rep median 1.29 (reps [6.27 cold, 1.49, 1.29, 0.99, 0.93],
+    * tail comparator 0.17).
     */
   private val priorMins: Map[String, Double] = Map(
     "q01_scan_project" -> 1.32, "q02_filter_predicates" -> 0.34,
@@ -215,7 +218,7 @@ object Bench {
     "q269_leakage_safe_split" -> 0.2, "q26_conditional" -> 0.4,
     "q270_seq_length_histogram" -> 0.44, "q271_mirror_e2e" -> 2.93,
     "q272_bucketed_neardup" -> 0.5, "q273_multiband_neardup" -> 1.23,
-    "q274_cell_neardup" -> 0.65, "q27_sample_mod" -> 0.28,
+    "q274_cell_neardup" -> 0.65, "q275_t_closeness" -> 1.29, "q27_sample_mod" -> 0.28,
     "q28_pivot" -> 0.77, "q29_fanout" -> 0.7,
     "q30_token_freq" -> 0.7, "q31_text_quality" -> 0.59,
     "q32_lang_id" -> 1.37, "q33_ngram_jaccard" -> 2.31,
