@@ -642,33 +642,39 @@ object StreamingQueries extends QueryGroup {
         map(lit("src"), col("event_type")).as("properties"))
     val scratch = java.nio.file.Files
       .createTempDirectory("graft_q271_").toString
-    // ONE parquet file => AvailableNow plans the whole feed as ONE
-    // micro-batch, so the per-(topic, partition) arrival sequence is
-    // the (ledger, entry) rank the oracle replays
-    feed.coalesce(1).write.mode("overwrite").parquet(s"$scratch/feed")
-    val raw = s.readStream.schema(feed.schema).parquet(s"$scratch/feed")
     val name = s"q271-${java.util.UUID.randomUUID()}"
     val sink = new InMemoryCluster(name)
     val rec = new InMemoryOffsetRecorder(name)
-    def tick(cp: String): Unit =
-      MessageMirror.start(raw, sink, s"$scratch/$cp",
-          offsets = Some(rec))
-        .start().awaitTermination()
-    tick("cp1")
-    tick("cp2") // fresh checkpoint: full replay — must change nothing
-    val dst = rec.mappings
-      .map(m => ((m.topic, m.partition, m.srcLedger, m.srcEntry),
-        (m.dstLedger, m.dstEntry))).toMap
-    val rows = sink.messages.map { m =>
-      val (dl, de) = dst((m.topic, m.partition, m.ledgerId, m.entryId))
-      (m.topic, m.partition, m.ledgerId, m.entryId, dl, de,
-        new String(m.value, java.nio.charset.StandardCharsets.UTF_8),
-        m.key.orNull, m.eventTime.map(_.getTime), m.publishTime.getTime,
-        m.properties.get("src").orNull)
+    // try/finally (r16 ADVICE): a failing tick or dst-map lookup must
+    // not leak the scratch dir or the JVM-wide cluster/recorder stores
+    // for this UUID across bench reps in the same JVM
+    val rows = try {
+      // ONE parquet file => AvailableNow plans the whole feed as ONE
+      // micro-batch, so the per-(topic, partition) arrival sequence is
+      // the (ledger, entry) rank the oracle replays
+      feed.coalesce(1).write.mode("overwrite").parquet(s"$scratch/feed")
+      val raw = s.readStream.schema(feed.schema).parquet(s"$scratch/feed")
+      def tick(cp: String): Unit =
+        MessageMirror.start(raw, sink, s"$scratch/$cp",
+            offsets = Some(rec))
+          .start().awaitTermination()
+      tick("cp1")
+      tick("cp2") // fresh checkpoint: full replay — must change nothing
+      val dst = rec.mappings
+        .map(m => ((m.topic, m.partition, m.srcLedger, m.srcEntry),
+          (m.dstLedger, m.dstEntry))).toMap
+      sink.messages.map { m =>
+        val (dl, de) = dst((m.topic, m.partition, m.ledgerId, m.entryId))
+        (m.topic, m.partition, m.ledgerId, m.entryId, dl, de,
+          new String(m.value, java.nio.charset.StandardCharsets.UTF_8),
+          m.key.orNull, m.eventTime.map(_.getTime), m.publishTime.getTime,
+          m.properties.get("src").orNull)
+      }
+    } finally {
+      sink.clear(); rec.clear()
+      org.apache.commons.io.FileUtils
+        .deleteDirectory(new java.io.File(scratch))
     }
-    sink.clear(); rec.clear()
-    org.apache.commons.io.FileUtils
-      .deleteDirectory(new java.io.File(scratch))
     import s.implicits._
     rows.toDF("topic", "part", "src_ledger", "src_entry",
         "dst_ledger", "dst_entry", "value_str", "key",

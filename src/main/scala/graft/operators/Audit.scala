@@ -477,6 +477,16 @@ object Audit {
     *
     * Output: ONE row (t, n_rows, n_groups, n_far_groups, n_rows_far,
     * share_far6, max_emd6, t_close = n_rows_far == 0).
+    *
+    * NULL semantics (r16 ADVICE): a null sensitive value (or a null
+    * QI component) is a legitimate domain value / group key — the
+    * dense-domain join back is NULL-SAFE (`<=>`), so a null-keyed
+    * group's own mass reaches its distribution instead of silently
+    * vanishing (a plain join would leave the group's q summing below
+    * 1 and distort every EMD). Nulls rank FIRST in the sensitive
+    * domain order (pinned; Spark's default). Cross-engine note: a
+    * SQL oracle replaying this operator must pin NULLS FIRST
+    * explicitly — DuckDB defaults to nulls-last.
     */
   def tCloseness(
       df: DataFrame,
@@ -495,14 +505,24 @@ object Audit {
     val glob = pairs.groupBy(col("__v")).agg(sum(col("__n")).as("__g"))
     // m-row unpartitioned window: the sensitive DOMAIN, not the corpus
     val globR = glob.select(col("__v"), col("__g"),
-      row_number().over(Window.orderBy(col("__v"))).as("__r"))
+      row_number().over(Window.orderBy(col("__v").asc_nulls_first))
+        .as("__r"))
     val tot = glob.agg(sum(col("__g")).as("__nn"),
       count(lit(1)).as("__m"))
     val grp = pairs.groupBy(qiCols.map(col): _*)
       .agg(sum(col("__n")).as("__rows"))
+    // null-safe dense join (scaladoc NULL semantics): the left side's
+    // (QI, __v) grid includes null domain values and null QI keys;
+    // plain equality would never match them and the group's own mass
+    // would drop out of its distribution
+    val pr = pairs.select((qiCols.map(c => col(c).as(s"__p_$c")) :+
+      col("__v").as("__pv") :+ col("__n")): _*)
+    val joinCond = (qiCols.map(c => col(c) <=> col(s"__p_$c")) :+
+      (col("__v") <=> col("__pv"))).reduce(_ && _)
     val dense = grp
       .crossJoin(broadcast(globR)).crossJoin(broadcast(tot))
-      .join(pairs, qiCols :+ "__v", "left")
+      .join(pr, joinCond, "left")
+      .drop((qiCols.map(c => s"__p_$c") :+ "__pv"): _*)
     val w = Window.partitionBy(qiCols.map(col): _*).orderBy(col("__r"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val term = coalesce(col("__n"), lit(0L)).cast("double") /

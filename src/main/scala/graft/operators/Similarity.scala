@@ -121,6 +121,14 @@ object Similarity {
     * 64-dim vectors. The probe reads ONE row for the dimension, then
     * counts at most one row past the derived row cap — never the
     * whole corpus.
+    *
+    * `centroids` is the deployment-scale passthrough for the routed
+    * arm (r16 ADVICE): auto mode derives smallest-id centroids with a
+    * driver collect sized N/100 — right for ≤ ~10⁶ rows, wrong for a
+    * corpus whose cell count itself is driver-hostile. Pass
+    * [[trainIvfCentroids]] output (or a persisted index's centroid
+    * frame) and the routed arm ships YOUR cells instead of deriving
+    * any; the exact arm ignores it (it has no cells).
     */
   def allPairsCosine(
       emb: DataFrame,
@@ -128,15 +136,33 @@ object Similarity {
       vecCol: String,
       threshold: Double,
       maxBroadcastBytes: Long = 1L << 30,
-      bucketBits: Int = 8): DataFrame = {
+      centroids: Option[Seq[(Int, Array[Float])]] = None): DataFrame = {
     // measurement knob (r15 VERDICT #2): every test fixture sits far
     // under the byte gate, so the ROUTED arm the 100 TB story depends
     // on never engaged in a deck sweep. Overriding the gate (e.g. =0)
     // forces the bucketed arm at any scale so its wall time and recall
     // can be measured against the exact arm on the same deck
     // (BASELINE.md round-16 row); unset, the router is unchanged.
-    val gateBytes = sys.env.get("GRAFT_SIM_MAX_BROADCAST_BYTES")
-      .map(_.toLong).getOrElse(maxBroadcastBytes)
+    // Parsed defensively (r16 ADVICE): a malformed value in a
+    // deployment env must not throw from library routing code, and a
+    // PRESENT value is warned about — it overrides the caller's
+    // explicit byte budget by design (bench knob), but silently is
+    // how a stray deployment var flips every call to the approximate
+    // arm with no trace.
+    val gateBytes = sys.env.get("GRAFT_SIM_MAX_BROADCAST_BYTES") match {
+      case Some(s) => s.toLongOption match {
+        case Some(v) =>
+          System.err.println(
+            s"[graft] GRAFT_SIM_MAX_BROADCAST_BYTES=$v overrides " +
+              s"maxBroadcastBytes=$maxBroadcastBytes for this router call")
+          v
+        case None =>
+          System.err.println(
+            s"[graft] ignoring malformed GRAFT_SIM_MAX_BROADCAST_BYTES='$s'")
+          maxBroadcastBytes
+      }
+      case None => maxBroadcastBytes
+    }
     // dimension probe skips null vectors (a null head row must not
     // NPE the router before either path runs)
     val sample = emb.select(col(vecCol)).filter(col(vecCol).isNotNull).head(1)
@@ -149,7 +175,8 @@ object Similarity {
       else (maxRows + 1).toInt
     val small = emb.limit(probeLimit).count() <= maxRows
     if (small) broadcastAllPairsCosine(emb, idCol, vecCol, threshold)
-    else cellPairsCosine(emb, idCol, vecCol, threshold)
+    else cellPairsCosine(emb, idCol, vecCol, threshold,
+      centroids = centroids)
   }
 
   /** Rank-1 cell ASSIGNMENT for float centroids: the
@@ -271,8 +298,13 @@ object Similarity {
     * pairs from a persisted [[SimilarityIndex.buildIvf]] assignment)
     * — the auto mode ships smallest-id centroids as expression
     * literals, the right shape for ≤ ~10⁴ cells, not for a 10⁹-row
-    * corpus's 10⁷.
+    * corpus's 10⁷. That bound is ENFORCED (r16 ADVICE): auto mode
+    * above [[AutoCellCap]] cells fails loudly instead of collecting
+    * a driver-hostile centroid set — exactly the no-driver-
+    * materialization property the byte router exists to protect.
     */
+  val AutoCellCap = 10000
+
   def cellPairsCosine(
       emb: DataFrame,
       idCol: String,
@@ -282,6 +314,11 @@ object Similarity {
       centroids: Option[Seq[(Int, Array[Float])]] = None): DataFrame = {
     val spark = emb.sparkSession
     val cells = if (numCells > 0) numCells else autoCells(emb.count())
+    require(centroids.nonEmpty || cells <= AutoCellCap,
+      s"auto centroid derivation would collect $cells cells to the " +
+        s"driver (cap $AutoCellCap) — pass trainIvfCentroids output " +
+        "via `centroids`, or mine pairs from a persisted " +
+        "SimilarityIndex.buildIvf assignment")
     val cents = centroids.getOrElse(
       smallestIdCentroids(emb, idCol, vecCol, cells))
     require(cents.nonEmpty, "cannot mine pairs against zero cells")

@@ -295,4 +295,30 @@ class AuditSpec extends SparkSuiteBase {
       Audit.tCloseness(df, Seq("qi"), "v", t = 1.5)
     }
   }
+
+  test("tCloseness: null sensitive values and null QI keys are domain values, not dropped mass") {
+    import spark.implicits._
+    // null joins the domain as a value ranked FIRST. Domain
+    // {null,1,2}, global p = (1/3,1/3,1/3).
+    // A = (null,null,1): q = (2/3,1/3,0) -> cum (1/3,1/3) -> EMD 1/3
+    // B = (1,2,2):       q = (0,1/3,2/3) -> cum (-1/3,-1/3) -> EMD 1/3
+    // A plain (null-unequal) join would lose A's null mass: A's q
+    // would sum to 1/3 and both EMDs would be wrong.
+    val df = Seq(("A", None), ("A", None), ("A", Some(1L)),
+      ("B", Some(1L)), ("B", Some(2L)), ("B", Some(2L)))
+      .toDF("qi", "v")
+    val r = Audit.tCloseness(df, Seq("qi"), "v", t = 0.2).head()
+    assert(r.getAs[Long]("n_rows") == 6L)
+    assert(r.getAs[Long]("n_groups") == 2L)
+    assert(r.getAs[Double]("max_emd6") == 0.333333)
+    assert(r.getAs[Long]("n_far_groups") == 2L)
+    // a NULL QI key is a group of its own, and identical
+    // distributions still read EMD 0 through the null-safe join
+    val ng = Seq((Some("A"), 1L), (Some("A"), 2L),
+      (None, 1L), (None, 2L)).toDF("qi", "v")
+    val s = Audit.tCloseness(ng, Seq("qi"), "v", t = 0.01).head()
+    assert(s.getAs[Long]("n_groups") == 2L)
+    assert(s.getAs[Double]("max_emd6") == 0.0)
+    assert(s.getAs[Boolean]("t_close"))
+  }
 }

@@ -147,7 +147,7 @@ class DedupSimilaritySpec extends SparkSuiteBase {
     // cell-bounded pair mining — a planted perturbation shares its
     // base's nearest centroid, so every planted pair survives)
     val bucketed = Similarity.allPairsCosine(emb, "vec_id", "embedding", 0.99,
-        maxBroadcastBytes = 0L, bucketBits = 8)
+        maxBroadcastBytes = 0L)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
     // every planted near-dup survives the routed arm with the
     // identical 6-decimal cosine, and nothing outside the exact
@@ -157,6 +157,23 @@ class DedupSimilaritySpec extends SparkSuiteBase {
       assert(math.abs(bucketed(p) - exact(p)) < 1e-12)
     }
     assert(bucketed.keySet.subsetOf(exact.keySet))
+    // the routed arm's auto centroid derivation is driver-capped
+    // (r16 ADVICE): above AutoCellCap cells it must fail loudly
+    // instead of collecting a driver-hostile centroid set...
+    val tooMany = intercept[IllegalArgumentException] {
+      Similarity.cellPairsCosine(emb, "vec_id", "embedding", 0.99,
+        numCells = Similarity.AutoCellCap + 1)
+    }
+    assert(tooMany.getMessage.contains("trainIvfCentroids"))
+    // ...while a caller-supplied centroid set passes through at any
+    // cell count (the deployment-scale path)
+    val cents = Similarity.trainIvfCentroids(emb, "vec_id", "embedding",
+        numCells = 4, lloydRounds = 1)
+      .zipWithIndex.map { case (v, i) => (i, v) }
+    val withCents = Similarity.allPairsCosine(emb, "vec_id", "embedding",
+        0.99, maxBroadcastBytes = 0L, centroids = Some(cents))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(withCents.subsetOf(exact.keySet))
   }
 
   test("multi-table pair mining recalls a pair single-table misses; subset of exact") {
