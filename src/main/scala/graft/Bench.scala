@@ -118,6 +118,9 @@ object Bench {
     * tail comparator 0.17).
     */
   private val priorMins: Map[String, Double] = Map(
+    // PRIORS_BEGIN — entries between the markers are maintained by
+    // tools/close_round.sh (regen_priors.py ratchet merge); edit by
+    // hand only to RAISE an entry with a recorded cause
     "q01_scan_project" -> 1.32, "q02_filter_predicates" -> 0.34,
     "q03_agg_q1" -> 0.59, "q04_count_distinct" -> 0.6,
     "q05_approx_distinct" -> 0.71, "q06_rollup" -> 0.71,
@@ -254,7 +257,9 @@ object Bench {
     "q92_substring_dedup" -> 1.34, "q93_image_phash" -> 0.97,
     "q94_substring_strip" -> 1.67, "q95_audio_phash" -> 1.02,
     "q96_train_split" -> 0.22, "q97_decontaminate_bloom" -> 1.5,
-    "q98_pq_ann" -> 0.99, "q99_interval_join" -> 0.49)
+    "q98_pq_ann" -> 0.99, "q99_interval_join" -> 0.49
+    // PRIORS_END
+  )
 
   /** The gate predicate: relative AND prior-scaled absolute excess
     * (1.5x is meaningful on a 5 s query; the absolute floor
@@ -268,46 +273,100 @@ object Bench {
   /** Quiet-tail flag confirmation (r15 VERDICT #1: the driver artifact
     * carried 8 phantom flags from ONE load window that a quiet judge
     * rerun fully exonerated — the gate must do that rerun ITSELF).
-    * Called with a flagged query's retry-min, the prior, and the
-    * QUIETEST comparator probe observed around the retry. The prior is
-    * load-NORMALIZED first (r15 VERDICT #6: priors bake in quiet-box
-    * speed; scaling by current-comp/quiet-comp makes the verdict
-    * invariant under a uniform box slowdown — clamped to ≤3× so a
-    * pathological probe can never mask an order-of-magnitude
-    * regression). Verdicts:
+    * Called with a flagged query's retry reps, the prior, and the
+    * QUIETEST probes of each shape observed around the retry. The
+    * prior is load-NORMALIZED first (r15 VERDICT #6: priors bake in
+    * quiet-box speed; scaling by current-probe/quiet-level makes the
+    * verdict invariant under a uniform box slowdown — clamped to ≤3×
+    * so a pathological probe can never mask an order-of-magnitude
+    * regression). The normalization factor is the WORSE of the two
+    * probe shapes: a box can read CPU-quiet while its page cache and
+    * memory bandwidth are still degraded.
+    *
+    * Two r16-VERDICT-#1 hardenings close the phantom-CONFIRM hole
+    * (the r16 driver artifact confirmed 3 flags that a judge quiet
+    * rerun fully exonerated — the CPU-bound probe read quiet through
+    * page-cache/memory-bandwidth aftermath):
+    *
+    *   1. WORKLOAD-SHAPED second probe: confirmation now also
+    *      requires the parquet-scan+shuffle probe ([[main]]'s
+    *      `ioProbe`) at or under 1.2× ITS quiet prior — the probe
+    *      shape that actually feels cold page cache and bandwidth
+    *      contention, which an xxhash-sum cannot.
+    *   2. REP-TREND test: cold-cache aftermath has a monotone-decay
+    *      signature (the judge's q192 reps read 13.5 → 2.4 s across
+    *      a rerun) while a real plan regression holds its level, so
+    *      the tail EXTENDS the retry reps while they are still
+    *      falling ([[stillFalling]]; the loop in [[main]] reps until
+    *      settled or an 8-rep cap) and the verdict (a) never
+    *      confirms on reps that have not settled and (b) labels a
+    *      flag whose min only dropped under the gate in the
+    *      EXTENDED reps "exonerated_decaying" — the cold-cache
+    *      recovery made visible in the artifact.
+    *
+    * Verdicts:
     *   - "exonerated":   the retry min no longer flags even against
     *                     the RAW prior — the sweep reading was load.
+    *   - "exonerated_decaying": same, but only the extended
+    *                     (post-decay) reps cleared the gate — the
+    *                     first three retry reps alone would still
+    *                     have flagged. Cold-cache recovery.
     *   - "exonerated_normalized": flags raw but not against the
     *                     normalized prior — the whole box is measurably
     *                     slower (probe > quiet level) and the query
     *                     moved WITH it, not above it.
-    *   - "confirmed":    still flags against the normalized prior AND
-    *                     the box was verifiably quiet (probe ≤ 1.2×
+    *   - "unconfirmed_decaying": the min still flags but the reps
+    *                     were STILL FALLING when the rep cap hit —
+    *                     no steady-state evidence either way; NOT a
+    *                     confirmation.
+    *   - "confirmed":    the settled reps still flag against the
+    *                     normalized prior AND the box was verifiably
+    *                     quiet on BOTH probe shapes (each ≤ 1.2× its
     *                     quiet level) — a real plan regression.
     *   - "unconfirmed_loaded": still flags but the box never went
     *                     quiet during the tail — NOT evidence of a
     *                     regression, recorded for a manual quiet rerun.
     * Only "confirmed" reaches the `regressions` map.
     */
-  private[graft] def retryVerdict(prior: Double, retryMin: Double,
-      quietestProbe: Double, compPrior: Double): (String, Double) = {
-    val norm = math.max(1.0, math.min(3.0, quietestProbe / compPrior))
-    if (!wouldFlag(prior, retryMin)) ("exonerated", norm)
+  private[graft] def retryVerdict(prior: Double, retryReps: Seq[Double],
+      quietestProbe: Double, compPrior: Double,
+      quietestIoProbe: Double, ioPrior: Double): (String, Double) = {
+    val norm = math.max(1.0, math.min(3.0,
+      math.max(quietestProbe / compPrior, quietestIoProbe / ioPrior)))
+    val retryMin = retryReps.min
+    if (!wouldFlag(prior, retryMin)) {
+      if (retryReps.size > 3 && wouldFlag(prior, retryReps.take(3).min))
+        ("exonerated_decaying", norm)
+      else ("exonerated", norm)
+    }
     else if (!wouldFlag(prior * norm, retryMin)) ("exonerated_normalized", norm)
-    else if (quietestProbe <= 1.2 * compPrior) ("confirmed", norm)
+    else if (stillFalling(retryReps)) ("unconfirmed_decaying", norm)
+    else if (quietestProbe <= 1.2 * compPrior &&
+        quietestIoProbe <= 1.2 * ioPrior) ("confirmed", norm)
     else ("unconfirmed_loaded", norm)
   }
+
+  /** The rep-trend predicate ([[retryVerdict]] hardening #2): the
+    * latest rep still sits well under the one before it — the decay
+    * has not settled, so the min is not yet a steady-state reading.
+    * The 0.8 factor is far outside a fixed plan's rep-to-rep jitter
+    * (±10–15% on a quiet box) and far inside a cold-cache recovery
+    * step (the judge's q192 reps halved rep-over-rep).
+    */
+  private[graft] def stillFalling(reps: Seq[Double]): Boolean =
+    reps.size >= 2 && reps.last < 0.8 * reps(reps.size - 2)
 
   /** One retry-evidence object for the `flag_retries` map — everything
     * a reader needs to audit the tail verdict without a rerun.
     */
   private[graft] def retryJson(name: String, sweepMin: Double, p: Double,
-      retryReps: Seq[Double], probes: Seq[Double], verdict: String,
-      norm: Double): String = {
+      retryReps: Seq[Double], probes: Seq[Double], ioProbes: Seq[Double],
+      verdict: String, norm: Double): String = {
     val rMin = if (retryReps.nonEmpty) retryReps.min else -1.0
     s""""$name":{"sweep_min":${num(sweepMin)},"prior":${num(p)},""" +
       s""""retry_min":${num(rMin)},"retry_reps":${retryReps.map(num).mkString("[", ",", "]")},""" +
       s""""probes":${probes.map(num).mkString("[", ",", "]")},""" +
+      s""""io_probes":${ioProbes.map(num).mkString("[", ",", "]")},""" +
       s""""norm":${num(norm)},"verdict":"$verdict"}"""
   }
 
@@ -336,6 +395,9 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // fail fast on a stale deck BEFORE any measurement (r16 VERDICT
+    // #5: a pre-r15 /tmp deck was silently reused and cost a sweep)
+    ScaleFixture.verifyManifest(sfDir)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -373,6 +435,15 @@ object Bench {
     // sets nothing and benches everything
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // validation-only knobs (see repOnce and the tail queue; the
+    // driver sets neither): DEFUSE injects a real plan-cost change,
+    // TAIL=1 lets a SPARK_GRAFT_BENCH_ONLY subset still run the
+    // quiet-tail retry queue so gate validation doesn't need a full
+    // 275-query sweep per scenario
+    val defused: Set[String] = sys.env.get("SPARK_GRAFT_BENCH_DEFUSE")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty)
+    val tailForced = sys.env.get("SPARK_GRAFT_BENCH_TAIL").contains("1")
     // fixed comparator: a data-independent CPU-bound job timed before
     // and after the query sweep. Its quiet-box cost is ~0.3 s at
     // local[32]; a reading several times that is DIRECT evidence the
@@ -392,6 +463,31 @@ object Bench {
           .write.format("noop").mode("overwrite").save()
       } catch { case e: Throwable =>
         System.err.println(s"[bench] comparator failed: $e")
+      }
+      (System.nanoTime() - t0) / 1e9
+    }
+    // WORKLOAD-SHAPED probe (r16 VERDICT #1): a parquet scan of the
+    // sweep's own biggest fixture file + a hash shuffle + a wide
+    // aggregate — the cost profile of the queries themselves (page
+    // cache, decode bandwidth, shuffle write/read), which the
+    // CPU-bound comparator above cannot see. The r16 driver artifact
+    // confirmed 3 regressions through a CPU probe that read quiet
+    // while the page cache was still cold from a load window; the
+    // quiet-tail confirm path now requires THIS probe quiet too.
+    def ioProbe(): Double = {
+      val t0 = System.nanoTime()
+      try {
+        spark.read.parquet(s"$sfDir/lineitem.parquet")
+          .repartition(32, org.apache.spark.sql.functions.col("l_orderkey"))
+          .groupBy(org.apache.spark.sql.functions.expr("l_orderkey % 1024"))
+          .agg(
+            org.apache.spark.sql.functions.sum("l_extendedprice"),
+            org.apache.spark.sql.functions.sum("l_quantity"),
+            org.apache.spark.sql.functions.count(
+              org.apache.spark.sql.functions.lit(1)))
+          .write.format("noop").mode("overwrite").save()
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] ioProbe failed: $e")
       }
       (System.nanoTime() - t0) / 1e9
     }
@@ -425,6 +521,15 @@ object Bench {
     // driver-vs-builder contradiction: 8 flags at comparator 0.715
     // that two quiet sweeps could not reproduce).
     val compPrior = 0.35
+    // quiet-box level of the workload-shaped probe: the median of a
+    // 10-reading 2s-spaced calibration at local[32]/sf0.1 on the r17
+    // box once it settled (readings decayed 2.7 → 0.63 over ~30 s
+    // after the warm-up burst — the probe demonstrating on itself the
+    // aftermath shape it exists to catch; settled spread 0.63–1.40,
+    // median 0.95 — see BASELINE.md round 17). Like compPrior it only
+    // gates the confirm path, never the flag path, so a slightly-off
+    // level can only make confirmation more conservative.
+    val ioPrior = 0.95
     val boxLoaded = compBefore > 1.3 * compPrior
     val extraCap = if (boxLoaded) 5 else 3
     // per-flag comparator probes, keyed by query name (see rep loop)
@@ -481,6 +586,24 @@ object Bench {
       // score-readout increment over a corpus scored once
       if (name == "q256_ccnet_buckets")
         PipelineQueries.resetLmScored(spark, sfDir)
+      // gate-validation knob (r16 VERDICT #1 "done" criterion): a
+      // DEFUSED query has every owner-family memo reset before each
+      // rep, so a memo-reading query genuinely pays its owner's build
+      // inside every timed rep — a REAL sustained executed-plan cost
+      // change (not a sleep), used to prove the quiet-tail gate still
+      // confirms true regressions after the phantom-confirm fixes.
+      // Never set by the driver.
+      if (defused(name)) {
+        PipelineQueries.resetDedupStage(spark, sfDir)
+        PipelineQueries.resetDedupClusters(spark, sfDir)
+        PipelineQueries.resetCuration(spark, sfDir)
+        PipelineQueries.resetBpe(spark, sfDir)
+        PipelineQueries.resetBpeEncoded(spark, sfDir)
+        PipelineSketchQueries.resetWordPiece(spark, sfDir)
+        PipelineQueries.resetNbScored(spark, sfDir)
+        PipelineAnalyticsQueries.resetCopurchase(spark, sfDir)
+        PipelineQueries.resetLmScored(spark, sfDir)
+      }
       val t0 = System.nanoTime()
       try {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -555,38 +678,63 @@ object Bench {
     // load-NORMALIZED prior, reaches the `regressions` map. Everything
     // else lands in `flag_retries` as exonerated/unconfirmed evidence.
     val sweepFlagged: Seq[String] =
-      if (noPriors || only.isDefined) Seq.empty
+      if (noPriors || (only.isDefined && !tailForced)) Seq.empty
       else results.toSeq.sortBy(_._1).collect {
         case (k, (v, _)) if v >= 0 &&
             priorMins.get(k).exists(p => wouldFlag(p, v)) => k
       }
     val fnByName = SparkEntry.queries
     val retryEvidence = scala.collection.mutable.LinkedHashMap[
-      String, (Double, Seq[Double], Seq[Double], String, Double)]()
+      String, (Double, Seq[Double], Seq[Double], Seq[Double], String, Double)]()
     if (sweepFlagged.nonEmpty) {
       System.err.println(s"[bench] ${sweepFlagged.size} sweep flag(s) " +
         s"deferred to quiet-tail retry: ${sweepFlagged.mkString(", ")}")
-      // wait for quiet ONCE for the whole queue: up to 5 probes 10 s
+      // wait for quiet ONCE for the whole queue — BOTH probe shapes
+      // must read quiet (r16 VERDICT #1: the CPU probe alone read
+      // quiet through page-cache aftermath): up to 5 probe pairs 10 s
       // apart (a load window longer than ~1 min is a loaded SESSION —
       // the per-query verdict then honestly reads unconfirmed_loaded)
       var lastProbe = comparator()
+      var lastIo = ioProbe()
       var waits = 0
-      while (lastProbe > 1.2 * compPrior && waits < 5) {
+      while ((lastProbe > 1.2 * compPrior || lastIo > 1.2 * ioPrior) &&
+          waits < 5) {
         Thread.sleep(10000)
         lastProbe = comparator()
+        lastIo = ioProbe()
         waits += 1
       }
       sweepFlagged.foreach { name =>
-        val retryReps = (1 to 3).flatMap(_ => repOnce(name, fnByName(name)))
+        // 3 base reps, EXTENDED while the trend is still falling
+        // (stillFalling: latest rep < 0.8x the one before), up to 8:
+        // cold-cache aftermath decays monotonically across reps (the
+        // judge's q192 read 13.5 → 2.4 s), so a 3-rep tail can catch
+        // the decay mid-flight and hand the verdict an
+        // above-the-gate min that no steady state ever produced —
+        // the r16 phantom-confirm mechanism. A real regression's
+        // reps are flat: it settles at 3 reps and pays nothing.
+        val buf = scala.collection.mutable.ArrayBuffer[Double]()
+        var stop = false // a crashed rep ends the loop; kept reps still judge
+        while (!stop && buf.size < 8 &&
+            (buf.size < 3 || stillFalling(buf.toSeq))) {
+          repOnce(name, fnByName(name)) match {
+            case Some(t) => buf += t
+            case None => stop = true
+          }
+        }
+        val retryReps = buf.toSeq
         val probeAfter = comparator()
+        val ioAfter = ioProbe()
         val probes = Seq(lastProbe, probeAfter)
+        val ioProbes = Seq(lastIo, ioAfter)
         val (verdict, norm) =
           if (retryReps.isEmpty) ("confirmed", 1.0) // crashed on retry
-          else retryVerdict(priorMins(name), retryReps.min,
-            probes.min, compPrior)
+          else retryVerdict(priorMins(name), retryReps,
+            probes.min, compPrior, ioProbes.min, ioPrior)
         retryEvidence(name) =
-          (results(name)._1, retryReps, probes, verdict, norm)
+          (results(name)._1, retryReps, probes, ioProbes, verdict, norm)
         lastProbe = probeAfter
+        lastIo = ioAfter
       }
     }
     // fold retry reps into the emitted per-query numbers: min-of-reps
@@ -594,7 +742,7 @@ object Bench {
     val resultsFinal: Map[String, (Double, Seq[Double])] =
       results.map { case (k, (v, ts)) =>
         retryEvidence.get(k) match {
-          case Some((_, rr, _, _, _)) if rr.nonEmpty =>
+          case Some((_, rr, _, _, _, _)) if rr.nonEmpty =>
             k -> (math.min(v, rr.min), ts ++ rr)
           case _ => k -> (v, ts)
         }
@@ -627,23 +775,24 @@ object Bench {
       resultsFinal.toSeq.sortBy(_._1).collect {
         case (k, (v, ts)) if v >= 0 &&
             priorMins.get(k).exists(p => wouldFlag(p, v)) &&
-            retryEvidence.get(k).forall(_._4 == "confirmed") =>
+            retryEvidence.get(k).forall(_._5 == "confirmed") =>
           flagJson(k, v, priorMins(k), ts,
             Option(flagComps.get(k)), compPrior)
       }
-    val retriesJson = retryEvidence.map { case (k, (sm, rr, pr, vd, norm)) =>
-      retryJson(k, sm, priorMins(k), rr, pr, vd, norm)
+    val retriesJson = retryEvidence.map {
+      case (k, (sm, rr, pr, io, vd, norm)) =>
+        retryJson(k, sm, priorMins(k), rr, pr, io, vd, norm)
     }.mkString("{", ",", "}")
     val nExonerated =
-      retryEvidence.values.count(_._4.startsWith("exonerated"))
+      retryEvidence.values.count(_._5.startsWith("exonerated"))
     val nUnconfirmed =
-      retryEvidence.values.count(_._4 == "unconfirmed_loaded")
+      retryEvidence.values.count(_._5.startsWith("unconfirmed"))
     val regJson =
       if (only.isDefined) "{}" else regressions.mkString("{", ",", "}")
     val regAdvJson =
       if (only.isDefined) regressions.mkString("{", ",", "}") else "{}"
     val json =
-      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"reps":$repJson,"comparator":[${num(compBefore)},${num(compAfter)}],"comp_prior":${num(compPrior)},"box_loaded":$boxLoaded,"regressions":$regJson,"regressions_advisory":$regAdvJson,"flag_retries":$retriesJson,"n_exonerated":$nExonerated,"n_unconfirmed":$nUnconfirmed,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"reps":$repJson,"comparator":[${num(compBefore)},${num(compAfter)}],"comp_prior":${num(compPrior)},"io_prior":${num(ioPrior)},"box_loaded":$boxLoaded,"regressions":$regJson,"regressions_advisory":$regAdvJson,"flag_retries":$retriesJson,"n_exonerated":$nExonerated,"n_unconfirmed":$nUnconfirmed,"sf":"$sfDir"}"""
     // write the JSON to a file first: the stdout line gets wrapped in
     // sbt [info]/log prefixes, which defeated the driver's parser in
     // round 1 (BENCH_r01.json "parsed": null)

@@ -56,8 +56,59 @@ import org.apache.spark.sql.functions._
   *     probe set (vec_id < 10) is unchanged.
   *
   * Usage: runMain graft.ScaleFixture <srcDir> <destDir> [factor=10]
+  *
+  * Every deck carries a `FIXTURE_MANIFEST.json` (generator, scheme
+  * version, factor, source dir), written LAST so a half-built deck
+  * never verifies. Deck consumers (Bench, TinyAppendBench,
+  * tools/check.py) call [[verifyManifest]] and fail fast on a stale
+  * or hand-made deck — the r16 stale-/tmp-deck incident (a pre-r15
+  * marker-scheme deck silently reused => the NB quality family
+  * one-classed until rebuilt) cost a failed sweep and a manual
+  * root-cause; provenance is now machine-checked (r16 VERDICT #5).
   */
 object ScaleFixture {
+
+  /** Bump on ANY change to the generation scheme (marker format,
+    * stopword exceptions, embedding flips, id spacing): consumers
+    * refuse decks from another scheme. 3 = the r15 letters-only
+    * fixed-width markers + seed-stopword passthrough + sign-flip
+    * embedding isometries.
+    */
+  val SchemeVersion = 3
+
+  val ManifestName = "FIXTURE_MANIFEST.json"
+
+  /** Refuse a deck that was not produced by THIS generator scheme.
+    * Driver-provided fixtures under /root/testdata are the source
+    * tables (not decks) and are exempt; everything else must carry a
+    * matching manifest.
+    */
+  def verifyManifest(dir: String): Unit = {
+    val f = java.nio.file.Paths.get(dir, ManifestName)
+    if (!java.nio.file.Files.exists(f)) {
+      require(dir.startsWith("/root/testdata/"),
+        s"$dir has no $ManifestName — a stale or hand-made deck " +
+          s"(scheme v$SchemeVersion expected). Rebuild it: " +
+          s"runMain graft.ScaleFixture <srcDir> $dir <factor>")
+      return
+    }
+    val node = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(java.nio.file.Files.readAllBytes(f))
+    val v = Option(node.get("scheme_version")).map(_.asInt(-1)).getOrElse(-1)
+    require(v == SchemeVersion,
+      s"$dir was generated with fixture scheme v$v; this build " +
+        s"expects v$SchemeVersion — stale deck, rebuild with " +
+        s"runMain graft.ScaleFixture <srcDir> $dir <factor>")
+  }
+
+  private[graft] def writeManifest(dst: String, factor: Int,
+      src: String): Unit = {
+    val json =
+      s"""{"generator":"graft.ScaleFixture","scheme_version":$SchemeVersion,"factor":$factor,"src":"$src"}\n"""
+    java.nio.file.Files.write(java.nio.file.Paths.get(dst, ManifestName),
+      json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    ()
+  }
 
   def main(args: Array[String]): Unit = {
     val Array(src, dst) = args.take(2)
@@ -131,6 +182,8 @@ object ScaleFixture {
       spark.read.parquet(s"$src/$t.parquet")
         .write.mode("overwrite").parquet(s"$dst/$t.parquet")
     }
+    // manifest LAST: a deck that died mid-build must not verify
+    writeManifest(dst, factor, src)
     spark.stop()
   }
 }

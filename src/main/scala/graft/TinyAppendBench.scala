@@ -12,6 +12,7 @@ import org.apache.spark.sql.functions._
 object TinyAppendBench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    ScaleFixture.verifyManifest(sfDir) // refuse stale decks (r16 VERDICT #5)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

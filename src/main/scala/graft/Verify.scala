@@ -6,6 +6,7 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args.take(2)
+    ScaleFixture.verifyManifest(sfDir) // refuse stale decks (r16 VERDICT #5)
     // optional extra args: run only these queries (local iteration);
     // the driver passes exactly (sfDir, outDir) and gets everything
     val only = args.drop(2).toSet

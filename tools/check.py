@@ -54,6 +54,20 @@ def main():
         args = args[2:]
     outdir, sfdir = args[0], args[1]
     only = set(args[2:])
+    # deck provenance gate (mirrors graft.ScaleFixture.verifyManifest;
+    # keep SCHEME_VERSION in sync): a stale deck once one-classed the
+    # NB family and cost a sweep before anyone noticed
+    SCHEME_VERSION = 3
+    manifest = os.path.join(sfdir, "FIXTURE_MANIFEST.json")
+    if os.path.exists(manifest):
+        v = json.load(open(manifest)).get("scheme_version")
+        if v != SCHEME_VERSION:
+            sys.exit(f"!! {sfdir} was generated with fixture scheme v{v}; "
+                     f"this checker expects v{SCHEME_VERSION} — stale deck, "
+                     "rebuild with runMain graft.ScaleFixture")
+    elif not os.path.abspath(sfdir).startswith("/root/testdata/"):
+        sys.exit(f"!! {sfdir} has no FIXTURE_MANIFEST.json — stale or "
+                 "hand-made deck; rebuild with runMain graft.ScaleFixture")
     oracle = json.load(open(os.path.join(outdir, "oracle_sql.json")))
     con = duckdb.connect()
     for t in ["region","nation","customer","supplier","part","orders",
