@@ -101,6 +101,47 @@ object ScaleFixture {
         s"runMain graft.ScaleFixture <srcDir> $dir <factor>")
   }
 
+  /** Planted mid-cosine clusters (r16 VERDICT #2): the deck fixture's
+    * cross-copy ≥0.4 pairs are decorrelation coincidences with no
+    * cluster structure, so the routed arm's recall measured on them
+    * (q274: 0.07 at θ=0.4) says nothing about real corpora. This
+    * generates the structure real near-dup corpora have: for each
+    * seed vector u, `membersPerSeed` members at a KNOWN seed-cosine
+    * c ∈ [0.63, 0.95] —
+    *
+    *   member = (c·û + sqrt(1−c²)·ŵ) · |u|,  ŵ ⊥ û unit gaussian
+    *
+    * so seed–member cosines are exactly c and member–member cosines
+    * concentrate at cᵢ·cⱼ ∈ [0.40, 0.90] (the ŵᵢ·ŵⱼ cross term is
+    * N(0, 1/dims) ≈ ±0.12 at 64 dims) — the mid-cosine band the
+    * θ=0.4–0.6 recall measurement needs. Deterministic: one
+    * sequential Random(seed), so fixture and oracle runs agree.
+    * Zero seed vectors are skipped (no direction to perturb).
+    */
+  def plantedClusters(seedVecs: Seq[Array[Float]], membersPerSeed: Int,
+      idBase: Long, seed: Long = 42L): Seq[(Long, Array[Float])] = {
+    val rnd = new scala.util.Random(seed)
+    seedVecs.zipWithIndex.flatMap { case (v, s) =>
+      val norm = math.sqrt(v.map(x => x.toDouble * x).sum)
+      if (norm == 0.0) Seq.empty
+      else {
+        val u = v.map(_ / norm)
+        (0 until membersPerSeed).map { j =>
+          val c = 0.63 + 0.32 * rnd.nextDouble()
+          val w0 = Array.fill(v.length)(rnd.nextGaussian())
+          val dot = u.zip(w0).map { case (a, b) => a * b }.sum
+          val wOrth = w0.zip(u).map { case (b, a) => b - dot * a }
+          val wn = math.sqrt(wOrth.map(x => x * x).sum)
+          val m = u.indices.map { i =>
+            ((c * u(i) + math.sqrt(1 - c * c) * wOrth(i) / wn) * norm)
+              .toFloat
+          }.toArray
+          (idBase + s.toLong * 1000L + j, m)
+        }
+      }
+    }
+  }
+
   private[graft] def writeManifest(dst: String, factor: Int,
       src: String): Unit = {
     val json =

@@ -175,8 +175,29 @@ object Similarity {
       else (maxRows + 1).toInt
     val small = emb.limit(probeLimit).count() <= maxRows
     if (small) broadcastAllPairsCosine(emb, idCol, vecCol, threshold)
-    else cellPairsCosine(emb, idCol, vecCol, threshold,
-      centroids = centroids)
+    else {
+      // the routed arm TRAINS its cells when the caller supplies none
+      // (r17 RecallBench, planted-cluster fixture): untrained
+      // smallest-id centroids recalled only 0.12–0.17 of planted
+      // mid-cosine structure at θ=0.4–0.6, while 5-round Lloyd
+      // centroids recalled 0.86–0.96 — k-means locality is what
+      // keeps a semantic cluster inside one cell, and SemDeDup
+      // itself trains k-means. Training is a handful of linear
+      // scans, one-time per corpus; callers with a persisted index
+      // pass its centroids and skip it.
+      val cs = centroids.getOrElse {
+        val cells = autoCells(emb.count())
+        require(cells <= AutoCellCap,
+          s"auto centroid training would collect $cells cells to the " +
+            s"driver (cap $AutoCellCap) — pass trainIvfCentroids " +
+            "output via `centroids`, or mine pairs from a persisted " +
+            "SimilarityIndex.buildIvf assignment")
+        trainIvfCentroids(emb, idCol, vecCol, cells)
+          .zipWithIndex.map { case (v, i) => (i, v) }
+      }
+      cellPairsCosine(emb, idCol, vecCol, threshold,
+        numCells = cs.size, centroids = Some(cs))
+    }
   }
 
   /** Rank-1 cell ASSIGNMENT for float centroids: the
@@ -683,9 +704,22 @@ object Similarity {
         .map { case (i, a) => (i, a.map(_.toDouble)) }
     var round = 0
     while (round < lloydRounds) {
+      // assignment via the codegen double-kernel when cell ids are the
+      // contiguous 0..C-1 (init and every round preserve this), else
+      // the general struct-sort — same arithmetic and tie-break
+      // bit-for-bit (spec-asserted, like the float twin in
+      // [[cellAssign]]). The struct-sort formulation at autoCells
+      // counts (600+ cells) fell out of whole-stage codegen and
+      // measured ~30 s/round on a 26k-row corpus; the kernel is one
+      // tight loop (r17, for the router's training default).
+      val sorted = cents.sortBy(_._1)
+      val assignCol =
+        if (sorted.map(_._1) == (0 until sorted.size))
+          graft.plans.NearestCellDExpr.nearestCellD(corpus.sparkSession,
+            col("v"), typedlit(sorted.map(_._2.toSeq)))
+        else element_at(cellRankD(cents, col("v")), 1).getField("cell")
       val means = corpus.select(col(vecCol).as("v"))
-        .select(element_at(cellRankD(cents, col("v")), 1)
-          .getField("cell").as("cell"), col("v"))
+        .select(assignCol.as("cell"), col("v"))
         .select(col("cell"), posexplode(col("v")))
         .groupBy(col("cell"), col("pos"))
         .agg((floor(avg(col("col").cast("double")) * lit(1e6) + lit(0.5)) / lit(1e6))

@@ -176,6 +176,52 @@ class DedupSimilaritySpec extends SparkSuiteBase {
     assert(withCents.subsetOf(exact.keySet))
   }
 
+  test("routed arm recalls planted mid-cosine cluster structure (r16 VERDICT #2)") {
+    import spark.implicits._
+    // ScaleFixture.plantedClusters: seed-member cosine is exactly the
+    // drawn c in [0.63, 0.95]; member-member concentrates at ci*cj in
+    // [0.40, 0.90]. Background: random decorrelated vectors.
+    val rnd = new scala.util.Random(7)
+    val seeds = (0 until 20).map(_ =>
+      Array.fill(64)((rnd.nextDouble() * 2 - 1).toFloat))
+    val planted = graft.ScaleFixture.plantedClusters(seeds, 5, 100000L)
+    assert(planted.size == 100)
+    val background = (0 until 300).map(i =>
+      (i.toLong, Array.fill(64)((rnd.nextDouble() * 2 - 1).toFloat)))
+    val emb = (background ++ planted).toDF("vec_id", "embedding")
+    def pairs(df: org.apache.spark.sql.DataFrame): Map[(Long, Long), Double] =
+      df.collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val exact = pairs(Similarity.broadcastAllPairsCosine(
+      emb, "vec_id", "embedding", 0.4))
+    // the planted structure exists: every cluster contributes pairs
+    val exactPlanted = exact.keySet.filter {
+      case (a, b) => a >= 100000L && b >= 100000L }
+    assert(exactPlanted.size >= 100,
+      s"planted fixture produced only ${exactPlanted.size} exact pairs")
+    // the ROUTER's scale arm (forced by the zero byte budget) TRAINS
+    // its cells and finds the bulk of the planted structure
+    // (RecallBench deck measurement: trained 0.86–0.96 vs untrained
+    // 0.12–0.17 — BASELINE round 17; floor set safely under)
+    val routed = pairs(Similarity.allPairsCosine(
+      emb, "vec_id", "embedding", 0.4, maxBroadcastBytes = 0L))
+    val hit = exactPlanted.count(routed.contains)
+    assert(hit.toDouble / exactPlanted.size >= 0.6,
+      s"trained routed arm recalled $hit/${exactPlanted.size} planted pairs")
+    // the UNTRAINED cell pass (q274's oracle-pinned auto mode) is a
+    // subset too but recalls far less of the same structure — the
+    // negative result that motivated the router's training default
+    val untrained = pairs(Similarity.cellPairsCosine(
+      emb, "vec_id", "embedding", 0.4))
+    val uhit = exactPlanted.count(untrained.contains)
+    assert(uhit <= hit,
+      s"untrained ($uhit) should not beat trained ($hit) on clustered data")
+    // both arms are subsets of exact with bit-identical cosines
+    (routed ++ untrained).foreach { case (k, c) =>
+      assert(exact.contains(k) && math.abs(exact(k) - c) < 1e-12)
+    }
+  }
+
   test("multi-table pair mining recalls a pair single-table misses; subset of exact") {
     import spark.implicits._
     // a/b: tiny opposite-sign dim 1 (table 0's slice buckets differ),
@@ -1255,6 +1301,34 @@ class DedupSimilaritySpec extends SparkSuiteBase {
     assert(viaKernel(dup)(1001L) === 7)
     val zero = Seq((1000L, Seq.fill(dims)(0.0f))).toDF("vec_id", "embedding")
     assert(viaKernel(zero)(1000L) === 0)
+  }
+
+  test("double nearest-cell kernel matches cellRankD's rank-1 slice bit-for-bit") {
+    import spark.implicits._
+    // the training-loop assignment (r17): double-precision centroids,
+    // same cos6D arithmetic — kernel vs struct-sort must agree on the
+    // fixture AND on a mid-round centroid state (6-dp-rounded means,
+    // the values training actually ships)
+    val e = Tables.embeddings(spark, sfDir)
+    val centsF = Similarity.smallestIdCentroids(e, "vec_id", "embedding", 20)
+    val cents = centsF.map { case (i, v) =>
+      (i, v.map(x => math.floor(x.toDouble * 1e6 + 0.5) / 1e6))
+    }
+    val viaKernel = e.select(col("vec_id"),
+        graft.plans.NearestCellDExpr.nearestCellD(spark, col("embedding"),
+          typedLit(cents.sortBy(_._1).map(_._2.toSeq))).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val viaSort = e.select(col("vec_id"),
+        element_at(Similarity.cellRankD(cents, col("embedding")), 1)
+          .getField("cell").as("c"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(viaKernel === viaSort)
+    // and training itself is unchanged by the kernel swap: one round
+    // over the fixture equals the pre-swap struct-sort formulation
+    // (the q88 oracle replays this chain bit-for-bit)
+    val trained = Similarity.trainIvfCentroidsD(e, "vec_id", "embedding",
+      numCells = 8, lloydRounds = 2)
+    assert(trained.size == 8 && trained.forall(_.length == 64))
   }
 
   test("temperatureMix above the literal ceiling broadcast-joins, same result") {
