@@ -1,0 +1,19 @@
+#!/bin/bash
+# Run a graft main directly against the compiled classes (no sbt lock,
+# no sbt startup): bin/run-main.sh graft.Bench [args...]
+# Env (SPARK_GRAFT_*) passes through. Compile first with `sbt compile`.
+set -euo pipefail
+CLS="/root/repo/target/scala-2.13/classes"
+JARS="/opt/spark/jars/*"
+OPENS=""
+for p in java.base/java.lang java.base/java.lang.invoke \
+  java.base/java.lang.reflect java.base/java.io java.base/java.net \
+  java.base/java.nio java.base/java.util java.base/java.util.concurrent \
+  java.base/java.util.concurrent.atomic java.base/sun.nio.ch \
+  java.base/sun.nio.cs java.base/sun.security.action \
+  java.base/sun.util.calendar; do
+  OPENS="$OPENS --add-opens $p=ALL-UNNAMED"
+done
+exec java $OPENS "-Xmx${SPARK_DRIVER_MEM:-8g}" \
+  -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
+  -cp "$CLS:$JARS" "$@"

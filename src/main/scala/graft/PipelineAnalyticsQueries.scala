@@ -1511,7 +1511,8 @@ object PipelineAnalyticsQueries extends QueryGroup {
     val (_, auths) = graft.operators.GraphOps.hits(
       Tables.customer(s, d).select(col("c_custkey").as("cust")),
       Tables.part(s, d).select(col("p_partkey").as("part")),
-      edges, "cust", "part", rounds = 2)
+      edges, "cust", "part", rounds = 2,
+      nodesDistinct = true) // c_custkey/p_partkey are primary keys
     auths.select(col("part").as("p_partkey"), col("authority6"))
       .orderBy(col("p_partkey"))
   }

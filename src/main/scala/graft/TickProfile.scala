@@ -1,0 +1,132 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scratch profiler (optimization rounds): run one incremental-index
+  * append tick with a job listener and print every Spark job's call
+  * site + wall duration — the attribution the UI would give if it were
+  * enabled. Targets the q75/q80 bench shape (the 20% fixture delta)
+  * so the fixed-job budget of a tick is visible line by line.
+  *
+  * Usage: TickProfile [dedup|curation|ann|pq] — default dedup.
+  */
+object TickProfile {
+  def main(args: Array[String]): Unit = {
+    val which = args.headOption.getOrElse("dedup")
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val starts = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]
+    val rows = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Double, String)]
+    var enabled = false
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit = {
+        val site = Option(js.properties)
+          .map(_.getProperty("callSite.short", "?")).getOrElse("?")
+        starts.put(js.jobId, (System.nanoTime(), site))
+      }
+      override def onJobEnd(je: SparkListenerJobEnd): Unit = {
+        val s = starts.remove(je.jobId)
+        if (enabled && s != null)
+          rows.add((je.jobId, (System.nanoTime() - s._1) / 1e9, s._2))
+      }
+    })
+    val docs = Tables.documents(spark, sfDir)
+    val root = java.nio.file.Files.createTempDirectory("tickprof").toString
+
+    def profiled(label: String)(body: => Unit): Unit = {
+      // settle listener queue, then time
+      Thread.sleep(500); rows.clear(); enabled = true
+      val t0 = System.nanoTime()
+      body
+      val wall = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(500); enabled = false
+      println(f"== $label: wall $wall%.2f s")
+      val it = rows.iterator()
+      var sum = 0.0
+      while (it.hasNext) {
+        val (id, dur, site) = it.next()
+        sum += dur
+        println(f"  job $id%4d  $dur%7.3f s  $site")
+      }
+      println(f"  (sum of job durations $sum%.2f s; gaps = driver/planning)")
+    }
+
+    which match {
+      case "dedup" =>
+        operators.IncrementalDedup.buildIndex(
+          docs.filter(pmod(col("doc_id"), lit(5)) =!= 0),
+          "doc_id", "text", "lang", n = 3, threshold = 0.8,
+          maxShingleDocFreq = 1000, dir = s"$root/base")
+        val delta = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+        // rep 1 untimed (JIT), reps 2-3 profiled
+        operators.IncrementalDedup.append(delta, "doc_id", "text", "lang",
+          s"$root/base", s"$root/out0").labels
+          .write.format("noop").mode("overwrite").save()
+        (1 to 2).foreach { i =>
+          profiled(s"dedup append rep $i") {
+            operators.IncrementalDedup.append(delta, "doc_id", "text",
+              "lang", s"$root/base", s"$root/out$i").labels
+              .write.format("noop").mode("overwrite").save()
+          }
+        }
+      case "curation" =>
+        operators.IncrementalCuration.buildIndex(
+          docs.filter(pmod(col("doc_id"), lit(20)) =!= 0
+            && pmod(col("doc_id"), lit(5)) =!= 0),
+          docs.filter(pmod(col("doc_id"), lit(20)) === 0),
+          "doc_id", "text", "lang", Seq("the", "a"), dir = s"$root/base")
+        val delta = docs.filter(pmod(col("doc_id"), lit(20)) =!= 0
+          && pmod(col("doc_id"), lit(5)) === 0)
+        operators.IncrementalCuration.append(delta, "doc_id", "text",
+          "lang", s"$root/base", s"$root/out0")
+          .write.format("noop").mode("overwrite").save()
+        (1 to 2).foreach { i =>
+          profiled(s"curation append rep $i") {
+            operators.IncrementalCuration.append(delta, "doc_id", "text",
+              "lang", s"$root/base", s"$root/out$i")
+              .write.format("noop").mode("overwrite").save()
+          }
+        }
+      case "ann" | "pq" =>
+        val emb = Tables.embeddings(spark, sfDir)
+        val ebase = emb.filter(pmod(col("vec_id"), lit(100)) =!= 0)
+        val edelta = emb.filter(pmod(col("vec_id"), lit(100)) === 0)
+        val cells = operators.Similarity.autoCells(ebase.count())
+        if (which == "ann") {
+          operators.SimilarityIndex.buildIvf(ebase, "vec_id", "embedding",
+            cells, s"$root/base")
+          operators.SimilarityIndex.appendIvf(edelta, "vec_id",
+            "embedding", s"$root/base", s"$root/out0")
+          (1 to 2).foreach { i =>
+            profiled(s"ann append rep $i (cells=$cells)") {
+              operators.SimilarityIndex.appendIvf(edelta, "vec_id",
+                "embedding", s"$root/base", s"$root/out$i")
+            }
+          }
+        } else {
+          operators.SimilarityIndex.buildIvfPq(ebase, "vec_id", "embedding",
+            cells, numSub = 4, numCentroids = 16, dir = s"$root/base")
+          operators.SimilarityIndex.appendIvfPq(edelta, "vec_id",
+            "embedding", s"$root/base", s"$root/out0")
+          (1 to 2).foreach { i =>
+            profiled(s"pq append rep $i (cells=$cells)") {
+              operators.SimilarityIndex.appendIvfPq(edelta, "vec_id",
+                "embedding", s"$root/base", s"$root/out$i")
+            }
+          }
+        }
+      case other => sys.error(s"unknown mode $other")
+    }
+    spark.stop()
+  }
+}

@@ -120,11 +120,17 @@ object GraphOps {
     * Scale shape per round: two edge-keyed hash aggregates
     * (map-side combined) + two 1-row max aggregates broadcast back.
     * Edges are deduplicated first (multiplicity is intentional
-    * weight otherwise — callers pick by pre-aggregating).
-    *
-    * Returns (hubs: srcCol, hub6; authorities: dstCol, authority6),
-    * zero-degree nodes of either side included at 0 via the node
-    * frames.
+    * weight otherwise — callers pick by pre-aggregating). The
+    * per-round score joins are SIZE-ROUTED (r17, the byte-gate
+    * discipline): a node side at or under `maxBroadcastRows` rows —
+    * known exactly from a one-time count of the checkpointed node
+    * frames — broadcasts its score/raw frame, so the edge frame
+    * STREAMS through every round with zero edge exchanges (checked-
+    * pointed frames read as size-unknown, so Catalyst can never make
+    * this call itself); larger graphs keep the shuffle plan, correct
+    * at any scale. `nodesDistinct = true` lets callers whose node
+    * frames are primary keys skip the two defensive distincts (one
+    * exchange each).
     */
   def hits(
       srcNodes: DataFrame,
@@ -132,14 +138,25 @@ object GraphOps {
       edges: DataFrame,
       srcCol: String,
       dstCol: String,
-      rounds: Int): (DataFrame, DataFrame) = {
+      rounds: Int,
+      nodesDistinct: Boolean = false,
+      maxBroadcastRows: Long = 1000000L): (DataFrame, DataFrame) = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     val e = edges.select(col(srcCol).as("__s"), col(dstCol).as("__d"))
       .distinct().localCheckpoint(true)
-    val srcs = srcNodes.select(col(srcCol).as("__s")).distinct()
-      .localCheckpoint(true)
-    val dsts = dstNodes.select(col(dstCol).as("__d")).distinct()
-      .localCheckpoint(true)
+    def nodeFrame(nodes: DataFrame, c: String, as: String): DataFrame = {
+      val proj = nodes.select(col(c).as(as))
+      (if (nodesDistinct) proj else proj.distinct()).localCheckpoint(true)
+    }
+    val srcs = nodeFrame(srcNodes, srcCol, "__s")
+    val dsts = nodeFrame(dstNodes, dstCol, "__d")
+    // exact counts off the checkpointed frames (cheap) route the
+    // per-round joins: ≤ maxBroadcastRows node rows → broadcast the
+    // score side and stream the edges
+    val bSrc = srcs.count() <= maxBroadcastRows
+    val bDst = dsts.count() <= maxBroadcastRows
+    def routed(df: DataFrame, b: Boolean): DataFrame =
+      if (b) broadcast(df) else df
     def renorm(df: DataFrame, idCol: String, raw: String): DataFrame = {
       val mx = df.agg(max(col(raw)).as("__mx"))
       df.crossJoin(broadcast(mx))
@@ -154,18 +171,18 @@ object GraphOps {
     var auth = dsts.withColumn("__score", lit(0L))
     var i = 0
     while (i < rounds) {
-      val aRaw = e.join(hub.withColumnRenamed("__s", "__js"),
+      val aRaw = e.join(routed(hub.withColumnRenamed("__s", "__js"), bSrc),
           col("__js") === col("__s"))
         .groupBy(col("__d")).agg(sum(col("__score")).as("__raw"))
       auth = renorm(
-        dsts.join(aRaw, Seq("__d"), "left")
+        dsts.join(routed(aRaw, bDst), Seq("__d"), "left")
           .select(col("__d"), coalesce(col("__raw"), lit(0L)).as("__raw")),
         "__d", "__raw").localCheckpoint(true)
-      val hRaw = e.join(auth.withColumnRenamed("__d", "__jd"),
+      val hRaw = e.join(routed(auth.withColumnRenamed("__d", "__jd"), bDst),
           col("__jd") === col("__d"))
         .groupBy(col("__s")).agg(sum(col("__score")).as("__raw"))
       hub = renorm(
-        srcs.join(hRaw, Seq("__s"), "left")
+        srcs.join(routed(hRaw, bSrc), Seq("__s"), "left")
           .select(col("__s"), coalesce(col("__raw"), lit(0L)).as("__raw")),
         "__s", "__raw").localCheckpoint(true)
       i += 1

@@ -20,6 +20,12 @@ import org.apache.spark.sql.functions._
   *     touching `nprobe` cells reads those directories and NOTHING
   *     else (static partition pruning, asserted in the spec), so
   *     probe IO is ~nprobe/numCells of the corpus.
+  *   - `tail`      (neighbor_id, cv, cell) — cell as a DATA column:
+  *     per-tick append files ([[appendIvf]]; r16 VERDICT #3). Probes
+  *     read bulk + tail with the same cell filter (pushed to the
+  *     tail's row groups); [[compactIvf]] folds the tail back into
+  *     the bulk. Absent on a fresh build or fresh compaction, and
+  *     bounded by the compaction cadence — the LSM delta shape.
   *   - `meta`      (version, kind, num_cells, dims)
   *
   * Sign-bucket LSH ([[buildSignBucket]] / [[signBucketProbe]]):
@@ -80,14 +86,28 @@ object SimilarityIndex {
   }
 
   /** APPEND a delta of new vectors into a persisted IVF index:
-    * `srcDir → dstDir` copy-free rotation — untouched cell partitions
-    * carry as hardlinks, the delta's rows land as new part-files in
-    * exactly the cells they rank into, and centroids/meta carry
-    * frozen (assignment must keep using the PERSISTED centroids or
-    * old and new vectors would live in different geometries). The
-    * per-tick cost is delta-sized: one codegen cellRank scan of the
-    * delta plus delta-cell file appends; the existing corpus is never
-    * read or rewritten. Delta ids must be new to the index (the
+    * `srcDir → dstDir` copy-free rotation — the bulk `cells`
+    * partitions AND any existing tick tail carry as hardlinks, the
+    * delta's rows land as per-tick MULTI-CELL tail files (`tail/`,
+    * cell as a data column), and centroids/meta carry frozen
+    * (assignment must keep using the PERSISTED centroids or old and
+    * new vectors would live in different geometries).
+    *
+    * Why a tail instead of per-cell appends (r16 VERDICT #3): the
+    * r16 tick wrote one part-file into EVERY delta cell per tick —
+    * `autoCells` grows the cell count with the corpus, so the deck30
+    * tick paid ~650 parquet footer/commit round-trips for a 1% delta
+    * (~8–10 s of pure file metadata). The tail is the LSM shape: a
+    * tick writes O(delta tasks) files regardless of cell count,
+    * probes read the partition-pruned bulk plus the (delta-sized,
+    * compaction-bounded) tail with the same cell filter — pushed to
+    * the tail's parquet row groups — and [[compactIvf]] folds the
+    * tail back into one file per cell between read barriers. Results
+    * are layout-invariant (append==build stays spec-pinned).
+    *
+    * The per-tick cost is delta-sized: one codegen cellRank scan of
+    * the delta plus O(1) tail file writes; the existing corpus is
+    * never read or rewritten. Delta ids must be new to the index (the
     * streaming maintainer anti-joins replayed ids before calling).
     * Same stale-config discipline as the probes: meta version/kind
     * and vector dims are validated before any write.
@@ -111,27 +131,79 @@ object SimilarityIndex {
     val assigned = delta.select(
       col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
       Similarity.cellAssign(spark, cents, col(vecCol)).as("cell"))
-    // insert-only rotation: no touched buckets — every existing cell
-    // file hardlinks across, delta rows append into their cell dirs
-    val rotated = IndexRotation.rotateBucketed(spark, s"$srcDir/cells",
-      s"$dstDir/cells", Seq.empty, assigned, partCol = "cell")
+    appendTail(spark, assigned, srcDir, dstDir)
     IndexRotation.rotateFrozen(spark, s"$srcDir/centroids", s"$dstDir/centroids")
     IndexRotation.rotateFrozen(spark, s"$srcDir/meta", s"$dstDir/meta")
-    rotated
+    indexedRows(spark, dstDir)
   }
 
+  /** The tail-rotation shared by [[appendIvf]] and [[appendIvfPq]]:
+    * hardlink-carry the bulk `cells` partitions untouched, then
+    * hardlink-carry + append the per-tick tail. The delta lands
+    * sorted by cell inside its files so the probe-side `cell` filter
+    * prunes on parquet row-group min/max stats.
+    */
+  private def appendTail(spark: SparkSession, assigned: DataFrame,
+      srcDir: String, dstDir: String): Unit = {
+    IndexRotation.rotateFrozen(spark, s"$srcDir/cells", s"$dstDir/cells")
+    IndexRotation.rotateAppendOnly(spark, s"$srcDir/tail", s"$dstDir/tail",
+      assigned.sortWithinPartitions(col("cell")))
+    ()
+  }
+
+  /** The index's LOGICAL row frame: the bulk partitioned `cells`
+    * frame plus the append tail (absent on a freshly built or freshly
+    * compacted index). Column order is normalized to the tail's
+    * (data-column) order; the bulk side's `cell` partition column is
+    * selected into the same position.
+    */
+  private[graft] def indexedRows(spark: SparkSession, dir: String): DataFrame = {
+    val bulk = spark.read.parquet(s"$dir/cells")
+    val cols = bulk.columns.filter(_ != "cell").map(col).toSeq :+ col("cell")
+    val base = bulk.select(cols: _*)
+    if (new java.io.File(s"$dir/tail").isDirectory) {
+      // explicit schema: the tail dir exists but may hold zero files
+      // (an empty-delta tick), and inference cannot read that
+      base.unionByName(
+        spark.read.schema(base.schema).parquet(s"$dir/tail"))
+    } else base
+  }
+
+  /** Column-pruned id frame over bulk + tail — the streaming
+    * maintainer's replay anti-join input.
+    */
+  def indexedIds(spark: SparkSession, dir: String, as: String): DataFrame =
+    indexedRows(spark, dir).select(col("neighbor_id").as(as))
+
+  /** (neighbor_id, cell) over bulk + tail — the layout-invariant
+    * assignment view the maintainer specs assert against.
+    */
+  def indexedIdCells(spark: SparkSession, dir: String): DataFrame =
+    indexedRows(spark, dir).select(col("neighbor_id"), col("cell"))
+
+  /** [[indexedRows]] restricted to `cells` — the probe-side read. The
+    * bulk side prunes STATICALLY on the `cell` partition directories;
+    * the tail side (delta-sized, compaction-bounded) pushes the same
+    * filter to its parquet row groups.
+    */
+  private def probeRows(spark: SparkSession, dir: String,
+      cells: Seq[Int]): DataFrame =
+    indexedRows(spark, dir)
+      .filter(if (cells.isEmpty) lit(false) // empty probes → empty result
+        else col("cell").isin(cells: _*))
+
   /** Compact a multi-append IVF index into `dstDir`: every tick
-    * appends one part-file per touched cell, so a long-lived
-    * maintained index accumulates per-cell file counts that tax
-    * every probe's listing + footer reads. Rewrites `cells` to one
-    * file per cell partition (same rows, same layout contract —
-    * [[IndexRotation.compactFrame]]); centroids and meta carry
-    * frozen. Run between read barriers, like the dedup index's
-    * compaction.
+    * appends tail files, so a long-lived maintained index accumulates
+    * a tail that taxes every probe's extra read. Folds the tail back
+    * into the bulk `cells` frame at one file per cell partition (same
+    * rows, same layout contract); the compacted index carries NO
+    * tail. Centroids and meta carry frozen. Run between read
+    * barriers, like the dedup index's compaction.
     */
   def compactIvf(spark: SparkSession, srcDir: String, dstDir: String): Unit = {
-    IndexRotation.compactFrame(spark, s"$srcDir/cells", s"$dstDir/cells",
-      schema = None, partitionCol = Some("cell"))
+    indexedRows(spark, srcDir)
+      .repartition(col("cell"))
+      .write.partitionBy("cell").mode("overwrite").parquet(s"$dstDir/cells")
     IndexRotation.rotateFrozen(spark, s"$srcDir/centroids", s"$dstDir/centroids")
     IndexRotation.rotateFrozen(spark, s"$srcDir/meta", s"$dstDir/meta")
     ()
@@ -171,9 +243,7 @@ object SimilarityIndex {
     // probed directories
     val probedCells = probeCells.select(col("cell")).distinct()
       .collect().map(_.getInt(0)).toSeq
-    val assigned = spark.read.parquet(s"$indexDir/cells")
-      .filter(if (probedCells.isEmpty) lit(false) // empty probes → empty result
-        else col("cell").isin(probedCells: _*))
+    val assigned = probeRows(spark, indexDir, probedCells)
     val pairs = assigned.join(broadcast(probeCells), "cell")
       .select(col("probe_id"), col("neighbor_id"),
         Similarity.cos6(spark, col("pv"), col("cv")).as("cos"))
@@ -296,18 +366,17 @@ object SimilarityIndex {
         s => s.getField("cell"))).as("cell"))
     val probedCells = probeCells.select(col("cell")).distinct()
       .collect().map(_.getInt(0)).toSeq
-    val assigned = spark.read.parquet(s"$indexDir/cells")
-      .filter(if (probedCells.isEmpty) lit(false)
-        else col("cell").isin(probedCells: _*))
+    val assigned = probeRows(spark, indexDir, probedCells)
     ProductQuant.rankAdc(assigned.join(broadcast(probeCells), "cell"), k)
   }
 
   /** APPEND a delta into a persisted IVF-PQ index — [[appendIvf]]'s
-    * copy-free rotation with the delta encoded by the PERSISTED
+    * copy-free tail rotation with the delta encoded by the PERSISTED
     * codebooks and assigned by the PERSISTED centroids (both frozen:
     * re-deriving either would put old and new vectors in different
     * quantization geometries). Per-tick cost is one codegen scan of
-    * the delta plus delta-cell file appends.
+    * the delta plus O(1) tail file writes (r16 VERDICT #3 — see
+    * [[appendIvf]]).
     */
   def appendIvfPq(
       delta: DataFrame,
@@ -329,20 +398,20 @@ object SimilarityIndex {
       graft.plans.PqEncodeExpr.pqEncode(spark, col(vecCol), booksLit)
         .as("codes"),
       Similarity.cellAssign(spark, cents, col(vecCol)).as("cell"))
-    val rotated = IndexRotation.rotateBucketed(spark, s"$srcDir/cells",
-      s"$dstDir/cells", Seq.empty, assigned, partCol = "cell")
+    appendTail(spark, assigned, srcDir, dstDir)
     Seq("centroids", "codebooks", "meta", "pqmeta").foreach { f =>
       IndexRotation.rotateFrozen(spark, s"$srcDir/$f", s"$dstDir/$f")
     }
-    rotated
+    indexedRows(spark, dstDir)
   }
 
-  /** [[compactIvf]] for the PQ layout: one file per cell partition;
-    * centroids/codebooks/meta carry frozen.
+  /** [[compactIvf]] for the PQ layout: the tail folds into one file
+    * per cell partition; centroids/codebooks/meta carry frozen.
     */
   def compactIvfPq(spark: SparkSession, srcDir: String, dstDir: String): Unit = {
-    IndexRotation.compactFrame(spark, s"$srcDir/cells", s"$dstDir/cells",
-      schema = None, partitionCol = Some("cell"))
+    indexedRows(spark, srcDir)
+      .repartition(col("cell"))
+      .write.partitionBy("cell").mode("overwrite").parquet(s"$dstDir/cells")
     Seq("centroids", "codebooks", "meta", "pqmeta").foreach { f =>
       IndexRotation.rotateFrozen(spark, s"$srcDir/$f", s"$dstDir/$f")
     }

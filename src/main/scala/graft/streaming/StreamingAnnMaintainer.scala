@@ -54,9 +54,8 @@ object StreamingAnnMaintainer {
           centroids),
       append = (fresh, curDir, nextDir) =>
         SimilarityIndex.appendIvf(fresh, idCol, vecCol, curDir, nextDir),
-      // the id read is column-pruned to the 8-byte id
-      seenIds = curDir => spark.read.parquet(s"$curDir/cells")
-        .select(col("neighbor_id").as(idCol)))
+      // the id read is column-pruned to the 8-byte id (bulk + tail)
+      seenIds = curDir => SimilarityIndex.indexedIds(spark, curDir, idCol))
   }
 
   /** [[tick]] for the IVF-PQ layout: identical tick-dir discipline,
@@ -86,8 +85,7 @@ object StreamingAnnMaintainer {
           numSub, numCentroids, dir, centroids),
       append = (fresh, curDir, nextDir) =>
         SimilarityIndex.appendIvfPq(fresh, idCol, vecCol, curDir, nextDir),
-      seenIds = curDir => spark.read.parquet(s"$curDir/cells")
-        .select(col("neighbor_id").as(idCol)))
+      seenIds = curDir => SimilarityIndex.indexedIds(spark, curDir, idCol))
   }
 
   /** Start the maintainer: vector stream → one index tick per

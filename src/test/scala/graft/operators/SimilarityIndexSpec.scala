@@ -278,4 +278,43 @@ class SimilarityIndexSpec extends SparkSuiteBase {
     // subsequent probe rejects
     assert(err.getMessage.contains("shrink numCells"))
   }
+
+  test("appendIvf writes O(1) tail files, never per-cell part-files " +
+      "(r17 tick metadata fix); probes read bulk + tail identically") {
+    val e = Tables.embeddings(spark, sfDir)
+    val probes = e.filter(col("vec_id") < 10)
+    val all = e.filter(col("vec_id") >= 10)
+    val base = all.filter(col("vec_id") < 400)
+    val delta = all.filter(col("vec_id") >= 400)
+    val v0 = tmpDir("ivf-tail-v0"); val v1 = tmpDir("ivf-tail-v1")
+    val full = tmpDir("ivf-tail-full")
+    SimilarityIndex.buildIvf(base, "vec_id", "embedding",
+      numCells = 8, dir = v0)
+    SimilarityIndex.appendIvf(delta, "vec_id", "embedding", v0, v1)
+    // the tick appended ZERO files to the bulk cells partitions (all
+    // hardlink-carried) — the delta landed as tail files whose count
+    // is bounded by the delta's task count, not the cell count
+    val bulkBefore = HardlinkProbe.dataFiles(s"$v0/cells")
+    val bulkAfter = HardlinkProbe.dataFiles(s"$v1/cells")
+    assert(bulkAfter.keySet == bulkBefore.keySet,
+      "append must not create per-cell part-files in the bulk frame")
+    bulkBefore.foreach { case (rel, ino) =>
+      assert(bulkAfter.get(rel).contains(ino), s"rewritten: $rel")
+    }
+    val tailFiles = HardlinkProbe.dataFiles(s"$v1/tail")
+    assert(tailFiles.nonEmpty, "delta rows must land in the tail")
+    assert(tailFiles.size < 8, // far under one-per-cell
+      s"tail should be O(delta tasks) files, got ${tailFiles.size}")
+    // probe equality vs a from-scratch build (same frozen geometry:
+    // base holds the smallest ids, so centroid seeds coincide)
+    SimilarityIndex.buildIvf(all, "vec_id", "embedding",
+      numCells = 8, dir = full)
+    def rows3(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+        .toSet
+    def probe(dir: String) = rows3(SimilarityIndex.ivfProbe(probes,
+      "vec_id", "embedding", dir, numCells = 8, nprobe = 8, k = 10))
+    assert(probe(v1) == probe(full),
+      "tail layout must be result-invisible to probes")
+  }
 }

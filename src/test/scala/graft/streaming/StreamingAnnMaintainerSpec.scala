@@ -32,9 +32,12 @@ class StreamingAnnMaintainerSpec extends SparkSuiteBase {
       .select(col("vec_id"), col("embedding").cast("array<float>"))
   }
 
+  /** The index's logical (id → cell) map: bulk `cells` plus any
+    * append tail (the r17 layout — appends land as multi-cell tail
+    * files, not per-cell part-files).
+    */
   private def cellsAt(dir: String): Map[Long, Int] =
-    spark.read.parquet(s"$dir/cells")
-      .select(col("neighbor_id"), col("cell"))
+    SimilarityIndex.indexedIdCells(spark, dir)
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
 
   test("micro-batched vector appends equal a single full build") {
@@ -131,7 +134,7 @@ class StreamingAnnMaintainerSpec extends SparkSuiteBase {
     assert(cellsAt(d1).keySet === (0L until 24L).toSet)
     // and no id holds duplicate rows (replays and intra-batch dupes
     // were really dropped, not just masked by the map)
-    assert(spark.read.parquet(s"$d1/cells").count() === 24L)
+    assert(SimilarityIndex.indexedIdCells(spark, d1).count() === 24L)
     // appended rows rank against the PERSISTED centroids: assignment
     // of old ids is untouched
     val before = cellsAt(d0)
@@ -149,20 +152,23 @@ class StreamingAnnMaintainerSpec extends SparkSuiteBase {
     def filesPerCell(dir: String): Map[String, Int] =
       HardlinkProbe.dataFiles(s"$dir/cells").keys
         .groupBy(_.split('/')(0)).view.mapValues(_.size).toMap
-    // the multi-append index holds accumulated per-cell files
-    assert(filesPerCell(d2).values.exists(_ > 1),
-      s"fixture should accumulate files: ${filesPerCell(d2)}")
+    // the multi-append index accumulates TAIL files (the r17 layout:
+    // a tick writes O(1) multi-cell tail files, never per-cell ones)
+    assert(HardlinkProbe.dataFiles(s"$d2/tail").nonEmpty,
+      "fixture should accumulate tail files")
     val cdir = tmpDir("ann-compacted")
     SimilarityIndex.compactIvf(spark, d2, cdir)
-    // same rows, one file per cell, probes unaffected
+    // same rows, one file per cell, tail folded away, probes unaffected
     assert(cellsAt(cdir) === cellsAt(d2))
     assert(filesPerCell(cdir).values.forall(_ == 1),
       s"compaction must leave one file per cell: ${filesPerCell(cdir)}")
+    assert(HardlinkProbe.dataFiles(s"$cdir/tail").isEmpty,
+      "compaction must fold the tail into the bulk cells frame")
     // and the compacted index accepts further appends
     val post = tmpDir("ann-post")
     SimilarityIndex.appendIvf(corpus(Seq(200L)), "vec_id", "embedding",
       cdir, post)
-    assert(spark.read.parquet(s"$post/cells").count() === 33L)
+    assert(SimilarityIndex.indexedIdCells(spark, post).count() === 33L)
   }
 
   test("untouched cell files carry as hardlinks, not copies") {
@@ -172,13 +178,20 @@ class StreamingAnnMaintainerSpec extends SparkSuiteBase {
     // a delta landing in ONE cell: vectors all leaning along axis 0
     val d1 = StreamingAnnMaintainer.tick(corpus(Seq(64L, 72L)),
       "vec_id", "embedding", root, numCells = cells)
-    val before = HardlinkProbe.dataFiles(s"$d0/cells")
-    val after = HardlinkProbe.dataFiles(s"$d1/cells")
-    // every pre-existing data file is inode-identical in the new tick
+    // every pre-existing data file (bulk cells AND prior tail files)
+    // is inode-identical in the new tick
+    val before = HardlinkProbe.dataFiles(s"$d0/cells") ++
+      HardlinkProbe.dataFiles(s"$d0/tail").map { case (k, v) =>
+        s"tail/$k" -> v
+      }
+    val after = HardlinkProbe.dataFiles(s"$d1/cells") ++
+      HardlinkProbe.dataFiles(s"$d1/tail").map { case (k, v) =>
+        s"tail/$k" -> v
+      }
     before.foreach { case (rel, ino) =>
       assert(after.get(rel).contains(ino), s"rewritten: $rel")
     }
-    // and the delta added at least one genuinely new file
+    // and the delta added at least one genuinely new (tail) file
     assert(after.size > before.size)
   }
 }
