@@ -2544,7 +2544,11 @@ object PipelineAnalyticsQueries extends QueryGroup {
        |WHERE edG.a IS NULL AND cn >= 2
        |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
     graft.operators.GraphOps.linkPredict(copurchaseEdges(s, d),
-        "id_a", "id_b", maxDeg = 64)
+        "id_a", "id_b", maxDeg = 64,
+        // the memo is a distinct (2c, 2p+1) edge list: no self-loops
+        // (even vs odd ids), no duplicates — skip the defensive
+        // normalize+distinct exchange
+        pairsNormalized = true)
       .filter(col("cn") >= 2) // singleton-wedge pairs are noise-level
       .orderBy(col("id_a"), col("id_b"))
   }

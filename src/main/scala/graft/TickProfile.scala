@@ -125,6 +125,31 @@ object TickProfile {
             }
           }
         }
+      case "q224" =>
+        // piecewise attribution of the link-prediction rep: edge memo
+        // mine vs linkPredict stages vs final order
+        (1 to 3).foreach { i =>
+          val t0 = System.nanoTime()
+          val edges = Tables.orders(spark, sfDir)
+            .join(Tables.lineitem(spark, sfDir),
+              col("l_orderkey") === col("o_orderkey"))
+            .join(Tables.customer(spark, sfDir)
+              .filter(col("c_mktsegment") === "BUILDING"),
+              col("c_custkey") === col("o_custkey"))
+            .select((lit(2L) * col("o_custkey")).as("id_a"),
+              (lit(2L) * col("l_partkey") + lit(1L)).as("id_b"))
+            .distinct()
+            .localCheckpoint(true)
+          val t1 = System.nanoTime()
+          val lp = operators.GraphOps.linkPredict(edges, "id_a", "id_b",
+            maxDeg = 64)
+          lp.filter(col("cn") >= 2)
+            .orderBy(col("id_a"), col("id_b"))
+            .write.format("noop").mode("overwrite").save()
+          val t2 = System.nanoTime()
+          println(f"q224 rep $i: memo ${(t1 - t0) / 1e9}%.2f s, " +
+            f"predict+order ${(t2 - t1) / 1e9}%.2f s")
+        }
       case other => sys.error(s"unknown mode $other")
     }
     spark.stop()

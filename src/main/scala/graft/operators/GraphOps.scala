@@ -11,6 +11,32 @@ import org.apache.spark.sql.functions._
   */
 object GraphOps {
 
+  /** The size-routing gate shared by every iterative operator here
+    * (r17; the [[graft.operators.Similarity]] byte-gate discipline):
+    * per-round score/frontier/label frames are node-sized, their row
+    * counts are known EXACTLY (each round materializes through an
+    * eager localCheckpoint, and the loops already count or can count
+    * them once), and checkpointed frames read as size-unknown to
+    * Catalyst — so the planner can never choose the broadcast join
+    * itself. At or under this many rows the node-sized side is
+    * explicitly broadcast and the EDGE frame streams with zero
+    * per-round exchanges; above it the shuffle plans are unchanged
+    * (correct at any scale). Results are identical either way — the
+    * joins are exact.
+    *
+    * The `streamRows >= rows` condition keeps the router honest on
+    * TINY-edge graphs (measured r17: the near-dup graph under
+    * q184_kcore has ~1/4 as many edges as nodes, and per-round
+    * broadcast builds cost MORE than the small shuffles they
+    * replace — +29% isolated): broadcasting the node side only pays
+    * when the streaming side is at least as large as what would be
+    * broadcast.
+    */
+  private val MaxBroadcastRows = 1000000L
+
+  private def routed(df: DataFrame, rows: Long, streamRows: Long): DataFrame =
+    if (rows <= MaxBroadcastRows && streamRows >= rows) broadcast(df) else df
+
   /** PageRank over an undirected pair frame. `pairs` carries one row
     * per undirected edge (idA, idB); each edge contributes in both
     * directions. `nodes` fixes the universe (isolated nodes keep the
@@ -57,13 +83,16 @@ object GraphOps {
       .localCheckpoint(true)
     val n = ids.count()
     require(n > 0, "pageRank needs a non-empty node frame")
+    val edgeN = edges.count()
     var pr = ids.withColumn("pr", r6(lit(1.0) / lit(n.toDouble)))
       .localCheckpoint(true)
     var i = 0
     while (i < iterations) {
+      // rank and degree frames are node-sized (n known exactly) —
+      // size-routed broadcast lets the edge frame stream per round
       val contrib = edges
-        .join(pr.withColumnRenamed("id", "src"), "src")
-        .join(deg, "src")
+        .join(routed(pr.withColumnRenamed("id", "src"), n, edgeN), "src")
+        .join(routed(deg, n, edgeN), "src")
         .groupBy(col("dst"))
         .agg(sum(col("pr") / col("deg")).as("__in"))
       val stepped = ids
@@ -151,12 +180,14 @@ object GraphOps {
     val srcs = nodeFrame(srcNodes, srcCol, "__s")
     val dsts = nodeFrame(dstNodes, dstCol, "__d")
     // exact counts off the checkpointed frames (cheap) route the
-    // per-round joins: ≤ maxBroadcastRows node rows → broadcast the
-    // score side and stream the edges
-    val bSrc = srcs.count() <= maxBroadcastRows
-    val bDst = dsts.count() <= maxBroadcastRows
-    def routed(df: DataFrame, b: Boolean): DataFrame =
-      if (b) broadcast(df) else df
+    // per-round joins: ≤ maxBroadcastRows node rows AND an edge frame
+    // at least that large → broadcast the score side, stream the edges
+    val nSrc = srcs.count()
+    val nDst = dsts.count()
+    val eN = e.count()
+    def routed(df: DataFrame, rows: Long, streamRows: Long): DataFrame =
+      if (rows <= maxBroadcastRows && streamRows >= rows) broadcast(df)
+      else df
     def renorm(df: DataFrame, idCol: String, raw: String): DataFrame = {
       val mx = df.agg(max(col(raw)).as("__mx"))
       df.crossJoin(broadcast(mx))
@@ -171,18 +202,20 @@ object GraphOps {
     var auth = dsts.withColumn("__score", lit(0L))
     var i = 0
     while (i < rounds) {
-      val aRaw = e.join(routed(hub.withColumnRenamed("__s", "__js"), bSrc),
+      val aRaw = e.join(
+          routed(hub.withColumnRenamed("__s", "__js"), nSrc, eN),
           col("__js") === col("__s"))
         .groupBy(col("__d")).agg(sum(col("__score")).as("__raw"))
       auth = renorm(
-        dsts.join(routed(aRaw, bDst), Seq("__d"), "left")
+        dsts.join(aRaw, Seq("__d"), "left")
           .select(col("__d"), coalesce(col("__raw"), lit(0L)).as("__raw")),
         "__d", "__raw").localCheckpoint(true)
-      val hRaw = e.join(routed(auth.withColumnRenamed("__d", "__jd"), bDst),
+      val hRaw = e.join(
+          routed(auth.withColumnRenamed("__d", "__jd"), nDst, eN),
           col("__jd") === col("__d"))
         .groupBy(col("__s")).agg(sum(col("__score")).as("__raw"))
       hub = renorm(
-        srcs.join(routed(hRaw, bSrc), Seq("__s"), "left")
+        srcs.join(hRaw, Seq("__s"), "left")
           .select(col("__s"), coalesce(col("__raw"), lit(0L)).as("__raw")),
         "__s", "__raw").localCheckpoint(true)
       i += 1
@@ -271,22 +304,32 @@ object GraphOps {
       pairs: DataFrame,
       idACol: String,
       idBCol: String,
-      maxDeg: Int = 64): DataFrame = {
+      maxDeg: Int = 64,
+      pairsNormalized: Boolean = false): DataFrame = {
     require(maxDeg >= 1, s"maxDeg must be >= 1, got $maxDeg")
-    val ed = pairs.filter(col(idACol) =!= col(idBCol))
+    // pairsNormalized = true: the caller guarantees a distinct
+    // undirected edge list with no self-loops (the mined co-purchase
+    // memo is exactly that) — skip the defensive normalize+distinct
+    // exchange. The least/greatest projection stays (orientation).
+    val edRaw = pairs.filter(col(idACol) =!= col(idBCol))
       .select(least(col(idACol), col(idBCol)).as("__a"),
         greatest(col(idACol), col(idBCol)).as("__b"))
-      .distinct()
+    val ed = (if (pairsNormalized) edRaw else edRaw.distinct())
       .localCheckpoint(true) // feeds adjacency twice + the anti-join
     val adj = ed.select(col("__a").as("__w"), col("__b").as("__u"))
       .unionByName(ed.select(col("__b").as("__w"), col("__a").as("__u")))
     val deg = adj.groupBy(col("__w")).agg(count(lit(1)).as("__dw"))
     val kept = adj.join(deg, Seq("__w")).filter(col("__dw") <= maxDeg)
       .localCheckpoint(true) // self-joined next; mine the wedge once
+    // (an identical-projection self-join was tried here in r17 to get
+    // ReuseExchange to share one shuffle — column pruning re-projects
+    // the RA-term-free side and the exchanges stop canonicalizing
+    // equal, so it bought nothing; the two-projection join stands)
     val wedges = kept.select(col("__w"), col("__u").as("__ua"),
         col("__dw"))
       .join(kept.select(col("__w"), col("__u").as("__ub")), Seq("__w"))
       .filter(col("__ua") < col("__ub"))
+      .select(col("__ua"), col("__ub"), col("__dw"))
     val cand = wedges.groupBy(col("__ua"), col("__ub"))
       .agg(count(lit(1)).as("cn"),
         sum(floor(lit(1e6) / col("__dw").cast("double") + lit(0.5))
@@ -342,17 +385,28 @@ object GraphOps {
       .localCheckpoint(true)
     var frontier = dist
     var hop = 1L
-    var live = frontier.count() > 0
+    // the loop already counts the frontier per hop (the short-circuit
+    // scalar) — those exact counts also size-route the per-hop joins:
+    // a node-sized frontier/settled set broadcasts, the adjacency
+    // frame streams with zero per-hop exchanges
+    var frontierN = frontier.count()
+    var settledN = frontierN
+    val adjN = adj.count()
+    var live = frontierN > 0
     while (hop <= maxHops && live) {
-      val fresh = frontier
+      val fresh = routed(frontier, frontierN, adjN)
         .join(adj, col("id") === col("__w"))
         .select(col("__u").as("id")).distinct()
-        .join(dist.select("id"), Seq("id"), "left_anti")
+        // adjN is the (conservative) proxy for the fresh frame's size
+        .join(routed(dist.select("id"), settledN, adjN),
+          Seq("id"), "left_anti")
         .withColumn("hops", lit(hop))
         .localCheckpoint(true)
-      live = fresh.count() > 0
+      frontierN = fresh.count()
+      live = frontierN > 0
       if (live) {
         dist = dist.unionByName(fresh).localCheckpoint(true)
+        settledN += frontierN
         frontier = fresh
       }
       hop += 1
@@ -448,11 +502,18 @@ object GraphOps {
       .unionByName(pairs.select(col(idBCol).as("src"), col(idACol).as("dst")))
       .localCheckpoint(true)
     var alive = nodes.select(col(idCol).as("id")).localCheckpoint(true)
+    // alive only shrinks, so ONE up-front count routes every round:
+    // a node-sized alive set broadcasts into the semi-joins and the
+    // edge frame streams per round
+    val nAlive = alive.count()
+    val edgeN = edges.count()
     var i = 0
     while (i < rounds) {
       val aliveEdges = edges
-        .join(alive.select(col("id").as("src")), Seq("src"), "left_semi")
-        .join(alive.select(col("id").as("dst")), Seq("dst"), "left_semi")
+        .join(routed(alive.select(col("id").as("src")), nAlive, edgeN),
+          Seq("src"), "left_semi")
+        .join(routed(alive.select(col("id").as("dst")), nAlive, edgeN),
+          Seq("dst"), "left_semi")
       val deg = aliveEdges.groupBy(col("src").as("id"))
         .agg(count(lit(1)).as("__deg"))
       alive = alive.join(deg, Seq("id"), "left")
@@ -512,11 +573,15 @@ object GraphOps {
       .join(seeds.select(col(seedIdCol).as("id"), col(labelCol).as("lbl")),
         Seq("id"), "left")
       .localCheckpoint(true)
+    // lab is one row per node in every round — one count routes the
+    // per-round joins (labeled subset ≤ node count)
+    val nLab = lab.count()
+    val edgeN = edges.count()
     var i = 0
     while (i < rounds) {
       val votes = edges
-        .join(lab.filter(col("lbl").isNotNull)
-          .select(col("id").as("src"), col("lbl")), "src")
+        .join(routed(lab.filter(col("lbl").isNotNull)
+          .select(col("id").as("src"), col("lbl")), nLab, edgeN), "src")
         .groupBy(col("dst"), col("lbl"))
         .agg(count(lit(1)).as("votes"))
       val winner = votes
