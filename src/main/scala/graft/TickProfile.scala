@@ -30,8 +30,8 @@ object TickProfile {
     var enabled = false
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(js: SparkListenerJobStart): Unit = {
-        val site = Option(js.properties)
-          .map(_.getProperty("callSite.short", "?")).getOrElse("?")
+        // the action's call site is the job's LAST stage's name
+        val site = js.stageInfos.lastOption.map(_.name).getOrElse("?")
         starts.put(js.jobId, (System.nanoTime(), site))
       }
       override def onJobEnd(je: SparkListenerJobEnd): Unit = {
