@@ -542,7 +542,8 @@ object Dedup {
     */
   def clusters(docs: DataFrame, idCol: String, pairs: DataFrame,
       maxIterations: Int = 50, checkpointDir: Option[String] = None,
-      pointerJumping: Boolean = true): DataFrame = {
+      pointerJumping: Boolean = true,
+      maxDriverEdges: Long = 200000L): DataFrame = {
     val spark = docs.sparkSession
     val sc = spark.sparkContext
     def persistAt(df: DataFrame, label: String): DataFrame = checkpointDir match {
@@ -557,12 +558,33 @@ object Dedup {
       p.getFileSystem(sc.hadoopConfiguration).delete(p, true)
       ()
     }
-    locally {
-      // undirected edge list (both directions), deduped
-      val fwd = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      val edges = persistAt(fwd.unionByName(
-          fwd.select(col("dst").as("src"), col("src").as("dst")))
-        .distinct(), "edges")
+    // undirected edge list (both directions), deduped
+    val fwd = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+    val edges = persistAt(fwd.unionByName(
+        fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct(), "edges")
+    // size-routed driver fast path (the foldLabels/byte-gate
+    // discipline): a small pair subgraph pays ~8-10 fixed Spark jobs
+    // per pointer-jumping round that dwarf the actual work, so below
+    // `maxDriverEdges` directed edges the components are solved with
+    // one collect + union-find on the driver (bounded by the EDGE
+    // count, never the corpus — large subgraphs take the distributed
+    // loop below). The limit+1 collect off the just-checkpointed
+    // frame both decides the route and fetches the edges; min-label
+    // equality with the distributed loop is spec-pinned
+    // (DedupClustersSpec), including the string order (UTF8 binary,
+    // matching Spark's least()/min()).
+    val driverLabels = driverComponents(spark, edges, maxDriverEdges)
+    if (driverLabels.isDefined) {
+      checkpointDir.foreach { dir =>
+        val p = new org.apache.hadoop.fs.Path(s"$dir/edges")
+        p.getFileSystem(sc.hadoopConfiguration).delete(p, true)
+        ()
+      }
+      docs.select(col(idCol))
+        .join(driverLabels.get, docs(idCol) === driverLabels.get("id"), "left")
+        .select(col(idCol), coalesce(col("lbl"), col(idCol)).as("cluster"))
+    } else locally {
       // propagate ONLY over the pair subgraph — near-dup graphs are a
       // vanishing fraction of the corpus, so the iteration loop never
       // touches the full document table; singletons get their own id
@@ -623,6 +645,68 @@ object Dedup {
         .join(labels, docs(idCol) === labels("id"), "left")
         .select(col(idCol), coalesce(col("lbl"), col(idCol)).as("cluster"))
     }
+  }
+
+  /** Driver-side connected components over a SMALL directed edge
+    * frame (both directions present, as [[clusters]] builds it):
+    * collect up to `maxDriverEdges` + 1 rows — overflow, an
+    * unsupported key type, or a null endpoint returns None and the
+    * caller runs the distributed loop. Labels are min-of-component
+    * under the SAME total order Spark's `least`/`min` use (numeric, or
+    * UTF8 binary for strings — java.lang.String's UTF-16 order differs
+    * on supplementary characters, so strings compare as UTF8String).
+    */
+  private def driverComponents(
+      spark: org.apache.spark.sql.SparkSession,
+      edges: DataFrame,
+      maxDriverEdges: Long): Option[DataFrame] = {
+    import org.apache.spark.sql.types._
+    if (maxDriverEdges <= 0) return None
+    require(maxDriverEdges < Int.MaxValue,
+      s"maxDriverEdges must fit an Int limit, got $maxDriverEdges")
+    val dt = edges.schema.fields.head.dataType
+    val ord: Ordering[Any] = dt match {
+      case LongType => Ordering.by((x: Any) => x.asInstanceOf[Long])
+      case IntegerType => Ordering.by((x: Any) => x.asInstanceOf[Int])
+      case StringType => (a: Any, b: Any) =>
+        org.apache.spark.unsafe.types.UTF8String
+          .fromString(a.asInstanceOf[String])
+          .compareTo(org.apache.spark.unsafe.types.UTF8String
+            .fromString(b.asInstanceOf[String]))
+      case _ => null
+    }
+    if (ord == null) return None
+    val sample = edges.limit(maxDriverEdges.toInt + 1).collect()
+    if (sample.length > maxDriverEdges) return None
+    if (sample.exists(r => r.isNullAt(0) || r.isNullAt(1))) return None
+    val parent = new java.util.HashMap[Any, Any]()
+    def find(x: Any): Any = {
+      var r = x
+      while ({ val p = parent.getOrDefault(r, r); p != r && { r = p; true } }) ()
+      var c = x // path compression
+      while (parent.getOrDefault(c, c) != r) {
+        val next = parent.getOrDefault(c, c); parent.put(c, r); c = next
+      }
+      r
+    }
+    sample.foreach { row =>
+      val (ra, rb) = (find(row.get(0)), find(row.get(1)))
+      if (ra != rb) {
+        if (ord.lt(ra, rb)) parent.put(rb, ra) else parent.put(ra, rb)
+      }
+    }
+    // union-by-min keeps roots small, but path lengths can hide a
+    // smaller member behind a root — resolve the true min explicitly
+    val nodes = sample.flatMap(r => Seq(r.get(0), r.get(1))).distinct
+    val byRoot = nodes.groupBy(find)
+    val label = byRoot.iterator.flatMap { case (_, members) =>
+      val m = members.min(ord)
+      members.iterator.map(v => org.apache.spark.sql.Row(v, m))
+    }.toSeq
+    val schema = StructType(Seq(
+      StructField("id", dt), StructField("lbl", dt)))
+    Some(spark.createDataFrame(
+      java.util.Arrays.asList(label: _*), schema))
   }
 
   /** Training-data DECONTAMINATION: flag every training document that

@@ -72,16 +72,13 @@ object FuzzyJoin {
 
     val long = names.where(length(col("s")) >= shortLen)
 
-    // occurrence-tagged q-gram SET of s, as one row-local expression:
-    // gs[i] = substring(s, i+1, q); tag = count of equal grams before i
-    // (O(G^2) per row with G = len - q + 1 — len-bounded, no shuffle).
-    val taggedGrams = expr(
-      s"""transform(
-         |  transform(sequence(0, length(s) - $q), i -> substring(s, i + 1, $q)),
-         |  (g, i) -> concat(g, '#', cast(size(filter(
-         |      slice(transform(sequence(0, length(s) - $q),
-         |                      j -> substring(s, j + 1, $q)), 1, i),
-         |      x -> x = g)) as string)))""".stripMargin)
+    // occurrence-tagged q-gram SET of s: gs[i] = substring(s, i+1, q);
+    // tag = count of equal grams before i. One codegen JVM loop
+    // (graft.plans.TaggedGramsExpr) — the previous nested-HOF spelling
+    // ran interpreted at O(G^2) per row; bit-equality with it is
+    // spec-pinned in TaggedGramsExprSpec.
+    val taggedGrams = graft.plans.TaggedGramsExpr
+      .taggedGrams(strs.sparkSession, col("s"), q)
 
     val gramRows = long
       .select(col("s"), explode(taggedGrams).as("tg"))

@@ -120,9 +120,14 @@ object SimilarityIndex {
       dstDir: String): DataFrame = {
     require(srcDir != dstDir, "append rotates to a fresh directory")
     val spark = delta.sparkSession
-    val numCells = spark.read.parquet(s"$srcDir/meta")
-      .collect()(0).getAs[Int]("param")
-    checkMeta(spark, srcDir, "ivf", numCells,
+    // ONE meta read: the append path's expected numCells IS the stored
+    // value, so the earlier read-then-checkMeta spelling re-read the
+    // same 1-row file twice (a fixed job per tick — the tick's cost is
+    // supposed to be delta-sized, so fixed jobs are the residual term)
+    val metaRows = spark.read.parquet(s"$srcDir/meta").collect()
+    require(metaRows.length == 1, s"corrupt index meta at $srcDir/meta")
+    val numCells = metaRows(0).getAs[Int]("param")
+    checkMetaRow(metaRows(0), srcDir, "ivf", numCells,
       probeDims = firstDims(delta, vecCol))
     val cents = spark.read.parquet(s"$srcDir/centroids")
       .collect().map(r => (r.getAs[Int]("cell"),
@@ -309,19 +314,34 @@ object SimilarityIndex {
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/pqmeta")
   }
 
+  /** Read an IVF-PQ index's driver-sized parts in ONE pass over each
+    * 1-row/driver-sized file. `expected = Some((numCells, numSub,
+    * numCentroids))` validates a probe's config against the meta;
+    * `None` (the append path) trusts the stored config — the append's
+    * expected values ARE the stored ones, and the earlier spelling
+    * read meta and pqmeta twice each per tick for that tautology.
+    * Returns (numCells, numSub, numCentroids, cents, books).
+    */
   private def readPqIndex(spark: SparkSession, indexDir: String,
-      numCells: Int, numSub: Int, numCentroids: Int,
+      expected: Option[(Int, Int, Int)],
       probeDims: Option[Int])
-      : (Seq[(Int, Array[Float])], Array[Array[Array[Float]]]) = {
-    checkMeta(spark, indexDir, "ivfpq", numCells, probeDims = probeDims)
+      : (Int, Int, Int, Seq[(Int, Array[Float])], Array[Array[Array[Float]]]) = {
+    val metaRows = spark.read.parquet(s"$indexDir/meta").collect()
+    require(metaRows.length == 1, s"corrupt index meta at $indexDir/meta")
+    val numCells = expected.map(_._1)
+      .getOrElse(metaRows(0).getAs[Int]("param"))
+    checkMetaRow(metaRows(0), indexDir, "ivfpq", numCells,
+      probeDims = probeDims)
     val pq = spark.read.parquet(s"$indexDir/pqmeta").collect()
     require(pq.length == 1, s"corrupt pq meta at $indexDir/pqmeta")
     val (s0, c0) = (pq(0).getAs[Int]("num_sub"),
       pq(0).getAs[Int]("num_centroids"))
-    require(s0 == numSub && c0 == numCentroids,
-      s"index at $indexDir was built with numSub=$s0/numCentroids=$c0; " +
-        s"probe expects $numSub/$numCentroids — stale config, rebuild " +
-        "or fix the caller")
+    expected.foreach { case (_, numSub, numCentroids) =>
+      require(s0 == numSub && c0 == numCentroids,
+        s"index at $indexDir was built with numSub=$s0/numCentroids=$c0; " +
+          s"probe expects $numSub/$numCentroids — stale config, rebuild " +
+          "or fix the caller")
+    }
     val cents = spark.read.parquet(s"$indexDir/centroids")
       .orderBy(col("cell")).collect()
       .map(r => (r.getInt(0), r.getSeq[Float](1).toArray)).toSeq
@@ -333,9 +353,9 @@ object SimilarityIndex {
       .map { case (_, rows) =>
         rows.sortBy(_.getInt(1)).map(_.getSeq[Float](2).toArray)
       }.toArray
-    require(books.length == numSub && books.forall(_.length == numCentroids),
+    require(books.length == s0 && books.forall(_.length == c0),
       s"corrupt codebooks at $indexDir/codebooks")
-    (cents, books)
+    (numCells, s0, c0, cents, books)
   }
 
   /** Probe a persisted IVF-PQ index: rank the persisted centroids per
@@ -356,8 +376,9 @@ object SimilarityIndex {
       k: Int): DataFrame = {
     require(nprobe >= 1 && nprobe <= numCells, "need 1 <= nprobe <= numCells")
     val spark = probes.sparkSession
-    val (cents, books) = readPqIndex(spark, indexDir, numCells, numSub,
-      numCentroids, probeDims = firstDims(probes, vecCol))
+    val (_, _, _, cents, books) = readPqIndex(spark, indexDir,
+      Some((numCells, numSub, numCentroids)),
+      probeDims = firstDims(probes, vecCol))
     val probeCells = probes.select(
       col(idCol).as("probe_id"),
       ProductQuant.lutColumn(col(vecCol), books).as("lut"),
@@ -386,11 +407,7 @@ object SimilarityIndex {
       dstDir: String): DataFrame = {
     require(srcDir != dstDir, "append rotates to a fresh directory")
     val spark = delta.sparkSession
-    val meta = spark.read.parquet(s"$srcDir/meta").collect()(0)
-    val numCells = meta.getAs[Int]("param")
-    val pq = spark.read.parquet(s"$srcDir/pqmeta").collect()(0)
-    val (cents, books) = readPqIndex(spark, srcDir, numCells,
-      pq.getAs[Int]("num_sub"), pq.getAs[Int]("num_centroids"),
+    val (_, _, _, cents, books) = readPqIndex(spark, srcDir, None,
       probeDims = firstDims(delta, vecCol))
     val booksLit = typedlit(books.map(_.map(_.toSeq).toSeq).toSeq)
     val assigned = delta.select(
@@ -562,7 +579,16 @@ object SimilarityIndex {
       probeDims: Option[Int] = None): Unit = {
     val rows = spark.read.parquet(s"$dir/meta").collect()
     require(rows.length == 1, s"corrupt index meta at $dir/meta")
-    val r = rows(0)
+    checkMetaRow(rows(0), dir, kind, param, param2, probeDims)
+  }
+
+  /** [[checkMeta]] on an already-read meta row — the append paths read
+    * the meta anyway, and validating the row they hold saves a fixed
+    * parquet-read job per tick.
+    */
+  private def checkMetaRow(r: org.apache.spark.sql.Row, dir: String,
+      kind: String, param: Int, param2: Option[Int] = None,
+      probeDims: Option[Int] = None): Unit = {
     val (ver, k0, p0) =
       (r.getAs[Int]("version"), r.getAs[String]("kind"), r.getAs[Int]("param"))
     require(ver == SchemaVersion,

@@ -50,6 +50,48 @@ class ClustersPropertySpec extends SparkSuiteBase {
     }
   }
 
+  test("driver union-find route equals the distributed loop (long keys, 5 seeds)") {
+    (11 to 15).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val n = 60
+      val edges = Seq.fill(rnd.nextInt(70)) {
+        (1L + rnd.nextInt(n), 1L + rnd.nextInt(n))
+      }.filter(e => e._1 != e._2)
+      val docs = (1L to n.toLong).toDF("doc_id")
+      val pairs =
+        if (edges.isEmpty) Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+        else edges.toDF("id_a", "id_b")
+      val driver = Dedup.clusters(docs, "doc_id", pairs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val dist = Dedup.clusters(docs, "doc_id", pairs, maxDriverEdges = 0)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(driver == dist, s"seed $seed, edges $edges")
+    }
+  }
+
+  test("driver route equals the distributed loop on string keys (UTF8 binary min)") {
+    // supplementary chars (surrogate pairs) order differently under
+    // UTF-16 String.compareTo vs Spark's UTF8 binary least()/min() —
+    // the driver route must match Spark, not java.lang.String
+    val names = Seq("alpha", "Alpha", "beta", "ｚfull", "😀grin",
+      "￮half", "gamma", "delta", "épsilon", "zeta")
+    val edgeIdx = Seq((0, 1), (1, 6), (3, 4), (4, 5), (7, 8), (8, 9))
+    val docs = names.toDF("name")
+    val pairs = edgeIdx.map { case (a, b) => (names(a), names(b)) }
+      .toDF("id_a", "id_b")
+    val driver = Dedup.clusters(docs, "name", pairs)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val dist = Dedup.clusters(docs, "name", pairs, maxDriverEdges = 0)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(driver == dist)
+    // the routed result also matches Spark's own least() order on the
+    // mixed-plane component {ｚfull, 😀grin, ￮half}: UTF8 binary puts
+    // the BMP specials (EF..) before the supplementary (F0..), while
+    // UTF-16 String.compareTo would wrongly pick 😀grin (D83D..)
+    assert(driver("😀grin") == "ｚfull")
+    assert(driver("￮half") == "ｚfull")
+  }
+
   test("clusters with a reliable checkpoint dir matches the localCheckpoint path") {
     val dir = java.nio.file.Files.createTempDirectory("graft-cc-ckpt").toString
     val edges = Seq((1L, 2L), (2L, 3L), (5L, 6L), (8L, 9L), (9L, 10L), (10L, 11L))
@@ -58,7 +100,7 @@ class ClustersPropertySpec extends SparkSuiteBase {
     val local = Dedup.clusters(docs, "doc_id", pairs)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val reliable = Dedup.clusters(docs, "doc_id", pairs,
-        checkpointDir = Some(dir))
+        checkpointDir = Some(dir), maxDriverEdges = 0)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(reliable == local)
     // the reliable path actually wrote RDD checkpoint data

@@ -528,7 +528,8 @@ class DedupSimilaritySpec extends SparkSuiteBase {
     // chain 1-2-3-4 needs more than one propagation round
     val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("id_a", "id_b")
     intercept[IllegalStateException] {
-      Dedup.clusters(docs4, "doc_id", chain, maxIterations = 1).collect()
+      Dedup.clusters(docs4, "doc_id", chain, maxIterations = 1,
+        maxDriverEdges = 0).collect()
     }
   }
 
@@ -541,10 +542,11 @@ class DedupSimilaritySpec extends SparkSuiteBase {
     // 120-node chain cannot converge in 12 rounds
     intercept[IllegalStateException] {
       Dedup.clusters(docsN, "doc_id", chain, maxIterations = 12,
-        pointerJumping = false).collect()
+        pointerJumping = false, maxDriverEdges = 0).collect()
     }
     // path doubling halves the remaining chain every round
-    val out = Dedup.clusters(docsN, "doc_id", chain, maxIterations = 12)
+    val out = Dedup.clusters(docsN, "doc_id", chain, maxIterations = 12,
+        maxDriverEdges = 0)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(out.values.forall(_ == 1L), "whole chain is one component")
   }
@@ -559,9 +561,11 @@ class DedupSimilaritySpec extends SparkSuiteBase {
         (1L + rnd.nextInt(40), 1L + rnd.nextInt(40)))
         .filter { case (a, b) => a != b }
         .toDF("id_a", "id_b")
-      val jumped = Dedup.clusters(docsN, "doc_id", edges)
+      val jumped = Dedup.clusters(docsN, "doc_id", edges,
+          maxDriverEdges = 0)
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-      val plain = Dedup.clusters(docsN, "doc_id", edges, pointerJumping = false)
+      val plain = Dedup.clusters(docsN, "doc_id", edges,
+          pointerJumping = false, maxDriverEdges = 0)
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(jumped == plain)
     }
