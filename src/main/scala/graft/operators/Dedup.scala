@@ -1375,8 +1375,16 @@ object Dedup {
         .select(least(col(idACol), col(idBCol)).as("__a"),
           greatest(col(idACol), col(idBCol)).as("__b"))
         .distinct()
-    val a = canon(pairsA).localCheckpoint(true)
-    val b = canon(pairsB).localCheckpoint(true)
+    // the two detector mines are independent job graphs — materialize
+    // them CONCURRENTLY (the IncrementalDedup tick's Future-overlap
+    // discipline) instead of serializing two multi-stage mines
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val aF = Future { canon(pairsA).localCheckpoint(true) }
+    val bF = Future { canon(pairsB).localCheckpoint(true) }
+    val a = Await.result(aF, Duration.Inf)
+    val b = Await.result(bF, Duration.Inf)
     val both = a.join(b, Seq("__a", "__b"))
     val counts = a.agg(count(lit(1)).as("n_a"))
       .crossJoin(b.agg(count(lit(1)).as("n_b")))

@@ -171,14 +171,25 @@ object GraphOps {
       nodesDistinct: Boolean = false,
       maxBroadcastRows: Long = 1000000L): (DataFrame, DataFrame) = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
-    val e = edges.select(col(srcCol).as("__s"), col(dstCol).as("__d"))
-      .distinct().localCheckpoint(true)
     def nodeFrame(nodes: DataFrame, c: String, as: String): DataFrame = {
       val proj = nodes.select(col(c).as(as))
       (if (nodesDistinct) proj else proj.distinct()).localCheckpoint(true)
     }
-    val srcs = nodeFrame(srcNodes, srcCol, "__s")
-    val dsts = nodeFrame(dstNodes, dstCol, "__d")
+    // edge and node frames are independent job graphs — materialize
+    // them concurrently (the captureRecapture/IncrementalDedup
+    // Future-overlap discipline) instead of three serial jobs
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val eF = Future {
+      edges.select(col(srcCol).as("__s"), col(dstCol).as("__d"))
+        .distinct().localCheckpoint(true)
+    }
+    val srcsF = Future { nodeFrame(srcNodes, srcCol, "__s") }
+    val dstsF = Future { nodeFrame(dstNodes, dstCol, "__d") }
+    val e = Await.result(eF, Duration.Inf)
+    val srcs = Await.result(srcsF, Duration.Inf)
+    val dsts = Await.result(dstsF, Duration.Inf)
     // exact counts off the checkpointed frames (cheap) route the
     // per-round joins: ≤ maxBroadcastRows node rows AND an edge frame
     // at least that large → broadcast the score side, stream the edges
