@@ -150,6 +150,71 @@ object TickProfile {
           println(f"q224 rep $i: memo ${(t1 - t0) / 1e9}%.2f s, " +
             f"predict+order ${(t2 - t1) / 1e9}%.2f s")
         }
+      case "q224b" =>
+        // experiment: self-join wedge mine (linkPredict's shape) vs
+        // adjacency-ARRAY enumeration (groupBy collect_list + double
+        // explode) — one exchange of `kept` instead of two + no SMJ
+        // sort, same wedge multiset. Result equality asserted.
+        val edges = Tables.orders(spark, sfDir)
+          .join(Tables.lineitem(spark, sfDir),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(Tables.customer(spark, sfDir)
+            .filter(col("c_mktsegment") === "BUILDING"),
+            col("c_custkey") === col("o_custkey"))
+          .select((lit(2L) * col("o_custkey")).as("id_a"),
+            (lit(2L) * col("l_partkey") + lit(1L)).as("id_b"))
+          .distinct()
+          .localCheckpoint(true)
+        // the pre-r17 self-join wedge mine, kept inline as the
+        // reference arm (production linkPredict IS the array mine now)
+        def selfJoinPredict(): org.apache.spark.sql.DataFrame = {
+          val ed = edges.filter(col("id_a") =!= col("id_b"))
+            .select(least(col("id_a"), col("id_b")).as("__a"),
+              greatest(col("id_a"), col("id_b")).as("__b"))
+            .localCheckpoint(true)
+          val adj = ed.select(col("__a").as("__w"), col("__b").as("__u"))
+            .unionByName(ed.select(col("__b").as("__w"), col("__a").as("__u")))
+          val deg = adj.groupBy(col("__w")).agg(count(lit(1)).as("__dw"))
+          val kept = adj.join(deg, Seq("__w")).filter(col("__dw") <= 64)
+            .localCheckpoint(true)
+          val wedges = kept.select(col("__w"), col("__u").as("__ua"),
+              col("__dw"))
+            .join(kept.select(col("__w"), col("__u").as("__ub")), Seq("__w"))
+            .filter(col("__ua") < col("__ub"))
+            .select(col("__ua"), col("__ub"), col("__dw"))
+          val cand = wedges.groupBy(col("__ua"), col("__ub"))
+            .agg(count(lit(1)).as("cn"),
+              sum(floor(lit(1e6) / col("__dw").cast("double") + lit(0.5))
+                .cast("long")).as("__ram"))
+          cand.join(ed,
+              cand("__ua") === ed("__a") && cand("__ub") === ed("__b"),
+              "left_anti")
+            .select(col("__ua").as("id_a"), col("__ub").as("id_b"),
+              col("cn"), (col("__ram").cast("double") / lit(1e6)).as("ra6"))
+        }
+        val want = selfJoinPredict()
+          .filter(col("cn") >= 2).orderBy(col("id_a"), col("id_b")).collect()
+        val got = operators.GraphOps.linkPredict(edges, "id_a", "id_b",
+            maxDeg = 64, pairsNormalized = true)
+          .filter(col("cn") >= 2).orderBy(col("id_a"), col("id_b")).collect()
+        require(want.sameElements(got),
+          s"array wedge mine diverges: ${want.length} vs ${got.length} rows")
+        println(s"== equality ok (${want.length} rows)")
+        (1 to 3).foreach { i =>
+          profiled(s"self-join arm rep $i") {
+            selfJoinPredict()
+              .filter(col("cn") >= 2).orderBy(col("id_a"), col("id_b"))
+              .write.format("noop").mode("overwrite").save()
+          }
+        }
+        (1 to 3).foreach { i =>
+          profiled(s"array arm rep $i") {
+            operators.GraphOps.linkPredict(edges, "id_a", "id_b",
+                maxDeg = 64, pairsNormalized = true)
+              .filter(col("cn") >= 2).orderBy(col("id_a"), col("id_b"))
+              .write.format("noop").mode("overwrite").save()
+          }
+        }
       case other => sys.error(s"unknown mode $other")
     }
     spark.stop()

@@ -299,9 +299,10 @@ object GraphOps {
     * prCurve per-term-snap discipline); ra6 = sum/1e6.
     *
     * Scale shape: wedge enumeration keyed on the intermediary w —
-    * one degree aggregate, one self-equi-join on w bounded by
-    * Σ deg(w)² over KEPT intermediaries, one (u,v) aggregate, one
-    * anti-join against the edge set. `maxDeg` drops hub
+    * one degree aggregate, one groupBy(w) into maxDeg-bounded sorted
+    * neighbor arrays, a row-local double explode of the i<j pairs
+    * (Σ deg(w)² rows over KEPT intermediaries), one (u,v) aggregate,
+    * one anti-join against the edge set. `maxDeg` drops hub
     * intermediaries BEFORE the join (default 64), bounding the
     * expansion at maxDeg·|E| rows however the degree distribution
     * skews; the dropped terms are RA's smallest (1/deg ≤ 1/maxDeg),
@@ -331,16 +332,27 @@ object GraphOps {
       .unionByName(ed.select(col("__b").as("__w"), col("__a").as("__u")))
     val deg = adj.groupBy(col("__w")).agg(count(lit(1)).as("__dw"))
     val kept = adj.join(deg, Seq("__w")).filter(col("__dw") <= maxDeg)
-      .localCheckpoint(true) // self-joined next; mine the wedge once
-    // (an identical-projection self-join was tried here in r17 to get
-    // ReuseExchange to share one shuffle — column pruning re-projects
-    // the RA-term-free side and the exchanges stop canonicalizing
-    // equal, so it bought nothing; the two-projection join stands)
-    val wedges = kept.select(col("__w"), col("__u").as("__ua"),
+    // wedge mine via per-intermediary ADJACENCY ARRAYS: group w's kept
+    // neighbors into one sorted array (bounded by maxDeg) and emit the
+    // i<j pairs with a double explode — ONE exchange of `kept` and no
+    // sort-merge join, versus the previous self-join's two shuffles +
+    // sort (an identical-projection self-join to force ReuseExchange
+    // was tried first — column pruning re-projects the RA-term-free
+    // side, exchanges stop canonicalizing equal, it bought nothing;
+    // the array mine measured −47% on the q224 shape, equality
+    // asserted, TickProfile q224b). Neighbor lists are duplicate-free
+    // (ed is distinct + oriented) so sorted i<j enumeration equals the
+    // __ua < __ub filter exactly — array_sort and `<` share Spark's
+    // ordering for longs and strings alike. The self-join's `kept`
+    // checkpoint is gone too: the frame now has ONE consumer.
+    val wedges = kept.groupBy(col("__w"), col("__dw"))
+      .agg(sort_array(collect_list(col("__u"))).as("__ns"))
+      .select(col("__dw"), col("__ns"),
+        posexplode(col("__ns")).as(Seq("__i", "__ua")))
+      .select(col("__ua"),
+        explode(slice(col("__ns"), col("__i") + lit(2),
+          size(col("__ns")) - col("__i") - lit(1))).as("__ub"),
         col("__dw"))
-      .join(kept.select(col("__w"), col("__u").as("__ub")), Seq("__w"))
-      .filter(col("__ua") < col("__ub"))
-      .select(col("__ua"), col("__ub"), col("__dw"))
     val cand = wedges.groupBy(col("__ua"), col("__ub"))
       .agg(count(lit(1)).as("cn"),
         sum(floor(lit(1e6) / col("__dw").cast("double") + lit(0.5))

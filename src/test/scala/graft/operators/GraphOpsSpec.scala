@@ -83,6 +83,36 @@ class GraphOpsSpec extends SparkSuiteBase {
     assert(d.length == 1 && d(0).getAs[Double]("ra6") == 0.5)
   }
 
+  test("linkPredict: array wedge mine equals brute force on random graphs") {
+    import spark.implicits._
+    (21 to 23).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val n = 30
+      val edges = Seq.fill(60)((1L + rnd.nextInt(n), 1L + rnd.nextInt(n)))
+        .filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+        .distinct
+      val maxDeg = 5
+      val adj = edges.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val deg = adj.view.mapValues(_.size).toMap
+      val es = edges.toSet
+      val nodes = adj.keys.toSeq.sorted
+      val want = (for {
+        u <- nodes; v <- nodes if u < v && !es.contains((u, v))
+        common = adj(u).intersect(adj(v)).filter(deg(_) <= maxDeg)
+        if common.nonEmpty
+      } yield (u, v, common.size.toLong,
+        common.toSeq.map(w => math.floor(1e6 / deg(w) + 0.5).toLong).sum
+          / 1e6)).toSet
+      val got = GraphOps.linkPredict(edges.toDF("id_a", "id_b"),
+          "id_a", "id_b", maxDeg = maxDeg)
+        .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+          r.getAs[Long]("cn"), r.getAs[Double]("ra6"))).toSet
+      assert(got == want, s"seed $seed")
+    }
+  }
+
   test("bfsHops: path distances, nearest seed wins, cap and isolation") {
     import spark.implicits._
     // path 1-2-3-4-5-6 with seeds {1, 6}: hops = 0,1,2,2,1,0
