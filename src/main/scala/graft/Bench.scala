@@ -121,144 +121,144 @@ object Bench {
     // PRIORS_BEGIN — entries between the markers are maintained by
     // tools/close_round.sh (regen_priors.py ratchet merge); edit by
     // hand only to RAISE an entry with a recorded cause
-    "q01_scan_project" -> 1.32, "q02_filter_predicates" -> 0.33,
-    "q03_agg_q1" -> 0.59, "q04_count_distinct" -> 0.59,
-    "q05_approx_distinct" -> 0.68, "q06_rollup" -> 0.7,
-    "q07_join_star" -> 1.14, "q08_left_outer" -> 0.74,
-    "q09_full_outer" -> 0.51, "q100_ivfpq_ann" -> 1.72,
-    "q101_pq_index_probe" -> 2.42, "q102_subseq_search" -> 0.84,
-    "q103_heavy_hitters" -> 1.06, "q104_interval_join_outer" -> 0.57,
-    "q105_skew_join" -> 1.17, "q106_knn_graph" -> 1.19,
-    "q107_pmi_collocations" -> 0.88, "q108_chunk_dedup" -> 1.06,
-    "q109_zorder_layout" -> 0.53, "q10_semi_anti" -> 0.41,
-    "q110_random_projection" -> 0.33, "q111_pagerank" -> 1.33,
-    "q112_skew_agg" -> 0.4, "q113_histogram_quantiles" -> 0.61,
-    "q114_hll_distinct" -> 0.65, "q115_bm25" -> 1.13,
-    "q116_incremental_chunk_dedup" -> 1.52, "q117_dsir_weights" -> 1.83,
-    "q118_dsir_resample" -> 1.6, "q119_bloom_join" -> 0.85,
-    "q11_range_join" -> 1.0, "q120_hybrid_rrf" -> 1.36,
-    "q121_rolling_anomaly" -> 0.68, "q122_decontaminate_fuzzy" -> 1.37,
-    "q123_multinomial_sample" -> 0.63, "q124_event_funnel" -> 0.85,
+    "q01_scan_project" -> 1.07, "q02_filter_predicates" -> 0.26,
+    "q03_agg_q1" -> 0.47, "q04_count_distinct" -> 0.52,
+    "q05_approx_distinct" -> 0.6, "q06_rollup" -> 0.62,
+    "q07_join_star" -> 1.08, "q08_left_outer" -> 0.67,
+    "q09_full_outer" -> 0.46, "q100_ivfpq_ann" -> 1.61,
+    "q101_pq_index_probe" -> 1.71, "q102_subseq_search" -> 0.77,
+    "q103_heavy_hitters" -> 0.86, "q104_interval_join_outer" -> 0.48,
+    "q105_skew_join" -> 1.09, "q106_knn_graph" -> 0.94,
+    "q107_pmi_collocations" -> 0.6, "q108_chunk_dedup" -> 0.93,
+    "q109_zorder_layout" -> 0.46, "q10_semi_anti" -> 0.4,
+    "q110_random_projection" -> 0.33, "q111_pagerank" -> 1.24,
+    "q112_skew_agg" -> 0.4, "q113_histogram_quantiles" -> 0.57,
+    "q114_hll_distinct" -> 0.63, "q115_bm25" -> 1.08,
+    "q116_incremental_chunk_dedup" -> 1.37, "q117_dsir_weights" -> 1.83,
+    "q118_dsir_resample" -> 1.44, "q119_bloom_join" -> 0.82,
+    "q11_range_join" -> 0.96, "q120_hybrid_rrf" -> 1.23,
+    "q121_rolling_anomaly" -> 0.64, "q122_decontaminate_fuzzy" -> 1.37,
+    "q123_multinomial_sample" -> 0.62, "q124_event_funnel" -> 0.79,
     "q125_cohort_retention" -> 0.51, "q126_triangle_count" -> 0.36,
-    "q127_wordpiece_vocab" -> 0.62, "q128_wordpiece_encode" -> 1.34,
-    "q129_wordpiece_encode_oov" -> 1.06, "q12_cross_join" -> 0.27,
-    "q130_sparse_knn" -> 1.34, "q131_fuzzy_join" -> 0.64,
-    "q132_upsert_latest" -> 0.48, "q133_scd2_merge" -> 0.64,
-    "q134_pca_power" -> 0.82, "q135_ndcg" -> 1.42,
-    "q136_grouping_sets" -> 0.62, "q137_kcenter_select" -> 0.72,
+    "q127_wordpiece_vocab" -> 0.62, "q128_wordpiece_encode" -> 1.23,
+    "q129_wordpiece_encode_oov" -> 1.06, "q12_cross_join" -> 0.25,
+    "q130_sparse_knn" -> 1.11, "q131_fuzzy_join" -> 0.62,
+    "q132_upsert_latest" -> 0.42, "q133_scd2_merge" -> 0.64,
+    "q134_pca_power" -> 0.73, "q135_ndcg" -> 1.27,
+    "q136_grouping_sets" -> 0.59, "q137_kcenter_select" -> 0.68,
     "q138_sessionize" -> 0.67, "q139_optimal_segment" -> 1.44,
     "q13_sort_nulls" -> 0.48, "q140_skew_profile" -> 0.46,
-    "q141_join_cardinality" -> 1.5, "q142_data_audit" -> 1.1,
-    "q143_pit_join" -> 0.97, "q144_golden_record" -> 0.46,
-    "q145_phrase_search" -> 0.68, "q146_hard_negatives" -> 0.37,
-    "q147_novelty_score" -> 3.33, "q148_lateral_topk" -> 1.34,
-    "q149_ohlc_downsample" -> 0.7, "q14_topk" -> 0.22,
-    "q150_resample_ffill" -> 1.11, "q151_sliding_distinct" -> 0.67,
-    "q152_feature_hash" -> 1.28, "q153_standardize" -> 0.36,
-    "q154_unpivot" -> 1.51, "q155_entity_resolution" -> 1.19,
-    "q156_cusum" -> 0.59, "q157_partition_pruning" -> 0.38,
-    "q158_markov_transitions" -> 0.66, "q159_grouped_quantiles" -> 0.71,
-    "q15_window_rank" -> 1.0, "q160_window_distribution" -> 0.7,
+    "q141_join_cardinality" -> 1.5, "q142_data_audit" -> 1.07,
+    "q143_pit_join" -> 0.91, "q144_golden_record" -> 0.42,
+    "q145_phrase_search" -> 0.64, "q146_hard_negatives" -> 0.36,
+    "q147_novelty_score" -> 2.88, "q148_lateral_topk" -> 1.14,
+    "q149_ohlc_downsample" -> 0.65, "q14_topk" -> 0.22,
+    "q150_resample_ffill" -> 1.11, "q151_sliding_distinct" -> 0.65,
+    "q152_feature_hash" -> 1.13, "q153_standardize" -> 0.31,
+    "q154_unpivot" -> 1.48, "q155_entity_resolution" -> 1.19,
+    "q156_cusum" -> 0.59, "q157_partition_pruning" -> 0.37,
+    "q158_markov_transitions" -> 0.65, "q159_grouped_quantiles" -> 0.71,
+    "q15_window_rank" -> 0.95, "q160_window_distribution" -> 0.64,
     "q161_jpeg_dims" -> 0.23, "q162_mmr_select" -> 0.88,
     "q163_cell_silhouette" -> 0.4, "q164_kmv_setops" -> 1.2,
     "q165_ewma_smooth" -> 0.61, "q166_cell_balanced_sample" -> 0.33,
     "q167_gif_frames" -> 0.32, "q168_kn_lm_score" -> 2.3,
-    "q169_label_propagation" -> 1.15, "q16_window_analytic" -> 0.82,
-    "q170_lsh_recall_audit" -> 2.84, "q171_drift_report" -> 0.48,
-    "q172_correlation_matrix" -> 0.37, "q173_kmv_overlap_matrix" -> 2.06,
-    "q174_stratified_alloc" -> 0.52, "q175_containment_pairs" -> 2.05,
-    "q176_quantile_normalize" -> 0.9, "q177_session_paths" -> 0.53,
-    "q178_textrank_keywords" -> 2.4, "q179_benford_audit" -> 0.39,
+    "q169_label_propagation" -> 1.15, "q16_window_analytic" -> 0.8,
+    "q170_lsh_recall_audit" -> 2.84, "q171_drift_report" -> 0.46,
+    "q172_correlation_matrix" -> 0.36, "q173_kmv_overlap_matrix" -> 2.04,
+    "q174_stratified_alloc" -> 0.46, "q175_containment_pairs" -> 1.95,
+    "q176_quantile_normalize" -> 0.88, "q177_session_paths" -> 0.53,
+    "q178_textrank_keywords" -> 2.21, "q179_benford_audit" -> 0.39,
     "q17_asof_join" -> 0.5, "q180_snapshot_diff" -> 0.51,
-    "q181_embedding_drift" -> 0.34, "q182_basket_rules" -> 1.25,
-    "q183_calibration_bins" -> 1.83, "q184_kcore" -> 0.59,
-    "q185_roc_auc" -> 0.44, "q186_spearman_matrix" -> 3.94,
-    "q187_zipf_fit" -> 0.37, "q188_gini_concentration" -> 0.32,
-    "q189_ab_test" -> 0.6, "q18_setops" -> 0.53,
+    "q181_embedding_drift" -> 0.34, "q182_basket_rules" -> 1.18,
+    "q183_calibration_bins" -> 1.72, "q184_kcore" -> 0.59,
+    "q185_roc_auc" -> 0.34, "q186_spearman_matrix" -> 3.36,
+    "q187_zipf_fit" -> 0.37, "q188_gini_concentration" -> 0.29,
+    "q189_ab_test" -> 0.45, "q18_setops" -> 0.48,
     "q190_categorical_mi" -> 0.5, "q191_attribution" -> 0.54,
-    "q192_ks_test" -> 2.43, "q193_kaplan_meier" -> 0.58,
-    "q194_mad_outliers" -> 0.97, "q195_rfm_scores" -> 1.01,
-    "q196_bootstrap_ci" -> 1.08, "q197_hill_tail" -> 0.26,
-    "q198_ccf" -> 0.63, "q199_ltv_curve" -> 0.74,
-    "q19_dedup_exact" -> 0.48, "q200_dow_seasonality" -> 0.53,
-    "q201_sprt" -> 0.56, "q202_welch_ttest" -> 0.72,
-    "q203_psi_drift" -> 0.71, "q204_jsd_sources" -> 1.25,
-    "q205_bh_fdr" -> 2.34, "q206_mann_kendall" -> 1.48,
-    "q207_compaction_plan" -> 0.52, "q208_ols_regression" -> 0.36,
-    "q209_isotonic_calibration" -> 0.61, "q20_string_fns" -> 0.31,
-    "q210_zonemap_skip" -> 0.47, "q211_dawid_skene" -> 0.84,
-    "q212_cuped" -> 0.48, "q213_experiment_health" -> 0.35,
-    "q214_winsorized_readout" -> 1.12, "q215_hits" -> 3.65,
-    "q216_quantile_effects" -> 0.93, "q217_did" -> 0.87,
-    "q218_cmh_test" -> 0.39, "q219_seasonal_decompose" -> 0.46,
-    "q21_datetime_month" -> 0.31, "q220_heaps_law" -> 1.12,
-    "q221_pr_curve" -> 0.64, "q222_logistic_irls" -> 0.74,
-    "q223_cohens_kappa" -> 0.32, "q224_link_prediction" -> 4.37,
+    "q192_ks_test" -> 2.1, "q193_kaplan_meier" -> 0.53,
+    "q194_mad_outliers" -> 0.97, "q195_rfm_scores" -> 0.97,
+    "q196_bootstrap_ci" -> 0.88, "q197_hill_tail" -> 0.23,
+    "q198_ccf" -> 0.63, "q199_ltv_curve" -> 0.7,
+    "q19_dedup_exact" -> 0.41, "q200_dow_seasonality" -> 0.45,
+    "q201_sprt" -> 0.44, "q202_welch_ttest" -> 0.64,
+    "q203_psi_drift" -> 0.64, "q204_jsd_sources" -> 1.04,
+    "q205_bh_fdr" -> 2.01, "q206_mann_kendall" -> 1.03,
+    "q207_compaction_plan" -> 0.44, "q208_ols_regression" -> 0.31,
+    "q209_isotonic_calibration" -> 0.51, "q20_string_fns" -> 0.28,
+    "q210_zonemap_skip" -> 0.42, "q211_dawid_skene" -> 0.73,
+    "q212_cuped" -> 0.46, "q213_experiment_health" -> 0.35,
+    "q214_winsorized_readout" -> 1.07, "q215_hits" -> 3.52,
+    "q216_quantile_effects" -> 0.81, "q217_did" -> 0.78,
+    "q218_cmh_test" -> 0.39, "q219_seasonal_decompose" -> 0.42,
+    "q21_datetime_month" -> 0.31, "q220_heaps_law" -> 1.04,
+    "q221_pr_curve" -> 0.64, "q222_logistic_irls" -> 0.64,
+    "q223_cohens_kappa" -> 0.32, "q224_link_prediction" -> 3.76,
     "q225_bfs_hops" -> 1.77, "q226_interval_merge" -> 0.84,
     "q227_pareto_abc" -> 0.84, "q228_grouped_ols" -> 0.64,
     "q229_mp3_duration" -> 0.48, "q22_datetime_row" -> 0.41,
     "q230_holt_forecast" -> 0.41, "q231_mrr_eval" -> 1.72,
-    "q232_dispersion_index" -> 0.37, "q233_stratified_kfold" -> 0.37,
-    "q234_modularity" -> 0.61, "q235_knee_detection" -> 0.88,
-    "q236_capture_recapture" -> 3.01, "q237_chisq_gof" -> 0.8,
-    "q238_weighted_quantiles" -> 0.62, "q239_theil_sen" -> 2.17,
-    "q23_math_fns" -> 0.24, "q240_ivf_recall_audit" -> 0.96,
-    "q241_rendezvous_assign" -> 0.33, "q242_unigram_em" -> 1.43,
-    "q243_lift_table" -> 0.25, "q244_acf" -> 0.61,
-    "q245_forecast_mase" -> 0.53, "q246_water_fill" -> 0.58,
-    "q247_good_turing" -> 0.64, "q248_dsir_ess" -> 2.44,
+    "q232_dispersion_index" -> 0.31, "q233_stratified_kfold" -> 0.33,
+    "q234_modularity" -> 0.58, "q235_knee_detection" -> 0.88,
+    "q236_capture_recapture" -> 1.8, "q237_chisq_gof" -> 0.73,
+    "q238_weighted_quantiles" -> 0.53, "q239_theil_sen" -> 1.65,
+    "q23_math_fns" -> 0.24, "q240_ivf_recall_audit" -> 0.77,
+    "q241_rendezvous_assign" -> 0.29, "q242_unigram_em" -> 1.16,
+    "q243_lift_table" -> 0.19, "q244_acf" -> 0.57,
+    "q245_forecast_mase" -> 0.39, "q246_water_fill" -> 0.45,
+    "q247_good_turing" -> 0.63, "q248_dsir_ess" -> 1.72,
     "q249_k_anonymity" -> 0.26, "q24_array_fns" -> 0.23,
     "q250_sparse_sampler" -> 1.09, "q251_cursor_translate" -> 1.19,
     "q252_cosine_udf" -> 0.36, "q253_tokenizer_fertility" -> 0.38,
     "q254_pack_efficiency" -> 0.14, "q255_boilerplate_ngrams" -> 1.7,
-    "q256_ccnet_buckets" -> 2.65, "q257_l_diversity" -> 0.31,
-    "q258_dedup_retention" -> 0.27, "q259_contamination_spans" -> 0.68,
-    "q25_map_json" -> 1.0, "q260_gopher_repetition" -> 2.17,
-    "q261_distinct_ngrams" -> 0.62, "q262_cluster_sizes" -> 0.18,
-    "q263_epoch_schedule" -> 0.68, "q264_lag_report" -> 0.51,
-    "q265_vocab_coverage" -> 0.2, "q266_truncation_budget" -> 0.3,
-    "q267_cross_source_dups" -> 0.38, "q268_dedup_threshold_sweep" -> 0.25,
-    "q269_leakage_safe_split" -> 0.15, "q26_conditional" -> 0.4,
-    "q270_seq_length_histogram" -> 0.38, "q271_mirror_e2e" -> 2.93,
-    "q272_bucketed_neardup" -> 0.38, "q273_multiband_neardup" -> 1.12,
-    "q274_cell_neardup" -> 0.64, "q275_t_closeness" -> 0.38,
-    "q27_sample_mod" -> 0.28, "q28_pivot" -> 0.67,
-    "q29_fanout" -> 0.7, "q30_token_freq" -> 0.45,
-    "q31_text_quality" -> 0.52, "q32_lang_id" -> 1.37,
-    "q33_ngram_jaccard" -> 2.09, "q34_minhash_lsh" -> 1.84,
-    "q35_simhash" -> 1.17, "q36_embed_neardup" -> 0.79,
-    "q37_ann_topk" -> 0.37, "q38_lsh_ann" -> 0.33,
-    "q39_tumbling_window" -> 0.48, "q40_session_window" -> 0.79,
-    "q41_multimodal" -> 0.31, "q42_token_estimate" -> 0.26,
-    "q43_json_roundtrip" -> 0.42, "q44_stats_agg" -> 1.36,
-    "q45_subqueries" -> 0.42, "q46_ivf_ann" -> 0.45,
-    "q47_dedup_clusters" -> 0.29, "q48_stratified_sample" -> 0.26,
-    "q49_text_normalize" -> 0.32, "q50_sliding_window" -> 0.36,
-    "q51_tfidf" -> 1.21, "q52_watermark_late_drop" -> 0.67,
-    "q53_streaming_dedup_twin" -> 0.6, "q54_redact_pii" -> 0.88,
-    "q55_embed_quantize" -> 0.28, "q56_stream_static_enrich" -> 0.84,
-    "q57_doc_repetition" -> 0.52, "q58_quality_filter" -> 0.87,
-    "q59_cursor_actions" -> 0.81, "q60_envelope_scan" -> 0.18,
-    "q61_embed_pack" -> 0.24, "q62_cluster_survivors" -> 0.82,
-    "q63_multitable_ann" -> 0.48, "q64_decontaminate" -> 0.64,
-    "q65_winnow_fingerprints" -> 0.57, "q66_winnow_pairs" -> 1.99,
-    "q67_asof_forward" -> 0.52, "q68_asof_nearest" -> 0.85,
-    "q69_curation" -> 3.51, "q70_stream_neardup_twin" -> 0.8,
-    "q71_curation_report" -> 0.12, "q72_chunk_documents" -> 0.75,
-    "q73_sequence_packing" -> 0.36, "q74_mix_sample" -> 0.18,
-    "q75_incremental_dedup" -> 9.94, "q76_ivf_index_probe" -> 0.81,
-    "q77_bpe_train" -> 1.79, "q78_bpe_encode" -> 1.78,
-    "q79_pack_bpe" -> 0.2, "q80_incremental_curation" -> 13.07,
+    "q256_ccnet_buckets" -> 2.42, "q257_l_diversity" -> 0.31,
+    "q258_dedup_retention" -> 0.27, "q259_contamination_spans" -> 0.62,
+    "q25_map_json" -> 0.89, "q260_gopher_repetition" -> 2.17,
+    "q261_distinct_ngrams" -> 0.62, "q262_cluster_sizes" -> 0.12,
+    "q263_epoch_schedule" -> 0.61, "q264_lag_report" -> 0.44,
+    "q265_vocab_coverage" -> 0.15, "q266_truncation_budget" -> 0.28,
+    "q267_cross_source_dups" -> 0.29, "q268_dedup_threshold_sweep" -> 0.16,
+    "q269_leakage_safe_split" -> 0.13, "q26_conditional" -> 0.32,
+    "q270_seq_length_histogram" -> 0.29, "q271_mirror_e2e" -> 2.45,
+    "q272_bucketed_neardup" -> 0.38, "q273_multiband_neardup" -> 0.96,
+    "q274_cell_neardup" -> 0.64, "q275_t_closeness" -> 0.35,
+    "q27_sample_mod" -> 0.24, "q28_pivot" -> 0.56,
+    "q29_fanout" -> 0.67, "q30_token_freq" -> 0.45,
+    "q31_text_quality" -> 0.49, "q32_lang_id" -> 1.2,
+    "q33_ngram_jaccard" -> 2.04, "q34_minhash_lsh" -> 1.44,
+    "q35_simhash" -> 0.96, "q36_embed_neardup" -> 0.65,
+    "q37_ann_topk" -> 0.36, "q38_lsh_ann" -> 0.32,
+    "q39_tumbling_window" -> 0.43, "q40_session_window" -> 0.79,
+    "q41_multimodal" -> 0.27, "q42_token_estimate" -> 0.23,
+    "q43_json_roundtrip" -> 0.37, "q44_stats_agg" -> 1.16,
+    "q45_subqueries" -> 0.42, "q46_ivf_ann" -> 0.42,
+    "q47_dedup_clusters" -> 0.29, "q48_stratified_sample" -> 0.23,
+    "q49_text_normalize" -> 0.31, "q50_sliding_window" -> 0.35,
+    "q51_tfidf" -> 1.06, "q52_watermark_late_drop" -> 0.67,
+    "q53_streaming_dedup_twin" -> 0.57, "q54_redact_pii" -> 0.74,
+    "q55_embed_quantize" -> 0.21, "q56_stream_static_enrich" -> 0.73,
+    "q57_doc_repetition" -> 0.45, "q58_quality_filter" -> 0.79,
+    "q59_cursor_actions" -> 0.72, "q60_envelope_scan" -> 0.18,
+    "q61_embed_pack" -> 0.19, "q62_cluster_survivors" -> 0.69,
+    "q63_multitable_ann" -> 0.45, "q64_decontaminate" -> 0.63,
+    "q65_winnow_fingerprints" -> 0.5, "q66_winnow_pairs" -> 1.99,
+    "q67_asof_forward" -> 0.47, "q68_asof_nearest" -> 0.81,
+    "q69_curation" -> 2.88, "q70_stream_neardup_twin" -> 0.58,
+    "q71_curation_report" -> 0.08, "q72_chunk_documents" -> 0.58,
+    "q73_sequence_packing" -> 0.31, "q74_mix_sample" -> 0.14,
+    "q75_incremental_dedup" -> 9.94, "q76_ivf_index_probe" -> 0.73,
+    "q77_bpe_train" -> 1.55, "q78_bpe_encode" -> 1.73,
+    "q79_pack_bpe" -> 0.17, "q80_incremental_curation" -> 13.07,
     "q81_lm_score" -> 0.08, "q82_budget_sample" -> 0.66,
-    "q83_bpe_encode_oov" -> 1.0, "q84_semantic_dedup" -> 0.77,
-    "q85_nb_quality" -> 1.71, "q86_shuffle_shard" -> 0.35,
-    "q87_temperature_mix" -> 0.39, "q88_ivf_train" -> 0.59,
-    "q89_quantile_filter" -> 0.73, "q90_char_entropy" -> 0.29,
-    "q91_source_divergence" -> 0.82, "q92_substring_dedup" -> 1.34,
+    "q83_bpe_encode_oov" -> 1.0, "q84_semantic_dedup" -> 0.76,
+    "q85_nb_quality" -> 1.68, "q86_shuffle_shard" -> 0.32,
+    "q87_temperature_mix" -> 0.39, "q88_ivf_train" -> 0.54,
+    "q89_quantile_filter" -> 0.71, "q90_char_entropy" -> 0.26,
+    "q91_source_divergence" -> 0.79, "q92_substring_dedup" -> 1.3,
     "q93_image_phash" -> 0.97, "q94_substring_strip" -> 1.67,
-    "q95_audio_phash" -> 1.02, "q96_train_split" -> 0.21,
-    "q97_decontaminate_bloom" -> 1.5, "q98_pq_ann" -> 0.99,
-    "q99_interval_join" -> 0.48,
+    "q95_audio_phash" -> 1.02, "q96_train_split" -> 0.19,
+    "q97_decontaminate_bloom" -> 1.41, "q98_pq_ann" -> 0.95,
+    "q99_interval_join" -> 0.42,
     // PRIORS_END
   )
 
